@@ -1,0 +1,203 @@
+package graft.diff
+
+import graft.schema.{Flattener, SchemaUtils}
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.StructType
+import org.apache.spark.storage.StorageLevel
+
+/** Comparison failed because the two schemas are not equivalent. */
+class SchemasDifferException(val mismatchPaths: Seq[String])
+  extends Exception(s"Provided datasets have different schemas: " +
+    s"${mismatchPaths.mkString(", ")} cannot be found in both schemas")
+
+/** Comparison aborted because one side has duplicate keys. */
+class DuplicateKeysException(val refDuplicates: Long, val newDuplicates: Long)
+  extends Exception(s"Provided datasets have duplicate rows: " +
+    s"reference has $refDuplicates duplicate key(s), actual has $newDuplicates")
+
+/** Raised by jobs (not the library) when diffCount > 0. */
+class DatasetsDifferException(val refRowCount: Long, val newRowCount: Long, val diffCount: Long)
+  extends Exception(s"Expected and actual datasets differ: $diffCount " +
+    s"difference(s) out of $refRowCount reference / $newRowCount actual rows")
+
+/** Options for a dataset comparison (CLI surface parity:
+  * `/root/reference/datasetComparison/.../cliUtils/CliParametersParser.scala`). */
+case class DiffOptions(
+    keys: Seq[String] = Nil,
+    errorColumnName: String = "errCol",
+    expectedPrefix: String = "expected",
+    actualPrefix: String = "actual",
+    allowDuplicates: Boolean = false,
+    providedSchema: Option[StructType] = None,
+    cache: Boolean = true)
+
+/** The diff engine: given a reference and an actual DataFrame, verify
+  * schema equivalence, count duplicate keys, compute the symmetric set
+  * difference, join the complements on a synthesized md5 key, flatten
+  * nested structs/arrays, and attribute every mismatching flat column in
+  * an `errCol: array<string>`.
+  *
+  * Logical semantics match the reference pipeline
+  * (`/root/reference/datasetComparison/.../DatasetComparator.scala:65-141`),
+  * including: null-safe per-column equality (`<=>`), DISTINCT semantics of
+  * `except`, reversed errCol ordering, one-sided full-join rows keeping
+  * nulls on the missing side, and keyless mode hashing ALL columns.
+  *
+  * Physical plan is deliberately different (designed for 100 TB inputs,
+  * see SURVEY.md §4): the reference re-scans both sources for each of its
+  * ≥7 actions and probes each array column with its own job; here the
+  * keyed inputs and the two complements are persisted, row-count +
+  * duplicate-count are fused into ONE aggregate per side, and all array
+  * lengths are probed in one pass per side. Joins stay unhinted so AQE /
+  * Catalyst pick broadcast vs sort-merge from runtime stats.
+  */
+class DatasetComparator(
+    refDF: DataFrame,
+    actualDF: DataFrame,
+    options: DiffOptions = DiffOptions()) {
+
+  import options._
+
+  def compare(): ComparisonResult = {
+    val (refSel, actSel, selector) = alignSchemas()
+
+    val keyName = uniqueColumnName("graft_row_key", refSel.schema)
+    val refKeyed = maybePersist(addKeyColumn(refSel, keyName))
+    val actKeyed = maybePersist(addKeyColumn(actSel, keyName))
+
+    // one aggregate action per side → (rowCount, duplicateKeyCount)
+    val (refCount, refDups) = countsAndDuplicates(refKeyed, keyName)
+    val (actCount, actDups) = countsAndDuplicates(actKeyed, keyName)
+    if (!allowDuplicates && (refDups > 0 || actDups > 0)) {
+      refKeyed.unpersist()
+      actKeyed.unpersist()
+      throw new DuplicateKeysException(refDups, actDups)
+    }
+
+    val refComplement = maybePersist(refKeyed.except(actKeyed))
+    val actComplement = maybePersist(actKeyed.except(refKeyed))
+    val refDiffCount = refComplement.count()
+    val actDiffCount = actComplement.count()
+    // complements are materialized; the keyed inputs can go
+    refKeyed.unpersist()
+    actKeyed.unpersist()
+
+    val passedCount = refCount - refDiffCount
+    if (refDiffCount == 0 && actDiffCount == 0) {
+      refComplement.unpersist()
+      actComplement.unpersist()
+      ComparisonResult(refCount, actCount, refDups, actDups, passedCount,
+        selector, None, 0)
+    } else {
+      val diffDF = createDiffDataFrame(keyName, refComplement, actComplement)
+      val diffCount = diffDF.count()
+      ComparisonResult(refCount, actCount, refDups, actDups, passedCount,
+        selector, Some(diffDF), diffCount)
+    }
+  }
+
+  private def maybePersist(df: DataFrame): DataFrame =
+    if (cache) df.persist(StorageLevel.MEMORY_AND_DISK) else df
+
+  /** Schema check + canonical column alignment (reference
+    * `DatasetComparator.scala:69-78,148-173`). With a provided schema both
+    * inputs must be supersets of it and only its columns are compared. */
+  private def alignSchemas(): (DataFrame, DataFrame, List[Column]) = {
+    providedSchema match {
+      case Some(ps) =>
+        val missing =
+          SchemaUtils.diffSchema(ps, SchemaUtils.stripMetadata(refDF.schema)) ++
+          SchemaUtils.diffSchema(ps, SchemaUtils.stripMetadata(actualDF.schema))
+        if (missing.nonEmpty) throw new SchemasDifferException(missing.distinct)
+        val selector = SchemaUtils.dataFrameSelector(ps)
+        (refDF.select(selector: _*), actualDF.select(selector: _*), selector)
+      case None =>
+        val refSchema = SchemaUtils.stripMetadata(refDF.schema)
+        val actSchema = SchemaUtils.stripMetadata(actualDF.schema)
+        if (!SchemaUtils.isEquivalent(refSchema, actSchema)) {
+          val missing = SchemaUtils.diffSchema(refSchema, actSchema) ++
+            SchemaUtils.diffSchema(actSchema, refSchema)
+          throw new SchemasDifferException(missing.distinct)
+        }
+        val selector = SchemaUtils.dataFrameSelector(refSchema)
+        (refDF.select(selector: _*), actualDF.select(selector: _*), selector)
+    }
+  }
+
+  /** `base`, `base_0`, `base_1`, … until collision-free (reference
+    * `DatasetComparator.scala:239-254`). */
+  private[diff] def uniqueColumnName(base: String, schemas: StructType*): String = {
+    val taken = schemas.flatMap(_.fieldNames).map(_.toLowerCase).toSet
+    if (!taken.contains(base.toLowerCase)) base
+    else LazyList.from(0).map(i => s"${base}_$i")
+      .find(n => !taken.contains(n.toLowerCase)).get
+  }
+
+  /** md5(concat_ws("|", keys cast to string)); ALL columns when no keys
+    * were given (reference `DatasetComparator.scala:263-270`). Nested key
+    * paths ("ckey.value") are followed through structs. */
+  private def addKeyColumn(df: DataFrame, keyName: String): DataFrame = {
+    val keyCols: Seq[Column] =
+      if (keys.nonEmpty) keys.map(path => nestedCol(path))
+      else df.schema.fieldNames.toSeq.map(n => col("`" + n + "`"))
+    df.withColumn(keyName, md5(concat_ws("|", keyCols.map(_.cast("string")): _*)))
+  }
+
+  private def nestedCol(path: String): Column = {
+    val parts = path.split('.')
+    parts.tail.foldLeft(col("`" + parts.head + "`"))((c, p) => c.getField(p))
+  }
+
+  /** One shuffle-aggregate pass returning (rowCount, duplicateKeyCount) —
+    * the reference pays two extra full-scan actions for the same numbers
+    * (`DatasetComparator.scala:67,182-198,278-289`). */
+  private def countsAndDuplicates(df: DataFrame, keyName: String): (Long, Long) = {
+    val row = df.groupBy(col(keyName)).agg(count(lit(1)).as("cnt"))
+      .agg(
+        coalesce(sum(col("cnt")), lit(0L)).as("rows"),
+        count(when(col("cnt") >= 2, 1)).as("dupKeys"))
+      .collect()(0)
+    (row.getLong(0), row.getLong(1))
+  }
+
+  private def prefixed(df: DataFrame, prefix: String, keyName: String): DataFrame =
+    df.select(df.schema.fieldNames.toSeq.map { n =>
+      if (n == keyName) col("`" + n + "`")
+      else col("`" + n + "`").as(s"${prefix}_$n")
+    }: _*)
+
+  /** Reference `DatasetComparator.scala:121-141`: full-outer join the
+    * complements in original nested shape, compute errCol from the
+    * flattened shape, join it back by key. */
+  private def createDiffDataFrame(
+      keyName: String,
+      refComplement: DataFrame,
+      actComplement: DataFrame): DataFrame = {
+
+    val joined = prefixed(refComplement, expectedPrefix, keyName)
+      .join(prefixed(actComplement, actualPrefix, keyName), Seq(keyName), "full_outer")
+
+    // shared flat select list — ONE probe job per complement, not one per
+    // array column (reference: HelperFunctions.scala:49-60)
+    val flatSelect = Flattener.sharedFlattenSelectList(Seq(refComplement, actComplement))
+    val flatRefPlain = refComplement.select(flatSelect: _*)
+    val flatRef = prefixed(flatRefPlain, expectedPrefix, keyName)
+    val flatAct = prefixed(actComplement.select(flatSelect: _*), actualPrefix, keyName)
+    val flatJoined = flatRef.join(flatAct, Seq(keyName), "full_outer")
+
+    val flatNames = flatRefPlain.schema.fieldNames.toSeq
+    val compareNames = flatNames.filterNot(_ == keyName)
+    // reversed order — reference parity (`DatasetComparator.scala:228`)
+    val errEntries: Seq[Column] = compareNames.reverse.map { n =>
+      when(col(s"`${expectedPrefix}_$n`") <=> col(s"`${actualPrefix}_$n`"),
+        array().cast("array<string>"))
+        .otherwise(array(lit(n)))
+    }
+    val errCol = if (errEntries.isEmpty) array().cast("array<string>")
+                 else concat(errEntries: _*)
+    val withErr = flatJoined.select(col(keyName), errCol.as(errorColumnName))
+
+    joined.join(withErr, Seq(keyName), "inner").drop(keyName)
+  }
+}

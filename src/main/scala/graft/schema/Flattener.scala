@@ -1,0 +1,134 @@
+package graft.schema
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** Whole-DataFrame flattening: nested structs become `a_b_c` scalar
+  * columns; arrays are expanded POSITIONALLY to the observed maximum
+  * length (`arr_0_f .. arr_{max-1}_f`), out-of-range indexes yielding
+  * null. Arrays-of-arrays recurse (`a_0_1`).
+  *
+  * Semantics follow the reference's flattener
+  * (`/root/reference/utils/src/main/scala/.../HelperFunctions.scala:45-148`)
+  * with one deliberate physical upgrade for scale: the reference issues one
+  * Spark job per array column per DataFrame to probe `max(size(...))`
+  * (`HelperFunctions.scala:49-60`); we collect ALL array paths first and
+  * probe every max length in a SINGLE aggregate pass per DataFrame —
+  * O(1) jobs instead of O(#arrays), which matters when inputs are 100 TB
+  * scans. For arrays nested inside arrays the probe takes the max over all
+  * enclosing elements (a superset of the reference's per-index probes);
+  * the extra positions flatten to null on BOTH sides, so diff semantics
+  * are unchanged.
+  */
+object Flattener {
+
+  /** A nested path: field accessors, concrete indexes, or an
+    * "every element" marker used by probe paths. */
+  private sealed trait Step
+  private case class Field(name: String) extends Step
+  private case class Index(i: Int) extends Step
+  private case object Elem extends Step
+
+  /** Probe-lookup key: concrete indexes and element markers both
+    * collapse to `[]` so select-list paths find their probed length
+    * regardless of enclosing position. */
+  private def pathKey(steps: Seq[Step]): String =
+    steps.map {
+      case Field(n) => "." + n
+      case _        => "[]"
+    }.mkString.stripPrefix(".")
+
+  private def topCol(name: String): Column =
+    col("`" + name.replace("`", "``") + "`")
+
+  private def column(steps: Seq[Step]): Column = {
+    val head = steps.head match {
+      case Field(n) => topCol(n)
+      case other    => throw new IllegalArgumentException(s"path cannot start with $other")
+    }
+    steps.tail.foldLeft(head) {
+      case (c, Field(n)) => c.getField(n)
+      // `get` (not getItem/element_at): out-of-range positional expansion
+      // must pad with null, and ANSI mode makes getItem throw.
+      case (c, Index(i)) => get(c, lit(i))
+      case (_, Elem)     => throw new IllegalArgumentException("Elem in select path")
+    }
+  }
+
+  private def flatName(steps: Seq[Step]): String =
+    steps.map { case Field(n) => n; case Index(i) => i.toString; case Elem => "x" }.mkString("_")
+
+  /** All array paths in the schema (outermost arrays AND arrays nested
+    * inside them, the latter marked with [[Elem]] descent steps). */
+  private def arrayPaths(dt: DataType, prefix: Seq[Step]): Seq[Seq[Step]] = dt match {
+    case s: StructType =>
+      s.fields.toSeq.flatMap(f => arrayPaths(f.dataType, prefix :+ Field(f.name)))
+    case ArrayType(et, _) =>
+      prefix +: arrayPaths(et, prefix :+ Elem)
+    case _ => Nil
+  }
+
+  /** Expression: max length of the array at `steps` within one row
+    * (aggregating with array_max across enclosing array elements). */
+  private def probeExpr(dt: DataType, steps: Seq[Step], c: Option[Column]): Column = dt match {
+    case s: StructType =>
+      steps.head match {
+        case Field(n) =>
+          val nc = c.map(_.getField(n)).getOrElse(topCol(n))
+          probeExpr(s(n).dataType, steps.tail, Some(nc))
+        case other => throw new IllegalStateException(s"$other step on struct")
+      }
+    case ArrayType(et, _) =>
+      steps match {
+        case Seq() => greatest(coalesce(size(c.get), lit(0)), lit(0))
+        case Elem +: rest =>
+          coalesce(array_max(transform(c.get, x => probeExpr(et, rest, Some(x)))), lit(0))
+        case other => throw new IllegalStateException(s"bad steps $other on array")
+      }
+    case other =>
+      throw new IllegalStateException(s"probe path hits scalar $other")
+  }
+
+  /** One aggregate pass over each DataFrame: max length per array path,
+    * combined across all supplied DataFrames (the diff engine probes both
+    * complements together — reference `DatasetComparator.scala:126-128`). */
+  def maxArrayLengths(dfs: Seq[DataFrame]): Map[String, Int] = {
+    require(dfs.nonEmpty)
+    val schema = dfs.head.schema
+    val paths = arrayPaths(schema, Nil)
+    if (paths.isEmpty) return Map.empty
+    val keys = paths.map(pathKey)
+    val perDf: Seq[Seq[Int]] = dfs.map { df =>
+      val aggs = paths.map(p => max(probeExpr(df.schema, p, None)).cast("int"))
+      val row = df.agg(aggs.head, aggs.tail: _*).collect()(0)
+      keys.indices.map(i => if (row.isNullAt(i)) 0 else row.getInt(i))
+    }
+    keys.zipWithIndex.map { case (k, i) => k -> perDf.map(_(i)).max }.toMap
+  }
+
+  /** The flat select list for `schema`, given probed array lengths.
+    * Column order: depth-first field order (reference parity — flat
+    * column order drives errCol attribution order). */
+  def flattenSelectList(schema: StructType, lengths: Map[String, Int]): List[Column] = {
+    def walk(dt: DataType, steps: Seq[Step]): List[Column] = dt match {
+      case s: StructType =>
+        s.fields.toList.flatMap(f => walk(f.dataType, steps :+ Field(f.name)))
+      case ArrayType(et, _) =>
+        val n = lengths.getOrElse(pathKey(steps), 0)
+        (0 until n).toList.flatMap(i => walk(et, steps :+ Index(i)))
+      case _ =>
+        List(column(steps).as(flatName(steps)))
+    }
+    walk(schema, Nil)
+  }
+
+  /** Flatten a single DataFrame (probing its own array lengths). */
+  def flattenDataFrame(df: DataFrame): DataFrame =
+    df.select(flattenSelectList(df.schema, maxArrayLengths(Seq(df))): _*)
+
+  /** Shared flat select list for several schema-equivalent DataFrames
+    * (array lengths probed across all of them, one job per DataFrame). */
+  def sharedFlattenSelectList(dfs: Seq[DataFrame]): List[Column] =
+    flattenSelectList(dfs.head.schema, maxArrayLengths(dfs))
+}

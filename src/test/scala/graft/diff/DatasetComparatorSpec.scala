@@ -1,0 +1,151 @@
+package graft.diff
+
+import graft.SparkTestBase
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.types.{DataType, StructType}
+import org.scalatest.funsuite.AnyFunSuite
+
+class DatasetComparatorSpec extends AnyFunSuite with SparkTestBase {
+
+  private def df(sql: String): DataFrame = spark.sql(sql)
+
+  private val base =
+    """SELECT * FROM VALUES
+      | (1, 'alice', 10.5), (2, 'bob', 20.0), (3, 'carol', 30.25)
+      | AS t(id, name, amount)""".stripMargin
+
+  test("identical datasets: no diff, passedCount = rowCount") {
+    val r = new DatasetComparator(df(base), df(base), DiffOptions(keys = Seq("id"))).compare()
+    assert(r.datasetsMatch)
+    assert(r.refRowCount == 3 && r.newRowCount == 3)
+    assert(r.passedCount == 3 && r.diffCount == 0)
+    assert(r.resultDF.isEmpty)
+  }
+
+  test("value mismatch: errCol names the flat column, reversed order") {
+    val actual =
+      """SELECT * FROM VALUES
+        | (1, 'alice', 10.5), (2, 'bobby', 21.0), (3, 'carol', 30.25)
+        | AS t(id, name, amount)""".stripMargin
+    val r = new DatasetComparator(df(base), df(actual), DiffOptions(keys = Seq("id"))).compare()
+    assert(r.diffCount == 1 && r.passedCount == 2)
+    val row = r.resultDF.get.collect().head
+    val out = r.resultDF.get
+    assert(out.schema.fieldNames.toSet ==
+      Set("expected_amount", "expected_id", "expected_name",
+          "actual_amount", "actual_id", "actual_name", "errCol"))
+    assert(row.getAs[Int]("expected_id") == 2)
+    // selector sorts columns amount,id,name → flat order same → reversed: name,id,amount
+    assert(row.getAs[scala.collection.Seq[String]]("errCol") == Seq("name", "amount"))
+  }
+
+  test("one-sided rows: missing side null, all differing columns in errCol") {
+    val actual = base + " WHERE id <> 3"
+    val r = new DatasetComparator(df(base), df(actual), DiffOptions(keys = Seq("id"))).compare()
+    assert(r.diffCount == 1)
+    val row = r.resultDF.get.collect().head
+    assert(row.getAs[Int]("expected_id") == 3)
+    assert(row.getAs[Any]("actual_id") == null)
+    assert(row.getAs[scala.collection.Seq[String]]("errCol") == Seq("name", "id", "amount"))
+  }
+
+  test("duplicate keys raise DuplicateKeysException when not allowed") {
+    val dup = base + " UNION ALL SELECT 1, 'alice2', 99.0"
+    val e = intercept[DuplicateKeysException] {
+      new DatasetComparator(df(dup), df(base), DiffOptions(keys = Seq("id"))).compare()
+    }
+    assert(e.refDuplicates == 1 && e.newDuplicates == 0)
+  }
+
+  test("schema mismatch raises SchemasDifferException naming the paths") {
+    val extra = "SELECT *, 1 AS _c5 FROM (" + base + ")"
+    val e = intercept[SchemasDifferException] {
+      new DatasetComparator(df(extra), df(base), DiffOptions(keys = Seq("id"))).compare()
+    }
+    assert(e.mismatchPaths == Seq("_c5"))
+    assert(e.getMessage.contains("_c5 cannot be found in both schemas"))
+  }
+
+  test("keyless mode: changed row becomes two one-sided diff rows") {
+    val actual =
+      """SELECT * FROM VALUES
+        | (1, 'alice', 10.5), (2, 'bob', 20.0), (3, 'carol', 31.75)
+        | AS t(id, name, amount)""".stripMargin
+    val r = new DatasetComparator(df(base), df(actual), DiffOptions()).compare()
+    assert(r.diffCount == 2)
+    val rows = r.resultDF.get.collect()
+    assert(rows.forall(row =>
+      row.getAs[Any]("expected_id") == null || row.getAs[Any]("actual_id") == null))
+  }
+
+  test("keyless mode: full-row duplicates count as duplicates") {
+    val dup = base + " UNION ALL SELECT 1, 'alice', 10.5"
+    val e = intercept[DuplicateKeysException] {
+      new DatasetComparator(df(dup), df(base), DiffOptions()).compare()
+    }
+    assert(e.refDuplicates == 1)
+  }
+
+  test("nested structs + shorter array attributed to padded flat column") {
+    // mirrors the reference's array-length mismatch case
+    // (DatasetComparatorSuite.scala:113-161): actual's array lost element 1
+    // → error on b_1_name only
+    val ref = df(
+      """SELECT * FROM VALUES
+        | (1, array(named_struct('name', 'x'), named_struct('name', 'y'))),
+        | (2, array(named_struct('name', 'z')))
+        | AS t(id, b)""".stripMargin)
+    val act = df(
+      """SELECT * FROM VALUES
+        | (1, array(named_struct('name', 'x'))),
+        | (2, array(named_struct('name', 'z')))
+        | AS t(id, b)""".stripMargin)
+    val r = new DatasetComparator(ref, act, DiffOptions(keys = Seq("id"))).compare()
+    assert(r.diffCount == 1)
+    val row = r.resultDF.get.collect().head
+    assert(row.getAs[Int]("expected_id") == 1)
+    assert(row.getAs[scala.collection.Seq[String]]("errCol") == Seq("b_1_name"))
+  }
+
+  test("nested key path (ckey.value) works") {
+    val ref = df("SELECT named_struct('value', 1) AS ckey, 'a' AS v " +
+      "UNION ALL SELECT named_struct('value', 2), 'b'")
+    val act = df("SELECT named_struct('value', 1) AS ckey, 'a' AS v " +
+      "UNION ALL SELECT named_struct('value', 2), 'B'")
+    val r = new DatasetComparator(ref, act, DiffOptions(keys = Seq("ckey.value"))).compare()
+    assert(r.diffCount == 1)
+    assert(r.resultDF.get.collect().head.getAs[scala.collection.Seq[String]]("errCol") == Seq("v"))
+  }
+
+  test("provided schema cherry-picks columns; non-subset input rejected") {
+    val ps = DataType.fromJson(
+      """{"type":"struct","fields":[
+        |{"name":"id","type":"integer","nullable":true,"metadata":{}},
+        |{"name":"name","type":"string","nullable":true,"metadata":{}}]}""".stripMargin)
+      .asInstanceOf[StructType]
+    // amounts differ but are not in the provided schema → match
+    val actual =
+      """SELECT * FROM VALUES
+        | (1, 'alice', 99.9), (2, 'bob', 20.0), (3, 'carol', 30.25)
+        | AS t(id, name, amount)""".stripMargin
+    val r = new DatasetComparator(df(base), df(actual),
+      DiffOptions(keys = Seq("id"), providedSchema = Some(ps))).compare()
+    assert(r.datasetsMatch)
+
+    val narrow = "SELECT id, amount FROM (" + base + ")"
+    val e = intercept[SchemasDifferException] {
+      new DatasetComparator(df(narrow), df(base),
+        DiffOptions(keys = Seq("id"), providedSchema = Some(ps))).compare()
+    }
+    assert(e.mismatchPaths == Seq("name"))
+  }
+
+  test("metrics JSON is well-formed and carries the counts") {
+    val actual = base + " WHERE id <> 3"
+    val r = new DatasetComparator(df(base), df(actual), DiffOptions(keys = Seq("id"))).compare()
+    val json = r.toJson
+    assert(json.contains("\"refRowCount\": 3"))
+    assert(json.contains("\"diffCount\": 1"))
+    assert(json.contains("\"passed\": false"))
+  }
+}
