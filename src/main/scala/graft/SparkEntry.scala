@@ -142,6 +142,90 @@ object SparkEntry {
         .filter(col("rn") === 1)
         .select("user_id", "event_id", "value")
         .orderBy("user_id")
+    }),
+
+    // ================== §7 extensions: training-data ops ==============
+
+    // ---- exact dedup by normalized-text fingerprint -------------------
+    "d1_dedup_exact" -> ((s, dir) => {
+      ops.Dedup.exact(t(s, dir, "documents"), "doc_id", "text")
+        .orderBy("fingerprint")
+    }),
+
+    // ---- text analysis: token counts, ratios, quality score -----------
+    "d2_text_stats" -> ((s, dir) => {
+      import graft.functions.TextFunctions._
+      t(s, dir, "documents").select(
+        col("doc_id"),
+        tokenCount(col("text")).as("n_tokens"),
+        bpeTokenCount(col("text")).as("n_bpe"),
+        punctRatio(col("text")).as("punct_ratio"),
+        qualityScore(col("text")).as("quality"))
+        .orderBy("doc_id")
+    }),
+
+    // ---- heuristic language identification ----------------------------
+    "d3_langid" -> ((s, dir) => {
+      import graft.functions.TextFunctions._
+      t(s, dir, "documents")
+        .select(col("doc_id"), langId(col("text")).as("lang_pred"))
+        .orderBy("doc_id")
+    }),
+
+    // ---- minhash signatures (portable XOR-mix family) -----------------
+    "d4_minhash_sig" -> ((s, dir) => {
+      val sig = ops.Dedup.minhashSignature(col("text"), 4, 3)
+      t(s, dir, "documents")
+        .select(col("doc_id"), sig.as("sig"))
+        .select(col("doc_id"),
+          element_at(col("sig"), 1).as("sig_0"),
+          element_at(col("sig"), 2).as("sig_1"),
+          element_at(col("sig"), 3).as("sig_2"),
+          element_at(col("sig"), 4).as("sig_3"))
+        .orderBy("doc_id")
+    }),
+
+    // ---- 60-bit simhash via the custom Catalyst expression ------------
+    "d5_simhash" -> ((s, dir) => {
+      import graft.functions.TextFunctions.tokens
+      t(s, dir, "documents")
+        .select(col("doc_id"), graft.functions.simhash60(tokens(col("text"))).as("sim"))
+        .orderBy("doc_id")
+    }),
+
+    // ---- full MinHash-LSH near-dup pipeline over augmented corpus -----
+    "d6_lsh_pairs" -> ((s, dir) => {
+      val docs = t(s, dir, "documents").select("doc_id", "text")
+      val perturbed = docs.filter(col("doc_id") % 50 === 0)
+        .select((col("doc_id") + 1000000).as("doc_id"),
+          concat(col("text"), lit(" zzz extra suffix")).as("text"))
+      val aug = docs.unionAll(perturbed)
+      ops.Dedup.minhashLshPairs(aug, "doc_id", "text",
+          k = 12, bands = 6, shingleSize = 3, tau = 0.5)
+        .orderBy("id1", "id2")
+    }),
+
+    // ---- brute-force cosine top-k against one query vector ------------
+    "e1_cos_topk" -> ((s, dir) => {
+      val emb = t(s, dir, "embeddings")
+      val q = emb.filter(col("vec_id") === 0)
+        .select(col("embedding").cast("array<double>").as("q"))
+      ops.Similarity.bruteForceTopK(emb, "vec_id", "embedding", q, 20)
+    }),
+
+    // ---- embedding near-dup search: top-3 closest pairs per label -----
+    // (the synthetic embeddings have no true near-dups — max intra-label
+    // cosine ≈ 0.5 — so rank pairs instead of thresholding)
+    "e2_cos_dedup" -> ((s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val pairs = ops.Dedup.embeddingCosinePairs(t(s, dir, "embeddings"),
+        "vec_id", "embedding", "label", tau = -1.0)
+      val w = Window.partitionBy("block")
+        .orderBy(col("cos").desc, col("id1"), col("id2"))
+      pairs.withColumn("rk", row_number().over(w))
+        .filter(col("rk") <= 3)
+        .select("block", "id1", "id2", "cos")
+        .orderBy("block", "id1", "id2")
     })
   )
 
@@ -221,6 +305,104 @@ object SparkEntry {
         |  SELECT user_id, event_id, value,
         |    ROW_NUMBER() OVER (PARTITION BY user_id
         |                       ORDER BY value DESC, event_id) AS rn
-        |  FROM events) WHERE rn = 1 ORDER BY user_id""".stripMargin
+        |  FROM events) WHERE rn = 1 ORDER BY user_id""".stripMargin,
+
+    "d1_dedup_exact" ->
+      s"""SELECT md5(${OracleSql.norm("text")}) AS fingerprint,
+         |  MIN(doc_id) AS keep_id, COUNT(*) AS n_copies
+         |FROM documents GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    "d2_text_stats" -> {
+      val len = "CAST(length(text) AS DOUBLE)"
+      val glen = "CAST(greatest(length(text), 1) AS DOUBLE)"
+      val punct = s"CAST(length(text) - length(regexp_replace(text, '[.,;:!?''\"()-]', '', 'g')) AS DOUBLE)"
+      val digit = s"CAST(length(text) - length(regexp_replace(text, '[0-9]', '', 'g')) AS DOUBLE)"
+      val nToks = s"len(${OracleSql.toks("text")})"
+      val sumLen = s"CAST(list_aggregate(list_transform(${OracleSql.toks("text")}, t -> length(t)), 'sum') AS DOUBLE)"
+      val mtl = s"(CASE WHEN $nToks = 0 THEN 0.0 ELSE $sumLen / CAST($nToks AS DOUBLE) END)"
+      s"""SELECT doc_id,
+         |  (CASE WHEN length(trim(text)) = 0 THEN 0 ELSE $nToks END) AS n_tokens,
+         |  len(regexp_extract_all(text, '${functions.TextFunctions.bpeTokenPattern.replace("'", "''")}')) AS n_bpe,
+         |  $punct / $glen AS punct_ratio,
+         |  (least($len / 200.0, 1.0) * 0.4
+         |   + (1.0 - least(($punct / $glen) * 4.0, 1.0)) * 0.25
+         |   + (1.0 - least(($digit / $glen) * 4.0, 1.0)) * 0.15
+         |   + (CASE WHEN $mtl >= 3.0 AND $mtl <= 10.0 THEN 1.0 ELSE 0.5 END) * 0.2)
+         |  AS quality
+         |FROM documents ORDER BY doc_id""".stripMargin
+    },
+
+    "d3_langid" -> {
+      val langs = functions.TextFunctions.languages
+      val hits = langs.map(l => l -> OracleSql.stopwordHits("text", l)).toMap
+      val best = "greatest(" + langs.map(hits).mkString(", ") + ")"
+      val cases = langs.map(l =>
+        s"WHEN ${hits(l)} = best_score AND best_score > 0 THEN '$l'").mkString("\n    ")
+      s"""SELECT doc_id, CASE $cases ELSE 'und' END AS lang_pred
+         |FROM (SELECT doc_id, text, $best AS best_score FROM documents)
+         |ORDER BY doc_id""".stripMargin
+    },
+
+    "d4_minhash_sig" -> {
+      val sig = OracleSql.minhashSig("text", 4, 3)
+      s"""SELECT doc_id, sig[1] AS sig_0, sig[2] AS sig_1,
+         |  sig[3] AS sig_2, sig[4] AS sig_3
+         |FROM (SELECT doc_id, $sig AS sig FROM documents)
+         |ORDER BY doc_id""".stripMargin
+    },
+
+    "d5_simhash" ->
+      s"""SELECT doc_id, ${OracleSql.simhash("text")} AS sim
+         |FROM documents ORDER BY doc_id""".stripMargin,
+
+    "d6_lsh_pairs" -> {
+      val k = 12; val bands = 6; val r = 2
+      val sig = OracleSql.minhashSig("text", k, 3)
+      val bandKeys = (0 until bands).map { b =>
+        s"md5(array_to_string(list_transform(sig[${b * r + 1}:${b * r + r}], x -> x::VARCHAR), '|'))"
+      }.mkString("[", ",\n   ", "]")
+      s"""WITH aug AS (
+         |  SELECT doc_id, text FROM documents
+         |  UNION ALL
+         |  SELECT doc_id + 1000000 AS doc_id, text || ' zzz extra suffix' AS text
+         |  FROM documents WHERE doc_id % 50 = 0),
+         |sigs AS (SELECT doc_id, text, $sig AS sig FROM aug),
+         |banded AS (
+         |  SELECT doc_id, text, unnest($bandKeys) AS bucket,
+         |         unnest(range(0, $bands)) AS band
+         |  FROM sigs),
+         |cands AS (
+         |  SELECT DISTINCT l.doc_id AS id1, r.doc_id AS id2
+         |  FROM banded l JOIN banded r
+         |    ON l.band = r.band AND l.bucket = r.bucket AND l.doc_id < r.doc_id)
+         |SELECT id1, id2, ${OracleSql.jaccard("a.text", "b.text", 3)} AS jaccard
+         |FROM cands
+         |JOIN aug a ON a.doc_id = id1
+         |JOIN aug b ON b.doc_id = id2
+         |WHERE ${OracleSql.jaccard("a.text", "b.text", 3)} >= 0.5
+         |ORDER BY id1, id2""".stripMargin
+    },
+
+    "e1_cos_topk" -> {
+      val cos = OracleSql.cosine("v", "q")
+      s"""SELECT vec_id AS id, $cos AS cos
+         |FROM (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+         |     (SELECT CAST(embedding AS DOUBLE[]) AS q FROM embeddings WHERE vec_id = 0)
+         |ORDER BY cos DESC, id LIMIT 20""".stripMargin
+    },
+
+    "e2_cos_dedup" -> {
+      val cos = OracleSql.cosine("a.v", "b.v")
+      s"""WITH v AS (SELECT label, vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+         |pairs AS (
+         |  SELECT a.label AS block, a.vec_id AS id1, b.vec_id AS id2, $cos AS cos
+         |  FROM v a JOIN v b ON a.label = b.label AND a.vec_id < b.vec_id)
+         |SELECT block, id1, id2, cos FROM (
+         |  SELECT block, id1, id2, cos,
+         |    ROW_NUMBER() OVER (PARTITION BY block
+         |                       ORDER BY cos DESC, id1, id2) AS rk
+         |  FROM pairs) WHERE rk <= 3
+         |ORDER BY block, id1, id2""".stripMargin
+    }
   )
 }

@@ -1,0 +1,195 @@
+package graft.ops
+
+import graft.SparkTestBase
+import graft.functions.TextFunctions
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+class TextFunctionsSpec extends AnyFunSuite with SparkTestBase {
+  import TextFunctions._
+
+  private def one(c: org.apache.spark.sql.Column): Any =
+    spark.range(1).select(c).collect().head.get(0)
+
+  test("tokens and tokenCount handle empties and whitespace runs") {
+    assert(one(tokenCount(lit("  the  quick\tfox "))) == 3)
+    assert(one(tokenCount(lit(""))) == 0)
+    assert(one(tokenCount(lit("   "))) == 0)
+  }
+
+  test("wordShingles produces n-grams; short texts give one shingle") {
+    val sh = one(wordShingles(lit("a b c d"), 3)).asInstanceOf[scala.collection.Seq[String]]
+    assert(sh == Seq("a b c", "b c d"))
+    val short = one(wordShingles(lit("a b"), 3)).asInstanceOf[scala.collection.Seq[String]]
+    assert(short == Seq("a b"))
+  }
+
+  test("h64 equals first 15 md5 hex chars as long") {
+    val expected = java.lang.Long.parseLong(
+      java.security.MessageDigest.getInstance("MD5")
+        .digest("abc".getBytes("UTF-8")).map("%02x".format(_)).mkString.substring(0, 15), 16)
+    assert(one(h64(lit("abc"))) == expected)
+  }
+
+  test("langId picks the stopword-richest language, 'und' when none") {
+    assert(one(langId(lit("the cat sat on the mat and it was good"))) == "en")
+    assert(one(langId(lit("der hund und die katze ist ein tier"))) == "de")
+    assert(one(langId(lit("xyzzy plugh"))) == "und")
+  }
+
+  test("qualityScore is within [0,1] and penalizes punctuation soup") {
+    val good = one(qualityScore(lit("a sensible sentence with reasonable words here"))).asInstanceOf[Double]
+    val bad = one(qualityScore(lit("!!! ??? ,,, ... ;;; :::"))).asInstanceOf[Double]
+    assert(good >= 0.0 && good <= 1.0 && bad >= 0.0 && bad <= 1.0)
+    assert(good > bad)
+  }
+
+  test("bpeTokenCount counts GPT-style pre-tokens") {
+    assert(one(bpeTokenCount(lit("hello, world! x2"))) == 6L)
+  }
+}
+
+class DedupSpec extends AnyFunSuite with SparkTestBase {
+
+  private val docs = spark.sql(
+    """SELECT * FROM VALUES
+      | (0, 'the quick brown fox jumps over the lazy dog again and again'),
+      | (1, 'the quick brown fox jumps over the lazy dog again and again'),
+      | (2, 'the quick brown fox jumps over the lazy dog again and AGAIN'),
+      | (3, 'completely different text about spark query engines at scale'),
+      | (4, 'the quick brown fox jumps over the lazy cat again and again')
+      | AS t(doc_id, text)""".stripMargin)
+
+  test("exact dedup groups identical normalized texts") {
+    val d = Dedup.exact(docs, "doc_id", "text").orderBy("keep_id").collect()
+    // 0,1,2 normalize identically (case-folded) → one group of 3
+    assert(d.length == 3)
+    val g = d.find(_.getAs[Int]("keep_id") == 0).get
+    assert(g.getAs[Long]("n_copies") == 3)
+  }
+
+  test("minhash LSH finds near-duplicates and skips unrelated text") {
+    val pairs = Dedup.minhashLshPairs(docs, "doc_id", "text", k = 12, bands = 6,
+      shingleSize = 3, tau = 0.5)
+      .select("id1", "id2").collect().map(r => (r.getInt(0), r.getInt(1))).toSet
+    assert(pairs.contains((0, 1))) // identical
+    assert(pairs.contains((0, 2))) // case difference only
+    assert(pairs.contains((0, 4)) || pairs.contains((1, 4)) || pairs.contains((2, 4))) // one-word change
+    assert(!pairs.exists(p => p._1 == 3 || p._2 == 3)) // unrelated doc never pairs
+  }
+
+  test("simhash pairs finds low-hamming near-dups only") {
+    val pairs = Dedup.simhashPairs(docs, "doc_id", "text", maxHamming = 6)
+      .select("id1", "id2").collect().map(r => (r.getInt(0), r.getInt(1))).toSet
+    assert(pairs.contains((0, 1)))
+    assert(!pairs.exists(p => p._1 == 3 || p._2 == 3))
+  }
+
+  test("blocked jaccard pairs computes exact overlap") {
+    val blocked = docs.withColumn("blk", lit(1))
+    val rows = Dedup.jaccardPairsBlocked(blocked, "doc_id", "text", "blk",
+      shingleSize = 3, tau = 0.99)
+      .select("id1", "id2", "jaccard").collect()
+    // only the identical/normalized-identical trio reaches jaccard 1.0
+    assert(rows.map(r => (r.getInt(0), r.getInt(1))).toSet == Set((0, 1), (0, 2), (1, 2)))
+    assert(rows.forall(_.getDouble(2) == 1.0))
+  }
+
+  test("embedding cosine pairs within blocks") {
+    val emb = spark.sql(
+      """SELECT * FROM VALUES
+        | (0, 0, array(1.0D, 0.0D)), (1, 0, array(0.999D, 0.01D)),
+        | (2, 0, array(0.0D, 1.0D)), (3, 1, array(1.0D, 0.0D))
+        | AS t(id, label, vec)""".stripMargin)
+    val pairs = Dedup.embeddingCosinePairs(emb, "id", "vec", "label", tau = 0.99)
+      .select("id1", "id2").collect().map(r => (r.getInt(0), r.getInt(1))).toSet
+    assert(pairs == Set((0, 1))) // 2 is orthogonal; 3 is in another block
+  }
+}
+
+class SimilaritySpec extends AnyFunSuite with SparkTestBase {
+  import graft.functions.simhash60
+
+  test("simhash60: interpreted and codegen agree; similar text → low hamming") {
+    import TextFunctions.tokens
+    val df = spark.sql(
+      "SELECT 'the quick brown fox jumps over the lazy dog' AS a, " +
+      "'the quick brown fox jumps over the lazy cat' AS b, " +
+      "'totally unrelated words about database engines' AS c")
+    val r = df.select(
+      simhash60(tokens(col("a"))).as("ha"),
+      simhash60(tokens(col("b"))).as("hb"),
+      simhash60(tokens(col("c"))).as("hc")).collect().head
+    val (ha, hb, hc) = (r.getLong(0), r.getLong(1), r.getLong(2))
+    def ham(x: Long, y: Long) = java.lang.Long.bitCount(x ^ y)
+    assert(ham(ha, hb) < ham(ha, hc))
+    assert(ha >= 0 && ha < (1L << 60))
+  }
+
+  test("cosine + bruteForceTopK rank the query vector's own row first") {
+    val emb = spark.sql(
+      """SELECT * FROM VALUES
+        | (0, array(1.0D, 0.0D, 0.0D)), (1, array(0.9D, 0.1D, 0.0D)),
+        | (2, array(0.0D, 1.0D, 0.0D)), (3, array(0.0D, 0.0D, 1.0D))
+        | AS t(id, vec)""".stripMargin)
+    val q = spark.sql("SELECT array(1.0D, 0.0D, 0.0D) AS q")
+    val top = Similarity.bruteForceTopK(emb, "id", "vec", q, 2).collect()
+    assert(top.map(_.getInt(0)).toSeq == Seq(0, 1))
+    assert(top.head.getDouble(1) == 1.0)
+  }
+
+  test("IVF search attains full recall on clustered data with enough probes") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(7)
+    // 3 well-separated clusters in 8 dims
+    val rows = (0 until 300).map { i =>
+      val c = i % 3
+      val base = Array.tabulate(8)(d => if (d == c) 10.0 else 0.0)
+      (i.toLong, base.map(x => (x + rnd.nextGaussian() * 0.1).toFloat))
+    }
+    val df = rows.toDF("id", "vec")
+    val idx = Similarity.ivfIndex(df, "id", "vec", nlist = 3)
+    val query = rows.head._2.map(_.toDouble)
+    val got = idx.search(query, k = 10, nprobe = 1).collect().map(_.getLong(0)).toSet
+    val q = spark.sql("SELECT array(" + query.mkString("D,") + "D) AS q")
+    val want = Similarity.bruteForceTopK(df, "id", "vec", q, 10)
+      .collect().map(_.getLong(0)).toSet
+    assert(got == want) // cluster 0 fully contains the top-10
+  }
+
+  test("hyperplane buckets collide for near-identical vectors") {
+    val emb = spark.sql(
+      """SELECT * FROM VALUES
+        | (0, array(1.0D, 2.0D, 3.0D, 4.0D)), (1, array(1.01D, 2.0D, 3.0D, 4.0D)),
+        | (2, array(-4.0D, 3.0D, -2.0D, 1.0D))
+        | AS t(id, vec)""".stripMargin)
+    val b = Similarity.hyperplaneBuckets(emb, "id", "vec", bits = 16, dim = 4)
+      .select("id", "bucket").collect().map(r => r.getInt(0) -> r.getLong(1)).toMap
+    assert(b(0) == b(1))
+    assert(b(0) != b(2))
+  }
+}
+
+class MultimodalSpec extends AnyFunSuite with SparkTestBase {
+  import Multimodal._
+
+  test("synthetic media → batched feature extraction is deterministic and total") {
+    val ids = spark.range(0, 257).toDF("id") // exercises >1 batch per partition
+    val media = syntheticMedia(ids, "id")(spark)
+    val feats = extractFeatures(media)
+    val rows = feats.collect()
+    assert(rows.length == 257)
+    assert(rows.forall(_.features.length == 8))
+    assert(rows.forall(_.n_bytes == 32)) // two md5 blocks
+    val again = extractFeatures(media).collect()
+      .map(f => f.media_id -> f.features.toSeq).toMap
+    assert(rows.forall(f => again(f.media_id) == f.features.toSeq))
+  }
+
+  test("metadata struct survives the pipeline with typed fields") {
+    val media = syntheticMedia(spark.range(0, 9).toDF("id"), "id")(spark)
+    val m = media.collect().map(r => r.media_id -> r.meta).toMap
+    assert(m(0L).format == "png" && m(1L).format == "jpeg" && m(2L).format == "wav")
+    assert(m(5L).width == 6 && m(5L).height == 6)
+  }
+}
