@@ -1,0 +1,88 @@
+package graft.io
+
+import org.apache.hadoop.conf.Configuration
+import org.apache.hadoop.fs.{FileSystem, Path}
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import java.net.URI
+
+/** Source/sink descriptor (reference `dataFrame/Parameters.scala:21-42`):
+  * `path` doubles as the JDBC dbtable when format == "jdbc". */
+case class SourceParams(
+    format: String,
+    path: Option[String] = None,
+    options: Map[String, String] = Map.empty) {
+
+  def isJdbc: Boolean = format.equalsIgnoreCase("jdbc")
+
+  def validated: SourceParams = {
+    if (format.isEmpty) throw new IllegalArgumentException("format is mandatory")
+    if (!isJdbc && path.isEmpty)
+      throw new IllegalArgumentException(s"path is mandatory for format '$format'")
+    if (isJdbc && !options.contains("dbtable"))
+      throw new IllegalArgumentException("jdbc sources need a dbtable option")
+    this
+  }
+}
+
+/** Generic any-format reader/writer (reference `dataFrame/Utils.scala:30-68`).
+  * Every format Spark 4 bundles works through here: parquet, csv, json,
+  * xml (native in Spark 4), avro, orc, text, jdbc. */
+object DataFrameIO {
+
+  def load(p: SourceParams)(implicit spark: SparkSession): DataFrame = {
+    val reader = spark.read.format(p.format).options(p.options)
+    if (p.isJdbc) reader.load() else reader.load(p.path.get)
+  }
+
+  /** Write, resolving a collision-free path first (K2: existing target →
+    * `_<millis>` suffix). Returns the path actually written (empty for
+    * jdbc sinks). */
+  def write(df: DataFrame, p: SourceParams)(implicit spark: SparkSession): String = {
+    val writer = df.write.format(p.format).options(p.options)
+    if (p.isJdbc) { writer.save(); "" }
+    else {
+      val target = PathResolver.uniquePath(p.path.get, spark)
+      writer.save(target)
+      target
+    }
+  }
+}
+
+/** Driver-side filesystem helpers (reference `PathResolver.scala`,
+  * `S3Location.scala:28`, `DatasetComparisonJob.scala:97-109`). */
+object PathResolver {
+
+  private val S3Location = "^(s3[an]?)://([-a-z0-9.]{3,63})(/.*)?$".r
+
+  def isS3(path: String): Boolean = S3Location.findFirstIn(path).isDefined
+
+  /** FileSystem owning `path` (explicit URI scheme wins, default FS else). */
+  def fsFor(path: String, conf: Configuration): FileSystem = {
+    val uri = URI.create(path)
+    if (uri.getScheme == null) FileSystem.get(conf) else FileSystem.get(uri, conf)
+  }
+
+  /** Collision-free output location: append `_<currentTimeMillis>` while
+    * the target exists (reference `dataFrame/Utils.scala:38-46`). */
+  def uniquePath(path: String, spark: SparkSession): String = {
+    val fs = fsFor(path, spark.sparkContext.hadoopConfiguration)
+    var candidate = path
+    while (fs.exists(new Path(candidate)))
+      candidate = s"${path}_${System.currentTimeMillis()}"
+    candidate
+  }
+
+  /** Driver-side small-file write (metrics JSON, diff reports). */
+  def writeString(path: String, content: String, conf: Configuration): Unit = {
+    val fs = fsFor(path, conf)
+    val out = fs.create(new Path(path), true)
+    try out.write(content.getBytes("UTF-8")) finally out.close()
+  }
+
+  /** Driver-side small-file read (pinned schema JSON, _INFO files). */
+  def readString(path: String, conf: Configuration): String = {
+    val fs = fsFor(path, conf)
+    val in = fs.open(new Path(path))
+    try new String(in.readAllBytes(), "UTF-8") finally in.close()
+  }
+}

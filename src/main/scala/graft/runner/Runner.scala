@@ -1,0 +1,184 @@
+package graft.runner
+
+import com.fasterxml.jackson.databind.{DeserializationFeature, JsonNode, ObjectMapper}
+import scala.jdk.CollectionConverters._
+
+/** One test to run (reference `TestDefinition.scala:36-41`). */
+case class TestDefinition(
+    name: String,
+    order: Int,
+    pluginName: String,
+    args: Map[String, String],
+    dependsOn: Option[String] = None,
+    writeArgs: Map[String, String] = Map.empty)
+
+/** Result of one plugin action (reference `PluginResult.scala:21-71`). */
+case class PluginResult(
+    testName: String,
+    pluginName: String,
+    order: Int,
+    passed: Boolean,
+    returnedValue: String = "",
+    additionalInfo: Map[String, String] = Map.empty) {
+  def resultLog: String = {
+    val status = if (passed) "PASSED" else "FAILED"
+    s"[$status] #$order $testName ($pluginName)" +
+      (if (returnedValue.nonEmpty) s": $returnedValue" else "")
+  }
+}
+
+/** A runnable plugin (reference `Plugin.scala:19-37`), discovered via
+  * `java.util.ServiceLoader` (idiomatic replacement for the reference's
+  * classpath scanning, `PluginDefinitions.scala:65-86`). */
+trait Plugin {
+  def name: String
+  def performAction(td: TestDefinition, order: Int): PluginResult
+}
+
+object PluginRegistry {
+  /** ServiceLoader discovery + explicit registration for embedding. */
+  def discover(extra: Seq[Plugin] = Nil): Map[String, Plugin] = {
+    val loaded = java.util.ServiceLoader.load(classOf[Plugin]).iterator().asScala.toSeq
+    val all = loaded ++ extra
+    val dupes = all.groupBy(_.name).filter(_._2.size > 1).keys
+    if (dupes.nonEmpty)
+      throw new IllegalStateException(s"duplicate plugin name(s): ${dupes.mkString(", ")}")
+    all.map(p => p.name -> p).toMap
+  }
+}
+
+/** The `{vars: {...}, runs: [...]}` JSON DSL with `#{var}#` templating
+  * (reference `TestDefinitions.scala:98-125`,
+  * `TestDefinitionJsonProtocol.scala`). */
+object TestDefinitions {
+
+  private val mapper = new ObjectMapper()
+    .configure(DeserializationFeature.FAIL_ON_UNKNOWN_PROPERTIES, false)
+  private val VarPattern = "#\\{([^}]+)\\}#".r
+
+  def fromJson(json: String, extraVars: Map[String, String] = Map.empty): Seq[TestDefinition] = {
+    val root = mapper.readTree(json)
+    val vars = Option(root.get("vars")).map(v =>
+      v.properties().asScala.map(e => e.getKey -> e.getValue.asText()).toMap)
+      .getOrElse(Map.empty) ++ extraVars
+    val runsNode = Option(root.get("runs"))
+      .getOrElse(throw new IllegalArgumentException("test definition needs a 'runs' array"))
+    val templated = applyVars(runsNode.toString, vars)
+    mapper.readTree(templated).elements().asScala.map(parseOne).toSeq
+  }
+
+  /** Replace `#{k}#`; unresolved vars are an error (reference `:98-103`). */
+  def applyVars(json: String, vars: Map[String, String]): String = {
+    val replaced = vars.foldLeft(json) { case (acc, (k, v)) =>
+      acc.replace(s"#{$k}#", v)
+    }
+    VarPattern.findFirstMatchIn(replaced).foreach { m =>
+      throw new IllegalArgumentException(s"unresolved variable: ${m.group(1)}")
+    }
+    replaced
+  }
+
+  private def parseOne(n: JsonNode): TestDefinition = {
+    def strMap(node: JsonNode): Map[String, String] =
+      if (node == null || node.isMissingNode) Map.empty
+      else node.properties().asScala.map(e => e.getKey -> e.getValue.asText()).toMap
+    TestDefinition(
+      name = n.path("name").asText(),
+      order = n.path("order").asInt(),
+      pluginName = n.path("pluginName").asText(),
+      args = strMap(n.get("args")),
+      dependsOn = Option(n.get("dependsOn")).filterNot(_.isNull).map(_.asText()),
+      writeArgs = strMap(n.get("writeArgs")))
+  }
+
+  /** Execution order: (order, pluginName) sort (reference
+    * `TestDefinitions.scala:49`). */
+  def sorted(defs: Seq[TestDefinition]): Seq[TestDefinition] =
+    defs.sortBy(d => (d.order, d.pluginName))
+
+  /** Topological sanity: every dependsOn must appear EARLIER in the
+    * sorted sequence (reference `TestDefinitions.scala:22-34`). */
+  def ensureOrderAndDependenciesCorrect(defs: Seq[TestDefinition]): Unit = {
+    val s = sorted(defs)
+    s.zipWithIndex.foreach { case (d, i) =>
+      d.dependsOn.foreach { dep =>
+        val depIdx = s.indexWhere(_.name == dep)
+        if (depIdx < 0)
+          throw new IllegalArgumentException(s"test '${d.name}' depends on unknown '$dep'")
+        if (depIdx >= i)
+          throw new IllegalArgumentException(
+            s"test '${d.name}' depends on '$dep' which does not run before it")
+      }
+    }
+  }
+}
+
+class TestFailedFastException(val testName: String)
+  extends Exception(s"fail-fast: test '$testName' failed")
+
+/** DAG fold-runner (reference `E2ERunnerJob.runTests`,
+  * `E2ERunnerJob.scala:79-119`): skip-as-failed when a dependee failed,
+  * optional fail-fast throw. */
+object TestRunner {
+
+  def runTests(
+      defs: Seq[TestDefinition],
+      plugins: Map[String, Plugin],
+      failFast: Boolean = false): Seq[PluginResult] = {
+    TestDefinitions.ensureOrderAndDependenciesCorrect(defs)
+    val missing = defs.map(_.pluginName).distinct.filterNot(plugins.contains)
+    if (missing.nonEmpty)
+      throw new IllegalArgumentException(s"unknown plugin(s): ${missing.mkString(", ")}")
+
+    TestDefinitions.sorted(defs).zipWithIndex
+      .foldLeft(Vector.empty[PluginResult]) { case (acc, (td, i)) =>
+        val dependeeFailed = td.dependsOn.exists(dep => !acc.exists(r => r.testName == dep && r.passed))
+        val result =
+          if (td.dependsOn.isDefined && dependeeFailed)
+            PluginResult(td.name, td.pluginName, i, passed = false,
+              returnedValue = s"skipped: dependee '${td.dependsOn.get}' failed or missing")
+          else
+            try plugins(td.pluginName).performAction(td, i)
+            catch {
+              case e: Exception =>
+                PluginResult(td.name, td.pluginName, i, passed = false,
+                  returnedValue = s"plugin threw: ${e.getMessage}")
+            }
+        if (!result.passed && failFast) throw new TestFailedFastException(td.name)
+        acc :+ result
+      }
+  }
+}
+
+/** Fork a bash command, capture stdout (reference `BashPlugin.scala:54-70`). */
+class BashPlugin extends Plugin {
+  import scala.sys.process._
+  override val name = "BashPlugin"
+  override def performAction(td: TestDefinition, order: Int): PluginResult = {
+    val cmd = td.args.getOrElse("command",
+      throw new IllegalArgumentException("BashPlugin needs a 'command' arg"))
+    val out = new StringBuilder
+    val code = Seq("bash", "-c", cmd) ! ProcessLogger(l => out.append(l).append('\n'), _ => ())
+    PluginResult(td.name, name, order, passed = code == 0, returnedValue = out.toString.trim)
+  }
+}
+
+/** Dataset comparison as a runner plugin (reference
+  * `DatasetComparisonPlugin.scala:79-105`) — reuses the active session. */
+class DatasetComparisonPlugin extends Plugin {
+  override val name = "DatasetComparison"
+  override def performAction(td: TestDefinition, order: Int): PluginResult = {
+    val cliArgs = td.args.toSeq.flatMap { case (k, v) => Seq(s"--$k", v) }
+    val params = graft.cli.CliParametersParser.parse(cliArgs.toArray)
+    implicit val spark: org.apache.spark.sql.SparkSession =
+      org.apache.spark.sql.SparkSession.builder().getOrCreate()
+    try {
+      val r = graft.cli.DatasetComparisonJob.execute(params)
+      PluginResult(td.name, name, order, passed = r.datasetsMatch,
+        returnedValue = s"diffCount=${r.diffCount}")
+    } catch {
+      case e: Exception =>
+        PluginResult(td.name, name, order, passed = false, returnedValue = e.getMessage)
+    }
+  }
+}

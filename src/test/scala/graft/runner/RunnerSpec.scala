@@ -1,0 +1,96 @@
+package graft.runner
+
+import org.scalatest.funsuite.AnyFunSuite
+
+class RunnerSpec extends AnyFunSuite {
+
+  private class OkPlugin(val name: String = "Ok") extends Plugin {
+    var calls: Vector[String] = Vector.empty
+    def performAction(td: TestDefinition, order: Int): PluginResult = {
+      calls :+= td.name
+      PluginResult(td.name, name, order, passed = true)
+    }
+  }
+  private class FailPlugin extends Plugin {
+    val name = "Fail"
+    def performAction(td: TestDefinition, order: Int): PluginResult =
+      PluginResult(td.name, name, order, passed = false, returnedValue = "boom")
+  }
+
+  test("JSON DSL parses with vars templating; unresolved vars error") {
+    val defs = TestDefinitions.fromJson(
+      """{"vars": {"base": "/data"},
+        | "runs": [
+        |  {"name": "t1", "order": 1, "pluginName": "Ok",
+        |   "args": {"path": "#{base}#/in"}},
+        |  {"name": "t2", "order": 2, "pluginName": "Ok",
+        |   "args": {}, "dependsOn": "t1"}
+        |]}""".stripMargin)
+    assert(defs.size == 2)
+    assert(defs.head.args("path") == "/data/in")
+    assert(defs(1).dependsOn.contains("t1"))
+
+    intercept[IllegalArgumentException] {
+      TestDefinitions.fromJson("""{"runs": [{"name": "x", "order": 1,
+        "pluginName": "Ok", "args": {"p": "#{nope}#"}}]}""")
+    }
+  }
+
+  test("extra vars override file vars") {
+    val defs = TestDefinitions.fromJson(
+      """{"vars": {"v": "old"}, "runs": [
+        |  {"name": "t", "order": 1, "pluginName": "Ok", "args": {"a": "#{v}#"}}]}""".stripMargin,
+      extraVars = Map("v" -> "new"))
+    assert(defs.head.args("a") == "new")
+  }
+
+  test("DAG validation: dependsOn must run earlier") {
+    val bad = Seq(
+      TestDefinition("t1", 2, "Ok", Map.empty, dependsOn = Some("t2")),
+      TestDefinition("t2", 3, "Ok", Map.empty))
+    intercept[IllegalArgumentException] {
+      TestDefinitions.ensureOrderAndDependenciesCorrect(bad)
+    }
+    intercept[IllegalArgumentException] {
+      TestDefinitions.ensureOrderAndDependenciesCorrect(Seq(
+        TestDefinition("t1", 1, "Ok", Map.empty, dependsOn = Some("ghost"))))
+    }
+  }
+
+  test("fold-runner skips dependents of failed tests; failFast throws") {
+    val ok = new OkPlugin()
+    val defs = Seq(
+      TestDefinition("fail1", 1, "Fail", Map.empty),
+      TestDefinition("child", 2, "Ok", Map.empty, dependsOn = Some("fail1")),
+      TestDefinition("indep", 3, "Ok", Map.empty))
+    val results = TestRunner.runTests(defs, Map("Ok" -> ok, "Fail" -> new FailPlugin))
+    assert(results.map(r => (r.testName, r.passed)) ==
+      Seq(("fail1", false), ("child", false), ("indep", true)))
+    assert(ok.calls == Vector("indep")) // child was skipped, not run
+
+    intercept[TestFailedFastException] {
+      TestRunner.runTests(defs, Map("Ok" -> ok, "Fail" -> new FailPlugin), failFast = true)
+    }
+  }
+
+  test("unknown plugin is rejected up front") {
+    intercept[IllegalArgumentException] {
+      TestRunner.runTests(Seq(TestDefinition("t", 1, "Ghost", Map.empty)), Map.empty)
+    }
+  }
+
+  test("BashPlugin runs a real command and captures stdout") {
+    val r = new BashPlugin().performAction(
+      TestDefinition("echo", 1, "BashPlugin", Map("command" -> "echo hello-$((20+22))")), 0)
+    assert(r.passed && r.returnedValue == "hello-42")
+    val fail = new BashPlugin().performAction(
+      TestDefinition("false", 1, "BashPlugin", Map("command" -> "exit 3")), 0)
+    assert(!fail.passed)
+  }
+
+  test("duplicate plugin names rejected at discovery") {
+    intercept[IllegalStateException] {
+      PluginRegistry.discover(Seq(new OkPlugin(), new OkPlugin()))
+    }
+  }
+}
