@@ -1,0 +1,105 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, Dataset}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+
+/** Per-user session accumulator (top-level: state encoders need a
+  * publicly constructible class for codegen). */
+case class SessionState(nEvents: Long, totalValue: Double,
+    startMs: Long, lastMs: Long)
+
+/** Structured Streaming operators over the `events` shape
+  * (event_id, ts, user_id, event_type, value) — SURVEY.md §7: streams are
+  * an extension beyond the batch-only reference, built the idiomatic way:
+  * `readStream` → declarative transforms → `writeStream`, watermarks for
+  * state cleanup, `flatMapGroupsWithState` for custom session state.
+  *
+  * Every transform here takes/returns DataFrames so the SAME code path
+  * runs in batch tests and streaming jobs (Spark's unified semantics);
+  * the specs execute them over MemoryStream micro-batches.
+  */
+object EventStreams {
+
+  /** Tumbling-window counts/sums per event type with a watermark: late
+    * data beyond `lateness` is dropped and window state is reclaimed —
+    * mandatory for unbounded 100 TB/day streams. */
+  def windowedStats(events: DataFrame, windowLen: String = "1 hour",
+      lateness: String = "10 minutes"): DataFrame =
+    events
+      .withWatermark("ts", lateness)
+      .groupBy(window(col("ts"), windowLen), col("event_type"))
+      .agg(count(lit(1)).as("n"),
+        sum(col("value")).as("total"))
+      .select(col("window.start").as("window_start"), col("event_type"),
+        col("n"), col("total"))
+
+  /** Running per-user totals (complete/update-mode aggregation). */
+  def userTotals(events: DataFrame): DataFrame =
+    events.groupBy("user_id")
+      .agg(count(lit(1)).as("n_events"), sum("value").as("total_value"))
+
+  case class Session(userId: Long, nEvents: Long, totalValue: Double,
+      startTs: java.sql.Timestamp, endTs: java.sql.Timestamp)
+
+  /** Session windows via `flatMapGroupsWithState`: a session closes when
+    * a later event for the key arrives more than `gapMs` after the last
+    * one (event-time gap). With `withTimeout=true` a processing-time
+    * timeout ALSO flushes idle sessions (for production streams; tests
+    * use false because timeout wakeups keep `processAllAvailable` busy).
+    * Emits one row per CLOSED session. State per key is O(1) — counters
+    * only — so the operator scales to arbitrarily many users. */
+  def sessionize(events: Dataset[(Long, java.sql.Timestamp, Double)],
+      gapMs: Long, withTimeout: Boolean = false): Dataset[Session] = {
+    import events.sparkSession.implicits._
+    val timeoutConf =
+      if (withTimeout) GroupStateTimeout.ProcessingTimeTimeout()
+      else GroupStateTimeout.NoTimeout()
+    events.groupByKey(_._1)
+      .flatMapGroupsWithState[SessionState, Session](
+        OutputMode.Append(), timeoutConf) {
+        case (userId, rows, state: GroupState[SessionState]) =>
+          if (state.hasTimedOut) {
+            val s = state.get
+            state.remove()
+            Iterator(Session(userId, s.nEvents, s.totalValue,
+              new java.sql.Timestamp(s.startMs), new java.sql.Timestamp(s.lastMs)))
+          } else {
+            val sorted = rows.toSeq.sortBy(_._2.getTime)
+            var closed = List.empty[Session]
+            var cur = state.getOption
+            sorted.foreach { case (_, ts, value) =>
+              val t = ts.getTime
+              cur match {
+                case Some(s) if t - s.lastMs <= gapMs =>
+                  cur = Some(s.copy(nEvents = s.nEvents + 1,
+                    totalValue = s.totalValue + value, lastMs = t))
+                case Some(s) =>
+                  closed ::= Session(userId, s.nEvents, s.totalValue,
+                    new java.sql.Timestamp(s.startMs), new java.sql.Timestamp(s.lastMs))
+                  cur = Some(SessionState(1, value, t, t))
+                case None =>
+                  cur = Some(SessionState(1, value, t, t))
+              }
+            }
+            cur.foreach { s =>
+              state.update(s)
+              if (withTimeout) state.setTimeoutDuration(gapMs)
+            }
+            closed.reverseIterator
+          }
+      }
+  }
+
+  /** End-to-end streaming pipeline wiring: file/rate/memory source →
+    * windowed stats → sink. Returns the started query (caller manages
+    * lifecycle). Kept thin — the logic lives in the transforms above. */
+  def startWindowedQuery(events: DataFrame, checkpointDir: String,
+      outPath: String): org.apache.spark.sql.streaming.StreamingQuery =
+    windowedStats(events).writeStream
+      .outputMode(OutputMode.Append())
+      .format("parquet")
+      .option("checkpointLocation", checkpointDir)
+      .option("path", outPath)
+      .start()
+}

@@ -133,4 +133,29 @@ class IoSpec extends AnyFunSuite with SparkTestBase {
     assert(!PathResolver.isS3("/local/path"))
     assert(!PathResolver.isS3("hdfs://nn/path"))
   }
+
+  test("fixed-width scan projects by substring offsets") {
+    val dir = Files.createTempDirectory("graft-fw").toString
+    Files.writeString(java.nio.file.Paths.get(s"$dir/data.txt"),
+      "001alice   21\n002bob     35\n")
+    val df = graft.io.FixedWidth.load(s"$dir/data.txt",
+      Seq("id" -> 3, "name" -> 8, "age" -> 2))
+    val rows = df.orderBy("id").collect()
+    assert(rows.map(r => (r.getString(0), r.getString(1), r.getString(2))).toSeq ==
+      Seq(("001", "alice", "21"), ("002", "bob", "35")))
+  }
+
+  test("json-string literals become a DataFrame") {
+    val df = graft.io.JsonStrings.toDataFrame(Seq(
+      """{"id": 1, "v": "a"}""", """{"id": 2, "v": "b"}"""))
+    assert(df.orderBy("id").collect().map(_.getLong(0)).toSeq == Seq(1L, 2L))
+  }
+
+  test("version guard accepts current Spark, rejects ancient") {
+    graft.io.SparkVersionGuard.ensureSparkVersionCompatibility()
+    graft.io.SparkVersionGuard.ensureSparkVersionCompatibility("3.5.1")
+    intercept[IllegalStateException] {
+      graft.io.SparkVersionGuard.ensureSparkVersionCompatibility("2.4.7")
+    }
+  }
 }

@@ -1,0 +1,92 @@
+package graft.streaming
+
+import graft.SparkTestBase
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.OutputMode
+import org.scalatest.funsuite.AnyFunSuite
+import java.sql.Timestamp
+
+class EventStreamsSpec extends AnyFunSuite with SparkTestBase {
+
+  private def ts(s: String) = Timestamp.valueOf(s)
+
+  test("windowedStats over a MemoryStream emits finalized windows after watermark") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[(Timestamp, String, Double)]
+    val events = mem.toDF().toDF("ts", "event_type", "value")
+
+    val q = EventStreams.windowedStats(events, "1 hour", "0 seconds")
+      .writeStream.format("memory").queryName("win_out")
+      .outputMode(OutputMode.Append()).start()
+    try {
+      mem.addData(
+        (ts("2026-01-01 10:05:00"), "click", 1.0),
+        (ts("2026-01-01 10:55:00"), "click", 2.0),
+        (ts("2026-01-01 10:30:00"), "view", 5.0))
+      q.processAllAvailable()
+      // advance watermark past 11:00 to finalize the 10:00 window
+      mem.addData((ts("2026-01-01 12:00:01"), "click", 9.0))
+      q.processAllAvailable()
+      val rows = spark.table("win_out")
+        .select("window_start", "event_type", "n", "total")
+        .orderBy("window_start", "event_type").collect()
+      assert(rows.map(r => (r.getTimestamp(0).toString, r.getString(1), r.getLong(2), r.getDouble(3))).toSeq ==
+        Seq(("2026-01-01 10:00:00.0", "click", 2L, 3.0),
+            ("2026-01-01 10:00:00.0", "view", 1L, 5.0)))
+    } finally q.stop()
+  }
+
+  test("windowedStats transform gives identical results in batch mode") {
+    val batch = spark.sql(
+      """SELECT * FROM VALUES
+        | (TIMESTAMP '2026-01-01 10:05:00', 'click', 1.0D),
+        | (TIMESTAMP '2026-01-01 10:55:00', 'click', 2.0D),
+        | (TIMESTAMP '2026-01-01 11:30:00', 'view', 5.0D)
+        | AS t(ts, event_type, value)""".stripMargin)
+    val rows = EventStreams.windowedStats(batch)
+      .orderBy("window_start", "event_type").collect()
+    assert(rows.length == 2)
+    assert(rows.head.getLong(2) == 2L && rows.head.getDouble(3) == 3.0)
+  }
+
+  test("sessionize closes a session on inactivity gap within a batch") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[(Long, Timestamp, Double)]
+    val q = EventStreams.sessionize(mem.toDS(), gapMs = 60000)
+      .writeStream.format("memory").queryName("sess_out")
+      .outputMode(OutputMode.Append()).start()
+    try {
+      // two bursts 10 minutes apart → first session closes when the
+      // second burst arrives in a later batch
+      mem.addData((7L, ts("2026-01-01 10:00:00"), 1.0),
+                  (7L, ts("2026-01-01 10:00:30"), 2.0))
+      q.processAllAvailable()
+      mem.addData((7L, ts("2026-01-01 10:10:00"), 4.0))
+      q.processAllAvailable()
+      val sessions = spark.table("sess_out").as[EventStreams.Session].collect()
+      assert(sessions.length == 1)
+      assert(sessions.head.userId == 7L)
+      assert(sessions.head.nEvents == 2 && sessions.head.totalValue == 3.0)
+    } finally q.stop()
+  }
+
+  test("end-to-end readStream → transform → parquet sink round-trip") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val dir = java.nio.file.Files.createTempDirectory("graft-stream").toString
+    val mem = MemoryStream[(Timestamp, String, Double)]
+    val events = mem.toDF().toDF("ts", "event_type", "value")
+    val q = EventStreams.startWindowedQuery(events, s"$dir/ckpt", s"$dir/out")
+    try {
+      mem.addData((ts("2026-01-01 10:05:00"), "click", 1.0))
+      q.processAllAvailable()
+      mem.addData((ts("2026-01-01 12:00:01"), "click", 1.0))
+      q.processAllAvailable()
+      val out = spark.read.parquet(s"$dir/out")
+      assert(out.count() == 1) // the finalized 10:00 window
+    } finally q.stop()
+  }
+}
