@@ -30,7 +30,15 @@ case class DiffOptions(
     actualPrefix: String = "actual",
     allowDuplicates: Boolean = false,
     providedSchema: Option[StructType] = None,
-    cache: Boolean = true)
+    cache: Boolean = true,
+    /** Single-pass keyed compare: ONE full-outer join on the raw key
+      * columns with inline errCol, instead of the reference-shaped
+      * except/except/join/flat-join/join pipeline. Produces the same
+      * result whenever keys are given and duplicates are disallowed
+      * (verified by spec); roughly halves the shuffles — the difference
+      * between 2 wide shuffles and ~6 at 100 TB. Set false to force the
+      * reference-parity plan. */
+    fastKeyed: Boolean = true)
 
 /** The diff engine: given a reference and an actual DataFrame, verify
   * schema equivalence, count duplicate keys, compute the symmetric set
@@ -61,7 +69,98 @@ class DatasetComparator(
 
   def compare(): ComparisonResult = {
     val (refSel, actSel, selector) = alignSchemas()
+    if (fastKeyed && keys.nonEmpty && !allowDuplicates)
+      compareFastKeyed(refSel, actSel, selector)
+    else
+      compareParity(refSel, actSel, selector)
+  }
 
+  /** One-pass keyed diff: dup-check aggregates (1 per side), then a
+    * single full-outer join on the raw key columns; errCol and the diff
+    * filter are inline expressions over the joined row, so the whole
+    * compare is scan+scan→join→project with no intermediate
+    * materialization. Join stays unhinted: AQE broadcasts a small side
+    * or picks sort-merge from runtime stats. */
+  private def compareFastKeyed(
+      refSel: DataFrame, actSel: DataFrame, selector: List[Column]): ComparisonResult = {
+    val refP = maybePersist(refSel)
+    val actP = maybePersist(actSel)
+    val keyCols = keys.map(nestedCol)
+    val (refCount, refDups) = countsAndDuplicatesBy(refP, keyCols)
+    val (actCount, actDups) = countsAndDuplicatesBy(actP, keyCols)
+    if (refDups > 0 || actDups > 0) {
+      refP.unpersist(); actP.unpersist()
+      throw new DuplicateKeysException(refDups, actDups)
+    }
+
+    // presence markers distinguish one-sided rows from legit all-null
+    // rows after the full join
+    val refMark = uniqueColumnName("graft_ref_present", refSel.schema)
+    val actMark = uniqueColumnName("graft_act_present", actSel.schema)
+    val refPref = prefixed(refP, expectedPrefix, "").withColumn(refMark, lit(true))
+    val actPref = prefixed(actP, actualPrefix, "").withColumn(actMark, lit(true))
+
+    // null-safe equality on the raw typed key values — same null-key
+    // pairing semantics as the reference's md5(concat_ws) key, without
+    // string-concat collisions or hashing cost
+    val joinCond = keys.map { path =>
+      prefixedNestedCol(path, expectedPrefix) <=> prefixedNestedCol(path, actualPrefix)
+    }.reduce(_ && _)
+    val joined = refPref.join(actPref, joinCond, "full_outer")
+
+    // flatten select list over the ORIGINAL shape, probed on both inputs
+    // (superset of the complement-based probe; padded positions are
+    // null-equal on both sides so errCol content is unchanged); the
+    // accessors are built twice with prefixed roots so they evaluate
+    // directly against the joined row — no second flat join needed
+    val lengths = Flattener.maxArrayLengths(Seq(refP, actP))
+    val flatNames = refP
+      .select(Flattener.flattenSelectList(refSel.schema, lengths): _*)
+      .schema.fieldNames.toSeq
+    val expFlat = Flattener.flattenSelectList(refSel.schema, lengths, expectedPrefix)
+    val actFlat = Flattener.flattenSelectList(refSel.schema, lengths, actualPrefix)
+    val flatPairs = flatNames.lazyZip(expFlat).lazyZip(actFlat).toList
+    val errEntries = flatPairs.reverse.map { case (n, e, a) =>
+      when(e <=> a, array().cast("array<string>")).otherwise(array(lit(n)))
+    }
+    val errCol = if (errEntries.isEmpty) array().cast("array<string>")
+                 else concat(errEntries: _*)
+
+    val withErr = maybePersist(joined
+      .withColumn(errorColumnName, errCol)
+      .filter(size(col(errorColumnName)) > 0))
+    // one action for both counts
+    val cnts = withErr.agg(
+      count(lit(1)).as("diff"),
+      count(when(col(refMark), 1)).as("refSide")).collect()(0)
+    val (diffCount, refSideDiff) = (cnts.getLong(0), cnts.getLong(1))
+    val diffDF = withErr.drop(refMark, actMark)
+    refP.unpersist(); actP.unpersist()
+    if (diffCount == 0) withErr.unpersist()
+    ComparisonResult(refCount, actCount, refDups, actDups,
+      refCount - refSideDiff, selector,
+      if (diffCount == 0) None else Some(diffDF), diffCount)
+  }
+
+  /** `prefix_root.rest.of.path` accessor for a (possibly nested) key. */
+  private def prefixedNestedCol(path: String, prefix: String): Column = {
+    val parts = path.split('.')
+    parts.tail.foldLeft(col("`" + prefix + "_" + parts.head + "`"))((c, p) => c.getField(p))
+  }
+
+  /** One aggregate pass: (rowCount, duplicate-key count) grouped by raw
+    * key columns. */
+  private def countsAndDuplicatesBy(df: DataFrame, keyCols: Seq[Column]): (Long, Long) = {
+    val row = df.groupBy(keyCols: _*).agg(count(lit(1)).as("cnt"))
+      .agg(
+        coalesce(sum(col("cnt")), lit(0L)).as("rows"),
+        count(when(col("cnt") >= 2, 1)).as("dupKeys"))
+      .collect()(0)
+    (row.getLong(0), row.getLong(1))
+  }
+
+  private def compareParity(
+      refSel: DataFrame, actSel: DataFrame, selector: List[Column]): ComparisonResult = {
     val keyName = uniqueColumnName("graft_row_key", refSel.schema)
     val refKeyed = maybePersist(addKeyColumn(refSel, keyName))
     val actKeyed = maybePersist(addKeyColumn(actSel, keyName))

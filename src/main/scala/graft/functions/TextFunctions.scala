@@ -30,14 +30,22 @@ object TextFunctions {
   def h64(c: Column): Column =
     conv(substring(md5(c), 1, 15), 16, 10).cast("long")
 
-  /** Word n-gram shingles (space-joined) over the token array. A text
-    * with fewer than n tokens yields a single shingle of all tokens. */
-  def wordShingles(c: Column, n: Int): Column = {
-    val toks = tokens(c)
+  /** Word n-gram shingles (space-joined) over an ALREADY-TOKENIZED
+    * array column. Texts with fewer than n tokens yield one shingle. */
+  def shinglesFromTokens(toks: Column, n: Int): Column = {
     val count = greatest(size(toks) - (n - 1), lit(1))
     transform(sequence(lit(0), count - 1),
       i => concat_ws(" ", slice(toks, i + 1, lit(n))))
   }
+
+  /** Word n-gram shingles (space-joined) over the token array. A text
+    * with fewer than n tokens yields a single shingle of all tokens.
+    * NOTE: evaluates the tokenizer inline — in multi-stage pipelines
+    * tokenize ONCE into a column and use [[shinglesFromTokens]]
+    * (higher-order-function lambdas are interpreted, not codegen'd, so
+    * repeated evaluation is the dominant cost at scale). */
+  def wordShingles(c: Column, n: Int): Column =
+    shinglesFromTokens(tokens(c), n)
 
   /** Document fingerprint: md5 of the normalized text (exact-dedup key). */
   def fingerprint(c: Column): Column = md5(normalizeText(c))

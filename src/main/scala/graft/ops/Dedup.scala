@@ -72,16 +72,20 @@ object Dedup {
     require(k % bands == 0, "k must divide into equal bands")
     val r = k / bands
 
-    // Stage 1 — ONE md5 pass per shingle, materialized by persist().
-    // Without the barrier, Catalyst's project collapsing would inline the
-    // shingle hashing into every downstream consumer (k seed lambdas ×
-    // banding × two verification joins ≈ 30-50× redundant hashing — this
-    // is the difference between minutes and seconds at sf0.1 and between
+    // Stage 1 — tokenize ONCE, shingle ONCE, hash each DISTINCT shingle
+    // ONCE (min-hash is duplicate-invariant), materialized by persist().
+    // Chained selects keep each expensive lambda single-evaluation, and
+    // the persist barrier stops Catalyst from re-inlining the hashing
+    // into every downstream consumer (k seed lambdas × banding × two
+    // verification joins ≈ 30-50× redundant hashing otherwise — the
+    // difference between minutes and seconds at sf0.1 and between
     // feasible and not at 100 TB).
-    val hashed = df.select(
-      col(idCol).as("doc_id"),
-      array_distinct(wordShingles(col(textCol), shingleSize)).as("sh"),
-      transform(wordShingles(col(textCol), shingleSize), s => h64(s)).as("hashes"))
+    val hashed = df
+      .select(col(idCol).as("doc_id"), tokens(col(textCol)).as("toks"))
+      .select(col("doc_id"),
+        array_distinct(shinglesFromTokens(col("toks"), shingleSize)).as("sh"))
+      .select(col("doc_id"), col("sh"),
+        transform(col("sh"), s => h64(s)).as("hashes"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
 
     // Stage 2 — signatures are cheap integer folds over the cached arrays.

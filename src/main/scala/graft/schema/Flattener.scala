@@ -109,8 +109,12 @@ object Flattener {
 
   /** The flat select list for `schema`, given probed array lengths.
     * Column order: depth-first field order (reference parity — flat
-    * column order drives errCol attribution order). */
-  def flattenSelectList(schema: StructType, lengths: Map[String, Int]): List[Column] = {
+    * column order drives errCol attribution order).
+    * `rootPrefix` rewrites the top-level attribute to `prefix_name`
+    * while keeping flat output names unprefixed — used by the fast keyed
+    * diff to evaluate accessors against prefixed join output. */
+  def flattenSelectList(schema: StructType, lengths: Map[String, Int],
+      rootPrefix: String = ""): List[Column] = {
     def walk(dt: DataType, steps: Seq[Step]): List[Column] = dt match {
       case s: StructType =>
         s.fields.toList.flatMap(f => walk(f.dataType, steps :+ Field(f.name)))
@@ -118,7 +122,11 @@ object Flattener {
         val n = lengths.getOrElse(pathKey(steps), 0)
         (0 until n).toList.flatMap(i => walk(et, steps :+ Index(i)))
       case _ =>
-        List(column(steps).as(flatName(steps)))
+        val accessSteps = steps.head match {
+          case Field(n) if rootPrefix.nonEmpty => Field(s"${rootPrefix}_$n") +: steps.tail
+          case _ => steps
+        }
+        List(column(accessSteps).as(flatName(steps)))
     }
     walk(schema, Nil)
   }

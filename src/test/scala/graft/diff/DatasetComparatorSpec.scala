@@ -140,6 +140,46 @@ class DatasetComparatorSpec extends AnyFunSuite with SparkTestBase {
     assert(e.mismatchPaths == Seq("name"))
   }
 
+  test("fast keyed mode and parity mode produce identical results") {
+    val actual =
+      """SELECT * FROM VALUES
+        | (1, 'alice', 10.5), (2, 'bobby', 21.0), (4, 'dave', 11.25)
+        | AS t(id, name, amount)""".stripMargin
+    val fast = new DatasetComparator(df(base), df(actual),
+      DiffOptions(keys = Seq("id"), fastKeyed = true)).compare()
+    val parity = new DatasetComparator(df(base), df(actual),
+      DiffOptions(keys = Seq("id"), fastKeyed = false)).compare()
+    assert(fast.refRowCount == parity.refRowCount)
+    assert(fast.newRowCount == parity.newRowCount)
+    assert(fast.diffCount == parity.diffCount)
+    assert(fast.passedCount == parity.passedCount)
+    def canon(r: ComparisonResult) = r.resultDF.get
+      .select("expected_id", "actual_id", "expected_name", "actual_name", "errCol")
+      .collect().map(_.toString).sorted.toSeq
+    assert(canon(fast) == canon(parity))
+  }
+
+  test("fast keyed mode matches parity mode on nested arrays") {
+    val ref = df(
+      """SELECT * FROM VALUES
+        | (1, array(named_struct('name', 'x'), named_struct('name', 'y'))),
+        | (2, array(named_struct('name', 'z')))
+        | AS t(id, b)""".stripMargin)
+    val act = df(
+      """SELECT * FROM VALUES
+        | (1, array(named_struct('name', 'x'))),
+        | (2, array(named_struct('name', 'z')))
+        | AS t(id, b)""".stripMargin)
+    val fast = new DatasetComparator(ref, act,
+      DiffOptions(keys = Seq("id"), fastKeyed = true)).compare()
+    val parity = new DatasetComparator(ref, act,
+      DiffOptions(keys = Seq("id"), fastKeyed = false)).compare()
+    assert(fast.diffCount == parity.diffCount && fast.diffCount == 1)
+    def err(r: ComparisonResult) = r.resultDF.get.collect().head
+      .getAs[scala.collection.Seq[String]]("errCol")
+    assert(err(fast) == err(parity))
+  }
+
   test("metrics JSON is well-formed and carries the counts") {
     val actual = base + " WHERE id <> 3"
     val r = new DatasetComparator(df(base), df(actual), DiffOptions(keys = Seq("id"))).compare()
