@@ -144,6 +144,45 @@ object SparkEntry {
         .orderBy("user_id")
     }),
 
+    // ---- keyless diff (reference-parity except-based pipeline) --------
+    // every changed row appears as TWO one-sided rows; errCol lists all
+    // columns (reverse flat order)
+    "q11_diff_keyless" -> ((s, dir) => {
+      val nation = t(s, dir, "nation")
+      val actual = nation
+        .withColumn("n_name",
+          when(col("n_nationkey") % 7 === 0, concat(col("n_name"), lit("_X")))
+            .otherwise(col("n_name")))
+      val r = new diff.DatasetComparator(nation, actual,
+        diff.DiffOptions()).compare()
+      r.resultDF.get
+        .select(
+          col("expected_n_nationkey"), col("actual_n_nationkey"),
+          col("expected_n_name"), col("actual_n_name"),
+          concat_ws(",", col("errCol")).as("err"))
+        .orderBy(col("expected_n_nationkey").asc_nulls_last,
+          col("actual_n_nationkey").asc_nulls_last)
+    }),
+
+    // ---- provided-schema cherry-pick: differences outside the pinned
+    // columns are invisible; result reported as a 1-row summary ---------
+    "q12_diff_pinned_schema" -> ((s, dir) => {
+      import org.apache.spark.sql.types._
+      val orders = t(s, dir, "orders")
+      val actual = orders.withColumn("o_orderpriority",
+        when(col("o_orderkey") % 3 === 0, lit("9-CHANGED"))
+          .otherwise(col("o_orderpriority")))
+      val pinned = StructType(Seq(
+        StructField("o_orderkey", LongType),
+        StructField("o_custkey", LongType),
+        StructField("o_totalprice", DoubleType)))
+      val r = new diff.DatasetComparator(orders, actual,
+        diff.DiffOptions(keys = Seq("o_orderkey"), providedSchema = Some(pinned))).compare()
+      import s.implicits._
+      Seq((r.refRowCount, r.newRowCount, r.diffCount, r.passedCount))
+        .toDF("ref_rows", "new_rows", "diff_rows", "passed_rows")
+    }),
+
     // ================== §7 extensions: training-data ops ==============
 
     // ---- exact dedup by normalized-text fingerprint -------------------
@@ -306,6 +345,32 @@ object SparkEntry {
         |    ROW_NUMBER() OVER (PARTITION BY user_id
         |                       ORDER BY value DESC, event_id) AS rn
         |  FROM events) WHERE rn = 1 ORDER BY user_id""".stripMargin,
+
+    "q11_diff_keyless" ->
+      """WITH actual AS (
+        |  SELECT n_nationkey,
+        |    CASE WHEN n_nationkey % 7 = 0 THEN n_name || '_X' ELSE n_name END AS n_name,
+        |    n_regionkey
+        |  FROM nation),
+        |ref_only AS (
+        |  SELECT * FROM nation EXCEPT SELECT * FROM actual),
+        |act_only AS (
+        |  SELECT * FROM actual EXCEPT SELECT * FROM nation)
+        |SELECT n_nationkey AS expected_n_nationkey,
+        |  NULL::INTEGER AS actual_n_nationkey,
+        |  n_name AS expected_n_name, NULL::VARCHAR AS actual_n_name,
+        |  'n_regionkey,n_nationkey,n_name' AS err
+        |FROM ref_only
+        |UNION ALL
+        |SELECT NULL::INTEGER, n_nationkey, NULL::VARCHAR, n_name,
+        |  'n_regionkey,n_nationkey,n_name'
+        |FROM act_only
+        |ORDER BY expected_n_nationkey NULLS LAST, actual_n_nationkey NULLS LAST""".stripMargin,
+
+    "q12_diff_pinned_schema" ->
+      """SELECT COUNT(*) AS ref_rows, COUNT(*) AS new_rows,
+        |  0::BIGINT AS diff_rows, COUNT(*) AS passed_rows
+        |FROM orders""".stripMargin,
 
     "d1_dedup_exact" ->
       s"""SELECT md5(${OracleSql.norm("text")}) AS fingerprint,
