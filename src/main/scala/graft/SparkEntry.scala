@@ -183,6 +183,19 @@ object SparkEntry {
         .toDF("ref_rows", "new_rows", "diff_rows", "passed_rows")
     }),
 
+    // ---- fact-fact shuffle join + agg (TPC-H Q3/Q4 shape) -------------
+    "q13_bigjoin" -> ((s, dir) => {
+      val li = t(s, dir, "lineitem")
+      val o = t(s, dir, "orders")
+      li.join(o, li("l_orderkey") === o("o_orderkey"))
+        .groupBy(col("o_orderpriority"),
+          date_trunc("month", col("o_orderdate")).as("month"))
+        .agg(
+          sum(col("l_extendedprice").cast("decimal(18,2)")).cast("double").as("revenue"),
+          count(lit(1)).as("n_items"))
+        .orderBy("o_orderpriority", "month")
+    }),
+
     // ================== §7 extensions: training-data ops ==============
 
     // ---- exact dedup by normalized-text fingerprint -------------------
@@ -242,6 +255,28 @@ object SparkEntry {
       ops.Dedup.minhashLshPairs(aug, "doc_id", "text",
           k = 12, bands = 6, shingleSize = 3, tau = 0.5)
         .orderBy("id1", "id2")
+    }),
+
+    // ---- simhash near-dup pipeline over augmented corpus --------------
+    "d7_simhash_pairs" -> ((s, dir) => {
+      val docs = t(s, dir, "documents").select("doc_id", "text")
+      val perturbed = docs.filter(col("doc_id") % 50 === 0)
+        .select((col("doc_id") + 1000000).as("doc_id"),
+          concat(col("text"), lit(" zzz")).as("text"))
+      val aug = docs.unionAll(perturbed)
+      ops.Dedup.simhashPairs(aug, "doc_id", "text", maxHamming = 3)
+        .orderBy("id1", "id2")
+    }),
+
+    // ---- IVF approximate nearest neighbors (no SQL oracle: KMeans
+    // index; recall vs brute force is spec-verified) --------------------
+    "e3_ann_ivf" -> ((s, dir) => {
+      val emb = t(s, dir, "embeddings")
+      val idx = ops.Similarity.ivfIndex(emb, "vec_id", "embedding", nlist = 8)
+      val q = emb.filter(col("vec_id") === 1)
+        .select(col("embedding").cast("array<double>")).collect()(0)
+        .getAs[scala.collection.Seq[Double]](0).toArray
+      idx.search(q, k = 10, nprobe = 4)
     }),
 
     // ---- brute-force cosine top-k against one query vector ------------
@@ -371,6 +406,36 @@ object SparkEntry {
       """SELECT COUNT(*) AS ref_rows, COUNT(*) AS new_rows,
         |  0::BIGINT AS diff_rows, COUNT(*) AS passed_rows
         |FROM orders""".stripMargin,
+
+    "q13_bigjoin" ->
+      """SELECT o_orderpriority, date_trunc('month', o_orderdate) AS month,
+        |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS revenue,
+        |  COUNT(*) AS n_items
+        |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+
+    "d7_simhash_pairs" -> {
+      val sim = OracleSql.simhash("text")
+      val chunkKeys = (0 until 4).map(c =>
+        s"(sim >> ${c * 15}) & 32767").mkString("[", ", ", "]")
+      s"""WITH aug AS (
+         |  SELECT doc_id, text FROM documents
+         |  UNION ALL
+         |  SELECT doc_id + 1000000 AS doc_id, text || ' zzz' AS text
+         |  FROM documents WHERE doc_id % 50 = 0),
+         |sims AS (SELECT doc_id, $sim AS sim FROM aug),
+         |banded AS (
+         |  SELECT doc_id, sim, unnest($chunkKeys) AS key,
+         |         unnest(range(0, 4)) AS chunk
+         |  FROM sims),
+         |cands AS (
+         |  SELECT DISTINCT l.doc_id AS id1, r.doc_id AS id2,
+         |         CAST(bit_count(xor(l.sim, r.sim)) AS INTEGER) AS hamming
+         |  FROM banded l JOIN banded r
+         |    ON l.chunk = r.chunk AND l.key = r.key AND l.doc_id < r.doc_id)
+         |SELECT id1, id2, hamming FROM cands WHERE hamming <= 3
+         |ORDER BY id1, id2""".stripMargin
+    },
 
     "d1_dedup_exact" ->
       s"""SELECT md5(${OracleSql.norm("text")}) AS fingerprint,
