@@ -279,6 +279,17 @@ object SparkEntry {
       idx.search(q, k = 10, nprobe = 4)
     }),
 
+    // ---- multimodal plumbing: binary payloads + batched decode (rows-
+    // only: the decode step is a deterministic stub, plumbing is real) --
+    "m1_media_features" -> ((s, dir) => {
+      val media = ops.Multimodal.syntheticMedia(
+        t(s, dir, "documents").select("doc_id"), "doc_id")(s)
+      ops.Multimodal.extractFeatures(media).toDF()
+        .select(col("media_id"), col("format"), col("n_bytes"),
+          round(element_at(col("features"), 1), 4).as("f0"))
+        .orderBy("media_id")
+    }),
+
     // ---- brute-force cosine top-k against one query vector ------------
     "e1_cos_topk" -> ((s, dir) => {
       val emb = t(s, dir, "embeddings")

@@ -164,6 +164,34 @@ object Dedup {
       .filter(col("hamming") <= maxHamming)
   }
 
+  /** Embedding near-dup pairs at scale: hyperplane-LSH bucket join →
+    * exact cosine verification. Unlike [[embeddingCosinePairs]] this
+    * needs no pre-existing blocking column: buckets come from `bits`
+    * signed random projections, so the candidate join touches only
+    * colliding vectors (near-identical vectors collide with probability
+    * ≈ (1 - θ/π)^bits). */
+  def embeddingLshPairs(
+      df: DataFrame,
+      idCol: String,
+      vecCol: String,
+      dim: Int,
+      bits: Int = 12,
+      tau: Double = 0.95): DataFrame = {
+    val bucketed = Similarity.hyperplaneBuckets(df, idCol, vecCol, bits, dim)
+      .withColumn("nrm", sqrt(Similarity.dot(col("v"), col("v"))))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val a = bucketed.select(col("bucket"), col("id").as("id1"), col("v").as("v1"), col("nrm").as("n1"))
+    val b = bucketed.select(col("bucket"), col("id").as("id2"), col("v").as("v2"), col("nrm").as("n2"))
+    a.join(b, Seq("bucket"))
+      .filter(col("id1") < col("id2"))
+      .select(col("id1"), col("id2"),
+        when(col("n1") * col("n2") === 0.0, lit(0.0))
+          .otherwise(Similarity.dot(col("v1"), col("v2")) / (col("n1") * col("n2")))
+          .as("cos"))
+      .filter(col("cos") >= tau)
+      .distinct()
+  }
+
   /** Embedding near-duplicate pairs: exact cosine within a blocking
     * column (e.g. a cluster/label id or LSH bucket). Vectors are cast to
     * double and reduced with a sequential fold — IEEE-exact. */

@@ -170,6 +170,54 @@ class SimilaritySpec extends AnyFunSuite with SparkTestBase {
   }
 }
 
+class SkewSpec extends AnyFunSuite with SparkTestBase {
+
+  test("saltedJoin equals the plain join on skewed data") {
+    // heavily skewed: 90% of left rows share key 1
+    val left = spark.sql(
+      "SELECT CASE WHEN id % 10 < 9 THEN 1 ELSE CAST(id AS INT) END AS k, id AS payload " +
+      "FROM range(1000)")
+    val right = spark.sql(
+      "SELECT CAST(id AS INT) AS k, concat('dim_', id) AS dim FROM range(200)")
+    val plain = left.join(right, Seq("k"), "inner")
+      .select("k", "payload", "dim").collect().map(_.toString).sorted.toSeq
+    val salted = graft.ops.Skew.saltedJoin(left, right, "k", 8)
+      .select("k", "payload", "dim").collect().map(_.toString).sorted.toSeq
+    assert(salted == plain && plain.nonEmpty)
+  }
+
+  test("twoPhaseAgg pre-aggregates per salt and combines to exact totals") {
+    import org.apache.spark.sql.functions._
+    val df = spark.sql(
+      "SELECT CAST(id % 3 AS INT) AS k, CAST(id AS DOUBLE) AS v FROM range(300)")
+    val result = graft.ops.Skew.twoPhaseAgg(df, "k", 8,
+      Seq(sum(col("v")).as("partial_sum"), count(lit(1)).as("partial_n")),
+      pre => pre.groupBy("k").agg(
+        sum(col("partial_sum")).as("total"), sum(col("partial_n")).as("n")))
+    val want = df.groupBy("k").agg(sum(col("v")).as("total"), count(lit(1)).as("n"))
+    assert(result.orderBy("k").collect().toSeq == want.orderBy("k").collect().toSeq)
+  }
+}
+
+class EmbeddingLshSpec extends AnyFunSuite with SparkTestBase {
+
+  test("embeddingLshPairs finds near-identical vectors without a block column") {
+    val emb = spark.sql(
+      """SELECT * FROM VALUES
+        | (0, array(1.0D, 2.0D, 3.0D, 4.0D)),
+        | (1, array(1.001D, 2.0D, 3.0D, 4.0D)),
+        | (2, array(-4.0D, 3.0D, -2.0D, 1.0D)),
+        | (3, array(0.5D, 1.0D, 1.5D, 2.0D))
+        | AS t(id, vec)""".stripMargin)
+    val pairs = graft.ops.Dedup.embeddingLshPairs(emb, "id", "vec", dim = 4,
+      bits = 12, tau = 0.999)
+      .select("id1", "id2").collect().map(r => (r.getInt(0), r.getInt(1))).toSet
+    assert(pairs.contains((0, 1)))
+    assert(pairs.contains((0, 3)) || pairs.contains((1, 3))) // colinear → cos 1.0
+    assert(!pairs.exists(p => p._1 == 2 || p._2 == 2))
+  }
+}
+
 class MultimodalSpec extends AnyFunSuite with SparkTestBase {
   import Multimodal._
 

@@ -73,6 +73,25 @@ class EventStreamsSpec extends AnyFunSuite with SparkTestBase {
     } finally q.stop()
   }
 
+  test("dedupStream drops repeat ids across micro-batches within the watermark") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[(Long, Timestamp, Double)]
+    val events = mem.toDF().toDF("event_id", "ts", "value")
+    val q = EventStreams.dedupStream(events, "ts", "1 hour", Seq("event_id"))
+      .writeStream.format("memory").queryName("dedup_out")
+      .outputMode(OutputMode.Append()).start()
+    try {
+      mem.addData((1L, ts("2026-01-01 10:00:00"), 1.0),
+                  (1L, ts("2026-01-01 10:00:00"), 1.0), // same batch dup
+                  (2L, ts("2026-01-01 10:01:00"), 2.0))
+      q.processAllAvailable()
+      mem.addData((1L, ts("2026-01-01 10:00:00"), 1.0)) // cross-batch dup
+      q.processAllAvailable()
+      assert(spark.table("dedup_out").count() == 2)
+    } finally q.stop()
+  }
+
   test("end-to-end readStream → transform → parquet sink round-trip") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
