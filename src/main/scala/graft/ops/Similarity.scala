@@ -12,9 +12,11 @@ import org.apache.spark.sql.functions._
   */
 object Similarity {
 
-  /** Sequential-fold dot product of two array<double> columns. */
-  def dot(a: Column, b: Column): Column =
-    aggregate(zip_with(a, b, (x, y) => x * y), lit(0.0), (acc, x) => acc + x)
+  /** Sequential-fold dot product of two array<double> columns — the
+    * codegen'd [[graft.functions.ArrayDotProduct]] expression
+    * (bit-identical to the `aggregate(zip_with(...))` formulation and to
+    * the DuckDB oracle's `list_reduce` fold, ~10× cheaper per row). */
+  def dot(a: Column, b: Column): Column = graft.functions.dotProduct(a, b)
 
   /** Cosine similarity; 0.0 when either norm is zero. */
   def cosine(a: Column, b: Column): Column = {

@@ -199,6 +199,31 @@ class SkewSpec extends AnyFunSuite with SparkTestBase {
   }
 }
 
+class DotProductSpec extends AnyFunSuite with SparkTestBase {
+
+  test("dot_product expression is bit-identical to the lambda fold") {
+    val df = spark.sql(
+      """SELECT transform(sequence(1, 64), i -> sin(CAST(i * id AS DOUBLE))) AS a,
+        |       transform(sequence(1, 64), i -> cos(CAST(i * id AS DOUBLE))) AS b
+        |FROM range(50)""".stripMargin)
+    val rows = df.select(
+      graft.functions.dotProduct(col("a"), col("b")).as("fast"),
+      aggregate(zip_with(col("a"), col("b"), (x, y) => x * y),
+        lit(0.0), (acc, x) => acc + x).as("fold")).collect()
+    assert(rows.forall(r => r.getDouble(0) == r.getDouble(1)))
+  }
+
+  test("dot_product nulls on length mismatch and null elements") {
+    val r = spark.sql(
+      "SELECT array(1.0D, 2.0D) AS a, array(1.0D) AS b, array(1.0D, NULL) AS c")
+      .select(
+        graft.functions.dotProduct(col("a"), col("b")).as("mismatch"),
+        graft.functions.dotProduct(col("a"), col("c")).as("withNull"))
+      .collect().head
+    assert(r.isNullAt(0) && r.isNullAt(1))
+  }
+}
+
 class EmbeddingLshSpec extends AnyFunSuite with SparkTestBase {
 
   test("embeddingLshPairs finds near-identical vectors without a block column") {
