@@ -1,0 +1,36 @@
+package graft.runner
+
+import graft.io.PathResolver
+import org.apache.hadoop.conf.Configuration
+
+class TestsFailedException(val failed: Int, val total: Int)
+  extends Exception(s"$failed of $total tests failed")
+
+/** spark-submit / java entry point for the DAG test runner (reference
+  * `E2ERunnerJob.scala:37-109`): load the templated test-definition
+  * JSON, discover plugins, run in (order, pluginName) order with
+  * dependee-skip, log one line per result, exit by exception if any
+  * test failed.
+  *
+  * Args: `--test-definition-path p [--fail-fast true] [--var-k v ...]`
+  * (`--var-` prefixed args become `#{k}#` template vars, replacing the
+  * reference's scopt `extra-vars`).
+  */
+object E2ERunnerJob {
+
+  def main(args: Array[String]): Unit = {
+    val kv = graft.cli.CliParametersParser.argsToMap(args)
+    val path = kv.getOrElse("test-definition-path",
+      throw new IllegalArgumentException("--test-definition-path is required"))
+    val failFast = kv.get("fail-fast").exists(_.toBoolean)
+    val extraVars = kv.collect { case (k, v) if k.startsWith("var-") => k.stripPrefix("var-") -> v }
+
+    val json = PathResolver.readString(path, new Configuration())
+    val defs = TestDefinitions.fromJson(json, extraVars)
+    val plugins = PluginRegistry.discover()
+    val results = TestRunner.runTests(defs, plugins, failFast)
+    results.foreach(r => println(r.resultLog))
+    val failed = results.count(!_.passed)
+    if (failed > 0) throw new TestsFailedException(failed, results.size)
+  }
+}
