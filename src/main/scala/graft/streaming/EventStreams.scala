@@ -101,6 +101,22 @@ object EventStreams {
       }
   }
 
+  /** Watermarked stream-stream inner join: match events from two streams
+    * by key within ±`window` of event time. Both sides need watermarks
+    * so Spark can bound the join state buffers (unbounded state is the
+    * classic stream-join OOM at scale). */
+  def streamJoin(left: DataFrame, right: DataFrame, key: String,
+      lateness: String, window: String): DataFrame = {
+    val l = left.withWatermark("ts", lateness)
+    val r = right.select(col(key).as("r_key"), col("ts").as("r_ts"),
+      col("value").as("r_value")).withWatermark("r_ts", lateness)
+    l.join(r,
+      col(key) === col("r_key") &&
+        col("r_ts") >= col("ts") - expr(s"INTERVAL $window") &&
+        col("r_ts") <= col("ts") + expr(s"INTERVAL $window"),
+      "inner")
+  }
+
   /** End-to-end streaming pipeline wiring: file/rate/memory source →
     * windowed stats → sink. Returns the started query (caller manages
     * lifecycle). Kept thin — the logic lives in the transforms above. */

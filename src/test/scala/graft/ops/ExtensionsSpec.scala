@@ -243,6 +243,30 @@ class EmbeddingLshSpec extends AnyFunSuite with SparkTestBase {
   }
 }
 
+class BucketingSpec extends AnyFunSuite with SparkTestBase {
+
+  test("same-bucketed tables join without any shuffle exchange") {
+    val a = spark.sql("SELECT CAST(id AS INT) AS k, id * 2 AS va FROM range(1000)")
+    val b = spark.sql("SELECT CAST(id AS INT) AS k, id * 3 AS vb FROM range(500)")
+    Bucketing.writeBucketed(a, "graft_buck_a", "k", 4)
+    Bucketing.writeBucketed(b, "graft_buck_b", "k", 4)
+    // disable auto-broadcast so a shuffle would otherwise be required
+    val prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try {
+      val joined = Bucketing.cololocatedJoin(spark, "graft_buck_a", "graft_buck_b", "k")
+      assert(Bucketing.isExchangeFree(joined))
+      assert(joined.count() == 500)
+      // sanity: the same join over plain (unbucketed) data DOES shuffle
+      assert(!Bucketing.isExchangeFree(a.join(b, Seq("k"))))
+    } finally {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+      spark.sql("DROP TABLE IF EXISTS graft_buck_a")
+      spark.sql("DROP TABLE IF EXISTS graft_buck_b")
+    }
+  }
+}
+
 class MultimodalSpec extends AnyFunSuite with SparkTestBase {
   import Multimodal._
 

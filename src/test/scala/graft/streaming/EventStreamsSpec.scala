@@ -92,6 +92,29 @@ class EventStreamsSpec extends AnyFunSuite with SparkTestBase {
     } finally q.stop()
   }
 
+  test("stream-stream join matches keys within the event-time window") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val lmem = MemoryStream[(Long, Timestamp, Double)]
+    val rmem = MemoryStream[(Long, Timestamp, Double)]
+    val left = lmem.toDF().toDF("user_id", "ts", "value")
+    val right = rmem.toDF().toDF("user_id", "ts", "value")
+    val q = EventStreams.streamJoin(left, right, "user_id", "0 seconds", "5 minutes")
+      .select("user_id", "value", "r_value")
+      .writeStream.format("memory").queryName("sj_out")
+      .outputMode(OutputMode.Append()).start()
+    try {
+      lmem.addData((1L, ts("2026-01-01 10:00:00"), 1.0),
+                   (2L, ts("2026-01-01 10:00:00"), 2.0))
+      rmem.addData((1L, ts("2026-01-01 10:03:00"), 10.0), // within 5 min → match
+                   (2L, ts("2026-01-01 10:30:00"), 20.0)) // outside → no match
+      q.processAllAvailable()
+      val rows = spark.table("sj_out").collect()
+      assert(rows.map(r => (r.getLong(0), r.getDouble(1), r.getDouble(2))).toSeq ==
+        Seq((1L, 1.0, 10.0)))
+    } finally q.stop()
+  }
+
   test("end-to-end readStream → transform → parquet sink round-trip") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
