@@ -150,7 +150,9 @@ object TestRunner {
   }
 }
 
-/** Fork a bash command, capture stdout (reference `BashPlugin.scala:54-70`). */
+/** Fork a bash command, capture stdout + timing (reference
+  * `BashPlugin.scala:54-70` with `calculateTime`/pretty elapsed from
+  * `HelperFunctions.scala:168-211`). */
 class BashPlugin extends Plugin {
   import scala.sys.process._
   override val name = "BashPlugin"
@@ -158,8 +160,12 @@ class BashPlugin extends Plugin {
     val cmd = td.args.getOrElse("command",
       throw new IllegalArgumentException("BashPlugin needs a 'command' arg"))
     val out = new StringBuilder
-    val code = Seq("bash", "-c", cmd) ! ProcessLogger(l => out.append(l).append('\n'), _ => ())
-    PluginResult(td.name, name, order, passed = code == 0, returnedValue = out.toString.trim)
+    val (code, elapsedMs) = graft.util.Timing.calculateTime {
+      Seq("bash", "-c", cmd) ! ProcessLogger(l => out.append(l).append('\n'), _ => ())
+    }
+    PluginResult(td.name, name, order, passed = code == 0,
+      returnedValue = out.toString.trim,
+      additionalInfo = Map("elapsed" -> graft.util.Timing.prettyElapsed(elapsedMs)))
   }
 }
 
