@@ -196,6 +196,30 @@ object SparkEntry {
         .orderBy("o_orderpriority", "month")
     }),
 
+    // ---- distinct aggregation (expand-based plan) ---------------------
+    "q14_distinct_agg" -> ((s, dir) => {
+      t(s, dir, "lineitem")
+        .groupBy("l_returnflag")
+        .agg(
+          countDistinct(col("l_partkey")).as("n_parts"),
+          countDistinct(col("l_suppkey")).as("n_supps"),
+          count(lit(1)).as("n_rows"))
+        .orderBy("l_returnflag")
+    }),
+
+    // ---- set ops beyond the reference surface: intersect + union ------
+    "q15_setops" -> ((s, dir) => {
+      val o = t(s, dir, "orders").select("o_orderkey", "o_orderstatus")
+      val highValue = t(s, dir, "orders").filter(col("o_totalprice") > 100000.0)
+        .select("o_orderkey", "o_orderstatus")
+      val urgent = t(s, dir, "orders").filter(col("o_orderpriority") === "1-URGENT")
+        .select("o_orderkey", "o_orderstatus")
+      highValue.intersect(urgent)
+        .union(o.filter(col("o_orderkey") % 1000 === 0))
+        .distinct()
+        .orderBy("o_orderkey")
+    }),
+
     // ================== §7 extensions: training-data ops ==============
 
     // ---- exact dedup by normalized-text fingerprint -------------------
@@ -391,6 +415,22 @@ object SparkEntry {
         |    ROW_NUMBER() OVER (PARTITION BY user_id
         |                       ORDER BY value DESC, event_id) AS rn
         |  FROM events) WHERE rn = 1 ORDER BY user_id""".stripMargin,
+
+    "q14_distinct_agg" ->
+      """SELECT l_returnflag,
+        |  COUNT(DISTINCT l_partkey) AS n_parts,
+        |  COUNT(DISTINCT l_suppkey) AS n_supps,
+        |  COUNT(*) AS n_rows
+        |FROM lineitem GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    "q15_setops" ->
+      """SELECT * FROM (
+        |  SELECT o_orderkey, o_orderstatus FROM orders WHERE o_totalprice > 100000.0
+        |  INTERSECT
+        |  SELECT o_orderkey, o_orderstatus FROM orders WHERE o_orderpriority = '1-URGENT'
+        |  UNION
+        |  SELECT o_orderkey, o_orderstatus FROM orders WHERE o_orderkey % 1000 = 0)
+        |ORDER BY o_orderkey""".stripMargin,
 
     "q11_diff_keyless" ->
       """WITH actual AS (

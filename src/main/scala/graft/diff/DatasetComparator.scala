@@ -86,8 +86,19 @@ class DatasetComparator(
     val refP = maybePersist(refSel)
     val actP = maybePersist(actSel)
     val keyCols = keys.map(nestedCol)
-    val (refCount, refDups) = countsAndDuplicatesBy(refP, keyCols)
-    val (actCount, actDups) = countsAndDuplicatesBy(actP, keyCols)
+    // both sides' (rowCount, dupKeyCount) in ONE union-aggregate action
+    val aliasedKeys = keyCols.zipWithIndex.map { case (c, i) => c.as(s"graft_k$i") }
+    val keyNames = keyCols.indices.map(i => col(s"graft_k$i"))
+    val keyed = refP.select(aliasedKeys :+ lit(0).as("graft_side"): _*)
+      .unionAll(actP.select(aliasedKeys :+ lit(1).as("graft_side"): _*))
+    val statsRow = keyed
+      .groupBy(col("graft_side") +: keyNames: _*).agg(count(lit(1)).as("cnt"))
+      .groupBy(col("graft_side")).agg(
+        coalesce(sum(col("cnt")), lit(0L)).as("rows"),
+        count(when(col("cnt") >= 2, 1)).as("dupKeys"))
+      .collect().map(r => r.getInt(0) -> (r.getLong(1), r.getLong(2))).toMap
+    val (refCount, refDups) = statsRow.getOrElse(0, (0L, 0L))
+    val (actCount, actDups) = statsRow.getOrElse(1, (0L, 0L))
     if (refDups > 0 || actDups > 0) {
       refP.unpersist(); actP.unpersist()
       throw new DuplicateKeysException(refDups, actDups)
@@ -146,17 +157,6 @@ class DatasetComparator(
   private def prefixedNestedCol(path: String, prefix: String): Column = {
     val parts = path.split('.')
     parts.tail.foldLeft(col("`" + prefix + "_" + parts.head + "`"))((c, p) => c.getField(p))
-  }
-
-  /** One aggregate pass: (rowCount, duplicate-key count) grouped by raw
-    * key columns. */
-  private def countsAndDuplicatesBy(df: DataFrame, keyCols: Seq[Column]): (Long, Long) = {
-    val row = df.groupBy(keyCols: _*).agg(count(lit(1)).as("cnt"))
-      .agg(
-        coalesce(sum(col("cnt")), lit(0L)).as("rows"),
-        count(when(col("cnt") >= 2, 1)).as("dupKeys"))
-      .collect()(0)
-    (row.getLong(0), row.getLong(1))
   }
 
   private def compareParity(
