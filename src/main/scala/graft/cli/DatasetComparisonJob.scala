@@ -15,12 +15,16 @@ case class CliParameters(
     out: SourceParams,
     keys: Seq[String],
     schemaPath: Option[String],
-    allowDuplicates: Boolean)
+    allowDuplicates: Boolean,
+    errColumn: String = "errCol",
+    expectedPrefix: String = "expected",
+    actualPrefix: String = "actual")
 
 object CliParametersParser {
 
   private val prefixes = Seq("ref-", "new-", "out-")
-  private val specials = Set("keys", "schema", "allow-duplicates")
+  private val specials = Set("keys", "schema", "allow-duplicates",
+    "err-column", "expected-prefix", "actual-prefix")
 
   def parse(args: Array[String]): CliParameters = {
     val kv = argsToMap(args)
@@ -45,7 +49,10 @@ object CliParametersParser {
       out = toParams(outOnly, Map("format" -> "parquet")),
       keys = kv.get("keys").map(_.split(',').toSeq.map(_.trim).filter(_.nonEmpty)).getOrElse(Nil),
       schemaPath = kv.get("schema"),
-      allowDuplicates = kv.get("allow-duplicates").exists(_.toBoolean))
+      allowDuplicates = kv.get("allow-duplicates").exists(_.toBoolean),
+      errColumn = kv.getOrElse("err-column", "errCol"),
+      expectedPrefix = kv.getOrElse("expected-prefix", "expected"),
+      actualPrefix = kv.getOrElse("actual-prefix", "actual"))
   }
 
   /** `--k v --k2 v2` pairs → map (reference `:135-137`). */
@@ -87,6 +94,9 @@ object DatasetComparisonJob {
     val actual = DataFrameIO.load(params.actual)
     val result = new DatasetComparator(ref, actual, DiffOptions(
       keys = params.keys,
+      errorColumnName = params.errColumn,
+      expectedPrefix = params.expectedPrefix,
+      actualPrefix = params.actualPrefix,
       allowDuplicates = params.allowDuplicates,
       providedSchema = providedSchema)).compare()
 

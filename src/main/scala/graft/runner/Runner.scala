@@ -79,8 +79,17 @@ object TestDefinitions {
   }
 
   private def parseOne(n: JsonNode): TestDefinition = {
+    // args may be an object ({"k": "v"}) or, as in the reference DSL, a
+    // CLI-style string array (["--k", "v", ...] → pairs; anything else →
+    // joined under "command")
     def strMap(node: JsonNode): Map[String, String] =
-      if (node == null || node.isMissingNode) Map.empty
+      if (node == null || node.isMissingNode || node.isNull) Map.empty
+      else if (node.isArray) {
+        val items = node.elements().asScala.map(_.asText()).toArray
+        if (items.headOption.exists(_.startsWith("--")))
+          graft.cli.CliParametersParser.argsToMap(items)
+        else Map("command" -> items.mkString(" "))
+      }
       else node.properties().asScala.map(e => e.getKey -> e.getValue.asText()).toMap
     TestDefinition(
       name = n.path("name").asText(),

@@ -98,6 +98,23 @@ class DatasetComparisonJobSpec extends AnyFunSuite with SparkTestBase {
     assert(e.mismatchPaths.nonEmpty)
   }
 
+  test("custom errColumn and prefixes flow from CLI to the diff output") {
+    val dir = tmp()
+    spark.sql("SELECT * FROM VALUES (1, 'a'), (2, 'b') AS t(id, v)")
+      .write.parquet(s"$dir/ref")
+    spark.sql("SELECT * FROM VALUES (1, 'a'), (2, 'X') AS t(id, v)")
+      .write.parquet(s"$dir/new")
+    val params = CliParametersParser.parse(Array(
+      "--format", "parquet",
+      "--ref-path", s"$dir/ref", "--new-path", s"$dir/new",
+      "--out-path", s"$dir/out", "--keys", "id",
+      "--err-column", "problems",
+      "--expected-prefix", "want", "--actual-prefix", "got"))
+    val r = DatasetComparisonJob.execute(params)(spark)
+    val cols = r.resultDF.get.schema.fieldNames.toSet
+    assert(cols == Set("want_id", "want_v", "got_id", "got_v", "problems"))
+  }
+
   test("collision-free output path gets a timestamp suffix") {
     val dir = tmp()
     val df = spark.sql("SELECT 1 AS id")

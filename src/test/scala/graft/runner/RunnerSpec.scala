@@ -36,6 +36,18 @@ class RunnerSpec extends AnyFunSuite {
     }
   }
 
+  test("args accepts reference-style string arrays") {
+    val defs = TestDefinitions.fromJson(
+      """{"runs": [
+        |  {"name": "cli", "order": 1, "pluginName": "Ok",
+        |   "args": ["--path", "/in", "--format", "csv"]},
+        |  {"name": "cmd", "order": 2, "pluginName": "BashPlugin",
+        |   "args": ["echo", "hi", "there"]}
+        |]}""".stripMargin)
+    assert(defs.head.args == Map("path" -> "/in", "format" -> "csv"))
+    assert(defs(1).args == Map("command" -> "echo hi there"))
+  }
+
   test("extra vars override file vars") {
     val defs = TestDefinitions.fromJson(
       """{"vars": {"v": "old"}, "runs": [

@@ -54,6 +54,25 @@ class FlattenerSpec extends AnyFunSuite with SparkTestBase {
     assert(flat.schema.fieldNames.toSeq == Seq("id"))
   }
 
+  test("flattens the reference's deepest fixture shape (FIXTURES.md §3)") {
+    // id, legs: array<struct<conditions: array<struct<checks:
+    //   array<struct<checkNums: array<string>>>>>, legid: long>>
+    val df = spark.sql(
+      """SELECT 1L AS id, array(named_struct(
+        |  'conditions', array(named_struct(
+        |    'checks', array(named_struct(
+        |      'checkNums', array('a', 'b', 'c'))))),
+        |  'legid', 7L)) AS legs""".stripMargin)
+    val flat = Flattener.flattenDataFrame(df)
+    assert(flat.schema.fieldNames.toSeq == Seq(
+      "id",
+      "legs_0_conditions_0_checks_0_checkNums_0",
+      "legs_0_conditions_0_checks_0_checkNums_1",
+      "legs_0_conditions_0_checks_0_checkNums_2",
+      "legs_0_legid"))
+    assert(flat.collect().head == Row(1L, "a", "b", "c", 7L))
+  }
+
   test("shared select list aligns two DataFrames with different array lengths") {
     val df1 = spark.sql("SELECT 1 AS id, array('p') AS tags")
     val df2 = spark.sql("SELECT 1 AS id, array('p', 'q') AS tags")
