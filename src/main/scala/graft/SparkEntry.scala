@@ -220,6 +220,11 @@ object SparkEntry {
         .orderBy("o_orderkey")
     }),
 
+    // ---- one-pass dataset profile (per-column nulls/distinct/extremes)
+    "q16_profile" -> ((s, dir) => {
+      ops.Profile.profile(t(s, dir, "orders")).orderBy("col_name")
+    }),
+
     // ================== §7 extensions: training-data ops ==============
 
     // ---- exact dedup by normalized-text fingerprint -------------------
@@ -431,6 +436,31 @@ object SparkEntry {
         |  UNION
         |  SELECT o_orderkey, o_orderstatus FROM orders WHERE o_orderkey % 1000 = 0)
         |ORDER BY o_orderkey""".stripMargin,
+
+    "q16_profile" -> {
+      def c(name: String, kind: String): String = {
+        val (minNum, maxNum) = kind match {
+          case "num" => (s"CAST(MIN($name) AS DOUBLE)", s"CAST(MAX($name) AS DOUBLE)")
+          case "ts" => (s"CAST(epoch(MIN($name)) AS DOUBLE)", s"CAST(epoch(MAX($name)) AS DOUBLE)")
+          case _ => ("NULL::DOUBLE", "NULL::DOUBLE")
+        }
+        val (minStr, maxStr) = kind match {
+          case "str" => (s"MIN($name)", s"MAX($name)")
+          case _ => ("NULL::VARCHAR", "NULL::VARCHAR")
+        }
+        s"""SELECT '$name' AS col_name, COUNT(*) AS n_rows,
+           |  COUNT(*) - COUNT($name) AS n_nulls,
+           |  COUNT(DISTINCT $name) AS n_distinct,
+           |  $minNum AS min_num, $maxNum AS max_num,
+           |  $minStr AS min_str, $maxStr AS max_str
+           |FROM orders""".stripMargin
+      }
+      Seq(
+        c("o_orderkey", "num"), c("o_custkey", "num"),
+        c("o_orderstatus", "str"), c("o_totalprice", "num"),
+        c("o_orderdate", "ts"), c("o_orderpriority", "str"))
+        .mkString("", "\nUNION ALL\n", "\nORDER BY col_name")
+    },
 
     "q11_diff_keyless" ->
       """WITH actual AS (
