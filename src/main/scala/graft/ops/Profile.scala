@@ -22,9 +22,15 @@ object Profile {
     case _ => false
   }
 
-  def profile(df: DataFrame): DataFrame = {
+  /** @param exact exact distinct counts (expand-based: multiplies the
+    *   scan by #columns — right for correctness gates). `false` switches
+    *   to HyperLogLog++ `approx_count_distinct` (single-pass, the 100 TB
+    *   default). */
+  def profile(df: DataFrame, exact: Boolean = true): DataFrame = {
     val spark = df.sparkSession
     val fields = df.schema.fields.toSeq
+    def distinctAgg(c: org.apache.spark.sql.Column) =
+      if (exact) countDistinct(c) else approx_count_distinct(c)
     val aggs = Seq(count(lit(1)).as("graft_total")) ++ fields.flatMap { f =>
       val c = col("`" + f.name + "`")
       val (minE, maxE) = f.dataType match {
@@ -40,7 +46,7 @@ object Profile {
       }
       Seq(
         count(c).as(s"${f.name}__nonnull"),
-        countDistinct(c).as(s"${f.name}__distinct"),
+        distinctAgg(c).as(s"${f.name}__distinct"),
         minE.as(s"${f.name}__min_num"), maxE.as(s"${f.name}__max_num"),
         minS.as(s"${f.name}__min_str"), maxS.as(s"${f.name}__max_str"))
     }

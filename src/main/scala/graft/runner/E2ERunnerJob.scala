@@ -30,7 +30,22 @@ object E2ERunnerJob {
     val plugins = PluginRegistry.discover()
     val results = TestRunner.runTests(defs, plugins, failFast)
     results.foreach(r => println(r.resultLog))
+    kv.get("out-path").foreach(out =>
+      PathResolver.writeString(out, resultsJson(results), new Configuration()))
     val failed = results.count(!_.passed)
     if (failed > 0) throw new TestsFailedException(failed, results.size)
+  }
+
+  /** Machine-readable run report (`--out-path`). */
+  def resultsJson(results: Seq[PluginResult]): String = {
+    def q(s: String) = "\"" + s.replace("\\", "\\\\").replace("\"", "\\\"")
+      .replace("\n", "\\n") + "\""
+    results.map { r =>
+      val extra = r.additionalInfo.toSeq.sortBy(_._1)
+        .map { case (k, v) => s"${q(k)}: ${q(v)}" }.mkString("{", ", ", "}")
+      s"""  {"test": ${q(r.testName)}, "plugin": ${q(r.pluginName)},
+         |   "order": ${r.order}, "passed": ${r.passed},
+         |   "returned": ${q(r.returnedValue)}, "additionalInfo": $extra}""".stripMargin
+    }.mkString("[\n", ",\n", "\n]")
   }
 }

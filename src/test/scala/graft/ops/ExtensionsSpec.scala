@@ -243,6 +243,33 @@ class EmbeddingLshSpec extends AnyFunSuite with SparkTestBase {
   }
 }
 
+class ProfileSpec extends AnyFunSuite with SparkTestBase {
+
+  test("exact profile reports nulls, distincts, typed extremes in one pass") {
+    val df = spark.sql(
+      """SELECT * FROM VALUES
+        | (1, 'a', 1.5D, TIMESTAMP '2026-01-01 00:00:00'),
+        | (2, 'b', -2.5D, TIMESTAMP '2026-06-01 12:00:00'),
+        | (3, NULL, 1.5D, NULL)
+        | AS t(id, s, d, ts)""".stripMargin)
+    val p = Profile.profile(df).collect().map(r => r.getString(0) -> r).toMap
+    assert(p("s").getLong(2) == 1 && p("s").getLong(3) == 2) // 1 null, 2 distinct
+    assert(p("s").getString(6) == "a" && p("s").getString(7) == "b")
+    assert(p("d").getDouble(4) == -2.5 && p("d").getDouble(5) == 1.5)
+    assert(p("ts").getDouble(4) == 1767225600.0) // 2026-01-01 UTC epoch
+    assert(p("id").getLong(3) == 3)
+  }
+
+  test("approx mode estimates distincts without the expand plan") {
+    val df = spark.range(0, 10000).toDF("id")
+      .selectExpr("id", "CAST(id % 100 AS STRING) AS bucket")
+    val p = Profile.profile(df, exact = false).collect()
+      .map(r => r.getString(0) -> r.getLong(3)).toMap
+    assert(math.abs(p("bucket") - 100) <= 5) // HLL within tolerance
+    assert(math.abs(p("id") - 10000) <= 500)
+  }
+}
+
 class BucketingSpec extends AnyFunSuite with SparkTestBase {
 
   test("same-bucketed tables join without any shuffle exchange") {
