@@ -61,7 +61,10 @@ object Similarity {
     val vecs = df.select(col(idCol).as("id"),
       col(vecCol).cast("array<double>").as("v"),
       array_to_vector(col(vecCol).cast("array<double>")).as("features"))
-    val model = new KMeans().setK(nlist).setSeed(seed).setFeaturesCol("features")
+    // few iterations suffice: cells only need to be reasonable Voronoi
+    // buckets, not converged centroids (recall comes from nprobe)
+    val model = new KMeans().setK(nlist).setSeed(seed).setMaxIter(8)
+      .setFeaturesCol("features")
       .fit(vecs.select("features"))
     val assigned = model.transform(vecs)
       .select(col("id"), col("v"), col("prediction").as("cell"))
