@@ -225,6 +225,26 @@ object SparkEntry {
       ops.Profile.profile(t(s, dir, "orders")).orderBy("col_name")
     }),
 
+    // ---- rollup (hierarchical subtotals + grand total) ----------------
+    "q17_rollup" -> ((s, dir) => {
+      t(s, dir, "lineitem")
+        .rollup("l_returnflag", "l_linestatus")
+        .agg(
+          sum(col("l_quantity").cast("decimal(18,2)")).cast("double").as("sum_qty"),
+          count(lit(1)).as("n_rows"))
+        .orderBy(col("l_returnflag").asc_nulls_last,
+          col("l_linestatus").asc_nulls_last)
+    }),
+
+    // ---- pivot via conditional aggregation ----------------------------
+    "q18_pivot" -> ((s, dir) => {
+      t(s, dir, "lineitem")
+        .groupBy("l_linestatus")
+        .pivot("l_returnflag", Seq("A", "N", "R"))
+        .agg(sum(col("l_quantity").cast("decimal(18,2)")).cast("double"))
+        .orderBy("l_linestatus")
+    }),
+
     // ================== §7 extensions: training-data ops ==============
 
     // ---- exact dedup by normalized-text fingerprint -------------------
@@ -436,6 +456,23 @@ object SparkEntry {
         |  UNION
         |  SELECT o_orderkey, o_orderstatus FROM orders WHERE o_orderkey % 1000 = 0)
         |ORDER BY o_orderkey""".stripMargin,
+
+    "q17_rollup" ->
+      """SELECT l_returnflag, l_linestatus,
+        |  CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
+        |  COUNT(*) AS n_rows
+        |FROM lineitem GROUP BY ROLLUP (l_returnflag, l_linestatus)
+        |ORDER BY l_returnflag NULLS LAST, l_linestatus NULLS LAST""".stripMargin,
+
+    "q18_pivot" ->
+      """SELECT l_linestatus,
+        |  CAST(SUM(CAST(l_quantity AS DECIMAL(18,2)))
+        |    FILTER (WHERE l_returnflag = 'A') AS DOUBLE) AS "A",
+        |  CAST(SUM(CAST(l_quantity AS DECIMAL(18,2)))
+        |    FILTER (WHERE l_returnflag = 'N') AS DOUBLE) AS "N",
+        |  CAST(SUM(CAST(l_quantity AS DECIMAL(18,2)))
+        |    FILTER (WHERE l_returnflag = 'R') AS DOUBLE) AS "R"
+        |FROM lineitem GROUP BY l_linestatus ORDER BY l_linestatus""".stripMargin,
 
     "q16_profile" -> {
       def c(name: String, kind: String): String = {
