@@ -65,6 +65,43 @@ object OracleSql {
        |  ELSE ${dot(a, b)} / (sqrt(${dot(a, a)}) * sqrt(${dot(b, b)}))
        |  END)""".stripMargin
 
+  /** Full MinHash-LSH near-dup-pairs pipeline over an `aug(doc_id, text)`
+    * CTE body — mirrors Dedup.minhashLshPairs stage for stage: exact-dup
+    * pre-collapse (min id per normalized-text fingerprint), signatures,
+    * banding, the oversized-bucket cap, candidate self-join, exact-
+    * Jaccard verification. */
+  def minhashLshPairs(augSql: String, k: Int, bands: Int,
+      shingleSize: Int, tau: Double, maxBucket: Int): String = {
+    val r = k / bands
+    val sig = minhashSig("text", k, shingleSize)
+    val bandKeys = (0 until bands).map { b =>
+      s"md5(array_to_string(list_transform(sig[${b * r + 1}:${b * r + r}], x -> x::VARCHAR), '|'))"
+    }.mkString("[", ",\n   ", "]")
+    s"""WITH aug AS ($augSql),
+       |reps AS (
+       |  SELECT MIN(doc_id) AS doc_id, arg_min(text, doc_id) AS text
+       |  FROM aug GROUP BY md5(${norm("text")})),
+       |sigs AS (SELECT doc_id, text, $sig AS sig FROM reps),
+       |banded AS (
+       |  SELECT doc_id, unnest($bandKeys) AS bucket,
+       |         unnest(range(0, $bands)) AS band
+       |  FROM sigs),
+       |capped AS (
+       |  SELECT * FROM (
+       |    SELECT *, COUNT(*) OVER (PARTITION BY band, bucket) AS bucket_sz
+       |    FROM banded) WHERE bucket_sz <= $maxBucket),
+       |cands AS (
+       |  SELECT DISTINCT l.doc_id AS id1, r.doc_id AS id2
+       |  FROM capped l JOIN capped r
+       |    ON l.band = r.band AND l.bucket = r.bucket AND l.doc_id < r.doc_id)
+       |SELECT id1, id2, ${jaccard("a.text", "b.text", shingleSize)} AS jaccard
+       |FROM cands
+       |JOIN reps a ON a.doc_id = id1
+       |JOIN reps b ON b.doc_id = id2
+       |WHERE ${jaccard("a.text", "b.text", shingleSize)} >= $tau
+       |ORDER BY id1, id2""".stripMargin
+  }
+
   /** stopword-hit count for one language over normalized tokens. */
   def stopwordHits(e: String, lang: String): String = {
     val words = graft.functions.TextFunctions.stopwords(lang)

@@ -317,6 +317,23 @@ object SparkEntry {
         .orderBy("id1", "id2")
     }),
 
+    // ---- LSH scale guards under a pathological exact-dup cluster: 5000
+    // verbatim copies of one doc collapse to ONE representative before
+    // banding (candidates stay O(cluster), not O(cluster²)); oversized
+    // buckets are dropped by the maxBucket cap -----------------------------
+    "d8_lsh_dupcluster" -> ((s, dir) => {
+      val docs = t(s, dir, "documents").select(col("doc_id"), col("text"))
+      val d0 = docs.filter(col("doc_id") === 0)
+      val clones = d0.crossJoin(s.range(5000).toDF("i"))
+        .select((col("i") + 2000000).as("doc_id"), col("text"))
+      val near = d0.select(lit(3000000L).as("doc_id"),
+        concat(col("text"), lit(" zzz tail")).as("text"))
+      val aug = docs.unionAll(clones).unionAll(near)
+      ops.Dedup.minhashLshPairs(aug, "doc_id", "text",
+          k = 12, bands = 6, shingleSize = 3, tau = 0.5, maxBucket = 50)
+        .orderBy("id1", "id2")
+    }),
+
     // ---- IVF approximate nearest neighbors (no SQL oracle: KMeans
     // index; recall vs brute force is spec-verified) --------------------
     "e3_ann_ivf" -> ((s, dir) => {
@@ -541,15 +558,22 @@ object SparkEntry {
          |  UNION ALL
          |  SELECT doc_id + 1000000 AS doc_id, text || ' zzz' AS text
          |  FROM documents WHERE doc_id % 50 = 0),
-         |sims AS (SELECT doc_id, $sim AS sim FROM aug),
+         |reps AS (
+         |  SELECT MIN(doc_id) AS doc_id, arg_min(text, doc_id) AS text
+         |  FROM aug GROUP BY md5(${OracleSql.norm("text")})),
+         |sims AS (SELECT doc_id, $sim AS sim FROM reps),
          |banded AS (
          |  SELECT doc_id, sim, unnest($chunkKeys) AS key,
          |         unnest(range(0, 4)) AS chunk
          |  FROM sims),
+         |capped AS (
+         |  SELECT * FROM (
+         |    SELECT *, COUNT(*) OVER (PARTITION BY chunk, key) AS bucket_sz
+         |    FROM banded) WHERE bucket_sz <= 1000),
          |cands AS (
          |  SELECT DISTINCT l.doc_id AS id1, r.doc_id AS id2,
          |         CAST(bit_count(xor(l.sim, r.sim)) AS INTEGER) AS hamming
-         |  FROM banded l JOIN banded r
+         |  FROM capped l JOIN capped r
          |    ON l.chunk = r.chunk AND l.key = r.key AND l.doc_id < r.doc_id)
          |SELECT id1, id2, hamming FROM cands WHERE hamming <= 3
          |ORDER BY id1, id2""".stripMargin
@@ -603,33 +627,22 @@ object SparkEntry {
       s"""SELECT doc_id, ${OracleSql.simhash("text")} AS sim
          |FROM documents ORDER BY doc_id""".stripMargin,
 
-    "d6_lsh_pairs" -> {
-      val k = 12; val bands = 6; val r = 2
-      val sig = OracleSql.minhashSig("text", k, 3)
-      val bandKeys = (0 until bands).map { b =>
-        s"md5(array_to_string(list_transform(sig[${b * r + 1}:${b * r + r}], x -> x::VARCHAR), '|'))"
-      }.mkString("[", ",\n   ", "]")
-      s"""WITH aug AS (
-         |  SELECT doc_id, text FROM documents
-         |  UNION ALL
-         |  SELECT doc_id + 1000000 AS doc_id, text || ' zzz extra suffix' AS text
-         |  FROM documents WHERE doc_id % 50 = 0),
-         |sigs AS (SELECT doc_id, text, $sig AS sig FROM aug),
-         |banded AS (
-         |  SELECT doc_id, text, unnest($bandKeys) AS bucket,
-         |         unnest(range(0, $bands)) AS band
-         |  FROM sigs),
-         |cands AS (
-         |  SELECT DISTINCT l.doc_id AS id1, r.doc_id AS id2
-         |  FROM banded l JOIN banded r
-         |    ON l.band = r.band AND l.bucket = r.bucket AND l.doc_id < r.doc_id)
-         |SELECT id1, id2, ${OracleSql.jaccard("a.text", "b.text", 3)} AS jaccard
-         |FROM cands
-         |JOIN aug a ON a.doc_id = id1
-         |JOIN aug b ON b.doc_id = id2
-         |WHERE ${OracleSql.jaccard("a.text", "b.text", 3)} >= 0.5
-         |ORDER BY id1, id2""".stripMargin
-    },
+    "d6_lsh_pairs" -> OracleSql.minhashLshPairs(
+      """SELECT doc_id, text FROM documents
+        |  UNION ALL
+        |  SELECT doc_id + 1000000 AS doc_id, text || ' zzz extra suffix' AS text
+        |  FROM documents WHERE doc_id % 50 = 0""".stripMargin,
+      k = 12, bands = 6, shingleSize = 3, tau = 0.5, maxBucket = 1000),
+
+    "d8_lsh_dupcluster" -> OracleSql.minhashLshPairs(
+      """SELECT doc_id, text FROM documents
+        |  UNION ALL
+        |  SELECT 2000000 + i AS doc_id, text
+        |  FROM documents, range(5000) AS t(i) WHERE doc_id = 0
+        |  UNION ALL
+        |  SELECT 3000000 AS doc_id, text || ' zzz tail' AS text
+        |  FROM documents WHERE doc_id = 0""".stripMargin,
+      k = 12, bands = 6, shingleSize = 3, tau = 0.5, maxBucket = 50),
 
     "e1_cos_topk" -> {
       val cos = OracleSql.cosine("v", "q")

@@ -2,6 +2,7 @@ package graft.ops
 
 import graft.functions.TextFunctions._
 import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Deduplication operators for large-scale corpora (SURVEY.md §7).
@@ -42,6 +43,38 @@ object Dedup {
     transform(seeds, seed => array_min(transform(hashes, h => h.bitwiseXOR(seed))))
   }
 
+  /** Collapse exact duplicates to one representative per distinct
+    * normalized text: (min id, that row's text). This is the guard that
+    * keeps every LSH bucket self-join below O(copies²) — a real crawl
+    * corpus has million-copy exact-duplicate clusters that land in ONE
+    * (band, bucket) and would otherwise emit ~10¹² candidate pairs.
+    * One hash-shuffle on the md5 fingerprint; `min_by` keeps the pick
+    * deterministic (ids are unique). Cluster membership itself is the
+    * [[exact]] operator's output — compose the two to expand pairs back
+    * to ids when needed. */
+  private[graft] def collapseExactText(
+      df: DataFrame, idCol: String, textCol: String): DataFrame =
+    df.select(fingerprint(col(textCol)).as("fp"),
+        col(idCol).cast("long").as("doc_id"), col(textCol).as("text"))
+      .groupBy("fp")
+      .agg(min(col("doc_id")).as("doc_id"),
+        min_by(col("text"), col("doc_id")).as("text"))
+      .select("doc_id", "text")
+
+  /** Drop rows belonging to oversized bucket groups (standard LSH
+    * practice): a bucket with more than `maxBucket` *distinct* texts is
+    * a degenerate collision (templated boilerplate), and its true
+    * near-dups are still found through their other, smaller bands.
+    * The window count shuffles on the same keys the candidate join uses,
+    * so the exchange is reused — no extra shuffle at scale. */
+  private def capBuckets(
+      banded: DataFrame, keys: Seq[String], maxBucket: Int): DataFrame = {
+    val w = Window.partitionBy(keys.map(col): _*)
+    banded.withColumn("bucket_sz", count(lit(1)).over(w))
+      .filter(col("bucket_sz") <= maxBucket)
+      .drop("bucket_sz")
+  }
+
   /** Exact word-shingle Jaccard between two texts. */
   def jaccard(a: Column, b: Column, shingleSize: Int): Column = {
     val sa = array_distinct(wordShingles(a, shingleSize))
@@ -54,12 +87,15 @@ object Dedup {
     * shingle → minhash signature → band buckets → bucket self-join →
     * exact-Jaccard verification.
     *
-    * Physical shape at scale: explode produces `bands` rows per doc keyed
-    * by (band, md5(signature slice)); the self-join shuffles on that
-    * bucket key (collision groups are tiny unless docs are true dups);
-    * verification joins text back by id. No driver-side state.
+    * Physical shape at scale: exact duplicates are collapsed FIRST (see
+    * [[collapseExactText]] — the guard against million-copy clusters);
+    * explode produces `bands` rows per representative keyed by
+    * (band, md5(signature slice)); oversized buckets are dropped
+    * ([[capBuckets]]); the self-join shuffles on the bucket key;
+    * verification joins shingle sets back by id. No driver-side state.
     *
-    * @return columns (id1, id2, jaccard) with id1 < id2, jaccard >= tau
+    * @return columns (id1, id2, jaccard) with id1 < id2, jaccard >= tau;
+    *         ids are exact-dup representatives (min id per distinct text)
     */
   def minhashLshPairs(
       df: DataFrame,
@@ -68,43 +104,11 @@ object Dedup {
       k: Int = 12,
       bands: Int = 3,
       shingleSize: Int = 3,
-      tau: Double = 0.6): DataFrame = {
-    require(k % bands == 0, "k must divide into equal bands")
-    val r = k / bands
-
-    // Stage 1 — tokenize ONCE, shingle ONCE, hash each DISTINCT shingle
-    // ONCE (min-hash is duplicate-invariant), materialized by persist().
-    // Chained selects keep each expensive lambda single-evaluation, and
-    // the persist barrier stops Catalyst from re-inlining the hashing
-    // into every downstream consumer (k seed lambdas × banding × two
-    // verification joins ≈ 30-50× redundant hashing otherwise — the
-    // difference between minutes and seconds at sf0.1 and between
-    // feasible and not at 100 TB).
-    val hashed = df
-      .select(col(idCol).as("doc_id"), tokens(col(textCol)).as("toks"))
-      .select(col("doc_id"),
-        array_distinct(shinglesFromTokens(col("toks"), shingleSize)).as("sh"))
-      .select(col("doc_id"), col("sh"),
-        transform(col("sh"), s => h64(s)).as("hashes"))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-
-    // Stage 2 — signatures are cheap integer folds over the cached arrays.
-    val seeds = minhashSeeds(k)
-    val withSig = hashed.select(col("doc_id"), col("sh"),
-      array(seeds.map(seed =>
-        array_min(transform(col("hashes"), h => h.bitwiseXOR(lit(seed))))): _*).as("sig"))
-
-    val banded = withSig.select(
-      col("doc_id"),
-      posexplode(transform(sequence(lit(0), lit(bands - 1)),
-        b => md5(concat_ws("|", transform(slice(col("sig"), b * r + 1, lit(r)),
-          x => x.cast("string")))))).as(Seq("band", "bucket")))
-
-    val l = banded.select(col("band"), col("bucket"), col("doc_id").as("id1"))
-    val rgt = banded.select(col("band"), col("bucket"), col("doc_id").as("id2"))
-    val candidates = l.join(rgt, Seq("band", "bucket"))
-      .filter(col("id1") < col("id2"))
-      .select("id1", "id2").distinct()
+      tau: Double = 0.6,
+      maxBucket: Int = 1000): DataFrame = {
+    val hashed = minhashHashed(df, idCol, textCol, shingleSize)
+    val candidates =
+      minhashCandidatesFromHashed(hashed, k, bands, maxBucket)
 
     // Verification reuses the cached distinct-shingle sets — no re-
     // shingling, no text shuffle.
@@ -116,6 +120,63 @@ object Dedup {
         (size(array_intersect(col("s1"), col("s2"))).cast("double") /
           size(array_union(col("s1"), col("s2"))).cast("double")).as("jaccard"))
       .filter(col("jaccard") >= tau)
+  }
+
+  /** Candidate pairs only (collapse → sign → band → cap → self-join),
+    * exposed so specs can assert the candidate count stays O(cluster)
+    * — not O(cluster²) — under a pathological exact-dup cluster. */
+  private[graft] def minhashCandidates(
+      df: DataFrame,
+      idCol: String,
+      textCol: String,
+      k: Int,
+      bands: Int,
+      shingleSize: Int,
+      maxBucket: Int): DataFrame =
+    minhashCandidatesFromHashed(
+      minhashHashed(df, idCol, textCol, shingleSize), k, bands, maxBucket)
+
+  /** Stage 1 — collapse exact dups, then tokenize ONCE, shingle ONCE,
+    * hash each DISTINCT shingle ONCE (min-hash is duplicate-invariant),
+    * materialized by persist(). Chained selects keep each expensive
+    * lambda single-evaluation, and the persist barrier stops Catalyst
+    * from re-inlining the hashing into every downstream consumer
+    * (k seed lambdas × banding × two verification joins ≈ 30-50×
+    * redundant hashing otherwise — the difference between minutes and
+    * seconds at sf0.1 and between feasible and not at 100 TB). */
+  private def minhashHashed(
+      df: DataFrame, idCol: String, textCol: String, shingleSize: Int): DataFrame =
+    collapseExactText(df, idCol, textCol)
+      .select(col("doc_id"), tokens(col("text")).as("toks"))
+      .select(col("doc_id"),
+        array_distinct(shinglesFromTokens(col("toks"), shingleSize)).as("sh"))
+      .select(col("doc_id"), col("sh"),
+        transform(col("sh"), s => h64(s)).as("hashes"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+
+  private def minhashCandidatesFromHashed(
+      hashed: DataFrame, k: Int, bands: Int, maxBucket: Int): DataFrame = {
+    require(k % bands == 0, "k must divide into equal bands")
+    val r = k / bands
+
+    // Stage 2 — signatures are cheap integer folds over the cached arrays.
+    val seeds = minhashSeeds(k)
+    val withSig = hashed.select(col("doc_id"),
+      array(seeds.map(seed =>
+        array_min(transform(col("hashes"), h => h.bitwiseXOR(lit(seed))))): _*).as("sig"))
+
+    val banded = capBuckets(withSig.select(
+      col("doc_id"),
+      posexplode(transform(sequence(lit(0), lit(bands - 1)),
+        b => md5(concat_ws("|", transform(slice(col("sig"), b * r + 1, lit(r)),
+          x => x.cast("string")))))).as(Seq("band", "bucket"))),
+      Seq("band", "bucket"), maxBucket)
+
+    val l = banded.select(col("band"), col("bucket"), col("doc_id").as("id1"))
+    val rgt = banded.select(col("band"), col("bucket"), col("doc_id").as("id2"))
+    l.join(rgt, Seq("band", "bucket"))
+      .filter(col("id1") < col("id2"))
+      .select("id1", "id2").distinct()
   }
 
   /** All-pairs exact n-gram Jaccard within a blocking column (for bounded
@@ -138,21 +199,38 @@ object Dedup {
 
   /** SimHash near-dup pairs: 60-bit simhash, banded into `chunks` bit
     * ranges (pigeonhole: hamming <= chunks-1 implies >= 1 equal chunk),
-    * candidates verified by exact hamming distance. */
+    * candidates verified by exact hamming distance. Exact duplicates are
+    * collapsed first and oversized (chunk, key) buckets dropped — same
+    * scale guards as [[minhashLshPairs]] (15-bit chunk keys collide
+    * broadly on templated text). Ids in the output are exact-dup
+    * representatives; hamming-0 pairs between DISTINCT texts are kept. */
   def simhashPairs(
       df: DataFrame,
       idCol: String,
       textCol: String,
-      maxHamming: Int = 3): DataFrame = {
+      maxHamming: Int = 3,
+      maxBucket: Int = 1000): DataFrame =
+    simhashCandidates(df, idCol, textCol, maxHamming, maxBucket)
+      .filter(col("hamming") <= maxHamming)
+
+  /** Candidate pairs with exact hamming, pre-threshold (spec hook). */
+  private[graft] def simhashCandidates(
+      df: DataFrame,
+      idCol: String,
+      textCol: String,
+      maxHamming: Int,
+      maxBucket: Int): DataFrame = {
     val chunks = maxHamming + 1 // pigeonhole guarantee
     val bitsPer = 60 / chunks
-    val sim = df.select(col(idCol).as("doc_id"),
-      graft.functions.simhash60(tokens(col(textCol))).as("sim"))
+    val sim = collapseExactText(df, idCol, textCol)
+      .select(col("doc_id"), graft.functions.simhash60(tokens(col("text"))).as("sim"))
 
     val chunkKeys = (0 until chunks).map(c =>
       shiftright(col("sim"), c * bitsPer).bitwiseAND(lit((1L << bitsPer) - 1)))
-    val banded = sim.select(col("doc_id"), col("sim"),
-      posexplode(array(chunkKeys: _*)).as(Seq("chunk", "key")))
+    val banded = capBuckets(
+      sim.select(col("doc_id"), col("sim"),
+        posexplode(array(chunkKeys: _*)).as(Seq("chunk", "key"))),
+      Seq("chunk", "key"), maxBucket)
 
     val l = banded.select(col("chunk"), col("key"), col("doc_id").as("id1"), col("sim").as("sim1"))
     val r = banded.select(col("chunk"), col("key"), col("doc_id").as("id2"), col("sim").as("sim2"))
@@ -161,7 +239,6 @@ object Dedup {
       .select(col("id1"), col("id2"),
         bit_count(col("sim1").bitwiseXOR(col("sim2"))).as("hamming"))
       .distinct()
-      .filter(col("hamming") <= maxHamming)
   }
 
   /** Embedding near-dup pairs at scale: hyperplane-LSH bucket join →
@@ -176,9 +253,18 @@ object Dedup {
       vecCol: String,
       dim: Int,
       bits: Int = 12,
-      tau: Double = 0.95): DataFrame = {
-    val bucketed = Similarity.hyperplaneBuckets(df, idCol, vecCol, bits, dim)
-      .withColumn("nrm", sqrt(Similarity.dot(col("v"), col("v"))))
+      tau: Double = 0.95,
+      maxBucket: Int = 1000): DataFrame = {
+    // collapse bit-identical vectors to their min id (the embedding
+    // analogue of the exact-text pre-collapse: re-encoded copies of one
+    // document share a vector and would otherwise self-join O(copies²))
+    val distinctVecs = df
+      .select(col(idCol).cast("long").as("id"), col(vecCol).cast("array<double>").as("v"))
+      .groupBy("v").agg(min(col("id")).as("id"))
+    val bucketed = capBuckets(
+      Similarity.hyperplaneBuckets(distinctVecs, "id", "v", bits, dim)
+        .withColumn("nrm", sqrt(Similarity.dot(col("v"), col("v")))),
+      Seq("bucket"), maxBucket)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val a = bucketed.select(col("bucket"), col("id").as("id1"), col("v").as("v1"), col("nrm").as("n1"))
     val b = bucketed.select(col("bucket"), col("id").as("id2"), col("v").as("v2"), col("nrm").as("n2"))

@@ -71,18 +71,46 @@ class DedupSpec extends AnyFunSuite with SparkTestBase {
   test("minhash LSH finds near-duplicates and skips unrelated text") {
     val pairs = Dedup.minhashLshPairs(docs, "doc_id", "text", k = 12, bands = 6,
       shingleSize = 3, tau = 0.5)
-      .select("id1", "id2").collect().map(r => (r.getInt(0), r.getInt(1))).toSet
-    assert(pairs.contains((0, 1))) // identical
-    assert(pairs.contains((0, 2))) // case difference only
-    assert(pairs.contains((0, 4)) || pairs.contains((1, 4)) || pairs.contains((2, 4))) // one-word change
+      .select("id1", "id2").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    // 0,1,2 normalize identically → pre-collapsed to representative 0
+    assert(!pairs.exists(p => Set(p._1, p._2).intersect(Set(1L, 2L)).nonEmpty))
+    assert(pairs.contains((0L, 4L))) // one-word change, found via the representative
     assert(!pairs.exists(p => p._1 == 3 || p._2 == 3)) // unrelated doc never pairs
   }
 
   test("simhash pairs finds low-hamming near-dups only") {
     val pairs = Dedup.simhashPairs(docs, "doc_id", "text", maxHamming = 6)
-      .select("id1", "id2").collect().map(r => (r.getInt(0), r.getInt(1))).toSet
-    assert(pairs.contains((0, 1)))
+      .select("id1", "id2").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(pairs.contains((0L, 4L))) // hamming 5, colliding chunk
+    assert(!pairs.exists(p => Set(p._1, p._2).intersect(Set(1L, 2L)).nonEmpty)) // collapsed
     assert(!pairs.exists(p => p._1 == 3 || p._2 == 3))
+  }
+
+  test("exact-dup pre-collapse keeps LSH candidates O(cluster), not O(cluster squared)") {
+    import spark.implicits._
+    val base = (0 until 20).map(i =>
+      (i.toLong, s"unique document number $i carrying distinctive words ${i * 7} plus ${i * 13} end"))
+    val clones = (0 until 5000).map(i => (10000L + i, base.head._2)) // one giant exact-dup cluster
+    val near = Seq((99999L, base.head._2 + " tail"))
+    val corpus = (base ++ clones ++ near).toDF("doc_id", "text")
+
+    val nCands = Dedup.minhashCandidates(corpus, "doc_id", "text",
+      k = 12, bands = 6, shingleSize = 3, maxBucket = 1000).count()
+    // 5001 copies collapse to ONE representative pre-banding: candidates are
+    // bounded by pairs among the 21 distinct texts (≤ 210), not ~12.5M
+    assert(nCands <= 210, s"candidate blowup: $nCands")
+
+    val pairs = Dedup.minhashLshPairs(corpus, "doc_id", "text",
+      k = 12, bands = 6, shingleSize = 3, tau = 0.5)
+      .select("id1", "id2").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(pairs.contains((0L, 99999L))) // near-dup of the cluster still found
+  }
+
+  test("oversized buckets are dropped by the maxBucket cap") {
+    assert(Dedup.minhashCandidates(docs, "doc_id", "text",
+      k = 12, bands = 6, shingleSize = 3, maxBucket = 0).count() == 0)
+    assert(Dedup.simhashCandidates(docs, "doc_id", "text",
+      maxHamming = 6, maxBucket = 0).count() == 0)
   }
 
   test("blocked jaccard pairs computes exact overlap") {
@@ -236,9 +264,9 @@ class EmbeddingLshSpec extends AnyFunSuite with SparkTestBase {
         | AS t(id, vec)""".stripMargin)
     val pairs = graft.ops.Dedup.embeddingLshPairs(emb, "id", "vec", dim = 4,
       bits = 12, tau = 0.999)
-      .select("id1", "id2").collect().map(r => (r.getInt(0), r.getInt(1))).toSet
-    assert(pairs.contains((0, 1)))
-    assert(pairs.contains((0, 3)) || pairs.contains((1, 3))) // colinear → cos 1.0
+      .select("id1", "id2").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(pairs.contains((0L, 1L)))
+    assert(pairs.contains((0L, 3L)) || pairs.contains((1L, 3L))) // colinear → cos 1.0
     assert(!pairs.exists(p => p._1 == 2 || p._2 == 2))
   }
 }
