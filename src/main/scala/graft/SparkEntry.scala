@@ -334,25 +334,30 @@ object SparkEntry {
         .orderBy("id1", "id2")
     }),
 
-    // ---- IVF approximate nearest neighbors (no SQL oracle: KMeans
-    // index; recall vs brute force is spec-verified) --------------------
+    // ---- IVF approximate nearest neighbors, deterministic seeded
+    // variant (centroids = vectors of ids 0..7) so the full index →
+    // probe → top-k path has an exact DuckDB oracle; the KMeans variant
+    // is recall-tested in the spec ------------------------------------
     "e3_ann_ivf" -> ((s, dir) => {
       val emb = t(s, dir, "embeddings")
-      val idx = ops.Similarity.ivfIndex(emb, "vec_id", "embedding", nlist = 8)
+      val idx = ops.Similarity.ivfIndexSeeded(emb, "vec_id", "embedding", nlist = 8)
       val q = emb.filter(col("vec_id") === 1)
         .select(col("embedding").cast("array<double>")).collect()(0)
         .getAs[scala.collection.Seq[Double]](0).toArray
       idx.search(q, k = 10, nprobe = 4)
     }),
 
-    // ---- multimodal plumbing: binary payloads + batched decode (rows-
-    // only: the decode step is a deterministic stub, plumbing is real) --
+    // ---- multimodal: real payloads (ImageIO png/jpeg, RIFF wav) decoded
+    // by real JDK codecs; lossless formats (png gray levels, wav PCM)
+    // have exact formula oracles, jpeg pixel stats are lossy → nulled ----
     "m1_media_features" -> ((s, dir) => {
       val media = ops.Multimodal.syntheticMedia(
         t(s, dir, "documents").select("doc_id"), "doc_id")(s)
       ops.Multimodal.extractFeatures(media).toDF()
-        .select(col("media_id"), col("format"), col("n_bytes"),
-          round(element_at(col("features"), 1), 4).as("f0"))
+        .select(col("media_id"), col("format"), col("width"), col("height"),
+          col("duration_ms"),
+          when(col("format") === "jpeg", lit(null).cast("double"))
+            .otherwise(col("mean_val")).as("mean_val"))
         .orderBy("media_id")
     }),
 
@@ -643,6 +648,58 @@ object SparkEntry {
         |  SELECT 3000000 AS doc_id, text || ' zzz tail' AS text
         |  FROM documents WHERE doc_id = 0""".stripMargin,
       k = 12, bands = 6, shingleSize = 3, tau = 0.5, maxBucket = 50),
+
+    "m1_media_features" ->
+      """WITH xs AS (SELECT x FROM range(0, 64) t(x)),
+        |ys AS (SELECT y FROM range(0, 48) t(y)),
+        |ss AS (SELECT i FROM range(0, 808) t(i)),
+        |img AS (
+        |  SELECT doc_id,
+        |    CAST(SUM((x * 7 + y * 13 + doc_id * 31) % 256) AS DOUBLE)
+        |      / ((doc_id % 64 + 1) * (doc_id % 48 + 1)) AS mean_val
+        |  FROM documents, xs, ys
+        |  WHERE doc_id % 3 = 0 AND x < doc_id % 64 + 1 AND y < doc_id % 48 + 1
+        |  GROUP BY doc_id),
+        |wav AS (
+        |  SELECT doc_id,
+        |    CAST(SUM((doc_id * 31 + i * 17) % 65536 - 32768) AS DOUBLE)
+        |      / (doc_id % 800 + 8) AS mean_val
+        |  FROM documents, ss
+        |  WHERE doc_id % 3 = 2 AND i < doc_id % 800 + 8
+        |  GROUP BY doc_id)
+        |SELECT d.doc_id AS media_id,
+        |  CASE d.doc_id % 3 WHEN 0 THEN 'png' WHEN 1 THEN 'jpeg' ELSE 'wav' END AS format,
+        |  CASE WHEN d.doc_id % 3 = 2 THEN 0 ELSE CAST(d.doc_id % 64 + 1 AS INT) END AS width,
+        |  CASE WHEN d.doc_id % 3 = 2 THEN 0 ELSE CAST(d.doc_id % 48 + 1 AS INT) END AS height,
+        |  CAST(CASE WHEN d.doc_id % 3 = 2
+        |            THEN (d.doc_id % 800 + 8) * 1000 // 8000 ELSE 0 END AS BIGINT)
+        |    AS duration_ms,
+        |  COALESCE(img.mean_val, wav.mean_val) AS mean_val
+        |FROM documents d
+        |LEFT JOIN img ON img.doc_id = d.doc_id
+        |LEFT JOIN wav ON wav.doc_id = d.doc_id
+        |ORDER BY media_id""".stripMargin,
+
+    "e3_ann_ivf" -> {
+      val nlist = 8; val nprobe = 4; val k = 10
+      s"""WITH c AS (SELECT vec_id AS cid, CAST(embedding AS DOUBLE[]) AS cv
+         |           FROM embeddings WHERE vec_id < $nlist),
+         |v AS (SELECT vec_id AS id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+         |q AS (SELECT CAST(embedding AS DOUBLE[]) AS q FROM embeddings WHERE vec_id = 1),
+         |assigned AS (
+         |  SELECT id, v, cid AS cell FROM (
+         |    SELECT id, v, cid,
+         |      ROW_NUMBER() OVER (PARTITION BY id ORDER BY cs DESC, cid) AS rn
+         |    FROM (SELECT id, v, cid, ${OracleSql.cosine("v", "cv")} AS cs
+         |          FROM v CROSS JOIN c)) WHERE rn = 1),
+         |probes AS (
+         |  SELECT cid FROM (SELECT cid, ${OracleSql.cosine("q", "cv")} AS cs
+         |                   FROM c CROSS JOIN q)
+         |  ORDER BY cs DESC, cid LIMIT $nprobe)
+         |SELECT id, ${OracleSql.cosine("v", "q")} AS cos
+         |FROM assigned, q WHERE cell IN (SELECT cid FROM probes)
+         |ORDER BY cos DESC, id LIMIT $k""".stripMargin
+    },
 
     "e1_cos_topk" -> {
       val cos = OracleSql.cosine("v", "q")

@@ -6,12 +6,15 @@ import org.apache.spark.sql.functions._
 /** Multimodal column plumbing (SURVEY.md §7): image/audio/video travel
   * as opaque `binary` columns next to a typed metadata struct; decode /
   * feature-extraction runs batched per partition (the Scala analogue of
-  * `mapInPandas`), so a real decoder (JNI/FFI image lib) drops in behind
-  * [[MediaCodec.decodeBatch]] without touching the Spark plumbing.
+  * `mapInPandas`), so heavier decoders (JNI/FFI video libs) drop in
+  * behind [[MediaCodec.decodeBatch]] without touching the Spark plumbing.
   *
-  * The decode step itself is a DETERMINISTIC STUB — this container has
-  * no image/audio libraries — but the schema, partitioning, batch shape
-  * and executor-side lifecycle are real and tested.
+  * The decoders are REAL and JDK-only: `javax.imageio` for png/jpeg
+  * (dimensions + grayscale pixel statistics) and a RIFF chunk parse for
+  * wav (sample rate, duration, PCM sample statistics). PNG and WAV are
+  * lossless, so their decoded statistics are exactly reproducible from
+  * the generator formulas — giving the pipeline a DuckDB oracle. JPEG is
+  * lossy: dimensions are exact, pixel stats are codec-dependent.
   */
 object Multimodal {
 
@@ -20,44 +23,141 @@ object Multimodal {
 
   case class MediaRecord(media_id: Long, content: Array[Byte], meta: MediaMeta)
 
+  /** Decoded per-asset features: dimensions for images, duration for
+    * audio, and the mean decoded value (gray level / PCM sample). */
   case class MediaFeatures(media_id: Long, format: String, n_bytes: Int,
-      features: Array[Float])
+      width: Int, height: Int, duration_ms: Long, mean_val: Double)
 
-  /** Batch "decoder". STUB: derives a deterministic 8-float feature
-    * vector from the payload bytes instead of decoding pixels/samples.
-    * A real implementation would decode the whole batch in one native
-    * call — which is exactly why the interface is batch-in/batch-out. */
+  /** Deterministic payload generators (the stand-in for files read from
+    * a binary source). Pixels and samples follow closed-form formulas of
+    * (id, x, y) so lossless decodes have an exact SQL oracle. */
+  object MediaGen {
+    val sampleRate = 8000
+
+    def grayAt(id: Long, x: Int, y: Int): Int =
+      ((x * 7 + y * 13 + id * 31) % 256).toInt
+
+    def sampleAt(id: Long, i: Int): Short =
+      (((id * 31 + i * 17) % 65536) - 32768).toShort
+
+    def image(fmt: String, w: Int, h: Int, id: Long): Array[Byte] = {
+      val img = new java.awt.image.BufferedImage(
+        w, h, java.awt.image.BufferedImage.TYPE_BYTE_GRAY)
+      val raster = img.getRaster
+      var y = 0
+      while (y < h) {
+        var x = 0
+        while (x < w) { raster.setSample(x, y, 0, grayAt(id, x, y)); x += 1 }
+        y += 1
+      }
+      val bos = new java.io.ByteArrayOutputStream()
+      javax.imageio.ImageIO.write(img, fmt, bos)
+      bos.toByteArray
+    }
+
+    def wav(id: Long, nSamples: Int): Array[Byte] = {
+      val dataLen = nSamples * 2
+      val bb = java.nio.ByteBuffer.allocate(44 + dataLen)
+        .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+      bb.put("RIFF".getBytes("US-ASCII")).putInt(36 + dataLen)
+        .put("WAVE".getBytes("US-ASCII"))
+      bb.put("fmt ".getBytes("US-ASCII")).putInt(16)
+        .putShort(1).putShort(1) // PCM, mono
+        .putInt(sampleRate).putInt(sampleRate * 2) // byte rate
+        .putShort(2).putShort(16) // block align, bits/sample
+      bb.put("data".getBytes("US-ASCII")).putInt(dataLen)
+      var i = 0
+      while (i < nSamples) { bb.putShort(sampleAt(id, i)); i += 1 }
+      bb.array()
+    }
+  }
+
+  /** Batch decoder: png/jpeg via `javax.imageio`, wav via a RIFF chunk
+    * walk. Batch-in/batch-out so a native decoder amortizing per-call
+    * overhead slots in without plumbing changes. */
   object MediaCodec {
     val batchSize = 64
 
     def decodeBatch(batch: Seq[MediaRecord]): Seq[MediaFeatures] =
       batch.map { r =>
-        val f = new Array[Float](8)
-        var i = 0
-        while (i < r.content.length) {
-          f(i % 8) += (r.content(i) & 0xff) / 255.0f
-          i += 1
+        r.meta.format match {
+          case "png" | "jpeg" => decodeImage(r)
+          case "wav"          => decodeWav(r)
+          case other =>
+            MediaFeatures(r.media_id, other, r.content.length, 0, 0, 0L, 0.0)
         }
-        MediaFeatures(r.media_id, r.meta.format, r.content.length, f)
       }
+
+    private def decodeImage(r: MediaRecord): MediaFeatures = {
+      val img = javax.imageio.ImageIO.read(
+        new java.io.ByteArrayInputStream(r.content))
+      val w = img.getWidth
+      val h = img.getHeight
+      val raster = img.getRaster
+      var sum = 0L
+      var y = 0
+      while (y < h) {
+        var x = 0
+        while (x < w) { sum += raster.getSample(x, y, 0); x += 1 }
+        y += 1
+      }
+      MediaFeatures(r.media_id, r.meta.format, r.content.length, w, h, 0L,
+        sum.toDouble / (w.toLong * h))
+    }
+
+    private def decodeWav(r: MediaRecord): MediaFeatures = {
+      val c = r.content
+      val bb = java.nio.ByteBuffer.wrap(c).order(java.nio.ByteOrder.LITTLE_ENDIAN)
+      require(c.length >= 12 && new String(c, 0, 4, "US-ASCII") == "RIFF" &&
+        new String(c, 8, 4, "US-ASCII") == "WAVE", "not a RIFF/WAVE payload")
+      var pos = 12
+      var rate = 0
+      var channels = 1
+      var dataOff = -1
+      var dataLen = 0
+      while (pos + 8 <= c.length) {
+        val cid = new String(c, pos, 4, "US-ASCII")
+        val clen = bb.getInt(pos + 4)
+        if (cid == "fmt ") {
+          channels = bb.getShort(pos + 10).toInt
+          rate = bb.getInt(pos + 12)
+        } else if (cid == "data") {
+          dataOff = pos + 8
+          dataLen = clen
+        }
+        pos += 8 + clen + (clen & 1) // chunks are word-aligned
+      }
+      require(dataOff >= 0 && rate > 0, "missing fmt/data chunk")
+      val n = dataLen / 2
+      var sum = 0L
+      var i = 0
+      while (i < n) { sum += bb.getShort(dataOff + 2 * i); i += 1 }
+      val frames = n / math.max(channels, 1)
+      MediaFeatures(r.media_id, r.meta.format, c.length, 0, 0,
+        frames.toLong * 1000 / rate,
+        if (n == 0) 0.0 else sum.toDouble / n)
+    }
   }
 
-  /** Synthesize a deterministic media table from any id column: payload
-    * bytes are md5-expanded from the id (stand-in for real files read
-    * from a binary source). */
+  /** Synthesize a deterministic media table from any id column: real
+    * encoded payloads (png/jpeg via ImageIO, wav with a hand-built RIFF
+    * header), pixels/samples from the [[MediaGen]] formulas. Generated
+    * executor-side per partition — no driver involvement. */
   def syntheticMedia(df: DataFrame, idCol: String)(implicit spark: SparkSession): Dataset[MediaRecord] = {
     import spark.implicits._
-    df.select(
-        col(idCol).cast("long").as("media_id"),
-        unhex(concat(md5(col(idCol).cast("string")),
-          md5(concat(col(idCol).cast("string"), lit("-2"))))).as("content"),
-        struct(
-          when(col(idCol) % 3 === 0, "png").when(col(idCol) % 3 === 1, "jpeg")
-            .otherwise("wav").as("format"),
-          (col(idCol) % 64 + 1).cast("int").as("width"),
-          (col(idCol) % 48 + 1).cast("int").as("height"),
-          (col(idCol) % 1000).cast("long").as("durationMs")).as("meta"))
-      .as[MediaRecord]
+    df.select(col(idCol).cast("long").as("id")).as[Long].map { id =>
+      (id % 3) match {
+        case 0 | 1 =>
+          val fmt = if (id % 3 == 0) "png" else "jpeg"
+          val w = (id % 64 + 1).toInt
+          val h = (id % 48 + 1).toInt
+          MediaRecord(id, MediaGen.image(fmt, w, h, id), MediaMeta(fmt, w, h, 0L))
+        case _ =>
+          val n = (id % 800 + 8).toInt
+          MediaRecord(id, MediaGen.wav(id, n),
+            MediaMeta("wav", 0, 0, n.toLong * 1000 / MediaGen.sampleRate))
+      }
+    }
   }
 
   /** Partition-wise batched feature extraction. Each executor thread

@@ -72,6 +72,42 @@ object Similarity {
     IvfIndex(assigned, model.clusterCenters.map(_.toArray))
   }
 
+  /** Deterministic IVF variant: centroids are the vectors of the first
+    * `nlist` ids (a sampling-seeded coarse quantizer with no Lloyd
+    * refinement — recall still comes from `nprobe`). Assignment is
+    * argmax-cosine with a min-index tiebreak, computed with the same
+    * sequential-fold arithmetic as the DuckDB oracle, so the whole
+    * index → probe → top-k path is exactly replayable in SQL. Use
+    * [[ivfIndex]] when centroid quality matters more than auditability.
+    *
+    * Scale shape is identical to [[ivfIndex]]: the only driver-side data
+    * is the nlist centroid rows (tiny, broadcast as literals into the
+    * assignment expression); the assignment table partitions by cell. */
+  def ivfIndexSeeded(
+      df: DataFrame,
+      idCol: String,
+      vecCol: String,
+      nlist: Int): IvfIndex = {
+    val v = col(vecCol).cast("array<double>")
+    val cents: Array[Array[Double]] = df
+      .select(col(idCol).cast("long").as("id"), v.as("v"))
+      .filter(col("id") < nlist).orderBy("id")
+      .collect().map(_.getAs[scala.collection.Seq[Double]]("v").toArray)
+    require(cents.length == nlist, s"need ids 0..${nlist - 1} as seeds")
+
+    val scored = cents.toSeq.map(c => cosine(v, array(c.map(lit).toSeq: _*)))
+    val best = scored.reduce((a, b) => greatest(a, b))
+    // first (lowest) index attaining the max — same tiebreak as the
+    // oracle's ORDER BY cos DESC, cid
+    val cell = scored.zipWithIndex.reverse.foldLeft(lit(0)) {
+      case (acc, (cs, j)) => when(cs === best, lit(j)).otherwise(acc)
+    }
+    val assigned = df
+      .select(col(idCol).cast("long").as("id"), v.as("v"), cell.as("cell"))
+      .repartition(col("cell"))
+    IvfIndex(assigned, cents)
+  }
+
   case class IvfIndex(assigned: DataFrame, centroids: Array[Array[Double]]) {
 
     /** Top-k by cosine among the `nprobe` nearest cells to the query. */

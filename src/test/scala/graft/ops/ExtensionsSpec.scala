@@ -185,6 +185,30 @@ class SimilaritySpec extends AnyFunSuite with SparkTestBase {
     assert(got == want) // cluster 0 fully contains the top-10
   }
 
+  test("seeded IVF with full probe equals brute force; partial probe prunes cells") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(11)
+    val rows = (0 until 300).map { i =>
+      val c = i % 3
+      val base = Array.tabulate(8)(d => if (d == c) 10.0 else 0.0)
+      (i.toLong, base.map(x => (x + rnd.nextGaussian() * 0.1).toFloat))
+    }
+    val df = rows.toDF("id", "vec")
+    val idx = Similarity.ivfIndexSeeded(df, "id", "vec", nlist = 3)
+    // every vector lands in exactly one cell, all rows covered
+    assert(idx.assigned.count() == 300)
+    val query = rows.head._2.map(_.toDouble)
+    val q = spark.sql("SELECT array(" + query.mkString("D,") + "D) AS q")
+    val want = Similarity.bruteForceTopK(df, "id", "vec", q, 10)
+      .collect().map(_.getLong(0)).toSet
+    // probing ALL cells is exhaustive → exact brute-force answer
+    val full = idx.search(query, k = 10, nprobe = 3).collect().map(_.getLong(0)).toSet
+    assert(full == want)
+    // seeds 0,1,2 are one per cluster → one probe already suffices
+    val one = idx.search(query, k = 10, nprobe = 1).collect().map(_.getLong(0)).toSet
+    assert(one == want)
+  }
+
   test("hyperplane buckets collide for near-identical vectors") {
     val emb = spark.sql(
       """SELECT * FROM VALUES
@@ -328,20 +352,39 @@ class MultimodalSpec extends AnyFunSuite with SparkTestBase {
   test("synthetic media → batched feature extraction is deterministic and total") {
     val ids = spark.range(0, 257).toDF("id") // exercises >1 batch per partition
     val media = syntheticMedia(ids, "id")(spark)
-    val feats = extractFeatures(media)
-    val rows = feats.collect()
+    val rows = extractFeatures(media).collect()
     assert(rows.length == 257)
-    assert(rows.forall(_.features.length == 8))
-    assert(rows.forall(_.n_bytes == 32)) // two md5 blocks
     val again = extractFeatures(media).collect()
-      .map(f => f.media_id -> f.features.toSeq).toMap
-    assert(rows.forall(f => again(f.media_id) == f.features.toSeq))
+      .map(f => f.media_id -> f.mean_val).toMap
+    assert(rows.forall(f => again(f.media_id) == f.mean_val))
+  }
+
+  test("real codecs: png mean matches pixel formula, jpeg dims exact, wav RIFF parse") {
+    val media = syntheticMedia(spark.range(0, 12).toDF("id"), "id")(spark)
+    val f = extractFeatures(media).collect().map(x => x.media_id -> x).toMap
+    // png id 0: 1×1 gray image, sole pixel = (0*7 + 0*13 + 0*31) % 256 = 0
+    assert(f(0L).format == "png" && f(0L).width == 1 && f(0L).height == 1)
+    assert(f(0L).mean_val == 0.0)
+    // png id 3: 4×4, mean gray equals the generator formula exactly (lossless)
+    val want3 = (for (x <- 0 until 4; y <- 0 until 4)
+      yield (x * 7 + y * 13 + 3 * 31) % 256).sum.toDouble / 16
+    assert(f(3L).mean_val == want3)
+    // jpeg id 1: dimensions survive the lossy round-trip
+    assert(f(1L).format == "jpeg" && f(1L).width == 2 && f(1L).height == 2)
+    // wav id 2: 10 samples → duration, byte count, and mean from the RIFF parse
+    val n = 10
+    assert(f(2L).n_bytes == 44 + 2 * n)
+    assert(f(2L).duration_ms == n * 1000 / 8000)
+    val wantMean = (0 until n).map(i => ((2 * 31 + i * 17) % 65536) - 32768)
+      .sum.toDouble / n
+    assert(f(2L).mean_val == wantMean)
   }
 
   test("metadata struct survives the pipeline with typed fields") {
     val media = syntheticMedia(spark.range(0, 9).toDF("id"), "id")(spark)
     val m = media.collect().map(r => r.media_id -> r.meta).toMap
     assert(m(0L).format == "png" && m(1L).format == "jpeg" && m(2L).format == "wav")
-    assert(m(5L).width == 6 && m(5L).height == 6)
+    assert(m(6L).width == 7 && m(6L).height == 7) // png: dims from id formula
+    assert(m(5L).width == 0 && m(5L).durationMs == (5 % 800 + 8) * 1000 / 8000) // wav
   }
 }
