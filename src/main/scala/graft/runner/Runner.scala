@@ -12,14 +12,26 @@ case class TestDefinition(
     dependsOn: Option[String] = None,
     writeArgs: Map[String, String] = Map.empty)
 
-/** Result of one plugin action (reference `PluginResult.scala:21-71`). */
+/** Result of one plugin action (reference `PluginResult.scala:21-71`).
+  * `writer` is the persistence hook behind [[write]]: a closure set by
+  * the producing plugin, capturing whatever the result needs to persist
+  * itself (e.g. the diff DataFrame) — the case-class analogue of the
+  * reference's typed PluginResult subclasses overriding `write`. */
 case class PluginResult(
     testName: String,
     pluginName: String,
     order: Int,
     passed: Boolean,
     returnedValue: String = "",
-    additionalInfo: Map[String, String] = Map.empty) {
+    additionalInfo: Map[String, String] = Map.empty,
+    writer: Option[Map[String, String] => Unit] = None) {
+
+  /** Persist this result per the test's `writeArgs` (reference
+    * `PluginResult.scala:53-55`: unimplemented write is an error). */
+  def write(writeArgs: Map[String, String]): Unit =
+    writer.getOrElse(throw new NotImplementedError(
+      s"result of plugin '$pluginName' does not support write"))(writeArgs)
+
   def resultLog: String = {
     val status = if (passed) "PASSED" else "FAILED"
     s"[$status] #$order $testName ($pluginName)" +
@@ -147,9 +159,17 @@ object TestRunner {
             PluginResult(td.name, td.pluginName, i, passed = false,
               returnedValue = s"skipped: dependee '${td.dependsOn.get}' failed or missing")
           else
-            try plugins(td.pluginName).performAction(td, i)
-            catch {
+            try {
+              val r = plugins(td.pluginName).performAction(td, i)
+              // persist when the definition carries writeArgs (reference
+              // E2ERunnerJob.scala:125); a write failure fails the test
+              if (td.writeArgs.nonEmpty) r.write(td.writeArgs)
+              r
+            } catch {
               case e: Exception =>
+                PluginResult(td.name, td.pluginName, i, passed = false,
+                  returnedValue = s"plugin threw: ${e.getMessage}")
+              case e: NotImplementedError =>
                 PluginResult(td.name, td.pluginName, i, passed = false,
                   returnedValue = s"plugin threw: ${e.getMessage}")
             }
@@ -174,7 +194,11 @@ class BashPlugin extends Plugin {
     }
     PluginResult(td.name, name, order, passed = code == 0,
       returnedValue = out.toString.trim,
-      additionalInfo = Map("elapsed" -> graft.util.Timing.prettyElapsed(elapsedMs)))
+      additionalInfo = Map("elapsed" -> graft.util.Timing.prettyElapsed(elapsedMs)),
+      // parity with the reference: bash results warn instead of failing
+      // when asked to persist (BashPlugin.scala:37-39)
+      writer = Some(_ => System.err.println(
+        s"[$name] result of '${td.name}' does not support write; ignored")))
   }
 }
 
@@ -190,10 +214,52 @@ class DatasetComparisonPlugin extends Plugin {
     try {
       val r = graft.cli.DatasetComparisonJob.execute(params)
       PluginResult(td.name, name, order, passed = r.datasetsMatch,
-        returnedValue = s"diffCount=${r.diffCount}")
+        returnedValue = s"diffCount=${r.diffCount}",
+        // writeArgs sink: diff DF (when any) + _METRICS beside it
+        // (reference DatasetComparisonPlugin.scala:39-53)
+        writer = Some { wargs =>
+          val out = graft.io.SourceParams(
+            wargs.getOrElse("format", "parquet"), wargs.get("path"),
+            wargs - "format" - "path").validated
+          val written = r.resultDF match {
+            case Some(df) => graft.io.DataFrameIO.write(df, out)
+            case None => out.path.getOrElse("")
+          }
+          if (written.nonEmpty)
+            graft.io.PathResolver.writeString(s"$written/_METRICS", r.toJson,
+              spark.sparkContext.hadoopConfiguration)
+        })
     } catch {
       case e: Exception =>
         PluginResult(td.name, name, order, passed = false, returnedValue = e.getMessage)
     }
+  }
+}
+
+/** `_INFO` control-measure comparison as a runner plugin (reference
+  * `plugins/InfoFileComparisonPlugin.scala:63-82`): plain file IO, no
+  * Spark needed; the diff JSON is persisted via writeArgs only when the
+  * files differ (reference `:39-44`). */
+class InfoFileComparisonPlugin extends Plugin {
+  override val name = "InfoFileComparison"
+  override def performAction(td: TestDefinition, order: Int): PluginResult = {
+    val conf = new org.apache.hadoop.conf.Configuration()
+    def arg(k: String): String = td.args.getOrElse(k,
+      throw new IllegalArgumentException(s"InfoFileComparison needs '--$k'"))
+    val ref = graft.io.PathResolver.readString(arg("ref-path"), conf)
+    val actual = graft.io.PathResolver.readString(arg("new-path"), conf)
+    val diffs = graft.infodiff.InfoFileDiff.compare(ref, actual)
+    PluginResult(td.name, name, order, passed = diffs.isEmpty,
+      returnedValue = s"differences=${diffs.length}",
+      additionalInfo = td.args,
+      writer = Some { wargs =>
+        if (diffs.nonEmpty) {
+          val out = wargs.getOrElse("path", wargs.getOrElse("out-path",
+            throw new IllegalArgumentException(
+              "InfoFileComparison writeArgs need a 'path'")))
+          graft.io.PathResolver.writeString(out,
+            graft.infodiff.InfoFileDiff.toJson(diffs), conf)
+        }
+      })
   }
 }

@@ -85,6 +85,31 @@ class RunnerSpec extends AnyFunSuite {
     }
   }
 
+  test("writeArgs triggers the result writer; writer-less results fail the test") {
+    var written: Option[Map[String, String]] = None
+    val writerPlugin = new Plugin {
+      val name = "Writes"
+      def performAction(td: TestDefinition, order: Int): PluginResult =
+        PluginResult(td.name, name, order, passed = true,
+          writer = Some(w => written = Some(w)))
+    }
+    val defs = Seq(
+      TestDefinition("w", 1, "Writes", Map.empty,
+        writeArgs = Map("path" -> "/tmp/x")),
+      TestDefinition("nope", 2, "Ok", Map.empty,
+        writeArgs = Map("path" -> "/tmp/y")))
+    val res = TestRunner.runTests(defs,
+      Map("Writes" -> writerPlugin, "Ok" -> new OkPlugin()))
+    assert(res.head.passed)
+    assert(written.contains(Map("path" -> "/tmp/x")))
+    // a result without a writer cannot honor writeArgs → test fails
+    assert(!res(1).passed && res(1).returnedValue.contains("does not support write"))
+    // without writeArgs the same plugin passes untouched
+    val plain = TestRunner.runTests(
+      Seq(TestDefinition("ok", 1, "Ok", Map.empty)), Map("Ok" -> new OkPlugin()))
+    assert(plain.head.passed)
+  }
+
   test("unknown plugin is rejected up front") {
     intercept[IllegalArgumentException] {
       TestRunner.runTests(Seq(TestDefinition("t", 1, "Ghost", Map.empty)), Map.empty)
