@@ -83,8 +83,13 @@ class DatasetComparator(
     * or picks sort-merge from runtime stats. */
   private def compareFastKeyed(
       refSel: DataFrame, actSel: DataFrame, selector: List[Column]): ComparisonResult = {
-    val refP = maybePersist(refSel)
-    val actP = maybePersist(actSel)
+    // Inputs are deliberately NOT persisted: the stats pass below prunes
+    // to the key columns (a cheap columnar scan) and the join re-scans
+    // the full rows once. Two pruned source scans beat materializing the
+    // full input width — at 100 TB a MEMORY_AND_DISK persist of both
+    // sides is a cluster-wide spill that costs more than the scan saved.
+    val refP = refSel
+    val actP = actSel
     val keyCols = keys.map(nestedCol)
     // both sides' (rowCount, dupKeyCount) in ONE union-aggregate action
     val aliasedKeys = keyCols.zipWithIndex.map { case (c, i) => c.as(s"graft_k$i") }
@@ -99,10 +104,8 @@ class DatasetComparator(
       .collect().map(r => r.getInt(0) -> (r.getLong(1), r.getLong(2))).toMap
     val (refCount, refDups) = statsRow.getOrElse(0, (0L, 0L))
     val (actCount, actDups) = statsRow.getOrElse(1, (0L, 0L))
-    if (refDups > 0 || actDups > 0) {
-      refP.unpersist(); actP.unpersist()
+    if (refDups > 0 || actDups > 0)
       throw new DuplicateKeysException(refDups, actDups)
-    }
 
     // presence markers distinguish one-sided rows from legit all-null
     // rows after the full join
@@ -146,7 +149,6 @@ class DatasetComparator(
       count(when(col(refMark), 1)).as("refSide")).collect()(0)
     val (diffCount, refSideDiff) = (cnts.getLong(0), cnts.getLong(1))
     val diffDF = withErr.drop(refMark, actMark)
-    refP.unpersist(); actP.unpersist()
     if (diffCount == 0) withErr.unpersist()
     ComparisonResult(refCount, actCount, refDups, actDups,
       refCount - refSideDiff, selector,
