@@ -81,7 +81,13 @@ object DatasetComparisonJob {
     implicit val spark: SparkSession = builder.getOrCreate()
     val result = execute(params)
     if (!result.datasetsMatch)
-      throw new DatasetsDifferException(result.refRowCount, result.newRowCount, result.diffCount)
+      throw new DatasetsDifferException(
+        result.refRowCount, result.newRowCount, result.diffCount,
+        Some("Expected and actual datasets differ.\n" +
+          s"Reference path: ${params.ref.path.getOrElse("")}\n" +
+          s"Actual dataset path: ${params.actual.path.getOrElse("")}\n" +
+          s"Difference written to: ${params.out.path.getOrElse("")}\n" +
+          s"Count Expected( ${result.refRowCount} ) vs Actual( ${result.newRowCount} )"))
   }
 
   def execute(params: CliParameters)(implicit spark: SparkSession): ComparisonResult = {

@@ -6,20 +6,29 @@ import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types.StructType
 import org.apache.spark.storage.StorageLevel
 
-/** Comparison failed because the two schemas are not equivalent. */
+/** Comparison failed because the two schemas are not equivalent.
+  * Message format matches the reference verbatim (golden-asserted:
+  * `DatasetComparatorJobSuite.scala:141-143`). */
 class SchemasDifferException(val mismatchPaths: Seq[String])
-  extends Exception(s"Provided datasets have different schemas: " +
+  extends Exception("Expected and actual datasets differ in schemas. Difference is:\n" +
     s"${mismatchPaths.mkString(", ")} cannot be found in both schemas")
 
-/** Comparison aborted because one side has duplicate keys. */
+/** Comparison aborted because one side has duplicate keys. Reference-
+  * verbatim message (`DatasetComparatorJobSuite.scala:193-195`). */
 class DuplicateKeysException(val refDuplicates: Long, val newDuplicates: Long)
-  extends Exception(s"Provided datasets have duplicate rows: " +
-    s"reference has $refDuplicates duplicate key(s), actual has $newDuplicates")
+  extends Exception("Provided datasets have duplicate rows.\n" +
+    s"Reference Dataset has $refDuplicates duplicates\n" +
+    s"New Dataset has $newDuplicates duplicates")
 
-/** Raised by jobs (not the library) when diffCount > 0. */
-class DatasetsDifferException(val refRowCount: Long, val newRowCount: Long, val diffCount: Long)
-  extends Exception(s"Expected and actual datasets differ: $diffCount " +
-    s"difference(s) out of $refRowCount reference / $newRowCount actual rows")
+/** Raised by jobs (not the library) when diffCount > 0. Jobs that know
+  * the paths pass `detail` with the reference's full message format
+  * (`DatasetComparatorJobSuite.scala:163-167`). */
+class DatasetsDifferException(
+    val refRowCount: Long, val newRowCount: Long, val diffCount: Long,
+    detail: Option[String] = None)
+  extends Exception(detail.getOrElse(
+    s"Expected and actual datasets differ: $diffCount " +
+      s"difference(s) out of $refRowCount reference / $newRowCount actual rows"))
 
 /** Options for a dataset comparison (CLI surface parity:
   * `/root/reference/datasetComparison/.../cliUtils/CliParametersParser.scala`). */
