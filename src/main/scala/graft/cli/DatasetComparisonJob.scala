@@ -24,10 +24,14 @@ object CliParametersParser {
 
   private val prefixes = Seq("ref-", "new-", "out-")
   private val specials = Set("keys", "schema", "allow-duplicates",
-    "err-column", "expected-prefix", "actual-prefix")
+    "err-column", "expected-prefix", "actual-prefix", "config")
 
   def parse(args: Array[String]): CliParameters = {
     val kv = argsToMap(args)
+    // config-file defaults (reference config/TypesafeConfig.scala:21-31);
+    // explicit CLI flags win over the file, the file over built-ins
+    val cfg = JobConfig.load(kv.get("config"),
+      new org.apache.hadoop.conf.Configuration())
     val generic = kv.filterNot { case (k, _) =>
       prefixes.exists(k.startsWith) || specials.contains(k)
     }
@@ -49,10 +53,11 @@ object CliParametersParser {
       out = toParams(outOnly, Map("format" -> "parquet")),
       keys = kv.get("keys").map(_.split(',').toSeq.map(_.trim).filter(_.nonEmpty)).getOrElse(Nil),
       schemaPath = kv.get("schema"),
-      allowDuplicates = kv.get("allow-duplicates").exists(_.toBoolean),
-      errColumn = kv.getOrElse("err-column", "errCol"),
-      expectedPrefix = kv.getOrElse("expected-prefix", "expected"),
-      actualPrefix = kv.getOrElse("actual-prefix", "actual"))
+      allowDuplicates = kv.get("allow-duplicates").map(_.toBoolean)
+        .getOrElse(cfg.allowDuplicates),
+      errColumn = kv.getOrElse("err-column", cfg.errColumn),
+      expectedPrefix = kv.getOrElse("expected-prefix", cfg.expectedPrefix),
+      actualPrefix = kv.getOrElse("actual-prefix", cfg.actualPrefix))
   }
 
   /** `--k v --k2 v2` pairs → map (reference `:135-137`). */
@@ -71,6 +76,7 @@ object CliParametersParser {
 object DatasetComparisonJob {
 
   def main(args: Array[String]): Unit = {
+    if (args.contains("--help")) { println(CliHelp.text); return }
     val params = CliParametersParser.parse(args)
     val builder = SparkSession.builder()
       .appName("graft-dataset-comparison")
