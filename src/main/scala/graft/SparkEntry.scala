@@ -334,6 +334,35 @@ object SparkEntry {
         .orderBy("id1", "id2")
     }),
 
+    // ---- near-dup clustering end-game: LSH pairs → connected
+    // components → canonical (min-id) representative per cluster -------
+    "d9_dup_clusters" -> ((s, dir) => {
+      val docs = t(s, dir, "documents").select("doc_id", "text")
+      val p1 = docs.filter(col("doc_id") % 50 === 0)
+        .select((col("doc_id") + 1000000).as("doc_id"),
+          concat(col("text"), lit(" zzz extra suffix")).as("text"))
+      val p2 = docs.filter(col("doc_id") % 50 === 0)
+        .select((col("doc_id") + 2000000).as("doc_id"),
+          concat(col("text"), lit(" zzz more suffix")).as("text"))
+      val aug = docs.unionAll(p1).unionAll(p2)
+      val pairs = ops.Dedup.minhashLshPairs(aug, "doc_id", "text",
+        k = 12, bands = 6, shingleSize = 3, tau = 0.5)
+      ops.Dedup.connectedComponents(pairs).orderBy("node")
+    }),
+
+    // ---- deterministic stratified sampling (reproducible splits) ------
+    "d10_sample" -> ((s, dir) => {
+      ops.CorpusOps.stratifiedSample(t(s, dir, "documents"),
+          "doc_id", "lang", rates = Map("en" -> 20, "de" -> 10), defaultPercent = 5)
+        .select("doc_id", "lang")
+        .orderBy("doc_id")
+    }),
+
+    // ---- global token vocabulary: top-k with doc frequencies ----------
+    "d11_vocab" -> ((s, dir) => {
+      ops.CorpusOps.vocabulary(t(s, dir, "documents"), "doc_id", "text", k = 50)
+    }),
+
     // ---- IVF approximate nearest neighbors, deterministic seeded
     // variant (centroids = vectors of ids 0..7) so the full index →
     // probe → top-k path has an exact DuckDB oracle; the KMeans variant
@@ -648,6 +677,52 @@ object SparkEntry {
         |  SELECT 3000000 AS doc_id, text || ' zzz tail' AS text
         |  FROM documents WHERE doc_id = 0""".stripMargin,
       k = 12, bands = 6, shingleSize = 3, tau = 0.5, maxBucket = 50),
+
+    "d9_dup_clusters" -> {
+      val pairsSql = OracleSql.minhashLshPairs(
+        """SELECT doc_id, text FROM documents
+          |  UNION ALL
+          |  SELECT doc_id + 1000000 AS doc_id, text || ' zzz extra suffix' AS text
+          |  FROM documents WHERE doc_id % 50 = 0
+          |  UNION ALL
+          |  SELECT doc_id + 2000000 AS doc_id, text || ' zzz more suffix' AS text
+          |  FROM documents WHERE doc_id % 50 = 0""".stripMargin,
+        k = 12, bands = 6, shingleSize = 3, tau = 0.5, maxBucket = 1000)
+      s"""WITH RECURSIVE pairs AS (
+         |$pairsSql
+         |),
+         |edges AS (
+         |  SELECT id1 AS a, id2 AS b FROM pairs
+         |  UNION
+         |  SELECT id2, id1 FROM pairs),
+         |reach(node, lab) AS (
+         |  SELECT a, a FROM (SELECT DISTINCT a FROM edges)
+         |  UNION
+         |  SELECT e.a, r.lab FROM edges e JOIN reach r ON r.node = e.b)
+         |SELECT node, MIN(lab) AS cluster_rep FROM reach
+         |GROUP BY node ORDER BY node""".stripMargin
+    },
+
+    "d10_sample" ->
+      s"""SELECT doc_id, lang FROM documents
+         |WHERE ${OracleSql.h64("'graft-sample-' || CAST(doc_id AS VARCHAR)")} % 100
+         |  < CASE WHEN lang = 'en' THEN 20 WHEN lang = 'de' THEN 10 ELSE 5 END
+         |ORDER BY doc_id""".stripMargin,
+
+    "d11_vocab" -> {
+      val toks = s"CASE WHEN length(trim(text)) = 0 THEN []::VARCHAR[] " +
+        s"ELSE ${OracleSql.toks("text")} END"
+      s"""WITH tok AS (
+         |  SELECT doc_id AS doc, unnest($toks) AS token FROM documents),
+         |perdoc AS (
+         |  SELECT doc, token, COUNT(*) AS tf FROM tok GROUP BY 1, 2),
+         |vocab AS (
+         |  SELECT token, CAST(SUM(tf) AS BIGINT) AS n_occurrences,
+         |         COUNT(*) AS n_docs
+         |  FROM perdoc GROUP BY 1)
+         |SELECT token, n_occurrences, n_docs FROM vocab
+         |ORDER BY n_occurrences DESC, token LIMIT 50""".stripMargin
+    },
 
     "m1_media_features" ->
       """WITH xs AS (SELECT x FROM range(0, 64) t(x)),

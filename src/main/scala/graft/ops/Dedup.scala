@@ -278,6 +278,64 @@ object Dedup {
       .distinct()
   }
 
+  /** Cluster near-duplicate pairs into connected components, labeling
+    * every node with its component's minimum id — the final step of
+    * corpus dedup (pairs → clusters → keep one canonical doc each).
+    *
+    * Min-label propagation: each pass joins current labels over the
+    * symmetric edge list and keeps the per-node minimum; converges in
+    * O(graph diameter) passes, which for near-dup clusters (stars around
+    * a template) is 2-3. Convergence is detected by the label sum, which
+    * strictly decreases until fixpoint — one cheap aggregate per pass,
+    * no driver-side graph state. For adversarially deep graphs at 100 TB
+    * the alternating large-star/small-star variant halves the rounds;
+    * the per-pass shape (join on node id, map-side min combine) is the
+    * same, so this implementation is the scale shape too.
+    *
+    * @return (node, cluster_rep) for every id appearing in `pairs`
+    */
+  def connectedComponents(
+      pairs: DataFrame,
+      idCol1: String = "id1",
+      idCol2: String = "id2",
+      maxIter: Int = 20): DataFrame = {
+    val lvl = org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
+    val edges = pairs
+      .select(col(idCol1).cast("long").as("a"), col(idCol2).cast("long").as("b"))
+      .unionAll(pairs.select(col(idCol2).cast("long").as("a"), col(idCol1).cast("long").as("b")))
+      .distinct()
+      .persist(lvl)
+
+    var labels = edges.select(col("a").as("node")).distinct()
+      .select(col("node"), col("node").as("cluster_rep"))
+      .persist(lvl)
+    var prevSum = labels
+      .agg(sum(col("cluster_rep").cast("decimal(38,0)"))).collect()(0).getDecimal(0)
+
+    var i = 0
+    var converged = false
+    while (!converged && i < maxIter) {
+      val nbrMin = edges
+        .join(labels.select(col("node").as("b"), col("cluster_rep").as("nbr_lab")), Seq("b"))
+        .groupBy("a").agg(min("nbr_lab").as("nbr_lab"))
+      val next = labels
+        .join(nbrMin.select(col("a").as("node"), col("nbr_lab")), Seq("node"), "left")
+        .select(col("node"),
+          least(col("cluster_rep"), coalesce(col("nbr_lab"), col("cluster_rep")))
+            .as("cluster_rep"))
+        .persist(lvl)
+      val nextSum = next
+        .agg(sum(col("cluster_rep").cast("decimal(38,0)"))).collect()(0).getDecimal(0)
+      labels.unpersist()
+      labels = next
+      converged = nextSum.compareTo(prevSum) == 0
+      prevSum = nextSum
+      i += 1
+    }
+    edges.unpersist()
+    labels
+  }
+
   /** Embedding near-duplicate pairs: exact cosine within a blocking
     * column (e.g. a cluster/label id or LSH bucket). Vectors are cast to
     * double and reduced with a sequential fold — IEEE-exact. */

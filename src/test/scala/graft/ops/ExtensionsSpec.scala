@@ -113,6 +113,34 @@ class DedupSpec extends AnyFunSuite with SparkTestBase {
       maxHamming = 6, maxBucket = 0).count() == 0)
   }
 
+  test("connected components label every node with its component minimum") {
+    import spark.implicits._
+    // two components: a 4-node chain (min 1) and a triangle (min 10),
+    // chain forces multi-pass propagation
+    val pairs = Seq((1L, 2L), (2L, 3L), (3L, 4L), (10L, 11L), (11L, 12L), (10L, 12L))
+      .toDF("id1", "id2")
+    val labels = Dedup.connectedComponents(pairs).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(labels == Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 4L -> 1L,
+      10L -> 10L, 11L -> 10L, 12L -> 10L))
+  }
+
+  test("connected components cluster LSH pairs into dedup groups") {
+    import spark.implicits._
+    val base = (0 until 10).map(i =>
+      (i.toLong, s"document number $i holding words ${i * 3} and ${i * 11} tail"))
+    val variants = base.take(2).flatMap { case (id, text) =>
+      Seq((100 + id, text + " v1"), (200 + id, text + " v2")) }
+    val corpus = (base ++ variants).toDF("doc_id", "text")
+    val pairs = Dedup.minhashLshPairs(corpus, "doc_id", "text",
+      k = 12, bands = 6, shingleSize = 3, tau = 0.5)
+    val labels = Dedup.connectedComponents(pairs).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    // each variant clusters back to its base doc's id
+    assert(labels(100L) == 0L && labels(200L) == 0L)
+    assert(labels(101L) == 1L && labels(201L) == 1L)
+  }
+
   test("blocked jaccard pairs computes exact overlap") {
     val blocked = docs.withColumn("blk", lit(1))
     val rows = Dedup.jaccardPairsBlocked(blocked, "doc_id", "text", "blk",
@@ -292,6 +320,51 @@ class EmbeddingLshSpec extends AnyFunSuite with SparkTestBase {
     assert(pairs.contains((0L, 1L)))
     assert(pairs.contains((0L, 3L)) || pairs.contains((1L, 3L))) // colinear → cos 1.0
     assert(!pairs.exists(p => p._1 == 2 || p._2 == 2))
+  }
+}
+
+class CorpusOpsSpec extends AnyFunSuite with SparkTestBase {
+  import org.apache.spark.sql.functions.col
+
+  test("hash sampling is deterministic, rate-accurate, and repartition-stable") {
+    import spark.implicits._
+    val df = (0 until 2000).map(i => (i.toLong, if (i % 2 == 0) "en" else "de"))
+      .toDF("id", "lang")
+    val a = CorpusOps.hashSample(df, "id", 10).select("id").collect().map(_.getLong(0)).toSet
+    val b = CorpusOps.hashSample(df.repartition(7), "id", 10)
+      .select("id").collect().map(_.getLong(0)).toSet
+    assert(a == b) // partitioning cannot change membership
+    assert(math.abs(a.size - 200) < 60) // ~10% of 2000
+    // different salt → different (still deterministic) sample
+    val c = CorpusOps.hashSample(df, "id", 10, salt = "other").select("id")
+      .collect().map(_.getLong(0)).toSet
+    assert(c != a)
+  }
+
+  test("stratified sampling applies per-stratum rates") {
+    import spark.implicits._
+    val df = (0 until 3000).map(i =>
+      (i.toLong, Seq("en", "de", "fr")(i % 3))).toDF("id", "lang")
+    val s = CorpusOps.stratifiedSample(df, "id", "lang",
+      rates = Map("en" -> 50, "de" -> 10), defaultPercent = 0)
+    val byLang = s.groupBy("lang").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(byLang.getOrElse("fr", 0L) == 0L) // default 0% drops the stratum
+    assert(byLang("en") > byLang("de")) // 50% vs 10%
+    assert(math.abs(byLang("en") - 500L) < 100)
+  }
+
+  test("vocabulary counts occurrences and doc frequencies without expand") {
+    import spark.implicits._
+    val df = Seq(
+      (1L, "alpha beta alpha"),
+      (2L, "beta gamma"),
+      (3L, "alpha")).toDF("doc_id", "text")
+    val v = CorpusOps.vocabulary(df, "doc_id", "text", 10).collect()
+      .map(r => r.getString(0) -> (r.getLong(1), r.getLong(2))).toMap
+    assert(v("alpha") == (3L, 2L)) // 3 occurrences across 2 docs
+    assert(v("beta") == (2L, 2L))
+    assert(v("gamma") == (1L, 1L))
   }
 }
 
