@@ -245,6 +245,35 @@ object SparkEntry {
         .orderBy("l_linestatus")
     }),
 
+    // ---- as-of join: latest prior view attached to each purchase ------
+    "q19_asof" -> ((s, dir) => {
+      val ev = events(s, dir)
+      val purchases = ev.filter(col("event_type") === "purchase")
+        .select("user_id", "event_id", "ts", "value")
+      val views = ev.filter(col("event_type") === "view")
+        .select("user_id", "ts", "value")
+      ops.AsOf.asOfJoin(purchases, views, "user_id", "ts", Seq("value"))
+        // raw-timestamp columns hash differently across engines (ns vs
+        // µs physical units) — emit epoch micros for the compare
+        .select(col("user_id"), col("event_id"),
+          unix_micros(col("ts")).as("ts_us"), col("value"),
+          unix_micros(col("asof_ts")).as("asof_ts_us"), col("asof_value"))
+        .orderBy("user_id", "event_id")
+    }),
+
+    // ---- trailing range-frame window (1h per-user rolling stats) ------
+    "q20_range_window" -> ((s, dir) => {
+      val frame = "OVER (PARTITION BY user_id ORDER BY ts " +
+        "RANGE BETWEEN INTERVAL 1 HOUR PRECEDING AND CURRENT ROW)"
+      events(s, dir)
+        .select(col("user_id"), col("event_id"), col("ts"), col("value"))
+        .withColumn("n_1h", expr(s"count(*) $frame"))
+        .withColumn("sum_1h",
+          expr(s"CAST(sum(CAST(value AS DECIMAL(18,3))) $frame AS DOUBLE)"))
+        .select("user_id", "event_id", "n_1h", "sum_1h")
+        .orderBy("user_id", "event_id")
+    }),
+
     // ================== §7 extensions: training-data ops ==============
 
     // ---- exact dedup by normalized-text fingerprint -------------------
@@ -677,6 +706,38 @@ object SparkEntry {
         |  SELECT 3000000 AS doc_id, text || ' zzz tail' AS text
         |  FROM documents WHERE doc_id = 0""".stripMargin,
       k = 12, bands = 6, shingleSize = 3, tau = 0.5, maxBucket = 50),
+
+    "q19_asof" ->
+      """WITH e AS (SELECT user_id, event_id, event_type,
+        |                  CAST(ts AS TIMESTAMP) AS ts, value FROM events),
+        |u AS (
+        |  SELECT user_id, ts, 1 AS tag, event_id, value,
+        |         NULL::TIMESTAMP AS r_ts, NULL::DOUBLE AS r_value
+        |  FROM e WHERE event_type = 'purchase'
+        |  UNION ALL
+        |  SELECT user_id, ts, 0, NULL, NULL, ts, value
+        |  FROM e WHERE event_type = 'view'),
+        |f AS (
+        |  SELECT user_id, ts, tag, event_id, value,
+        |    LAST_VALUE(r_ts IGNORE NULLS) OVER w AS asof_ts,
+        |    LAST_VALUE(r_value IGNORE NULLS) OVER w AS asof_value
+        |  FROM u
+        |  WINDOW w AS (PARTITION BY user_id ORDER BY ts, tag
+        |               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW))
+        |SELECT user_id, event_id, epoch_us(ts) AS ts_us, value,
+        |       epoch_us(asof_ts) AS asof_ts_us, asof_value
+        |FROM f WHERE tag = 1 ORDER BY user_id, event_id""".stripMargin,
+
+    "q20_range_window" ->
+      """WITH e AS (SELECT user_id, event_id, CAST(ts AS TIMESTAMP) AS ts, value
+        |           FROM events)
+        |SELECT user_id, event_id,
+        |  COUNT(*) OVER w AS n_1h,
+        |  CAST(SUM(CAST(value AS DECIMAL(18,3))) OVER w AS DOUBLE) AS sum_1h
+        |FROM e
+        |WINDOW w AS (PARTITION BY user_id ORDER BY ts
+        |             RANGE BETWEEN INTERVAL 1 HOUR PRECEDING AND CURRENT ROW)
+        |ORDER BY user_id, event_id""".stripMargin,
 
     "d9_dup_clusters" -> {
       val pairsSql = OracleSql.minhashLshPairs(

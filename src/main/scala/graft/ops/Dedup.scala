@@ -300,9 +300,13 @@ object Dedup {
       idCol2: String = "id2",
       maxIter: Int = 20): DataFrame = {
     val lvl = org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
+    // symmetrize with one explode, not a self-union: a union would
+    // evaluate the (possibly expensive) upstream pairs pipeline twice
     val edges = pairs
-      .select(col(idCol1).cast("long").as("a"), col(idCol2).cast("long").as("b"))
-      .unionAll(pairs.select(col(idCol2).cast("long").as("a"), col(idCol1).cast("long").as("b")))
+      .select(explode(array(
+        struct(col(idCol1).cast("long").as("a"), col(idCol2).cast("long").as("b")),
+        struct(col(idCol2).cast("long").as("a"), col(idCol1).cast("long").as("b")))).as("e"))
+      .select(col("e.a").as("a"), col("e.b").as("b"))
       .distinct()
       .persist(lvl)
 

@@ -1,0 +1,32 @@
+package graft.ops
+
+import graft.SparkTestBase
+import org.scalatest.funsuite.AnyFunSuite
+
+class AsOfSpec extends AnyFunSuite with SparkTestBase {
+  import spark.implicits._
+
+  test("asOfJoin attaches the latest right row at or before each left ts") {
+    val left = Seq((1L, 10L, "a"), (1L, 20L, "b"), (2L, 5L, "c"))
+      .toDF("k", "ts", "name")
+    val right = Seq((1L, 10L, 100.0), (1L, 15L, 150.0), (2L, 9L, 900.0))
+      .toDF("k", "ts", "v")
+    val rows = AsOf.asOfJoin(left, right, "k", "ts", Seq("v"))
+      .orderBy("k", "ts").collect()
+    // (1,10): right at the SAME ts matches (backward-inclusive)
+    assert(rows(0).getAs[Double]("asof_v") == 100.0 && rows(0).getAs[Long]("asof_ts") == 10L)
+    // (1,20): latest prior right is ts=15
+    assert(rows(1).getAs[Double]("asof_v") == 150.0)
+    // (2,5): right row is later (ts=9) → no match, nulls
+    assert(rows(2).isNullAt(rows(2).fieldIndex("asof_v")))
+    // left columns survive untouched
+    assert(rows.map(_.getAs[String]("name")).toSeq == Seq("a", "b", "c"))
+  }
+
+  test("duplicate right rows on one (key, ts) reduce deterministically") {
+    val left = Seq((1L, 10L)).toDF("k", "ts")
+    val right = Seq((1L, 5L, 1.0), (1L, 5L, 7.0), (1L, 5L, 3.0)).toDF("k", "ts", "v")
+    val r = AsOf.asOfJoin(left, right, "k", "ts", Seq("v")).collect().head
+    assert(r.getAs[Double]("asof_v") == 7.0) // max payload struct wins
+  }
+}
