@@ -1,14 +1,19 @@
 package graft.ops
 
-import org.apache.spark.sql.{DataFrame, Row, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, Row}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
 
-/** Dataset profiling: per-column null counts, exact distinct counts and
-  * min/max, computed in ONE aggregate pass over the input (4 aggregate
-  * expressions per column fused into a single job — the profile of a
-  * 100 TB table is one scan). The driver only touches the single
-  * aggregated row.
+/** Dataset profiling: per-column null counts, distinct counts and
+  * min/max. Null/extreme stats for ALL columns fuse into ONE aggregate
+  * pass. Exact distinct counts run as one single-column job per column —
+  * a pruned columnar scan with ordinary two-phase distinct aggregation,
+  * fired concurrently. That deliberately avoids the multi-countDistinct
+  * Expand plan, which multiplies every scanned row by #columns through
+  * the aggregate (at 100 TB: N pruned scans stream N columns once,
+  * the Expand streams the full width N times). `exact = false` keeps
+  * everything in the single fused pass using HyperLogLog++ — the scale
+  * default when ±2% distinct estimates suffice.
   *
   * Numeric and timestamp extremes surface as doubles (timestamps as
   * epoch seconds), strings as strings — engine-portable representations
@@ -22,17 +27,13 @@ object Profile {
     case _ => false
   }
 
-  /** @param exact exact distinct counts (expand-based: multiplies the
-    *   scan by #columns — right for correctness gates). `false` switches
-    *   to HyperLogLog++ `approx_count_distinct` (single-pass, the 100 TB
-    *   default). */
   def profile(df: DataFrame, exact: Boolean = true): DataFrame = {
     val spark = df.sparkSession
     val fields = df.schema.fields.toSeq
-    def distinctAgg(c: org.apache.spark.sql.Column) =
-      if (exact) countDistinct(c) else approx_count_distinct(c)
+    def quoted(n: String): Column = col("`" + n + "`")
+
     val aggs = Seq(count(lit(1)).as("graft_total")) ++ fields.flatMap { f =>
-      val c = col("`" + f.name + "`")
+      val c = quoted(f.name)
       val (minE, maxE) = f.dataType match {
         case dt if isNumeric(dt) =>
           (min(c).cast("double"), max(c).cast("double"))
@@ -46,21 +47,38 @@ object Profile {
       }
       Seq(
         count(c).as(s"${f.name}__nonnull"),
-        distinctAgg(c).as(s"${f.name}__distinct"),
         minE.as(s"${f.name}__min_num"), maxE.as(s"${f.name}__max_num"),
-        minS.as(s"${f.name}__min_str"), maxS.as(s"${f.name}__max_str"))
+        minS.as(s"${f.name}__min_str"), maxS.as(s"${f.name}__max_str")) ++
+        (if (exact) Nil
+         else Seq(approx_count_distinct(c).as(s"${f.name}__distinct")))
     }
     val row = df.agg(aggs.head, aggs.tail: _*).collect()(0)
-    val total = row.getLong(0)
+    val total = row.getAs[Long]("graft_total")
 
-    val out = fields.zipWithIndex.map { case (f, i) =>
-      val base = 1 + i * 6
-      Row(f.name, total, total - row.getLong(base),
-        row.getLong(base + 1),
-        if (row.isNullAt(base + 2)) null else row.getDouble(base + 2),
-        if (row.isNullAt(base + 3)) null else row.getDouble(base + 3),
-        if (row.isNullAt(base + 4)) null else row.getString(base + 4),
-        if (row.isNullAt(base + 5)) null else row.getString(base + 5))
+    val distincts: Map[String, Long] =
+      if (!exact) fields.map(f => f.name -> row.getAs[Long](s"${f.name}__distinct")).toMap
+      else {
+        import scala.concurrent.{Await, ExecutionContext, Future}
+        import scala.concurrent.duration.Duration
+        implicit val ec: ExecutionContext = ExecutionContext.global
+        val jobs = fields.map { f =>
+          Future(f.name ->
+            df.select(quoted(f.name)).agg(countDistinct(quoted(f.name)))
+              .collect()(0).getLong(0))
+        }
+        Await.result(Future.sequence(jobs), Duration.Inf).toMap
+      }
+
+    def nullableAt[T](idx: Int, get: Int => T): Any =
+      if (row.isNullAt(idx)) null else get(idx)
+    val out = fields.map { f =>
+      Row(f.name, total,
+        total - row.getAs[Long](s"${f.name}__nonnull"),
+        distincts(f.name),
+        nullableAt(row.fieldIndex(s"${f.name}__min_num"), row.getDouble),
+        nullableAt(row.fieldIndex(s"${f.name}__max_num"), row.getDouble),
+        nullableAt(row.fieldIndex(s"${f.name}__min_str"), row.getString),
+        nullableAt(row.fieldIndex(s"${f.name}__max_str"), row.getString))
     }
     val schema = StructType(Seq(
       StructField("col_name", StringType, nullable = false),
