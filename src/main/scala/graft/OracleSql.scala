@@ -94,12 +94,23 @@ object OracleSql {
        |  SELECT DISTINCT l.doc_id AS id1, r.doc_id AS id2
        |  FROM capped l JOIN capped r
        |    ON l.band = r.band AND l.bucket = r.bucket AND l.doc_id < r.doc_id)
-       |SELECT id1, id2, ${jaccard("a.text", "b.text", shingleSize)} AS jaccard
+       |SELECT id1, id2, ${hashJaccard("a.text", "b.text", shingleSize)} AS jaccard
        |FROM cands
        |JOIN reps a ON a.doc_id = id1
        |JOIN reps b ON b.doc_id = id2
-       |WHERE ${jaccard("a.text", "b.text", shingleSize)} >= $tau
+       |WHERE ${hashJaccard("a.text", "b.text", shingleSize)} >= $tau
        |ORDER BY id1, id2""".stripMargin
+  }
+
+  /** Jaccard over 60-bit shingle HASH sets — mirrors the verification
+    * stage of Dedup.minhashLshPairs (integer sets, not strings). */
+  def hashJaccard(a: String, b: String, n: Int): String = {
+    def hashes(e: String) =
+      s"list_transform(list_distinct(${shingles(e, n)}), s -> ${h64("s")})"
+    val ha = hashes(a)
+    val hb = hashes(b)
+    s"""(CAST(len(list_intersect($ha, $hb)) AS DOUBLE) /
+       | CAST(len(list_distinct($ha || $hb)) AS DOUBLE))""".stripMargin
   }
 
   /** stopword-hit count for one language over normalized tokens. */

@@ -110,15 +110,18 @@ object Dedup {
     val candidates =
       minhashCandidatesFromHashed(hashed, k, bands, maxBucket)
 
-    // Verification reuses the cached distinct-shingle sets — no re-
-    // shingling, no text shuffle.
-    val sets = hashed.select(col("doc_id"), col("sh"))
+    // Verification reuses the cached distinct-shingle HASH sets (60-bit
+    // longs, not the shingle strings): the two verification joins
+    // shuffle ~5× fewer bytes, and set arithmetic runs on integers.
+    // The same md5-derived hashing runs in the oracle, so values match
+    // exactly (a hash collision would collapse identically there too).
+    val sets = hashed.select(col("doc_id"), col("hashes"))
     candidates
-      .join(sets.select(col("doc_id").as("id1"), col("sh").as("s1")), Seq("id1"))
-      .join(sets.select(col("doc_id").as("id2"), col("sh").as("s2")), Seq("id2"))
+      .join(sets.select(col("doc_id").as("id1"), col("hashes").as("h1")), Seq("id1"))
+      .join(sets.select(col("doc_id").as("id2"), col("hashes").as("h2")), Seq("id2"))
       .select(col("id1"), col("id2"),
-        (size(array_intersect(col("s1"), col("s2"))).cast("double") /
-          size(array_union(col("s1"), col("s2"))).cast("double")).as("jaccard"))
+        (size(array_intersect(col("h1"), col("h2"))).cast("double") /
+          size(array_union(col("h1"), col("h2"))).cast("double")).as("jaccard"))
       .filter(col("jaccard") >= tau)
   }
 
@@ -310,8 +313,11 @@ object Dedup {
       .distinct()
       .persist(lvl)
 
-    var labels = edges.select(col("a").as("node")).distinct()
-      .select(col("node"), col("node").as("cluster_rep"))
+    // seed labels with the first neighbor-min pass directly from the
+    // edge list (cheaper than a join against identity labels): star
+    // clusters converge after this seed plus one confirming pass
+    var labels = edges.groupBy("a").agg(min("b").as("mb"))
+      .select(col("a").as("node"), least(col("a"), col("mb")).as("cluster_rep"))
       .persist(lvl)
     var prevSum = labels
       .agg(sum(col("cluster_rep").cast("decimal(38,0)"))).collect()(0).getDecimal(0)
