@@ -106,6 +106,24 @@ class GoldenFixturesSpec extends AnyFunSuite with SparkTestBase {
         "_c5 cannot be found in both schemas")
   }
 
+  test("deeply nested arrays attribute errors to exact flat positions") {
+    val out = tmpOut()
+    intercept[DatasetsDifferException] {
+      DatasetComparisonJob.main(Array(
+        "--format", "parquet",
+        "--new-path", res("json_changed"),
+        "--ref-path", res("json_orig"),
+        "--out-path", out,
+        "--keys", "id"))
+    }
+    // reference golden expectation (DatasetComparatorJobSuite.scala:219-243):
+    // one row differs in legs[0].legid, one in the 6th element of a
+    // triply-nested string array
+    val errs = spark.read.parquet(out)
+      .select("errCol").collect().flatMap(_.getSeq[String](0)).sorted
+    assert(errs.toSeq == Seq("legs_0_conditions_0_checks_0_checkNums_5", "legs_0_legid"))
+  }
+
   test("identical datasets across formats write _METRICS and no diff") {
     val out = tmpOut()
     DatasetComparisonJob.main(Array(
