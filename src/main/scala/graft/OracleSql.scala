@@ -119,4 +119,31 @@ object OracleSql {
       .map(w => s"'${w}'").mkString("[", ",", "]")
     s"len(list_filter(${toks(e)}, t -> list_contains($words, t)))"
   }
+
+  /** Composite quality score — mirrors TextFunctions.qualityScore
+    * term for term (same literal order, so doubles match exactly). */
+  def qualityScore(e: String): String = {
+    val len = s"CAST(length($e) AS DOUBLE)"
+    val glen = s"CAST(greatest(length($e), 1) AS DOUBLE)"
+    val punct = s"CAST(length($e) - length(regexp_replace($e, '[.,;:!?''\"()-]', '', 'g')) AS DOUBLE)"
+    val digit = s"CAST(length($e) - length(regexp_replace($e, '[0-9]', '', 'g')) AS DOUBLE)"
+    val nToks = s"len(${toks(e)})"
+    val sumLen = s"CAST(list_aggregate(list_transform(${toks(e)}, t -> length(t)), 'sum') AS DOUBLE)"
+    val mtl = s"(CASE WHEN $nToks = 0 THEN 0.0 ELSE $sumLen / CAST($nToks AS DOUBLE) END)"
+    s"""(least($len / 200.0, 1.0) * 0.4
+       | + (1.0 - least(($punct / $glen) * 4.0, 1.0)) * 0.25
+       | + (1.0 - least(($digit / $glen) * 4.0, 1.0)) * 0.15
+       | + (CASE WHEN $mtl >= 3.0 AND $mtl <= 10.0 THEN 1.0 ELSE 0.5 END) * 0.2)""".stripMargin
+  }
+
+  /** Language-ID as an inline CASE (first language attaining the max
+    * stopword-hit count wins) — mirrors TextFunctions.langId. */
+  def langIdCase(e: String): String = {
+    val langs = graft.functions.TextFunctions.languages
+    val hits = langs.map(l => l -> stopwordHits(e, l)).toMap
+    val best = "greatest(" + langs.map(hits).mkString(", ") + ")"
+    val cases = langs.map(l =>
+      s"WHEN ${hits(l)} = $best AND $best > 0 THEN '$l'").mkString("\n    ")
+    s"(CASE $cases ELSE 'und' END)"
+  }
 }

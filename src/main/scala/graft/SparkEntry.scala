@@ -274,12 +274,34 @@ object SparkEntry {
         .orderBy("user_id", "event_id")
     }),
 
+    // ---- exact group percentiles (sort-based, no sketch) --------------
+    "q21_percentile" -> ((s, dir) => {
+      t(s, dir, "lineitem")
+        .groupBy("l_returnflag")
+        .agg(
+          expr("percentile(l_quantity, 0.5)").as("p50"),
+          expr("percentile(l_quantity, 0.9)").as("p90"),
+          count(lit(1)).as("n"))
+        .orderBy("l_returnflag")
+    }),
+
     // ================== §7 extensions: training-data ops ==============
 
     // ---- exact dedup by normalized-text fingerprint -------------------
     "d1_dedup_exact" -> ((s, dir) => {
       ops.Dedup.exact(t(s, dir, "documents"), "doc_id", "text")
         .orderBy("fingerprint")
+    }),
+
+    // ---- composed cleaning pipeline: language filter → quality filter
+    // → exact dedup, in one declarative plan (filters fuse into the
+    // scan stage; only the dedup groupBy shuffles) ----------------------
+    "d12_clean_corpus" -> ((s, dir) => {
+      import graft.functions.TextFunctions._
+      val filtered = t(s, dir, "documents")
+        .filter(langId(col("text")) === "en" &&
+          qualityScore(col("text")) >= lit(0.5))
+      ops.Dedup.exact(filtered, "doc_id", "text").orderBy("fingerprint")
     }),
 
     // ---- text analysis: token counts, ratios, quality score -----------
@@ -646,6 +668,21 @@ object SparkEntry {
       s"""SELECT md5(${OracleSql.norm("text")}) AS fingerprint,
          |  MIN(doc_id) AS keep_id, COUNT(*) AS n_copies
          |FROM documents GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    "d12_clean_corpus" ->
+      s"""SELECT md5(${OracleSql.norm("text")}) AS fingerprint,
+         |  MIN(doc_id) AS keep_id, COUNT(*) AS n_copies
+         |FROM documents
+         |WHERE ${OracleSql.langIdCase("text")} = 'en'
+         |  AND ${OracleSql.qualityScore("text")} >= 0.5
+         |GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    "q21_percentile" ->
+      """SELECT l_returnflag,
+        |  quantile_cont(l_quantity, 0.5) AS p50,
+        |  quantile_cont(l_quantity, 0.9) AS p90,
+        |  COUNT(*) AS n
+        |FROM lineitem GROUP BY 1 ORDER BY 1""".stripMargin,
 
     "d2_text_stats" -> {
       val len = "CAST(length(text) AS DOUBLE)"
