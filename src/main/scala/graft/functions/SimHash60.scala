@@ -74,7 +74,7 @@ object SimHash60 {
   /** First 15 hex chars of md5 as a long — identical to
     * [[TextFunctions.h64]] and to DuckDB
     * `('0x' || substr(md5(s),1,15))::BIGINT`. */
-  private def hash60(md: java.security.MessageDigest, s: UTF8String): Long = {
+  private[functions] def hash60(md: java.security.MessageDigest, s: UTF8String): Long = {
     md.reset()
     val d = md.digest(s.getBytes)
     // 15 hex chars = 7.5 bytes: take 8 bytes big-endian, drop low nibble

@@ -9,6 +9,12 @@ package object functions {
   def simhash60(tokens: Column): Column =
     ColumnBridge.column(SimHash60(ColumnBridge.expression(tokens)))
 
+  /** Distinct word-shingle 60-bit hashes of a token array (custom
+    * codegen'd expression; value-identical to
+    * `transform(array_distinct(shinglesFromTokens(toks, n)), h64)`). */
+  def shingleHash64(tokens: Column, n: Int): Column =
+    ColumnBridge.column(ShingleHash64(ColumnBridge.expression(tokens), n))
+
   /** Sequential-fold dot product of two array<double> columns (custom
     * codegen'd expression; bit-identical to aggregate(zip_with(...))). */
   def dotProduct(a: Column, b: Column): Column =

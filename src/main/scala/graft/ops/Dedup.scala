@@ -38,7 +38,10 @@ object Dedup {
     * independent family, but it is deterministic, engine-portable, and
     * effective for LSH banding. Returns array<long> of length k. */
   def minhashSignature(text: Column, k: Int, shingleSize: Int): Column = {
-    val hashes = transform(wordShingles(text, shingleSize), s => h64(s))
+    // distinct-shingle hashes via the codegen'd kernel; min over XORs is
+    // duplicate-invariant, so signatures equal the non-distinct builtin
+    // formulation (and its oracle) exactly
+    val hashes = graft.functions.shingleHash64(tokens(text), shingleSize)
     val seeds = array(minhashSeeds(k).map(lit): _*)
     transform(seeds, seed => array_min(transform(hashes, h => h.bitwiseXOR(seed))))
   }
@@ -139,22 +142,19 @@ object Dedup {
     minhashCandidatesFromHashed(
       minhashHashed(df, idCol, textCol, shingleSize), k, bands, maxBucket)
 
-  /** Stage 1 — collapse exact dups, then tokenize ONCE, shingle ONCE,
-    * hash each DISTINCT shingle ONCE (min-hash is duplicate-invariant),
-    * materialized by persist(). Chained selects keep each expensive
-    * lambda single-evaluation, and the persist barrier stops Catalyst
-    * from re-inlining the hashing into every downstream consumer
-    * (k seed lambdas × banding × two verification joins ≈ 30-50×
-    * redundant hashing otherwise — the difference between minutes and
-    * seconds at sf0.1 and between feasible and not at 100 TB). */
+  /** Stage 1 — collapse exact dups, then tokenize → shingle → hash each
+    * DISTINCT shingle in ONE codegen'd kernel per row
+    * ([[graft.functions.ShingleHash64]]), materialized by persist().
+    * The persist barrier stops Catalyst from re-inlining the kernel into
+    * every downstream consumer (k seed folds × banding × two
+    * verification joins — the difference between minutes and seconds at
+    * sf0.1 and between feasible and not at 100 TB); the cache holds only
+    * (id, array<long>), no shingle strings. */
   private def minhashHashed(
       df: DataFrame, idCol: String, textCol: String, shingleSize: Int): DataFrame =
     collapseExactText(df, idCol, textCol)
-      .select(col("doc_id"), tokens(col("text")).as("toks"))
       .select(col("doc_id"),
-        array_distinct(shinglesFromTokens(col("toks"), shingleSize)).as("sh"))
-      .select(col("doc_id"), col("sh"),
-        transform(col("sh"), s => h64(s)).as("hashes"))
+        graft.functions.shingleHash64(tokens(col("text")), shingleSize).as("hashes"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
 
   private def minhashCandidatesFromHashed(

@@ -24,6 +24,19 @@ class TextFunctionsSpec extends AnyFunSuite with SparkTestBase {
     assert(short == Seq("a b"))
   }
 
+  test("shingle_hash64 kernel equals the builtin distinct-shingle-hash chain") {
+    val texts = Seq("the quick brown fox jumps over the lazy dog",
+      "a b", "", "   ", "x Y  z x Y  z", "solo")
+    texts.foreach { t =>
+      val builtin = one(transform(
+        array_distinct(wordShingles(lit(t), 3)), s => h64(s)))
+        .asInstanceOf[scala.collection.Seq[Long]]
+      val kernel = one(graft.functions.shingleHash64(tokens(lit(t)), 3))
+        .asInstanceOf[scala.collection.Seq[Long]]
+      assert(kernel == builtin, s"for input '$t'")
+    }
+  }
+
   test("h64 equals first 15 md5 hex chars as long") {
     val expected = java.lang.Long.parseLong(
       java.security.MessageDigest.getInstance("MD5")
