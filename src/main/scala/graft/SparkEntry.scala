@@ -285,6 +285,57 @@ object SparkEntry {
         .orderBy("l_returnflag")
     }),
 
+    // ---- Structured Streaming end-to-end: file-stream the events
+    // table through a windowed aggregation into a memory sink; complete
+    // mode needs no watermark closure, so the result equals the batch
+    // aggregation and shares q9's oracle shape -------------------------
+    "s1_stream_window" -> ((s, dir) => {
+      s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+      val schema = s.read.parquet(s"$dir/events.parquet").schema
+      // the file-stream source wants a directory: stream the sf dir
+      // itself, glob-filtered down to the events table
+      val stream = s.readStream.schema(schema)
+        .option("pathGlobFilter", "events.parquet").parquet(dir)
+        .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+      val agg = stream
+        .groupBy(date_trunc("hour", col("ts")).as("hour"), col("event_type"))
+        .agg(count(lit(1)).as("n"),
+          sum(col("value").cast("decimal(18,3)")).cast("double").as("total"))
+      val sinkName = "graft_s1_" + java.util.UUID.randomUUID().toString.replace("-", "")
+      val q = agg.writeStream.format("memory").queryName(sinkName)
+        .outputMode("complete").start()
+      try q.processAllAvailable() finally q.stop()
+      s.table(sinkName).orderBy("hour", "event_type")
+    }),
+
+    // ---- bucketed co-located join: both sides bucketed+sorted on the
+    // join key, so the SortMergeJoin runs with NO exchange -------------
+    "q22_bucketed_join" -> ((s, dir) => {
+      // managed-table locations survive the (in-memory) catalog across
+      // sessions — clear both catalog entry and physical path first
+      Seq("graft_li_bucketed", "graft_o_bucketed").foreach { tbl =>
+        s.sql(s"DROP TABLE IF EXISTS $tbl")
+        val p = new org.apache.hadoop.fs.Path(
+          s.conf.get("spark.sql.warehouse.dir") + "/" + tbl)
+        val fs = p.getFileSystem(s.sparkContext.hadoopConfiguration)
+        if (fs.exists(p)) fs.delete(p, true)
+      }
+      t(s, dir, "lineitem").select("l_orderkey", "l_extendedprice")
+        .write.mode("overwrite").bucketBy(8, "l_orderkey").sortBy("l_orderkey")
+        .saveAsTable("graft_li_bucketed")
+      t(s, dir, "orders").select("o_orderkey", "o_orderpriority")
+        .write.mode("overwrite").bucketBy(8, "o_orderkey").sortBy("o_orderkey")
+        .saveAsTable("graft_o_bucketed")
+      val li = s.table("graft_li_bucketed")
+      val o = s.table("graft_o_bucketed")
+      li.join(o, li("l_orderkey") === o("o_orderkey"))
+        .groupBy("o_orderpriority")
+        .agg(
+          sum(col("l_extendedprice").cast("decimal(18,2)")).cast("double").as("revenue"),
+          count(lit(1)).as("n_items"))
+        .orderBy("o_orderpriority")
+    }),
+
     // ================== §7 extensions: training-data ops ==============
 
     // ---- exact dedup by normalized-text fingerprint -------------------
@@ -676,6 +727,18 @@ object SparkEntry {
          |WHERE ${OracleSql.langIdCase("text")} = 'en'
          |  AND ${OracleSql.qualityScore("text")} >= 0.5
          |GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    "s1_stream_window" ->
+      """SELECT date_trunc('hour', ts) AS hour, event_type, COUNT(*) AS n,
+        |  CAST(SUM(CAST(value AS DECIMAL(18,3))) AS DOUBLE) AS total
+        |FROM events GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+
+    "q22_bucketed_join" ->
+      """SELECT o_orderpriority,
+        |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS revenue,
+        |  COUNT(*) AS n_items
+        |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
 
     "q21_percentile" ->
       """SELECT l_returnflag,

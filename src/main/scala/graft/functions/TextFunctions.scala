@@ -69,9 +69,10 @@ object TextFunctions {
 
   def meanTokenLength(c: Column): Column = {
     val toks = tokens(c)
+    // sum of token lengths == length of the separator-less join — a
+    // codegen'd builtin, unlike the interpreted aggregate() fold
     when(size(toks) === 0, lit(0.0)).otherwise(
-      aggregate(toks, lit(0L), (acc, t) => acc + length(t)).cast("double") /
-        size(toks).cast("double"))
+      length(array_join(toks, "")).cast("double") / size(toks).cast("double"))
   }
 
   /** GPT-2-style pre-tokenizer token count via one regex scan (a
