@@ -285,6 +285,26 @@ object SparkEntry {
         .orderBy("l_returnflag")
     }),
 
+    // ---- batch sessionization: 30-min-gap sessions via lag + running
+    // sum (two window passes over ONE per-user sort) --------------------
+    "q23_sessionize" -> ((s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val byUser = Window.partitionBy("user_id").orderBy("ts")
+      val gapMin = 30
+      events(s, dir)
+        .select(col("user_id"), col("event_id"), col("ts"))
+        .withColumn("new_session",
+          when(col("ts").cast("long") -
+            lag(col("ts"), 1).over(byUser).cast("long") > gapMin * 60, 1)
+            .otherwise(lit(0)))
+        .withColumn("session_id",
+          sum("new_session").over(byUser.rowsBetween(Window.unboundedPreceding, 0)))
+        .groupBy("user_id", "session_id")
+        .agg(count(lit(1)).as("n_events"),
+          (max(col("ts").cast("long")) - min(col("ts").cast("long"))).as("dur_s"))
+        .orderBy("user_id", "session_id")
+    }),
+
     // ---- Structured Streaming end-to-end: file-stream the events
     // table through a windowed aggregation into a memory sink; complete
     // mode needs no watermark closure, so the result equals the batch
@@ -727,6 +747,25 @@ object SparkEntry {
          |WHERE ${OracleSql.langIdCase("text")} = 'en'
          |  AND ${OracleSql.qualityScore("text")} >= 0.5
          |GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    "q23_sessionize" ->
+      """WITH e AS (
+        |  SELECT user_id, event_id, CAST(ts AS TIMESTAMP) AS ts FROM events),
+        |flagged AS (
+        |  SELECT user_id, event_id, ts,
+        |    CASE WHEN epoch_us(ts) // 1000000
+        |              - epoch_us(LAG(ts) OVER w) // 1000000 > 1800
+        |         THEN 1 ELSE 0 END AS new_session
+        |  FROM e WINDOW w AS (PARTITION BY user_id ORDER BY ts)),
+        |sessions AS (
+        |  SELECT user_id, event_id, ts,
+        |    SUM(new_session) OVER (PARTITION BY user_id ORDER BY ts
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_id
+        |  FROM flagged)
+        |SELECT user_id, CAST(session_id AS BIGINT) AS session_id,
+        |  COUNT(*) AS n_events,
+        |  MAX(epoch_us(ts) // 1000000) - MIN(epoch_us(ts) // 1000000) AS dur_s
+        |FROM sessions GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
 
     "s1_stream_window" ->
       """SELECT date_trunc('hour', ts) AS hour, event_type, COUNT(*) AS n,

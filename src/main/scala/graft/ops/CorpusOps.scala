@@ -39,6 +39,24 @@ object CorpusOps {
     * expand, and its map-side combine bounds the shuffle by the distinct
     * (doc, token) pairs, not the token stream. Top-k is a distributed
     * TakeOrdered, tiebroken by token for determinism. */
+  /** Smoothed TF-IDF weights per (doc, token):
+    * `tf * (ln((1 + N) / (1 + df)) + 1)`. Same single-explode shape as
+    * [[vocabulary]]; the (doc, token) pre-aggregate is persisted because
+    * it feeds both the doc-frequency aggregate and the final join.
+    * Spec-verified only: `ln` is not bit-portable across engines, so
+    * this op deliberately has no exact SQL oracle. */
+  def tfIdf(df: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val perDoc = df
+      .select(col(idCol).as("doc"), explode(tokens(col(textCol))).as("token"))
+      .groupBy("doc", "token").agg(count(lit(1)).as("tf"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val nDocs = df.select(col(idCol)).distinct().count()
+    val docFreq = perDoc.groupBy("token").agg(count(lit(1)).as("df"))
+    perDoc.join(docFreq, Seq("token"))
+      .select(col("doc"), col("token"),
+        (col("tf") * (log(lit(nDocs + 1.0) / (col("df") + 1.0)) + 1.0)).as("tf_idf"))
+  }
+
   def vocabulary(df: DataFrame, idCol: String, textCol: String, k: Int): DataFrame = {
     val perDoc = df
       .select(col(idCol).as("doc"), explode(tokens(col(textCol))).as("token"))

@@ -367,6 +367,21 @@ class CorpusOpsSpec extends AnyFunSuite with SparkTestBase {
     assert(math.abs(byLang("en") - 500L) < 100)
   }
 
+  test("tfIdf weights match the smoothed formula") {
+    import spark.implicits._
+    val df = Seq(
+      (1L, "alpha beta alpha"),
+      (2L, "beta gamma"),
+      (3L, "alpha")).toDF("doc_id", "text")
+    val w = CorpusOps.tfIdf(df, "doc_id", "text").collect()
+      .map(r => (r.getLong(0), r.getString(1)) -> r.getDouble(2)).toMap
+    def idf(dfq: Int) = math.log(4.0 / (1 + dfq)) + 1.0
+    assert(w((1L, "alpha")) == 2 * idf(2)) // tf 2, appears in 2 docs
+    assert(w((2L, "gamma")) == 1 * idf(1))
+    assert(w((3L, "alpha")) == 1 * idf(2))
+    assert(w.size == 5)
+  }
+
   test("vocabulary counts occurrences and doc frequencies without expand") {
     import spark.implicits._
     val df = Seq(
