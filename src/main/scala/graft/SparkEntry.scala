@@ -285,6 +285,30 @@ object SparkEntry {
         .orderBy("l_returnflag")
     }),
 
+    // ---- salted skew join: result must be row-identical to the plain
+    // join, so the plain join's SQL is its oracle ------------------------
+    "q24_salted_join" -> ((s, dir) => {
+      val li = t(s, dir, "lineitem").select("l_orderkey", "l_quantity")
+      val o = t(s, dir, "orders").select("o_orderkey", "o_orderpriority")
+        .withColumnRenamed("o_orderkey", "l_orderkey")
+      ops.Skew.saltedJoin(li, o, "l_orderkey", factor = 4)
+        .groupBy("o_orderpriority")
+        .agg(sum(col("l_quantity").cast("decimal(18,2)")).cast("double").as("qty"),
+          count(lit(1)).as("n"))
+        .orderBy("o_orderpriority")
+    }),
+
+    // ---- semi/anti joins: customers with and without orders -----------
+    "q25_semi_anti" -> ((s, dir) => {
+      val c = t(s, dir, "customer")
+      val o = t(s, dir, "orders")
+      val withOrders = c.join(o, c("c_custkey") === o("o_custkey"), "left_semi")
+        .select(col("c_custkey"), lit("has_orders").as("kind"))
+      val without = c.join(o, c("c_custkey") === o("o_custkey"), "left_anti")
+        .select(col("c_custkey"), lit("no_orders").as("kind"))
+      withOrders.unionAll(without).orderBy("c_custkey", "kind")
+    }),
+
     // ---- batch sessionization: 30-min-gap sessions via lag + running
     // sum (two window passes over ONE per-user sort) --------------------
     "q23_sessionize" -> ((s, dir) => {
@@ -747,6 +771,21 @@ object SparkEntry {
          |WHERE ${OracleSql.langIdCase("text")} = 'en'
          |  AND ${OracleSql.qualityScore("text")} >= 0.5
          |GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    "q24_salted_join" ->
+      """SELECT o_orderpriority,
+        |  CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS qty,
+        |  COUNT(*) AS n
+        |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    "q25_semi_anti" ->
+      """SELECT c_custkey, 'has_orders' AS kind FROM customer
+        |WHERE EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+        |UNION ALL
+        |SELECT c_custkey, 'no_orders' FROM customer
+        |WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+        |ORDER BY c_custkey, kind""".stripMargin,
 
     "q23_sessionize" ->
       """WITH e AS (
