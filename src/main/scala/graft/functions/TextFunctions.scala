@@ -98,8 +98,15 @@ object TextFunctions {
   }
 
   /** Heuristic language ID: argmax of stopword hits, 'und' (undetermined)
-    * when no stopwords at all; ties break by `languages` order. */
-  def langId(c: Column): Column = {
+    * when no stopwords at all; ties break by `languages` order. Runs as
+    * the codegen'd [[LangIdExpr]] kernel (one pass per row); the builtin
+    * formulation below is kept for the parity spec. */
+  def langId(c: Column): Column =
+    org.apache.spark.sql.graftbridge.ColumnBridge.column(
+      LangIdExpr(org.apache.spark.sql.graftbridge.ColumnBridge.expression(tokens(c))))
+
+  /** Builtin-only langId (interpreted HOF lambdas) — parity reference. */
+  def langIdBuiltin(c: Column): Column = {
     val scored = languages.map(l => (l, stopwordHits(c, l)))
     val best = scored.map(_._2).reduce((a, b) => greatest(a, b))
     val pick = scored.reverse.foldLeft(lit("und")) { case (acc, (l, s)) =>

@@ -37,6 +37,18 @@ class TextFunctionsSpec extends AnyFunSuite with SparkTestBase {
     }
   }
 
+  test("lang_id kernel equals the builtin stopword-argmax formulation") {
+    import spark.implicits._
+    val texts = Seq("the cat sat on the mat and it was good",
+      "der hund und die katze sind zu haus", "el perro es un animal en la casa",
+      "le chat est dans la maison que les gens aiment",
+      "nothing matching here whatsoever", "", "de la") // 'de' ties es/fr ambiguity
+    val df = texts.zipWithIndex.map { case (t, i) => (i, t) }.toDF("i", "t")
+    val rows = df.select(langId(col("t")).as("k"), langIdBuiltin(col("t")).as("b"))
+      .collect()
+    rows.foreach(r => assert(r.getString(0) == r.getString(1)))
+  }
+
   test("h64 equals first 15 md5 hex chars as long") {
     val expected = java.lang.Long.parseLong(
       java.security.MessageDigest.getInstance("MD5")
