@@ -285,15 +285,13 @@ object Dedup {
     * every node with its component's minimum id — the final step of
     * corpus dedup (pairs → clusters → keep one canonical doc each).
     *
-    * Min-label propagation: each pass joins current labels over the
-    * symmetric edge list and keeps the per-node minimum; converges in
-    * O(graph diameter) passes, which for near-dup clusters (stars around
-    * a template) is 2-3. Convergence is detected by the label sum, which
-    * strictly decreases until fixpoint — one cheap aggregate per pass,
-    * no driver-side graph state. For adversarially deep graphs at 100 TB
-    * the alternating large-star/small-star variant halves the rounds;
-    * the per-pass shape (join on node id, map-side min combine) is the
-    * same, so this implementation is the scale shape too.
+    * Min-label propagation with pointer jumping: each pass takes the
+    * per-node minimum over neighbor labels AND the label's own label
+    * (label(label(n))), so label chains halve every round — O(log
+    * diameter) passes even for path-shaped graphs, 2-3 for the star
+    * clusters near-dup corpora produce. Convergence is detected by the
+    * label sum, which strictly decreases until fixpoint — one cheap
+    * aggregate per pass, no driver-side graph state.
     *
     * @return (node, cluster_rep) for every id appearing in `pairs`
     */
@@ -315,10 +313,13 @@ object Dedup {
 
     // seed labels with the first neighbor-min pass directly from the
     // edge list (cheaper than a join against identity labels): star
-    // clusters converge after this seed plus one confirming pass
+    // clusters converge after this seed plus one confirming pass.
+    // localCheckpoint (not persist) — the loop references each label
+    // table three ways, so without lineage truncation the logical plan
+    // grows exponentially with iterations
     var labels = edges.groupBy("a").agg(min("b").as("mb"))
       .select(col("a").as("node"), least(col("a"), col("mb")).as("cluster_rep"))
-      .persist(lvl)
+      .localCheckpoint()
     var prevSum = labels
       .agg(sum(col("cluster_rep").cast("decimal(38,0)"))).collect()(0).getDecimal(0)
 
@@ -330,13 +331,17 @@ object Dedup {
         .groupBy("a").agg(min("nbr_lab").as("nbr_lab"))
       val next = labels
         .join(nbrMin.select(col("a").as("node"), col("nbr_lab")), Seq("node"), "left")
+        // pointer jump: also adopt the label of the current label
+        .join(labels.select(col("node").as("cluster_rep"),
+          col("cluster_rep").as("graft_ptr")), Seq("cluster_rep"), "left")
         .select(col("node"),
-          least(col("cluster_rep"), coalesce(col("nbr_lab"), col("cluster_rep")))
+          least(col("cluster_rep"),
+            least(coalesce(col("nbr_lab"), col("cluster_rep")),
+              coalesce(col("graft_ptr"), col("cluster_rep"))))
             .as("cluster_rep"))
-        .persist(lvl)
+        .localCheckpoint()
       val nextSum = next
         .agg(sum(col("cluster_rep").cast("decimal(38,0)"))).collect()(0).getDecimal(0)
-      labels.unpersist()
       labels = next
       converged = nextSum.compareTo(prevSum) == 0
       prevSum = nextSum

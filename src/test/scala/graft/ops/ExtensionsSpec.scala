@@ -150,6 +150,17 @@ class DedupSpec extends AnyFunSuite with SparkTestBase {
       10L -> 10L, 11L -> 10L, 12L -> 10L))
   }
 
+  test("connected components converge on a 100-node chain (pointer jumping)") {
+    import spark.implicits._
+    // a path graph has diameter 99: plain min-propagation would need ~99
+    // passes and blow the maxIter cap; pointer jumping halves chains
+    val pairs = (1 until 100).map(i => (i.toLong, (i + 1).toLong)).toDF("id1", "id2")
+    val labels = Dedup.connectedComponents(pairs, maxIter = 12).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(labels.size == 100)
+    assert(labels.values.forall(_ == 1L))
+  }
+
   test("connected components cluster LSH pairs into dedup groups") {
     import spark.implicits._
     val base = (0 until 10).map(i =>
