@@ -88,4 +88,43 @@ object PropertySpec extends Properties("graft") {
       val h2 = df.select(graft.functions.simhash60(col("toks"))).collect().head.getLong(0)
       h1 == h2 && h1 >= 0 && h1 < (1L << 60)
     }
+
+  private val edgeGen = Gen.listOfN(15,
+    Gen.zip(Gen.choose(0L, 20L), Gen.choose(0L, 20L)).suchThat(p => p._1 != p._2))
+    .suchThat(_.nonEmpty)
+
+  property("connected components: labels are component-closed minima") =
+    forAll(edgeGen) { es =>
+      val pairs = es.toDF("id1", "id2")
+      val labels = graft.ops.Dedup.connectedComponents(pairs).collect()
+        .map(r => r.getLong(0) -> r.getLong(1)).toMap
+      // every edge endpoint is labeled, labels never exceed the node,
+      // and both ends of every edge agree on the label
+      val nodes = es.flatMap(e => Seq(e._1, e._2)).toSet
+      nodes.forall(labels.contains) &&
+        labels.forall { case (n, l) => l <= n } &&
+        es.forall { case (a, b) => labels(a) == labels(b) } &&
+        labels.values.forall(l => labels(l) == l) // representatives are fixpoints
+    }
+
+  property("asOfJoin preserves left row count and never matches forward") =
+    forAll(Gen.listOfN(8, Gen.zip(Gen.choose(1L, 3L), Gen.choose(0L, 50L))),
+      Gen.listOfN(8, Gen.zip(Gen.choose(1L, 3L), Gen.choose(0L, 50L)))) { (ls, rs) =>
+      val left = ls.zipWithIndex.map { case ((k, t), i) => (k, t, i) }
+        .toDF("k", "ts", "row_id")
+      val right = rs.toDF("k", "ts").withColumn("v", col("ts") * 10)
+      val out = graft.ops.AsOf.asOfJoin(left, right, "k", "ts", Seq("v")).collect()
+      out.length == ls.length &&
+        out.forall { r =>
+          r.isNullAt(r.fieldIndex("asof_ts")) ||
+            r.getLong(r.fieldIndex("asof_ts")) <= r.getLong(r.fieldIndex("ts"))
+        }
+    }
+
+  property("hash sampling partitions the corpus: rates 0 and 100 are ∅ and all") =
+    forAll(Gen.listOfN(30, Gen.choose(0L, 10000L)).map(_.distinct)) { ids =>
+      val df = ids.toDF("id")
+      graft.ops.CorpusOps.hashSample(df, "id", 0).count() == 0 &&
+        graft.ops.CorpusOps.hashSample(df, "id", 100).count() == ids.length
+    }
 }
