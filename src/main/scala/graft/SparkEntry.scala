@@ -236,6 +236,17 @@ object SparkEntry {
           col("l_linestatus").asc_nulls_last)
     }),
 
+    // ---- cube (all grouping-set combinations + grand total) -----------
+    "q26_cube" -> ((s, dir) => {
+      t(s, dir, "lineitem")
+        .cube("l_returnflag", "l_linestatus")
+        .agg(
+          sum(col("l_quantity").cast("decimal(18,2)")).cast("double").as("sum_qty"),
+          count(lit(1)).as("n_rows"))
+        .orderBy(col("l_returnflag").asc_nulls_last,
+          col("l_linestatus").asc_nulls_last)
+    }),
+
     // ---- pivot via conditional aggregation ----------------------------
     "q18_pivot" -> ((s, dir) => {
       t(s, dir, "lineitem")
@@ -659,6 +670,13 @@ object SparkEntry {
         |  CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
         |  COUNT(*) AS n_rows
         |FROM lineitem GROUP BY ROLLUP (l_returnflag, l_linestatus)
+        |ORDER BY l_returnflag NULLS LAST, l_linestatus NULLS LAST""".stripMargin,
+
+    "q26_cube" ->
+      """SELECT l_returnflag, l_linestatus,
+        |  CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
+        |  COUNT(*) AS n_rows
+        |FROM lineitem GROUP BY CUBE (l_returnflag, l_linestatus)
         |ORDER BY l_returnflag NULLS LAST, l_linestatus NULLS LAST""".stripMargin,
 
     "q18_pivot" ->
