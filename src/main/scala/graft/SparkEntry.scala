@@ -340,6 +340,40 @@ object SparkEntry {
         .orderBy("user_id", "session_id")
     }),
 
+    // ---- partitioned-parquet layout: write events partitioned by type,
+    // read back with a partition filter (pruned scan — the 100 TB table
+    // organization primitive) ------------------------------------------
+    "q27_partitioned_scan" -> ((s, dir) => {
+      val p = java.nio.file.Files.createTempDirectory("graft-parts").toString
+      events(s, dir).write.mode("overwrite").partitionBy("event_type").parquet(p)
+      s.read.parquet(p)
+        .filter(col("event_type") === "purchase")
+        .groupBy(date_trunc("hour", col("ts")).as("hour"))
+        .agg(count(lit(1)).as("n"),
+          sum(col("value").cast("decimal(18,3)")).cast("double").as("total"))
+        .orderBy("hour")
+    }),
+
+    // ---- streaming dedup: duplicate every event, dropDuplicates on the
+    // id inside the stream, aggregate in complete mode ------------------
+    "s2_stream_dedup" -> ((s, dir) => {
+      s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+      val schema = s.read.parquet(s"$dir/events.parquet").schema
+      val doubled = s.readStream.schema(schema)
+        .option("pathGlobFilter", "events.parquet").parquet(dir)
+        .withColumn("graft_dup", explode(array(lit(1), lit(2))))
+        .drop("graft_dup")
+      val agg = doubled
+        .dropDuplicates("event_id")
+        .groupBy("event_type")
+        .agg(count(lit(1)).as("n"))
+      val sinkName = "graft_s2_" + java.util.UUID.randomUUID().toString.replace("-", "")
+      val q = agg.writeStream.format("memory").queryName(sinkName)
+        .outputMode("complete").start()
+      try q.processAllAvailable() finally q.stop()
+      s.table(sinkName).orderBy("event_type")
+    }),
+
     // ---- Structured Streaming end-to-end: file-stream the events
     // table through a windowed aggregation into a memory sink; complete
     // mode needs no watermark closure, so the result equals the batch
@@ -823,6 +857,16 @@ object SparkEntry {
         |  COUNT(*) AS n_events,
         |  MAX(epoch_us(ts) // 1000000) - MIN(epoch_us(ts) // 1000000) AS dur_s
         |FROM sessions GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+
+    "q27_partitioned_scan" ->
+      """SELECT date_trunc('hour', ts) AS hour, COUNT(*) AS n,
+        |  CAST(SUM(CAST(value AS DECIMAL(18,3))) AS DOUBLE) AS total
+        |FROM events WHERE event_type = 'purchase'
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    "s2_stream_dedup" ->
+      """SELECT event_type, COUNT(*) AS n FROM events
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
 
     "s1_stream_window" ->
       """SELECT date_trunc('hour', ts) AS hour, event_type, COUNT(*) AS n,
