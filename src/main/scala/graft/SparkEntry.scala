@@ -27,6 +27,16 @@ object SparkEntry {
       .withColumn("ts", timestamp_micros(expr("ts div 1000")))
   }
 
+  /** Stateful streaming creates and commits a state store PER shuffle
+    * partition per stateful operator — run the streaming gates narrow
+    * (4 partitions of state machinery instead of 32), restoring the
+    * session conf afterwards. Results are partition-count-invariant. */
+  private def withNarrowState[T](s: SparkSession)(f: => T): T = {
+    val prev = s.conf.get("spark.sql.shuffle.partitions")
+    s.conf.set("spark.sql.shuffle.partitions", "4")
+    try f finally s.conf.set("spark.sql.shuffle.partitions", prev)
+  }
+
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =
     queries("q1_agg")(spark, "/root/testdata/sf0.001")
@@ -368,9 +378,11 @@ object SparkEntry {
         .groupBy("event_type")
         .agg(count(lit(1)).as("n"))
       val sinkName = "graft_s2_" + java.util.UUID.randomUUID().toString.replace("-", "")
-      val q = agg.writeStream.format("memory").queryName(sinkName)
-        .outputMode("complete").start()
-      try q.processAllAvailable() finally q.stop()
+      withNarrowState(s) {
+        val q = agg.writeStream.format("memory").queryName(sinkName)
+          .outputMode("complete").start()
+        try q.processAllAvailable() finally q.stop()
+      }
       s.table(sinkName).orderBy("event_type")
     }),
 
@@ -391,9 +403,11 @@ object SparkEntry {
         .agg(count(lit(1)).as("n"),
           sum(col("value").cast("decimal(18,3)")).cast("double").as("total"))
       val sinkName = "graft_s1_" + java.util.UUID.randomUUID().toString.replace("-", "")
-      val q = agg.writeStream.format("memory").queryName(sinkName)
-        .outputMode("complete").start()
-      try q.processAllAvailable() finally q.stop()
+      withNarrowState(s) {
+        val q = agg.writeStream.format("memory").queryName(sinkName)
+          .outputMode("complete").start()
+        try q.processAllAvailable() finally q.stop()
+      }
       s.table(sinkName).orderBy("hour", "event_type")
     }),
 
@@ -423,6 +437,39 @@ object SparkEntry {
           sum(col("l_extendedprice").cast("decimal(18,2)")).cast("double").as("revenue"),
           count(lit(1)).as("n_items"))
         .orderBy("o_orderpriority")
+    }),
+
+    // ---- stream-stream inner join: purchases joined to same-user views
+    // within ±1 hour, both sides arriving as streams --------------------
+    "s3_stream_join" -> ((s, dir) => {
+      s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+      val schema = s.read.parquet(s"$dir/events.parquet").schema
+      def stream() = s.readStream.schema(schema)
+        .option("pathGlobFilter", "events.parquet").parquet(dir)
+        .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+      // user subset keeps join state small — the operator shape is the
+      // same, the bench doesn't pay for 100× state
+      val purchases = stream()
+        .filter(col("event_type") === "purchase" && col("user_id") % 7 === 0)
+        .select(col("user_id"), col("event_id").as("p_id"), col("ts").as("p_ts"))
+        .withWatermark("p_ts", "2 hours")
+      val views = stream()
+        .filter(col("event_type") === "view" && col("user_id") % 7 === 0)
+        .select(col("user_id").as("v_user"), col("event_id").as("v_id"),
+          col("ts").as("v_ts"))
+        .withWatermark("v_ts", "2 hours")
+      val joined = purchases.join(views,
+        col("user_id") === col("v_user") &&
+          col("v_ts") >= col("p_ts") - expr("INTERVAL 1 HOUR") &&
+          col("v_ts") <= col("p_ts") + expr("INTERVAL 1 HOUR"))
+      val sinkName = "graft_s3_" + java.util.UUID.randomUUID().toString.replace("-", "")
+      withNarrowState(s) {
+        val q = joined.select("user_id", "p_id", "v_id")
+          .writeStream.format("memory").queryName(sinkName)
+          .outputMode("append").start()
+        try q.processAllAvailable() finally q.stop()
+      }
+      s.table(sinkName).orderBy("user_id", "p_id", "v_id")
     }),
 
     // ================== §7 extensions: training-data ops ==============
@@ -867,6 +914,18 @@ object SparkEntry {
     "s2_stream_dedup" ->
       """SELECT event_type, COUNT(*) AS n FROM events
         |GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    "s3_stream_join" ->
+      """WITH e AS (SELECT user_id, event_id, event_type,
+        |                  CAST(ts AS TIMESTAMP) AS ts FROM events)
+        |SELECT p.user_id, p.event_id AS p_id, v.event_id AS v_id
+        |FROM e p JOIN e v
+        |  ON p.event_type = 'purchase' AND v.event_type = 'view'
+        | AND p.user_id % 7 = 0
+        | AND p.user_id = v.user_id
+        | AND v.ts >= p.ts - INTERVAL 1 HOUR
+        | AND v.ts <= p.ts + INTERVAL 1 HOUR
+        |ORDER BY p.user_id, p_id, v_id""".stripMargin,
 
     "s1_stream_window" ->
       """SELECT date_trunc('hour', ts) AS hour, event_type, COUNT(*) AS n,
