@@ -439,6 +439,25 @@ object SparkEntry {
         .orderBy("o_orderpriority")
     }),
 
+    // ---- order-insensitive table digests: two tables compared by
+    // exchanging one number each (the cheap pre-check before a diff) ----
+    "q28_digest" -> ((s, dir) => {
+      val cols = Seq("o_orderkey", "o_custkey", "o_orderstatus", "o_orderpriority")
+      val o = t(s, dir, "orders")
+      val perturbed = o.withColumn("o_orderstatus",
+        when(col("o_orderkey") % 500 === 0, lit("X")).otherwise(col("o_orderstatus")))
+      val same = o.filter(col("o_orderkey") % 2 === 0)
+      // decimal(38) digests survive the cross-engine compare only as
+      // plain-integer strings (pandas narrows DECIMAL to float64)
+      def d(df: DataFrame, p: String) = ops.TableDigest.digest(df, cols)
+        .select(col("n_rows").as(s"${p}_rows"),
+          col("digest").cast("string").as(s"${p}_digest"))
+      d(o, "a").crossJoin(d(perturbed, "b")).crossJoin(d(same.unionAll(
+          o.filter(col("o_orderkey") % 2 =!= 0)), "c"))
+        .withColumn("b_matches", col("a_digest") === col("b_digest"))
+        .withColumn("c_matches", col("a_digest") === col("c_digest"))
+    }),
+
     // ---- stream-stream inner join: purchases joined to same-user views
     // within ±1 hour, both sides arriving as streams --------------------
     "s3_stream_join" -> ((s, dir) => {
@@ -914,6 +933,30 @@ object SparkEntry {
     "s2_stream_dedup" ->
       """SELECT event_type, COUNT(*) AS n FROM events
         |GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    "q28_digest" -> {
+      val enc = OracleSql.h64(
+        "concat_ws('|', CAST(o_orderkey AS VARCHAR), CAST(o_custkey AS VARCHAR), " +
+          "o_orderstatus, o_orderpriority)")
+      s"""WITH a AS (
+         |  SELECT COUNT(*) AS n, SUM(CAST($enc AS DECIMAL(38,0))) AS dig
+         |  FROM orders),
+         |p AS (
+         |  SELECT o_orderkey, o_custkey,
+         |    CASE WHEN o_orderkey % 500 = 0 THEN 'X' ELSE o_orderstatus END
+         |      AS o_orderstatus,
+         |    o_orderpriority
+         |  FROM orders),
+         |b AS (
+         |  SELECT COUNT(*) AS n, SUM(CAST($enc AS DECIMAL(38,0))) AS dig
+         |  FROM p)
+         |SELECT a.n AS a_rows, CAST(a.dig AS VARCHAR) AS a_digest,
+         |  b.n AS b_rows, CAST(b.dig AS VARCHAR) AS b_digest,
+         |  a.n AS c_rows, CAST(a.dig AS VARCHAR) AS c_digest,
+         |  a.dig = b.dig AS b_matches,
+         |  a.dig = a.dig AS c_matches
+         |FROM a, b""".stripMargin
+    },
 
     "s3_stream_join" ->
       """WITH e AS (SELECT user_id, event_id, event_type,
