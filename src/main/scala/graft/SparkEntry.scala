@@ -439,6 +439,29 @@ object SparkEntry {
         .orderBy("o_orderpriority")
     }),
 
+    // ---- window-function breadth: ntile, cume_dist, lead with full
+    // tiebreaks (all exact: integer buckets, rational fractions) --------
+    "q29_window_funcs" -> ((s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val w = Window.partitionBy("l_returnflag").orderBy("l_orderkey", "l_linenumber")
+      t(s, dir, "lineitem")
+        .filter(col("l_quantity") <= 3)
+        .select(col("l_returnflag"), col("l_orderkey"), col("l_linenumber"),
+          ntile(4).over(w).as("quartile"),
+          cume_dist().over(w).as("cd"),
+          lead(col("l_orderkey"), 1).over(w).as("next_key"))
+        .orderBy("l_returnflag", "l_orderkey", "l_linenumber")
+    }),
+
+    // ---- edit-distance matching (integer levenshtein, engine-exact) ---
+    "q30_editdist" -> ((s, dir) => {
+      t(s, dir, "customer")
+        .select(col("c_custkey"), col("c_name"),
+          levenshtein(col("c_name"), lit("Customer#000000042")).as("dist"))
+        .filter(col("dist") <= 3)
+        .orderBy("c_custkey")
+    }),
+
     // ---- order-insensitive table digests: two tables compared by
     // exchanging one number each (the cheap pre-check before a diff) ----
     "q28_digest" -> ((s, dir) => {
@@ -933,6 +956,21 @@ object SparkEntry {
     "s2_stream_dedup" ->
       """SELECT event_type, COUNT(*) AS n FROM events
         |GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    "q29_window_funcs" ->
+      """SELECT l_returnflag, l_orderkey, l_linenumber,
+        |  NTILE(4) OVER w AS quartile,
+        |  CUME_DIST() OVER w AS cd,
+        |  LEAD(l_orderkey, 1) OVER w AS next_key
+        |FROM lineitem WHERE l_quantity <= 3
+        |WINDOW w AS (PARTITION BY l_returnflag ORDER BY l_orderkey, l_linenumber)
+        |ORDER BY l_returnflag, l_orderkey, l_linenumber""".stripMargin,
+
+    "q30_editdist" ->
+      """SELECT c_custkey, c_name,
+        |  levenshtein(c_name, 'Customer#000000042') AS dist
+        |FROM customer WHERE levenshtein(c_name, 'Customer#000000042') <= 3
+        |ORDER BY c_custkey""".stripMargin,
 
     "q28_digest" -> {
       val enc = OracleSql.h64(
