@@ -439,6 +439,24 @@ object SparkEntry {
         .orderBy("o_orderpriority")
     }),
 
+    // ---- JSON column plumbing: serialize rows to JSON strings, parse
+    // them back with both the path accessor and the typed parser; the
+    // oracle checks the recovered FIELDS (JSON text formatting is
+    // engine-specific and never compared) -------------------------------
+    "q31_json_roundtrip" -> ((s, dir) => {
+      import org.apache.spark.sql.types._
+      val payloadSchema = StructType(Seq(
+        StructField("n_name", StringType), StructField("n_regionkey", LongType)))
+      t(s, dir, "nation")
+        .select(col("n_nationkey"),
+          to_json(struct(col("n_name"), col("n_regionkey"))).as("payload"))
+        .select(col("n_nationkey"),
+          get_json_object(col("payload"), "$.n_name").as("name"),
+          from_json(col("payload"), payloadSchema).getField("n_regionkey")
+            .as("regionkey"))
+        .orderBy("n_nationkey")
+    }),
+
     // ---- window-function breadth: ntile, cume_dist, lead with full
     // tiebreaks (all exact: integer buckets, rational fractions) --------
     "q29_window_funcs" -> ((s, dir) => {
@@ -956,6 +974,11 @@ object SparkEntry {
     "s2_stream_dedup" ->
       """SELECT event_type, COUNT(*) AS n FROM events
         |GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    "q31_json_roundtrip" ->
+      """SELECT n_nationkey, n_name AS name,
+        |  CAST(n_regionkey AS BIGINT) AS regionkey
+        |FROM nation ORDER BY n_nationkey""".stripMargin,
 
     "q29_window_funcs" ->
       """SELECT l_returnflag, l_orderkey, l_linenumber,
