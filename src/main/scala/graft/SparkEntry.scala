@@ -439,6 +439,17 @@ object SparkEntry {
         .orderBy("o_orderpriority")
     }),
 
+    // ---- schema-evolution read: two parquet generations (a column
+    // added), merged into one schema with nulls for the old files ------
+    "q32_merge_schema" -> ((s, dir) => {
+      val p = java.nio.file.Files.createTempDirectory("graft-evolve").toString
+      val n = t(s, dir, "nation")
+      n.select("n_nationkey", "n_name").write.parquet(s"$p/v1")
+      n.select("n_nationkey", "n_name", "n_regionkey").write.parquet(s"$p/v2")
+      s.read.option("mergeSchema", "true").parquet(s"$p/v1", s"$p/v2")
+        .orderBy(col("n_nationkey"), col("n_regionkey").asc_nulls_last)
+    }),
+
     // ---- JSON column plumbing: serialize rows to JSON strings, parse
     // them back with both the path accessor and the typed parser; the
     // oracle checks the recovered FIELDS (JSON text formatting is
@@ -974,6 +985,12 @@ object SparkEntry {
     "s2_stream_dedup" ->
       """SELECT event_type, COUNT(*) AS n FROM events
         |GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    "q32_merge_schema" ->
+      """SELECT n_nationkey, n_name, NULL::INTEGER AS n_regionkey FROM nation
+        |UNION ALL
+        |SELECT n_nationkey, n_name, n_regionkey FROM nation
+        |ORDER BY n_nationkey, n_regionkey NULLS LAST""".stripMargin,
 
     "q31_json_roundtrip" ->
       """SELECT n_nationkey, n_name AS name,
