@@ -699,6 +699,19 @@ object SparkEntry {
         .orderBy("media_id")
     }),
 
+    // ---- multimodal resample: nearest-neighbor image resize to 8×8,
+    // audio frame-sampled every 4th PCM sample (lossless paths exact) ---
+    "m2_media_resample" -> ((s, dir) => {
+      val media = ops.Multimodal.syntheticMedia(
+        t(s, dir, "documents").select("doc_id"), "doc_id")(s)
+      ops.Multimodal.resampleFeatures(media, 8, 8, 4).toDF()
+        .select(col("media_id"), col("format"), col("width"), col("height"),
+          col("duration_ms"),
+          when(col("format") === "jpeg", lit(null).cast("double"))
+            .otherwise(col("mean_val")).as("mean_val"))
+        .orderBy("media_id")
+    }),
+
     // ---- brute-force cosine top-k against one query vector ------------
     "e1_cos_topk" -> ((s, dir) => {
       val emb = t(s, dir, "embeddings")
@@ -1227,6 +1240,37 @@ object SparkEntry {
         |  CASE d.doc_id % 3 WHEN 0 THEN 'png' WHEN 1 THEN 'jpeg' ELSE 'wav' END AS format,
         |  CASE WHEN d.doc_id % 3 = 2 THEN 0 ELSE CAST(d.doc_id % 64 + 1 AS INT) END AS width,
         |  CASE WHEN d.doc_id % 3 = 2 THEN 0 ELSE CAST(d.doc_id % 48 + 1 AS INT) END AS height,
+        |  CAST(CASE WHEN d.doc_id % 3 = 2
+        |            THEN (d.doc_id % 800 + 8) * 1000 // 8000 ELSE 0 END AS BIGINT)
+        |    AS duration_ms,
+        |  COALESCE(img.mean_val, wav.mean_val) AS mean_val
+        |FROM documents d
+        |LEFT JOIN img ON img.doc_id = d.doc_id
+        |LEFT JOIN wav ON wav.doc_id = d.doc_id
+        |ORDER BY media_id""".stripMargin,
+
+    "m2_media_resample" ->
+      """WITH xs AS (SELECT x FROM range(0, 8) t(x)),
+        |ys AS (SELECT y FROM range(0, 8) t(y)),
+        |ss AS (SELECT i FROM range(0, 808) t(i)),
+        |img AS (
+        |  SELECT doc_id,
+        |    CAST(SUM((((x * (doc_id % 64 + 1)) // 8) * 7
+        |             + ((y * (doc_id % 48 + 1)) // 8) * 13
+        |             + doc_id * 31) % 256) AS DOUBLE) / 64.0 AS mean_val
+        |  FROM documents, xs, ys WHERE doc_id % 3 = 0
+        |  GROUP BY doc_id),
+        |wav AS (
+        |  SELECT doc_id,
+        |    CAST(SUM((doc_id * 31 + i * 17) % 65536 - 32768) AS DOUBLE)
+        |      / COUNT(*) AS mean_val
+        |  FROM documents, ss
+        |  WHERE doc_id % 3 = 2 AND i < doc_id % 800 + 8 AND i % 4 = 0
+        |  GROUP BY doc_id)
+        |SELECT d.doc_id AS media_id,
+        |  CASE d.doc_id % 3 WHEN 0 THEN 'png' WHEN 1 THEN 'jpeg' ELSE 'wav' END AS format,
+        |  CAST(CASE WHEN d.doc_id % 3 = 2 THEN 0 ELSE 8 END AS INT) AS width,
+        |  CAST(CASE WHEN d.doc_id % 3 = 2 THEN 0 ELSE 8 END AS INT) AS height,
         |  CAST(CASE WHEN d.doc_id % 3 = 2
         |            THEN (d.doc_id % 800 + 8) * 1000 // 8000 ELSE 0 END AS BIGINT)
         |    AS duration_ms,

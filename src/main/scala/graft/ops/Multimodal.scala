@@ -105,8 +105,52 @@ object Multimodal {
         sum.toDouble / (w.toLong * h))
     }
 
-    private def decodeWav(r: MediaRecord): MediaFeatures = {
-      val c = r.content
+    /** Resample a record: nearest-neighbor resize of images to
+      * (ow, oh); every `stride`-th PCM sample for audio. Lossless
+      * formats keep exact formula oracles (source index (x*w)//ow). */
+    def resample(r: MediaRecord, ow: Int, oh: Int, stride: Int): MediaFeatures =
+      r.meta.format match {
+        case "png" | "jpeg" =>
+          val img = javax.imageio.ImageIO.read(
+            new java.io.ByteArrayInputStream(r.content))
+          val w = img.getWidth
+          val h = img.getHeight
+          val raster = img.getRaster
+          var sum = 0L
+          var y = 0
+          while (y < oh) {
+            var x = 0
+            while (x < ow) {
+              sum += raster.getSample(x * w / ow, y * h / oh, 0)
+              x += 1
+            }
+            y += 1
+          }
+          MediaFeatures(r.media_id, r.meta.format, r.content.length, ow, oh, 0L,
+            sum.toDouble / (ow.toLong * oh))
+        case "wav" =>
+          val bb = java.nio.ByteBuffer.wrap(r.content)
+            .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+          val (rate, channels, dataOff, dataLen) = parseWav(r.content)
+          val n = dataLen / 2
+          var sum = 0L
+          var count = 0
+          var i = 0
+          while (i < n) {
+            sum += bb.getShort(dataOff + 2 * i)
+            count += 1
+            i += stride
+          }
+          val frames = n / math.max(channels, 1)
+          MediaFeatures(r.media_id, r.meta.format, r.content.length, 0, 0,
+            frames.toLong * 1000 / rate,
+            if (count == 0) 0.0 else sum.toDouble / count)
+        case other =>
+          MediaFeatures(r.media_id, other, r.content.length, 0, 0, 0L, 0.0)
+      }
+
+    /** Generic RIFF chunk walk → (sampleRate, channels, dataOff, dataLen). */
+    private def parseWav(c: Array[Byte]): (Int, Int, Int, Int) = {
       val bb = java.nio.ByteBuffer.wrap(c).order(java.nio.ByteOrder.LITTLE_ENDIAN)
       require(c.length >= 12 && new String(c, 0, 4, "US-ASCII") == "RIFF" &&
         new String(c, 8, 4, "US-ASCII") == "WAVE", "not a RIFF/WAVE payload")
@@ -128,6 +172,13 @@ object Multimodal {
         pos += 8 + clen + (clen & 1) // chunks are word-aligned
       }
       require(dataOff >= 0 && rate > 0, "missing fmt/data chunk")
+      (rate, channels, dataOff, dataLen)
+    }
+
+    private def decodeWav(r: MediaRecord): MediaFeatures = {
+      val c = r.content
+      val bb = java.nio.ByteBuffer.wrap(c).order(java.nio.ByteOrder.LITTLE_ENDIAN)
+      val (rate, channels, dataOff, dataLen) = parseWav(c)
       val n = dataLen / 2
       var sum = 0L
       var i = 0
@@ -168,6 +219,18 @@ object Multimodal {
     import media.sparkSession.implicits._
     media.mapPartitions { it =>
       it.grouped(MediaCodec.batchSize).flatMap(b => MediaCodec.decodeBatch(b))
+    }
+  }
+
+  /** Batched resample: images to (ow, oh) via nearest neighbor, audio
+    * frame-sampled every `stride`-th sample. Same partition-wise batch
+    * shape as [[extractFeatures]]. */
+  def resampleFeatures(media: Dataset[MediaRecord], ow: Int, oh: Int,
+      stride: Int): Dataset[MediaFeatures] = {
+    import media.sparkSession.implicits._
+    media.mapPartitions { it =>
+      it.grouped(MediaCodec.batchSize)
+        .flatMap(b => b.map(r => MediaCodec.resample(r, ow, oh, stride)))
     }
   }
 }

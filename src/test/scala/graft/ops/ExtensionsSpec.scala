@@ -504,6 +504,21 @@ class MultimodalSpec extends AnyFunSuite with SparkTestBase {
     assert(f(2L).mean_val == wantMean)
   }
 
+  test("resample: nearest-neighbor resize and audio frame-sampling are exact") {
+    val media = syntheticMedia(spark.range(0, 12).toDF("id"), "id")(spark)
+    val f = resampleFeatures(media, 8, 8, 4).collect().map(x => x.media_id -> x).toMap
+    // png id 0 is 1×1: every resized pixel samples (0,0) = gray 0
+    assert(f(0L).width == 8 && f(0L).height == 8 && f(0L).mean_val == 0.0)
+    // png id 3 is 4×4: resized mean equals the sampled-formula mean
+    val want3 = (for (x <- 0 until 8; y <- 0 until 8)
+      yield ((x * 4 / 8) * 7 + (y * 4 / 8) * 13 + 3 * 31) % 256).sum.toDouble / 64
+    assert(f(3L).mean_val == want3)
+    // wav id 2 has 10 samples; stride 4 keeps indices 0, 4, 8
+    val want2 = Seq(0, 4, 8).map(i => ((2 * 31 + i * 17) % 65536) - 32768)
+      .sum.toDouble / 3
+    assert(f(2L).mean_val == want2 && f(2L).duration_ms == 10 * 1000 / 8000)
+  }
+
   test("metadata struct survives the pipeline with typed fields") {
     val media = syntheticMedia(spark.range(0, 9).toDF("id"), "id")(spark)
     val m = media.collect().map(r => r.media_id -> r.meta).toMap
