@@ -439,6 +439,20 @@ object SparkEntry {
         .orderBy("o_orderpriority")
     }),
 
+    // ---- grouped array aggregation: sorted distinct collections per
+    // group (rendered as strings — array cells don't survive the
+    // cross-engine hash compare) ----------------------------------------
+    "q33_array_agg" -> ((s, dir) => {
+      t(s, dir, "orders")
+        .groupBy("o_orderpriority")
+        .agg(
+          concat_ws(",", sort_array(collect_set(col("o_orderstatus"))))
+            .as("statuses"),
+          countDistinct(col("o_orderstatus")).as("n_statuses"),
+          count(lit(1)).as("n"))
+        .orderBy("o_orderpriority")
+    }),
+
     // ---- schema-evolution read: two parquet generations (a column
     // added), merged into one schema with nulls for the old files ------
     "q32_merge_schema" -> ((s, dir) => {
@@ -998,6 +1012,13 @@ object SparkEntry {
     "s2_stream_dedup" ->
       """SELECT event_type, COUNT(*) AS n FROM events
         |GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    "q33_array_agg" ->
+      """SELECT o_orderpriority,
+        |  array_to_string(list_sort(list(DISTINCT o_orderstatus)), ',') AS statuses,
+        |  COUNT(DISTINCT o_orderstatus) AS n_statuses,
+        |  COUNT(*) AS n
+        |FROM orders GROUP BY 1 ORDER BY 1""".stripMargin,
 
     "q32_merge_schema" ->
       """SELECT n_nationkey, n_name, NULL::INTEGER AS n_regionkey FROM nation
