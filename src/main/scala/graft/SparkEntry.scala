@@ -1169,8 +1169,11 @@ object SparkEntry {
         |         NULL::TIMESTAMP AS r_ts, NULL::DOUBLE AS r_value
         |  FROM e WHERE event_type = 'purchase'
         |  UNION ALL
-        |  SELECT user_id, ts, 0, NULL, NULL, ts, value
-        |  FROM e WHERE event_type = 'view'),
+        |  -- mirror AsOf.asOfJoin's max(struct(ts, value)) reduction: one
+        |  -- deterministic view payload per (user_id, ts), so tied rows
+        |  -- can never make LAST_VALUE engine-dependent
+        |  SELECT user_id, ts, 0, NULL, NULL, ts, MAX(value)
+        |  FROM e WHERE event_type = 'view' GROUP BY user_id, ts),
         |f AS (
         |  SELECT user_id, ts, tag, event_id, value,
         |    LAST_VALUE(r_ts IGNORE NULLS) OVER w AS asof_ts,

@@ -20,12 +20,16 @@ object JobConfig {
     DiffConfigValues("errCol", "expected", "actual", allowDuplicates = false)
 
   /** Precedence mirrors `ConfigFactory.load(path)`: explicit file, else
-    * classpath application.conf, else classpath reference.conf (shipped
-    * with the library), else hard defaults. */
+    * classpath application.conf, else the library's shipped defaults,
+    * else hard defaults. The shipped file lives at the package-qualified
+    * `graft/reference.conf`: on a real spark-submit classpath a bare
+    * `reference.conf` lookup is classpath-order-dependent (any
+    * Typesafe-config user ships one), so it must never be resolved by
+    * plain name. */
   def load(path: Option[String], conf: Configuration): DiffConfigValues = {
     val text = path.map(p => graft.io.PathResolver.readString(p, conf))
       .orElse(classpathText("application.conf"))
-      .orElse(classpathText("reference.conf"))
+      .orElse(classpathText("graft/reference.conf"))
     text.map(fromText).getOrElse(defaults)
   }
 

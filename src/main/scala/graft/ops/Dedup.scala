@@ -144,18 +144,22 @@ object Dedup {
 
   /** Stage 1 — collapse exact dups, then tokenize → shingle → hash each
     * DISTINCT shingle in ONE codegen'd kernel per row
-    * ([[graft.functions.ShingleHash64]]), materialized by persist().
-    * The persist barrier stops Catalyst from re-inlining the kernel into
-    * every downstream consumer (k seed folds × banding × two
+    * ([[graft.functions.ShingleHash64]]), materialized eagerly by
+    * localCheckpoint(). The barrier stops Catalyst from re-inlining the
+    * kernel into every downstream consumer (k seed folds × banding × two
     * verification joins — the difference between minutes and seconds at
-    * sf0.1 and between feasible and not at 100 TB); the cache holds only
-    * (id, array<long>), no shingle strings. */
+    * sf0.1 and between feasible and not at 100 TB); the checkpoint holds
+    * only (id, array<long>), no shingle strings. localCheckpoint rather
+    * than persist: a persisted Dataset is pinned by the CacheManager
+    * until an explicit unpersist nobody can issue (the action happens in
+    * the caller), while checkpoint blocks are freed by the
+    * ContextCleaner as soon as the result is unreachable. */
   private def minhashHashed(
       df: DataFrame, idCol: String, textCol: String, shingleSize: Int): DataFrame =
     collapseExactText(df, idCol, textCol)
       .select(col("doc_id"),
         graft.functions.shingleHash64(tokens(col("text")), shingleSize).as("hashes"))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      .localCheckpoint()
 
   private def minhashCandidatesFromHashed(
       hashed: DataFrame, k: Int, bands: Int, maxBucket: Int): DataFrame = {
@@ -264,11 +268,14 @@ object Dedup {
     val distinctVecs = df
       .select(col(idCol).cast("long").as("id"), col(vecCol).cast("array<double>").as("v"))
       .groupBy("v").agg(min(col("id")).as("id"))
+    // localCheckpoint, not persist: serves the two sides of the bucket
+    // self-join without pinning cache blocks past the caller's action
+    // (see minhashHashed)
     val bucketed = capBuckets(
       Similarity.hyperplaneBuckets(distinctVecs, "id", "v", bits, dim)
         .withColumn("nrm", sqrt(Similarity.dot(col("v"), col("v")))),
       Seq("bucket"), maxBucket)
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      .localCheckpoint()
     val a = bucketed.select(col("bucket"), col("id").as("id1"), col("v").as("v1"), col("nrm").as("n1"))
     val b = bucketed.select(col("bucket"), col("id").as("id2"), col("v").as("v2"), col("nrm").as("n2"))
     a.join(b, Seq("bucket"))

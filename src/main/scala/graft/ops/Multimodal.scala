@@ -162,6 +162,11 @@ object Multimodal {
       while (pos + 8 <= c.length) {
         val cid = new String(c, pos, 4, "US-ASCII")
         val clen = bb.getInt(pos + 4)
+        // a corrupt/negative declared length would make the walk
+        // non-advancing (clen = -8 → pos unchanged) and spin an executor
+        // forever; chunk lengths must be non-negative and in-bounds
+        require(clen >= 0 && pos + 8 + clen <= c.length,
+          s"corrupt RIFF chunk '$cid' at $pos: declared length $clen")
         if (cid == "fmt ") {
           channels = bb.getShort(pos + 10).toInt
           rate = bb.getInt(pos + 12)

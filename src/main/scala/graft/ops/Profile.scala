@@ -27,7 +27,12 @@ object Profile {
     case _ => false
   }
 
-  def profile(df: DataFrame, exact: Boolean = true): DataFrame = {
+  def profile(
+      df: DataFrame,
+      exact: Boolean = true,
+      maxConcurrentJobs: Int = 4,
+      timeout: scala.concurrent.duration.Duration =
+        scala.concurrent.duration.Duration(1, "hour")): DataFrame = {
     val spark = df.sparkSession
     val fields = df.schema.fields.toSeq
     def quoted(n: String): Column = col("`" + n + "`")
@@ -58,15 +63,22 @@ object Profile {
     val distincts: Map[String, Long] =
       if (!exact) fields.map(f => f.name -> row.getAs[Long](s"${f.name}__distinct")).toMap
       else {
+        // a fixed-size pool, not ExecutionContext.global: a 500-column
+        // schema must not flood the scheduler with 500 simultaneous
+        // jobs, and a hung job must surface as a timeout, not block the
+        // caller forever
         import scala.concurrent.{Await, ExecutionContext, Future}
-        import scala.concurrent.duration.Duration
-        implicit val ec: ExecutionContext = ExecutionContext.global
-        val jobs = fields.map { f =>
-          Future(f.name ->
-            df.select(quoted(f.name)).agg(countDistinct(quoted(f.name)))
-              .collect()(0).getLong(0))
-        }
-        Await.result(Future.sequence(jobs), Duration.Inf).toMap
+        val pool = java.util.concurrent.Executors.newFixedThreadPool(
+          math.max(1, math.min(maxConcurrentJobs, fields.size)))
+        implicit val ec: ExecutionContext = ExecutionContext.fromExecutorService(pool)
+        try {
+          val jobs = fields.map { f =>
+            Future(f.name ->
+              df.select(quoted(f.name)).agg(countDistinct(quoted(f.name)))
+                .collect()(0).getLong(0))
+          }
+          Await.result(Future.sequence(jobs), timeout).toMap
+        } finally pool.shutdownNow()
       }
 
     def nullableAt[T](idx: Int, get: Int => T): Any =
