@@ -21,7 +21,12 @@ object Bench {
     // warmup: exercise scan + shuffle + codegen once
     spark.read.parquet(s"$sfDir/region.parquet").groupBy("r_name").count().count()
 
-    val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
+    // optional dev-loop filter: SPARK_GRAFT_ONLY=q1_agg,d9_dup_clusters
+    val only = sys.env.get("SPARK_GRAFT_ONLY")
+      .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSet)
+    val results = SparkEntry.queries.toSeq.sortBy(_._1)
+      .filter { case (name, _) => only.forall(_.contains(name)) }
+      .map { case (name, fn) =>
       val t0 = System.nanoTime()
       try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
       name -> (System.nanoTime() - t0) / 1e9

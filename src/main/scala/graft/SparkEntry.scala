@@ -423,10 +423,18 @@ object SparkEntry {
         val fs = p.getFileSystem(s.sparkContext.hadoopConfiguration)
         if (fs.exists(p)) fs.delete(p, true)
       }
+      // repartition on the bucket key BEFORE the bucketed write: Spark
+      // emits one file per (task, bucket) pair, so an unpartitioned
+      // write from 32 tasks sprays 32×8 small files per table; aligning
+      // tasks with buckets (same Murmur3 hash both sides) writes exactly
+      // one file per bucket — at 100 TB the difference between a usable
+      // layout and a small-files explosion
       t(s, dir, "lineitem").select("l_orderkey", "l_extendedprice")
+        .repartition(8, col("l_orderkey"))
         .write.mode("overwrite").bucketBy(8, "l_orderkey").sortBy("l_orderkey")
         .saveAsTable("graft_li_bucketed")
       t(s, dir, "orders").select("o_orderkey", "o_orderpriority")
+        .repartition(8, col("o_orderkey"))
         .write.mode("overwrite").bucketBy(8, "o_orderkey").sortBy("o_orderkey")
         .saveAsTable("graft_o_bucketed")
       val li = s.table("graft_li_bucketed")
@@ -557,7 +565,76 @@ object SparkEntry {
       s.table(sinkName).orderBy("user_id", "p_id", "v_id")
     }),
 
+    // ---- point-in-interval range join: views landing inside a 30-min
+    // window after each purchase, via the bucketed equi-join (no
+    // broadcast nested loop, no per-key row explosion) ------------------
+    "q34_range_join" -> ((s, dir) => {
+      val ev = events(s, dir)
+      val views = ev.filter(col("event_type") === "view")
+        .select(col("user_id"), col("event_id").as("v_id"),
+          col("ts").cast("long").as("v_ts"))
+      val purchases = ev
+        .filter(col("event_type") === "purchase" && col("user_id") % 5 === 0)
+        .select(col("user_id"), col("event_id").as("p_id"),
+          col("ts").cast("long").as("p_start"))
+        .withColumn("p_end", col("p_start") + 1800)
+      ops.RangeJoin.pointInInterval(views, "v_ts",
+          purchases, "p_start", "p_end", "user_id", bucketWidth = 1800L)
+        .select("user_id", "p_id", "v_id", "v_ts")
+        .orderBy("user_id", "p_id", "v_id")
+    }),
+
+    // ---- z-order (Morton) clustering values: the two-dimensional file
+    // layout key; codegen'd shift/mask chain, exact in any engine -------
+    "q35_zorder" -> ((s, dir) => {
+      events(s, dir)
+        .select(col("event_id"),
+          ops.Layout.zorderValue(
+            pmod(col("user_id"), lit(1024)),
+            pmod(col("event_id"), lit(1024)), bits = 10).as("zval"))
+        .orderBy("zval", "event_id")
+    }),
+
     // ================== §7 extensions: training-data ops ==============
+
+    // ---- fixed-window token chunking with overlap (size 50, stride 40)
+    "d13_chunk" -> ((s, dir) => {
+      val docs = t(s, dir, "documents").filter(col("doc_id") % 5 === 0)
+      ops.CorpusOps.chunk(docs, "doc_id", "text", size = 50, stride = 40)
+        .select(col("doc_id"), col("chunk_id").cast("long").as("chunk_id"),
+          col("n_chunk_tokens").cast("long").as("n_chunk_tokens"),
+          col("chunk_text"))
+        .orderBy("doc_id", "chunk_id")
+    }),
+
+    // ---- PII redaction over a corpus seeded with synthetic PII --------
+    "d14_redact" -> ((s, dir) => {
+      import graft.functions.TextFunctions.redact
+      t(s, dir, "documents")
+        .select(col("doc_id"),
+          concat(col("text"),
+            lit(" Contact: user"), col("doc_id"), lit("@example.com"),
+            lit(" or call +1 555 000 "), pmod(col("doc_id"), lit(10000)),
+            lit(" ref "), col("doc_id") + 7100000).as("seeded"))
+        .select(col("doc_id"), redact(col("seeded")).as("redacted"))
+        .orderBy("doc_id")
+    }),
+
+    // ---- fixed-size deterministic per-group sample (5 docs per lang) --
+    "d15_group_sample" -> ((s, dir) => {
+      ops.CorpusOps.groupSample(t(s, dir, "documents"), "doc_id", "lang", n = 5)
+        .select("doc_id", "lang")
+        .orderBy("lang", "doc_id")
+    }),
+
+    // ---- fixed-point TF-IDF (integer-scaled smoothed idf surrogate —
+    // the oracle-exact variant; the ln-based tfIdf is spec-verified) ----
+    "d16_tfidf" -> ((s, dir) => {
+      val docs = t(s, dir, "documents").filter(col("doc_id") % 10 === 0)
+      ops.CorpusOps.tfIdfScaled(docs, "doc_id", "text")
+        .orderBy("doc", "token")
+    }),
+
 
     // ---- exact dedup by normalized-text fingerprint -------------------
     "d1_dedup_exact" -> ((s, dir) => {
@@ -1219,6 +1296,82 @@ object SparkEntry {
          |  SELECT e.a, r.lab FROM edges e JOIN reach r ON r.node = e.b)
          |SELECT node, MIN(lab) AS cluster_rep FROM reach
          |GROUP BY node ORDER BY node""".stripMargin
+    },
+
+    "q34_range_join" ->
+      """WITH e AS (SELECT user_id, event_id, event_type,
+        |                  epoch_us(CAST(ts AS TIMESTAMP)) // 1000000 AS tss
+        |           FROM events),
+        |v AS (SELECT user_id, event_id AS v_id, tss AS v_ts
+        |      FROM e WHERE event_type = 'view'),
+        |p AS (SELECT user_id, event_id AS p_id, tss AS p_start,
+        |             tss + 1800 AS p_end
+        |      FROM e WHERE event_type = 'purchase' AND user_id % 5 = 0)
+        |SELECT v.user_id, p_id, v_id, v_ts
+        |FROM v JOIN p ON v.user_id = p.user_id
+        |             AND v_ts >= p_start AND v_ts <= p_end
+        |ORDER BY v.user_id, p_id, v_id""".stripMargin,
+
+    "q35_zorder" -> {
+      val z = (0 until 10).map(i =>
+        s"(((x >> $i) & 1) << ${2 * i}) | (((y >> $i) & 1) << ${2 * i + 1})")
+        .mkString(" | ")
+      s"""SELECT event_id, $z AS zval
+         |FROM (SELECT event_id, user_id % 1024 AS x, event_id % 1024 AS y
+         |      FROM events)
+         |ORDER BY zval, event_id""".stripMargin
+    },
+
+    "d13_chunk" -> {
+      val tk = s"CASE WHEN length(trim(text)) = 0 THEN []::VARCHAR[] " +
+        s"ELSE ${OracleSql.toks("text")} END"
+      """WITH toks AS (
+        |  SELECT doc_id, TK AS tk FROM documents WHERE doc_id % 5 = 0),
+        |chunks AS (
+        |  SELECT doc_id, unnest(range(0, (greatest(len(tk), 1) - 1) // 40 + 1)) AS chunk_id,
+        |         tk
+        |  FROM toks)
+        |SELECT doc_id, chunk_id,
+        |  CAST(len(tk[(chunk_id * 40 + 1):(chunk_id * 40 + 50)]) AS BIGINT)
+        |    AS n_chunk_tokens,
+        |  array_to_string(tk[(chunk_id * 40 + 1):(chunk_id * 40 + 50)], ' ')
+        |    AS chunk_text
+        |FROM chunks ORDER BY doc_id, chunk_id""".stripMargin.replace("TK", tk)
+    },
+
+    "d14_redact" -> {
+      val seeded = "text || ' Contact: user' || CAST(doc_id AS VARCHAR) || " +
+        "'@example.com or call +1 555 000 ' || CAST(doc_id % 10000 AS VARCHAR) || " +
+        "' ref ' || CAST(doc_id + 7100000 AS VARCHAR)"
+      // generated from the SAME pattern list the engine applies, so the
+      // two sides cannot drift
+      val redacted = functions.TextFunctions.redactions.foldLeft(s"($seeded)") {
+        case (acc, (pat, tag)) => s"regexp_replace($acc, '$pat', '$tag', 'g')"
+      }
+      s"""SELECT doc_id, $redacted AS redacted
+         |FROM documents ORDER BY doc_id""".stripMargin
+    },
+
+    "d15_group_sample" ->
+      s"""SELECT doc_id, lang FROM (
+         |  SELECT doc_id, lang, ROW_NUMBER() OVER (PARTITION BY lang
+         |    ORDER BY ${OracleSql.h64("'graft-sample-' || CAST(doc_id AS VARCHAR)")},
+         |             doc_id) AS rn
+         |  FROM documents) WHERE rn <= 5
+         |ORDER BY lang, doc_id""".stripMargin,
+
+    "d16_tfidf" -> {
+      val tk = s"CASE WHEN length(trim(text)) = 0 THEN []::VARCHAR[] " +
+        s"ELSE ${OracleSql.toks("text")} END"
+      s"""WITH d AS (SELECT doc_id, text FROM documents WHERE doc_id % 10 = 0),
+         |tok AS (SELECT doc_id AS doc, unnest($tk) AS token FROM d),
+         |perdoc AS (SELECT doc, token, COUNT(*) AS tf FROM tok GROUP BY 1, 2),
+         |docfreq AS (SELECT token, COUNT(*) AS df FROM perdoc GROUP BY 1),
+         |n AS (SELECT COUNT(DISTINCT doc_id) AS nd FROM d)
+         |SELECT doc, token, tf, df,
+         |  tf * ((CAST(1000000 AS BIGINT) * (nd + 1)) // (df + 1)) AS tf_idf_scaled
+         |FROM perdoc JOIN docfreq USING (token), n
+         |ORDER BY doc, token""".stripMargin
     },
 
     "d10_sample" ->

@@ -115,6 +115,28 @@ object TextFunctions {
     pick
   }
 
+  /** PII scrub patterns: ASCII-class-only regexes so Java's engine and
+    * RE2-style engines (DuckDB) agree byte for byte. Order matters —
+    * emails first (their local part may contain digits a later pass
+    * would otherwise mangle), then international-ish phone numbers,
+    * then bare long digit runs. */
+  val redactions: Seq[(String, String)] = Seq(
+    "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z][A-Za-z]+" -> "<EMAIL>",
+    // a phone needs at least one separator after the leading digit
+    // group — RE2-compatible (no lookahead), so a bare digit run falls
+    // through to <NUM> instead
+    "\\+?[0-9]{1,4}[()./ -]+[0-9()./ -]{4,}[0-9]" -> "<PHONE>",
+    "[0-9]{6,}" -> "<NUM>")
+
+  /** Redact PII-shaped spans (emails, phone numbers, long digit runs)
+    * with typed placeholder tags — the cleaning pass a training corpus
+    * gets before tokenization. A pure chain of codegen'd regexp_replace
+    * calls: no shuffle, pushed to the scan at any scale. */
+  def redact(c: Column): Column =
+    redactions.foldLeft(c) { case (acc, (pat, tag)) =>
+      regexp_replace(acc, pat, tag)
+    }
+
   /** Composite quality score in [0,1]: rewards moderate length, low
     * punctuation/digit density, sane mean token length. Deterministic
     * double arithmetic (oracle-exact). */

@@ -417,6 +417,137 @@ class CorpusOpsSpec extends AnyFunSuite with SparkTestBase {
     assert(v("beta") == (2L, 2L))
     assert(v("gamma") == (1L, 1L))
   }
+
+  test("tfIdfScaled ranks tokens like smoothed idf and stays integral") {
+    import spark.implicits._
+    val df = Seq(
+      (1L, "alpha beta alpha"),
+      (2L, "beta gamma"),
+      (3L, "alpha")).toDF("doc_id", "text")
+    val w = CorpusOps.tfIdfScaled(df, "doc_id", "text").collect()
+      .map(r => (r.getLong(0), r.getString(1)) ->
+        (r.getLong(2), r.getLong(3), r.getLong(4))).toMap
+    // scale*(N+1) = 4e6; idfS(df) = 4e6 div (df+1)
+    assert(w((1L, "alpha")) == (2L, 2L, 2L * (4000000L / 3))) // tf 2, df 2
+    assert(w((2L, "gamma")) == (1L, 1L, 4000000L / 2))
+    // rarer token outweighs the commoner one at equal tf
+    assert(w((2L, "gamma"))._3 > w((3L, "alpha"))._3)
+  }
+
+  test("chunking windows tokens with overlap; final partial chunk kept") {
+    import spark.implicits._
+    val df = Seq(
+      (1L, (1 to 11).map(i => s"t$i").mkString(" ")), // 11 tokens
+      (2L, ""),                                        // empty doc
+      (3L, "one two")).toDF("doc_id", "text")
+    val out = CorpusOps.chunk(df, "doc_id", "text", size = 5, stride = 4)
+      .collect().map(r => (r.getLong(0), r.getInt(1)) ->
+        (r.getInt(2), r.getString(3))).toMap
+    // doc 1: starts 1,5,9 → [t1..t5], [t5..t9], [t9..t11]
+    assert(out((1L, 0)) == (5, "t1 t2 t3 t4 t5"))
+    assert(out((1L, 1)) == (5, "t5 t6 t7 t8 t9"))
+    assert(out((1L, 2)) == (3, "t9 t10 t11"))
+    assert(out((2L, 0)) == (0, "")) // empty doc → one empty chunk
+    assert(out((3L, 0)) == (2, "one two"))
+    assert(out.size == 5)
+  }
+
+  test("groupSample returns exactly n deterministic rows per group") {
+    import spark.implicits._
+    val df = (0 until 900).map(i => (i.toLong, Seq("en", "de", "fr")(i % 3)))
+      .toDF("id", "lang")
+    val a = CorpusOps.groupSample(df, "id", "lang", n = 7)
+      .collect().map(r => (r.getLong(0), r.getString(1)))
+    assert(a.groupBy(_._2).view.mapValues(_.length).toMap ==
+      Map("en" -> 7, "de" -> 7, "fr" -> 7))
+    // repartition-stable (no rand(), no partition-order dependence)
+    val b = CorpusOps.groupSample(df.repartition(13), "id", "lang", n = 7)
+      .collect().map(r => (r.getLong(0), r.getString(1)))
+    assert(a.toSet == b.toSet)
+    // a group smaller than n returns whole group
+    val tiny = Seq((1L, "xx"), (2L, "xx")).toDF("id", "lang")
+    assert(CorpusOps.groupSample(tiny, "id", "lang", n = 5).count() == 2)
+  }
+
+  test("redact scrubs emails, phone numbers, and long digit runs") {
+    import spark.implicits._
+    val df = Seq(
+      (1L, "mail me at jane.doe+x@sub.example.org today"),
+      (2L, "call +1 (555) 123-4567 now"),
+      (3L, "order 12345678 shipped; year 2024 stays"),
+      (4L, "clean text stays untouched")).toDF("id", "text")
+    val out = df.select(col("id"),
+        graft.functions.TextFunctions.redact(col("text")).as("r"))
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(out(1L) == "mail me at <EMAIL> today")
+    assert(out(2L) == "call <PHONE> now")
+    assert(out(3L) == "order <NUM> shipped; year 2024 stays")
+    assert(out(4L) == "clean text stays untouched")
+  }
+}
+
+class RangeJoinSpec extends AnyFunSuite with SparkTestBase {
+  import org.apache.spark.sql.functions.col
+
+  test("bucketed point-in-interval join equals the naive range join") {
+    import spark.implicits._
+    val points = (0 until 500).map(i => (i % 7L, i.toLong, i * 13L % 1000))
+      .toDF("k", "pid", "ts")
+    val ivs = (0 until 60).map { i =>
+      val s = i * 17L % 900; (i % 7L, 1000L + i, s, s + 30 + i % 50)
+    }.toDF("k", "iid", "lo", "hi")
+    val fast = RangeJoin.pointInInterval(points, "ts", ivs, "lo", "hi", "k", 64L)
+      .select("pid", "iid").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val naive = points.join(ivs, Seq("k"))
+      .filter(col("ts") >= col("lo") && col("ts") <= col("hi"))
+      .select("pid", "iid").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(fast == naive)
+    assert(fast.nonEmpty)
+    // no duplicates: each (point, interval) match appears exactly once
+    val rows = RangeJoin.pointInInterval(points, "ts", ivs, "lo", "hi", "k", 64L).count()
+    assert(rows == fast.size)
+  }
+}
+
+class LayoutSpec extends AnyFunSuite with SparkTestBase {
+  import org.apache.spark.sql.functions.col
+
+  test("zorderValue interleaves bits exactly") {
+    import spark.implicits._
+    def ref(x: Long, y: Long, bits: Int): Long =
+      (0 until bits).map(i =>
+        (((x >> i) & 1L) << (2 * i)) | (((y >> i) & 1L) << (2 * i + 1))).reduce(_ | _)
+    val df = Seq((0L, 0L), (1L, 0L), (0L, 1L), (5L, 3L), (1023L, 1023L))
+      .toDF("x", "y")
+    val got = df.select(Layout.zorderValue(col("x"), col("y"), 10).as("z"))
+      .collect().map(_.getLong(0)).toSeq
+    val want = Seq((0L, 0L), (1L, 0L), (0L, 1L), (5L, 3L), (1023L, 1023L))
+      .map { case (x, y) => ref(x, y, 10) }
+    assert(got == want)
+    assert(ref(1023, 1023, 10) == (1L << 20) - 1) // all 20 low bits set
+  }
+
+  test("zorderLayout clusters both dimensions into few files") {
+    import spark.implicits._
+    val df = (0 until 4096).map(i => (i.toLong % 64, i.toLong / 64))
+      .toDF("x", "y")
+    val laid = Layout.zorderLayout(df, "x", "y", bits = 6, numFiles = 8)
+    assert(laid.rdd.getNumPartitions == 8)
+    // each partition must cover a BOUNDED sub-square of both dims: the
+    // per-partition x-range and y-range are far below the full extent
+    val spans = laid.rdd.mapPartitions { it =>
+      val rows = it.toSeq
+      if (rows.isEmpty) Iterator.empty
+      else {
+        val xs = rows.map(_.getLong(0)); val ys = rows.map(_.getLong(1))
+        Iterator((xs.max - xs.min, ys.max - ys.min))
+      }
+    }.collect()
+    // a 1-D sort layout would leave one dimension at the full 63 span in
+    // EVERY partition; z-ranges keep both bounded (sub-quadrant + range-
+    // boundary slack)
+    assert(spans.forall { case (xr, yr) => xr <= 56 && yr <= 56 })
+  }
 }
 
 class ProfileSpec extends AnyFunSuite with SparkTestBase {
