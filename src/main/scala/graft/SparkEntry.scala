@@ -565,6 +565,35 @@ object SparkEntry {
       s.table(sinkName).orderBy("user_id", "p_id", "v_id")
     }),
 
+    // ---- custom streaming state: flatMapGroupsWithState sessionization.
+    // Only CLOSED sessions (a later event arrived > 30 min after the
+    // last) are emitted, so the output is deterministic without any
+    // timeout machinery: it equals the batch sessionization minus each
+    // user's final session. Counts and boundary times are emitted (the
+    // in-state double sum is order-sensitive and stays spec-only) -------
+    "s4_stream_session" -> ((s, dir) => {
+      s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+      val schema = s.read.parquet(s"$dir/events.parquet").schema
+      import s.implicits._
+      val stream = s.readStream.schema(schema)
+        .option("pathGlobFilter", "events.parquet").parquet(dir)
+        .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+        .select(col("user_id").cast("long"), col("ts"), col("value").cast("double"))
+        .as[(Long, java.sql.Timestamp, Double)]
+      val sessions = streaming.EventStreams.sessionize(stream, gapMs = 1800000L)
+        .toDF()
+        .select(col("userId").as("user_id"), col("nEvents").as("n_events"),
+          unix_millis(col("startTs")).as("start_ms"),
+          unix_millis(col("endTs")).as("end_ms"))
+      val sinkName = "graft_s4_" + java.util.UUID.randomUUID().toString.replace("-", "")
+      withNarrowState(s) {
+        val q = sessions.writeStream.format("memory").queryName(sinkName)
+          .outputMode("append").start()
+        try q.processAllAvailable() finally q.stop()
+      }
+      s.table(sinkName).orderBy("user_id", "start_ms")
+    }),
+
     // ---- point-in-interval range join: views landing inside a 30-min
     // window after each purchase, via the bucketed equi-join (no
     // broadcast nested loop, no per-key row explosion) ------------------
@@ -1297,6 +1326,27 @@ object SparkEntry {
          |SELECT node, MIN(lab) AS cluster_rep FROM reach
          |GROUP BY node ORDER BY node""".stripMargin
     },
+
+    "s4_stream_session" ->
+      """WITH e AS (SELECT user_id,
+        |                  epoch_ms(CAST(ts AS TIMESTAMP)) AS tms FROM events),
+        |flagged AS (
+        |  SELECT user_id, tms,
+        |    CASE WHEN tms - LAG(tms) OVER w > 1800000 THEN 1 ELSE 0 END AS ns
+        |  FROM e WINDOW w AS (PARTITION BY user_id ORDER BY tms)),
+        |sess AS (
+        |  SELECT user_id, tms,
+        |    SUM(ns) OVER (PARTITION BY user_id ORDER BY tms
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sid
+        |  FROM flagged),
+        |agg AS (
+        |  SELECT user_id, sid, COUNT(*) AS n_events,
+        |         MIN(tms) AS start_ms, MAX(tms) AS end_ms
+        |  FROM sess GROUP BY 1, 2)
+        |SELECT user_id, n_events, start_ms, end_ms
+        |FROM (SELECT *, MAX(sid) OVER (PARTITION BY user_id) AS msid FROM agg)
+        |WHERE sid < msid
+        |ORDER BY user_id, start_ms""".stripMargin,
 
     "q34_range_join" ->
       """WITH e AS (SELECT user_id, event_id, event_type,
