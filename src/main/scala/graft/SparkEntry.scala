@@ -779,6 +779,23 @@ object SparkEntry {
       ops.Dedup.connectedComponents(pairs).orderBy("node")
     }),
 
+    // ---- corpus dedup end-game: exact-collapse → LSH pairs → connected
+    // components → canonical survivors only (the composed pipeline a
+    // training corpus actually ships through) ---------------------------
+    "d17_dedup_corpus" -> ((s, dir) => {
+      val docs = t(s, dir, "documents").select("doc_id", "text")
+      val p1 = docs.filter(col("doc_id") % 50 === 0)
+        .select((col("doc_id") + 1000000).as("doc_id"),
+          concat(col("text"), lit(" zzz extra suffix")).as("text"))
+      val p2 = docs.filter(col("doc_id") % 50 === 0)
+        .select((col("doc_id") + 2000000).as("doc_id"),
+          concat(col("text"), lit(" zzz more suffix")).as("text"))
+      val aug = docs.unionAll(p1).unionAll(p2)
+      ops.Dedup.dedupCorpus(aug, "doc_id", "text",
+          k = 12, bands = 6, shingleSize = 3, tau = 0.5)
+        .orderBy("doc_id")
+    }),
+
     // ---- deterministic stratified sampling (reproducible splits) ------
     "d10_sample" -> ((s, dir) => {
       ops.CorpusOps.stratifiedSample(t(s, dir, "documents"),
@@ -1422,6 +1439,38 @@ object SparkEntry {
          |  tf * ((CAST(1000000 AS BIGINT) * (nd + 1)) // (df + 1)) AS tf_idf_scaled
          |FROM perdoc JOIN docfreq USING (token), n
          |ORDER BY doc, token""".stripMargin
+    },
+
+    "d17_dedup_corpus" -> {
+      val augSql =
+        """SELECT doc_id, text FROM documents
+          |  UNION ALL
+          |  SELECT doc_id + 1000000 AS doc_id, text || ' zzz extra suffix' AS text
+          |  FROM documents WHERE doc_id % 50 = 0
+          |  UNION ALL
+          |  SELECT doc_id + 2000000 AS doc_id, text || ' zzz more suffix' AS text
+          |  FROM documents WHERE doc_id % 50 = 0""".stripMargin
+      val pairsSql = OracleSql.minhashLshPairs(augSql,
+        k = 12, bands = 6, shingleSize = 3, tau = 0.5, maxBucket = 1000)
+      s"""WITH RECURSIVE pairs AS (
+         |$pairsSql
+         |),
+         |edges AS (
+         |  SELECT id1 AS a, id2 AS b FROM pairs
+         |  UNION
+         |  SELECT id2, id1 FROM pairs),
+         |reach(node, lab) AS (
+         |  SELECT a, a FROM (SELECT DISTINCT a FROM edges)
+         |  UNION
+         |  SELECT e.a, r.lab FROM edges e JOIN reach r ON r.node = e.b),
+         |clusters AS (SELECT node, MIN(lab) AS rep FROM reach GROUP BY node),
+         |aug2 AS ($augSql),
+         |keepers AS (
+         |  SELECT MIN(doc_id) AS doc_id FROM aug2
+         |  GROUP BY md5(${OracleSql.norm("text")}))
+         |SELECT doc_id FROM keepers
+         |WHERE doc_id NOT IN (SELECT node FROM clusters WHERE node <> rep)
+         |ORDER BY doc_id""".stripMargin
     },
 
     "d10_sample" ->

@@ -358,6 +358,33 @@ object Dedup {
     labels
   }
 
+  /** End-to-end corpus deduplication — the composition every training
+    * pipeline actually ships: collapse exact duplicates to their min-id
+    * representative, find near-duplicate representative pairs via
+    * MinHash-LSH, cluster them with [[connectedComponents]], and keep
+    * only each cluster's canonical (minimum-id) document. Returns the
+    * surviving doc ids.
+    *
+    * Physical shape: the LSH pipeline's stages as in [[minhashLshPairs]]
+    * (hash checkpoint barrier, bucket caps), one extra label join, and a
+    * final LEFT ANTI join — dropped members shuffle only their ids. */
+  def dedupCorpus(
+      df: DataFrame,
+      idCol: String,
+      textCol: String,
+      k: Int = 12,
+      bands: Int = 3,
+      shingleSize: Int = 3,
+      tau: Double = 0.6,
+      maxBucket: Int = 1000): DataFrame = {
+    val reps = collapseExactText(df, idCol, textCol)
+    val pairs = minhashLshPairs(df, idCol, textCol, k, bands, shingleSize, tau, maxBucket)
+    val dropped = connectedComponents(pairs)
+      .filter(col("node") =!= col("cluster_rep"))
+      .select(col("node").as("doc_id"))
+    reps.select("doc_id").join(dropped, Seq("doc_id"), "left_anti")
+  }
+
   /** Embedding near-duplicate pairs: exact cosine within a blocking
     * column (e.g. a cluster/label id or LSH bucket). Vectors are cast to
     * double and reduced with a sequential fold — IEEE-exact. */

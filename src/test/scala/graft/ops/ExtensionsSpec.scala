@@ -177,6 +177,23 @@ class DedupSpec extends AnyFunSuite with SparkTestBase {
     assert(labels(101L) == 1L && labels(201L) == 1L)
   }
 
+  test("dedupCorpus keeps one canonical doc per exact AND near-dup cluster") {
+    import spark.implicits._
+    val base = "the quick brown fox jumps over the lazy dog again and again"
+    val df = Seq(
+      (1L, base),                     // canonical of the near-dup cluster
+      (2L, base),                     // exact dup of 1 → dropped at collapse
+      (3L, base + " tail"),           // near dup of 1 → dropped by clustering
+      (4L, "completely different text about spark catalyst optimizers"),
+      (5L, "Completely  different TEXT about spark catalyst optimizers"), // exact dup of 4 after normalization
+      (6L, "unrelated third document mentioning neither of the others"))
+      .toDF("doc_id", "text")
+    val kept = Dedup.dedupCorpus(df, "doc_id", "text",
+        k = 12, bands = 6, shingleSize = 3, tau = 0.5)
+      .collect().map(_.getLong(0)).toSet
+    assert(kept == Set(1L, 4L, 6L))
+  }
+
   test("blocked jaccard pairs computes exact overlap") {
     val blocked = docs.withColumn("blk", lit(1))
     val rows = Dedup.jaccardPairsBlocked(blocked, "doc_id", "text", "blk",
