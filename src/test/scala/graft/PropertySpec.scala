@@ -127,4 +127,61 @@ object PropertySpec extends Properties("graft") {
       graft.ops.CorpusOps.hashSample(df, "id", 0).count() == 0 &&
         graft.ops.CorpusOps.hashSample(df, "id", 100).count() == ids.length
     }
+
+  private val chunkParamsGen = for {
+    nTokens <- Gen.choose(0, 40)
+    size <- Gen.choose(1, 12)
+    stride <- Gen.choose(1, 12)
+  } yield (nTokens, size, stride)
+
+  property("chunking covers every token; stride-aligned starts reconstruct the doc") =
+    forAll(chunkParamsGen) { case (nT0, size0, stride0) =>
+      // clamp: ScalaCheck shrinking ignores Gen bounds, and the
+      // reconstruction law needs stride <= size (full coverage)
+      val nTokens = math.max(0, nT0)
+      val size = math.max(1, size0)
+      val stride = math.min(math.max(1, stride0), size)
+      val text = (1 to nTokens).map(i => s"w$i").mkString(" ")
+      val chunks = graft.ops.CorpusOps.chunk(
+          Seq((1L, text)).toDF("doc_id", "text"), "doc_id", "text", size, stride)
+        .orderBy("chunk_id")
+        .collect().map(r => (r.getInt(1), r.getInt(2), r.getString(3)))
+      val toks = if (nTokens == 0) Nil else text.split(" ").toSeq
+      // chunk i holds tokens [i*stride, i*stride + size)
+      val expectedChunks = if (toks.isEmpty) 1 else (toks.length - 1) / stride + 1
+      chunks.length == expectedChunks &&
+        chunks.forall { case (i, n, t) =>
+          val want = toks.slice(i * stride, i * stride + size)
+          n == want.length && t == want.mkString(" ")
+        } &&
+        // stride-prefix reconstruction: the first `stride` tokens of each
+        // chunk plus the final chunk's tail reproduce the document
+        (toks.isEmpty || chunks.toSeq.flatMap { case (i, _, t) =>
+          val ts = if (t.isEmpty) Nil else t.split(" ").toSeq
+          if (i == chunks.length - 1) ts else ts.take(stride)
+        } == toks)
+    }
+
+  property("zorder values stay within 2*bits bits and are unique per cell") =
+    forAll(Gen.choose(1, 12), Gen.listOfN(20,
+        Gen.zip(Gen.choose(0L, 4095L), Gen.choose(0L, 4095L))).map(_.distinct)) {
+      (bits, cells) =>
+      val mask = (1L << bits) - 1
+      val df = cells.toDF("x", "y")
+      val zs = df.select(col("x"), col("y"),
+          graft.ops.Layout.zorderValue(col("x"), col("y"), bits).as("z"))
+        .collect().map(r => ((r.getLong(0) & mask, r.getLong(1) & mask), r.getLong(2)))
+      zs.forall { case (_, z) => z >= 0 && z < (1L << (2 * bits)) } &&
+        zs.groupBy(_._1).forall { case (_, vs) => vs.map(_._2).distinct.length == 1 } &&
+        zs.toMap.size == zs.map(_._1).distinct.length
+    }
+
+  property("redaction is idempotent and leaves tag-free text unchanged") =
+    forAll(Gen.listOfN(8, Gen.alphaStr.map(_.take(10))).map(_.mkString(" "))) { text =>
+      val df = Seq((1L, text)).toDF("id", "t")
+      def red(c: org.apache.spark.sql.Column) = graft.functions.TextFunctions.redact(c)
+      val once = df.select(red(col("t"))).collect()(0).getString(0)
+      val twice = df.select(red(red(col("t")))).collect()(0).getString(0)
+      once == text && twice == once // alpha-only text has no PII shapes
+    }
 }
