@@ -565,6 +565,29 @@ object SparkEntry {
       s.table(sinkName).orderBy("user_id", "p_id", "v_id")
     }),
 
+    // ---- hopping (overlapping) windows: 1-hour windows sliding every
+    // 30 min, each event contributing to exactly two windows ------------
+    "s5_stream_hopping" -> ((s, dir) => {
+      s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+      val schema = s.read.parquet(s"$dir/events.parquet").schema
+      val stream = s.readStream.schema(schema)
+        .option("pathGlobFilter", "events.parquet").parquet(dir)
+        .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+      val agg = stream
+        .groupBy(window(col("ts"), "1 hour", "30 minutes"), col("event_type"))
+        .agg(count(lit(1)).as("n"),
+          sum(col("value").cast("decimal(18,3)")).cast("double").as("total"))
+        .select(col("window.start").cast("long").as("win_s"),
+          col("event_type"), col("n"), col("total"))
+      val sinkName = "graft_s5_" + java.util.UUID.randomUUID().toString.replace("-", "")
+      withNarrowState(s) {
+        val q = agg.writeStream.format("memory").queryName(sinkName)
+          .outputMode("complete").start()
+        try q.processAllAvailable() finally q.stop()
+      }
+      s.table(sinkName).orderBy("win_s", "event_type")
+    }),
+
     // ---- custom streaming state: flatMapGroupsWithState sessionization.
     // Only CLOSED sessions (a later event arrived > 30 min after the
     // last) are emitted, so the output is deterministic without any
@@ -1343,6 +1366,17 @@ object SparkEntry {
          |SELECT node, MIN(lab) AS cluster_rep FROM reach
          |GROUP BY node ORDER BY node""".stripMargin
     },
+
+    "s5_stream_hopping" ->
+      """WITH e AS (SELECT event_type, value,
+        |                  epoch_us(CAST(ts AS TIMESTAMP)) // 1000000 AS tsec
+        |           FROM events),
+        |w AS (SELECT event_type, value,
+        |             unnest(range((tsec - 3600) // 1800 + 1, tsec // 1800 + 1)) AS wn
+        |      FROM e)
+        |SELECT wn * 1800 AS win_s, event_type, COUNT(*) AS n,
+        |  CAST(SUM(CAST(value AS DECIMAL(18,3))) AS DOUBLE) AS total
+        |FROM w GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
 
     "s4_stream_session" ->
       """WITH e AS (SELECT user_id,
