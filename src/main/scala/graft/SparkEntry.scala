@@ -565,6 +565,27 @@ object SparkEntry {
       s.table(sinkName).orderBy("user_id", "p_id", "v_id")
     }),
 
+    // ---- CDC merge: apply a changeset (updates, deletes, inserts) to a
+    // keyed snapshot in ONE full-outer join — the incremental-refresh
+    // primitive for maintained tables ------------------------------------
+    "q36_cdc_merge" -> ((s, dir) => {
+      def o = t(s, dir, "orders")
+      val snap = o.select("o_orderkey", "o_orderstatus", "o_totalprice")
+      val upd = o.filter(col("o_orderkey") % 7 === 0 && col("o_orderkey") % 13 =!= 0)
+        .select(col("o_orderkey"), lit("U").as("o_orderstatus"),
+          (col("o_totalprice") + 10.0).as("o_totalprice"),
+          lit(false).as("is_delete"))
+      val dels = o.filter(col("o_orderkey") % 13 === 0)
+        .select(col("o_orderkey"), col("o_orderstatus"), col("o_totalprice"),
+          lit(true).as("is_delete"))
+      val ins = o.filter(col("o_orderkey") % 97 === 0)
+        .select((col("o_orderkey") + 10000000).as("o_orderkey"),
+          lit("I").as("o_orderstatus"), lit(1.0).as("o_totalprice"),
+          lit(false).as("is_delete"))
+      ops.Merge.applyChanges(snap, upd.unionAll(dels).unionAll(ins), "o_orderkey")
+        .orderBy("o_orderkey")
+    }),
+
     // ---- hopping (overlapping) windows: 1-hour windows sliding every
     // 30 min, each event contributing to exactly two windows ------------
     "s5_stream_hopping" -> ((s, dir) => {
@@ -1366,6 +1387,24 @@ object SparkEntry {
          |SELECT node, MIN(lab) AS cluster_rep FROM reach
          |GROUP BY node ORDER BY node""".stripMargin
     },
+
+    "q36_cdc_merge" ->
+      """WITH chg AS (
+        |  SELECT o_orderkey, 'U' AS o_orderstatus,
+        |         o_totalprice + 10.0 AS o_totalprice, false AS is_delete
+        |  FROM orders WHERE o_orderkey % 7 = 0 AND o_orderkey % 13 <> 0
+        |  UNION ALL
+        |  SELECT o_orderkey, o_orderstatus, o_totalprice, true
+        |  FROM orders WHERE o_orderkey % 13 = 0
+        |  UNION ALL
+        |  SELECT o_orderkey + 10000000, 'I', 1.0, false
+        |  FROM orders WHERE o_orderkey % 97 = 0)
+        |SELECT o_orderkey, o_orderstatus, o_totalprice FROM orders
+        |WHERE o_orderkey NOT IN (SELECT o_orderkey FROM chg)
+        |UNION ALL
+        |SELECT o_orderkey, o_orderstatus, o_totalprice FROM chg
+        |WHERE NOT is_delete
+        |ORDER BY o_orderkey""".stripMargin,
 
     "s5_stream_hopping" ->
       """WITH e AS (SELECT event_type, value,

@@ -503,6 +503,30 @@ class CorpusOpsSpec extends AnyFunSuite with SparkTestBase {
   }
 }
 
+class MergeSpec extends AnyFunSuite with SparkTestBase {
+  import org.apache.spark.sql.functions.col
+
+  test("applyChanges upserts, deletes, inserts, and leaves the rest") {
+    import spark.implicits._
+    val snap = Seq((1L, "a", 10.0), (2L, "b", 20.0), (3L, "c", 30.0))
+      .toDF("k", "status", "amount")
+    val changes = Seq(
+      (2L, "B", 25.0, false),  // update
+      (3L, "c", 30.0, true),   // delete
+      (9L, "i", 90.0, false))  // insert
+      .toDF("k", "status", "amount", "is_delete")
+    val next = Merge.applyChanges(snap, changes, "k")
+      .orderBy("k").collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getDouble(2)))
+    assert(next.toSeq == Seq((1L, "a", 10.0), (2L, "B", 25.0), (9L, "i", 90.0)))
+    // applying an empty changeset is the identity
+    val empty = changes.filter(col("k") < 0)
+    assert(Merge.applyChanges(snap, empty, "k").orderBy("k").collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getDouble(2))).toSeq ==
+      Seq((1L, "a", 10.0), (2L, "b", 20.0), (3L, "c", 30.0)))
+  }
+}
+
 class RangeJoinSpec extends AnyFunSuite with SparkTestBase {
   import org.apache.spark.sql.functions.col
 
