@@ -914,6 +914,142 @@ object SparkEntry {
         .filter(col("rk") <= 3)
         .select("block", "id1", "id2", "cos")
         .orderBy("block", "id1", "id2")
+    }),
+
+    // ---- winnowing fingerprints (Schleimer et al., SIGMOD'03): minima
+    // of a sliding window over positional shingle hashes — guarantees a
+    // shared fingerprint for any shared run of k+w-1 tokens. One codegen'd
+    // kernel pass + arrays-only window minima; zero shuffles -------------
+    "d18_winnow" -> ((s, dir) => {
+      val docs = t(s, dir, "documents").filter(col("doc_id") % 3 === 0)
+      ops.CorpusOps.winnow(docs, "doc_id", "text", k = 5, w = 4)
+        .orderBy("doc_id", "fp")
+    }),
+
+    // ---- blocked all-pairs n-gram Jaccard (bounded blocks; the LSH
+    // path is the unblocked scale route) over a perturbed corpus --------
+    "d19_jaccard_block" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+        .select("doc_id", "lang", "text").filter(col("doc_id") % 10 === 0)
+      val perturbed = docs.filter(col("doc_id") % 50 === 0)
+        .select((col("doc_id") + 1000000).as("doc_id"), col("lang"),
+          concat(col("text"), lit(" zzz suffix")).as("text"))
+      val aug = docs.unionAll(perturbed)
+      ops.Dedup.jaccardPairsBlocked(aug, "doc_id", "text", "lang",
+          shingleSize = 3, tau = 0.5)
+        .orderBy("block", "id1", "id2")
+    }),
+
+    // ---- BM25 relevance weights (log-free idf surrogate — every step
+    // IEEE double arithmetic, so the gate hash-compares exactly) --------
+    "d20_bm25" -> ((s, dir) => {
+      val docs = t(s, dir, "documents").filter(col("doc_id") % 10 === 0)
+      ops.CorpusOps.bm25(docs, "doc_id", "text")
+        .orderBy("doc", "token")
+    }),
+
+    // ---- SCD2 history build: attribute observations → validity
+    // intervals; one key shuffle serves both window passes ---------------
+    "q37_scd2" -> ((s, dir) => {
+      val ev = events(s, dir)
+        .select(col("user_id"), col("event_id"),
+          col("ts").cast("long").as("tss"), col("event_type"))
+      ops.Merge.scd2(ev, "user_id", "tss", "event_id", Seq("event_type"))
+        .select(col("user_id"), col("event_id"), col("event_type"),
+          col("valid_from"), col("valid_to"), col("is_current"))
+        .orderBy("user_id", "valid_from", "event_id")
+    }),
+
+    // ---- interval-overlap join: purchase windows × view windows via the
+    // bucketed equi-join, each pair claimed by its overlap-start bucket
+    // (duplicate-free without a distinct) --------------------------------
+    "q38_interval_overlap" -> ((s, dir) => {
+      val ev = events(s, dir)
+      val purch = ev.filter(col("event_type") === "purchase")
+        .select(col("user_id"), col("event_id").as("p_id"),
+          col("ts").cast("long").as("p_start"))
+        .withColumn("p_end", col("p_start") + 1800)
+      val views = ev.filter(col("event_type") === "view")
+        .select(col("user_id"), col("event_id").as("v_id"),
+          col("ts").cast("long").as("v_start"))
+        .withColumn("v_end", col("v_start") + 900)
+      ops.RangeJoin.intervalOverlap(purch, "p_start", "p_end",
+          views, "v_start", "v_end", "user_id", bucketWidth = 1800L)
+        .select("user_id", "p_id", "v_id", "p_start", "v_start")
+        .orderBy("user_id", "p_id", "v_id")
+    }),
+
+    // ---- stream-static join: the streaming fact enriched by a broadcast
+    // dimension (stateless — no watermark, no state store), then a
+    // complete-mode aggregate --------------------------------------------
+    "s6_stream_static" -> ((s, dir) => {
+      s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+      val schema = s.read.parquet(s"$dir/events.parquet").schema
+      val stream = s.readStream.schema(schema)
+        .option("pathGlobFilter", "events.parquet").parquet(dir)
+        .withColumn("n_nationkey", pmod(col("user_id"), lit(25)).cast("long"))
+      val dim = broadcast(t(s, dir, "nation")
+        .select(col("n_nationkey").cast("long").as("n_nationkey"), col("n_name")))
+      val agg = stream.join(dim, Seq("n_nationkey"))
+        .groupBy("n_name")
+        .agg(count(lit(1)).as("n"),
+          sum(col("value").cast("decimal(18,3)")).cast("double").as("total"))
+      val sinkName = "graft_s6_" + java.util.UUID.randomUUID().toString.replace("-", "")
+      withNarrowState(s) {
+        val q = agg.writeStream.format("memory").queryName(sinkName)
+          .outputMode("complete").start()
+        try q.processAllAvailable() finally q.stop()
+      }
+      s.table(sinkName).orderBy("n_name")
+    }),
+
+    // ---- hyperplane LSH bucket assignment: 12 signed md5-derived
+    // projections, codegen'd dot products; bucket keys exactly replayable
+    // in SQL (planes embedded as literals) -------------------------------
+    "e4_hyperplane" -> ((s, dir) => {
+      ops.Similarity.hyperplaneBuckets(t(s, dir, "embeddings"),
+          "vec_id", "embedding", bits = 12, dim = 64)
+        .select(col("id"), col("bucket"))
+        .orderBy("id")
+    }),
+
+    // ---- explicit two-phase (salted) aggregation: partials on
+    // (key, salt), exact decimal combine — row-identical to the direct
+    // aggregate, which is exactly what the oracle computes ---------------
+    "q39_two_phase_agg" -> ((s, dir) => {
+      val li = t(s, dir, "lineitem").select("l_returnflag", "l_quantity")
+      ops.Skew.twoPhaseAgg(li, "l_returnflag", 16,
+          Seq(sum(col("l_quantity").cast("decimal(18,2)")).as("part_qty"),
+            count(lit(1)).as("part_n")),
+          pre => pre.groupBy("l_returnflag")
+            .agg(sum("part_qty").cast("double").as("sum_qty"),
+              sum("part_n").as("n_rows")))
+        .orderBy("l_returnflag")
+    }),
+
+    // ---- streaming parquet sink: stream → append-mode file sink →
+    // batch read-back → aggregate; closes the readStream → transforms →
+    // writeStream → files loop with an exact oracle ----------------------
+    "s7_stream_sink" -> ((s, dir) => {
+      s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+      val schema = s.read.parquet(s"$dir/events.parquet").schema
+      val out = java.nio.file.Files.createTempDirectory("graft-s7").toString
+      val stream = s.readStream.schema(schema)
+        .option("pathGlobFilter", "events.parquet").parquet(dir)
+        .filter(col("event_type") === "purchase")
+        .select(col("event_id"), col("user_id"), col("value"))
+      withNarrowState(s) {
+        val q = stream.writeStream.format("parquet")
+          .option("path", s"$out/data")
+          .option("checkpointLocation", s"$out/chk")
+          .outputMode("append").start()
+        try q.processAllAvailable() finally q.stop()
+      }
+      s.read.parquet(s"$out/data")
+        .groupBy(pmod(col("user_id"), lit(100)).as("cohort"))
+        .agg(count(lit(1)).as("n"),
+          sum(col("value").cast("decimal(18,3)")).cast("double").as("total"))
+        .orderBy("cohort")
     })
   )
 
@@ -1670,6 +1806,131 @@ object SparkEntry {
          |                       ORDER BY cos DESC, id1, id2) AS rk
          |  FROM pairs) WHERE rk <= 3
          |ORDER BY block, id1, id2""".stripMargin
-    }
+    },
+
+    "d18_winnow" -> {
+      // k=5, w=4 — positional shingles (no guard needed: an empty token
+      // list yields the same single empty-string shingle in both engines)
+      val tk = s"CASE WHEN length(trim(text)) = 0 THEN []::VARCHAR[] " +
+        s"ELSE ${OracleSql.toks("text")} END"
+      s"""WITH toks AS (SELECT doc_id, $tk AS tk
+         |              FROM documents WHERE doc_id % 3 = 0),
+         |h AS (SELECT doc_id,
+         |  list_transform(
+         |    list_transform(range(0, greatest(len(tk) - 4, 1)),
+         |      i -> array_to_string(tk[(i+1):(i+5)], ' ')),
+         |    s -> ${OracleSql.h64("s")}) AS hs
+         |  FROM toks)
+         |SELECT doc_id, fp FROM (
+         |  SELECT doc_id, unnest(list_distinct(
+         |    list_transform(range(0, greatest(len(hs) - 3, 1)),
+         |      i -> list_aggregate(hs[(i+1):(i+4)], 'min')))) AS fp
+         |  FROM h)
+         |ORDER BY doc_id, fp""".stripMargin
+    },
+
+    "d19_jaccard_block" -> {
+      val jac = OracleSql.jaccard("a.text", "b.text", 3)
+      s"""WITH aug AS (
+         |  SELECT doc_id, lang, text FROM documents WHERE doc_id % 10 = 0
+         |  UNION ALL
+         |  SELECT doc_id + 1000000 AS doc_id, lang, text || ' zzz suffix' AS text
+         |  FROM documents WHERE doc_id % 50 = 0)
+         |SELECT block, id1, id2, jaccard FROM (
+         |  SELECT a.lang AS block, a.doc_id AS id1, b.doc_id AS id2,
+         |         $jac AS jaccard
+         |  FROM aug a JOIN aug b ON a.lang = b.lang AND a.doc_id < b.doc_id)
+         |WHERE jaccard >= 0.5
+         |ORDER BY block, id1, id2""".stripMargin
+    },
+
+    "d20_bm25" -> {
+      val tk = s"CASE WHEN length(trim(text)) = 0 THEN []::VARCHAR[] " +
+        s"ELSE ${OracleSql.toks("text")} END"
+      val k1 = 1.2; val b = 0.75
+      s"""WITH d AS (SELECT doc_id, text FROM documents WHERE doc_id % 10 = 0),
+         |tok AS (SELECT doc_id AS doc, unnest($tk) AS token FROM d),
+         |perdoc AS (SELECT doc, token, COUNT(*) AS tf FROM tok GROUP BY 1, 2),
+         |docfreq AS (SELECT token, COUNT(*) AS df FROM perdoc GROUP BY 1),
+         |doclen AS (SELECT doc, SUM(tf) AS dl FROM perdoc GROUP BY 1),
+         |n AS (SELECT CAST(COUNT(DISTINCT doc_id) AS DOUBLE) AS nd FROM d),
+         |ad AS (SELECT CAST(SUM(dl) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE) AS avgdl
+         |       FROM doclen)
+         |SELECT doc, token, tf, df,
+         |  ((nd - CAST(df AS DOUBLE) + 0.5) / (CAST(df AS DOUBLE) + 0.5))
+         |  * (CAST(tf AS DOUBLE) * ${k1 + 1.0}
+         |     / (CAST(tf AS DOUBLE) + $k1 * (${1.0 - b} + $b * CAST(dl AS DOUBLE) / avgdl)))
+         |  AS bm25
+         |FROM perdoc JOIN docfreq USING (token) JOIN doclen USING (doc), n, ad
+         |ORDER BY doc, token""".stripMargin
+    },
+
+    "q37_scd2" ->
+      """WITH e AS (SELECT user_id, event_id, event_type,
+        |                  epoch_us(CAST(ts AS TIMESTAMP)) // 1000000 AS tss
+        |           FROM events),
+        |flagged AS (
+        |  SELECT user_id, event_id, event_type, tss,
+        |    LAG(event_type) OVER (PARTITION BY user_id
+        |                          ORDER BY tss, event_id) AS prev
+        |  FROM e),
+        |changed AS (
+        |  SELECT user_id, event_id, event_type, tss FROM flagged
+        |  WHERE prev IS NULL OR event_type <> prev),
+        |v AS (
+        |  SELECT user_id, event_id, event_type, tss AS valid_from,
+        |    LEAD(tss) OVER (PARTITION BY user_id
+        |                    ORDER BY tss, event_id) AS valid_to
+        |  FROM changed)
+        |SELECT user_id, event_id, event_type, valid_from, valid_to,
+        |       (valid_to IS NULL) AS is_current
+        |FROM v ORDER BY user_id, valid_from, event_id""".stripMargin,
+
+    "q38_interval_overlap" ->
+      """WITH e AS (SELECT user_id, event_id, event_type,
+        |                  epoch_us(CAST(ts AS TIMESTAMP)) // 1000000 AS tss
+        |           FROM events),
+        |p AS (SELECT user_id, event_id AS p_id, tss AS p_start,
+        |             tss + 1800 AS p_end
+        |      FROM e WHERE event_type = 'purchase'),
+        |v AS (SELECT user_id, event_id AS v_id, tss AS v_start,
+        |             tss + 900 AS v_end
+        |      FROM e WHERE event_type = 'view')
+        |SELECT p.user_id, p_id, v_id, p_start, v_start
+        |FROM p JOIN v ON p.user_id = v.user_id
+        |             AND p_start <= v_end AND v_start <= p_end
+        |ORDER BY p.user_id, p_id, v_id""".stripMargin,
+
+    "s6_stream_static" ->
+      """SELECT n_name, COUNT(*) AS n,
+        |  CAST(SUM(CAST(value AS DECIMAL(18,3))) AS DOUBLE) AS total
+        |FROM events JOIN nation ON n_nationkey = user_id % 25
+        |GROUP BY n_name ORDER BY n_name""".stripMargin,
+
+    "e4_hyperplane" -> {
+      // the identical md5-derived plane values, embedded as literals;
+      // non-overlapping power-of-two terms make + equal the bitwise OR
+      val bits = ops.Similarity.planes(12, 64).zipWithIndex.map { case (p, i) =>
+        val planeLit = p.mkString("[", ", ", "]")
+        s"(CASE WHEN ${OracleSql.dot("v", planeLit)} >= 0.0 THEN ${1L << i} ELSE 0 END)"
+      }.mkString("\n  + ")
+      s"""SELECT id, CAST($bits AS BIGINT) AS bucket
+         |FROM (SELECT vec_id AS id, CAST(embedding AS DOUBLE[]) AS v
+         |      FROM embeddings)
+         |ORDER BY id""".stripMargin
+    },
+
+    "q39_two_phase_agg" ->
+      """SELECT l_returnflag,
+        |  CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
+        |  COUNT(*) AS n_rows
+        |FROM lineitem GROUP BY l_returnflag
+        |ORDER BY l_returnflag""".stripMargin,
+
+    "s7_stream_sink" ->
+      """SELECT user_id % 100 AS cohort, COUNT(*) AS n,
+        |  CAST(SUM(CAST(value AS DECIMAL(18,3))) AS DOUBLE) AS total
+        |FROM events WHERE event_type = 'purchase'
+        |GROUP BY 1 ORDER BY 1""".stripMargin
   )
 }

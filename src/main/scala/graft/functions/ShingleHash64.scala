@@ -18,10 +18,13 @@ import org.apache.spark.unsafe.types.UTF8String
   * max(size-n+1, 1) shingles of up to n tokens joined by a space
   * (null tokens skipped like concat_ws), so texts shorter than n yield
   * one shingle and empty token arrays yield the empty-string shingle.
-  * Distinctness is over the shingle STRINGS (first occurrence kept),
-  * matching `array_distinct` before hashing.
+  * With `distinct = true` (the MinHash head) distinctness is over the
+  * shingle STRINGS (first occurrence kept), matching `array_distinct`
+  * before hashing; with `distinct = false` the output keeps positional
+  * order and duplicates — the form winnowing's sliding window needs.
   */
-case class ShingleHash64(child: Expression, n: Int) extends UnaryExpression {
+case class ShingleHash64(child: Expression, n: Int, distinct: Boolean = true)
+    extends UnaryExpression {
   require(n >= 1, "shingle size must be >= 1")
 
   override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
@@ -33,10 +36,10 @@ case class ShingleHash64(child: Expression, n: Int) extends UnaryExpression {
   override def prettyName: String = "shingle_hash64"
 
   override protected def nullSafeEval(input: Any): Any =
-    ShingleHash64.compute(input.asInstanceOf[ArrayData], n)
+    ShingleHash64.compute(input.asInstanceOf[ArrayData], n, distinct)
 
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
-    defineCodeGen(ctx, ev, c => s"graft.functions.ShingleHash64.compute($c, $n)")
+    defineCodeGen(ctx, ev, c => s"graft.functions.ShingleHash64.compute($c, $n, $distinct)")
 
   override protected def withNewChildInternal(newChild: Expression): ShingleHash64 =
     copy(child = newChild)
@@ -45,10 +48,13 @@ case class ShingleHash64(child: Expression, n: Int) extends UnaryExpression {
 object ShingleHash64 {
 
   /** Runtime kernel shared by interpreted eval and generated code. */
-  def compute(tokens: ArrayData, n: Int): ArrayData = {
+  def compute(tokens: ArrayData, n: Int, distinct: Boolean): ArrayData = {
     val size = tokens.numElements()
     val count = math.max(size - (n - 1), 1)
-    val seen = new java.util.LinkedHashSet[String](count * 2)
+    // LinkedHashSet both dedupes and preserves first-occurrence order, so
+    // the distinct path needs it; the positional path keeps every shingle
+    val shingles = new java.util.ArrayList[String](count)
+    val seen = if (distinct) new java.util.LinkedHashSet[String](count * 2) else null
     val sb = new java.lang.StringBuilder
     var i = 0
     while (i < count) {
@@ -64,12 +70,13 @@ object ShingleHash64 {
         }
         j += 1
       }
-      seen.add(sb.toString)
+      if (distinct) seen.add(sb.toString) else shingles.add(sb.toString)
       i += 1
     }
+    val src: java.util.Collection[String] = if (distinct) seen else shingles
     val md = java.security.MessageDigest.getInstance("MD5")
-    val out = new Array[Long](seen.size())
-    val it = seen.iterator()
+    val out = new Array[Long](src.size())
+    val it = src.iterator()
     var k = 0
     while (it.hasNext) {
       out(k) = SimHash60.hash60(md, UTF8String.fromString(it.next()))

@@ -15,6 +15,13 @@ package object functions {
   def shingleHash64(tokens: Column, n: Int): Column =
     ColumnBridge.column(ShingleHash64(ColumnBridge.expression(tokens), n))
 
+  /** Positional (order-preserving, duplicate-keeping) word-shingle 60-bit
+    * hashes — the sequence winnowing's sliding window slides over
+    * (value-identical to `transform(shinglesFromTokens(toks, n), h64)`). */
+  def shingleHashSeq64(tokens: Column, n: Int): Column =
+    ColumnBridge.column(
+      ShingleHash64(ColumnBridge.expression(tokens), n, distinct = false))
+
   /** Sequential-fold dot product of two array<double> columns (custom
     * codegen'd expression; bit-identical to aggregate(zip_with(...))). */
   def dotProduct(a: Column, b: Column): Column =

@@ -112,6 +112,74 @@ object CorpusOps {
           .as("tf_idf_scaled"))
   }
 
+  /** Winnowing document fingerprints (Schleimer, Wilkerson, Aiken:
+    * "Winnowing: Local Algorithms for Document Fingerprinting",
+    * SIGMOD 2003): hash the positional k-gram shingles of each document,
+    * slide a window of `w` consecutive shingle hashes over the sequence,
+    * and keep the minimum hash of every window. Any shared substring of
+    * length >= k + w - 1 tokens is guaranteed to contribute at least one
+    * common fingerprint — the containment/plagiarism detector exact dedup
+    * and MinHash both miss.
+    *
+    * Physical shape: ONE codegen'd kernel pass per row
+    * ([[graft.functions.shingleHashSeq64]]) produces the positional hash
+    * sequence; the window minima are an arrays-only expression
+    * (`transform` + `array_min` over slices); one explode of the DISTINCT
+    * per-document fingerprints. No shuffle at all — fingerprinting is
+    * embarrassingly parallel; downstream joins on `fp` find cross-doc
+    * matches with an equi-shuffle that carries (fp, id) pairs only.
+    *
+    * @return (id, fp) — distinct winnowed fingerprints per document
+    */
+  def winnow(df: DataFrame, idCol: String, textCol: String,
+      k: Int = 5, w: Int = 4): DataFrame = {
+    require(k >= 1 && w >= 1, "shingle size and window must be >= 1")
+    val hashes = graft.functions.shingleHashSeq64(tokens(col(textCol)), k)
+    val nWins = greatest(
+      org.apache.spark.sql.functions.size(hashes) - (w - 1), lit(1))
+    val mins = transform(sequence(lit(1), nWins),
+      i => array_min(slice(hashes, i, lit(w))))
+    df.select(col(idCol), explode(array_distinct(mins)).as("fp"))
+  }
+
+  /** BM25 relevance weights per (doc, token) with a log-free idf
+    * surrogate: `idf_s = (N - df + 0.5) / (df + 0.5)` — the classic
+    * Robertson-Sparck Jones idf WITHOUT the final ln. ln is the one
+    * piece of BM25 that is not bit-portable across engines; dropping it
+    * keeps idf a strictly decreasing function of df (so rankings by df
+    * survive) and makes every remaining operation IEEE double
+    * arithmetic, which DuckDB reproduces bit for bit — the gate compares
+    * hashes, no epsilon.
+    *
+    * `score = idf_s * tf*(k1+1) / (tf + k1*(1 - b + b*dl/avgdl))`
+    *
+    * Physical shape mirrors [[tfIdfScaled]]: one explode, the (doc,
+    * token) pre-aggregate checkpointed once and feeding doc-frequency,
+    * doc-length, and the final join; `avgdl` is a scalar aggregate. */
+  def bm25(df: DataFrame, idCol: String, textCol: String,
+      k1: Double = 1.2, b: Double = 0.75): DataFrame = {
+    val perDoc = df
+      .select(col(idCol).as("doc"), explode(tokens(col(textCol))).as("token"))
+      .groupBy("doc", "token").agg(count(lit(1)).as("tf"))
+      .localCheckpoint()
+    val nDocs = df.select(col(idCol)).distinct().count()
+    val docFreq = perDoc.groupBy("token").agg(count(lit(1)).as("df"))
+    val docLen = perDoc.groupBy("doc").agg(sum("tf").as("dl"))
+    // exact integer sum over exact integer count — the double division
+    // is the first (deterministic) rounding step
+    val avgdl = docLen.agg(sum("dl").cast("double") / count(lit(1)).cast("double"))
+      .collect()(0).getDouble(0)
+    val tfD = col("tf").cast("double")
+    val dfD = col("df").cast("double")
+    val dlD = col("dl").cast("double")
+    perDoc.join(docFreq, Seq("token")).join(docLen, Seq("doc"))
+      .select(col("doc"), col("token"), col("tf"), col("df"),
+        (((lit(nDocs.toDouble) - dfD + 0.5) / (dfD + 0.5)) *
+          (tfD * (k1 + 1.0) /
+            (tfD + lit(k1) * (lit(1.0 - b) + lit(b) * dlD / avgdl))))
+          .as("bm25"))
+  }
+
   /** Token vocabulary with global occurrence and document frequencies.
     * One explode feeding two hash aggregates — the (doc, token) pre-
     * aggregate gives exact doc frequencies WITHOUT a count-distinct

@@ -108,8 +108,17 @@ object Dedup {
       bands: Int = 3,
       shingleSize: Int = 3,
       tau: Double = 0.6,
-      maxBucket: Int = 1000): DataFrame = {
-    val hashed = minhashHashed(df, idCol, textCol, shingleSize)
+      maxBucket: Int = 1000): DataFrame =
+    minhashLshPairsFromHashed(
+      minhashHashed(df, idCol, textCol, shingleSize), k, bands, tau, maxBucket)
+
+  /** The pairs pipeline over an already-built [[minhashHashed]] table —
+    * split out so composed pipelines ([[dedupCorpus]]) hash the corpus
+    * ONCE and reuse the checkpoint for banding, verification, and the
+    * survivor set. */
+  private def minhashLshPairsFromHashed(
+      hashed: DataFrame, k: Int, bands: Int,
+      tau: Double, maxBucket: Int): DataFrame = {
     val candidates =
       minhashCandidatesFromHashed(hashed, k, bands, maxBucket)
 
@@ -367,7 +376,10 @@ object Dedup {
     *
     * Physical shape: the LSH pipeline's stages as in [[minhashLshPairs]]
     * (hash checkpoint barrier, bucket caps), one extra label join, and a
-    * final LEFT ANTI join — dropped members shuffle only their ids. */
+    * final LEFT ANTI join — dropped members shuffle only their ids. The
+    * corpus is collapsed and shingle-hashed ONCE: the same checkpoint
+    * serves banding, verification, AND the survivor id set (its ids ARE
+    * the exact-dup representatives). */
   def dedupCorpus(
       df: DataFrame,
       idCol: String,
@@ -377,12 +389,12 @@ object Dedup {
       shingleSize: Int = 3,
       tau: Double = 0.6,
       maxBucket: Int = 1000): DataFrame = {
-    val reps = collapseExactText(df, idCol, textCol)
-    val pairs = minhashLshPairs(df, idCol, textCol, k, bands, shingleSize, tau, maxBucket)
+    val hashed = minhashHashed(df, idCol, textCol, shingleSize)
+    val pairs = minhashLshPairsFromHashed(hashed, k, bands, tau, maxBucket)
     val dropped = connectedComponents(pairs)
       .filter(col("node") =!= col("cluster_rep"))
       .select(col("node").as("doc_id"))
-    reps.select("doc_id").join(dropped, Seq("doc_id"), "left_anti")
+    hashed.select("doc_id").join(dropped, Seq("doc_id"), "left_anti")
   }
 
   /** Embedding near-duplicate pairs: exact cosine within a blocking

@@ -53,4 +53,41 @@ object RangeJoin {
       .filter(col(ptsCol) >= col(startCol) && col(ptsCol) <= col(endCol))
       .drop("graft_bucket")
   }
+
+  /** Interval-overlap join: pair every left interval `[lStart, lEnd]`
+    * with the right intervals `[rStart, rEnd]` under the same key that
+    * OVERLAP it (inclusive bounds). The generalization of
+    * [[pointInInterval]] both sides of which are ranges — session
+    * overlap, campaign attribution, availability windows.
+    *
+    * Same bucketed shape: both sides explode into the fixed-width
+    * buckets they span, the join is a hash equi-join on (key, bucket),
+    * and the exact overlap test filters after. A pair overlapping
+    * several shared buckets would match once per bucket, so each pair is
+    * CLAIMED by exactly one bucket — the bucket containing the overlap's
+    * start, `floor(max(lStart, rStart) / width)` — making the join
+    * duplicate-free without a distinct (no extra shuffle).
+    */
+  def intervalOverlap(
+      left: DataFrame,
+      lStart: String,
+      lEnd: String,
+      right: DataFrame,
+      rStart: String,
+      rEnd: String,
+      keyCol: String,
+      bucketWidth: Long): DataFrame = {
+    require(bucketWidth > 0, "bucketWidth must be positive")
+    def bucket(c: Column): Column = floor(c / lit(bucketWidth)).cast("long")
+
+    val l = left.withColumn("graft_bucket",
+      explode(sequence(bucket(col(lStart)), bucket(col(lEnd)))))
+    val r = right.withColumn("graft_bucket",
+      explode(sequence(bucket(col(rStart)), bucket(col(rEnd)))))
+
+    l.join(r, Seq(keyCol, "graft_bucket"))
+      .filter(col(lStart) <= col(rEnd) && col(rStart) <= col(lEnd) &&
+        col("graft_bucket") === bucket(greatest(col(lStart), col(rStart))))
+      .drop("graft_bucket")
+  }
 }

@@ -129,23 +129,28 @@ object Similarity {
     }
   }
 
+  /** Deterministic md5-derived hyperplane components, uniform in [-1, 1)
+    * — exposed so the DuckDB oracle can embed the identical values as
+    * literals. */
+  def planes(bits: Int, dim: Int): Seq[Seq[Double]] =
+    (0 until bits).map { p =>
+      (0 until dim).map { d =>
+        val hex = java.security.MessageDigest.getInstance("MD5")
+          .digest(s"graft-plane-$p-$d".getBytes("UTF-8"))
+          .map("%02x".format(_)).mkString.substring(0, 8)
+        java.lang.Long.parseLong(hex, 16).toDouble / math.pow(2, 31) - 1.0
+      }
+    }
+
   /** Random-hyperplane LSH bucketing for cosine: `bits` signed
     * projections form a bucket key; near vectors collide with high
     * probability. Deterministic hyperplanes derived from md5 of
     * (plane, dim) — engine-portable like everything else here. */
   def hyperplaneBuckets(df: DataFrame, idCol: String, vecCol: String,
       bits: Int, dim: Int): DataFrame = {
-    val planes: Seq[Seq[Double]] = (0 until bits).map { p =>
-      (0 until dim).map { d =>
-        val hex = java.security.MessageDigest.getInstance("MD5")
-          .digest(s"graft-plane-$p-$d".getBytes("UTF-8"))
-          .map("%02x".format(_)).mkString.substring(0, 8)
-        // uniform in [-1, 1)
-        java.lang.Long.parseLong(hex, 16).toDouble / math.pow(2, 31) - 1.0
-      }
-    }
+    val planesSeq = planes(bits, dim)
     val v = col(vecCol).cast("array<double>")
-    val bucketBits = planes.zipWithIndex.map { case (plane, i) =>
+    val bucketBits = planesSeq.zipWithIndex.map { case (plane, i) =>
       val planeCol = array(plane.map(lit): _*)
       when(dot(v, planeCol) >= 0.0, lit(1L << i)).otherwise(lit(0L))
     }
