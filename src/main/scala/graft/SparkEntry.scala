@@ -1050,6 +1050,20 @@ object SparkEntry {
         .agg(count(lit(1)).as("n"),
           sum(col("value").cast("decimal(18,3)")).cast("double").as("total"))
         .orderBy("cohort")
+    }),
+
+    // ---- int8 max-abs embedding quantization (element-wise output so
+    // the cross-engine hash compare sees scalars, not arrays) ------------
+    "e5_quantize" -> ((s, dir) => {
+      ops.Similarity.quantizeInt8(t(s, dir, "embeddings"), "vec_id", "embedding")
+        .orderBy("id", "pos")
+    }),
+
+    // ---- bigram language-model table: P(w2|w1) over the corpus --------
+    "d21_bigram_lm" -> ((s, dir) => {
+      val docs = t(s, dir, "documents").filter(col("doc_id") % 5 === 0)
+      ops.CorpusOps.bigramLm(docs, "doc_id", "text")
+        .orderBy("w1", "w2")
     })
   )
 
@@ -1830,7 +1844,8 @@ object SparkEntry {
     },
 
     "d19_jaccard_block" -> {
-      val jac = OracleSql.jaccard("a.text", "b.text", 3)
+      // hash-set jaccard — mirrors the engine's integer-set compare
+      val jac = OracleSql.hashJaccard("a.text", "b.text", 3)
       s"""WITH aug AS (
          |  SELECT doc_id, lang, text FROM documents WHERE doc_id % 10 = 0
          |  UNION ALL
@@ -1931,6 +1946,38 @@ object SparkEntry {
       """SELECT user_id % 100 AS cohort, COUNT(*) AS n,
         |  CAST(SUM(CAST(value AS DECIMAL(18,3))) AS DOUBLE) AS total
         |FROM events WHERE event_type = 'purchase'
-        |GROUP BY 1 ORDER BY 1""".stripMargin
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    "e5_quantize" ->
+      """SELECT id, i AS pos,
+        |  CASE WHEN s = 0.0 THEN 0
+        |       ELSE CAST(round(v[i+1] / s * 127.0) AS INT) END AS qv,
+        |  s AS scale
+        |FROM (SELECT vec_id AS id, CAST(embedding AS DOUBLE[]) AS v,
+        |             list_aggregate(list_transform(CAST(embedding AS DOUBLE[]),
+        |                                           x -> abs(x)), 'max') AS s
+        |      FROM embeddings),
+        |     range(0, 10000) t(i)
+        |WHERE i < len(v)
+        |ORDER BY id, pos""".stripMargin,
+
+    "d21_bigram_lm" -> {
+      val tk = s"CASE WHEN length(trim(text)) = 0 THEN []::VARCHAR[] " +
+        s"ELSE ${OracleSql.toks("text")} END"
+      s"""WITH d AS (SELECT doc_id, text FROM documents WHERE doc_id % 5 = 0),
+         |toks AS (SELECT $tk AS tk FROM d),
+         |big0 AS (
+         |  SELECT unnest(list_transform(range(0, len(tk) - 1),
+         |           i -> tk[i+1] || ' ' || tk[i+2])) AS bigram
+         |  FROM toks WHERE len(tk) >= 2),
+         |big AS (SELECT bigram, COUNT(*) AS c12 FROM big0 GROUP BY 1),
+         |pre AS (SELECT split_part(bigram, ' ', 1) AS w1,
+         |               CAST(SUM(c12) AS BIGINT) AS c1
+         |        FROM big GROUP BY 1)
+         |SELECT pre.w1, split_part(bigram, ' ', 2) AS w2, c12, c1,
+         |       CAST(c12 AS DOUBLE) / CAST(c1 AS DOUBLE) AS p
+         |FROM big JOIN pre ON split_part(bigram, ' ', 1) = pre.w1
+         |ORDER BY w1, w2""".stripMargin
+    }
   )
 }

@@ -27,4 +27,10 @@ package object functions {
   def dotProduct(a: Column, b: Column): Column =
     ColumnBridge.column(ArrayDotProduct(
       ColumnBridge.expression(a), ColumnBridge.expression(b)))
+
+  /** Distinct sliding-window minima of an array<long> column (custom
+    * codegen'd expression; value-identical to
+    * `array_distinct(transform(sequence(...), i => array_min(slice(h, i, w))))`). */
+  def windowMin64(hashes: Column, w: Int): Column =
+    ColumnBridge.column(WindowMin64(ColumnBridge.expression(hashes), w))
 }

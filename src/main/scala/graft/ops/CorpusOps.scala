@@ -121,25 +121,25 @@ object CorpusOps {
     * common fingerprint — the containment/plagiarism detector exact dedup
     * and MinHash both miss.
     *
-    * Physical shape: ONE codegen'd kernel pass per row
-    * ([[graft.functions.shingleHashSeq64]]) produces the positional hash
-    * sequence; the window minima are an arrays-only expression
-    * (`transform` + `array_min` over slices); one explode of the DISTINCT
-    * per-document fingerprints. No shuffle at all — fingerprinting is
-    * embarrassingly parallel; downstream joins on `fp` find cross-doc
-    * matches with an equi-shuffle that carries (fp, id) pairs only.
+    * Physical shape: TWO chained codegen'd kernels per row —
+    * [[graft.functions.shingleHashSeq64]] (positional hashes) feeding
+    * [[graft.functions.windowMin64]] (monotonic-deque window minima,
+    * O(tokens) not O(windows×window)) — then one explode. A builtin
+    * `transform(sequence, i => array_min(slice(h, i, w)))` formulation
+    * is value-identical but re-evaluates the captured hash kernel per
+    * window (interpreted lambda): quadratic per document. No shuffle at
+    * all — fingerprinting is embarrassingly parallel; downstream joins
+    * on `fp` find cross-doc matches with an equi-shuffle that carries
+    * (fp, id) pairs only.
     *
     * @return (id, fp) — distinct winnowed fingerprints per document
     */
   def winnow(df: DataFrame, idCol: String, textCol: String,
       k: Int = 5, w: Int = 4): DataFrame = {
     require(k >= 1 && w >= 1, "shingle size and window must be >= 1")
-    val hashes = graft.functions.shingleHashSeq64(tokens(col(textCol)), k)
-    val nWins = greatest(
-      org.apache.spark.sql.functions.size(hashes) - (w - 1), lit(1))
-    val mins = transform(sequence(lit(1), nWins),
-      i => array_min(slice(hashes, i, lit(w))))
-    df.select(col(idCol), explode(array_distinct(mins)).as("fp"))
+    val fps = graft.functions.windowMin64(
+      graft.functions.shingleHashSeq64(tokens(col(textCol)), k), w)
+    df.select(col(idCol), explode(fps).as("fp"))
   }
 
   /** BM25 relevance weights per (doc, token) with a log-free idf
@@ -178,6 +178,33 @@ object CorpusOps {
           (tfD * (k1 + 1.0) /
             (tfD + lit(k1) * (lit(1.0 - b) + lit(b) * dlD / avgdl))))
           .as("bm25"))
+  }
+
+  /** Bigram language-model table: conditional probabilities
+    * `P(w2 | w1) = c(w1 w2) / c(w1 ·)` over the corpus — the classic
+    * n-gram LM estimator (and the scorer behind perplexity-style quality
+    * filters). Documents shorter than 2 tokens contribute nothing.
+    *
+    * Physical shape: one explode of positional bigrams → one hash
+    * aggregate (map-side combined, so the shuffle carries distinct
+    * bigrams, not the token stream); prefix totals derive from the
+    * aggregated table itself — a second small aggregate over distinct
+    * bigrams, NOT a second pass over the corpus. The division is a
+    * single deterministic double op (exact integer inputs), so the
+    * result hash-compares across engines. */
+  def bigramLm(df: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val toks = tokens(col(textCol))
+    val big = df
+      .filter(org.apache.spark.sql.functions.size(toks) >= 2)
+      .select(explode(shinglesFromTokens(toks, 2)).as("bigram"))
+      .groupBy("bigram").agg(count(lit(1)).as("c12"))
+      .withColumn("w1", substring_index(col("bigram"), " ", 1))
+      .localCheckpoint() // feeds both the prefix aggregate and the join
+    val prefix = big.groupBy("w1").agg(sum("c12").as("c1"))
+    big.join(prefix, Seq("w1"))
+      .select(col("w1"), substring_index(col("bigram"), " ", -1).as("w2"),
+        col("c12"), col("c1"),
+        (col("c12").cast("double") / col("c1").cast("double")).as("p"))
   }
 
   /** Token vocabulary with global occurrence and document frequencies.

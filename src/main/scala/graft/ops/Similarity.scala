@@ -129,6 +129,24 @@ object Similarity {
     }
   }
 
+  /** Symmetric max-abs int8 quantization of an embedding column — the
+    * 4× storage/bandwidth reducer ANN indexes ship with. Each vector is
+    * scaled by its own max|component| and rounded to [-127, 127]; the
+    * per-vector scale is kept for dequantization. Emitted element-wise
+    * (id, pos, qv, scale) so the result is hash-comparable across
+    * engines (array cells are not). Pure per-row arithmetic — no
+    * shuffle; round-half-away-from-zero in both engines. */
+  def quantizeInt8(df: DataFrame, idCol: String, vecCol: String): DataFrame = {
+    val v = col(vecCol).cast("array<double>")
+    df.select(col(idCol).as("id"), v.as("v"),
+        array_max(transform(v, x => abs(x))).as("scale"))
+      .select(col("id"), col("scale"), posexplode(col("v")).as(Seq("pos", "x")))
+      .select(col("id"), col("pos"),
+        when(col("scale") === 0.0, lit(0))
+          .otherwise(round(col("x") / col("scale") * 127.0).cast("int")).as("qv"),
+        col("scale"))
+  }
+
   /** Deterministic md5-derived hyperplane components, uniform in [-1, 1)
     * — exposed so the DuckDB oracle can embed the identical values as
     * literals. */

@@ -52,6 +52,21 @@ class TextFunctionsSpec extends AnyFunSuite with SparkTestBase {
     assert(rep.length == 5 && rep.distinct.length == 2)
   }
 
+  test("window_min64 kernel equals the builtin sliding-min chain") {
+    val arrs = Seq(Seq(5L, 3L, 8L, 1L, 9L, 2L), Seq(7L), Seq(4L, 4L, 4L),
+      Seq(9L, 8L, 7L, 6L, 5L), Seq(1L, 2L, 3L, 4L, 5L))
+    for (w <- Seq(1, 3, 4, 7); a <- arrs) {
+      val h = array(a.map(lit): _*)
+      val builtin = one(array_distinct(transform(
+        sequence(lit(1), greatest(size(h) - (w - 1), lit(1))),
+        i => array_min(slice(h, i, lit(w))))))
+        .asInstanceOf[scala.collection.Seq[Long]]
+      val kernel = one(graft.functions.windowMin64(h, w))
+        .asInstanceOf[scala.collection.Seq[Long]]
+      assert(kernel == builtin, s"for $a w=$w")
+    }
+  }
+
   test("lang_id kernel equals the builtin stopword-argmax formulation") {
     import spark.implicits._
     val texts = Seq("the cat sat on the mat and it was good",
@@ -233,6 +248,29 @@ class DedupSpec extends AnyFunSuite with SparkTestBase {
 
 class SimilaritySpec extends AnyFunSuite with SparkTestBase {
   import graft.functions.simhash60
+
+  test("quantizeInt8 rounds to [-127,127], keeps scale, zero-vector safe") {
+    import spark.implicits._
+    val df = Seq(
+      (1L, Seq(1.0, -0.5, 0.25)),
+      (2L, Seq(0.0, 0.0, 0.0)),
+      (3L, Seq(-2.0, 1.0, 0.5))).toDF("vec_id", "embedding")
+    val q = Similarity.quantizeInt8(df, "vec_id", "embedding").collect()
+      .map(r => (r.getLong(0), r.getInt(1)) -> (r.getInt(2), r.getDouble(3))).toMap
+    assert(q((1L, 0)) == ((127, 1.0)))
+    assert(q((1L, 1)) == ((-64, 1.0))) // round(-63.5) away from zero
+    assert(q((1L, 2)) == ((32, 1.0)))  // round(31.75)
+    assert(q((2L, 0)) == ((0, 0.0)))   // zero vector → zeros, scale 0
+    assert(q((3L, 0)) == ((-127, 2.0)))
+    assert(q.values.forall { case (v, _) => v >= -127 && v <= 127 })
+    // dequantization error bounded by scale/254 (half a quant step)
+    q.foreach { case ((id, pos), (qv, s)) =>
+      if (s > 0) {
+        val orig = Map(1L -> Seq(1.0, -0.5, 0.25), 3L -> Seq(-2.0, 1.0, 0.5))(id)(pos)
+        assert(math.abs(qv * s / 127.0 - orig) <= s / 254.0 + 1e-12)
+      }
+    }
+  }
 
   test("simhash60: interpreted and codegen agree; similar text → low hamming") {
     import TextFunctions.tokens
@@ -477,6 +515,21 @@ class CorpusOpsSpec extends AnyFunSuite with SparkTestBase {
     assert(got((3L, "alpha")) == score(1, 2, 1))
     // rarer token outscores a commoner one at equal tf/dl
     assert(got((2L, "gamma")) > got((2L, "beta")))
+  }
+
+  test("bigramLm estimates conditional bigram probabilities") {
+    import spark.implicits._
+    val df = Seq((1L, "a b a b"), (2L, "a c"), (3L, "x")).toDF("doc_id", "text")
+    val lm = CorpusOps.bigramLm(df, "doc_id", "text").collect()
+      .map(r => (r.getString(0), r.getString(1)) ->
+        (r.getLong(2), r.getLong(3), r.getDouble(4))).toMap
+    assert(lm(("a", "b")) == ((2L, 3L, 2.0 / 3.0))) // "a b" twice, prefix a 3×
+    assert(lm(("a", "c")) == ((1L, 3L, 1.0 / 3.0)))
+    assert(lm(("b", "a")) == ((1L, 1L, 1.0)))
+    assert(lm.size == 3) // the 1-token doc contributes nothing
+    // probabilities per prefix sum to 1
+    val byPrefix = lm.toSeq.groupBy(_._1._1).view.mapValues(_.map(_._2._3).sum)
+    byPrefix.foreach { case (_, s) => assert(math.abs(s - 1.0) < 1e-12) }
   }
 
   test("tfIdf weights match the smoothed formula") {
