@@ -1064,6 +1064,40 @@ object SparkEntry {
       val docs = t(s, dir, "documents").filter(col("doc_id") % 5 === 0)
       ops.CorpusOps.bigramLm(docs, "doc_id", "text")
         .orderBy("w1", "w2")
+    }),
+
+    // ---- incremental aggregate maintenance: stored state + signed
+    // changeset, no base rescan; bit-identical to a full recompute ------
+    "q40_incremental_agg" -> ((s, dir) => {
+      val o = t(s, dir, "orders")
+      val base = o.filter(col("o_orderkey") % 97 =!= 0)
+      val state = base.groupBy("o_orderpriority")
+        .agg(count(lit(1)).as("n"),
+          sum(col("o_totalprice").cast("decimal(18,2)")).as("total"))
+      val inserts = o.filter(col("o_orderkey") % 97 === 0)
+        .select(col("o_orderpriority"), col("o_totalprice"), lit(1L).as("sign"))
+      val deletes = base.filter(col("o_orderkey") % 89 === 0)
+        .select(col("o_orderpriority"), col("o_totalprice"), lit(-1L).as("sign"))
+      ops.Merge.incrementalAgg(state, inserts.unionAll(deletes),
+          "o_orderpriority", "o_totalprice", "sign")
+        .select(col("o_orderpriority"), col("n"),
+          col("total").cast("double").as("total"))
+        .orderBy("o_orderpriority")
+    }),
+
+    // ---- change-data feed: derive the I/U/D changeset between two
+    // snapshots in one full-outer join (inverse of q36's applyChanges) --
+    "q41_change_feed" -> ((s, dir) => {
+      val o = t(s, dir, "orders").select("o_orderkey", "o_orderstatus", "o_totalprice")
+      val modified = o.filter(col("o_orderkey") % 13 =!= 0)
+        .withColumn("o_totalprice",
+          when(col("o_orderkey") % 7 === 0, col("o_totalprice") + 5.0)
+            .otherwise(col("o_totalprice")))
+      val inserted = o.filter(col("o_orderkey") % 97 === 0)
+        .select((col("o_orderkey") + 10000000).as("o_orderkey"),
+          lit("N").as("o_orderstatus"), lit(2.0).as("o_totalprice"))
+      ops.Merge.changeFeed(o, modified.unionAll(inserted), "o_orderkey")
+        .orderBy("o_orderkey", "op")
     })
   )
 
@@ -1978,6 +2012,42 @@ object SparkEntry {
          |       CAST(c12 AS DOUBLE) / CAST(c1 AS DOUBLE) AS p
          |FROM big JOIN pre ON split_part(bigram, ' ', 1) = pre.w1
          |ORDER BY w1, w2""".stripMargin
-    }
+    },
+
+    "q40_incremental_agg" ->
+      """WITH final AS (
+        |  SELECT o_orderpriority, o_totalprice FROM orders
+        |  WHERE o_orderkey % 97 <> 0 AND o_orderkey % 89 <> 0
+        |  UNION ALL
+        |  SELECT o_orderpriority, o_totalprice FROM orders
+        |  WHERE o_orderkey % 97 = 0)
+        |SELECT o_orderpriority, COUNT(*) AS n,
+        |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total
+        |FROM final GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    "q41_change_feed" ->
+      """WITH prev AS (
+        |  SELECT o_orderkey, o_orderstatus, o_totalprice FROM orders),
+        |nxt AS (
+        |  SELECT o_orderkey, o_orderstatus,
+        |    CASE WHEN o_orderkey % 7 = 0 THEN o_totalprice + 5.0
+        |         ELSE o_totalprice END AS o_totalprice
+        |  FROM orders WHERE o_orderkey % 13 <> 0
+        |  UNION ALL
+        |  SELECT o_orderkey + 10000000, 'N', 2.0
+        |  FROM orders WHERE o_orderkey % 97 = 0),
+        |feed AS (
+        |  SELECT COALESCE(n.o_orderkey, p.o_orderkey) AS o_orderkey,
+        |    CASE WHEN p.o_orderkey IS NULL THEN 'I'
+        |         WHEN n.o_orderkey IS NULL THEN 'D'
+        |         WHEN p.o_orderstatus IS DISTINCT FROM n.o_orderstatus
+        |           OR p.o_totalprice IS DISTINCT FROM n.o_totalprice
+        |         THEN 'U' END AS op,
+        |    COALESCE(n.o_orderstatus, p.o_orderstatus) AS o_orderstatus,
+        |    COALESCE(n.o_totalprice, p.o_totalprice) AS o_totalprice
+        |  FROM prev p FULL OUTER JOIN nxt n ON p.o_orderkey = n.o_orderkey)
+        |SELECT o_orderkey, op, o_orderstatus, o_totalprice FROM feed
+        |WHERE op IS NOT NULL
+        |ORDER BY o_orderkey, op""".stripMargin
   )
 }

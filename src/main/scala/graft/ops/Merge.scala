@@ -43,6 +43,70 @@ object Merge {
             .otherwise(col(s"graft_s.`$f`")).as(f)): _*)
   }
 
+  /** Incremental aggregate maintenance: combine a stored per-group
+    * (count, decimal-sum) state with a signed changeset — inserts carry
+    * sign +1, deletes -1 — WITHOUT rescanning the base table. The
+    * incremental-view-maintenance primitive: at 100 TB the base scan is
+    * the cost, and algebraic aggregates (count/sum, and avg = sum/count)
+    * merge exactly, so the result is bit-identical to a full recompute
+    * (decimal arithmetic is associative).
+    *
+    * Physical shape: the delta aggregates first (map-side combined — the
+    * shuffle carries one row per touched group), then ONE outer join
+    * against the state on the group key. Groups whose count reaches 0
+    * are dropped.
+    *
+    * @param state per-group state with columns (`keyCol`, n, total)
+    * @param delta change rows with (`keyCol`, `valueCol`, `signCol` ±1)
+    */
+  def incrementalAgg(
+      state: DataFrame,
+      delta: DataFrame,
+      keyCol: String,
+      valueCol: String,
+      signCol: String): DataFrame = {
+    val d = delta.groupBy(keyCol).agg(
+      sum(col(signCol)).as("graft_dn"),
+      sum(col(valueCol).cast("decimal(18,2)") * col(signCol)).as("graft_dtotal"))
+    state.join(d, Seq(keyCol), "full_outer")
+      .select(col(keyCol),
+        (coalesce(col("n"), lit(0L)) + coalesce(col("graft_dn"), lit(0L))).as("n"),
+        (coalesce(col("total"), lit(BigDecimal(0)).cast("decimal(18,2)")) +
+          coalesce(col("graft_dtotal"), lit(BigDecimal(0)).cast("decimal(18,2)")))
+          .as("total"))
+      .filter(col("n") > 0)
+  }
+
+  /** Change-data feed between two snapshots of a keyed table — the
+    * inverse of [[applyChanges]]: emit one row per differing key with
+    * `op` = I (insert: key only in `next`), U (update: both sides,
+    * values differ), or D (delete: key only in `prev`); identical rows
+    * are omitted. U/I rows carry the new values, D rows the old.
+    * Round-trip law (spec-verified):
+    * `applyChanges(prev, changeFeed(prev, next)) == next`.
+    *
+    * ONE full-outer join on the key; the null-safe struct compare keeps
+    * the filter inside codegen — no distinct, no second pass. */
+  def changeFeed(
+      prev: DataFrame,
+      next: DataFrame,
+      keyCol: String): DataFrame = {
+    val dataCols = next.columns.filterNot(_ == keyCol).toSeq
+    val p = prev.select(col(keyCol).as("graft_k"),
+      struct(dataCols.map(col): _*).as("graft_p"))
+    val n = next.select(col(keyCol).as("graft_k"),
+      struct(dataCols.map(col): _*).as("graft_n"))
+    p.join(n, Seq("graft_k"), "full_outer")
+      .withColumn("op",
+        when(col("graft_p").isNull, lit("I"))
+          .when(col("graft_n").isNull, lit("D"))
+          .when(!(col("graft_p") <=> col("graft_n")), lit("U")))
+      .filter(col("op").isNotNull)
+      .select(col("graft_k").as(keyCol) +: col("op") +:
+        dataCols.map(f =>
+          coalesce(col(s"graft_n.`$f`"), col(s"graft_p.`$f`")).as(f)): _*)
+  }
+
   /** Slowly-changing-dimension type-2 history: turn a stream of
     * attribute observations (key, attrs, ts) into validity intervals —
     * one row per attribute CHANGE, carrying `valid_from` / `valid_to`

@@ -651,6 +651,42 @@ class MergeSpec extends AnyFunSuite with SparkTestBase {
       Seq((1L, "a", 10.0), (2L, "b", 20.0), (3L, "c", 30.0)))
   }
 
+  test("changeFeed round-trips through applyChanges") {
+    import spark.implicits._
+    val prev = Seq((1L, "a", 10.0), (2L, "b", 20.0), (3L, "c", 30.0))
+      .toDF("k", "status", "amount")
+    val next = Seq((1L, "a", 10.0), (2L, "B", 25.0), (9L, "i", 90.0))
+      .toDF("k", "status", "amount")
+    val feed = Merge.changeFeed(prev, next, "k")
+    val ops = feed.collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(ops == Map(2L -> "U", 3L -> "D", 9L -> "I")) // key 1 unchanged → absent
+    // D rows carry the old values, U/I the new
+    val vals = feed.collect().map(r => r.getLong(0) -> (r.getString(2), r.getDouble(3))).toMap
+    assert(vals(3L) == (("c", 30.0)) && vals(2L) == (("B", 25.0)))
+    // inverse law: applying the feed to prev reproduces next exactly
+    val applied = Merge.applyChanges(prev,
+        feed.withColumn("is_delete", col("op") === "D").drop("op"), "k")
+      .orderBy("k").collect().map(r => (r.getLong(0), r.getString(1), r.getDouble(2)))
+    assert(applied.toSeq == Seq((1L, "a", 10.0), (2L, "B", 25.0), (9L, "i", 90.0)))
+  }
+
+  test("incrementalAgg equals a full recompute under inserts and deletes") {
+    import spark.implicits._
+    val base = Seq(("p1", 10.0), ("p1", 20.0), ("p2", 5.0), ("p3", 7.0))
+      .toDF("grp", "v")
+    val state = base.groupBy("grp").agg(
+      count(org.apache.spark.sql.functions.lit(1)).as("n"),
+      sum(col("v").cast("decimal(18,2)")).as("total"))
+    val delta = Seq(("p1", 30.0, 1L), ("p2", 5.0, -1L), ("p4", 2.0, 1L))
+      .toDF("grp", "v", "sign") // insert p1, delete p2's only row, new group p4
+    val got = Merge.incrementalAgg(state, delta, "grp", "v", "sign")
+      .select(col("grp"), col("n"), col("total").cast("double"))
+      .orderBy("grp").collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getDouble(2)))
+    assert(got.toSeq == Seq(("p1", 3L, 60.0), ("p3", 1L, 7.0), ("p4", 1L, 2.0)))
+    // p2 reached count 0 and was dropped
+  }
+
   test("scd2 collapses unchanged runs into validity intervals") {
     import spark.implicits._
     val obs = Seq(
