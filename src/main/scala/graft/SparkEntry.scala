@@ -1066,6 +1066,14 @@ object SparkEntry {
         .orderBy("w1", "w2")
     }),
 
+    // ---- embedding near-dup pairs via hyperplane LSH buckets (the
+    // unblocked scale path: candidates touch only colliding vectors) ----
+    "e6_embedding_lsh" -> ((s, dir) => {
+      ops.Dedup.embeddingLshPairs(t(s, dir, "embeddings"),
+          "vec_id", "embedding", dim = 64, bits = 6, tau = 0.2)
+        .orderBy("id1", "id2")
+    }),
+
     // ---- incremental aggregate maintenance: stored state + signed
     // changeset, no base rescan; bit-identical to a full recompute ------
     "q40_incremental_agg" -> ((s, dir) => {
@@ -2012,6 +2020,32 @@ object SparkEntry {
          |       CAST(c12 AS DOUBLE) / CAST(c1 AS DOUBLE) AS p
          |FROM big JOIN pre ON split_part(bigram, ' ', 1) = pre.w1
          |ORDER BY w1, w2""".stripMargin
+    },
+
+    "e6_embedding_lsh" -> {
+      val bucketExpr = ops.Similarity.planes(6, 64).zipWithIndex.map { case (p, i) =>
+        val planeLit = p.mkString("[", ", ", "]")
+        s"(CASE WHEN ${OracleSql.dot("v", planeLit)} >= 0.0 THEN ${1L << i} ELSE 0 END)"
+      }.mkString("\n   + ")
+      val cos = s"(CASE WHEN a.nrm * b.nrm = 0.0 THEN 0.0 " +
+        s"ELSE ${OracleSql.dot("a.v", "b.v")} / (a.nrm * b.nrm) END)"
+      s"""WITH v0 AS (
+         |  SELECT v, MIN(id) AS id FROM (
+         |    SELECT CAST(embedding AS DOUBLE[]) AS v, vec_id AS id FROM embeddings)
+         |  GROUP BY v),
+         |bkt AS (
+         |  SELECT id, v, CAST($bucketExpr AS BIGINT) AS bucket,
+         |         sqrt(${OracleSql.dot("v", "v")}) AS nrm
+         |  FROM v0),
+         |capped AS (
+         |  SELECT * FROM (
+         |    SELECT *, COUNT(*) OVER (PARTITION BY bucket) AS bucket_sz FROM bkt)
+         |  WHERE bucket_sz <= 1000)
+         |SELECT id1, id2, cos FROM (
+         |  SELECT a.id AS id1, b.id AS id2, $cos AS cos
+         |  FROM capped a JOIN capped b ON a.bucket = b.bucket AND a.id < b.id)
+         |WHERE cos >= 0.2
+         |ORDER BY id1, id2""".stripMargin
     },
 
     "q40_incremental_agg" ->
