@@ -1,0 +1,59 @@
+package graft
+
+import graft.functions.{ArrayDotProduct, LangIdExpr, ShingleHash64, SimHash60, WindowMin64}
+import org.apache.spark.sql.{SparkSession, SparkSessionExtensions}
+import org.apache.spark.sql.catalyst.FunctionIdentifier
+import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo, Literal}
+
+/** SQL surface for the custom codegen'd kernels — the
+  * `SparkSessionExtensions` registration path (SURVEY §7: extensions
+  * prefer composing builtins, then a custom `Expression`, then
+  * `Rule`/`Strategy`; these kernels are the Expression tier, and this
+  * class makes them first-class SQL functions so `spark.sql(...)`
+  * pipelines can use them without the Scala DSL):
+  *
+  * {{{
+  * spark-submit --conf spark.sql.extensions=graft.GraftExtensions ...
+  * SELECT simhash60(graft_tokens), array_dot(a, b), lang_id(toks),
+  *        shingle_hash64(toks, 3), window_min64(hashes, 4)
+  * }}}
+  *
+  * Sessions that already exist (notebooks, tests) register the same
+  * builders via [[GraftExtensions.register]].
+  */
+class GraftExtensions extends (SparkSessionExtensions => Unit) {
+  override def apply(ext: SparkSessionExtensions): Unit =
+    GraftExtensions.builders.foreach { case (name, builder) =>
+      ext.injectFunction((FunctionIdentifier(name),
+        new ExpressionInfo("graft.functions", name), builder))
+    }
+}
+
+object GraftExtensions {
+
+  private def intLit(e: Expression, fn: String): Int = e match {
+    case Literal(v: Int, _) => v
+    case other => throw new IllegalArgumentException(
+      s"$fn expects an integer literal parameter, got $other")
+  }
+
+  /** name → expression builder, shared by both registration paths. */
+  val builders: Seq[(String, Seq[Expression] => Expression)] = Seq(
+    "simhash60" -> (args => SimHash60(args.head)),
+    "lang_id" -> (args => LangIdExpr(args.head)),
+    "array_dot" -> (args => ArrayDotProduct(args(0), args(1))),
+    "shingle_hash64" -> (args =>
+      ShingleHash64(args(0), intLit(args(1), "shingle_hash64"))),
+    "shingle_hash_seq64" -> (args =>
+      ShingleHash64(args(0), intLit(args(1), "shingle_hash_seq64"),
+        distinct = false)),
+    "window_min64" -> (args =>
+      WindowMin64(args(0), intLit(args(1), "window_min64"))))
+
+  /** Register the kernels on an already-built session. */
+  def register(spark: SparkSession): Unit =
+    builders.foreach { case (name, builder) =>
+      org.apache.spark.sql.graftbridge.ColumnBridge
+        .registerFunction(spark, name, builder)
+    }
+}

@@ -10,4 +10,15 @@ import org.apache.spark.sql.classic.ExpressionUtils
 object ColumnBridge {
   def column(e: Expression): Column = ExpressionUtils.column(e)
   def expression(c: Column): Expression = ExpressionUtils.expression(c)
+
+  /** Register a builder in a LIVE session's function registry (the
+    * `SparkSessionExtensions` path only applies at session build time;
+    * this serves notebooks/tests that already hold a session).
+    * `sessionState` is `private[sql]`, hence bridged here. */
+  def registerFunction(
+      spark: org.apache.spark.sql.SparkSession,
+      name: String,
+      builder: Seq[Expression] => Expression): Unit =
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      name, builder, "scala_udf")
 }

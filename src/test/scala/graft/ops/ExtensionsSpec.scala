@@ -104,6 +104,44 @@ class TextFunctionsSpec extends AnyFunSuite with SparkTestBase {
   }
 }
 
+class GraftExtensionsSpec extends AnyFunSuite with SparkTestBase {
+  import TextFunctions.tokens
+
+  test("SQL-registered kernels match the Column API results") {
+    import spark.implicits._
+    graft.GraftExtensions.register(spark)
+    val df = Seq(
+      "the quick brown fox jumps over the lazy dog",
+      "der hund und die katze sind zu haus",
+      "").toDF("text")
+      .withColumn("toks", tokens(col("text")))
+    df.createOrReplaceTempView("graft_ext_probe")
+    val viaSql = spark.sql(
+      """SELECT simhash60(toks) AS sh, lang_id(toks) AS lang,
+        |  shingle_hash64(toks, 3) AS hs,
+        |  window_min64(shingle_hash_seq64(toks, 3), 2) AS wm
+        |FROM graft_ext_probe""".stripMargin).collect()
+    val viaApi = df.select(
+      graft.functions.simhash60(col("toks")).as("sh"),
+      TextFunctions.langId(col("text")).as("lang"),
+      graft.functions.shingleHash64(col("toks"), 3).as("hs"),
+      graft.functions.windowMin64(
+        graft.functions.shingleHashSeq64(col("toks"), 3), 2).as("wm")).collect()
+    assert(viaSql.toSeq.map(_.toSeq) == viaApi.toSeq.map(_.toSeq))
+
+    val dots = spark.sql(
+      "SELECT array_dot(CAST(array(1.0, 2.0) AS ARRAY<DOUBLE>), " +
+        "CAST(array(3.0, 0.5) AS ARRAY<DOUBLE>)) AS d").collect()
+    assert(dots.head.getDouble(0) == 4.0)
+
+    // non-literal kernel parameters are rejected with a clear message
+    val err = intercept[Exception](
+      spark.sql("SELECT shingle_hash64(toks, length(text)) FROM graft_ext_probe")
+        .collect())
+    assert(err.getMessage.contains("integer literal"))
+  }
+}
+
 class DedupSpec extends AnyFunSuite with SparkTestBase {
 
   private val docs = spark.sql(
