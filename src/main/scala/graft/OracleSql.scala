@@ -113,6 +113,24 @@ object OracleSql {
        | CAST(len(list_distinct($ha || $hb)) AS DOUBLE))""".stripMargin
   }
 
+  /** Winnowing fingerprints (distinct sliding-window minima over
+    * positional k-shingle hashes) of a relation producing
+    * (doc_id, text) — mirrors CorpusOps.winnow / WindowMin64. */
+  def winnow(fromSql: String, k: Int, w: Int): String = {
+    val tk = s"CASE WHEN length(trim(text)) = 0 THEN []::VARCHAR[] " +
+      s"ELSE ${toks("text")} END"
+    s"""SELECT doc_id, unnest(list_distinct(
+       |    list_transform(range(0, greatest(len(hs) - ${w - 1}, 1)),
+       |      i -> list_aggregate(hs[(i+1):(i+$w)], 'min')))) AS fp
+       |FROM (
+       |  SELECT doc_id,
+       |    list_transform(
+       |      list_transform(range(0, greatest(len(tk) - ${k - 1}, 1)),
+       |        i -> array_to_string(tk[(i+1):(i+$k)], ' ')),
+       |      s -> ${h64("s")}) AS hs
+       |  FROM (SELECT doc_id, $tk AS tk FROM ($fromSql)))""".stripMargin
+  }
+
   /** stopword-hit count for one language over normalized tokens. */
   def stopwordHits(e: String, lang: String): String = {
     val words = graft.functions.TextFunctions.stopwords(lang)

@@ -1066,6 +1066,29 @@ object SparkEntry {
         .orderBy("w1", "w2")
     }),
 
+    // ---- eval-set decontamination: fraction of each eval doc's winnow
+    // fingerprints occurring anywhere in train (copied docs score 1.0) --
+    "d22_contamination" -> ((s, dir) => {
+      val docs = t(s, dir, "documents").select("doc_id", "text")
+      val train = docs.filter(col("doc_id") % 2 === 0)
+      val copied = train.filter(col("doc_id") % 100 === 0)
+        .select((col("doc_id") + 1000000).as("doc_id"), col("text"))
+      val evalSet = docs.filter(col("doc_id") % 2 === 1).unionAll(copied)
+      ops.CorpusOps.contamination(evalSet, train, "doc_id", "text", k = 5, w = 4)
+        .orderBy("doc_id")
+    }),
+
+    // ---- one-pass data-quality rule engine: all rules fused into a
+    // single aggregate over a single scan ---------------------------------
+    "q42_quality_checks" -> ((s, dir) => {
+      ops.Quality.checks(t(s, dir, "orders"), Seq(
+        "orderkey_not_null" -> col("o_orderkey").isNotNull,
+        "price_positive" -> (col("o_totalprice") > 0.0),
+        "price_under_cap" -> (col("o_totalprice") <= lit(300000.0)),
+        "key_not_div7" -> (col("o_orderkey") % 7 =!= 0)))
+        .orderBy("rule")
+    }),
+
     // ---- embedding near-dup pairs via hyperplane LSH buckets (the
     // unblocked scale path: candidates touch only colliding vectors) ----
     "e6_embedding_lsh" -> ((s, dir) => {
@@ -1864,26 +1887,11 @@ object SparkEntry {
          |ORDER BY block, id1, id2""".stripMargin
     },
 
-    "d18_winnow" -> {
-      // k=5, w=4 — positional shingles (no guard needed: an empty token
-      // list yields the same single empty-string shingle in both engines)
-      val tk = s"CASE WHEN length(trim(text)) = 0 THEN []::VARCHAR[] " +
-        s"ELSE ${OracleSql.toks("text")} END"
-      s"""WITH toks AS (SELECT doc_id, $tk AS tk
-         |              FROM documents WHERE doc_id % 3 = 0),
-         |h AS (SELECT doc_id,
-         |  list_transform(
-         |    list_transform(range(0, greatest(len(tk) - 4, 1)),
-         |      i -> array_to_string(tk[(i+1):(i+5)], ' ')),
-         |    s -> ${OracleSql.h64("s")}) AS hs
-         |  FROM toks)
-         |SELECT doc_id, fp FROM (
-         |  SELECT doc_id, unnest(list_distinct(
-         |    list_transform(range(0, greatest(len(hs) - 3, 1)),
-         |      i -> list_aggregate(hs[(i+1):(i+4)], 'min')))) AS fp
-         |  FROM h)
-         |ORDER BY doc_id, fp""".stripMargin
-    },
+    "d18_winnow" ->
+      s"""SELECT doc_id, fp FROM (
+         |${OracleSql.winnow(
+              "SELECT doc_id, text FROM documents WHERE doc_id % 3 = 0", 5, 4)})
+         |ORDER BY doc_id, fp""".stripMargin,
 
     "d19_jaccard_block" -> {
       // hash-set jaccard — mirrors the engine's integer-set compare
@@ -2021,6 +2029,45 @@ object SparkEntry {
          |FROM big JOIN pre ON split_part(bigram, ' ', 1) = pre.w1
          |ORDER BY w1, w2""".stripMargin
     },
+
+    "d22_contamination" -> {
+      val evalSql =
+        """SELECT doc_id, text FROM documents WHERE doc_id % 2 = 1
+          |  UNION ALL
+          |  SELECT doc_id + 1000000 AS doc_id, text FROM documents
+          |  WHERE doc_id % 2 = 0 AND doc_id % 100 = 0""".stripMargin
+      val trainSql = "SELECT doc_id, text FROM documents WHERE doc_id % 2 = 0"
+      s"""WITH efps AS (${OracleSql.winnow(evalSql, 5, 4)}),
+         |tfps AS (SELECT DISTINCT fp FROM (${OracleSql.winnow(trainSql, 5, 4)})),
+         |agg AS (
+         |  SELECT e.doc_id, COUNT(*) AS n_fps,
+         |    CAST(SUM(CASE WHEN t.fp IS NULL THEN 0 ELSE 1 END) AS BIGINT)
+         |      AS n_hits
+         |  FROM efps e LEFT JOIN tfps t ON e.fp = t.fp
+         |  GROUP BY 1)
+         |SELECT doc_id, n_fps, n_hits,
+         |  CAST(n_hits AS DOUBLE) / CAST(n_fps AS DOUBLE) AS contamination
+         |FROM agg ORDER BY doc_id""".stripMargin
+    },
+
+    "q42_quality_checks" ->
+      """WITH m AS (SELECT
+        |  CAST(SUM(CASE WHEN o_orderkey IS NOT NULL THEN 0 ELSE 1 END) AS BIGINT)
+        |    AS orderkey_not_null,
+        |  CAST(SUM(CASE WHEN o_totalprice > 0.0 THEN 0 ELSE 1 END) AS BIGINT)
+        |    AS price_positive,
+        |  CAST(SUM(CASE WHEN o_totalprice <= 300000.0 THEN 0 ELSE 1 END) AS BIGINT)
+        |    AS price_under_cap,
+        |  CAST(SUM(CASE WHEN o_orderkey % 7 <> 0 THEN 0 ELSE 1 END) AS BIGINT)
+        |    AS key_not_div7,
+        |  COUNT(*) AS n_rows FROM orders)
+        |SELECT rule, n_violations, n_rows, n_violations = 0 AS passed FROM (
+        |  SELECT 'orderkey_not_null' AS rule, orderkey_not_null AS n_violations,
+        |         n_rows FROM m
+        |  UNION ALL SELECT 'price_positive', price_positive, n_rows FROM m
+        |  UNION ALL SELECT 'price_under_cap', price_under_cap, n_rows FROM m
+        |  UNION ALL SELECT 'key_not_div7', key_not_div7, n_rows FROM m)
+        |ORDER BY rule""".stripMargin,
 
     "e6_embedding_lsh" -> {
       val bucketExpr = ops.Similarity.planes(6, 64).zipWithIndex.map { case (p, i) =>

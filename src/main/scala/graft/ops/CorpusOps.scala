@@ -180,6 +180,33 @@ object CorpusOps {
           .as("bm25"))
   }
 
+  /** Eval-set decontamination check: for every eval document, the
+    * fraction of its winnowed fingerprints (see [[winnow]]) that occur
+    * ANYWHERE in the training corpus. An eval doc copied — or lightly
+    * edited — from a train doc scores near 1.0; genuinely held-out text
+    * scores near 0. This is the standard n-gram-overlap contamination
+    * audit run before trusting a benchmark number.
+    *
+    * Physical shape: both corpora fingerprint with the zero-shuffle
+    * winnow kernels; the train side reduces to DISTINCT fingerprints
+    * (one hash-shuffle of longs); one left join on `fp` (longs + ids
+    * only — never text) and a per-doc count aggregate.
+    *
+    * @return (idCol, n_fps, n_hits, contamination) per eval document
+    */
+  def contamination(evalDf: DataFrame, trainDf: DataFrame,
+      idCol: String, textCol: String, k: Int = 5, w: Int = 4): DataFrame = {
+    val evalFps = winnow(evalDf, idCol, textCol, k, w)
+    val trainFps = winnow(trainDf, idCol, textCol, k, w)
+      .select(col("fp")).distinct().withColumn("graft_hit", lit(1L))
+    evalFps.join(trainFps, Seq("fp"), "left")
+      .groupBy(idCol)
+      .agg(count(lit(1)).as("n_fps"),
+        sum(coalesce(col("graft_hit"), lit(0L))).as("n_hits"))
+      .withColumn("contamination",
+        col("n_hits").cast("double") / col("n_fps").cast("double"))
+  }
+
   /** Bigram language-model table: conditional probabilities
     * `P(w2 | w1) = c(w1 w2) / c(w1 ·)` over the corpus — the classic
     * n-gram LM estimator (and the scorer behind perplexity-style quality

@@ -184,4 +184,41 @@ object PropertySpec extends Properties("graft") {
       val twice = df.select(red(red(col("t")))).collect()(0).getString(0)
       once == text && twice == once // alpha-only text has no PII shapes
     }
+
+  property("changeFeed round-trips through applyChanges for any snapshot pair") =
+    forAll(tableGen, tableGen) { (a, b) =>
+      val prev = a.toDF("id", "name", "amount")
+      val next = b.toDF("id", "name", "amount")
+      val feed = graft.ops.Merge.changeFeed(prev, next, "id")
+        .withColumn("is_delete", col("op") === "D").drop("op")
+      graft.ops.Merge.applyChanges(prev, feed, "id")
+        .orderBy("id").collect().toSeq.map(_.toSeq) ==
+        next.orderBy("id").collect().toSeq.map(_.toSeq)
+    }
+
+  private val obsGen = Gen.listOfN(25, for {
+    k <- Gen.choose(1L, 4L)
+    ts <- Gen.choose(0L, 15L)
+    st <- Gen.oneOf("a", "b", "c")
+  } yield (k, ts, st)).map(_.zipWithIndex.map {
+    case ((k, ts, st), i) => (k, ts, i.toLong, st)
+  }).suchThat(_.nonEmpty)
+
+  property("scd2 intervals chain per key with exactly one current version") =
+    forAll(obsGen) { obs =>
+      val df = obs.toDF("k", "ts", "seq", "st")
+      val hist = graft.ops.Merge.scd2(df, "k", "ts", "seq", Seq("st"))
+        .select("k", "seq", "valid_from", "valid_to")
+        .collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+          if (r.isNullAt(3)) None else Some(r.getLong(3))))
+      hist.groupBy(_._1).forall { case (_, rows) =>
+        val sorted = rows.sortBy(r => (r._3, r._2)) // (valid_from, seq)
+        sorted.count(_._4.isEmpty) == 1 && sorted.last._4.isEmpty &&
+          sorted.sliding(2).forall {
+            case Array(x, y) => x._4.contains(y._3) // valid_to == next valid_from
+            case _ => true
+          }
+      }
+    }
 }

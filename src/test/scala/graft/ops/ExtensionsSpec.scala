@@ -555,6 +555,22 @@ class CorpusOpsSpec extends AnyFunSuite with SparkTestBase {
     assert(got((2L, "gamma")) > got((2L, "beta")))
   }
 
+  test("contamination scores copied eval docs 1.0 and held-out docs low") {
+    import spark.implicits._
+    val train = Seq(
+      (0L, "the quick brown fox jumps over the lazy dog near the river bank today"),
+      (2L, "completely different training text about engines and database planners"))
+      .toDF("doc_id", "text")
+    val eval_ = Seq(
+      (101L, "the quick brown fox jumps over the lazy dog near the river bank today"),
+      (103L, "entirely novel held out evaluation sentence with unique words galore"))
+      .toDF("doc_id", "text")
+    val c = CorpusOps.contamination(eval_, train, "doc_id", "text", k = 3, w = 2)
+      .collect().map(r => r.getLong(0) -> r.getDouble(3)).toMap
+    assert(c(101L) == 1.0) // verbatim copy: every fingerprint hits
+    assert(c(103L) == 0.0) // disjoint vocabulary: no fingerprint hits
+  }
+
   test("bigramLm estimates conditional bigram probabilities") {
     import spark.implicits._
     val df = Seq((1L, "a b a b"), (2L, "a c"), (3L, "x")).toDF("doc_id", "text")
@@ -663,6 +679,30 @@ class CorpusOpsSpec extends AnyFunSuite with SparkTestBase {
     assert(out(2L) == "call <PHONE> now")
     assert(out(3L) == "order <NUM> shipped; year 2024 stays")
     assert(out(4L) == "clean text stays untouched")
+  }
+}
+
+class QualitySpec extends AnyFunSuite with SparkTestBase {
+  import org.apache.spark.sql.functions.{col, lit}
+
+  test("checks fuses all rules into one pass and counts violations") {
+    import spark.implicits._
+    val df = Seq((1L, 10.0), (2L, -5.0), (3L, 0.0), (4L, 7.0))
+      .toDF("k", "v")
+      .withColumn("s", org.apache.spark.sql.functions
+        .when(col("k") === 3L, lit(null).cast("string")).otherwise(lit("x")))
+    val res = Quality.checks(df, Seq(
+      "v_positive" -> (col("v") > 0.0),
+      "s_not_null" -> col("s").isNotNull,
+      "k_under_10" -> (col("k") < 10)))
+      .collect().map(r => r.getString(0) -> (r.getLong(1), r.getLong(2), r.getBoolean(3))).toMap
+    assert(res("v_positive") == ((2L, 4L, false))) // -5.0 and 0.0 violate
+    assert(res("s_not_null") == ((1L, 4L, false))) // the null row
+    assert(res("k_under_10") == ((0L, 4L, true)))
+    // a predicate evaluating to NULL counts as a violation
+    val nullPred = Quality.checks(df, Seq("s_is_x" -> (col("s") === "x")))
+      .collect().head
+    assert(nullPred.getLong(1) == 1L) // null === "x" is null → violation
   }
 }
 
