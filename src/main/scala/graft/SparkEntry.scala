@@ -282,6 +282,21 @@ object SparkEntry {
         .orderBy("user_id", "event_id")
     }),
 
+    // ---- forward as-of join: earliest subsequent view per purchase ----
+    "q43_asof_forward" -> ((s, dir) => {
+      val ev = events(s, dir)
+      val purchases = ev.filter(col("event_type") === "purchase")
+        .select("user_id", "event_id", "ts", "value")
+      val views = ev.filter(col("event_type") === "view")
+        .select("user_id", "ts", "value")
+      ops.AsOf.asOfJoin(purchases, views, "user_id", "ts", Seq("value"),
+          direction = "forward")
+        .select(col("user_id"), col("event_id"),
+          unix_micros(col("ts")).as("ts_us"), col("value"),
+          unix_micros(col("asof_ts")).as("asof_ts_us"), col("asof_value"))
+        .orderBy("user_id", "event_id")
+    }),
+
     // ---- trailing range-frame window (1h per-user rolling stats) ------
     "q20_range_window" -> ((s, dir) => {
       val frame = "OVER (PARTITION BY user_id ORDER BY ts " +
@@ -1566,6 +1581,29 @@ object SparkEntry {
         |SELECT user_id, event_id, epoch_us(ts) AS ts_us, value,
         |       epoch_us(asof_ts) AS asof_ts_us, asof_value
         |FROM f WHERE tag = 1 ORDER BY user_id, event_id""".stripMargin,
+
+    "q43_asof_forward" ->
+      """WITH e AS (SELECT user_id, event_id, event_type,
+        |                  CAST(ts AS TIMESTAMP) AS ts, value FROM events),
+        |u AS (
+        |  SELECT user_id, ts, 0 AS tag, event_id, value,
+        |         NULL::TIMESTAMP AS r_ts, NULL::DOUBLE AS r_value
+        |  FROM e WHERE event_type = 'purchase'
+        |  UNION ALL
+        |  -- mirror the forward reduction: min(struct(ts, value)) per
+        |  -- (user_id, ts) = MIN(value) at that ts
+        |  SELECT user_id, ts, 1, NULL, NULL, ts, MIN(value)
+        |  FROM e WHERE event_type = 'view' GROUP BY user_id, ts),
+        |f AS (
+        |  SELECT user_id, ts, tag, event_id, value,
+        |    FIRST_VALUE(r_ts IGNORE NULLS) OVER w AS asof_ts,
+        |    FIRST_VALUE(r_value IGNORE NULLS) OVER w AS asof_value
+        |  FROM u
+        |  WINDOW w AS (PARTITION BY user_id ORDER BY ts, tag
+        |               ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING))
+        |SELECT user_id, event_id, epoch_us(ts) AS ts_us, value,
+        |       epoch_us(asof_ts) AS asof_ts_us, asof_value
+        |FROM f WHERE tag = 0 ORDER BY user_id, event_id""".stripMargin,
 
     "q20_range_window" ->
       """WITH e AS (SELECT user_id, event_id, CAST(ts AS TIMESTAMP) AS ts, value

@@ -26,6 +26,12 @@ object AsOf {
   /** @param payloadCols right-side columns carried onto left rows,
     *                    emitted as `prefix+name` (right's ts is always
     *                    included as `prefix+tsCol`)
+    * @param direction   "backward" (latest right at-or-before, the
+    *                    default) or "forward" (earliest right
+    *                    at-or-after); forward flips the tag order, the
+    *                    window frame, and the per-(key, ts) reduction
+    *                    (min-struct instead of max-struct) — same single
+    *                    exchange either way
     */
   def asOfJoin(
       left: DataFrame,
@@ -33,7 +39,11 @@ object AsOf {
       keyCol: String,
       tsCol: String,
       payloadCols: Seq[String],
-      prefix: String = "asof_"): DataFrame = {
+      prefix: String = "asof_",
+      direction: String = "backward"): DataFrame = {
+    require(direction == "backward" || direction == "forward",
+      s"direction must be backward|forward, got $direction")
+    val backward = direction == "backward"
     val rFields = (tsCol +: payloadCols).distinct
     val payloadT = right.select(struct(rFields.map(col): _*).as("p"))
       .schema.head.dataType
@@ -41,25 +51,36 @@ object AsOf {
       .schema.head.dataType
 
     // one deterministic payload per (key, ts) on the right
+    val rStruct = struct(rFields.map(col): _*)
+    val (rTag, lTag) = if (backward) (0, 1) else (1, 0)
     val rReduced = right
       .groupBy(col(keyCol).as("graft_k"), col(tsCol).as("graft_t"))
-      .agg(max(struct(rFields.map(col): _*)).as("graft_r"))
-      .select(col("graft_k"), col("graft_t"), lit(0).as("graft_tag"),
+      .agg((if (backward) max(rStruct) else min(rStruct)).as("graft_r"))
+      .select(col("graft_k"), col("graft_t"), lit(rTag).as("graft_tag"),
         lit(null).cast(lStructT).as("graft_l"), col("graft_r"))
 
     val lTagged = left.select(
-      col(keyCol).as("graft_k"), col(tsCol).as("graft_t"), lit(1).as("graft_tag"),
+      col(keyCol).as("graft_k"), col(tsCol).as("graft_t"), lit(lTag).as("graft_tag"),
       struct(left.columns.toSeq.map(c => col(s"`$c`")): _*).as("graft_l"),
       lit(null).cast(payloadT).as("graft_r"))
 
-    // right rows sort before left rows at equal ts → "<=" semantics
-    val w = Window.partitionBy("graft_k")
+    // backward: right rows sort BEFORE left rows at equal ts and the
+    // last non-null right payload so far carries forward ("<=");
+    // forward: right rows sort AFTER left rows and the first non-null
+    // right payload from here on carries back (">=")
+    val wBase = Window.partitionBy("graft_k")
       .orderBy(col("graft_t"), col("graft_tag"))
-      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val (w, pick) =
+      if (backward)
+        (wBase.rowsBetween(Window.unboundedPreceding, Window.currentRow),
+          last(col("graft_r"), ignoreNulls = true))
+      else
+        (wBase.rowsBetween(Window.currentRow, Window.unboundedFollowing),
+          first(col("graft_r"), ignoreNulls = true))
 
     lTagged.unionAll(rReduced)
-      .withColumn("graft_match", last(col("graft_r"), ignoreNulls = true).over(w))
-      .filter(col("graft_tag") === 1)
+      .withColumn("graft_match", pick.over(w))
+      .filter(col("graft_tag") === lTag)
       .select(col("graft_l.*") +:
         rFields.map(f => col(s"graft_match.`$f`").as(s"$prefix$f")): _*)
   }

@@ -80,7 +80,7 @@ object CorpusOps {
     val perDoc = df
       .select(col(idCol).as("doc"), explode(tokens(col(textCol))).as("token"))
       .groupBy("doc", "token").agg(count(lit(1)).as("tf"))
-      .localCheckpoint()
+      .localCheckpoint(eager = false)
     val nDocs = df.select(col(idCol)).distinct().count()
     val docFreq = perDoc.groupBy("token").agg(count(lit(1)).as("df"))
     perDoc.join(docFreq, Seq("token"))
@@ -100,7 +100,7 @@ object CorpusOps {
     val perDoc = df
       .select(col(idCol).as("doc"), explode(tokens(col(textCol))).as("token"))
       .groupBy("doc", "token").agg(count(lit(1)).as("tf"))
-      .localCheckpoint()
+      .localCheckpoint(eager = false)
     val nDocs = df.select(col(idCol)).distinct().count()
     val docFreq = perDoc.groupBy("token").agg(count(lit(1)).as("df"))
     // true integer division (DIV), not double-divide-then-cast: the
@@ -161,7 +161,7 @@ object CorpusOps {
     val perDoc = df
       .select(col(idCol).as("doc"), explode(tokens(col(textCol))).as("token"))
       .groupBy("doc", "token").agg(count(lit(1)).as("tf"))
-      .localCheckpoint()
+      .localCheckpoint(eager = false)
     val nDocs = df.select(col(idCol)).distinct().count()
     val docFreq = perDoc.groupBy("token").agg(count(lit(1)).as("df"))
     val docLen = perDoc.groupBy("doc").agg(sum("tf").as("dl"))
@@ -226,7 +226,7 @@ object CorpusOps {
       .select(explode(shinglesFromTokens(toks, 2)).as("bigram"))
       .groupBy("bigram").agg(count(lit(1)).as("c12"))
       .withColumn("w1", substring_index(col("bigram"), " ", 1))
-      .localCheckpoint() // feeds both the prefix aggregate and the join
+      .localCheckpoint(eager = false) // feeds both the prefix aggregate and the join
     val prefix = big.groupBy("w1").agg(sum("c12").as("c1"))
     big.join(prefix, Seq("w1"))
       .select(col("w1"), substring_index(col("bigram"), " ", -1).as("w2"),

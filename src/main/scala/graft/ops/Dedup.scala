@@ -153,8 +153,10 @@ object Dedup {
 
   /** Stage 1 — collapse exact dups, then tokenize → shingle → hash each
     * DISTINCT shingle in ONE codegen'd kernel per row
-    * ([[graft.functions.ShingleHash64]]), materialized eagerly by
-    * localCheckpoint(). The barrier stops Catalyst from re-inlining the
+    * ([[graft.functions.ShingleHash64]]), materialized lazily by
+    * localCheckpoint(eager = false) — the first consumer's job computes
+    * AND stores the blocks, so no separate materialization pass runs.
+    * The barrier stops Catalyst from re-inlining the
     * kernel into every downstream consumer (k seed folds × banding × two
     * verification joins — the difference between minutes and seconds at
     * sf0.1 and between feasible and not at 100 TB); the checkpoint holds
@@ -168,7 +170,7 @@ object Dedup {
     collapseExactText(df, idCol, textCol)
       .select(col("doc_id"),
         graft.functions.shingleHash64(tokens(col("text")), shingleSize).as("hashes"))
-      .localCheckpoint()
+      .localCheckpoint(eager = false)
 
   private def minhashCandidatesFromHashed(
       hashed: DataFrame, k: Int, bands: Int, maxBucket: Int): DataFrame = {
@@ -216,7 +218,7 @@ object Dedup {
       tau: Double = 0.5): DataFrame = {
     val hashed = df.select(col(blockCol).as("block"), col(idCol).as("id"),
         graft.functions.shingleHash64(tokens(col(textCol)), shingleSize).as("h"))
-      .localCheckpoint() // hash once per doc, not once per pair side
+      .localCheckpoint(eager = false) // hash once per doc, not once per pair side
     val a = hashed.select(col("block"), col("id").as("id1"), col("h").as("h1"))
     val b = hashed.select(col("block"), col("id").as("id2"), col("h").as("h2"))
     a.join(b, Seq("block"))
@@ -298,7 +300,7 @@ object Dedup {
       Similarity.hyperplaneBuckets(distinctVecs, "id", "v", bits, dim)
         .withColumn("nrm", sqrt(Similarity.dot(col("v"), col("v")))),
       Seq("bucket"), maxBucket)
-      .localCheckpoint()
+      .localCheckpoint(eager = false)
     val a = bucketed.select(col("bucket"), col("id").as("id1"), col("v").as("v1"), col("nrm").as("n1"))
     val b = bucketed.select(col("bucket"), col("id").as("id2"), col("v").as("v2"), col("nrm").as("n2"))
     a.join(b, Seq("bucket"))
@@ -349,7 +351,7 @@ object Dedup {
     // grows exponentially with iterations
     var labels = edges.groupBy("a").agg(min("b").as("mb"))
       .select(col("a").as("node"), least(col("a"), col("mb")).as("cluster_rep"))
-      .localCheckpoint()
+      .localCheckpoint(eager = false)
     var prevSum = labels
       .agg(sum(col("cluster_rep").cast("decimal(38,0)"))).collect()(0).getDecimal(0)
 
@@ -369,7 +371,7 @@ object Dedup {
             least(coalesce(col("nbr_lab"), col("cluster_rep")),
               coalesce(col("graft_ptr"), col("cluster_rep"))))
             .as("cluster_rep"))
-        .localCheckpoint()
+        .localCheckpoint(eager = false)
       val nextSum = next
         .agg(sum(col("cluster_rep").cast("decimal(38,0)"))).collect()(0).getDecimal(0)
       labels = next
