@@ -365,6 +365,33 @@ object SparkEntry {
         .orderBy("user_id", "session_id")
     }),
 
+    // ---- composed funnel analysis: sessionize → per-session view/
+    // purchase extremes → per-user conversion counts (one exchange for
+    // the session windows, aggregates are tie-order-invariant) ----------
+    "q44_funnel" -> ((s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val byUser = Window.partitionBy("user_id").orderBy("tss", "event_id")
+      val gapS = 30 * 60
+      val sess = events(s, dir)
+        .select(col("user_id"), col("event_id"), col("event_type"),
+          col("ts").cast("long").as("tss"))
+        .withColumn("new_session",
+          when(col("tss") - lag(col("tss"), 1).over(byUser) > gapS, 1)
+            .otherwise(lit(0)))
+        .withColumn("session_id",
+          sum("new_session").over(byUser.rowsBetween(Window.unboundedPreceding, 0)))
+      sess.groupBy("user_id", "session_id")
+        .agg(
+          min(when(col("event_type") === "view", col("tss"))).as("first_view"),
+          max(when(col("event_type") === "purchase", col("tss"))).as("last_purchase"))
+        .groupBy("user_id")
+        .agg(count(lit(1)).as("n_sessions"),
+          sum(when(col("first_view").isNotNull && col("last_purchase").isNotNull &&
+              col("last_purchase") >= col("first_view"), 1L).otherwise(0L))
+            .as("n_converted"))
+        .orderBy("user_id")
+    }),
+
     // ---- partitioned-parquet layout: write events partitioned by type,
     // read back with a partition filter (pruned scan — the 100 TB table
     // organization primitive) ------------------------------------------
@@ -1581,6 +1608,30 @@ object SparkEntry {
         |SELECT user_id, event_id, epoch_us(ts) AS ts_us, value,
         |       epoch_us(asof_ts) AS asof_ts_us, asof_value
         |FROM f WHERE tag = 1 ORDER BY user_id, event_id""".stripMargin,
+
+    "q44_funnel" ->
+      """WITH e AS (SELECT user_id, event_id, event_type,
+        |                  epoch_us(CAST(ts AS TIMESTAMP)) // 1000000 AS tss
+        |           FROM events),
+        |flagged AS (
+        |  SELECT user_id, event_id, event_type, tss,
+        |    CASE WHEN tss - LAG(tss) OVER w > 1800 THEN 1 ELSE 0 END AS ns
+        |  FROM e WINDOW w AS (PARTITION BY user_id ORDER BY tss, event_id)),
+        |sess AS (
+        |  SELECT user_id, event_type, tss,
+        |    SUM(ns) OVER (PARTITION BY user_id ORDER BY tss, event_id
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_id
+        |  FROM flagged),
+        |persess AS (
+        |  SELECT user_id, session_id,
+        |    MIN(CASE WHEN event_type = 'view' THEN tss END) AS first_view,
+        |    MAX(CASE WHEN event_type = 'purchase' THEN tss END) AS last_purchase
+        |  FROM sess GROUP BY 1, 2)
+        |SELECT user_id, COUNT(*) AS n_sessions,
+        |  CAST(SUM(CASE WHEN first_view IS NOT NULL AND last_purchase IS NOT NULL
+        |                 AND last_purchase >= first_view THEN 1 ELSE 0 END)
+        |       AS BIGINT) AS n_converted
+        |FROM persess GROUP BY 1 ORDER BY 1""".stripMargin,
 
     "q43_asof_forward" ->
       """WITH e AS (SELECT user_id, event_id, event_type,
