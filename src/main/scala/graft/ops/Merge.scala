@@ -91,6 +91,8 @@ object Merge {
       prev: DataFrame,
       next: DataFrame,
       keyCol: String): DataFrame = {
+    require(prev.columns.toSet == next.columns.toSet,
+      s"snapshots must share a schema: ${prev.columns.toSeq} vs ${next.columns.toSeq}")
     val dataCols = next.columns.filterNot(_ == keyCol).toSeq
     val p = prev.select(col(keyCol).as("graft_k"),
       struct(dataCols.map(col): _*).as("graft_p"))
@@ -131,6 +133,7 @@ object Merge {
       tsCol: String,
       seqCol: String,
       attrCols: Seq[String]): DataFrame = {
+    require(attrCols.nonEmpty, "need at least one tracked attribute")
     val w = Window.partitionBy(keyCol).orderBy(col(tsCol), col(seqCol))
     val attrs = struct(attrCols.map(col): _*)
     // <=> so an all-null attr row does not reopen a version forever

@@ -18,6 +18,13 @@ object Quality {
   /** @return one row per rule: (rule, n_violations, n_rows, passed) */
   def checks(df: DataFrame, rules: Seq[(String, Column)]): DataFrame = {
     require(rules.nonEmpty, "need at least one rule")
+    // rule names are spliced into a stack() SQL string — restrict to
+    // identifier characters so no name can break out of the expression
+    rules.foreach { case (name, _) =>
+      require(name.matches("[A-Za-z0-9_]+"),
+        s"rule name must be [A-Za-z0-9_]+, got '$name'")
+    }
+    require(rules.map(_._1).distinct.size == rules.size, "duplicate rule names")
     val aggs = rules.map { case (name, pred) =>
       sum(when(coalesce(pred, lit(false)), 0L).otherwise(1L)).as(s"graft_$name")
     } :+ count(lit(1)).as("graft_n_rows")
