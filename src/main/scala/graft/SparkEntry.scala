@@ -115,6 +115,37 @@ object SparkEntry {
         .orderBy("expected_o_orderkey")
     }),
 
+    // ---- the diff engine over a NESTED schema: struct field + array
+    // position perturbations attributed to flattened column paths in
+    // errCol (reverse canonical order, reference golden semantics) ------
+    "q45_diff_nested" -> ((s, dir) => {
+      def nested(src: DataFrame) = src.select(
+        col("p_partkey"),
+        struct(col("p_brand").as("brand"), col("p_type").as("type")).as("info"),
+        array(col("p_size"), col("p_size") + 1).as("sizes"))
+      val p = t(s, dir, "part")
+      val ref = nested(p)
+      val act = nested(p).filter(col("p_partkey") % 97 =!= 0)
+        .select(col("p_partkey"),
+          struct(
+            when(col("p_partkey") % 89 === 0, concat(col("info.brand"), lit("X")))
+              .otherwise(col("info.brand")).as("brand"),
+            col("info.type").as("type")).as("info"),
+          array(element_at(col("sizes"), 1),
+            when(col("p_partkey") % 83 === 0, element_at(col("sizes"), 1) + 100)
+              .otherwise(element_at(col("sizes"), 2))).as("sizes"))
+      val result = new DatasetComparator(ref, act,
+        DiffOptions(keys = Seq("p_partkey"))).compare()
+      result.resultDF.get.select(
+          col("expected_p_partkey"), col("actual_p_partkey"),
+          col("expected_info").getField("brand").as("expected_brand"),
+          col("actual_info").getField("brand").as("actual_brand"),
+          element_at(col("expected_sizes"), 2).as("expected_sizes_1"),
+          element_at(col("actual_sizes"), 2).as("actual_sizes_1"),
+          concat_ws(",", col("errCol")).as("err"))
+        .orderBy("expected_p_partkey")
+    }),
+
     // ---- F1/F2 flattening (struct + positional array expansion) ------
     "q7_flatten" -> ((s, dir) => {
       val nested = t(s, dir, "part").select(
@@ -1227,6 +1258,30 @@ object SparkEntry {
         |FROM orders r FULL OUTER JOIN actual a ON r.o_orderkey = a.o_orderkey
         |WHERE a.o_orderkey IS NULL OR r.o_totalprice <> a.o_totalprice
         |ORDER BY expected_o_orderkey""".stripMargin,
+
+    "q45_diff_nested" ->
+      """WITH ref AS (
+        |  SELECT p_partkey, p_brand AS brand, p_size + 1 AS s1 FROM part),
+        |actual AS (
+        |  SELECT p_partkey,
+        |    CASE WHEN p_partkey % 89 = 0 THEN p_brand || 'X'
+        |         ELSE p_brand END AS brand,
+        |    CASE WHEN p_partkey % 83 = 0 THEN p_size + 100
+        |         ELSE p_size + 1 END AS s1
+        |  FROM part WHERE p_partkey % 97 <> 0)
+        |SELECT r.p_partkey AS expected_p_partkey,
+        |  a.p_partkey AS actual_p_partkey,
+        |  r.brand AS expected_brand, a.brand AS actual_brand,
+        |  r.s1 AS expected_sizes_1, a.s1 AS actual_sizes_1,
+        |  CASE WHEN a.p_partkey IS NULL
+        |         THEN 'sizes_1,sizes_0,p_partkey,info_type,info_brand'
+        |       WHEN r.brand <> a.brand AND r.s1 <> a.s1
+        |         THEN 'sizes_1,info_brand'
+        |       WHEN r.brand <> a.brand THEN 'info_brand'
+        |       ELSE 'sizes_1' END AS err
+        |FROM ref r FULL OUTER JOIN actual a ON r.p_partkey = a.p_partkey
+        |WHERE a.p_partkey IS NULL OR r.brand <> a.brand OR r.s1 <> a.s1
+        |ORDER BY expected_p_partkey""".stripMargin,
 
     "q7_flatten" ->
       """SELECT p_partkey, p_brand AS info_brand, p_type AS info_type,
