@@ -146,6 +146,35 @@ object SparkEntry {
         .orderBy("expected_p_partkey")
     }),
 
+    // ---- the FULL CLI job path: write inputs → DatasetComparisonJob
+    // .main (arg parsing, source load, compare, diff + _METRICS sink,
+    // exit-by-exception) → read the written diff back as the gate -------
+    "q46_cli_job" -> ((s, dir) => {
+      val tmp = java.nio.file.Files.createTempDirectory("graft-cli").toString
+      val o = t(s, dir, "orders").select("o_orderkey", "o_orderstatus", "o_totalprice")
+      o.write.parquet(s"$tmp/ref")
+      o.filter(col("o_orderkey") % 53 =!= 0)
+        .withColumn("o_totalprice",
+          when(col("o_orderkey") % 59 === 0, col("o_totalprice") * 2)
+            .otherwise(col("o_totalprice")))
+        .write.parquet(s"$tmp/act")
+      try {
+        cli.DatasetComparisonJob.main(Array(
+          "--format", "parquet",
+          "--ref-path", s"$tmp/ref", "--new-path", s"$tmp/act",
+          "--out-path", s"$tmp/out", "--keys", "o_orderkey"))
+      } catch {
+        // differing datasets exit by exception BY CONTRACT (reference
+        // semantics) — the diff and _METRICS are already on disk
+        case _: graft.diff.DatasetsDifferException => ()
+      }
+      s.read.parquet(s"$tmp/out")
+        .select(col("expected_o_orderkey"), col("actual_o_orderkey"),
+          col("expected_o_totalprice"), col("actual_o_totalprice"),
+          concat_ws(",", col("errCol")).as("err"))
+        .orderBy("expected_o_orderkey")
+    }),
+
     // ---- F1/F2 flattening (struct + positional array expansion) ------
     "q7_flatten" -> ((s, dir) => {
       val nested = t(s, dir, "part").select(
@@ -1256,6 +1285,25 @@ object SparkEntry {
         |    'o_totalprice,o_orderstatus,o_orderpriority,o_orderkey,o_orderdate,o_custkey'
         |  ELSE 'o_totalprice' END AS err
         |FROM orders r FULL OUTER JOIN actual a ON r.o_orderkey = a.o_orderkey
+        |WHERE a.o_orderkey IS NULL OR r.o_totalprice <> a.o_totalprice
+        |ORDER BY expected_o_orderkey""".stripMargin,
+
+    "q46_cli_job" ->
+      """WITH ref AS (
+        |  SELECT o_orderkey, o_orderstatus, o_totalprice FROM orders),
+        |act AS (
+        |  SELECT o_orderkey, o_orderstatus,
+        |    CASE WHEN o_orderkey % 59 = 0 THEN o_totalprice * 2
+        |         ELSE o_totalprice END AS o_totalprice
+        |  FROM orders WHERE o_orderkey % 53 <> 0)
+        |SELECT r.o_orderkey AS expected_o_orderkey,
+        |  a.o_orderkey AS actual_o_orderkey,
+        |  r.o_totalprice AS expected_o_totalprice,
+        |  a.o_totalprice AS actual_o_totalprice,
+        |  CASE WHEN a.o_orderkey IS NULL
+        |         THEN 'o_totalprice,o_orderstatus,o_orderkey'
+        |       ELSE 'o_totalprice' END AS err
+        |FROM ref r FULL OUTER JOIN act a ON r.o_orderkey = a.o_orderkey
         |WHERE a.o_orderkey IS NULL OR r.o_totalprice <> a.o_totalprice
         |ORDER BY expected_o_orderkey""".stripMargin,
 
