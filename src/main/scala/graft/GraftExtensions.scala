@@ -22,11 +22,15 @@ import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo, Li
   * builders via [[GraftExtensions.register]].
   */
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
-  override def apply(ext: SparkSessionExtensions): Unit =
+  override def apply(ext: SparkSessionExtensions): Unit = {
     GraftExtensions.builders.foreach { case (name, builder) =>
       ext.injectFunction((FunctionIdentifier(name),
         new ExpressionInfo("graft.functions", name), builder))
     }
+    // plan-level tier: band-join → bucketed equi-join (fires only when
+    // spark.graft.rangeJoin.bucketWidth is set positive)
+    ext.injectOptimizerRule(_ => graft.plans.RangeJoinRewrite)
+  }
 }
 
 object GraftExtensions {
