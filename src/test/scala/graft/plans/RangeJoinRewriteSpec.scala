@@ -37,8 +37,18 @@ class RangeJoinRewriteSpec extends AnyFunSuite with SparkTestBase {
     }
   }
 
+  // QueryStageExec nodes (BroadcastQueryStage, and ResultQueryStage once
+  // AQE finalizes) are LEAVES whose compiled subtree hangs off `.plan`, so
+  // a plain collect sees nothing below them — descend explicitly
+  private def allNodes(p: SparkPlan): Seq[SparkPlan] =
+    p.collectWithSubqueries { case n => n }.flatMap {
+      case q: org.apache.spark.sql.execution.adaptive.QueryStageExec =>
+        q +: allNodes(q.plan)
+      case n => Seq(n)
+    }
+
   private def hasBnlj(p: SparkPlan): Boolean =
-    p.collectWithSubqueries { case b: BroadcastNestedLoopJoinExec => b }.nonEmpty
+    allNodes(p).exists(_.isInstanceOf[BroadcastNestedLoopJoinExec])
 
   test("band join without the rule plans a broadcast nested loop") {
     assert(hasBnlj(executed(bandJoin())))
