@@ -1,6 +1,6 @@
 package graft
 
-import graft.functions.{ArrayDotProduct, LangIdExpr, ShingleHash64, SimHash60, WindowMin64}
+import graft.functions.{ArrayDotProduct, LangIdExpr, NormalizeText, ShingleHash64, SimHash60, WindowMin64}
 import org.apache.spark.sql.{SparkSession, SparkSessionExtensions}
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo, Literal}
@@ -41,8 +41,16 @@ object GraftExtensions {
       s"$fn expects an integer literal parameter, got $other")
   }
 
+  private def strLit(e: Expression, fn: String): String = e match {
+    case Literal(v: org.apache.spark.unsafe.types.UTF8String, _) => v.toString
+    case other => throw new IllegalArgumentException(
+      s"$fn expects a string literal parameter, got $other")
+  }
+
   /** name → expression builder, shared by both registration paths. */
   val builders: Seq[(String, Seq[Expression] => Expression)] = Seq(
+    "normalize_text" -> (args =>
+      NormalizeText(args(0), strLit(args(1), "normalize_text"))),
     "simhash60" -> (args => SimHash60(args.head)),
     "lang_id" -> (args => LangIdExpr(args.head)),
     "array_dot" -> (args => ArrayDotProduct(args(0), args(1))),

@@ -42,6 +42,16 @@ object SparkEntry {
     queries("q1_agg")(spark, "/root/testdata/sf0.001")
 
   /** One entry per implemented operator from SURVEY.md §2. */
+  /** d23 fixture suffixes, codepoint-pinned via ASCII escapes and
+    * shared verbatim by the Spark query and the DuckDB oracle: mode 0
+    * is a combining sequence (NFC composes it), mode 1 is precomposed
+    * (NFC fixed point), mode 2 has the U+212B angstrom NFC singleton
+    * and a double combining stack (e+U+0323+U+0302 -> U+1EC7). */
+  private val normSfx0 = " Cafe\u0301 du monde"
+  private val normSfx1 = " d\u00e9j\u00e0 vu \u1ec7 voil\u00e0"
+  private val normSfx2 = " \u212bngstr\u00f6m e\u0323\u0302"
+  private val normSfx3 = " plain ascii"
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
 
     // ---- A1/A2 aggregation (TPC-H Q1 shape) --------------------------
@@ -1231,6 +1241,67 @@ object SparkEntry {
           lit("N").as("o_orderstatus"), lit(2.0).as("o_totalprice"))
       ops.Merge.changeFeed(o, modified.unionAll(inserted), "o_orderkey")
         .orderBy("o_orderkey", "op")
+    }),
+
+    // ---- Unicode normalization: custom codegen'd kernel, byte-identical
+    // to DuckDB/utf8proc nfc_normalize + strip_accents (documents are
+    // pure ASCII, so the CASE suffix fully controls the non-ASCII
+    // content under test: combining sequences, precomposed chars, the
+    // U+212B angstrom NFC singleton) ------------------------------------
+    "d23_normalize" -> ((s, dir) => {
+      import graft.functions.normalizeText
+      val suffix = when(col("doc_id") % 4 === 0, lit(normSfx0))
+        .when(col("doc_id") % 4 === 1, lit(normSfx1))
+        .when(col("doc_id") % 4 === 2, lit(normSfx2))
+        .otherwise(lit(normSfx3))
+      t(s, dir, "documents")
+        .select(col("doc_id"), concat(col("text"), suffix).as("dec"))
+        .select(col("doc_id"),
+          normalizeText(col("dec"), "nfc").as("nfc"),
+          normalizeText(col("dec"), "strip_accents").as("stripped"))
+        .orderBy("doc_id")
+    }),
+
+    // ---- PageRank over the supplier–part bipartite graph: fixed-point
+    // integer ranks (bit-identical under any partitioning), one
+    // join+reduce per iteration, lineage truncated per iteration --------
+    "g1_pagerank" -> ((s, dir) => {
+      val li = t(s, dir, "lineitem")
+      val edges = li.select(col("l_suppkey").cast("long").as("src"),
+          (col("l_partkey").cast("long") + 1000000L).as("dst"))
+        .unionAll(li.select((col("l_partkey").cast("long") + 1000000L).as("src"),
+          col("l_suppkey").cast("long").as("dst")))
+      ops.Graph.pageRank(edges, "src", "dst", iterations = 5)
+        .orderBy("node")
+    }),
+
+    // ---- top-k per group WITHOUT a window sort: bounded-heap
+    // TypedImperativeAggregate, map-side partial top-k ------------------
+    "q47_topk" -> ((s, dir) => {
+      ops.TopK.perGroup(t(s, dir, "orders"), Seq("o_orderpriority"),
+          Seq(col("o_totalprice"), col("o_orderkey")), k = 3)
+        .orderBy("o_orderpriority", "rank")
+    }),
+
+    // ---- unpivot/melt: wide metrics → long (metric, value) rows -------
+    "q48_unpivot" -> ((s, dir) => {
+      t(s, dir, "orders").groupBy("o_orderpriority").agg(
+          count(lit(1)).cast("double").as("n_orders"),
+          sum(col("o_totalprice").cast("decimal(18,2)")).cast("double").as("total"),
+          min(col("o_totalprice")).as("min_price"),
+          max(col("o_totalprice")).as("max_price"))
+        .unpivot(Array(col("o_orderpriority")),
+          Array(col("n_orders"), col("total"), col("min_price"), col("max_price")),
+          "metric", "value")
+        .orderBy("o_orderpriority", "metric")
+    }),
+
+    // ---- equi-width histogram: integer fixed-point bin edges, empty
+    // bins kept via the driver-side spine -------------------------------
+    "q49_histogram" -> ((s, dir) => {
+      ops.Profile.histogram(t(s, dir, "lineitem"), "l_extendedprice",
+          lo = BigDecimal(900), hi = BigDecimal(105000), nbins = 24)
+        .orderBy("bin")
     })
   )
 
@@ -2321,6 +2392,75 @@ object SparkEntry {
         |  FROM prev p FULL OUTER JOIN nxt n ON p.o_orderkey = n.o_orderkey)
         |SELECT o_orderkey, op, o_orderstatus, o_totalprice FROM feed
         |WHERE op IS NOT NULL
-        |ORDER BY o_orderkey, op""".stripMargin
+        |ORDER BY o_orderkey, op""".stripMargin,
+
+    // same codepoint-pinned suffixes as the Spark side (mode 0 combining,
+    // mode 1 precomposed, mode 2 angstrom singleton + combining stack)
+    "d23_normalize" ->
+      s"""WITH dec AS (
+        |  SELECT doc_id, text || CASE CAST(doc_id % 4 AS INT)
+        |    WHEN 0 THEN '$normSfx0'
+        |    WHEN 1 THEN '$normSfx1'
+        |    WHEN 2 THEN '$normSfx2'
+        |    ELSE '$normSfx3' END AS dec
+        |  FROM documents)
+        |SELECT doc_id, nfc_normalize(dec) AS nfc, strip_accents(dec) AS stripped
+        |FROM dec ORDER BY doc_id""".stripMargin,
+
+    "g1_pagerank" ->
+      """WITH RECURSIVE
+        |e AS (SELECT DISTINCT l_suppkey AS src, 1000000 + l_partkey AS dst FROM lineitem
+        |      UNION SELECT DISTINCT 1000000 + l_partkey AS src, l_suppkey AS dst FROM lineitem),
+        |deg AS (SELECT src, COUNT(*) AS deg FROM e GROUP BY src),
+        |ed AS (SELECT e.src, e.dst, deg.deg FROM e JOIN deg USING (src)),
+        |pr(iter, node, pr_rank) AS (
+        |  SELECT 0, src, CAST(1000000000 AS BIGINT) FROM (SELECT DISTINCT src FROM e)
+        |  UNION ALL
+        |  SELECT pr.iter + 1, ed.dst,
+        |         CAST(150000000 + (85 * SUM(pr.pr_rank // ed.deg)) // 100 AS BIGINT)
+        |  FROM pr JOIN ed ON pr.node = ed.src
+        |  WHERE pr.iter < 5
+        |  GROUP BY pr.iter, ed.dst)
+        |SELECT node, CAST(pr_rank AS BIGINT) AS pr_rank FROM pr
+        |WHERE iter = 5 ORDER BY node""".stripMargin,
+
+    "q47_topk" ->
+      """SELECT o_orderpriority, CAST(rnk AS BIGINT) AS rank, o_totalprice, o_orderkey
+        |FROM (SELECT o_orderpriority, o_totalprice, o_orderkey,
+        |        ROW_NUMBER() OVER (PARTITION BY o_orderpriority
+        |                           ORDER BY o_totalprice DESC, o_orderkey DESC) AS rnk
+        |      FROM orders)
+        |WHERE rnk <= 3 ORDER BY o_orderpriority, rnk""".stripMargin,
+
+    "q48_unpivot" ->
+      """WITH m AS (
+        |  SELECT o_orderpriority,
+        |    CAST(COUNT(*) AS DOUBLE) AS n_orders,
+        |    CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total,
+        |    MIN(o_totalprice) AS min_price,
+        |    MAX(o_totalprice) AS max_price
+        |  FROM orders GROUP BY o_orderpriority)
+        |SELECT o_orderpriority, metric, value FROM (
+        |  SELECT o_orderpriority, 'n_orders' AS metric, n_orders AS value FROM m
+        |  UNION ALL SELECT o_orderpriority, 'total', total FROM m
+        |  UNION ALL SELECT o_orderpriority, 'min_price', min_price FROM m
+        |  UNION ALL SELECT o_orderpriority, 'max_price', max_price FROM m)
+        |ORDER BY o_orderpriority, metric""".stripMargin,
+
+    "q49_histogram" ->
+      """WITH cents AS (
+        |  SELECT CAST(CAST(l_extendedprice AS DECIMAL(18,2)) * 100 AS BIGINT) AS c
+        |  FROM lineitem WHERE l_extendedprice IS NOT NULL),
+        |binned AS (
+        |  SELECT LEAST(23, GREATEST(0,
+        |           CAST(((c - 90000) * 24) // (10500000 - 90000) AS INT))) AS bin
+        |  FROM cents),
+        |counts AS (SELECT bin, COUNT(*) AS n FROM binned GROUP BY bin),
+        |spine AS (SELECT CAST(i AS INT) AS bin FROM range(24) t(i))
+        |SELECT s.bin, COALESCE(c.n, 0) AS n,
+        |  CAST(90000 + (CAST(s.bin AS BIGINT) * (10500000 - 90000)) // 24 AS DOUBLE) / 100 AS bin_lo,
+        |  CAST(90000 + (CAST(s.bin + 1 AS BIGINT) * (10500000 - 90000)) // 24 AS DOUBLE) / 100 AS bin_hi
+        |FROM spine s LEFT JOIN counts c USING (bin)
+        |ORDER BY s.bin""".stripMargin
   )
 }

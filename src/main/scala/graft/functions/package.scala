@@ -28,6 +28,17 @@ package object functions {
     ColumnBridge.column(ArrayDotProduct(
       ColumnBridge.expression(a), ColumnBridge.expression(b)))
 
+  /** Bounded-heap top-k aggregate over a struct column (largest-first;
+    * struct field order is the sort order). See [[TopKStructs]]. */
+  def topK(sortStruct: Column, k: Int): Column =
+    ColumnBridge.column(
+      TopKStructs(ColumnBridge.expression(sortStruct), k).toAggregateExpression())
+
+  /** Unicode normalization (`nfc` | `nfkc` | `strip_accents`) as one
+    * codegen'd pass; `strip_accents` matches utf8proc/DuckDB semantics. */
+  def normalizeText(s: Column, mode: String): Column =
+    ColumnBridge.column(NormalizeText(ColumnBridge.expression(s), mode))
+
   /** Distinct sliding-window minima of an array<long> column (custom
     * codegen'd expression; value-identical to
     * `array_distinct(transform(sequence(...), i => array_min(slice(h, i, w))))`). */

@@ -104,4 +104,47 @@ object Profile {
     spark.createDataFrame(
       spark.sparkContext.parallelize(out, 1), schema)
   }
+
+  /** Equi-width histogram of a numeric column — the profiler's
+    * distribution view (null-rate and extremes alone hide skew, and
+    * skew is what decides salting/AQE settings at 100 TB).
+    *
+    * One pruned scan, one `nbins`-row aggregate; bin ids come from
+    * INTEGER arithmetic on a centi-unit fixed-point view of the value
+    * (`decimal(18,2)` ⇒ exact ×100), so bin edges are engine-exact —
+    * no float boundary flake. Values outside [lo, hi) clamp into the
+    * first/last bin (standard profiler semantics: extremes are visible
+    * in the edge bins, not dropped). Empty bins appear with n = 0 via
+    * the driver-side bin spine (nbins rows — trivially broadcastable).
+    */
+  def histogram(
+      df: DataFrame,
+      column: String,
+      lo: BigDecimal,
+      hi: BigDecimal,
+      nbins: Int): DataFrame = {
+    require(nbins > 0, s"nbins must be positive, got $nbins")
+    require(lo < hi, s"need lo < hi, got [$lo, $hi)")
+    val spark = df.sparkSession
+    val loC = (lo * 100).toLongExact
+    val hiC = (hi * 100).toLongExact
+    val span = hiC - loC
+    val counts = df
+      .filter(col(column).isNotNull)
+      .select(col(column).cast("decimal(18,2)").as("v"))
+      .select(expr(s"cast(v * 100 as bigint)").as("cents"))
+      .select(least(lit(nbins - 1), greatest(lit(0),
+        expr(s"cast(((cents - ${loC}L) * $nbins) div ${span}L as int)")))
+        .as("bin"))
+      .groupBy("bin").agg(count(lit(1)).as("n"))
+    val spine = spark.range(0, nbins).select(col("id").cast("int").as("bin"))
+    spine.join(counts, Seq("bin"), "left")
+      .select(col("bin"), coalesce(col("n"), lit(0L)).as("n"),
+        // edges via integer div (exact on both engines), then ONE
+        // int→double conversion and /100 — IEEE-identical everywhere
+        (expr(s"cast(${loC}L + (cast(bin as bigint) * ${span}L) div $nbins as double)") / 100)
+          .as("bin_lo"),
+        (expr(s"cast(${loC}L + (cast(bin + 1 as bigint) * ${span}L) div $nbins as double)") / 100)
+          .as("bin_hi"))
+  }
 }

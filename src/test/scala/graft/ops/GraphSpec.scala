@@ -1,0 +1,54 @@
+package graft.ops
+
+import graft.SparkTestBase
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Graph.pageRank: fixed-point integer ranks — hand-computable on a
+  * small graph, bit-stable under repartitioning (the property float
+  * PageRank cannot give), base term preserved for nodes with no
+  * in-edges. */
+class GraphSpec extends AnyFunSuite with SparkTestBase {
+
+  import spark.implicits._
+
+  private def ranks(edges: Seq[(Long, Long)], iters: Int): Map[Long, Long] =
+    Graph.pageRank(edges.toDF("src", "dst"), "src", "dst", iters)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+
+  test("one iteration on a two-node cycle is exact") {
+    // 1→2, 2→1, scale 1e9: rank = 150e6 + 85% of the full incoming 1e9
+    assert(ranks(Seq((1L, 2L), (2L, 1L)), 1) ===
+      Map(1L -> 1000000000L, 2L -> 1000000000L))
+  }
+
+  test("fan-in beats fan-out; source keeps only the base term") {
+    // 1→2, 1→3, 3→2: node 2 absorbs two streams, node 1 gets no in-edges
+    val r = ranks(Seq((1L, 2L), (1L, 3L), (3L, 2L)), 1)
+    assert(r(1L) === 150000000L) // base only: floor(1e9·15/100)
+    // node 2: base + 85%·(1e9/2 + 1e9/1); node 3: base + 85%·(1e9/2)
+    assert(r(2L) === 150000000L + 85L * (500000000L + 1000000000L) / 100L)
+    assert(r(3L) === 150000000L + 85L * 500000000L / 100L)
+  }
+
+  test("duplicate edge rows collapse before degree counting") {
+    val dup = Seq((1L, 2L), (1L, 2L), (2L, 1L))
+    assert(ranks(dup, 3) === ranks(dup.distinct, 3))
+  }
+
+  test("bit-identical under repartitioning — the fixed-point guarantee") {
+    val edges = (0L until 400L).map(i => (i % 40, (i * 7) % 40)).filter(e => e._1 != e._2)
+    val df1 = edges.toDF("src", "dst")
+    val df8 = edges.toDF("src", "dst").repartition(8, col("dst"))
+    val a = Graph.pageRank(df1, "src", "dst", 6).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).sortBy(_._1)
+    val b = Graph.pageRank(df8, "src", "dst", 6).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).sortBy(_._1)
+    assert(a.toSeq === b.toSeq)
+  }
+
+  test("zero iterations returns the uniform seed") {
+    val r = ranks(Seq((1L, 2L), (2L, 3L)), 0)
+    assert(r === Map(1L -> 1000000000L, 2L -> 1000000000L, 3L -> 1000000000L))
+  }
+}
