@@ -1302,6 +1302,50 @@ object SparkEntry {
       ops.Profile.histogram(t(s, dir, "lineitem"), "l_extendedprice",
           lo = BigDecimal(900), hi = BigDecimal(105000), nbins = 24)
         .orderBy("bin")
+    }),
+
+    // ---- Bloom-pruned join: fact side filtered through a Bloom filter
+    // of the selective dim's keys BEFORE the shuffle; row-identical to
+    // the plain join (no false negatives; false positives die in the
+    // real join), so the plain join IS the oracle -----------------------
+    "q50_bloom_join" -> ((s, dir) => {
+      val dim = t(s, dir, "orders")
+        .filter(col("o_orderkey") % 19 === 0 && col("o_orderpriority") === "1-URGENT")
+        .select("o_orderkey", "o_orderstatus")
+      ops.BloomPrune.prunedJoin(t(s, dir, "lineitem"), dim,
+          "l_orderkey", "o_orderkey", expectedItems = 20000)
+        .groupBy("o_orderstatus")
+        .agg(count(lit(1)).as("n_items"),
+          sum(col("l_quantity").cast("decimal(18,2)")).cast("double").as("sum_qty"))
+        .orderBy("o_orderstatus")
+    }),
+
+    // ---- cohort retention: users grouped by first-seen week, activity
+    // counted by week offset — two aggregations over one events scan ----
+    "q51_cohort" -> ((s, dir) => {
+      val e = events(s, dir)
+        .select(col("user_id"),
+          expr("unix_micros(ts) div 604800000000").as("week"))
+      val cohorts = e.groupBy("user_id").agg(min("week").as("cohort"))
+      e.join(cohorts, "user_id")
+        .groupBy(col("cohort"), (col("week") - col("cohort")).as("week_offset"))
+        .agg(countDistinct("user_id").as("n_users"))
+        .orderBy("cohort", "week_offset")
+    }),
+
+    // ---- grouping sets: finer than cube/rollup — exactly the listed
+    // aggregation levels, with grouping() disambiguating real nulls -----
+    "q52_grouping_sets" -> ((s, dir) => {
+      t(s, dir, "lineitem").select("l_returnflag", "l_linestatus", "l_quantity")
+        .createOrReplaceTempView("graft_li_gs")
+      s.sql("""SELECT l_returnflag, l_linestatus,
+              |  CAST(grouping(l_returnflag) AS INT) AS g1,
+              |  CAST(grouping(l_linestatus) AS INT) AS g2,
+              |  CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
+              |  COUNT(*) AS n
+              |FROM graft_li_gs
+              |GROUP BY GROUPING SETS ((l_returnflag, l_linestatus), (l_returnflag), ())
+              |ORDER BY g1, g2, l_returnflag NULLS LAST, l_linestatus NULLS LAST""".stripMargin)
     })
   )
 
@@ -2461,6 +2505,36 @@ object SparkEntry {
         |  CAST(90000 + (CAST(s.bin AS BIGINT) * (10500000 - 90000)) // 24 AS DOUBLE) / 100 AS bin_lo,
         |  CAST(90000 + (CAST(s.bin + 1 AS BIGINT) * (10500000 - 90000)) // 24 AS DOUBLE) / 100 AS bin_hi
         |FROM spine s LEFT JOIN counts c USING (bin)
-        |ORDER BY s.bin""".stripMargin
+        |ORDER BY s.bin""".stripMargin,
+
+    // the plain join: equivalent by construction to the bloom-pruned plan
+    "q50_bloom_join" ->
+      """SELECT o_orderstatus, COUNT(*) AS n_items,
+        |  CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty
+        |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        |WHERE o_orderkey % 19 = 0 AND o_orderpriority = '1-URGENT'
+        |GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin,
+
+    "q51_cohort" ->
+      """WITH e AS (
+        |  SELECT user_id,
+        |         epoch_us(CAST(ts AS TIMESTAMP)) // 604800000000 AS week
+        |  FROM events),
+        |c AS (SELECT user_id, MIN(week) AS cohort FROM e GROUP BY user_id)
+        |SELECT c.cohort, e.week - c.cohort AS week_offset,
+        |       COUNT(DISTINCT e.user_id) AS n_users
+        |FROM e JOIN c USING (user_id)
+        |GROUP BY c.cohort, week_offset
+        |ORDER BY cohort, week_offset""".stripMargin,
+
+    "q52_grouping_sets" ->
+      """SELECT l_returnflag, l_linestatus,
+        |  CAST(GROUPING(l_returnflag) AS INT) AS g1,
+        |  CAST(GROUPING(l_linestatus) AS INT) AS g2,
+        |  CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
+        |  COUNT(*) AS n
+        |FROM lineitem
+        |GROUP BY GROUPING SETS ((l_returnflag, l_linestatus), (l_returnflag), ())
+        |ORDER BY g1, g2, l_returnflag NULLS LAST, l_linestatus NULLS LAST""".stripMargin
   )
 }
