@@ -1,6 +1,6 @@
 package graft
 
-import graft.functions.{ArrayDotProduct, LangIdExpr, NormalizeText, ShingleHash64, SimHash60, WindowMin64}
+import graft.functions.{ArrayDotProduct, JaroWinkler, LangIdExpr, NormalizeText, ShingleHash64, SimHash60, WindowMin64}
 import org.apache.spark.sql.{SparkSession, SparkSessionExtensions}
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo, Literal}
@@ -51,6 +51,7 @@ object GraftExtensions {
   val builders: Seq[(String, Seq[Expression] => Expression)] = Seq(
     "normalize_text" -> (args =>
       NormalizeText(args(0), strLit(args(1), "normalize_text"))),
+    "jaro_winkler" -> (args => JaroWinkler(args(0), args(1))),
     "simhash60" -> (args => SimHash60(args.head)),
     "lang_id" -> (args => LangIdExpr(args.head)),
     "array_dot" -> (args => ArrayDotProduct(args(0), args(1))),

@@ -1346,6 +1346,24 @@ object SparkEntry {
               |FROM graft_li_gs
               |GROUP BY GROUPING SETS ((l_returnflag, l_linestatus), (l_returnflag), ())
               |ORDER BY g1, g2, l_returnflag NULLS LAST, l_linestatus NULLS LAST""".stripMargin)
+    }),
+
+    // ---- record linkage: blocking keys bound the candidate space, a
+    // codegen'd Jaro–Winkler comparator scores within blocks (semantics
+    // pinned to DuckDB/RapidFuzz, so raw doubles oracle bit-for-bit) ----
+    "q53_linkage" -> ((s, dir) => {
+      import graft.functions.jaroWinkler
+      val p = t(s, dir, "part").select("p_partkey", "p_name", "p_brand", "p_size")
+      val l = p.select(col("p_brand"), col("p_size"),
+        col("p_partkey").as("key1"), col("p_name").as("name1"))
+      val r = p.select(col("p_brand"), col("p_size"),
+        col("p_partkey").as("key2"), col("p_name").as("name2"))
+      l.join(r, Seq("p_brand", "p_size"))
+        .filter(col("key1") < col("key2"))
+        .select(col("key1"), col("key2"),
+          jaroWinkler(col("name1"), col("name2")).as("sim"))
+        .filter(col("sim") >= 0.93)
+        .orderBy("key1", "key2")
     })
   )
 
@@ -2535,6 +2553,15 @@ object SparkEntry {
         |  COUNT(*) AS n
         |FROM lineitem
         |GROUP BY GROUPING SETS ((l_returnflag, l_linestatus), (l_returnflag), ())
-        |ORDER BY g1, g2, l_returnflag NULLS LAST, l_linestatus NULLS LAST""".stripMargin
+        |ORDER BY g1, g2, l_returnflag NULLS LAST, l_linestatus NULLS LAST""".stripMargin,
+
+    "q53_linkage" ->
+      """SELECT p1.p_partkey AS key1, p2.p_partkey AS key2,
+        |       jaro_winkler_similarity(p1.p_name, p2.p_name) AS sim
+        |FROM part p1 JOIN part p2
+        |  ON p1.p_brand = p2.p_brand AND p1.p_size = p2.p_size
+        | AND p1.p_partkey < p2.p_partkey
+        |WHERE jaro_winkler_similarity(p1.p_name, p2.p_name) >= 0.93
+        |ORDER BY key1, key2""".stripMargin
   )
 }

@@ -28,6 +28,12 @@ package object functions {
     ColumnBridge.column(ArrayDotProduct(
       ColumnBridge.expression(a), ColumnBridge.expression(b)))
 
+  /** Jaro–Winkler similarity (DuckDB/RapidFuzz-pinned semantics,
+    * codegen'd). See [[JaroWinkler]]. */
+  def jaroWinkler(a: Column, b: Column): Column =
+    ColumnBridge.column(JaroWinkler(
+      ColumnBridge.expression(a), ColumnBridge.expression(b)))
+
   /** Bounded-heap top-k aggregate over a struct column (largest-first;
     * struct field order is the sort order). See [[TopKStructs]]. */
   def topK(sortStruct: Column, k: Int): Column =
