@@ -28,6 +28,12 @@ package object functions {
     ColumnBridge.column(ArrayDotProduct(
       ColumnBridge.expression(a), ColumnBridge.expression(b)))
 
+  /** Per-row term frequencies (array<string> → array<struct<token,tf>>,
+    * one codegen'd pass) — deletes the per-doc exchange from tf
+    * pipelines. See [[TokenCounts]]. */
+  def tokenCounts(tokens: Column): Column =
+    ColumnBridge.column(TokenCounts(ColumnBridge.expression(tokens)))
+
   /** Jaro–Winkler similarity (DuckDB/RapidFuzz-pinned semantics,
     * codegen'd). See [[JaroWinkler]]. */
   def jaroWinkler(a: Column, b: Column): Column =

@@ -68,6 +68,20 @@ object CorpusOps {
         concat_ws(" ", col("graft_chunk")).as("chunk_text"))
   }
 
+  /** (doc, token, tf) triples with NO per-doc exchange: term
+    * frequencies fold row-locally in one codegen'd pass
+    * ([[graft.functions.TokenCounts]]) and the explode emits one row
+    * per DISTINCT token per document. The relational alternative —
+    * explode every occurrence, then groupBy(doc, token) — shuffles the
+    * corpus's whole token stream to count within single rows; at
+    * 100 TB that exchange dwarfs everything downstream of it. Assumes
+    * one row per document id (a document table), as every caller here
+    * does. */
+  private def perDocTf(df: DataFrame, idCol: String, textCol: String): DataFrame =
+    df.select(col(idCol).as("doc"),
+        explode(graft.functions.tokenCounts(tokens(col(textCol)))).as("tc"))
+      .select(col("doc"), col("tc.token").as("token"), col("tc.tf").as("tf"))
+
   /** Smoothed TF-IDF weights per (doc, token):
     * `tf * (ln((1 + N) / (1 + df)) + 1)`. Single explode; the
     * (doc, token) pre-aggregate is materialized by localCheckpoint (not
@@ -77,9 +91,7 @@ object CorpusOps {
     * bit-portable across engines, so this op deliberately has no exact
     * SQL oracle — [[tfIdfScaled]] is the gate-checkable variant. */
   def tfIdf(df: DataFrame, idCol: String, textCol: String): DataFrame = {
-    val perDoc = df
-      .select(col(idCol).as("doc"), explode(tokens(col(textCol))).as("token"))
-      .groupBy("doc", "token").agg(count(lit(1)).as("tf"))
+    val perDoc = perDocTf(df, idCol, textCol)
       .localCheckpoint(eager = false)
     val nDocs = df.select(col(idCol)).distinct().count()
     val docFreq = perDoc.groupBy("token").agg(count(lit(1)).as("df"))
@@ -97,9 +109,7 @@ object CorpusOps {
     * [[tfIdf]]. */
   def tfIdfScaled(df: DataFrame, idCol: String, textCol: String,
       scale: Long = 1000000L): DataFrame = {
-    val perDoc = df
-      .select(col(idCol).as("doc"), explode(tokens(col(textCol))).as("token"))
-      .groupBy("doc", "token").agg(count(lit(1)).as("tf"))
+    val perDoc = perDocTf(df, idCol, textCol)
       .localCheckpoint(eager = false)
     val nDocs = df.select(col(idCol)).distinct().count()
     val docFreq = perDoc.groupBy("token").agg(count(lit(1)).as("df"))
@@ -158,9 +168,7 @@ object CorpusOps {
     * doc-length, and the final join; `avgdl` is a scalar aggregate. */
   def bm25(df: DataFrame, idCol: String, textCol: String,
       k1: Double = 1.2, b: Double = 0.75): DataFrame = {
-    val perDoc = df
-      .select(col(idCol).as("doc"), explode(tokens(col(textCol))).as("token"))
-      .groupBy("doc", "token").agg(count(lit(1)).as("tf"))
+    val perDoc = perDocTf(df, idCol, textCol)
       .localCheckpoint(eager = false)
     val nDocs = df.select(col(idCol)).distinct().count()
     val docFreq = perDoc.groupBy("token").agg(count(lit(1)).as("df"))
@@ -242,9 +250,7 @@ object CorpusOps {
     * TakeOrdered, tiebroken by token for determinism. */
 
   def vocabulary(df: DataFrame, idCol: String, textCol: String, k: Int): DataFrame = {
-    val perDoc = df
-      .select(col(idCol).as("doc"), explode(tokens(col(textCol))).as("token"))
-      .groupBy("doc", "token").agg(count(lit(1)).as("tf"))
+    val perDoc = perDocTf(df, idCol, textCol)
     perDoc.groupBy("token")
       .agg(sum("tf").as("n_occurrences"), count(lit(1)).as("n_docs"))
       .orderBy(col("n_occurrences").desc, col("token"))
