@@ -1364,6 +1364,32 @@ object SparkEntry {
           jaroWinkler(col("name1"), col("name2")).as("sim"))
         .filter(col("sim") >= 0.93)
         .orderBy("key1", "key2")
+    }),
+
+    // ---- batch ANN kNN join: every vector probes its nprobe nearest
+    // IVF cells; candidates via one equi-join on the cell key, reduced
+    // by the bounded-heap top-k aggregate (no window sort) -------------
+    "e7_knn_join" -> ((s, dir) => {
+      val emb = t(s, dir, "embeddings")
+      ops.Similarity.ivfIndexSeeded(emb, "vec_id", "embedding", nlist = 8)
+        .knnJoin(k = 5, nprobe = 2)
+        .orderBy("id", "rank")
+    }),
+
+    // ---- concat-and-chunk sequence packing: per-language token stream
+    // sliced into 512-token training sequences --------------------------
+    "d24_pack" -> ((s, dir) => {
+      ops.CorpusOps.pack(t(s, dir, "documents"), "doc_id", "text",
+          groupCol = "lang", budget = 512L)
+        .withColumnRenamed("grp", "lang")
+        .orderBy("lang", "seq_id")
+    }),
+
+    // ---- Gopher-style repetition quality signals: top-bigram and
+    // duplicate-trigram fractions, folded row-locally (no shuffle) ------
+    "d25_repetition" -> ((s, dir) => {
+      ops.CorpusOps.repetitionSignals(t(s, dir, "documents"), "doc_id", "text")
+        .orderBy("doc_id")
     })
   )
 
@@ -2562,6 +2588,76 @@ object SparkEntry {
         |  ON p1.p_brand = p2.p_brand AND p1.p_size = p2.p_size
         | AND p1.p_partkey < p2.p_partkey
         |WHERE jaro_winkler_similarity(p1.p_name, p2.p_name) >= 0.93
-        |ORDER BY key1, key2""".stripMargin
+        |ORDER BY key1, key2""".stripMargin,
+
+    "e7_knn_join" -> {
+      val nlist = 8; val nprobe = 2; val k = 5
+      s"""WITH c AS (SELECT vec_id AS cid, CAST(embedding AS DOUBLE[]) AS cv
+         |           FROM embeddings WHERE vec_id < $nlist),
+         |v AS (SELECT vec_id AS id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+         |scored AS (SELECT id, v, cid, ${OracleSql.cosine("v", "cv")} AS cs
+         |           FROM v CROSS JOIN c),
+         |assigned AS (
+         |  SELECT id, v, cid AS cell FROM (
+         |    SELECT id, v, cid,
+         |      ROW_NUMBER() OVER (PARTITION BY id ORDER BY cs DESC, cid) AS rn
+         |    FROM scored) WHERE rn = 1),
+         |probes AS (
+         |  SELECT id, cid FROM (
+         |    SELECT id, cid,
+         |      ROW_NUMBER() OVER (PARTITION BY id ORDER BY cs DESC, cid) AS rn
+         |    FROM scored) WHERE rn <= $nprobe),
+         |cand AS (
+         |  SELECT p.id, a.id AS nid, ${OracleSql.cosine("q.v", "a.v")} AS cos
+         |  FROM probes p
+         |  JOIN v q ON q.id = p.id
+         |  JOIN assigned a ON a.cell = p.cid AND a.id <> p.id)
+         |SELECT id, rank, nid, cos FROM (
+         |  SELECT id, nid, cos,
+         |    ROW_NUMBER() OVER (PARTITION BY id ORDER BY cos DESC, nid) AS rank
+         |  FROM cand) WHERE rank <= $k
+         |ORDER BY id, rank""".stripMargin
+    },
+
+    "d24_pack" -> {
+      val ntok = s"CASE WHEN length(trim(text)) = 0 THEN 0 " +
+        s"ELSE len(${OracleSql.toks("text")}) END"
+      s"""WITH t AS (SELECT lang, doc_id, $ntok AS ntok FROM documents),
+         |c AS (
+         |  SELECT lang, doc_id, ntok,
+         |    CAST(SUM(ntok) OVER (PARTITION BY lang ORDER BY doc_id
+         |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cum
+         |  FROM t)
+         |SELECT lang, (cum - ntok) // 512 AS seq_id, COUNT(*) AS n_docs,
+         |  CAST(SUM(ntok) AS BIGINT) AS n_tokens,
+         |  MIN(doc_id) AS first_doc, MAX(doc_id) AS last_doc
+         |FROM c GROUP BY 1, 2 ORDER BY lang, seq_id""".stripMargin
+    },
+
+    "d25_repetition" -> {
+      s"""WITH bg AS (SELECT doc_id, unnest(${OracleSql.shingles("text", 2)}) AS g
+         |            FROM documents),
+         |bc AS (SELECT doc_id, g, COUNT(*) AS tf FROM bg GROUP BY 1, 2),
+         |b AS (SELECT doc_id, MAX(tf) AS mx, CAST(SUM(tf) AS BIGINT) AS tot
+         |      FROM bc GROUP BY 1),
+         |tg AS (SELECT doc_id, unnest(${OracleSql.shingles("text", 3)}) AS g
+         |       FROM documents),
+         |tc AS (SELECT doc_id, g, COUNT(*) AS tf FROM tg GROUP BY 1, 2),
+         |t3 AS (SELECT doc_id,
+         |         CAST(SUM(CASE WHEN tf >= 2 THEN tf ELSE 0 END) AS BIGINT) AS dup,
+         |         CAST(SUM(tf) AS BIGINT) AS tot
+         |       FROM tc GROUP BY 1)
+         |SELECT d.doc_id,
+         |  CASE WHEN COALESCE(b.tot, 0) = 0 THEN 0.0
+         |       ELSE CAST(b.mx AS DOUBLE) / CAST(b.tot AS DOUBLE) END
+         |    AS top_bigram_frac,
+         |  CASE WHEN COALESCE(t3.tot, 0) = 0 THEN 0.0
+         |       ELSE CAST(t3.dup AS DOUBLE) / CAST(t3.tot AS DOUBLE) END
+         |    AS dup_trigram_frac
+         |FROM documents d
+         |LEFT JOIN b ON b.doc_id = d.doc_id
+         |LEFT JOIN t3 ON t3.doc_id = d.doc_id
+         |ORDER BY d.doc_id""".stripMargin
+    }
   )
 }

@@ -1,7 +1,7 @@
 package graft.ops
 
 import graft.functions.TextFunctions._
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 
 /** Corpus-level pipeline operators a training-data pipeline needs
@@ -255,5 +255,57 @@ object CorpusOps {
       .agg(sum("tf").as("n_occurrences"), count(lit(1)).as("n_docs"))
       .orderBy(col("n_occurrences").desc, col("token"))
       .limit(k)
+  }
+
+  /** Concat-and-chunk sequence packing: documents are laid end to end
+    * (within `groupCol`, in `idCol` order) into a virtual token stream
+    * and each gets the training-sequence id of its START offset —
+    * `(cum_before_doc) div budget` — the packing a pretraining loader
+    * performs when it concatenates documents and slices fixed blocks.
+    * Emitted per sequence: document count, token total, id span.
+    *
+    * Scale shape: groups pack independently (one shuffle on the group
+    * key); the running total inside a group is a window scan, which is
+    * the irreducible sequential part of packing — at 100 TB you bound
+    * group width by packing per (group, shard) exactly as a multi-host
+    * loader shards the corpus. No driver state, no collect. */
+  def pack(df: DataFrame, idCol: String, textCol: String,
+      groupCol: String, budget: Long): DataFrame = {
+    require(budget > 0, s"budget must be positive, got $budget")
+    val ntok = when(length(trim(col(textCol))) === 0, lit(0L))
+      .otherwise(tokenCount(col(textCol)).cast("long"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("grp")).orderBy(col("doc"))
+    df.select(col(groupCol).as("grp"), col(idCol).as("doc"), ntok.as("ntok"))
+      .withColumn("graft_cum", sum("ntok").over(w))
+      .select(col("grp"), col("doc"), col("ntok"),
+        expr(s"(graft_cum - ntok) div ${budget}L").as("seq_id"))
+      .groupBy("grp", "seq_id")
+      .agg(count(lit(1)).as("n_docs"), sum("ntok").as("n_tokens"),
+        min("doc").as("first_doc"), max("doc").as("last_doc"))
+  }
+
+  /** Gopher-style repetition signals (Rae et al. 2021 §A1.1, public):
+    * the fraction of the document's word bigrams taken by its single
+    * most frequent bigram, and the fraction of word trigrams whose
+    * trigram occurs more than once. High values flag boilerplate and
+    * degenerate generations. Entirely row-local — n-gram frequencies
+    * fold inside the row via the codegen'd
+    * [[graft.functions.TokenCounts]] kernel, so the operator is a pure
+    * projection: no explode, no shuffle, embarrassingly parallel at any
+    * scale. */
+  def repetitionSignals(df: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val sz = (c: Column) => org.apache.spark.sql.functions.size(c)
+    def frac(num: Column, den: Column): Column =
+      when(den === 0, lit(0.0)).otherwise(num.cast("double") / den.cast("double"))
+    val bg = wordShingles(col(textCol), 2)
+    val tg = wordShingles(col(textCol), 3)
+    val topBg = array_max(transform(graft.functions.tokenCounts(bg),
+      x => x.getField("tf")))
+    val dupTg = aggregate(graft.functions.tokenCounts(tg), lit(0L),
+      (acc, x) => acc + when(x.getField("tf") >= 2, x.getField("tf")).otherwise(lit(0L)))
+    df.select(col(idCol),
+      frac(topBg, sz(bg)).as("top_bigram_frac"),
+      frac(dupTg, sz(tg)).as("dup_trigram_frac"))
   }
 }

@@ -18,6 +18,16 @@ object Similarity {
     * the DuckDB oracle's `list_reduce` fold, ~10× cheaper per row). */
   def dot(a: Column, b: Column): Column = graft.functions.dotProduct(a, b)
 
+  /** Driver-side sequential-fold dot product — the same 0.0-seeded
+    * left fold as [[graft.functions.ArrayDotProduct]], so constants
+    * derived from it (centroid norms) are bit-identical to what the
+    * in-plan expression would have produced. */
+  private[ops] def dotArr(a: Array[Double], b: Array[Double]): Double = {
+    var d = 0.0; var i = 0
+    while (i < a.length) { d += a(i) * b(i); i += 1 }
+    d
+  }
+
   /** Cosine similarity; 0.0 when either norm is zero. */
   def cosine(a: Column, b: Column): Column = {
     val denom = sqrt(dot(a, a)) * sqrt(dot(b, b))
@@ -67,7 +77,8 @@ object Similarity {
       .setFeaturesCol("features")
       .fit(vecs.select("features"))
     val assigned = model.transform(vecs)
-      .select(col("id"), col("v"), col("prediction").as("cell"))
+      .select(col("id"), col("v"), sqrt(dot(col("v"), col("v"))).as("vnorm"),
+        col("prediction").as("cell"))
       .repartition(col("cell"))
     IvfIndex(assigned, model.clusterCenters.map(_.toArray))
   }
@@ -95,15 +106,27 @@ object Similarity {
       .collect().map(_.getAs[scala.collection.Seq[Double]]("v").toArray)
     require(cents.length == nlist, s"need ids 0..${nlist - 1} as seeds")
 
-    val scored = cents.toSeq.map(c => cosine(v, array(c.map(lit).toSeq: _*)))
-    val best = scored.reduce((a, b) => greatest(a, b))
-    // first (lowest) index attaining the max — same tiebreak as the
-    // oracle's ORDER BY cos DESC, cid
-    val cell = scored.zipWithIndex.reverse.foldLeft(lit(0)) {
-      case (acc, (cs, j)) => when(cs === best, lit(j)).otherwise(acc)
+    // cosine(v, c_j) = dot(v, c_j) / (‖v‖·‖c_j‖) with ‖v‖ computed ONCE
+    // per row and ‖c_j‖ folded to a Scala constant: bit-identical to the
+    // full cosine expression (same fold order, same multiply order) but
+    // an 8-centroid score list embeds each 64-literal array once instead
+    // of three times — codegen stays small enough to compile fast.
+    val withNorm = df
+      .select(col(idCol).cast("long").as("id"), v.as("v"))
+      .withColumn("vnorm", sqrt(dot(col("v"), col("v"))))
+    val scored = cents.toSeq.map { c =>
+      val cn = math.sqrt(Similarity.dotArr(c, c))
+      val d = dot(col("v"), array(c.map(lit).toSeq: _*))
+      when(col("vnorm") * lit(cn) === 0.0, lit(0.0))
+        .otherwise(d / (col("vnorm") * lit(cn)))
     }
-    val assigned = df
-      .select(col(idCol).cast("long").as("id"), v.as("v"), cell.as("cell"))
+    // (−cos, cid) structs: array_min picks max cosine, lowest cid on
+    // ties — same tiebreak as the oracle's ORDER BY cos DESC, cid
+    val cell = array_min(array(scored.zipWithIndex.map { case (cs, j) =>
+      struct((-cs).as("ncs"), lit(j).as("cid"))
+    }: _*)).getField("cid")
+    val assigned = withNorm
+      .select(col("id"), col("v"), col("vnorm"), cell.as("cell"))
       .repartition(col("cell"))
     IvfIndex(assigned, cents)
   }
@@ -121,11 +144,70 @@ object Similarity {
         .sortBy { case (c, _) => -cos(queryVec, c) }
         .take(nprobe).map(_._2)
       val q = array(queryVec.map(lit).toSeq: _*)
+      val qn = math.sqrt(Similarity.dotArr(queryVec, queryVec))
       assigned
         .filter(col("cell").isin(cells.toSeq: _*)) // partition pruning on the cell key
-        .select(col("id"), cosine(col("v"), q).as("cos"))
+        .select(col("id"),
+          when(col("vnorm") * lit(qn) === 0.0, lit(0.0))
+            .otherwise(dot(col("v"), q) / (col("vnorm") * lit(qn))).as("cos"))
         .orderBy(col("cos").desc, col("id"))
         .limit(k)
+    }
+
+    /** Batch kNN JOIN: every indexed vector becomes a query and gets its
+      * `k` nearest neighbors (by cosine, excluding itself) among the
+      * `nprobe` cells nearest to it — the all-vectors analogue of
+      * [[search]], and the op a dedup/curation pipeline actually runs.
+      *
+      * Shape at scale: probe-cell selection is a per-row expression over
+      * the broadcast centroid literals (no shuffle); the only data
+      * movement is the candidate equi-join on the cell key — each query
+      * row is replicated `nprobe` times and meets only its probed cells,
+      * so candidates are n·nprobe·(n/nlist) instead of the n² of a
+      * brute-force self-join. The final reduction is the bounded-heap
+      * top-k aggregate ([[graft.functions.TopKStructs]]): map-side
+      * partial heaps, ≤ k rows per query per partition into the last
+      * exchange — no window sort over the candidate set.
+      *
+      * Neighbor lists are ragged by design (a query sees < k candidates
+      * when its probed cells are small); ranks are 1-based, cosine-
+      * descending with ascending-id tiebreak, so the result is exactly
+      * replayable in SQL (gate e7's oracle).
+      */
+    def knnJoin(k: Int, nprobe: Int): DataFrame = {
+      require(nprobe >= 1 && nprobe <= centroids.length,
+        s"nprobe must be in [1, ${centroids.length}], got $nprobe")
+      // the index is consumed twice (query side + candidate side):
+      // materialize the assignment once instead of recomputing it
+      val a = assigned.localCheckpoint(eager = false)
+      // (−cos, cid) structs sort ascending == cosine-descending, id-asc;
+      // ‖v‖ comes from the index, ‖c_j‖ folds to a constant — same
+      // arithmetic as the full cosine, 1/3 the expression size
+      val probeStructs = centroids.zipWithIndex.map { case (c, j) =>
+        val cn = math.sqrt(Similarity.dotArr(c, c))
+        val d = dot(col("v"), array(c.map(lit).toSeq: _*))
+        val cs = when(col("vnorm") * lit(cn) === 0.0, lit(0.0))
+          .otherwise(d / (col("vnorm") * lit(cn)))
+        struct((-cs).as("ncs"), lit(j).as("cid"))
+      }
+      val probeCells = transform(
+        slice(array_sort(array(probeStructs.toSeq: _*)), 1, nprobe),
+        p => p.getField("cid"))
+      val queries = a.select(col("id").as("qid"), col("v").as("qv"),
+        col("vnorm").as("qnorm"), explode(probeCells).as("cell"))
+      val index = a.select(col("cell"), col("id").as("nid"),
+        col("v").as("nv"), col("vnorm").as("nnorm"))
+      // each nid lives in exactly one cell, so no per-pair dedup needed
+      val cand = queries.join(index, Seq("cell"))
+        .filter(col("nid") =!= col("qid"))
+        .select(col("qid"), col("nid"),
+          when(col("qnorm") * col("nnorm") === 0.0, lit(0.0))
+            .otherwise(dot(col("qv"), col("nv")) / (col("qnorm") * col("nnorm")))
+            .as("cos"))
+      TopK.perGroup(cand, Seq("qid"),
+          Seq(col("cos"), (-col("nid")).as("gneg")), k)
+        .select(col("qid").as("id"), col("rank"), (-col("gneg")).as("nid"),
+          col("cos"))
     }
   }
 
