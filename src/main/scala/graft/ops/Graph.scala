@@ -55,12 +55,21 @@ object Graph {
     require(scale > 0 && dampNum >= 0 && dampDen > 0 && dampNum <= dampDen,
       s"need scale > 0 and 0 <= dampNum <= dampDen, got $scale, $dampNum/$dampDen")
 
+    // the deduped edge list is read by the degree pass AND the node
+    // spine: materialize it once — recomputing the distinct per
+    // consumer would rescan the source for each of them
     val e = edges
       .select(col(srcCol).cast("long").as("src"), col(dstCol).cast("long").as("dst"))
       .distinct()
-    val deg = e.groupBy("src").agg(count(lit(1)).as("deg"))
-    // (src, dst, deg) computed once, consumed `iterations` times
-    val ed = e.join(deg, "src").localCheckpoint(eager = false)
+      .localCheckpoint(eager = false)
+    // out-degree as a COUNT window over the src partitioning: one
+    // exchange yields (src, dst, deg) already hash-partitioned on src —
+    // exactly the layout every iteration's join wants — where a
+    // groupBy+join would cost two exchanges for the same table
+    val ed = e
+      .withColumn("deg", count(lit(1)).over(
+        org.apache.spark.sql.expressions.Window.partitionBy(col("src"))))
+      .localCheckpoint(eager = false)
     val nodes = e.select(col("src").as("node"))
       .union(e.select(col("dst").as("node")))
       .distinct()
