@@ -1390,6 +1390,21 @@ object SparkEntry {
     "d25_repetition" -> ((s, dir) => {
       ops.CorpusOps.repetitionSignals(t(s, dir, "documents"), "doc_id", "text")
         .orderBy("doc_id")
+    }),
+
+    // ---- bigram-LM quality scores: fixed-point conditional
+    // probabilities from the corpus's own counts ------------------------
+    "d26_lm_score" -> ((s, dir) => {
+      ops.CorpusOps.lmScore(t(s, dir, "documents"), "doc_id", "text")
+        .orderBy("doc")
+    }),
+
+    // ---- product quantization: seeded codebook, squared-L2 argmin per
+    // subspace, element-wise codes — pure projection, no shuffle --------
+    "e8_pq" -> ((s, dir) => {
+      ops.Similarity.productQuantize(t(s, dir, "embeddings"),
+          "vec_id", "embedding", m = 8, k = 8)
+        .orderBy("id", "sub")
     })
   )
 
@@ -2658,6 +2673,48 @@ object SparkEntry {
          |LEFT JOIN b ON b.doc_id = d.doc_id
          |LEFT JOIN t3 ON t3.doc_id = d.doc_id
          |ORDER BY d.doc_id""".stripMargin
+    },
+
+    "d26_lm_score" -> {
+      val toks = OracleSql.toks("text")
+      s"""WITH bg AS (
+         |  SELECT doc_id AS doc, unnest(${OracleSql.shingles("text", 2)}) AS bigram
+         |  FROM documents WHERE len($toks) >= 2),
+         |c12 AS (SELECT bigram, COUNT(*) AS c12 FROM bg GROUP BY 1),
+         |c1 AS (SELECT split_part(bigram, ' ', 1) AS w1,
+         |         CAST(SUM(c12) AS BIGINT) AS c1
+         |       FROM c12 GROUP BY 1),
+         |lm AS (SELECT bigram, (c12 * 1000000000) // c1.c1 AS p_scaled
+         |       FROM c12 JOIN c1 ON split_part(c12.bigram, ' ', 1) = c1.w1)
+         |SELECT doc, COUNT(*) AS n_bigrams, CAST(SUM(p_scaled) AS BIGINT) AS score,
+         |  CAST(SUM(p_scaled) AS BIGINT) // COUNT(*) AS mean_p
+         |FROM bg JOIN lm USING (bigram)
+         |GROUP BY doc ORDER BY doc""".stripMargin
+    },
+
+    "e8_pq" -> {
+      val m = 8; val k = 8; val sub = 8
+      def dotE(a: String, b: String) = OracleSql.dot(a, b)
+      s"""WITH v AS (SELECT vec_id AS id, CAST(embedding AS DOUBLE[]) AS v
+         |           FROM embeddings),
+         |c AS (SELECT vec_id AS cid, CAST(embedding AS DOUBLE[]) AS cv
+         |      FROM embeddings WHERE vec_id < $k),
+         |subs AS (SELECT s FROM range(0, $m) t(s)),
+         |sliced AS (
+         |  SELECT v.id, subs.s, c.cid,
+         |    (v.v)[subs.s * $sub + 1 : (subs.s + 1) * $sub] AS vs,
+         |    (c.cv)[subs.s * $sub + 1 : (subs.s + 1) * $sub] AS cs
+         |  FROM v CROSS JOIN subs CROSS JOIN c),
+         |d AS (
+         |  SELECT id, s, cid,
+         |    ((${dotE("vs", "vs")} - 2.0 * ${dotE("vs", "cs")})
+         |      + ${dotE("cs", "cs")}) AS dist
+         |  FROM sliced)
+         |SELECT id, CAST(s AS INT) AS sub, CAST(cid AS INT) AS code, dist FROM (
+         |  SELECT id, s, cid, dist,
+         |    ROW_NUMBER() OVER (PARTITION BY id, s ORDER BY dist, cid) AS rn
+         |  FROM d) WHERE rn = 1
+         |ORDER BY id, sub""".stripMargin
     }
   )
 }

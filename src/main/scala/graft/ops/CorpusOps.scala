@@ -228,10 +228,14 @@ object CorpusOps {
     * single deterministic double op (exact integer inputs), so the
     * result hash-compares across engines. */
   def bigramLm(df: DataFrame, idCol: String, textCol: String): DataFrame = {
-    val toks = tokens(col(textCol))
-    val big = df
-      .filter(org.apache.spark.sql.functions.size(toks) >= 2)
-      .select(explode(shinglesFromTokens(toks, 2)).as("bigram"))
+    // tokenize once behind a barrier — an inlined tokens() would re-run
+    // the regex split per bigram position inside the shingle lambda
+    val tok = df
+      .filter(org.apache.spark.sql.functions.size(tokens(col(textCol))) >= 2)
+      .select(tokens(col(textCol)).as("graft_ts"))
+      .localCheckpoint(eager = false)
+    val big = tok
+      .select(explode(shinglesFromTokens(col("graft_ts"), 2)).as("bigram"))
       .groupBy("bigram").agg(count(lit(1)).as("c12"))
       .withColumn("w1", substring_index(col("bigram"), " ", 1))
       .localCheckpoint(eager = false) // feeds both the prefix aggregate and the join
@@ -255,6 +259,45 @@ object CorpusOps {
       .agg(sum("tf").as("n_occurrences"), count(lit(1)).as("n_docs"))
       .orderBy(col("n_occurrences").desc, col("token"))
       .limit(k)
+  }
+
+  /** Bigram-LM quality score per document — the KenLM-style "does this
+    * text look like the corpus" filter, in FIXED-POINT arithmetic so it
+    * has an exact cross-engine oracle (gate d26): each bigram scores
+    * `(c12 · scale) div c1` (its scaled conditional probability from
+    * the corpus-wide counts, cf. [[bigramLm]] — whose `ln`-free double
+    * `p` is the spec-only variant) and a document reports the count,
+    * sum, and integer mean of its bigram scores. Low means flag
+    * out-of-distribution or garbled text.
+    *
+    * Shape: the exploded (doc, bigram) stream is materialized once
+    * (localCheckpoint — caller owns the action) and feeds both the LM
+    * aggregation and the scoring join; the LM table is bounded by the
+    * distinct-bigram vocabulary, far smaller than the corpus, and the
+    * scoring join shuffles only (doc, bigram) pairs. */
+  def lmScore(df: DataFrame, idCol: String, textCol: String,
+      scale: Long = 1000000000L): DataFrame = {
+    // tokenize ONCE behind a barrier: a HOF lambda re-evaluates its
+    // captured child per element, so an inlined tokens() would re-run
+    // the regex split once per bigram position (the d19/d18 lesson)
+    val tok = df
+      .filter(org.apache.spark.sql.functions.size(tokens(col(textCol))) >= 2)
+      .select(col(idCol).as("doc"), tokens(col(textCol)).as("graft_ts"))
+      .localCheckpoint(eager = false)
+    val docBg = tok
+      .select(col("doc"), explode(shinglesFromTokens(col("graft_ts"), 2)).as("bigram"))
+      .localCheckpoint(eager = false)
+    val c12 = docBg.groupBy("bigram").agg(count(lit(1)).as("c12"))
+      .withColumn("w1", substring_index(col("bigram"), " ", 1))
+      .localCheckpoint(eager = false) // feeds the prefix aggregate and the LM join
+    val c1 = c12.groupBy("w1").agg(sum("c12").as("c1"))
+    val lm = c12.join(c1, Seq("w1"))
+      .select(col("bigram"), expr(s"(c12 * ${scale}L) div c1").as("p_scaled"))
+    docBg.join(lm, Seq("bigram"))
+      .groupBy("doc")
+      .agg(count(lit(1)).as("n_bigrams"), sum("p_scaled").as("score"))
+      .select(col("doc"), col("n_bigrams"), col("score"),
+        expr("score div n_bigrams").as("mean_p"))
   }
 
   /** Concat-and-chunk sequence packing: documents are laid end to end

@@ -211,6 +211,56 @@ object Similarity {
     }
   }
 
+  /** Product quantization with a deterministic seeded codebook: the
+    * vector is split into `m` contiguous subvectors and each is encoded
+    * as the index of its nearest sub-centroid (squared L2, lowest-index
+    * tiebreak). Codebook for subspace s = the subvectors of ids
+    * 0..k−1 — the same sampling-seeded posture as [[ivfIndexSeeded]],
+    * so the whole encode is exactly replayable in SQL (gate e8); swap
+    * in per-subspace k-means when codebook quality matters more than
+    * auditability. PQ codes are the 4–16× compression layer an ANN
+    * index ships to keep 100 TB of vectors scannable.
+    *
+    * Distances use the ‖a‖² − 2·a·b + ‖b‖² expansion: ‖a‖² folds once
+    * per subspace (not once per centroid), ‖b‖² is a Scala constant,
+    * and the cross term is the codegen'd dot kernel — the oracle
+    * mirrors the same expansion term-for-term, so doubles compare
+    * exactly. Pure per-row projection: no shuffle, no driver state
+    * beyond the k·m codebook literals. Emitted element-wise
+    * (id, sub, code, dist) — hash-comparable across engines. */
+  def productQuantize(
+      df: DataFrame,
+      idCol: String,
+      vecCol: String,
+      m: Int,
+      k: Int): DataFrame = {
+    val v = col(vecCol).cast("array<double>")
+    val dim = df.select(org.apache.spark.sql.functions.size(v)).first().getInt(0)
+    require(dim % m == 0, s"dim $dim not divisible into $m subspaces")
+    val sub = dim / m
+    val seeds: Array[Array[Double]] = df
+      .select(col(idCol).cast("long").as("id"), v.as("v"))
+      .filter(col("id") < k).orderBy("id")
+      .collect().map(_.getAs[scala.collection.Seq[Double]]("v").toArray)
+    require(seeds.length == k, s"need ids 0..${k - 1} as codebook seeds")
+
+    val cells = (0 until m).map { s =>
+      val vs = slice(v, s * sub + 1, sub)
+      val selfDot = dot(vs, vs)
+      val scored = (0 until k).map { j =>
+        val c = seeds(j).slice(s * sub, s * sub + sub)
+        val cross = dot(vs, array(c.map(lit).toSeq: _*))
+        val d2 = selfDot - lit(2.0) * cross + lit(Similarity.dotArr(c, c))
+        struct(d2.as("dist"), lit(j).as("code"))
+      }
+      // array_min: smallest distance, lowest code on ties
+      struct(lit(s).as("sub"), array_min(array(scored: _*)).as("best"))
+    }
+    df.select(col(idCol).as("id"), explode(array(cells: _*)).as("pq"))
+      .select(col("id"), col("pq.sub").as("sub"),
+        col("pq.best.code").as("code"), col("pq.best.dist").as("dist"))
+  }
+
   /** Symmetric max-abs int8 quantization of an embedding column — the
     * 4× storage/bandwidth reducer ANN indexes ship with. Each vector is
     * scaled by its own max|component| and rounded to [-127, 127]; the
