@@ -1405,6 +1405,15 @@ object SparkEntry {
       ops.Similarity.productQuantize(t(s, dir, "embeddings"),
           "vec_id", "embedding", m = 8, k = 8)
         .orderBy("id", "sub")
+    }),
+
+    // ---- multimodal: frame-sample real YUV4MPEG2 streams (every 3rd
+    // frame), rows explode executor-side — video bytes never shuffle ----
+    "m3_video_frames" -> ((s, dir) => {
+      val vids = ops.Multimodal.syntheticVideo(
+        t(s, dir, "documents").select("doc_id"), "doc_id")(s)
+      ops.Multimodal.frameSampleFeatures(vids, stride = 3).toDF()
+        .orderBy("media_id", "frame_idx")
     })
   )
 
@@ -2715,6 +2724,21 @@ object SparkEntry {
          |    ROW_NUMBER() OVER (PARTITION BY id, s ORDER BY dist, cid) AS rn
          |  FROM d) WHERE rn = 1
          |ORDER BY id, sub""".stripMargin
-    }
+    },
+
+    "m3_video_frames" ->
+      """WITH xs AS (SELECT x FROM range(0, 20) t(x)),
+        |ys AS (SELECT y FROM range(0, 16) t(y)),
+        |fs AS (SELECT f FROM range(0, 14) t(f))
+        |SELECT doc_id AS media_id, CAST(f AS INT) AS frame_idx,
+        |  CAST(doc_id % 16 + 4 AS INT) AS width,
+        |  CAST(doc_id % 12 + 4 AS INT) AS height,
+        |  CAST(SUM((x * 7 + y * 13 + doc_id * 31 + f * 19) % 256) AS DOUBLE)
+        |    / ((doc_id % 16 + 4) * (doc_id % 12 + 4)) AS mean_val
+        |FROM documents, fs, xs, ys
+        |WHERE f < doc_id % 12 + 2 AND f % 3 = 0
+        |  AND x < doc_id % 16 + 4 AND y < doc_id % 12 + 4
+        |GROUP BY doc_id, f
+        |ORDER BY media_id, frame_idx""".stripMargin
   )
 }

@@ -28,6 +28,11 @@ object Multimodal {
   case class MediaFeatures(media_id: Long, format: String, n_bytes: Int,
       width: Int, height: Int, duration_ms: Long, mean_val: Double)
 
+  /** One decoded (sampled) video frame: index in the stream plus frame
+    * dimensions and mean gray level. */
+  case class FrameFeatures(media_id: Long, frame_idx: Int, width: Int,
+      height: Int, mean_val: Double)
+
   /** Deterministic payload generators (the stand-in for files read from
     * a binary source). Pixels and samples follow closed-form formulas of
     * (id, x, y) so lossless decodes have an exact SQL oracle. */
@@ -52,6 +57,31 @@ object Multimodal {
       }
       val bos = new java.io.ByteArrayOutputStream()
       javax.imageio.ImageIO.write(img, fmt, bos)
+      bos.toByteArray
+    }
+
+    def grayVidAt(id: Long, f: Int, x: Int, y: Int): Int =
+      ((x * 7 + y * 13 + id * 31 + f * 19) % 256).toInt
+
+    /** Uncompressed YUV4MPEG2 stream (the mjpegtools interchange
+      * format): ASCII stream header, then `FRAME\n` + one raw plane per
+      * frame. `Cmono` keeps a single luma plane, so every pixel is the
+      * closed-form gray value — lossless, hence SQL-oracle-able. */
+    def y4m(id: Long, w: Int, h: Int, frames: Int): Array[Byte] = {
+      val bos = new java.io.ByteArrayOutputStream()
+      bos.write(s"YUV4MPEG2 W$w H$h F10:1 Ip A1:1 Cmono\n".getBytes("US-ASCII"))
+      val frameHdr = "FRAME\n".getBytes("US-ASCII")
+      var f = 0
+      while (f < frames) {
+        bos.write(frameHdr)
+        var y = 0
+        while (y < h) {
+          var x = 0
+          while (x < w) { bos.write(grayVidAt(id, f, x, y)); x += 1 }
+          y += 1
+        }
+        f += 1
+      }
       bos.toByteArray
     }
 
@@ -180,6 +210,49 @@ object Multimodal {
       (rate, channels, dataOff, dataLen)
     }
 
+    /** Frame-sample a YUV4MPEG2 stream: decode every `stride`-th frame
+      * (index 0, stride, 2·stride, …) and emit its mean gray level.
+      * The chunk walk is bounds-checked the same way [[parseWav]] is —
+      * a truncated or lying header fails fast instead of spinning. */
+    def frameSample(r: MediaRecord, stride: Int): Seq[FrameFeatures] = {
+      require(stride > 0, s"stride must be positive, got $stride")
+      val c = r.content
+      val nl = c.indexOf('\n'.toByte)
+      require(nl > 0, "missing YUV4MPEG2 stream header")
+      val header = new String(c, 0, nl, "US-ASCII")
+      require(header.startsWith("YUV4MPEG2"), "not a YUV4MPEG2 payload")
+      val tags = header.split(' ').drop(1)
+      def tag(p: Char): Option[String] =
+        tags.find(t => t.nonEmpty && t.head == p).map(_.tail)
+      val w = tag('W').map(_.toInt).getOrElse(sys.error("missing W tag"))
+      val h = tag('H').map(_.toInt).getOrElse(sys.error("missing H tag"))
+      require(w > 0 && h > 0, s"bad dimensions ${w}x$h")
+      require(tag('C').forall(_ == "mono"),
+        s"only Cmono streams supported, got C${tag('C').get}")
+      val frameBytes = w * h
+      val out = scala.collection.mutable.ArrayBuffer.empty[FrameFeatures]
+      var pos = nl + 1
+      var f = 0
+      while (pos < c.length) {
+        val fnl = c.indexOf('\n'.toByte, pos)
+        require(fnl >= pos + 5 &&
+          new String(c, pos, 5, "US-ASCII") == "FRAME",
+          s"expected FRAME marker at byte $pos")
+        val dataStart = fnl + 1
+        require(dataStart + frameBytes <= c.length,
+          s"truncated frame $f at byte $dataStart")
+        if (f % stride == 0) {
+          var sum = 0L
+          var i = 0
+          while (i < frameBytes) { sum += c(dataStart + i) & 0xff; i += 1 }
+          out += FrameFeatures(r.media_id, f, w, h, sum.toDouble / frameBytes)
+        }
+        pos = dataStart + frameBytes
+        f += 1
+      }
+      out.toSeq
+    }
+
     private def decodeWav(r: MediaRecord): MediaFeatures = {
       val c = r.content
       val bb = java.nio.ByteBuffer.wrap(c).order(java.nio.ByteOrder.LITTLE_ENDIAN)
@@ -213,6 +286,34 @@ object Multimodal {
           MediaRecord(id, MediaGen.wav(id, n),
             MediaMeta("wav", 0, 0, n.toLong * 1000 / MediaGen.sampleRate))
       }
+    }
+  }
+
+  /** Synthesize a deterministic video table: one YUV4MPEG2 stream per
+    * id (4–19 × 4–15 px, 2–13 frames at 10 fps), pixels from the
+    * [[MediaGen.grayVidAt]] formula. Executor-side like
+    * [[syntheticMedia]]. */
+  def syntheticVideo(df: DataFrame, idCol: String)(implicit spark: SparkSession): Dataset[MediaRecord] = {
+    import spark.implicits._
+    df.select(col(idCol).cast("long").as("id")).as[Long].map { id =>
+      val w = (id % 16 + 4).toInt
+      val h = (id % 12 + 4).toInt
+      val frames = (id % 12 + 2).toInt
+      MediaRecord(id, MediaGen.y4m(id, w, h, frames),
+        MediaMeta("y4m", w, h, frames * 100L))
+    }
+  }
+
+  /** Frame sampling over a video column: decode every `stride`-th frame
+    * of each stream, batched per partition like [[extractFeatures]] —
+    * the row explodes into its sampled frames executor-side, so frame
+    * extraction parallelizes with the scan and nothing video-shaped
+    * ever moves through a shuffle. */
+  def frameSampleFeatures(media: Dataset[MediaRecord], stride: Int): Dataset[FrameFeatures] = {
+    import media.sparkSession.implicits._
+    media.mapPartitions { it =>
+      it.grouped(MediaCodec.batchSize)
+        .flatMap(_.flatMap(r => MediaCodec.frameSample(r, stride)))
     }
   }
 

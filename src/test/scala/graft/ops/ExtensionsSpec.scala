@@ -987,4 +987,41 @@ class MultimodalSpec extends AnyFunSuite with SparkTestBase {
     assert(m(6L).width == 7 && m(6L).height == 7) // png: dims from id formula
     assert(m(5L).width == 0 && m(5L).durationMs == (5 % 800 + 8) * 1000 / 8000) // wav
   }
+
+  test("y4m frame sampling decodes strided frames with formula-exact means") {
+    val vids = Multimodal.syntheticVideo(spark.range(0, 20).toDF("id"), "id")(spark)
+    val frames = Multimodal.frameSampleFeatures(vids, stride = 3).collect()
+      .groupBy(_.media_id)
+    // id 7: 4+3=... w=7%16+4=11, h=7%12+4=11, frames=7%12+2=9 → sampled 0,3,6
+    assert(frames(7L).map(_.frame_idx).sorted.toSeq === Seq(0, 3, 6))
+    val f0 = frames(7L).find(_.frame_idx == 0).get
+    assert(f0.width === 11 && f0.height === 11)
+    val expect = (for (y <- 0 until 11; x <- 0 until 11)
+      yield (x * 7 + y * 13 + 7 * 31) % 256).sum.toDouble / (11 * 11)
+    assert(f0.mean_val === expect)
+    // every id yields ceil(frames/3) sampled frames
+    assert(frames.forall { case (id, fs) =>
+      fs.length == ((id % 12 + 2).toInt + 2) / 3 })
+  }
+
+  test("corrupt y4m streams fail fast instead of spinning") {
+    def rec(bytes: Array[Byte]) =
+      Multimodal.MediaRecord(0L, bytes, Multimodal.MediaMeta("y4m", 4, 4, 0L))
+    val good = Multimodal.MediaGen.y4m(0L, 4, 4, 2)
+    // truncated mid-frame
+    intercept[IllegalArgumentException] {
+      Multimodal.MediaCodec.frameSample(rec(good.dropRight(5)), 1)
+    }
+    // missing FRAME marker
+    val noMarker = "YUV4MPEG2 W4 H4 F10:1 Ip A1:1 Cmono\nXRAME\n".getBytes("US-ASCII") ++
+      Array.fill[Byte](16)(0)
+    intercept[IllegalArgumentException] {
+      Multimodal.MediaCodec.frameSample(rec(noMarker), 1)
+    }
+    // non-mono chroma refused
+    val c420 = "YUV4MPEG2 W4 H4 F10:1 Ip A1:1 C420\n".getBytes("US-ASCII")
+    intercept[IllegalArgumentException] {
+      Multimodal.MediaCodec.frameSample(rec(c420), 1)
+    }
+  }
 }
