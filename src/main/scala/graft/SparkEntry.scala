@@ -1414,6 +1414,28 @@ object SparkEntry {
         t(s, dir, "documents").select("doc_id"), "doc_id")(s)
       ops.Multimodal.frameSampleFeatures(vids, stride = 3).toDF()
         .orderBy("media_id", "frame_idx")
+    }),
+
+    // ---- count-min sketch: build from the per-key pre-aggregate, probe
+    // a key subset, report estimate beside truth (est >= true always) ---
+    "q54_cms" -> ((s, dir) => {
+      val o = t(s, dir, "orders")
+      val sk = ops.Sketch.countMin(o, "o_custkey", depth = 4, width = 256)
+      val probes = o.filter(col("o_custkey") < 50).select("o_custkey").distinct()
+      val est = ops.Sketch.countMinEstimate(sk, probes, "o_custkey",
+        depth = 4, width = 256)
+      val truth = o.filter(col("o_custkey") < 50)
+        .groupBy("o_custkey").agg(count(lit(1)).as("true_n"))
+      est.join(truth, Seq("o_custkey"))
+        .select(col("o_custkey"), col("true_n"), col("est"))
+        .orderBy("o_custkey")
+    }),
+
+    // ---- HyperLogLog register file: one hash-aggregate, <= 2^p rows on
+    // the wire; registers merge by max (estimate accuracy spec-tested) --
+    "q55_hll" -> ((s, dir) => {
+      ops.Sketch.hllRegisters(t(s, dir, "lineitem"), "l_partkey", p = 10)
+        .orderBy("bucket")
     })
   )
 
@@ -2739,6 +2761,37 @@ object SparkEntry {
         |WHERE f < doc_id % 12 + 2 AND f % 3 = 0
         |  AND x < doc_id % 16 + 4 AND y < doc_id % 12 + 4
         |GROUP BY doc_id, f
-        |ORDER BY media_id, frame_idx""".stripMargin
+        |ORDER BY media_id, frame_idx""".stripMargin,
+
+    "q54_cms" -> {
+      val h = OracleSql.h64(
+        "'graft-cms' || '-' || CAST(r AS VARCHAR) || '-' || CAST(key AS VARCHAR)")
+      s"""WITH counts AS (
+         |  SELECT o_custkey AS key, COUNT(*) AS n FROM orders GROUP BY 1),
+         |rows_ AS (SELECT r FROM range(0, 4) t(r)),
+         |cells AS (
+         |  SELECT r, $h % 256 AS bucket, CAST(SUM(n) AS BIGINT) AS cnt
+         |  FROM counts, rows_ GROUP BY 1, 2),
+         |probe AS (
+         |  SELECT key, r, $h % 256 AS bucket
+         |  FROM (SELECT DISTINCT o_custkey AS key FROM orders
+         |        WHERE o_custkey < 50), rows_)
+         |SELECT p.key AS o_custkey,
+         |  (SELECT COUNT(*) FROM orders WHERE o_custkey = p.key) AS true_n,
+         |  MIN(c.cnt) AS est
+         |FROM probe p JOIN cells c ON c.r = p.r AND c.bucket = p.bucket
+         |GROUP BY p.key ORDER BY o_custkey""".stripMargin
+    },
+
+    "q55_hll" -> {
+      val h = OracleSql.h64("'graft-hll' || '-' || CAST(l_partkey AS VARCHAR)")
+      s"""WITH hs AS (SELECT $h AS h FROM lineitem),
+         |rho AS (
+         |  SELECT h % 1024 AS bucket, h // 1024 AS v FROM hs)
+         |SELECT bucket,
+         |  CAST(MAX(CASE WHEN v = 0 THEN 51
+         |                ELSE 51 - length(bin(v)) END) AS INT) AS max_rho
+         |FROM rho GROUP BY 1 ORDER BY bucket""".stripMargin
+    }
   )
 }
