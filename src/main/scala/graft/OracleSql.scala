@@ -164,4 +164,51 @@ object OracleSql {
       s"WHEN ${hits(l)} = $best AND $best > 0 THEN '$l'").mkString("\n    ")
     s"(CASE $cases ELSE 'und' END)"
   }
+
+  /** Unrolled fixed-point Lloyd's k-means over the embeddings table —
+    * mirrors Similarity.kmeansFixedPoint iteration for iteration:
+    * floor-scaled integer components, ‖v−c‖² = v·v − 2v·c + c·c on
+    * exactly-representable integer-valued doubles, argmin by
+    * (dist, cid) struct-min, centroid update by trunc-division mean
+    * (DuckDB `//` and Spark `div` both truncate toward zero). */
+  def kmeansFixedPoint(k: Int, iters: Int, dim: Int, scale: String = "1000000.0"): String = {
+    def dist(v: String, c: String) =
+      s"(${dot(v, v)} - 2.0 * ${dot(v, c)} + ${dot(c, c)})"
+    def iteration(i: Int, prev: String): String =
+      s"""d$i AS (
+         |  SELECT v.id, c.cid, ${dist("v.v", "c.c")} AS dist
+         |  FROM v CROSS JOIN $prev c),
+         |a$i AS (
+         |  SELECT id, min(struct_pack(dist := dist, cid := cid)).cid AS cid
+         |  FROM d$i GROUP BY id),
+         |m$i AS (
+         |  SELECT a$i.cid, t.i - 1 AS dim,
+         |         SUM(CAST(v.v[t.i] AS BIGINT)) // COUNT(*) AS m
+         |  FROM a$i JOIN v USING (id), range(1, ${dim + 1}) AS t(i)
+         |  GROUP BY 1, 2),
+         |c$i AS (
+         |  SELECT cid, list_transform(list(m ORDER BY dim),
+         |                             x -> CAST(x AS DOUBLE)) AS c
+         |  FROM m$i GROUP BY cid)""".stripMargin
+    val iterSql = (1 to iters).map(i => iteration(i, s"c${i - 1}")).mkString(",\n")
+    val last = s"c$iters"
+    s"""WITH v AS (
+       |  SELECT CAST(vec_id AS BIGINT) AS id,
+       |         list_transform(CAST(embedding AS DOUBLE[]),
+       |                        x -> floor(x * $scale)) AS v
+       |  FROM embeddings),
+       |c0 AS (SELECT id AS cid, v AS c FROM v WHERE id < $k),
+       |$iterSql,
+       |df AS (
+       |  SELECT v.id, c.cid, ${dist("v.v", "c.c")} AS dist
+       |  FROM v CROSS JOIN $last c),
+       |af AS (
+       |  SELECT id, min(struct_pack(dist := dist, cid := cid)).cid AS cid
+       |  FROM df GROUP BY id),
+       |sz AS (SELECT cid, COUNT(*) AS n_members FROM af GROUP BY cid)
+       |SELECT c.cid, CAST(t.i - 1 AS INT) AS dim,
+       |       CAST(c.c[t.i] AS BIGINT) AS c, sz.n_members
+       |FROM $last c JOIN sz USING (cid), range(1, ${dim + 1}) AS t(i)
+       |ORDER BY cid, dim""".stripMargin
+  }
 }

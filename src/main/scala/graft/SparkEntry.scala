@@ -1436,8 +1436,100 @@ object SparkEntry {
     "q55_hll" -> ((s, dir) => {
       ops.Sketch.hllRegisters(t(s, dir, "lineitem"), "l_partkey", p = 10)
         .orderBy("bucket")
+    }),
+
+    // ---- cross-doc boilerplate removal: a shared 16-token header is
+    // injected into every 5th doc, detected by span doc-frequency, and
+    // stripped; short natural tail spans shared by >5 docs drop too ----
+    "d27_boilerplate" -> ((s, dir) => {
+      val aug = t(s, dir, "documents").select(col("doc_id"),
+        when(col("doc_id") % 5 === 0,
+          concat(lit(boilerplateHeader + " "), col("text")))
+          .otherwise(col("text")).as("text"))
+      ops.CorpusOps.removeBoilerplate(aug, "doc_id", "text", unit = 8, maxDf = 5)
+        .orderBy("doc_id")
+    }),
+
+    // ---- deterministic md5-bucket train/val/test split: stable under
+    // reruns, repartitioning, and incremental corpus growth ------------
+    "d28_split" -> ((s, dir) => {
+      ops.CorpusOps.deterministicSplit(
+          t(s, dir, "documents").select("doc_id", "lang"), "doc_id")
+        .orderBy("doc_id")
+    }),
+
+    // ---- temperature-weighted domain mixing (α = 0.5 upweights
+    // minority languages); per-domain keep fractions from exact counts,
+    // membership by salted md5 fraction --------------------------------
+    "d29_temperature_mix" -> ((s, dir) => {
+      ops.CorpusOps.temperatureMix(
+          t(s, dir, "documents").select("doc_id", "lang"), "doc_id", "lang",
+          targetFrac = 0.5)
+        .orderBy("doc_id")
+    }),
+
+    // ---- degree-oriented triangle counting over the within-order
+    // part-co-occurrence graph ------------------------------------------
+    "g2_triangles" -> ((s, dir) => {
+      val parts = t(s, dir, "lineitem")
+        .filter(col("l_orderkey") % 10 === 0)
+        .select(col("l_orderkey").as("o"), col("l_partkey").cast("long").as("p"))
+        .distinct()
+      val pairs = parts.as("x").join(parts.as("y"),
+          col("x.o") === col("y.o") && col("x.p") < col("y.p"))
+        .select(col("x.p").as("p1"), col("y.p").as("p2"))
+      ops.Graph.triangleCount(pairs, "p1", "p2")
+        .orderBy("node")
+    }),
+
+    // ---- gaps-and-islands over a sparse key subset: distributed via
+    // per-range fragments + connected-components merge (the oracle uses
+    // the single-sort window formulation — same result) -----------------
+    "q56_islands" -> ((s, dir) => {
+      val keys = t(s, dir, "orders")
+        .filter(col("o_custkey") % 3 === 0)
+        .select(col("o_orderkey").cast("long").as("k")).distinct()
+      ops.Islands.islands(keys, "k", bucketWidth = 4096)
+        .groupBy(col("island_len"))
+        .agg(count(lit(1)).as("n_islands"),
+          min("island_start").as("min_start"),
+          max("island_start").as("max_start"))
+        .orderBy("island_len")
+    }),
+
+    // ---- per-group z-score outliers from EXACT decimal moments: the
+    // five stat rows broadcast back over one pruned scan ----------------
+    "q57_outliers" -> ((s, dir) => {
+      val ev = events(s, dir)
+      val vdec = col("value").cast("decimal(18,6)")
+      val stats = ev.groupBy(col("event_type").as("g"))
+        .agg(count(lit(1)).as("n"),
+          sum(vdec).cast("double").as("s1"),
+          sum(vdec * vdec).cast("double").as("s2"))
+      val mean = col("s1") / col("n")
+      val z = (col("value") - mean) /
+        sqrt(col("s2") / col("n") - mean * mean)
+      ev.join(broadcast(stats), ev("event_type") === col("g"))
+        .select(col("event_id"), col("event_type"), col("value"), z.as("z"))
+        .filter(abs(col("z")) > 3.0)
+        .orderBy("event_id")
+    }),
+
+    // ---- fixed-point distributed k-means (Lloyd, 2 iterations, seeded
+    // centroids): integer micro-units end to end, so assignments and
+    // centroids are bit-identical on any partitioning and in the
+    // unrolled-CTE oracle ------------------------------------------------
+    "e9_kmeans" -> ((s, dir) => {
+      ops.Similarity.kmeansFixedPoint(t(s, dir, "embeddings"),
+          "vec_id", "embedding", k = 4, iterations = 2)
+        .orderBy("cid", "dim")
     })
   )
+
+  /** Shared 16-token boilerplate header injected by the d27 gate —
+    * referenced verbatim by both the Spark query and its oracle. */
+  private val boilerplateHeader =
+    "terms of service all rights reserved click here to accept cookies and continue to the site"
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
@@ -2792,6 +2884,137 @@ object SparkEntry {
          |  CAST(MAX(CASE WHEN v = 0 THEN 51
          |                ELSE 51 - length(bin(v)) END) AS INT) AS max_rho
          |FROM rho GROUP BY 1 ORDER BY bucket""".stripMargin
-    }
+    },
+
+    "d27_boilerplate" -> {
+      val tk = s"CASE WHEN length(trim(text)) = 0 THEN []::VARCHAR[] " +
+        s"ELSE ${OracleSql.toks("text")} END"
+      s"""WITH aug AS (
+         |  SELECT doc_id,
+         |    CASE WHEN doc_id % 5 = 0
+         |         THEN '$boilerplateHeader' || ' ' || text ELSE text END AS text
+         |  FROM documents),
+         |toks AS (SELECT doc_id, $tk AS tk FROM aug),
+         |spans AS (
+         |  SELECT doc_id,
+         |    unnest(range(0, (greatest(len(tk), 1) - 1) // 8 + 1)) AS chunk_id,
+         |    tk
+         |  FROM toks),
+         |sp AS (
+         |  SELECT doc_id, chunk_id,
+         |    array_to_string(tk[(chunk_id * 8 + 1):(chunk_id * 8 + 8)], ' ')
+         |      AS chunk_text
+         |  FROM spans),
+         |fps AS (SELECT doc_id, chunk_id, chunk_text,
+         |               ${OracleSql.h64("chunk_text")} AS fp FROM sp),
+         |boiler AS (
+         |  SELECT fp FROM (SELECT DISTINCT fp, doc_id FROM fps)
+         |  GROUP BY fp HAVING COUNT(*) > 5),
+         |kept AS (
+         |  SELECT doc_id, COUNT(*) AS n_kept,
+         |    array_to_string(list(chunk_text ORDER BY chunk_id), ' ')
+         |      AS clean_text
+         |  FROM fps WHERE fp NOT IN (SELECT fp FROM boiler)
+         |  GROUP BY doc_id),
+         |totals AS (SELECT doc_id, COUNT(*) AS n_spans FROM fps GROUP BY doc_id)
+         |SELECT t.doc_id, t.n_spans,
+         |  COALESCE(k.n_kept, 0) AS n_kept,
+         |  COALESCE(k.clean_text, '') AS clean_text
+         |FROM totals t LEFT JOIN kept k ON t.doc_id = k.doc_id
+         |ORDER BY t.doc_id""".stripMargin
+    },
+
+    "d28_split" -> {
+      val h = OracleSql.h64("'graft-split' || '-' || CAST(doc_id AS VARCHAR)")
+      s"""SELECT doc_id, lang,
+         |  CAST($h % 100 AS BIGINT) AS bucket,
+         |  CASE WHEN $h % 100 < 80 THEN 'train'
+         |       WHEN $h % 100 < 90 THEN 'val'
+         |       ELSE 'test' END AS split
+         |FROM documents ORDER BY doc_id""".stripMargin
+    },
+
+    "d29_temperature_mix" -> {
+      val u = "CAST(('0x' || substr(md5('graft-mix' || '-' || " +
+        "CAST(doc_id AS VARCHAR)), 1, 13))::BIGINT AS DOUBLE)"
+      s"""WITH d AS (SELECT doc_id, lang FROM documents),
+         |stats AS (SELECT lang AS domain, COUNT(*) AS n FROM d GROUP BY 1),
+         |tot AS (
+         |  SELECT SUM(n) AS n_total,
+         |    list_reduce(list(sqrt(CAST(n AS DOUBLE)) ORDER BY domain),
+         |                (a, b) -> a + b) AS sqrt_sum
+         |  FROM stats),
+         |fr AS (
+         |  SELECT domain,
+         |    least(1.0, (0.5 * CAST(n_total AS DOUBLE)) *
+         |      (sqrt(CAST(n AS DOUBLE)) / sqrt_sum) / CAST(n AS DOUBLE))
+         |      AS keep_frac
+         |  FROM stats, tot)
+         |SELECT doc_id, lang, keep_frac
+         |FROM d JOIN fr ON d.lang = fr.domain
+         |WHERE $u < keep_frac * 4503599627370496.0
+         |ORDER BY doc_id""".stripMargin
+    },
+
+    "g2_triangles" ->
+      """WITH pt AS (
+        |  SELECT DISTINCT l_orderkey AS o, CAST(l_partkey AS BIGINT) AS p
+        |  FROM lineitem WHERE l_orderkey % 10 = 0),
+        |pairs AS (
+        |  SELECT x.p AS p1, y.p AS p2
+        |  FROM pt x JOIN pt y ON x.o = y.o AND x.p < y.p),
+        |e AS (
+        |  SELECT DISTINCT least(p1, p2) AS a, greatest(p1, p2) AS b
+        |  FROM pairs WHERE p1 <> p2),
+        |deg AS (
+        |  SELECT v, COUNT(*) AS d FROM (
+        |    SELECT a AS v FROM e UNION ALL SELECT b FROM e) GROUP BY v),
+        |o AS (
+        |  SELECT
+        |    CASE WHEN da.d < db.d OR (da.d = db.d AND a < b) THEN a ELSE b END AS u,
+        |    CASE WHEN da.d < db.d OR (da.d = db.d AND a < b) THEN b ELSE a END AS v,
+        |    CASE WHEN da.d < db.d OR (da.d = db.d AND a < b) THEN db.d ELSE da.d END AS dv
+        |  FROM e JOIN deg da ON e.a = da.v JOIN deg db ON e.b = db.v),
+        |w AS (
+        |  SELECT o1.u, o1.v AS v1, o2.v AS v2
+        |  FROM o o1 JOIN o o2 ON o1.u = o2.u
+        |  WHERE o1.dv < o2.dv OR (o1.dv = o2.dv AND o1.v < o2.v))
+        |SELECT w.u AS node, COUNT(*) AS n_triangles
+        |FROM w JOIN o ON w.v1 = o.u AND w.v2 = o.v
+        |GROUP BY 1 ORDER BY node""".stripMargin,
+
+    "q56_islands" ->
+      """WITH k AS (
+        |  SELECT DISTINCT CAST(o_orderkey AS BIGINT) AS k
+        |  FROM orders WHERE o_custkey % 3 = 0),
+        |g AS (SELECT k, k - ROW_NUMBER() OVER (ORDER BY k) AS grp FROM k),
+        |isl AS (
+        |  SELECT MIN(k) AS island_start, MAX(k) AS island_end,
+        |         MAX(k) - MIN(k) + 1 AS island_len
+        |  FROM g GROUP BY grp)
+        |SELECT island_len, COUNT(*) AS n_islands,
+        |  MIN(island_start) AS min_start, MAX(island_start) AS max_start
+        |FROM isl GROUP BY island_len ORDER BY island_len""".stripMargin,
+
+    "q57_outliers" ->
+      // the DOUBLE casts go through VARCHAR: DuckDB's direct
+      // decimal(38,12) → double cast double-rounds (int128 → double →
+      // ÷10^12, off by 1 ulp from Spark's correctly-rounded
+      // BigDecimal.doubleValue); the exact decimal string re-parsed as
+      // double is correctly rounded on both engines
+      """WITH e AS (SELECT event_id, event_type, value FROM events),
+        |s AS (
+        |  SELECT event_type AS g, COUNT(*) AS n,
+        |    CAST(CAST(SUM(CAST(value AS DECIMAL(18,6))) AS VARCHAR) AS DOUBLE) AS s1,
+        |    CAST(CAST(SUM(CAST(value AS DECIMAL(18,6)) * CAST(value AS DECIMAL(18,6)))
+        |         AS VARCHAR) AS DOUBLE) AS s2
+        |  FROM e GROUP BY 1)
+        |SELECT event_id, event_type, value,
+        |  (value - s1 / n) / sqrt(s2 / n - (s1 / n) * (s1 / n)) AS z
+        |FROM e JOIN s ON event_type = g
+        |WHERE abs((value - s1 / n) / sqrt(s2 / n - (s1 / n) * (s1 / n))) > 3.0
+        |ORDER BY event_id""".stripMargin,
+
+    "e9_kmeans" -> OracleSql.kmeansFixedPoint(k = 4, iters = 2, dim = 64)
   )
 }

@@ -351,4 +351,105 @@ object CorpusOps {
       frac(topBg, sz(bg)).as("top_bigram_frac"),
       frac(dupTg, sz(tg)).as("dup_trigram_frac"))
   }
+
+  /** Cross-document boilerplate removal (the paragraph-dedup pass of
+    * CCNet/C4-style pipelines, applied to aligned `unit`-token spans
+    * since the corpus carries no line structure): fingerprint each
+    * span, count how many DISTINCT documents contain it, drop spans
+    * shared by more than `maxDf` documents (headers, footers, cookie
+    * banners), and reassemble the survivors in order.
+    *
+    * Scale shape: spans shuffle as (fingerprint, doc) pairs — never
+    * text — for the document-frequency aggregate; the drop itself is a
+    * LEFT ANTI join against only the over-threshold fingerprints, a
+    * set bounded by corpus_tokens / (unit · maxDf) and in practice tiny
+    * (it is the boilerplate vocabulary), so AQE broadcasts it at any
+    * realistic scale. Reassembly sorts each document's surviving spans
+    * row-locally (array_sort over collected (pos, text) structs — no
+    * global sort). Documents that are pure boilerplate survive with
+    * clean_text = '' via the final left join from the original ids. */
+  def removeBoilerplate(df: DataFrame, idCol: String, textCol: String,
+      unit: Int = 8, maxDf: Long = 5): DataFrame = {
+    val spans = chunk(df, idCol, textCol, unit, unit)
+      .select(col(idCol), col("chunk_id"),
+        h64(col("chunk_text")).as("fp"), col("chunk_text"))
+      .localCheckpoint(eager = false) // feeds the df-aggregate AND the anti-join
+    val boiler = spans.select(col(idCol), col("fp")).distinct()
+      .groupBy("fp").agg(count(lit(1)).as("chunk_df"))
+      .filter(col("chunk_df") > maxDf)
+    val kept = spans.join(boiler.select("fp"), Seq("fp"), "left_anti")
+      .groupBy(col(idCol))
+      .agg(count(lit(1)).as("n_kept"),
+        array_join(transform(
+          array_sort(collect_list(struct(col("chunk_id"), col("chunk_text")))),
+          s => s.getField("chunk_text")), " ").as("clean_text"))
+    val totals = spans.groupBy(col(idCol))
+      .agg(count(lit(1)).as("n_spans"))
+    totals.join(kept, Seq(idCol), "left")
+      .select(col(idCol), col("n_spans"),
+        coalesce(col("n_kept"), lit(0L)).as("n_kept"),
+        coalesce(col("clean_text"), lit("")).as("clean_text"))
+  }
+
+  /** Deterministic train/validation/test assignment: the md5-derived
+    * per-row bucket in [0, 100) is split by cumulative thresholds, so
+    * the assignment is reproducible across engines, runs, partitionings
+    * and INCREMENTAL corpus growth (a document's split never changes
+    * when other documents arrive — the property `randomSplit` cannot
+    * give). Pure projection: no shuffle, no state. */
+  def deterministicSplit(df: DataFrame, idCol: String,
+      splits: Seq[(String, Int)] = Seq("train" -> 80, "val" -> 10, "test" -> 10),
+      salt: String = "graft-split"): DataFrame = {
+    require(splits.nonEmpty && splits.map(_._2).sum == 100,
+      s"split percentages must sum to 100, got $splits")
+    val bucket = samplePct(idCol, salt)
+    val cuts = splits.scanLeft(0) { case (acc, (_, p)) => acc + p }.tail
+    val assign = splits.zip(cuts).foldRight(lit(splits.last._1): Column) {
+      case (((name, _), cut), acc) => when(bucket < cut, lit(name)).otherwise(acc)
+    }
+    df.withColumn("bucket", bucket).withColumn("split", assign)
+  }
+
+  /** Temperature-based domain rebalancing (the multilingual/multi-source
+    * mixing rule of GPT-3/PaLM-style pipelines, public in Brown et al.
+    * 2020 §2.2): domain d with n_d documents gets sampling weight
+    * `n_d^(1/2) / Σ n^(1/2)` — a α=0.5 temperature that upweights
+    * small domains — and each document is kept with probability
+    * `min(1, targetFrac·N·w_d / n_d)` decided by its salted md5
+    * fraction, so the sample is deterministic and repartition-stable.
+    *
+    * Determinism across engines: every float input derives from exact
+    * integer counts; the Σ n^(1/2) reduction folds over the domain list
+    * SORTED BY DOMAIN NAME (one array_sort + aggregate over a
+    * collect_list in a single 1-row reduce — domains are few by
+    * definition), so even double summation order is pinned. The per-row
+    * uniform is the first 13 md5 hex digits as a 52-bit integer,
+    * compared against keep_frac·2^52 — float-exact on both engines.
+    *
+    * Scale shape: one tiny aggregate (|domains| rows) → 1-row reduce →
+    * broadcast join of the per-domain keep fractions → pure filter.
+    * The corpus itself is scanned once and never shuffled. */
+  def temperatureMix(df: DataFrame, idCol: String, domainCol: String,
+      targetFrac: Double = 0.5, salt: String = "graft-mix"): DataFrame = {
+    val domStats = df.groupBy(col(domainCol).as("domain"))
+      .agg(count(lit(1)).as("n"))
+    val totals = domStats.agg(
+      sum("n").as("n_total"),
+      aggregate(
+        array_sort(collect_list(struct(col("domain"), col("n")))),
+        lit(0.0),
+        (acc, s) => acc + sqrt(s.getField("n").cast("double"))).as("sqrt_sum"))
+    val fracs = domStats.crossJoin(broadcast(totals))
+      .select(col("domain"),
+        least(lit(1.0),
+          (lit(targetFrac) * col("n_total").cast("double")) *
+            (sqrt(col("n").cast("double")) / col("sqrt_sum")) /
+            col("n").cast("double")).as("keep_frac"))
+    val u52 = conv(substring(
+      md5(concat_ws("-", lit(salt), col(idCol).cast("string"))), 1, 13), 16, 10)
+      .cast("long")
+    df.join(broadcast(fracs), df(domainCol) === fracs("domain"))
+      .filter(u52.cast("double") < col("keep_frac") * lit(4503599627370496.0)) // 2^52
+      .select(df.columns.map(col) :+ col("keep_frac"): _*)
+  }
 }

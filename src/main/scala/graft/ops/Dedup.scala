@@ -352,8 +352,12 @@ object Dedup {
     var labels = edges.groupBy("a").agg(min("b").as("mb"))
       .select(col("a").as("node"), least(col("a"), col("mb")).as("cluster_rep"))
       .localCheckpoint(eager = false)
-    var prevSum = labels
-      .agg(sum(col("cluster_rep").cast("decimal(38,0)"))).collect()(0).getDecimal(0)
+    // sum() over an empty edge set is null — coalesce to 0 so a pairless
+    // input (e.g. a gapless Islands link graph) converges instead of NPEing
+    def labelSum(df: DataFrame): java.math.BigDecimal =
+      Option(df.agg(sum(col("cluster_rep").cast("decimal(38,0)")))
+        .collect()(0).getDecimal(0)).getOrElse(java.math.BigDecimal.ZERO)
+    var prevSum = labelSum(labels)
 
     var i = 0
     var converged = false
@@ -372,8 +376,7 @@ object Dedup {
               coalesce(col("graft_ptr"), col("cluster_rep"))))
             .as("cluster_rep"))
         .localCheckpoint(eager = false)
-      val nextSum = next
-        .agg(sum(col("cluster_rep").cast("decimal(38,0)"))).collect()(0).getDecimal(0)
+      val nextSum = labelSum(next)
       labels = next
       converged = nextSum.compareTo(prevSum) == 0
       prevSum = nextSum

@@ -94,4 +94,57 @@ object Graph {
     }
     rank
   }
+
+  /** Triangle counting with degree orientation — the standard trick
+    * that makes distributed triangle enumeration feasible (Suri &
+    * Vassilvitskii, WWW'11 "Counting Triangles and the Curse of the
+    * Last Reducer", public): orient every undirected edge from its
+    * lower-(degree, id) endpoint to its higher one, enumerate wedges
+    * only from each node's OUT-neighborhood, and close them against the
+    * oriented edge list. Orientation bounds every out-degree by
+    * O(√edges) even on power-law graphs, so the wedge set is
+    * O(edges^1.5) instead of Σ deg² — the high-degree hub that would
+    * otherwise produce billions of wedges fans out nothing.
+    *
+    * Physical shape: dedupe edges (one shuffle), degree count (one
+    * aggregate over the exploded endpoints), two broadcast-eligible
+    * joins to attach degrees, then wedge self-join on the apex and one
+    * closing equi-join on (v1, v2). Every triangle is counted exactly
+    * once, at its minimum-(degree, id) apex.
+    *
+    * @return (node, n_triangles) for every apex with >= 1 triangle
+    */
+  def triangleCount(edges: DataFrame, srcCol: String, dstCol: String): DataFrame = {
+    val e = edges
+      .select(least(col(srcCol), col(dstCol)).cast("long").as("a"),
+        greatest(col(srcCol), col(dstCol)).cast("long").as("b"))
+      .filter(col("a") =!= col("b"))
+      .distinct()
+      .localCheckpoint(eager = false) // feeds degrees AND both join sides
+    val deg = e.select(explode(array(col("a"), col("b"))).as("v"))
+      .groupBy("v").agg(count(lit(1)).as("d"))
+
+    // orient each edge toward the higher (degree, id) endpoint
+    val withDeg = e
+      .join(deg.select(col("v").as("a"), col("d").as("da")), Seq("a"))
+      .join(deg.select(col("v").as("b"), col("d").as("db")), Seq("b"))
+    val oriented = withDeg.select(
+      when(col("da") < col("db") ||
+          (col("da") === col("db") && col("a") < col("b")),
+        struct(col("a").as("u"), col("b").as("v"), col("db").as("dv")))
+        .otherwise(struct(col("b").as("u"), col("a").as("v"), col("da").as("dv")))
+        .as("o"))
+      .select(col("o.u").as("u"), col("o.v").as("v"), col("o.dv").as("dv"))
+      .localCheckpoint(eager = false) // wedge sides + closing join
+
+    val w1 = oriented.select(col("u"), col("v").as("v1"), col("dv").as("dv1"))
+    val w2 = oriented.select(col("u"), col("v").as("v2"), col("dv").as("dv2"))
+    val wedges = w1.join(w2, Seq("u"))
+      .filter(col("dv1") < col("dv2") ||
+        (col("dv1") === col("dv2") && col("v1") < col("v2")))
+    wedges
+      .join(oriented.select(col("u").as("v1"), col("v").as("v2")), Seq("v1", "v2"))
+      .groupBy(col("u").as("node"))
+      .agg(count(lit(1)).as("n_triangles"))
+  }
 }

@@ -307,4 +307,86 @@ object Similarity {
     df.select(col(idCol).as("id"), v.as("v"),
       bucketBits.reduce(_.bitwiseOR(_)).as("bucket"))
   }
+
+  /** Distributed Lloyd's k-means in FIXED-POINT integer arithmetic —
+    * the same determinism discipline as [[graft.ops.Graph.pageRank]]:
+    * float k-means sums partial centroid contributions in
+    * nondeterministic order, so two runs (or two engines) drift in the
+    * last ulp and cascade into different assignments; this variant
+    * floors every component to an integer micro-unit
+    * (`floor(x · 10^6)`, exact in IEEE double for |x| < 2^32), keeps
+    * distances as exactly-representable integer-valued doubles (every
+    * partial sum < 2^53, so even fold ORDER is irrelevant — addition of
+    * exact integers is associative), and updates centroids by integer
+    * floor-division mean. Bit-identical on any partitioning and
+    * replayable in ANSI SQL (gate e9's unrolled-CTE oracle).
+    *
+    * Cluster seeds are the vectors with ids 0..k-1 (deterministic, no
+    * k-means++ randomness). A cluster that loses all members vanishes
+    * (mirrored by the oracle); with real data and small k this does not
+    * arise.
+    *
+    * Scale shape per iteration: assignment is a broadcast cross join
+    * against the k-row centroid table (the distance argmin runs inside
+    * the codegen'd [[graft.functions.ArrayDotProduct]] kernel via
+    * ‖v−c‖² = v·v − 2v·c + c·c); the update exploes members to
+    * (cluster, dim) cells and reduces with map-side partial aggregation
+    * — one shuffle of d·n small longs, the irreducible cost of Lloyd.
+    * No driver-side state: centroids stay a DataFrame end to end,
+    * lineage truncated per iteration by lazy localCheckpoint.
+    *
+    * @return (cid, dim, c, n_members): flattened final centroids with
+    *         their member counts
+    */
+  def kmeansFixedPoint(
+      df: DataFrame,
+      idCol: String,
+      vecCol: String,
+      k: Int,
+      iterations: Int,
+      scale: Double = 1e6): DataFrame = {
+    require(k > 0 && iterations >= 0, s"need k > 0, iterations >= 0")
+    val vecs = df
+      .select(col(idCol).cast("long").as("id"),
+        // Spark's floor yields bigint; back to double for the dot kernel
+        // (values stay exact integers well under 2^53)
+        transform(col(vecCol).cast("array<double>"),
+          x => floor(x * scale).cast("double")).as("v"))
+      .localCheckpoint(eager = false) // read every iteration
+    val selfDot = dot(col("v"), col("v"))
+
+    var centroids = vecs.filter(col("id") < k)
+      .select(col("id").as("cid"), col("v").as("c"))
+    for (_ <- 1 to iterations) {
+      val assigned = assign(vecs, selfDot, centroids)
+      centroids = assigned
+        .join(vecs, Seq("id"))
+        .select(col("cid"), posexplode(col("v")).as(Seq("dim", "x")))
+        .groupBy("cid", "dim")
+        .agg(expr("sum(cast(x as bigint)) div count(1)").as("m"))
+        .groupBy("cid")
+        .agg(transform(array_sort(collect_list(struct(col("dim"), col("m")))),
+          s => s.getField("m").cast("double")).as("c"))
+        .localCheckpoint(eager = false)
+    }
+    val sizes = assign(vecs, selfDot, centroids)
+      .groupBy("cid").agg(count(lit(1)).as("n_members"))
+    centroids.join(sizes, Seq("cid"))
+      .select(col("cid"), posexplode(col("c")).as(Seq("dim", "c")),
+        col("n_members"))
+      .select(col("cid"), col("dim"), col("c").cast("long").as("c"),
+        col("n_members"))
+  }
+
+  /** One assignment pass: nearest centroid per vector, ties to the
+    * lowest cluster id (min over (dist, cid) structs). */
+  private def assign(vecs: DataFrame, selfDot: Column,
+      centroids: DataFrame): DataFrame =
+    vecs.crossJoin(broadcast(centroids))
+      .select(col("id"), col("cid"),
+        (selfDot - lit(2.0) * dot(col("v"), col("c")) + dot(col("c"), col("c")))
+          .as("dist"))
+      .groupBy("id")
+      .agg(min(struct(col("dist"), col("cid"))).as("best"))
+      .select(col("id"), col("best.cid").as("cid"))
 }

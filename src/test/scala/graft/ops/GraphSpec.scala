@@ -51,4 +51,32 @@ class GraphSpec extends AnyFunSuite with SparkTestBase {
     val r = ranks(Seq((1L, 2L), (2L, 3L)), 0)
     assert(r === Map(1L -> 1000000000L, 2L -> 1000000000L, 3L -> 1000000000L))
   }
+
+  private def tri(edges: Seq[(Long, Long)]): Map[Long, Long] =
+    Graph.triangleCount(edges.toDF("src", "dst"), "src", "dst")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+
+  test("K4 has four triangles, each counted once at its min apex") {
+    val k4 = for (a <- 1L to 4L; b <- (a + 1) to 4L) yield (a, b)
+    // equal degrees → orientation by id → apexes are the two smallest ids
+    assert(tri(k4) === Map(1L -> 3L, 2L -> 1L))
+  }
+
+  test("paths and stars are triangle-free") {
+    assert(tri(Seq((1L, 2L), (2L, 3L), (3L, 4L))) === Map.empty)
+    assert(tri(Seq((1L, 2L), (1L, 3L), (1L, 4L))) === Map.empty)
+  }
+
+  test("triangle count ignores duplicates, direction, and self-loops") {
+    val messy = Seq((1L, 2L), (2L, 1L), (2L, 3L), (3L, 1L), (1L, 1L), (2L, 3L))
+    assert(tri(messy).values.sum === 1L)
+  }
+
+  test("triangle count is stable under repartitioning") {
+    val edges = (0L until 300L).map(i => (i % 25, (i * 7 + 3) % 25)).filter(e => e._1 != e._2)
+    val a = tri(edges)
+    val b = Graph.triangleCount(edges.toDF("src", "dst").repartition(8), "src", "dst")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(a === b)
+  }
 }
