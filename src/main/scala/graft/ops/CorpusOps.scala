@@ -359,36 +359,39 @@ object CorpusOps {
     * shared by more than `maxDf` documents (headers, footers, cookie
     * banners), and reassemble the survivors in order.
     *
-    * Scale shape: spans shuffle as (fingerprint, doc) pairs — never
-    * text — for the document-frequency aggregate; the drop itself is a
-    * LEFT ANTI join against only the over-threshold fingerprints, a
-    * set bounded by corpus_tokens / (unit · maxDf) and in practice tiny
-    * (it is the boilerplate vocabulary), so AQE broadcasts it at any
-    * realistic scale. Reassembly sorts each document's surviving spans
-    * row-locally (array_sort over collected (pos, text) structs — no
-    * global sort). Documents that are pure boilerplate survive with
-    * clean_text = '' via the final left join from the original ids. */
+    * Scale shape: span TEXT never shuffles. The frequency pass explodes
+    * only (doc, span_pos, fingerprint); the drop is a LEFT ANTI join
+    * against the over-threshold fingerprints — a set bounded by
+    * corpus_tokens / (unit · maxDf), in practice the tiny boilerplate
+    * vocabulary, so AQE broadcasts it; surviving positions reduce to one
+    * int-array row per doc (map-side combined). Text moves exactly once,
+    * in the final equi-join back to the corpus, where each document
+    * re-chunks row-locally and keeps the surviving positions. Documents
+    * that are pure boilerplate keep a row with clean_text = ''. The
+    * fingerprint projection runs twice (frequency pass + final rebuild)
+    * — two pruned columnar scans, cheaper at any scale than
+    * materializing and shuffling every span string. */
   def removeBoilerplate(df: DataFrame, idCol: String, textCol: String,
       unit: Int = 8, maxDf: Long = 5): DataFrame = {
-    val spans = chunk(df, idCol, textCol, unit, unit)
-      .select(col(idCol), col("chunk_id"),
-        h64(col("chunk_text")).as("fp"), col("chunk_text"))
-      .localCheckpoint(eager = false) // feeds the df-aggregate AND the anti-join
+    val spanTexts = transform(
+      sequence(lit(1), greatest(org.apache.spark.sql.functions.size(tokens(col(textCol))), lit(1)), lit(unit)),
+      st => concat_ws(" ", slice(tokens(col(textCol)), st, lit(unit))))
+    val spans = df.select(col(idCol),
+      posexplode(transform(spanTexts, s => h64(s))).as(Seq("chunk_id", "fp")))
     val boiler = spans.select(col(idCol), col("fp")).distinct()
       .groupBy("fp").agg(count(lit(1)).as("chunk_df"))
       .filter(col("chunk_df") > maxDf)
-    val kept = spans.join(boiler.select("fp"), Seq("fp"), "left_anti")
+    val keptIds = spans.join(boiler.select("fp"), Seq("fp"), "left_anti")
       .groupBy(col(idCol))
       .agg(count(lit(1)).as("n_kept"),
-        array_join(transform(
-          array_sort(collect_list(struct(col("chunk_id"), col("chunk_text")))),
-          s => s.getField("chunk_text")), " ").as("clean_text"))
-    val totals = spans.groupBy(col(idCol))
-      .agg(count(lit(1)).as("n_spans"))
-    totals.join(kept, Seq(idCol), "left")
-      .select(col(idCol), col("n_spans"),
+        array_sort(collect_list(col("chunk_id"))).as("kept"))
+    df.join(keptIds, Seq(idCol), "left")
+      .select(col(idCol),
+        org.apache.spark.sql.functions.size(spanTexts).cast("long").as("n_spans"),
         coalesce(col("n_kept"), lit(0L)).as("n_kept"),
-        coalesce(col("clean_text"), lit("")).as("clean_text"))
+        array_join(org.apache.spark.sql.functions.filter(spanTexts,
+          (_, i) => array_contains(coalesce(col("kept"), array().cast("array<int>")), i)),
+          " ").as("clean_text"))
   }
 
   /** Deterministic train/validation/test assignment: the md5-derived

@@ -358,6 +358,11 @@ object Similarity {
     var centroids = vecs.filter(col("id") < k)
       .select(col("id").as("cid"), col("v").as("c"))
     for (_ <- 1 to iterations) {
+      // NO checkpoint here: each centroid table is consumed exactly once,
+      // inside the next round's broadcast exchange, so the whole
+      // iteration chain plans as ONE query with nested broadcasts — each
+      // m-step executes once, and dropping the per-iteration
+      // materialization job roughly halves the wall clock
       val assigned = assign(vecs, selfDot, centroids)
       centroids = assigned
         .join(vecs, Seq("id"))
@@ -367,8 +372,10 @@ object Similarity {
         .groupBy("cid")
         .agg(transform(array_sort(collect_list(struct(col("dim"), col("m")))),
           s => s.getField("m").cast("double")).as("c"))
-        .localCheckpoint(eager = false)
     }
+    // the FINAL table is consumed twice (size assignment + output join):
+    // one lazy checkpoint stops the last m-step from running double
+    centroids = centroids.localCheckpoint(eager = false)
     val sizes = assign(vecs, selfDot, centroids)
       .groupBy("cid").agg(count(lit(1)).as("n_members"))
     centroids.join(sizes, Seq("cid"))
