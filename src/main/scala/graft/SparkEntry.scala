@@ -1523,6 +1523,46 @@ object SparkEntry {
       ops.Similarity.kmeansFixedPoint(t(s, dir, "embeddings"),
           "vec_id", "embedding", k = 4, iterations = 2)
         .orderBy("cid", "dim")
+    }),
+
+    // ---- perceptual image hashing: real PNG decode → 9×8 grid → 64-bit
+    // dHash, the key for Hamming-banded image near-dup joins ------------
+    "m4_image_dhash" -> ((s, dir) => {
+      val pngs = ops.Multimodal.syntheticMedia(
+        t(s, dir, "documents").select("doc_id").filter(col("doc_id") % 3 === 0),
+        "doc_id")(s)
+      ops.Multimodal.dhashFeatures(pngs).toDF()
+        .orderBy("media_id")
+    }),
+
+    // ---- S1/K1 through a THIRD columnar format: write ORC, read it
+    // back, aggregate — checked against the parquet-derived oracle ------
+    "q58_orc_roundtrip" -> ((s, dir) => {
+      implicit val sp: SparkSession = s
+      val tmp = java.nio.file.Files.createTempDirectory("graft-orc").toString
+      val params = io.SourceParams("orc", Some(s"$tmp/customer"))
+      io.DataFrameIO.write(t(s, dir, "customer"), params)
+      io.DataFrameIO.load(params)
+        .groupBy("c_nationkey")
+        .agg(count(lit(1)).as("n_customers"),
+          sum(col("c_acctbal").cast("decimal(18,2)")).cast("double").as("total_bal"))
+        .orderBy("c_nationkey")
+    }),
+
+    // ---- running distinct-count per user: first-occurrence flags + a
+    // prefix sum — the portable form of COUNT(DISTINCT) OVER ------------
+    "q59_running_distinct" -> ((s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val ev = events(s, dir).filter(col("user_id") % 5 === 0)
+      val w1 = Window.partitionBy("user_id", "event_type")
+        .orderBy(col("ts"), col("event_id"))
+      val w2 = Window.partitionBy("user_id").orderBy(col("ts"), col("event_id"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      ev.withColumn("fs",
+          when(row_number().over(w1) === 1, lit(1L)).otherwise(lit(0L)))
+        .select(col("user_id"), col("event_id"), unix_micros(col("ts")).as("ts_us"),
+          sum("fs").over(w2).as("n_distinct_types"))
+        .orderBy("user_id", "event_id")
     })
   )
 
@@ -3015,6 +3055,47 @@ object SparkEntry {
         |WHERE abs((value - s1 / n) / sqrt(s2 / n - (s1 / n) * (s1 / n))) > 3.0
         |ORDER BY event_id""".stripMargin,
 
-    "e9_kmeans" -> OracleSql.kmeansFixedPoint(k = 4, iters = 2, dim = 64)
+    "e9_kmeans" -> OracleSql.kmeansFixedPoint(k = 4, iters = 2, dim = 64),
+
+    "m4_image_dhash" ->
+      // mirrors MediaCodec.dhash bit for bit: the same (x·w)//9 nearest-
+      // neighbor source indexing over the MediaGen.grayAt pixel formula;
+      // bit 63 cannot be built as 1<<63 in DuckDB (overflow error), so it
+      // enters the sum as the raw Long.MIN literal — disjoint bits keep
+      // every partial sum in range
+      """WITH ids AS (
+        |  SELECT doc_id AS id, doc_id % 64 + 1 AS w, doc_id % 48 + 1 AS h
+        |  FROM documents WHERE doc_id % 3 = 0),
+        |bits AS (
+        |  SELECT id, y * 8 + x AS b
+        |  FROM ids, range(0, 8) tx(x), range(0, 8) ty(y)
+        |  WHERE ((x * w // 9) * 7 + (y * h // 8) * 13 + id * 31) % 256
+        |      > (((x + 1) * w // 9) * 7 + (y * h // 8) * 13 + id * 31) % 256)
+        |SELECT i.id AS media_id, CAST(i.w AS INT) AS width, CAST(i.h AS INT) AS height,
+        |  CAST(COALESCE(SUM(CASE WHEN b.b = 63 THEN -9223372036854775808
+        |                         ELSE (1::BIGINT << b.b) END), 0) AS BIGINT) AS dhash
+        |FROM ids i LEFT JOIN bits b ON i.id = b.id
+        |GROUP BY i.id, i.w, i.h ORDER BY media_id""".stripMargin,
+
+    "q58_orc_roundtrip" ->
+      """SELECT c_nationkey, COUNT(*) AS n_customers,
+        |  CAST(SUM(CAST(c_acctbal AS DECIMAL(18,2))) AS DOUBLE) AS total_bal
+        |FROM customer GROUP BY c_nationkey ORDER BY c_nationkey""".stripMargin,
+
+    "q59_running_distinct" ->
+      """WITH e AS (
+        |  SELECT user_id, event_id, CAST(ts AS TIMESTAMP) AS ts, event_type
+        |  FROM events WHERE user_id % 5 = 0),
+        |f AS (
+        |  SELECT user_id, event_id, ts,
+        |    CASE WHEN ROW_NUMBER() OVER (PARTITION BY user_id, event_type
+        |                                 ORDER BY ts, event_id) = 1
+        |         THEN 1 ELSE 0 END AS fs
+        |  FROM e)
+        |SELECT user_id, event_id, epoch_us(ts) AS ts_us,
+        |  CAST(SUM(fs) OVER (PARTITION BY user_id ORDER BY ts, event_id
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+        |    AS n_distinct_types
+        |FROM f ORDER BY user_id, event_id""".stripMargin
   )
 }

@@ -253,6 +253,35 @@ object Multimodal {
       out.toSeq
     }
 
+    /** 64-bit difference hash (dHash, public: Krawetz 2013 "Kind of
+      * Like That"): nearest-neighbor downsample to a 9×8 gray grid,
+      * then one bit per adjacent-pixel comparison (left > right), bit
+      * index y·8+x. Near-duplicate images differ in few bits, so
+      * Hamming distance over these longs is the standard image-dedup
+      * primitive — and it composes directly with [[Dedup.simhashPairs]]
+      * -style banding. Lossless formats keep an exact SQL oracle (same
+      * `(x·w)//9` source indexing as [[resample]]). */
+    def dhash(r: MediaRecord): Long = {
+      val img = javax.imageio.ImageIO.read(
+        new java.io.ByteArrayInputStream(r.content))
+      val w = img.getWidth
+      val h = img.getHeight
+      val raster = img.getRaster
+      var hash = 0L
+      var y = 0
+      while (y < 8) {
+        var x = 0
+        while (x < 8) {
+          val l = raster.getSample(x * w / 9, y * h / 8, 0)
+          val rt = raster.getSample((x + 1) * w / 9, y * h / 8, 0)
+          if (l > rt) hash |= 1L << (y * 8 + x)
+          x += 1
+        }
+        y += 1
+      }
+      hash
+    }
+
     private def decodeWav(r: MediaRecord): MediaFeatures = {
       val c = r.content
       val bb = java.nio.ByteBuffer.wrap(c).order(java.nio.ByteOrder.LITTLE_ENDIAN)
@@ -314,6 +343,20 @@ object Multimodal {
     media.mapPartitions { it =>
       it.grouped(MediaCodec.batchSize)
         .flatMap(_.flatMap(r => MediaCodec.frameSample(r, stride)))
+    }
+  }
+
+  /** Per-image perceptual hash record. */
+  case class ImageHash(media_id: Long, width: Int, height: Int, dhash: Long)
+
+  /** Batched perceptual hashing of an image column — same partition-wise
+    * shape as [[extractFeatures]]; emits one 64-bit dHash per image, the
+    * key for Hamming-banded image near-dup joins. */
+  def dhashFeatures(media: Dataset[MediaRecord]): Dataset[ImageHash] = {
+    import media.sparkSession.implicits._
+    media.mapPartitions { it =>
+      it.grouped(MediaCodec.batchSize).flatMap(_.map(r =>
+        ImageHash(r.media_id, r.meta.width, r.meta.height, MediaCodec.dhash(r))))
     }
   }
 

@@ -980,6 +980,46 @@ class MultimodalSpec extends AnyFunSuite with SparkTestBase {
     assert(f(2L).mean_val == want2 && f(2L).duration_ms == 10 * 1000 / 8000)
   }
 
+  test("dhash matches the formula on a hand-computed image and separates dissimilar ones") {
+    val pngs = syntheticMedia(
+      spark.range(0, 31).toDF("id").filter("id % 3 = 0"), "id")(spark)
+    val h = dhashFeatures(pngs).collect().map(x => x.media_id -> x).toMap
+    // id 3: 4×4 image; recompute the 9×8-grid dHash from the pixel formula
+    def px(id: Long, w: Int, h0: Int, gx: Int, gy: Int): Int =
+      (((gx * w / 9) * 7 + (gy * h0 / 8) * 13 + id * 31) % 256).toInt
+    var want = 0L
+    for (y <- 0 until 8; x <- 0 until 8)
+      if (px(3, 4, 4, x, y) > px(3, 4, 4, x + 1, y)) want |= 1L << (y * 8 + x)
+    assert(h(3L).dhash === want)
+    // identical pixel formulas with different ids produce different hashes
+    // somewhere in the set (a constant hash would be a broken comparator)
+    assert(h.values.map(_.dhash).toSet.size > 1)
+    // re-hashing is deterministic
+    val again = dhashFeatures(pngs).collect().map(x => x.media_id -> x.dhash).toMap
+    assert(h.forall { case (id, x) => again(id) == x.dhash })
+  }
+
+  test("dhash is robust to pixel-level noise but not to different content") {
+    import java.awt.image.BufferedImage
+    def img(f: (Int, Int) => Int): Array[Byte] = {
+      val b = new BufferedImage(32, 32, BufferedImage.TYPE_BYTE_GRAY)
+      for (y <- 0 until 32; x <- 0 until 32) b.getRaster.setSample(x, y, 0, f(x, y))
+      val bos = new java.io.ByteArrayOutputStream()
+      javax.imageio.ImageIO.write(b, "png", bos)
+      bos.toByteArray
+    }
+    def rec(id: Long, bytes: Array[Byte]) =
+      MediaRecord(id, bytes, MediaMeta("png", 32, 32, 0L))
+    val base = (x: Int, y: Int) => (x * 8 + y) % 256
+    val noisy = (x: Int, y: Int) => ((x * 8 + y) % 256 + (if (x == 5 && y == 5) 1 else 0)) % 256
+    val other = (x: Int, y: Int) => (255 - x * 8 - y) % 256 max 0
+    val Seq(hb, hn, ho) = Seq(base, noisy, other).zipWithIndex.map { case (f, i) =>
+      MediaCodec.dhash(rec(i, img(f)))
+    }
+    assert(java.lang.Long.bitCount(hb ^ hn) <= 2) // near-dup: tiny hamming
+    assert(java.lang.Long.bitCount(hb ^ ho) > 10) // different content: far
+  }
+
   test("metadata struct survives the pipeline with typed fields") {
     val media = syntheticMedia(spark.range(0, 9).toDF("id"), "id")(spark)
     val m = media.collect().map(r => r.media_id -> r.meta).toMap
