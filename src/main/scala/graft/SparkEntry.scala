@@ -1549,6 +1549,37 @@ object SparkEntry {
         .orderBy("c_nationkey")
     }),
 
+    // ---- image near-dup pairs: dHash → pigeonhole Hamming banding →
+    // exact verification; twins at +768192 share every image modulus
+    // except a +64 gray shift, so some land within hamming 3 ------------
+    "m5_image_neardup" -> ((s, dir) => {
+      val base = t(s, dir, "documents").select("doc_id")
+        .filter(col("doc_id") % 3 === 0)
+      val ids = base.unionAll(base.select((col("doc_id") + 768192L).as("doc_id")))
+      val hashes = ops.Multimodal.dhashFeatures(
+        ops.Multimodal.syntheticMedia(ids, "doc_id")(s)).toDF()
+      ops.Dedup.hammingPairs64(hashes, "media_id", "dhash", maxHamming = 3)
+        .orderBy("id1", "id2")
+    }),
+
+    // ---- hierarchy root/depth via pointer doubling (the distributed
+    // recursive CTE): random recursive tree over the orderkey spine -----
+    "q60_hierarchy" -> ((s, dir) => {
+      val keys = t(s, dir, "orders")
+        .select(col("o_orderkey").cast("long").as("k")).distinct()
+      val parents = keys.select(col("k").as("node"),
+        when(col("k") === 1, col("k"))
+          .otherwise(lit(1L) + pmod(
+            graft.functions.TextFunctions.h64(
+              concat(lit("graft-tree-"), col("k").cast("string"))),
+            col("k") - 1)).as("parent"))
+      ops.Hierarchy.rootAndDepth(parents, "node", "parent")
+        .groupBy("depth")
+        .agg(count(lit(1)).as("n_nodes"),
+          min("node").as("min_node"), max("node").as("max_node"))
+        .orderBy("depth")
+    }),
+
     // ---- running distinct-count per user: first-occurrence flags + a
     // prefix sum — the portable form of COUNT(DISTINCT) OVER ------------
     "q59_running_distinct" -> ((s, dir) => {
@@ -3081,6 +3112,49 @@ object SparkEntry {
       """SELECT c_nationkey, COUNT(*) AS n_customers,
         |  CAST(SUM(CAST(c_acctbal AS DECIMAL(18,2))) AS DOUBLE) AS total_bal
         |FROM customer GROUP BY c_nationkey ORDER BY c_nationkey""".stripMargin,
+
+    "m5_image_neardup" ->
+      // brute-force all-pairs hamming over the formula-derived hashes:
+      // pigeonhole (4 chunks, hamming <= 3) makes the banded Spark result
+      // provably equal to brute force, so the oracle needs no banding
+      """WITH ids AS (
+        |  SELECT doc_id AS id FROM documents WHERE doc_id % 3 = 0
+        |  UNION ALL
+        |  SELECT doc_id + 768192 FROM documents WHERE doc_id % 3 = 0),
+        |dims AS (SELECT id, id % 64 + 1 AS w, id % 48 + 1 AS h FROM ids),
+        |bits AS (
+        |  SELECT id, y * 8 + x AS b
+        |  FROM dims, range(0, 8) tx(x), range(0, 8) ty(y)
+        |  WHERE ((x * w // 9) * 7 + (y * h // 8) * 13 + id * 31) % 256
+        |      > (((x + 1) * w // 9) * 7 + (y * h // 8) * 13 + id * 31) % 256),
+        |hs AS (
+        |  SELECT d.id,
+        |    CAST(COALESCE(SUM(CASE WHEN b.b = 63 THEN -9223372036854775808
+        |                           ELSE (1::BIGINT << b.b) END), 0) AS BIGINT) AS ph
+        |  FROM dims d LEFT JOIN bits b ON d.id = b.id GROUP BY d.id)
+        |SELECT a.id AS id1, b.id AS id2,
+        |  CAST(bit_count(xor(a.ph, b.ph)) AS INT) AS hamming
+        |FROM hs a JOIN hs b ON a.id < b.id
+        |WHERE bit_count(xor(a.ph, b.ph)) <= 3
+        |ORDER BY id1, id2""".stripMargin,
+
+    "q60_hierarchy" -> {
+      val h = OracleSql.h64("'graft-tree-' || CAST(k AS VARCHAR)")
+      s"""WITH RECURSIVE ks AS (
+         |  SELECT DISTINCT CAST(o_orderkey AS BIGINT) AS k FROM orders),
+         |t AS (
+         |  SELECT k AS node,
+         |    CASE WHEN k = 1 THEN k ELSE 1 + $h % (k - 1) END AS parent
+         |  FROM ks),
+         |r(node, depth) AS (
+         |  SELECT CAST(1 AS BIGINT), CAST(0 AS BIGINT)
+         |  UNION ALL
+         |  SELECT t.node, r.depth + 1
+         |  FROM t JOIN r ON t.parent = r.node WHERE t.node <> 1)
+         |SELECT depth, COUNT(*) AS n_nodes,
+         |  MIN(node) AS min_node, MAX(node) AS max_node
+         |FROM r GROUP BY depth ORDER BY depth""".stripMargin
+    },
 
     "q59_running_distinct" ->
       """WITH e AS (

@@ -273,6 +273,47 @@ object Dedup {
       .distinct()
   }
 
+  /** Near-duplicate pairs over any 64-bit perceptual hash column
+    * (simhash, image dHash, audio chromaprint-style keys): pigeonhole
+    * banding into `maxHamming + 1` bit chunks — hamming ≤ maxHamming
+    * guarantees at least one equal chunk — then exact hamming
+    * verification on the candidates. The same scale guards as
+    * [[simhashPairs]]: oversized (chunk, key) buckets are dropped, and
+    * byte-identical payloads should be collapsed to one representative
+    * BEFORE hashing (an exact-dedup pass on a payload fingerprint), or
+    * a million-copy asset cluster self-joins O(copies²) in its bucket.
+    *
+    * @return (id1, id2, hamming) with id1 < id2, hamming <= maxHamming
+    */
+  def hammingPairs64(
+      df: DataFrame,
+      idCol: String,
+      hashCol: String,
+      maxHamming: Int = 3,
+      maxBucket: Int = 1000): DataFrame = {
+    val chunks = maxHamming + 1 // pigeonhole guarantee
+    require(64 % chunks == 0,
+      s"maxHamming + 1 = $chunks must divide 64 (got maxHamming = $maxHamming)")
+    val bitsPer = 64 / chunks
+    val mask = if (bitsPer == 64) -1L else (1L << bitsPer) - 1
+    val src = df.select(col(idCol).cast("long").as("doc_id"),
+      col(hashCol).cast("long").as("ph"))
+    val chunkKeys = (0 until chunks).map(c =>
+      shiftright(col("ph"), c * bitsPer).bitwiseAND(lit(mask)))
+    val banded = capBuckets(
+      src.select(col("doc_id"), col("ph"),
+        posexplode(array(chunkKeys: _*)).as(Seq("chunk", "key"))),
+      Seq("chunk", "key"), maxBucket)
+    val l = banded.select(col("chunk"), col("key"), col("doc_id").as("id1"), col("ph").as("ph1"))
+    val r = banded.select(col("chunk"), col("key"), col("doc_id").as("id2"), col("ph").as("ph2"))
+    l.join(r, Seq("chunk", "key"))
+      .filter(col("id1") < col("id2"))
+      .select(col("id1"), col("id2"),
+        bit_count(col("ph1").bitwiseXOR(col("ph2"))).as("hamming"))
+      .filter(col("hamming") <= maxHamming)
+      .distinct()
+  }
+
   /** Embedding near-dup pairs at scale: hyperplane-LSH bucket join →
     * exact cosine verification. Unlike [[embeddingCosinePairs]] this
     * needs no pre-existing blocking column: buckets come from `bits`

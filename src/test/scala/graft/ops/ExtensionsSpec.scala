@@ -179,6 +179,25 @@ class DedupSpec extends AnyFunSuite with SparkTestBase {
     assert(!pairs.exists(p => p._1 == 3 || p._2 == 3))
   }
 
+  test("hammingPairs64 equals brute force for hamming <= maxHamming (pigeonhole)") {
+    import spark.implicits._
+    // 64-bit keys engineered around a base value: flips of 1..5 bits
+    val base = 0x5a5a5a5a5a5a5a5aL
+    val rows = Seq(
+      (0L, base), (1L, base ^ 1L), (2L, base ^ (1L << 20) ^ (1L << 40)),
+      (3L, base ^ 7L), (4L, base ^ 0x0f0f0f0fL), (5L, base ^ (1L << 63)))
+    val df = rows.toDF("id", "ph")
+    val got = Dedup.hammingPairs64(df, "id", "ph", maxHamming = 3)
+      .as[(Long, Long, Int)].collect().toSet
+    val want = (for {
+      (i, a) <- rows; (j, b) <- rows if i < j
+      h = java.lang.Long.bitCount(a ^ b) if h <= 3
+    } yield (i, j, h)).toSet
+    assert(got === want)
+    assert(want.contains((0L, 5L, 1))) // the sign-bit flip pair survives
+    assert(!got.exists(p => p._1 == 4L || p._2 == 4L)) // 8 bits away from base
+  }
+
   test("exact-dup pre-collapse keeps LSH candidates O(cluster), not O(cluster squared)") {
     import spark.implicits._
     val base = (0 until 20).map(i =>
