@@ -1525,6 +1525,47 @@ object SparkEntry {
         .orderBy("cid", "dim")
     }),
 
+    // ---- streaming incremental upsert: foreachBatch folds each
+    // micro-batch into a keyed aggregate state via Merge.incrementalAgg;
+    // the decimal sum-merge is exact and commutative, so the final state
+    // is batch-boundary-independent and equals the batch aggregate ------
+    "s8_stream_upsert" -> ((s, dir) => {
+      s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+      val tmp = java.nio.file.Files.createTempDirectory("graft-s8").toString
+      val purchases = s.read.parquet(s"$dir/events.parquet")
+        .filter(col("event_type") === "purchase")
+        .select("user_id", "value")
+      purchases.withColumn("shard", pmod(col("user_id"), lit(4)))
+        .repartition(4, col("shard"))
+        .write.parquet(s"$tmp/in") // 4 files → 4 micro-batches
+      val stateSchema = org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("user_id", org.apache.spark.sql.types.LongType),
+        org.apache.spark.sql.types.StructField("n", org.apache.spark.sql.types.LongType),
+        org.apache.spark.sql.types.StructField("total",
+          org.apache.spark.sql.types.DecimalType(18, 2))))
+      var state = s.createDataFrame(
+        s.sparkContext.emptyRDD[org.apache.spark.sql.Row], stateSchema)
+      withNarrowState(s) {
+        val q = s.readStream
+          .schema(purchases.withColumn("shard", pmod(col("user_id"), lit(4))).schema)
+          .option("maxFilesPerTrigger", "1")
+          .parquet(s"$tmp/in")
+          .writeStream
+          .foreachBatch { (batch: DataFrame, _: Long) =>
+            state = ops.Merge.incrementalAgg(state,
+                batch.withColumn("sign", lit(1L)), "user_id", "value", "sign")
+              .localCheckpoint(eager = true) // sever the micro-batch source
+            ()
+          }
+          .option("checkpointLocation", s"$tmp/chk")
+          .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+          .start()
+        q.awaitTermination()
+      }
+      state.select(col("user_id"), col("n"), col("total").cast("double").as("total"))
+        .orderBy("user_id")
+    }),
+
     // ---- perceptual image hashing: real PNG decode → 9×8 grid → 64-bit
     // dHash, the key for Hamming-banded image near-dup joins ------------
     "m4_image_dhash" -> ((s, dir) => {
@@ -3112,6 +3153,12 @@ object SparkEntry {
       """SELECT c_nationkey, COUNT(*) AS n_customers,
         |  CAST(SUM(CAST(c_acctbal AS DECIMAL(18,2))) AS DOUBLE) AS total_bal
         |FROM customer GROUP BY c_nationkey ORDER BY c_nationkey""".stripMargin,
+
+    "s8_stream_upsert" ->
+      """SELECT user_id, COUNT(*) AS n,
+        |  CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total
+        |FROM events WHERE event_type = 'purchase'
+        |GROUP BY user_id ORDER BY user_id""".stripMargin,
 
     "m5_image_neardup" ->
       // brute-force all-pairs hamming over the formula-derived hashes:
