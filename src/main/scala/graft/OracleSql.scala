@@ -165,6 +165,38 @@ object OracleSql {
     s"(CASE $cases ELSE 'und' END)"
   }
 
+  /** Seeded-IVF kNN-join CTE chain over the embeddings table — mirrors
+    * Similarity.ivfIndexSeeded(...).knnJoin stage for stage (centroid
+    * seeds = first `nlist` ids, assignment by best cosine, `nprobe`
+    * probe cells, per-query top-k by (cos DESC, nid)). Ends with a
+    * `knn(id, rank, nid, cos)` CTE for callers to select from. */
+  def ivfKnnCtes(nlist: Int, nprobe: Int, k: Int): String =
+    s"""c AS (SELECT vec_id AS cid, CAST(embedding AS DOUBLE[]) AS cv
+       |           FROM embeddings WHERE vec_id < $nlist),
+       |v AS (SELECT vec_id AS id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+       |scored AS (SELECT id, v, cid, ${cosine("v", "cv")} AS cs
+       |           FROM v CROSS JOIN c),
+       |assigned AS (
+       |  SELECT id, v, cid AS cell FROM (
+       |    SELECT id, v, cid,
+       |      ROW_NUMBER() OVER (PARTITION BY id ORDER BY cs DESC, cid) AS rn
+       |    FROM scored) WHERE rn = 1),
+       |probes AS (
+       |  SELECT id, cid FROM (
+       |    SELECT id, cid,
+       |      ROW_NUMBER() OVER (PARTITION BY id ORDER BY cs DESC, cid) AS rn
+       |    FROM scored) WHERE rn <= $nprobe),
+       |cand AS (
+       |  SELECT p.id, a.id AS nid, ${cosine("q.v", "a.v")} AS cos
+       |  FROM probes p
+       |  JOIN v q ON q.id = p.id
+       |  JOIN assigned a ON a.cell = p.cid AND a.id <> p.id),
+       |knn AS (
+       |  SELECT id, rank, nid, cos FROM (
+       |    SELECT id, nid, cos,
+       |      ROW_NUMBER() OVER (PARTITION BY id ORDER BY cos DESC, nid) AS rank
+       |    FROM cand) WHERE rank <= $k)""".stripMargin
+
   /** Unrolled fixed-point Lloyd's k-means over the embeddings table —
     * mirrors Similarity.kmeansFixedPoint iteration for iteration:
     * floor-scaled integer components, ‖v−c‖² = v·v − 2v·c + c·c on

@@ -1376,6 +1376,37 @@ object SparkEntry {
         .orderBy("id", "rank")
     }),
 
+    // ---- ANN quality evaluation: recall@5 of the IVF kNN join against
+    // exact brute force over a 50-query panel — the measurement every
+    // ANN deployment ships with ------------------------------------------
+    "e10_ann_recall" -> ((s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val emb = t(s, dir, "embeddings")
+      val approx = ops.Similarity.ivfIndexSeeded(emb, "vec_id", "embedding", nlist = 8)
+        .knnJoin(k = 5, nprobe = 2)
+        .filter(col("id") < 50)
+        .select(col("id"), col("nid"))
+      val v = emb.select(col("vec_id").cast("long").as("id"),
+        col("embedding").cast("array<double>").as("v"))
+      val q = v.filter(col("id") < 50)
+        .select(col("id").as("qid"), col("v").as("qv"))
+      // exact ground truth: 50-row query panel broadcast over one corpus
+      // scan, per-query top-5 by (cos DESC, nid)
+      val w = Window.partitionBy("qid").orderBy(col("cos").desc, col("nid"))
+      val exact = v.crossJoin(broadcast(q))
+        .filter(col("id") =!= col("qid"))
+        .select(col("qid"), col("id").as("nid"),
+          ops.Similarity.cosine(col("v"), col("qv")).as("cos"))
+        .withColumn("rn", row_number().over(w)).filter(col("rn") <= 5)
+        .select(col("qid").as("id"), col("nid"))
+      val matched = approx.join(exact, Seq("id", "nid"))
+        .groupBy("id").agg(count(lit(1)).as("n_match"))
+      q.select(col("qid").as("id")).join(matched, Seq("id"), "left")
+        .select(col("id"), coalesce(col("n_match"), lit(0L)).as("n_match"),
+          (coalesce(col("n_match"), lit(0L)).cast("double") / 5.0).as("recall"))
+        .orderBy("id")
+    }),
+
     // ---- concat-and-chunk sequence packing: per-language token stream
     // sliced into 512-token training sequences --------------------------
     "d24_pack" -> ((s, dir) => {
@@ -2840,34 +2871,30 @@ object SparkEntry {
         |WHERE jaro_winkler_similarity(p1.p_name, p2.p_name) >= 0.93
         |ORDER BY key1, key2""".stripMargin,
 
-    "e7_knn_join" -> {
-      val nlist = 8; val nprobe = 2; val k = 5
-      s"""WITH c AS (SELECT vec_id AS cid, CAST(embedding AS DOUBLE[]) AS cv
-         |           FROM embeddings WHERE vec_id < $nlist),
-         |v AS (SELECT vec_id AS id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
-         |scored AS (SELECT id, v, cid, ${OracleSql.cosine("v", "cv")} AS cs
-         |           FROM v CROSS JOIN c),
-         |assigned AS (
-         |  SELECT id, v, cid AS cell FROM (
-         |    SELECT id, v, cid,
-         |      ROW_NUMBER() OVER (PARTITION BY id ORDER BY cs DESC, cid) AS rn
-         |    FROM scored) WHERE rn = 1),
-         |probes AS (
-         |  SELECT id, cid FROM (
-         |    SELECT id, cid,
-         |      ROW_NUMBER() OVER (PARTITION BY id ORDER BY cs DESC, cid) AS rn
-         |    FROM scored) WHERE rn <= $nprobe),
-         |cand AS (
-         |  SELECT p.id, a.id AS nid, ${OracleSql.cosine("q.v", "a.v")} AS cos
-         |  FROM probes p
-         |  JOIN v q ON q.id = p.id
-         |  JOIN assigned a ON a.cell = p.cid AND a.id <> p.id)
-         |SELECT id, rank, nid, cos FROM (
-         |  SELECT id, nid, cos,
-         |    ROW_NUMBER() OVER (PARTITION BY id ORDER BY cos DESC, nid) AS rank
-         |  FROM cand) WHERE rank <= $k
-         |ORDER BY id, rank""".stripMargin
-    },
+    "e7_knn_join" ->
+      s"""WITH ${OracleSql.ivfKnnCtes(nlist = 8, nprobe = 2, k = 5)}
+         |SELECT id, rank, nid, cos FROM knn
+         |ORDER BY id, rank""".stripMargin,
+
+    "e10_ann_recall" ->
+      s"""WITH ${OracleSql.ivfKnnCtes(nlist = 8, nprobe = 2, k = 5)},
+         |approx AS (SELECT id, nid FROM knn WHERE id < 50),
+         |bf AS (
+         |  SELECT id, nid FROM (
+         |    SELECT q.id, a.id AS nid,
+         |      ROW_NUMBER() OVER (PARTITION BY q.id
+         |        ORDER BY ${OracleSql.cosine("q.v", "a.v")} DESC, a.id) AS rn
+         |    FROM v q JOIN v a ON a.id <> q.id
+         |    WHERE q.id < 50) WHERE rn <= 5),
+         |matched AS (
+         |  SELECT approx.id, COUNT(*) AS n_match
+         |  FROM approx JOIN bf ON approx.id = bf.id AND approx.nid = bf.nid
+         |  GROUP BY approx.id)
+         |SELECT q.id, COALESCE(m.n_match, 0) AS n_match,
+         |  CAST(COALESCE(m.n_match, 0) AS DOUBLE) / 5.0 AS recall
+         |FROM (SELECT DISTINCT id FROM v WHERE id < 50) q
+         |LEFT JOIN matched m ON q.id = m.id
+         |ORDER BY q.id""".stripMargin,
 
     "d24_pack" -> {
       val ntok = s"CASE WHEN length(trim(text)) = 0 THEN 0 " +

@@ -204,6 +204,52 @@ object PropertySpec extends Properties("graft") {
     case ((k, ts, st), i) => (k, ts, i.toLong, st)
   }).suchThat(_.nonEmpty)
 
+  private val corpusGen = Gen.listOfN(10, for {
+    id <- Gen.choose(0L, 500L)
+    words <- Gen.listOfN(12, Gen.oneOf("alpha", "beta", "gamma", "delta", "eps"))
+  } yield (id, words.mkString(" "))).map(_.distinctBy(_._1)).suchThat(_.nonEmpty)
+
+  property("removeBoilerplate: kept spans ⊆ spans, clean tokens ⊆ original tokens") =
+    forAll(corpusGen) { docs =>
+      val df = docs.toDF("doc_id", "text")
+      val out = graft.ops.CorpusOps.removeBoilerplate(df, "doc_id", "text",
+          unit = 4, maxDf = 2)
+        .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2), r.getString(3)))
+      val orig = docs.toMap
+      out.length == docs.length && out.forall { case (id, (nSpans, nKept, clean)) =>
+        nKept <= nSpans && nSpans >= 1 &&
+          clean.split(" ").filter(_.nonEmpty)
+            .forall(orig(id).split(" ").contains(_))
+      }
+    }
+
+  private val keySetGen = Gen.listOf(Gen.choose(0L, 300L)).map(_.distinct)
+    .suchThat(_.nonEmpty)
+
+  property("islands partition the key set: lengths sum to |keys|, ranges disjoint") =
+    forAll(keySetGen) { keys =>
+      val out = graft.ops.Islands.islands(keys.toDF("k"), "k", bucketWidth = 16)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+        .sortBy(_._1)
+      out.map(_._3).sum == keys.length &&
+        out.forall { case (s, e, len) => e - s + 1 == len } &&
+        out.sliding(2).forall {
+          case Array(a, b) => a._2 + 1 < b._1 // maximality: a gap separates islands
+          case _ => true
+        }
+    }
+
+  property("kmeansFixedPoint member counts sum to the corpus size") =
+    forAll(Gen.choose(10, 40)) { n =>
+      val pts = (0 until n).map(i =>
+        (i.toLong, Array.tabulate(3)(d => ((i * 13 + d * 7) % 31) / 31.0f)))
+      val out = graft.ops.Similarity.kmeansFixedPoint(
+          pts.toDF("id", "vec"), "id", "vec", k = 3, iterations = 1)
+        .select("cid", "n_members").distinct()
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      out.values.sum == n.toLong
+    }
+
   property("scd2 intervals chain per key with exactly one current version") =
     forAll(obsGen) { obs =>
       val df = obs.toDF("k", "ts", "seq", "st")
