@@ -377,20 +377,23 @@ object CorpusOps {
       sequence(lit(1), greatest(org.apache.spark.sql.functions.size(tokens(col(textCol))), lit(1)), lit(unit)),
       st => concat_ws(" ", slice(tokens(col(textCol)), st, lit(unit))))
     val spans = df.select(col(idCol),
-      posexplode(transform(spanTexts, s => h64(s))).as(Seq("chunk_id", "fp")))
-    val boiler = spans.select(col(idCol), col("fp")).distinct()
-      .groupBy("fp").agg(count(lit(1)).as("chunk_df"))
-      .filter(col("chunk_df") > maxDf)
-    val keptIds = spans.join(boiler.select("fp"), Seq("fp"), "left_anti")
+      posexplode(transform(spanTexts, s => h64(s))).as(Seq("graft_pos", "graft_fp")))
+    val boiler = spans.select(col(idCol), col("graft_fp")).distinct()
+      .groupBy("graft_fp").agg(count(lit(1)).as("graft_df"))
+      .filter(col("graft_df") > maxDf)
+    // graft_-prefixed internals so the join-back cannot collide with
+    // caller columns (including this operator's own output schema)
+    val keptIds = spans.join(boiler.select("graft_fp"), Seq("graft_fp"), "left_anti")
       .groupBy(col(idCol))
-      .agg(count(lit(1)).as("n_kept"),
-        array_sort(collect_list(col("chunk_id"))).as("kept"))
+      .agg(count(lit(1)).as("graft_n_kept"),
+        array_sort(collect_list(col("graft_pos"))).as("graft_kept"))
     df.join(keptIds, Seq(idCol), "left")
       .select(col(idCol),
         org.apache.spark.sql.functions.size(spanTexts).cast("long").as("n_spans"),
-        coalesce(col("n_kept"), lit(0L)).as("n_kept"),
+        coalesce(col("graft_n_kept"), lit(0L)).as("n_kept"),
         array_join(org.apache.spark.sql.functions.filter(spanTexts,
-          (_, i) => array_contains(coalesce(col("kept"), array().cast("array<int>")), i)),
+          (_, i) => array_contains(
+            coalesce(col("graft_kept"), array().cast("array<int>")), i)),
           " ").as("clean_text"))
   }
 
@@ -434,25 +437,29 @@ object CorpusOps {
     * The corpus itself is scanned once and never shuffled. */
   def temperatureMix(df: DataFrame, idCol: String, domainCol: String,
       targetFrac: Double = 0.5, salt: String = "graft-mix"): DataFrame = {
-    val domStats = df.groupBy(col(domainCol).as("domain"))
-      .agg(count(lit(1)).as("n"))
+    // graft_-prefixed internals: a caller whose domain column is itself
+    // named "domain" (or "n"/"keep_frac") must not hit an ambiguous
+    // reference in the join-back
+    val domStats = df.groupBy(col(domainCol).as("graft_domain"))
+      .agg(count(lit(1)).as("graft_n"))
     val totals = domStats.agg(
-      sum("n").as("n_total"),
+      sum("graft_n").as("graft_total"),
       aggregate(
-        array_sort(collect_list(struct(col("domain"), col("n")))),
+        array_sort(collect_list(struct(col("graft_domain"), col("graft_n")))),
         lit(0.0),
-        (acc, s) => acc + sqrt(s.getField("n").cast("double"))).as("sqrt_sum"))
+        (acc, s) => acc + sqrt(s.getField("graft_n").cast("double"))).as("graft_sqrt_sum"))
     val fracs = domStats.crossJoin(broadcast(totals))
-      .select(col("domain"),
+      .select(col("graft_domain"),
         least(lit(1.0),
-          (lit(targetFrac) * col("n_total").cast("double")) *
-            (sqrt(col("n").cast("double")) / col("sqrt_sum")) /
-            col("n").cast("double")).as("keep_frac"))
+          (lit(targetFrac) * col("graft_total").cast("double")) *
+            (sqrt(col("graft_n").cast("double")) / col("graft_sqrt_sum")) /
+            col("graft_n").cast("double")).as("graft_keep_frac"))
     val u52 = conv(substring(
       md5(concat_ws("-", lit(salt), col(idCol).cast("string"))), 1, 13), 16, 10)
       .cast("long")
-    df.join(broadcast(fracs), df(domainCol) === fracs("domain"))
-      .filter(u52.cast("double") < col("keep_frac") * lit(4503599627370496.0)) // 2^52
-      .select(df.columns.map(col) :+ col("keep_frac"): _*)
+    df.join(broadcast(fracs), df(domainCol) === fracs("graft_domain"))
+      .filter(u52.cast("double") <
+        col("graft_keep_frac") * lit(4503599627370496.0)) // 2^52
+      .select(df.columns.map(df(_)) :+ col("graft_keep_frac").as("keep_frac"): _*)
   }
 }

@@ -393,11 +393,7 @@ object Dedup {
     var labels = edges.groupBy("a").agg(min("b").as("mb"))
       .select(col("a").as("node"), least(col("a"), col("mb")).as("cluster_rep"))
       .localCheckpoint(eager = false)
-    // sum() over an empty edge set is null — coalesce to 0 so a pairless
-    // input (e.g. a gapless Islands link graph) converges instead of NPEing
-    def labelSum(df: DataFrame): java.math.BigDecimal =
-      Option(df.agg(sum(col("cluster_rep").cast("decimal(38,0)")))
-        .collect()(0).getDecimal(0)).getOrElse(java.math.BigDecimal.ZERO)
+    def labelSum(df: DataFrame) = convergenceSum(df, "cluster_rep")
     var prevSum = labelSum(labels)
 
     var i = 0
@@ -426,6 +422,15 @@ object Dedup {
     edges.unpersist()
     labels
   }
+
+  /** Exact decimal sum of one column — the convergence metric for the
+    * iterative operators (label propagation here, pointer doubling in
+    * [[Hierarchy]]). decimal(38,0) so the sum is exact at any size, and
+    * null-safe: sum() over an empty input is null, which must read as
+    * converged, not NPE (e.g. a pairless Islands link graph). */
+  private[ops] def convergenceSum(df: DataFrame, colName: String): java.math.BigDecimal =
+    Option(df.agg(sum(col(colName).cast("decimal(38,0)")))
+      .collect()(0).getDecimal(0)).getOrElse(java.math.BigDecimal.ZERO)
 
   /** End-to-end corpus deduplication — the composition every training
     * pipeline actually ships: collapse exact duplicates to their min-id

@@ -37,9 +37,7 @@ object Hierarchy {
       .withColumn("d", when(col("ptr") === col("node"), lit(0L)).otherwise(lit(1L)))
       .localCheckpoint(eager = false)
 
-    def distSum(df: DataFrame): java.math.BigDecimal =
-      Option(df.agg(sum(col("d").cast("decimal(38,0)")))
-        .collect()(0).getDecimal(0)).getOrElse(java.math.BigDecimal.ZERO)
+    def distSum(df: DataFrame) = Dedup.convergenceSum(df, "d")
 
     var prev = distSum(state)
     var converged = false

@@ -354,10 +354,10 @@ object Multimodal {
     * key for Hamming-banded image near-dup joins. */
   def dhashFeatures(media: Dataset[MediaRecord]): Dataset[ImageHash] = {
     import media.sparkSession.implicits._
-    media.mapPartitions { it =>
-      it.grouped(MediaCodec.batchSize).flatMap(_.map(r =>
-        ImageHash(r.media_id, r.meta.width, r.meta.height, MediaCodec.dhash(r))))
-    }
+    // per-record (no batch buffering): dhash has no batch-level call to
+    // amortize, so chunking would only hold batchSize payloads in memory
+    media.mapPartitions(_.map(r =>
+      ImageHash(r.media_id, r.meta.width, r.meta.height, MediaCodec.dhash(r))))
   }
 
   /** Partition-wise batched feature extraction. Each executor thread

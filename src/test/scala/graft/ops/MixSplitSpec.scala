@@ -105,10 +105,11 @@ class MixSplitSpec extends AnyFunSuite with SparkTestBase {
     val df = pts.toDF("id", "vec")
     val out = Similarity.kmeansFixedPoint(df, "id", "vec", k = 2, iterations = 2)
       .as[(Long, Int, Long, Long)].collect().sortBy(r => (r._1, r._2))
-    // cluster 0 members: ids 0,2,3 → means of floor(v·1e6)
+    // cluster 0 members: ids 0,2,3 → means of floor(v·1e6); Long `/`
+    // truncates toward zero exactly like Spark's `div` and DuckDB's `//`
     def m(xs: Seq[Double]) = {
       val s = xs.map(x => math.floor(x * 1e6).toLong).sum
-      s / xs.size - (if (s % xs.size != 0 && s < 0) 1 else 0) // trunc div
+      s / xs.size
     }
     val exp0x = Seq(0.0, 0.2, 0.1).map(_.toFloat.toDouble)
     val exp0y = Seq(0.1, 0.0, 0.2).map(_.toFloat.toDouble)
