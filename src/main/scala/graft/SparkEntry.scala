@@ -1597,6 +1597,43 @@ object SparkEntry {
         .orderBy("user_id")
     }),
 
+    // ---- real file ingestion: PNG files on disk → binaryFile source →
+    // batched decode; the production multimodal ingestion path ----------
+    "m6_binary_ingest" -> ((s, dir) => {
+      import s.implicits._
+      val tmp = java.nio.file.Files.createTempDirectory("graft-m6")
+      (0 until 60 by 3).foreach { id =>
+        java.nio.file.Files.write(tmp.resolve(f"img_$id%04d.png"),
+          ops.Multimodal.MediaGen.image("png", id % 64 + 1, id % 48 + 1, id.toLong))
+      }
+      val recs = s.read.format("binaryFile").load(tmp.toString + "/*.png")
+        .select(regexp_extract(col("path"), "img_(\\d+)\\.png$", 1)
+          .cast("long").as("media_id"), col("content"))
+        .as[(Long, Array[Byte])]
+        .map { case (id, bytes) => ops.Multimodal.MediaRecord(id, bytes,
+          ops.Multimodal.MediaMeta("png", 0, 0, 0L)) }
+      ops.Multimodal.extractFeatures(recs).toDF()
+        .select(col("media_id"), col("width"), col("height"), col("mean_val"))
+        .orderBy("media_id")
+    }),
+
+    // ---- time-series resample + LOCF: hourly grid per user, forward-
+    // filled by the as-of join (one exchange, no range theta-join) ------
+    "q61_resample_locf" -> ((s, dir) => {
+      val ev = events(s, dir)
+        .filter(col("event_type") === "purchase" && col("user_id") < 20)
+        .select("user_id", "ts", "value")
+      val grid = ev.groupBy("user_id")
+        .agg(date_trunc("hour", min("ts")).as("t0"),
+          date_trunc("hour", max("ts")).as("t1"))
+        .select(col("user_id"),
+          explode(sequence(col("t0"), col("t1"), expr("interval 1 hour"))).as("ts"))
+      ops.AsOf.asOfJoin(grid, ev, "user_id", "ts", Seq("value"))
+        .select(col("user_id"), unix_micros(col("ts")).as("grid_ts_us"),
+          col("asof_value").as("locf_value"))
+        .orderBy("user_id", "grid_ts_us")
+    }),
+
     // ---- perceptual image hashing: real PNG decode → 9×8 grid → 64-bit
     // dHash, the key for Hamming-banded image near-dup joins ------------
     "m4_image_dhash" -> ((s, dir) => {
@@ -3180,6 +3217,50 @@ object SparkEntry {
       """SELECT c_nationkey, COUNT(*) AS n_customers,
         |  CAST(SUM(CAST(c_acctbal AS DECIMAL(18,2))) AS DOUBLE) AS total_bal
         |FROM customer GROUP BY c_nationkey ORDER BY c_nationkey""".stripMargin,
+
+    "m6_binary_ingest" ->
+      """WITH ids AS (
+        |  SELECT doc_id AS id FROM documents WHERE doc_id % 3 = 0 AND doc_id < 60),
+        |xs AS (SELECT x FROM range(0, 64) t(x)),
+        |ys AS (SELECT y FROM range(0, 48) t(y)),
+        |img AS (
+        |  SELECT id,
+        |    CAST(SUM((x * 7 + y * 13 + id * 31) % 256) AS DOUBLE)
+        |      / ((id % 64 + 1) * (id % 48 + 1)) AS mean_val
+        |  FROM ids, xs, ys
+        |  WHERE x < id % 64 + 1 AND y < id % 48 + 1
+        |  GROUP BY id)
+        |SELECT id AS media_id, CAST(id % 64 + 1 AS INT) AS width,
+        |  CAST(id % 48 + 1 AS INT) AS height, mean_val
+        |FROM img ORDER BY media_id""".stripMargin,
+
+    "q61_resample_locf" ->
+      """WITH ev AS (
+        |  SELECT user_id, CAST(ts AS TIMESTAMP) AS ts, value FROM events
+        |  WHERE event_type = 'purchase' AND user_id < 20),
+        |b AS (
+        |  SELECT user_id, date_trunc('hour', MIN(ts)) AS t0,
+        |         date_trunc('hour', MAX(ts)) AS t1
+        |  FROM ev GROUP BY 1),
+        |grid AS (
+        |  SELECT user_id, unnest(generate_series(t0, t1, INTERVAL 1 HOUR)) AS ts
+        |  FROM b),
+        |u AS (
+        |  SELECT user_id, ts, 1 AS tag,
+        |         NULL::TIMESTAMP AS r_ts, NULL::DOUBLE AS r_value
+        |  FROM grid
+        |  UNION ALL
+        |  -- mirror asOfJoin's max(struct(ts, value)) per-(key, ts) reduction
+        |  SELECT user_id, ts, 0, ts, MAX(value)
+        |  FROM ev GROUP BY user_id, ts),
+        |f AS (
+        |  SELECT user_id, ts, tag,
+        |    LAST_VALUE(r_value IGNORE NULLS) OVER w AS locf_value
+        |  FROM u
+        |  WINDOW w AS (PARTITION BY user_id ORDER BY ts, tag
+        |               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW))
+        |SELECT user_id, epoch_us(ts) AS grid_ts_us, locf_value
+        |FROM f WHERE tag = 1 ORDER BY user_id, grid_ts_us""".stripMargin,
 
     "s8_stream_upsert" ->
       """SELECT user_id, COUNT(*) AS n,
