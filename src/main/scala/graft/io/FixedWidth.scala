@@ -27,7 +27,7 @@ object FixedWidth {
 object JsonStrings {
   def toDataFrame(json: Seq[String])(implicit spark: SparkSession): DataFrame = {
     import spark.implicits._
-    spark.read.json(json.toDS)
+    spark.read.json(json.toDS())
   }
 }
 

@@ -460,6 +460,7 @@ object CorpusOps {
     df.join(broadcast(fracs), df(domainCol) === fracs("graft_domain"))
       .filter(u52.cast("double") <
         col("graft_keep_frac") * lit(4503599627370496.0)) // 2^52
-      .select(df.columns.map(df(_)) :+ col("graft_keep_frac").as("keep_frac"): _*)
+      .select(df.columns.toIndexedSeq.map(df(_)) :+
+        col("graft_keep_frac").as("keep_frac"): _*)
   }
 }
