@@ -1617,6 +1617,23 @@ object SparkEntry {
         .orderBy("media_id")
     }),
 
+    // ---- small-file compaction: fragment the table into 40 files,
+    // compact to ceil(rows/20k) range-partitioned files, verify content
+    // and file count against the source-table oracle --------------------
+    "q62_compaction" -> ((s, dir) => {
+      val tmp = java.nio.file.Files.createTempDirectory("graft-q62").toString
+      events(s, dir).select(col("event_id"), col("event_type"), col("value"))
+        .repartition(40).write.parquet(s"$tmp/frag")
+      val nFiles = ops.Layout.compact(s, s"$tmp/frag", s"$tmp/compact",
+        "event_id", targetRowsPerFile = 20000L)
+      s.read.parquet(s"$tmp/compact")
+        .groupBy("event_type")
+        .agg(count(lit(1)).as("n"),
+          sum(col("value").cast("decimal(18,6)")).cast("double").as("total"))
+        .withColumn("n_files", lit(nFiles))
+        .orderBy("event_type")
+    }),
+
     // ---- time-series resample + LOCF: hourly grid per user, forward-
     // filled by the as-of join (one exchange, no range theta-join) ------
     "q61_resample_locf" -> ((s, dir) => {
@@ -3233,6 +3250,14 @@ object SparkEntry {
         |SELECT id AS media_id, CAST(id % 64 + 1 AS INT) AS width,
         |  CAST(id % 48 + 1 AS INT) AS height, mean_val
         |FROM img ORDER BY media_id""".stripMargin,
+
+    "q62_compaction" ->
+      """WITH e AS (SELECT event_type, value FROM events),
+        |t AS (SELECT COUNT(*) AS total FROM e)
+        |SELECT event_type, COUNT(*) AS n,
+        |  CAST(CAST(SUM(CAST(value AS DECIMAL(18,6))) AS VARCHAR) AS DOUBLE) AS total,
+        |  (SELECT CAST((total + 19999) // 20000 AS INT) FROM t) AS n_files
+        |FROM e GROUP BY 1 ORDER BY 1""".stripMargin,
 
     "q61_resample_locf" ->
       """WITH ev AS (

@@ -42,4 +42,26 @@ object Layout {
       .sortWithinPartitions("graft_z")
       .drop("graft_z")
   }
+
+  /** Small-file compaction — the maintenance pass every long-lived
+    * table needs: streaming sinks and incremental appends leave
+    * thousands of KB-sized files whose per-file open/footer overhead
+    * dominates scan time at 100 TB. Rewrites `inDir` into
+    * ceil(rows / targetRowsPerFile) files, range-partitioned and sorted
+    * on `sortCol` so each output file covers a contiguous key range
+    * (min/max footer stats stay selective — compaction must not destroy
+    * data-skipping). One count + one range exchange; content identical
+    * by construction. Returns the compacted file count. */
+  def compact(spark: org.apache.spark.sql.SparkSession, inDir: String,
+      outDir: String, sortCol: String, targetRowsPerFile: Long): Int = {
+    require(targetRowsPerFile > 0, s"targetRowsPerFile must be positive")
+    val df = spark.read.parquet(inDir)
+    val rows = df.count()
+    val nFiles = math.max(1, ((rows + targetRowsPerFile - 1) / targetRowsPerFile).toInt)
+    df.repartitionByRange(nFiles, col(sortCol))
+      .sortWithinPartitions(sortCol)
+      .write.mode("overwrite").parquet(outDir)
+    new java.io.File(outDir).listFiles()
+      .count(f => f.getName.endsWith(".parquet"))
+  }
 }

@@ -873,6 +873,29 @@ class LayoutSpec extends AnyFunSuite with SparkTestBase {
     assert(ref(1023, 1023, 10) == (1L << 20) - 1) // all 20 low bits set
   }
 
+  test("compact rewrites a fragmented table into few range-sorted files, content-equal") {
+    import spark.implicits._
+    val tmp = java.nio.file.Files.createTempDirectory("graft-compact").toString
+    val rows = (0L until 5000L).map(i => (i, s"p$i"))
+    rows.toDF("id", "payload").repartition(37).write.parquet(s"$tmp/frag")
+    val fragFiles = new java.io.File(s"$tmp/frag").listFiles()
+      .count(_.getName.endsWith(".parquet"))
+    assert(fragFiles == 37)
+    val n = Layout.compact(spark, s"$tmp/frag", s"$tmp/out", "id", 2000L)
+    assert(n == 3) // ceil(5000 / 2000)
+    val back = spark.read.parquet(s"$tmp/out")
+    assert(back.as[(Long, String)].collect().sortBy(_._1).toSeq == rows)
+    // each compacted file covers a contiguous id range (footer stats
+    // stay selective): per-file min/max ranges must not overlap
+    val ranges = back.select(input_file_name().as("f"), col("id"))
+      .groupBy("f").agg(min("id").as("lo"), max("id").as("hi"))
+      .collect().map(r => (r.getLong(1), r.getLong(2))).sortBy(_._1)
+    assert(ranges.sliding(2).forall {
+      case Array(a, b) => a._2 < b._1
+      case _ => true
+    })
+  }
+
   test("zorderLayout clusters both dimensions into few files") {
     import spark.implicits._
     val df = (0 until 4096).map(i => (i.toLong % 64, i.toLong / 64))
