@@ -1617,6 +1617,21 @@ object SparkEntry {
         .orderBy("media_id")
     }),
 
+    // ---- curriculum training order: quality-bucketed stages, salted
+    // md5 shuffle within a stage, global sequence numbers WITHOUT a
+    // single-reducer sort (range partitions + per-partition offsets) ----
+    "d30_curriculum" -> ((s, dir) => {
+      val score = graft.functions.TextFunctions.qualityScore(col("text"))
+      val scored = t(s, dir, "documents").select(col("doc_id"),
+        when(score >= 0.8, 0).when(score >= 0.6, 1).otherwise(2).as("stage"),
+        md5(concat(lit("graft-epoch0-"), col("doc_id").cast("string")))
+          .as("shuffle_key"))
+      ops.Sequencing.globalRank(scored,
+          Seq(col("stage"), col("shuffle_key"), col("doc_id")), "rank")
+        .select("rank", "stage", "doc_id")
+        .orderBy("rank")
+    }),
+
     // ---- small-file compaction: fragment the table into 40 files,
     // compact to ceil(rows/20k) range-partitioned files, verify content
     // and file count against the source-table oracle --------------------
@@ -3250,6 +3265,19 @@ object SparkEntry {
         |SELECT id AS media_id, CAST(id % 64 + 1 AS INT) AS width,
         |  CAST(id % 48 + 1 AS INT) AS height, mean_val
         |FROM img ORDER BY media_id""".stripMargin,
+
+    "d30_curriculum" -> {
+      val score = OracleSql.qualityScore("text")
+      s"""WITH scored AS (
+         |  SELECT doc_id,
+         |    CASE WHEN $score >= 0.8 THEN 0
+         |         WHEN $score >= 0.6 THEN 1 ELSE 2 END AS stage,
+         |    md5('graft-epoch0-' || CAST(doc_id AS VARCHAR)) AS shuffle_key
+         |  FROM documents)
+         |SELECT ROW_NUMBER() OVER (ORDER BY stage, shuffle_key, doc_id) AS rank,
+         |       stage, doc_id
+         |FROM scored ORDER BY rank""".stripMargin
+    },
 
     "q62_compaction" ->
       """WITH e AS (SELECT event_type, value FROM events),

@@ -1,0 +1,44 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Deterministic global sequence numbering — the distributed
+  * `ROW_NUMBER() OVER (ORDER BY …)` .
+  *
+  * The naive window with no PARTITION BY collapses the whole dataset
+  * into one task — the classic single-reducer trap. Here the data is
+  * range-repartitioned on the sort key, numbered WITHIN each partition
+  * (narrow window), and shifted by the preceding partitions' row
+  * counts. The only driver traffic is one row-count per partition — a
+  * few hundred scalars at any data size.
+  *
+  * Range boundaries come from Spark's sampling, so WHICH partition a
+  * row lands in varies run to run — but as long as `sortCols` is a
+  * TOTAL order (callers must include a unique tiebreak), every row's
+  * global position is boundary-independent, so the assigned numbers
+  * are bit-stable across runs, partitionings, and engines.
+  */
+object Sequencing {
+
+  /** @param sortCols total order (include a unique tiebreak column)
+    * @return df plus `outCol`: 1-based position in the total order */
+  def globalRank(df: DataFrame, sortCols: Seq[Column],
+      outCol: String = "rank"): DataFrame = {
+    val parted = df.repartitionByRange(sortCols: _*)
+      .withColumn("graft_pid", spark_partition_id())
+      .localCheckpoint(eager = false) // counts pass + numbering pass
+    val counts = parted.groupBy("graft_pid").count()
+      .collect().map(r => r.getInt(0) -> r.getLong(1)).sortBy(_._1)
+    val offsets = counts.scanLeft(0L)(_ + _._2)
+    val offMap = counts.map(_._1).zip(offsets).toMap
+    val offExpr = offMap.foldLeft(lit(0L)) { case (acc, (pid, off)) =>
+      when(col("graft_pid") === pid, lit(off)).otherwise(acc)
+    }
+    val w = Window.partitionBy("graft_pid").orderBy(sortCols: _*)
+    parted
+      .withColumn(outCol, row_number().over(w).cast("long") + offExpr)
+      .drop("graft_pid")
+  }
+}

@@ -119,6 +119,20 @@ class MixSplitSpec extends AnyFunSuite with SparkTestBase {
     assert(out.filter(_._1 == 1L).head._4 === 3L)
   }
 
+  test("globalRank equals the single-reducer ROW_NUMBER on a total order") {
+    val rows = (0L until 2000L).map(i => ((i * 2654435761L) % 997, i))
+    val df = rows.toDF("k", "id").repartition(13)
+    val ranked = Sequencing.globalRank(df, Seq(col("k"), col("id")))
+      .select("rank", "k", "id").as[(Long, Long, Long)].collect().sortBy(_._1)
+    val want = rows.sortBy(identity).zipWithIndex
+      .map { case ((k, id), i) => (i + 1L, k, id) }
+    assert(ranked.toSeq === want)
+    // stable under a different input partitioning
+    val again = Sequencing.globalRank(df.repartition(3), Seq(col("k"), col("id")))
+      .select("rank", "k", "id").as[(Long, Long, Long)].collect().sortBy(_._1)
+    assert(again.toSeq === want)
+  }
+
   test("kmeansFixedPoint is bit-identical under repartitioning") {
     val pts = (0 until 60).map(i =>
       (i.toLong, Array.tabulate(4)(d => ((i * 31 + d * 17) % 97) / 97.0f)))
