@@ -1617,6 +1617,15 @@ object SparkEntry {
         .orderBy("media_id")
     }),
 
+    // ---- sparse matmul as join–aggregate: doc-term tf triples × a
+    // term→topic weight matrix, contracted on the token key -------------
+    "d31_sparse_matmul" -> ((s, dir) => {
+      ops.CorpusOps.projectTopics(
+          t(s, dir, "documents").filter(col("doc_id") % 5 === 0),
+          "doc_id", "text", nTopics = 4)
+        .orderBy("doc", "topic")
+    }),
+
     // ---- curriculum training order: quality-bucketed stages, salted
     // md5 shuffle within a stage, global sequence numbers WITHOUT a
     // single-reducer sort (range partitions + per-partition offsets) ----
@@ -3265,6 +3274,22 @@ object SparkEntry {
         |SELECT id AS media_id, CAST(id % 64 + 1 AS INT) AS width,
         |  CAST(id % 48 + 1 AS INT) AS height, mean_val
         |FROM img ORDER BY media_id""".stripMargin,
+
+    "d31_sparse_matmul" -> {
+      val tk = s"CASE WHEN length(trim(text)) = 0 THEN []::VARCHAR[] " +
+        s"ELSE ${OracleSql.toks("text")} END"
+      val w = OracleSql.h64("token || '|' || CAST(topic AS VARCHAR)")
+      s"""WITH d AS (SELECT doc_id, text FROM documents WHERE doc_id % 5 = 0),
+         |tok AS (SELECT doc_id AS doc, unnest($tk) AS token FROM d),
+         |tf AS (SELECT doc, token, COUNT(*) AS tf FROM tok GROUP BY 1, 2),
+         |b AS (
+         |  SELECT token, topic, $w % 1000 AS w
+         |  FROM (SELECT DISTINCT token FROM tf), range(0, 4) t(topic))
+         |SELECT doc, CAST(topic AS INT) AS topic,
+         |  CAST(SUM(tf * w) AS BIGINT) AS score
+         |FROM tf JOIN b USING (token)
+         |GROUP BY 1, 2 ORDER BY doc, topic""".stripMargin
+    },
 
     "d30_curriculum" -> {
       val score = OracleSql.qualityScore("text")

@@ -397,6 +397,31 @@ object CorpusOps {
           " ").as("clean_text"))
   }
 
+  /** Sparse matrix multiply as join–aggregate — the relational form of
+    * C = A·B that projects every document's term-frequency vector
+    * through a term→topic weight matrix (the shape of count-based topic
+    * scoring, hashed feature projection, or any sparse-feature × dense-
+    * parameter product). A is the (doc, token, tf) triple store from
+    * [[perDocTf]] (no per-doc exchange); B is materialized per DISTINCT
+    * vocabulary term with md5-derived integer weights so the gate has
+    * an exact oracle. ONE shuffle on the contraction key (token) joins
+    * A⋈B, then the (doc, topic) reduce runs with map-side combine —
+    * the canonical distributed sparse-matmul plan, never a cross join.
+    * All-integer arithmetic: exact on any engine. */
+  def projectTopics(df: DataFrame, idCol: String, textCol: String,
+      nTopics: Int, weightMod: Long = 1000L): DataFrame = {
+    require(nTopics > 0, s"nTopics must be positive, got $nTopics")
+    val tf = perDocTf(df, idCol, textCol)
+    val weights = tf.select("token").distinct()
+      .select(col("token"),
+        posexplode(transform(sequence(lit(0), lit(nTopics - 1)),
+          t => pmod(h64(concat_ws("|", col("token"), t.cast("string"))),
+            lit(weightMod)))).as(Seq("topic", "w")))
+    tf.join(weights, Seq("token"))
+      .groupBy(col("doc"), col("topic"))
+      .agg(sum(col("tf") * col("w")).as("score"))
+  }
+
   /** Deterministic train/validation/test assignment: the md5-derived
     * per-row bucket in [0, 100) is split by cumulative thresholds, so
     * the assignment is reproducible across engines, runs, partitionings

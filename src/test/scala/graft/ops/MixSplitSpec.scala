@@ -119,6 +119,23 @@ class MixSplitSpec extends AnyFunSuite with SparkTestBase {
     assert(out.filter(_._1 == 1L).head._4 === 3L)
   }
 
+  test("projectTopics equals the hand-computed sparse product") {
+    val docs = Seq((1L, "a a b"), (2L, "b c")).toDF("doc_id", "text")
+    val out = CorpusOps.projectTopics(docs, "doc_id", "text", nTopics = 2)
+      .as[(Long, Int, Long)].collect()
+      .map(r => (r._1, r._2) -> r._3).toMap
+    def w(token: String, topic: Int): Long = {
+      val hex = java.security.MessageDigest.getInstance("MD5")
+        .digest(s"$token|$topic".getBytes("UTF-8"))
+        .map("%02x".format(_)).mkString.substring(0, 15)
+      java.lang.Long.parseLong(hex, 16) % 1000
+    }
+    assert(out((1L, 0)) === 2 * w("a", 0) + 1 * w("b", 0))
+    assert(out((1L, 1)) === 2 * w("a", 1) + 1 * w("b", 1))
+    assert(out((2L, 0)) === w("b", 0) + w("c", 0))
+    assert(out.size === 4)
+  }
+
   test("globalRank equals the single-reducer ROW_NUMBER on a total order") {
     val rows = (0L until 2000L).map(i => ((i * 2654435761L) % 997, i))
     val df = rows.toDF("k", "id").repartition(13)
