@@ -85,12 +85,16 @@ object Graph {
       val contrib = ed
         .join(rank.select(col("node").as("src"), col("pr_rank")), Seq("src"))
         .select(col("dst").as("node"), expr("pr_rank div deg").as("c"))
+      // NO per-iteration checkpoint: each rank table has exactly ONE
+      // consumer (the next contribution join), so the lineage is linear
+      // and the whole iteration chain plans as a single query — a
+      // materialization barrier here only adds a store/load round-trip
+      // per iteration (measured ~15% of the gate's wall clock)
       rank = contrib
         .unionAll(nodes.select(col("node"), lit(0L).as("c")))
         .groupBy("node").agg(sum("c").as("s"))
         .select(col("node"),
           (lit(base) + expr(s"($dampNum * s) div $dampDen")).as("pr_rank"))
-        .localCheckpoint(eager = false)
     }
     rank
   }
