@@ -1602,9 +1602,13 @@ object SparkEntry {
     "m6_binary_ingest" -> ((s, dir) => {
       import s.implicits._
       val tmp = java.nio.file.Files.createTempDirectory("graft-m6")
-      (0 until 60 by 3).foreach { id =>
+      // ids derive from the documents table (not a hard-coded range) so
+      // gate and oracle agree at EVERY scale factor
+      t(s, dir, "documents").select("doc_id")
+        .filter(col("doc_id") % 3 === 0 && col("doc_id") < 60)
+        .collect().map(_.getLong(0)).foreach { id =>
         java.nio.file.Files.write(tmp.resolve(f"img_$id%04d.png"),
-          ops.Multimodal.MediaGen.image("png", id % 64 + 1, id % 48 + 1, id.toLong))
+          ops.Multimodal.MediaGen.image("png", (id % 64 + 1).toInt, (id % 48 + 1).toInt, id))
       }
       val recs = s.read.format("binaryFile").load(tmp.toString + "/*.png")
         .select(regexp_extract(col("path"), "img_(\\d+)\\.png$", 1)
