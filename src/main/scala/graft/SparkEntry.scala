@@ -1621,6 +1621,21 @@ object SparkEntry {
         .orderBy("media_id")
     }),
 
+    // ---- balanced training-shard manifest: docs ranked by token count
+    // descending (single-reducer-free), round-robined over 16 shards —
+    // the LPT-style size balancing a sharded loader needs ---------------
+    "d32_shard_manifest" -> ((s, dir) => {
+      import graft.functions.TextFunctions.tokenCount
+      val sized = t(s, dir, "documents").select(col("doc_id"),
+        tokenCount(col("text")).cast("long").as("n_tokens"))
+      ops.Sequencing.globalRank(sized,
+          Seq(col("n_tokens").desc, col("doc_id")), "rank")
+        .withColumn("shard", (col("rank") - 1) % 16)
+        .groupBy("shard")
+        .agg(count(lit(1)).as("n_docs"), sum("n_tokens").as("shard_tokens"))
+        .orderBy("shard")
+    }),
+
     // ---- sparse matmul as join–aggregate: doc-term tf triples × a
     // term→topic weight matrix, contracted on the token key -------------
     "d31_sparse_matmul" -> ((s, dir) => {
@@ -3278,6 +3293,20 @@ object SparkEntry {
         |SELECT id AS media_id, CAST(id % 64 + 1 AS INT) AS width,
         |  CAST(id % 48 + 1 AS INT) AS height, mean_val
         |FROM img ORDER BY media_id""".stripMargin,
+
+    "d32_shard_manifest" -> {
+      val ntok = s"CASE WHEN length(trim(text)) = 0 THEN 0 " +
+        s"ELSE len(${OracleSql.toks("text")}) END"
+      s"""WITH sized AS (
+         |  SELECT doc_id, CAST($ntok AS BIGINT) AS n_tokens FROM documents),
+         |ranked AS (
+         |  SELECT doc_id, n_tokens,
+         |    ROW_NUMBER() OVER (ORDER BY n_tokens DESC, doc_id) AS rank
+         |  FROM sized)
+         |SELECT (rank - 1) % 16 AS shard, COUNT(*) AS n_docs,
+         |  CAST(SUM(n_tokens) AS BIGINT) AS shard_tokens
+         |FROM ranked GROUP BY 1 ORDER BY shard""".stripMargin
+    },
 
     "d31_sparse_matmul" -> {
       val tk = s"CASE WHEN length(trim(text)) = 0 THEN []::VARCHAR[] " +

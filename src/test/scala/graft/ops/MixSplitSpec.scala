@@ -150,6 +150,19 @@ class MixSplitSpec extends AnyFunSuite with SparkTestBase {
     assert(again.toSeq === want)
   }
 
+  test("round-robin-by-decreasing-size shards are balanced within one max item") {
+    val docs = (0L until 333L).map(i => (i, ((i * 97) % 400 + 1)))
+    val ranked = Sequencing.globalRank(docs.toDF("id", "sz").repartition(7),
+      Seq(col("sz").desc, col("id")), "rank")
+    val shards = ranked.withColumn("shard", (col("rank") - 1) % 8)
+      .groupBy("shard").agg(sum("sz").as("tot"))
+      .as[(Long, Long)].collect().map(_._2)
+    assert(shards.length === 8)
+    assert(docs.map(_._2).sum === shards.sum)
+    // LPT-ish bound: spread no worse than the largest single item
+    assert(shards.max - shards.min <= 400)
+  }
+
   test("kmeansFixedPoint is bit-identical under repartitioning") {
     val pts = (0 until 60).map(i =>
       (i.toLong, Array.tabulate(4)(d => ((i * 31 + d * 17) % 97) / 97.0f)))
