@@ -61,7 +61,12 @@ object GraftExtensions {
       ShingleHash64(args(0), intLit(args(1), "shingle_hash_seq64"),
         distinct = false)),
     "window_min64" -> (args =>
-      WindowMin64(args(0), intLit(args(1), "window_min64"))))
+      WindowMin64(args(0), intLit(args(1), "window_min64"))),
+    // seeds derive from k exactly as Dedup.minhashSeeds, so SQL and the
+    // Column API produce identical signatures
+    "minhash_sig" -> (args =>
+      graft.functions.MinHashSig(args(0),
+        graft.ops.Dedup.minhashSeeds(intLit(args(1), "minhash_sig")))))
 
   /** Register the kernels on an already-built session. */
   def register(spark: SparkSession): Unit =

@@ -22,6 +22,13 @@ package object functions {
     ColumnBridge.column(
       ShingleHash64(ColumnBridge.expression(tokens), n, distinct = false))
 
+  /** MinHash signature over an array<long> of shingle hashes: per seed,
+    * min of hash XOR seed — one codegen'd k×n primitive loop
+    * (value-identical to
+    * `transform(seeds, s -> array_min(transform(h, x -> x ^ s)))`). */
+  def minhashSig(hashes: Column, seeds: Seq[Long]): Column =
+    ColumnBridge.column(MinHashSig(ColumnBridge.expression(hashes), seeds))
+
   /** Sequential-fold dot product of two array<double> columns (custom
     * codegen'd expression; bit-identical to aggregate(zip_with(...))). */
   def dotProduct(a: Column, b: Column): Column =

@@ -37,14 +37,15 @@ object Dedup {
     * (h64(shingle) XOR seed). XOR-mixing is not a classically min-wise
     * independent family, but it is deterministic, engine-portable, and
     * effective for LSH banding. Returns array<long> of length k. */
-  def minhashSignature(text: Column, k: Int, shingleSize: Int): Column = {
+  def minhashSignature(text: Column, k: Int, shingleSize: Int): Column =
     // distinct-shingle hashes via the codegen'd kernel; min over XORs is
     // duplicate-invariant, so signatures equal the non-distinct builtin
-    // formulation (and its oracle) exactly
-    val hashes = graft.functions.shingleHash64(tokens(text), shingleSize)
-    val seeds = array(minhashSeeds(k).map(lit): _*)
-    transform(seeds, seed => array_min(transform(hashes, h => h.bitwiseXOR(seed))))
-  }
+    // formulation (and its oracle) exactly. The signature fold is itself
+    // a codegen'd kernel ([[graft.functions.MinHashSig]]) — the nested
+    // transform/array_min lambdas are interpreted and allocate one array
+    // per seed per row
+    graft.functions.minhashSig(
+      graft.functions.shingleHash64(tokens(text), shingleSize), minhashSeeds(k))
 
   /** Collapse exact duplicates to one representative per distinct
     * normalized text: (min id, that row's text). This is the guard that
@@ -177,11 +178,10 @@ object Dedup {
     require(k % bands == 0, "k must divide into equal bands")
     val r = k / bands
 
-    // Stage 2 — signatures are cheap integer folds over the cached arrays.
-    val seeds = minhashSeeds(k)
+    // Stage 2 — signatures are one codegen'd k×n primitive loop over the
+    // cached arrays (MinHashSig kernel)
     val withSig = hashed.select(col("doc_id"),
-      array(seeds.map(seed =>
-        array_min(transform(col("hashes"), h => h.bitwiseXOR(lit(seed))))): _*).as("sig"))
+      graft.functions.minhashSig(col("hashes"), minhashSeeds(k)).as("sig"))
 
     val banded = capBuckets(withSig.select(
       col("doc_id"),

@@ -37,6 +37,21 @@ class TextFunctionsSpec extends AnyFunSuite with SparkTestBase {
     }
   }
 
+  test("minhash_sig kernel equals the builtin transform/array_min fold") {
+    val texts = Seq("the quick brown fox jumps over the lazy dog",
+      "a b", "x Y  z x Y  z", "solo")
+    val seeds = Dedup.minhashSeeds(12)
+    texts.foreach { t =>
+      val hashes = graft.functions.shingleHash64(tokens(lit(t)), 3)
+      val builtin = one(transform(array(seeds.map(lit): _*),
+        s => array_min(transform(hashes, h => h.bitwiseXOR(s)))))
+        .asInstanceOf[scala.collection.Seq[Long]]
+      val kernel = one(graft.functions.minhashSig(hashes, seeds))
+        .asInstanceOf[scala.collection.Seq[Long]]
+      assert(kernel == builtin, s"for input '$t'")
+    }
+  }
+
   test("positional shingle_hash64 keeps order and duplicates (winnowing head)") {
     val texts = Seq("a b a b a b", "x y", "", "one two three four")
     texts.foreach { t =>
@@ -119,14 +134,18 @@ class GraftExtensionsSpec extends AnyFunSuite with SparkTestBase {
     val viaSql = spark.sql(
       """SELECT simhash60(toks) AS sh, lang_id(toks) AS lang,
         |  shingle_hash64(toks, 3) AS hs,
-        |  window_min64(shingle_hash_seq64(toks, 3), 2) AS wm
+        |  window_min64(shingle_hash_seq64(toks, 3), 2) AS wm,
+        |  minhash_sig(shingle_hash64(toks, 3), 4) AS sig
         |FROM graft_ext_probe""".stripMargin).collect()
     val viaApi = df.select(
       graft.functions.simhash60(col("toks")).as("sh"),
       TextFunctions.langId(col("text")).as("lang"),
       graft.functions.shingleHash64(col("toks"), 3).as("hs"),
       graft.functions.windowMin64(
-        graft.functions.shingleHashSeq64(col("toks"), 3), 2).as("wm")).collect()
+        graft.functions.shingleHashSeq64(col("toks"), 3), 2).as("wm"),
+      graft.functions.minhashSig(
+        graft.functions.shingleHash64(col("toks"), 3),
+        Dedup.minhashSeeds(4)).as("sig")).collect()
     assert(viaSql.toSeq.map(_.toSeq) == viaApi.toSeq.map(_.toSeq))
 
     val dots = spark.sql(
