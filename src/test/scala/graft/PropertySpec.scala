@@ -250,6 +250,36 @@ object PropertySpec extends Properties("graft") {
       out.values.sum == n.toLong
     }
 
+  property("hammingPairs64 equals brute force on random 64-bit hashes") =
+    forAll(Gen.listOfN(14, Gen.long).map(_.distinct).suchThat(_.size >= 2)) { hs =>
+      val rows = hs.zipWithIndex.map { case (h, i) => (i.toLong, h) }
+      val got = graft.ops.Dedup.hammingPairs64(
+          rows.toDF("id", "ph"), "id", "ph", maxHamming = 7)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+      val want = (for {
+        (i, a) <- rows; (j, b) <- rows if i < j
+        d = java.lang.Long.bitCount(a ^ b) if d <= 7
+      } yield (i, j, d)).toSet
+      got == want
+    }
+
+  property("triangleCount equals brute-force enumeration on random graphs") =
+    forAll(Gen.listOfN(40, for {
+      a <- Gen.choose(0L, 12L); b <- Gen.choose(0L, 12L)
+    } yield (a, b))) { edges =>
+      val und = edges.filter(e => e._1 != e._2)
+        .map(e => (e._1 min e._2, e._1 max e._2)).distinct.toSet
+      val got = graft.ops.Graph.triangleCount(
+          edges.toDF("src", "dst"), "src", "dst")
+        .collect().map(_.getLong(1)).sum
+      val nodes = und.flatMap(e => Seq(e._1, e._2)).toSeq.sorted
+      val want = (for {
+        a <- nodes; b <- nodes if a < b && und((a, b))
+        c <- nodes if b < c && und((b, c)) && und((a, c))
+      } yield 1).size.toLong
+      got == want
+    }
+
   property("scd2 intervals chain per key with exactly one current version") =
     forAll(obsGen) { obs =>
       val df = obs.toDF("k", "ts", "seq", "st")
