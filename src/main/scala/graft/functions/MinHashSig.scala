@@ -15,10 +15,10 @@ import org.apache.spark.sql.types.{ArrayType, DataType, LongType}
   * primitive longs — the hot middle of every LSH pipeline (signatures
   * feed banding in d4/d6/d8/d9/d17).
   *
-  * Empty hash arrays yield an empty signature (array_min of an empty
-  * array would be null; the callers' normalizeText guarantees at least
-  * one shingle, and the oracle never sees empty docs — preserved
-  * behavior is "no rows lost").
+  * Edge semantics match the builtin chain exactly (the SQL surface
+  * accepts arbitrary array<bigint>): an array with no non-null element
+  * — including the empty array — yields k null signature entries,
+  * precisely what `array_min` produces.
   */
 case class MinHashSig(child: Expression, seeds: Seq[Long])
     extends UnaryExpression {
@@ -29,7 +29,10 @@ case class MinHashSig(child: Expression, seeds: Seq[Long])
     case other => TypeCheckResult.TypeCheckFailure(
       s"minhash_sig requires array<bigint>, got ${other.catalogString}")
   }
-  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  // containsNull: an all-null input array produces null signature
+  // entries (array_min semantics) — same element nullability the
+  // builtin transform/array_min formulation declares
+  override def dataType: DataType = ArrayType(LongType, containsNull = true)
   override def prettyName: String = "minhash_sig"
 
   @transient private lazy val seedArr: Array[Long] = seeds.toArray
@@ -49,28 +52,28 @@ case class MinHashSig(child: Expression, seeds: Seq[Long])
 object MinHashSig {
 
   /** Runtime kernel shared by interpreted eval and generated code.
-    * Nulls inside the hash array are skipped (the upstream kernel never
-    * produces them; array_min ignores nulls the same way). */
+    * Nulls inside the hash array are skipped (array_min semantics); an
+    * array with no usable element yields null signature entries. */
   def compute(hashes: ArrayData, seeds: Array[Long]): ArrayData = {
     val n = hashes.numElements()
     val k = seeds.length
-    val out = new Array[Long](if (n == 0) 0 else k)
-    if (n > 0) {
-      var s = 0
-      while (s < k) {
-        val seed = seeds(s)
-        var min = Long.MaxValue
-        var i = 0
-        while (i < n) {
-          if (!hashes.isNullAt(i)) {
-            val v = hashes.getLong(i) ^ seed
-            if (v < min) min = v
-          }
-          i += 1
+    val out = new Array[Any](k)
+    var s = 0
+    while (s < k) {
+      val seed = seeds(s)
+      var min = Long.MaxValue
+      var found = false
+      var i = 0
+      while (i < n) {
+        if (!hashes.isNullAt(i)) {
+          val v = hashes.getLong(i) ^ seed
+          if (v < min) min = v
+          found = true
         }
-        out(s) = min
-        s += 1
+        i += 1
       }
+      out(s) = if (found) java.lang.Long.valueOf(min) else null
+      s += 1
     }
     new GenericArrayData(out)
   }

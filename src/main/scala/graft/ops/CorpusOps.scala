@@ -411,7 +411,10 @@ object CorpusOps {
   def projectTopics(df: DataFrame, idCol: String, textCol: String,
       nTopics: Int, weightMod: Long = 1000L): DataFrame = {
     require(nTopics > 0, s"nTopics must be positive, got $nTopics")
-    val tf = perDocTf(df, idCol, textCol)
+    // the tf triple store feeds BOTH the vocabulary (weights) build and
+    // the contraction join — barrier it so tokenization runs once, not
+    // once per consumer (same two-consumer shape as tfIdf)
+    val tf = perDocTf(df, idCol, textCol).localCheckpoint(eager = false)
     val weights = tf.select("token").distinct()
       .select(col("token"),
         posexplode(transform(sequence(lit(0), lit(nTopics - 1)),

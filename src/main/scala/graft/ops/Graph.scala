@@ -35,9 +35,11 @@ object Graph {
     * up front and the (src, dst, deg) triple reused every iteration;
     * each iteration is one shuffle on dst (the contribution reduce)
     * plus one shuffle on node (the dangling-node left join) — no
-    * driver-side state, no lineage growth (localCheckpoint truncates
-    * per iteration, blocks freed by the ContextCleaner as the previous
-    * rank table becomes unreachable).
+    * driver-side state. Each rank table has exactly one consumer, so
+    * the lineage is LINEAR in `iterations` and needs no checkpoint
+    * barrier; for unusually long runs (hundreds of iterations) callers
+    * can re-introduce a periodic localCheckpoint to bound Catalyst's
+    * plan-analysis cost.
     *
     * Nodes with no out-edges contribute nothing (their mass evaporates,
     * the standard simplification); nodes with no in-edges keep the base

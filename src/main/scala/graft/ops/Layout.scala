@@ -46,12 +46,17 @@ object Layout {
   /** Small-file compaction — the maintenance pass every long-lived
     * table needs: streaming sinks and incremental appends leave
     * thousands of KB-sized files whose per-file open/footer overhead
-    * dominates scan time at 100 TB. Rewrites `inDir` into
+    * dominates scan time at 100 TB. Rewrites `inDir` into up to
     * ceil(rows / targetRowsPerFile) files, range-partitioned and sorted
     * on `sortCol` so each output file covers a contiguous key range
     * (min/max footer stats stay selective — compaction must not destroy
-    * data-skipping). One count + one range exchange; content identical
-    * by construction. Returns the compacted file count. */
+    * data-skipping). With a total-order key (unique values) the file
+    * count is exactly the ceiling; heavy duplicate keys can produce
+    * fewer, larger files — a range partitioner cannot split one key
+    * value across files. One count + one range exchange; content
+    * identical by construction. Returns the actual compacted file
+    * count, resolved through the path's Hadoop filesystem (works on
+    * hdfs:///s3a:// paths, not just local disk). */
   def compact(spark: org.apache.spark.sql.SparkSession, inDir: String,
       outDir: String, sortCol: String, targetRowsPerFile: Long): Int = {
     require(targetRowsPerFile > 0, s"targetRowsPerFile must be positive")
@@ -61,7 +66,9 @@ object Layout {
     df.repartitionByRange(nFiles, col(sortCol))
       .sortWithinPartitions(sortCol)
       .write.mode("overwrite").parquet(outDir)
-    new java.io.File(outDir).listFiles()
-      .count(f => f.getName.endsWith(".parquet"))
+    val fs = graft.io.PathResolver.fsFor(outDir,
+      spark.sparkContext.hadoopConfiguration)
+    fs.listStatus(new org.apache.hadoop.fs.Path(outDir))
+      .count(_.getPath.getName.endsWith(".parquet"))
   }
 }

@@ -26,19 +26,24 @@ object Sequencing {
     * @return df plus `outCol`: 1-based position in the total order */
   def globalRank(df: DataFrame, sortCols: Seq[Column],
       outCol: String = "rank"): DataFrame = {
+    val spark = df.sparkSession
     val parted = df.repartitionByRange(sortCols: _*)
       .withColumn("graft_pid", spark_partition_id())
       .localCheckpoint(eager = false) // counts pass + numbering pass
     val counts = parted.groupBy("graft_pid").count()
       .collect().map(r => r.getInt(0) -> r.getLong(1)).sortBy(_._1)
     val offsets = counts.scanLeft(0L)(_ + _._2)
-    val offMap = counts.map(_._1).zip(offsets).toMap
-    val offExpr = offMap.foldLeft(lit(0L)) { case (acc, (pid, off)) =>
-      when(col("graft_pid") === pid, lit(off)).otherwise(acc)
-    }
+    // offsets return as a BROADCAST join, not a per-row when-chain: a
+    // chain is O(#partitions) comparisons per row and its nested
+    // generated ifs can blow Janino's method limit at production
+    // partition counts, dropping the projection out of codegen
+    import spark.implicits._
+    val offDf = broadcast(counts.map(_._1).zip(offsets)
+      .toSeq.toDF("graft_pid", "graft_off"))
     val w = Window.partitionBy("graft_pid").orderBy(sortCols: _*)
     parted
-      .withColumn(outCol, row_number().over(w).cast("long") + offExpr)
-      .drop("graft_pid")
+      .join(offDf, Seq("graft_pid"))
+      .withColumn(outCol, row_number().over(w).cast("long") + col("graft_off"))
+      .drop("graft_pid", "graft_off")
   }
 }

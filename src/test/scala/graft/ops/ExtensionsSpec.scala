@@ -52,6 +52,23 @@ class TextFunctionsSpec extends AnyFunSuite with SparkTestBase {
     }
   }
 
+  test("minhash_sig edge semantics equal array_min: empty → empty, all-null → nulls") {
+    import spark.implicits._
+    val df = Seq(
+      (1L, Seq[java.lang.Long](7L, 12L)),
+      (2L, Seq[java.lang.Long]()),
+      (3L, Seq[java.lang.Long](null, null))).toDF("id", "h")
+    val seeds = Dedup.minhashSeeds(3)
+    val kernel = df.select(col("id"), graft.functions.minhashSig(col("h"), seeds))
+      .collect().map(r => r.getLong(0) -> r.getSeq[Any](1)).toMap
+    val builtin = df.select(col("id"), transform(array(seeds.map(lit): _*),
+        s => array_min(transform(col("h"), x => x.bitwiseXOR(s)))))
+      .collect().map(r => r.getLong(0) -> r.getSeq[Any](1)).toMap
+    assert(kernel(1L) == builtin(1L))
+    assert(kernel(2L) == builtin(2L) && kernel(2L).forall(_ == null))
+    assert(kernel(3L) == builtin(3L) && kernel(3L).forall(_ == null))
+  }
+
   test("positional shingle_hash64 keeps order and duplicates (winnowing head)") {
     val texts = Seq("a b a b a b", "x y", "", "one two three four")
     texts.foreach { t =>
