@@ -165,6 +165,38 @@ object OracleSql {
     s"(CASE $cases ELSE 'und' END)"
   }
 
+  /** Hyperplane-LSH embedding near-dup-pairs CTE chain over the
+    * embeddings table — mirrors Dedup.embeddingLshPairs stage for
+    * stage (bit-identical-vector collapse, md5-derived plane buckets,
+    * bucket cap, candidate self-join, exact cosine). Ends with an
+    * `epairs(id1, id2, cos)` CTE for callers to select from. */
+  def embeddingLshCtes(bits: Int, dim: Int, tau: Double, maxBucket: Int): String = {
+    val bucketExpr = graft.ops.Similarity.planes(bits, dim).zipWithIndex.map {
+      case (p, i) =>
+        val planeLit = p.mkString("[", ", ", "]")
+        s"(CASE WHEN ${dot("v", planeLit)} >= 0.0 THEN ${1L << i} ELSE 0 END)"
+    }.mkString("\n   + ")
+    val cos = s"(CASE WHEN a.nrm * b.nrm = 0.0 THEN 0.0 " +
+      s"ELSE ${dot("a.v", "b.v")} / (a.nrm * b.nrm) END)"
+    s"""v0 AS (
+       |  SELECT v, MIN(id) AS id FROM (
+       |    SELECT CAST(embedding AS DOUBLE[]) AS v, vec_id AS id FROM embeddings)
+       |  GROUP BY v),
+       |bkt AS (
+       |  SELECT id, v, CAST($bucketExpr AS BIGINT) AS bucket,
+       |         sqrt(${dot("v", "v")}) AS nrm
+       |  FROM v0),
+       |capped AS (
+       |  SELECT * FROM (
+       |    SELECT *, COUNT(*) OVER (PARTITION BY bucket) AS bucket_sz FROM bkt)
+       |  WHERE bucket_sz <= $maxBucket),
+       |epairs AS (
+       |  SELECT id1, id2, cos FROM (
+       |    SELECT a.id AS id1, b.id AS id2, $cos AS cos
+       |    FROM capped a JOIN capped b ON a.bucket = b.bucket AND a.id < b.id)
+       |  WHERE cos >= $tau)""".stripMargin
+  }
+
   /** Seeded-IVF kNN-join CTE chain over the embeddings table — mirrors
     * Similarity.ivfIndexSeeded(...).knnJoin stage for stage (centroid
     * seeds = first `nlist` ids, assignment by best cosine, `nprobe`

@@ -1209,6 +1209,24 @@ object SparkEntry {
         .orderBy("id1", "id2")
     }),
 
+    // ---- end-to-end SEMANTIC dedup: embedding-LSH near-dup pairs →
+    // connected components → one canonical vector per cluster (the
+    // embedding-space analogue of d17's text dedupCorpus) ---------------
+    "e11_semantic_dedup" -> ((s, dir) => {
+      val emb = t(s, dir, "embeddings")
+      val pairs = ops.Dedup.embeddingLshPairs(emb,
+        "vec_id", "embedding", dim = 64, bits = 6, tau = 0.2)
+      val dropped = ops.Dedup.connectedComponents(pairs)
+        .filter(col("node") =!= col("cluster_rep"))
+        .select(col("node").as("vec_id"))
+      emb.select(col("embedding").cast("array<double>").as("v"),
+          col("vec_id").cast("long").as("vec_id"))
+        .groupBy("v").agg(min("vec_id").as("vec_id"))
+        .select("vec_id")
+        .join(dropped, Seq("vec_id"), "left_anti")
+        .orderBy("vec_id")
+    }),
+
     // ---- incremental aggregate maintenance: stored state + signed
     // changeset, no base rescan; bit-identical to a full recompute ------
     "q40_incremental_agg" -> ((s, dir) => {
@@ -2798,31 +2816,25 @@ object SparkEntry {
         |  UNION ALL SELECT 'key_not_div7', key_not_div7, n_rows FROM m)
         |ORDER BY rule""".stripMargin,
 
-    "e6_embedding_lsh" -> {
-      val bucketExpr = ops.Similarity.planes(6, 64).zipWithIndex.map { case (p, i) =>
-        val planeLit = p.mkString("[", ", ", "]")
-        s"(CASE WHEN ${OracleSql.dot("v", planeLit)} >= 0.0 THEN ${1L << i} ELSE 0 END)"
-      }.mkString("\n   + ")
-      val cos = s"(CASE WHEN a.nrm * b.nrm = 0.0 THEN 0.0 " +
-        s"ELSE ${OracleSql.dot("a.v", "b.v")} / (a.nrm * b.nrm) END)"
-      s"""WITH v0 AS (
-         |  SELECT v, MIN(id) AS id FROM (
-         |    SELECT CAST(embedding AS DOUBLE[]) AS v, vec_id AS id FROM embeddings)
-         |  GROUP BY v),
-         |bkt AS (
-         |  SELECT id, v, CAST($bucketExpr AS BIGINT) AS bucket,
-         |         sqrt(${OracleSql.dot("v", "v")}) AS nrm
-         |  FROM v0),
-         |capped AS (
-         |  SELECT * FROM (
-         |    SELECT *, COUNT(*) OVER (PARTITION BY bucket) AS bucket_sz FROM bkt)
-         |  WHERE bucket_sz <= 1000)
-         |SELECT id1, id2, cos FROM (
-         |  SELECT a.id AS id1, b.id AS id2, $cos AS cos
-         |  FROM capped a JOIN capped b ON a.bucket = b.bucket AND a.id < b.id)
-         |WHERE cos >= 0.2
-         |ORDER BY id1, id2""".stripMargin
-    },
+    "e6_embedding_lsh" ->
+      s"""WITH ${OracleSql.embeddingLshCtes(bits = 6, dim = 64, tau = 0.2, maxBucket = 1000)}
+         |SELECT id1, id2, cos FROM epairs
+         |ORDER BY id1, id2""".stripMargin,
+
+    "e11_semantic_dedup" ->
+      s"""WITH RECURSIVE ${OracleSql.embeddingLshCtes(bits = 6, dim = 64, tau = 0.2, maxBucket = 1000)},
+         |edges AS (
+         |  SELECT id1 AS a, id2 AS b FROM epairs
+         |  UNION
+         |  SELECT id2, id1 FROM epairs),
+         |reach(node, lab) AS (
+         |  SELECT a, a FROM (SELECT DISTINCT a FROM edges)
+         |  UNION
+         |  SELECT e.a, r.lab FROM edges e JOIN reach r ON r.node = e.b),
+         |clusters AS (SELECT node, MIN(lab) AS rep FROM reach GROUP BY node)
+         |SELECT id AS vec_id FROM v0
+         |WHERE id NOT IN (SELECT node FROM clusters WHERE node <> rep)
+         |ORDER BY vec_id""".stripMargin,
 
     "q40_incremental_agg" ->
       """WITH final AS (
