@@ -386,7 +386,10 @@ object Similarity {
   }
 
   /** One assignment pass: nearest centroid per vector, ties to the
-    * lowest cluster id (min over (dist, cid) structs). */
+    * lowest cluster id. min_by over the total-order (dist, cid) key —
+    * the key's cid tiebreak makes the pick deterministic, and unlike
+    * min(struct(...)) (which plans as a SortAggregate) min_by
+    * hash-aggregates. */
   private def assign(vecs: DataFrame, selfDot: Column,
       centroids: DataFrame): DataFrame =
     vecs.crossJoin(broadcast(centroids))
@@ -394,6 +397,5 @@ object Similarity {
         (selfDot - lit(2.0) * dot(col("v"), col("c")) + dot(col("c"), col("c")))
           .as("dist"))
       .groupBy("id")
-      .agg(min(struct(col("dist"), col("cid"))).as("best"))
-      .select(col("id"), col("best.cid").as("cid"))
+      .agg(min_by(col("cid"), struct(col("dist"), col("cid"))).as("cid"))
 }
