@@ -891,6 +891,19 @@ object SparkEntry {
         .orderBy("id1", "id2")
     }),
 
+    // ---- EXACT all-pairs similarity join (prefix filtering): every
+    // pair with shingle Jaccard >= tau, no recall loss — the
+    // deterministic complement to d6's probabilistic LSH ----------------
+    "d33_allpairs_jaccard" -> ((s, dir) => {
+      val docs = t(s, dir, "documents").select("doc_id", "text")
+      val perturbed = docs.filter(col("doc_id") % 50 === 0)
+        .select((col("doc_id") + 1000000).as("doc_id"),
+          concat(col("text"), lit(" zzz extra suffix")).as("text"))
+      ops.Dedup.allPairsJaccard(docs.unionAll(perturbed), "doc_id", "text",
+          shingleSize = 3, tau = 0.5)
+        .orderBy("id1", "id2")
+    }),
+
     // ---- simhash near-dup pipeline over augmented corpus --------------
     "d7_simhash_pairs" -> ((s, dir) => {
       val docs = t(s, dir, "documents").select("doc_id", "text")
@@ -3334,6 +3347,37 @@ object SparkEntry {
          |  CAST(SUM(tf * w) AS BIGINT) AS score
          |FROM tf JOIN b USING (token)
          |GROUP BY 1, 2 ORDER BY doc, topic""".stripMargin
+    },
+
+    "d33_allpairs_jaccard" -> {
+      val hashes =
+        s"list_transform(list_distinct(${OracleSql.shingles("text", 3)}), s -> ${OracleSql.h64("s")})"
+      s"""WITH aug AS (
+         |  SELECT doc_id, text FROM documents
+         |  UNION ALL
+         |  SELECT doc_id + 1000000, text || ' zzz extra suffix'
+         |  FROM documents WHERE doc_id % 50 = 0),
+         |sets AS (SELECT doc_id, $hashes AS hashes FROM aug),
+         |tok AS (SELECT doc_id, unnest(hashes) AS h FROM sets),
+         |freq AS (SELECT h, COUNT(*) AS f FROM tok GROUP BY 1),
+         |pref AS (
+         |  SELECT doc_id, h FROM (
+         |    SELECT t.doc_id, t.h,
+         |      ROW_NUMBER() OVER (PARTITION BY t.doc_id ORDER BY f.f, t.h) AS ord,
+         |      COUNT(*) OVER (PARTITION BY t.doc_id) AS len
+         |    FROM tok t JOIN freq f USING (h))
+         |  WHERE ord <= len - CAST(CEIL(len * 0.5) AS BIGINT) + 1),
+         |cands AS (
+         |  SELECT DISTINCT a.doc_id AS id1, b.doc_id AS id2
+         |  FROM pref a JOIN pref b ON a.h = b.h AND a.doc_id < b.doc_id)
+         |SELECT id1, id2, jaccard FROM (
+         |  SELECT id1, id2,
+         |    CAST(len(list_intersect(s1.hashes, s2.hashes)) AS DOUBLE) /
+         |    CAST(len(list_distinct(s1.hashes || s2.hashes)) AS DOUBLE) AS jaccard
+         |  FROM cands
+         |  JOIN sets s1 ON s1.doc_id = id1
+         |  JOIN sets s2 ON s2.doc_id = id2)
+         |WHERE jaccard >= 0.5 ORDER BY id1, id2""".stripMargin
     },
 
     "d30_curriculum" -> {

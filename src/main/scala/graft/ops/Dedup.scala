@@ -273,6 +273,56 @@ object Dedup {
       .distinct()
   }
 
+  /** EXACT all-pairs similarity join via prefix filtering (Bayardo,
+    * Ma & Srikant, WWW'07 "Scaling Up All Pairs Similarity Search",
+    * public) — the deterministic complement to the probabilistic LSH
+    * family: finds EVERY pair with shingle-set Jaccard ≥ tau, no
+    * recall loss, no blocking column.
+    *
+    * The filter: order every document's distinct shingle hashes by one
+    * GLOBAL rarity order (frequency, then hash); two sets with
+    * J ≥ tau must share at least one element among each set's first
+    * `|x| − ⌈tau·|x|⌉ + 1` elements under that order, so only prefix
+    * elements are indexed. Prefixes are each document's RAREST
+    * shingles, so the candidate equi-join on the shingle key touches
+    * few documents per key — the quadratic blowup lives exactly in the
+    * frequent keys the prefix excludes.
+    *
+    * Physical shape: one explode to (id, hash), a frequency aggregate,
+    * a per-doc window for the rarity ranks (narrow key: id), the
+    * candidate self-join on prefix hashes, and integer hash-set
+    * verification — candidates and verification shuffle ids and 60-bit
+    * hashes only, never text. */
+  def allPairsJaccard(
+      df: DataFrame,
+      idCol: String,
+      textCol: String,
+      shingleSize: Int = 3,
+      tau: Double = 0.6): DataFrame = {
+    val sets = df.select(col(idCol).cast("long").as("doc_id"),
+        graft.functions.shingleHash64(tokens(col(textCol)), shingleSize).as("hashes"))
+      .localCheckpoint(eager = false) // prefix build + verification joins
+    val toks = sets.select(col("doc_id"), explode(col("hashes")).as("h"))
+    val freq = toks.groupBy("h").agg(count(lit(1)).as("f"))
+    val w = Window.partitionBy("doc_id").orderBy(col("f"), col("h"))
+    val prefix = toks.join(freq, Seq("h"))
+      .withColumn("ord", row_number().over(w))
+      .withColumn("len", count(lit(1)).over(Window.partitionBy("doc_id")))
+      .filter(col("ord") <= col("len") - ceil(col("len") * tau) + 1)
+      .select(col("h"), col("doc_id"))
+    val cands = prefix.as("a")
+      .join(prefix.as("b"), col("a.h") === col("b.h") && col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("id1"), col("b.doc_id").as("id2"))
+      .distinct()
+    cands
+      .join(sets.select(col("doc_id").as("id1"), col("hashes").as("h1")), Seq("id1"))
+      .join(sets.select(col("doc_id").as("id2"), col("hashes").as("h2")), Seq("id2"))
+      .select(col("id1"), col("id2"),
+        (size(array_intersect(col("h1"), col("h2"))).cast("double") /
+          size(array_union(col("h1"), col("h2"))).cast("double")).as("jaccard"))
+      .filter(col("jaccard") >= tau)
+  }
+
   /** Near-duplicate pairs over any 64-bit perceptual hash column
     * (simhash, image dHash, audio chromaprint-style keys): pigeonhole
     * banding into `maxHamming + 1` bit chunks — hamming ≤ maxHamming

@@ -215,6 +215,31 @@ class DedupSpec extends AnyFunSuite with SparkTestBase {
     assert(!pairs.exists(p => p._1 == 3 || p._2 == 3))
   }
 
+  test("allPairsJaccard equals brute force: the prefix filter is lossless") {
+    import spark.implicits._
+    val corpus = (0L until 30L).map { i =>
+      val base = Seq("alpha", "beta", "gamma", "delta", "epsilon", "zeta",
+        "eta", "theta").map(w => s"$w${i % 6}")
+      (i, (base :+ s"unique$i").mkString(" "))
+    }
+    val df = corpus.toDF("doc_id", "text")
+    val got = Dedup.allPairsJaccard(df, "doc_id", "text", shingleSize = 2, tau = 0.5)
+      .select("id1", "id2").as[(Long, Long)].collect().toSet
+    // brute force over 2-shingle string sets
+    def shingles(t: String): Set[String] = {
+      val ts = t.split(" ").toSeq
+      (0 until math.max(ts.size - 1, 1)).map(i => ts.slice(i, i + 2).mkString(" ")).toSet
+    }
+    val want = (for {
+      (i, ti) <- corpus; (j, tj) <- corpus if i < j
+      si = shingles(ti); sj = shingles(tj)
+      jac = si.intersect(sj).size.toDouble / si.union(sj).size.toDouble
+      if jac >= 0.5
+    } yield (i, j)).toSet
+    assert(got === want)
+    assert(want.nonEmpty) // the i%6 groups guarantee real near-dups
+  }
+
   test("hammingPairs64 equals brute force for hamming <= maxHamming (pigeonhole)") {
     import spark.implicits._
     // 64-bit keys engineered around a base value: flips of 1..5 bits
