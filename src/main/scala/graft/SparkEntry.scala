@@ -1725,6 +1725,47 @@ object SparkEntry {
         .orderBy("user_id", "grid_ts_us")
     }),
 
+    // ---- Spark 4 state API v2: transformWithState + StatefulProcessor
+    // over the RocksDB store; per-user running aggregates in exact
+    // integer cents, one emission per key --------------------------------
+    "s9_stream_twstate" -> ((s, dir) => {
+      import s.implicits._
+      s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+      val tmp = java.nio.file.Files.createTempDirectory("graft-s9").toString
+      val purchases = s.read.parquet(s"$dir/events.parquet")
+        .filter(col("event_type") === "purchase")
+        .select("user_id", "value", "event_id")
+      purchases.withColumn("shard", pmod(col("user_id"), lit(4)))
+        .repartition(4, col("shard"))
+        .write.parquet(s"$tmp/in")
+      val prevProvider = s.conf.getOption("spark.sql.streaming.stateStore.providerClass")
+      s.conf.set("spark.sql.streaming.stateStore.providerClass",
+        "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+      try withNarrowState(s) {
+        val stream = s.readStream
+          .schema(purchases.withColumn("shard", pmod(col("user_id"), lit(4))).schema)
+          .option("maxFilesPerTrigger", "1")
+          .parquet(s"$tmp/in")
+          .selectExpr("user_id", "value", "event_id")
+          .as[(Long, Double, Long)]
+        val out = stream.groupByKey(_._1)
+          .transformWithState(new streaming.PurchaseStateProcessor,
+            org.apache.spark.sql.streaming.TimeMode.None(),
+            org.apache.spark.sql.streaming.OutputMode.Update())
+        val q = out.toDF("user_id", "n", "total_cents")
+          .writeStream.format("memory").queryName("graft_s9_out")
+          .outputMode("update")
+          .option("checkpointLocation", s"$tmp/chk")
+          .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+          .start()
+        q.awaitTermination()
+      } finally prevProvider match {
+        case Some(p) => s.conf.set("spark.sql.streaming.stateStore.providerClass", p)
+        case None => s.conf.unset("spark.sql.streaming.stateStore.providerClass")
+      }
+      s.table("graft_s9_out").orderBy("user_id")
+    }),
+
     // ---- perceptual image hashing: real PNG decode → 9×8 grid → 64-bit
     // dHash, the key for Hamming-banded image near-dup joins ------------
     "m4_image_dhash" -> ((s, dir) => {
@@ -3428,6 +3469,12 @@ object SparkEntry {
         |               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW))
         |SELECT user_id, epoch_us(ts) AS grid_ts_us, locf_value
         |FROM f WHERE tag = 1 ORDER BY user_id, grid_ts_us""".stripMargin,
+
+    "s9_stream_twstate" ->
+      """SELECT user_id, COUNT(*) AS n,
+        |  CAST(SUM(CAST(value AS DECIMAL(18,2))) * 100 AS BIGINT) AS total_cents
+        |FROM events WHERE event_type = 'purchase'
+        |GROUP BY user_id ORDER BY user_id""".stripMargin,
 
     "s8_stream_upsert" ->
       """SELECT user_id, COUNT(*) AS n,

@@ -132,6 +132,37 @@ class EventStreamsSpec extends AnyFunSuite with SparkTestBase {
     } finally q.stop()
   }
 
+  test("transformWithState keeps per-key state across micro-batches") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val prev = spark.conf.getOption("spark.sql.streaming.stateStore.providerClass")
+    spark.conf.set("spark.sql.streaming.stateStore.providerClass",
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    try {
+      val mem = MemoryStream[(Long, Double, Long)]
+      val out = mem.toDS().groupByKey(_._1)
+        .transformWithState(new PurchaseStateProcessor,
+          org.apache.spark.sql.streaming.TimeMode.None(), OutputMode.Update())
+      val q = out.toDF("user", "n", "cents")
+        .writeStream.format("memory").queryName("graft_tws_spec")
+        .outputMode(OutputMode.Update()).start()
+      try {
+        mem.addData((1L, 1.50, 10L), (1L, 2.25, 11L), (2L, 5.00, 12L))
+        q.processAllAvailable()
+        mem.addData((1L, 0.25, 13L)) // key 1 recurs → state must survive
+        q.processAllAvailable()
+        val rows = spark.table("graft_tws_spec")
+          .as[(Long, Long, Long)].collect().toSet
+        assert(rows.contains((1L, 2L, 375L))) // after batch 1
+        assert(rows.contains((1L, 3L, 400L))) // running total after batch 2
+        assert(rows.contains((2L, 1L, 500L)))
+      } finally q.stop()
+    } finally prev match {
+      case Some(p) => spark.conf.set("spark.sql.streaming.stateStore.providerClass", p)
+      case None => spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
+    }
+  }
+
   test("checkpoint restart resumes exactly-once: no replays, no gaps") {
     import spark.implicits._
     val dir = java.nio.file.Files.createTempDirectory("graft-restart").toString
