@@ -1226,16 +1226,17 @@ object SparkEntry {
     // connected components → one canonical vector per cluster (the
     // embedding-space analogue of d17's text dedupCorpus) ---------------
     "e11_semantic_dedup" -> ((s, dir) => {
-      val emb = t(s, dir, "embeddings")
-      val pairs = ops.Dedup.embeddingLshPairs(emb,
-        "vec_id", "embedding", dim = 64, bits = 6, tau = 0.2)
+      // the full-width vector collapse runs ONCE (checkpoint barrier)
+      // and serves both the pairs pipeline and the survivor base
+      val collapsed = ops.Dedup.collapseVectors(
+          t(s, dir, "embeddings"), "vec_id", "embedding")
+        .localCheckpoint(eager = false)
+      val pairs = ops.Dedup.embeddingLshPairsFromCollapsed(collapsed,
+        dim = 64, bits = 6, tau = 0.2, maxBucket = 1000)
       val dropped = ops.Dedup.connectedComponents(pairs)
         .filter(col("node") =!= col("cluster_rep"))
         .select(col("node").as("vec_id"))
-      emb.select(col("embedding").cast("array<double>").as("v"),
-          col("vec_id").cast("long").as("vec_id"))
-        .groupBy("v").agg(min("vec_id").as("vec_id"))
-        .select("vec_id")
+      collapsed.select(col("id").as("vec_id"))
         .join(dropped, Seq("vec_id"), "left_anti")
         .orderBy("vec_id")
     }),

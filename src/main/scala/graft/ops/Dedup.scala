@@ -286,7 +286,10 @@ object Dedup {
     * elements are indexed. Prefixes are each document's RAREST
     * shingles, so the candidate equi-join on the shingle key touches
     * few documents per key — the quadratic blowup lives exactly in the
-    * frequent keys the prefix excludes.
+    * frequent keys the prefix excludes. Like every pairs operator here,
+    * EXACT duplicates must be collapsed to one representative first
+    * ([[collapseExactText]]): an n-copy duplicate cluster shares its
+    * whole prefix and self-joins O(n²) regardless of the rarity order.
     *
     * Physical shape: one explode to (id, hash), a frequency aggregate,
     * a per-doc window for the rarity ranks (narrow key: id), the
@@ -377,13 +380,30 @@ object Dedup {
       dim: Int,
       bits: Int = 12,
       tau: Double = 0.95,
-      maxBucket: Int = 1000): DataFrame = {
-    // collapse bit-identical vectors to their min id (the embedding
-    // analogue of the exact-text pre-collapse: re-encoded copies of one
-    // document share a vector and would otherwise self-join O(copies²))
-    val distinctVecs = df
-      .select(col(idCol).cast("long").as("id"), col(vecCol).cast("array<double>").as("v"))
+      maxBucket: Int = 1000): DataFrame =
+    embeddingLshPairsFromCollapsed(
+      collapseVectors(df, idCol, vecCol), dim, bits, tau, maxBucket)
+
+  /** Bit-identical-vector collapse to one (min-id) representative per
+    * distinct vector — the embedding analogue of [[collapseExactText]]:
+    * re-encoded copies of one document share a vector and would
+    * otherwise self-join O(copies²) in their LSH bucket. Split out so
+    * compositions (the e11 semantic-dedup gate) run the full-width
+    * vector shuffle ONCE and reuse it for both the pairs pipeline and
+    * the survivor base. */
+  private[graft] def collapseVectors(
+      df: DataFrame, idCol: String, vecCol: String): DataFrame =
+    df.select(col(idCol).cast("long").as("id"),
+        col(vecCol).cast("array<double>").as("v"))
       .groupBy("v").agg(min(col("id")).as("id"))
+
+  /** The pairs pipeline over an already-collapsed (id, v) table. */
+  private[graft] def embeddingLshPairsFromCollapsed(
+      distinctVecs: DataFrame,
+      dim: Int,
+      bits: Int,
+      tau: Double,
+      maxBucket: Int): DataFrame = {
     // localCheckpoint, not persist: serves the two sides of the bucket
     // self-join without pinning cache blocks past the caller's action
     // (see minhashHashed)

@@ -10,11 +10,12 @@ import org.apache.spark.sql.streaming.{OutputMode, StatefulProcessor, TimeMode, 
   * (count, cents) aggregate per user and emits the running value once
   * per key per micro-batch.
   *
-  * Determinism: rows inside a batch arrive in shuffle order, so the
-  * fold sorts by event id first; money accumulates in integer cents
-  * (inputs carry 2-decimal values), so totals are exact and
-  * batch-boundary-independent — which is what gives the streaming gate
-  * a batch SQL oracle.
+  * Determinism: money accumulates in integer cents (inputs carry
+  * 2-decimal values), and long addition is commutative/associative, so
+  * the fold consumes the iterator in whatever shuffle order rows
+  * arrive — totals are exact and independent of both row order and
+  * batch boundaries, which is what gives the streaming gate a batch
+  * SQL oracle.
   */
 case class TwsAgg(n: Long, cents: Long)
 
@@ -34,7 +35,8 @@ class PurchaseStateProcessor
     val prev = if (agg.exists()) agg.get() else TwsAgg(0L, 0L)
     var n = prev.n
     var cents = prev.cents
-    rows.toArray.sortBy(_._3).foreach { case (_, value, _) =>
+    // no buffering/sorting: the integer-cents fold is order-independent
+    rows.foreach { case (_, value, _) =>
       n += 1
       cents += Math.round(value * 100.0)
     }
