@@ -528,12 +528,14 @@ object SparkEntry {
     "q22_bucketed_join" -> ((s, dir) => {
       // managed-table locations survive the (in-memory) catalog across
       // sessions — clear both catalog entry and physical path first
-      Seq("graft_li_bucketed", "graft_o_bucketed").foreach { tbl =>
-        s.sql(s"DROP TABLE IF EXISTS $tbl")
-        val p = new org.apache.hadoop.fs.Path(
-          s.conf.get("spark.sql.warehouse.dir") + "/" + tbl)
-        val fs = p.getFileSystem(s.sparkContext.hadoopConfiguration)
-        if (fs.exists(p)) fs.delete(p, true)
+      graft.util.BenchProbe.time("q22_drop") {
+        Seq("graft_li_bucketed", "graft_o_bucketed").foreach { tbl =>
+          s.sql(s"DROP TABLE IF EXISTS $tbl")
+          val p = new org.apache.hadoop.fs.Path(
+            s.conf.get("spark.sql.warehouse.dir") + "/" + tbl)
+          val fs = p.getFileSystem(s.sparkContext.hadoopConfiguration)
+          if (fs.exists(p)) fs.delete(p, true)
+        }
       }
       // repartition on the bucket key BEFORE the bucketed write: Spark
       // emits one file per (task, bucket) pair, so an unpartitioned
@@ -541,14 +543,18 @@ object SparkEntry {
       // tasks with buckets (same Murmur3 hash both sides) writes exactly
       // one file per bucket — at 100 TB the difference between a usable
       // layout and a small-files explosion
-      t(s, dir, "lineitem").select("l_orderkey", "l_extendedprice")
-        .repartition(8, col("l_orderkey"))
-        .write.mode("overwrite").bucketBy(8, "l_orderkey").sortBy("l_orderkey")
-        .saveAsTable("graft_li_bucketed")
-      t(s, dir, "orders").select("o_orderkey", "o_orderpriority")
-        .repartition(8, col("o_orderkey"))
-        .write.mode("overwrite").bucketBy(8, "o_orderkey").sortBy("o_orderkey")
-        .saveAsTable("graft_o_bucketed")
+      graft.util.BenchProbe.time("q22_write_li") {
+        t(s, dir, "lineitem").select("l_orderkey", "l_extendedprice")
+          .repartition(8, col("l_orderkey"))
+          .write.mode("overwrite").bucketBy(8, "l_orderkey").sortBy("l_orderkey")
+          .saveAsTable("graft_li_bucketed")
+      }
+      graft.util.BenchProbe.time("q22_write_o") {
+        t(s, dir, "orders").select("o_orderkey", "o_orderpriority")
+          .repartition(8, col("o_orderkey"))
+          .write.mode("overwrite").bucketBy(8, "o_orderkey").sortBy("o_orderkey")
+          .saveAsTable("graft_o_bucketed")
+      }
       val li = s.table("graft_li_bucketed")
       val o = s.table("graft_o_bucketed")
       li.join(o, li("l_orderkey") === o("o_orderkey"))

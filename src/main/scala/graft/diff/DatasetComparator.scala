@@ -131,12 +131,31 @@ class DatasetComparator(
     }.reduce(_ && _)
     val joined = refPref.join(actPref, joinCond, "full_outer")
 
-    // flatten select list over the ORIGINAL shape, probed on both inputs
-    // (superset of the complement-based probe; padded positions are
-    // null-equal on both sides so errCol content is unchanged); the
-    // accessors are built twice with prefixed roots so they evaluate
-    // directly against the joined row — no second flat join needed
-    val lengths = Flattener.maxArrayLengths(Seq(refP, actP))
+    // coarse row-diff prefilter: a joined row can only contribute to
+    // errCol if some TOP-LEVEL column pair differs under null-safe
+    // whole-value equality (top-level equal ⟹ every flat accessor into
+    // it is equal), or the row is one-sided. Filtering here means the
+    // array-length probe below and the errCol projection run over diff
+    // candidates ONLY — never a full-input scan. When the diff is empty
+    // this costs nothing beyond the join itself.
+    val q = (n: String) => col("`" + n.replace("`", "``") + "`")
+    val allEqual = refSel.schema.fieldNames.toSeq
+      .map(n => q(s"${expectedPrefix}_$n") <=> q(s"${actualPrefix}_$n"))
+      .foldLeft(col(refMark) && col(actMark))(_ && _)
+    // one-sided rows leave the marks null → conjunction null → keep
+    val coarseP = maybePersist(joined.filter(!coalesce(allEqual, lit(false))))
+
+    // flatten select list over the ORIGINAL shape; array lengths probed
+    // on the (persisted, small) diff candidates — same complement-side
+    // probe scope as the parity path. Positions beyond the diff-side max
+    // are null on both sides of every diff row, so errCol is unchanged.
+    // Array-free schemas skip the probe action entirely.
+    val lengths =
+      if (Flattener.hasArrays(refSel.schema)) {
+        def side(prefix: String) = coarseP.select(
+          refSel.schema.fieldNames.toSeq.map(n => q(s"${prefix}_$n").as(n)): _*)
+        Flattener.maxArrayLengths(Seq(side(expectedPrefix), side(actualPrefix)))
+      } else Map.empty[String, Int]
     val flatNames = refP
       .select(Flattener.flattenSelectList(refSel.schema, lengths): _*)
       .schema.fieldNames.toSeq
@@ -149,16 +168,16 @@ class DatasetComparator(
     val errCol = if (errEntries.isEmpty) array().cast("array<string>")
                  else concat(errEntries: _*)
 
-    val withErr = maybePersist(joined
+    val withErr = coarseP
       .withColumn(errorColumnName, errCol)
-      .filter(size(col(errorColumnName)) > 0))
+      .filter(size(col(errorColumnName)) > 0)
     // one action for both counts
     val cnts = withErr.agg(
       count(lit(1)).as("diff"),
       count(when(col(refMark), 1)).as("refSide")).collect()(0)
     val (diffCount, refSideDiff) = (cnts.getLong(0), cnts.getLong(1))
     val diffDF = withErr.drop(refMark, actMark)
-    if (diffCount == 0) withErr.unpersist()
+    if (diffCount == 0) coarseP.unpersist()
     ComparisonResult(refCount, actCount, refDups, actDups,
       refCount - refSideDiff, selector,
       if (diffCount == 0) None else Some(diffDF), diffCount)
@@ -220,7 +239,10 @@ class DatasetComparator(
           SchemaUtils.diffSchema(ps, SchemaUtils.stripMetadata(refDF.schema)) ++
           SchemaUtils.diffSchema(ps, SchemaUtils.stripMetadata(actualDF.schema))
         if (missing.nonEmpty) throw new SchemasDifferException(missing.distinct)
-        val selector = SchemaUtils.dataFrameSelector(ps)
+        // canonicalizeMaps: map columns become key-sorted entry arrays so
+        // except / <=> / full-row joins accept them (Spark defines no map
+        // ordering; the reference simply fails on map columns)
+        val selector = SchemaUtils.dataFrameSelector(ps, canonicalizeMaps = true)
         (refDF.select(selector: _*), actualDF.select(selector: _*), selector)
       case None =>
         val refSchema = SchemaUtils.stripMetadata(refDF.schema)
@@ -230,7 +252,7 @@ class DatasetComparator(
             SchemaUtils.diffSchema(actSchema, refSchema)
           throw new SchemasDifferException(missing.distinct)
         }
-        val selector = SchemaUtils.dataFrameSelector(refSchema)
+        val selector = SchemaUtils.dataFrameSelector(refSchema, canonicalizeMaps = true)
         (refDF.select(selector: _*), actualDF.select(selector: _*), selector)
     }
   }

@@ -90,6 +90,11 @@ object Flattener {
       throw new IllegalStateException(s"probe path hits scalar $other")
   }
 
+  /** Does the schema contain any array column (at any depth)? Callers
+    * use this to skip the probe action entirely on array-free shapes. */
+  def hasArrays(schema: StructType): Boolean =
+    arrayPaths(schema, Nil).nonEmpty
+
   /** One aggregate pass over each DataFrame: max length per array path,
     * combined across all supplied DataFrames (the diff engine probes both
     * complements together — reference `DatasetComparator.scala:126-128`). */

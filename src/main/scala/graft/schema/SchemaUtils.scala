@@ -88,18 +88,36 @@ object SchemaUtils {
     * DataFrames yields positionally identical schemas — the precondition
     * for `except` / full-row comparison.
     * Mirrors spark-commons `getDataFrameSelector` as used at
-    * `DatasetComparator.scala:74-78`. */
-  def dataFrameSelector(schema: StructType): List[Column] =
-    schema.fields.sortBy(f => norm(f.name)).map(f => sortedColumn(col(quote(f.name)), f.dataType).as(f.name)).toList
+    * `DatasetComparator.scala:74-78`.
+    *
+    * With `canonicalizeMaps = true` every map column (at any depth) is
+    * rewritten to its key-sorted entry list — `array<struct<key,value>>`
+    * via `array_sort(map_entries(..))` — because Spark defines no
+    * ordering/equality on maps: `except`, `<=>` and full-row joins all
+    * reject raw map columns (the reference inherits the same restriction,
+    * `DatasetComparator.scala:89-92`). The sorted entry list is a
+    * deterministic orderable encoding of map equality (maps are equal iff
+    * their entry sets are equal; keys are unique so the key-sorted list
+    * is canonical), which makes map columns first-class in the diff
+    * engine instead of an opaque Spark error. */
+  def dataFrameSelector(schema: StructType, canonicalizeMaps: Boolean = false): List[Column] =
+    schema.fields.sortBy(f => norm(f.name))
+      .map(f => sortedColumn(col(quote(f.name)), f.dataType, canonicalizeMaps).as(f.name)).toList
 
   private def quote(name: String): String = "`" + name.replace("`", "``") + "`"
 
-  private def sortedColumn(c: Column, dt: DataType): Column = dt match {
+  private def sortedColumn(c: Column, dt: DataType, canonMaps: Boolean = false): Column = dt match {
     case s: StructType =>
       struct(s.fields.sortBy(f => norm(f.name))
-        .map(f => sortedColumn(c.getField(f.name), f.dataType).as(f.name)).toSeq: _*)
-    case ArrayType(et @ (_: StructType | _: ArrayType), _) =>
-      transform(c, x => sortedColumn(x, et))
+        .map(f => sortedColumn(c.getField(f.name), f.dataType, canonMaps).as(f.name)).toSeq: _*)
+    case ArrayType(et @ (_: StructType | _: ArrayType | _: MapType), _) =>
+      transform(c, x => sortedColumn(x, et, canonMaps))
+    case MapType(k, v, _) if canonMaps =>
+      // array_sort's default struct ordering compares fields in order —
+      // key first — and map keys are unique, so the result is total
+      array_sort(transform(map_entries(c), e =>
+        struct(sortedColumn(e.getField("key"), k, canonMaps).as("key"),
+               sortedColumn(e.getField("value"), v, canonMaps).as("value"))))
     case _ => c
   }
 }

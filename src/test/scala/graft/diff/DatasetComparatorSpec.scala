@@ -180,6 +180,57 @@ class DatasetComparatorSpec extends AnyFunSuite with SparkTestBase {
     assert(err(fast) == err(parity))
   }
 
+  test("map columns: canonicalized to key-sorted entries, diffed, attributed") {
+    // same logical map built with different insertion order on each side
+    // → equal after canonicalization; row 2's value genuinely differs
+    val ref = df(
+      """SELECT * FROM VALUES
+        | (1, map('b', 'x', 'a', 'y')),
+        | (2, map('k', 'v'))
+        | AS t(id, m)""".stripMargin)
+    val act = df(
+      """SELECT * FROM VALUES
+        | (1, map('a', 'y', 'b', 'x')),
+        | (2, map('k', 'CHANGED'))
+        | AS t(id, m)""".stripMargin)
+    val r = new DatasetComparator(ref, act, DiffOptions(keys = Seq("id"))).compare()
+    assert(r.diffCount == 1)
+    val row = r.resultDF.get.collect().head
+    assert(row.getAs[Int]("expected_id") == 2)
+    // canonical shape flattens to m_<pos>_key / m_<pos>_value
+    assert(row.getAs[scala.collection.Seq[String]]("errCol") == Seq("m_0_value"))
+  }
+
+  test("map columns: keyless (parity) path hashes the canonical entry list") {
+    val ref = df("SELECT 1 AS id, map('b', 2, 'a', 1) AS m")
+    val actSame = df("SELECT 1 AS id, map('a', 1, 'b', 2) AS m")
+    val rSame = new DatasetComparator(ref, actSame, DiffOptions()).compare()
+    assert(rSame.datasetsMatch && rSame.diffCount == 0)
+
+    val actDiff = df("SELECT 1 AS id, map('a', 1, 'b', 99) AS m")
+    val rDiff = new DatasetComparator(ref, actDiff, DiffOptions()).compare()
+    assert(rDiff.diffCount == 2) // changed row → two one-sided rows
+  }
+
+  test("map columns: fast keyed and parity modes agree") {
+    val ref = df(
+      """SELECT * FROM VALUES
+        | (1, map('b', 'x', 'a', 'y')), (2, map('k', 'v'))
+        | AS t(id, m)""".stripMargin)
+    val act = df(
+      """SELECT * FROM VALUES
+        | (1, map('a', 'y', 'b', 'x')), (2, map('k', 'w'))
+        | AS t(id, m)""".stripMargin)
+    val fast = new DatasetComparator(ref, act,
+      DiffOptions(keys = Seq("id"), fastKeyed = true)).compare()
+    val parity = new DatasetComparator(ref, act,
+      DiffOptions(keys = Seq("id"), fastKeyed = false)).compare()
+    assert(fast.diffCount == 1 && parity.diffCount == 1)
+    def err(r: ComparisonResult) = r.resultDF.get.collect().head
+      .getAs[scala.collection.Seq[String]]("errCol")
+    assert(err(fast) == err(parity))
+  }
+
   test("metrics JSON is well-formed and carries the counts") {
     val actual = base + " WHERE id <> 3"
     val r = new DatasetComparator(df(base), df(actual), DiffOptions(keys = Seq("id"))).compare()
