@@ -156,6 +156,33 @@ object SparkEntry {
         .orderBy("expected_p_partkey")
     }),
 
+    // ---- map-typed diff: map columns are canonicalized to key-sorted
+    // entry arrays before compare (Spark defines no map ordering, so raw
+    // maps break except/<=>/joins — the reference inherits the failure;
+    // here they're first-class). Insertion order deliberately differs
+    // from key order so the gate proves the canonicalization ------------
+    "q63_diff_map" -> ((s, dir) => {
+      def withMap(src: DataFrame) = src.select(
+        col("o_orderkey"),
+        map(lit("stat"), col("o_orderstatus"),
+            lit("prio"), col("o_orderpriority")).as("attrs"))
+      val o = t(s, dir, "orders")
+      val ref = withMap(o)
+      val act = withMap(o.withColumn("o_orderpriority",
+        when(col("o_orderkey") % 97 === 0, concat(col("o_orderpriority"), lit("_X")))
+          .otherwise(col("o_orderpriority"))))
+      val result = new graft.diff.DatasetComparator(ref, act,
+        graft.diff.DiffOptions(keys = Seq("o_orderkey"))).compare()
+      def rendered(side: String) = concat_ws(",", transform(col(s"${side}_attrs"),
+        e => concat(e.getField("key"), lit("="), e.getField("value"))))
+      result.resultDF.get.select(
+          col("expected_o_orderkey").as("okey"),
+          rendered("expected").as("exp_attrs"),
+          rendered("actual").as("act_attrs"),
+          concat_ws("|", col("errCol")).as("errs"))
+        .orderBy("okey")
+    }),
+
     // ---- the FULL CLI job path: write inputs → DatasetComparisonJob
     // .main (arg parsing, source load, compare, diff + _METRICS sink,
     // exit-by-exception) → read the written diff back as the gate -------
@@ -1946,6 +1973,15 @@ object SparkEntry {
         |FROM ref r FULL OUTER JOIN actual a ON r.p_partkey = a.p_partkey
         |WHERE a.p_partkey IS NULL OR r.brand <> a.brand OR r.s1 <> a.s1
         |ORDER BY expected_p_partkey""".stripMargin,
+
+    // canonical entries sort alphabetically by key (prio < stat), so the
+    // perturbed prio value is entry 0 → errCol = attrs_0_value
+    "q63_diff_map" ->
+      """SELECT o_orderkey AS okey,
+        |  'prio=' || o_orderpriority || ',stat=' || o_orderstatus AS exp_attrs,
+        |  'prio=' || o_orderpriority || '_X,stat=' || o_orderstatus AS act_attrs,
+        |  'attrs_0_value' AS errs
+        |FROM orders WHERE o_orderkey % 97 = 0 ORDER BY okey""".stripMargin,
 
     "q7_flatten" ->
       """SELECT p_partkey, p_brand AS info_brand, p_type AS info_type,
