@@ -1824,6 +1824,20 @@ object SparkEntry {
         .orderBy("c_nationkey")
     }),
 
+    // ---- avro round-trip through the generic reader/writer (S6):
+    // Spark 4.1 bundles the avro connector in spark-sql --------------
+    "q64_avro_roundtrip" -> ((s, dir) => {
+      implicit val sp: SparkSession = s
+      val tmp = java.nio.file.Files.createTempDirectory("graft-avro").toString
+      val params = io.SourceParams("avro", Some(s"$tmp/supplier"))
+      io.DataFrameIO.write(t(s, dir, "supplier"), params)
+      io.DataFrameIO.load(params)
+        .groupBy("s_nationkey")
+        .agg(count(lit(1)).as("n_suppliers"),
+          sum(col("s_acctbal").cast("decimal(18,2)")).cast("double").as("total_bal"))
+        .orderBy("s_nationkey")
+    }),
+
     // ---- image near-dup pairs: dHash → pigeonhole Hamming banding →
     // exact verification; twins at +768192 share every image modulus
     // except a +64 gray shift, so some land within hamming 3 ------------
@@ -3386,6 +3400,11 @@ object SparkEntry {
       """SELECT c_nationkey, COUNT(*) AS n_customers,
         |  CAST(SUM(CAST(c_acctbal AS DECIMAL(18,2))) AS DOUBLE) AS total_bal
         |FROM customer GROUP BY c_nationkey ORDER BY c_nationkey""".stripMargin,
+
+    "q64_avro_roundtrip" ->
+      """SELECT s_nationkey, COUNT(*) AS n_suppliers,
+        |  CAST(SUM(CAST(s_acctbal AS DECIMAL(18,2))) AS DOUBLE) AS total_bal
+        |FROM supplier GROUP BY s_nationkey ORDER BY s_nationkey""".stripMargin,
 
     "m6_binary_ingest" ->
       """WITH ids AS (

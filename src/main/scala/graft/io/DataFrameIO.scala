@@ -29,8 +29,30 @@ case class SourceParams(
   * xml (native in Spark 4), avro, orc, text, jdbc. */
 object DataFrameIO {
 
+  private val AvroFqcn = "org.apache.spark.sql.avro.AvroFileFormat"
+
+  /** The avro shortname is not service-registered in every Spark distro
+    * (historically avro is the external org.apache.spark:spark-avro
+    * module — the reference declared it as an extra dependency,
+    * `project/Dependencies.scala:62` — and Spark 4.1 bundles the classes
+    * in spark-sql WITHOUT registering the shortname). Resolving "avro" to
+    * the provider FQCN works in both cases; when the classes are genuinely
+    * absent, fail fast with an actionable message instead of Spark's
+    * generic lookup error. */
+  private def resolveFormat(format: String): String =
+    if (format.equalsIgnoreCase("avro")) {
+      if (classAvailable(AvroFqcn)) AvroFqcn
+      else throw new IllegalStateException(
+        "avro needs spark-avro on the classpath: the avro datasource is the " +
+        "external org.apache.spark:spark-avro module (not bundled with Spark); " +
+        "add the spark-avro jar matching your Spark version via --jars or --packages")
+    } else format
+
+  private def classAvailable(fqcn: String): Boolean =
+    try { Class.forName(fqcn); true } catch { case _: ClassNotFoundException => false }
+
   def load(p: SourceParams)(implicit spark: SparkSession): DataFrame = {
-    val reader = spark.read.format(p.format).options(p.options)
+    val reader = spark.read.format(resolveFormat(p.format)).options(p.options)
     if (p.isJdbc) reader.load() else reader.load(p.path.get)
   }
 
@@ -38,7 +60,7 @@ object DataFrameIO {
     * `_<millis>` suffix). Returns the path actually written (empty for
     * jdbc sinks). */
   def write(df: DataFrame, p: SourceParams)(implicit spark: SparkSession): String = {
-    val writer = df.write.format(p.format).options(p.options)
+    val writer = df.write.format(resolveFormat(p.format)).options(p.options)
     if (p.isJdbc) { writer.save(); "" }
     else {
       val target = PathResolver.uniquePath(p.path.get, spark)
@@ -63,12 +85,18 @@ object PathResolver {
   }
 
   /** Collision-free output location: append `_<currentTimeMillis>` while
-    * the target exists (reference `dataFrame/Utils.scala:38-46`). */
+    * the target exists (reference `dataFrame/Utils.scala:38-46`), with a
+    * monotone counter tiebreak — the reference's bare-millis loop spins
+    * forever within one clock tick on a fast filesystem. */
   def uniquePath(path: String, spark: SparkSession): String = {
     val fs = fsFor(path, spark.sparkContext.hadoopConfiguration)
     var candidate = path
-    while (fs.exists(new Path(candidate)))
-      candidate = s"${path}_${System.currentTimeMillis()}"
+    var bump = 0L
+    while (fs.exists(new Path(candidate))) {
+      val suffix = System.currentTimeMillis() + bump
+      candidate = s"${path}_$suffix"
+      bump += 1
+    }
     candidate
   }
 

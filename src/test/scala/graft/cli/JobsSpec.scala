@@ -126,9 +126,21 @@ class DatasetComparisonJobSpec extends AnyFunSuite with SparkTestBase {
 
 class IoSpec extends AnyFunSuite with SparkTestBase {
 
+  test("avro round-trips through the generic reader/writer") {
+    // Spark 4.1 ships the avro connector inside spark-sql itself, so S6
+    // is fully exercisable here; on distros where it really is the
+    // external spark-avro module, DataFrameIO fails fast with an
+    // actionable "spark-avro on the classpath" message instead of
+    // Spark's generic lookup error
+    val dir = Files.createTempDirectory("graft-avro").toString
+    val df = spark.sql("SELECT * FROM VALUES (1, 'a'), (2, 'b') AS t(id, v)")
+    val written = DataFrameIO.write(df, SourceParams("avro", Some(s"$dir/a")))
+    val back = DataFrameIO.load(SourceParams("avro", Some(written)))
+    assert(back.orderBy("id").collect().map(r => (r.getInt(0), r.getString(1))).toSeq ==
+      Seq((1, "a"), (2, "b")))
+  }
+
   test("xml, orc and text round-trip through the generic reader") {
-    // avro needs the external spark-avro module (not in this distro's
-    // jars — same situation as the reference, which used an external dep)
     val dir = Files.createTempDirectory("graft-io").toString
     val df = spark.sql("SELECT * FROM VALUES (1, 'a'), (2, 'b') AS t(id, v)")
 
