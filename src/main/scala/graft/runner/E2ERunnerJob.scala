@@ -12,9 +12,11 @@ class TestsFailedException(val failed: Int, val total: Int)
   * dependee-skip, log one line per result, exit by exception if any
   * test failed.
   *
-  * Args: `--test-definition-path p [--fail-fast true] [--var-k v ...]`
-  * (`--var-` prefixed args become `#{k}#` template vars, replacing the
-  * reference's scopt `extra-vars`).
+  * Args: `--test-definition-path p [--fail-fast true] [--jar-path j]
+  * [--var-k v ...]` (`--var-` prefixed args become `#{k}#` template
+  * vars, replacing the reference's scopt `extra-vars`; `--jar-path`
+  * loads external plugin jars as in reference
+  * `PluginDefinitions.scala:65-86`, comma-separated).
   */
 object E2ERunnerJob {
 
@@ -27,7 +29,9 @@ object E2ERunnerJob {
 
     val json = PathResolver.readString(path, new Configuration())
     val defs = TestDefinitions.fromJson(json, extraVars)
-    val plugins = PluginRegistry.discover()
+    val jarPaths = kv.get("jar-path").toSeq
+      .flatMap(_.split(',')).map(_.trim).filter(_.nonEmpty)
+    val plugins = PluginRegistry.discover(jarPaths = jarPaths)
     val results = TestRunner.runTests(defs, plugins, failFast)
     results.foreach(r => println(r.resultLog))
     kv.get("out-path").foreach(out =>

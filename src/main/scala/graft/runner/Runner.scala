@@ -48,14 +48,53 @@ trait Plugin {
 }
 
 object PluginRegistry {
-  /** ServiceLoader discovery + explicit registration for embedding. */
-  def discover(extra: Seq[Plugin] = Nil): Map[String, Plugin] = {
+  /** ServiceLoader discovery + explicit registration for embedding.
+    * `jarPaths` loads EXTERNAL plugin jars the way the reference does
+    * (`PluginDefinitions.scala:65-86`): a URLClassLoader over each jar,
+    * ServiceLoader against it for well-formed jars, plus a class scan
+    * fallback so jars WITHOUT a META-INF/services entry still work. */
+  def discover(extra: Seq[Plugin] = Nil, jarPaths: Seq[String] = Nil): Map[String, Plugin] = {
     val loaded = java.util.ServiceLoader.load(classOf[Plugin]).iterator().asScala.toSeq
-    val all = loaded ++ extra
+    val all = loaded ++ extra ++ jarPaths.flatMap(fromJar)
     val dupes = all.groupBy(_.name).filter(_._2.size > 1).keys
     if (dupes.nonEmpty)
       throw new IllegalStateException(s"duplicate plugin name(s): ${dupes.mkString(", ")}")
     all.map(p => p.name -> p).toMap
+  }
+
+  /** All [[Plugin]] implementations inside one jar: ServiceLoader first,
+    * then a scan of the jar's class entries, deduped by class name. The
+    * scan loads candidate classes lazily (initialize = false) and skips
+    * anything abstract, non-Plugin, or without a no-arg constructor. */
+  private def fromJar(path: String): Seq[Plugin] = {
+    val file = new java.io.File(path)
+    if (!file.isFile)
+      throw new IllegalArgumentException(s"plugin jar not found: $path")
+    val loader = new java.net.URLClassLoader(
+      Array(file.toURI.toURL), getClass.getClassLoader)
+    // the URLClassLoader delegates to the app loader, so ServiceLoader
+    // re-surfaces classpath-registered plugins — keep only classes that
+    // were actually loaded from THIS jar
+    val viaService =
+      java.util.ServiceLoader.load(classOf[Plugin], loader).iterator().asScala
+        .filter(_.getClass.getClassLoader eq loader).toSeq
+    val jar = new java.util.jar.JarFile(file)
+    val viaScan =
+      try {
+        jar.entries().asScala
+          .filter(e => e.getName.endsWith(".class") && !e.getName.contains('$'))
+          .flatMap { e =>
+            val cn = e.getName.stripSuffix(".class").replace('/', '.')
+            try {
+              val c = Class.forName(cn, false, loader)
+              if (classOf[Plugin].isAssignableFrom(c) &&
+                  !java.lang.reflect.Modifier.isAbstract(c.getModifiers))
+                Some(c.getDeclaredConstructor().newInstance().asInstanceOf[Plugin])
+              else None
+            } catch { case _: Throwable => None }
+          }.toList
+      } finally jar.close()
+    (viaService ++ viaScan).groupBy(_.getClass.getName).values.map(_.head).toSeq
   }
 }
 

@@ -72,4 +72,61 @@ class RunnerE2ESpec extends AnyFunSuite with SparkTestBase {
       java.nio.file.Path.of(s"$dir/info_diff.json"))
     assert(diffJson.contains("controlValue"))
   }
+
+  /** Compile a Plugin implementation at test time (javax.tools javac —
+    * the class exists ONLY inside the temp jar, never on the suite's
+    * classpath) and jar it WITHOUT a META-INF/services entry, proving
+    * the reference-parity `--jar-path` flow (`PluginDefinitions.scala:
+    * 65-86`): URLClassLoader + class-scan fallback. */
+  test("external plugin jar loads via jar-path with no service registration") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-extjar")
+    val src = dir.resolve("ExternalEchoPlugin.java")
+    java.nio.file.Files.writeString(src,
+      """public class ExternalEchoPlugin implements graft.runner.Plugin {
+        |  public String name() { return "ExternalEcho"; }
+        |  @SuppressWarnings({"unchecked", "rawtypes"})
+        |  public graft.runner.PluginResult performAction(
+        |      graft.runner.TestDefinition td, int order) {
+        |    scala.collection.immutable.Map empty =
+        |      scala.collection.immutable.Map$.MODULE$.empty();
+        |    return new graft.runner.PluginResult(
+        |      td.name(), name(), order, true,
+        |      "echo:" + td.args().apply("msg"), empty,
+        |      (scala.Option) scala.None$.MODULE$);
+        |  }
+        |}""".stripMargin)
+    val javac = javax.tools.ToolProvider.getSystemJavaCompiler
+    val rc = javac.run(null, null, null,
+      "-classpath", System.getProperty("java.class.path"),
+      "-d", dir.toString, src.toString)
+    assert(rc == 0, "javac failed")
+
+    val jarPath = dir.resolve("external-plugin.jar")
+    val jos = new java.util.jar.JarOutputStream(
+      java.nio.file.Files.newOutputStream(jarPath))
+    try {
+      jos.putNextEntry(new java.util.zip.ZipEntry("ExternalEchoPlugin.class"))
+      jos.write(java.nio.file.Files.readAllBytes(
+        dir.resolve("ExternalEchoPlugin.class")))
+      jos.closeEntry()
+    } finally jos.close()
+
+    // not discoverable from the normal classpath...
+    assert(!PluginRegistry.discover().contains("ExternalEcho"))
+    // ...but discovered from the jar, and runnable in a DAG
+    val plugins = PluginRegistry.discover(jarPaths = Seq(jarPath.toString))
+    assert(plugins.contains("ExternalEcho"))
+    val res = TestRunner.runTests(
+      TestDefinitions.fromJson(
+        """{"runs": [{"name": "x", "order": 1, "pluginName": "ExternalEcho",
+          |           "args": {"msg": "hi"}}]}""".stripMargin),
+      plugins)
+    assert(res.head.passed && res.head.returnedValue == "echo:hi")
+
+    // a missing jar is an explicit error, not silent non-discovery
+    val e = intercept[IllegalArgumentException] {
+      PluginRegistry.discover(jarPaths = Seq(s"$dir/nope.jar"))
+    }
+    assert(e.getMessage.contains("plugin jar not found"))
+  }
 }
