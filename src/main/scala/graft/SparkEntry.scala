@@ -3547,7 +3547,11 @@ object SparkEntry {
     "m5_image_neardup" ->
       // brute-force all-pairs hamming over the formula-derived hashes:
       // pigeonhole (4 chunks, hamming <= 3) makes the banded Spark result
-      // provably equal to brute force, so the oracle needs no banding
+      // equal to brute force PROVIDED no (chunk, key) bucket exceeds
+      // maxBucket (hammingPairs64's documented recall bound) — this
+      // fixture's buckets are tiny (a few hundred distinct hashes, far
+      // below the 1000 cap), so equality holds here and the oracle
+      // needs no banding
       """WITH ids AS (
         |  SELECT doc_id AS id FROM documents WHERE doc_id % 3 = 0
         |  UNION ALL

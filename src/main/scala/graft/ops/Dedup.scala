@@ -336,6 +336,15 @@ object Dedup {
     * BEFORE hashing (an exact-dedup pass on a payload fingerprint), or
     * a million-copy asset cluster self-joins O(copies²) in its bucket.
     *
+    * RECALL BOUND: the pigeonhole guarantee (hamming ≤ maxHamming ⇒ ≥ 1
+    * equal chunk ⇒ pair surfaces) holds ONLY while every (chunk, key)
+    * bucket stays ≤ `maxBucket`. A capped bucket silently loses the true
+    * pairs whose ONLY shared chunk it was — so at scale the result is a
+    * high-recall approximation, not brute-force-equal. Size `maxBucket`
+    * above the largest expected near-dup cluster (post exact-collapse),
+    * or pass Int.MaxValue to recover the exact guarantee at the price of
+    * unbounded bucket joins.
+    *
     * @return (id1, id2, hamming) with id1 < id2, hamming <= maxHamming
     */
   def hammingPairs64(

@@ -79,7 +79,7 @@ object Graph {
 
     val base = scale * (dampDen - dampNum) / dampDen
     var rank = nodes.select(col("node"), lit(scale).as("pr_rank"))
-    for (_ <- 1 to iterations) {
+    for (i <- 1 to iterations) {
       // nodes enter the reduce as zero-contribution rows, so one
       // shuffle (the groupBy) serves both the contribution sum AND
       // dangling-node retention — a left join against the node spine
@@ -87,16 +87,21 @@ object Graph {
       val contrib = ed
         .join(rank.select(col("node").as("src"), col("pr_rank")), Seq("src"))
         .select(col("dst").as("node"), expr("pr_rank div deg").as("c"))
-      // NO per-iteration checkpoint: each rank table has exactly ONE
+      // no per-iteration checkpoint: each rank table has exactly ONE
       // consumer (the next contribution join), so the lineage is linear
       // and the whole iteration chain plans as a single query — a
-      // materialization barrier here only adds a store/load round-trip
-      // per iteration (measured ~15% of the gate's wall clock)
+      // materialization barrier every pass adds a store/load round-trip
+      // (measured ~15% of the gate's wall clock). But Catalyst analysis
+      // cost still grows with plan depth, so a PERIODIC checkpoint every
+      // 25 passes bounds it for large iteration counts without paying
+      // the barrier in the common 10-20-iteration case
       rank = contrib
         .unionAll(nodes.select(col("node"), lit(0L).as("c")))
         .groupBy("node").agg(sum("c").as("s"))
         .select(col("node"),
           (lit(base) + expr(s"($dampNum * s) div $dampDen")).as("pr_rank"))
+      if (i % 25 == 0 && i < iterations)
+        rank = rank.localCheckpoint(eager = false)
     }
     rank
   }

@@ -15,15 +15,22 @@ object Hierarchy {
 
   /** Root and depth for every node of a forest. Roots are self-parented
     * (`parent == node`); every non-root's parent must appear as a node.
+    * Both contract violations are DETECTED, not silently mis-answered:
+    * a pointer leaving the node set drops its row from the inner hop
+    * join (caught by the row-count check each pass), and a cycle or a
+    * too-deep forest never converges (caught after `maxIters`).
     *
     * Each pass is one equi-join (state ⋈ state on pointer = node) plus
-    * a convergence aggregate over the summed distances — a strictly
-    * increasing quantity that fixes exactly when every pointer has
-    * reached its root. localCheckpoint truncates lineage per pass (the
-    * plan would otherwise double every iteration); blocks are freed by
-    * the ContextCleaner as each superseded state table drops out of
-    * scope. No driver-side state beyond the loop counter.
+    * a convergence aggregate over (row count, summed distance) — the
+    * sum is strictly increasing and fixes exactly when every pointer
+    * has reached its root. localCheckpoint truncates lineage per pass
+    * (the plan would otherwise double every iteration); blocks are
+    * freed by the ContextCleaner as each superseded state table drops
+    * out of scope. No driver-side state beyond the loop counter.
     *
+    * @param maxIters pointer chains halve per pass, so 30 covers depths
+    *                 to 2^30; raising it costs only extra passes on
+    *                 genuinely deeper forests
     * @return (node, root, depth)
     */
   def rootAndDepth(
@@ -37,10 +44,15 @@ object Hierarchy {
       .withColumn("d", when(col("ptr") === col("node"), lit(0L)).otherwise(lit(1L)))
       .localCheckpoint(eager = false)
 
-    def distSum(df: DataFrame) = Dedup.convergenceSum(df, "d")
+    // (rows, sum(d)) fused into the one action the pass already pays
+    def stats(df: DataFrame): (Long, java.math.BigDecimal) = {
+      val r = df.agg(count(lit(1)), sum(col("d").cast("decimal(38,0)"))).collect()(0)
+      (r.getLong(0), Option(r.getDecimal(1)).getOrElse(java.math.BigDecimal.ZERO))
+    }
 
-    var prev = distSum(state)
-    var converged = false
+    val (n0, sum0) = stats(state)
+    var prev = sum0
+    var converged = n0 == 0L // empty input is trivially resolved
     var i = 0
     while (!converged && i < maxIters) {
       val hop = state.select(col("node").as("ptr"),
@@ -48,12 +60,21 @@ object Hierarchy {
       val next = state.join(hop, Seq("ptr"))
         .select(col("node"), col("ptr2").as("ptr"), (col("d") + col("d2")).as("d"))
         .localCheckpoint(eager = false)
-      val sum2 = distSum(next)
+      val (n2, sum2) = stats(next)
+      if (n2 != n0)
+        throw new IllegalArgumentException(
+          s"rootAndDepth: ${n0 - n2} node(s) have a parent pointer outside the " +
+          "node set — every non-root's parent must appear as a node and roots " +
+          "must be self-parented (parent == node)")
       converged = sum2.compareTo(prev) == 0
       prev = sum2
       state = next
       i += 1
     }
+    if (!converged)
+      throw new IllegalStateException(
+        s"rootAndDepth: no convergence after $maxIters passes — the input has " +
+        s"a parent cycle, or the forest is deeper than 2^$maxIters (raise maxIters)")
     state.select(col("node"), col("ptr").as("root"), col("d").as("depth"))
   }
 }

@@ -357,6 +357,14 @@ object Similarity {
 
     var centroids = vecs.filter(col("id") < k)
       .select(col("id").as("cid"), col("v").as("c"))
+    // seeding takes the rows with ids 0..k-1 — validate the density
+    // assumption instead of silently clustering with fewer than k cells
+    // (one count on a k-row table; the checkpointed vecs are reused by
+    // every iteration below)
+    val seeded = centroids.count()
+    require(seeded == k,
+      s"kmeansFixedPoint seeds centroids from ids 0..${k - 1} but only " +
+      s"$seeded such row(s) exist — re-key ids densely from 0 or lower k")
     for (_ <- 1 to iterations) {
       // NO checkpoint here: each centroid table is consumed exactly once,
       // inside the next round's broadcast exchange, so the whole

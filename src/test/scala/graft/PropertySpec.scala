@@ -250,6 +250,16 @@ object PropertySpec extends Properties("graft") {
       out.values.sum == n.toLong
     }
 
+  property("kmeansFixedPoint rejects sparse ids that under-seed k") =
+    forAll(Gen.choose(3, 6)) { k =>
+      // ids start at 100, so no id < k exists → seed validation fires
+      val pts = (100 until 120).map(i =>
+        (i.toLong, Array.tabulate(3)(d => ((i * 13 + d * 7) % 31) / 31.0f)))
+      scala.util.Try(graft.ops.Similarity.kmeansFixedPoint(
+        pts.toDF("id", "vec"), "id", "vec", k = k, iterations = 1).count())
+        .failed.toOption.exists(_.getMessage.contains("re-key ids densely"))
+    }
+
   property("hammingPairs64 equals brute force on random 64-bit hashes") =
     forAll(Gen.listOfN(14, Gen.long).map(_.distinct).suchThat(_.size >= 2)) { hs =>
       val rows = hs.zipWithIndex.map { case (h, i) => (i.toLong, h) }

@@ -43,4 +43,22 @@ class HierarchySpec extends AnyFunSuite with SparkTestBase {
       .as[(Long, Long, Long)].collect().map(r => r._1 -> (r._2, r._3)).toMap
     assert(a === b)
   }
+
+  test("dangling parent pointer is detected, not silently dropped") {
+    // node 3's parent 99 never appears as a node
+    val e = intercept[IllegalArgumentException] {
+      solve(Seq((1L, 1L), (2L, 1L), (3L, 99L)))
+    }
+    assert(e.getMessage.contains("outside the node set"))
+  }
+
+  test("a parent cycle is detected instead of returning wrong state") {
+    // 1 → 2 → 1 never converges (distances grow every pass)
+    val e = intercept[IllegalStateException] {
+      Hierarchy.rootAndDepth(
+        Seq((1L, 2L), (2L, 1L)).toDF("node", "parent"),
+        "node", "parent", maxIters = 8)
+    }
+    assert(e.getMessage.contains("no convergence"))
+  }
 }
