@@ -37,6 +37,25 @@ object SparkEntry {
     try f finally s.conf.set("spark.sql.shuffle.partitions", prev)
   }
 
+  /** Shared micro-batch machinery for the memory-sink streaming gates:
+    * narrow state partitions, a unique sink name, and the
+    * self-terminating `Trigger.AvailableNow` (processes everything
+    * available, then stops — no polling loop). Returns the sink table.
+    * Bounded inputs make results trigger-invariant, so this changes
+    * only the lifecycle cost, not any gate's rows. */
+  private def streamToTable(s: SparkSession, df: DataFrame, tag: String,
+      mode: String): DataFrame = {
+    val sinkName = s"graft_${tag}_" +
+      java.util.UUID.randomUUID().toString.replace("-", "")
+    withNarrowState(s) {
+      val q = df.writeStream.format("memory").queryName(sinkName)
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .outputMode(mode).start()
+      try q.awaitTermination() finally q.stop()
+    }
+    s.table(sinkName)
+  }
+
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =
     queries("q1_agg")(spark, "/root/testdata/sf0.001")
@@ -516,13 +535,7 @@ object SparkEntry {
         .dropDuplicates("event_id")
         .groupBy("event_type")
         .agg(count(lit(1)).as("n"))
-      val sinkName = "graft_s2_" + java.util.UUID.randomUUID().toString.replace("-", "")
-      withNarrowState(s) {
-        val q = agg.writeStream.format("memory").queryName(sinkName)
-          .outputMode("complete").start()
-        try q.processAllAvailable() finally q.stop()
-      }
-      s.table(sinkName).orderBy("event_type")
+      streamToTable(s, agg, "s2", "complete").orderBy("event_type")
     }),
 
     // ---- Structured Streaming end-to-end: file-stream the events
@@ -541,13 +554,7 @@ object SparkEntry {
         .groupBy(date_trunc("hour", col("ts")).as("hour"), col("event_type"))
         .agg(count(lit(1)).as("n"),
           sum(col("value").cast("decimal(18,3)")).cast("double").as("total"))
-      val sinkName = "graft_s1_" + java.util.UUID.randomUUID().toString.replace("-", "")
-      withNarrowState(s) {
-        val q = agg.writeStream.format("memory").queryName(sinkName)
-          .outputMode("complete").start()
-        try q.processAllAvailable() finally q.stop()
-      }
-      s.table(sinkName).orderBy("hour", "event_type")
+      streamToTable(s, agg, "s1", "complete").orderBy("hour", "event_type")
     }),
 
     // ---- bucketed co-located join: both sides bucketed+sorted on the
@@ -700,14 +707,8 @@ object SparkEntry {
         col("user_id") === col("v_user") &&
           col("v_ts") >= col("p_ts") - expr("INTERVAL 1 HOUR") &&
           col("v_ts") <= col("p_ts") + expr("INTERVAL 1 HOUR"))
-      val sinkName = "graft_s3_" + java.util.UUID.randomUUID().toString.replace("-", "")
-      withNarrowState(s) {
-        val q = joined.select("user_id", "p_id", "v_id")
-          .writeStream.format("memory").queryName(sinkName)
-          .outputMode("append").start()
-        try q.processAllAvailable() finally q.stop()
-      }
-      s.table(sinkName).orderBy("user_id", "p_id", "v_id")
+      streamToTable(s, joined.select("user_id", "p_id", "v_id"), "s3", "append")
+        .orderBy("user_id", "p_id", "v_id")
     }),
 
     // ---- CDC merge: apply a changeset (updates, deletes, inserts) to a
@@ -745,13 +746,7 @@ object SparkEntry {
           sum(col("value").cast("decimal(18,3)")).cast("double").as("total"))
         .select(col("window.start").cast("long").as("win_s"),
           col("event_type"), col("n"), col("total"))
-      val sinkName = "graft_s5_" + java.util.UUID.randomUUID().toString.replace("-", "")
-      withNarrowState(s) {
-        val q = agg.writeStream.format("memory").queryName(sinkName)
-          .outputMode("complete").start()
-        try q.processAllAvailable() finally q.stop()
-      }
-      s.table(sinkName).orderBy("win_s", "event_type")
+      streamToTable(s, agg, "s5", "complete").orderBy("win_s", "event_type")
     }),
 
     // ---- custom streaming state: flatMapGroupsWithState sessionization.
@@ -774,13 +769,7 @@ object SparkEntry {
         .select(col("userId").as("user_id"), col("nEvents").as("n_events"),
           unix_millis(col("startTs")).as("start_ms"),
           unix_millis(col("endTs")).as("end_ms"))
-      val sinkName = "graft_s4_" + java.util.UUID.randomUUID().toString.replace("-", "")
-      withNarrowState(s) {
-        val q = sessions.writeStream.format("memory").queryName(sinkName)
-          .outputMode("append").start()
-        try q.processAllAvailable() finally q.stop()
-      }
-      s.table(sinkName).orderBy("user_id", "start_ms")
+      streamToTable(s, sessions, "s4", "append").orderBy("user_id", "start_ms")
     }),
 
     // ---- point-in-interval range join: views landing inside a 30-min
@@ -1152,13 +1141,7 @@ object SparkEntry {
         .groupBy("n_name")
         .agg(count(lit(1)).as("n"),
           sum(col("value").cast("decimal(18,3)")).cast("double").as("total"))
-      val sinkName = "graft_s6_" + java.util.UUID.randomUUID().toString.replace("-", "")
-      withNarrowState(s) {
-        val q = agg.writeStream.format("memory").queryName(sinkName)
-          .outputMode("complete").start()
-        try q.processAllAvailable() finally q.stop()
-      }
-      s.table(sinkName).orderBy("n_name")
+      streamToTable(s, agg, "s6", "complete").orderBy("n_name")
     }),
 
     // ---- hyperplane LSH bucket assignment: 12 signed md5-derived
@@ -1200,8 +1183,9 @@ object SparkEntry {
         val q = stream.writeStream.format("parquet")
           .option("path", s"$out/data")
           .option("checkpointLocation", s"$out/chk")
+          .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
           .outputMode("append").start()
-        try q.processAllAvailable() finally q.stop()
+        try q.awaitTermination() finally q.stop()
       }
       s.read.parquet(s"$out/data")
         .groupBy(pmod(col("user_id"), lit(100)).as("cohort"))
