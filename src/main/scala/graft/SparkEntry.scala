@@ -843,6 +843,16 @@ object SparkEntry {
     }),
 
 
+    // ---- float (ln-based) TF-IDF: deliberately NO oracleSql entry —
+    // natural-log floats are not bit-portable across engines (documented
+    // at CorpusOps.tfIdf), so the driver records the weaker rows-only
+    // check here while d16 hash-checks the fixed-point variant ----------
+    "d34_tfidf_float" -> ((s, dir) => {
+      val docs = t(s, dir, "documents").filter(col("doc_id") % 10 === 0)
+      ops.CorpusOps.tfIdf(docs, "doc_id", "text")
+        .orderBy("doc", "token")
+    }),
+
     // ---- exact dedup by normalized-text fingerprint -------------------
     "d1_dedup_exact" -> ((s, dir) => {
       ops.Dedup.exact(t(s, dir, "documents"), "doc_id", "text")
@@ -1454,6 +1464,41 @@ object SparkEntry {
         .select(col("id"), coalesce(col("n_match"), lit(0L)).as("n_match"),
           (coalesce(col("n_match"), lit(0L)).cast("double") / 5.0).as("recall"))
         .orderBy("id")
+    }),
+
+    // ---- recall bound for the KMeans IVF variant (e10 covers the
+    // seeded quantizer): MLlib centroids are float-trained, so exact
+    // neighbor lists are not SQL-replayable — instead the gate emits
+    // PROPERTY booleans that hold with wide margin at every SF: partial
+    // probe (3/8 cells) clears an average-recall floor, and probing ALL
+    // cells recovers brute force to within float-tie noise --------------
+    "e12_ivf_kmeans_recall" -> ((s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val emb = t(s, dir, "embeddings")
+      val idx = ops.Similarity.ivfIndex(emb, "vec_id", "embedding", nlist = 8)
+      val v = emb.select(col("vec_id").cast("long").as("id"),
+        col("embedding").cast("array<double>").as("v"))
+      val q = v.filter(col("id") < 40).select(col("id").as("qid"), col("v").as("qv"))
+      val nQueries = q.count()
+      val w = Window.partitionBy("qid").orderBy(col("cos").desc, col("nid"))
+      val exact = v.crossJoin(broadcast(q))
+        .filter(col("id") =!= col("qid"))
+        .select(col("qid"), col("id").as("nid"),
+          ops.Similarity.cosine(col("v"), col("qv")).as("cos"))
+        .withColumn("rn", row_number().over(w)).filter(col("rn") <= 5)
+        .select(col("qid").as("id"), col("nid"))
+        .localCheckpoint(eager = false) // consumed by both recall joins
+      def recall(nprobe: Int): Double = {
+        val matches = idx.knnJoin(k = 5, nprobe = nprobe)
+          .filter(col("id") < 40).select(col("id"), col("nid"))
+          .join(exact, Seq("id", "nid")).count()
+        matches.toDouble / (5.0 * nQueries)
+      }
+      val r = s.range(1).select(
+        lit(nQueries).as("n_queries"),
+        lit(recall(3) >= 0.5).as("partial_probe_recall_ok"),
+        lit(recall(8) >= 0.98).as("full_probe_exact_ok"))
+      r
     }),
 
     // ---- concat-and-chunk sequence packing: per-language token stream
@@ -3079,6 +3124,13 @@ object SparkEntry {
       s"""WITH ${OracleSql.ivfKnnCtes(nlist = 8, nprobe = 2, k = 5)}
          |SELECT id, rank, nid, cos FROM knn
          |ORDER BY id, rank""".stripMargin,
+
+    // property oracle: the booleans hold by construction (recall floors
+    // with wide margin); n_queries derives from the data, not a constant
+    "e12_ivf_kmeans_recall" ->
+      """SELECT COUNT(*) AS n_queries,
+        |  true AS partial_probe_recall_ok, true AS full_probe_exact_ok
+        |FROM embeddings WHERE vec_id < 40""".stripMargin,
 
     "e10_ann_recall" ->
       s"""WITH ${OracleSql.ivfKnnCtes(nlist = 8, nprobe = 2, k = 5)},
