@@ -1,0 +1,85 @@
+package graft.plans
+
+import graft.SparkTestBase
+import graft.ops.{Dedup, Similarity}
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.execution.SparkPlan
+import org.apache.spark.sql.execution.exchange.ShuffleExchangeLike
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.StringType
+import org.scalatest.funsuite.AnyFunSuite
+
+/** 100 TB shuffle hygiene, plan-asserted: the candidate-pair stages of
+  * the dedup/similarity pipelines must never move document TEXT through
+  * an exchange — only ids, hashes, band/bucket keys and (for the vector
+  * ops, by design) the vectors themselves. A regression that widens a
+  * shuffle to carry text would still pass value-level oracles while
+  * multiplying wire bytes by the document size at scale; this spec
+  * pins the property structurally. */
+class ShuffleHygieneSpec extends AnyFunSuite with SparkTestBase {
+
+  import spark.implicits._
+
+  private def docs: DataFrame = (0L until 400L).map { i =>
+    val words = (0 until 30).map(j => s"w${(i * 31 + j * 7) % 97}")
+    (i, words.mkString(" ") + (if (i % 5 == 0) " copyable tail" else ""))
+  }.toDF("doc_id", "text")
+
+  /** Column names crossing every shuffle of `df`'s executed plan
+    * (AQE-final, query stages unwrapped). */
+  private def shuffledColumns(df: DataFrame): Set[String] = {
+    df.count() // finalize AQE
+    def all(p: SparkPlan): Seq[SparkPlan] =
+      p.collectWithSubqueries { case n => n }.flatMap {
+        case q: org.apache.spark.sql.execution.adaptive.QueryStageExec => q +: all(q.plan)
+        case n => Seq(n)
+      }
+    val nodes = df.queryExecution.executedPlan match {
+      case a: org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec =>
+        all(a.executedPlan)
+      case p => all(p)
+    }
+    nodes.collect { case e: ShuffleExchangeLike => e }
+      .flatMap(_.child.output.map(a => s"${a.name}:${a.dataType.simpleString}"))
+      .toSet
+  }
+
+  test("minhashLshPairs shuffles carry no text — ids, hashes, buckets only") {
+    val cols = shuffledColumns(
+      Dedup.minhashLshPairs(docs, "doc_id", "text", k = 6, bands = 3))
+    assert(cols.nonEmpty, "expected at least one exchange")
+    assert(!cols.exists(_.startsWith("text:")), s"text crossed a shuffle: $cols")
+    // nothing string-typed except the md5 band-bucket key
+    val strings = cols.filter(_.endsWith(":string")).map(_.split(':')(0))
+    assert(strings.subsetOf(Set("bucket")),
+      s"unexpected string column(s) in a shuffle: $strings")
+  }
+
+  test("allPairsJaccard shuffles carry no text") {
+    val cols = shuffledColumns(
+      Dedup.allPairsJaccard(docs, "doc_id", "text", shingleSize = 3, tau = 0.5))
+    assert(cols.nonEmpty)
+    assert(!cols.exists(_.startsWith("text:")), s"text crossed a shuffle: $cols")
+    assert(!cols.exists(_.endsWith(":string")),
+      s"string column(s) in a shuffle: $cols")
+  }
+
+  test("dedupCorpus end-to-end shuffles carry no text") {
+    val cols = shuffledColumns(
+      Dedup.dedupCorpus(docs, "doc_id", "text", k = 6, bands = 3))
+    assert(cols.nonEmpty)
+    assert(!cols.exists(_.startsWith("text:")), s"text crossed a shuffle: $cols")
+  }
+
+  test("IVF knnJoin shuffles carry ids, cells and vectors — nothing else") {
+    val emb = (0L until 300L).map { i =>
+      (i, Array.tabulate(16)(d => (((i * 13 + d * 7) % 29) / 29.0).toFloat))
+    }.toDF("vec_id", "embedding")
+    val cols = shuffledColumns(
+      Similarity.ivfIndexSeeded(emb, "vec_id", "embedding", nlist = 4)
+        .knnJoin(k = 3, nprobe = 2))
+    assert(cols.nonEmpty)
+    assert(!cols.exists(c => c.endsWith(":string")),
+      s"string column(s) in a knnJoin shuffle: $cols")
+  }
+}
