@@ -33,7 +33,7 @@ object E2ERunnerJob {
       .flatMap(_.split(',')).map(_.trim).filter(_.nonEmpty)
     val plugins = PluginRegistry.discover(jarPaths = jarPaths)
     val results = TestRunner.runTests(defs, plugins, failFast)
-    results.foreach(r => println(r.resultLog))
+    results.foreach(r => println(ResultLog.format(r)))
     kv.get("out-path").foreach(out =>
       PathResolver.writeString(out, resultsJson(results), new Configuration()))
     val failed = results.count(!_.passed)

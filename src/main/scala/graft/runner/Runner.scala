@@ -173,6 +173,24 @@ object TestDefinitions {
   }
 }
 
+/** Leveled classification of plugin results (reference
+  * `e2eRunner/logging/LogLevel.scala`, `ResultLog.scala`, `Scribe.scala`):
+  * passed tests log at INFO, dependee-skips at WARN, real failures at
+  * ERROR — so a CI log grep for ERROR surfaces only genuine breakage. */
+object ResultLog {
+  sealed abstract class Level(val name: String)
+  case object Info extends Level("INFO")
+  case object Warn extends Level("WARN")
+  case object Error extends Level("ERROR")
+
+  def levelOf(r: PluginResult): Level =
+    if (r.passed) Info
+    else if (r.returnedValue.startsWith("skipped:")) Warn
+    else Error
+
+  def format(r: PluginResult): String = s"${levelOf(r).name} ${r.resultLog}"
+}
+
 class TestFailedFastException(val testName: String)
   extends Exception(s"fail-fast: test '$testName' failed")
 

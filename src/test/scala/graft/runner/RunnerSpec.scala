@@ -85,6 +85,20 @@ class RunnerSpec extends AnyFunSuite {
     }
   }
 
+  test("result log levels: passed=INFO, dependee-skip=WARN, failure=ERROR") {
+    val defs = Seq(
+      TestDefinition("fail1", 1, "Fail", Map.empty),
+      TestDefinition("child", 2, "Ok", Map.empty, dependsOn = Some("fail1")),
+      TestDefinition("indep", 3, "Ok", Map.empty))
+    val results = TestRunner.runTests(defs,
+      Map("Ok" -> new OkPlugin, "Fail" -> new FailPlugin))
+    val byName = results.map(r => r.testName -> ResultLog.levelOf(r)).toMap
+    assert(byName("indep") == ResultLog.Info)
+    assert(byName("child") == ResultLog.Warn)
+    assert(byName("fail1") == ResultLog.Error)
+    assert(ResultLog.format(results.head).startsWith("ERROR [FAILED]"))
+  }
+
   test("writeArgs triggers the result writer; writer-less results fail the test") {
     var written: Option[Map[String, String]] = None
     val writerPlugin = new Plugin {
