@@ -62,13 +62,17 @@ object Bench {
       var bestProbes = Map.empty[String, Double]
       (1 to reps).foreach { _ =>
         val t0 = System.nanoTime()
-        try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
+        val ok = try { fn(spark, sfDir).count(); true }
+                 catch { case _: Throwable => false }
         val sec = (System.nanoTime() - t0) / 1e9
         val p = graft.util.BenchProbe.drain()
-        if (sec < best) { best = sec; bestProbes = p }
+        // a failed rep must never override a valid measurement with its
+        // (often near-zero) abort time — min over SUCCESSFUL reps only
+        if (ok && sec < best) { best = sec; bestProbes = p }
       }
       probes ++= bestProbes
-      name -> best
+      // all reps failed → -1 marks the query broken instead of fast
+      name -> (if (best == Double.MaxValue) -1.0 else best)
     }
     val qs = results.map { case (k, v) => "\"" + k + "\":" + v }
       .mkString("{", ",", "}")
@@ -77,5 +81,11 @@ object Bench {
     val total = results.map(_._2).sum
     println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"probes":$ps,"reps":$reps,"sf":"$sfDir"}""")
     spark.stop()
+    // the per-run warehouse holds full bucketed tables — don't litter /tmp
+    def rm(f: java.io.File): Unit = {
+      Option(f.listFiles()).foreach(_.foreach(rm))
+      f.delete()
+    }
+    rm(new java.io.File(warehouse))
   }
 }

@@ -138,7 +138,7 @@ class DatasetComparator(
     // array-length probe below and the errCol projection run over diff
     // candidates ONLY — never a full-input scan. When the diff is empty
     // this costs nothing beyond the join itself.
-    val q = (n: String) => col("`" + n.replace("`", "``") + "`")
+    val q = (n: String) => col(SchemaUtils.quote(n))
     val allEqual = refSel.schema.fieldNames.toSeq
       .map(n => q(s"${expectedPrefix}_$n") <=> q(s"${actualPrefix}_$n"))
       .foldLeft(col(refMark) && col(actMark))(_ && _)

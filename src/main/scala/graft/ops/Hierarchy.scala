@@ -61,11 +61,15 @@ object Hierarchy {
         .select(col("node"), col("ptr2").as("ptr"), (col("d") + col("d2")).as("d"))
         .localCheckpoint(eager = false)
       val (n2, sum2) = stats(next)
-      if (n2 != n0)
+      if (n2 < n0)
         throw new IllegalArgumentException(
           s"rootAndDepth: ${n0 - n2} node(s) have a parent pointer outside the " +
           "node set — every non-root's parent must appear as a node and roots " +
           "must be self-parented (parent == node)")
+      if (n2 > n0)
+        throw new IllegalArgumentException(
+          s"rootAndDepth: node column is not unique (join fan-out " +
+          s"$n0 -> $n2 rows) — deduplicate (node, parent) rows first")
       converged = sum2.compareTo(prev) == 0
       prev = sum2
       state = next

@@ -24,7 +24,11 @@ case class PluginResult(
     passed: Boolean,
     returnedValue: String = "",
     additionalInfo: Map[String, String] = Map.empty,
-    writer: Option[Map[String, String] => Unit] = None) {
+    writer: Option[Map[String, String] => Unit] = None,
+    /** Set by the runner itself for dependee-skips — carried as a real
+      * field so log-level classification never string-sniffs a
+      * plugin-controlled returnedValue. */
+    skipped: Boolean = false) {
 
   /** Persist this result per the test's `writeArgs` (reference
     * `PluginResult.scala:53-55`: unimplemented write is an error). */
@@ -87,8 +91,12 @@ object PluginRegistry {
             val cn = e.getName.stripSuffix(".class").replace('/', '.')
             try {
               val c = Class.forName(cn, false, loader)
+              // same jar-only filter as viaService: a fat/assembly jar can
+              // contain classpath classes (parent-first loads them from the
+              // app loader) — instantiating those would duplicate builtins
               if (classOf[Plugin].isAssignableFrom(c) &&
-                  !java.lang.reflect.Modifier.isAbstract(c.getModifiers))
+                  !java.lang.reflect.Modifier.isAbstract(c.getModifiers) &&
+                  (c.getClassLoader eq loader))
                 Some(c.getDeclaredConstructor().newInstance().asInstanceOf[Plugin])
               else None
             } catch { case _: Throwable => None }
@@ -185,7 +193,7 @@ object ResultLog {
 
   def levelOf(r: PluginResult): Level =
     if (r.passed) Info
-    else if (r.returnedValue.startsWith("skipped:")) Warn
+    else if (r.skipped) Warn
     else Error
 
   def format(r: PluginResult): String = s"${levelOf(r).name} ${r.resultLog}"
@@ -214,7 +222,8 @@ object TestRunner {
         val result =
           if (td.dependsOn.isDefined && dependeeFailed)
             PluginResult(td.name, td.pluginName, i, passed = false,
-              returnedValue = s"skipped: dependee '${td.dependsOn.get}' failed or missing")
+              returnedValue = s"skipped: dependee '${td.dependsOn.get}' failed or missing",
+              skipped = true)
           else
             try {
               val r = plugins(td.pluginName).performAction(td, i)

@@ -40,7 +40,7 @@ object Flattener {
     }.mkString.stripPrefix(".")
 
   private def topCol(name: String): Column =
-    col("`" + name.replace("`", "``") + "`")
+    col(SchemaUtils.quote(name))
 
   private def column(steps: Seq[Step]): Column = {
     val head = steps.head match {

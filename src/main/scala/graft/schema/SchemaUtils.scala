@@ -104,7 +104,11 @@ object SchemaUtils {
     schema.fields.sortBy(f => norm(f.name))
       .map(f => sortedColumn(col(quote(f.name)), f.dataType, canonicalizeMaps).as(f.name)).toList
 
-  private def quote(name: String): String = "`" + name.replace("`", "``") + "`"
+  /** Backtick-quote a column name for Column/expr construction — THE
+    * shared escaping helper (Flattener and the diff engine use it too;
+    * one place to fix if the escaping rules ever change). */
+  private[graft] def quote(name: String): String =
+    "`" + name.replace("`", "``") + "`"
 
   private def sortedColumn(c: Column, dt: DataType, canonMaps: Boolean = false): Column = dt match {
     case s: StructType =>

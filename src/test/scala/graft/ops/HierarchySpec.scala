@@ -52,6 +52,13 @@ class HierarchySpec extends AnyFunSuite with SparkTestBase {
     assert(e.getMessage.contains("outside the node set"))
   }
 
+  test("duplicate node rows are diagnosed as such, not as dangling pointers") {
+    val e = intercept[IllegalArgumentException] {
+      solve(Seq((1L, 1L), (1L, 1L), (2L, 1L)))
+    }
+    assert(e.getMessage.contains("not unique"))
+  }
+
   test("a parent cycle is detected instead of returning wrong state") {
     // 1 → 2 → 1 never converges (distances grow every pass)
     val e = intercept[IllegalStateException] {

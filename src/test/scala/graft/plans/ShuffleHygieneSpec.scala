@@ -26,9 +26,11 @@ class ShuffleHygieneSpec extends AnyFunSuite with SparkTestBase {
   }.toDF("doc_id", "text")
 
   /** Column names crossing every shuffle of `df`'s executed plan
-    * (AQE-final, query stages unwrapped). */
+    * (AQE-final, query stages unwrapped). The action must run on df's
+    * OWN Dataset — count() would execute a separate QueryExecution and
+    * leave df's AdaptiveSparkPlanExec unfinalized. */
   private def shuffledColumns(df: DataFrame): Set[String] = {
-    df.count() // finalize AQE
+    df.collect() // finalize THIS plan's AQE stages
     def all(p: SparkPlan): Seq[SparkPlan] =
       p.collectWithSubqueries { case n => n }.flatMap {
         case q: org.apache.spark.sql.execution.adaptive.QueryStageExec => q +: all(q.plan)

@@ -92,7 +92,7 @@ class RunnerE2ESpec extends AnyFunSuite with SparkTestBase {
         |    return new graft.runner.PluginResult(
         |      td.name(), name(), order, true,
         |      "echo:" + td.args().apply("msg"), empty,
-        |      (scala.Option) scala.None$.MODULE$);
+        |      (scala.Option) scala.None$.MODULE$, false);
         |  }
         |}""".stripMargin)
     val javac = javax.tools.ToolProvider.getSystemJavaCompiler
