@@ -843,6 +843,18 @@ object SparkEntry {
     }),
 
 
+    // ---- model-based quality filtering: hashed bag-of-words linear
+    // classifier (fastText-shaped corpus filter); deterministic integer
+    // weights make the scores engine-exact ------------------------------
+    "d35_quality_model" -> ((s, dir) => {
+      val docs = t(s, dir, "documents").filter(col("doc_id") % 10 === 0)
+      val model = s.range(64).select(col("id").as("bucket"),
+        (pmod(col("id"), lit(7)) - 3).as("weight"))
+      ops.CorpusOps.scoreLinear(docs, "doc_id", "text", model, dim = 64)
+        .withColumn("kept", col("score") >= 0)
+        .orderBy("doc")
+    }),
+
     // ---- float (ln-based) TF-IDF: deliberately NO oracleSql entry —
     // natural-log floats are not bit-portable across engines (documented
     // at CorpusOps.tfIdf), so the driver records the weaker rows-only
@@ -2601,6 +2613,21 @@ object SparkEntry {
          |             doc_id) AS rn
          |  FROM documents) WHERE rn <= 5
          |ORDER BY lang, doc_id""".stripMargin,
+
+    // bucket = portable 60-bit md5 hash mod 64 (non-negative, so % == pmod);
+    // weight(bucket) = bucket % 7 - 3, matching the gate's model table
+    "d35_quality_model" -> {
+      val tk = s"CASE WHEN length(trim(text)) = 0 THEN []::VARCHAR[] " +
+        s"ELSE ${OracleSql.toks("text")} END"
+      s"""WITH d AS (SELECT doc_id, text FROM documents WHERE doc_id % 10 = 0),
+         |tok AS (SELECT doc_id AS doc, unnest($tk) AS token FROM d),
+         |perdoc AS (SELECT doc, token, COUNT(*) AS tf FROM tok GROUP BY 1, 2),
+         |sc AS (SELECT doc,
+         |  CAST(SUM(tf * (((${OracleSql.h64("token")} % 64) % 7) - 3)) AS BIGINT)
+         |    AS score
+         |  FROM perdoc GROUP BY doc)
+         |SELECT doc, score, score >= 0 AS kept FROM sc ORDER BY doc""".stripMargin
+    },
 
     "d16_tfidf" -> {
       val tk = s"CASE WHEN length(trim(text)) = 0 THEN []::VARCHAR[] " +

@@ -122,6 +122,39 @@ object CorpusOps {
           .as("tf_idf_scaled"))
   }
 
+  /** Learned-filter scoring: a hashed bag-of-words LINEAR model over
+    * the corpus — the shape of the fastText/logistic quality classifiers
+    * used to filter web corpora (quality / educational-value filters).
+    * `model` is a `(bucket: long, weight: long)` table from ANY trainer;
+    * each token maps to `pmod(h64(token), dim)` (the portable 60-bit md5
+    * hash every other operator uses) and
+    * `score(doc) = bias + Σ_tokens tf · weight(bucket(token))` —
+    * integer-exact, so scores hash-compare across engines. Tokens whose
+    * bucket is absent from the model weigh 0.
+    *
+    * Scale shape: per-doc term frequencies fold row-locally (the
+    * [[graft.functions.TokenCounts]] kernel — the raw token stream never
+    * shuffles); the model (≤ dim rows) joins BROADCAST; ONE exchange on
+    * doc id for the final sum. Model size bounds memory, not corpus
+    * size — this is what makes learned filtering viable at 100 TB.
+    *
+    * @return (doc, score) — one row per non-empty document
+    */
+  def scoreLinear(df: DataFrame, idCol: String, textCol: String,
+      model: DataFrame, dim: Int, bias: Long = 0L): DataFrame = {
+    require(dim > 0, s"need dim > 0, got $dim")
+    val w = broadcast(model.select(col("bucket").cast("long").as("bucket"),
+      col("weight").cast("long").as("weight")))
+    perDocTf(df, idCol, textCol)
+      .select(col("doc"), col("tf"),
+        pmod(graft.functions.TextFunctions.h64(col("token")), lit(dim.toLong))
+          .as("bucket"))
+      .join(w, Seq("bucket"), "left")
+      .groupBy("doc")
+      .agg((coalesce(sum(col("tf") * col("weight")), lit(0L)) + bias)
+        .as("score"))
+  }
+
   /** Winnowing document fingerprints (Schleimer, Wilkerson, Aiken:
     * "Winnowing: Local Algorithms for Document Fingerprinting",
     * SIGMOD 2003): hash the positional k-gram shingles of each document,

@@ -75,6 +75,38 @@ class PackSpec extends AnyFunSuite with SparkTestBase {
     assert(joined.values.forall(_.nonEmpty))
   }
 
+  test("scoreLinear: hand-computed hashed-model scores, broadcast model join") {
+    import graft.functions.TextFunctions
+    val docs = Seq(
+      (1L, "alpha beta alpha"),     // tf: alpha 2, beta 1
+      (2L, "beta"),
+      (3L, "")                      // empty → no output row
+    ).toDF("doc_id", "text")
+    // weights: bucket -> bucket + 1 over dim 8
+    val model = spark.range(8).select(col("id").as("bucket"),
+      (col("id") + 1).as("weight"))
+    val got = CorpusOps.scoreLinear(docs, "doc_id", "text", model, dim = 8)
+    // expected: score = Σ tf · (bucket(token) + 1), buckets via the same
+    // portable hash the engine uses
+    val b = docs.sparkSession.range(1)
+      .select(pmod(TextFunctions.h64(lit("alpha")), lit(8L)).as("a"),
+        pmod(TextFunctions.h64(lit("beta")), lit(8L)).as("b"))
+      .collect()(0)
+    val (ba, bb) = (b.getLong(0), b.getLong(1))
+    val rows = got.orderBy("doc").collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(rows.toSeq == Seq(
+      (1L, 2 * (ba + 1) + 1 * (bb + 1)),
+      (2L, bb + 1)))
+    // model side must broadcast — never a shuffled join on bucket
+    got.collect()
+    assert(got.queryExecution.executedPlan.toString.contains("BroadcastHashJoin"),
+      "expected the model join to broadcast")
+    // unknown buckets weigh zero: empty model → all scores = bias
+    val zero = CorpusOps.scoreLinear(docs, "doc_id", "text",
+      model.filter(lit(false)), dim = 8, bias = 7L)
+    assert(zero.collect().map(_.getLong(1)).toSet == Set(7L))
+  }
+
   test("knnJoin reduces with a bounded-heap aggregate, not a window sort") {
     val vecs = Seq.tabulate(24) { i =>
       (i.toLong, Array.tabulate(4)(j => (i * 5 + j * 3 % 11).toFloat))
