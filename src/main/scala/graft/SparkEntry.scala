@@ -843,6 +843,27 @@ object SparkEntry {
     }),
 
 
+    // ---- content-defined chunking: rolling-shingle-hash boundaries
+    // (FastCDC applied to token streams) — edit-robust chunk dedup ------
+    "d37_cdc_chunks" -> ((s, dir) => {
+      val docs = t(s, dir, "documents").filter(col("doc_id") % 7 === 0)
+      ops.CorpusOps.cdcChunks(docs, "doc_id", "text")
+        .orderBy("doc", "chunk_idx")
+    }),
+
+    // ---- incremental dedup: a new batch against yesterday's corpus
+    // INDEX (fingerprints only — archived text never moves). Known =
+    // docs divisible by 3; incoming = the full table; survivors are
+    // min-id reps of fingerprints unseen in the index -------------------
+    "d36_incremental_dedup" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      val known = docs.filter(col("doc_id") % 3 === 0)
+        .select(graft.functions.TextFunctions.fingerprint(col("text"))
+          .as("fingerprint"))
+      ops.Dedup.exactIncremental(docs, "doc_id", "text", known)
+        .orderBy("fingerprint")
+    }),
+
     // ---- model-based quality filtering: hashed bag-of-words linear
     // classifier (fastText-shaped corpus filter); deterministic integer
     // weights make the scores engine-exact ------------------------------
@@ -2194,6 +2215,51 @@ object SparkEntry {
       s"""SELECT md5(${OracleSql.norm("text")}) AS fingerprint,
          |  MIN(doc_id) AS keep_id, COUNT(*) AS n_copies
          |FROM documents GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    // boundaries: i + k for shingle starts i with hash % 16 == 0 (h64 is
+    // non-negative, so % == pmod); cuts bracketed by 0 and len(tk)
+    "d37_cdc_chunks" -> {
+      val k = 3
+      val tk = s"CASE WHEN length(trim(text)) = 0 THEN []::VARCHAR[] " +
+        s"ELSE ${OracleSql.toks("text")} END"
+      val shingle = s"array_to_string(tk[(i+1):(i+$k)], ' ')"
+      s"""WITH d AS (
+         |  SELECT doc_id, $tk AS tk FROM documents WHERE doc_id % 7 = 0),
+         |s AS (
+         |  SELECT doc_id, tk,
+         |    list_transform(range(0, greatest(len(tk) - ${k - 1}, 1)),
+         |      i -> ${OracleSql.h64(shingle)}) AS sh
+         |  FROM d WHERE len(tk) > 0),
+         |b AS (
+         |  SELECT doc_id, tk,
+         |    CAST([0] AS BIGINT[]) ||
+         |      list_filter(
+         |        list_transform(range(0, len(sh)),
+         |          i -> CASE WHEN sh[i+1] % 16 = 0 AND i + $k < len(tk)
+         |                    THEN i + $k END),
+         |        x -> x IS NOT NULL) ||
+         |      CAST([len(tk)] AS BIGINT[]) AS cuts
+         |  FROM s)
+         |SELECT doc_id AS doc, CAST(j AS BIGINT) AS chunk_idx,
+         |  CAST(cuts[j+1] AS BIGINT) AS start_tok,
+         |  CAST(cuts[j+2] - cuts[j+1] AS BIGINT) AS n_tokens,
+         |  ${OracleSql.h64(s"array_to_string(tk[(cuts[j+1]+1):(cuts[j+2])], ' ')")}
+         |    AS chunk_hash
+         |FROM b, UNNEST(range(0, len(cuts) - 1)) AS t(j)
+         |ORDER BY doc, chunk_idx""".stripMargin
+    },
+
+    "d36_incremental_dedup" ->
+      s"""WITH batch AS (
+         |  SELECT md5(${OracleSql.norm("text")}) AS fingerprint,
+         |    MIN(doc_id) AS keep_id, COUNT(*) AS n_copies
+         |  FROM documents GROUP BY 1),
+         |known AS (
+         |  SELECT DISTINCT md5(${OracleSql.norm("text")}) AS fingerprint
+         |  FROM documents WHERE doc_id % 3 = 0)
+         |SELECT b.fingerprint, b.keep_id, b.n_copies FROM batch b
+         |WHERE b.fingerprint NOT IN (SELECT fingerprint FROM known)
+         |ORDER BY b.fingerprint""".stripMargin,
 
     "d12_clean_corpus" ->
       s"""SELECT md5(${OracleSql.norm("text")}) AS fingerprint,

@@ -155,6 +155,57 @@ object CorpusOps {
         .as("score"))
   }
 
+  /** Content-defined chunking (the FastCDC/rsync idea applied to token
+    * streams): a chunk boundary falls AFTER every position whose k-token
+    * shingle hash satisfies `hash % modulus == 0`, so boundaries depend
+    * on CONTENT, not position — an insertion near the head of a document
+    * shifts at most one chunk instead of re-slicing everything, which is
+    * what makes chunk-hash dedup robust to edits (fixed-size chunking
+    * loses all alignment after the first insertion). Expected chunk
+    * length ≈ `modulus` tokens.
+    *
+    * Pure per-row pipeline: tokenize → positional shingle-hash kernel →
+    * boundary scan → slice — no shuffle at all until the caller
+    * aggregates chunk hashes. Empty documents emit no chunks.
+    *
+    * @return (doc, chunk_idx, start_tok, n_tokens, chunk_hash) with
+    *         chunk_hash the portable 60-bit hash of the chunk's tokens
+    */
+  def cdcChunks(df: DataFrame, idCol: String, textCol: String,
+      shingleSize: Int = 3, modulus: Int = 16): DataFrame = {
+    require(shingleSize >= 1 && modulus >= 2,
+      s"need shingleSize >= 1 and modulus >= 2, got $shingleSize/$modulus")
+    val k = shingleSize
+    val base = df
+      .select(col(idCol).as("doc"), tokens(col(textCol)).as("tk"))
+      .filter(size(col("tk")) > 0)
+      .withColumn("sh", graft.functions.shingleHashSeq64(col("tk"), k))
+    // cut positions strictly inside (0, n): i + k for every matching
+    // shingle start i; sh is positional, so the list is already sorted
+    val bounds = filter(
+      transform(sequence(lit(0), size(col("sh")) - 1),
+        i => when(
+          pmod(get(col("sh"), i), lit(modulus.toLong)) === 0 &&
+            (i + k) < size(col("tk")),
+          i + k)),
+      x => x.isNotNull)
+    base
+      .withColumn("cuts",
+        concat(array(lit(0)), bounds, array(size(col("tk")))))
+      .select(col("doc"), col("tk"),
+        posexplode(transform(sequence(lit(0), size(col("cuts")) - 2),
+          j => struct(
+            get(col("cuts"), j).as("start"),
+            (get(col("cuts"), j + 1) - get(col("cuts"), j)).as("len")))))
+      .select(col("doc"),
+        col("pos").cast("long").as("chunk_idx"),
+        col("col.start").cast("long").as("start_tok"),
+        col("col.len").cast("long").as("n_tokens"),
+        graft.functions.TextFunctions.h64(
+          concat_ws(" ", slice(col("tk"), col("col.start") + 1, col("col.len"))))
+          .as("chunk_hash"))
+  }
+
   /** Winnowing document fingerprints (Schleimer, Wilkerson, Aiken:
     * "Winnowing: Local Algorithms for Document Fingerprinting",
     * SIGMOD 2003): hash the positional k-gram shingles of each document,

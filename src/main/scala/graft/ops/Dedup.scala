@@ -23,6 +23,26 @@ object Dedup {
       .groupBy("fingerprint")
       .agg(min(col(idCol)).as("keep_id"), count(lit(1)).as("n_copies"))
 
+  /** Incremental exact dedup: which rows of `incoming` survive against a
+    * CLOSED known corpus — the production shape where yesterday's corpus
+    * is represented by its fingerprint INDEX only (`known`: one
+    * `fingerprint` column; text never leaves the archive). A row
+    * survives iff its fingerprint is absent from `known` AND it is the
+    * smallest id among intra-batch copies.
+    *
+    * Scale shape: one hash-shuffle of (fingerprint, id) for the batch
+    * collapse, one left-anti join on fingerprint against the index —
+    * both sides ship 16-byte hashes + ids, never text. The index table
+    * can be billions of rows; the anti-join shuffles it once on the
+    * same key the collapse already used.
+    *
+    * @return (fingerprint, keep_id, n_copies) for surviving batch rows
+    */
+  def exactIncremental(incoming: DataFrame, idCol: String, textCol: String,
+      known: DataFrame): DataFrame =
+    exact(incoming, idCol, textCol)
+      .join(known.select(col("fingerprint")), Seq("fingerprint"), "left_anti")
+
   /** Deterministic 60-bit seeds for the XOR-mix MinHash family,
     * derived from md5 so both engines can embed them as literals. */
   def minhashSeeds(k: Int): Seq[Long] =
