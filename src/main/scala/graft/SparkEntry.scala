@@ -851,6 +851,32 @@ object SparkEntry {
         .orderBy("doc", "chunk_idx")
     }),
 
+    // ---- STREAMING incremental dedup: the streaming batch anti-joined
+    // against a STATIC fingerprint index (stream-static left_anti — the
+    // continuous-ingest counterpart of d36), then exact in-stream dedup
+    // and a complete-mode count per source ------------------------------
+    "s10_stream_incr_dedup" -> ((s, dir) => {
+      s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+      val schema = s.read.parquet(s"$dir/documents.parquet").schema
+      val known = s.read.parquet(s"$dir/documents.parquet")
+        .filter(col("doc_id") % 3 === 0)
+        .select(graft.functions.TextFunctions.fingerprint(col("text"))
+          .as("fingerprint")).distinct()
+      val stream = s.readStream.schema(schema)
+        .option("pathGlobFilter", "documents.parquet").parquet(dir)
+        .withColumn("fingerprint",
+          graft.functions.TextFunctions.fingerprint(col("text")))
+      // complete-mode per-fingerprint aggregate (not dropDuplicates —
+      // min(doc_id) is deterministic under any batch arrival order); a
+      // production stream would bound dedup state with a watermark as
+      // in EventStreams.dedupStream
+      val fresh = stream
+        .join(known, Seq("fingerprint"), "left_anti")
+        .groupBy("fingerprint")
+        .agg(min("doc_id").as("keep_id"), count(lit(1)).as("n_copies"))
+      streamToTable(s, fresh, "s10", "complete").orderBy("fingerprint")
+    }),
+
     // ---- incremental dedup: a new batch against yesterday's corpus
     // INDEX (fingerprints only — archived text never moves). Known =
     // docs divisible by 3; incoming = the full table; survivors are
@@ -2250,6 +2276,20 @@ object SparkEntry {
     },
 
     "d36_incremental_dedup" ->
+      s"""WITH batch AS (
+         |  SELECT md5(${OracleSql.norm("text")}) AS fingerprint,
+         |    MIN(doc_id) AS keep_id, COUNT(*) AS n_copies
+         |  FROM documents GROUP BY 1),
+         |known AS (
+         |  SELECT DISTINCT md5(${OracleSql.norm("text")}) AS fingerprint
+         |  FROM documents WHERE doc_id % 3 = 0)
+         |SELECT b.fingerprint, b.keep_id, b.n_copies FROM batch b
+         |WHERE b.fingerprint NOT IN (SELECT fingerprint FROM known)
+         |ORDER BY b.fingerprint""".stripMargin,
+
+    // streaming counterpart of d36: same survivor semantics, computed by
+    // the micro-batch engine (stream-static left_anti + complete agg)
+    "s10_stream_incr_dedup" ->
       s"""WITH batch AS (
          |  SELECT md5(${OracleSql.norm("text")}) AS fingerprint,
          |    MIN(doc_id) AS keep_id, COUNT(*) AS n_copies
