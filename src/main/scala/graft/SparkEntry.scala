@@ -853,10 +853,9 @@ object SparkEntry {
 
     // ---- STREAMING incremental dedup: the streaming batch anti-joined
     // against a STATIC fingerprint index (stream-static left_anti — the
-    // continuous-ingest counterpart of d36), then exact in-stream dedup
-    // and a complete-mode count per source ------------------------------
+    // continuous-ingest counterpart of d36), surviving fingerprints
+    // aggregated in complete mode ---------------------------------------
     "s10_stream_incr_dedup" -> ((s, dir) => {
-      s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
       val schema = s.read.parquet(s"$dir/documents.parquet").schema
       val known = s.read.parquet(s"$dir/documents.parquet")
         .filter(col("doc_id") % 3 === 0)
@@ -2284,7 +2283,8 @@ object SparkEntry {
          |  SELECT DISTINCT md5(${OracleSql.norm("text")}) AS fingerprint
          |  FROM documents WHERE doc_id % 3 = 0)
          |SELECT b.fingerprint, b.keep_id, b.n_copies FROM batch b
-         |WHERE b.fingerprint NOT IN (SELECT fingerprint FROM known)
+         |WHERE NOT EXISTS (SELECT 1 FROM known k
+         |                  WHERE k.fingerprint = b.fingerprint)
          |ORDER BY b.fingerprint""".stripMargin,
 
     // streaming counterpart of d36: same survivor semantics, computed by
@@ -2298,7 +2298,8 @@ object SparkEntry {
          |  SELECT DISTINCT md5(${OracleSql.norm("text")}) AS fingerprint
          |  FROM documents WHERE doc_id % 3 = 0)
          |SELECT b.fingerprint, b.keep_id, b.n_copies FROM batch b
-         |WHERE b.fingerprint NOT IN (SELECT fingerprint FROM known)
+         |WHERE NOT EXISTS (SELECT 1 FROM known k
+         |                  WHERE k.fingerprint = b.fingerprint)
          |ORDER BY b.fingerprint""".stripMargin,
 
     "d12_clean_corpus" ->

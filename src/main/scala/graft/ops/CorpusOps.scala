@@ -143,8 +143,13 @@ object CorpusOps {
   def scoreLinear(df: DataFrame, idCol: String, textCol: String,
       model: DataFrame, dim: Int, bias: Long = 0L): DataFrame = {
     require(dim > 0, s"need dim > 0, got $dim")
-    val w = broadcast(model.select(col("bucket").cast("long").as("bucket"),
-      col("weight").cast("long").as("weight")))
+    // pre-aggregate the model: a trainer emitting duplicate bucket rows
+    // must not fan out the join (weights for the same bucket sum — the
+    // linear-model semantics — instead of silently double-counting tf)
+    val w = broadcast(model
+      .select(col("bucket").cast("long").as("bucket"),
+        col("weight").cast("long").as("weight"))
+      .groupBy("bucket").agg(sum("weight").as("weight")))
     perDocTf(df, idCol, textCol)
       .select(col("doc"), col("tf"),
         pmod(graft.functions.TextFunctions.h64(col("token")), lit(dim.toLong))

@@ -32,7 +32,8 @@ object Dedup {
     *
     * Scale shape: one hash-shuffle of (fingerprint, id) for the batch
     * collapse, one left-anti join on fingerprint against the index —
-    * both sides ship 16-byte hashes + ids, never text. The index table
+    * both sides ship hex-encoded 128-bit digests (32-char strings) +
+    * ids, never text. The index table
     * can be billions of rows; the anti-join shuffles it once on the
     * same key the collapse already used.
     *
