@@ -851,6 +851,27 @@ object SparkEntry {
         .orderBy("doc", "chunk_idx")
     }),
 
+    // ---- END-TO-END training-data pipeline: language filter → learned
+    // quality filter (d35 model) → exact dedup (min-id reps) → content-
+    // defined chunking, composed as ONE declarative plan — the shape a
+    // production corpus build actually ships, with every stage an
+    // operator this library provides ------------------------------------
+    "d38_training_pipeline" -> ((s, dir) => {
+      val docs = t(s, dir, "documents").filter(col("lang") === "en")
+      val model = s.range(64).select(col("id").as("bucket"),
+        (pmod(col("id"), lit(7)) - 3).as("weight"))
+      val kept = ops.CorpusOps.scoreLinear(docs, "doc_id", "text", model, dim = 64)
+        .filter(col("score") >= 0).select(col("doc").as("doc_id"))
+      val candidates = docs.join(kept, Seq("doc_id"))
+      val reps = ops.Dedup.exact(candidates, "doc_id", "text")
+        .select(col("keep_id").as("doc_id"))
+      val survivors = candidates.join(reps, Seq("doc_id"))
+      ops.CorpusOps.cdcChunks(survivors, "doc_id", "text")
+        .groupBy("doc")
+        .agg(count(lit(1)).as("n_chunks"), sum("n_tokens").as("n_tokens"))
+        .orderBy("doc")
+    }),
+
     // ---- STREAMING incremental dedup: the streaming batch anti-joined
     // against a STATIC fingerprint index (stream-static left_anti — the
     // continuous-ingest counterpart of d36), surviving fingerprints
@@ -2286,6 +2307,42 @@ object SparkEntry {
          |WHERE NOT EXISTS (SELECT 1 FROM known k
          |                  WHERE k.fingerprint = b.fingerprint)
          |ORDER BY b.fingerprint""".stripMargin,
+
+    // full pipeline composition: lang filter → d35 scoring → exact-dedup
+    // reps → CDC chunk/token counts per surviving doc. n_chunks =
+    // 1 + #interior boundaries, n_tokens = len(tk) — no chunk
+    // enumeration needed oracle-side
+    "d38_training_pipeline" -> {
+      val k = 3
+      val tk = s"CASE WHEN length(trim(text)) = 0 THEN []::VARCHAR[] " +
+        s"ELSE ${OracleSql.toks("text")} END"
+      val shingle = s"array_to_string(tk[(i+1):(i+$k)], ' ')"
+      s"""WITH d AS (SELECT doc_id, text FROM documents WHERE lang = 'en'),
+         |tokc AS (SELECT doc_id, $tk AS tk FROM d),
+         |tok AS (SELECT doc_id AS doc, unnest(tk) AS token FROM tokc),
+         |perdoc AS (SELECT doc, token, COUNT(*) AS tf FROM tok GROUP BY 1, 2),
+         |sc AS (SELECT doc,
+         |  SUM(tf * (((${OracleSql.h64("token")} % 64) % 7) - 3)) AS score
+         |  FROM perdoc GROUP BY doc),
+         |kept AS (SELECT d.doc_id, d.text FROM d
+         |  JOIN sc ON sc.doc = d.doc_id WHERE sc.score >= 0),
+         |reps AS (SELECT MIN(doc_id) AS doc_id FROM kept
+         |  GROUP BY md5(${OracleSql.norm("text")})),
+         |surv AS (SELECT tokc.doc_id, tk FROM tokc
+         |  JOIN reps ON reps.doc_id = tokc.doc_id WHERE len(tk) > 0),
+         |sh AS (SELECT doc_id, tk,
+         |  list_transform(range(0, greatest(len(tk) - ${k - 1}, 1)),
+         |    i -> ${OracleSql.h64(shingle)}) AS sh
+         |  FROM surv)
+         |SELECT doc_id AS doc,
+         |  CAST(1 + len(list_filter(
+         |    list_transform(range(0, len(sh)),
+         |      i -> CASE WHEN sh[i+1] % 16 = 0 AND i + $k < len(tk)
+         |                THEN 1 END),
+         |    x -> x IS NOT NULL)) AS BIGINT) AS n_chunks,
+         |  CAST(len(tk) AS BIGINT) AS n_tokens
+         |FROM sh ORDER BY doc""".stripMargin
+    },
 
     // streaming counterpart of d36: same survivor semantics, computed by
     // the micro-batch engine (stream-static left_anti + complete agg)

@@ -250,6 +250,26 @@ object PropertySpec extends Properties("graft") {
       out.values.sum == n.toLong
     }
 
+  property("cdcChunks tile every document: contiguous, complete, in order") =
+    forAll(Gen.choose(1, 80), Gen.choose(0, 1000)) { (nWords, salt) =>
+      val text = (0 until nWords).map(i => s"t${(i * 31 + salt) % 41}").mkString(" ")
+      val chunks = graft.ops.CorpusOps.cdcChunks(
+          Seq((1L, text)).toDF("doc_id", "text"),
+          "doc_id", "text", shingleSize = 2, modulus = 4)
+        .orderBy("chunk_idx")
+        .select("chunk_idx", "start_tok", "n_tokens")
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq
+      chunks.nonEmpty &&
+        chunks.head._2 == 0L &&
+        chunks.map(_._1) == chunks.indices.map(_.toLong) &&
+        chunks.sliding(2).forall {
+          case Seq(a, b) => a._2 + a._3 == b._2
+          case _ => true
+        } &&
+        chunks.map(_._3).sum == nWords.toLong &&
+        chunks.forall(_._3 > 0)
+    }
+
   property("kmeansFixedPoint rejects sparse ids that under-seed k") =
     forAll(Gen.choose(3, 6)) { k =>
       // ids start at 100, so no id < k exists → seed validation fires
