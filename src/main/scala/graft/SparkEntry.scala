@@ -1932,6 +1932,27 @@ object SparkEntry {
         .orderBy("c_nationkey")
     }),
 
+    // ---- audio near-dup pairs: real RIFF/WAV decode → 60-bit energy-
+    // contour hash → pigeonhole Hamming banding → exact verification.
+    // Twin offset 1638400 = lcm-aligned (25·65536, divisible by 800) so
+    // twins decode to IDENTICAL PCM — exact audio dups hamming 0 --------
+    "m7_audio_neardup" -> ((s, dir) => {
+      import s.implicits._
+      val base = t(s, dir, "documents").select("doc_id")
+        .filter(col("doc_id") % 3 === 2)
+      val ids = base.unionAll(base.select((col("doc_id") + 1638400L).as("doc_id")))
+      val wavs = ids.select(col("doc_id").cast("long").as("id")).as[Long]
+        .map { id =>
+          val n = (id % 800 + 8).toInt
+          ops.Multimodal.MediaRecord(id, ops.Multimodal.MediaGen.wavChirp(id, n),
+            ops.Multimodal.MediaMeta("wav", 0, 0,
+              n.toLong * 1000 / ops.Multimodal.MediaGen.sampleRate))
+        }
+      val hashes = ops.Multimodal.audioHashFeatures(wavs).toDF()
+      ops.Dedup.hammingPairs64(hashes, "media_id", "ahash", maxHamming = 3)
+        .orderBy("id1", "id2")
+    }),
+
     // ---- avro round-trip through the generic reader/writer (S6):
     // Spark 4.1 bundles the avro connector in spark-sql --------------
     "q64_avro_roundtrip" -> ((s, dir) => {
@@ -3632,6 +3653,38 @@ object SparkEntry {
       """SELECT s_nationkey, COUNT(*) AS n_suppliers,
         |  CAST(SUM(CAST(s_acctbal AS DECIMAL(18,2))) AS DOUBLE) AS total_bal
         |FROM supplier GROUP BY s_nationkey ORDER BY s_nationkey""".stripMargin,
+
+    // brute-force all-pairs hamming over formula-derived 60-bit audio
+    // hashes (same pigeonhole-equality argument as m5; chirp formula
+    // chirpAt = ((id*31 + i*i*7 + i*17) % 65536) - 32768; frame means
+    // truncate toward zero in BOTH engines)
+    "m7_audio_neardup" ->
+      """WITH base AS (SELECT doc_id AS id FROM documents WHERE doc_id % 3 = 2),
+        |ids AS (SELECT id FROM base UNION ALL SELECT id + 1638400 FROM base),
+        |nn AS (SELECT id, id % 800 + 8 AS n FROM ids),
+        |fr AS (SELECT id, n, f FROM nn, range(0, 61) t(f)),
+        |sm AS (
+        |  SELECT fr.id, fr.f,
+        |    SUM(((fr.id * 31 + s.i * s.i * 7 + s.i * 17) % 65536) - 32768) AS ssum,
+        |    COUNT(*) AS cnt
+        |  FROM fr JOIN range(0, 808) s(i)
+        |    ON s.i >= (fr.f * fr.n) // 61 AND s.i < ((fr.f + 1) * fr.n) // 61
+        |  GROUP BY fr.id, fr.f),
+        |mm AS (
+        |  SELECT fr.id, fr.f, COALESCE(sm.ssum // sm.cnt, 0) AS m
+        |  FROM fr LEFT JOIN sm ON sm.id = fr.id AND sm.f = fr.f),
+        |bits AS (
+        |  SELECT a.id, a.f AS b FROM mm a
+        |  JOIN mm nx ON nx.id = a.id AND nx.f = a.f + 1
+        |  WHERE a.f < 60 AND a.m > nx.m),
+        |hs AS (
+        |  SELECT i.id, CAST(COALESCE(SUM(1::BIGINT << b.b), 0) AS BIGINT) AS ah
+        |  FROM ids i LEFT JOIN bits b ON i.id = b.id GROUP BY i.id)
+        |SELECT a.id AS id1, b.id AS id2,
+        |  CAST(bit_count(xor(a.ah, b.ah)) AS INT) AS hamming
+        |FROM hs a JOIN hs b ON a.id < b.id
+        |WHERE bit_count(xor(a.ah, b.ah)) <= 3
+        |ORDER BY id1, id2""".stripMargin,
 
     "m6_binary_ingest" ->
       """WITH ids AS (

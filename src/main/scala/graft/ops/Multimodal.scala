@@ -85,7 +85,21 @@ object Multimodal {
       bos.toByteArray
     }
 
-    def wav(id: Long, nSamples: Int): Array[Byte] = {
+    /** Chirp-like PCM (quadratic phase): wrap points spread densely and
+      * id-dependently, so frame-mean contours are diverse across ids —
+      * the near-dup gate's fixture (the plain [[sampleAt]] sawtooth
+      * wraps at most once per stream, collapsing every contour hash
+      * into a few patterns). */
+    def chirpAt(id: Long, i: Int): Short =
+      (((id * 31 + i.toLong * i * 7 + i * 17) % 65536) - 32768).toShort
+
+    def wavChirp(id: Long, nSamples: Int): Array[Byte] =
+      wavOf(nSamples)(i => chirpAt(id, i))
+
+    def wav(id: Long, nSamples: Int): Array[Byte] =
+      wavOf(nSamples)(i => sampleAt(id, i))
+
+    private def wavOf(nSamples: Int)(sample: Int => Short): Array[Byte] = {
       val dataLen = nSamples * 2
       val bb = java.nio.ByteBuffer.allocate(44 + dataLen)
         .order(java.nio.ByteOrder.LITTLE_ENDIAN)
@@ -97,7 +111,7 @@ object Multimodal {
         .putShort(2).putShort(16) // block align, bits/sample
       bb.put("data".getBytes("US-ASCII")).putInt(dataLen)
       var i = 0
-      while (i < nSamples) { bb.putShort(sampleAt(id, i)); i += 1 }
+      while (i < nSamples) { bb.putShort(sample(i)); i += 1 }
       bb.array()
     }
   }
@@ -282,6 +296,42 @@ object Multimodal {
       hash
     }
 
+    /** 60-bit audio delta-sign hash: the PCM stream splits into 61
+      * equal-share frames and bit f (0..59) is set iff the integer mean
+      * of frame f exceeds that of frame f+1 — the audio analogue of
+      * [[dhash]] (energy-CONTOUR shape, comparisons only, so it is
+      * level-invariant the way dHash is brightness-invariant), and it
+      * composes with [[graft.ops.Dedup.hammingPairs64]] the same way.
+      * Integer means (truncate-toward-zero) keep an exact SQL oracle.
+      * Empty frames (streams shorter than 61 samples) read as mean 0. */
+    def audioHash(r: MediaRecord): Long = {
+      val bb = java.nio.ByteBuffer.wrap(r.content)
+        .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+      val (_, _, dataOff, dataLen) = parseWav(r.content)
+      val n = dataLen / 2
+      def mean(f: Int): Long = {
+        val s = f * n / 61
+        val e = (f + 1) * n / 61
+        if (e <= s) 0L
+        else {
+          var sum = 0L
+          var i = s
+          while (i < e) { sum += bb.getShort(dataOff + 2 * i); i += 1 }
+          sum / (e - s)
+        }
+      }
+      var hash = 0L
+      var cur = mean(0)
+      var f = 0
+      while (f < 60) {
+        val nxt = mean(f + 1)
+        if (cur > nxt) hash |= 1L << f
+        cur = nxt
+        f += 1
+      }
+      hash
+    }
+
     private def decodeWav(r: MediaRecord): MediaFeatures = {
       val c = r.content
       val bb = java.nio.ByteBuffer.wrap(c).order(java.nio.ByteOrder.LITTLE_ENDIAN)
@@ -358,6 +408,17 @@ object Multimodal {
     // amortize, so chunking would only hold batchSize payloads in memory
     media.mapPartitions(_.map(r =>
       ImageHash(r.media_id, r.meta.width, r.meta.height, MediaCodec.dhash(r))))
+  }
+
+  case class AudioHash(media_id: Long, durationMs: Long, ahash: Long)
+
+  /** Batched perceptual hashing of an audio column — one 60-bit
+    * delta-sign hash per stream ([[MediaCodec.audioHash]]), the key for
+    * Hamming-banded audio near-dup joins. */
+  def audioHashFeatures(media: Dataset[MediaRecord]): Dataset[AudioHash] = {
+    import media.sparkSession.implicits._
+    media.mapPartitions(_.map(r =>
+      AudioHash(r.media_id, r.meta.durationMs, MediaCodec.audioHash(r))))
   }
 
   /** Partition-wise batched feature extraction. Each executor thread

@@ -1102,6 +1102,32 @@ class MultimodalSpec extends AnyFunSuite with SparkTestBase {
     assert(h.forall { case (id, x) => again(id) == x.dhash })
   }
 
+  test("audioHash: hand-computed frame means, twin identity, diversity") {
+    import graft.ops.Multimodal._
+    def rec(id: Long, gen: (Long, Int) => Array[Byte]): MediaRecord = {
+      val n = (id % 800 + 8).toInt
+      MediaRecord(id, gen(id, n), MediaMeta("wav", 0, 0,
+        n.toLong * 1000 / MediaGen.sampleRate))
+    }
+    // hand-recompute the 60-bit delta-sign hash for one chirp stream
+    val id = 11L
+    val n = (id % 800 + 8).toInt
+    def mean(f: Int): Long = {
+      val s = f * n / 61; val e = (f + 1) * n / 61
+      if (e <= s) 0L
+      else (s until e).map(i => MediaGen.chirpAt(id, i).toLong).sum / (e - s)
+    }
+    var want = 0L
+    for (f <- 0 until 60) if (mean(f) > mean(f + 1)) want |= 1L << f
+    assert(MediaCodec.audioHash(rec(id, MediaGen.wavChirp)) === want)
+    // the lcm-aligned twin offset decodes to identical PCM → same hash
+    assert(MediaCodec.audioHash(rec(id + 1638400L, MediaGen.wavChirp)) === want)
+    // different ids hash differently somewhere (not a constant comparator)
+    val hs = Seq(2L, 5L, 8L, 11L, 14L)
+      .map(i => MediaCodec.audioHash(rec(i, MediaGen.wavChirp))).toSet
+    assert(hs.size > 1)
+  }
+
   test("dhash is robust to pixel-level noise but not to different content") {
     import java.awt.image.BufferedImage
     def img(f: (Int, Int) => Int): Array[Byte] = {
