@@ -922,13 +922,18 @@ object SparkEntry {
         .orderBy("doc")
     }),
 
-    // ---- float (ln-based) TF-IDF: deliberately NO oracleSql entry —
-    // natural-log floats are not bit-portable across engines (documented
-    // at CorpusOps.tfIdf), so the driver records the weaker rows-only
-    // check here while d16 hash-checks the fixed-point variant ----------
+    // ---- float (ln-based) TF-IDF. Raw ln floats are not bit-portable
+    // across engines (documented at CorpusOps.tfIdf; d16 hash-checks the
+    // fixed-point variant), so the GATE rounds to 4 decimals: both
+    // engines' ln agree to ≤1 ulp and both round-half-away-from-zero to
+    // the nearest double of the same decimal, making the hash compare
+    // exact in practice (a disagreement needs the true value within 1
+    // ulp of a 1e-4 boundary, ~1e-9 per row). Library output (tfIdf
+    // itself) keeps full precision — rounding is gate-only -------------
     "d34_tfidf_float" -> ((s, dir) => {
       val docs = t(s, dir, "documents").filter(col("doc_id") % 10 === 0)
       ops.CorpusOps.tfIdf(docs, "doc_id", "text")
+        .select(col("doc"), col("token"), round(col("tf_idf"), 4).as("tf_idf_r4"))
         .orderBy("doc", "token")
     }),
 
@@ -1967,6 +1972,29 @@ object SparkEntry {
         .orderBy("s_nationkey")
     }),
 
+    // ---- jdbc round-trip through the generic reader/writer (S7):
+    // Spark's distro bundles Derby, so an embedded in-memory database
+    // exercises the real jdbc save()/load() branches (reference
+    // `dataFrame/Utils.scala:30-32`) with zero network. Unique db name
+    // per invocation: in-memory Derby dbs live for the JVM lifetime and
+    // save() is ErrorIfExists, so bench reps each get a fresh db --------
+    "q65_jdbc_roundtrip" -> ((s, dir) => {
+      implicit val sp: SparkSession = s
+      val db = s"memory:graftq65_${System.nanoTime()};create=true"
+      val params = io.SourceParams("jdbc", None, Map(
+        "url" -> s"jdbc:derby:$db",
+        "driver" -> "org.apache.derby.iapi.jdbc.AutoloadedDriver",
+        "dbtable" -> "customer_rt"))
+      io.DataFrameIO.write(
+        t(s, dir, "customer").select("c_custkey", "c_mktsegment", "c_acctbal"),
+        params)
+      io.DataFrameIO.load(params)
+        .groupBy("c_mktsegment")
+        .agg(count(lit(1)).as("n_customers"),
+          sum(col("c_acctbal").cast("decimal(18,2)")).cast("double").as("total_bal"))
+        .orderBy("c_mktsegment")
+    }),
+
     // ---- image near-dup pairs: dHash → pigeonhole Hamming banding →
     // exact verification; twins at +768192 share every image modulus
     // except a +64 gray shift, so some land within hamming 3 ------------
@@ -2828,6 +2856,24 @@ object SparkEntry {
          |ORDER BY doc, token""".stripMargin
     },
 
+    // ln-based TF-IDF rounded to 4 decimals (see the gate comment): the
+    // division, +1, and ×tf are correctly-rounded IEEE ops on identical
+    // inputs in both engines; only ln can differ, by ≤1 ulp, which the
+    // rounding absorbs
+    "d34_tfidf_float" -> {
+      val tk = s"CASE WHEN length(trim(text)) = 0 THEN []::VARCHAR[] " +
+        s"ELSE ${OracleSql.toks("text")} END"
+      s"""WITH d AS (SELECT doc_id, text FROM documents WHERE doc_id % 10 = 0),
+         |tok AS (SELECT doc_id AS doc, unnest($tk) AS token FROM d),
+         |perdoc AS (SELECT doc, token, COUNT(*) AS tf FROM tok GROUP BY 1, 2),
+         |docfreq AS (SELECT token, COUNT(*) AS df FROM perdoc GROUP BY 1),
+         |n AS (SELECT COUNT(DISTINCT doc_id) AS nd FROM d)
+         |SELECT doc, token,
+         |  ROUND(tf * (ln((nd + 1.0) / (df + 1.0)) + 1.0), 4) AS tf_idf_r4
+         |FROM perdoc JOIN docfreq USING (token), n
+         |ORDER BY doc, token""".stripMargin
+    },
+
     "d17_dedup_corpus" -> {
       val augSql =
         """SELECT doc_id, text FROM documents
@@ -3653,6 +3699,11 @@ object SparkEntry {
       """SELECT s_nationkey, COUNT(*) AS n_suppliers,
         |  CAST(SUM(CAST(s_acctbal AS DECIMAL(18,2))) AS DOUBLE) AS total_bal
         |FROM supplier GROUP BY s_nationkey ORDER BY s_nationkey""".stripMargin,
+
+    "q65_jdbc_roundtrip" ->
+      """SELECT c_mktsegment, COUNT(*) AS n_customers,
+        |  CAST(SUM(CAST(c_acctbal AS DECIMAL(18,2))) AS DOUBLE) AS total_bal
+        |FROM customer GROUP BY c_mktsegment ORDER BY c_mktsegment""".stripMargin,
 
     // brute-force all-pairs hamming over formula-derived 60-bit audio
     // hashes (same pigeonhole-equality argument as m5; chirp formula

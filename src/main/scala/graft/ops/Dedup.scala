@@ -513,11 +513,20 @@ object Dedup {
               coalesce(col("graft_ptr"), col("cluster_rep"))))
             .as("cluster_rep"))
         .localCheckpoint(eager = false)
-      val nextSum = labelSum(next)
       labels = next
-      converged = nextSum.compareTo(prevSum) == 0
-      prevSum = nextSum
       i += 1
+      // convergence probe every 2nd pass (plus the last allowed one):
+      // the label sum is non-increasing per pass, so equality across a
+      // two-pass stride certifies a fixpoint already held at the first
+      // of the two — probing every pass would double the action count
+      // of the loop for at most one saved (idempotent) pass. The
+      // skipped pass's lazy localCheckpoint simply materializes inside
+      // the probing action, so lineage stays bounded at two passes.
+      if (i % 2 == 0 || i == maxIter) {
+        val nextSum = labelSum(labels)
+        converged = nextSum.compareTo(prevSum) == 0
+        prevSum = nextSum
+      }
     }
     edges.unpersist()
     labels

@@ -156,6 +156,32 @@ class IoSpec extends AnyFunSuite with SparkTestBase {
     assert(DataFrameIO.load(SourceParams("text", Some(s"$dir/t"))).count() == 2)
   }
 
+  test("jdbc round-trips rows through the generic reader/writer (Derby)") {
+    // S7 runtime evidence: Spark's distro bundles Derby for the Hive
+    // metastore, so an embedded in-memory database exercises the real
+    // jdbc save()/load() branches (reference `dataFrame/Utils.scala:30-32`)
+    // without any network. Unique db name per run: Derby in-memory
+    // databases live for the JVM lifetime and save() is ErrorIfExists.
+    val db = s"memory:graftspec${System.nanoTime()};create=true"
+    val opts = Map(
+      "url" -> s"jdbc:derby:$db",
+      "driver" -> "org.apache.derby.iapi.jdbc.AutoloadedDriver",
+      "dbtable" -> "roundtrip")
+    val df = spark.sql(
+      "SELECT id, v, CAST(x AS DOUBLE) AS x " +
+        "FROM VALUES (1, 'a', 1.5), (2, 'b', -2.25) AS t(id, v, x)")
+    val written = DataFrameIO.write(df, SourceParams("jdbc", None, opts))
+    assert(written.isEmpty) // jdbc sinks have no path
+    val back = DataFrameIO.load(SourceParams("jdbc", None, opts))
+    assert(back.orderBy("id").collect()
+      .map(r => (r.getInt(0), r.getString(1), r.getDouble(2))).toSeq ==
+      Seq((1, "a", 1.5), (2, "b", -2.25)))
+    // and the comparator sees the round-trip as identical
+    val r = new graft.diff.DatasetComparator(df, back,
+      graft.diff.DiffOptions(keys = Seq("id"))).compare()
+    assert(r.datasetsMatch && r.diffCount == 0)
+  }
+
   test("s3 path detection and fs resolution for local paths") {
     assert(PathResolver.isS3("s3://bucket/key"))
     assert(PathResolver.isS3("s3a://my-bucket/path/x"))

@@ -47,6 +47,14 @@ class GraphSpec extends AnyFunSuite with SparkTestBase {
     assert(a.toSeq === b.toSeq)
   }
 
+  test("deep runs stay plannable: 60 iterations cross the periodic barrier") {
+    // crosses the every-25-pass localCheckpoint twice; a converged cycle
+    // is exact at any depth, so correctness pins the barrier's
+    // transparency while the run itself pins bounded analysis cost
+    assert(ranks(Seq((1L, 2L), (2L, 1L)), 60) ===
+      Map(1L -> 1000000000L, 2L -> 1000000000L))
+  }
+
   test("zero iterations returns the uniform seed") {
     val r = ranks(Seq((1L, 2L), (2L, 3L)), 0)
     assert(r === Map(1L -> 1000000000L, 2L -> 1000000000L, 3L -> 1000000000L))
