@@ -54,32 +54,49 @@ object Bench {
     // cost from JIT/GC run-position noise (BASELINE.md records ±40%
     // single-shot swing; r5's "q22 regression" was exactly this)
     val reps = sys.env.getOrElse("SPARK_GRAFT_REPS", "2").toInt
-    val probes = scala.collection.mutable.Map[String, Double]()
-    val results = SparkEntry.queries.toSeq.sortBy(_._1)
+    val names = SparkEntry.queries.toSeq.sortBy(_._1)
       .filter { case (name, _) => only.forall(_.contains(name)) }
-      .map { case (name, fn) =>
-      var best = Double.MaxValue
-      var bestProbes = Map.empty[String, Double]
-      (1 to reps).foreach { _ =>
-        val t0 = System.nanoTime()
-        val ok = try { fn(spark, sfDir).count(); true }
-                 catch { case _: Throwable => false }
-        val sec = (System.nanoTime() - t0) / 1e9
-        val p = graft.util.BenchProbe.drain()
-        // a failed rep must never override a valid measurement with its
-        // (often near-zero) abort time — min over SUCCESSFUL reps only
-        if (ok && sec < best) { best = sec; bestProbes = p }
+    val best = scala.collection.mutable.Map[String, Double]()
+    val bestProbes = scala.collection.mutable.Map[String, Map[String, Double]]()
+    def timeOne(name: String,
+        fn: (SparkSession, String) => org.apache.spark.sql.DataFrame): Unit = {
+      val t0 = System.nanoTime()
+      val ok = try { fn(spark, sfDir).count(); true }
+               catch { case _: Throwable => false }
+      val sec = (System.nanoTime() - t0) / 1e9
+      val p = graft.util.BenchProbe.drain()
+      // a failed rep must never override a valid measurement with its
+      // (often near-zero) abort time — min over SUCCESSFUL reps only
+      if (ok && sec < best.getOrElse(name, Double.MaxValue)) {
+        best(name) = sec; bestProbes(name) = p
       }
-      probes ++= bestProbes
-      // all reps failed → -1 marks the query broken instead of fast
-      name -> (if (best == Double.MaxValue) -1.0 else best)
     }
+    // whole-suite passes with ALTERNATING order (forward, reversed, …)
+    // instead of per-query back-to-back reps: a GC pause or JIT churn
+    // that inflates one contiguous run-position window (r6's q47–q52
+    // cluster read 2.8–5.2× in the driver run, 1.0× isolated) hits
+    // DIFFERENT queries each pass, so the per-query min sheds it
+    for (r <- 1 to reps) {
+      val order = if (r % 2 == 0) names.reverse else names
+      order.foreach { case (n, f) => timeOne(n, f) }
+    }
+    // sub-second queries get one extra sample: a single 300 ms pause
+    // distorts them several-fold while barely moving a 5 s query, and
+    // re-running only them costs a few seconds over the whole suite
+    names.filter { case (n, _) => best.get(n).exists(_ < 1.0) }
+      .foreach { case (n, f) => timeOne(n, f) }
+
+    val results = names.map { case (n, _) => n -> best.getOrElse(n, -1.0) }
+    val failed = results.count(_._2 < 0) // -1 marks broken, see below
     val qs = results.map { case (k, v) => "\"" + k + "\":" + v }
       .mkString("{", ",", "}")
-    val ps = probes.toSeq.sortBy(_._1)
+    val ps = bestProbes.values.flatten.toSeq.sortBy(_._1)
       .map { case (k, v) => "\"" + k + "\":" + v }.mkString("{", ",", "}")
-    val total = results.map(_._2).sum
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"probes":$ps,"reps":$reps,"sf":"$sfDir"}""")
+    // a query whose reps ALL failed keeps its -1 marker per-query but is
+    // EXCLUDED from the headline sum — a broken query must surface as
+    // "failed":N, not as a faster-looking total
+    val total = results.collect { case (_, v) if v >= 0 => v }.sum
+    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"probes":$ps,"reps":$reps,"failed":$failed,"sf":"$sfDir"}""")
     spark.stop()
     // the per-run warehouse holds full bucketed tables — don't litter /tmp
     def rm(f: java.io.File): Unit = {

@@ -54,13 +54,28 @@ object Soak {
           x => x + lit((i * 1e-4).toFloat)).as("embedding"))
     }.reduce(_ unionAll _)
 
+    // listener events arrive asynchronously and the bus has no public
+    // drain hook, so wait until the byte counter itself goes quiet —
+    // a fixed sleep can still attribute a slow previous op's shuffle
+    // bytes to the next op
+    def quiesce(): Unit = {
+      var prev = -1L
+      var stableMs = 0
+      var waitedMs = 0
+      while (stableMs < 300 && waitedMs < 5000) {
+        Thread.sleep(100); waitedMs += 100
+        val b = meter.bytes.get()
+        if (b == prev) stableMs += 100 else { stableMs = 0; prev = b }
+      }
+    }
+
     def measure(name: String)(f: => Long): (String, Double, Double, Long) = {
-      Thread.sleep(500) // drain listener events from the previous op
+      quiesce() // settle counters from the previous op
       val b0 = meter.bytes.get()
       val t0 = System.nanoTime()
       val rows = f
       val sec = (System.nanoTime() - t0) / 1e9
-      Thread.sleep(500)
+      quiesce()
       val mb = (meter.bytes.get() - b0) / 1e6
       (name, sec, mb, rows)
     }

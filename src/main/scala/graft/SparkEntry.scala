@@ -2008,6 +2008,34 @@ object SparkEntry {
         .orderBy("id1", "id2")
     }),
 
+    // ---- corpus-realistic image near-dup: many docs embed the SAME
+    // asset (payloads collide via gen = f(doc_id), clusters of ~7 docs
+    // at sf0.01), so the exact-dup pre-collapse guard — one min-id
+    // representative per distinct payload fingerprint — MUST run before
+    // banding (hammingPairs64's recall bound); the +768192 gen twins
+    // then surface as cross-cluster near-dup pairs of representatives --
+    "m8_image_neardup_collapsed" -> ((s, dir) => {
+      implicit val sp: SparkSession = s
+      import s.implicits._
+      val base = t(s, dir, "documents").select("doc_id")
+        .filter(col("doc_id") % 3 === 0)
+      val r138 = pmod(col("doc_id"), lit(138))
+      val ids = base.withColumn("gen",
+        when(r138 < 69, r138).otherwise(r138 - 69 + 768192))
+      val media = ops.Multimodal.syntheticMediaFrom(ids, "doc_id", "gen")
+      // payload fingerprint AND perceptual hash both derive partition-
+      // side, so the collapse shuffles (fp, id, dhash) — bytes never
+      // cross an exchange (the library's multimodal posture); within an
+      // fp group payloads are identical, so first(dhash) is a value
+      val feats = media.toDF()
+        .select(col("media_id"), md5(col("content")).as("fp"))
+        .join(ops.Multimodal.dhashFeatures(media).toDF(), Seq("media_id"))
+      val reps = feats.groupBy("fp")
+        .agg(min(col("media_id")).as("media_id"), first(col("dhash")).as("dhash"))
+      ops.Dedup.hammingPairs64(reps, "media_id", "dhash", maxHamming = 3)
+        .orderBy("id1", "id2")
+    }),
+
     // ---- hierarchy root/depth via pointer doubling (the distributed
     // recursive CTE): random recursive tree over the orderkey spine -----
     "q60_hierarchy" -> ((s, dir) => {
@@ -3901,6 +3929,33 @@ object SparkEntry {
         |SELECT a.id AS id1, b.id AS id2,
         |  CAST(bit_count(xor(a.ph, b.ph)) AS INT) AS hamming
         |FROM hs a JOIN hs b ON a.id < b.id
+        |WHERE bit_count(xor(a.ph, b.ph)) <= 3
+        |ORDER BY id1, id2""".stripMargin,
+
+    // same brute-force-vs-banded equality argument as m5 (buckets far
+    // below the cap AFTER the pre-collapse this gate exercises); reps
+    // carry the min doc_id per distinct payload, so an uncollapsed
+    // run would hash-mismatch immediately
+    "m8_image_neardup_collapsed" ->
+      """WITH base AS (SELECT doc_id FROM documents WHERE doc_id % 3 = 0),
+        |g AS (SELECT doc_id, CASE WHEN doc_id % 138 < 69 THEN doc_id % 138
+        |                          ELSE doc_id % 138 - 69 + 768192 END AS gen
+        |      FROM base),
+        |reps AS (SELECT gen AS id, MIN(doc_id) AS media_id FROM g GROUP BY gen),
+        |dims AS (SELECT id, media_id, id % 64 + 1 AS w, id % 48 + 1 AS h FROM reps),
+        |bits AS (
+        |  SELECT id, y * 8 + x AS b
+        |  FROM dims, range(0, 8) tx(x), range(0, 8) ty(y)
+        |  WHERE ((x * w // 9) * 7 + (y * h // 8) * 13 + id * 31) % 256
+        |      > (((x + 1) * w // 9) * 7 + (y * h // 8) * 13 + id * 31) % 256),
+        |hs AS (
+        |  SELECT d.media_id,
+        |    CAST(COALESCE(SUM(CASE WHEN b.b = 63 THEN -9223372036854775808
+        |                           ELSE (1::BIGINT << b.b) END), 0) AS BIGINT) AS ph
+        |  FROM dims d LEFT JOIN bits b ON d.id = b.id GROUP BY d.media_id)
+        |SELECT a.media_id AS id1, b.media_id AS id2,
+        |  CAST(bit_count(xor(a.ph, b.ph)) AS INT) AS hamming
+        |FROM hs a JOIN hs b ON a.media_id < b.media_id
         |WHERE bit_count(xor(a.ph, b.ph)) <= 3
         |ORDER BY id1, id2""".stripMargin,
 

@@ -92,13 +92,26 @@ object Dedup {
     * near-dups are still found through their other, smaller bands.
     * The window count shuffles on the same keys the candidate join uses,
     * so the exchange is reused — no extra shuffle at scale. */
+  /** Tag every banded row with its (key...)-bucket size — one window
+    * pass, the narrow key the banding already shuffles on. */
+  private def withBucketSize(banded: DataFrame, keys: Seq[String]): DataFrame =
+    banded.withColumn("bucket_sz",
+      count(lit(1)).over(Window.partitionBy(keys.map(col): _*)))
+
   private def capBuckets(
-      banded: DataFrame, keys: Seq[String], maxBucket: Int): DataFrame = {
-    val w = Window.partitionBy(keys.map(col): _*)
-    banded.withColumn("bucket_sz", count(lit(1)).over(w))
+      banded: DataFrame, keys: Seq[String], maxBucket: Int): DataFrame =
+    withBucketSize(banded, keys)
       .filter(col("bucket_sz") <= maxBucket)
       .drop("bucket_sz")
-  }
+
+  /** The over-cap buckets the cap silently dropped: ONE row per capped
+    * (key..., bucket_sz) bucket. Empty ⇔ the pigeonhole/banding recall
+    * guarantee held exactly on this input. */
+  private def droppedBuckets(
+      sized: DataFrame, keys: Seq[String], maxBucket: Int): DataFrame =
+    sized.filter(col("bucket_sz") > maxBucket)
+      .select((keys.map(col) :+ col("bucket_sz")): _*)
+      .distinct()
 
   /** Exact word-shingle Jaccard between two texts. */
   def jaccard(a: Column, b: Column, shingleSize: Int): Column = {
@@ -266,13 +279,38 @@ object Dedup {
     simhashCandidates(df, idCol, textCol, maxHamming, maxBucket)
       .filter(col("hamming") <= maxHamming)
 
+  /** [[simhashPairs]] plus cap observability — same audit contract as
+    * [[hammingPairs64Audited]]: the second DataFrame holds one row per
+    * over-cap (chunk, key, bucket_sz) bucket the cap dropped. */
+  def simhashPairsAudited(
+      df: DataFrame,
+      idCol: String,
+      textCol: String,
+      maxHamming: Int = 3,
+      maxBucket: Int = 1000): (DataFrame, DataFrame) = {
+    val (cands, dropped) =
+      simhashCandidatesBanded(df, idCol, textCol, maxHamming, maxBucket,
+        audited = true)
+    (cands.filter(col("hamming") <= maxHamming), dropped)
+  }
+
   /** Candidate pairs with exact hamming, pre-threshold (spec hook). */
   private[graft] def simhashCandidates(
       df: DataFrame,
       idCol: String,
       textCol: String,
       maxHamming: Int,
-      maxBucket: Int): DataFrame = {
+      maxBucket: Int): DataFrame =
+    simhashCandidatesBanded(df, idCol, textCol, maxHamming, maxBucket,
+      audited = false)._1
+
+  private def simhashCandidatesBanded(
+      df: DataFrame,
+      idCol: String,
+      textCol: String,
+      maxHamming: Int,
+      maxBucket: Int,
+      audited: Boolean): (DataFrame, DataFrame) = {
     val chunks = maxHamming + 1 // pigeonhole guarantee
     val bitsPer = 60 / chunks
     val sim = collapseExactText(df, idCol, textCol)
@@ -280,18 +318,22 @@ object Dedup {
 
     val chunkKeys = (0 until chunks).map(c =>
       shiftright(col("sim"), c * bitsPer).bitwiseAND(lit((1L << bitsPer) - 1)))
-    val banded = capBuckets(
+    val sized0 = withBucketSize(
       sim.select(col("doc_id"), col("sim"),
         posexplode(array(chunkKeys: _*)).as(Seq("chunk", "key"))),
-      Seq("chunk", "key"), maxBucket)
+      Seq("chunk", "key"))
+    // see hammingPairs64Banded on the audited-only checkpoint
+    val sized = if (audited) sized0.localCheckpoint(eager = false) else sized0
+    val banded = sized.filter(col("bucket_sz") <= maxBucket).drop("bucket_sz")
 
     val l = banded.select(col("chunk"), col("key"), col("doc_id").as("id1"), col("sim").as("sim1"))
     val r = banded.select(col("chunk"), col("key"), col("doc_id").as("id2"), col("sim").as("sim2"))
-    l.join(r, Seq("chunk", "key"))
+    val cands = l.join(r, Seq("chunk", "key"))
       .filter(col("id1") < col("id2"))
       .select(col("id1"), col("id2"),
         bit_count(col("sim1").bitwiseXOR(col("sim2"))).as("hamming"))
       .distinct()
+    (cands, droppedBuckets(sized, Seq("chunk", "key"), maxBucket))
   }
 
   /** EXACT all-pairs similarity join via prefix filtering (Bayardo,
@@ -373,7 +415,39 @@ object Dedup {
       idCol: String,
       hashCol: String,
       maxHamming: Int = 3,
-      maxBucket: Int = 1000): DataFrame = {
+      maxBucket: Int = 1000): DataFrame =
+    hammingPairs64Banded(df, idCol, hashCol, maxHamming, maxBucket,
+      audited = false)._1
+
+  /** [[hammingPairs64]] plus cap OBSERVABILITY: also returns the
+    * over-cap (chunk, key, bucket_sz) buckets the cap dropped, so the
+    * RECALL BOUND above is measurable at runtime instead of silent —
+    * an empty audit table certifies the banded result equals brute
+    * force on this input; a non-empty one quantifies exactly which
+    * buckets (and how many candidate rows) the approximation lost.
+    * The sized banding table is checkpointed and shared, so the audit
+    * costs one tiny aggregate over it, not a second banding pass.
+    *
+    * @return (pairs as in [[hammingPairs64]],
+    *          dropped buckets (chunk, key, bucket_sz) — lazy, count it
+    *          or collect it after/while consuming the pairs)
+    */
+  def hammingPairs64Audited(
+      df: DataFrame,
+      idCol: String,
+      hashCol: String,
+      maxHamming: Int = 3,
+      maxBucket: Int = 1000): (DataFrame, DataFrame) =
+    hammingPairs64Banded(df, idCol, hashCol, maxHamming, maxBucket,
+      audited = true)
+
+  private def hammingPairs64Banded(
+      df: DataFrame,
+      idCol: String,
+      hashCol: String,
+      maxHamming: Int,
+      maxBucket: Int,
+      audited: Boolean): (DataFrame, DataFrame) = {
     val chunks = maxHamming + 1 // pigeonhole guarantee
     require(64 % chunks == 0,
       s"maxHamming + 1 = $chunks must divide 64 (got maxHamming = $maxHamming)")
@@ -383,18 +457,24 @@ object Dedup {
       col(hashCol).cast("long").as("ph"))
     val chunkKeys = (0 until chunks).map(c =>
       shiftright(col("ph"), c * bitsPer).bitwiseAND(lit(mask)))
-    val banded = capBuckets(
+    val sized0 = withBucketSize(
       src.select(col("doc_id"), col("ph"),
         posexplode(array(chunkKeys: _*)).as(Seq("chunk", "key"))),
-      Seq("chunk", "key"), maxBucket)
+      Seq("chunk", "key"))
+    // audited: the sized table feeds both the pairs join AND the audit
+    // aggregate — checkpoint so the banding window runs once, not per
+    // consumer (unaudited keeps the current single-consumer plan as is)
+    val sized = if (audited) sized0.localCheckpoint(eager = false) else sized0
+    val banded = sized.filter(col("bucket_sz") <= maxBucket).drop("bucket_sz")
     val l = banded.select(col("chunk"), col("key"), col("doc_id").as("id1"), col("ph").as("ph1"))
     val r = banded.select(col("chunk"), col("key"), col("doc_id").as("id2"), col("ph").as("ph2"))
-    l.join(r, Seq("chunk", "key"))
+    val pairs = l.join(r, Seq("chunk", "key"))
       .filter(col("id1") < col("id2"))
       .select(col("id1"), col("id2"),
         bit_count(col("ph1").bitwiseXOR(col("ph2"))).as("hamming"))
       .filter(col("hamming") <= maxHamming)
       .distinct()
+    (pairs, droppedBuckets(sized, Seq("chunk", "key"), maxBucket))
   }
 
   /** Embedding near-dup pairs at scale: hyperplane-LSH bucket join →

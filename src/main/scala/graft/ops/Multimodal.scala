@@ -351,21 +351,32 @@ object Multimodal {
     * encoded payloads (png/jpeg via ImageIO, wav with a hand-built RIFF
     * header), pixels/samples from the [[MediaGen]] formulas. Generated
     * executor-side per partition — no driver involvement. */
-  def syntheticMedia(df: DataFrame, idCol: String)(implicit spark: SparkSession): Dataset[MediaRecord] = {
+  def syntheticMedia(df: DataFrame, idCol: String)(implicit spark: SparkSession): Dataset[MediaRecord] =
+    syntheticMediaFrom(df, idCol, idCol)
+
+  /** [[syntheticMedia]] with the payload formula driven by a SEPARATE
+    * generator column: rows sharing a `genCol` value carry
+    * byte-identical payloads under their own `media_id`s — the shape of
+    * a real corpus where many documents embed the same asset. This is
+    * the fixture for exact-dup pre-collapse testing (the guard every
+    * banded pairs operator requires). */
+  def syntheticMediaFrom(df: DataFrame, idCol: String, genCol: String)(
+      implicit spark: SparkSession): Dataset[MediaRecord] = {
     import spark.implicits._
-    df.select(col(idCol).cast("long").as("id")).as[Long].map { id =>
-      (id % 3) match {
-        case 0 | 1 =>
-          val fmt = if (id % 3 == 0) "png" else "jpeg"
-          val w = (id % 64 + 1).toInt
-          val h = (id % 48 + 1).toInt
-          MediaRecord(id, MediaGen.image(fmt, w, h, id), MediaMeta(fmt, w, h, 0L))
-        case _ =>
-          val n = (id % 800 + 8).toInt
-          MediaRecord(id, MediaGen.wav(id, n),
-            MediaMeta("wav", 0, 0, n.toLong * 1000 / MediaGen.sampleRate))
+    df.select(col(idCol).cast("long").as("id"), col(genCol).cast("long").as("gen"))
+      .as[(Long, Long)].map { case (id, gen) =>
+        (gen % 3) match {
+          case 0 | 1 =>
+            val fmt = if (gen % 3 == 0) "png" else "jpeg"
+            val w = (gen % 64 + 1).toInt
+            val h = (gen % 48 + 1).toInt
+            MediaRecord(id, MediaGen.image(fmt, w, h, gen), MediaMeta(fmt, w, h, 0L))
+          case _ =>
+            val n = (gen % 800 + 8).toInt
+            MediaRecord(id, MediaGen.wav(gen, n),
+              MediaMeta("wav", 0, 0, n.toLong * 1000 / MediaGen.sampleRate))
+        }
       }
-    }
   }
 
   /** Synthesize a deterministic video table: one YUV4MPEG2 stream per

@@ -91,6 +91,14 @@ object Similarity {
     * index → probe → top-k path is exactly replayable in SQL. Use
     * [[ivfIndex]] when centroid quality matters more than auditability.
     *
+    * PRECONDITION (shared with [[kmeansFixedPoint]], which [[ivfIndex]]
+    * callers composing the two inherit): ids 0..nlist−1 must exist —
+    * seeding is BY ID so the seed set is reproducible in the oracle.
+    * Non-dense ids (1-based, hash-keyed) fail fast with this require;
+    * re-key densely first (`row_number() − 1` over a deterministic
+    * order) rather than seeding from arbitrary rows, which would make
+    * every downstream score order-dependent.
+    *
     * Scale shape is identical to [[ivfIndex]]: the only driver-side data
     * is the nlist centroid rows (tiny, broadcast as literals into the
     * assignment expression); the assignment table partitions by cell. */

@@ -83,6 +83,7 @@ object PluginRegistry {
       java.util.ServiceLoader.load(classOf[Plugin], loader).iterator().asScala
         .filter(_.getClass.getClassLoader eq loader).toSeq
     val jar = new java.util.jar.JarFile(file)
+    val skipped = List.newBuilder[(String, Throwable)]
     val viaScan =
       try {
         jar.entries().asScala
@@ -99,9 +100,24 @@ object PluginRegistry {
                   (c.getClassLoader eq loader))
                 Some(c.getDeclaredConstructor().newInstance().asInstanceOf[Plugin])
               else None
-            } catch { case _: Throwable => None }
+            } catch {
+              // a non-Plugin class referencing absent dependencies is
+              // NORMAL in a plugin jar (skip it quietly); a class that
+              // IS a broken Plugin must be diagnosable, not silently
+              // missing from the registry — record every skip and warn
+              case t @ (_: LinkageError | _: ReflectiveOperationException) =>
+                skipped += cn -> t; None
+              case scala.util.control.NonFatal(t) =>
+                skipped += cn -> t; None
+            }
           }.toList
       } finally jar.close()
+    skipped.result().foreach { case (cn, t) =>
+      System.err.println(
+        s"[plugin-scan] skipped $cn in $path: ${t.getClass.getSimpleName}: ${t.getMessage}")
+    }
+    // the loader stays open deliberately: discovered Plugin instances
+    // keep loading classes from their jar for the life of the run
     (viaService ++ viaScan).groupBy(_.getClass.getName).values.map(_.head).toSeq
   }
 }

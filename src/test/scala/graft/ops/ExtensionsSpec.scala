@@ -259,6 +259,42 @@ class DedupSpec extends AnyFunSuite with SparkTestBase {
     assert(!got.exists(p => p._1 == 4L || p._2 == 4L)) // 8 bits away from base
   }
 
+  test("bucket-cap audit: empty below the cap, quantified above it") {
+    import spark.implicits._
+    // 40 well-separated hashes: every (chunk, key) bucket is tiny
+    val small = (0L until 40L).map(i => (i, i * 0x9e3779b97f4a7c15L)).toDF("id", "ph")
+    val (pairs1, dropped1) =
+      Dedup.hammingPairs64Audited(small, "id", "ph", maxHamming = 3, maxBucket = 1000)
+    pairs1.count() // audit reads after consuming the pairs, as callers would
+    assert(dropped1.count() === 0L) // cap never bit ⇒ result is brute-force-exact
+
+    // a synthetic mega-cluster: 50 ids share one hash value, so all 4
+    // (chunk, key) buckets hold 50 rows — over a cap of 10
+    val mega = (0L until 50L).map(i => (i, 0x0123456789abcdefL)).toDF("id", "ph")
+    val (pairs2, dropped2) =
+      Dedup.hammingPairs64Audited(mega, "id", "ph", maxHamming = 3, maxBucket = 10)
+    assert(pairs2.count() === 0L) // every candidate bucket was dropped...
+    val d = dropped2.collect()
+    assert(d.length === 4) // ...and the audit says exactly which: all 4 chunks
+    assert(d.forall(_.getLong(2) === 50L)) // with their true size
+  }
+
+  test("simhash audit mirrors the hamming audit contract") {
+    import spark.implicits._
+    val clones = (0 until 30).map(i => (i.toLong, s"totally distinct text $i"))
+      .toDF("doc_id", "text")
+    val (_, dropped) =
+      Dedup.simhashPairsAudited(clones, "doc_id", "text", maxHamming = 3, maxBucket = 1000)
+    assert(dropped.count() === 0L)
+    // all 30 texts share the template words, so simhashes cluster; a
+    // cap of 1 drops every bucket that holds >= 2 rows
+    val (pairsCapped, droppedCapped) =
+      Dedup.simhashPairsAudited(clones, "doc_id", "text", maxHamming = 3, maxBucket = 1)
+    val uncapped = Dedup.simhashPairs(clones, "doc_id", "text", maxHamming = 3).count()
+    assert(pairsCapped.count() < uncapped || uncapped === 0L)
+    assert(droppedCapped.count() > 0L)
+  }
+
   test("exact-dup pre-collapse keeps LSH candidates O(cluster), not O(cluster squared)") {
     import spark.implicits._
     val base = (0 until 20).map(i =>
