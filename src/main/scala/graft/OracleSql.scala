@@ -275,4 +275,44 @@ object OracleSql {
        |FROM $last c JOIN sz USING (cid), range(1, ${dim + 1}) AS t(i)
        |ORDER BY cid, dim""".stripMargin
   }
+
+  /** BPE merge-table learning, unrolled to `merges` rounds — mirrors
+    * CorpusOps.bpeLearn exactly: same vocabulary filter, same
+    * space-joined symbol form, same argmax tiebreak (count desc, then
+    * (lhs, rhs) lexicographic), and the same left-to-right
+    * non-overlapping replace() for the merge application. DuckDB can't
+    * loop over data-dependent aggregates, so each round is one CTE
+    * triple (pair counts → argmax → merged words); an exhausted
+    * vocabulary empties every later round on both engines. */
+  def bpeMerges(sourceSql: String, merges: Int, maxWordLen: Int = 30): String = {
+    val ctes = scala.collection.mutable.ArrayBuffer(
+      s"""w0 AS (
+         |  SELECT ' ' || array_to_string(string_split(word, ''), ' ') || ' ' AS w,
+         |         freq
+         |  FROM (SELECT word, COUNT(*) AS freq
+         |        FROM (SELECT unnest(${toks("text")}) AS word FROM ($sourceSql))
+         |        WHERE regexp_matches(word, '^[a-z]+${"$"}')
+         |          AND len(word) <= $maxWordLen
+         |        GROUP BY word))""".stripMargin)
+    for (k <- 1 to merges) {
+      val p = k - 1
+      ctes += s"""p$k AS (
+         |  SELECT sym[i] AS l, sym[i+1] AS r, SUM(freq) AS cnt
+         |  FROM (SELECT string_split(trim(w), ' ') AS sym, freq FROM w$p),
+         |       range(1, ${maxWordLen + 1}) t(i)
+         |  WHERE i < len(sym) GROUP BY 1, 2)""".stripMargin
+      ctes += s"m$k AS (SELECT $k AS step, l, r, cnt FROM p$k " +
+        "ORDER BY cnt DESC, l, r LIMIT 1)"
+      if (k < merges)
+        ctes += s"""w$k AS (
+           |  SELECT replace(w, ' ' || l || ' ' || r || ' ',
+           |                 ' ' || l || r || ' ') AS w, freq
+           |  FROM w$p, m$k)""".stripMargin
+    }
+    val union = (1 to merges)
+      .map(k => s"SELECT CAST(step AS INT) AS step, l AS lhs, r AS rhs, " +
+        s"CAST(cnt AS BIGINT) AS pair_count FROM m$k")
+      .mkString("\n UNION ALL ")
+    s"WITH ${ctes.mkString(",\n")}\n$union ORDER BY step"
+  }
 }

@@ -937,6 +937,16 @@ object SparkEntry {
         .orderBy("doc", "token")
     }),
 
+    // ---- REAL BPE vocabulary learning: the iterative pair-merge loop
+    // (count pairs → merge argmax everywhere → repeat), distributed as
+    // one vocab-sized aggregate per round; step 7 at sf0.01 merges a
+    // MERGED symbol (m + er), pinning the fixpoint behavior ------------
+    "d39_bpe_merges" -> ((s, dir) => {
+      val docs = t(s, dir, "documents").filter(col("doc_id") % 10 === 0)
+      ops.CorpusOps.bpeLearn(docs, "text", merges = 8)
+        .orderBy("step")
+    }),
+
     // ---- exact dedup by normalized-text fingerprint -------------------
     "d1_dedup_exact" -> ((s, dir) => {
       ops.Dedup.exact(t(s, dir, "documents"), "doc_id", "text")
@@ -1972,6 +1982,28 @@ object SparkEntry {
         .orderBy("s_nationkey")
     }),
 
+    // ---- xml round-trip through the generic reader/writer (S5): the
+    // last §2 data source to travel end-to-end in a gate (Spark 4 ships
+    // the xml datasource natively; reference exercises xml e2e in
+    // DatasetComparatorJobSuite.scala:248-255). Inferred types on the
+    // way back differ from parquet's (bigint/double), so the aggregate
+    // casts explicitly --------------------------------------------------
+    "q66_xml_roundtrip" -> ((s, dir) => {
+      implicit val sp: SparkSession = s
+      val tmp = java.nio.file.Files.createTempDirectory("graft-xml").toString
+      val src = t(s, dir, "lineitem")
+        .filter(col("l_orderkey") % 50 === 0)
+        .select("l_orderkey", "l_linenumber", "l_returnflag", "l_quantity")
+      val params = io.SourceParams("xml", Some(s"$tmp/li"),
+        Map("rowTag" -> "li"))
+      io.DataFrameIO.write(src, params)
+      io.DataFrameIO.load(params)
+        .groupBy("l_returnflag")
+        .agg(count(lit(1)).as("n_items"),
+          sum(col("l_quantity").cast("decimal(18,2)")).cast("double").as("sum_qty"))
+        .orderBy("l_returnflag")
+    }),
+
     // ---- jdbc round-trip through the generic reader/writer (S7):
     // Spark's distro bundles Derby, so an embedded in-memory database
     // exercises the real jdbc save()/load() branches (reference
@@ -2023,13 +2055,12 @@ object SparkEntry {
       val ids = base.withColumn("gen",
         when(r138 < 69, r138).otherwise(r138 - 69 + 768192))
       val media = ops.Multimodal.syntheticMediaFrom(ids, "doc_id", "gen")
-      // payload fingerprint AND perceptual hash both derive partition-
-      // side, so the collapse shuffles (fp, id, dhash) — bytes never
-      // cross an exchange (the library's multimodal posture); within an
-      // fp group payloads are identical, so first(dhash) is a value
-      val feats = media.toDF()
-        .select(col("media_id"), md5(col("content")).as("fp"))
-        .join(ops.Multimodal.dhashFeatures(media).toDF(), Seq("media_id"))
+      // payload fingerprint AND perceptual hash from ONE partition-side
+      // decode pass, so the collapse shuffles (fp, id, dhash) — bytes
+      // never cross an exchange (the library's multimodal posture);
+      // within an fp group payloads are identical, so first(dhash) is a
+      // value, not an order dependence
+      val feats = ops.Multimodal.dhashWithFingerprint(media).toDF()
       val reps = feats.groupBy("fp")
         .agg(min(col("media_id")).as("media_id"), first(col("dhash")).as("dhash"))
       ops.Dedup.hammingPairs64(reps, "media_id", "dhash", maxHamming = 3)
@@ -2884,6 +2915,9 @@ object SparkEntry {
          |ORDER BY doc, token""".stripMargin
     },
 
+    "d39_bpe_merges" -> OracleSql.bpeMerges(
+      "SELECT text FROM documents WHERE doc_id % 10 = 0", merges = 8),
+
     // ln-based TF-IDF rounded to 4 decimals (see the gate comment): the
     // division, +1, and ×tf are correctly-rounded IEEE ops on identical
     // inputs in both engines; only ln can differ, by ≤1 ulp, which the
@@ -3732,6 +3766,12 @@ object SparkEntry {
       """SELECT c_mktsegment, COUNT(*) AS n_customers,
         |  CAST(SUM(CAST(c_acctbal AS DECIMAL(18,2))) AS DOUBLE) AS total_bal
         |FROM customer GROUP BY c_mktsegment ORDER BY c_mktsegment""".stripMargin,
+
+    "q66_xml_roundtrip" ->
+      """SELECT l_returnflag, COUNT(*) AS n_items,
+        |  CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty
+        |FROM lineitem WHERE l_orderkey % 50 = 0
+        |GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
 
     // brute-force all-pairs hamming over formula-derived 60-bit audio
     // hashes (same pigeonhole-equality argument as m5; chirp formula

@@ -580,4 +580,80 @@ object CorpusOps {
       .select(df.columns.toIndexedSeq.map(df(_)) :+
         col("graft_keep_frac").as("keep_frac"): _*)
   }
+
+  /** Learn a byte-pair-encoding merge table over the corpus vocabulary —
+    * the REAL iterative BPE loop (Sennrich, Haddow & Birch, ACL'16
+    * "Neural Machine Translation of Rare Words with Subword Units",
+    * public algorithm), not a frequency sketch: each round counts
+    * adjacent symbol pairs across the vocabulary weighted by word
+    * frequency, merges the globally most frequent pair everywhere
+    * (count desc, then (lhs, rhs) lexicographic — engine-exact
+    * determinism), and repeats. Later rounds pair MERGED symbols
+    * (e.g. m + er after e + r), which is what makes BPE a genuine
+    * fixpoint computation rather than one aggregate.
+    *
+    * Scale shape: the corpus collapses to its DISTINCT VOCABULARY first
+    * (one shuffle of (word, freq) — the classic BPE trick: every
+    * iteration's cost depends on vocabulary size, not corpus size).
+    * Each round is one pair-explode + sum aggregate over the vocab and
+    * ONE driver-side row (the argmax pair — the model parameter being
+    * learned, same posture as a kmeans centroid); the merge applies
+    * vocabulary-wide as a left-to-right non-overlapping string replace
+    * over the space-joined symbol form (exactly the greedy merge
+    * order BPE specifies). Words evolve behind a per-round lazy
+    * localCheckpoint, so lineage stays bounded at one replace.
+    *
+    * @param merges     merge rounds to learn (one new symbol each)
+    * @param maxWordLen words longer than this are dropped — bounds the
+    *                   per-word pair fan-out on adversarial inputs
+    * @return (step, lhs, rhs, pair_count), step 1..merges — fewer rows
+    *         if the vocabulary runs out of adjacent pairs first
+    */
+  def bpeLearn(
+      df: DataFrame,
+      textCol: String,
+      merges: Int,
+      maxWordLen: Int = 30): DataFrame = {
+    require(merges >= 0, s"need merges >= 0, got $merges")
+    require(maxWordLen >= 2, s"need maxWordLen >= 2, got $maxWordLen")
+    val spark = df.sparkSession
+    import spark.implicits._
+    // vocabulary in space-joined symbol form: "word" → " w o r d "
+    // (padding makes every symbol boundary an explicit ' x y ' window
+    // for the merge replace)
+    var words = df
+      .select(explode(tokens(col(textCol))).as("word"))
+      .filter(col("word").rlike("^[a-z]+$") && length(col("word")) <= maxWordLen)
+      .groupBy("word").agg(count(lit(1)).as("freq"))
+      .select(concat(lit(" "),
+        concat_ws(" ", split(col("word"), "")), lit(" ")).as("w"), col("freq"))
+      .localCheckpoint(eager = false)
+    val learned = scala.collection.mutable.ArrayBuffer.empty[(Int, String, String, Long)]
+    var step = 1
+    var exhausted = false
+    while (step <= merges && !exhausted) {
+      val top = words
+        .withColumn("sym", split(trim(col("w")), " "))
+        .select(col("freq"), col("sym"), posexplode(col("sym")).as(Seq("i", "l")))
+        .filter(col("i") < size(col("sym")) - 1)
+        .select(col("freq"), col("l"),
+          element_at(col("sym"), col("i") + 2).as("r")) // 1-based element_at
+        .groupBy("l", "r").agg(sum("freq").as("cnt"))
+        .orderBy(col("cnt").desc, col("l"), col("r"))
+        .limit(1).collect()
+      if (top.isEmpty) exhausted = true
+      else {
+        val (l, r, cnt) = (top(0).getString(0), top(0).getString(1), top(0).getLong(2))
+        learned += ((step, l, r, cnt))
+        words = words
+          // plain (non-regex) replace is left-to-right non-overlapping,
+          // continuing after each replacement — exactly BPE's greedy
+          // merge order, and exactly what the oracle's replace() does
+          .withColumn("w", replace(col("w"), lit(s" $l $r "), lit(s" $l$r ")))
+          .localCheckpoint(eager = false)
+        step += 1
+      }
+    }
+    learned.toSeq.toDF("step", "lhs", "rhs", "pair_count")
+  }
 }

@@ -421,6 +421,28 @@ object Multimodal {
       ImageHash(r.media_id, r.meta.width, r.meta.height, MediaCodec.dhash(r))))
   }
 
+  /** Per-image perceptual hash + exact payload fingerprint. */
+  case class ImageHashFp(media_id: Long, width: Int, height: Int,
+      dhash: Long, fp: String)
+
+  /** [[dhashFeatures]] plus an exact payload fingerprint (hex md5) from
+    * the SAME partition-side pass — the input shape for exact-dup
+    * pre-collapse: group on `fp` (16 bytes) to one min-id representative,
+    * then band only representatives. One decode per payload, and the
+    * payload bytes themselves never reach a shuffle. */
+  def dhashWithFingerprint(media: Dataset[MediaRecord]): Dataset[ImageHashFp] = {
+    import media.sparkSession.implicits._
+    media.mapPartitions { it =>
+      val md = java.security.MessageDigest.getInstance("MD5")
+      it.map { r =>
+        md.reset()
+        val fp = md.digest(r.content).map("%02x".format(_)).mkString
+        ImageHashFp(r.media_id, r.meta.width, r.meta.height,
+          MediaCodec.dhash(r), fp)
+      }
+    }
+  }
+
   case class AudioHash(media_id: Long, durationMs: Long, ahash: Long)
 
   /** Batched perceptual hashing of an audio column — one 60-bit

@@ -182,6 +182,36 @@ class IoSpec extends AnyFunSuite with SparkTestBase {
     assert(r.datasetsMatch && r.diffCount == 0)
   }
 
+  test("jdbc user/password options reach the driver (Derby BUILTIN auth)") {
+    // file-backed db (an in-memory one would vanish on the reboot the
+    // auth property needs): create, enable BUILTIN authentication,
+    // shut down, then reconnect through the generic reader with
+    // credentials — the reference's --user/--password surface
+    // (`dataFrame/Parameters.scala:29-34`) exercised for real
+    val db = s"${Files.createTempDirectory("graft-derby")}/authdb"
+    val setup = java.sql.DriverManager.getConnection(s"jdbc:derby:$db;create=true")
+    val st = setup.createStatement()
+    st.execute("CALL SYSCS_UTIL.SYSCS_SET_DATABASE_PROPERTY('derby.user.graft', 's3cret')")
+    st.execute(
+      "CALL SYSCS_UTIL.SYSCS_SET_DATABASE_PROPERTY('derby.connection.requireAuthentication', 'true')")
+    st.close(); setup.close()
+    try java.sql.DriverManager.getConnection(s"jdbc:derby:$db;shutdown=true")
+    catch { case _: java.sql.SQLException => () } // clean shutdown SIGNALS via exception
+
+    def opts(pw: String) = Map(
+      "url" -> s"jdbc:derby:$db",
+      "driver" -> "org.apache.derby.iapi.jdbc.AutoloadedDriver",
+      "dbtable" -> "sec", "user" -> "graft", "password" -> pw)
+    val df = spark.sql("SELECT * FROM VALUES (1, 'a'), (2, 'b') AS t(id, v)")
+    DataFrameIO.write(df, SourceParams("jdbc", None, opts("s3cret")))
+    val back = DataFrameIO.load(SourceParams("jdbc", None, opts("s3cret")))
+    assert(back.count() == 2)
+    val denied = intercept[Exception] {
+      DataFrameIO.load(SourceParams("jdbc", None, opts("wrong"))).count()
+    }
+    assert(denied.getMessage != null)
+  }
+
   test("s3 path detection and fs resolution for local paths") {
     assert(PathResolver.isS3("s3://bucket/key"))
     assert(PathResolver.isS3("s3a://my-bucket/path/x"))

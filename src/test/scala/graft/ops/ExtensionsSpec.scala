@@ -586,6 +586,28 @@ class EmbeddingLshSpec extends AnyFunSuite with SparkTestBase {
 class CorpusOpsSpec extends AnyFunSuite with SparkTestBase {
   import org.apache.spark.sql.functions.col
 
+  test("bpeLearn runs the real merge loop: greedy overlap, merged symbols, exhaustion") {
+    import spark.implicits._
+    // aaab×2 + ab×1: round 1 must count (a,a)=4 (pairs overlap-counted
+    // but merged greedily left-to-right: 'a a a b' → 'aa a b', not
+    // 'a aa b'), round 2 merges across words, round 3 pairs two MERGED
+    // symbols, round 4 finds nothing and stops early despite merges=5
+    val docs = Seq((1L, "aaab aaab ab")).toDF("doc_id", "text")
+    val got = CorpusOps.bpeLearn(docs, "text", merges = 5)
+      .orderBy("step").as[(Int, String, String, Long)].collect().toSeq
+    assert(got === Seq((1, "a", "a", 4L), (2, "a", "b", 3L), (3, "aa", "ab", 2L)))
+  }
+
+  test("bpeLearn ties break lexicographically and filters the vocab") {
+    import spark.implicits._
+    val docs = Seq((1L, "cd cd ab ab"), (2L, "x9 !! AB")).toDF("doc_id", "text")
+    // (a,b) and (c,d) both count 2 → (a,b) wins the tie; 'x9'/'!!' are
+    // filtered out of the vocabulary, 'AB' lowercases into ab's count
+    val got = CorpusOps.bpeLearn(docs, "text", merges = 1)
+      .as[(Int, String, String, Long)].collect().toSeq
+    assert(got === Seq((1, "a", "b", 3L)))
+  }
+
   test("hash sampling is deterministic, rate-accurate, and repartition-stable") {
     import spark.implicits._
     val df = (0 until 2000).map(i => (i.toLong, if (i % 2 == 0) "en" else "de"))
@@ -1081,6 +1103,30 @@ class MultimodalSpec extends AnyFunSuite with SparkTestBase {
     val again = extractFeatures(media).collect()
       .map(f => f.media_id -> f.mean_val).toMap
     assert(rows.forall(f => again(f.media_id) == f.mean_val))
+  }
+
+  test("dhashWithFingerprint: fp equals Spark md5, dhash equals dhashFeatures") {
+    import org.apache.spark.sql.functions.{col, md5}
+    val ids = spark.range(0, 30).selectExpr("id * 3 AS id") // png branch
+    val media = syntheticMedia(ids, "id")(spark)
+    val got = dhashWithFingerprint(media).collect()
+      .map(h => h.media_id -> ((h.fp, h.dhash))).toMap
+    val wantFp = media.toDF().select(col("media_id"), md5(col("content")))
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    val wantDh = dhashFeatures(media).collect()
+      .map(h => h.media_id -> h.dhash).toMap
+    assert(got.size == 30)
+    assert(got.forall { case (id, (fp, dh)) =>
+      fp == wantFp(id) && dh == wantDh(id) })
+  }
+
+  test("syntheticMediaFrom: same gen → byte-identical payloads under own ids") {
+    import spark.implicits._
+    val df = Seq((10L, 6L), (20L, 6L), (30L, 9L)).toDF("id", "gen")
+    val m = syntheticMediaFrom(df, "id", "gen")(spark).collect()
+      .map(r => r.media_id -> r.content).toMap
+    assert(java.util.Arrays.equals(m(10L), m(20L)))
+    assert(!java.util.Arrays.equals(m(10L), m(30L)))
   }
 
   test("real codecs: png mean matches pixel formula, jpeg dims exact, wav RIFF parse") {
