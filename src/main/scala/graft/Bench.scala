@@ -90,13 +90,30 @@ object Bench {
     val failed = results.count(_._2 < 0) // -1 marks broken, see below
     val qs = results.map { case (k, v) => "\"" + k + "\":" + v }
       .mkString("{", ",", "}")
-    val ps = bestProbes.values.flatten.toSeq.sortBy(_._1)
+    // probe keys are query-scoped by convention (q22_write_li …) but
+    // nothing enforces it: qualify any key that doesn't already carry
+    // its query's name so the probes object can never hold duplicate
+    // keys (duplicate keys = technically invalid JSON)
+    val ps = bestProbes.toSeq
+      .flatMap { case (q, m) => m.map { case (k, v) =>
+        (if (k.startsWith(q)) k else s"$q.$k") -> v } }
+      .sortBy(_._1)
       .map { case (k, v) => "\"" + k + "\":" + v }.mkString("{", ",", "}")
     // a query whose reps ALL failed keeps its -1 marker per-query but is
     // EXCLUDED from the headline sum — a broken query must surface as
     // "failed":N, not as a faster-looking total
     val total = results.collect { case (_, v) if v >= 0 => v }.sum
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"probes":$ps,"reps":$reps,"failed":$failed,"sf":"$sfDir"}""")
+    val jsonLine =
+      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"probes":$ps,"reps":$reps,"failed":$failed,"sf":"$sfDir"}"""
+    println(jsonLine)
+    // the driver keeps only a short tail of stdout, which truncates the
+    // per-query map — persist the COMPLETE result line so every query's
+    // timing survives into the repo history
+    val out = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "bench_results.json")
+    try java.nio.file.Files.write(java.nio.file.Paths.get(out),
+      (jsonLine + "\n").getBytes("UTF-8"))
+    catch { case e: Exception =>
+      System.err.println(s"bench_results write failed: $e") }
     spark.stop()
     // the per-run warehouse holds full bucketed tables — don't litter /tmp
     def rm(f: java.io.File): Unit = {

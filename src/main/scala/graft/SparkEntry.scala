@@ -18,6 +18,21 @@ object SparkEntry {
   private def t(s: SparkSession, dir: String, name: String): DataFrame =
     s.read.parquet(s"$dir/$name.parquet")
 
+  /** Per-JVM scratch root for the round-trip gates (avro/xml/fixed-width
+    * writes): every invocation lands under ONE directory that a shutdown
+    * hook removes recursively, so repeated bench reps / gate replays
+    * cannot accrete /tmp litter across the JVM lifetime. */
+  private lazy val gateTmp: String = {
+    val root = java.nio.file.Files.createTempDirectory("graft-gate-rt")
+    Runtime.getRuntime.addShutdownHook(new Thread(() => {
+      def rm(f: java.io.File): Unit = {
+        Option(f.listFiles()).foreach(_.foreach(rm)); f.delete()
+      }
+      rm(root.toFile)
+    }))
+    root.toString
+  }
+
   /** events.parquet carries TIMESTAMP(NANOS), which Spark 4 rejects by
     * default; read nanos as long and floor-divide to microseconds — the
     * same truncation DuckDB applies (its timestamps are µs-precision). */
@@ -1972,10 +1987,11 @@ object SparkEntry {
     // Spark 4.1 bundles the avro connector in spark-sql --------------
     "q64_avro_roundtrip" -> ((s, dir) => {
       implicit val sp: SparkSession = s
-      val tmp = java.nio.file.Files.createTempDirectory("graft-avro").toString
-      val params = io.SourceParams("avro", Some(s"$tmp/supplier"))
-      io.DataFrameIO.write(t(s, dir, "supplier"), params)
-      io.DataFrameIO.load(params)
+      val params = io.SourceParams("avro", Some(s"$gateTmp/avro-supplier"))
+      // repeat invocations collide on the fixed path and uniquePath (K2)
+      // suffixes — load the path actually written, not the requested one
+      val written = io.DataFrameIO.write(t(s, dir, "supplier"), params)
+      io.DataFrameIO.load(params.copy(path = Some(written)))
         .groupBy("s_nationkey")
         .agg(count(lit(1)).as("n_suppliers"),
           sum(col("s_acctbal").cast("decimal(18,2)")).cast("double").as("total_bal"))
@@ -1990,33 +2006,61 @@ object SparkEntry {
     // casts explicitly --------------------------------------------------
     "q66_xml_roundtrip" -> ((s, dir) => {
       implicit val sp: SparkSession = s
-      val tmp = java.nio.file.Files.createTempDirectory("graft-xml").toString
       val src = t(s, dir, "lineitem")
         .filter(col("l_orderkey") % 50 === 0)
         .select("l_orderkey", "l_linenumber", "l_returnflag", "l_quantity")
-      val params = io.SourceParams("xml", Some(s"$tmp/li"),
+      val params = io.SourceParams("xml", Some(s"$gateTmp/xml-li"),
         Map("rowTag" -> "li"))
-      io.DataFrameIO.write(src, params)
-      io.DataFrameIO.load(params)
+      val written = io.DataFrameIO.write(src, params)
+      io.DataFrameIO.load(params.copy(path = Some(written)))
         .groupBy("l_returnflag")
         .agg(count(lit(1)).as("n_items"),
           sum(col("l_quantity").cast("decimal(18,2)")).cast("double").as("sum_qty"))
         .orderBy("l_returnflag")
     }),
 
+    // ---- fixed-width round-trip (S8, the reference's remaining raw
+    // format, README.md:65): a lineitem subset is serialized to
+    // fixed-width text (integers right-aligned, quantity pinned to
+    // decimal(18,2) before formatting so the text is lossless), written
+    // through the generic text sink, read back via FixedWidth.load's
+    // substring slicing over the line scan, cast, and aggregated --------
+    "q67_fixedwidth_roundtrip" -> ((s, dir) => {
+      implicit val sp: SparkSession = s
+      val line = t(s, dir, "lineitem")
+        .filter(col("l_orderkey") % 40 === 0)
+        .select(concat(
+          lpad(col("l_orderkey").cast("string"), 12, " "),
+          lpad(col("l_linenumber").cast("string"), 2, " "),
+          rpad(col("l_returnflag"), 1, " "),
+          lpad(col("l_quantity").cast("decimal(18,2)").cast("string"), 12, " ")
+        ).as("value"))
+      val written = io.DataFrameIO.write(line,
+        io.SourceParams("text", Some(s"$gateTmp/fw-li")))
+      io.FixedWidth.load(written, Seq(
+          "l_orderkey" -> 12, "l_linenumber" -> 2,
+          "l_returnflag" -> 1, "l_quantity" -> 12))
+        .groupBy("l_returnflag")
+        .agg(count(lit(1)).as("n_items"),
+          sum(col("l_quantity").cast("decimal(18,2)")).cast("double").as("sum_qty"),
+          sum(col("l_orderkey").cast("bigint")).as("sum_ok"),
+          max(col("l_linenumber").cast("int")).as("max_ln"))
+        .orderBy("l_returnflag")
+    }),
+
     // ---- jdbc round-trip through the generic reader/writer (S7):
     // Spark's distro bundles Derby, so an embedded in-memory database
     // exercises the real jdbc save()/load() branches (reference
-    // `dataFrame/Utils.scala:30-32`) with zero network. Unique db name
-    // per invocation: in-memory Derby dbs live for the JVM lifetime and
-    // save() is ErrorIfExists, so bench reps each get a fresh db --------
+    // `dataFrame/Utils.scala:30-32`) with zero network. ONE db per JVM
+    // (in-memory Derby dbs live for the JVM lifetime) with
+    // saveMode=overwrite, so bench reps replace the table in place
+    // instead of growing driver memory with a fresh db each rep --------
     "q65_jdbc_roundtrip" -> ((s, dir) => {
       implicit val sp: SparkSession = s
-      val db = s"memory:graftq65_${System.nanoTime()};create=true"
       val params = io.SourceParams("jdbc", None, Map(
-        "url" -> s"jdbc:derby:$db",
+        "url" -> "jdbc:derby:memory:graftq65;create=true",
         "driver" -> "org.apache.derby.iapi.jdbc.AutoloadedDriver",
-        "dbtable" -> "customer_rt"))
+        "dbtable" -> "customer_rt"), saveMode = Some("overwrite"))
       io.DataFrameIO.write(
         t(s, dir, "customer").select("c_custkey", "c_mktsegment", "c_acctbal"),
         params)
@@ -3771,6 +3815,14 @@ object SparkEntry {
       """SELECT l_returnflag, COUNT(*) AS n_items,
         |  CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty
         |FROM lineitem WHERE l_orderkey % 50 = 0
+        |GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
+
+    "q67_fixedwidth_roundtrip" ->
+      """SELECT l_returnflag, COUNT(*) AS n_items,
+        |  CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
+        |  CAST(SUM(l_orderkey) AS BIGINT) AS sum_ok,
+        |  CAST(MAX(l_linenumber) AS INT) AS max_ln
+        |FROM lineitem WHERE l_orderkey % 40 = 0
         |GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
 
     // brute-force all-pairs hamming over formula-derived 60-bit audio

@@ -116,14 +116,32 @@ class InfoFilesDifferException(val diffCount: Int)
 
 /** `java -jar`-style entry point (reference `InfoFileComparisonJob.scala`):
   * plain JVM, no Spark session — file IO through Hadoop FS for
-  * local/HDFS/S3 transparency. */
+  * local/HDFS/S3 transparency.
+  *
+  * The reference makes versionMetaKeys/ignoredMetaKeys configurable
+  * (`infoFileComparison/src/main/resources/reference.conf:18,22` via
+  * `InfoFileComparisonConfig.scala`); here the same knobs ride the CLI:
+  * `--version-meta-keys k1,k2` / `--ignored-meta-keys k1,k2` override
+  * the built-in defaults (comma-separated; omit to keep defaults). */
 object InfoFileComparisonJob {
+
+  /** Parse the two optional key-list overrides into an InfoDiffConfig. */
+  private[infodiff] def configFrom(kv: Map[String, String]): InfoDiffConfig = {
+    def list(flag: String, default: Seq[String]): Seq[String] =
+      kv.get(flag).map(_.split(",").map(_.trim).filter(_.nonEmpty).toSeq)
+        .getOrElse(default)
+    val d = InfoDiffConfig()
+    InfoDiffConfig(
+      versionMetaKeys = list("version-meta-keys", d.versionMetaKeys),
+      ignoredMetaKeys = list("ignored-meta-keys", d.ignoredMetaKeys))
+  }
+
   def main(args: Array[String]): Unit = {
     val kv = graft.cli.CliParametersParser.argsToMap(args)
     val conf = new org.apache.hadoop.conf.Configuration()
     val was = graft.io.PathResolver.readString(kv("ref-path"), conf)
     val is = graft.io.PathResolver.readString(kv("new-path"), conf)
-    val diffs = InfoFileDiff.compare(was, is)
+    val diffs = InfoFileDiff.compare(was, is, configFrom(kv))
     kv.get("out-path").foreach(out =>
       graft.io.PathResolver.writeString(out, InfoFileDiff.toJson(diffs), conf))
     if (diffs.nonEmpty) throw new InfoFilesDifferException(diffs.length)

@@ -6,11 +6,16 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import java.net.URI
 
 /** Source/sink descriptor (reference `dataFrame/Parameters.scala:21-42`):
-  * `path` doubles as the JDBC dbtable when format == "jdbc". */
+  * `path` doubles as the JDBC dbtable when format == "jdbc". `saveMode`
+  * (sink-only, default Spark's ErrorIfExists) maps to
+  * `DataFrameWriter.mode`; file sinks normally rely on the
+  * collision-free path resolution (K2) instead, but jdbc sinks have no
+  * path to suffix, so overwrite is the idempotent-rerun story there. */
 case class SourceParams(
     format: String,
     path: Option[String] = None,
-    options: Map[String, String] = Map.empty) {
+    options: Map[String, String] = Map.empty,
+    saveMode: Option[String] = None) {
 
   def isJdbc: Boolean = format.equalsIgnoreCase("jdbc")
 
@@ -60,7 +65,8 @@ object DataFrameIO {
     * `_<millis>` suffix). Returns the path actually written (empty for
     * jdbc sinks). */
   def write(df: DataFrame, p: SourceParams)(implicit spark: SparkSession): String = {
-    val writer = df.write.format(resolveFormat(p.format)).options(p.options)
+    val base = df.write.format(resolveFormat(p.format)).options(p.options)
+    val writer = p.saveMode.fold(base)(base.mode)
     if (p.isJdbc) { writer.save(); "" }
     else {
       val target = PathResolver.uniquePath(p.path.get, spark)

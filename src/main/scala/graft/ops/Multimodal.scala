@@ -278,6 +278,13 @@ object Multimodal {
     def dhash(r: MediaRecord): Long = {
       val img = javax.imageio.ImageIO.read(
         new java.io.ByteArrayInputStream(r.content))
+      // ImageIO.read returns null (no exception) for undecodable bytes —
+      // e.g. a wav record routed into an image-only pipeline. Fail with
+      // the contract instead of an NPE deep in raster access.
+      if (img == null) throw new IllegalArgumentException(
+        s"media_id ${r.media_id}: format '${r.meta.format}' is not a " +
+        "decodable image — dhash requires png/jpeg records; filter on " +
+        "meta.format before hashing mixed-modality media")
       val w = img.getWidth
       val h = img.getHeight
       val raster = img.getRaster
@@ -412,7 +419,12 @@ object Multimodal {
 
   /** Batched perceptual hashing of an image column — same partition-wise
     * shape as [[extractFeatures]]; emits one 64-bit dHash per image, the
-    * key for Hamming-banded image near-dup joins. */
+    * key for Hamming-banded image near-dup joins.
+    *
+    * PRECONDITION (shared with [[dhashWithFingerprint]]): every record
+    * must be a decodable image (png/jpeg). Mixed-modality inputs should
+    * filter on `meta.format` first; a non-image record fails fast with
+    * an IllegalArgumentException naming the offending media_id. */
   def dhashFeatures(media: Dataset[MediaRecord]): Dataset[ImageHash] = {
     import media.sparkSession.implicits._
     // per-record (no batch buffering): dhash has no batch-level call to
@@ -429,7 +441,9 @@ object Multimodal {
     * the SAME partition-side pass — the input shape for exact-dup
     * pre-collapse: group on `fp` (16 bytes) to one min-id representative,
     * then band only representatives. One decode per payload, and the
-    * payload bytes themselves never reach a shuffle. */
+    * payload bytes themselves never reach a shuffle. Images-only, like
+    * [[dhashFeatures]] — non-image records fail fast in
+    * [[MediaCodec.dhash]]. */
   def dhashWithFingerprint(media: Dataset[MediaRecord]): Dataset[ImageHashFp] = {
     import media.sparkSession.implicits._
     media.mapPartitions { it =>

@@ -112,7 +112,10 @@ object Similarity {
       .select(col(idCol).cast("long").as("id"), v.as("v"))
       .filter(col("id") < nlist).orderBy("id")
       .collect().map(_.getAs[scala.collection.Seq[Double]]("v").toArray)
-    require(cents.length == nlist, s"need ids 0..${nlist - 1} as seeds")
+    require(cents.length == nlist,
+      s"ivfIndexSeeded seeds centroids from ids 0..${nlist - 1} but only " +
+      s"${cents.length} such row(s) exist — re-key ids densely from 0 " +
+      "(row_number() - 1 over a deterministic order) or lower nlist")
 
     // cosine(v, c_j) = dot(v, c_j) / (‖v‖·‖c_j‖) with ‖v‖ computed ONCE
     // per row and ‖c_j‖ folded to a Scala constant: bit-identical to the
@@ -250,7 +253,10 @@ object Similarity {
       .select(col(idCol).cast("long").as("id"), v.as("v"))
       .filter(col("id") < k).orderBy("id")
       .collect().map(_.getAs[scala.collection.Seq[Double]]("v").toArray)
-    require(seeds.length == k, s"need ids 0..${k - 1} as codebook seeds")
+    require(seeds.length == k,
+      s"productQuantize seeds codebooks from ids 0..${k - 1} but only " +
+      s"${seeds.length} such row(s) exist — re-key ids densely from 0 " +
+      "(row_number() - 1 over a deterministic order) or lower k")
 
     val cells = (0 until m).map { s =>
       val vs = slice(v, s * sub + 1, sub)

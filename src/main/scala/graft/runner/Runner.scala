@@ -83,7 +83,13 @@ object PluginRegistry {
       java.util.ServiceLoader.load(classOf[Plugin], loader).iterator().asScala
         .filter(_.getClass.getClassLoader eq loader).toSeq
     val jar = new java.util.jar.JarFile(file)
-    val skipped = List.newBuilder[(String, Throwable)]
+    // two skip severities: a class that IS a Plugin but won't instantiate
+    // must be diagnosable per-class (it silently vanishes from the
+    // registry otherwise); a random class with absent optional deps is
+    // NORMAL in a plugin jar and gets one summary line, not a warning
+    // per class — a large jar would otherwise emit hundreds of lines
+    val brokenPlugins = List.newBuilder[(String, Throwable)]
+    var otherSkips = 0
     val viaScan =
       try {
         jar.entries().asScala
@@ -98,24 +104,30 @@ object PluginRegistry {
               if (classOf[Plugin].isAssignableFrom(c) &&
                   !java.lang.reflect.Modifier.isAbstract(c.getModifiers) &&
                   (c.getClassLoader eq loader))
-                Some(c.getDeclaredConstructor().newInstance().asInstanceOf[Plugin])
+                try Some(c.getDeclaredConstructor().newInstance().asInstanceOf[Plugin])
+                catch {
+                  case t @ (_: LinkageError | _: ReflectiveOperationException) =>
+                    brokenPlugins += cn -> t; None
+                  case scala.util.control.NonFatal(t) =>
+                    brokenPlugins += cn -> t; None
+                }
               else None
             } catch {
-              // a non-Plugin class referencing absent dependencies is
-              // NORMAL in a plugin jar (skip it quietly); a class that
-              // IS a broken Plugin must be diagnosable, not silently
-              // missing from the registry — record every skip and warn
-              case t @ (_: LinkageError | _: ReflectiveOperationException) =>
-                skipped += cn -> t; None
-              case scala.util.control.NonFatal(t) =>
-                skipped += cn -> t; None
+              case _: LinkageError | _: ReflectiveOperationException =>
+                otherSkips += 1; None
+              case scala.util.control.NonFatal(_) =>
+                otherSkips += 1; None
             }
           }.toList
       } finally jar.close()
-    skipped.result().foreach { case (cn, t) =>
+    brokenPlugins.result().foreach { case (cn, t) =>
       System.err.println(
-        s"[plugin-scan] skipped $cn in $path: ${t.getClass.getSimpleName}: ${t.getMessage}")
+        s"[plugin-scan] Plugin $cn in $path failed to instantiate: " +
+        s"${t.getClass.getSimpleName}: ${t.getMessage}")
     }
+    if (otherSkips > 0)
+      System.err.println(
+        s"[plugin-scan] skipped $otherSkips unloadable non-plugin class(es) in $path")
     // the loader stays open deliberately: discovered Plugin instances
     // keep loading classes from their jar for the life of the run
     (viaService ++ viaScan).groupBy(_.getClass.getName).values.map(_.head).toSeq

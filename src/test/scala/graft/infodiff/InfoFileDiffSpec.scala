@@ -75,4 +75,41 @@ class InfoFileDiffSpec extends AnyFunSuite {
     assert(json.contains("\"path\": \"runUniqueId\""))
     assert(json.contains("\"was\": \"aaa\""))
   }
+
+  test("configFrom parses key-list overrides and keeps defaults otherwise") {
+    val defaults = InfoFileComparisonJob.configFrom(Map.empty)
+    assert(defaults == InfoDiffConfig())
+    val custom = InfoFileComparisonJob.configFrom(Map(
+      "version-meta-keys" -> "my_version, other_version",
+      "ignored-meta-keys" -> "scratch_key"))
+    assert(custom.versionMetaKeys == Seq("my_version", "other_version"))
+    assert(custom.ignoredMetaKeys == Seq("scratch_key"))
+  }
+
+  test("CLI path honors --ignored-meta-keys (reference reference.conf:18,22 parity)") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-infodiff-cli")
+    val changed = original.replace(
+      "\"std_record_count\": \"21\"", "\"std_record_count\": \"99\"")
+    val wasP = dir.resolve("was.json"); val isP = dir.resolve("is.json")
+    java.nio.file.Files.write(wasP, original.getBytes("UTF-8"))
+    java.nio.file.Files.write(isP, changed.getBytes("UTF-8"))
+    def run(extra: Array[String]): Option[InfoFilesDifferException] =
+      try {
+        InfoFileComparisonJob.main(Array(
+          "--ref-path", wasP.toString, "--new-path", isP.toString) ++ extra)
+        None
+      } catch { case e: InfoFilesDifferException => Some(e) }
+    try {
+      // default config: the changed std_record_count is a real diff
+      assert(run(Array.empty).exists(_.diffCount == 1))
+      // CLI override marks the key ignored: comparison passes
+      assert(run(Array("--ignored-meta-keys", "std_record_count")).isEmpty)
+      // version-meta-keys suppresses the diff the same way
+      assert(run(Array("--version-meta-keys", "std_record_count")).isEmpty)
+    } finally {
+      java.nio.file.Files.deleteIfExists(wasP)
+      java.nio.file.Files.deleteIfExists(isP)
+      java.nio.file.Files.deleteIfExists(dir)
+    }
+  }
 }

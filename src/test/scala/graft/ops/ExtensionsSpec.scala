@@ -497,6 +497,25 @@ class SimilaritySpec extends AnyFunSuite with SparkTestBase {
     assert(one == want)
   }
 
+  test("non-dense ids fail fast with the re-key remedy on both seeded entry points") {
+    import spark.implicits._
+    // 1-based ids: id 0 is missing, so id-seeding cannot find nlist seeds
+    val rows = (1 until 50).map(i => (i.toLong, Array.tabulate(4)(d => (i + d).toDouble)))
+    val df = rows.toDF("id", "vec")
+    val e1 = intercept[IllegalArgumentException] {
+      Similarity.ivfIndexSeeded(df, "id", "vec", nlist = 50)
+    }
+    assert(e1.getMessage.contains("re-key ids densely"))
+    val e2 = intercept[IllegalArgumentException] {
+      Similarity.kmeansFixedPoint(df, "id", "vec", k = 50, iterations = 1)
+    }
+    assert(e2.getMessage.contains("re-key ids densely"))
+    val e3 = intercept[IllegalArgumentException] {
+      Similarity.productQuantize(df, "id", "vec", m = 2, k = 50)
+    }
+    assert(e3.getMessage.contains("re-key ids densely"))
+  }
+
   test("hyperplane buckets collide for near-identical vectors") {
     val emb = spark.sql(
       """SELECT * FROM VALUES
@@ -1103,6 +1122,14 @@ class MultimodalSpec extends AnyFunSuite with SparkTestBase {
     val again = extractFeatures(media).collect()
       .map(f => f.media_id -> f.mean_val).toMap
     assert(rows.forall(f => again(f.media_id) == f.mean_val))
+  }
+
+  test("dhash on a non-image record fails with the contract, not an NPE") {
+    val wav = MediaRecord(7L, MediaGen.wavChirp(7L, 100),
+      MediaMeta("wav", 0, 0, 100L * 1000 / MediaGen.sampleRate))
+    val e = intercept[IllegalArgumentException] { MediaCodec.dhash(wav) }
+    assert(e.getMessage.contains("media_id 7"))
+    assert(e.getMessage.contains("wav"))
   }
 
   test("dhashWithFingerprint: fp equals Spark md5, dhash equals dhashFeatures") {
