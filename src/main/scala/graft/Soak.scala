@@ -80,6 +80,37 @@ object Soak {
       (name, sec, mb, rows)
     }
 
+    // ---- ADVERSARIAL SKEW inputs (deterministic): the two shapes that
+    // kill naive pairs pipelines at corpus scale ------------------------
+    // (a) one 10^4-duplicate cluster: a single payload crawled 10,000
+    //     times. Without exact-dup pre-collapse its LSH bucket would
+    //     self-join to ~5·10^7 candidate pairs; with collapse it
+    //     contributes ONE representative.
+    val hotText = "breaking news syndicated wire copy reproduced verbatim " +
+      "across mirror sites with identical boilerplate navigation and " +
+      "footer text that a crawler collects ten thousand times over"
+    val hotDup = spark.range(0, 10000)
+      .select((col("id") + 900000000L).as("doc_id"), lit(hotText).as("text"))
+    // (b) one hot BAND bucket: 5,000 DISTINCT texts sharing ~95% of
+    //     their shingles (template pages differing in one trailing
+    //     token), so most land in the same minhash/simhash band bucket.
+    //     Pre-collapse cannot help (all distinct); only the bucket cap
+    //     keeps the self-join off the O(n^2) cliff.
+    val tmplText = (0 until 60).map(i => s"template$i").mkString(" ")
+    val nearFam = spark.range(0, 5000)
+      .select((col("id") + 910000000L).as("doc_id"),
+        concat(lit(tmplText + " variant "), col("id").cast("string")).as("text"))
+    val skewCorpus = docsN.unionAll(hotDup).unionAll(nearFam)
+
+    def auditCounters(audit: org.apache.spark.sql.DataFrame): (Long, Long, Long) = {
+      val r = audit.agg(count(lit(1)), max(col("bucket_sz")),
+        sum(col("bucket_sz") * (col("bucket_sz") - 1) / 2)).collect()(0)
+      (r.getLong(0),
+        if (r.isNullAt(1)) 0L else r.getLong(1),
+        if (r.isNullAt(2)) 0L else r.getLong(2))
+    }
+    var audits = Map.empty[String, (Long, Long, Long)]
+
     val results = Seq(
       measure("dedup_corpus") {
         ops.Dedup.dedupCorpus(docsN, "doc_id", "text").count()
@@ -93,12 +124,58 @@ object Soak {
       measure("ivf_knn_join") {
         ops.Similarity.ivfIndexSeeded(embN, "vec_id", "embedding", nlist = 32)
           .knnJoin(k = 5, nprobe = 4).count()
+      },
+      // ---- skew battery: d6 / d9 / d17 / m8 under the hot shapes ------
+      measure("lsh_pairs_skew") { // d6
+        ops.Dedup.minhashLshPairs(skewCorpus, "doc_id", "text").count()
+      },
+      measure("dup_clusters_skew") { // d9: pairs -> connected components
+        ops.Dedup.connectedComponents(
+          ops.Dedup.minhashLshPairs(skewCorpus, "doc_id", "text")).count()
+      },
+      measure("dedup_corpus_skew") { // d17 end to end on the skewed corpus
+        ops.Dedup.dedupCorpus(skewCorpus, "doc_id", "text").count()
+      },
+      measure("simhash_skew") { // d7-path with audited drop counters
+        val (pairs, audit) = ops.Dedup.simhashPairsAudited(
+          skewCorpus, "doc_id", "text", maxHamming = 3)
+        val n = pairs.count()
+        audits += "simhash_skew" -> auditCounters(audit)
+        n
+      },
+      measure("hamming_skew") { // m8-path: engineered hot chunk buckets
+        // hash = id << 16: chunks 0, 2, 3 are constant across ALL 50k
+        // DISTINCT hashes (three hot buckets of 50k -> capped; uncapped
+        // they would join to 3.7e9 candidate pairs), while chunk 1 keys
+        // are unique. One planted near-dup pair (hamming 1) must still
+        // surface through its un-capped chunk-1 bucket: the cap drops
+        // only provably-oversized buckets, not recall on healthy ones.
+        val flood = spark.range(0, 50000)
+          .select(col("id").as("media_id"), (col("id") * 65536L).as("dhash"))
+        val f1 = 0x123456789abcdL
+        val needle = spark.range(0, 2)
+          .select((col("id") + 60000000L).as("media_id"),
+            (lit(f1).bitwiseXOR(col("id"))).as("dhash")) // ids differ in bit 0
+        val (pairs, audit) = ops.Dedup.hammingPairs64Audited(
+          flood.unionAll(needle), "media_id", "dhash", maxHamming = 3)
+        val n = pairs.count()
+        audits += "hamming_skew" -> auditCounters(audit)
+        n
       })
 
+    val auditJson = audits.toSeq.sortBy(_._1).map { case (n, (b, mx, p)) =>
+      s""""$n": {"dropped_buckets": $b, "max_bucket_sz": $mx, "dropped_candidate_pairs": $p}"""
+    }.mkString("{", ", ", "}")
     val json = results.map { case (n, sec, mb, rows) =>
       f""""$n": {"sec": $sec%.2f, "shuffle_mb": $mb%.1f, "rows": $rows}"""
-    }.mkString("{", ", ", s""", "copies": $copies, "sf": "$sfDir"}""")
+    }.mkString("{", ", ",
+      s""", "audits": $auditJson, "copies": $copies, "sf": "$sfDir"}""")
     println(json)
+    val out = sys.env.getOrElse("SPARK_GRAFT_SOAK_OUT", "soak_results.json")
+    try java.nio.file.Files.write(java.nio.file.Paths.get(out),
+      (json + "\n").getBytes("UTF-8"))
+    catch { case e: Exception =>
+      System.err.println(s"soak_results write failed: $e") }
     spark.stop()
   }
 }

@@ -1938,6 +1938,70 @@ object SparkEntry {
       s.table("graft_s9_out").orderBy("user_id")
     }),
 
+    // ---- state API v2 TTL expiry: event-time timers drop idle keys
+    // from the RocksDB store. Each user's purchase aggregate re-arms an
+    // idle timer at lastTs + 2 days; once the watermark (max event time,
+    // 0s delay) passes a timer, the key's state is cleared and a final
+    // "exp" row is emitted — so the gate proves state actually LEAVES
+    // the store, with a batch oracle: expired = last purchase more than
+    // 2 days behind the global max. Single data batch + the no-data
+    // timer batch keeps emissions deterministic -------------------------
+    "s11_stream_ttl_expiry" -> ((s, dir) => {
+      import s.implicits._
+      val tmp = s"$gateTmp/s11-" +
+        java.util.UUID.randomUUID().toString.replace("-", "")
+      val purchases = events(s, dir)
+        .filter(col("event_type") === "purchase")
+        .select("user_id", "ts", "value")
+      purchases.write.parquet(s"$tmp/in")
+      val prevProvider = s.conf.getOption("spark.sql.streaming.stateStore.providerClass")
+      s.conf.set("spark.sql.streaming.stateStore.providerClass",
+        "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+      try withNarrowState(s) {
+        val stream = s.readStream
+          .schema(purchases.schema)
+          .parquet(s"$tmp/in")
+          .withWatermark("ts", "0 seconds")
+          .as[(Long, java.sql.Timestamp, Double)]
+        val out = stream.groupByKey(_._1)
+          .transformWithState(
+            new streaming.IdleExpiryProcessor(ttlMs = 2L * 86400000L),
+            org.apache.spark.sql.streaming.TimeMode.EventTime(),
+            org.apache.spark.sql.streaming.OutputMode.Update())
+        val q = out.toDF("user_id", "kind", "n", "total_cents")
+          .writeStream.format("memory").queryName("graft_s11_out")
+          .outputMode("update")
+          .option("checkpointLocation", s"$tmp/chk")
+          .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+          .start()
+        q.awaitTermination()
+      } finally prevProvider match {
+        case Some(p) => s.conf.set("spark.sql.streaming.stateStore.providerClass", p)
+        case None => s.conf.unset("spark.sql.streaming.stateStore.providerClass")
+      }
+      s.table("graft_s11_out").orderBy("user_id", "kind")
+    }),
+
+    // ---- lossy-codec tolerance: the jpeg branch (m1 nulls its mean out
+    // because lossy decode has no exact oracle) gets runtime evidence
+    // via BANDED fidelity — real encode → real decode → per-pixel and
+    // whole-image (DC) deltas against the closed-form source, quantized
+    // into bands with ≥3× margin over the measured worst case (dc ≤
+    // 1.25 → band /4; pixel MAD ≤ 8.2 → band /24, probed over all
+    // dim/phase residues). A broken decode reads ~127 mean delta →
+    // bands 31/5, so the all-zeros oracle still discriminates ----------
+    "m9_jpeg_lossy" -> ((s, dir) => {
+      val ids = t(s, dir, "documents").select("doc_id")
+        .filter(col("doc_id") % 3 === 1) // the jpeg branch of syntheticMedia
+      val media = ops.Multimodal.syntheticMedia(ids, "doc_id")(s)
+      ops.Multimodal.decodeFidelity(media,
+          (id, x, y) => ops.Multimodal.MediaGen.grayAt(id, x, y)).toDF()
+        .select(col("media_id"), col("width"), col("height"),
+          floor(col("dc_delta") / 4).cast("int").as("dc_band"),
+          floor(col("pixel_mad") / 24).cast("int").as("mad_band"))
+        .orderBy("media_id")
+    }),
+
     // ---- perceptual image hashing: real PNG decode → 9×8 grid → 64-bit
     // dHash, the key for Hamming-banded image near-dup joins ------------
     "m4_image_dhash" -> ((s, dir) => {
@@ -3825,6 +3889,19 @@ object SparkEntry {
         |FROM lineitem WHERE l_orderkey % 40 = 0
         |GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
 
+    // banded-tolerance oracle for the lossy jpeg path: dimensions are
+    // exact (jpeg is lossless on dims), and both fidelity bands must be
+    // ZERO — the band widths carry >=3x margin over the measured worst
+    // case while a broken decode lands bands apart (see the gate note)
+    "m9_jpeg_lossy" ->
+      """SELECT doc_id AS media_id,
+        |  CAST(doc_id % 64 + 1 AS INT) AS width,
+        |  CAST(doc_id % 48 + 1 AS INT) AS height,
+        |  CAST(0 AS INT) AS dc_band,
+        |  CAST(0 AS INT) AS mad_band
+        |FROM documents WHERE doc_id % 3 = 1
+        |ORDER BY media_id""".stripMargin,
+
     // brute-force all-pairs hamming over formula-derived 60-bit audio
     // hashes (same pigeonhole-equality argument as m5; chirp formula
     // chirpAt = ((id*31 + i*i*7 + i*17) % 65536) - 32768; frame means
@@ -3988,6 +4065,30 @@ object SparkEntry {
         |  CAST(SUM(CAST(value AS DECIMAL(18,2))) * 100 AS BIGINT) AS total_cents
         |FROM events WHERE event_type = 'purchase'
         |GROUP BY user_id ORDER BY user_id""".stripMargin,
+
+    // batch recomputation of the TTL-expiry stream: every user emits one
+    // running "upd" row (single data batch → full totals); users whose
+    // last purchase sits more than ttl behind the global max event time
+    // ALSO emit one "exp" row as their state is dropped. epoch_ms floors
+    // ns → ms exactly like Timestamp.getTime floors the µs-truncated
+    // Spark timestamps, and the watermark delay is 0, so expiry is the
+    // strict comparison last_ms + ttl < max_ms on both engines
+    "s11_stream_ttl_expiry" ->
+      """WITH p AS (
+        |  SELECT user_id, epoch_ms(ts) AS ms, value
+        |  FROM events WHERE event_type = 'purchase'),
+        |agg AS (
+        |  SELECT user_id, COUNT(*) AS n,
+        |    CAST(SUM(CAST(value AS DECIMAL(18,2))) * 100 AS BIGINT) AS total_cents,
+        |    MAX(ms) AS last_ms
+        |  FROM p GROUP BY user_id),
+        |mx AS (SELECT MAX(last_ms) AS m FROM agg)
+        |SELECT user_id, kind, n, total_cents FROM (
+        |  SELECT user_id, 'upd' AS kind, n, total_cents FROM agg
+        |  UNION ALL
+        |  SELECT a.user_id, 'exp' AS kind, a.n, a.total_cents
+        |  FROM agg a, mx WHERE a.last_ms + 172800000 < mx.m)
+        |ORDER BY user_id, kind""".stripMargin,
 
     "s8_stream_upsert" ->
       """SELECT user_id, COUNT(*) AS n,

@@ -62,29 +62,30 @@ object Hierarchy {
         .localCheckpoint(eager = false)
       state = next
       i += 1
-      // probe every 2nd pass (plus the last allowed one): sum(d) is
-      // strictly increasing until fixpoint, so equality across a
-      // two-pass stride certifies convergence already held at the first
-      // of the two; probing each pass would double the loop's action
-      // count. Contract violations stay detected — rows dropped by a
-      // dangling pointer (or fanned out by duplicate nodes) persist
-      // into the next probe, which reports the same counts one pass
-      // later. The skipped pass's lazy localCheckpoint materializes
-      // inside the probing action, keeping lineage bounded at 2 passes.
-      if (i % 2 == 0 || i == maxIters) {
-        val (n2, sum2) = stats(state)
-        if (n2 < n0)
-          throw new IllegalArgumentException(
-            s"rootAndDepth: ${n0 - n2} node(s) have a parent pointer outside the " +
-            "node set — every non-root's parent must appear as a node and roots " +
-            "must be self-parented (parent == node)")
-        if (n2 > n0)
-          throw new IllegalArgumentException(
-            s"rootAndDepth: node column is not unique (join fan-out " +
-            s"$n0 -> $n2 rows) — deduplicate (node, parent) rows first")
-        converged = sum2.compareTo(prev) == 0
-        prev = sum2
-      }
+      // probe EVERY pass. sum(d) is strictly increasing until fixpoint,
+      // so per-pass probing detects convergence after ONE no-op join; a
+      // stride-2 probe needs BOTH samples past the fixpoint and runs
+      // 2-3 extra join passes. The tradeoff measured at sf0.1 local[32]
+      // (min-of-5): stride-2 3.48 s vs per-pass 3.84 s — locally the
+      // per-ACTION scheduler overhead of the extra probes costs more
+      // than the avoided joins. At cluster scale the ratio flips hard:
+      // a probe is a scan-aggregate over already-materialized blocks
+      // while a join pass is a full shuffle of the node set, so the 2-3
+      // avoided shuffles dominate and per-pass is the right shape. The
+      // one-pass observation lag is fundamental (convergence news only
+      // travels through the join), so R+1 passes is the floor.
+      val (n2, sum2) = stats(state)
+      if (n2 < n0)
+        throw new IllegalArgumentException(
+          s"rootAndDepth: ${n0 - n2} node(s) have a parent pointer outside the " +
+          "node set — every non-root's parent must appear as a node and roots " +
+          "must be self-parented (parent == node)")
+      if (n2 > n0)
+        throw new IllegalArgumentException(
+          s"rootAndDepth: node column is not unique (join fan-out " +
+          s"$n0 -> $n2 rows) — deduplicate (node, parent) rows first")
+      converged = sum2.compareTo(prev) == 0
+      prev = sum2
     }
     if (!converged)
       throw new IllegalStateException(

@@ -457,6 +457,52 @@ object Multimodal {
     }
   }
 
+  /** Per-image decode-fidelity audit record: pixel-level mean absolute
+    * delta and whole-image mean (DC) delta against a reference pixel
+    * function. */
+  case class CodecFidelity(media_id: Long, width: Int, height: Int,
+      pixel_mad: Double, dc_delta: Double)
+
+  /** Decode-fidelity audit for LOSSY image codecs: decode each record
+    * and compare every pixel against a closed-form reference function
+    * of (id, x, y) — emitting mean |decoded − reference| (pixel_mad)
+    * and |mean(decoded) − mean(reference)| (dc_delta). The op a media
+    * pipeline runs to validate a lossy re-encode sweep: JPEG must keep
+    * the DC within quantization error and pixels within a codec-level
+    * band, while a broken decode (wrong stride, channel swap, garbage)
+    * blows far past any such band. Per-record partition-side work;
+    * payload bytes never shuffle. Images-only, like [[dhashFeatures]].
+    */
+  def decodeFidelity(media: Dataset[MediaRecord],
+      ref: (Long, Int, Int) => Int): Dataset[CodecFidelity] = {
+    import media.sparkSession.implicits._
+    media.mapPartitions(_.map { r =>
+      val img = javax.imageio.ImageIO.read(
+        new java.io.ByteArrayInputStream(r.content))
+      if (img == null) throw new IllegalArgumentException(
+        s"media_id ${r.media_id}: format '${r.meta.format}' is not a " +
+        "decodable image — decodeFidelity requires png/jpeg records")
+      val w = img.getWidth
+      val h = img.getHeight
+      val raster = img.getRaster
+      var sumAbs = 0L; var sumD = 0L; var sumF = 0L
+      var y = 0
+      while (y < h) {
+        var x = 0
+        while (x < w) {
+          val d = raster.getSample(x, y, 0)
+          val f = ref(r.media_id, x, y)
+          sumAbs += math.abs(d - f); sumD += d; sumF += f
+          x += 1
+        }
+        y += 1
+      }
+      val n = w.toLong * h
+      CodecFidelity(r.media_id, w, h, sumAbs.toDouble / n,
+        math.abs(sumD.toDouble / n - sumF.toDouble / n))
+    })
+  }
+
   case class AudioHash(media_id: Long, durationMs: Long, ahash: Long)
 
   /** Batched perceptual hashing of an audio column — one 60-bit
