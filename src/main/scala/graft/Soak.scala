@@ -104,7 +104,7 @@ object Soak {
 
     def auditCounters(audit: org.apache.spark.sql.DataFrame): (Long, Long, Long) = {
       val r = audit.agg(count(lit(1)), max(col("bucket_sz")),
-        sum(col("bucket_sz") * (col("bucket_sz") - 1) / 2)).collect()(0)
+        sum(expr("bucket_sz * (bucket_sz - 1) div 2"))).collect()(0)
       (r.getLong(0),
         if (r.isNullAt(1)) 0L else r.getLong(1),
         if (r.isNullAt(2)) 0L else r.getLong(2))

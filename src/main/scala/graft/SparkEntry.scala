@@ -1938,6 +1938,23 @@ object SparkEntry {
       s.table("graft_s9_out").orderBy("user_id")
     }),
 
+    // ---- exact substring dedup (Lee et al. 2022 ExactSubstr): token
+    // spans >= n that recur across distinct documents are cut from ALL
+    // carriers — the cross-doc duplicated substrings whole-doc dedup
+    // cannot touch. The gate plants an 11-token wire-copy span at the
+    // head (%7==0) or tail (%7==3) of ~2/7 of the corpus; natural
+    // exact-dup documents empty out entirely (all-occurrence semantics,
+    // documented) ------------------------------------------------------
+    "d40_dup_spans" -> ((s, dir) => {
+      val aug = t(s, dir, "documents").select(col("doc_id"),
+        when(col("doc_id") % 7 === 0, concat(lit(wireCopy + " "), col("text")))
+          .when(col("doc_id") % 7 === 3, concat(col("text"), lit(" " + wireCopy)))
+          .otherwise(col("text")).as("text"))
+      ops.CorpusOps.removeDuplicateSpans(aug, "doc_id", "text",
+          n = 6, minDocs = 2)
+        .orderBy("doc_id")
+    }),
+
     // ---- state API v2 TTL expiry: event-time timers drop idle keys
     // from the RocksDB store. Each user's purchase aggregate re-arms an
     // idle timer at lastTs + 2 days; once the watermark (max event time,
@@ -2214,6 +2231,11 @@ object SparkEntry {
     * referenced verbatim by both the Spark query and its oracle. */
   private val boilerplateHeader =
     "terms of service all rights reserved click here to accept cookies and continue to the site"
+
+  /** 11-token duplicated span injected by the d40 gate (head for
+    * doc_id%7==0, tail for %7==3) — shared verbatim with its oracle. */
+  private val wireCopy =
+    "syndicated wire copy redistributed with permission from the original newsroom desk"
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
@@ -3744,6 +3766,50 @@ object SparkEntry {
          |  COALESCE(k.n_kept, 0) AS n_kept,
          |  COALESCE(k.clean_text, '') AS clean_text
          |FROM totals t LEFT JOIN kept k ON t.doc_id = k.doc_id
+         |ORDER BY t.doc_id""".stripMargin
+    },
+
+    // mirrors removeDuplicateSpans stage for stage: positional 6-gram
+    // fingerprints (short docs hash one whole-text shingle — the
+    // greatest(..,1) range), cross-doc census on DISTINCT (fp, doc),
+    // coverage test per token position, rebuild in position order
+    "d40_dup_spans" -> {
+      val tk = s"CASE WHEN length(trim(text)) = 0 THEN []::VARCHAR[] " +
+        s"ELSE ${OracleSql.toks("text")} END"
+      s"""WITH aug AS (
+         |  SELECT doc_id,
+         |    CASE WHEN doc_id % 7 = 0 THEN '$wireCopy' || ' ' || text
+         |         WHEN doc_id % 7 = 3 THEN text || ' ' || '$wireCopy'
+         |         ELSE text END AS text
+         |  FROM documents),
+         |toks AS (SELECT doc_id, $tk AS tk FROM aug),
+         |fpp AS (
+         |  SELECT doc_id, unnest(range(0, greatest(len(tk) - 5, 1))) AS pos, tk
+         |  FROM toks),
+         |fph AS (
+         |  SELECT doc_id, pos,
+         |    ${OracleSql.h64("array_to_string(tk[(pos+1):(pos+6)], ' ')")} AS f
+         |  FROM fpp),
+         |dup AS (
+         |  SELECT f FROM (SELECT DISTINCT f, doc_id FROM fph)
+         |  GROUP BY f HAVING COUNT(*) >= 2),
+         |hits AS (SELECT doc_id, pos FROM fph WHERE f IN (SELECT f FROM dup)),
+         |tpt AS (
+         |  SELECT doc_id, unnest(range(0, len(tk))) AS j, tk
+         |  FROM toks),
+         |tpx AS (SELECT doc_id, j, tk[j+1] AS tok FROM tpt),
+         |kept AS (
+         |  SELECT t.doc_id, t.j, t.tok FROM tpx t
+         |  WHERE NOT EXISTS (SELECT 1 FROM hits h
+         |    WHERE h.doc_id = t.doc_id AND h.pos <= t.j AND t.j < h.pos + 6)),
+         |outk AS (
+         |  SELECT doc_id, COUNT(*) AS n_kept,
+         |    array_to_string(list(tok ORDER BY j), ' ') AS clean_text
+         |  FROM kept GROUP BY doc_id)
+         |SELECT t.doc_id, CAST(len(t.tk) AS BIGINT) AS n_tokens,
+         |  CAST(COALESCE(k.n_kept, 0) AS BIGINT) AS n_kept,
+         |  COALESCE(k.clean_text, '') AS clean_text
+         |FROM toks t LEFT JOIN outk k ON t.doc_id = k.doc_id
          |ORDER BY t.doc_id""".stripMargin
     },
 

@@ -486,6 +486,70 @@ object CorpusOps {
           " ").as("clean_text"))
   }
 
+  /** Long duplicate-span removal — exact substring dedup in the style
+    * of Lee et al. 2022 ("Deduplicating Training Data Makes Language
+    * Models Better", ExactSubstr): every token span of `n` tokens whose
+    * content also occurs in at least `minDocs` DISTINCT documents is
+    * cut from every document carrying it (licenses, templates, quoted
+    * wire copy — the cross-document duplicated substrings exact-doc
+    * dedup cannot touch). Overlapping duplicated n-grams chain into one
+    * removed span, so any shared run of >= n tokens disappears whole.
+    * Like the reference tool, ALL occurrences are cut (no canonical
+    * copy is exempted); exact-duplicate documents therefore empty out —
+    * run [[graft.ops.Dedup.dedupCorpus]] first when one survivor per
+    * cluster should be kept.
+    *
+    * Scale shape: the corpus-wide duplicate test ships (fp, doc, pos)
+    * triples only — token TEXT never shuffles (d27's posture); the hit
+    * list joins back to the doc row by id ONCE, and span merging +
+    * token rebuild are row-local folds over the sorted hit array (hits
+    * merge to intervals first, so the per-token coverage test scans
+    * O(#spans), not O(#hits)). */
+  def removeDuplicateSpans(df: DataFrame, idCol: String, textCol: String,
+      n: Int = 6, minDocs: Int = 2): DataFrame = {
+    require(n >= 1, s"span length must be >= 1, got $n")
+    require(minDocs >= 2, s"minDocs must be >= 2 (duplication), got $minDocs")
+    val tks = tokens(col(textCol))
+    // positional n-gram fingerprints: element i hashes tokens[i, i+n)
+    // (short docs hash as one whole-text shingle, same as wordShingles).
+    // The positions table feeds BOTH the duplicate census and the
+    // join-back — barrier it so tokenize+hash runs once, not twice
+    val pos = df.select(col(idCol).as("graft_doc"),
+        posexplode(graft.functions.shingleHashSeq64(tks, n))
+          .as(Seq("graft_pos", "graft_fp")))
+      .localCheckpoint(eager = false)
+    val dup = pos.select("graft_fp", "graft_doc").distinct()
+      .groupBy("graft_fp").agg(count(lit(1)).as("graft_df"))
+      .filter(col("graft_df") >= minDocs)
+    val hits = pos.join(dup.select("graft_fp"), Seq("graft_fp"))
+      .groupBy("graft_doc")
+      .agg(array_sort(collect_list(col("graft_pos"))).as("graft_hits"))
+    // sorted hit positions → merged half-open [s, e) spans in ONE
+    // row-local fold (hits ascend, so the merge branch's new end p+n is
+    // always the maximum)
+    val spans = expr(s"""
+      aggregate(coalesce(graft_hits, cast(array() as array<int>)),
+        cast(array() as array<struct<s:int,e:int>>),
+        (acc, p) -> CASE
+          WHEN size(acc) > 0 AND p <= element_at(acc, -1).e
+          THEN concat(slice(acc, 1, size(acc) - 1),
+                      array(named_struct('s', element_at(acc, -1).s,
+                                         'e', p + $n)))
+          ELSE concat(acc, array(named_struct('s', p, 'e', p + $n)))
+          END)""")
+    df.join(hits, col(idCol) === col("graft_doc"), "left")
+      .withColumn("graft_spans", spans)
+      .withColumn("graft_kept",
+        org.apache.spark.sql.functions.filter(tks, (_, i) =>
+          !exists(col("graft_spans"),
+            sp => sp.getField("s") <= i && i < sp.getField("e"))))
+      .select(col(idCol),
+        org.apache.spark.sql.functions.size(tks).cast("long").as("n_tokens"),
+        org.apache.spark.sql.functions.size(col("graft_kept")).cast("long")
+          .as("n_kept"),
+        array_join(col("graft_kept"), " ").as("clean_text"))
+  }
+
   /** Sparse matrix multiply as join–aggregate — the relational form of
     * C = A·B that projects every document's term-frequency vector
     * through a term→topic weight matrix (the shape of count-based topic

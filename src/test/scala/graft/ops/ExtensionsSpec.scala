@@ -605,6 +605,29 @@ class EmbeddingLshSpec extends AnyFunSuite with SparkTestBase {
 class CorpusOpsSpec extends AnyFunSuite with SparkTestBase {
   import org.apache.spark.sql.functions.col
 
+  test("removeDuplicateSpans cuts cross-doc runs, chains overlaps, keeps unique text") {
+    import spark.implicits._
+    // docs 1 and 2 share an 8-token run (> n=4, so overlapping 4-grams
+    // chain into ONE span); doc 3 is untouched; docs 4 and 5 are exact
+    // duplicates and empty out entirely (all-occurrence semantics)
+    val shared = "alpha bravo charlie delta echo foxtrot golf hotel"
+    val docs = Seq(
+      (1L, s"intro one two $shared outro"),
+      (2L, s"$shared completely different tail here"),
+      (3L, "unique text with no duplicated runs at all"),
+      (4L, "twin payload body"),
+      (5L, "twin payload body")).toDF("doc_id", "text")
+    val got = CorpusOps.removeDuplicateSpans(docs, "doc_id", "text", n = 4)
+      .orderBy("doc_id")
+      .as[(Long, Long, Long, String)].collect().toSeq
+    assert(got(0) === ((1L, 12L, 4L, "intro one two outro")))
+    assert(got(1) === ((2L, 12L, 4L, "completely different tail here")))
+    assert(got(2) === ((3L, 8L, 8L, "unique text with no duplicated runs at all")))
+    // exact twins: their whole (short) text is one duplicated shingle
+    assert(got(3) === ((4L, 3L, 0L, "")))
+    assert(got(4) === ((5L, 3L, 0L, "")))
+  }
+
   test("bpeLearn runs the real merge loop: greedy overlap, merged symbols, exhaustion") {
     import spark.implicits._
     // aaab×2 + ab×1: round 1 must count (a,a)=4 (pairs overlap-counted
