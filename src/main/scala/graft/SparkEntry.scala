@@ -1955,6 +1955,15 @@ object SparkEntry {
         .orderBy("doc_id")
     }),
 
+    // ---- BPE encode: the other half of d39's learner — apply a rank-
+    // ordered merge table to every word as a literal replace chain
+    // (zero shuffle, pure codegen'd projection) --------------------------
+    "d41_bpe_encode" -> ((s, dir) => {
+      ops.CorpusOps.bpeEncode(t(s, dir, "documents"), "doc_id", "text",
+          bpeGateMerges)
+        .orderBy("doc_id")
+    }),
+
     // ---- state API v2 TTL expiry: event-time timers drop idle keys
     // from the RocksDB store. Each user's purchase aggregate re-arms an
     // idle timer at lastTs + 2 days; once the watermark (max event time,
@@ -2236,6 +2245,14 @@ object SparkEntry {
     * doc_id%7==0, tail for %7==3) — shared verbatim with its oracle. */
   private val wireCopy =
     "syndicated wire copy redistributed with permission from the original newsroom desk"
+
+  /** Rank-ordered merge table for the d41 encode gate — deliberately
+    * cascading (th+e pairs t+h's output; an+d pairs a+n's), so the gate
+    * proves ORDER-dependent replay, not just independent replaces. The
+    * oracle's replace chain is generated from this same Seq. */
+  private val bpeGateMerges = Seq(
+    "t" -> "h", "th" -> "e", "i" -> "n", "a" -> "n",
+    "e" -> "r", "an" -> "d", "o" -> "n", "r" -> "e")
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
@@ -3767,6 +3784,32 @@ object SparkEntry {
          |  COALESCE(k.clean_text, '') AS clean_text
          |FROM totals t LEFT JOIN kept k ON t.doc_id = k.doc_id
          |ORDER BY t.doc_id""".stripMargin
+    },
+
+    // replace chain generated from the SAME bpeGateMerges Seq the gate
+    // uses; DuckDB replace() is left-to-right non-overlapping like
+    // Spark's — the greedy merge order both the learner and the
+    // reference algorithm specify
+    "d41_bpe_encode" -> {
+      val tk = s"CASE WHEN length(trim(text)) = 0 THEN []::VARCHAR[] " +
+        s"ELSE ${OracleSql.toks("text")} END"
+      val chain = bpeGateMerges.foldLeft(
+        "' ' || array_to_string(string_split(w, ''), ' ') || ' '") {
+        case (acc, (l, r)) => s"replace($acc, ' $l $r ', ' $l$r ')"
+      }
+      s"""WITH toks AS (SELECT doc_id, $tk AS tk FROM documents),
+         |enc AS (
+         |  SELECT doc_id, tk,
+         |    list_transform(tk, w ->
+         |      CASE WHEN regexp_matches(w, '^[a-z]+${"$"}') AND len(w) <= 30
+         |           THEN trim($chain) ELSE w END) AS ew
+         |  FROM toks)
+         |SELECT doc_id, CAST(len(tk) AS BIGINT) AS n_tokens,
+         |  CAST(CASE WHEN len(ew) = 0 THEN 0
+         |       ELSE list_reduce(list_transform(ew, e -> len(string_split(e, ' '))),
+         |                        (a, b) -> a + b) END AS BIGINT) AS n_subwords,
+         |  array_to_string(ew, ' | ') AS encoded
+         |FROM enc ORDER BY doc_id""".stripMargin
     },
 
     // mirrors removeDuplicateSpans stage for stage: positional 6-gram

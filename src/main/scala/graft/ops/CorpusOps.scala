@@ -673,6 +673,50 @@ object CorpusOps {
     * @return (step, lhs, rhs, pair_count), step 1..merges — fewer rows
     *         if the vocabulary runs out of adjacent pairs first
     */
+  /** Apply a learned BPE merge table to the corpus — the encode half of
+    * [[bpeLearn]] (Sennrich et al. ACL'16): each in-vocabulary word
+    * splits to characters and replays the merges IN RANK ORDER, each as
+    * a left-to-right non-overlapping replace over the space-joined
+    * symbol form (so later merges pair earlier merges' outputs — th+e
+    * after t+h). Words outside the learnable vocabulary (non-alpha or
+    * over maxWordLen, mirroring bpeLearn's filter) pass through as one
+    * atomic symbol.
+    *
+    * Scale shape: the merge table is a model parameter (tiny, rank-
+    * ordered) folded into the projection as a literal replace chain —
+    * ZERO shuffle, no state, no UDF; the whole encode is one
+    * codegen'd per-row expression, embarrassingly parallel at any
+    * corpus size.
+    *
+    * @return (id, n_tokens, n_subwords, encoded): subword symbols
+    *         space-joined within words, words joined by " | "
+    */
+  def bpeEncode(
+      df: DataFrame,
+      idCol: String,
+      textCol: String,
+      merges: Seq[(String, String)],
+      maxWordLen: Int = 30): DataFrame = {
+    require(maxWordLen >= 2, s"need maxWordLen >= 2, got $maxWordLen")
+    val words = tokens(col(textCol))
+    def encodeWord(w: Column): Column = {
+      val padded = concat(lit(" "), concat_ws(" ", split(w, "")), lit(" "))
+      val merged = merges.foldLeft(padded) { case (c, (l, r)) =>
+        replace(c, lit(s" $l $r "), lit(s" $l$r "))
+      }
+      trim(merged)
+    }
+    val enc = transform(words, w =>
+      when(w.rlike("^[a-z]+$") && length(w) <= maxWordLen, encodeWord(w))
+        .otherwise(w))
+    df.select(col(idCol),
+      org.apache.spark.sql.functions.size(words).cast("long").as("n_tokens"),
+      coalesce(aggregate(enc, lit(0L),
+        (acc, e) => acc + org.apache.spark.sql.functions.size(split(e, " "))),
+        lit(0L)).as("n_subwords"),
+      array_join(enc, " | ").as("encoded"))
+  }
+
   def bpeLearn(
       df: DataFrame,
       textCol: String,

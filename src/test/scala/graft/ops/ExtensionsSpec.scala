@@ -628,6 +628,32 @@ class CorpusOpsSpec extends AnyFunSuite with SparkTestBase {
     assert(got(4) === ((5L, 3L, 0L, "")))
   }
 
+  test("bpeEncode replays merges in rank order; OOV words pass through atomically") {
+    import spark.implicits._
+    val docs = Seq((1L, "the thin x9 there"), (2L, "other AB")).toDF("doc_id", "text")
+    // rank order matters: t+h must run before th+e pairs its output
+    val merges = Seq("t" -> "h", "th" -> "e", "e" -> "r")
+    val got = CorpusOps.bpeEncode(docs, "doc_id", "text", merges)
+      .orderBy("doc_id").as[(Long, Long, Long, String)].collect().toSeq
+    // "the"->the, "thin"->th i n, "x9" atomic, "there"->the r e
+    assert(got(0) === ((1L, 4L, 8L, "the | th i n | x9 | the r e")))
+    // "other": t+h then th+e cascade inside the word -> o the r;
+    // "AB" lowercases in tokens() and encodes as a b (no a+b merge)
+    assert(got(1) === ((2L, 2L, 5L, "o the r | a b")))
+  }
+
+  test("bpeEncode composes with bpeLearn's learned table") {
+    import spark.implicits._
+    val docs = Seq((1L, "aaab aaab ab")).toDF("doc_id", "text")
+    val learned = CorpusOps.bpeLearn(docs, "text", merges = 5)
+      .orderBy("step").as[(Int, String, String, Long)].collect()
+      .map(m => m._2 -> m._3).toSeq // (a,a), (a,b), (aa,ab)
+    val got = CorpusOps.bpeEncode(docs, "doc_id", "text", learned)
+      .as[(Long, Long, Long, String)].collect().head
+    // aaab -> aa a b -> aa ab -> aaab (fully merged); ab -> ab
+    assert(got === ((1L, 3L, 3L, "aaab | aaab | ab")))
+  }
+
   test("bpeLearn runs the real merge loop: greedy overlap, merged symbols, exhaustion") {
     import spark.implicits._
     // aaab×2 + ab×1: round 1 must count (a,a)=4 (pairs overlap-counted
