@@ -1544,6 +1544,31 @@ object SparkEntry {
         .orderBy("id", "rank")
     }),
 
+    // ---- kNN label propagation (auto-labeling / weak supervision):
+    // every vector takes the majority label of its 5 approximate
+    // nearest neighbors (ties break to the smallest label), scored as a
+    // confusion matrix against the true labels — the evaluation a
+    // similarity-search-based labeling pipeline ships with. Same ANN
+    // join as e7; only small (id, label, votes) rows shuffle after it --
+    "e13_knn_classify" -> ((s, dir) => {
+      val emb = t(s, dir, "embeddings")
+      val knn = ops.Similarity.ivfIndexSeeded(emb, "vec_id", "embedding", nlist = 8)
+        .knnJoin(k = 5, nprobe = 2)
+      val labels = emb.select(col("vec_id").cast("long").as("nid"),
+        col("label").as("nlabel"))
+      val votes = knn.join(labels, Seq("nid"))
+        .groupBy(col("id"), col("nlabel")).agg(count(lit(1)).as("votes"))
+      // majority vote, deterministic: most votes, then smallest label —
+      // min_by over the (−votes, label) total order hash-aggregates
+      val pred = votes.groupBy("id")
+        .agg(min_by(col("nlabel"),
+          struct((-col("votes")).as("nv"), col("nlabel"))).as("pred_label"))
+      pred.join(emb.select(col("vec_id").cast("long").as("id"),
+          col("label").as("true_label")), Seq("id"))
+        .groupBy("true_label", "pred_label").agg(count(lit(1)).as("n"))
+        .orderBy("true_label", "pred_label")
+    }),
+
     // ---- ANN quality evaluation: recall@5 of the IVF kNN join against
     // exact brute force over a 50-query panel — the measurement every
     // ANN deployment ships with ------------------------------------------
@@ -3591,6 +3616,22 @@ object SparkEntry {
       s"""WITH ${OracleSql.ivfKnnCtes(nlist = 8, nprobe = 2, k = 5)}
          |SELECT id, rank, nid, cos FROM knn
          |ORDER BY id, rank""".stripMargin,
+
+    "e13_knn_classify" ->
+      s"""WITH ${OracleSql.ivfKnnCtes(nlist = 8, nprobe = 2, k = 5)},
+         |votes AS (
+         |  SELECT k.id, e.label AS nlabel, COUNT(*) AS votes
+         |  FROM knn k JOIN embeddings e ON e.vec_id = k.nid
+         |  GROUP BY 1, 2),
+         |pred AS (
+         |  SELECT id, nlabel AS pred_label FROM (
+         |    SELECT id, nlabel,
+         |      ROW_NUMBER() OVER (PARTITION BY id
+         |        ORDER BY votes DESC, nlabel) AS rn
+         |    FROM votes) WHERE rn = 1)
+         |SELECT e.label AS true_label, p.pred_label, COUNT(*) AS n
+         |FROM pred p JOIN embeddings e ON e.vec_id = p.id
+         |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
 
     // property oracle: the booleans hold by construction (recall floors
     // with wide margin); n_queries derives from the data, not a constant
