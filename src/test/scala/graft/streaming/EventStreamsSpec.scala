@@ -163,6 +163,53 @@ class EventStreamsSpec extends AnyFunSuite with SparkTestBase {
     }
   }
 
+  test("idle-expiry: mid-stream timer fires, state drops, returning key re-opens fresh") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val prev = spark.conf.getOption("spark.sql.streaming.stateStore.providerClass")
+    spark.conf.set("spark.sql.streaming.stateStore.providerClass",
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    try {
+      val mem = MemoryStream[(Long, Timestamp, Double)]
+      val out = mem.toDS().toDF("user_id", "ts", "value")
+        .withWatermark("ts", "0 seconds")
+        .as[(Long, Timestamp, Double)]
+        .groupByKey(_._1)
+        .transformWithState(new IdleExpiryProcessor(ttlMs = 100000L), // 100 s
+          org.apache.spark.sql.streaming.TimeMode.EventTime(), OutputMode.Update())
+      val q = out.toDF("user_id", "kind", "n", "cents")
+        .writeStream.format("memory").queryName("graft_ttl_spec")
+        .outputMode(OutputMode.Update()).start()
+      try {
+        // batch 1: both keys live; timers arm at lastTs + 100 s
+        mem.addData((1L, ts("2026-01-01 10:00:00"), 1.00),
+                    (2L, ts("2026-01-01 10:00:05"), 2.00))
+        q.processAllAvailable()
+        // batch 2: watermark (5 s) still below key 1's timer — no expiry
+        mem.addData((2L, ts("2026-01-01 10:05:00"), 3.00))
+        q.processAllAvailable()
+        // batch 3: watermark is now 10:05:00, past key 1's 10:01:40
+        // timer → key 1 expires MID-STREAM with its final aggregate;
+        // key 2 keeps accumulating (its timer re-armed each batch)
+        mem.addData((2L, ts("2026-01-01 10:06:40"), 4.00))
+        q.processAllAvailable()
+        // batch 4: key 1 RETURNS after expiry → state re-opened fresh
+        mem.addData((1L, ts("2026-01-01 10:07:30"), 9.00))
+        q.processAllAvailable()
+        val rows = spark.table("graft_ttl_spec")
+          .as[(Long, String, Long, Long)].collect().toSet
+        assert(rows.contains((1L, "exp", 1L, 100L))) // mid-stream expiry
+        assert(rows.contains((1L, "upd", 1L, 900L))) // fresh state, not n=2
+        assert(!rows.exists(r => r._1 == 1L && r._2 == "upd" && r._3 == 2L))
+        assert(rows.contains((2L, "upd", 3L, 900L))) // survivor accumulates
+        assert(!rows.contains((2L, "exp", 3L, 900L))) // never idle past TTL
+      } finally q.stop()
+    } finally prev match {
+      case Some(p) => spark.conf.set("spark.sql.streaming.stateStore.providerClass", p)
+      case None => spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
+    }
+  }
+
   test("checkpoint restart resumes exactly-once: no replays, no gaps") {
     import spark.implicits._
     val dir = java.nio.file.Files.createTempDirectory("graft-restart").toString
