@@ -33,6 +33,16 @@ object SparkEntry {
     root.toString
   }
 
+  /** Fresh per-invocation scratch dir under [[gateTmp]] — for gates
+    * that need a unique path each replay (streaming checkpoints, write
+    * targets) but must not leave /tmp litter across bench reps. */
+  private def gateScratch(tag: String): String = {
+    val p = java.nio.file.Paths.get(gateTmp,
+      tag + "-" + java.util.UUID.randomUUID().toString.replace("-", ""))
+    java.nio.file.Files.createDirectories(p)
+    p.toString
+  }
+
   /** events.parquet carries TIMESTAMP(NANOS), which Spark 4 rejects by
     * default; read nanos as long and floor-divide to microseconds — the
     * same truncation DuckDB applies (its timestamps are µs-precision). */
@@ -221,7 +231,7 @@ object SparkEntry {
     // .main (arg parsing, source load, compare, diff + _METRICS sink,
     // exit-by-exception) → read the written diff back as the gate -------
     "q46_cli_job" -> ((s, dir) => {
-      val tmp = java.nio.file.Files.createTempDirectory("graft-cli").toString
+      val tmp = gateScratch("cli")
       val o = t(s, dir, "orders").select("o_orderkey", "o_orderstatus", "o_totalprice")
       o.write.parquet(s"$tmp/ref")
       o.filter(col("o_orderkey") % 53 =!= 0)
@@ -527,7 +537,7 @@ object SparkEntry {
     // read back with a partition filter (pruned scan — the 100 TB table
     // organization primitive) ------------------------------------------
     "q27_partitioned_scan" -> ((s, dir) => {
-      val p = java.nio.file.Files.createTempDirectory("graft-parts").toString
+      val p = gateScratch("parts")
       events(s, dir).write.mode("overwrite").partitionBy("event_type").parquet(p)
       s.read.parquet(p)
         .filter(col("event_type") === "purchase")
@@ -631,7 +641,7 @@ object SparkEntry {
     // ---- schema-evolution read: two parquet generations (a column
     // added), merged into one schema with nulls for the old files ------
     "q32_merge_schema" -> ((s, dir) => {
-      val p = java.nio.file.Files.createTempDirectory("graft-evolve").toString
+      val p = gateScratch("evolve")
       val n = t(s, dir, "nation")
       n.select("n_nationkey", "n_name").write.parquet(s"$p/v1")
       n.select("n_nationkey", "n_name", "n_regionkey").write.parquet(s"$p/v2")
@@ -1293,7 +1303,7 @@ object SparkEntry {
     "s7_stream_sink" -> ((s, dir) => {
       s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
       val schema = s.read.parquet(s"$dir/events.parquet").schema
-      val out = java.nio.file.Files.createTempDirectory("graft-s7").toString
+      val out = gateScratch("s7")
       val stream = s.readStream.schema(schema)
         .option("pathGlobFilter", "events.parquet").parquet(dir)
         .filter(col("event_type") === "purchase")
@@ -1790,7 +1800,7 @@ object SparkEntry {
     // is batch-boundary-independent and equals the batch aggregate ------
     "s8_stream_upsert" -> ((s, dir) => {
       s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-      val tmp = java.nio.file.Files.createTempDirectory("graft-s8").toString
+      val tmp = gateScratch("s8")
       val purchases = s.read.parquet(s"$dir/events.parquet")
         .filter(col("event_type") === "purchase")
         .select("user_id", "value")
@@ -1829,7 +1839,7 @@ object SparkEntry {
     // batched decode; the production multimodal ingestion path ----------
     "m6_binary_ingest" -> ((s, dir) => {
       import s.implicits._
-      val tmp = java.nio.file.Files.createTempDirectory("graft-m6")
+      val tmp = java.nio.file.Paths.get(gateScratch("m6"))
       // ids derive from the documents table (not a hard-coded range) so
       // gate and oracle agree at EVERY scale factor
       t(s, dir, "documents").select("doc_id")
@@ -1892,7 +1902,7 @@ object SparkEntry {
     // compact to ceil(rows/20k) range-partitioned files, verify content
     // and file count against the source-table oracle --------------------
     "q62_compaction" -> ((s, dir) => {
-      val tmp = java.nio.file.Files.createTempDirectory("graft-q62").toString
+      val tmp = gateScratch("q62")
       events(s, dir).select(col("event_id"), col("event_type"), col("value"))
         .repartition(40).write.parquet(s"$tmp/frag")
       val nFiles = ops.Layout.compact(s, s"$tmp/frag", s"$tmp/compact",
@@ -1928,7 +1938,7 @@ object SparkEntry {
     "s9_stream_twstate" -> ((s, dir) => {
       import s.implicits._
       s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-      val tmp = java.nio.file.Files.createTempDirectory("graft-s9").toString
+      val tmp = gateScratch("s9")
       val purchases = s.read.parquet(s"$dir/events.parquet")
         .filter(col("event_type") === "purchase")
         .select("user_id", "value", "event_id")
@@ -1999,8 +2009,7 @@ object SparkEntry {
     // timer batch keeps emissions deterministic -------------------------
     "s11_stream_ttl_expiry" -> ((s, dir) => {
       import s.implicits._
-      val tmp = s"$gateTmp/s11-" +
-        java.util.UUID.randomUUID().toString.replace("-", "")
+      val tmp = gateScratch("s11")
       val purchases = events(s, dir)
         .filter(col("event_type") === "purchase")
         .select("user_id", "ts", "value")
@@ -2067,7 +2076,7 @@ object SparkEntry {
     // back, aggregate — checked against the parquet-derived oracle ------
     "q58_orc_roundtrip" -> ((s, dir) => {
       implicit val sp: SparkSession = s
-      val tmp = java.nio.file.Files.createTempDirectory("graft-orc").toString
+      val tmp = gateScratch("orc")
       val params = io.SourceParams("orc", Some(s"$tmp/customer"))
       io.DataFrameIO.write(t(s, dir, "customer"), params)
       io.DataFrameIO.load(params)
