@@ -1579,6 +1579,22 @@ object SparkEntry {
         .orderBy("true_label", "pred_label")
     }),
 
+    // ---- incremental ANN index maintenance: build the IVF index over
+    // a base slice, then ABSORB the rest via addVectors (assignment to
+    // the frozen centroid panel, no refit, no touch of existing rows).
+    // Assignment is a pure function of (vector, centroids), so the
+    // result must EQUAL a batch rebuild — the oracle replays the
+    // full-corpus index, proving the equality end to end ----------------
+    "e14_ivf_incremental" -> ((s, dir) => {
+      val emb = t(s, dir, "embeddings")
+      // sf-agnostic split that keeps seed ids 0..7 in the base slice
+      val baseCond = col("vec_id") < 8 || col("vec_id") % 3 === 0
+      val idx = ops.Similarity.ivfIndexSeeded(
+        emb.filter(baseCond), "vec_id", "embedding", nlist = 8)
+        .addVectors(emb.filter(!baseCond), "vec_id", "embedding")
+      idx.knnJoin(k = 3, nprobe = 3).orderBy("id", "rank")
+    }),
+
     // ---- ANN quality evaluation: recall@5 of the IVF kNN join against
     // exact brute force over a 50-query panel — the measurement every
     // ANN deployment ships with ------------------------------------------
@@ -3623,6 +3639,13 @@ object SparkEntry {
 
     "e7_knn_join" ->
       s"""WITH ${OracleSql.ivfKnnCtes(nlist = 8, nprobe = 2, k = 5)}
+         |SELECT id, rank, nid, cos FROM knn
+         |ORDER BY id, rank""".stripMargin,
+
+    // the batch-rebuild replay IS the oracle: incremental add must
+    // produce the identical index, so the full-corpus CTEs apply
+    "e14_ivf_incremental" ->
+      s"""WITH ${OracleSql.ivfKnnCtes(nlist = 8, nprobe = 3, k = 3)}
          |SELECT id, rank, nid, cos FROM knn
          |ORDER BY id, rank""".stripMargin,
 

@@ -117,11 +117,21 @@ object Similarity {
       s"${cents.length} such row(s) exist — re-key ids densely from 0 " +
       "(row_number() - 1 over a deterministic order) or lower nlist")
 
-    // cosine(v, c_j) = dot(v, c_j) / (‖v‖·‖c_j‖) with ‖v‖ computed ONCE
-    // per row and ‖c_j‖ folded to a Scala constant: bit-identical to the
-    // full cosine expression (same fold order, same multiply order) but
-    // an 8-centroid score list embeds each 64-literal array once instead
-    // of three times — codegen stays small enough to compile fast.
+    IvfIndex(assignToCentroids(df, idCol, vecCol, cents), cents)
+  }
+
+  /** Argmax-cosine assignment of (id, vec) rows to a FIXED centroid
+    * panel — the shared kernel of [[ivfIndexSeeded]] and
+    * [[IvfIndex.addVectors]].
+    *
+    * cosine(v, c_j) = dot(v, c_j) / (‖v‖·‖c_j‖) with ‖v‖ computed ONCE
+    * per row and ‖c_j‖ folded to a Scala constant: bit-identical to the
+    * full cosine expression (same fold order, same multiply order) but
+    * an 8-centroid score list embeds each 64-literal array once instead
+    * of three times — codegen stays small enough to compile fast. */
+  private def assignToCentroids(df: DataFrame, idCol: String, vecCol: String,
+      cents: Array[Array[Double]]): DataFrame = {
+    val v = col(vecCol).cast("array<double>")
     val withNorm = df
       .select(col(idCol).cast("long").as("id"), v.as("v"))
       .withColumn("vnorm", sqrt(dot(col("v"), col("v"))))
@@ -136,13 +146,27 @@ object Similarity {
     val cell = array_min(array(scored.zipWithIndex.map { case (cs, j) =>
       struct((-cs).as("ncs"), lit(j).as("cid"))
     }: _*)).getField("cid")
-    val assigned = withNorm
+    withNorm
       .select(col("id"), col("v"), col("vnorm"), cell.as("cell"))
       .repartition(col("cell"))
-    IvfIndex(assigned, cents)
   }
 
   case class IvfIndex(assigned: DataFrame, centroids: Array[Array[Double]]) {
+
+    /** Index maintenance for a GROWING corpus: assign a batch of new
+      * vectors to the existing centroid panel and union them in — no
+      * refit, no touch of already-assigned rows. Because assignment is
+      * a pure function of (vector, centroids), the updated index is
+      * EXACTLY the index a batch rebuild over old ∪ new would produce
+      * (spec + gate e14 prove equality) — so a 100 TB deployment can
+      * absorb daily vector batches with one assignment projection +
+      * one cell-partitioned append instead of an O(corpus) rebuild.
+      * Cell skew is the caveat at scale (new data drifting from the
+      * frozen centroids concentrates in few cells); re-seed when the
+      * audit says so. */
+    def addVectors(df: DataFrame, idCol: String, vecCol: String): IvfIndex =
+      IvfIndex(assigned.unionAll(
+        Similarity.assignToCentroids(df, idCol, vecCol, centroids)), centroids)
 
     /** Top-k by cosine among the `nprobe` nearest cells to the query. */
     def search(queryVec: Array[Double], k: Int, nprobe: Int): DataFrame = {

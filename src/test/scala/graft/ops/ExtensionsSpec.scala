@@ -497,6 +497,30 @@ class SimilaritySpec extends AnyFunSuite with SparkTestBase {
     assert(one == want)
   }
 
+  test("addVectors equals a batch rebuild: incremental index == full index") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(23)
+    val rows = (0 until 200).map { i =>
+      val c = i % 3
+      val base = Array.tabulate(8)(d => if (d == c) 10.0 else 0.0)
+      (i.toLong, base.map(x => (x + rnd.nextGaussian() * 0.1).toFloat))
+    }
+    val df = rows.toDF("id", "vec")
+    val baseSlice = df.filter(col("id") < 8 || col("id") % 3 === 0)
+    val addSlice = df.filter(!(col("id") < 8 || col("id") % 3 === 0))
+    val incr = Similarity.ivfIndexSeeded(baseSlice, "id", "vec", nlist = 3)
+      .addVectors(addSlice, "id", "vec")
+    val full = Similarity.ivfIndexSeeded(df, "id", "vec", nlist = 3)
+    // identical centroids, identical assignment, identical kNN output
+    assert(incr.centroids.map(_.toSeq).toSeq == full.centroids.map(_.toSeq).toSeq)
+    def cells(ix: Similarity.IvfIndex) = ix.assigned.select("id", "cell")
+      .collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
+    assert(cells(incr) == cells(full))
+    def knn(ix: Similarity.IvfIndex) = ix.knnJoin(k = 3, nprobe = 2)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(knn(incr) == knn(full))
+  }
+
   test("non-dense ids fail fast with the re-key remedy on both seeded entry points") {
     import spark.implicits._
     // 1-based ids: id 0 is missing, so id-seeding cannot find nlist seeds
