@@ -2015,6 +2015,38 @@ object SparkEntry {
         .orderBy("doc_id")
     }),
 
+    // ---- stream-stream LEFT OUTER interval join: matched pairs emit
+    // like s3's inner join; an UNMATCHED purchase emits null-padded
+    // only once the global watermark (min across both inputs, 2h
+    // delay) passes its match-window upper bound and its buffered
+    // state is evicted — the semantics that make outer stream joins
+    // watermark-bounded instead of infinitely-buffered. Purchases
+    // still inside the final watermark horizon stay unemitted (state
+    // the stream would keep), which the oracle mirrors exactly --------
+    "s12_stream_outer_join" -> ((s, dir) => {
+      s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+      val schema = s.read.parquet(s"$dir/events.parquet").schema
+      def stream() = s.readStream.schema(schema)
+        .option("pathGlobFilter", "events.parquet").parquet(dir)
+        .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+      val purchases = stream()
+        .filter(col("event_type") === "purchase" && col("user_id") % 7 === 1)
+        .select(col("user_id"), col("event_id").as("p_id"), col("ts").as("p_ts"))
+        .withWatermark("p_ts", "2 hours")
+      val views = stream()
+        .filter(col("event_type") === "view" && col("user_id") % 7 === 1)
+        .select(col("user_id").as("v_user"), col("event_id").as("v_id"),
+          col("ts").as("v_ts"))
+        .withWatermark("v_ts", "2 hours")
+      val joined = purchases.join(views,
+        col("user_id") === col("v_user") &&
+          col("v_ts") >= col("p_ts") - expr("INTERVAL 1 HOUR") &&
+          col("v_ts") <= col("p_ts") + expr("INTERVAL 1 HOUR"),
+        "left_outer")
+      streamToTable(s, joined.select("user_id", "p_id", "v_id"), "s12", "append")
+        .orderBy("user_id", "p_id", "v_id")
+    }),
+
     // ---- state API v2 TTL expiry: event-time timers drop idle keys
     // from the RocksDB store. Each user's purchase aggregate re-arms an
     // idle timer at lastTs + 2 days; once the watermark (max event time,
@@ -2784,6 +2816,37 @@ object SparkEntry {
         | AND v.ts >= p.ts - INTERVAL 1 HOUR
         | AND v.ts <= p.ts + INTERVAL 1 HOUR
         |ORDER BY p.user_id, p_id, v_id""".stripMargin,
+
+    // matched rows = the plain interval join; null-padded rows = the
+    // watermark-evicted unmatched purchases. Watermark arithmetic in
+    // BIGINT epoch-ms exactly as Spark computes it: per-stream max
+    // event time floors to ms, global watermark = min of both − 2 h;
+    // a purchase evicts once its match-window upper bound (p_ts + 1 h)
+    // sits strictly below the watermark
+    "s12_stream_outer_join" ->
+      """WITH e AS (SELECT user_id, event_id, event_type,
+        |                  CAST(ts AS TIMESTAMP) AS ts
+        |           FROM events WHERE user_id % 7 = 1),
+        |p AS (SELECT user_id, event_id AS p_id, ts AS p_ts FROM e
+        |      WHERE event_type = 'purchase'),
+        |v AS (SELECT user_id AS v_user, event_id AS v_id, ts AS v_ts FROM e
+        |      WHERE event_type = 'view'),
+        |wm AS (SELECT least((SELECT epoch_ms(MAX(p_ts)) FROM p),
+        |                    (SELECT epoch_ms(MAX(v_ts)) FROM v))
+        |              - 7200000 AS w_ms),
+        |matched AS (
+        |  SELECT p.user_id, p.p_id, v.v_id
+        |  FROM p JOIN v ON p.user_id = v.v_user
+        |   AND v.v_ts >= p.p_ts - INTERVAL 1 HOUR
+        |   AND v.v_ts <= p.p_ts + INTERVAL 1 HOUR),
+        |evicted_null AS (
+        |  SELECT p.user_id, p.p_id, NULL::BIGINT AS v_id
+        |  FROM p, wm
+        |  WHERE NOT EXISTS (SELECT 1 FROM matched m WHERE m.p_id = p.p_id)
+        |    AND epoch_ms(p.p_ts) + 3600000 < wm.w_ms)
+        |SELECT user_id, p_id, v_id FROM matched
+        |UNION ALL SELECT user_id, p_id, v_id FROM evicted_null
+        |ORDER BY user_id, p_id, v_id""".stripMargin,
 
     "s1_stream_window" ->
       """SELECT date_trunc('hour', ts) AS hour, event_type, COUNT(*) AS n,
