@@ -2220,6 +2220,36 @@ object SparkEntry {
         .orderBy("l_returnflag")
     }),
 
+    // ---- corrupt-record quarantine (PERMISSIVE ingest): a JSONL dump
+    // with a deterministic 1-in-10 corruption pattern reads back
+    // through the schema'd json source with a _corrupt_record side
+    // channel — bad rows quarantine with their raw text instead of
+    // failing the scan or silently dropping, the production ingest
+    // pattern for untrusted feeds. Good rows aggregate normally -------
+    "q68_corrupt_quarantine" -> ((s, dir) => {
+      implicit val sp: SparkSession = s
+      val lines = t(s, dir, "orders").select(
+        when(col("o_orderkey") % 10 === 7,
+          concat(lit("{\"k\":"), col("o_orderkey").cast("string"), lit(" BROKEN")))
+          .otherwise(concat(lit("{\"k\":"), col("o_orderkey").cast("string"),
+            lit(",\"v\":"), (col("o_orderkey") * 3).cast("string"), lit("}")))
+          .as("value"))
+      val written = io.DataFrameIO.write(lines,
+        io.SourceParams("text", Some(s"$gateTmp/quarantine-jsonl")))
+      val parsed = s.read
+        .schema("k long, v long, _corrupt_record string")
+        .option("mode", "PERMISSIVE")
+        .option("columnNameOfCorruptRecord", "_corrupt_record")
+        .json(written)
+      parsed.select(col("_corrupt_record").isNotNull.as("quarantined"),
+          col("k"), col("v"))
+        .groupBy("quarantined")
+        .agg(count(lit(1)).as("n"),
+          sum(col("k")).as("sum_k"),
+          sum(col("v")).as("sum_v"))
+        .orderBy("quarantined")
+    }),
+
     // ---- jdbc round-trip through the generic reader/writer (S7):
     // Spark's distro bundles Derby, so an embedded in-memory database
     // exercises the real jdbc save()/load() branches (reference
@@ -4125,6 +4155,17 @@ object SparkEntry {
         |  CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty
         |FROM lineitem WHERE l_orderkey % 50 = 0
         |GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
+
+    // corrupt rows parse to all-null fields (their SUM is NULL in both
+    // engines); the quarantine split and good-row sums recompute
+    // directly from the generating pattern
+    "q68_corrupt_quarantine" ->
+      """SELECT (o_orderkey % 10 = 7) AS quarantined, COUNT(*) AS n,
+        |  CAST(SUM(CASE WHEN o_orderkey % 10 <> 7 THEN o_orderkey END)
+        |       AS BIGINT) AS sum_k,
+        |  CAST(SUM(CASE WHEN o_orderkey % 10 <> 7 THEN o_orderkey * 3 END)
+        |       AS BIGINT) AS sum_v
+        |FROM orders GROUP BY 1 ORDER BY 1""".stripMargin,
 
     "q67_fixedwidth_roundtrip" ->
       """SELECT l_returnflag, COUNT(*) AS n_items,
