@@ -1192,6 +1192,19 @@ object SparkEntry {
         .orderBy("block", "id1", "id2")
     }),
 
+    // ---- coarse-to-fine rerank ANN: prefix-dimension dot scores every
+    // corpus vector per panel query (16 of 64 dims = 4× cheaper), a
+    // bounded heap keeps 20 candidates per query, full-dim cosine
+    // reranks only those — the Matryoshka two-stage retrieval shape ----
+    "e15_rerank_topk" -> ((s, dir) => {
+      val emb = t(s, dir, "embeddings")
+      val panel = emb.filter(col("vec_id") < 5)
+      ops.Similarity.rerankTopK(emb, "vec_id", "embedding",
+          panel, "vec_id", "embedding",
+          prefixDim = 16, candidates = 20, k = 5)
+        .orderBy("qid", "rank")
+    }),
+
     // ---- winnowing fingerprints (Schleimer et al., SIGMOD'03): minima
     // of a sliding window over positional shingle hashes — guarantees a
     // shared fingerprint for any shared run of k+w-1 tokens. One codegen'd
@@ -1767,6 +1780,22 @@ object SparkEntry {
         .orderBy("node")
     }),
 
+    // ---- single-source shortest paths: synchronous Bellman–Ford
+    // rounds over the supplier–part bipartite graph, integer weights
+    // derived from quantities; fixed rounds = exactly what the
+    // recursive-CTE oracle replays ---------------------------------------
+    "g3_shortest_paths" -> ((s, dir) => {
+      val li = t(s, dir, "lineitem")
+      val w = (col("l_quantity").cast("long") % 7 + 1).as("w")
+      val edges = li.select(col("l_suppkey").cast("long").as("src"),
+          (col("l_partkey").cast("long") + 1000000L).as("dst"), w)
+        .unionAll(li.select((col("l_partkey").cast("long") + 1000000L).as("src"),
+          col("l_suppkey").cast("long").as("dst"), w))
+      ops.Graph.shortestPaths(edges, "src", "dst", "w",
+          sourceId = 1L, iterations = 6)
+        .orderBy("node")
+    }),
+
     // ---- gaps-and-islands over a sparse key subset: distributed via
     // per-range fragments + connected-components merge (the oracle uses
     // the single-sort window formulation — same result) -----------------
@@ -1929,6 +1958,25 @@ object SparkEntry {
           sum(col("value").cast("decimal(18,6)")).cast("double").as("total"))
         .withColumn("n_files", lit(nFiles))
         .orderBy("event_type")
+    }),
+
+    // ---- file-level data skipping: per-file min/max manifest over a
+    // range-compacted layout, range read prunes non-overlapping files
+    // BEFORE the scan; residual filter keeps the result exactly equal
+    // to the full-scan filter the oracle runs ---------------------------
+    "q69_data_skipping" -> ((s, dir) => {
+      val tmp = gateScratch("q69")
+      t(s, dir, "lineitem").select("l_orderkey", "l_returnflag", "l_quantity")
+        .write.parquet(s"$tmp/raw")
+      ops.Layout.compact(s, s"$tmp/raw", s"$tmp/sorted",
+        "l_orderkey", targetRowsPerFile = 2000L)
+      val manifest = ops.Layout.statsManifest(s, s"$tmp/sorted", Seq("l_orderkey"))
+      ops.Layout.prunedRead(s, s"$tmp/sorted", manifest, "l_orderkey",
+          lit(1000L), lit(3000L))
+        .groupBy("l_returnflag")
+        .agg(count(lit(1)).as("n_items"),
+          sum(col("l_quantity").cast("decimal(18,2)")).cast("double").as("sum_qty"))
+        .orderBy("l_returnflag")
     }),
 
     // ---- time-series resample + LOCF: hourly grid per user, forward-
@@ -3384,6 +3432,31 @@ object SparkEntry {
          |ORDER BY block, id1, id2""".stripMargin
     },
 
+    "e15_rerank_topk" -> {
+      val coarse = OracleSql.dot("(v.v)[1:16]", "(q.qv)[1:16]")
+      val cos = OracleSql.cosine("v.v", "q.qv")
+      s"""WITH v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+         |q AS (SELECT vec_id AS qid, CAST(embedding AS DOUBLE[]) AS qv
+         |      FROM embeddings WHERE vec_id < 5),
+         |coarse AS (
+         |  SELECT q.qid, v.vec_id AS id, $coarse AS score FROM v, q),
+         |cand AS (
+         |  SELECT qid, id FROM (
+         |    SELECT qid, id, ROW_NUMBER() OVER (PARTITION BY qid
+         |                      ORDER BY score DESC, id DESC) AS rk
+         |    FROM coarse) WHERE rk <= 20),
+         |fine AS (
+         |  SELECT c.qid, c.id, $cos AS cos
+         |  FROM cand c
+         |  JOIN (SELECT vec_id, v FROM v) v ON v.vec_id = c.id
+         |  JOIN q ON q.qid = c.qid)
+         |SELECT qid, CAST(rk AS BIGINT) AS rank, cos, id FROM (
+         |  SELECT qid, id, cos, ROW_NUMBER() OVER (PARTITION BY qid
+         |                        ORDER BY cos DESC, id DESC) AS rk
+         |  FROM fine) WHERE rk <= 5
+         |ORDER BY qid, rank""".stripMargin
+    },
+
     "d18_winnow" ->
       s"""SELECT doc_id, fp FROM (
          |${OracleSql.winnow(
@@ -4081,6 +4154,31 @@ object SparkEntry {
         |FROM w JOIN o ON w.v1 = o.u AND w.v2 = o.v
         |GROUP BY 1 ORDER BY node""".stripMargin,
 
+    "g3_shortest_paths" ->
+      """WITH RECURSIVE
+        |raw AS (
+        |  SELECT CAST(l_suppkey AS BIGINT) AS src,
+        |         1000000 + CAST(l_partkey AS BIGINT) AS dst,
+        |         CAST(l_quantity AS BIGINT) % 7 + 1 AS w
+        |  FROM lineitem
+        |  UNION ALL
+        |  SELECT 1000000 + CAST(l_partkey AS BIGINT),
+        |         CAST(l_suppkey AS BIGINT),
+        |         CAST(l_quantity AS BIGINT) % 7 + 1
+        |  FROM lineitem),
+        |e AS (SELECT src, dst, MIN(w) AS w FROM raw GROUP BY src, dst),
+        |nodes AS (SELECT src AS n FROM e UNION SELECT dst FROM e),
+        |e2 AS (SELECT * FROM e
+        |       UNION ALL SELECT n, n, CAST(0 AS BIGINT) FROM nodes),
+        |d(iter, node, dist) AS (
+        |  SELECT 0, CAST(1 AS BIGINT), CAST(0 AS BIGINT)
+        |  UNION ALL
+        |  SELECT d.iter + 1, e2.dst, MIN(d.dist + e2.w)
+        |  FROM d JOIN e2 ON d.node = e2.src
+        |  WHERE d.iter < 6
+        |  GROUP BY d.iter, e2.dst)
+        |SELECT node, dist FROM d WHERE iter = 6 ORDER BY node""".stripMargin,
+
     "q56_islands" ->
       """WITH k AS (
         |  SELECT DISTINCT CAST(o_orderkey AS BIGINT) AS k
@@ -4317,6 +4415,12 @@ object SparkEntry {
         |  CAST(CAST(SUM(CAST(value AS DECIMAL(18,6))) AS VARCHAR) AS DOUBLE) AS total,
         |  (SELECT CAST((total + 19999) // 20000 AS INT) FROM t) AS n_files
         |FROM e GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    "q69_data_skipping" ->
+      """SELECT l_returnflag, COUNT(*) AS n_items,
+        |  CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty
+        |FROM lineitem WHERE l_orderkey BETWEEN 1000 AND 3000
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
 
     "q61_resample_locf" ->
       """WITH ev AS (

@@ -106,6 +106,92 @@ object Graph {
     rank
   }
 
+  /** Single-source shortest paths by synchronous Bellman–Ford rounds
+    * in INTEGER weights — the distributed `WITH RECURSIVE` shortest
+    * path.
+    *
+    * Each round relaxes every edge once: dist_{i+1}(v) = min over
+    * incoming edges (u,v,w) of dist_i(u) + w. A weight-0 self-loop is
+    * added per node so the carry-forward term (`min` with the previous
+    * round's own distance) rides the SAME join–aggregate as the
+    * relaxation — the distance table is referenced exactly ONCE per
+    * round, keeping lineage linear in `iterations` (no exponential
+    * plan growth, no per-round checkpoint barrier). With
+    * `iterations >=` the graph's hop diameter the result is the exact
+    * SSSP; below it, it is exactly round-`iterations` Bellman–Ford,
+    * which the g3 oracle replays verbatim (recursive CTE with the same
+    * self-loop trick), so the gate holds at ANY round count.
+    *
+    * Scale posture: the deduped min-weight edge list (+self-loops) is
+    * built once (one shuffle) and reused every round; each round is one
+    * equi-join edge⋈dist plus one min-reduce on dst — shuffle-parallel,
+    * driver state = loop counter and (optionally) one convergence
+    * scalar. Integer sums/mins are associative, so the result is
+    * bit-identical under any partitioning. Unreached nodes are simply
+    * absent (no +inf sentinel on the wire).
+    *
+    * @param probeEvery if > 0, every `probeEvery` rounds run a
+    *   one-row (count, sum) probe over the distance table and stop
+    *   early when it is unchanged — sound because a Bellman–Ford
+    *   fixed point can only stay fixed, so the early answer equals the
+    *   full-`iterations` answer. 0 disables the probe (gate mode:
+    *   fixed rounds, zero extra actions).
+    * @return (node, dist) for every node reachable in <= iterations hops
+    */
+  def shortestPaths(
+      edges: DataFrame,
+      srcCol: String,
+      dstCol: String,
+      weightCol: String,
+      sourceId: Long,
+      iterations: Int,
+      probeEvery: Int = 0): DataFrame = {
+    require(iterations >= 0, s"iterations must be >= 0, got $iterations")
+
+    // parallel edges keep the cheapest weight. Negative weights are
+    // fine for fixed-round semantics (it's round-bounded Bellman–Ford
+    // either way) but the early-stop probe assumes a monotone
+    // relaxation — pass probeEvery = 0 if weights can be negative
+    val raw = edges.select(
+      col(srcCol).cast("long").as("src"),
+      col(dstCol).cast("long").as("dst"),
+      col(weightCol).cast("long").as("w"))
+    val e = raw.groupBy("src", "dst").agg(min("w").as("w"))
+    val nodes = raw.select(col("src").as("n"))
+      .union(raw.select(col("dst").as("n")))
+      .distinct()
+    val e2 = e
+      .unionAll(nodes.select(col("n").as("src"), col("n").as("dst"),
+        lit(0L).as("w")))
+      .localCheckpoint(eager = false) // reused by every round's join
+
+    var dist = e2.sparkSession.range(1)
+      .select(lit(sourceId).as("node"), lit(0L).as("dist"))
+    var lastProbe: Option[(Long, java.math.BigDecimal)] = None
+    var converged = false
+    var i = 1
+    while (i <= iterations && !converged) {
+      dist = e2
+        .join(dist.select(col("node").as("src"), col("dist")), Seq("src"))
+        .groupBy(col("dst").as("node"))
+        .agg(min(col("dist") + col("w")).as("dist"))
+      if (probeEvery > 0 && i % probeEvery == 0 && i < iterations) {
+        // materialize the round so the probe isn't thrown away, then
+        // compare a (count, exact decimal sum) fingerprint — distances
+        // only ever decrease or appear, so an unchanged fingerprint
+        // means a fixed point
+        dist = dist.localCheckpoint(eager = true)
+        val row = dist.agg(count(lit(1)), sum(col("dist").cast("decimal(38,0)")))
+          .head()
+        val probe = (row.getLong(0), row.getDecimal(1).stripTrailingZeros)
+        if (lastProbe.contains(probe)) converged = true
+        lastProbe = Some(probe)
+      }
+      i += 1
+    }
+    dist
+  }
+
   /** Triangle counting with degree orientation — the standard trick
     * that makes distributed triangle enumeration feasible (Suri &
     * Vassilvitskii, WWW'11 "Counting Triangles and the Curse of the

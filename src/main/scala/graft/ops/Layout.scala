@@ -71,4 +71,56 @@ object Layout {
     fs.listStatus(new org.apache.hadoop.fs.Path(outDir))
       .count(_.getPath.getName.endsWith(".parquet"))
   }
+
+  /** Per-file column min/max statistics — the data-skipping manifest.
+    *
+    * One distributed pass groups the table by the hidden
+    * `_metadata.file_path` column and folds min/max per requested
+    * column plus a row count. The result is the same metadata a lake
+    * table format (Delta/Iceberg/Hudi stats) keeps per data file; here
+    * it is first-class data, so it can be persisted, merged
+    * incrementally (min/max/count are associative), and joined against
+    * predicates. On a 100 TB table the manifest is O(#files) rows —
+    * planner-scale, not data-scale.
+    *
+    * Built over layouts from [[compact]] / [[zorderLayout]], the
+    * per-file ranges are tight and non-overlapping, which is what makes
+    * [[prunedRead]] selective.
+    */
+  def statsManifest(spark: org.apache.spark.sql.SparkSession, dir: String,
+      cols: Seq[String]): DataFrame = {
+    require(cols.nonEmpty, "need at least one stats column")
+    val aggs = count(lit(1)).as("n_rows") +:
+      cols.flatMap(c => Seq(min(col(c)).as(s"min_$c"), max(col(c)).as(s"max_$c")))
+    spark.read.parquet(dir)
+      .groupBy(col("_metadata.file_path").as("file"))
+      .agg(aggs.head, aggs.tail: _*)
+  }
+
+  /** Range read that SKIPS files whose `[min, max]` interval from the
+    * manifest cannot contain a match, then applies the residual filter
+    * to the survivors.
+    *
+    * Parquet already prunes row groups from footer stats, but it must
+    * still list, open, and read the footer of EVERY file; at 100 TB
+    * (millions of files) the manifest probe removes non-matching files
+    * from the scan's file list before any of that I/O happens — the
+    * file-skipping half of a lake-format reader, without the format.
+    * The manifest filter collects only the surviving file PATHS
+    * (O(#files) planner metadata, never data rows). Correctness does
+    * not depend on the layout: overlapping or stale-but-superset
+    * manifests only cost extra files, and the residual filter keeps the
+    * result exact — equal to a full scan with the same predicate, which
+    * is exactly what the q69 oracle checks.
+    */
+  def prunedRead(spark: org.apache.spark.sql.SparkSession, dir: String,
+      manifest: DataFrame, colName: String, lo: Column, hi: Column): DataFrame = {
+    val keep = manifest
+      .filter(col(s"max_$colName") >= lo && col(s"min_$colName") <= hi)
+      .select("file").collect().map(_.getString(0))
+    val base =
+      if (keep.isEmpty) spark.read.parquet(dir).limit(0)
+      else spark.read.parquet(keep.toIndexedSeq: _*)
+    base.filter(col(colName) >= lo && col(colName) <= hi)
+  }
 }

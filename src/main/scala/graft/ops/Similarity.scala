@@ -51,6 +51,61 @@ object Similarity {
       .limit(k)
   }
 
+  /** Two-stage coarse-to-fine ANN over a query panel: score every
+    * corpus vector against every query on a PREFIX of the embedding
+    * (the Matryoshka / truncated-dimension trick — prefixDim ≪ dim, so
+    * the coarse pass costs dim/prefixDim× less than exact), keep the
+    * top `candidates` per query in a bounded heap, then rerank ONLY
+    * those survivors with the full-dimension cosine.
+    *
+    * Scale posture: the panel broadcasts (no corpus shuffle); the
+    * coarse stage's shuffle carries (qid, id, score) triples already
+    * capped at `candidates` per query PER TASK by the map-side partial
+    * heap — never the vectors, never n·|panel| rows. The fine stage
+    * broadcasts the tiny candidate list back against the corpus (one
+    * broadcast hash join probes corpus by id, ≤ |panel|·candidates
+    * rows survive), so full-width vectors are only read where they are
+    * reranked. Deterministic: ties break toward the larger id on both
+    * stages, which the e15 oracle replays with `ORDER BY score DESC,
+    * id DESC` row_number windows.
+    *
+    * Recall caveat (by design, same as any truncated first pass): a
+    * true top-k member ranked below `candidates` on the prefix is
+    * lost; widen `candidates` or `prefixDim` to trade cost for recall.
+    *
+    * @return (qid, rank, cos, id) — rank 1..k per query by full cosine
+    */
+  def rerankTopK(
+      corpus: DataFrame,
+      idCol: String,
+      vecCol: String,
+      queries: DataFrame,
+      qidCol: String,
+      qvecCol: String,
+      prefixDim: Int,
+      candidates: Int,
+      k: Int): DataFrame = {
+    require(prefixDim > 0, s"prefixDim must be positive, got $prefixDim")
+    require(k > 0 && candidates >= k,
+      s"need k > 0 and candidates >= k, got k=$k candidates=$candidates")
+    val c = corpus.select(col(idCol).cast("long").as("id"),
+      col(vecCol).cast("array<double>").as("v"))
+    val q = queries.select(col(qidCol).cast("long").as("qid"),
+      col(qvecCol).cast("array<double>").as("qv"))
+    val coarse = c.crossJoin(broadcast(q))
+      .select(col("id"), col("qid"),
+        dot(slice(col("v"), 1, prefixDim), slice(col("qv"), 1, prefixDim))
+          .as("coarse"))
+    val cand = TopK.perGroup(coarse, Seq("qid"),
+        Seq(col("coarse"), col("id")), candidates)
+      .select(col("qid"), col("id"))
+    val fine = c.join(broadcast(cand), Seq("id"))
+      .join(broadcast(q), Seq("qid"))
+      .select(col("qid"), col("id"), cosine(col("v"), col("qv")).as("cos"))
+    TopK.perGroup(fine, Seq("qid"), Seq(col("cos"), col("id")), k)
+      .select(col("qid"), col("rank"), col("cos"), col("id"))
+  }
+
   /** IVF (inverted-file) approximate search: k-means the corpus into
     * `nlist` cells offline, search only the `nprobe` cells whose
     * centroids are closest to the query.

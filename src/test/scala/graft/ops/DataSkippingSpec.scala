@@ -1,0 +1,65 @@
+package graft.ops
+
+import graft.SparkTestBase
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Layout.statsManifest / prunedRead: the manifest carries exact
+  * per-file min/max, the pruned read SKIPS files whose range cannot
+  * match, and the surviving result is exactly the full-scan filter. */
+class DataSkippingSpec extends AnyFunSuite with SparkTestBase {
+
+  import spark.implicits._
+
+  private def freshDir(tag: String): String =
+    java.nio.file.Files.createTempDirectory(s"graft-layout-$tag").toString
+
+  private def sortedLayout(n: Long, rowsPerFile: Long): String = {
+    val raw = freshDir("raw")
+    val out = freshDir("sorted")
+    spark.range(n).select(col("id").as("k"), (col("id") % 7).as("v"))
+      .write.mode("overwrite").parquet(raw)
+    Layout.compact(spark, raw, out, "k", rowsPerFile)
+    out
+  }
+
+  test("manifest rows cover every file; min/max/count are exact") {
+    val dir = sortedLayout(1000, 250)
+    val m = Layout.statsManifest(spark, dir, Seq("k")).collect()
+    assert(m.map(_.getAs[Long]("n_rows")).sum === 1000L)
+    assert(m.map(_.getAs[Long]("min_k")).min === 0L)
+    assert(m.map(_.getAs[Long]("max_k")).max === 999L)
+    // range-compacted files have non-overlapping [min, max] intervals
+    val spans = m.map(r => (r.getAs[Long]("min_k"), r.getAs[Long]("max_k")))
+      .sortBy(_._1)
+    spans.sliding(2).foreach {
+      case Array((_, hi1), (lo2, _)) => assert(hi1 < lo2)
+      case _                         =>
+    }
+  }
+
+  test("pruned read equals the full-scan filter and skips files") {
+    val dir = sortedLayout(1000, 100)
+    val manifest = Layout.statsManifest(spark, dir, Seq("k"))
+    val nTotal = manifest.count()
+    val nKept = manifest
+      .filter(col("max_k") >= 120L && col("min_k") <= 180L).count()
+    assert(nKept < nTotal, s"expected pruning, kept $nKept of $nTotal files")
+    val pruned = Layout.prunedRead(spark, dir, manifest, "k",
+        lit(120L), lit(180L))
+      .select("k", "v").as[(Long, Long)].collect().sorted
+    val full = spark.read.parquet(dir)
+      .filter(col("k").between(120L, 180L))
+      .select("k", "v").as[(Long, Long)].collect().sorted
+    assert(pruned.toSeq === full.toSeq)
+  }
+
+  test("a range beyond the data returns empty with the data schema") {
+    val dir = sortedLayout(100, 50)
+    val manifest = Layout.statsManifest(spark, dir, Seq("k"))
+    val out = Layout.prunedRead(spark, dir, manifest, "k",
+      lit(5000L), lit(6000L))
+    assert(out.count() === 0L)
+    assert(out.columns.toSeq === Seq("k", "v"))
+  }
+}

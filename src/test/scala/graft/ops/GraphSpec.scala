@@ -87,4 +87,49 @@ class GraphSpec extends AnyFunSuite with SparkTestBase {
       .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
     assert(a === b)
   }
+
+  private def sssp(edges: Seq[(Long, Long, Long)], source: Long, iters: Int,
+      probeEvery: Int = 0): Map[Long, Long] =
+    Graph.shortestPaths(edges.toDF("src", "dst", "w"), "src", "dst", "w",
+        source, iters, probeEvery)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+
+  test("shortest paths pick the cheap detour over the direct edge") {
+    // 1→3 costs 10 direct, but 1→2→3 costs 2+3=5
+    val g = Seq((1L, 3L, 10L), (1L, 2L, 2L), (2L, 3L, 3L))
+    assert(sssp(g, 1L, 3) === Map(1L -> 0L, 2L -> 2L, 3L -> 5L))
+  }
+
+  test("parallel edges keep the cheapest weight") {
+    val g = Seq((1L, 2L, 9L), (1L, 2L, 4L), (1L, 2L, 7L))
+    assert(sssp(g, 1L, 1) === Map(1L -> 0L, 2L -> 4L))
+  }
+
+  test("unreachable nodes are absent, not infinite") {
+    val g = Seq((1L, 2L, 1L), (3L, 4L, 1L))
+    assert(sssp(g, 1L, 4) === Map(1L -> 0L, 2L -> 1L))
+  }
+
+  test("round-bounded: a path needing 3 hops is invisible at 2 rounds") {
+    val chain = Seq((1L, 2L, 1L), (2L, 3L, 1L), (3L, 4L, 1L))
+    assert(sssp(chain, 1L, 2) === Map(1L -> 0L, 2L -> 1L, 3L -> 2L))
+    assert(sssp(chain, 1L, 3)(4L) === 3L)
+  }
+
+  test("early-stop probe matches the fixed-round answer past convergence") {
+    val g = Seq((1L, 2L, 2L), (2L, 3L, 3L), (1L, 3L, 10L), (3L, 1L, 1L))
+    assert(sssp(g, 1L, 40, probeEvery = 2) === sssp(g, 1L, 6))
+  }
+
+  test("shortest paths are bit-identical under repartitioning") {
+    val edges = (0L until 300L)
+      .map(i => (i % 25, (i * 7 + 3) % 25, i % 5 + 1))
+      .filter(e => e._1 != e._2)
+    val a = sssp(edges, 0L, 8)
+    val b = Graph.shortestPaths(
+        edges.toDF("src", "dst", "w").repartition(8, col("dst")),
+        "src", "dst", "w", 0L, 8)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(a === b)
+  }
 }

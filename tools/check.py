@@ -23,6 +23,10 @@ def main():
         name = os.path.basename(p)[:-len(".parquet")]
         con.execute(f"CREATE VIEW {name} AS SELECT * FROM read_parquet('{p}')")
     oracle = json.load(open(os.path.join(out_dir, "oracle_sql.json")))
+    only = {s.strip() for s in os.environ.get("SPARK_GRAFT_ONLY", "").split(",")
+            if s.strip()}
+    if only:
+        oracle = {k: v for k, v in oracle.items() if k in only}
     n_pass = n_fail = 0
     for name, sql in sorted(oracle.items()):
         spark_path = os.path.join(out_dir, name)
