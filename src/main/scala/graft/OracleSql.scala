@@ -315,4 +315,55 @@ object OracleSql {
       .mkString("\n UNION ALL ")
     s"WITH ${ctes.mkString(",\n")}\n$union ORDER BY step"
   }
+
+  /** Incremental near-dup admission — mirrors `Dedup.nearDupFilter`
+    * over a static index of `corpusSql` stage for stage: intra-batch
+    * exact collapse, corpus-fingerprint anti-join, banding with the
+    * per-side bucket caps (index build caps corpus buckets, the filter
+    * caps batch buckets), bucket probe against the corpus bands, and
+    * shingle-hash-set Jaccard verification. */
+  def nearDupIncremental(corpusSql: String, batchSql: String, k: Int,
+      bands: Int, shingleSize: Int, tau: Double, maxBucket: Int): String = {
+    val r = k / bands
+    val sig = minhashSig("text", k, shingleSize)
+    val bandKeys = (0 until bands).map { b =>
+      s"md5(array_to_string(list_transform(sig[${b * r + 1}:${b * r + r}], x -> x::VARCHAR), '|'))"
+    }.mkString("[", ",\n   ", "]")
+    def banded(src: String) =
+      s"""SELECT doc_id, unnest($bandKeys) AS bucket,
+         |       unnest(range(0, $bands)) AS band
+         |FROM $src""".stripMargin
+    def capped(src: String) =
+      s"""SELECT * FROM (
+         |  SELECT *, COUNT(*) OVER (PARTITION BY band, bucket) AS bucket_sz
+         |  FROM $src) WHERE bucket_sz <= $maxBucket""".stripMargin
+    s"""WITH corpus AS ($corpusSql),
+       |batch AS ($batchSql),
+       |cfp AS (SELECT DISTINCT md5(${norm("text")}) AS fp FROM corpus),
+       |creps AS (
+       |  SELECT MIN(doc_id) AS doc_id, arg_min(text, doc_id) AS text
+       |  FROM corpus GROUP BY md5(${norm("text")})),
+       |csigs AS (SELECT doc_id, text, $sig AS sig FROM creps),
+       |cband AS (${banded("csigs")}),
+       |ccap AS (${capped("cband")}),
+       |bfresh AS (
+       |  SELECT * FROM (
+       |    SELECT MIN(doc_id) AS doc_id, arg_min(text, doc_id) AS text
+       |    FROM batch GROUP BY md5(${norm("text")}))
+       |  WHERE md5(${norm("text")}) NOT IN (SELECT fp FROM cfp)),
+       |bsigs AS (SELECT doc_id, text, $sig AS sig FROM bfresh),
+       |bband AS (${banded("bsigs")}),
+       |bcap AS (${capped("bband")}),
+       |cands AS (
+       |  SELECT DISTINCT b.doc_id AS bid, c.doc_id AS cid
+       |  FROM bcap b JOIN ccap c ON b.band = c.band AND b.bucket = c.bucket),
+       |dup AS (
+       |  SELECT DISTINCT cands.bid FROM cands
+       |  JOIN bfresh bb ON bb.doc_id = cands.bid
+       |  JOIN creps cc ON cc.doc_id = cands.cid
+       |  WHERE ${hashJaccard("bb.text", "cc.text", shingleSize)} >= $tau)
+       |SELECT doc_id, text FROM bfresh
+       |WHERE doc_id NOT IN (SELECT bid FROM dup)
+       |ORDER BY doc_id""".stripMargin
+  }
 }

@@ -935,6 +935,28 @@ object SparkEntry {
         .orderBy("fingerprint")
     }),
 
+    // ---- incremental NEAR-dup admission: a new batch probed against a
+    // static LSH index of the corpus (fingerprints + band buckets +
+    // shingle-hash sets — corpus text never moves). Suffix-perturbed
+    // near-dups and exact copies are rejected; reversed-text docs are
+    // genuinely fresh content and survive --------------------------------
+    "d43_neardup_incremental" -> ((s, dir) => {
+      val docs = t(s, dir, "documents").select("doc_id", "text")
+      val near = docs.filter(col("doc_id") % 10 === 3)
+        .select((col("doc_id") + 2000000).as("doc_id"),
+          concat(col("text"), lit(" zzz extra suffix")).as("text"))
+      val copies = docs.filter(col("doc_id") % 10 === 7)
+        .select((col("doc_id") + 3000000).as("doc_id"), col("text"))
+      val freshDocs = docs.filter(col("doc_id") % 10 === 5)
+        .select((col("doc_id") + 4000000).as("doc_id"),
+          reverse(col("text")).as("text"))
+      val idx = ops.Dedup.nearDupIndex(docs, "doc_id", "text",
+        k = 12, bands = 6, shingleSize = 3)
+      ops.Dedup.nearDupFilter(idx, near.unionAll(copies).unionAll(freshDocs),
+          "doc_id", "text", tau = 0.5)
+        .orderBy("doc_id")
+    }),
+
     // ---- model-based quality filtering: hashed bag-of-words linear
     // classifier (fastText-shaped corpus filter); deterministic integer
     // weights make the scores engine-exact ------------------------------
@@ -2722,6 +2744,16 @@ object SparkEntry {
          |WHERE NOT EXISTS (SELECT 1 FROM known k
          |                  WHERE k.fingerprint = b.fingerprint)
          |ORDER BY b.fingerprint""".stripMargin,
+
+    "d43_neardup_incremental" -> OracleSql.nearDupIncremental(
+      "SELECT doc_id, text FROM documents",
+      """SELECT doc_id + 2000000 AS doc_id, text || ' zzz extra suffix' AS text
+        |  FROM documents WHERE doc_id % 10 = 3
+        |UNION ALL SELECT doc_id + 3000000, text
+        |  FROM documents WHERE doc_id % 10 = 7
+        |UNION ALL SELECT doc_id + 4000000, reverse(text)
+        |  FROM documents WHERE doc_id % 10 = 5""".stripMargin,
+      k = 12, bands = 6, shingleSize = 3, tau = 0.5, maxBucket = 1000),
 
     // full pipeline composition: lang filter → d35 scoring → exact-dedup
     // reps → CDC chunk/token counts per surviving doc. n_chunks =

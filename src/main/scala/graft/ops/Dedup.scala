@@ -207,21 +207,24 @@ object Dedup {
         graft.functions.shingleHash64(tokens(col("text")), shingleSize).as("hashes"))
       .localCheckpoint(eager = false)
 
-  private def minhashCandidatesFromHashed(
-      hashed: DataFrame, k: Int, bands: Int, maxBucket: Int): DataFrame = {
+  /** (doc_id, band, bucket) band keys of a [[minhashHashed]] table —
+    * signatures are one codegen'd k×n primitive loop over the cached
+    * arrays (MinHashSig kernel), bucket = md5 of the signature slice. */
+  private def bandedKeys(hashed: DataFrame, k: Int, bands: Int): DataFrame = {
     require(k % bands == 0, "k must divide into equal bands")
     val r = k / bands
-
-    // Stage 2 — signatures are one codegen'd k×n primitive loop over the
-    // cached arrays (MinHashSig kernel)
     val withSig = hashed.select(col("doc_id"),
       graft.functions.minhashSig(col("hashes"), minhashSeeds(k)).as("sig"))
-
-    val banded = capBuckets(withSig.select(
+    withSig.select(
       col("doc_id"),
       posexplode(transform(sequence(lit(0), lit(bands - 1)),
         b => md5(concat_ws("|", transform(slice(col("sig"), b * r + 1, lit(r)),
-          x => x.cast("string")))))).as(Seq("band", "bucket"))),
+          x => x.cast("string")))))).as(Seq("band", "bucket")))
+  }
+
+  private def minhashCandidatesFromHashed(
+      hashed: DataFrame, k: Int, bands: Int, maxBucket: Int): DataFrame = {
+    val banded = capBuckets(bandedKeys(hashed, k, bands),
       Seq("band", "bucket"), maxBucket)
 
     val l = banded.select(col("band"), col("bucket"), col("doc_id").as("id1"))
@@ -229,6 +232,108 @@ object Dedup {
     l.join(rgt, Seq("band", "bucket"))
       .filter(col("id1") < col("id2"))
       .select("id1", "id2").distinct()
+  }
+
+  /** Static near-dup admission index over a CLOSED corpus — the three
+    * tables a production pipeline computes once, persists, and probes
+    * with every incoming batch: exact-text fingerprints, LSH band
+    * buckets, and distinct-shingle hash sets. Corpus TEXT is not part
+    * of the index (verification runs on the 60-bit hash sets), so the
+    * index is a small fraction of corpus bytes and all three tables
+    * shuffle/merge incrementally (fingerprints and bands union;
+    * hash sets append).
+    *
+    * Oversized corpus buckets (> maxBucket distinct texts — templated
+    * boilerplate) are dropped at build time, the same high-recall cap
+    * as [[minhashLshPairs]]. */
+  final case class NearDupIndex(
+      fingerprints: DataFrame, // (fingerprint)
+      bands: DataFrame,        // (band, bucket, doc_id)
+      hashes: DataFrame,       // (doc_id, hashes: array<long>)
+      k: Int,
+      nBands: Int,
+      shingleSize: Int)
+
+  /** Build a [[NearDupIndex]] from a corpus. One collapse shuffle + one
+    * banding pass; every output is a plain DataFrame the caller can
+    * persist (parquet) and reload for each batch. */
+  def nearDupIndex(
+      corpus: DataFrame,
+      idCol: String,
+      textCol: String,
+      k: Int = 12,
+      bands: Int = 3,
+      shingleSize: Int = 3,
+      maxBucket: Int = 1000): NearDupIndex = {
+    val fps = corpus.select(fingerprint(col(textCol)).as("fingerprint")).distinct()
+    val hashed = minhashHashed(corpus, idCol, textCol, shingleSize)
+    val banded = capBuckets(bandedKeys(hashed, k, bands),
+      Seq("band", "bucket"), maxBucket)
+    NearDupIndex(fps, banded, hashed, k, bands, shingleSize)
+  }
+
+  /** Incremental near-dup ADMISSION: which rows of `incoming` enter the
+    * corpus, given only its [[NearDupIndex]] — the production shape
+    * where yesterday's 100 TB corpus is represented by its index and
+    * each day's batch is filtered at O(batch · bands) cost, never
+    * O(corpus).
+    *
+    * A batch row survives iff (1) it is the min-id representative of
+    * its intra-batch exact-duplicate group, (2) its fingerprint is
+    * absent from the index (no exact corpus copy), and (3) no corpus
+    * doc sharing an LSH band bucket verifies at shingle-hash Jaccard
+    * >= tau. Stages mirror [[minhashLshPairs]] — collapse, band, cap,
+    * bucket join, hash-set verification — except the candidate join
+    * probes the STATIC index buckets instead of self-joining, so the
+    * corpus side ships only (band, bucket, id) rows for buckets the
+    * batch actually touches.
+    *
+    * Intra-batch NEAR-dups (distinct texts) are out of scope here —
+    * run the admitted set through [[minhashLshPairs]] /
+    * [[dedupCorpus]] for that; admission against the corpus and
+    * intra-batch near-dedup compose cleanly because admission never
+    * changes a surviving row.
+    *
+    * @return surviving (doc_id, text) batch representatives
+    */
+  def nearDupFilter(
+      index: NearDupIndex,
+      incoming: DataFrame,
+      idCol: String,
+      textCol: String,
+      tau: Double,
+      maxBucket: Int = 1000): DataFrame = {
+    // (1) collapse intra-batch exact dups, (2) drop exact corpus hits;
+    // the survivors feed BOTH the banding pipeline and the final
+    // anti-join, so materialize them once
+    val fresh = collapseExactText(incoming, idCol, textCol)
+      .withColumn("fingerprint", fingerprint(col("text")))
+      .join(index.fingerprints, Seq("fingerprint"), "left_anti")
+      .drop("fingerprint")
+      .localCheckpoint(eager = false)
+
+    val hashed = fresh.select(col("doc_id"),
+        graft.functions.shingleHash64(tokens(col("text")), index.shingleSize)
+          .as("hashes"))
+      .localCheckpoint(eager = false)
+    val banded = capBuckets(bandedKeys(hashed, index.k, index.nBands),
+      Seq("band", "bucket"), maxBucket)
+
+    // (3) candidates against the index buckets, verified on hash sets
+    val cands = banded
+      .join(index.bands.select(col("band"), col("bucket"),
+        col("doc_id").as("corpus_id")), Seq("band", "bucket"))
+      .select(col("doc_id"), col("corpus_id")).distinct()
+    val dupIds = cands
+      .join(hashed.select(col("doc_id"), col("hashes").as("h1")), Seq("doc_id"))
+      .join(index.hashes.select(col("doc_id").as("corpus_id"),
+        col("hashes").as("h2")), Seq("corpus_id"))
+      .filter(
+        size(array_intersect(col("h1"), col("h2"))).cast("double") /
+          size(array_union(col("h1"), col("h2"))).cast("double") >= tau)
+      .select("doc_id").distinct()
+
+    fresh.join(dupIds, Seq("doc_id"), "left_anti")
   }
 
   /** All-pairs exact n-gram Jaccard within a blocking column (for bounded

@@ -207,6 +207,25 @@ class DedupSpec extends AnyFunSuite with SparkTestBase {
     assert(!pairs.exists(p => p._1 == 3 || p._2 == 3)) // unrelated doc never pairs
   }
 
+  test("nearDupFilter admits only genuinely fresh batch content") {
+    val idx = Dedup.nearDupIndex(docs, "doc_id", "text",
+      k = 12, bands = 6, shingleSize = 3)
+    val batch = spark.sql(
+      """SELECT * FROM VALUES
+        | (10, 'completely different text about spark query engines at scale'),
+        | (11, 'the quick brown fox jumps over the lazy dog again and again zzz'),
+        | (12, 'entirely novel content nothing like anything in the corpus today'),
+        | (13, 'shared fresh text that appears twice inside this batch alone'),
+        | (14, 'shared fresh text that appears twice inside this batch alone')
+        | AS t(doc_id, text)""".stripMargin)
+    // 10 = exact corpus copy (fingerprint hit); 11 = near-dup of doc 0
+    // (jaccard 10/11 via the band probe); 12 = fresh; 13/14 collapse to
+    // the min-id intra-batch representative
+    val kept = Dedup.nearDupFilter(idx, batch, "doc_id", "text", tau = 0.5)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(kept === Set(12L, 13L))
+  }
+
   test("simhash pairs finds low-hamming near-dups only") {
     val pairs = Dedup.simhashPairs(docs, "doc_id", "text", maxHamming = 6)
       .select("id1", "id2").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
