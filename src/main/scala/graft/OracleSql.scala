@@ -235,7 +235,10 @@ object OracleSql {
     * exactly-representable integer-valued doubles, argmin by
     * (dist, cid) struct-min, centroid update by trunc-division mean
     * (DuckDB `//` and Spark `div` both truncate toward zero). */
-  def kmeansFixedPoint(k: Int, iters: Int, dim: Int, scale: String = "1000000.0"): String = {
+  /** Shared k-means CTE chain through the FINAL assignment `af(id, cid)`
+    * — returns (cteBlock, lastCentroidCte). */
+  private def kmeansCtes(k: Int, iters: Int, dim: Int,
+      scale: String): (String, String) = {
     def dist(v: String, c: String) =
       s"(${dot(v, v)} - 2.0 * ${dot(v, c)} + ${dot(c, c)})"
     def iteration(i: Int, prev: String): String =
@@ -256,24 +259,45 @@ object OracleSql {
          |  FROM m$i GROUP BY cid)""".stripMargin
     val iterSql = (1 to iters).map(i => iteration(i, s"c${i - 1}")).mkString(",\n")
     val last = s"c$iters"
-    s"""WITH v AS (
-       |  SELECT CAST(vec_id AS BIGINT) AS id,
-       |         list_transform(CAST(embedding AS DOUBLE[]),
-       |                        x -> floor(x * $scale)) AS v
-       |  FROM embeddings),
-       |c0 AS (SELECT id AS cid, v AS c FROM v WHERE id < $k),
-       |$iterSql,
-       |df AS (
-       |  SELECT v.id, c.cid, ${dist("v.v", "c.c")} AS dist
-       |  FROM v CROSS JOIN $last c),
-       |af AS (
-       |  SELECT id, min(struct_pack(dist := dist, cid := cid)).cid AS cid
-       |  FROM df GROUP BY id),
+    val ctes =
+      s"""v AS (
+         |  SELECT CAST(vec_id AS BIGINT) AS id,
+         |         list_transform(CAST(embedding AS DOUBLE[]),
+         |                        x -> floor(x * $scale)) AS v
+         |  FROM embeddings),
+         |c0 AS (SELECT id AS cid, v AS c FROM v WHERE id < $k),
+         |$iterSql,
+         |df AS (
+         |  SELECT v.id, c.cid, ${dist("v.v", "c.c")} AS dist
+         |  FROM v CROSS JOIN $last c),
+         |af AS (
+         |  SELECT id, min(struct_pack(dist := dist, cid := cid)).cid AS cid
+         |  FROM df GROUP BY id)""".stripMargin
+    (ctes, last)
+  }
+
+  def kmeansFixedPoint(k: Int, iters: Int, dim: Int, scale: String = "1000000.0"): String = {
+    val (ctes, last) = kmeansCtes(k, iters, dim, scale)
+    s"""WITH $ctes,
        |sz AS (SELECT cid, COUNT(*) AS n_members FROM af GROUP BY cid)
        |SELECT c.cid, CAST(t.i - 1 AS INT) AS dim,
        |       CAST(c.c[t.i] AS BIGINT) AS c, sz.n_members
        |FROM $last c JOIN sz USING (cid), range(1, ${dim + 1}) AS t(i)
        |ORDER BY cid, dim""".stripMargin
+  }
+
+  /** Cluster-balanced sample — mirrors `Similarity.clusterBalancedSample`:
+    * the same k-means assignment chain, then the d15 salted-hash
+    * row_number pick of `perCell` ids per cell. */
+  def kmeansBalancedSample(k: Int, iters: Int, dim: Int, perCell: Int,
+      salt: String = "graft-sample", scale: String = "1000000.0"): String = {
+    val (ctes, _) = kmeansCtes(k, iters, dim, scale)
+    s"""WITH $ctes
+       |SELECT cid, id FROM (
+       |  SELECT cid, id, ROW_NUMBER() OVER (PARTITION BY cid
+       |    ORDER BY ${h64(s"'$salt-' || CAST(id AS VARCHAR)")}, id) AS rn
+       |  FROM af) WHERE rn <= $perCell
+       |ORDER BY cid, id""".stripMargin
   }
 
   /** BPE merge-table learning, unrolled to `merges` rounds — mirrors

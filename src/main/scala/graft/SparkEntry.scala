@@ -1861,6 +1861,15 @@ object SparkEntry {
         .orderBy("cid", "dim")
     }),
 
+    // ---- cluster-balanced diversity sampling: k-means cells (same
+    // integer Lloyd loop as e9) + the d15 salted-hash per-group pick —
+    // "N per semantic cluster" flattens topical skew before training ----
+    "e16_cluster_sample" -> ((s, dir) => {
+      ops.Similarity.clusterBalancedSample(t(s, dir, "embeddings"),
+          "vec_id", "embedding", k = 4, iterations = 2, perCell = 10)
+        .orderBy("cid", "id")
+    }),
+
     // ---- streaming incremental upsert: foreachBatch folds each
     // micro-batch into a keyed aggregate state via Merge.incrementalAgg;
     // the decimal sum-merge is exact and commutative, so the final state
@@ -1999,6 +2008,28 @@ object SparkEntry {
         .agg(count(lit(1)).as("n_items"),
           sum(col("l_quantity").cast("decimal(18,2)")).cast("double").as("sum_qty"))
         .orderBy("l_returnflag")
+    }),
+
+    // ---- schema evolution: two parquet epochs where the newer gained
+    // a column, read through the generic source with mergeSchema —
+    // old rows surface the new column as NULL, partition discovery
+    // keeps the epoch; the production "table grew a field" path ---------
+    "q70_schema_evolution" -> ((s, dir) => {
+      val tmp = gateScratch("q70")
+      val li = t(s, dir, "lineitem")
+      li.filter(col("l_orderkey") % 2 === 0)
+        .select("l_orderkey", "l_quantity")
+        .write.parquet(s"$tmp/t/epoch=1")
+      li.filter(col("l_orderkey") % 2 === 1)
+        .select("l_orderkey", "l_quantity", "l_extendedprice")
+        .write.parquet(s"$tmp/t/epoch=2")
+      val merged = io.DataFrameIO.load(io.SourceParams("parquet",
+        Some(s"$tmp/t"), Map("mergeSchema" -> "true")))(s)
+      merged.groupBy("epoch")
+        .agg(count(lit(1)).as("n"),
+          sum(col("l_quantity").cast("decimal(18,2)")).cast("double").as("sum_qty"),
+          sum(col("l_extendedprice").cast("decimal(18,2)")).cast("double").as("sum_price"))
+        .orderBy("epoch")
     }),
 
     // ---- time-series resample + LOCF: hourly grid per user, forward-
@@ -4245,6 +4276,9 @@ object SparkEntry {
 
     "e9_kmeans" -> OracleSql.kmeansFixedPoint(k = 4, iters = 2, dim = 64),
 
+    "e16_cluster_sample" ->
+      OracleSql.kmeansBalancedSample(k = 4, iters = 2, dim = 64, perCell = 10),
+
     "m4_image_dhash" ->
       // mirrors MediaCodec.dhash bit for bit: the same (x·w)//9 nearest-
       // neighbor source indexing over the MediaGen.grayAt pixel formula;
@@ -4447,6 +4481,19 @@ object SparkEntry {
         |  CAST(CAST(SUM(CAST(value AS DECIMAL(18,6))) AS VARCHAR) AS DOUBLE) AS total,
         |  (SELECT CAST((total + 19999) // 20000 AS INT) FROM t) AS n_files
         |FROM e GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    "q70_schema_evolution" ->
+      """WITH m AS (
+        |  SELECT 1 AS epoch, l_quantity,
+        |         CAST(NULL AS DECIMAL(15,2)) AS l_extendedprice
+        |  FROM lineitem WHERE l_orderkey % 2 = 0
+        |  UNION ALL
+        |  SELECT 2, l_quantity, l_extendedprice
+        |  FROM lineitem WHERE l_orderkey % 2 = 1)
+        |SELECT epoch, COUNT(*) AS n,
+        |  CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
+        |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_price
+        |FROM m GROUP BY 1 ORDER BY 1""".stripMargin,
 
     "q69_data_skipping" ->
       """SELECT l_returnflag, COUNT(*) AS n_items,

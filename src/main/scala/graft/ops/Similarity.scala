@@ -439,15 +439,74 @@ object Similarity {
       iterations: Int,
       scale: Double = 1e6): DataFrame = {
     require(k > 0 && iterations >= 0, s"need k > 0, iterations >= 0")
-    val vecs = df
-      .select(col(idCol).cast("long").as("id"),
+    val vecs = scaledVecs(df, idCol, vecCol, scale)
+    val selfDot = dot(col("v"), col("v"))
+    // the FINAL table is consumed twice (size assignment + output join):
+    // one lazy checkpoint stops the last m-step from running double
+    val centroids = kmeansCentroidTable(vecs, selfDot, k, iterations)
+      .localCheckpoint(eager = false)
+    val sizes = assign(vecs, selfDot, centroids)
+      .groupBy("cid").agg(count(lit(1)).as("n_members"))
+    centroids.join(sizes, Seq("cid"))
+      .select(col("cid"), posexplode(col("c")).as(Seq("dim", "c")),
+        col("n_members"))
+      .select(col("cid"), col("dim"), col("c").cast("long").as("c"),
+        col("n_members"))
+  }
+
+  /** Cluster-balanced diversity sampling: fixed-point k-means cells +
+    * the deterministic per-group sample — the "take N per semantic
+    * cluster" pass a training-data pipeline uses to flatten topical
+    * skew (a crawl corpus is mostly its biggest clusters; uniform
+    * sampling just reproduces the skew).
+    *
+    * Composition of two existing exact kernels, so the whole thing is
+    * engine-portable: assignments come from [[kmeansFixedPoint]]'s
+    * integer Lloyd loop (bit-identical under any partitioning), the
+    * per-cell pick is [[CorpusOps.groupSample]]'s salted-hash
+    * row_number (stable under corpus growth only within a cell's
+    * unchanged membership — this is a per-build sample, not a
+    * [[CorpusOps.deterministicSplit]] contract). One broadcast
+    * assignment pass + one window shuffle on cid beyond the k-means
+    * loop itself.
+    *
+    * @return (cid, id) — `perCell` ids per non-empty cell
+    */
+  def clusterBalancedSample(
+      df: DataFrame,
+      idCol: String,
+      vecCol: String,
+      k: Int,
+      iterations: Int,
+      perCell: Int,
+      scale: Double = 1e6,
+      salt: String = "graft-sample"): DataFrame = {
+    require(k > 0 && iterations >= 0 && perCell > 0,
+      s"need k > 0, iterations >= 0, perCell > 0")
+    val vecs = scaledVecs(df, idCol, vecCol, scale)
+    val selfDot = dot(col("v"), col("v"))
+    val centroids = kmeansCentroidTable(vecs, selfDot, k, iterations)
+    val assigned = assign(vecs, selfDot, centroids)
+    CorpusOps.groupSample(assigned, "id", "cid", perCell, salt)
+      .select(col("cid"), col("id"))
+  }
+
+  /** (id, v) with components floor-scaled to exactly-representable
+    * integer-valued doubles, checkpointed: read every Lloyd round. */
+  private def scaledVecs(df: DataFrame, idCol: String, vecCol: String,
+      scale: Double): DataFrame =
+    df.select(col(idCol).cast("long").as("id"),
         // Spark's floor yields bigint; back to double for the dot kernel
         // (values stay exact integers well under 2^53)
         transform(col(vecCol).cast("array<double>"),
           x => floor(x * scale).cast("double")).as("v"))
-      .localCheckpoint(eager = false) // read every iteration
-    val selfDot = dot(col("v"), col("v"))
+      .localCheckpoint(eager = false)
 
+  /** The Lloyd loop: `iterations` rounds of assign + trunc-division
+    * mean from the ids-0..k-1 seeds. Returned table is NOT
+    * checkpointed — single-consumer callers keep the one-query plan. */
+  private def kmeansCentroidTable(vecs: DataFrame, selfDot: Column,
+      k: Int, iterations: Int): DataFrame = {
     var centroids = vecs.filter(col("id") < k)
       .select(col("id").as("cid"), col("v").as("c"))
     // seeding takes the rows with ids 0..k-1 — validate the density
@@ -456,7 +515,7 @@ object Similarity {
     // every iteration below)
     val seeded = centroids.count()
     require(seeded == k,
-      s"kmeansFixedPoint seeds centroids from ids 0..${k - 1} but only " +
+      s"k-means seeds centroids from ids 0..${k - 1} but only " +
       s"$seeded such row(s) exist — re-key ids densely from 0 or lower k")
     for (_ <- 1 to iterations) {
       // NO checkpoint here: each centroid table is consumed exactly once,
@@ -474,16 +533,7 @@ object Similarity {
         .agg(transform(array_sort(collect_list(struct(col("dim"), col("m")))),
           s => s.getField("m").cast("double")).as("c"))
     }
-    // the FINAL table is consumed twice (size assignment + output join):
-    // one lazy checkpoint stops the last m-step from running double
-    centroids = centroids.localCheckpoint(eager = false)
-    val sizes = assign(vecs, selfDot, centroids)
-      .groupBy("cid").agg(count(lit(1)).as("n_members"))
-    centroids.join(sizes, Seq("cid"))
-      .select(col("cid"), posexplode(col("c")).as(Seq("dim", "c")),
-        col("n_members"))
-      .select(col("cid"), col("dim"), col("c").cast("long").as("c"),
-        col("n_members"))
+    centroids
   }
 
   /** One assignment pass: nearest centroid per vector, ties to the

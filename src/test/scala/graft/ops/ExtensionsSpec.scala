@@ -422,6 +422,26 @@ class DedupSpec extends AnyFunSuite with SparkTestBase {
 class SimilaritySpec extends AnyFunSuite with SparkTestBase {
   import graft.functions.simhash60
 
+  test("clusterBalancedSample takes at most perCell per cell, covering all cells") {
+    import spark.implicits._
+    // two obvious clusters around (1,0) and (0,1), ids dense from 0
+    val vecs = (0L until 20L).map { i =>
+      val base = if (i % 2 == 0) Seq(1.0, 0.01 * i) else Seq(0.01 * i, 1.0)
+      (i, base)
+    }.toDF("vec_id", "embedding")
+    val s1 = Similarity.clusterBalancedSample(vecs, "vec_id", "embedding",
+      k = 2, iterations = 2, perCell = 3)
+      .as[(Long, Long)].collect().sorted.toSeq
+    val perCell = s1.groupBy(_._1).view.mapValues(_.size).toMap
+    assert(perCell.values.forall(_ <= 3))
+    assert(perCell.keySet.size === 2) // both cells represented
+    // deterministic: a rerun picks the identical sample
+    val s2 = Similarity.clusterBalancedSample(vecs, "vec_id", "embedding",
+      k = 2, iterations = 2, perCell = 3)
+      .as[(Long, Long)].collect().sorted.toSeq
+    assert(s1 === s2)
+  }
+
   test("quantizeInt8 rounds to [-127,127], keeps scale, zero-vector safe") {
     import spark.implicits._
     val df = Seq(
