@@ -1151,6 +1151,14 @@ object SparkEntry {
       ops.CorpusOps.vocabulary(t(s, dir, "documents"), "doc_id", "text", k = 50)
     }),
 
+    // ---- template mining: trigrams on >= 3 distinct documents — the
+    // support-thresholded candidate list boilerplate removal consumes --
+    "d44_frequent_ngrams" -> ((s, dir) => {
+      ops.CorpusOps.frequentNgrams(t(s, dir, "documents"), "doc_id", "text",
+          n = 3, minDocFreq = 3)
+        .orderBy("ngram")
+    }),
+
     // ---- IVF approximate nearest neighbors, deterministic seeded
     // variant (centroids = vectors of ids 0..7) so the full index →
     // probe → top-k path has an exact DuckDB oracle; the KMeans variant
@@ -3389,6 +3397,16 @@ object SparkEntry {
          |SELECT token, n_occurrences, n_docs FROM vocab
          |ORDER BY n_occurrences DESC, token LIMIT 50""".stripMargin
     },
+
+    "d44_frequent_ngrams" ->
+      s"""WITH sh AS (
+         |  SELECT doc_id AS doc, unnest(${OracleSql.shingles("text", 3)}) AS ngram
+         |  FROM documents),
+         |perdoc AS (SELECT doc, ngram, COUNT(*) AS tf FROM sh GROUP BY 1, 2)
+         |SELECT ngram, CAST(SUM(tf) AS BIGINT) AS n_occurrences,
+         |       COUNT(*) AS n_docs
+         |FROM perdoc GROUP BY 1 HAVING COUNT(*) >= 3
+         |ORDER BY ngram""".stripMargin,
 
     "m1_media_features" ->
       """WITH xs AS (SELECT x FROM range(0, 64) t(x)),

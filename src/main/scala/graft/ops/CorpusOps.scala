@@ -350,6 +350,33 @@ object CorpusOps {
       .limit(k)
   }
 
+  /** Corpus-frequent n-grams above a document-frequency floor — the
+    * mining pass that produces the template/boilerplate candidate list
+    * cleaners like [[removeBoilerplate]] and site-template analyses
+    * consume (a phrase on `minDocFreq`+ distinct documents is a
+    * template candidate, not content).
+    *
+    * Shape mirrors [[vocabulary]]: one shingle explode → (doc, ngram)
+    * pre-aggregate → (ngram) aggregate, both hash aggregates with
+    * map-side combine; the threshold filter is on the aggregated
+    * table. Unlike vocabulary's top-k this is support-thresholded, so
+    * the result size tracks template mass, not a cap.
+    *
+    * @return (ngram, n_occurrences, n_docs) with n_docs >= minDocFreq
+    */
+  def frequentNgrams(df: DataFrame, idCol: String, textCol: String,
+      n: Int, minDocFreq: Int): DataFrame = {
+    require(n > 0 && minDocFreq > 0,
+      s"need n > 0 and minDocFreq > 0, got n=$n minDocFreq=$minDocFreq")
+    df.select(col(idCol).as("doc"),
+        explode(graft.functions.TextFunctions.wordShingles(col(textCol), n))
+          .as("ngram"))
+      .groupBy("doc", "ngram").agg(count(lit(1)).as("tf"))
+      .groupBy("ngram")
+      .agg(sum("tf").as("n_occurrences"), count(lit(1)).as("n_docs"))
+      .filter(col("n_docs") >= minDocFreq)
+  }
+
   /** Bigram-LM quality score per document — the KenLM-style "does this
     * text look like the corpus" filter, in FIXED-POINT arithmetic so it
     * has an exact cross-engine oracle (gate d26): each bigram scores

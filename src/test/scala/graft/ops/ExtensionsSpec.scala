@@ -668,6 +668,23 @@ class EmbeddingLshSpec extends AnyFunSuite with SparkTestBase {
 class CorpusOpsSpec extends AnyFunSuite with SparkTestBase {
   import org.apache.spark.sql.functions.col
 
+  test("frequentNgrams keeps doc-frequency >= floor, counts occurrences totally") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "click here to subscribe now for updates"),
+      (2L, "click here to subscribe now please"),
+      (3L, "our site says click here to subscribe"),
+      (4L, "click here to subscribe click here to subscribe"),
+      (5L, "nothing shared with the others at all")).toDF("doc_id", "text")
+    val got = CorpusOps.frequentNgrams(docs, "doc_id", "text", n = 3, minDocFreq = 4)
+      .collect().map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+    // the template trigram is on docs 1-4; doc 4 carries it twice, so
+    // occurrences exceed doc frequency
+    assert(got.keySet === Set("click here to", "here to subscribe"))
+    assert(got("click here to") === ((5L, 4L)))
+    assert(got("here to subscribe") === ((5L, 4L)))
+  }
+
   test("removeDuplicateSpans cuts cross-doc runs, chains overlaps, keeps unique text") {
     import spark.implicits._
     // docs 1 and 2 share an 8-token run (> n=4, so overlapping 4-grams
