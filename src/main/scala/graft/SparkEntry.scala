@@ -1077,6 +1077,20 @@ object SparkEntry {
         .orderBy("id1", "id2")
     }),
 
+    // ---- EXACT directed containment join (excerpt/quote detection):
+    // word-prefix excerpts score containment 1.0 in their source doc
+    // while their symmetric Jaccard is far below any useful threshold —
+    // the asymmetric dedup pass a corpus pipeline runs after d33 ---------
+    "d42_containment" -> ((s, dir) => {
+      val docs = t(s, dir, "documents").select("doc_id", "text")
+      val excerpts = docs.filter(col("doc_id") % 40 === 0)
+        .select((col("doc_id") + 2000000L).as("doc_id"),
+          concat_ws(" ", slice(split(col("text"), " ", -1), 1, 12)).as("text"))
+      ops.Dedup.containmentPairs(docs.unionAll(excerpts), "doc_id", "text",
+          shingleSize = 3, tau = 0.8)
+        .orderBy("id1", "id2")
+    }),
+
     // ---- simhash near-dup pipeline over augmented corpus --------------
     "d7_simhash_pairs" -> ((s, dir) => {
       val docs = t(s, dir, "documents").select("doc_id", "text")
@@ -1159,6 +1173,30 @@ object SparkEntry {
         .orderBy("ngram")
     }),
 
+    // ---- URL canonicalization dedup: messy crawl URLs (case, www,
+    // default ports, tracking params, param order, fragments, trailing
+    // slashes) synthesized deterministically from doc_id, collapsed to
+    // one representative per canonical form -----------------------------
+    "d45_url_dedup" -> ((s, dir) => {
+      val url = concat(
+        when(col("doc_id") % 3 === 0, lit("http://"))
+          .when(col("doc_id") % 3 === 1, lit("https://"))
+          .otherwise(lit("HTTP://")),
+        when(col("doc_id") % 4 === 0, lit("example.com"))
+          .when(col("doc_id") % 4 === 1, lit("WWW.Example.com"))
+          .when(col("doc_id") % 4 === 2, lit("Example.COM"))
+          .otherwise(lit("www.example.com")),
+        when(col("doc_id") % 6 === 0, lit(":80")).otherwise(lit("")),
+        lit("/Articles/"), (col("doc_id") % 97).cast("string"),
+        when(col("doc_id") % 5 === 0, lit("/")).otherwise(lit("")),
+        when(col("doc_id") % 2 === 0, lit("?utm_source=feed&b=2&a=1"))
+          .otherwise(lit("?a=1&b=2")),
+        when(col("doc_id") % 7 === 0, lit("#section3")).otherwise(lit("")))
+      val urls = t(s, dir, "documents").select(col("doc_id"), url.as("url"))
+      ops.Urls.urlDedup(urls, "doc_id", "url")
+        .orderBy("canonical_url")
+    }),
+
     // ---- IVF approximate nearest neighbors, deterministic seeded
     // variant (centroids = vectors of ids 0..7) so the full index →
     // probe → top-k path has an exact DuckDB oracle; the KMeans variant
@@ -1232,6 +1270,41 @@ object SparkEntry {
       ops.Similarity.rerankTopK(emb, "vec_id", "embedding",
           panel, "vec_id", "embedding",
           prefixDim = 16, candidates = 20, k = 5)
+        .orderBy("qid", "rank")
+    }),
+
+    // ---- hybrid retrieval: lexical token-set Jaccard top-20 + semantic
+    // cosine top-20 per query (aligned doc_id/vec_id corpus), fused by
+    // fixed-point reciprocal-rank fusion — the RAG-curation ranking pass.
+    // Both retrievers share the broadcast-panel shape (vectors/token
+    // sets never shuffle); the fusion itself only moves rank triples ----
+    "e17_hybrid_rrf" -> ((s, dir) => {
+      import graft.functions.TextFunctions
+      val toksets = t(s, dir, "documents")
+        .select(col("doc_id").cast("long").as("id"),
+          array_distinct(TextFunctions.tokens(col("text"))).as("ts"))
+      val lexPanel = broadcast(toksets.filter(col("id") < 5)
+        .select(col("id").as("qid"), col("ts").as("qts")))
+      val lexScores = toksets.crossJoin(lexPanel)
+        .filter(col("id") =!= col("qid"))
+        .select(col("qid"), col("id"),
+          (size(array_intersect(col("ts"), col("qts"))).cast("double") /
+            size(array_union(col("ts"), col("qts"))).cast("double")).as("score"))
+        .filter(col("score") > 0)
+      val lexRank = ops.TopK.perGroup(lexScores, Seq("qid"),
+        Seq(col("score"), col("id")), 20)
+      val emb = t(s, dir, "embeddings")
+        .select(col("vec_id").cast("long").as("id"),
+          col("embedding").cast("array<double>").as("v"))
+      val semPanel = broadcast(emb.filter(col("id") < 5)
+        .select(col("id").as("qid"), col("v").as("qv")))
+      val semScores = emb.crossJoin(semPanel)
+        .filter(col("id") =!= col("qid"))
+        .select(col("qid"), col("id"),
+          ops.Similarity.cosine(col("v"), col("qv")).as("score"))
+      val semRank = ops.TopK.perGroup(semScores, Seq("qid"),
+        Seq(col("score"), col("id")), 20)
+      ops.Similarity.rrfFuse(Seq(lexRank, semRank), "qid", "id", "rank", k = 10)
         .orderBy("qid", "rank")
     }),
 
@@ -1744,6 +1817,17 @@ object SparkEntry {
         .orderBy("media_id", "frame_idx")
     }),
 
+    // ---- shot-cut detection: consecutive-frame mean-abs-difference over
+    // scene-structured y4m streams (in-scene delta exactly 0, boundary
+    // delta large) — record-local decode, video bytes never shuffle ------
+    "m10_scene_cuts" -> ((s, dir) => {
+      val vids = ops.Multimodal.syntheticSceneVideo(
+        t(s, dir, "documents").select("doc_id")
+          .filter(col("doc_id") % 5 === 0), "doc_id")(s)
+      ops.Multimodal.sceneCuts(vids, threshold = 1.0).toDF()
+        .orderBy("media_id", "frame_idx")
+    }),
+
     // ---- count-min sketch: build from the per-key pre-aggregate, probe
     // a key subset, report estimate beside truth (est >= true always) ---
     "q54_cms" -> ((s, dir) => {
@@ -1823,6 +1907,19 @@ object SparkEntry {
           col("l_suppkey").cast("long").as("dst"), w))
       ops.Graph.shortestPaths(edges, "src", "dst", "w",
           sourceId = 1L, iterations = 6)
+        .orderBy("node")
+    }),
+
+    // ---- community detection: synchronous label propagation with a
+    // deterministic (−votes, label) tie-break over the supplier—part
+    // graph (the operator symmetrizes internally); round-bounded
+    // semantics make even bipartite label oscillation exactly
+    // replayable by the unrolled SQL oracle -----------------------------
+    "g4_label_prop" -> ((s, dir) => {
+      val li = t(s, dir, "lineitem")
+      val edges = li.select(col("l_suppkey").cast("long").as("src"),
+        (col("l_partkey").cast("long") + 1000000L).as("dst"))
+      ops.Graph.labelPropagation(edges, "src", "dst", iterations = 3)
         .orderBy("node")
     }),
 
@@ -3408,6 +3505,55 @@ object SparkEntry {
          |FROM perdoc GROUP BY 1 HAVING COUNT(*) >= 3
          |ORDER BY ngram""".stripMargin,
 
+    // mirrors Urls.canonicalizeUrl step by step; RE2 backrefs are \1
+    // (vs Java's $1) and DuckDB's regexp_replace is first-match-only by
+    // default, which suffices because every pattern is anchored or can
+    // match at most once
+    "d45_url_dedup" ->
+      """WITH u AS (
+        |  SELECT doc_id,
+        |    (CASE doc_id % 3 WHEN 0 THEN 'http://' WHEN 1 THEN 'https://'
+        |          ELSE 'HTTP://' END) ||
+        |    (CASE doc_id % 4 WHEN 0 THEN 'example.com' WHEN 1 THEN 'WWW.Example.com'
+        |          WHEN 2 THEN 'Example.COM' ELSE 'www.example.com' END) ||
+        |    (CASE WHEN doc_id % 6 = 0 THEN ':80' ELSE '' END) ||
+        |    '/Articles/' || CAST(doc_id % 97 AS VARCHAR) ||
+        |    (CASE WHEN doc_id % 5 = 0 THEN '/' ELSE '' END) ||
+        |    (CASE WHEN doc_id % 2 = 0 THEN '?utm_source=feed&b=2&a=1'
+        |          ELSE '?a=1&b=2' END) ||
+        |    (CASE WHEN doc_id % 7 = 0 THEN '#section3' ELSE '' END) AS url
+        |  FROM documents),
+        |s1 AS (SELECT doc_id, regexp_replace(trim(url), '#.*', '') AS nofrag FROM u),
+        |s2 AS (
+        |  SELECT doc_id,
+        |    regexp_replace(nofrag, '\?.*', '') AS path0,
+        |    CASE WHEN strpos(nofrag, '?') > 0
+        |         THEN substr(nofrag, strpos(nofrag, '?') + 1) ELSE '' END AS qs
+        |  FROM s1),
+        |s3 AS (
+        |  SELECT doc_id, qs,
+        |    regexp_extract(path0, '^[a-zA-Z][a-zA-Z0-9+.-]*://[^/?]*') AS auth0,
+        |    substr(path0, len(regexp_extract(path0, '^[a-zA-Z][a-zA-Z0-9+.-]*://[^/?]*')) + 1) AS rest
+        |  FROM s2),
+        |s4 AS (
+        |  SELECT doc_id,
+        |    regexp_replace(
+        |      regexp_replace(
+        |        regexp_replace(lower(auth0), '^(https?://)www\.', '\1'),
+        |        '^(http://[^:/]+):80$', '\1'),
+        |      '^(https://[^:/]+):443$', '\1') AS auth,
+        |    regexp_replace(rest, '/+$', '') AS p,
+        |    array_to_string(list_sort(list_filter(string_split(qs, '&'),
+        |      t -> t <> '' AND NOT regexp_matches(t,
+        |        '^(utm_[A-Za-z0-9_]*|fbclid|gclid|ref)='))), '&') AS q2
+        |  FROM s3),
+        |c AS (
+        |  SELECT doc_id,
+        |    auth || p || (CASE WHEN q2 = '' THEN '' ELSE '?' || q2 END) AS canonical_url
+        |  FROM s4)
+        |SELECT canonical_url, MIN(doc_id) AS keep_id, COUNT(*) AS n_copies
+        |FROM c GROUP BY 1 ORDER BY 1""".stripMargin,
+
     "m1_media_features" ->
       """WITH xs AS (SELECT x FROM range(0, 64) t(x)),
         |ys AS (SELECT y FROM range(0, 48) t(y)),
@@ -3535,6 +3681,44 @@ object SparkEntry {
          |  SELECT qid, id, cos, ROW_NUMBER() OVER (PARTITION BY qid
          |                        ORDER BY cos DESC, id DESC) AS rk
          |  FROM fine) WHERE rk <= 5
+         |ORDER BY qid, rank""".stripMargin
+    },
+
+    "e17_hybrid_rrf" -> {
+      val cos = OracleSql.cosine("d.v", "q.qv")
+      s"""WITH tok AS (
+         |  SELECT doc_id AS id, list_distinct(${OracleSql.toks("text")}) AS ts
+         |  FROM documents),
+         |lexs AS (
+         |  SELECT q.id AS qid, d.id,
+         |    CAST(len(list_intersect(d.ts, q.ts)) AS DOUBLE) /
+         |    CAST(len(list_distinct(d.ts || q.ts)) AS DOUBLE) AS score
+         |  FROM tok d JOIN tok q ON q.id < 5 AND d.id <> q.id),
+         |lexr AS (
+         |  SELECT qid, id, rk FROM (
+         |    SELECT qid, id, ROW_NUMBER() OVER (PARTITION BY qid
+         |      ORDER BY score DESC, id DESC) AS rk
+         |    FROM lexs WHERE score > 0) WHERE rk <= 20),
+         |v AS (SELECT vec_id AS id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+         |sems AS (
+         |  SELECT q.id AS qid, d.id, $cos AS score
+         |  FROM v d JOIN (SELECT id, v AS qv FROM v WHERE id < 5) q
+         |  ON d.id <> q.id),
+         |semr AS (
+         |  SELECT qid, id, rk FROM (
+         |    SELECT qid, id, ROW_NUMBER() OVER (PARTITION BY qid
+         |      ORDER BY score DESC, id DESC) AS rk
+         |    FROM sems) WHERE rk <= 20),
+         |u AS (
+         |  SELECT qid, id, 1000000000000 // (60 + rk) AS c FROM lexr
+         |  UNION ALL
+         |  SELECT qid, id, 1000000000000 // (60 + rk) FROM semr),
+         |f AS (SELECT qid, id, CAST(SUM(c) AS BIGINT) AS rrf_score
+         |      FROM u GROUP BY 1, 2)
+         |SELECT qid, CAST(rk AS BIGINT) AS rank, id, rrf_score FROM (
+         |  SELECT qid, id, rrf_score, ROW_NUMBER() OVER (PARTITION BY qid
+         |    ORDER BY rrf_score DESC, id DESC) AS rk
+         |  FROM f) WHERE rk <= 10
          |ORDER BY qid, rank""".stripMargin
     },
 
@@ -4037,6 +4221,30 @@ object SparkEntry {
         |GROUP BY doc_id, f
         |ORDER BY media_id, frame_idx""".stripMargin,
 
+    // closed-form replay of graySceneAt deltas: only scene boundaries
+    // (f % 4 = 0, f > 0) can clear the threshold — in-scene frames are
+    // bit-identical, so their mad is exactly 0
+    "m10_scene_cuts" ->
+      """WITH ids AS (
+        |  SELECT doc_id AS id, doc_id % 16 + 4 AS w, doc_id % 12 + 4 AS h,
+        |         doc_id % 10 + 6 AS frames
+        |  FROM documents WHERE doc_id % 5 = 0),
+        |fs AS (SELECT f FROM range(0, 16) t(f)),
+        |xs AS (SELECT x FROM range(0, 20) t(x)),
+        |ys AS (SELECT y FROM range(0, 16) t(y)),
+        |bounds AS (
+        |  SELECT id, w, h, f FROM ids, fs
+        |  WHERE f < frames AND f > 0 AND f % 4 = 0),
+        |mad AS (
+        |  SELECT id, f, CAST(SUM(ABS(
+        |      ((x * 7 + y * 13 + id * 31 + (f // 4) * 47) % 256) -
+        |      ((x * 7 + y * 13 + id * 31 + (f // 4 - 1) * 47) % 256))) AS DOUBLE)
+        |    / (w * h) AS mad
+        |  FROM bounds, xs, ys WHERE x < w AND y < h
+        |  GROUP BY id, f, w, h)
+        |SELECT id AS media_id, CAST(f AS INT) AS frame_idx, mad
+        |FROM mad WHERE mad >= 1.0 ORDER BY media_id, frame_idx""".stripMargin,
+
     "q54_cms" -> {
       val h = OracleSql.h64(
         "'graft-cms' || '-' || CAST(r AS VARCHAR) || '-' || CAST(key AS VARCHAR)")
@@ -4260,6 +4468,34 @@ object SparkEntry {
         |  GROUP BY d.iter, e2.dst)
         |SELECT node, dist FROM d WHERE iter = 6 ORDER BY node""".stripMargin,
 
+    // 3 unrolled synchronous LPA rounds: vote count per (node, label),
+    // then the deterministic (votes DESC, label) pick — two-level
+    // aggregation per round keeps it out of recursive-CTE reach, so the
+    // rounds are spelled out
+    "g4_label_prop" ->
+      """WITH r AS (
+        |  SELECT DISTINCT CAST(l_suppkey AS BIGINT) AS src,
+        |         1000000 + CAST(l_partkey AS BIGINT) AS dst
+        |  FROM lineitem),
+        |e AS (SELECT src, dst FROM r UNION SELECT dst, src FROM r),
+        |l0 AS (SELECT DISTINCT src AS node, src AS label FROM e),
+        |v1 AS (SELECT e.dst AS node, l.label, COUNT(*) AS v
+        |       FROM e JOIN l0 l ON l.node = e.src GROUP BY 1, 2),
+        |l1 AS (SELECT node, label FROM (
+        |  SELECT node, label, ROW_NUMBER() OVER (PARTITION BY node
+        |    ORDER BY v DESC, label) AS rn FROM v1) WHERE rn = 1),
+        |v2 AS (SELECT e.dst AS node, l.label, COUNT(*) AS v
+        |       FROM e JOIN l1 l ON l.node = e.src GROUP BY 1, 2),
+        |l2 AS (SELECT node, label FROM (
+        |  SELECT node, label, ROW_NUMBER() OVER (PARTITION BY node
+        |    ORDER BY v DESC, label) AS rn FROM v2) WHERE rn = 1),
+        |v3 AS (SELECT e.dst AS node, l.label, COUNT(*) AS v
+        |       FROM e JOIN l2 l ON l.node = e.src GROUP BY 1, 2),
+        |l3 AS (SELECT node, label FROM (
+        |  SELECT node, label, ROW_NUMBER() OVER (PARTITION BY node
+        |    ORDER BY v DESC, label) AS rn FROM v3) WHERE rn = 1)
+        |SELECT node, label FROM l3 ORDER BY node""".stripMargin,
+
     "q56_islands" ->
       """WITH k AS (
         |  SELECT DISTINCT CAST(o_orderkey AS BIGINT) AS k
@@ -4477,6 +4713,41 @@ object SparkEntry {
          |  JOIN sets s1 ON s1.doc_id = id1
          |  JOIN sets s2 ON s2.doc_id = id2)
          |WHERE jaccard >= 0.5 ORDER BY id1, id2""".stripMargin
+    },
+
+    "d42_containment" -> {
+      val hashes =
+        s"list_transform(list_distinct(${OracleSql.shingles("text", 3)}), s -> ${OracleSql.h64("s")})"
+      // tau arithmetic pinned to DOUBLE (0.8::DOUBLE) so the prefix-length
+      // ceil matches Spark's double math (DuckDB would otherwise use
+      // exact DECIMAL and round differently on len*0.8 boundaries)
+      s"""WITH aug AS (
+         |  SELECT doc_id, text FROM documents
+         |  UNION ALL
+         |  SELECT doc_id + 2000000,
+         |    array_to_string(list_slice(string_split(text, ' '), 1, 12), ' ')
+         |  FROM documents WHERE doc_id % 40 = 0),
+         |sets AS (SELECT doc_id, $hashes AS hashes FROM aug),
+         |tok AS (SELECT doc_id, unnest(hashes) AS h FROM sets),
+         |freq AS (SELECT h, COUNT(*) AS f FROM tok GROUP BY 1),
+         |pref AS (
+         |  SELECT doc_id, h FROM (
+         |    SELECT t.doc_id, t.h,
+         |      ROW_NUMBER() OVER (PARTITION BY t.doc_id ORDER BY f.f, t.h) AS ord,
+         |      COUNT(*) OVER (PARTITION BY t.doc_id) AS len
+         |    FROM tok t JOIN freq f USING (h))
+         |  WHERE ord <= len - CAST(CEIL(len * 0.8::DOUBLE) AS BIGINT) + 1),
+         |cands AS (
+         |  SELECT DISTINCT a.doc_id AS id1, b.doc_id AS id2
+         |  FROM pref a JOIN tok b ON a.h = b.h AND a.doc_id <> b.doc_id)
+         |SELECT id1, id2, containment FROM (
+         |  SELECT id1, id2,
+         |    CAST(len(list_intersect(s1.hashes, s2.hashes)) AS DOUBLE) /
+         |    CAST(len(s1.hashes) AS DOUBLE) AS containment
+         |  FROM cands
+         |  JOIN sets s1 ON s1.doc_id = id1
+         |  JOIN sets s2 ON s2.doc_id = id2)
+         |WHERE containment >= 0.8::DOUBLE ORDER BY id1, id2""".stripMargin
     },
 
     "d30_curriculum" -> {

@@ -494,6 +494,62 @@ object Dedup {
       .filter(col("jaccard") >= tau)
   }
 
+  /** EXACT all-pairs CONTAINMENT join: every DIRECTED pair (id1, id2,
+    * id1 ≠ id2) with C(1→2) = |S1 ∩ S2| / |S1| ≥ tau over distinct
+    * shingle-hash sets — the asymmetric complement to
+    * [[allPairsJaccard]]. Jaccard is blind to subset relations (a short
+    * excerpt inside a long document scores near |S1|/|S2| ≈ 0), but
+    * containment is exactly what catches quotes, boilerplate inclusions
+    * and truncated re-posts in a training corpus.
+    *
+    * Prefix bound (containment variant of Bayardo WWW'07): a probe set
+    * S1 contained ≥ tau in ANY S2 must match at least ⌈tau·|S1|⌉ of its
+    * own elements, so at least one of its first
+    * `|S1| − ⌈tau·|S1|⌉ + 1` elements under a global rarity order is
+    * shared. The CONTAINING side is unconstrained (any superset
+    * qualifies), so it cannot be prefix-pruned: candidates come from
+    * (probe prefix) ⋈ (full inverted index) — the standard containment-
+    * join shape. The index side is the corpus's complete (id, shingle)
+    * postings, but a posting only materializes candidates when some
+    * probe's RAREST-shingle prefix touches its key, so hot keys
+    * (stopword shingles) stay cold unless a probe consists of nothing
+    * but frequent shingles. As with every pairs operator here, collapse
+    * exact duplicates first ([[collapseExactText]]).
+    *
+    * Physical shape: one explode, one frequency aggregate, a per-doc
+    * rarity window (narrow key: id), the prefix⋈index equi-join on the
+    * shingle hash, and integer hash-set verification — candidate and
+    * verify shuffles carry ids and 60-bit hashes only, never text. */
+  def containmentPairs(
+      df: DataFrame,
+      idCol: String,
+      textCol: String,
+      shingleSize: Int = 3,
+      tau: Double = 0.8): DataFrame = {
+    val sets = df.select(col(idCol).cast("long").as("doc_id"),
+        graft.functions.shingleHash64(tokens(col(textCol)), shingleSize).as("hashes"))
+      .localCheckpoint(eager = false) // prefix build + verification joins
+    val toks = sets.select(col("doc_id"), explode(col("hashes")).as("h"))
+    val freq = toks.groupBy("h").agg(count(lit(1)).as("f"))
+    val w = Window.partitionBy("doc_id").orderBy(col("f"), col("h"))
+    val prefix = toks.join(freq, Seq("h"))
+      .withColumn("ord", row_number().over(w))
+      .withColumn("len", count(lit(1)).over(Window.partitionBy("doc_id")))
+      .filter(col("ord") <= col("len") - ceil(col("len") * tau) + 1)
+      .select(col("h"), col("doc_id"))
+    val cands = prefix.as("a")
+      .join(toks.as("b"), col("a.h") === col("b.h") && col("a.doc_id") =!= col("b.doc_id"))
+      .select(col("a.doc_id").as("id1"), col("b.doc_id").as("id2"))
+      .distinct()
+    cands
+      .join(sets.select(col("doc_id").as("id1"), col("hashes").as("h1")), Seq("id1"))
+      .join(sets.select(col("doc_id").as("id2"), col("hashes").as("h2")), Seq("id2"))
+      .select(col("id1"), col("id2"),
+        (size(array_intersect(col("h1"), col("h2"))).cast("double") /
+          size(col("h1")).cast("double")).as("containment"))
+      .filter(col("containment") >= tau)
+  }
+
   /** Near-duplicate pairs over any 64-bit perceptual hash column
     * (simhash, image dHash, audio chromaprint-style keys): pigeonhole
     * banding into `maxHamming + 1` bit chunks — hamming ≤ maxHamming

@@ -192,6 +192,67 @@ object Graph {
     dist
   }
 
+  /** Community detection by synchronous label propagation (Raghavan,
+    * Albert & Kumara, Phys. Rev. E 76, 2007, public) with DETERMINISTIC
+    * tie-breaking — the cheap clustering pass a corpus pipeline runs
+    * over its domain/link graph to group related sources before
+    * per-community sampling or quality weighting.
+    *
+    *   label₀(v)   = v
+    *   labelᵢ₊₁(v) = argmax_ℓ |{u ∈ N(v) : labelᵢ(u) = ℓ}|,
+    *                 ties broken toward the SMALLEST label
+    *
+    * Classic LPA breaks ties randomly and updates asynchronously, which
+    * is untestable; this variant is synchronous with a total (−votes,
+    * label) pick order, so round-R output is a pure function of the
+    * edge list — bit-identical under any partitioning and replayable in
+    * SQL (gate g4's unrolled oracle). Synchronous LPA can oscillate on
+    * bipartite structures instead of converging; round-bounded
+    * semantics make that a feature (the gate holds at ANY round count),
+    * and callers wanting a fixed point run with higher `iterations` and
+    * compare successive rounds.
+    *
+    * Scale posture: the symmetrized deduped edge list is built once
+    * (one shuffle) and reused every round; each round is one equi-join
+    * edge⋈labels (on the edge list's existing src partitioning) plus
+    * two hash aggregates — (node, label) vote counts, then the per-node
+    * pick via `min_by` over the (−votes, label) order (hash aggregate,
+    * no window sort). Every label table has exactly one consumer, so
+    * lineage stays linear in `iterations` with no checkpoint barrier;
+    * driver state is the loop counter.
+    *
+    * Self-loops are dropped; isolated nodes (no non-loop edges) are
+    * absent from the output. After symmetrization every remaining node
+    * has >= 1 neighbor, so no keep-own-label spine join is needed.
+    *
+    * @return (node, label) — nodes sharing a label form one community
+    */
+  def labelPropagation(
+      edges: DataFrame,
+      srcCol: String,
+      dstCol: String,
+      iterations: Int): DataFrame = {
+    require(iterations >= 0, s"iterations must be >= 0, got $iterations")
+    val raw = edges.select(
+      col(srcCol).cast("long").as("src"), col(dstCol).cast("long").as("dst"))
+    val e = raw.unionAll(raw.select(col("dst").as("src"), col("src").as("dst")))
+      .filter(col("src") =!= col("dst"))
+      .distinct()
+      .localCheckpoint(eager = false) // reused by every round's join
+    var lab = e.select(col("src").as("node")).distinct()
+      .select(col("node"), col("node").as("label"))
+    for (_ <- 1 to iterations) {
+      val votes = e
+        .join(lab.select(col("node").as("src"), col("label")), Seq("src"))
+        .groupBy(col("dst").as("node"), col("label"))
+        .agg(count(lit(1)).as("v"))
+      lab = votes.groupBy("node")
+        .agg(min_by(col("label"),
+          struct((-col("v")).as("nv"), col("label").as("lb"))).as("label"))
+    }
+    lab
+  }
+
   /** Triangle counting with degree orientation — the standard trick
     * that makes distributed triangle enumeration feasible (Suri &
     * Vassilvitskii, WWW'11 "Counting Triangles and the Curse of the

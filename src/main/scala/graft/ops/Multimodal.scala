@@ -33,6 +33,10 @@ object Multimodal {
   case class FrameFeatures(media_id: Long, frame_idx: Int, width: Int,
       height: Int, mean_val: Double)
 
+  /** Consecutive-frame change signal: mean absolute pixel difference
+    * between frame `frame_idx` and frame `frame_idx − 1`. */
+  case class FrameDelta(media_id: Long, frame_idx: Int, mad: Double)
+
   /** Deterministic payload generators (the stand-in for files read from
     * a binary source). Pixels and samples follow closed-form formulas of
     * (id, x, y) so lossless decodes have an exact SQL oracle. */
@@ -63,11 +67,26 @@ object Multimodal {
     def grayVidAt(id: Long, f: Int, x: Int, y: Int): Int =
       ((x * 7 + y * 13 + id * 31 + f * 19) % 256).toInt
 
+    /** Scene-structured variant of [[grayVidAt]]: frames share content
+      * within a `sceneLen`-frame scene (the f div sceneLen term) and
+      * jump at every scene boundary, so consecutive-frame deltas are
+      * exactly 0 inside a scene and large (≥ 47·min-wrap share) at
+      * each boundary — the fixture for cut detection. */
+    def graySceneAt(id: Long, f: Int, sceneLen: Int, x: Int, y: Int): Int =
+      ((x * 7 + y * 13 + id * 31 + (f / sceneLen).toLong * 47) % 256).toInt
+
     /** Uncompressed YUV4MPEG2 stream (the mjpegtools interchange
       * format): ASCII stream header, then `FRAME\n` + one raw plane per
       * frame. `Cmono` keeps a single luma plane, so every pixel is the
       * closed-form gray value — lossless, hence SQL-oracle-able. */
-    def y4m(id: Long, w: Int, h: Int, frames: Int): Array[Byte] = {
+    def y4m(id: Long, w: Int, h: Int, frames: Int): Array[Byte] =
+      y4mOf(w, h, frames)((f, x, y) => grayVidAt(id, f, x, y))
+
+    /** [[y4m]] with [[graySceneAt]] pixels — identical container. */
+    def y4mScenes(id: Long, w: Int, h: Int, frames: Int, sceneLen: Int): Array[Byte] =
+      y4mOf(w, h, frames)((f, x, y) => graySceneAt(id, f, sceneLen, x, y))
+
+    private def y4mOf(w: Int, h: Int, frames: Int)(px: (Int, Int, Int) => Int): Array[Byte] = {
       val bos = new java.io.ByteArrayOutputStream()
       bos.write(s"YUV4MPEG2 W$w H$h F10:1 Ip A1:1 Cmono\n".getBytes("US-ASCII"))
       val frameHdr = "FRAME\n".getBytes("US-ASCII")
@@ -77,7 +96,7 @@ object Multimodal {
         var y = 0
         while (y < h) {
           var x = 0
-          while (x < w) { bos.write(grayVidAt(id, f, x, y)); x += 1 }
+          while (x < w) { bos.write(px(f, x, y)); x += 1 }
           y += 1
         }
         f += 1
@@ -267,6 +286,55 @@ object Multimodal {
       out.toSeq
     }
 
+    /** Consecutive-frame mean absolute pixel difference over a
+      * YUV4MPEG2 stream: one [[FrameDelta]] per frame index >= 1. The
+      * whole walk is record-local (a video is ONE row), so the scene
+      * signal costs a single sequential decode with two frame buffers
+      * — no shuffle, no cross-row state. Same bounds-checked chunk walk
+      * as [[frameSample]]. */
+    def frameDeltas(r: MediaRecord): Seq[FrameDelta] = {
+      val c = r.content
+      val nl = c.indexOf('\n'.toByte)
+      require(nl > 0, "missing YUV4MPEG2 stream header")
+      val header = new String(c, 0, nl, "US-ASCII")
+      require(header.startsWith("YUV4MPEG2"), "not a YUV4MPEG2 payload")
+      val tags = header.split(' ').drop(1)
+      def tag(p: Char): Option[String] =
+        tags.find(t => t.nonEmpty && t.head == p).map(_.tail)
+      val w = tag('W').map(_.toInt).getOrElse(sys.error("missing W tag"))
+      val h = tag('H').map(_.toInt).getOrElse(sys.error("missing H tag"))
+      require(w > 0 && h > 0, s"bad dimensions ${w}x$h")
+      require(tag('C').forall(_ == "mono"),
+        s"only Cmono streams supported, got C${tag('C').get}")
+      val frameBytes = w * h
+      val out = scala.collection.mutable.ArrayBuffer.empty[FrameDelta]
+      var prevStart = -1
+      var pos = nl + 1
+      var f = 0
+      while (pos < c.length) {
+        val fnl = c.indexOf('\n'.toByte, pos)
+        require(fnl >= pos + 5 &&
+          new String(c, pos, 5, "US-ASCII") == "FRAME",
+          s"expected FRAME marker at byte $pos")
+        val dataStart = fnl + 1
+        require(dataStart + frameBytes <= c.length,
+          s"truncated frame $f at byte $dataStart")
+        if (prevStart >= 0) {
+          var sum = 0L
+          var i = 0
+          while (i < frameBytes) {
+            sum += math.abs((c(dataStart + i) & 0xff) - (c(prevStart + i) & 0xff))
+            i += 1
+          }
+          out += FrameDelta(r.media_id, f, sum.toDouble / frameBytes)
+        }
+        prevStart = dataStart
+        pos = dataStart + frameBytes
+        f += 1
+      }
+      out.toSeq
+    }
+
     /** 64-bit difference hash (dHash, public: Krawetz 2013 "Kind of
       * Like That"): nearest-neighbor downsample to a 9×8 gray grid,
       * then one bit per adjacent-pixel comparison (left > right), bit
@@ -411,6 +479,42 @@ object Multimodal {
     media.mapPartitions { it =>
       it.grouped(MediaCodec.batchSize)
         .flatMap(_.flatMap(r => MediaCodec.frameSample(r, stride)))
+    }
+  }
+
+  /** Synthesize a deterministic SCENE-structured video table:
+    * [[MediaGen.y4mScenes]] streams whose frames are identical within a
+    * `sceneLen`-frame scene and jump at boundaries — the fixture for
+    * [[sceneCuts]]. Executor-side like [[syntheticVideo]]. */
+  def syntheticSceneVideo(df: DataFrame, idCol: String, sceneLen: Int = 4)(
+      implicit spark: SparkSession): Dataset[MediaRecord] = {
+    import spark.implicits._
+    df.select(col(idCol).cast("long").as("id")).as[Long].map { id =>
+      val w = (id % 16 + 4).toInt
+      val h = (id % 12 + 4).toInt
+      val frames = (id % 10 + 6).toInt
+      MediaRecord(id, MediaGen.y4mScenes(id, w, h, frames, sceneLen),
+        MediaMeta("y4m", w, h, frames * 100L))
+    }
+  }
+
+  /** Scene-change (shot-cut) detection over a video column: a cut is a
+    * frame whose mean absolute pixel difference from its predecessor
+    * reaches `threshold` (0–255 gray scale). The per-record decode
+    * emits at most frames−1 (media_id, frame_idx, mad) rows and the
+    * comparison is record-local, so — like every multimodal operator
+    * here — video bytes never shuffle; at 100 TB the cost is exactly
+    * one decode pass parallel with the scan, and only the tiny cut
+    * table moves on. Threshold semantics are exact, not heuristic, for
+    * lossless streams (gate m10's closed-form oracle); for lossy
+    * codecs pick a threshold above the codec's residual noise floor
+    * (the m9 banding evidence). */
+  def sceneCuts(media: Dataset[MediaRecord], threshold: Double): Dataset[FrameDelta] = {
+    import media.sparkSession.implicits._
+    media.mapPartitions { it =>
+      it.grouped(MediaCodec.batchSize)
+        .flatMap(_.flatMap(r =>
+          MediaCodec.frameDeltas(r).filter(_.mad >= threshold)))
     }
   }
 

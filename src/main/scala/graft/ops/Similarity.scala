@@ -106,6 +106,51 @@ object Similarity {
       .select(col("qid"), col("rank"), col("cos"), col("id"))
   }
 
+  /** Reciprocal-rank fusion (Cormack, Clarke & Büttcher, SIGIR'09,
+    * public) of ranked candidate lists — the standard way to combine a
+    * lexical (BM25/Jaccard) and a semantic (embedding-cosine) retriever
+    * without score calibration, fused here in FIXED-POINT integer
+    * arithmetic: contribution(list, d) = scale div (kk + rank_list(d)),
+    * summed over the lists that retrieved d. Integer contributions sum
+    * associatively, so fused scores are bit-identical under any
+    * partitioning AND any list count — the textbook float
+    * 1/(kk+rank) formulation would drift in the last ulp for 3+ lists.
+    *
+    * Scale posture: each input is already a per-query bounded candidate
+    * list (top-N from its retriever), so the union shuffles (qid, id,
+    * contribution) triples bounded by N·|lists| per query — never
+    * documents or vectors; the per-query pick is the bounded-heap TopK
+    * aggregate (map-side partial heaps, no window sort). Ties break
+    * toward the larger id, matching [[TopK.perGroup]] order, which the
+    * e17 oracle replays with `ORDER BY rrf_score DESC, id DESC`.
+    *
+    * @param lists ranked lists, each with (qidCol, idCol, rankCol),
+    *              rank 1-based
+    * @return (qid, rank, id, rrf_score) — rank 1..k per query
+    */
+  def rrfFuse(
+      lists: Seq[DataFrame],
+      qidCol: String,
+      idCol: String,
+      rankCol: String,
+      k: Int,
+      kk: Int = 60,
+      scale: Long = 1000000000000L): DataFrame = {
+    require(lists.nonEmpty, "rrfFuse needs at least one ranked list")
+    require(k > 0 && kk >= 0 && scale > 0,
+      s"need k > 0, kk >= 0, scale > 0; got k=$k kk=$kk scale=$scale")
+    val u = lists.map(_.select(
+        col(qidCol).cast("long").as("qid"),
+        col(idCol).cast("long").as("id"),
+        col(rankCol).cast("long").as("r")))
+      .reduce(_.unionAll(_))
+      .select(col("qid"), col("id"),
+        expr(s"CAST($scale AS BIGINT) div ($kk + r)").as("c"))
+    val fused = u.groupBy("qid", "id").agg(sum("c").as("rrf_score"))
+    TopK.perGroup(fused, Seq("qid"), Seq(col("rrf_score"), col("id")), k)
+      .select(col("qid"), col("rank"), col("id"), col("rrf_score"))
+  }
+
   /** IVF (inverted-file) approximate search: k-means the corpus into
     * `nlist` cells offline, search only the `nprobe` cells whose
     * centroids are closest to the query.

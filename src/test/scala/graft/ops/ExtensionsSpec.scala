@@ -259,6 +259,36 @@ class DedupSpec extends AnyFunSuite with SparkTestBase {
     assert(want.nonEmpty) // the i%6 groups guarantee real near-dups
   }
 
+  test("containmentPairs equals brute force and catches excerpts Jaccard misses") {
+    import spark.implicits._
+    val full = (0L until 12L).map { i =>
+      (i, (0 until 20).map(w => s"w${i % 4}_$w").mkString(" "))
+    }
+    // excerpts: first 5 words of each %4==0 doc — containment 1.0 in the
+    // source, but Jaccard vs the 20-word source is ~4/19 < any useful tau
+    val excerpts = full.filter(_._1 % 4 == 0).map { case (i, t) =>
+      (i + 100L, t.split(" ").take(5).mkString(" ")) }
+    val corpus = full ++ excerpts
+    val df = corpus.toDF("doc_id", "text")
+    val got = Dedup.containmentPairs(df, "doc_id", "text", shingleSize = 2, tau = 0.8)
+      .select("id1", "id2").as[(Long, Long)].collect().toSet
+    def shingles(t: String): Set[String] = {
+      val ts = t.split(" ").toSeq
+      (0 until math.max(ts.size - 1, 1)).map(i => ts.slice(i, i + 2).mkString(" ")).toSet
+    }
+    val want = (for {
+      (i, ti) <- corpus; (j, tj) <- corpus if i != j
+      si = shingles(ti); sj = shingles(tj)
+      c = si.intersect(sj).size.toDouble / si.size.toDouble
+      if c >= 0.8
+    } yield (i, j)).toSet
+    assert(got === want)
+    // every excerpt is contained in its source (directed edge present) …
+    assert(excerpts.forall { case (eid, _) => got.contains((eid, eid - 100L)) })
+    // … and no 20-word source is "contained" in its 5-word excerpt
+    assert(excerpts.forall { case (eid, _) => !got.contains((eid - 100L, eid)) })
+  }
+
   test("hammingPairs64 equals brute force for hamming <= maxHamming (pigeonhole)") {
     import spark.implicits._
     // 64-bit keys engineered around a base value: flips of 1..5 bits
@@ -421,6 +451,31 @@ class DedupSpec extends AnyFunSuite with SparkTestBase {
 
 class SimilaritySpec extends AnyFunSuite with SparkTestBase {
   import graft.functions.simhash60
+
+  test("rrfFuse: fixed-point RRF, docs in both lists outrank either list's top") {
+    import spark.implicits._
+    val lex = Seq((0L, 10L, 1L), (0L, 11L, 2L), (0L, 12L, 3L)).toDF("qid", "id", "rank")
+    val sem = Seq((0L, 11L, 1L), (0L, 12L, 2L), (0L, 13L, 3L)).toDF("qid", "id", "rank")
+    val got = Similarity.rrfFuse(Seq(lex, sem), "qid", "id", "rank", k = 4)
+      .select("rank", "id", "rrf_score")
+      .as[(Long, Long, Long)].collect().toList.sortBy(_._1)
+    def c(r: Long) = 1000000000000L / (60L + r)
+    val scores = Map(10L -> c(1), 11L -> (c(2) + c(1)), 12L -> (c(3) + c(2)), 13L -> c(3))
+    val want = scores.toList.sortBy { case (id, sc) => (-sc, -id) }
+      .zipWithIndex.map { case ((id, sc), i) => (i + 1L, id, sc) }
+    assert(got === want)
+    // both-list docs 11 and 12 beat single-list rank-1 doc 10
+    assert(got.take(2).map(_._2).toSet === Set(11L, 12L))
+  }
+
+  test("rrfFuse keeps queries independent and respects k") {
+    import spark.implicits._
+    val l1 = Seq((0L, 1L, 1L), (0L, 2L, 2L), (7L, 5L, 1L)).toDF("qid", "id", "rank")
+    val l2 = Seq((7L, 6L, 1L), (7L, 5L, 2L)).toDF("qid", "id", "rank")
+    val got = Similarity.rrfFuse(Seq(l1, l2), "qid", "id", "rank", k = 1)
+      .select("qid", "id").as[(Long, Long)].collect().toSet
+    assert(got === Set((0L, 1L), (7L, 5L)))
+  }
 
   test("clusterBalancedSample takes at most perCell per cell, covering all cells") {
     import spark.implicits._
@@ -1411,6 +1466,35 @@ class MultimodalSpec extends AnyFunSuite with SparkTestBase {
       fs.length == ((id % 12 + 2).toInt + 2) / 3 })
   }
 
+  test("frameDeltas: zero inside scenes, formula-exact mad at boundaries") {
+    val (id, w, h, frames, sl) = (5L, 6, 4, 10, 4)
+    val r = Multimodal.MediaRecord(id,
+      Multimodal.MediaGen.y4mScenes(id, w, h, frames, sl),
+      Multimodal.MediaMeta("y4m", w, h, frames * 100L))
+    val ds = Multimodal.MediaCodec.frameDeltas(r)
+    assert(ds.map(_.frame_idx) === (1 until frames))
+    val (cuts, flat) = ds.partition(_.frame_idx % sl == 0)
+    assert(flat.forall(_.mad == 0.0))
+    assert(cuts.map(_.frame_idx) === Seq(4, 8))
+    assert(cuts.forall(_.mad > 1.0))
+    val want = (for { y <- 0 until h; x <- 0 until w } yield math.abs(
+      Multimodal.MediaGen.graySceneAt(id, 4, sl, x, y) -
+        Multimodal.MediaGen.graySceneAt(id, 3, sl, x, y))).sum.toDouble / (w * h)
+    assert(ds.find(_.frame_idx == 4).get.mad === want)
+  }
+
+  test("sceneCuts keeps only above-threshold boundaries, record-locally") {
+    val vids = Multimodal.syntheticSceneVideo(
+      spark.range(0, 12).toDF("id"), "id")(spark)
+    val cuts = Multimodal.sceneCuts(vids, threshold = 1.0).collect()
+    // every cut sits on a scene boundary below the stream's frame count
+    assert(cuts.nonEmpty)
+    assert(cuts.forall(c => c.frame_idx % 4 == 0 && c.frame_idx > 0))
+    assert(cuts.forall(c => c.frame_idx < c.media_id % 10 + 6))
+    // id 0: frames = 6 → exactly one boundary at 4
+    assert(cuts.filter(_.media_id == 0L).map(_.frame_idx).toSeq === Seq(4))
+  }
+
   test("corrupt y4m streams fail fast instead of spinning") {
     def rec(bytes: Array[Byte]) =
       Multimodal.MediaRecord(0L, bytes, Multimodal.MediaMeta("y4m", 4, 4, 0L))
@@ -1430,5 +1514,53 @@ class MultimodalSpec extends AnyFunSuite with SparkTestBase {
     intercept[IllegalArgumentException] {
       Multimodal.MediaCodec.frameSample(rec(c420), 1)
     }
+  }
+}
+
+class UrlsSpec extends AnyFunSuite with SparkTestBase {
+
+  private def canon(urls: String*): Seq[String] = {
+    import spark.implicits._
+    urls.toDF("url").select(Urls.canonicalizeUrl(col("url")).as("c"))
+      .as[String].collect().toSeq
+  }
+
+  test("canonicalizeUrl: every normalization branch") {
+    assert(canon(
+      "HTTP://WWW.Example.COM:80/Articles/7/?utm_source=feed&b=2&a=1#frag",
+      "https://example.com:443/Articles/7?a=1&b=2",
+      "http://example.com/Articles/7?b=2&a=1&fbclid=xyz",
+      " http://example.com/Articles/7?a=1&b=2 ",
+      "http://example.com/?utm_campaign=x",
+      "https://example.com:8443/p",      // NON-default port survives
+      "http://example.com/CaseSensitive/Path"
+    ) === Seq(
+      "http://example.com/Articles/7?a=1&b=2",
+      "https://example.com/Articles/7?a=1&b=2",
+      "http://example.com/Articles/7?a=1&b=2",
+      "http://example.com/Articles/7?a=1&b=2",
+      "http://example.com",
+      "https://example.com:8443/p",
+      "http://example.com/CaseSensitive/Path"))
+  }
+
+  test("canonicalizeUrl: non-URL strings degrade gracefully") {
+    // no authority match: treated as all-path (trailing slash stripped)
+    assert(canon("not a url/", "relative/path?b=2&a=1#x") ===
+      Seq("not a url", "relative/path?a=1&b=2"))
+  }
+
+  test("urlDedup collapses spelling variants to min id with counts") {
+    import spark.implicits._
+    val df = Seq(
+      (1L, "http://www.Example.com/A?b=2&a=1"),
+      (2L, "HTTP://example.COM:80/A/?a=1&b=2#z"),
+      (3L, "http://example.com/A?a=1&b=2&utm_medium=email"),
+      (9L, "https://example.com/B")).toDF("doc_id", "url")
+    val got = Urls.urlDedup(df, "doc_id", "url")
+      .as[(String, Long, Long)].collect().toSet
+    assert(got === Set(
+      ("http://example.com/A?a=1&b=2", 1L, 3L),
+      ("https://example.com/B", 9L, 1L)))
   }
 }

@@ -132,4 +132,58 @@ class GraphSpec extends AnyFunSuite with SparkTestBase {
       .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
     assert(a === b)
   }
+
+  private def lpa(edges: Seq[(Long, Long)], iters: Int): Map[Long, Long] =
+    Graph.labelPropagation(edges.toDF("src", "dst"), "src", "dst", iters)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+
+  /** Reference simulation: synchronous rounds, (−votes, label) pick. */
+  private def lpaBrute(edges: Seq[(Long, Long)], iters: Int): Map[Long, Long] = {
+    val sym = edges.flatMap { case (a, b) => Seq((a, b), (b, a)) }
+      .filter(e => e._1 != e._2).distinct
+    val nbrs = sym.groupBy(_._1).map { case (n, es) => n -> es.map(_._2) }
+    var lab = nbrs.keys.map(n => n -> n).toMap
+    for (_ <- 1 to iters) {
+      lab = nbrs.map { case (n, ns) =>
+        val votes = ns.groupBy(lab).map { case (l, xs) => (l, xs.size) }
+        n -> votes.toSeq.minBy { case (l, v) => (-v, l) }._1
+      }
+    }
+    lab
+  }
+
+  test("two cliques joined by one bridge resolve to two communities") {
+    val cliqueA = for (i <- 0L to 3L; j <- 0L to 3L if i < j) yield (i, j)
+    val cliqueB = for (i <- 10L to 13L; j <- 10L to 13L if i < j) yield (i, j)
+    val g = cliqueA ++ cliqueB :+ ((3L, 10L))
+    val got = lpa(g, 5)
+    assert(got === lpaBrute(g, 5))
+    // everyone in clique A converges to min label 0; clique B to 10
+    assert((0L to 3L).forall(got(_) === 0L))
+    assert((11L to 13L).forall(got(_) === 10L))
+  }
+
+  test("labels match the brute-force simulation on a random graph") {
+    val edges = (0L until 200L).map(i => (i % 30, (i * 11 + 5) % 30))
+      .filter(e => e._1 != e._2)
+    for (iters <- Seq(0, 1, 3))
+      assert(lpa(edges, iters) === lpaBrute(edges, iters))
+  }
+
+  test("label propagation ignores direction, duplicates, and self-loops") {
+    val g = Seq((1L, 2L), (2L, 1L), (1L, 2L), (3L, 3L), (2L, 3L))
+    assert(lpa(g, 2) === lpaBrute(g, 2))
+    assert(!lpa(g, 2).contains(4L)) // absent node stays absent
+  }
+
+  test("label propagation is bit-identical under repartitioning") {
+    val edges = (0L until 300L).map(i => (i % 25, (i * 7 + 3) % 25))
+      .filter(e => e._1 != e._2)
+    val a = lpa(edges, 4)
+    val b = Graph.labelPropagation(
+        edges.toDF("src", "dst").repartition(8, col("dst")),
+        "src", "dst", 4)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(a === b)
+  }
 }
