@@ -62,7 +62,10 @@ object Bench {
         fn: (SparkSession, String) => org.apache.spark.sql.DataFrame): Unit = {
       val t0 = System.nanoTime()
       val ok = try { fn(spark, sfDir).count(); true }
-               catch { case _: Throwable => false }
+               catch { case e: Throwable =>
+                 // surface the reason: a silent -1 cost round 8 a log dive
+                 System.err.println(s"[bench] $name failed: ${e.getMessage}")
+                 false }
       val sec = (System.nanoTime() - t0) / 1e9
       val p = graft.util.BenchProbe.drain()
       // a failed rep must never override a valid measurement with its

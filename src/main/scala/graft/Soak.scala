@@ -161,6 +161,17 @@ object Soak {
         val n = pairs.count()
         audits += "hamming_skew" -> auditCounters(audit)
         n
+      },
+      measure("containment_skew") { // d42-path behind its documented guard
+        // the 10^4-duplicate cluster is the containment join's worst
+        // case (every copy contains every other at 1.0 -> O(n^2)
+        // DIRECTED pairs); the scaladoc-mandated exact-dup pre-collapse
+        // reduces it to ONE representative before the prefix⋈index
+        // join. The template family is excluded: its ~25M true pairs
+        // are the ANSWER being quadratic, not a plan pathology.
+        ops.Dedup.containmentPairs(
+          ops.Dedup.collapseExactText(docsN.unionAll(hotDup), "doc_id", "text"),
+          "doc_id", "text", shingleSize = 3, tau = 0.8).count()
       })
 
     val auditJson = audits.toSeq.sortBy(_._1).map { case (n, (b, mx, p)) =>

@@ -1091,6 +1091,25 @@ object SparkEntry {
         .orderBy("id1", "id2")
     }),
 
+    // ---- policy-based near-dup collapse: LSH pairs → connected
+    // components → keep the highest-quality member per cluster (ties →
+    // min id) — the survivor rule a production crawl actually wants ------
+    "d46_collapse_best" -> ((s, dir) => {
+      import graft.functions.TextFunctions
+      val docs = t(s, dir, "documents").select("doc_id", "text")
+      val perturbed = docs.filter(col("doc_id") % 50 === 0)
+        .select((col("doc_id") + 1000000).as("doc_id"),
+          concat(col("text"), lit(" zzz extra suffix")).as("text"))
+      val aug = docs.unionAll(perturbed)
+      val clusters = ops.Dedup.connectedComponents(
+        ops.Dedup.minhashLshPairs(aug, "doc_id", "text",
+          k = 12, bands = 6, shingleSize = 3, tau = 0.5))
+      val scored = aug.select(col("doc_id"),
+        TextFunctions.qualityScore(col("text")).as("q"))
+      ops.Dedup.collapseClustersBest(scored, "doc_id", "q", clusters)
+        .orderBy("cluster_rep")
+    }),
+
     // ---- simhash near-dup pipeline over augmented corpus --------------
     "d7_simhash_pairs" -> ((s, dir) => {
       val docs = t(s, dir, "documents").select("doc_id", "text")
@@ -1923,6 +1942,17 @@ object SparkEntry {
         .orderBy("node")
     }),
 
+    // ---- k-core peeling: 3 synchronous degree-prune rounds at k=25 on
+    // the supplier—part graph — the structural fringe filter; the
+    // multi-round cascade is proven on a path graph in the spec ----------
+    "g5_kcore" -> ((s, dir) => {
+      val li = t(s, dir, "lineitem")
+      val edges = li.select(col("l_suppkey").cast("long").as("src"),
+        (col("l_partkey").cast("long") + 1000000L).as("dst"))
+      ops.Graph.kCore(edges, "src", "dst", k = 25, rounds = 3)
+        .orderBy("node")
+    }),
+
     // ---- gaps-and-islands over a sparse key subset: distributed via
     // per-range fragments + connected-components merge (the oracle uses
     // the single-sort window formulation — same result) -----------------
@@ -2442,11 +2472,18 @@ object SparkEntry {
           .as("value"))
       val written = io.DataFrameIO.write(lines,
         io.SourceParams("text", Some(s"$gateTmp/quarantine-jsonl")))
+      // the parse is CACHED before deriving streams: Spark rejects any
+      // query whose pruned raw-JSON scan references ONLY the corrupt
+      // column (QUERY_ONLY_CORRUPT_RECORD_COLUMN) — a count() over this
+      // aggregate prunes the sums away and trips exactly that. The cache
+      // is also the production quarantine shape: parse once, then split
+      // into clean + quarantined streams from the materialized result
       val parsed = s.read
         .schema("k long, v long, _corrupt_record string")
         .option("mode", "PERMISSIVE")
         .option("columnNameOfCorruptRecord", "_corrupt_record")
         .json(written)
+        .cache()
       parsed.select(col("_corrupt_record").isNotNull.as("quarantined"),
           col("k"), col("v"))
         .groupBy("quarantined")
@@ -3474,6 +3511,45 @@ object SparkEntry {
          |ORDER BY doc_id""".stripMargin
     },
 
+    // d6's pairs chain + d17's reach CC + the quality argmax pick:
+    // max(struct(score, −id)) ≡ ORDER BY q DESC, doc_id ASC
+    "d46_collapse_best" -> {
+      val augSql =
+        """SELECT doc_id, text FROM documents
+          |  UNION ALL
+          |  SELECT doc_id + 1000000 AS doc_id, text || ' zzz extra suffix' AS text
+          |  FROM documents WHERE doc_id % 50 = 0""".stripMargin
+      val pairsSql = OracleSql.minhashLshPairs(augSql,
+        k = 12, bands = 6, shingleSize = 3, tau = 0.5, maxBucket = 1000)
+      s"""WITH RECURSIVE pairs AS (
+         |$pairsSql
+         |),
+         |edges AS (
+         |  SELECT id1 AS a, id2 AS b FROM pairs
+         |  UNION
+         |  SELECT id2, id1 FROM pairs),
+         |reach(node, lab) AS (
+         |  SELECT a, a FROM (SELECT DISTINCT a FROM edges)
+         |  UNION
+         |  SELECT e.a, r.lab FROM edges e JOIN reach r ON r.node = e.b),
+         |clusters AS (SELECT node, MIN(lab) AS rep FROM reach GROUP BY node),
+         |aug2 AS ($augSql),
+         |scored AS (
+         |  SELECT doc_id, ${OracleSql.qualityScore("text")} AS q FROM aug2),
+         |withc AS (
+         |  SELECT s.doc_id, s.q, COALESCE(c.rep, s.doc_id) AS cluster_rep
+         |  FROM scored s LEFT JOIN clusters c ON c.node = s.doc_id),
+         |picked AS (
+         |  SELECT cluster_rep, doc_id AS keep_id, q AS keep_score,
+         |    ROW_NUMBER() OVER (PARTITION BY cluster_rep
+         |      ORDER BY q DESC, doc_id) AS rn
+         |  FROM withc),
+         |cnt AS (SELECT cluster_rep, COUNT(*) AS n_members FROM withc GROUP BY 1)
+         |SELECT p.cluster_rep, p.keep_id, p.keep_score, c.n_members
+         |FROM picked p JOIN cnt c USING (cluster_rep)
+         |WHERE p.rn = 1 ORDER BY cluster_rep""".stripMargin
+    },
+
     "d10_sample" ->
       s"""SELECT doc_id, lang FROM documents
          |WHERE ${OracleSql.h64("'graft-sample-' || CAST(doc_id AS VARCHAR)")} % 100
@@ -4495,6 +4571,26 @@ object SparkEntry {
         |  SELECT node, label, ROW_NUMBER() OVER (PARTITION BY node
         |    ORDER BY v DESC, label) AS rn FROM v3) WHERE rn = 1)
         |SELECT node, label FROM l3 ORDER BY node""".stripMargin,
+
+    // 3 unrolled synchronous peel rounds: degree census, keep >= k,
+    // restrict edges to kept endpoints — then report surviving degrees
+    "g5_kcore" ->
+      """WITH r AS (
+        |  SELECT DISTINCT CAST(l_suppkey AS BIGINT) AS src,
+        |         1000000 + CAST(l_partkey AS BIGINT) AS dst
+        |  FROM lineitem),
+        |e0 AS (SELECT src, dst FROM r UNION SELECT dst, src FROM r),
+        |k1 AS (SELECT src AS n FROM e0 GROUP BY src HAVING COUNT(*) >= 25),
+        |e1 AS (SELECT e.src, e.dst FROM e0 e
+        |       JOIN k1 a ON e.src = a.n JOIN k1 b ON e.dst = b.n),
+        |k2 AS (SELECT src AS n FROM e1 GROUP BY src HAVING COUNT(*) >= 25),
+        |e2 AS (SELECT e.src, e.dst FROM e1 e
+        |       JOIN k2 a ON e.src = a.n JOIN k2 b ON e.dst = b.n),
+        |k3 AS (SELECT src AS n FROM e2 GROUP BY src HAVING COUNT(*) >= 25),
+        |e3 AS (SELECT e.src, e.dst FROM e2 e
+        |       JOIN k3 a ON e.src = a.n JOIN k3 b ON e.dst = b.n)
+        |SELECT src AS node, COUNT(*) AS degree
+        |FROM e3 GROUP BY 1 ORDER BY 1""".stripMargin,
 
     "q56_islands" ->
       """WITH k AS (

@@ -812,6 +812,43 @@ object Dedup {
     hashed.select("doc_id").join(dropped, Seq("doc_id"), "left_anti")
   }
 
+  /** Policy-based near-dup cluster collapse: keep the BEST row per
+    * cluster by a caller-supplied score (ties → smallest id) — the
+    * production variant of [[dedupCorpus]]'s min-id survivor rule. A
+    * crawl pipeline keeps the highest-quality copy of each near-dup
+    * family (longest, cleanest, least boilerplate), not the
+    * first-crawled one; any scoring column works
+    * ([[graft.functions.TextFunctions.qualityScore]], a model score,
+    * source priority).
+    *
+    * `clusters` is [[connectedComponents]] output (node, cluster_rep);
+    * rows absent from every cluster form their own singleton. The pick
+    * is one `max(struct(score, −id))` hash aggregate on the cluster
+    * key — total order, so deterministic under any partitioning, and
+    * no window sort. Scale shape: one left join (ids + scores move,
+    * never text) plus that aggregate.
+    *
+    * @return (cluster_rep, keep_id, keep_score, n_members)
+    */
+  def collapseClustersBest(
+      df: DataFrame,
+      idCol: String,
+      scoreCol: String,
+      clusters: DataFrame): DataFrame = {
+    val d = df.select(col(idCol).cast("long").as("doc_id"),
+      col(scoreCol).cast("double").as("score"))
+    d.join(clusters.select(col("node").as("doc_id"), col("cluster_rep")),
+        Seq("doc_id"), "left")
+      .select(coalesce(col("cluster_rep"), col("doc_id")).as("cluster_rep"),
+        col("doc_id"), col("score"))
+      .groupBy("cluster_rep")
+      .agg(max(struct(col("score").as("keep_score"),
+          (-col("doc_id")).as("neg_id"))).as("m"),
+        count(lit(1)).as("n_members"))
+      .select(col("cluster_rep"), (-col("m.neg_id")).as("keep_id"),
+        col("m.keep_score"), col("n_members"))
+  }
+
   /** Embedding near-duplicate pairs: exact cosine within a blocking
     * column (e.g. a cluster/label id or LSH bucket). Vectors are cast to
     * double and reduced with a sequential fold — IEEE-exact. */

@@ -253,6 +253,57 @@ object Graph {
     lab
   }
 
+  /** Round-bounded k-core decomposition by synchronous degree peeling
+    * (Seidman, Social Networks 1983, public): each round computes every
+    * node's degree in the CURRENT subgraph and removes all nodes with
+    * degree < k at once; the surviving subgraph after enough rounds is
+    * the k-core. Corpus pipelines use it to strip low-engagement
+    * fringe (spam domains, drive-by links) from the link graph before
+    * authority scoring — a cheap structural quality filter.
+    *
+    * Synchronous whole-round peeling makes round-R output a pure
+    * function of the edge list (bit-identical under any partitioning,
+    * replayable by g5's unrolled SQL oracle); peeling is monotone —
+    * removed nodes can never re-qualify — so round-R output for R >=
+    * the peel depth IS the exact k-core (spec-checked against a
+    * brute-force fixpoint).
+    *
+    * Scale posture: each round is one degree hash-aggregate plus two
+    * semi-join-shaped equi-joins restricting the edge list to
+    * surviving endpoints. The edge list branches three ways per round
+    * (degree pass + both endpoint filters), so each round ends in a
+    * lazy localCheckpoint — without it the plan would grow 3^R. Driver
+    * state is the loop counter.
+    *
+    * @return (node, degree) of surviving nodes with their degree in
+    *         the surviving subgraph
+    */
+  def kCore(
+      edges: DataFrame,
+      srcCol: String,
+      dstCol: String,
+      k: Int,
+      rounds: Int): DataFrame = {
+    require(k >= 1, s"k must be >= 1, got $k")
+    require(rounds >= 0, s"rounds must be >= 0, got $rounds")
+    val raw = edges.select(
+      col(srcCol).cast("long").as("src"), col(dstCol).cast("long").as("dst"))
+    var e = raw.unionAll(raw.select(col("dst").as("src"), col("src").as("dst")))
+      .filter(col("src") =!= col("dst"))
+      .distinct()
+      .localCheckpoint(eager = false)
+    for (_ <- 1 to rounds) {
+      // symmetric edge list: out-degree IS the undirected degree
+      val keep = e.groupBy("src").agg(count(lit(1)).as("d"))
+        .filter(col("d") >= k).select(col("src").as("n"))
+      e = e.join(keep.select(col("n").as("src")), Seq("src"))
+        .join(keep.select(col("n").as("dst")), Seq("dst"))
+        .select("src", "dst")
+        .localCheckpoint(eager = false)
+    }
+    e.groupBy(col("src").as("node")).agg(count(lit(1)).as("degree"))
+  }
+
   /** Triangle counting with degree orientation — the standard trick
     * that makes distributed triangle enumeration feasible (Suri &
     * Vassilvitskii, WWW'11 "Counting Triangles and the Curse of the

@@ -259,6 +259,16 @@ class DedupSpec extends AnyFunSuite with SparkTestBase {
     assert(want.nonEmpty) // the i%6 groups guarantee real near-dups
   }
 
+  test("collapseClustersBest keeps the top-scoring member, min id on ties") {
+    import spark.implicits._
+    val docs = Seq((1L, 0.5), (2L, 0.9), (3L, 0.9), (9L, 0.1)).toDF("doc_id", "q")
+    val clusters = Seq((1L, 1L), (2L, 1L), (3L, 1L)).toDF("node", "cluster_rep")
+    val got = Dedup.collapseClustersBest(docs, "doc_id", "q", clusters)
+      .as[(Long, Long, Double, Long)].collect().toSet
+    // cluster {1,2,3}: 2 and 3 tie at 0.9 → min id 2 wins; 9 is a singleton
+    assert(got === Set((1L, 2L, 0.9, 3L), (9L, 9L, 0.1, 1L)))
+  }
+
   test("containmentPairs equals brute force and catches excerpts Jaccard misses") {
     import spark.implicits._
     val full = (0L until 12L).map { i =>

@@ -176,6 +176,51 @@ class GraphSpec extends AnyFunSuite with SparkTestBase {
     assert(!lpa(g, 2).contains(4L)) // absent node stays absent
   }
 
+  private def kcore(edges: Seq[(Long, Long)], k: Int, rounds: Int): Map[Long, Long] =
+    Graph.kCore(edges.toDF("src", "dst"), "src", "dst", k, rounds)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+
+  /** Brute-force synchronous peel to a fixpoint (or `rounds`). */
+  private def kcoreBrute(edges: Seq[(Long, Long)], k: Int, rounds: Int): Map[Long, Long] = {
+    var e = edges.flatMap { case (a, b) => Seq((a, b), (b, a)) }
+      .filter(x => x._1 != x._2).distinct
+    for (_ <- 1 to rounds) {
+      val deg = e.groupBy(_._1).map { case (n, es) => n -> es.size }
+      val keep = deg.filter(_._2 >= k).keySet
+      e = e.filter(x => keep(x._1) && keep(x._2))
+    }
+    e.groupBy(_._1).map { case (n, es) => n -> es.size.toLong }
+  }
+
+  test("path graph peels one layer per round — the multi-round cascade") {
+    // 0-1-2-3-4-5 path, k=2: endpoints fall each round until nothing is left
+    val path = (0L until 5L).map(i => (i, i + 1))
+    for (r <- 0 to 3) assert(kcore(path, 2, r) === kcoreBrute(path, 2, r))
+    assert(kcore(path, 2, 3) === Map.empty) // fully peeled
+    // a 4-cycle bolted onto the path survives as the 2-core
+    val g = path ++ Seq((10L, 11L), (11L, 12L), (12L, 13L), (13L, 10L), (5L, 10L))
+    val core = kcore(g, 2, 6)
+    assert(core.keySet === Set(10L, 11L, 12L, 13L))
+    assert(core.values.forall(_ === 2L))
+  }
+
+  test("k-core matches brute force on a random graph at several round counts") {
+    val edges = (0L until 260L).map(i => (i % 28, (i * 13 + 3) % 28))
+      .filter(e => e._1 != e._2)
+    for (k <- Seq(2, 8, 12); r <- Seq(0, 1, 3))
+      assert(kcore(edges, k, r) === kcoreBrute(edges, k, r))
+  }
+
+  test("k-core is bit-identical under repartitioning") {
+    val edges = (0L until 300L).map(i => (i % 25, (i * 7 + 3) % 25))
+      .filter(e => e._1 != e._2)
+    val a = kcore(edges, 6, 3)
+    val b = Graph.kCore(edges.toDF("src", "dst").repartition(8, col("dst")),
+        "src", "dst", 6, 3)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(a === b)
+  }
+
   test("label propagation is bit-identical under repartitioning") {
     val edges = (0L until 300L).map(i => (i % 25, (i * 7 + 3) % 25))
       .filter(e => e._1 != e._2)

@@ -84,4 +84,41 @@ class ShuffleHygieneSpec extends AnyFunSuite with SparkTestBase {
     assert(!cols.exists(c => c.endsWith(":string")),
       s"string column(s) in a knnJoin shuffle: $cols")
   }
+
+  test("containmentPairs shuffles carry no text") {
+    val cols = shuffledColumns(
+      Dedup.containmentPairs(docs, "doc_id", "text", shingleSize = 3, tau = 0.8))
+    assert(cols.nonEmpty)
+    assert(!cols.exists(_.startsWith("text:")), s"text crossed a shuffle: $cols")
+    assert(!cols.exists(_.endsWith(":string")),
+      s"string column(s) in a shuffle: $cols")
+  }
+
+  test("label propagation and k-core shuffle nothing string-typed") {
+    // no text exists in a graph op, but a regression that joined doc
+    // payloads into the loop would surface here as a widened exchange
+    val edges = (0L until 300L).map(i => (i % 25, (i * 7 + 3) % 25))
+      .filter(e => e._1 != e._2).toDF("src", "dst")
+    val lpa = shuffledColumns(
+      graft.ops.Graph.labelPropagation(edges, "src", "dst", 2))
+    assert(lpa.nonEmpty && !lpa.exists(_.endsWith(":string")),
+      s"string column(s) in an LPA shuffle: $lpa")
+    // dense graph: a fully-peeled (empty) core is AQE-propagated to a
+    // LocalTableScan with NO exchanges, which would vacuously pass
+    val dense = (0L until 400L).map(i => (i / 20, i % 20))
+      .filter(e => e._1 != e._2).toDF("src", "dst")
+    val kc = shuffledColumns(graft.ops.Graph.kCore(dense, "src", "dst", 5, 2))
+    assert(kc.nonEmpty && !kc.exists(_.endsWith(":string")),
+      s"string column(s) in a k-core shuffle: $kc")
+  }
+
+  test("rrfFuse shuffles carry rank triples and heap buffers, never strings") {
+    val lex = (0L until 50L).map(i => (i % 5, i, i % 20 + 1)).toDF("qid", "id", "rank")
+    val sem = (0L until 50L).map(i => (i % 5, (i * 7) % 50, i % 20 + 1)).toDF("qid", "id", "rank")
+    val cols = shuffledColumns(
+      Similarity.rrfFuse(Seq(lex, sem), "qid", "id", "rank", k = 5))
+    assert(cols.nonEmpty)
+    assert(!cols.exists(_.endsWith(":string")),
+      s"string column(s) in an rrfFuse shuffle: $cols")
+  }
 }
