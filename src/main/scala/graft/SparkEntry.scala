@@ -43,13 +43,39 @@ object SparkEntry {
     p.toString
   }
 
-  /** events.parquet carries TIMESTAMP(NANOS), which Spark 4 rejects by
-    * default; read nanos as long and floor-divide to microseconds — the
-    * same truncation DuckDB applies (its timestamps are µs-precision). */
-  private def events(s: SparkSession, dir: String): DataFrame = {
+  /** Normalize the events `ts` column to TIMESTAMP across fixture
+    * vintages. A TIMESTAMP(NANOS) fixture arrives as LongType (under
+    * `nanosAsLong`) and is floor-divided to microseconds — the same
+    * truncation DuckDB applies (its timestamps are µs-precision). A
+    * plain-µs fixture arrives as TIMESTAMP_NTZ (Spark 4 infers NTZ for
+    * non-UTC-adjusted parquet timestamps) and is cast directly — every
+    * graft session pins spark.sql.session.timeZone=UTC, so the cast
+    * preserves the wall-clock µs value DuckDB sees. */
+  private[graft] def normEventTs(df: DataFrame): DataFrame =
+    df.schema("ts").dataType match {
+      case org.apache.spark.sql.types.LongType =>
+        df.withColumn("ts", timestamp_micros(expr("ts div 1000")))
+      case org.apache.spark.sql.types.TimestampNTZType =>
+        df.withColumn("ts", col("ts").cast("timestamp"))
+      case _ => df // already TIMESTAMP
+    }
+
+  /** events.parquet, `ts` normalized per [[normEventTs]]. The
+    * nanosAsLong conf must be set BEFORE the read so a nanos-vintage
+    * fixture loads at all (without it Spark 4 rejects the file). */
+  private[graft] def events(s: SparkSession, dir: String): DataFrame = {
     s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    t(s, dir, "events")
-      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+    normEventTs(t(s, dir, "events"))
+  }
+
+  /** File-stream over the events table with the same ts normalization
+    * as [[events]] — the batch-read schema is exactly what readStream
+    * loads, so the dispatch sees the same dataType either vintage. */
+  private def eventStream(s: SparkSession, dir: String): DataFrame = {
+    s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val schema = s.read.parquet(s"$dir/events.parquet").schema
+    normEventTs(s.readStream.schema(schema)
+      .option("pathGlobFilter", "events.parquet").parquet(dir))
   }
 
   /** Stateful streaming creates and commits a state store PER shuffle
@@ -550,10 +576,7 @@ object SparkEntry {
     // ---- streaming dedup: duplicate every event, dropDuplicates on the
     // id inside the stream, aggregate in complete mode ------------------
     "s2_stream_dedup" -> ((s, dir) => {
-      s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-      val schema = s.read.parquet(s"$dir/events.parquet").schema
-      val doubled = s.readStream.schema(schema)
-        .option("pathGlobFilter", "events.parquet").parquet(dir)
+      val doubled = eventStream(s, dir)
         .withColumn("graft_dup", explode(array(lit(1), lit(2))))
         .drop("graft_dup")
       val agg = doubled
@@ -568,13 +591,9 @@ object SparkEntry {
     // mode needs no watermark closure, so the result equals the batch
     // aggregation and shares q9's oracle shape -------------------------
     "s1_stream_window" -> ((s, dir) => {
-      s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-      val schema = s.read.parquet(s"$dir/events.parquet").schema
-      // the file-stream source wants a directory: stream the sf dir
-      // itself, glob-filtered down to the events table
-      val stream = s.readStream.schema(schema)
-        .option("pathGlobFilter", "events.parquet").parquet(dir)
-        .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+      // the file-stream source wants a directory: eventStream streams
+      // the sf dir itself, glob-filtered down to the events table
+      val stream = eventStream(s, dir)
       val agg = stream
         .groupBy(date_trunc("hour", col("ts")).as("hour"), col("event_type"))
         .agg(count(lit(1)).as("n"),
@@ -712,11 +731,7 @@ object SparkEntry {
     // ---- stream-stream inner join: purchases joined to same-user views
     // within ±1 hour, both sides arriving as streams --------------------
     "s3_stream_join" -> ((s, dir) => {
-      s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-      val schema = s.read.parquet(s"$dir/events.parquet").schema
-      def stream() = s.readStream.schema(schema)
-        .option("pathGlobFilter", "events.parquet").parquet(dir)
-        .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+      def stream() = eventStream(s, dir)
       // user subset keeps join state small — the operator shape is the
       // same, the bench doesn't pay for 100× state
       val purchases = stream()
@@ -760,11 +775,7 @@ object SparkEntry {
     // ---- hopping (overlapping) windows: 1-hour windows sliding every
     // 30 min, each event contributing to exactly two windows ------------
     "s5_stream_hopping" -> ((s, dir) => {
-      s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-      val schema = s.read.parquet(s"$dir/events.parquet").schema
-      val stream = s.readStream.schema(schema)
-        .option("pathGlobFilter", "events.parquet").parquet(dir)
-        .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+      val stream = eventStream(s, dir)
       val agg = stream
         .groupBy(window(col("ts"), "1 hour", "30 minutes"), col("event_type"))
         .agg(count(lit(1)).as("n"),
@@ -781,12 +792,8 @@ object SparkEntry {
     // user's final session. Counts and boundary times are emitted (the
     // in-state double sum is order-sensitive and stays spec-only) -------
     "s4_stream_session" -> ((s, dir) => {
-      s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-      val schema = s.read.parquet(s"$dir/events.parquet").schema
       import s.implicits._
-      val stream = s.readStream.schema(schema)
-        .option("pathGlobFilter", "events.parquet").parquet(dir)
-        .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+      val stream = eventStream(s, dir)
         .select(col("user_id").cast("long"), col("ts"), col("value").cast("double"))
         .as[(Long, java.sql.Timestamp, Double)]
       val sessions = streaming.EventStreams.sessionize(stream, gapMs = 1800000L)
@@ -1394,10 +1401,7 @@ object SparkEntry {
     // dimension (stateless — no watermark, no state store), then a
     // complete-mode aggregate --------------------------------------------
     "s6_stream_static" -> ((s, dir) => {
-      s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-      val schema = s.read.parquet(s"$dir/events.parquet").schema
-      val stream = s.readStream.schema(schema)
-        .option("pathGlobFilter", "events.parquet").parquet(dir)
+      val stream = eventStream(s, dir)
         .withColumn("n_nationkey", pmod(col("user_id"), lit(25)).cast("long"))
       val dim = broadcast(t(s, dir, "nation")
         .select(col("n_nationkey").cast("long").as("n_nationkey"), col("n_name")))
@@ -1436,11 +1440,8 @@ object SparkEntry {
     // batch read-back → aggregate; closes the readStream → transforms →
     // writeStream → files loop with an exact oracle ----------------------
     "s7_stream_sink" -> ((s, dir) => {
-      s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-      val schema = s.read.parquet(s"$dir/events.parquet").schema
       val out = gateScratch("s7")
-      val stream = s.readStream.schema(schema)
-        .option("pathGlobFilter", "events.parquet").parquet(dir)
+      val stream = eventStream(s, dir)
         .filter(col("event_type") === "purchase")
         .select(col("event_id"), col("user_id"), col("value"))
       withNarrowState(s) {
@@ -2260,11 +2261,7 @@ object SparkEntry {
     // still inside the final watermark horizon stay unemitted (state
     // the stream would keep), which the oracle mirrors exactly --------
     "s12_stream_outer_join" -> ((s, dir) => {
-      s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-      val schema = s.read.parquet(s"$dir/events.parquet").schema
-      def stream() = s.readStream.schema(schema)
-        .option("pathGlobFilter", "events.parquet").parquet(dir)
-        .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+      def stream() = eventStream(s, dir)
       val purchases = stream()
         .filter(col("event_type") === "purchase" && col("user_id") % 7 === 1)
         .select(col("user_id"), col("event_id").as("p_id"), col("ts").as("p_ts"))

@@ -20,6 +20,9 @@ object Verify {
     // SPARK_GRAFT_ONLY=d18_winnow,d20_bm25
     val only = sys.env.get("SPARK_GRAFT_ONLY")
       .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSet)
+    // a gate that throws must be a VISIBLE red row, never an omission:
+    // r9 lost 23 gates silently because failures were only stderr-logged
+    val failed = scala.collection.mutable.LinkedHashMap[String, String]()
     SparkEntry.queries
       .filter { case (name, _) => only.forall(_.contains(name)) }
       .foreach { case (name, fn) =>
@@ -27,6 +30,7 @@ object Verify {
         .parquet(s"$outDir/$name")
       catch { case e: Throwable =>
         System.err.println(s"[verify] $name failed: ${e.getMessage}")
+        failed(name) = Option(e.getMessage).getOrElse(e.getClass.getName)
       }
     }
     // JSON string escape: backslash, quote, and ALL control chars (<0x20)
@@ -44,6 +48,14 @@ object Verify {
     val json = SparkEntry.oracleSql
       .map { case (k, v) => s"${q(k)}: ${q(v)}" }.mkString("{", ",", "}")
     Files.writeString(Paths.get(s"$outDir/oracle_sql.json"), json)
+    val failedJson = failed
+      .map { case (k, v) => s"${q(k)}: ${q(v.take(500))}" }.mkString("{", ",", "}")
+    Files.writeString(Paths.get(s"$outDir/failed.json"), failedJson)
+    // loud but exit-0: the driver must still oracle-compare the gates
+    // that DID produce output — a non-zero exit could zero the round
+    if (failed.nonEmpty)
+      System.err.println(s"[verify] ${failed.size} gate(s) FAILED: " +
+        failed.keys.mkString(", "))
     spark.stop()
   }
 }
