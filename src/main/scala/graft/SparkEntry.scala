@@ -4832,7 +4832,8 @@ object SparkEntry {
          |  WHERE ord <= len - CAST(CEIL(len * 0.8::DOUBLE) AS BIGINT) + 1),
          |cands AS (
          |  SELECT DISTINCT a.doc_id AS id1, b.doc_id AS id2
-         |  FROM pref a JOIN tok b ON a.h = b.h AND a.doc_id <> b.doc_id)
+         |  FROM pref a JOIN tok b ON a.h = b.h AND a.doc_id <> b.doc_id
+         |  JOIN freq fb ON b.h = fb.h AND fb.f <= 1000)
          |SELECT id1, id2, containment FROM (
          |  SELECT id1, id2,
          |    CAST(len(list_intersect(s1.hashes, s2.hashes)) AS DOUBLE) /

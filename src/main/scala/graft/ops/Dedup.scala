@@ -508,24 +508,54 @@ object Dedup {
     * `|S1| − ⌈tau·|S1|⌉ + 1` elements under a global rarity order is
     * shared. The CONTAINING side is unconstrained (any superset
     * qualifies), so it cannot be prefix-pruned: candidates come from
-    * (probe prefix) ⋈ (full inverted index) — the standard containment-
-    * join shape. The index side is the corpus's complete (id, shingle)
-    * postings, but a posting only materializes candidates when some
-    * probe's RAREST-shingle prefix touches its key, so hot keys
-    * (stopword shingles) stay cold unless a probe consists of nothing
-    * but frequent shingles. As with every pairs operator here, collapse
-    * exact duplicates first ([[collapseExactText]]).
+    * (probe prefix) ⋈ (capped inverted index) — the standard
+    * containment-join shape. The index side is the corpus's (id,
+    * shingle) postings MINUS keys hotter than `maxPosting` docs: a
+    * duplicate-heavy corpus makes every shared shingle's posting list
+    * O(copies), and an uncapped prefix⋈index join then degrades
+    * O(copies²) in those keys — the one quadratic cliff the other
+    * pairs operators already guard with [[capBuckets]]. The cap bounds
+    * each join key's fan-out at |prefix_h| × maxPosting.
+    *
+    * RECALL BOUND (mirrors [[hammingPairs64]]): a capped key loses the
+    * true pairs whose ONLY prefix-shared shingle it was, so at scale
+    * the result is a high-recall approximation; the dropped keys are
+    * observable via [[containmentPairsAudited]] — an empty audit
+    * certifies the capped result is exact on this input. Collapse
+    * exact duplicates first ([[collapseExactText]]) and the cap stays
+    * cold, or pass `maxPosting = Int.MaxValue` to recover the exact
+    * join at the price of unbounded hot keys.
     *
     * Physical shape: one explode, one frequency aggregate, a per-doc
     * rarity window (narrow key: id), the prefix⋈index equi-join on the
     * shingle hash, and integer hash-set verification — candidate and
-    * verify shuffles carry ids and 60-bit hashes only, never text. */
+    * verify shuffles carry ids and 60-bit hashes only, never text. The
+    * cap reuses the frequency aggregate the rarity order already
+    * needs, so it costs no extra pass. */
   def containmentPairs(
       df: DataFrame,
       idCol: String,
       textCol: String,
       shingleSize: Int = 3,
-      tau: Double = 0.8): DataFrame = {
+      tau: Double = 0.8,
+      maxPosting: Int = 1000): DataFrame =
+    containmentPairsAudited(df, idCol, textCol, shingleSize, tau,
+      maxPosting)._1
+
+  /** [[containmentPairs]] plus cap OBSERVABILITY: also returns the
+    * (h, posting_sz) keys the `maxPosting` cap dropped from the index
+    * side, so the RECALL BOUND is measurable at runtime instead of
+    * silent — the same audit contract as [[hammingPairs64Audited]] /
+    * [[simhashPairsAudited]]. The audit is one filter over the
+    * frequency aggregate the join already computes — lazy; count or
+    * collect it after/while consuming the pairs. */
+  def containmentPairsAudited(
+      df: DataFrame,
+      idCol: String,
+      textCol: String,
+      shingleSize: Int = 3,
+      tau: Double = 0.8,
+      maxPosting: Int = 1000): (DataFrame, DataFrame) = {
     val sets = df.select(col(idCol).cast("long").as("doc_id"),
         graft.functions.shingleHash64(tokens(col(textCol)), shingleSize).as("hashes"))
       .localCheckpoint(eager = false) // prefix build + verification joins
@@ -537,17 +567,23 @@ object Dedup {
       .withColumn("len", count(lit(1)).over(Window.partitionBy("doc_id")))
       .filter(col("ord") <= col("len") - ceil(col("len") * tau) + 1)
       .select(col("h"), col("doc_id"))
+    // index-side cap: only postings of keys ≤ maxPosting docs join;
+    // the probe prefix needs no filter — a capped key simply finds no
+    // index rows, so its fan-out is zero
+    val index = toks.join(freq.filter(col("f") <= maxPosting).select("h"), Seq("h"))
     val cands = prefix.as("a")
-      .join(toks.as("b"), col("a.h") === col("b.h") && col("a.doc_id") =!= col("b.doc_id"))
+      .join(index.as("b"), col("a.h") === col("b.h") && col("a.doc_id") =!= col("b.doc_id"))
       .select(col("a.doc_id").as("id1"), col("b.doc_id").as("id2"))
       .distinct()
-    cands
+    val pairs = cands
       .join(sets.select(col("doc_id").as("id1"), col("hashes").as("h1")), Seq("id1"))
       .join(sets.select(col("doc_id").as("id2"), col("hashes").as("h2")), Seq("id2"))
       .select(col("id1"), col("id2"),
         (size(array_intersect(col("h1"), col("h2"))).cast("double") /
           size(col("h1")).cast("double")).as("containment"))
       .filter(col("containment") >= tau)
+    (pairs, freq.filter(col("f") > maxPosting)
+      .select(col("h"), col("f").as("posting_sz")))
   }
 
   /** Near-duplicate pairs over any 64-bit perceptual hash column

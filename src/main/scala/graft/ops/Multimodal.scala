@@ -243,13 +243,20 @@ object Multimodal {
       (rate, channels, dataOff, dataLen)
     }
 
-    /** Frame-sample a YUV4MPEG2 stream: decode every `stride`-th frame
-      * (index 0, stride, 2·stride, …) and emit its mean gray level.
-      * The chunk walk is bounds-checked the same way [[parseWav]] is —
-      * a truncated or lying header fails fast instead of spinning. */
-    def frameSample(r: MediaRecord, stride: Int): Seq[FrameFeatures] = {
-      require(stride > 0, s"stride must be positive, got $stride")
-      val c = r.content
+    /** Parsed YUV4MPEG2 stream header: Cmono only, dimensions
+      * validated, `firstFrame` = offset of the first FRAME marker. */
+    private final case class Y4mHeader(w: Int, h: Int, firstFrame: Int) {
+      def frameBytes: Int = w * h
+    }
+
+    /** The ONE YUV4MPEG2 header parse + FRAME walk both [[frameSample]]
+      * and [[frameDeltas]] ride (extracted so the two decoders cannot
+      * drift): validates the stream header, then invokes
+      * `onFrame(header, frameIndex, dataStart)` per frame with
+      * `header.frameBytes` payload bytes guaranteed in-bounds — a
+      * truncated or lying header fails fast instead of spinning, the
+      * same posture as [[parseWav]]. */
+    private def walkY4m(c: Array[Byte])(onFrame: (Y4mHeader, Int, Int) => Unit): Unit = {
       val nl = c.indexOf('\n'.toByte)
       require(nl > 0, "missing YUV4MPEG2 stream header")
       val header = new String(c, 0, nl, "US-ASCII")
@@ -262,9 +269,9 @@ object Multimodal {
       require(w > 0 && h > 0, s"bad dimensions ${w}x$h")
       require(tag('C').forall(_ == "mono"),
         s"only Cmono streams supported, got C${tag('C').get}")
-      val frameBytes = w * h
-      val out = scala.collection.mutable.ArrayBuffer.empty[FrameFeatures]
-      var pos = nl + 1
+      val hd = Y4mHeader(w, h, nl + 1)
+      val frameBytes = hd.frameBytes
+      var pos = hd.firstFrame
       var f = 0
       while (pos < c.length) {
         val fnl = c.indexOf('\n'.toByte, pos)
@@ -274,14 +281,27 @@ object Multimodal {
         val dataStart = fnl + 1
         require(dataStart + frameBytes <= c.length,
           s"truncated frame $f at byte $dataStart")
-        if (f % stride == 0) {
-          var sum = 0L
-          var i = 0
-          while (i < frameBytes) { sum += c(dataStart + i) & 0xff; i += 1 }
-          out += FrameFeatures(r.media_id, f, w, h, sum.toDouble / frameBytes)
-        }
+        onFrame(hd, f, dataStart)
         pos = dataStart + frameBytes
         f += 1
+      }
+    }
+
+    /** Frame-sample a YUV4MPEG2 stream: decode every `stride`-th frame
+      * (index 0, stride, 2·stride, …) and emit its mean gray level,
+      * over the shared [[walkY4m]] bounds-checked walk. */
+    def frameSample(r: MediaRecord, stride: Int): Seq[FrameFeatures] = {
+      require(stride > 0, s"stride must be positive, got $stride")
+      val c = r.content
+      val out = scala.collection.mutable.ArrayBuffer.empty[FrameFeatures]
+      walkY4m(c) { (hd, f, dataStart) =>
+        if (f % stride == 0) {
+          val n = hd.frameBytes
+          var sum = 0L
+          var i = 0
+          while (i < n) { sum += c(dataStart + i) & 0xff; i += 1 }
+          out += FrameFeatures(r.media_id, f, hd.w, hd.h, sum.toDouble / n)
+        }
       }
       out.toSeq
     }
@@ -290,47 +310,24 @@ object Multimodal {
       * YUV4MPEG2 stream: one [[FrameDelta]] per frame index >= 1. The
       * whole walk is record-local (a video is ONE row), so the scene
       * signal costs a single sequential decode with two frame buffers
-      * — no shuffle, no cross-row state. Same bounds-checked chunk walk
-      * as [[frameSample]]. */
+      * — no shuffle, no cross-row state. Shares [[walkY4m]]'s
+      * bounds-checked walk with [[frameSample]]. */
     def frameDeltas(r: MediaRecord): Seq[FrameDelta] = {
       val c = r.content
-      val nl = c.indexOf('\n'.toByte)
-      require(nl > 0, "missing YUV4MPEG2 stream header")
-      val header = new String(c, 0, nl, "US-ASCII")
-      require(header.startsWith("YUV4MPEG2"), "not a YUV4MPEG2 payload")
-      val tags = header.split(' ').drop(1)
-      def tag(p: Char): Option[String] =
-        tags.find(t => t.nonEmpty && t.head == p).map(_.tail)
-      val w = tag('W').map(_.toInt).getOrElse(sys.error("missing W tag"))
-      val h = tag('H').map(_.toInt).getOrElse(sys.error("missing H tag"))
-      require(w > 0 && h > 0, s"bad dimensions ${w}x$h")
-      require(tag('C').forall(_ == "mono"),
-        s"only Cmono streams supported, got C${tag('C').get}")
-      val frameBytes = w * h
       val out = scala.collection.mutable.ArrayBuffer.empty[FrameDelta]
       var prevStart = -1
-      var pos = nl + 1
-      var f = 0
-      while (pos < c.length) {
-        val fnl = c.indexOf('\n'.toByte, pos)
-        require(fnl >= pos + 5 &&
-          new String(c, pos, 5, "US-ASCII") == "FRAME",
-          s"expected FRAME marker at byte $pos")
-        val dataStart = fnl + 1
-        require(dataStart + frameBytes <= c.length,
-          s"truncated frame $f at byte $dataStart")
+      walkY4m(c) { (hd, f, dataStart) =>
         if (prevStart >= 0) {
+          val n = hd.frameBytes
           var sum = 0L
           var i = 0
-          while (i < frameBytes) {
+          while (i < n) {
             sum += math.abs((c(dataStart + i) & 0xff) - (c(prevStart + i) & 0xff))
             i += 1
           }
-          out += FrameDelta(r.media_id, f, sum.toDouble / frameBytes)
+          out += FrameDelta(r.media_id, f, sum.toDouble / n)
         }
         prevStart = dataStart
-        pos = dataStart + frameBytes
-        f += 1
       }
       out.toSeq
     }

@@ -124,8 +124,16 @@ object Similarity {
     * toward the larger id, matching [[TopK.perGroup]] order, which the
     * e17 oracle replays with `ORDER BY rrf_score DESC, id DESC`.
     *
+    * CONTRACT: ranks are 1-based and non-null. A rank ≤ 0 or NULL is a
+    * caller bug (an OFF-BY-ONE from a 0-based window, or a failed join
+    * leaking nulls) that would otherwise skew or silently drop that
+    * document's contribution — `scale div (kk + 0)` inflates it,
+    * negative ranks can divide by zero or flip sign, and NULL vanishes
+    * from the sum. All three fail the job loudly instead (codegen'd
+    * row-level guard — no extra pass, no driver-side action).
+    *
     * @param lists ranked lists, each with (qidCol, idCol, rankCol),
-    *              rank 1-based
+    *              rank 1-based non-null
     * @return (qid, rank, id, rrf_score) — rank 1..k per query
     */
   def rrfFuse(
@@ -145,7 +153,13 @@ object Similarity {
         col(rankCol).cast("long").as("r")))
       .reduce(_.unionAll(_))
       .select(col("qid"), col("id"),
-        expr(s"CAST($scale AS BIGINT) div ($kk + r)").as("c"))
+        // when() sends NULL ranks to the error branch too (NULL >= 1
+        // is not true), so malformed lists cannot leak past here
+        when(col("r") >= 1, expr(s"CAST($scale AS BIGINT) div ($kk + r)"))
+          .otherwise(raise_error(concat(
+            lit("rrfFuse: rank must be >= 1 and non-null, got "),
+            coalesce(col("r").cast("string"), lit("NULL")))))
+          .as("c"))
     val fused = u.groupBy("qid", "id").agg(sum("c").as("rrf_score"))
     TopK.perGroup(fused, Seq("qid"), Seq(col("rrf_score"), col("id")), k)
       .select(col("qid"), col("rank"), col("id"), col("rrf_score"))

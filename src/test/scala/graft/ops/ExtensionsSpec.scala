@@ -299,6 +299,38 @@ class DedupSpec extends AnyFunSuite with SparkTestBase {
     assert(excerpts.forall { case (eid, _) => !got.contains((eid - 100L, eid)) })
   }
 
+  test("containmentPairs posting cap: audit empty below the cap, bounded above it") {
+    import spark.implicits._
+    // clean corpus: no shingle is shared by more than a handful of docs,
+    // so the default cap never bites and the result stays brute-force-exact
+    val clean = (0L until 12L).map { i =>
+      (i, (0 until 20).map(w => s"w${i % 4}_$w").mkString(" "))
+    }.toDF("doc_id", "text")
+    val (pairsClean, auditClean) = Dedup.containmentPairsAudited(
+      clean, "doc_id", "text", shingleSize = 2, tau = 0.8, maxPosting = 1000)
+    val exact = Dedup.containmentPairs(clean, "doc_id", "text",
+      shingleSize = 2, tau = 0.8, maxPosting = Int.MaxValue)
+      .select("id1", "id2").as[(Long, Long)].collect().toSet
+    assert(pairsClean.select("id1", "id2").as[(Long, Long)].collect().toSet === exact)
+    assert(auditClean.count() === 0L) // empty audit certifies exactness
+
+    // duplicate-heavy corpus: 60 byte-identical docs — every one of their
+    // shingles has a 60-doc posting list. Uncapped, the prefix⋈index join
+    // materializes O(60²) candidate rows in those keys; capped at 10, the
+    // hot keys leave the index entirely (audited), so the candidate stage
+    // stays O(distinct) instead of O(copies²).
+    val dupText = (0 until 20).map(w => s"dup_$w").mkString(" ")
+    val heavy = ((0L until 60L).map(i => (i, dupText)) ++
+      Seq((100L, "lone wolf row one"), (101L, "another isolated doc here")))
+      .toDF("doc_id", "text")
+    val (pairsHeavy, auditHeavy) = Dedup.containmentPairsAudited(
+      heavy, "doc_id", "text", shingleSize = 2, tau = 0.8, maxPosting = 10)
+    assert(pairsHeavy.count() === 0L) // capped keys find no index rows
+    // every dup-cluster shingle is audited with its true posting size
+    val audited = auditHeavy.select("posting_sz").as[Long].collect()
+    assert(audited.nonEmpty && audited.forall(_ === 60L))
+  }
+
   test("hammingPairs64 equals brute force for hamming <= maxHamming (pigeonhole)") {
     import spark.implicits._
     // 64-bit keys engineered around a base value: flips of 1..5 bits
@@ -485,6 +517,23 @@ class SimilaritySpec extends AnyFunSuite with SparkTestBase {
     val got = Similarity.rrfFuse(Seq(l1, l2), "qid", "id", "rank", k = 1)
       .select("qid", "id").as[(Long, Long)].collect().toSet
     assert(got === Set((0L, 1L), (7L, 5L)))
+  }
+
+  test("rrfFuse fails loudly on zero, negative, and null ranks") {
+    import spark.implicits._
+    def fused(rows: Seq[(Long, Long, java.lang.Long)]) =
+      Similarity.rrfFuse(Seq(rows.toDF("qid", "id", "rank")),
+        "qid", "id", "rank", k = 5)
+    // a 0-based window leaking in (the classic off-by-one)
+    val zero = intercept[Exception](fused(Seq((0L, 1L, 0L))).collect())
+    assert(zero.getMessage.contains("rrfFuse") ||
+      Option(zero.getCause).exists(_.getMessage.contains("rrfFuse")))
+    // a negative rank that would flip the contribution's sign
+    intercept[Exception](fused(Seq((0L, 1L, -3L))).collect())
+    // a failed-join NULL that would silently vanish from the sum
+    intercept[Exception](fused(Seq((0L, 1L, null))).collect())
+    // and well-formed ranks still fuse
+    assert(fused(Seq((0L, 1L, 1L), (0L, 2L, 2L))).count() === 2L)
   }
 
   test("clusterBalancedSample takes at most perCell per cell, covering all cells") {
