@@ -964,6 +964,33 @@ object SparkEntry {
         .orderBy("doc_id")
     }),
 
+    // ---- PERSISTED LSH index admission: d43's scenario with the index
+    // round-tripped through disk (K1 parquet tables + params), proving
+    // the production cross-job shape — yesterday's corpus is its saved
+    // index, today's session loads it cold and filters a batch without
+    // the corpus ever being re-read. Same oracle as d43: the reloaded
+    // index must admit exactly what the in-session index admits ---------
+    "d47_neardup_persisted" -> ((s, dir) => {
+      implicit val sp: SparkSession = s
+      val docs = t(s, dir, "documents").select("doc_id", "text")
+      val near = docs.filter(col("doc_id") % 10 === 3)
+        .select((col("doc_id") + 2000000).as("doc_id"),
+          concat(col("text"), lit(" zzz extra suffix")).as("text"))
+      val copies = docs.filter(col("doc_id") % 10 === 7)
+        .select((col("doc_id") + 3000000).as("doc_id"), col("text"))
+      val freshDocs = docs.filter(col("doc_id") % 10 === 5)
+        .select((col("doc_id") + 4000000).as("doc_id"),
+          reverse(col("text")).as("text"))
+      val path = s"${gateScratch("d47")}/index"
+      ops.Dedup.NearDupIndex.save(
+        ops.Dedup.nearDupIndex(docs, "doc_id", "text",
+          k = 12, bands = 6, shingleSize = 3), path)
+      val loaded = ops.Dedup.NearDupIndex.load(path)
+      ops.Dedup.nearDupFilter(loaded, near.unionAll(copies).unionAll(freshDocs),
+          "doc_id", "text", tau = 0.5)
+        .orderBy("doc_id")
+    }),
+
     // ---- model-based quality filtering: hashed bag-of-words linear
     // classifier (fastText-shaped corpus filter); deterministic integer
     // weights make the scores engine-exact ------------------------------
@@ -1868,6 +1895,21 @@ object SparkEntry {
     "q55_hll" -> ((s, dir) => {
       ops.Sketch.hllRegisters(t(s, dir, "lineitem"), "l_partkey", p = 10)
         .orderBy("bucket")
+    }),
+
+    // ---- per-group HLL with register-file merge: "distinct parts per
+    // returnflag" built from three OVERLAPPING slices (at-least-once
+    // ingest) and merged by (group, bucket) max — idempotence makes the
+    // merged file equal the whole-table file BIT-EXACTLY, which is the
+    // oracle: DuckDB computes the registers straight off the full scan --
+    "q72_hll_grouped" -> ((s, dir) => {
+      val li = t(s, dir, "lineitem")
+        .select("l_orderkey", "l_returnflag", "l_partkey")
+      val slices = Seq(0, 1, 2).map(r =>
+        ops.Sketch.hllRegistersByGroup(li.filter(col("l_orderkey") % 3 =!= r),
+          "l_returnflag", "l_partkey", p = 10))
+      ops.Sketch.hllMergeByGroup(slices, "l_returnflag")
+        .orderBy("l_returnflag", "bucket")
     }),
 
     // ---- cross-doc boilerplate removal: a shared 16-token header is
@@ -2953,6 +2995,18 @@ object SparkEntry {
          |ORDER BY b.fingerprint""".stripMargin,
 
     "d43_neardup_incremental" -> OracleSql.nearDupIncremental(
+      "SELECT doc_id, text FROM documents",
+      """SELECT doc_id + 2000000 AS doc_id, text || ' zzz extra suffix' AS text
+        |  FROM documents WHERE doc_id % 10 = 3
+        |UNION ALL SELECT doc_id + 3000000, text
+        |  FROM documents WHERE doc_id % 10 = 7
+        |UNION ALL SELECT doc_id + 4000000, reverse(text)
+        |  FROM documents WHERE doc_id % 10 = 5""".stripMargin,
+      k = 12, bands = 6, shingleSize = 3, tau = 0.5, maxBucket = 1000),
+
+    // identical scenario to d43 — the persisted-index round trip must
+    // admit exactly what the in-session index admits
+    "d47_neardup_persisted" -> OracleSql.nearDupIncremental(
       "SELECT doc_id, text FROM documents",
       """SELECT doc_id + 2000000 AS doc_id, text || ' zzz extra suffix' AS text
         |  FROM documents WHERE doc_id % 10 = 3
@@ -4384,6 +4438,19 @@ object SparkEntry {
          |  CAST(MAX(CASE WHEN v = 0 THEN 51
          |                ELSE 51 - length(bin(v)) END) AS INT) AS max_rho
          |FROM rho GROUP BY 1 ORDER BY bucket""".stripMargin
+    },
+
+    // merged-from-overlapping-slices == whole-table registers (max is
+    // idempotent), so the oracle computes the grouped file directly
+    "q72_hll_grouped" -> {
+      val h = OracleSql.h64("'graft-hll' || '-' || CAST(l_partkey AS VARCHAR)")
+      s"""WITH hs AS (SELECT l_returnflag, $h AS h FROM lineitem),
+         |rho AS (
+         |  SELECT l_returnflag, h % 1024 AS bucket, h // 1024 AS v FROM hs)
+         |SELECT l_returnflag, bucket,
+         |  CAST(MAX(CASE WHEN v = 0 THEN 51
+         |                ELSE 51 - length(bin(v)) END) AS INT) AS max_rho
+         |FROM rho GROUP BY 1, 2 ORDER BY l_returnflag, bucket""".stripMargin
     },
 
     "d27_boilerplate" -> {

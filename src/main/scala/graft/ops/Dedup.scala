@@ -1,7 +1,7 @@
 package graft.ops
 
 import graft.functions.TextFunctions._
-import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -253,6 +253,42 @@ object Dedup {
       k: Int,
       nBands: Int,
       shingleSize: Int)
+
+  object NearDupIndex {
+
+    /** Persist an index through the generic sink (K1): three parquet
+      * tables plus a one-row params table pinning (k, bands,
+      * shingleSize) — the signature half of the index, without which a
+      * reload could silently band with different parameters and miss
+      * every duplicate. Overwrite mode makes re-publication idempotent
+      * (the index for day N is rebuilt-or-extended and re-published
+      * atomically per table). */
+    def save(idx: NearDupIndex, path: String)(implicit spark: SparkSession): Unit = {
+      def w(df: DataFrame, sub: String): Unit =
+        graft.io.DataFrameIO.write(df, graft.io.SourceParams(
+          "parquet", Some(s"$path/$sub"), saveMode = Some("overwrite")))
+      w(idx.fingerprints, "fingerprints")
+      w(idx.bands, "bands")
+      w(idx.hashes, "hashes")
+      import spark.implicits._
+      w(Seq((idx.k, idx.nBands, idx.shingleSize))
+        .toDF("k", "bands", "shingle_size"), "params")
+    }
+
+    /** Reload a [[save]]d index — the cross-job half of incremental
+      * admission: yesterday's corpus is represented on disk by its
+      * index tables, today's batch probes them via [[nearDupFilter]]
+      * at O(batch) cost without the corpus ever being re-read. */
+    def load(path: String)(implicit spark: SparkSession): NearDupIndex = {
+      def r(sub: String): DataFrame = graft.io.DataFrameIO.load(
+        graft.io.SourceParams("parquet", Some(s"$path/$sub")))
+      val params = r("params").head()
+      NearDupIndex(r("fingerprints"), r("bands"), r("hashes"),
+        k = params.getAs[Int]("k"),
+        nBands = params.getAs[Int]("bands"),
+        shingleSize = params.getAs[Int]("shingle_size"))
+    }
+  }
 
   /** Build a [[NearDupIndex]] from a corpus. One collapse shuffle + one
     * banding pass; every output is a plain DataFrame the caller can

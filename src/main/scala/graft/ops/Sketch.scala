@@ -81,6 +81,39 @@ object Sketch {
       .groupBy("bucket").agg(max("rho").as("max_rho"))
   }
 
+  /** Per-group HLL register files — the "distinct users per domain over
+    * 100 TB" shape: one hash-aggregate keyed (group, bucket), so the
+    * exchange carries at most |groups| × 2^p rows regardless of input
+    * size, with map-side combine folding each partition's registers
+    * before anything shuffles. Same hash/rho arithmetic as
+    * [[hllRegisters]], so DuckDB replays the file bit-for-bit. */
+  def hllRegistersByGroup(df: DataFrame, groupCol: String, keyCol: String,
+      p: Int, salt: String = "graft-hll"): DataFrame = {
+    require(p >= 4 && p <= 16, s"p must be in [4,16], got $p")
+    val m = 1 << p
+    val h = h64(concat_ws("-", lit(salt), col(keyCol).cast("string")))
+    df.select(col(groupCol), pmod(h, lit(m)).as("bucket"),
+        shiftright(h, p).as("graft_v"))
+      .select(col(groupCol), col("bucket"),
+        when(col("graft_v") === 0, lit(60 - p + 1))
+          .otherwise(lit(60 - p + 1) - length(bin(col("graft_v")))).as("rho"))
+      .groupBy(groupCol, "bucket").agg(max("rho").as("max_rho"))
+  }
+
+  /** Merge grouped register files by (group, bucket) MAX. Registers are
+    * FIRST-CLASS STATE: max is associative, commutative, and idempotent,
+    * so slices may arrive in any order, any partitioning, and may
+    * OVERLAP (reprocessed days, at-least-once ingest) — the merged file
+    * still equals the file the union of inputs would have produced,
+    * bit-exactly. This is what makes per-group distinct counting
+    * incrementally maintainable at 100 TB: yesterday's registers + one
+    * register file per new batch, never a re-scan. */
+  def hllMergeByGroup(registers: Seq[DataFrame], groupCol: String): DataFrame = {
+    require(registers.nonEmpty, "hllMergeByGroup needs at least one register file")
+    registers.reduce(_.unionAll(_))
+      .groupBy(groupCol, "bucket").agg(max("max_rho").as("max_rho"))
+  }
+
   /** Cardinality estimate from the register file (standard HLL formula,
     * with the small-range linear-counting correction). The indicator
     * sum uses exact powers of two folded as scaled integers, so the

@@ -224,6 +224,17 @@ class DedupSpec extends AnyFunSuite with SparkTestBase {
     val kept = Dedup.nearDupFilter(idx, batch, "doc_id", "text", tau = 0.5)
       .select("doc_id").collect().map(_.getLong(0)).toSet
     assert(kept === Set(12L, 13L))
+
+    // the persisted index admits the identical set after a disk round
+    // trip — params (k, bands, shingleSize) travel with the tables
+    val dir = java.nio.file.Files.createTempDirectory("ndidx").toString
+    Dedup.NearDupIndex.save(idx, dir)
+    val loaded = Dedup.NearDupIndex.load(dir)
+    assert(loaded.k === idx.k && loaded.nBands === idx.nBands &&
+      loaded.shingleSize === idx.shingleSize)
+    val keptLoaded = Dedup.nearDupFilter(loaded, batch, "doc_id", "text", tau = 0.5)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(keptLoaded === kept)
   }
 
   test("simhash pairs finds low-hamming near-dups only") {

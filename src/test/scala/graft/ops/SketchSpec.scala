@@ -58,4 +58,25 @@ class SketchSpec extends AnyFunSuite with SparkTestBase {
     val est = Sketch.hllEstimate(Sketch.hllRegisters(keys, "key", p = 10), p = 10)
     assert(math.abs(est - 40) <= 3, s"estimate $est for n=40")
   }
+
+  test("grouped hll: overlapping slices merge into the whole-table file") {
+    // 3 groups × 4000 distinct keys, keys shared across groups
+    val rows = spark.range(0, 12000).select(
+      (col("id") % 3).cast("string").as("grp"), (col("id") / 3).as("key"))
+    val whole = Sketch.hllRegistersByGroup(rows, "grp", "key", p = 10)
+    // overlapping slices (each drops one residue class of id): merged
+    // registers must be bit-identical to the whole-table file
+    val slices = Seq(0, 1, 2).map(r =>
+      Sketch.hllRegistersByGroup(rows.filter(col("id") % 3 =!= r),
+        "grp", "key", p = 10))
+    val merged = Sketch.hllMergeByGroup(slices, "grp")
+    assert(merged.orderBy("grp", "bucket").collect().toSeq ===
+      whole.orderBy("grp", "bucket").collect().toSeq)
+    // and per-group estimates land within HLL tolerance of 4000
+    Seq("0", "1", "2").foreach { g =>
+      val est = Sketch.hllEstimate(
+        merged.filter(col("grp") === g).drop("grp"), p = 10)
+      assert(math.abs(est - 4000) / 4000.0 < 0.05, s"group $g estimate $est")
+    }
+  }
 }
