@@ -2089,6 +2089,45 @@ object SparkEntry {
         .orderBy("user_id")
     }),
 
+    // ---- streaming distinct-cardinality maintenance: each micro-batch's
+    // grouped HLL register file folds into keyed register state via
+    // foreachBatch merge-by-max — "distinct users per event type" kept
+    // incrementally, the streaming face of q72. Max-merge is associative,
+    // commutative, and idempotent, so the final state is batch-boundary-
+    // independent and must equal the whole-table register file
+    // BIT-EXACTLY — which is the oracle ---------------------------------
+    "s13_stream_hll" -> ((s, dir) => {
+      s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+      val tmp = gateScratch("s13")
+      val ev = s.read.parquet(s"$dir/events.parquet")
+        .select("event_type", "user_id")
+      val sharded = ev.withColumn("shard", pmod(col("user_id"), lit(4)))
+      sharded.repartition(4, col("shard"))
+        .write.parquet(s"$tmp/in") // 4 files → 4 micro-batches
+      // empty-typed seed: schema comes from the operator, not hand-built
+      var state = ops.Sketch.hllRegistersByGroup(ev.limit(0),
+        "event_type", "user_id", p = 8)
+      withNarrowState(s) {
+        val q = s.readStream
+          .schema(sharded.schema)
+          .option("maxFilesPerTrigger", "1")
+          .parquet(s"$tmp/in")
+          .writeStream
+          .foreachBatch { (batch: DataFrame, _: Long) =>
+            state = ops.Sketch.hllMergeByGroup(Seq(state,
+                ops.Sketch.hllRegistersByGroup(batch,
+                  "event_type", "user_id", p = 8)), "event_type")
+              .localCheckpoint(eager = true) // sever the micro-batch source
+            ()
+          }
+          .option("checkpointLocation", s"$tmp/chk")
+          .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+          .start()
+        q.awaitTermination()
+      }
+      state.orderBy("event_type", "bucket")
+    }),
+
     // ---- real file ingestion: PNG files on disk → binaryFile source →
     // batched decode; the production multimodal ingestion path ----------
     "m6_binary_ingest" -> ((s, dir) => {
@@ -4438,6 +4477,20 @@ object SparkEntry {
          |  CAST(MAX(CASE WHEN v = 0 THEN 51
          |                ELSE 51 - length(bin(v)) END) AS INT) AS max_rho
          |FROM rho GROUP BY 1 ORDER BY bucket""".stripMargin
+    },
+
+    // the streamed state must equal the whole-table grouped register
+    // file (merge-by-max is batch-boundary-independent), so the oracle
+    // computes the registers straight off the events table
+    "s13_stream_hll" -> {
+      val h = OracleSql.h64("'graft-hll' || '-' || CAST(user_id AS VARCHAR)")
+      s"""WITH hs AS (SELECT event_type, $h AS h FROM events),
+         |rho AS (
+         |  SELECT event_type, h % 256 AS bucket, h // 256 AS v FROM hs)
+         |SELECT event_type, bucket,
+         |  CAST(MAX(CASE WHEN v = 0 THEN 53
+         |                ELSE 53 - length(bin(v)) END) AS INT) AS max_rho
+         |FROM rho GROUP BY 1, 2 ORDER BY event_type, bucket""".stripMargin
     },
 
     // merged-from-overlapping-slices == whole-table registers (max is
