@@ -991,6 +991,39 @@ object SparkEntry {
         .orderBy("doc_id")
     }),
 
+    // ---- index EXTENSION across admission rounds: day-1 survivors fold
+    // into the index (extend → save → load), and day 2 probes content
+    // only the GROWN index can reject — near-dups and exact copies of
+    // day-1 admissions bounce, fresh rows land. The oracle replays
+    // admission against a rebuilt corpus ∪ day-1 index: extend must be
+    // indistinguishable from a full rebuild (cap-cold equality) ---------
+    "d48_neardup_extend" -> ((s, dir) => {
+      implicit val sp: SparkSession = s
+      val docs = t(s, dir, "documents").select("doc_id", "text")
+      // day 1: reversed text is genuinely fresh — admitted in full (d43)
+      val batch1 = docs.filter(col("doc_id") % 10 === 5)
+        .select((col("doc_id") + 4000000).as("doc_id"),
+          reverse(col("text")).as("text"))
+      val idx = ops.Dedup.nearDupIndex(docs, "doc_id", "text",
+        k = 12, bands = 6, shingleSize = 3)
+      val admitted1 = ops.Dedup.nearDupFilter(idx, batch1,
+        "doc_id", "text", tau = 0.5)
+      val path = s"${gateScratch("d48")}/index"
+      ops.Dedup.NearDupIndex.save(
+        ops.Dedup.NearDupIndex.extend(idx, admitted1, "doc_id", "text"), path)
+      val idx2 = ops.Dedup.NearDupIndex.load(path)
+      val near2 = batch1.select((col("doc_id") + 1000000).as("doc_id"),
+        concat(col("text"), lit(" zzz extra suffix")).as("text"))
+      val copies2 = batch1.select((col("doc_id") + 2000000).as("doc_id"),
+        col("text"))
+      val fresh2 = docs.filter(col("doc_id") % 10 === 6)
+        .select((col("doc_id") + 7000000).as("doc_id"),
+          reverse(col("text")).as("text"))
+      ops.Dedup.nearDupFilter(idx2, near2.unionAll(copies2).unionAll(fresh2),
+          "doc_id", "text", tau = 0.5)
+        .orderBy("doc_id")
+    }),
+
     // ---- model-based quality filtering: hashed bag-of-words linear
     // classifier (fastText-shaped corpus filter); deterministic integer
     // weights make the scores engine-exact ------------------------------
@@ -3053,6 +3086,23 @@ object SparkEntry {
         |  FROM documents WHERE doc_id % 10 = 7
         |UNION ALL SELECT doc_id + 4000000, reverse(text)
         |  FROM documents WHERE doc_id % 10 = 5""".stripMargin,
+      k = 12, bands = 6, shingleSize = 3, tau = 0.5, maxBucket = 1000),
+
+    // day-2 admission against the EXTENDED index == admission against a
+    // rebuilt corpus ∪ day-1 index (cap-cold equality; day-1 reversed
+    // rows are all admitted by construction, so the rebuilt corpus is
+    // directly expressible without nesting the round-1 pipeline)
+    "d48_neardup_extend" -> OracleSql.nearDupIncremental(
+      """SELECT doc_id, text FROM documents
+        |UNION ALL SELECT doc_id + 4000000, reverse(text)
+        |  FROM documents WHERE doc_id % 10 = 5""".stripMargin,
+      """SELECT doc_id + 5000000 AS doc_id,
+        |    reverse(text) || ' zzz extra suffix' AS text
+        |  FROM documents WHERE doc_id % 10 = 5
+        |UNION ALL SELECT doc_id + 6000000, reverse(text)
+        |  FROM documents WHERE doc_id % 10 = 5
+        |UNION ALL SELECT doc_id + 7000000, reverse(text)
+        |  FROM documents WHERE doc_id % 10 = 6""".stripMargin,
       k = 12, bands = 6, shingleSize = 3, tau = 0.5, maxBucket = 1000),
 
     // full pipeline composition: lang filter → d35 scoring → exact-dedup

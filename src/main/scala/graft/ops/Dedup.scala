@@ -288,6 +288,49 @@ object Dedup {
         nBands = params.getAs[Int]("bands"),
         shingleSize = params.getAs[Int]("shingle_size"))
     }
+
+    /** Grow an index with newly ADMITTED rows — the third leg of the
+      * cross-job admission loop (build → filter batch → EXTEND → save):
+      * the index absorbs each day's survivors at O(batch) cost, so the
+      * corpus is never re-indexed. `admitted` must be the output of a
+      * [[nearDupFilter]] pass (intra-batch collapsed, verified fresh) —
+      * exactly what that function returns.
+      *
+      * Fingerprints and shingle-hash sets union outright. Band rows for
+      * the batch are computed with the index's own (k, bands,
+      * shingleSize) and appended under a REMAINING-CAPACITY cap:
+      * existing members are never evicted, and a (band, bucket) group
+      * only admits new rows (in doc_id order, deterministically) while
+      * its combined size stays ≤ maxBucket — so index growth degrades
+      * exactly like the build path: high-recall, bounded buckets. On
+      * cap-cold data the extended index is IDENTICAL to
+      * `nearDupIndex(corpus ∪ admitted)` (spec-proven). */
+    def extend(
+        idx: NearDupIndex,
+        admitted: DataFrame,
+        idCol: String,
+        textCol: String,
+        maxBucket: Int = 1000): NearDupIndex = {
+      val batch = admitted.select(col(idCol).cast("long").as("doc_id"),
+        col(textCol).as("text"))
+      val fps = idx.fingerprints
+        .unionAll(batch.select(fingerprint(col("text")).as("fingerprint")))
+        .distinct()
+      val hashed = batch.select(col("doc_id"),
+          graft.functions.shingleHash64(tokens(col("text")), idx.shingleSize)
+            .as("hashes"))
+        .localCheckpoint(eager = false) // banding + the stored hash table
+      val existingSz = idx.bands.groupBy("band", "bucket")
+        .agg(count(lit(1)).as("graft_old_sz"))
+      val admittedBands = bandedKeys(hashed, idx.k, idx.nBands)
+        .withColumn("graft_rk", row_number().over(
+          Window.partitionBy("band", "bucket").orderBy("doc_id")))
+        .join(existingSz, Seq("band", "bucket"), "left")
+        .filter(col("graft_rk") + coalesce(col("graft_old_sz"), lit(0L)) <= maxBucket)
+        .select("doc_id", "band", "bucket")
+      NearDupIndex(fps, idx.bands.unionAll(admittedBands),
+        idx.hashes.unionAll(hashed), idx.k, idx.nBands, idx.shingleSize)
+    }
   }
 
   /** Build a [[NearDupIndex]] from a corpus. One collapse shuffle + one

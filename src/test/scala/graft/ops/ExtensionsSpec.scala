@@ -237,6 +237,33 @@ class DedupSpec extends AnyFunSuite with SparkTestBase {
     assert(keptLoaded === kept)
   }
 
+  test("NearDupIndex.extend equals a full rebuild on cap-cold data") {
+    import spark.implicits._
+    val idx = Dedup.nearDupIndex(docs, "doc_id", "text",
+      k = 12, bands = 6, shingleSize = 3)
+    val admitted = Seq(
+      (20L, "completely novel admitted document about distributed joins"),
+      (21L, "another fresh admitted row concerning register file merges"))
+      .toDF("doc_id", "text")
+    val extended = Dedup.NearDupIndex.extend(idx, admitted, "doc_id", "text")
+    val rebuilt = Dedup.nearDupIndex(docs.unionAll(admitted), "doc_id", "text",
+      k = 12, bands = 6, shingleSize = 3)
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(_.toSeq).toSet
+    assert(rows(extended.fingerprints) === rows(rebuilt.fingerprints))
+    assert(rows(extended.bands) === rows(rebuilt.bands))
+    assert(rows(extended.hashes) === rows(rebuilt.hashes))
+    assert(extended.k === rebuilt.k && extended.nBands === rebuilt.nBands)
+
+    // remaining-capacity cap: a full bucket admits nothing new, existing
+    // members are never evicted — growth degrades like the build path
+    val capped = Dedup.NearDupIndex.extend(idx, admitted, "doc_id", "text",
+      maxBucket = 0)
+    assert(rows(capped.bands) === rows(idx.bands))
+    // hash sets and fingerprints still union (verification stays exact)
+    assert(capped.hashes.count() === idx.hashes.count() + 2)
+  }
+
   test("simhash pairs finds low-hamming near-dups only") {
     val pairs = Dedup.simhashPairs(docs, "doc_id", "text", maxHamming = 6)
       .select("id1", "id2").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
