@@ -172,6 +172,22 @@ object Soak {
         ops.Dedup.containmentPairs(
           ops.Dedup.collapseExactText(docsN.unionAll(hotDup), "doc_id", "text"),
           "doc_id", "text", shingleSize = 3, tau = 0.8).count()
+      },
+      measure("containment_skew_uncapped_caller") { // d42 WITHOUT the guard
+        // a caller that skips pre-collapse: every shingle of the 10^4-copy
+        // cluster has a 10^4-doc posting list. Before round 10 this path
+        // was the one quadratic cliff (O(copies^2) candidates); now the
+        // default maxPosting cap drops those hot keys from the index side
+        // — bounded work, with the loss quantified in the audit instead
+        // of silent. (bucket_sz here = dropped POSTING size per key.)
+        val (pairs, audit) = ops.Dedup.containmentPairsAudited(
+          docsN.unionAll(hotDup), "doc_id", "text",
+          shingleSize = 3, tau = 0.8)
+        val n = pairs.count()
+        audits += "containment_skew_uncapped_caller" ->
+          auditCounters(audit.select(col("h"),
+            col("posting_sz").as("bucket_sz")))
+        n
       })
 
     val auditJson = audits.toSeq.sortBy(_._1).map { case (n, (b, mx, p)) =>

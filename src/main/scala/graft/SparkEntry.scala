@@ -2269,6 +2269,34 @@ object SparkEntry {
         .orderBy("l_returnflag")
     }),
 
+    // ---- incremental manifest maintenance: epoch-2 files land in an
+    // append-heavy table and the data-skipping manifest refreshes by
+    // scanning ONLY the new files (driver-side listing diff — O(#files)
+    // planner metadata); the pruned range read over the extended
+    // manifest must equal the full-scan filter, exactly like q69 --------
+    "q73_manifest_extend" -> ((s, dir) => {
+      val tmp = gateScratch("q73")
+      val li = t(s, dir, "lineitem")
+        .select("l_orderkey", "l_returnflag", "l_quantity")
+      li.filter(col("l_orderkey") % 2 === 0)
+        .repartitionByRange(4, col("l_orderkey"))
+        .write.parquet(s"$tmp/t")
+      // pin epoch-1 stats before the append lands (and prove the
+      // extension reuses them verbatim instead of re-scanning)
+      val m1 = ops.Layout.statsManifest(s, s"$tmp/t", Seq("l_orderkey"))
+        .localCheckpoint(eager = true)
+      li.filter(col("l_orderkey") % 2 === 1)
+        .repartitionByRange(4, col("l_orderkey"))
+        .write.mode("append").parquet(s"$tmp/t")
+      val m2 = ops.Layout.extendManifest(s, s"$tmp/t", m1, Seq("l_orderkey"))
+      ops.Layout.prunedRead(s, s"$tmp/t", m2, "l_orderkey",
+          lit(1000L), lit(3000L))
+        .groupBy("l_returnflag")
+        .agg(count(lit(1)).as("n_items"),
+          sum(col("l_quantity").cast("decimal(18,2)")).cast("double").as("sum_qty"))
+        .orderBy("l_returnflag")
+    }),
+
     // ---- schema evolution: two parquet epochs where the newer gained
     // a column, read through the generic source with mergeSchema —
     // old rows surface the new column as NULL, partition discovery
@@ -5096,6 +5124,14 @@ object SparkEntry {
         |FROM m GROUP BY 1 ORDER BY 1""".stripMargin,
 
     "q69_data_skipping" ->
+      """SELECT l_returnflag, COUNT(*) AS n_items,
+        |  CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty
+        |FROM lineitem WHERE l_orderkey BETWEEN 1000 AND 3000
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    // both epochs together are the whole table, so the extended-manifest
+    // pruned read must reproduce the full-scan filter
+    "q73_manifest_extend" ->
       """SELECT l_returnflag, COUNT(*) AS n_items,
         |  CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty
         |FROM lineitem WHERE l_orderkey BETWEEN 1000 AND 3000

@@ -90,11 +90,48 @@ object Layout {
   def statsManifest(spark: org.apache.spark.sql.SparkSession, dir: String,
       cols: Seq[String]): DataFrame = {
     require(cols.nonEmpty, "need at least one stats column")
-    val aggs = count(lit(1)).as("n_rows") +:
-      cols.flatMap(c => Seq(min(col(c)).as(s"min_$c"), max(col(c)).as(s"max_$c")))
     spark.read.parquet(dir)
       .groupBy(col("_metadata.file_path").as("file"))
-      .agg(aggs.head, aggs.tail: _*)
+      .agg(statsAggs(cols).head, statsAggs(cols).tail: _*)
+  }
+
+  private def statsAggs(cols: Seq[String]): Seq[Column] =
+    count(lit(1)).as("n_rows") +:
+      cols.flatMap(c => Seq(min(col(c)).as(s"min_$c"), max(col(c)).as(s"max_$c")))
+
+  /** Incrementally maintain a [[statsManifest]] after new files land in
+    * `dir` (append-heavy table refresh): list the directory driver-side
+    * (O(#files) — the same planner-scale metadata [[prunedRead]]
+    * already collects), diff against the manifest's known paths, and
+    * compute stats over the NEW files ONLY. The refresh costs O(new
+    * data), never a re-scan of the table — per-file stats rows are
+    * immutable once written (parquet files never mutate in place), so
+    * old manifest rows are reused verbatim and the result equals a
+    * rebuilt manifest exactly (spec-proven). Paths are compared
+    * scheme-insensitively (URI path component) because `_metadata
+    * .file_path` and `FileSystem.listStatus` render the same file with
+    * different scheme spellings. */
+  def extendManifest(spark: org.apache.spark.sql.SparkSession, dir: String,
+      manifest: DataFrame, cols: Seq[String]): DataFrame = {
+    require(cols.nonEmpty, "need at least one stats column")
+    def uriPath(p: String): String =
+      new org.apache.hadoop.fs.Path(p).toUri.getPath
+    val known = manifest.select("file").collect().map(r => uriPath(r.getString(0))).toSet
+    val fs = graft.io.PathResolver.fsFor(dir,
+      spark.sparkContext.hadoopConfiguration)
+    val fresh = fs.listStatus(new org.apache.hadoop.fs.Path(dir))
+      .filter(_.isFile)
+      .map(_.getPath.toString)
+      .filter { p => // skip _SUCCESS / hidden files, keep unknown data files
+        val name = new org.apache.hadoop.fs.Path(p).getName
+        !name.startsWith("_") && !name.startsWith(".") &&
+          !known.contains(uriPath(p))
+      }
+    if (fresh.isEmpty) manifest
+    else manifest.unionAll(
+      spark.read.parquet(fresh.toIndexedSeq: _*)
+        .groupBy(col("_metadata.file_path").as("file"))
+        .agg(statsAggs(cols).head, statsAggs(cols).tail: _*))
   }
 
   /** Range read that SKIPS files whose `[min, max]` interval from the

@@ -1315,6 +1315,29 @@ class LayoutSpec extends AnyFunSuite with SparkTestBase {
     })
   }
 
+  test("extendManifest equals a rebuilt manifest and reuses old rows verbatim") {
+    import spark.implicits._
+    val tmp = java.nio.file.Files.createTempDirectory("graft-manifest").toString
+    (0L until 3000L).map(i => (i, s"p$i")).toDF("id", "payload")
+      .repartitionByRange(3, col("id")).write.parquet(s"$tmp/t")
+    val m1 = Layout.statsManifest(spark, s"$tmp/t", Seq("id"))
+      .localCheckpoint(eager = true)
+    // no new files → the manifest comes back unchanged (same rows)
+    val same = Layout.extendManifest(spark, s"$tmp/t", m1, Seq("id"))
+    assert(same.collect().map(_.toSeq).toSet === m1.collect().map(_.toSeq).toSet)
+    // epoch 2 appends; the extension must equal a full rebuild...
+    (3000L until 5000L).map(i => (i, s"p$i")).toDF("id", "payload")
+      .repartitionByRange(2, col("id")).write.mode("append").parquet(s"$tmp/t")
+    val extended = Layout.extendManifest(spark, s"$tmp/t", m1, Seq("id"))
+    val rebuilt = Layout.statsManifest(spark, s"$tmp/t", Seq("id"))
+    assert(extended.collect().map(_.toSeq).toSet ===
+      rebuilt.collect().map(_.toSeq).toSet)
+    // ...and reuse the epoch-1 rows verbatim (no re-scan of old files)
+    assert(m1.collect().map(_.toSeq).toSet.subsetOf(
+      extended.collect().map(_.toSeq).toSet))
+    assert(extended.count() === 5L)
+  }
+
   test("zorderLayout clusters both dimensions into few files") {
     import spark.implicits._
     val df = (0 until 4096).map(i => (i.toLong % 64, i.toLong / 64))
