@@ -1888,6 +1888,21 @@ object SparkEntry {
         .orderBy("id", "sub")
     }),
 
+    // ---- PQ asymmetric-distance search: the query half of e8 — every
+    // doc represented only by its 8 sub-space codes, scored per query
+    // as a fixed-order fold of LUT entries (the 16-64x-less-I/O scan
+    // PQ exists for); codes + broadcast LUT, corpus vectors never read
+    // at query time ------------------------------------------------------
+    "e18_pq_adc" -> ((s, dir) => {
+      val emb = t(s, dir, "embeddings")
+        .select(col("vec_id").cast("long").as("vec_id"), col("embedding"))
+      val queries = emb.filter(col("vec_id") < 5)
+        .select(col("vec_id").as("qid"), col("embedding").as("qv"))
+      ops.Similarity.pqAdcTopK(emb, "vec_id", "embedding",
+          queries, "qid", "qv", m = 8, k = 8, topK = 10)
+        .orderBy("qid", "rank")
+    }),
+
     // ---- multimodal: frame-sample real YUV4MPEG2 streams (every 3rd
     // frame), rows explode executor-side — video bytes never shuffle ----
     "m3_video_frames" -> ((s, dir) => {
@@ -4485,6 +4500,57 @@ object SparkEntry {
          |    ROW_NUMBER() OVER (PARTITION BY id, s ORDER BY dist, cid) AS rn
          |  FROM d) WHERE rn = 1
          |ORDER BY id, sub""".stripMargin
+    },
+
+    // the e8 code CTEs plus a query-side LUT; the ADC sum replays
+    // Spark's 0.0-seeded fixed-order fold via list_reduce over the
+    // sub-space-ordered terms (double addition is not associative)
+    "e18_pq_adc" -> {
+      val m = 8; val k = 8; val sub = 8
+      def dotE(a: String, b: String) = OracleSql.dot(a, b)
+      s"""WITH v AS (SELECT vec_id AS id, CAST(embedding AS DOUBLE[]) AS v
+         |           FROM embeddings),
+         |c AS (SELECT vec_id AS cid, CAST(embedding AS DOUBLE[]) AS cv
+         |      FROM embeddings WHERE vec_id < $k),
+         |subs AS (SELECT s FROM range(0, $m) t(s)),
+         |sliced AS (
+         |  SELECT v.id, subs.s, c.cid,
+         |    (v.v)[subs.s * $sub + 1 : (subs.s + 1) * $sub] AS vs,
+         |    (c.cv)[subs.s * $sub + 1 : (subs.s + 1) * $sub] AS cs
+         |  FROM v CROSS JOIN subs CROSS JOIN c),
+         |d AS (
+         |  SELECT id, s, cid,
+         |    ((${dotE("vs", "vs")} - 2.0 * ${dotE("vs", "cs")})
+         |      + ${dotE("cs", "cs")}) AS dist
+         |  FROM sliced),
+         |codes AS (
+         |  SELECT id, s, cid AS code FROM (
+         |    SELECT id, s, cid,
+         |      ROW_NUMBER() OVER (PARTITION BY id, s ORDER BY dist, cid) AS rn
+         |    FROM d) WHERE rn = 1),
+         |q AS (SELECT id AS qid, v AS qv FROM v WHERE id < 5),
+         |qsliced AS (
+         |  SELECT q.qid, subs.s, c.cid,
+         |    (q.qv)[subs.s * $sub + 1 : (subs.s + 1) * $sub] AS qs,
+         |    (c.cv)[subs.s * $sub + 1 : (subs.s + 1) * $sub] AS cs
+         |  FROM q CROSS JOIN subs CROSS JOIN c),
+         |lut AS (
+         |  SELECT qid, s, cid AS code,
+         |    ((${dotE("qs", "qs")} - 2.0 * ${dotE("qs", "cs")})
+         |      + ${dotE("cs", "cs")}) AS qdist
+         |  FROM qsliced),
+         |scored AS (
+         |  SELECT lut.qid, codes.id,
+         |    list_reduce(list_prepend(0.0::DOUBLE,
+         |      list(lut.qdist ORDER BY lut.s)), (a, b) -> a + b) AS adc_dist
+         |  FROM codes JOIN lut ON codes.s = lut.s AND codes.code = lut.code
+         |  GROUP BY 1, 2)
+         |SELECT qid, rank, id, adc_dist FROM (
+         |  SELECT qid, id, adc_dist,
+         |    ROW_NUMBER() OVER (PARTITION BY qid
+         |      ORDER BY adc_dist ASC, id DESC) AS rank
+         |  FROM scored) WHERE rank <= 10
+         |ORDER BY qid, rank""".stripMargin
     },
 
     "m3_video_frames" ->

@@ -377,6 +377,24 @@ object Similarity {
     * exactly. Pure per-row projection: no shuffle, no driver state
     * beyond the k·m codebook literals. Emitted element-wise
     * (id, sub, code, dist) — hash-comparable across engines. */
+  /** The seeded codebook panel [[productQuantize]] / [[pqAdcTopK]]
+    * share: the corpus rows with ids 0..k−1, collected driver-side —
+    * a bounded O(k·dim) panel, the PQ analogue of the IVF centroid
+    * broadcast. */
+  private def pqSeeds(df: DataFrame, idCol: String, vecCol: String,
+      k: Int): Array[Array[Double]] = {
+    val v = col(vecCol).cast("array<double>")
+    val seeds: Array[Array[Double]] = df
+      .select(col(idCol).cast("long").as("id"), v.as("v"))
+      .filter(col("id") < k).orderBy("id")
+      .collect().map(_.getAs[scala.collection.Seq[Double]]("v").toArray)
+    require(seeds.length == k,
+      s"PQ seeds codebooks from ids 0..${k - 1} but only " +
+      s"${seeds.length} such row(s) exist — re-key ids densely from 0 " +
+      "(row_number() - 1 over a deterministic order) or lower k")
+    seeds
+  }
+
   def productQuantize(
       df: DataFrame,
       idCol: String,
@@ -387,14 +405,7 @@ object Similarity {
     val dim = df.select(org.apache.spark.sql.functions.size(v)).first().getInt(0)
     require(dim % m == 0, s"dim $dim not divisible into $m subspaces")
     val sub = dim / m
-    val seeds: Array[Array[Double]] = df
-      .select(col(idCol).cast("long").as("id"), v.as("v"))
-      .filter(col("id") < k).orderBy("id")
-      .collect().map(_.getAs[scala.collection.Seq[Double]]("v").toArray)
-    require(seeds.length == k,
-      s"productQuantize seeds codebooks from ids 0..${k - 1} but only " +
-      s"${seeds.length} such row(s) exist — re-key ids densely from 0 " +
-      "(row_number() - 1 over a deterministic order) or lower k")
+    val seeds = pqSeeds(df, idCol, vecCol, k)
 
     val cells = (0 until m).map { s =>
       val vs = slice(v, s * sub + 1, sub)
@@ -411,6 +422,72 @@ object Similarity {
     df.select(col(idCol).as("id"), explode(array(cells: _*)).as("pq"))
       .select(col("id"), col("pq.sub").as("sub"),
         col("pq.best.code").as("code"), col("pq.best.dist").as("dist"))
+  }
+
+  /** PQ asymmetric-distance (ADC) top-k search — the query half of
+    * [[productQuantize]]: every corpus row is represented ONLY by its m
+    * sub-space codes; a query scores a doc as the sum of m lookup-table
+    * entries d²(query_sub, centroid[code_sub]). At 100 TB this is the
+    * point of PQ — the search scans m small ints per doc, never the
+    * full vectors (16–64× less I/O), with the codebook and the per-
+    * query LUT (|queries|·m·k rows) broadcast.
+    *
+    * Determinism: the per-(query, doc) ADC sum folds its m sub-space
+    * terms in FIXED sub-space order via `aggregate` over a sorted terms
+    * array (double addition is not associative — a plain SUM would
+    * drift in the last ulp between engines), so the oracle replays the
+    * identical left fold with `list_reduce(list(... ORDER BY s))`.
+    * Ties rank the larger id first, matching [[TopK.perGroup]].
+    *
+    * @param queries bounded query panel with (qidCol, qvecCol)
+    * @return (qid, rank, id, adc_dist) — rank 1..topK per query,
+    *         smallest ADC distance first
+    */
+  def pqAdcTopK(
+      df: DataFrame,
+      idCol: String,
+      vecCol: String,
+      queries: DataFrame,
+      qidCol: String,
+      qvecCol: String,
+      m: Int,
+      k: Int,
+      topK: Int): DataFrame = {
+    val qv = col(qvecCol).cast("array<double>")
+    val dim = queries.select(org.apache.spark.sql.functions.size(qv)).first().getInt(0)
+    require(dim % m == 0, s"dim $dim not divisible into $m subspaces")
+    require(topK > 0, s"topK must be positive, got $topK")
+    val sub = dim / m
+    val seeds = pqSeeds(df, idCol, vecCol, k)
+    require(seeds.forall(_.length == dim),
+      s"codebook/query dim mismatch: seeds are ${seeds.head.length}-d, queries $dim-d")
+    // the ONLY corpus artifact the search reads: (id, sub, code)
+    val codes = productQuantize(df, idCol, vecCol, m, k).select("id", "sub", "code")
+    // per-query LUT, centroid sub-vectors embedded as literals
+    val lutCells = (0 until m).flatMap { s =>
+      val qs = slice(qv, s * sub + 1, sub)
+      val selfDot = dot(qs, qs)
+      (0 until k).map { j =>
+        val c = seeds(j).slice(s * sub, s * sub + sub)
+        val cross = dot(qs, array(c.map(lit).toSeq: _*))
+        struct(lit(s).as("sub"), lit(j).as("code"),
+          ((selfDot - lit(2.0) * cross) + lit(dotArr(c, c))).as("qdist"))
+      }
+    }
+    val lut = queries
+      .select(col(qidCol).cast("long").as("qid"),
+        explode(array(lutCells: _*)).as("l"))
+      .select(col("qid"), col("l.sub").as("sub"),
+        col("l.code").as("code"), col("l.qdist").as("qdist"))
+    val scored = codes.join(broadcast(lut), Seq("sub", "code"))
+      .groupBy("qid", "id")
+      .agg(sort_array(collect_list(struct(col("sub"), col("qdist")))).as("terms"))
+      .select(col("qid"), col("id"),
+        aggregate(col("terms"), lit(0.0),
+          (acc, t) => acc + t.getField("qdist")).as("adc_dist"))
+    TopK.perGroup(scored.withColumn("neg_adc", -col("adc_dist")),
+        Seq("qid"), Seq(col("neg_adc"), col("id"), col("adc_dist")), topK)
+      .select(col("qid"), col("rank"), col("id"), col("adc_dist"))
   }
 
   /** Symmetric max-abs int8 quantization of an embedding column — the

@@ -574,6 +574,33 @@ class SimilaritySpec extends AnyFunSuite with SparkTestBase {
     assert(fused(Seq((0L, 1L, 1L), (0L, 2L, 2L))).count() === 2L)
   }
 
+  test("pqAdcTopK ranks exact matches first and respects topK") {
+    import spark.implicits._
+    // 16 docs in 4-d, 4 subspaces of 1 dim, codebooks from ids 0..3;
+    // docs cluster tightly around the 4 seed vectors
+    val base = Seq(
+      Seq(10.0, 0.0, 0.0, 0.0), Seq(0.0, 10.0, 0.0, 0.0),
+      Seq(0.0, 0.0, 10.0, 0.0), Seq(0.0, 0.0, 0.0, 10.0))
+    val docs = (0L until 16L).map { i =>
+      val b = base((i % 4).toInt)
+      (i, b.map(_ + (if (i < 4) 0.0 else 0.01 * i)))
+    }.toDF("vec_id", "embedding")
+    val queries = docs.filter(col("vec_id") < 2)
+      .select(col("vec_id").as("qid"), col("embedding").as("qv"))
+    val got = Similarity.pqAdcTopK(docs, "vec_id", "embedding",
+      queries, "qid", "qv", m = 4, k = 4, topK = 5)
+    val rows = got.collect().map(r =>
+      (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
+    assert(rows.count(_._1 == 0L) === 5 && rows.count(_._1 == 1L) === 5)
+    // a query that IS a seed finds its own code cell at ADC distance 0,
+    // and every same-cluster doc shares that code path (rank block 1..4)
+    val q0 = rows.filter(_._1 == 0L).sortBy(_._2)
+    assert(q0.head._4 === 0.0)
+    assert(q0.head._3 % 4 === 0L) // its own cluster's representative
+    // distances are non-decreasing in rank
+    assert(q0.map(_._4).sliding(2).forall { case Array(a, b) => a <= b })
+  }
+
   test("clusterBalancedSample takes at most perCell per cell, covering all cells") {
     import spark.implicits._
     // two obvious clusters around (1,0) and (0,1), ids dense from 0
