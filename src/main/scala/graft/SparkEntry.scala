@@ -2137,6 +2137,53 @@ object SparkEntry {
         .orderBy("user_id")
     }),
 
+    // ---- streaming CHECKPOINT RESTART across query incarnations: run
+    // the s8 fold to completion, land MORE files, then start a SECOND
+    // query from the SAME checkpoint — the file source must resume past
+    // the already-processed epoch (each row folds exactly once; a
+    // re-delivery would double n/total and hash-mismatch the batch
+    // oracle). The exactly-once runtime evidence the spec-only
+    // checkpoint test couldn't give ------------------------------------
+    "s14_stream_restart" -> ((s, dir) => {
+      s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+      val tmp = gateScratch("s14")
+      val purchases = s.read.parquet(s"$dir/events.parquet")
+        .filter(col("event_type") === "purchase")
+        .select("user_id", "value")
+      val epoch1 = purchases.filter(col("user_id") % 2 === 0)
+      val epoch2 = purchases.filter(col("user_id") % 2 === 1)
+      epoch1.repartition(2).write.parquet(s"$tmp/in")
+      val stateSchema = org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("user_id", org.apache.spark.sql.types.LongType),
+        org.apache.spark.sql.types.StructField("n", org.apache.spark.sql.types.LongType),
+        org.apache.spark.sql.types.StructField("total",
+          org.apache.spark.sql.types.DecimalType(18, 2))))
+      var state = s.createDataFrame(
+        s.sparkContext.emptyRDD[org.apache.spark.sql.Row], stateSchema)
+      def incarnation(): Unit = withNarrowState(s) {
+        val q = s.readStream
+          .schema(purchases.schema)
+          .option("maxFilesPerTrigger", "1")
+          .parquet(s"$tmp/in")
+          .writeStream
+          .foreachBatch { (batch: DataFrame, _: Long) =>
+            state = ops.Merge.incrementalAgg(state,
+                batch.withColumn("sign", lit(1L)), "user_id", "value", "sign")
+              .localCheckpoint(eager = true) // sever the micro-batch source
+            ()
+          }
+          .option("checkpointLocation", s"$tmp/chk")
+          .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+          .start()
+        q.awaitTermination()
+      }
+      incarnation() // processes epoch 1, commits offsets
+      epoch2.repartition(2).write.mode("append").parquet(s"$tmp/in")
+      incarnation() // MUST fold only the new files
+      state.select(col("user_id"), col("n"), col("total").cast("double").as("total"))
+        .orderBy("user_id")
+    }),
+
     // ---- streaming distinct-cardinality maintenance: each micro-batch's
     // grouped HLL register file folds into keyed register state via
     // foreachBatch merge-by-max — "distinct users per event type" kept
@@ -5262,6 +5309,15 @@ object SparkEntry {
         |ORDER BY user_id, kind""".stripMargin,
 
     "s8_stream_upsert" ->
+      """SELECT user_id, COUNT(*) AS n,
+        |  CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total
+        |FROM events WHERE event_type = 'purchase'
+        |GROUP BY user_id ORDER BY user_id""".stripMargin,
+
+    // identical to s8's batch truth: if the restarted incarnation
+    // re-delivered epoch-1 files, every even user's n/total would
+    // double and the hash would miss
+    "s14_stream_restart" ->
       """SELECT user_id, COUNT(*) AS n,
         |  CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total
         |FROM events WHERE event_type = 'purchase'
