@@ -1903,6 +1903,21 @@ object SparkEntry {
         .orderBy("qid", "rank")
     }),
 
+    // ---- IVF-PQ search (the faiss IVFx,PQy shape, global codebook):
+    // coarse cells prune to nprobe/nlist of the corpus, PQ ADC scores
+    // only the survivors — index structures compose multiplicatively ----
+    "e19_ivf_pq" -> ((s, dir) => {
+      val emb = t(s, dir, "embeddings")
+        .select(col("vec_id").cast("long").as("vec_id"), col("embedding"))
+      val idx = ops.Similarity.ivfIndexSeeded(emb, "vec_id", "embedding",
+        nlist = 8)
+      val queries = emb.filter(col("vec_id") < 5)
+        .select(col("vec_id").as("qid"), col("embedding").as("qv"))
+      ops.Similarity.ivfPqTopK(idx, emb, "vec_id", "embedding",
+          queries, "qid", "qv", m = 8, k = 8, nprobe = 4, topK = 10)
+        .orderBy("qid", "rank")
+    }),
+
     // ---- multimodal: frame-sample real YUV4MPEG2 streams (every 3rd
     // frame), rows explode executor-side — video bytes never shuffle ----
     "m3_video_frames" -> ((s, dir) => {
@@ -4591,6 +4606,74 @@ object SparkEntry {
          |    list_reduce(list_prepend(0.0::DOUBLE,
          |      list(lut.qdist ORDER BY lut.s)), (a, b) -> a + b) AS adc_dist
          |  FROM codes JOIN lut ON codes.s = lut.s AND codes.code = lut.code
+         |  GROUP BY 1, 2)
+         |SELECT qid, rank, id, adc_dist FROM (
+         |  SELECT qid, id, adc_dist,
+         |    ROW_NUMBER() OVER (PARTITION BY qid
+         |      ORDER BY adc_dist ASC, id DESC) AS rank
+         |  FROM scored) WHERE rank <= 10
+         |ORDER BY qid, rank""".stripMargin
+    },
+
+    // e18's code/LUT chain restricted to e3's per-query probed cells
+    "e19_ivf_pq" -> {
+      val m = 8; val k = 8; val sub = 8; val nlist = 8; val nprobe = 4
+      def dotE(a: String, b: String) = OracleSql.dot(a, b)
+      s"""WITH v AS (SELECT vec_id AS id, CAST(embedding AS DOUBLE[]) AS v
+         |           FROM embeddings),
+         |ivfc AS (SELECT vec_id AS cell, CAST(embedding AS DOUBLE[]) AS cv
+         |         FROM embeddings WHERE vec_id < $nlist),
+         |assigned AS (
+         |  SELECT id, cell FROM (
+         |    SELECT v.id, ivfc.cell,
+         |      ROW_NUMBER() OVER (PARTITION BY v.id
+         |        ORDER BY ${OracleSql.cosine("v.v", "ivfc.cv")} DESC, ivfc.cell) AS rn
+         |    FROM v CROSS JOIN ivfc) WHERE rn = 1),
+         |q AS (SELECT id AS qid, v AS qv FROM v WHERE id < 5),
+         |probes AS (
+         |  SELECT qid, cell FROM (
+         |    SELECT q.qid, ivfc.cell,
+         |      ROW_NUMBER() OVER (PARTITION BY q.qid
+         |        ORDER BY ${OracleSql.cosine("q.qv", "ivfc.cv")} DESC, ivfc.cell) AS rn
+         |    FROM q CROSS JOIN ivfc) WHERE rn <= $nprobe),
+         |cand AS (
+         |  SELECT p.qid, a.id FROM probes p JOIN assigned a ON p.cell = a.cell),
+         |c AS (SELECT vec_id AS cid, CAST(embedding AS DOUBLE[]) AS cv
+         |      FROM embeddings WHERE vec_id < $k),
+         |subs AS (SELECT s FROM range(0, $m) t(s)),
+         |sliced AS (
+         |  SELECT v.id, subs.s, c.cid,
+         |    (v.v)[subs.s * $sub + 1 : (subs.s + 1) * $sub] AS vs,
+         |    (c.cv)[subs.s * $sub + 1 : (subs.s + 1) * $sub] AS cs
+         |  FROM v CROSS JOIN subs CROSS JOIN c),
+         |d AS (
+         |  SELECT id, s, cid,
+         |    ((${dotE("vs", "vs")} - 2.0 * ${dotE("vs", "cs")})
+         |      + ${dotE("cs", "cs")}) AS dist
+         |  FROM sliced),
+         |codes AS (
+         |  SELECT id, s, cid AS code FROM (
+         |    SELECT id, s, cid,
+         |      ROW_NUMBER() OVER (PARTITION BY id, s ORDER BY dist, cid) AS rn
+         |    FROM d) WHERE rn = 1),
+         |qsliced AS (
+         |  SELECT q.qid, subs.s, c.cid,
+         |    (q.qv)[subs.s * $sub + 1 : (subs.s + 1) * $sub] AS qs,
+         |    (c.cv)[subs.s * $sub + 1 : (subs.s + 1) * $sub] AS cs
+         |  FROM q CROSS JOIN subs CROSS JOIN c),
+         |lut AS (
+         |  SELECT qid, s, cid AS code,
+         |    ((${dotE("qs", "qs")} - 2.0 * ${dotE("qs", "cs")})
+         |      + ${dotE("cs", "cs")}) AS qdist
+         |  FROM qsliced),
+         |scored AS (
+         |  SELECT cand.qid, cand.id,
+         |    list_reduce(list_prepend(0.0::DOUBLE,
+         |      list(lut.qdist ORDER BY lut.s)), (a, b) -> a + b) AS adc_dist
+         |  FROM cand
+         |  JOIN codes ON cand.id = codes.id
+         |  JOIN lut ON lut.qid = cand.qid AND lut.s = codes.s
+         |          AND lut.code = codes.code
          |  GROUP BY 1, 2)
          |SELECT qid, rank, id, adc_dist FROM (
          |  SELECT qid, id, adc_dist,

@@ -452,7 +452,66 @@ object Similarity {
       qvecCol: String,
       m: Int,
       k: Int,
+      topK: Int): DataFrame =
+    adcRank(df, idCol, vecCol, queries, qidCol, qvecCol, m, k, topK,
+      candidates = None)
+
+  /** IVF-PQ search (the faiss `IVFx,PQy` shape, simplified to a global
+    * — non-residual — codebook): the coarse quantizer prunes the corpus
+    * to each query's `nprobe` nearest cells, and ONLY those candidates
+    * are scored with the PQ ADC fold of [[pqAdcTopK]] — the two index
+    * structures compose multiplicatively at 100 TB: nprobe/nlist of the
+    * rows are touched, and each touched row costs m small ints, not a
+    * vector. Candidate generation is one equi-join on the cell key
+    * (each corpus row lives in exactly one cell, so no dedup pass);
+    * the self row scores ADC ≈ 0 and ranks first — callers filter it
+    * if unwanted. */
+  def ivfPqTopK(
+      idx: IvfIndex,
+      df: DataFrame,
+      idCol: String,
+      vecCol: String,
+      queries: DataFrame,
+      qidCol: String,
+      qvecCol: String,
+      m: Int,
+      k: Int,
+      nprobe: Int,
       topK: Int): DataFrame = {
+    require(nprobe >= 1 && nprobe <= idx.centroids.length,
+      s"nprobe must be in [1, ${idx.centroids.length}], got $nprobe")
+    val qv = col(qvecCol).cast("array<double>")
+    // per-query probed cells: (-cos, cid) structs sort ascending ==
+    // cosine-descending with lowest-cid tiebreak, same as knnJoin
+    val probeStructs = idx.centroids.zipWithIndex.map { case (c, j) =>
+      struct((-cosine(qv, array(c.map(lit).toSeq: _*))).as("ncs"),
+        lit(j).as("cid"))
+    }
+    val probeCells = transform(
+      slice(array_sort(array(probeStructs.toSeq: _*)), 1, nprobe),
+      p => p.getField("cid"))
+    val cand = queries
+      .select(col(qidCol).cast("long").as("qid"), explode(probeCells).as("cell"))
+      .join(idx.assigned.select(col("cell"), col("id")), Seq("cell"))
+      .select("qid", "id")
+    adcRank(df, idCol, vecCol, queries, qidCol, qvecCol, m, k, topK,
+      candidates = Some(cand))
+  }
+
+  /** Shared ADC scoring core: codes ⋈ broadcast LUT (restricted to
+    * `candidates` (qid, id) pairs when given), sorted-terms fixed-order
+    * fold, bounded-heap top-k. */
+  private def adcRank(
+      df: DataFrame,
+      idCol: String,
+      vecCol: String,
+      queries: DataFrame,
+      qidCol: String,
+      qvecCol: String,
+      m: Int,
+      k: Int,
+      topK: Int,
+      candidates: Option[DataFrame]): DataFrame = {
     val qv = col(qvecCol).cast("array<double>")
     val dim = queries.select(org.apache.spark.sql.functions.size(qv)).first().getInt(0)
     require(dim % m == 0, s"dim $dim not divisible into $m subspaces")
@@ -479,7 +538,12 @@ object Similarity {
         explode(array(lutCells: _*)).as("l"))
       .select(col("qid"), col("l.sub").as("sub"),
         col("l.code").as("code"), col("l.qdist").as("qdist"))
-    val scored = codes.join(broadcast(lut), Seq("sub", "code"))
+    val joined = candidates match {
+      case None => codes.join(broadcast(lut), Seq("sub", "code"))
+      case Some(cand) => cand.join(codes, Seq("id"))
+        .join(broadcast(lut), Seq("qid", "sub", "code"))
+    }
+    val scored = joined
       .groupBy("qid", "id")
       .agg(sort_array(collect_list(struct(col("sub"), col("qdist")))).as("terms"))
       .select(col("qid"), col("id"),
