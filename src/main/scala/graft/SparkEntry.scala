@@ -449,6 +449,26 @@ object SparkEntry {
         .orderBy("user_id", "event_id")
     }),
 
+    // ---- as-of join WITH TOLERANCE (pandas merge_asof tolerance):
+    // q19's join, but a matched view older than 30 minutes is nulled as
+    // if absent — the gap compares integer epoch-micros, never doubles,
+    // so the boundary is engine-exact; the plan (one exchange) is
+    // unchanged, the tolerance is a pure post-projection ----------------
+    "q74_asof_tolerance" -> ((s, dir) => {
+      val ev = events(s, dir)
+      val purchases = ev.filter(col("event_type") === "purchase")
+        .select("user_id", "event_id", "ts", "value")
+      val views = ev.filter(col("event_type") === "view")
+        .select("user_id", "ts", "value")
+      ops.AsOf.asOfJoin(purchases, views, "user_id", "ts", Seq("value"),
+          withinGap = Some((l, r) =>
+            unix_micros(l) - unix_micros(r) <= lit(1800L * 1000000L)))
+        .select(col("user_id"), col("event_id"),
+          unix_micros(col("ts")).as("ts_us"), col("value"),
+          unix_micros(col("asof_ts")).as("asof_ts_us"), col("asof_value"))
+        .orderBy("user_id", "event_id")
+    }),
+
     // ---- forward as-of join: earliest subsequent view per purchase ----
     "q43_asof_forward" -> ((s, dir) => {
       val ev = events(s, dir)
@@ -3515,6 +3535,35 @@ object SparkEntry {
         |SELECT user_id, event_id, epoch_us(ts) AS ts_us, value,
         |       epoch_us(asof_ts) AS asof_ts_us, asof_value
         |FROM f WHERE tag = 1 ORDER BY user_id, event_id""".stripMargin,
+
+    // q19's chain plus the 30-minute integer-micros tolerance: an
+    // out-of-gap match nulls BOTH carried columns, as if absent
+    "q74_asof_tolerance" ->
+      """WITH e AS (SELECT user_id, event_id, event_type,
+        |                  CAST(ts AS TIMESTAMP) AS ts, value FROM events),
+        |u AS (
+        |  SELECT user_id, ts, 1 AS tag, event_id, value,
+        |         NULL::TIMESTAMP AS r_ts, NULL::DOUBLE AS r_value
+        |  FROM e WHERE event_type = 'purchase'
+        |  UNION ALL
+        |  SELECT user_id, ts, 0, NULL, NULL, ts, MAX(value)
+        |  FROM e WHERE event_type = 'view' GROUP BY user_id, ts),
+        |f AS (
+        |  SELECT user_id, ts, tag, event_id, value,
+        |    LAST_VALUE(r_ts IGNORE NULLS) OVER w AS asof_ts,
+        |    LAST_VALUE(r_value IGNORE NULLS) OVER w AS asof_value
+        |  FROM u
+        |  WINDOW w AS (PARTITION BY user_id ORDER BY ts, tag
+        |               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)),
+        |g AS (
+        |  SELECT user_id, event_id, ts, value, asof_ts, asof_value,
+        |    (asof_ts IS NOT NULL AND
+        |     epoch_us(ts) - epoch_us(asof_ts) <= 1800000000) AS keep
+        |  FROM f WHERE tag = 1)
+        |SELECT user_id, event_id, epoch_us(ts) AS ts_us, value,
+        |  CASE WHEN keep THEN epoch_us(asof_ts) END AS asof_ts_us,
+        |  CASE WHEN keep THEN asof_value END AS asof_value
+        |FROM g ORDER BY user_id, event_id""".stripMargin,
 
     "q44_funnel" ->
       """WITH e AS (SELECT user_id, event_id, event_type,

@@ -32,6 +32,16 @@ object AsOf {
     *                    window frame, and the per-(key, ts) reduction
     *                    (min-struct instead of max-struct) — same single
     *                    exchange either way
+    * @param withinGap   optional tolerance (pandas `merge_asof
+    *                    (tolerance=...)`): a predicate over (left ts,
+    *                    matched right ts) — a match outside it is
+    *                    nulled, exactly as if no right row existed. A
+    *                    predicate rather than a duration so the caller
+    *                    controls the gap arithmetic's type (integer
+    *                    `unix_micros` for timestamps — a double-seconds
+    *                    subtraction would round at the boundary). Pure
+    *                    post-projection: the plan shape (one exchange)
+    *                    is unchanged
     */
   def asOfJoin(
       left: DataFrame,
@@ -40,7 +50,8 @@ object AsOf {
       tsCol: String,
       payloadCols: Seq[String],
       prefix: String = "asof_",
-      direction: String = "backward"): DataFrame = {
+      direction: String = "backward",
+      withinGap: Option[(org.apache.spark.sql.Column, org.apache.spark.sql.Column) => org.apache.spark.sql.Column] = None): DataFrame = {
     require(direction == "backward" || direction == "forward",
       s"direction must be backward|forward, got $direction")
     val backward = direction == "backward"
@@ -78,10 +89,18 @@ object AsOf {
         (wBase.rowsBetween(Window.currentRow, Window.unboundedFollowing),
           first(col("graft_r"), ignoreNulls = true))
 
-    lTagged.unionAll(rReduced)
+    val base = lTagged.unionAll(rReduced)
       .withColumn("graft_match", pick.over(w))
       .filter(col("graft_tag") === lTag)
       .select(col("graft_l.*") +:
         rFields.map(f => col(s"graft_match.`$f`").as(s"$prefix$f")): _*)
+    withinGap.fold(base) { within =>
+      val keep = col(s"`$prefix$tsCol`").isNotNull &&
+        within(col(s"`$tsCol`"), col(s"`$prefix$tsCol`"))
+      rFields.foldLeft(base) { (df, f) =>
+        df.withColumn(s"$prefix$f",
+          when(keep, col(s"`$prefix$f`")).otherwise(lit(null)))
+      }
+    }
   }
 }
