@@ -2366,6 +2366,37 @@ object SparkEntry {
         .orderBy("l_returnflag")
     }),
 
+    // ---- INCREMENTAL compaction: a mixed layout (2 healthy range-
+    // sorted files + 17 fragment files) is repaired by re-encoding ONLY
+    // the fragments — the healthy files are copied byte-for-byte with
+    // no decode; content must equal the full table and the file count
+    // is pinned (2 kept + ceil(fragmentRows/target) rewritten) ----------
+    "q75_compact_incremental" -> ((s, dir) => {
+      val tmp = gateScratch("q75")
+      val li = t(s, dir, "lineitem")
+        .select("l_orderkey", "l_returnflag", "l_quantity")
+      li.filter(col("l_orderkey") % 2 === 0)
+        .repartitionByRange(2, col("l_orderkey"))
+        .sortWithinPartitions("l_orderkey")
+        .write.parquet(s"$tmp/t")
+      li.filter(col("l_orderkey") % 2 === 1)
+        .repartition(17)
+        .write.mode("append").parquet(s"$tmp/t")
+      // threshold sits strictly between the largest fragment
+      // (ceil(smallRows/17)) and the healthy files (~smallRows/2),
+      // derived from the data so the gate is scale-independent
+      val smallRows = li.filter(col("l_orderkey") % 2 === 1).count()
+      val nFiles = ops.Layout.compactSmall(s, s"$tmp/t", s"$tmp/out",
+        "l_orderkey", targetRowsPerFile = 5000L,
+        minRowsPerFile = smallRows / 17 + 3)
+      s.read.parquet(s"$tmp/out")
+        .groupBy("l_returnflag")
+        .agg(count(lit(1)).as("n_items"),
+          sum(col("l_quantity").cast("decimal(18,2)")).cast("double").as("sum_qty"))
+        .withColumn("n_files", lit(nFiles))
+        .orderBy("l_returnflag")
+    }),
+
     // ---- incremental manifest maintenance: epoch-2 files land in an
     // append-heavy table and the data-skipping manifest refreshes by
     // scanning ONLY the new files (driver-side listing diff — O(#files)
@@ -5373,6 +5404,16 @@ object SparkEntry {
         |  CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty
         |FROM lineitem WHERE l_orderkey BETWEEN 1000 AND 3000
         |GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    // content equals the whole table; file count = 2 kept healthy files
+    // + ceil(fragmentRows / 5000) rewritten ones
+    "q75_compact_incremental" ->
+      """WITH li AS (SELECT l_orderkey, l_returnflag, l_quantity FROM lineitem),
+        |sc AS (SELECT COUNT(*) AS small_cnt FROM li WHERE l_orderkey % 2 = 1)
+        |SELECT l_returnflag, COUNT(*) AS n_items,
+        |  CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
+        |  (SELECT CAST(2 + (small_cnt + 4999) // 5000 AS INT) FROM sc) AS n_files
+        |FROM li GROUP BY 1 ORDER BY 1""".stripMargin,
 
     // both epochs together are the whole table, so the extended-manifest
     // pruned read must reproduce the full-scan filter

@@ -72,6 +72,52 @@ object Layout {
       .count(_.getPath.getName.endsWith(".parquet"))
   }
 
+  /** Incremental small-file compaction — the maintenance pass that
+    * touches only what needs touching: files with at least
+    * `minRowsPerFile` rows are COPIED byte-for-byte driver-side (a
+    * streaming filesystem copy — no decode, no re-encode, no executor
+    * work), and only the fragment tail is read, range-sorted, and
+    * rewritten at `targetRowsPerFile`. On a long-lived table where
+    * daily appends fragment a sliver of the data, this re-encodes the
+    * sliver, not the table — the incremental counterpart of
+    * [[compact]], same O(new data) posture as [[extendManifest]]. The
+    * per-file row census is one distributed `_metadata.file_path`
+    * aggregate (O(#files) driver rows). Returns the output parquet
+    * file count. */
+  def compactSmall(spark: org.apache.spark.sql.SparkSession, inDir: String,
+      outDir: String, sortCol: String, targetRowsPerFile: Long,
+      minRowsPerFile: Long): Int = {
+    require(targetRowsPerFile > 0, "targetRowsPerFile must be positive")
+    require(minRowsPerFile > 0, "minRowsPerFile must be positive")
+    val perFile = spark.read.parquet(inDir)
+      .groupBy(col("_metadata.file_path").as("file"))
+      .agg(count(lit(1)).as("n_rows"))
+      .collect().map(r => (r.getString(0), r.getLong(1)))
+    val (big, small) = perFile.partition(_._2 >= minRowsPerFile)
+    val conf = spark.sparkContext.hadoopConfiguration
+    val outPath = new org.apache.hadoop.fs.Path(outDir)
+    val outFs = graft.io.PathResolver.fsFor(outDir, conf)
+    outFs.mkdirs(outPath)
+    big.foreach { case (p, _) =>
+      val src = new org.apache.hadoop.fs.Path(p)
+      val srcFs = graft.io.PathResolver.fsFor(p, conf)
+      org.apache.hadoop.fs.FileUtil.copy(srcFs, src, outFs,
+        new org.apache.hadoop.fs.Path(outPath, src.getName),
+        false /* keep source */, true /* overwrite */, conf)
+    }
+    if (small.nonEmpty) {
+      val rows = small.map(_._2).sum
+      val nFiles = math.max(1,
+        ((rows + targetRowsPerFile - 1) / targetRowsPerFile).toInt)
+      spark.read.parquet(small.map(_._1).toIndexedSeq: _*)
+        .repartitionByRange(nFiles, col(sortCol))
+        .sortWithinPartitions(sortCol)
+        .write.mode("append").parquet(outDir)
+    }
+    outFs.listStatus(outPath)
+      .count(_.getPath.getName.endsWith(".parquet"))
+  }
+
   /** Per-file column min/max statistics — the data-skipping manifest.
     *
     * One distributed pass groups the table by the hidden

@@ -1365,6 +1365,38 @@ class LayoutSpec extends AnyFunSuite with SparkTestBase {
     assert(extended.count() === 5L)
   }
 
+  test("compactSmall re-encodes only fragments; healthy files copy byte-identically") {
+    import spark.implicits._
+    val tmp = java.nio.file.Files.createTempDirectory("graft-csmall").toString
+    (0L until 4000L).map(i => (i, s"p$i")).toDF("id", "payload")
+      .repartitionByRange(2, col("id")).sortWithinPartitions("id")
+      .write.parquet(s"$tmp/t")
+    (4000L until 5000L).map(i => (i, s"p$i")).toDF("id", "payload")
+      .repartition(10).write.mode("append").parquet(s"$tmp/t")
+    def parquetFiles(d: String) = new java.io.File(d).listFiles()
+      .filter(_.getName.endsWith(".parquet")).sortBy(_.getName)
+    val healthyBefore = parquetFiles(s"$tmp/t").filter(_.length() > 4000)
+    val n = Layout.compactSmall(spark, s"$tmp/t", s"$tmp/out", "id",
+      targetRowsPerFile = 1000L, minRowsPerFile = 500L)
+    assert(n === 3) // 2 healthy kept + ceil(1000/1000) rewritten
+    // content equal to the union
+    val back = spark.read.parquet(s"$tmp/out").as[(Long, String)]
+      .collect().sortBy(_._1).toSeq
+    assert(back === (0L until 5000L).map(i => (i, s"p$i")))
+    // the two healthy files arrive byte-for-byte (no re-encode)
+    def md5(f: java.io.File): String = {
+      val d = java.security.MessageDigest.getInstance("MD5")
+      new java.math.BigInteger(1,
+        d.digest(java.nio.file.Files.readAllBytes(f.toPath))).toString(16)
+    }
+    val outByName = parquetFiles(s"$tmp/out").map(f => f.getName -> f).toMap
+    assert(healthyBefore.length === 2)
+    healthyBefore.foreach { f =>
+      assert(outByName.contains(f.getName), s"${f.getName} not copied")
+      assert(md5(outByName(f.getName)) === md5(f), s"${f.getName} re-encoded")
+    }
+  }
+
   test("zorderLayout clusters both dimensions into few files") {
     import spark.implicits._
     val df = (0 until 4096).map(i => (i.toLong % 64, i.toLong / 64))
