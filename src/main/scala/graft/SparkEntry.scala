@@ -1266,6 +1266,18 @@ object SparkEntry {
         .orderBy("doc_id")
     }),
 
+    // ---- quality-proportional thinning: each doc survives with
+    // probability = its own quality score (Bernoulli(w) under the
+    // replayable hash) — the per-doc generalization of d10's rates;
+    // pure pushable filter, no shuffle ----------------------------------
+    "d49_weighted_sample" -> ((s, dir) => {
+      import graft.functions.TextFunctions
+      val scored = t(s, dir, "documents").select(col("doc_id"),
+        TextFunctions.qualityScore(col("text")).as("w"))
+      ops.CorpusOps.weightedSample(scored, "doc_id", "w")
+        .orderBy("doc_id")
+    }),
+
     // ---- global token vocabulary: top-k with doc frequencies ----------
     "d11_vocab" -> ((s, dir) => {
       ops.CorpusOps.vocabulary(t(s, dir, "documents"), "doc_id", "text", k = 50)
@@ -1696,6 +1708,18 @@ object SparkEntry {
       ops.Profile.histogram(t(s, dir, "lineitem"), "l_extendedprice",
           lo = BigDecimal(900), hi = BigDecimal(105000), nbins = 24)
         .orderBy("bin")
+    }),
+
+    // ---- per-group histogram quantiles: p50/p95 price per returnflag
+    // from the q49 integer-cent bins — percentile monitoring without a
+    // per-group sort, ≤ groups × nbins rows on the wire -----------------
+    "q76_histogram_quantiles" -> ((s, dir) => {
+      ops.Profile.histogramQuantiles(t(s, dir, "lineitem"),
+          "l_returnflag", "l_extendedprice",
+          lo = BigDecimal(900), hi = BigDecimal(105000), nbins = 24,
+          qsPermille = Seq(500, 950))
+        .withColumnRenamed("grp", "l_returnflag")
+        .orderBy("l_returnflag", "q")
     }),
 
     // ---- Bloom-pruned join: fact side filtered through a Bloom filter
@@ -3918,6 +3942,15 @@ object SparkEntry {
          |  < CASE WHEN lang = 'en' THEN 20 WHEN lang = 'de' THEN 10 ELSE 5 END
          |ORDER BY doc_id""".stripMargin,
 
+    "d49_weighted_sample" -> {
+      val q = OracleSql.qualityScore("text")
+      s"""SELECT doc_id, $q AS w FROM documents
+         |WHERE ${OracleSql.h64("'graft-wsample-' || CAST(doc_id AS VARCHAR)")}
+         |        % 1000000
+         |      < CAST(ROUND(($q) * 1000000.0) AS BIGINT)
+         |ORDER BY doc_id""".stripMargin
+    },
+
     "d11_vocab" -> {
       val toks = s"CASE WHEN length(trim(text)) = 0 THEN []::VARCHAR[] " +
         s"ELSE ${OracleSql.toks("text")} END"
@@ -4450,6 +4483,35 @@ object SparkEntry {
         |  UNION ALL SELECT o_orderpriority, 'min_price', min_price FROM m
         |  UNION ALL SELECT o_orderpriority, 'max_price', max_price FROM m)
         |ORDER BY o_orderpriority, metric""".stripMargin,
+
+    // q49's cent-bin mapping, grouped; estimate = lower edge of the
+    // first bin whose cumulative count reaches ceil(q*n) (integer
+    // permille threshold — no double boundary)
+    "q76_histogram_quantiles" ->
+      """WITH cents AS (
+        |  SELECT l_returnflag AS grp,
+        |    CAST(CAST(l_extendedprice AS DECIMAL(18,2)) * 100 AS BIGINT) AS c
+        |  FROM lineitem WHERE l_extendedprice IS NOT NULL),
+        |binned AS (
+        |  SELECT grp, LEAST(23, GREATEST(0,
+        |           CAST(((c - 90000) * 24) // (10500000 - 90000) AS INT))) AS bin
+        |  FROM cents),
+        |counts AS (SELECT grp, bin, COUNT(*) AS n FROM binned GROUP BY 1, 2),
+        |cum AS (
+        |  SELECT grp, bin,
+        |    SUM(n) OVER (PARTITION BY grp ORDER BY bin
+        |                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum,
+        |    SUM(n) OVER (PARTITION BY grp) AS total
+        |  FROM counts),
+        |hits AS (
+        |  SELECT grp, q, MIN(bin) AS bin
+        |  FROM cum CROSS JOIN (SELECT unnest([500, 950]) AS q)
+        |  WHERE cum >= (total * q + 999) // 1000
+        |  GROUP BY 1, 2)
+        |SELECT grp AS l_returnflag, CAST(q AS INT) AS q,
+        |  CAST(90000 + (CAST(bin AS BIGINT) * (10500000 - 90000)) // 24
+        |       AS DOUBLE) / 100 AS est
+        |FROM hits ORDER BY l_returnflag, q""".stripMargin,
 
     "q49_histogram" ->
       """WITH cents AS (

@@ -21,6 +21,22 @@ object CorpusOps {
       salt: String = "graft-sample"): DataFrame =
     df.filter(samplePct(idCol, salt) < percent)
 
+  /** Per-ROW weighted keep — quality-proportional thinning: a row with
+    * weight w ∈ [0, 1] survives with probability w under the replayable
+    * salted hash (Bernoulli(w), independent across rows, deterministic
+    * under reruns/repartitioning/corpus growth — the per-doc
+    * generalization of [[hashSample]]'s global rate and
+    * [[stratifiedSample]]'s per-stratum rates). The compare is integer
+    * (hash mod 10^6 vs round(w·10^6)), so engines agree at the
+    * boundary; weights outside [0, 1] clamp to always-drop/always-keep.
+    * Pure filter — no shuffle, pushable to the scan at any scale. */
+  def weightedSample(df: DataFrame, idCol: String, weightCol: String,
+      salt: String = "graft-wsample"): DataFrame =
+    df.filter(
+      pmod(h64(concat_ws("-", lit(salt), col(idCol).cast("string"))),
+        lit(1000000L)) <
+        round(col(weightCol).cast("double") * 1000000.0).cast("long"))
+
   /** Per-stratum sampling rates (e.g. languages at different budgets);
     * strata not in `rates` fall back to `defaultPercent`. Same pure-
     * filter shape as [[hashSample]]. */

@@ -1,6 +1,7 @@
 package graft.ops
 
 import org.apache.spark.sql.{Column, DataFrame, Row}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
 
@@ -146,5 +147,54 @@ object Profile {
           .as("bin_lo"),
         (expr(s"cast(${loC}L + (cast(bin + 1 as bigint) * ${span}L) div $nbins as double)") / 100)
           .as("bin_hi"))
+  }
+
+  /** Per-group quantile ESTIMATES from an integer-cent equi-width
+    * histogram — percentile monitoring at scale without a per-group
+    * sort: one (group, bin) hash aggregate (≤ groups × nbins rows on
+    * the wire, map-side combined) plus a bin-spine window, and each
+    * estimate is the LOWER EDGE of the first bin whose cumulative
+    * count reaches ⌈q·n⌉. Quantiles arrive as PERMILLE integers so the
+    * threshold is exact integer arithmetic (`(n·q + 999) div 1000`);
+    * bin mapping and edges reuse [[histogram]]'s cent arithmetic, so
+    * the result is deterministic and engine-exact, with error bounded
+    * by one bin width. The histogram rows are mergeable state (counts
+    * sum), so the same estimate is maintainable incrementally. */
+  def histogramQuantiles(
+      df: DataFrame,
+      groupCol: String,
+      column: String,
+      lo: BigDecimal,
+      hi: BigDecimal,
+      nbins: Int,
+      qsPermille: Seq[Int]): DataFrame = {
+    require(nbins > 0, s"nbins must be positive, got $nbins")
+    require(lo < hi, s"need lo < hi, got [$lo, $hi)")
+    require(qsPermille.nonEmpty && qsPermille.forall(q => q >= 1 && q <= 1000),
+      s"quantiles must be permille in [1, 1000], got $qsPermille")
+    val loC = (lo * 100).toLongExact
+    val hiC = (hi * 100).toLongExact
+    val span = hiC - loC
+    val binned = df
+      .filter(col(column).isNotNull)
+      .select(col(groupCol).as("grp"),
+        col(column).cast("decimal(18,2)").as("v"))
+      .select(col("grp"), expr("cast(v * 100 as bigint)").as("cents"))
+      .select(col("grp"), least(lit(nbins - 1), greatest(lit(0),
+        expr(s"cast(((cents - ${loC}L) * $nbins) div ${span}L as int)")))
+        .as("bin"))
+      .groupBy("grp", "bin").agg(count(lit(1)).as("n"))
+    val wCum = Window.partitionBy("grp").orderBy("bin")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val cum = binned
+      .withColumn("cum", sum("n").over(wCum))
+      .withColumn("total", sum("n").over(Window.partitionBy("grp")))
+    val qSpine = explode(array(qsPermille.map(lit): _*)).as("q")
+    cum.select(col("grp"), col("bin"), col("cum"), col("total"), qSpine)
+      .filter(col("cum") >= expr("(total * q + 999L) div 1000L"))
+      .groupBy("grp", "q").agg(min("bin").as("bin"))
+      .select(col("grp"), col("q"),
+        (expr(s"cast(${loC}L + (cast(bin as bigint) * ${span}L) div $nbins as double)") / 100)
+          .as("est"))
   }
 }
