@@ -2390,6 +2390,34 @@ object SparkEntry {
         .orderBy("l_returnflag")
     }),
 
+    // ---- SELECTIVE merge into a range-partitioned layout: changes are
+    // confined to low keys (< 3000) plus out-of-range inserts, so only
+    // the overlapping files re-encode — the rest stream-copy verbatim;
+    // result must equal the whole-table applyChanges --------------------
+    "q77_merge_layout" -> ((s, dir) => {
+      val tmp = gateScratch("q77")
+      def o = t(s, dir, "orders")
+      val snap = o.select("o_orderkey", "o_orderstatus", "o_totalprice")
+      snap.repartitionByRange(8, col("o_orderkey"))
+        .sortWithinPartitions("o_orderkey")
+        .write.parquet(s"$tmp/t")
+      val upd = o.filter(col("o_orderkey") % 7 === 0 &&
+          col("o_orderkey") % 13 =!= 0 && col("o_orderkey") < 3000)
+        .select(col("o_orderkey"), lit("U").as("o_orderstatus"),
+          (col("o_totalprice") + 10.0).as("o_totalprice"),
+          lit(false).as("is_delete"))
+      val dels = o.filter(col("o_orderkey") % 13 === 0 && col("o_orderkey") < 3000)
+        .select(col("o_orderkey"), col("o_orderstatus"), col("o_totalprice"),
+          lit(true).as("is_delete"))
+      val ins = o.filter(col("o_orderkey") % 97 === 0)
+        .select((col("o_orderkey") + 10000000).as("o_orderkey"),
+          lit("I").as("o_orderstatus"), lit(1.0).as("o_totalprice"),
+          lit(false).as("is_delete"))
+      ops.Layout.mergeIntoLayout(s, s"$tmp/t", s"$tmp/out",
+        upd.unionAll(dels).unionAll(ins), "o_orderkey")
+      s.read.parquet(s"$tmp/out").orderBy("o_orderkey")
+    }),
+
     // ---- INCREMENTAL compaction: a mixed layout (2 healthy range-
     // sorted files + 17 fragment files) is repaired by re-encoding ONLY
     // the fragments — the healthy files are copied byte-for-byte with
@@ -5466,6 +5494,26 @@ object SparkEntry {
         |  CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty
         |FROM lineitem WHERE l_orderkey BETWEEN 1000 AND 3000
         |GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    // selective layout merge must equal the whole-table applyChanges
+    "q77_merge_layout" ->
+      """WITH chg AS (
+        |  SELECT o_orderkey, 'U' AS o_orderstatus,
+        |         o_totalprice + 10.0 AS o_totalprice, false AS is_delete
+        |  FROM orders
+        |  WHERE o_orderkey % 7 = 0 AND o_orderkey % 13 <> 0 AND o_orderkey < 3000
+        |  UNION ALL
+        |  SELECT o_orderkey, o_orderstatus, o_totalprice, true
+        |  FROM orders WHERE o_orderkey % 13 = 0 AND o_orderkey < 3000
+        |  UNION ALL
+        |  SELECT o_orderkey + 10000000, 'I', 1.0, false
+        |  FROM orders WHERE o_orderkey % 97 = 0)
+        |SELECT o_orderkey, o_orderstatus, o_totalprice FROM orders
+        |WHERE o_orderkey NOT IN (SELECT o_orderkey FROM chg)
+        |UNION ALL
+        |SELECT o_orderkey, o_orderstatus, o_totalprice FROM chg
+        |WHERE NOT is_delete
+        |ORDER BY o_orderkey""".stripMargin,
 
     // content equals the whole table; file count = 2 kept healthy files
     // + ceil(fragmentRows / 5000) rewritten ones

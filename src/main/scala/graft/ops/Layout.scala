@@ -118,6 +118,56 @@ object Layout {
       .count(_.getPath.getName.endsWith(".parquet"))
   }
 
+  /** Selective MERGE into a range-partitioned layout — the lake-format
+    * "merge rewrites only overlapping files" economics without the
+    * format: per-file [min, max] key ranges (one stats pass) pick the
+    * files whose range can contain a changed key; ONLY those are read,
+    * merged via [[Merge.applyChanges]], range-sorted, and rewritten —
+    * every other file is stream-copied byte-for-byte (no decode, no
+    * executor work). A file whose range contains no changed key
+    * provably contains no changed ROW, so copying it verbatim is
+    * exact. Inserts outside every file range merge into the rewritten
+    * partition (or form it when nothing overlaps). Cost: O(overlapping
+    * files + changes), never O(table). The overlap probe broadcasts
+    * the manifest (O(#files) planner rows) against the change keys;
+    * at extreme file counts swap it for a range-bucketed join.
+    * Returns the output parquet file count. */
+  def mergeIntoLayout(spark: org.apache.spark.sql.SparkSession,
+      inDir: String, outDir: String, changes: DataFrame, keyCol: String,
+      deleteCol: String = "is_delete"): Int = {
+    val manifest = statsManifest(spark, inDir, Seq(keyCol))
+      .select(col("file"), col(s"min_$keyCol").as("graft_lo"),
+        col(s"max_$keyCol").as("graft_hi"))
+      .localCheckpoint(eager = true) // pinned: listed once, probed + diffed
+    val touched = broadcast(manifest)
+      .join(changes.select(col(keyCol).as("graft_k")),
+        col("graft_k") >= col("graft_lo") && col("graft_k") <= col("graft_hi"),
+        "left_semi")
+      .select("file").collect().map(_.getString(0))
+    val untouched = manifest.select("file").collect().map(_.getString(0))
+      .filterNot(touched.toSet)
+    val conf = spark.sparkContext.hadoopConfiguration
+    val outPath = new org.apache.hadoop.fs.Path(outDir)
+    val outFs = graft.io.PathResolver.fsFor(outDir, conf)
+    outFs.mkdirs(outPath)
+    untouched.foreach { p =>
+      val src = new org.apache.hadoop.fs.Path(p)
+      org.apache.hadoop.fs.FileUtil.copy(
+        graft.io.PathResolver.fsFor(p, conf), src, outFs,
+        new org.apache.hadoop.fs.Path(outPath, src.getName),
+        false, true, conf)
+    }
+    val base =
+      if (touched.isEmpty) spark.read.parquet(inDir).limit(0)
+      else spark.read.parquet(touched.toIndexedSeq: _*)
+    val merged = Merge.applyChanges(base, changes, keyCol, deleteCol)
+    merged.repartitionByRange(math.max(1, touched.length), col(keyCol))
+      .sortWithinPartitions(keyCol)
+      .write.mode("append").parquet(outDir)
+    outFs.listStatus(outPath)
+      .count(_.getPath.getName.endsWith(".parquet"))
+  }
+
   /** Per-file column min/max statistics — the data-skipping manifest.
     *
     * One distributed pass groups the table by the hidden

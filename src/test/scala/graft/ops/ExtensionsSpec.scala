@@ -1397,6 +1397,41 @@ class LayoutSpec extends AnyFunSuite with SparkTestBase {
     }
   }
 
+  test("mergeIntoLayout rewrites only key-overlapping files, copies the rest verbatim") {
+    import spark.implicits._
+    val tmp = java.nio.file.Files.createTempDirectory("graft-mil").toString
+    (0L until 4000L).map(i => (i, s"v$i")).toDF("id", "payload")
+      .repartitionByRange(4, col("id")).sortWithinPartitions("id")
+      .write.parquet(s"$tmp/t")
+    def parquetFiles(d: String) = new java.io.File(d).listFiles()
+      .filter(_.getName.endsWith(".parquet")).sortBy(_.getName)
+    def md5(f: java.io.File): String = {
+      val d = java.security.MessageDigest.getInstance("MD5")
+      new java.math.BigInteger(1,
+        d.digest(java.nio.file.Files.readAllBytes(f.toPath))).toString(16)
+    }
+    val before = parquetFiles(s"$tmp/t").map(f => f.getName -> md5(f)).toMap
+    // changes touch only low keys (< 500) + one out-of-range insert
+    val changes = Seq(
+      (10L, "upd10", false), (490L, "upd490", false),
+      (200L, "gone", true), (99999L, "new", false))
+      .toDF("id", "payload", "is_delete")
+    Layout.mergeIntoLayout(spark, s"$tmp/t", s"$tmp/out", changes, "id")
+    // content equals full-table applyChanges
+    val got = spark.read.parquet(s"$tmp/out").as[(Long, String)]
+      .collect().sortBy(_._1).toSeq
+    val want = ((0L until 4000L).filter(_ != 200L).map(i =>
+      (i, if (i == 10L) "upd10" else if (i == 490L) "upd490" else s"v$i"))
+      :+ (99999L, "new")).sortBy(_._1)
+    assert(got === want)
+    // untouched files (ranges above 500) arrive byte-for-byte
+    val outByName = parquetFiles(s"$tmp/out").map(f => f.getName -> f).toMap
+    val copied = before.keys.filter(outByName.contains)
+    assert(copied.nonEmpty && copied.size < before.size,
+      s"expected a strict subset copied, got ${copied.size}/${before.size}")
+    copied.foreach(n => assert(md5(outByName(n)) === before(n), s"$n re-encoded"))
+  }
+
   test("zorderLayout clusters both dimensions into few files") {
     import spark.implicits._
     val df = (0 until 4096).map(i => (i.toLong % 64, i.toLong / 64))
