@@ -1483,6 +1483,31 @@ class ProfileSpec extends AnyFunSuite with SparkTestBase {
     assert(math.abs(p("bucket") - 100) <= 5) // HLL within tolerance
     assert(math.abs(p("id") - 10000) <= 500)
   }
+
+  test("histogramQuantiles lands within one bin width of the exact percentile") {
+    import spark.implicits._
+    // two groups with different uniform value ranges
+    val rows = (0 until 8000).map { i =>
+      val g = if (i % 2 == 0) "a" else "b"
+      val v = if (g == "a") (i % 1000).toDouble else (i % 4000).toDouble
+      (g, v)
+    }
+    val df = rows.toDF("grp", "v")
+    val got = Profile.histogramQuantiles(df, "grp", "v",
+      lo = BigDecimal(0), hi = BigDecimal(4000), nbins = 40,
+      qsPermille = Seq(500, 950))
+      .collect().map(r => (r.getString(0), r.getInt(1)) -> r.getDouble(2)).toMap
+    val binWidth = 100.0
+    rows.groupBy(_._1).foreach { case (g, vs) =>
+      val sorted = vs.map(_._2).sorted
+      Seq(500, 950).foreach { q =>
+        val exact = sorted((math.ceil(q / 1000.0 * sorted.size) - 1).toInt.max(0))
+        val est = got((g, q))
+        assert(math.abs(est - exact) <= binWidth,
+          s"group $g q$q: est $est vs exact $exact")
+      }
+    }
+  }
 }
 
 class BucketingSpec extends AnyFunSuite with SparkTestBase {
