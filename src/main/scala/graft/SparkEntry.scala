@@ -1681,6 +1681,20 @@ object SparkEntry {
         .orderBy("node")
     }),
 
+    // ---- personalized PageRank: teleport mass restarts ONLY into the
+    // trusted seed suppliers (TrustRank) — same join+reduce rounds as
+    // g1, personalization is a pure projection ---------------------------
+    "g6_personalized_pagerank" -> ((s, dir) => {
+      val li = t(s, dir, "lineitem")
+      val edges = li.select(col("l_suppkey").cast("long").as("src"),
+          (col("l_partkey").cast("long") + 1000000L).as("dst"))
+        .unionAll(li.select((col("l_partkey").cast("long") + 1000000L).as("src"),
+          col("l_suppkey").cast("long").as("dst")))
+      ops.Graph.personalizedPageRank(edges, "src", "dst",
+          isSeed = n => n < 1000000L && n % 10 === 0, iterations = 5)
+        .orderBy("node")
+    }),
+
     // ---- top-k per group WITHOUT a window sort: bounded-heap
     // TypedImperativeAggregate, map-side partial top-k ------------------
     "q47_topk" -> ((s, dir) => {
@@ -4483,6 +4497,31 @@ object SparkEntry {
         |  UNION ALL
         |  SELECT pr.iter + 1, ed.dst,
         |         CAST(150000000 + (85 * SUM(pr.pr_rank // ed.deg)) // 100 AS BIGINT)
+        |  FROM pr JOIN ed ON pr.node = ed.src
+        |  WHERE pr.iter < 5
+        |  GROUP BY pr.iter, ed.dst)
+        |SELECT node, CAST(pr_rank AS BIGINT) AS pr_rank FROM pr
+        |WHERE iter = 5 ORDER BY node""".stripMargin,
+
+    // g1's recursive CTE with a seed-gated restart term (node < 10^6
+    // are suppliers; every node has in-edges on this symmetric graph,
+    // so the per-round GROUP BY covers the full node set)
+    "g6_personalized_pagerank" ->
+      """WITH RECURSIVE
+        |e AS (SELECT DISTINCT l_suppkey AS src, 1000000 + l_partkey AS dst FROM lineitem
+        |      UNION SELECT DISTINCT 1000000 + l_partkey AS src, l_suppkey AS dst FROM lineitem),
+        |deg AS (SELECT src, COUNT(*) AS deg FROM e GROUP BY src),
+        |ed AS (SELECT e.src, e.dst, deg.deg FROM e JOIN deg USING (src)),
+        |pr(iter, node, pr_rank) AS (
+        |  SELECT 0, src,
+        |    CAST(CASE WHEN src < 1000000 AND src % 10 = 0
+        |              THEN 1000000000 ELSE 0 END AS BIGINT)
+        |  FROM (SELECT DISTINCT src FROM e)
+        |  UNION ALL
+        |  SELECT pr.iter + 1, ed.dst,
+        |    CAST(CASE WHEN ed.dst < 1000000 AND ed.dst % 10 = 0
+        |              THEN 150000000 ELSE 0 END
+        |         + (85 * SUM(pr.pr_rank // ed.deg)) // 100 AS BIGINT)
         |  FROM pr JOIN ed ON pr.node = ed.src
         |  WHERE pr.iter < 5
         |  GROUP BY pr.iter, ed.dst)

@@ -1,6 +1,6 @@
 package graft.ops
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 
 /** Iterative graph analytics as join–aggregate loops.
@@ -100,6 +100,72 @@ object Graph {
         .groupBy("node").agg(sum("c").as("s"))
         .select(col("node"),
           (lit(base) + expr(s"($dampNum * s) div $dampDen")).as("pr_rank"))
+      if (i % 25 == 0 && i < iterations)
+        rank = rank.localCheckpoint(eager = false)
+    }
+    rank
+  }
+
+  /** PERSONALIZED PageRank (Jeh & Widom WWW'03; the TrustRank trick,
+    * Gyöngyi et al. VLDB'04): the teleport mass restarts ONLY into the
+    * seed set, so ranks measure authority RELATIVE to trusted nodes —
+    * the standard crawl-quality upgrade over global PageRank, where
+    * link farms inflate themselves but cannot reach seed-restart mass.
+    *
+    * Identical physical shape (and fixed-point determinism) to
+    * [[pageRank]]: one contribution join + one zero-union reduce per
+    * round, linear lineage, periodic checkpoint. The restart vector is
+    * a pure `when` PROJECTION over the reduce output (seed membership
+    * is a predicate on the node id), so personalization adds zero
+    * exchanges. Seeds start at `scale`, everything else at 0; ranks
+    * are unnormalized fixed-point integers (ordering and convergence
+    * match the normalized form).
+    *
+    * @param isSeed predicate Column over the node id (e.g.
+    *               `n => n < 1000000 && n % 10 === 0`) — a predicate
+    *               rather than a DataFrame so the restart vector stays
+    *               a projection; wrap a small seed TABLE via
+    *               `isin(...)` literals if membership isn't computable
+    */
+  def personalizedPageRank(
+      edges: DataFrame,
+      srcCol: String,
+      dstCol: String,
+      isSeed: Column => Column,
+      iterations: Int,
+      scale: Long = 1000000000L,
+      dampNum: Long = 85L,
+      dampDen: Long = 100L): DataFrame = {
+    require(iterations >= 0, s"iterations must be >= 0, got $iterations")
+    require(scale > 0 && dampNum >= 0 && dampDen > 0 && dampNum <= dampDen,
+      s"need scale > 0 and 0 <= dampNum <= dampDen, got $scale, $dampNum/$dampDen")
+    val e = edges
+      .select(col(srcCol).cast("long").as("src"), col(dstCol).cast("long").as("dst"))
+      .distinct()
+      .localCheckpoint(eager = false)
+    val ed = e
+      .withColumn("deg", count(lit(1)).over(
+        org.apache.spark.sql.expressions.Window.partitionBy(col("src"))))
+      .localCheckpoint(eager = false)
+    val nodes = e.select(col("src").as("node"))
+      .union(e.select(col("dst").as("node")))
+      .distinct()
+      .localCheckpoint(eager = false)
+
+    val base = scale * (dampDen - dampNum) / dampDen
+    def restart(node: Column): Column =
+      when(isSeed(node), lit(base)).otherwise(lit(0L))
+    var rank = nodes.select(col("node"),
+      when(isSeed(col("node")), lit(scale)).otherwise(lit(0L)).as("pr_rank"))
+    for (i <- 1 to iterations) {
+      val contrib = ed
+        .join(rank.select(col("node").as("src"), col("pr_rank")), Seq("src"))
+        .select(col("dst").as("node"), expr("pr_rank div deg").as("c"))
+      rank = contrib
+        .unionAll(nodes.select(col("node"), lit(0L).as("c")))
+        .groupBy("node").agg(sum("c").as("s"))
+        .select(col("node"),
+          (restart(col("node")) + expr(s"($dampNum * s) div $dampDen")).as("pr_rank"))
       if (i % 25 == 0 && i < iterations)
         rank = rank.localCheckpoint(eager = false)
     }
