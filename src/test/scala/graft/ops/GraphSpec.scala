@@ -47,6 +47,33 @@ class GraphSpec extends AnyFunSuite with SparkTestBase {
     assert(a.toSeq === b.toSeq)
   }
 
+  test("personalized restart: seeds dominate, non-reachable nodes stay at zero") {
+    // 1→2→3 chain plus isolated cycle 8↔9; seed = node 1 only
+    val edges = Seq((1L, 2L), (2L, 3L), (3L, 1L), (8L, 9L), (9L, 8L))
+    val pr = Graph.personalizedPageRank(edges.toDF("src", "dst"),
+        "src", "dst", isSeed = n => n === 1L, iterations = 8)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    // the seed's component carries all the mass; the 8↔9 cycle gets no
+    // restart and no inflow from the seed — it decays to exactly zero
+    assert(pr(8L) === 0L && pr(9L) === 0L)
+    // the seed's whole cycle carries mass (it circulates 1→2→3→1)
+    assert(pr(1L) > 0L && pr(2L) > 0L && pr(3L) > 0L)
+  }
+
+  test("personalized ranks are bit-identical under repartitioning") {
+    val edges = (0L until 400L).map(i => (i % 40, (i * 7) % 40)).filter(e => e._1 != e._2)
+    val seed: org.apache.spark.sql.Column => org.apache.spark.sql.Column =
+      n => n % 5 === 0
+    val a = Graph.personalizedPageRank(edges.toDF("src", "dst"),
+        "src", "dst", seed, 6)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).sortBy(_._1)
+    val b = Graph.personalizedPageRank(
+        edges.toDF("src", "dst").repartition(8, col("dst")),
+        "src", "dst", seed, 6)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).sortBy(_._1)
+    assert(a.toSeq === b.toSeq)
+  }
+
   test("deep runs stay plannable: 60 iterations cross the periodic barrier") {
     // crosses the every-25-pass localCheckpoint twice; a converged cycle
     // is exact at any depth, so correctness pins the barrier's
