@@ -606,6 +606,27 @@ object SparkEntry {
       streamToTable(s, agg, "s2", "complete").orderBy("event_type")
     }),
 
+    // ---- WATERMARK-BOUNDED streaming dedup (Spark 4's
+    // dropDuplicatesWithinWatermark): unlike s2's dropDuplicates —
+    // whose key state lives forever — dedup state here EXPIRES with
+    // the watermark, the production-viable form for unbounded streams.
+    // Duplicates land in the same micro-batch (well inside the 2 h
+    // horizon), so the appended output equals global distinct ----------
+    "s15_stream_dedup_watermark" -> ((s, dir) => {
+      val doubled = eventStream(s, dir)
+        .withColumn("graft_dup", explode(array(lit(1), lit(2))))
+        .drop("graft_dup")
+      val deduped = doubled
+        .withWatermark("ts", "2 hours")
+        .dropDuplicatesWithinWatermark("event_id")
+        .select("event_id", "event_type", "value")
+      streamToTable(s, deduped, "s15", "append")
+        .groupBy("event_type")
+        .agg(count(lit(1)).as("n"),
+          sum(col("value").cast("decimal(18,3)")).cast("double").as("total"))
+        .orderBy("event_type")
+    }),
+
     // ---- Structured Streaming end-to-end: file-stream the events
     // table through a windowed aggregation into a memory sink; complete
     // mode needs no watermark closure, so the result equals the batch
@@ -1983,6 +2004,16 @@ object SparkEntry {
         t(s, dir, "documents").select("doc_id"), "doc_id")(s)
       ops.Multimodal.frameSampleFeatures(vids, stride = 3).toDF()
         .orderBy("media_id", "frame_idx")
+    }),
+
+    // ---- audio envelope: block-mean downsampling of real WAV PCM (the
+    // audio analogue of m3's frame sampling) — bytes decode in the scan,
+    // only (id, block, mean) rows move; integer sums → exact oracle ----
+    "m11_audio_blocks" -> ((s, dir) => {
+      val media = ops.Multimodal.syntheticMedia(
+        t(s, dir, "documents").select("doc_id"), "doc_id")(s)
+      ops.Multimodal.audioBlockFeatures(media, blockSize = 100).toDF()
+        .orderBy("media_id", "block_idx")
     }),
 
     // ---- shot-cut detection: consecutive-frame mean-abs-difference over
@@ -3429,6 +3460,13 @@ object SparkEntry {
     "s2_stream_dedup" ->
       """SELECT event_type, COUNT(*) AS n FROM events
         |GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    // doubled rows dedupe within the watermark horizon back to the
+    // original events table
+    "s15_stream_dedup_watermark" ->
+      """SELECT event_type, COUNT(*) AS n,
+        |  CAST(SUM(CAST(value AS DECIMAL(18,3))) AS DOUBLE) AS total
+        |FROM events GROUP BY 1 ORDER BY 1""".stripMargin,
 
     "q33_array_agg" ->
       """SELECT o_orderpriority,
@@ -4906,6 +4944,21 @@ object SparkEntry {
         |  AND x < doc_id % 16 + 4 AND y < doc_id % 12 + 4
         |GROUP BY doc_id, f
         |ORDER BY media_id, frame_idx""".stripMargin,
+
+    // PCM formula replay: sample i of wav id = ((id*31 + i*17) % 65536)
+    // - 32768, n = id % 800 + 8 samples; block mean = integer sum / cnt
+    "m11_audio_blocks" ->
+      """WITH ids AS (
+        |  SELECT doc_id AS id, doc_id % 800 + 8 AS n
+        |  FROM documents WHERE doc_id % 3 = 2),
+        |iz AS (SELECT i FROM range(0, 808) t(i)),
+        |samples AS (
+        |  SELECT id, CAST(i // 100 AS INT) AS block_idx,
+        |         ((id * 31 + i * 17) % 65536) - 32768 AS s
+        |  FROM ids, iz WHERE i < n)
+        |SELECT id AS media_id, block_idx, CAST(COUNT(*) AS INT) AS n_samples,
+        |  CAST(SUM(s) AS DOUBLE) / COUNT(*) AS mean_val
+        |FROM samples GROUP BY 1, 2 ORDER BY media_id, block_idx""".stripMargin,
 
     // closed-form replay of graySceneAt deltas: only scene boundaries
     // (f % 4 = 0, f > 0) can clear the threshold — in-scene frames are

@@ -37,6 +37,12 @@ object Multimodal {
     * between frame `frame_idx` and frame `frame_idx − 1`. */
   case class FrameDelta(media_id: Long, frame_idx: Int, mad: Double)
 
+  /** One PCM block of a downsampled audio stream: block index, how
+    * many samples it covers (the final block may be short), and the
+    * integer-exact block mean. */
+  case class AudioBlock(media_id: Long, block_idx: Int, n_samples: Int,
+      mean_val: Double)
+
   /** Deterministic payload generators (the stand-in for files read from
     * a binary source). Pixels and samples follow closed-form formulas of
     * (id, x, y) so lossless decodes have an exact SQL oracle. */
@@ -211,6 +217,34 @@ object Multimodal {
         case other =>
           MediaFeatures(r.media_id, other, r.content.length, 0, 0, 0L, 0.0)
       }
+
+    /** Block-downsample a WAV record's PCM stream: one [[AudioBlock]]
+      * per `blockSize` samples with the integer-exact block mean — the
+      * audio envelope (the contour [[audioHash]] summarizes into one
+      * long, exposed here as first-class time-series rows — the audio
+      * analogue of [[frameSample]]). Record-local: audio bytes never
+      * shuffle, blocks explode executor-side; same bounds-checked
+      * [[parseWav]] walk as every wav decoder here. */
+    def blockMeans(r: MediaRecord, blockSize: Int): Seq[AudioBlock] = {
+      require(blockSize > 0, s"blockSize must be positive, got $blockSize")
+      val bb = java.nio.ByteBuffer.wrap(r.content)
+        .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+      val (_, _, dataOff, dataLen) = parseWav(r.content)
+      val n = dataLen / 2
+      val out = scala.collection.mutable.ArrayBuffer.empty[AudioBlock]
+      var b = 0
+      var i = 0
+      while (i < n) {
+        val end = math.min(i + blockSize, n)
+        var sum = 0L
+        var j = i
+        while (j < end) { sum += bb.getShort(dataOff + 2 * j); j += 1 }
+        out += AudioBlock(r.media_id, b, end - i, sum.toDouble / (end - i))
+        b += 1
+        i = end
+      }
+      out.toSeq
+    }
 
     /** Generic RIFF chunk walk → (sampleRate, channels, dataOff, dataLen). */
     private def parseWav(c: Array[Byte]): (Int, Int, Int, Int) = {
@@ -476,6 +510,17 @@ object Multimodal {
     media.mapPartitions { it =>
       it.grouped(MediaCodec.batchSize)
         .flatMap(_.flatMap(r => MediaCodec.frameSample(r, stride)))
+    }
+  }
+
+  /** [[MediaCodec.blockMeans]] over a wav table, batched per partition
+    * like every decoder here — audio bytes stay in the scan, only
+    * (id, block, mean) rows shuffle. Non-wav records are skipped. */
+  def audioBlockFeatures(media: Dataset[MediaRecord], blockSize: Int): Dataset[AudioBlock] = {
+    import media.sparkSession.implicits._
+    media.filter((r: MediaRecord) => r.meta.format == "wav").mapPartitions { it =>
+      it.grouped(MediaCodec.batchSize)
+        .flatMap(_.flatMap(r => MediaCodec.blockMeans(r, blockSize)))
     }
   }
 
