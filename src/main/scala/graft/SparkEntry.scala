@@ -1982,6 +1982,19 @@ object SparkEntry {
         .orderBy("qid", "rank")
     }),
 
+    // ---- SQ8 search: brute-force top-k over int8-quantized vectors —
+    // integer code dots (exact, partition-invariant) rescaled by the
+    // two per-vector scales in fixed order; 4-8x less scan I/O --------
+    "e20_sq8_search" -> ((s, dir) => {
+      val emb = t(s, dir, "embeddings")
+        .select(col("vec_id").cast("long").as("vec_id"), col("embedding"))
+      val queries = emb.filter(col("vec_id") < 5)
+        .select(col("vec_id").as("qid"), col("embedding").as("qv"))
+      ops.Similarity.sq8TopK(emb, "vec_id", "embedding",
+          queries, "qid", "qv", k = 10)
+        .orderBy("qid", "rank")
+    }),
+
     // ---- IVF-PQ search (the faiss IVFx,PQy shape, global codebook):
     // coarse cells prune to nprobe/nlist of the corpus, PQ ADC scores
     // only the survivors — index structures compose multiplicatively ----
@@ -4861,6 +4874,34 @@ object SparkEntry {
          |  FROM scored) WHERE rank <= 10
          |ORDER BY qid, rank""".stripMargin
     },
+
+    // e5's quantization formula on both sides; integer code dot cast
+    // to double once, rescaled in the same fixed order as Spark
+    "e20_sq8_search" ->
+      """WITH v AS (SELECT vec_id AS id, CAST(embedding AS DOUBLE[]) AS v
+        |           FROM embeddings),
+        |enc AS (
+        |  SELECT id, s AS scale,
+        |    CASE WHEN s = 0.0 THEN list_transform(v, x -> 0)
+        |         ELSE list_transform(v, x -> CAST(round(x / s * 127.0) AS INT))
+        |    END AS q
+        |  FROM (SELECT id, v,
+        |          list_aggregate(list_transform(v, x -> abs(x)), 'max') AS s
+        |        FROM v)),
+        |qs AS (SELECT id AS qid, scale AS qscale, q AS qq FROM enc WHERE id < 5),
+        |scored AS (
+        |  SELECT qs.qid, enc.id,
+        |    ((enc.scale * qs.qscale) *
+        |     CAST(list_reduce(list_transform(range(1, len(enc.q) + 1),
+        |            i -> CAST((enc.q)[i] AS BIGINT) * (qs.qq)[i]),
+        |          (x, y) -> x + y) AS DOUBLE)) / 16129.0 AS score
+        |  FROM enc CROSS JOIN qs)
+        |SELECT qid, rank, id, score FROM (
+        |  SELECT qid, id, score,
+        |    ROW_NUMBER() OVER (PARTITION BY qid
+        |      ORDER BY score DESC, id DESC) AS rank
+        |  FROM scored) WHERE rank <= 10
+        |ORDER BY qid, rank""".stripMargin,
 
     // e18's code/LUT chain restricted to e3's per-query probed cells
     "e19_ivf_pq" -> {

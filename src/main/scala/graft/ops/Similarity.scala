@@ -554,6 +554,47 @@ object Similarity {
       .select(col("qid"), col("rank"), col("id"), col("adc_dist"))
   }
 
+  /** Brute-force top-k over SYMMETRIC int8-quantized vectors — the SQ8
+    * scalar-quantizer search (the faiss `IndexScalarQuantizer` shape,
+    * completing the quantization family beside [[pqAdcTopK]]): both
+    * sides carry max-abs-scaled int8 codes — 4–8× less scan I/O than
+    * doubles — and the inner product is an exact INTEGER dot over the
+    * codes (order-independent under any partitioning), with the two
+    * per-vector scales folded back in one fixed-order double product.
+    * Quantized-search scores are therefore engine-EXACT, not
+    * tolerance-banded. Same quantization formula as [[quantizeInt8]]
+    * (gate e5), so codes match the stored int8 table bit-for-bit. */
+  def sq8TopK(
+      df: DataFrame,
+      idCol: String,
+      vecCol: String,
+      queries: DataFrame,
+      qidCol: String,
+      qvecCol: String,
+      k: Int): DataFrame = {
+    def enc(v0: Column) = {
+      val v = v0.cast("array<double>")
+      val scale = array_max(transform(v, x => abs(x)))
+      struct(scale.as("scale"),
+        when(scale === 0.0, transform(v, _ => lit(0)))
+          .otherwise(transform(v, x => round(x / scale * lit(127.0)).cast("int")))
+          .as("q"))
+    }
+    val c = df.select(col(idCol).cast("long").as("id"), enc(col(vecCol)).as("e"))
+      .select(col("id"), col("e.scale").as("cscale"), col("e.q").as("cq"))
+    val qs = queries
+      .select(col(qidCol).cast("long").as("qid"), enc(col(qvecCol)).as("e"))
+      .select(col("qid"), col("e.scale").as("qscale"), col("e.q").as("qq"))
+    val scored = c.crossJoin(broadcast(qs))
+      .select(col("qid"), col("id"),
+        (((col("cscale") * col("qscale")) *
+          aggregate(zip_with(col("cq"), col("qq"),
+            (a, b) => (a * b).cast("bigint")), lit(0L), _ + _).cast("double")) /
+          lit(16129.0)).as("score")) // 127²: undo both quant scales
+    TopK.perGroup(scored, Seq("qid"), Seq(col("score"), col("id")), k)
+      .select(col("qid"), col("rank"), col("id"), col("score"))
+  }
+
   /** Symmetric max-abs int8 quantization of an embedding column — the
     * 4× storage/bandwidth reducer ANN indexes ship with. Each vector is
     * scaled by its own max|component| and rounded to [-127, 127]; the
