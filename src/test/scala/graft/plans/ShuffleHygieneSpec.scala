@@ -121,4 +121,50 @@ class ShuffleHygieneSpec extends AnyFunSuite with SparkTestBase {
     assert(!cols.exists(_.endsWith(":string")),
       s"string column(s) in an rrfFuse shuffle: $cols")
   }
+
+  private def embCorpus: DataFrame = (0L until 300L).map { i =>
+    (i, Array.tabulate(16)(d => ((i * 13 + d * 7) % 29) / 29.0))
+  }.toDF("vec_id", "embedding")
+
+  private def noVectors(cols: Set[String], op: String): Unit = {
+    assert(cols.nonEmpty, s"$op: expected at least one exchange")
+    assert(!cols.exists(c => c.startsWith("embedding:") ||
+      c.startsWith("qv:") || c.startsWith("v:") ||
+      c.endsWith(":array<double>") || c.endsWith(":array<float>")),
+      s"$op: a vector crossed a shuffle: $cols")
+  }
+
+  test("pqAdcTopK shuffles carry codes and LUT terms — never vectors") {
+    // the PQ promise: query-time exchanges move (qid, id, sub, code,
+    // qdist) and heap buffers; the 16-d vectors stay in the scan /
+    // driver panels
+    val emb = embCorpus
+    val queries = emb.filter(col("vec_id") < 3)
+      .select(col("vec_id").as("qid"), col("embedding").as("qv"))
+    noVectors(shuffledColumns(Similarity.pqAdcTopK(emb, "vec_id", "embedding",
+      queries, "qid", "qv", m = 4, k = 4, topK = 3)), "pqAdcTopK")
+  }
+
+  test("ivfPqTopK shuffles never carry vectors either") {
+    val emb = embCorpus
+    val queries = emb.filter(col("vec_id") < 3)
+      .select(col("vec_id").as("qid"), col("embedding").as("qv"))
+    val idx = Similarity.ivfIndexSeeded(emb, "vec_id", "embedding", nlist = 4)
+    noVectors(shuffledColumns(Similarity.ivfPqTopK(idx, emb, "vec_id",
+      "embedding", queries, "qid", "qv", m = 4, k = 4, nprobe = 2, topK = 3)),
+      "ivfPqTopK")
+  }
+
+  test("sq8TopK shuffles carry scores and heap buffers — never codes or vectors") {
+    val emb = embCorpus
+    val queries = emb.filter(col("vec_id") < 3)
+      .select(col("vec_id").as("qid"), col("embedding").as("qv"))
+    val cols = shuffledColumns(Similarity.sq8TopK(emb, "vec_id", "embedding",
+      queries, "qid", "qv", k = 3))
+    noVectors(cols, "sq8TopK")
+    // the int8 code arrays are consumed by the score projection BEFORE
+    // the TopK exchange — nothing array-of-int crosses either
+    assert(!cols.exists(_.endsWith(":array<int>")),
+      s"int8 codes crossed a shuffle: $cols")
+  }
 }
