@@ -2669,6 +2669,29 @@ object SparkEntry {
         .orderBy("user_id", "p_id", "v_id")
     }),
 
+    // ---- stream-stream LEFT SEMI join: purchases emitted once iff a
+    // same-user view lands within ±1 hour — completes the streaming
+    // join family (inner s3, left-outer s12); the left row emits on
+    // first match and never again, so append output = EXISTS semi -----
+    "s16_stream_semi_join" -> ((s, dir) => {
+      def stream() = eventStream(s, dir)
+      val purchases = stream()
+        .filter(col("event_type") === "purchase" && col("user_id") % 7 === 1)
+        .select(col("user_id"), col("event_id").as("p_id"), col("ts").as("p_ts"))
+        .withWatermark("p_ts", "2 hours")
+      val views = stream()
+        .filter(col("event_type") === "view" && col("user_id") % 7 === 1)
+        .select(col("user_id").as("v_user"), col("ts").as("v_ts"))
+        .withWatermark("v_ts", "2 hours")
+      val joined = purchases.join(views,
+        col("user_id") === col("v_user") &&
+          col("v_ts") >= col("p_ts") - expr("INTERVAL 1 HOUR") &&
+          col("v_ts") <= col("p_ts") + expr("INTERVAL 1 HOUR"),
+        "left_semi")
+      streamToTable(s, joined.select("user_id", "p_id"), "s16", "append")
+        .orderBy("user_id", "p_id")
+    }),
+
     // ---- state API v2 TTL expiry: event-time timers drop idle keys
     // from the RocksDB store. Each user's purchase aggregate re-arms an
     // idle timer at lastTs + 2 days; once the watermark (max event time,
@@ -3585,6 +3608,22 @@ object SparkEntry {
       """SELECT date_trunc('hour', ts) AS hour, event_type, COUNT(*) AS n,
         |  CAST(SUM(CAST(value AS DECIMAL(18,3))) AS DOUBLE) AS total
         |FROM events GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+
+    // a matched left row emits exactly once, so append output is the
+    // plain EXISTS semi — no watermark-horizon caveat on matches
+    "s16_stream_semi_join" ->
+      """WITH e AS (SELECT user_id, event_id, event_type,
+        |                  CAST(ts AS TIMESTAMP) AS ts
+        |           FROM events WHERE user_id % 7 = 1),
+        |p AS (SELECT user_id, event_id AS p_id, ts AS p_ts FROM e
+        |      WHERE event_type = 'purchase'),
+        |v AS (SELECT user_id AS v_user, ts AS v_ts FROM e
+        |      WHERE event_type = 'view')
+        |SELECT user_id, p_id FROM p
+        |WHERE EXISTS (SELECT 1 FROM v WHERE v_user = user_id
+        |  AND v_ts >= p_ts - INTERVAL 1 HOUR
+        |  AND v_ts <= p_ts + INTERVAL 1 HOUR)
+        |ORDER BY user_id, p_id""".stripMargin,
 
     "q22_bucketed_join" ->
       """SELECT o_orderpriority,
