@@ -1716,6 +1716,27 @@ object SparkEntry {
         .orderBy("node")
     }),
 
+    // ---- connected components in O(log² n) ROUNDS (large-star /
+    // small-star): a deep path-shaped graph — orderkey chains spaced
+    // by 3 inside 100-key blocks, cross-linked at +51 — where
+    // label propagation would need diameter (~30) rounds and the
+    // two-phase rewrite needs ~5 ---------------------------------------
+    "g7_cc_twophase" -> ((s, dir) => {
+      val o = t(s, dir, "orders")
+        .select(col("o_orderkey").cast("long").as("k"),
+          expr("o_orderkey div 100").cast("long").as("blk"))
+      val a = o.select(col("k").as("src"), col("blk").as("sblk"))
+      val b = o.select(col("k").as("dst"), col("blk").as("dblk"))
+      val step = a.join(b,
+          col("dst") === col("src") + 3 && col("sblk") === col("dblk"))
+        .select("src", "dst")
+      val link = a.filter(col("src") % 7 === 0).join(b,
+          col("dst") === col("src") + 51 && col("sblk") === col("dblk"))
+        .select("src", "dst")
+      ops.Graph.connectedComponentsTwoPhase(step.unionAll(link), "src", "dst")
+        .orderBy("node")
+    }),
+
     // ---- top-k per group WITHOUT a window sort: bounded-heap
     // TypedImperativeAggregate, map-side partial top-k ------------------
     "q47_topk" -> ((s, dir) => {
@@ -4617,6 +4638,27 @@ object SparkEntry {
         |  GROUP BY pr.iter, ed.dst)
         |SELECT node, CAST(pr_rank AS BIGINT) AS pr_rank FROM pr
         |WHERE iter = 5 ORDER BY node""".stripMargin,
+
+    // min-label reachability closure over the same chain graph — the
+    // algorithm-independent definition of a component
+    "g7_cc_twophase" ->
+      """WITH RECURSIVE
+        |base AS (SELECT CAST(o_orderkey AS BIGINT) AS k FROM orders),
+        |edges0 AS (
+        |  SELECT x.k AS a, y.k AS b FROM base x JOIN base y
+        |    ON y.k = x.k + 3 AND x.k // 100 = y.k // 100
+        |  UNION ALL
+        |  SELECT x.k, y.k FROM base x JOIN base y
+        |    ON y.k = x.k + 51 AND x.k // 100 = y.k // 100
+        |  WHERE x.k % 7 = 0),
+        |edges AS (
+        |  SELECT a, b FROM edges0 UNION SELECT b, a FROM edges0),
+        |reach(node, lab) AS (
+        |  SELECT a, a FROM (SELECT DISTINCT a FROM edges)
+        |  UNION
+        |  SELECT e.a, r.lab FROM edges e JOIN reach r ON r.node = e.b)
+        |SELECT node, MIN(lab) AS component FROM reach
+        |GROUP BY node ORDER BY node""".stripMargin,
 
     "q47_topk" ->
       """SELECT o_orderpriority, CAST(rnk AS BIGINT) AS rank, o_totalprice, o_orderkey

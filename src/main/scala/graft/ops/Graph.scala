@@ -422,4 +422,102 @@ object Graph {
       .groupBy(col("u").as("node"))
       .agg(count(lit(1)).as("n_triangles"))
   }
+
+  /** Connected components by alternating LARGE-STAR / SMALL-STAR
+    * rounds (Kiveris et al., SoCC'14 "Connected Components in
+    * MapReduce and Beyond", public) — the O(log² n)-round alternative
+    * to min-label propagation, whose round count is the component
+    * DIAMETER. On a 100 TB web graph the diameter can be hundreds of
+    * hops while log² n is ~25: the label-propagation loop
+    * ([[graft.ops.Dedup.connectedComponents]]) is the right tool for
+    * the shallow near-dup clusters LSH emits, THIS is the right tool
+    * for deep path-shaped graphs (link chains, citation threads).
+    *
+    * Each round rewrites the edge set itself (there is no separate
+    * label table):
+    *
+    *   large-star(u): every neighbor v > u re-attaches to
+    *                  m = min(N(u) ∪ {u})
+    *   small-star(u): every neighbor v < u, and u itself, re-attach
+    *                  to m
+    *
+    * Both phases are one groupBy(node) min-aggregate plus one
+    * join-back over the symmetrized edge list — pure shuffle-parallel
+    * relational algebra, no driver state but the loop counter. The
+    * edge multiset strictly shrinks toward the star fixpoint (every
+    * node directly linked to its component minimum), so convergence is
+    * detected by an exact (count, Σnode, Σmin) digest going stable —
+    * one cheap aggregate per round. Each round's output feeds the next
+    * round's THREE consumers (min pass + both phase join-backs), so
+    * rounds end in a lazy localCheckpoint to keep lineage linear.
+    *
+    * @return (node, component) — component = min node id reachable
+    */
+  def connectedComponentsTwoPhase(
+      edges: DataFrame,
+      srcCol: String,
+      dstCol: String,
+      maxIter: Int = 20): DataFrame = {
+    require(maxIter >= 1, s"maxIter must be >= 1, got $maxIter")
+    val raw = edges.select(
+      col(srcCol).cast("long").as("a"), col(dstCol).cast("long").as("b"))
+    // undirected: keep one canonical (min, max) copy per edge
+    var e = raw.select(least(col("a"), col("b")).as("a"),
+        greatest(col("a"), col("b")).as("b"))
+      .filter(col("a") =!= col("b"))
+      .distinct()
+      .localCheckpoint(eager = false)
+
+    def digest(df: DataFrame): (Long, java.math.BigDecimal) = {
+      val r = df.agg(count(lit(1)),
+        sum((col("a") + col("b")).cast("decimal(38,0)"))).collect()(0)
+      (r.getLong(0),
+        Option(r.getDecimal(1)).getOrElse(java.math.BigDecimal.ZERO))
+    }
+    var prev = digest(e)
+    var i = 0
+    var converged = false
+    while (!converged && i < maxIter) {
+      // one symmetrized view serves both phases' neighbor-min pass
+      val nbrs = e.select(col("a").as("u"), col("b").as("v"))
+        .unionAll(e.select(col("b").as("u"), col("a").as("v")))
+      val mins = nbrs.groupBy("u")
+        .agg(least(col("u"), min(col("v"))).as("m"))
+
+      // LARGE-STAR: (v, m_u) for v > u — strictly-larger neighbors
+      // re-attach to u's minimum. m_u <= u < v, so no self loops.
+      val large = nbrs.filter(col("v") > col("u"))
+        .join(mins, Seq("u"))
+        .select(col("m").as("a"), col("v").as("b"))
+        .distinct()
+        .localCheckpoint(eager = false)
+
+      // SMALL-STAR over the large-star output: (v, m_u) for v < u,
+      // plus (u, m_u) linking u to its own minimum
+      val nbrs2 = large.select(col("a").as("u"), col("b").as("v"))
+        .unionAll(large.select(col("b").as("u"), col("a").as("v")))
+      val mins2 = nbrs2.groupBy("u")
+        .agg(least(col("u"), min(col("v"))).as("m"))
+      e = nbrs2.filter(col("v") < col("u"))
+        .join(mins2, Seq("u"))
+        .select(col("m").as("a"), col("v").as("b"))
+        .unionAll(mins2.select(col("m").as("a"), col("u").as("b")))
+        .filter(col("a") =!= col("b"))
+        .select(least(col("a"), col("b")).as("a"),
+          greatest(col("a"), col("b")).as("b"))
+        .distinct()
+        .localCheckpoint(eager = false)
+
+      val d = digest(e)
+      converged = d == prev
+      prev = d
+      i += 1
+    }
+
+    // at the star fixpoint every edge is (component_min, node); nodes
+    // that were only ever a minimum appear solely on the `a` side
+    e.select(col("b").as("node"), col("a").as("component"))
+      .unionAll(e.select(col("a").as("node"), col("a").as("component")))
+      .groupBy("node").agg(min("component").as("component"))
+  }
 }

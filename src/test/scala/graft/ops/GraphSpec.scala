@@ -258,4 +258,58 @@ class GraphSpec extends AnyFunSuite with SparkTestBase {
       .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
     assert(a === b)
   }
+
+  // ---- two-phase (large-star/small-star) connected components ------
+
+  private def cc2(edges: Seq[(Long, Long)], maxIter: Int = 20): Map[Long, Long] =
+    Graph.connectedComponentsTwoPhase(edges.toDF("src", "dst"),
+        "src", "dst", maxIter)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+
+  /** Union-find ground truth: node -> min id in its component. */
+  private def ccBrute(edges: Seq[(Long, Long)]): Map[Long, Long] = {
+    val parent = scala.collection.mutable.Map[Long, Long]()
+    def find(x: Long): Long = {
+      val p = parent.getOrElseUpdate(x, x)
+      if (p == x) x else { val r = find(p); parent(x) = r; r }
+    }
+    edges.foreach { case (a, b) =>
+      val (ra, rb) = (find(a), find(b))
+      if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb)
+    }
+    parent.keys.map(n => n -> find(n)).toMap
+  }
+
+  test("two-phase CC: deep chain resolves to its minimum in few rounds") {
+    // a 200-node path — diameter 199, where label propagation would
+    // need ~200 rounds; the star rewrite must finish well inside 20
+    val chain = (0L until 199L).map(i => (i, i + 1))
+    assert(cc2(chain) === chain.flatMap(e => Seq(e._1, e._2)).distinct
+      .map(_ -> 0L).toMap)
+  }
+
+  test("two-phase CC matches union-find on a multi-component graph") {
+    val edges = (0L until 300L).map(i => ((i * 17 + 5) % 90, (i * 31 + 2) % 90))
+      .filter(e => e._1 != e._2) ++
+      Seq((1000L, 1001L), (1002L, 1001L), (2000L, 2003L))
+    assert(cc2(edges) === ccBrute(edges))
+  }
+
+  test("two-phase CC agrees with label-propagation CC and is repartition-stable") {
+    val edges = (0L until 240L).map(i => (i % 60, (i * 13 + 7) % 60))
+      .filter(e => e._1 != e._2)
+    val viaLp = Dedup.connectedComponents(
+        edges.toDF("id1", "id2"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(cc2(edges) === viaLp)
+    val shuffled = Graph.connectedComponentsTwoPhase(
+        edges.toDF("src", "dst").repartition(8, col("dst")), "src", "dst")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(shuffled === viaLp)
+  }
+
+  test("two-phase CC: empty and self-loop-only inputs yield no rows") {
+    assert(cc2(Seq.empty) === Map.empty)
+    assert(cc2(Seq((5L, 5L), (9L, 9L))) === Map.empty)
+  }
 }
