@@ -2497,6 +2497,30 @@ object SparkEntry {
       s.read.parquet(s"$tmp/out").orderBy("o_orderkey")
     }),
 
+    // ---- time-weighted average (TWAP): each reading holds until the
+    // user's next event, so the mean weights values by their holding
+    // duration — the correct aggregate for irregularly-sampled signals
+    // (price feeds, sensor states). ONE shuffle on user_id serves both
+    // the lead() window and the aggregate (same partitioning); the
+    // weighted sum is exact decimal·µs so the division of two agreed
+    // doubles is IEEE-identical cross-engine ----------------------------
+    "q78_twap" -> ((s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val w = Window.partitionBy("user_id").orderBy(col("us"), col("event_id"))
+      events(s, dir)
+        .select(col("user_id"), col("event_id"),
+          col("value").cast("decimal(18,3)").as("v"),
+          expr("unix_micros(ts)").as("us"))
+        .withColumn("next_us", lead(col("us"), 1).over(w))
+        .filter(col("next_us").isNotNull)
+        .groupBy("user_id")
+        .agg(sum(col("v") * (col("next_us") - col("us"))).cast("double").as("wsum"),
+          sum(col("next_us") - col("us")).as("dur_us"))
+        .select(col("user_id"), col("wsum"), col("dur_us"),
+          (col("wsum") / col("dur_us").cast("double")).as("twap"))
+        .orderBy("user_id")
+    }),
+
     // ---- INCREMENTAL compaction: a mixed layout (2 healthy range-
     // sorted files + 17 fragment files) is repaired by re-encoding ONLY
     // the fragments — the healthy files are copied byte-for-byte with
@@ -5728,6 +5752,26 @@ object SparkEntry {
         |SELECT o_orderkey, o_orderstatus, o_totalprice FROM chg
         |WHERE NOT is_delete
         |ORDER BY o_orderkey""".stripMargin,
+
+    // exact decimal weighted sum; VARCHAR-cast to double to match
+    // Spark's BigDecimal.doubleValue; twap = IEEE division of the two
+    // agreed values
+    "q78_twap" ->
+      """WITH e AS (
+        |  SELECT user_id, event_id, CAST(value AS DECIMAL(18,3)) AS v,
+        |         epoch_us(CAST(ts AS TIMESTAMP)) AS us
+        |  FROM events),
+        |d AS (
+        |  SELECT user_id, v, us,
+        |    LEAD(us) OVER (PARTITION BY user_id ORDER BY us, event_id) AS next_us
+        |  FROM e)
+        |SELECT user_id,
+        |  CAST(CAST(SUM(v * (next_us - us)) AS VARCHAR) AS DOUBLE) AS wsum,
+        |  SUM(next_us - us) AS dur_us,
+        |  CAST(CAST(SUM(v * (next_us - us)) AS VARCHAR) AS DOUBLE)
+        |    / CAST(SUM(next_us - us) AS DOUBLE) AS twap
+        |FROM d WHERE next_us IS NOT NULL
+        |GROUP BY user_id ORDER BY user_id""".stripMargin,
 
     // content equals the whole table; file count = 2 kept healthy files
     // + ceil(fragmentRows / 5000) rewritten ones
