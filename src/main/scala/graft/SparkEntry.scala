@@ -1299,6 +1299,17 @@ object SparkEntry {
         .orderBy("doc_id")
     }),
 
+    // ---- Gopher document-quality rule battery: word-count bounds,
+    // integer mean-word-length bounds, distinct-stopword minimum — one
+    // verdict row per doc with per-rule booleans, fused into ONE
+    // zero-shuffle projection -------------------------------------------
+    "d50_gopher_rules" -> ((s, dir) => {
+      ops.CorpusOps.gopherRules(t(s, dir, "documents"), "doc_id", "text",
+          minWords = 40, maxWords = 100000, minMeanLen = 4, maxMeanLen = 10,
+          stopwords = Seq("the", "a", "and", "of", "to"), minStopwords = 2)
+        .orderBy("doc_id")
+    }),
+
     // ---- global token vocabulary: top-k with doc frequencies ----------
     "d11_vocab" -> ((s, dir) => {
       ops.CorpusOps.vocabulary(t(s, dir, "documents"), "doc_id", "text", k = 50)
@@ -4126,6 +4137,28 @@ object SparkEntry {
          |        % 1000000
          |      < CAST(ROUND(($q) * 1000000.0) AS BIGINT)
          |ORDER BY doc_id""".stripMargin
+    },
+
+    // same single-space tokenization (Spark split-on-' ' == DuckDB
+    // str_split) and pure integer rule bounds
+    "d50_gopher_rules" -> {
+      val stop = Seq("the", "a", "and", "of", "to").map(w =>
+        s"CASE WHEN list_contains(str_split(text, ' '), '$w') THEN 1 ELSE 0 END")
+        .mkString(" + ")
+      s"""WITH g AS (
+         |  SELECT doc_id,
+         |    CAST(len(str_split(text, ' ')) AS BIGINT) AS n_words,
+         |    CAST(length(replace(text, ' ', '')) AS BIGINT) AS n_letters,
+         |    CAST($stop AS INT) AS n_stopwords
+         |  FROM documents)
+         |SELECT doc_id, n_words, n_letters, n_stopwords,
+         |  n_words >= 40 AND n_words <= 100000 AS r_wordcount,
+         |  n_letters >= 4 * n_words AND n_letters <= 10 * n_words AS r_meanlen,
+         |  n_stopwords >= 2 AS r_stopwords,
+         |  (n_words >= 40 AND n_words <= 100000)
+         |    AND (n_letters >= 4 * n_words AND n_letters <= 10 * n_words)
+         |    AND n_stopwords >= 2 AS keep
+         |FROM g ORDER BY doc_id""".stripMargin
     },
 
     "d11_vocab" -> {

@@ -116,4 +116,46 @@ class PackSpec extends AnyFunSuite with SparkTestBase {
     assert(!plan.toString.contains("Window"),
       s"expected no Window operator in:\n$plan")
   }
+
+  // ---- gopherRules: per-rule verdicts on hand-checked fixtures -----
+
+  private def gopher(rows: Seq[(Long, String)]): Map[Long, (Boolean, Boolean, Boolean, Boolean)] =
+    CorpusOps.gopherRules(rows.toDF("doc_id", "text"), "doc_id", "text",
+        minWords = 3, maxWords = 6, minMeanLen = 2, maxMeanLen = 4,
+        stopwords = Seq("the", "a"), minStopwords = 1)
+      .collect().map(r => r.getLong(0) ->
+        ((r.getBoolean(4), r.getBoolean(5), r.getBoolean(6), r.getBoolean(7))))
+      .toMap
+
+  test("gopherRules: each rule fires independently and keep is their AND") {
+    val v = gopher(Seq(
+      (1L, "the cat sat on mats"), // 5 words, 15 letters, mean 3, has 'the' → keep
+      (2L, "xx yy"),               // too few words
+      (3L, "the aa bb cc dd ee ff gg"), // too many words
+      (4L, "the x y z w"),         // 5 words, 8 letters → mean < 2
+      (5L, "cat dog fox owl")))    // no stopword
+    assert(v(1L) === ((true, true, true, true)))
+    assert(v(2L)._1 === false && v(2L)._4 === false)
+    assert(v(3L)._1 === false && v(3L)._4 === false)
+    assert(v(4L) === ((true, false, true, false)))
+    assert(v(5L) === ((true, true, false, false)))
+  }
+
+  test("gopherRules: stopword rule counts DISTINCT panel members, not occurrences") {
+    // 'the' repeated 4 times is still one distinct stopword
+    val out = CorpusOps.gopherRules(
+        Seq((1L, "the the the the cats")).toDF("doc_id", "text"),
+        "doc_id", "text", minWords = 1, maxWords = 100,
+        minMeanLen = 1, maxMeanLen = 10,
+        stopwords = Seq("the", "a"), minStopwords = 2)
+      .collect()(0)
+    assert(out.getInt(3) === 1 && out.getBoolean(6) === false)
+  }
+
+  test("gopherRules plans as a pure projection — no exchange, no aggregate") {
+    val plan = CorpusOps.gopherRules(
+        Seq((1L, "a b")).toDF("doc_id", "text"), "doc_id", "text")
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange") && !plan.contains("Aggregate"), plan)
+  }
 }
