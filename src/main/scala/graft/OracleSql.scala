@@ -203,6 +203,19 @@ object OracleSql {
     * probe cells, per-query top-k by (cos DESC, nid)). Ends with a
     * `knn(id, rank, nid, cos)` CTE for callers to select from. */
   def ivfKnnCtes(nlist: Int, nprobe: Int, k: Int): String =
+    ivfKnnCtes(nlist, nprobe, k, candWhere = "")
+
+  /** As above with an optional candidate-side predicate (`el` aliases
+    * the embeddings row of the candidate) — mirrors
+    * `IvfIndex.knnJoinFiltered`'s pre-filter semantics. */
+  def ivfKnnCtes(nlist: Int, nprobe: Int, k: Int, candWhere: String): String = {
+    val candJoin = if (candWhere.isEmpty) ""
+      else s"\n  JOIN embeddings el ON el.vec_id = a.id AND ($candWhere)"
+    ivfKnnCtesImpl(nlist, nprobe, k, candJoin)
+  }
+
+  private def ivfKnnCtesImpl(nlist: Int, nprobe: Int, k: Int,
+      candJoin: String): String =
     s"""c AS (SELECT vec_id AS cid, CAST(embedding AS DOUBLE[]) AS cv
        |           FROM embeddings WHERE vec_id < $nlist),
        |v AS (SELECT vec_id AS id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
@@ -222,7 +235,7 @@ object OracleSql {
        |  SELECT p.id, a.id AS nid, ${cosine("q.v", "a.v")} AS cos
        |  FROM probes p
        |  JOIN v q ON q.id = p.id
-       |  JOIN assigned a ON a.cell = p.cid AND a.id <> p.id),
+       |  JOIN assigned a ON a.cell = p.cid AND a.id <> p.id$candJoin),
        |knn AS (
        |  SELECT id, rank, nid, cos FROM (
        |    SELECT id, nid, cos,

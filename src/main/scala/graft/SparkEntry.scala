@@ -2027,6 +2027,20 @@ object SparkEntry {
         .orderBy("qid", "rank")
     }),
 
+    // ---- FILTERED vector search: neighbors restricted to a metadata
+    // predicate (odd labels), filter applied BEFORE the cell join so
+    // candidate volume shrinks with selectivity and recall inside the
+    // eligible set is preserved (post-filtering would drop eligible
+    // neighbors ranked below ineligible ones) ---------------------------
+    "e21_filtered_ann" -> ((s, dir) => {
+      val emb = t(s, dir, "embeddings")
+      val eligible = emb.filter(col("label") % 2 === 1)
+        .select(col("vec_id").as("id"))
+      ops.Similarity.ivfIndexSeeded(emb, "vec_id", "embedding", nlist = 8)
+        .knnJoinFiltered(k = 5, nprobe = 2, eligible)
+        .orderBy("id", "rank")
+    }),
+
     // ---- IVF-PQ search (the faiss IVFx,PQy shape, global codebook):
     // coarse cells prune to nprobe/nlist of the corpus, PQ ADC scores
     // only the survivors — index structures compose multiplicatively ----
@@ -5040,6 +5054,14 @@ object SparkEntry {
         |      ORDER BY score DESC, id DESC) AS rank
         |  FROM scored) WHERE rank <= 10
         |ORDER BY qid, rank""".stripMargin,
+
+    // e7's CTE chain with the candidate-side label predicate — the
+    // pre-filter belongs inside cand, before ranking
+    "e21_filtered_ann" ->
+      s"""WITH ${OracleSql.ivfKnnCtes(nlist = 8, nprobe = 2, k = 5,
+             candWhere = "el.label % 2 = 1")}
+         |SELECT id, rank, nid, cos FROM knn
+         |ORDER BY id, rank""".stripMargin,
 
     // e18's code/LUT chain restricted to e3's per-query probed cells
     "e19_ivf_pq" -> {

@@ -323,7 +323,30 @@ object Similarity {
       * descending with ascending-id tiebreak, so the result is exactly
       * replayable in SQL (gate e7's oracle).
       */
-    def knnJoin(k: Int, nprobe: Int): DataFrame = {
+    def knnJoin(k: Int, nprobe: Int): DataFrame =
+      knnJoinImpl(k, nprobe, eligible = None)
+
+    /** FILTERED kNN join — the production "vector search with a
+      * metadata predicate": neighbors are drawn only from `eligible`
+      * ids (a one-column `id` DataFrame, e.g. docs passing a language
+      * or license filter), while every indexed vector still queries.
+      *
+      * The filter applies to the candidate side BEFORE the cell join
+      * (a left-semi join on id — only ids shuffle), which is PRE-
+      * filtering: under a selective predicate the candidate volume
+      * shrinks proportionally and recall within the eligible set is
+      * unchanged. Post-filtering (filter after top-k) would instead
+      * return < k survivors and lose eligible neighbors ranked below
+      * ineligible ones. Standard IVF caveat still applies: only the
+      * query's `nprobe` nearest cells are searched, so an eligible
+      * neighbor outside the probed cells is not seen — widen nprobe
+      * when the predicate is very selective.
+      */
+    def knnJoinFiltered(k: Int, nprobe: Int, eligible: DataFrame): DataFrame =
+      knnJoinImpl(k, nprobe, Some(eligible))
+
+    private def knnJoinImpl(
+        k: Int, nprobe: Int, eligible: Option[DataFrame]): DataFrame = {
       require(nprobe >= 1 && nprobe <= centroids.length,
         s"nprobe must be in [1, ${centroids.length}], got $nprobe")
       // the index is consumed twice (query side + candidate side):
@@ -344,7 +367,12 @@ object Similarity {
         p => p.getField("cid"))
       val queries = a.select(col("id").as("qid"), col("v").as("qv"),
         col("vnorm").as("qnorm"), explode(probeCells).as("cell"))
-      val index = a.select(col("cell"), col("id").as("nid"),
+      val indexSide = eligible match {
+        case Some(el) => a.join(
+          el.select(col("id").cast("long").as("id")), Seq("id"), "left_semi")
+        case None => a
+      }
+      val index = indexSide.select(col("cell"), col("id").as("nid"),
         col("v").as("nv"), col("vnorm").as("nnorm"))
       // each nid lives in exactly one cell, so no per-pair dedup needed
       val cand = queries.join(index, Seq("cell"))

@@ -152,6 +152,32 @@ class PackSpec extends AnyFunSuite with SparkTestBase {
     assert(out.getInt(3) === 1 && out.getBoolean(6) === false)
   }
 
+  test("knnJoinFiltered: eligible-everything equals knnJoin; filter restricts " +
+      "neighbors without losing eligible ones") {
+    val vecs = Seq.tabulate(40) { i =>
+      (i.toLong, Array.tabulate(8)(j => math.sin(i * 3 + j * 7).toFloat))
+    }.toDF("vec_id", "embedding")
+    val idx = Similarity.ivfIndexSeeded(vecs, "vec_id", "embedding", nlist = 8)
+    def rows(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
+      .sortBy(t => (t._1, t._2)).toSeq
+
+    val all = vecs.select(col("vec_id").as("id"))
+    assert(rows(idx.knnJoinFiltered(3, 2, all)) === rows(idx.knnJoin(3, 2)))
+
+    // odd ids only: every neighbor odd, and the result is EXACTLY the
+    // unfiltered candidate list minus even neighbors, re-ranked — the
+    // pre-filter keeps eligible neighbors a post-filter would drop
+    val odd = vecs.filter(col("vec_id") % 2 === 1).select(col("vec_id").as("id"))
+    val filtered = rows(idx.knnJoinFiltered(3, 2, odd))
+    assert(filtered.nonEmpty && filtered.forall(_._3 % 2 == 1))
+    val postFiltered = rows(idx.knnJoin(3, 2)).filter(_._3 % 2 == 1)
+    // post-filtering returns no MORE than the pre-filtered set per query
+    val perQueryPre = filtered.groupBy(_._1).view.mapValues(_.size)
+    val perQueryPost = postFiltered.groupBy(_._1).view.mapValues(_.size)
+    assert(perQueryPost.forall { case (q, n) => perQueryPre(q) >= n })
+  }
+
   test("gopherRules plans as a pure projection — no exchange, no aggregate") {
     val plan = CorpusOps.gopherRules(
         Seq((1L, "a b")).toDF("doc_id", "text"), "doc_id", "text")
