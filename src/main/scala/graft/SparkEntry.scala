@@ -2075,6 +2075,17 @@ object SparkEntry {
         .orderBy("media_id", "block_idx")
     }),
 
+    // ---- ViT-style patch tokenization: lossless png decodes split
+    // into an 8×8 ceil-grid with ragged edge patches; each image
+    // explodes into patch rows executor-side — bytes never shuffle ------
+    "m12_patchify" -> ((s, dir) => {
+      val media = ops.Multimodal.syntheticMedia(
+        t(s, dir, "documents").filter(col("doc_id") % 3 === 0)
+          .select("doc_id"), "doc_id")(s)
+      ops.Multimodal.patchFeatures(media, patch = 8).toDF()
+        .orderBy("media_id", "py", "px")
+    }),
+
     // ---- shot-cut detection: consecutive-frame mean-abs-difference over
     // scene-structured y4m streams (in-scene delta exactly 0, boundary
     // delta large) — record-local decode, video bytes never shuffle ------
@@ -5160,6 +5171,22 @@ object SparkEntry {
         |SELECT id AS media_id, block_idx, CAST(COUNT(*) AS INT) AS n_samples,
         |  CAST(SUM(s) AS DOUBLE) / COUNT(*) AS mean_val
         |FROM samples GROUP BY 1, 2 ORDER BY media_id, block_idx""".stripMargin,
+
+    // grayAt formula bucketed into the same 8×8 ceil-grid; integer
+    // pixel sums, one IEEE division per patch
+    "m12_patchify" ->
+      """WITH xs AS (SELECT x FROM range(0, 64) t(x)),
+        |ys AS (SELECT y FROM range(0, 48) t(y)),
+        |px AS (
+        |  SELECT doc_id, y // 8 AS py, x // 8 AS px,
+        |         (x * 7 + y * 13 + doc_id * 31) % 256 AS g
+        |  FROM documents, xs, ys
+        |  WHERE doc_id % 3 = 0 AND x < doc_id % 64 + 1 AND y < doc_id % 48 + 1)
+        |SELECT doc_id AS media_id, CAST(py AS INT) AS py, CAST(px AS INT) AS px,
+        |  CAST(COUNT(*) AS INT) AS n_px,
+        |  CAST(SUM(g) AS DOUBLE) / COUNT(*) AS mean_val
+        |FROM px GROUP BY 1, 2, 3
+        |ORDER BY media_id, py, px""".stripMargin,
 
     // closed-form replay of graySceneAt deltas: only scene boundaries
     // (f % 4 = 0, f > 0) can clear the threshold — in-scene frames are

@@ -43,6 +43,12 @@ object Multimodal {
   case class AudioBlock(media_id: Long, block_idx: Int, n_samples: Int,
       mean_val: Double)
 
+  /** One ViT-style image patch: grid coordinates, how many pixels the
+    * patch covers (edge patches may be ragged), and the mean gray
+    * level over them. */
+  case class PatchFeatures(media_id: Long, py: Int, px: Int, n_px: Int,
+      mean_val: Double)
+
   /** Deterministic payload generators (the stand-in for files read from
     * a binary source). Pixels and samples follow closed-form formulas of
     * (id, x, y) so lossless decodes have an exact SQL oracle. */
@@ -340,6 +346,42 @@ object Multimodal {
       out.toSeq
     }
 
+    /** ViT-style patch grid over a decoded image: split the gray
+      * channel into a ceil(w/p) × ceil(h/p) grid of `p`×`p` patches
+      * (edge patches truncated to the image bounds) and emit each
+      * patch's pixel count and mean — the tokenization step every
+      * vision-transformer ingest pipeline runs before embedding.
+      * Record-local: one decode, one raster walk, no cross-row state.
+      * Lossless formats (png) keep the exact closed-form oracle. */
+    def patchify(r: MediaRecord, p: Int): Seq[PatchFeatures] = {
+      require(p > 0, s"patch size must be positive, got $p")
+      val img = javax.imageio.ImageIO.read(
+        new java.io.ByteArrayInputStream(r.content))
+      val (w, h) = (img.getWidth, img.getHeight)
+      val raster = img.getRaster
+      val out = scala.collection.mutable.ArrayBuffer.empty[PatchFeatures]
+      var py = 0
+      while (py * p < h) {
+        var px = 0
+        while (px * p < w) {
+          val x1 = math.min((px + 1) * p, w)
+          val y1 = math.min((py + 1) * p, h)
+          var sum = 0L
+          var y = py * p
+          while (y < y1) {
+            var x = px * p
+            while (x < x1) { sum += raster.getSample(x, y, 0); x += 1 }
+            y += 1
+          }
+          val n = (x1 - px * p) * (y1 - py * p)
+          out += PatchFeatures(r.media_id, py, px, n, sum.toDouble / n)
+          px += 1
+        }
+        py += 1
+      }
+      out.toSeq
+    }
+
     /** Consecutive-frame mean absolute pixel difference over a
       * YUV4MPEG2 stream: one [[FrameDelta]] per frame index >= 1. The
       * whole walk is record-local (a video is ONE row), so the scene
@@ -511,6 +553,20 @@ object Multimodal {
       it.grouped(MediaCodec.batchSize)
         .flatMap(_.flatMap(r => MediaCodec.frameSample(r, stride)))
     }
+  }
+
+  /** [[MediaCodec.patchify]] over an image table, batched per
+    * partition like every decoder here — each image explodes into its
+    * patch rows executor-side, so image bytes never shuffle; only
+    * (id, py, px, n, mean) rows do. Non-image records are skipped. */
+  def patchFeatures(media: Dataset[MediaRecord], patch: Int): Dataset[PatchFeatures] = {
+    import media.sparkSession.implicits._
+    media.filter((r: MediaRecord) =>
+        r.meta.format == "png" || r.meta.format == "jpeg")
+      .mapPartitions { it =>
+        it.grouped(MediaCodec.batchSize)
+          .flatMap(_.flatMap(r => MediaCodec.patchify(r, patch)))
+      }
   }
 
   /** [[MediaCodec.blockMeans]] over a wav table, batched per partition

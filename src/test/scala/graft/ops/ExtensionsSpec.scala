@@ -1547,6 +1547,25 @@ class MultimodalSpec extends AnyFunSuite with SparkTestBase {
     assert(rows.forall(f => again(f.media_id) == f.mean_val))
   }
 
+  test("patchify: ceil grid with ragged edges, patch means match the formula") {
+    // 10×5 png, patch 4 → grid 3×2: widths 4,4,2; heights 4,1
+    val rec = MediaRecord(3L, MediaGen.image("png", 10, 5, 3L),
+      MediaMeta("png", 10, 5, 0L))
+    val patches = MediaCodec.patchify(rec, 4)
+    assert(patches.map(p => (p.py, p.px)).toSet ===
+      (for (py <- 0 to 1; px <- 0 to 2) yield (py, px)).toSet)
+    // pixel counts: full 4×4, edge columns 2 wide, edge rows 1 tall
+    val nByPos = patches.map(p => (p.py, p.px) -> p.n_px).toMap
+    assert(nByPos((0, 0)) === 16 && nByPos((0, 2)) === 8 &&
+      nByPos((1, 0)) === 4 && nByPos((1, 2)) === 2)
+    // total coverage is exactly the image, each pixel once
+    assert(patches.map(_.n_px).sum === 50)
+    // hand-check one patch mean against grayAt
+    val want = (for (y <- 0 to 3; x <- 4 to 7)
+      yield MediaGen.grayAt(3L, x, y)).sum / 16.0
+    assert(patches.find(p => p.py == 0 && p.px == 1).get.mean_val === want)
+  }
+
   test("dhash on a non-image record fails with the contract, not an NPE") {
     val wav = MediaRecord(7L, MediaGen.wavChirp(7L, 100),
       MediaMeta("wav", 0, 0, 100L * 1000 / MediaGen.sampleRate))
