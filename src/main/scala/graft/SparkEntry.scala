@@ -2773,6 +2773,67 @@ object SparkEntry {
         .orderBy("user_id", "p_id")
     }),
 
+    // ---- streaming SCD2 maintenance: time-range micro-batches folded
+    // into a COMPACTED history by re-running scd2 over (state versions
+    // re-presented as their opening observations ∪ new batch) — per-
+    // batch cost O(|versions| + |batch|), never O(all observations
+    // ever). Requires time-ordered arrival (the standard CDC contract),
+    // arranged here by sequential range writes the file source replays
+    // oldest-first. Final history must equal the q37 batch build --------
+    "s17_stream_scd2" -> ((s, dir) => {
+      import org.apache.spark.sql.Row
+      val tmp = gateScratch("s17")
+      val ev = events(s, dir).select(col("user_id"), col("event_id"),
+        col("ts").cast("long").as("tss"), col("event_type"))
+      val Row(lo: Long, hi: Long) = ev.agg(min("tss"), max("tss")).head()
+      val span = hi - lo + 1
+      // 4 ascending time-range files written SEQUENTIALLY (strictly
+      // increasing mtimes) so the file source replays them in order
+      for (i <- 0 until 4) {
+        val b0 = lo + span * i / 4
+        val b1 = lo + span * (i + 1) / 4
+        ev.filter(col("tss") >= b0 && col("tss") < b1)
+          .coalesce(1).write.mode("append").parquet(s"$tmp/in")
+        Thread.sleep(20)
+      }
+      val histSchema = org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("user_id", org.apache.spark.sql.types.LongType),
+        org.apache.spark.sql.types.StructField("event_id", org.apache.spark.sql.types.LongType),
+        org.apache.spark.sql.types.StructField("event_type", org.apache.spark.sql.types.StringType),
+        org.apache.spark.sql.types.StructField("valid_from", org.apache.spark.sql.types.LongType),
+        org.apache.spark.sql.types.StructField("valid_to", org.apache.spark.sql.types.LongType),
+        org.apache.spark.sql.types.StructField("is_current", org.apache.spark.sql.types.BooleanType)))
+      var state = s.createDataFrame(
+        s.sparkContext.emptyRDD[org.apache.spark.sql.Row], histSchema)
+      withNarrowState(s) {
+        val q = s.readStream
+          .schema(ev.schema)
+          .option("maxFilesPerTrigger", "1")
+          .parquet(s"$tmp/in")
+          .writeStream
+          .foreachBatch { (batch: DataFrame, _: Long) =>
+            // versions re-enter as their opening observation; scd2's
+            // consecutive-same-attr collapse extends an open version
+            // when the first new observation repeats its attrs
+            val stateObs = state.select(col("user_id"), col("event_id"),
+              col("valid_from").as("tss"), col("event_type"))
+            state = ops.Merge.scd2(
+                stateObs.unionAll(
+                  batch.select("user_id", "event_id", "tss", "event_type")),
+                "user_id", "tss", "event_id", Seq("event_type"))
+              .select("user_id", "event_id", "event_type",
+                "valid_from", "valid_to", "is_current")
+              .localCheckpoint(eager = true) // sever the micro-batch source
+            ()
+          }
+          .option("checkpointLocation", s"$tmp/chk")
+          .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+          .start()
+        q.awaitTermination()
+      }
+      state.orderBy("user_id", "valid_from", "event_id")
+    }),
+
     // ---- state API v2 TTL expiry: event-time timers drop idle keys
     // from the RocksDB store. Each user's purchase aggregate re-arms an
     // idle timer at lastTs + 2 days; once the watermark (max event time,
@@ -3705,6 +3766,29 @@ object SparkEntry {
         |  AND v_ts >= p_ts - INTERVAL 1 HOUR
         |  AND v_ts <= p_ts + INTERVAL 1 HOUR)
         |ORDER BY user_id, p_id""".stripMargin,
+
+    // the incremental fold must land exactly on the batch SCD2 build —
+    // q37's oracle verbatim
+    "s17_stream_scd2" ->
+      """WITH e AS (SELECT user_id, event_id, event_type,
+        |                  epoch_us(CAST(ts AS TIMESTAMP)) // 1000000 AS tss
+        |           FROM events),
+        |flagged AS (
+        |  SELECT user_id, event_id, event_type, tss,
+        |    LAG(event_type) OVER (PARTITION BY user_id
+        |                          ORDER BY tss, event_id) AS prev
+        |  FROM e),
+        |changed AS (
+        |  SELECT user_id, event_id, event_type, tss FROM flagged
+        |  WHERE prev IS NULL OR event_type <> prev),
+        |v AS (
+        |  SELECT user_id, event_id, event_type, tss AS valid_from,
+        |    LEAD(tss) OVER (PARTITION BY user_id
+        |                    ORDER BY tss, event_id) AS valid_to
+        |  FROM changed)
+        |SELECT user_id, event_id, event_type, valid_from, valid_to,
+        |       (valid_to IS NULL) AS is_current
+        |FROM v ORDER BY user_id, valid_from, event_id""".stripMargin,
 
     "q22_bucketed_join" ->
       """SELECT o_orderpriority,
