@@ -2533,6 +2533,30 @@ object SparkEntry {
       s.read.parquet(s"$tmp/out").orderBy("o_orderkey")
     }),
 
+    // ---- interval coalescing: overlapping per-user activity windows
+    // [ts, ts+30min] merged into maximal disjoint spans — the classic
+    // gaps-and-islands-on-intervals op. One user_id shuffle serves the
+    // running-max window, the group flag, and the final aggregate -------
+    "q79_interval_coalesce" -> ((s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val iv = events(s, dir)
+        .filter(col("event_type") === "purchase")
+        .select(col("user_id"), col("ts").cast("long").as("s0"))
+        .withColumn("e0", col("s0") + 1800L)
+      val ord = Window.partitionBy("user_id").orderBy(col("s0"), col("e0"))
+      val prevMax = max(col("e0")).over(
+        ord.rowsBetween(Window.unboundedPreceding, -1))
+      iv.withColumn("new_grp",
+          when(prevMax.isNull || col("s0") > prevMax, 1L).otherwise(0L))
+        .withColumn("grp", sum(col("new_grp")).over(
+          ord.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+        .groupBy("user_id", "grp")
+        .agg(min("s0").as("span_start"), max("e0").as("span_end"),
+          count(lit(1)).as("n_events"))
+        .select("user_id", "span_start", "span_end", "n_events")
+        .orderBy("user_id", "span_start")
+    }),
+
     // ---- time-weighted average (TWAP): each reading holds until the
     // user's next event, so the mean weights values by their holding
     // duration — the correct aggregate for irregularly-sampled signals
@@ -5918,6 +5942,32 @@ object SparkEntry {
         |SELECT o_orderkey, o_orderstatus, o_totalprice FROM chg
         |WHERE NOT is_delete
         |ORDER BY o_orderkey""".stripMargin,
+
+    // same running-max island construction; DuckDB's frame-excluded
+    // MAX matches Spark's rowsBetween(unboundedPreceding, -1)
+    "q79_interval_coalesce" ->
+      """WITH iv AS (
+        |  SELECT user_id,
+        |    epoch_us(CAST(ts AS TIMESTAMP)) // 1000000 AS s0,
+        |    epoch_us(CAST(ts AS TIMESTAMP)) // 1000000 + 1800 AS e0
+        |  FROM events WHERE event_type = 'purchase'),
+        |flagged AS (
+        |  SELECT user_id, s0, e0,
+        |    CASE WHEN MAX(e0) OVER (PARTITION BY user_id ORDER BY s0, e0
+        |           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) IS NULL
+        |         OR s0 > MAX(e0) OVER (PARTITION BY user_id ORDER BY s0, e0
+        |           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+        |      THEN 1 ELSE 0 END AS new_grp
+        |  FROM iv),
+        |grp AS (
+        |  SELECT user_id, s0, e0,
+        |    SUM(new_grp) OVER (PARTITION BY user_id ORDER BY s0, e0
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS grp
+        |  FROM flagged)
+        |SELECT user_id, MIN(s0) AS span_start, MAX(e0) AS span_end,
+        |       COUNT(*) AS n_events
+        |FROM grp GROUP BY user_id, grp
+        |ORDER BY user_id, span_start""".stripMargin,
 
     // exact decimal weighted sum; VARCHAR-cast to double to match
     // Spark's BigDecimal.doubleValue; twap = IEEE division of the two
