@@ -202,6 +202,48 @@ object OracleSql {
     * seeds = first `nlist` ids, assignment by best cosine, `nprobe`
     * probe cells, per-query top-k by (cos DESC, nid)). Ends with a
     * `knn(id, rank, nid, cos)` CTE for callers to select from. */
+  /** Unrolled MMR greedy over the embeddings table: stage-1 candidate
+    * panel (top-`fetch` by cosine to query vec `qid`, query excluded),
+    * then one CTE per pick — each re-scores the remaining candidates
+    * as relW·rel − divW·GREATEST(cos to every prior pick) and takes
+    * the (score DESC, id ASC) head. Mirrors Similarity.mmrRerank pick
+    * for pick; relW/divW arrive as literal strings so the SQL doubles
+    * are the exact literals Spark used. */
+  def mmrCtes(qid: Long, fetch: Int, k: Int,
+      relW: String = "0.7", divW: String = "0.3"): String = {
+    val base =
+      s"""v AS (SELECT vec_id AS id, CAST(embedding AS DOUBLE[]) AS v
+         |       FROM embeddings),
+         |qv AS (SELECT v AS q FROM v WHERE id = $qid),
+         |cand AS (
+         |  SELECT id, v, ${cosine("v", "q")} AS rel
+         |  FROM v, qv WHERE id <> $qid
+         |  ORDER BY rel DESC, id LIMIT $fetch)""".stripMargin
+    val steps = (1 to k).map { i =>
+      if (i == 1)
+        s"""p1 AS (
+           |  SELECT id, v, rel, $relW * rel - $divW * 0.0 AS score, 1 AS rank
+           |  FROM cand ORDER BY score DESC, id LIMIT 1)""".stripMargin
+      else {
+        val prevs = (1 until i).map(j => s"p$j")
+        val sims = prevs.map(p => cosine("c.v", s"$p.v")).mkString(",\n    ")
+        s"""p$i AS (
+           |  SELECT c.id, c.v, c.rel,
+           |    $relW * c.rel - $divW * GREATEST(
+           |    $sims) AS score, $i AS rank
+           |  FROM cand c, ${prevs.mkString(", ")}
+           |  WHERE c.id NOT IN (${prevs.map(p => s"$p.id").mkString(", ")})
+           |  ORDER BY score DESC, c.id LIMIT 1)""".stripMargin
+      }
+    }
+    val union = (1 to k).map(i =>
+      s"SELECT rank, id, rel, score FROM p$i").mkString("\n  UNION ALL ")
+    s"""$base,
+       |${steps.mkString(",\n")},
+       |mmr AS (
+       |  $union)""".stripMargin
+  }
+
   def ivfKnnCtes(nlist: Int, nprobe: Int, k: Int): String =
     ivfKnnCtes(nlist, nprobe, k, candWhere = "")
 

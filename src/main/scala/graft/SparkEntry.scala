@@ -2027,6 +2027,20 @@ object SparkEntry {
         .orderBy("qid", "rank")
     }),
 
+    // ---- MMR diversity re-rank: distributed top-40 relevance panel,
+    // then the inherently-sequential greedy (each pick re-scores the
+    // rest) driver-side over the bounded panel — picks must replay
+    // bit-exactly in the unrolled-CTE oracle -----------------------------
+    "e22_mmr_rerank" -> ((s, dir) => {
+      val emb = t(s, dir, "embeddings")
+      val q = emb.filter(col("vec_id") === 0)
+        .select(col("embedding").cast("array<double>")).collect()(0)
+        .getAs[scala.collection.Seq[Double]](0).toArray
+      ops.Similarity.mmrRerank(emb.filter(col("vec_id") =!= 0),
+          "vec_id", "embedding", q, fetch = 40, k = 5)
+        .orderBy("rank")
+    }),
+
     // ---- FILTERED vector search: neighbors restricted to a metadata
     // predicate (odd labels), filter applied BEFORE the cell join so
     // candidate volume shrinks with selectivity and recall inside the
@@ -5173,6 +5187,13 @@ object SparkEntry {
         |      ORDER BY score DESC, id DESC) AS rank
         |  FROM scored) WHERE rank <= 10
         |ORDER BY qid, rank""".stripMargin,
+
+    // every greedy pick unrolled as its own CTE; rank order IS the
+    // pick order
+    "e22_mmr_rerank" ->
+      s"""WITH ${OracleSql.mmrCtes(qid = 0L, fetch = 40, k = 5)}
+         |SELECT CAST(rank AS INT) AS rank, id, rel, score FROM mmr
+         |ORDER BY rank""".stripMargin,
 
     // e7's CTE chain with the candidate-side label predicate — the
     // pre-filter belongs inside cand, before ranking

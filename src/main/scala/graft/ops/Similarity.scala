@@ -106,6 +106,75 @@ object Similarity {
       .select(col("qid"), col("rank"), col("cos"), col("id"))
   }
 
+  /** Maximal-marginal-relevance re-rank (Carbonell & Goldstein,
+    * SIGIR'98, public): greedily pick k results balancing relevance to
+    * the query against redundancy with what's already picked —
+    * score(c) = relW·cos(c, q) − divW·max_{s∈S} cos(c, s) — the
+    * standard diversity pass a retrieval pipeline runs after top-N.
+    *
+    * Shape at scale: stage 1 is the DISTRIBUTED part — brute-force
+    * relevance over the whole corpus reduced to a `fetch`-row panel by
+    * a TakeOrdered top-k (no global sort). MMR itself is inherently
+    * sequential (each pick changes every remaining score), so stage 2
+    * runs the k-step greedy driver-side over that bounded panel —
+    * O(fetch·dim) bytes, the same blessed-panel posture as the IVF
+    * centroid collects; it is NOT a data-scale collect. Determinism:
+    * ties break toward the smaller id at both stages; the driver fold
+    * uses the same 0.0-seeded sequential dot as the in-plan kernel, so
+    * the e22 oracle replays every pick bit-exactly with unrolled CTEs.
+    *
+    * relW/divW are taken as given literals (NOT relW and 1−relW: the
+    * float 1−0.7 is 0.30000000000000004, which would never match a SQL
+    * 0.3). `query` excludes itself only if the caller filters it.
+    *
+    * @return (rank, id, rel, score) — rank 1..k in pick order
+    */
+  def mmrRerank(
+      df: DataFrame,
+      idCol: String,
+      vecCol: String,
+      query: Array[Double],
+      fetch: Int,
+      k: Int,
+      relW: Double = 0.7,
+      divW: Double = 0.3): DataFrame = {
+    require(k >= 1 && fetch >= k, s"need 1 <= k <= fetch, got k=$k fetch=$fetch")
+    val spark = df.sparkSession
+    val qlit = array(query.toSeq.map(lit): _*)
+    val panel = df
+      .select(col(idCol).cast("long").as("id"),
+        col(vecCol).cast("array<double>").as("v"))
+      .select(col("id"), col("v"), cosine(col("v"), qlit).as("rel"))
+      .orderBy(col("rel").desc, col("id"))
+      .limit(fetch)
+      .collect() // bounded panel: fetch rows × dim doubles
+      .map(r => (r.getLong(0),
+        r.getAs[scala.collection.Seq[Double]]("v").toArray, r.getDouble(2)))
+    def cosArr(a: Array[Double], b: Array[Double]): Double = {
+      val den = math.sqrt(dotArr(a, a)) * math.sqrt(dotArr(b, b))
+      if (den == 0.0) 0.0 else dotArr(a, b) / den
+    }
+    val selected = scala.collection.mutable.ArrayBuffer.empty[(Int, Long, Double, Double)]
+    val selVecs = scala.collection.mutable.ArrayBuffer.empty[Array[Double]]
+    val remaining = scala.collection.mutable.ArrayBuffer(panel: _*)
+    for (rank <- 1 to math.min(k, panel.length)) {
+      var bi = -1; var bId = 0L; var bRel = 0.0; var bScore = 0.0
+      for (i <- remaining.indices) {
+        val (id, v, rel) = remaining(i)
+        val maxSim = if (selVecs.isEmpty) 0.0 else selVecs.map(cosArr(v, _)).max
+        val score = relW * rel - divW * maxSim
+        if (bi < 0 || score > bScore || (score == bScore && id < bId)) {
+          bi = i; bId = id; bRel = rel; bScore = score
+        }
+      }
+      selected += ((rank, bId, bRel, bScore))
+      selVecs += remaining(bi)._2
+      remaining.remove(bi)
+    }
+    import spark.implicits._
+    selected.toSeq.toDF("rank", "id", "rel", "score")
+  }
+
   /** Reciprocal-rank fusion (Cormack, Clarke & Büttcher, SIGIR'09,
     * public) of ranked candidate lists — the standard way to combine a
     * lexical (BM25/Jaccard) and a semantic (embedding-cosine) retriever

@@ -548,6 +548,40 @@ class SimilaritySpec extends AnyFunSuite with SparkTestBase {
     assert(got.take(2).map(_._2).toSet === Set(11L, 12L))
   }
 
+  test("mmrRerank: diversity demotes the near-duplicate of the first pick") {
+    import spark.implicits._
+    // ids 1, 2 duplicate each other (rel 0.9, mutual sim 1); id 3 is a
+    // bit less relevant (0.8) but only 0.72-similar to pick 1, so at
+    // relW 0.7 / divW 0.3 its marginal score 0.344 beats the dup's 0.33
+    val vecs = Seq(
+      (1L, Array(0.9f, 0.43589f, 0.0f)),
+      (2L, Array(0.9f, 0.43589f, 0.0f)),
+      (3L, Array(0.8f, 0.0f, 0.6f)),
+      (4L, Array(0.0f, 0.0f, 1.0f)))
+      .toDF("vec_id", "embedding")
+    val q = Array(1.0, 0.0, 0.0)
+    val mmr = Similarity.mmrRerank(vecs, "vec_id", "embedding", q,
+        fetch = 4, k = 3)
+      .select("rank", "id").as[(Int, Long)].collect().sortBy(_._1).toSeq
+    // plain relevance order would be 1, 2, 3; MMR demotes the duplicate
+    assert(mmr === Seq((1, 1L), (2, 3L), (3, 2L)))
+  }
+
+  test("mmrRerank with divW = 0 reduces to plain relevance top-k") {
+    import spark.implicits._
+    val vecs = Seq.tabulate(20) { i =>
+      (i.toLong, Array.tabulate(4)(j => math.sin(i * 5 + j * 3).toFloat))
+    }.toDF("vec_id", "embedding")
+    val q = Array.tabulate(4)(j => math.cos(j * 2.0))
+    val mmr = Similarity.mmrRerank(vecs, "vec_id", "embedding", q,
+        fetch = 20, k = 5, relW = 1.0, divW = 0.0)
+      .select("rank", "id").as[(Int, Long)].collect().sortBy(_._1).map(_._2).toSeq
+    val topk = Similarity.bruteForceTopK(vecs, "vec_id", "embedding",
+        Seq(Tuple1(q)).toDF("q"), k = 5)
+      .select("id").as[Long].collect().toSeq
+    assert(mmr === topk)
+  }
+
   test("rrfFuse keeps queries independent and respects k") {
     import spark.implicits._
     val l1 = Seq((0L, 1L, 1L), (0L, 2L, 2L), (7L, 5L, 1L)).toDF("qid", "id", "rank")
