@@ -2811,6 +2811,33 @@ object SparkEntry {
         .orderBy("user_id", "p_id")
     }),
 
+    // ---- streaming distribution-drift monitor: per-6h-window event-
+    // type mix vs the global reference mix, as an integer-ppm L1
+    // distance — the data-drift alarm a training-ingest stream runs.
+    // Streaming side = windowed counts (complete mode); the drift is a
+    // bounded join against the broadcast reference panel ----------------
+    "s18_stream_drift" -> ((s, dir) => {
+      val counts = streamToTable(s,
+        eventStream(s, dir)
+          .groupBy(window(col("ts"), "6 hours").as("w"), col("event_type"))
+          .agg(count(lit(1)).as("n")),
+        "s18", "complete")
+        .select((expr("unix_micros(w.start)") / 1000000L).cast("long")
+          .as("w_start_s"), col("event_type"), col("n"))
+      val ev = events(s, dir)
+      val total = ev.count()
+      val ref = ev.groupBy("event_type")
+        .agg(expr(s"count(1) * 1000000 div $total").as("ref_ppm"))
+      val wtot = counts.groupBy("w_start_s").agg(sum("n").as("wt"))
+      wtot.crossJoin(broadcast(ref))
+        .join(counts, Seq("w_start_s", "event_type"), "left")
+        .withColumn("nn", coalesce(col("n"), lit(0L)))
+        .groupBy("w_start_s")
+        .agg(sum("nn").as("n_events"),
+          sum(abs(expr("nn * 1000000 div wt") - col("ref_ppm"))).as("l1_ppm"))
+        .orderBy("w_start_s")
+    }),
+
     // ---- streaming SCD2 maintenance: time-range micro-batches folded
     // into a COMPACTED history by re-running scd2 over (state versions
     // re-presented as their opening observations ∪ new batch) — per-
@@ -3804,6 +3831,28 @@ object SparkEntry {
         |  AND v_ts >= p_ts - INTERVAL 1 HOUR
         |  AND v_ts <= p_ts + INTERVAL 1 HOUR)
         |ORDER BY user_id, p_id""".stripMargin,
+
+    // same 6h-epoch-aligned windows, integer-ppm proportions, absent
+    // types contributing their full reference share
+    "s18_stream_drift" ->
+      """WITH e AS (
+        |  SELECT epoch_us(CAST(ts AS TIMESTAMP)) // 21600000000 AS wid,
+        |         event_type
+        |  FROM events),
+        |reft AS (
+        |  SELECT event_type,
+        |         COUNT(*) * 1000000 // (SELECT COUNT(*) FROM e) AS ref_ppm
+        |  FROM e GROUP BY event_type),
+        |cnt AS (SELECT wid, event_type, COUNT(*) AS n FROM e GROUP BY 1, 2),
+        |wtot AS (SELECT wid, COUNT(*) AS wt FROM e GROUP BY 1),
+        |obs AS (
+        |  SELECT s.wid, s.wt, s.ref_ppm, COALESCE(c.n, 0) AS n
+        |  FROM (SELECT w.wid, w.wt, r.event_type, r.ref_ppm
+        |        FROM wtot w CROSS JOIN reft r) s
+        |  LEFT JOIN cnt c ON c.wid = s.wid AND c.event_type = s.event_type)
+        |SELECT wid * 21600 AS w_start_s, SUM(n) AS n_events,
+        |       SUM(ABS(n * 1000000 // wt - ref_ppm)) AS l1_ppm
+        |FROM obs GROUP BY wid ORDER BY w_start_s""".stripMargin,
 
     // the incremental fold must land exactly on the batch SCD2 build —
     // q37's oracle verbatim
