@@ -1748,6 +1748,18 @@ object SparkEntry {
         .orderBy("node")
     }),
 
+    // ---- HITS hubs/authorities over the DIRECTED supplier→part graph
+    // (the textbook bipartite case: suppliers curate, parts are
+    // curated): fixed-point integer power iteration, max-normalized
+    // each half-round — bit-identical under any partitioning ------------
+    "g8_hits" -> ((s, dir) => {
+      val edges = t(s, dir, "lineitem")
+        .select(col("l_suppkey").cast("long").as("src"),
+          (col("l_partkey").cast("long") + 1000000L).as("dst"))
+      ops.Graph.hits(edges, "src", "dst", iterations = 2)
+        .orderBy("node")
+    }),
+
     // ---- top-k per group WITHOUT a window sort: bounded-heap
     // TypedImperativeAggregate, map-side partial top-k ------------------
     "q47_topk" -> ((s, dir) => {
@@ -2547,6 +2559,72 @@ object SparkEntry {
       s.read.parquet(s"$tmp/out").orderBy("o_orderkey")
     }),
 
+    // ---- 2-D skyline (Pareto frontier) per group: lineitems no other
+    // item beats on BOTH price and quantity (minimize both). Duplicate
+    // (price, qty) points pre-collapse in ONE hash aggregate (equal
+    // points never dominate each other), then a single per-group window
+    // decides dominance: sorted by (price, qty), a point survives iff
+    // its qty undercuts every preceding qty — no self-join, no O(n²)
+    // dominance test, partitioning-invariant ----------------------------
+    "q80_skyline" -> ((s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val p = t(s, dir, "lineitem")
+        .groupBy(col("l_returnflag"),
+          col("l_extendedprice").cast("decimal(18,2)").as("price"),
+          col("l_quantity").cast("long").as("qty"))
+        .agg(count(lit(1)).as("n_rows"))
+      val prevMin = min(col("qty")).over(
+        Window.partitionBy("l_returnflag").orderBy(col("price"), col("qty"))
+          .rowsBetween(Window.unboundedPreceding, -1))
+      p.withColumn("pm", prevMin)
+        .filter(col("pm").isNull || col("qty") < col("pm"))
+        .select(col("l_returnflag"), col("price").cast("double").as("price"),
+          col("qty"), col("n_rows"))
+        .orderBy("l_returnflag", "price")
+    }),
+
+    // ---- weighted median per group: the 50th percentile where each
+    // row counts `weight` times — the robust center a quality-scored
+    // corpus reports (docs weighted by token count). ONE sort exchange
+    // on the group key serves the running weight, the partition total,
+    // AND the qualifying-row pick; integer weights make the threshold
+    // test exact, and monotone qualification turns "first qualifying
+    // value" into a plain MIN — no second pass, no row_number ----------
+    "q81_weighted_median" -> ((s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val ord = Window.partitionBy("g")
+        .orderBy(col("v"), col("l_orderkey"), col("l_linenumber"))
+      t(s, dir, "lineitem")
+        .select(col("l_returnflag").as("g"),
+          col("l_extendedprice").cast("decimal(18,2)").as("v"),
+          col("l_quantity").cast("long").as("w"),
+          col("l_orderkey"), col("l_linenumber"))
+        .withColumn("cw", sum("w").over(
+          ord.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+        .withColumn("tw", sum("w").over(Window.partitionBy("g")))
+        .filter(col("cw") * 2 >= col("tw"))
+        .groupBy(col("g").as("l_returnflag"))
+        .agg(min("v").cast("double").as("wmedian"),
+          max("tw").as("total_weight"))
+        .orderBy("l_returnflag")
+    }),
+
+    // ---- grouped mode: most frequent quantity per returnflag as an
+    // argmax-by-struct aggregate — (count, value) pairs reduce under
+    // max(), so the pick is two hash aggregates with map-side combine
+    // and NO window sort; ties break toward the larger value (struct
+    // field order), pinned in the oracle --------------------------------
+    "q82_mode" -> ((s, dir) => {
+      t(s, dir, "lineitem")
+        .groupBy(col("l_returnflag"), col("l_quantity").cast("long").as("qty"))
+        .agg(count(lit(1)).as("n"))
+        .groupBy("l_returnflag")
+        .agg(max(struct(col("n"), col("qty"))).as("m"))
+        .select(col("l_returnflag"), col("m.qty").as("mode_qty"),
+          col("m.n").as("mode_n"))
+        .orderBy("l_returnflag")
+    }),
+
     // ---- interval coalescing: overlapping per-user activity windows
     // [ts, ts+30min] merged into maximal disjoint spans — the classic
     // gaps-and-islands-on-intervals op. One user_id shuffle serves the
@@ -2809,6 +2887,37 @@ object SparkEntry {
         "left_semi")
       streamToTable(s, joined.select("user_id", "p_id"), "s16", "append")
         .orderBy("user_id", "p_id")
+    }),
+
+    // ---- streaming per-key admission quota: the first 3 view events
+    // per user pass, the rest drop — the per-domain ingest budget a
+    // crawl front door enforces. State = ONE counter per user; files
+    // arrive time-partitioned (s17's CDC contract) and replay oldest-
+    // first one per batch, so admission is the global (ts, event_id)
+    // first-3 and the batch oracle is a plain row_number filter --------
+    "s19_stream_quota" -> ((s, dir) => {
+      import s.implicits._
+      import org.apache.spark.sql.Row
+      val tmp = gateScratch("s19")
+      val ev = events(s, dir).filter(col("event_type") === "view")
+        .select(col("user_id"), col("event_id"),
+          expr("unix_micros(ts)").as("ts_us"))
+      val Row(lo: Long, hi: Long) = ev.agg(min("ts_us"), max("ts_us")).head()
+      val span = hi - lo + 1
+      for (i <- 0 until 4) {
+        val b0 = lo + span * i / 4
+        val b1 = lo + span * (i + 1) / 4
+        ev.filter(col("ts_us") >= b0 && col("ts_us") < b1)
+          .coalesce(1).write.mode("append").parquet(s"$tmp/in")
+        Thread.sleep(20)
+      }
+      val stream = s.readStream.schema(ev.schema)
+        .option("maxFilesPerTrigger", "1").parquet(s"$tmp/in")
+        .as[(Long, Long, Long)]
+      val admitted = streaming.EventStreams.quotaAdmit(stream, n = 3)
+        .toDF("user_id", "event_id", "ts_us")
+      streamToTable(s, admitted.select("user_id", "event_id"), "s19", "append")
+        .orderBy("user_id", "event_id")
     }),
 
     // ---- streaming distribution-drift monitor: per-6h-window event-
@@ -3831,6 +3940,17 @@ object SparkEntry {
         |  AND v_ts >= p_ts - INTERVAL 1 HOUR
         |  AND v_ts <= p_ts + INTERVAL 1 HOUR)
         |ORDER BY user_id, p_id""".stripMargin,
+
+    // time-ordered arrival makes the streaming quota the global
+    // (ts, event_id) first-3 per user — a plain row_number replay
+    "s19_stream_quota" ->
+      """WITH v AS (
+        |  SELECT user_id, event_id, ROW_NUMBER() OVER (
+        |    PARTITION BY user_id
+        |    ORDER BY CAST(ts AS TIMESTAMP), event_id) AS rn
+        |  FROM events WHERE event_type = 'view')
+        |SELECT user_id, event_id FROM v WHERE rn <= 3
+        |ORDER BY user_id, event_id""".stripMargin,
 
     // same 6h-epoch-aligned windows, integer-ppm proportions, absent
     // types contributing their full reference share
@@ -4912,6 +5032,40 @@ object SparkEntry {
         |  SELECT e.a, r.lab FROM edges e JOIN reach r ON r.node = e.b)
         |SELECT node, MIN(lab) AS component FROM reach
         |GROUP BY node ORDER BY node""".stripMargin,
+
+    // two unrolled HITS rounds: each half-round is a neighbor-sum LEFT
+    // JOIN against the node spine followed by a window-MAX integer
+    // normalization — floor-div (//) equals Spark's div on the
+    // non-negative scores
+    "g8_hits" ->
+      """WITH e AS (
+        |  SELECT DISTINCT CAST(l_suppkey AS BIGINT) AS src,
+        |         CAST(1000000 + l_partkey AS BIGINT) AS dst FROM lineitem),
+        |n AS (SELECT src AS node FROM e UNION SELECT dst FROM e),
+        |a0 AS (SELECT node, CAST(1000000 AS BIGINT) AS x FROM n),
+        |h1r AS (SELECT n.node, COALESCE(s.x, 0) AS x FROM n LEFT JOIN
+        |  (SELECT e.src AS node, SUM(a0.x) AS x FROM e
+        |   JOIN a0 ON a0.node = e.dst GROUP BY e.src) s USING (node)),
+        |h1 AS (SELECT node, CASE WHEN MAX(x) OVER () <= 0 THEN x
+        |  ELSE (x * 1000000) // MAX(x) OVER () END AS x FROM h1r),
+        |a1r AS (SELECT n.node, COALESCE(s.x, 0) AS x FROM n LEFT JOIN
+        |  (SELECT e.dst AS node, SUM(h1.x) AS x FROM e
+        |   JOIN h1 ON h1.node = e.src GROUP BY e.dst) s USING (node)),
+        |a1 AS (SELECT node, CASE WHEN MAX(x) OVER () <= 0 THEN x
+        |  ELSE (x * 1000000) // MAX(x) OVER () END AS x FROM a1r),
+        |h2r AS (SELECT n.node, COALESCE(s.x, 0) AS x FROM n LEFT JOIN
+        |  (SELECT e.src AS node, SUM(a1.x) AS x FROM e
+        |   JOIN a1 ON a1.node = e.dst GROUP BY e.src) s USING (node)),
+        |h2 AS (SELECT node, CASE WHEN MAX(x) OVER () <= 0 THEN x
+        |  ELSE (x * 1000000) // MAX(x) OVER () END AS x FROM h2r),
+        |a2r AS (SELECT n.node, COALESCE(s.x, 0) AS x FROM n LEFT JOIN
+        |  (SELECT e.dst AS node, SUM(h2.x) AS x FROM e
+        |   JOIN h2 ON h2.node = e.src GROUP BY e.dst) s USING (node)),
+        |a2 AS (SELECT node, CASE WHEN MAX(x) OVER () <= 0 THEN x
+        |  ELSE (x * 1000000) // MAX(x) OVER () END AS x FROM a2r)
+        |SELECT n.node, h2.x AS hub, a2.x AS auth
+        |FROM n JOIN h2 USING (node) JOIN a2 USING (node)
+        |ORDER BY node""".stripMargin,
 
     "q47_topk" ->
       """SELECT o_orderpriority, CAST(rnk AS BIGINT) AS rank, o_totalprice, o_orderkey
@@ -6015,6 +6169,58 @@ object SparkEntry {
 
     // same running-max island construction; DuckDB's frame-excluded
     // MAX matches Spark's rowsBetween(unboundedPreceding, -1)
+    // distinct (price, qty) points, then the same preceding-min window
+    // dominance test (equal points never dominate; after the collapse a
+    // preceding row with an equal qty must have a strictly smaller
+    // price, so "pm <= qty" is exactly dominance)
+    "q80_skyline" ->
+      """WITH p AS (
+        |  SELECT l_returnflag, CAST(l_extendedprice AS DECIMAL(18,2)) AS price,
+        |         CAST(l_quantity AS BIGINT) AS qty, COUNT(*) AS n_rows
+        |  FROM lineitem GROUP BY 1, 2, 3),
+        |f AS (
+        |  SELECT l_returnflag, price, qty, n_rows,
+        |    MIN(qty) OVER (PARTITION BY l_returnflag ORDER BY price, qty
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS pm
+        |  FROM p)
+        |SELECT l_returnflag, CAST(CAST(price AS VARCHAR) AS DOUBLE) AS price,
+        |       qty, n_rows
+        |FROM f WHERE pm IS NULL OR qty < pm
+        |ORDER BY l_returnflag, price""".stripMargin,
+
+    // qualification (2·cum >= total) is monotone in the value order, so
+    // MIN(v) over qualifying rows IS the weighted median
+    "q81_weighted_median" ->
+      """WITH li AS (
+        |  SELECT l_returnflag AS g, CAST(l_extendedprice AS DECIMAL(18,2)) AS v,
+        |         CAST(l_quantity AS BIGINT) AS w, l_orderkey, l_linenumber
+        |  FROM lineitem),
+        |c AS (
+        |  SELECT g, v, w,
+        |    SUM(w) OVER (PARTITION BY g ORDER BY v, l_orderkey, l_linenumber
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cw,
+        |    SUM(w) OVER (PARTITION BY g) AS tw
+        |  FROM li)
+        |SELECT g AS l_returnflag,
+        |  CAST(CAST(MIN(v) AS VARCHAR) AS DOUBLE) AS wmedian,
+        |  MAX(tw) AS total_weight
+        |FROM c WHERE cw * 2 >= tw
+        |GROUP BY g ORDER BY g""".stripMargin,
+
+    // tiebreak pinned: among equally frequent values the LARGER value
+    // wins (the struct-max field order on the Spark side)
+    "q82_mode" ->
+      """WITH c AS (
+        |  SELECT l_returnflag, CAST(l_quantity AS BIGINT) AS qty,
+        |         COUNT(*) AS n
+        |  FROM lineitem GROUP BY 1, 2),
+        |r AS (
+        |  SELECT l_returnflag, qty, n, ROW_NUMBER() OVER (
+        |    PARTITION BY l_returnflag ORDER BY n DESC, qty DESC) AS rn
+        |  FROM c)
+        |SELECT l_returnflag, qty AS mode_qty, n AS mode_n
+        |FROM r WHERE rn = 1 ORDER BY l_returnflag""".stripMargin,
+
     "q79_interval_coalesce" ->
       """WITH iv AS (
         |  SELECT user_id,

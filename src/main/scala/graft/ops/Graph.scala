@@ -520,4 +520,81 @@ object Graph {
       .unionAll(e.select(col("a").as("node"), col("a").as("component")))
       .groupBy("node").agg(min("component").as("component"))
   }
+
+  /** HITS hubs-and-authorities (Kleinberg JACM'99, public) in
+    * FIXED-POINT integer arithmetic — the link-analysis complement to
+    * [[pageRank]]: a good HUB points at good authorities, a good
+    * AUTHORITY is pointed at by good hubs. On a supplier→part (or
+    * domain→document) bipartite graph this separates "broad curators"
+    * from "widely-sourced items", the pair of signals a crawl-quality
+    * weighting actually wants.
+    *
+    *   h(u) = Σ_{u→v} a(v)      then  h ← (h · scale) div max(h)
+    *   a(v) = Σ_{u→v} h(u)      then  a ← (a · scale) div max(a)
+    *
+    * The power iteration needs per-step normalization or the values
+    * explode geometrically; the float version normalizes by the L2
+    * norm, which no two engines agree on bitwise. This variant
+    * normalizes by the MAX (an exact integer, associative to reduce),
+    * so every half-round is integer-only: sums are associative → the
+    * iterate is bit-identical under any partitioning and replayable in
+    * ANSI SQL via a window MAX (gate g8's oracle). Convergence and
+    * final ORDERING match the L2-normalized textbook form (both are
+    * scalar rescalings of the same power iterate).
+    *
+    * Scale posture: mirrors [[pageRank]] — the deduped edge list is
+    * checkpointed once and each half-round is ONE equi-join + ONE
+    * hash-reduce (shuffle on the aggregation key) + a zero-union
+    * against the node spine so sink/source nodes keep rows. The
+    * normalizing max is a SCALAR aggregate per half-round (the same
+    * blessed driver panel as g7's convergence digest — one long, not
+    * data); the iterate is lazily localCheckpoint-ed each half-round
+    * because the max action and the next join both consume it.
+    *
+    * @return (node, hub, auth) fixed-point scores scaled to [0, scale]
+    */
+  def hits(
+      edges: DataFrame,
+      srcCol: String,
+      dstCol: String,
+      iterations: Int,
+      scale: Long = 1000000L): DataFrame = {
+    require(iterations >= 1, s"iterations must be >= 1, got $iterations")
+    require(scale > 0, s"scale must be > 0, got $scale")
+    val e = edges
+      .select(col(srcCol).cast("long").as("src"), col(dstCol).cast("long").as("dst"))
+      .filter(col("src") =!= col("dst"))
+      .distinct()
+      .localCheckpoint(eager = false)
+    val nodes = e.select(col("src").as("node"))
+      .union(e.select(col("dst").as("node")))
+      .distinct()
+      .localCheckpoint(eager = false)
+
+    // one sum-reduce + zero-union spine pass, then max-normalize; the
+    // scalar max is collected (one long) and folded back as a literal
+    def step(score: DataFrame, joinKey: String, outKey: String): DataFrame = {
+      val summed = e
+        .join(score.select(col("node").as(joinKey), col("x")), Seq(joinKey))
+        .select(col(outKey).as("node"), col("x"))
+        .unionAll(nodes.select(col("node"), lit(0L).as("x")))
+        .groupBy("node").agg(sum("x").as("x"))
+        .localCheckpoint(eager = false)
+      val mx = summed.agg(max("x")).collect()(0).getLong(0)
+      if (mx <= 0L) summed
+      else summed.select(col("node"), expr(s"(x * $scale) div $mx").as("x"))
+        .localCheckpoint(eager = false)
+    }
+
+    var auth = nodes.select(col("node"), lit(scale).as("x"))
+    var hub = auth
+    for (_ <- 1 to iterations) {
+      // h(u) = Σ a(dst): join on dst, reduce on src — then a(v) from
+      // the FRESH hubs (the standard in-round update order)
+      hub = step(auth, "dst", "src")
+      auth = step(hub, "src", "dst")
+    }
+    hub.select(col("node"), col("x").as("hub"))
+      .join(auth.select(col("node"), col("x").as("auth")), Seq("node"))
+  }
 }

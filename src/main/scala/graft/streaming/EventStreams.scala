@@ -9,6 +9,9 @@ import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode
 case class SessionState(nEvents: Long, totalValue: Double,
     startMs: Long, lastMs: Long)
 
+/** Per-key admission counter for [[EventStreams.quotaAdmit]]. */
+case class QuotaState(admitted: Long)
+
 /** Structured Streaming operators over the `events` shape
   * (event_id, ts, user_id, event_type, value) — SURVEY.md §7: streams are
   * an extension beyond the batch-only reference, built the idiomatic way:
@@ -115,6 +118,41 @@ object EventStreams {
         col("r_ts") >= col("ts") - expr(s"INTERVAL $window") &&
         col("r_ts") <= col("ts") + expr(s"INTERVAL $window"),
       "inner")
+  }
+
+  /** Per-key admission quota over a stream: admit the FIRST `n` events
+    * of each key in (ts, event_id) order, drop the rest — the per-source
+    * rate cap / per-domain document budget a training-ingest pipeline
+    * enforces at the front door (keeps one hot domain from flooding a
+    * crawl batch).
+    *
+    * State per key is ONE long (the admitted count) — O(keys) total, no
+    * timestamps, no buffers — so the operator runs forever on an
+    * unbounded stream. Rows are (key, event_id, tsUs) triples with the
+    * event time as epoch MICROS (a Timestamp's getTime is ms-truncated
+    * and would tie-order differently from a µs-exact replay); each
+    * micro-batch's group iterator is sorted by (tsUs, event_id) before
+    * admission, so the admitted set equals the global first-`n` per key
+    * whenever arrival respects event-time order across batches (the
+    * time-partitioned-file / CDC contract, as in the s17 gate) — and is
+    * still exactly-`n`-per-key deterministic-per-replay otherwise. */
+  def quotaAdmit(events: Dataset[(Long, Long, Long)],
+      n: Long): Dataset[(Long, Long, Long)] = {
+    import events.sparkSession.implicits._
+    events.groupByKey(_._1)
+      .flatMapGroupsWithState[QuotaState, (Long, Long, Long)](
+        OutputMode.Append(), GroupStateTimeout.NoTimeout()) {
+        case (_, rows, state: GroupState[QuotaState]) =>
+          var admitted = state.getOption.map(_.admitted).getOrElse(0L)
+          val out = rows.toSeq
+            .sortBy(r => (r._3, r._2))
+            .iterator
+            .takeWhile { _ => admitted < n }
+            .map { r => admitted += 1; r }
+            .toList
+          state.update(QuotaState(admitted))
+          out.iterator
+      }
   }
 
   /** End-to-end streaming pipeline wiring: file/rate/memory source →

@@ -312,4 +312,41 @@ class GraphSpec extends AnyFunSuite with SparkTestBase {
     assert(cc2(Seq.empty) === Map.empty)
     assert(cc2(Seq((5L, 5L), (9L, 9L))) === Map.empty)
   }
+
+  private def hitsMap(edges: Seq[(Long, Long)], iters: Int): Map[Long, (Long, Long)] =
+    Graph.hits(edges.toDF("src", "dst"), "src", "dst", iters)
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+
+  test("HITS on a tiny bipartite graph is hand-computable, both rounds") {
+    // hubs 1,2 → auths 10,11: 1→10, 1→11, 2→10
+    val e = Seq((1L, 10L), (1L, 11L), (2L, 10L))
+    // round 1: h(1)=2e6, h(2)=1e6 → norm 1e6, 5e5; a(10)=1.5e6,
+    // a(11)=1e6 → norm 1e6, 666666
+    val r1 = hitsMap(e, 1)
+    assert(r1(1L) === ((1000000L, 0L)))
+    assert(r1(2L) === ((500000L, 0L)))
+    assert(r1(10L) === ((0L, 1000000L)))
+    assert(r1(11L) === ((0L, 666666L)))
+    // round 2: h(1)=1666666, h(2)=1e6 → norm 1e6, 600000;
+    // a(10)=1.6e6, a(11)=1e6 → norm 1e6, 625000
+    val r2 = hitsMap(e, 2)
+    assert(r2(1L) === ((1000000L, 0L)))
+    assert(r2(2L) === ((600000L, 0L)))
+    assert(r2(10L) === ((0L, 1000000L)))
+    assert(r2(11L) === ((0L, 625000L)))
+  }
+
+  test("HITS is bit-identical under repartitioning and dedups edges") {
+    val edges = (0L until 500L).map(i => ((i * 7) % 50, 100 + (i * 13) % 40))
+      .filter(e => e._1 != e._2)
+    val a = hitsMap(edges, 3)
+    val b = Graph.hits(edges.toDF("src", "dst").repartition(8, col("dst")),
+        "src", "dst", 3)
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+    assert(a === b)
+    assert(hitsMap(edges ++ edges.take(100), 3) === a)
+    // max normalization pins the top hub and top authority at scale
+    assert(a.values.map(_._1).max === 1000000L)
+    assert(a.values.map(_._2).max === 1000000L)
+  }
 }

@@ -234,4 +234,30 @@ class EventStreamsSpec extends AnyFunSuite with SparkTestBase {
     val out = spark.read.parquet(s"$dir/out").select("id").as[Long].collect().sorted
     assert(out.toSeq === (0L until 80L)) // every row exactly once
   }
+
+  test("quotaAdmit: counter state spans micro-batches, in-batch order is (ts, id)") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[(Long, Long, Long)]
+    val q = EventStreams.quotaAdmit(mem.toDS(), n = 3)
+      .toDF("user", "id", "ts_us")
+      .writeStream.format("memory").queryName("quota_out")
+      .outputMode(OutputMode.Append()).start()
+    try {
+      // batch 1 arrives out of (ts, id) order: user 1 must admit the
+      // time-earliest two (ids 12, 11), not the arrival-first two
+      mem.addData((1L, 10L, 300L), (1L, 12L, 100L), (1L, 11L, 200L),
+        (2L, 20L, 100L))
+      q.processAllAvailable()
+      // batch 2: user 1 has 3 admitted after one more; user 2 continues
+      mem.addData((1L, 13L, 400L), (1L, 14L, 500L), (2L, 21L, 200L))
+      q.processAllAvailable()
+      val got = spark.table("quota_out").select("user", "id")
+        .as[(Long, Long)].collect().toSet
+      // user 1: ts order admits 12, 11, then 10 fills the quota in
+      // batch 1; 13/14 are over quota. user 2: both under quota.
+      assert(got === Set((1L, 12L), (1L, 11L), (1L, 10L),
+        (2L, 20L), (2L, 21L)))
+    } finally q.stop()
+  }
 }
