@@ -1760,6 +1760,21 @@ object SparkEntry {
         .orderBy("node")
     }),
 
+    // ---- bipartite co-occurrence projection: part pairs weighted by
+    // shared suppliers (co-citation construction), hub suppliers over
+    // the degree cap dropped with an audit — pair shuffle bounded at
+    // maxDeg·|E| ---------------------------------------------------------
+    "g9_coproject" -> ((s, dir) => {
+      val edges = t(s, dir, "lineitem")
+        .filter(col("l_partkey") % 20 === 0)
+        .select(col("l_suppkey").cast("long").as("src"),
+          col("l_partkey").cast("long").as("dst"))
+      val (pairs, _) = ops.Graph.cooccurrenceProject(edges, "src", "dst",
+        minShared = 2L, maxDeg = 25L)
+      pairs.select(col("a").as("part_a"), col("b").as("part_b"), col("shared"))
+        .orderBy("part_a", "part_b")
+    }),
+
     // ---- top-k per group WITHOUT a window sort: bounded-heap
     // TypedImperativeAggregate, map-side partial top-k ------------------
     "q47_topk" -> ((s, dir) => {
@@ -2920,6 +2935,37 @@ object SparkEntry {
         .orderBy("user_id", "event_id")
     }),
 
+    // ---- streaming z-score anomaly flags: purchases whose integer-cent
+    // value sits > 3σ from the user's PRIOR purchase history (≥ 8
+    // observations), scored with cross-multiplied integer moments — no
+    // division, no sqrt, engine-exact boundary; state = 3 longs/user ----
+    "s20_stream_anomaly" -> ((s, dir) => {
+      import s.implicits._
+      import org.apache.spark.sql.Row
+      val tmp = gateScratch("s20")
+      val ev = events(s, dir).filter(col("event_type") === "purchase")
+        .select(col("user_id"), col("event_id"),
+          expr("unix_micros(ts)").as("ts_us"),
+          expr("CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT)").as("cents"))
+      val Row(lo: Long, hi: Long) = ev.agg(min("ts_us"), max("ts_us")).head()
+      val span = hi - lo + 1
+      for (i <- 0 until 4) {
+        val b0 = lo + span * i / 4
+        val b1 = lo + span * (i + 1) / 4
+        ev.filter(col("ts_us") >= b0 && col("ts_us") < b1)
+          .coalesce(1).write.mode("append").parquet(s"$tmp/in")
+        Thread.sleep(20)
+      }
+      val stream = s.readStream.schema(ev.schema)
+        .option("maxFilesPerTrigger", "1").parquet(s"$tmp/in")
+        .as[(Long, Long, Long, Long)]
+      val flagged = streaming.EventStreams
+        .zScoreAnomalies(stream, minHistory = 8L, theta = 3L)
+        .toDF("user_id", "event_id")
+      streamToTable(s, flagged, "s20", "append")
+        .orderBy("user_id", "event_id")
+    }),
+
     // ---- streaming distribution-drift monitor: per-6h-window event-
     // type mix vs the global reference mix, as an integer-ppm L1
     // distance — the data-drift alarm a training-ingest stream runs.
@@ -3950,6 +3996,26 @@ object SparkEntry {
         |    ORDER BY CAST(ts AS TIMESTAMP), event_id) AS rn
         |  FROM events WHERE event_type = 'view')
         |SELECT user_id, event_id FROM v WHERE rn <= 3
+        |ORDER BY user_id, event_id""".stripMargin,
+
+    // prior-history moments via 1-PRECEDING windows; the cross-
+    // multiplied integer z-test never divides, so the 3σ boundary is
+    // engine-exact
+    "s20_stream_anomaly" ->
+      """WITH p AS (
+        |  SELECT user_id, event_id, CAST(ts AS TIMESTAMP) AS t,
+        |         CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT) AS c
+        |  FROM events WHERE event_type = 'purchase'),
+        |w AS (
+        |  SELECT user_id, event_id, c,
+        |    COUNT(*) OVER win AS n,
+        |    COALESCE(SUM(c) OVER win, 0) AS s,
+        |    COALESCE(SUM(c * c) OVER win, 0) AS ss
+        |  FROM p
+        |  WINDOW win AS (PARTITION BY user_id ORDER BY t, event_id
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING))
+        |SELECT user_id, event_id FROM w
+        |WHERE n >= 8 AND (n*c - s) * (n*c - s) > 9 * (n*ss - s*s)
         |ORDER BY user_id, event_id""".stripMargin,
 
     // same 6h-epoch-aligned windows, integer-ppm proportions, absent
@@ -5066,6 +5132,21 @@ object SparkEntry {
         |SELECT n.node, h2.x AS hub, a2.x AS auth
         |FROM n JOIN h2 USING (node) JOIN a2 USING (node)
         |ORDER BY node""".stripMargin,
+
+    // the degree cap is part of the operator contract, so the oracle
+    // replays it: suppliers over 25 distinct parts contribute nothing
+    "g9_coproject" ->
+      """WITH e AS (
+        |  SELECT DISTINCT CAST(l_suppkey AS BIGINT) AS src,
+        |         CAST(l_partkey AS BIGINT) AS dst
+        |  FROM lineitem WHERE l_partkey % 20 = 0),
+        |deg AS (SELECT src, COUNT(*) AS d FROM e GROUP BY src),
+        |k AS (SELECT e.src, e.dst FROM e JOIN deg USING (src)
+        |      WHERE deg.d <= 25)
+        |SELECT a.dst AS part_a, b.dst AS part_b, COUNT(*) AS shared
+        |FROM k a JOIN k b ON a.src = b.src AND a.dst < b.dst
+        |GROUP BY 1, 2 HAVING COUNT(*) >= 2
+        |ORDER BY part_a, part_b""".stripMargin,
 
     "q47_topk" ->
       """SELECT o_orderpriority, CAST(rnk AS BIGINT) AS rank, o_totalprice, o_orderkey

@@ -597,4 +597,51 @@ object Graph {
     hub.select(col("node"), col("x").as("hub"))
       .join(auth.select(col("node"), col("x").as("auth")), Seq("node"))
   }
+
+  /** Bipartite co-occurrence projection: project (source → item) edges
+    * onto item–item pairs weighted by the number of SHARED sources —
+    * co-citation / co-purchase / "documents linked by the same page"
+    * graph construction (Small 1973's co-citation measure, public),
+    * the standard precursor to clustering or similarity scoring over
+    * a layer the raw graph never connects directly.
+    *
+    * The projection is inherently quadratic per source (a source of
+    * degree d emits C(d, 2) pairs), and hub sources carry the least
+    * signal per pair (a supplier selling EVERYTHING co-locates nothing
+    * meaningfully) — so sources with degree > `maxDeg` are dropped
+    * ENTIRELY before pairing, bounding the pair shuffle at
+    * Σ min(d, maxDeg)² ≤ maxDeg·|E| and the audit DataFrame makes the
+    * loss observable (empty audit certifies the projection is exact) —
+    * the same audited-cap contract as the LSH/containment candidate
+    * stages. Pairs are canonical (a < b); `minShared` prunes
+    * singleton co-occurrences before they leave the aggregate.
+    *
+    * @return (pairs (a, b, shared), audit (src, deg) of dropped hubs)
+    */
+  def cooccurrenceProject(
+      edges: DataFrame,
+      srcCol: String,
+      dstCol: String,
+      minShared: Long = 2L,
+      maxDeg: Long = 1000L): (DataFrame, DataFrame) = {
+    require(minShared >= 1 && maxDeg >= 1,
+      s"need minShared >= 1 and maxDeg >= 1, got $minShared, $maxDeg")
+    // deduped edges feed the degree pass AND both self-join sides
+    val e = edges.select(col(srcCol).cast("long").as("src"),
+        col(dstCol).cast("long").as("dst"))
+      .distinct()
+      .localCheckpoint(eager = false)
+    val deg = e.groupBy("src").agg(count(lit(1)).as("deg"))
+    val dropped = deg.filter(col("deg") > maxDeg)
+    // left-semi on the kept sources: only (src) ids ride the filter join
+    val kept = e.join(
+      deg.filter(col("deg") <= maxDeg).select("src"), Seq("src"), "left_semi")
+      .localCheckpoint(eager = false)
+    val pairs = kept.select(col("src"), col("dst").as("a"))
+      .join(kept.select(col("src"), col("dst").as("b")), Seq("src"))
+      .filter(col("a") < col("b"))
+      .groupBy("a", "b").agg(count(lit(1)).as("shared"))
+      .filter(col("shared") >= minShared)
+    (pairs, dropped)
+  }
 }

@@ -12,6 +12,9 @@ case class SessionState(nEvents: Long, totalValue: Double,
 /** Per-key admission counter for [[EventStreams.quotaAdmit]]. */
 case class QuotaState(admitted: Long)
 
+/** Running integer moments for [[EventStreams.zScoreAnomalies]]. */
+case class ZScoreState(n: Long, sum: Long, sumSq: Long)
+
 /** Structured Streaming operators over the `events` shape
   * (event_id, ts, user_id, event_type, value) — SURVEY.md §7: streams are
   * an extension beyond the batch-only reference, built the idiomatic way:
@@ -152,6 +155,53 @@ object EventStreams {
             .toList
           state.update(QuotaState(admitted))
           out.iterator
+      }
+  }
+
+  /** Streaming z-score anomaly detection: flag each event whose value
+    * deviates from its key's PRIOR history by more than `theta` standard
+    * deviations — the metric-spike alarm a training-ingest pipeline
+    * hangs on per-source document sizes, loss values, or spend.
+    *
+    * Scored strictly against history (the event then joins the
+    * moments), in INTEGER cents, with the z-test cross-multiplied so no
+    * division or sqrt ever runs:
+    *
+    *   flag ⇔ n ≥ minHistory ∧ (n·c − Σc)² > θ²·(n·Σc² − (Σc)²)
+    *
+    * Integer arithmetic makes the boundary engine-exact (a float
+    * z-score would flip borderline events between engines) and the
+    * state is THREE longs per key — (n, Σc, Σc²) — forever-bounded.
+    * Overflow bound: needs n²·max(c)² < 2⁶³/θ²; at cents scale that is
+    * ~10⁵ events of ~$1000 per key — a production deployment decays or
+    * windows the moments long before that. Rows are (key, event_id,
+    * tsUs, cents); each batch's group is sorted by (tsUs, event_id), so
+    * under time-ordered arrival (the s17/s19 contract) the flags equal
+    * the batch replay exactly.
+    *
+    * @return (key, event_id) rows for flagged events
+    */
+  def zScoreAnomalies(events: Dataset[(Long, Long, Long, Long)],
+      minHistory: Long, theta: Long): Dataset[(Long, Long)] = {
+    import events.sparkSession.implicits._
+    require(minHistory >= 2 && theta >= 1,
+      s"need minHistory >= 2 and theta >= 1, got $minHistory, $theta")
+    events.groupByKey(_._1)
+      .flatMapGroupsWithState[ZScoreState, (Long, Long)](
+        OutputMode.Append(), GroupStateTimeout.NoTimeout()) {
+        case (key, rows, state: GroupState[ZScoreState]) =>
+          var st = state.getOption.getOrElse(ZScoreState(0L, 0L, 0L))
+          val out = List.newBuilder[(Long, Long)]
+          rows.toSeq.sortBy(r => (r._3, r._2)).foreach { case (_, id, _, c) =>
+            if (st.n >= minHistory) {
+              val dev = st.n * c - st.sum
+              val varTerm = st.n * st.sumSq - st.sum * st.sum
+              if (dev * dev > theta * theta * varTerm) out += ((key, id))
+            }
+            st = ZScoreState(st.n + 1, st.sum + c, st.sumSq + c * c)
+          }
+          state.update(st)
+          out.result().iterator
       }
   }
 

@@ -349,4 +349,27 @@ class GraphSpec extends AnyFunSuite with SparkTestBase {
     assert(a.values.map(_._1).max === 1000000L)
     assert(a.values.map(_._2).max === 1000000L)
   }
+
+  test("co-occurrence projection: shared counts, canonical pairs, hub cap audited") {
+    // src 1 → {10,11,12}, src 2 → {10,11}, src 3 (hub, deg 4 > cap 3)
+    val edges = Seq((1L, 10L), (1L, 11L), (1L, 12L), (2L, 10L), (2L, 11L),
+      (2L, 10L), // duplicate edge must collapse
+      (3L, 10L), (3L, 11L), (3L, 12L), (3L, 13L))
+    val (pairs, audit) = Graph.cooccurrenceProject(
+      edges.toDF("src", "dst"), "src", "dst", minShared = 1L, maxDeg = 3L)
+    val got = pairs.collect()
+      .map(r => ((r.getLong(0), r.getLong(1)), r.getLong(2))).toMap
+    // src 3 dropped entirely: only 1 and 2 contribute
+    assert(got === Map((10L, 11L) -> 2L, (10L, 12L) -> 1L, (11L, 12L) -> 1L))
+    assert(audit.collect().map(r => (r.getLong(0), r.getLong(1))).toSeq ===
+      Seq((3L, 4L)))
+    // minShared prunes the singleton pairs; empty audit when cap is high
+    val (p2, a2) = Graph.cooccurrenceProject(
+      edges.toDF("src", "dst"), "src", "dst", minShared = 2L, maxDeg = 100L)
+    val g2 = p2.collect().map(r => ((r.getLong(0), r.getLong(1)), r.getLong(2))).toMap
+    // src 3 now contributes: (10,11) has sources {1,2,3}, (10,12)/(11,12)
+    // have {1,3}; 13's pairs appear only under src 3 → pruned by minShared
+    assert(g2 === Map((10L, 11L) -> 3L, (10L, 12L) -> 2L, (11L, 12L) -> 2L))
+    assert(a2.count() === 0L)
+  }
 }

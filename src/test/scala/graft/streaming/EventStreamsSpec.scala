@@ -260,4 +260,34 @@ class EventStreamsSpec extends AnyFunSuite with SparkTestBase {
         (2L, 20L), (2L, 21L)))
     } finally q.stop()
   }
+
+  test("zScoreAnomalies: spike flags against PRIOR history only, across batches") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[(Long, Long, Long, Long)]
+    val q = EventStreams.zScoreAnomalies(mem.toDS(), minHistory = 3L, theta = 3L)
+      .toDF("user", "id").writeStream.format("memory")
+      .queryName("zscore_out").outputMode(OutputMode.Append()).start()
+    try {
+      // batch 1: history 100, 102, 98 — below minHistory, nothing flags
+      mem.addData((1L, 1L, 10L, 100L), (1L, 2L, 20L, 102L), (1L, 3L, 30L, 98L))
+      q.processAllAvailable()
+      assert(spark.table("zscore_out").count() === 0L)
+      // batch 2: 101 is in-band; 500 is a spike vs the PRIOR 4 values;
+      // the later 99 is back in band even though 500 inflated the
+      // moments — prior-history scoring, not leave-one-out
+      mem.addData((1L, 4L, 40L, 101L), (1L, 5L, 50L, 500L), (1L, 6L, 60L, 99L))
+      q.processAllAvailable()
+      val got = spark.table("zscore_out").select("user", "id")
+        .as[(Long, Long)].collect().toSet
+      assert(got === Set((1L, 5L)))
+      // zero-variance history: ANY deviation flags (strict inequality)
+      mem.addData((2L, 10L, 10L, 50L), (2L, 11L, 20L, 50L), (2L, 12L, 30L, 50L),
+        (2L, 13L, 40L, 51L), (2L, 14L, 50L, 50L))
+      q.processAllAvailable()
+      val got2 = spark.table("zscore_out").select("user", "id")
+        .as[(Long, Long)].collect().toSet
+      assert(got2 === Set((1L, 5L), (2L, 13L)))
+    } finally q.stop()
+  }
 }
