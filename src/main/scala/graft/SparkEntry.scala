@@ -3387,6 +3387,151 @@ object SparkEntry {
         .select(col("user_id"), col("event_id"), unix_micros(col("ts")).as("ts_us"),
           sum("fs").over(w2).as("n_distinct_types"))
         .orderBy("user_id", "event_id")
+    }),
+
+    // ---- DAG longest-path layering (topological levels): ascending
+    // +3 chains inside 30-key blocks with +7 cross-links at %5 — acyclic
+    // by construction, longest chain ≤ 10 edges so 12 rounds reach the
+    // fixed point the recursive-CTE oracle defines ----------------------
+    "g10_toposort" -> ((s, dir) => {
+      val o = t(s, dir, "orders")
+        .select(col("o_orderkey").cast("long").as("k"),
+          expr("o_orderkey div 30").cast("long").as("blk"))
+      val a = o.select(col("k").as("src"), col("blk").as("sblk"))
+      val b = o.select(col("k").as("dst"), col("blk").as("dblk"))
+      val step = a.join(b,
+          col("dst") === col("src") + 3 && col("sblk") === col("dblk"))
+        .select("src", "dst")
+      val hop = a.filter(col("src") % 5 === 0).join(b,
+          col("dst") === col("src") + 7 && col("sblk") === col("dblk"))
+        .select("src", "dst")
+      ops.Graph.longestPathLayers(step.unionAll(hop), "src", "dst",
+          iterations = 12)
+        .orderBy("node")
+    }),
+
+    // ---- inverse-degree link prediction (Resource Allocation index)
+    // over the supplier–part bipartite graph: selective shared
+    // neighbors score high, hubs over the degree cap drop with an
+    // audit — same bounded-pair-shuffle contract as g9 -------------------
+    "g11_link_predict" -> ((s, dir) => {
+      val edges = t(s, dir, "lineitem")
+        .filter(col("l_partkey") % 20 === 0)
+        .select(col("l_suppkey").cast("long").as("src"),
+          (col("l_partkey").cast("long") + 1000000L).as("dst"))
+      val (pairs, _) = ops.Graph.resourceAllocationScores(edges, "src", "dst",
+        minScore = 80000L, maxDeg = 25L)
+      pairs.orderBy("a", "b")
+    }),
+
+    // ---- max concurrent intervals per group: the +1/−1 boundary sweep
+    // reduced to per-day nets FIRST (≤ groups × dates rows — calendar-
+    // bounded, so the running-sum window runs over planner-scale data,
+    // never over the raw fact table) ------------------------------------
+    "q83_max_concurrent" -> ((s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val o = t(s, dir, "orders").select(col("o_orderpriority"),
+        col("o_orderdate").cast("date").as("d0"),
+        date_add(col("o_orderdate").cast("date"),
+          (col("o_orderkey") % 30 + 1).cast("int")).as("d1"))
+      // half-open [d0, d1): the close lands ON d1, so a same-day
+      // close+open nets to zero before the running sum ever sees it
+      val evs = o.select(col("o_orderpriority"), col("d0").as("d"),
+          lit(1L).as("delta"))
+        .unionAll(o.select(col("o_orderpriority"), col("d1").as("d"),
+          lit(-1L).as("delta")))
+      val daily = evs.groupBy("o_orderpriority", "d")
+        .agg(sum("delta").as("net"))
+      val w = Window.partitionBy("o_orderpriority").orderBy("d")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      daily.withColumn("open", sum("net").over(w))
+        .groupBy("o_orderpriority").agg(max("open").as("max_open"))
+        .orderBy("o_orderpriority")
+    }),
+
+    // ---- header-only media catalogue: format from magic bytes,
+    // dims/duration from container headers — NO pixel/sample decode
+    // (the 100 TB triage pass; spec pins truncated-payload behavior) ----
+    "m13_header_probe" -> ((s, dir) => {
+      val media = ops.Multimodal.syntheticMedia(
+        t(s, dir, "documents").select("doc_id"), "doc_id")(s)
+      ops.Multimodal.headerFeatures(media).toDF()
+        .orderBy("media_id")
+    }),
+
+    // ---- envelope segmentation: maximal runs of PCM blocks with
+    // mean ≥ 0 over the m11 block envelope — the silence-split islands
+    // pass; block sums are integers, so boundaries are engine-exact ----
+    "m14_audio_segments" -> ((s, dir) => {
+      val media = ops.Multimodal.syntheticMedia(
+        t(s, dir, "documents").select("doc_id"), "doc_id")(s)
+      ops.Multimodal.envelopeSegments(media, blockSize = 64, threshold = 0.0)
+        .orderBy("media_id", "start_block")
+    }),
+
+    // ---- BUILT-IN session windows (vs s4's custom state): the
+    // session_window grouped aggregation merges events closer than the
+    // gap engine-side; complete mode needs no watermark closure, so
+    // every session emits and the gaps-and-islands oracle holds -------
+    "s21_stream_session_window" -> ((s, dir) => {
+      val stream = eventStream(s, dir).filter(col("user_id") % 10 === 0)
+      val agg = stream
+        .groupBy(session_window(col("ts"), "30 minutes"), col("user_id"))
+        .agg(count(lit(1)).as("n_events"),
+          sum(col("value").cast("decimal(18,3)")).cast("double").as("total"))
+        .select(col("user_id"),
+          unix_millis(col("session_window.start")).as("start_ms"),
+          unix_millis(col("session_window.end")).as("end_ms"),
+          col("n_events"), col("total"))
+      streamToTable(s, agg, "s21", "complete").orderBy("user_id", "start_ms")
+    }),
+
+    // ---- streaming bounded top-k: foreachBatch merges each
+    // micro-batch into an O(groups·k) leaderboard via the bounded-heap
+    // TopK aggregate — top-k merge is associative/commutative, so the
+    // fold is batch-order independent and equals the global answer ----
+    "s22_stream_topk" -> ((s, dir) => {
+      s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+      val tmp = gateScratch("s22")
+      val purchases = s.read.parquet(s"$dir/events.parquet")
+        .filter(col("event_type") === "purchase")
+        .select(pmod(col("user_id"), lit(16)).as("grp"),
+          col("value"), col("event_id"))
+      purchases.withColumn("shard", pmod(col("event_id"), lit(4)))
+        .repartition(4, col("shard"))
+        .write.parquet(s"$tmp/in") // 4 files → 4 micro-batches
+      val stateSchema = org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("grp",
+          org.apache.spark.sql.types.LongType),
+        org.apache.spark.sql.types.StructField("value",
+          org.apache.spark.sql.types.DoubleType),
+        org.apache.spark.sql.types.StructField("event_id",
+          org.apache.spark.sql.types.LongType)))
+      var state = s.createDataFrame(
+        s.sparkContext.emptyRDD[org.apache.spark.sql.Row], stateSchema)
+      withNarrowState(s) {
+        val q = s.readStream
+          .schema(purchases.withColumn("shard",
+            pmod(col("event_id"), lit(4))).schema)
+          .option("maxFilesPerTrigger", "1")
+          .parquet(s"$tmp/in")
+          .writeStream
+          .foreachBatch { (batch: DataFrame, _: Long) =>
+            state = ops.TopK.perGroup(
+                state.unionAll(batch.select("grp", "value", "event_id")),
+                Seq("grp"), Seq(col("value"), col("event_id")), k = 3)
+              .select("grp", "value", "event_id")
+              .localCheckpoint(eager = true) // sever the micro-batch source
+            ()
+          }
+          .option("checkpointLocation", s"$tmp/chk")
+          .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+          .start()
+        q.awaitTermination()
+      }
+      ops.TopK.perGroup(state, Seq("grp"),
+          Seq(col("value"), col("event_id")), k = 3)
+        .orderBy("grp", "rank")
     })
   )
 
@@ -6525,6 +6670,134 @@ object SparkEntry {
         |  CAST(SUM(fs) OVER (PARTITION BY user_id ORDER BY ts, event_id
         |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
         |    AS n_distinct_types
-        |FROM f ORDER BY user_id, event_id""".stripMargin
+        |FROM f ORDER BY user_id, event_id""".stripMargin,
+
+    // longest path ending at each node, defined algorithm-independently
+    // by the recursive closure over the same ascending-edge DAG; UNION
+    // (not UNION ALL) dedups per-length states so the CTE terminates
+    "g10_toposort" ->
+      """WITH RECURSIVE
+        |base AS (SELECT CAST(o_orderkey AS BIGINT) AS k FROM orders),
+        |e AS (
+        |  SELECT x.k AS src, y.k AS dst FROM base x JOIN base y
+        |    ON y.k = x.k + 3 AND x.k // 30 = y.k // 30
+        |  UNION
+        |  SELECT x.k, y.k FROM base x JOIN base y
+        |    ON y.k = x.k + 7 AND x.k // 30 = y.k // 30
+        |  WHERE x.k % 5 = 0),
+        |n AS (SELECT src AS node FROM e UNION SELECT dst FROM e),
+        |p(node, len) AS (
+        |  SELECT node, 0 FROM n
+        |  UNION
+        |  SELECT e.dst, p.len + 1 FROM p JOIN e ON e.src = p.node)
+        |SELECT node, CAST(MAX(len) AS BIGINT) AS layer
+        |FROM p GROUP BY node ORDER BY node""".stripMargin,
+
+    // the degree cap and the fixed-point integer div are part of the
+    // operator contract, so the oracle replays both over the
+    // symmetrized bipartite graph
+    "g11_link_predict" ->
+      """WITH e0 AS (
+        |  SELECT DISTINCT CAST(l_suppkey AS BIGINT) AS src,
+        |         CAST(1000000 + l_partkey AS BIGINT) AS dst
+        |  FROM lineitem WHERE l_partkey % 20 = 0),
+        |e AS (SELECT src, dst FROM e0 UNION SELECT dst, src FROM e0),
+        |deg AS (SELECT src, COUNT(*) AS d FROM e GROUP BY src),
+        |k AS (SELECT e.src, e.dst, 1000000 // deg.d AS w
+        |      FROM e JOIN deg USING (src) WHERE deg.d <= 25)
+        |SELECT a.dst AS a, b.dst AS b, CAST(SUM(a.w) AS BIGINT) AS score
+        |FROM k a JOIN k b ON a.src = b.src AND a.dst < b.dst
+        |GROUP BY 1, 2 HAVING SUM(a.w) >= 80000
+        |ORDER BY a, b""".stripMargin,
+
+    // same half-open [d0, d1) sweep: per-day nets, running sum over
+    // unique (group, day) rows, max per group
+    "q83_max_concurrent" ->
+      """WITH iv AS (
+        |  SELECT o_orderpriority AS pr, CAST(o_orderdate AS DATE) AS d0,
+        |         CAST(o_orderdate AS DATE) + CAST(o_orderkey % 30 + 1 AS INT) AS d1
+        |  FROM orders),
+        |ev AS (
+        |  SELECT pr, d0 AS d, 1 AS delta FROM iv
+        |  UNION ALL SELECT pr, d1, -1 FROM iv),
+        |daily AS (SELECT pr, d, SUM(delta) AS net FROM ev GROUP BY 1, 2),
+        |run AS (
+        |  SELECT pr, SUM(net) OVER (PARTITION BY pr ORDER BY d
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS open
+        |  FROM daily)
+        |SELECT pr AS o_orderpriority, CAST(MAX(open) AS BIGINT) AS max_open
+        |FROM run GROUP BY pr ORDER BY o_orderpriority""".stripMargin,
+
+    // m1's closed-form dims/duration WITHOUT the pixel/sample means —
+    // exactly what the header walk can know without decoding
+    "m13_header_probe" ->
+      """SELECT doc_id AS media_id,
+        |  CASE doc_id % 3 WHEN 0 THEN 'png' WHEN 1 THEN 'jpeg'
+        |       ELSE 'wav' END AS format,
+        |  CAST(CASE WHEN doc_id % 3 = 2 THEN 0
+        |            ELSE doc_id % 64 + 1 END AS INT) AS width,
+        |  CAST(CASE WHEN doc_id % 3 = 2 THEN 0
+        |            ELSE doc_id % 48 + 1 END AS INT) AS height,
+        |  CAST(CASE WHEN doc_id % 3 = 2
+        |            THEN (doc_id % 800 + 8) * 1000 // 8000
+        |            ELSE 0 END AS BIGINT) AS duration_ms
+        |FROM documents ORDER BY media_id""".stripMargin,
+
+    // PCM formula → 64-sample integer block sums → sign threshold →
+    // the same gaps-and-islands identity over qualifying blocks
+    "m14_audio_segments" ->
+      """WITH ids AS (
+        |  SELECT doc_id AS id, doc_id % 800 + 8 AS n
+        |  FROM documents WHERE doc_id % 3 = 2),
+        |iz AS (SELECT i FROM range(0, 808) t(i)),
+        |blocks AS (
+        |  SELECT id, CAST(i // 64 AS INT) AS block_idx,
+        |         SUM(((id * 31 + i * 17) % 65536) - 32768) AS s
+        |  FROM ids, iz WHERE i < n
+        |  GROUP BY 1, 2),
+        |v AS (
+        |  SELECT id, block_idx,
+        |    block_idx - ROW_NUMBER() OVER (PARTITION BY id
+        |                                   ORDER BY block_idx) AS seg
+        |  FROM blocks WHERE s >= 0)
+        |SELECT id AS media_id, CAST(MIN(block_idx) AS INT) AS start_block,
+        |  CAST(MAX(block_idx) AS INT) AS end_block,
+        |  CAST(COUNT(*) AS BIGINT) AS n_blocks
+        |FROM v GROUP BY id, seg ORDER BY media_id, start_block""".stripMargin,
+
+    // gaps-and-islands replay of the built-in session_window: a new
+    // session starts when the gap to the previous event is >= 30 min
+    // (session windows are half-open [ts, ts+gap)); end = last + gap
+    "s21_stream_session_window" ->
+      """WITH e AS (
+        |  SELECT user_id, CAST(ts AS TIMESTAMP) AS ts, value
+        |  FROM events WHERE user_id % 10 = 0),
+        |m AS (
+        |  SELECT user_id, ts, value,
+        |    CASE WHEN LAG(ts) OVER (PARTITION BY user_id ORDER BY ts) IS NULL
+        |           OR ts - LAG(ts) OVER (PARTITION BY user_id ORDER BY ts)
+        |              >= INTERVAL 30 MINUTE
+        |         THEN 1 ELSE 0 END AS new_s
+        |  FROM e),
+        |g AS (
+        |  SELECT user_id, ts, value,
+        |    SUM(new_s) OVER (PARTITION BY user_id ORDER BY ts
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sid
+        |  FROM m)
+        |SELECT user_id, epoch_ms(MIN(ts)) AS start_ms,
+        |  epoch_ms(MAX(ts) + INTERVAL 30 MINUTE) AS end_ms,
+        |  COUNT(*) AS n_events,
+        |  CAST(SUM(CAST(value AS DECIMAL(18,3))) AS DOUBLE) AS total
+        |FROM g GROUP BY user_id, sid ORDER BY user_id, start_ms""".stripMargin,
+
+    // the streamed bounded-heap fold equals the global per-group top-3
+    "s22_stream_topk" ->
+      """SELECT grp, rank, value, event_id FROM (
+        |  SELECT user_id % 16 AS grp,
+        |    CAST(ROW_NUMBER() OVER (PARTITION BY user_id % 16
+        |      ORDER BY value DESC, event_id DESC) AS BIGINT) AS rank,
+        |    value, event_id
+        |  FROM events WHERE event_type = 'purchase')
+        |WHERE rank <= 3 ORDER BY grp, rank""".stripMargin
   )
 }

@@ -644,4 +644,132 @@ object Graph {
       .filter(col("shared") >= minShared)
     (pairs, dropped)
   }
+
+  /** Longest-path layering of a DAG (the parallel-batch schedule /
+    * critical-path depth): layer(v) = length in edges of the longest
+    * path ending at v, i.e. the earliest round in which v can run when
+    * every round executes all currently-unblocked work — the
+    * topological level a dependency-ordered backfill or DAG scheduler
+    * partitions its work by.
+    *
+    * Round-bounded max-relaxation (the Bellman–Ford recurrence with
+    * (max, +1) instead of (min, +w)):
+    *
+    *   layer₀(v)   = 0
+    *   layerᵢ₊₁(v) = max(0, max_{u→v} layerᵢ(u) + 1)
+    *
+    * On a DAG the sequence is monotone non-decreasing and reaches the
+    * exact longest-path layering once `iterations` ≥ the longest path
+    * length; the optional fingerprint probe (count, Σ layer — both
+    * monotone) detects that fixed point and stops early, exactly like
+    * [[shortestPaths]]' probe. On a CYCLIC input the recurrence never
+    * converges (layers on the cycle grow every round) — round-bounded
+    * semantics make that observable rather than divergent, and a
+    * caller can detect cyclicity by probing twice at the end.
+    *
+    * Scale posture: the deduped edge list is materialized once and
+    * reused every round; each round is one equi-join edges⋈layers on
+    * src plus one max-reduce on dst plus the node-spine left join that
+    * keeps source nodes at layer ≥ 0 — pure shuffle-parallel
+    * relational algebra, driver state is the loop counter. Layer
+    * tables have one consumer each → linear lineage, no checkpoint
+    * barrier needed at practical depths.
+    *
+    * @return (node, layer) for every node appearing in the edge list
+    */
+  def longestPathLayers(
+      edges: DataFrame,
+      srcCol: String,
+      dstCol: String,
+      iterations: Int,
+      probeEvery: Int = 0): DataFrame = {
+    require(iterations >= 0, s"iterations must be >= 0, got $iterations")
+    val e = edges.select(col(srcCol).cast("long").as("src"),
+        col(dstCol).cast("long").as("dst"))
+      .distinct()
+      .localCheckpoint(eager = false)
+    val nodes = e.select(col("src").as("node"))
+      .union(e.select(col("dst").as("node")))
+      .distinct()
+      .localCheckpoint(eager = false)
+
+    var layers = nodes.select(col("node"), lit(0L).as("layer"))
+    var lastProbe: Option[(Long, java.math.BigDecimal)] = None
+    var converged = false
+    var i = 1
+    while (i <= iterations && !converged) {
+      val incoming = e
+        .join(layers.select(col("node").as("src"), col("layer")), Seq("src"))
+        .groupBy(col("dst").as("node"))
+        .agg(max(col("layer") + 1L).as("in_layer"))
+      layers = nodes.join(incoming, Seq("node"), "left")
+        .select(col("node"), coalesce(col("in_layer"), lit(0L)).as("layer"))
+      if (probeEvery > 0 && i % probeEvery == 0 && i < iterations) {
+        // layers only grow on a DAG, so an unchanged (count, exact sum)
+        // fingerprint certifies the fixed point
+        layers = layers.localCheckpoint(eager = true)
+        val row = layers.agg(count(lit(1)), sum(col("layer").cast("decimal(38,0)")))
+          .head()
+        val probe = (row.getLong(0), row.getDecimal(1).stripTrailingZeros)
+        if (lastProbe.contains(probe)) converged = true
+        lastProbe = Some(probe)
+      }
+      i += 1
+    }
+    layers
+  }
+
+  /** Common-neighbor link prediction by the Resource Allocation index
+    * (Zhou, Lü & Zhang, Eur. Phys. J. B 71, 2009, public — the
+    * integer-friendly sibling of Adamic–Adar) in FIXED-POINT
+    * arithmetic: for every node pair (a, b) sharing ≥ 1 neighbor,
+    *
+    *   score(a, b) = Σ_{z ∈ N(a) ∩ N(b)}  scale div deg(z)
+    *
+    * — shared neighbors count more when they are selective. Rare shared
+    * neighbors signal a real link; a hub everyone touches signals
+    * nothing, and its C(d, 2) pair explosion costs the most — so, as in
+    * [[cooccurrenceProject]], witnesses with degree > `maxDeg` are
+    * dropped BEFORE pairing (bounding the pair shuffle at maxDeg·|E|)
+    * and returned in an audit DataFrame; an empty audit certifies the
+    * scores are exact. Integer div makes the sum associative → output
+    * is bit-identical under any partitioning and replayable in ANSI
+    * SQL (gate g11's oracle replays the cap and the div).
+    *
+    * The graph is symmetrized first (neighbors = union of in and out),
+    * self-loops dropped; pairs are canonical (a < b); `minScore`
+    * prunes noise pairs inside the aggregate before they ship.
+    *
+    * @return (pairs (a, b, score), audit (node, deg) of dropped hubs)
+    */
+  def resourceAllocationScores(
+      edges: DataFrame,
+      srcCol: String,
+      dstCol: String,
+      minScore: Long = 1L,
+      maxDeg: Long = 1000L,
+      scale: Long = 1000000L): (DataFrame, DataFrame) = {
+    require(maxDeg >= 1 && scale > 0,
+      s"need maxDeg >= 1 and scale > 0, got $maxDeg, $scale")
+    val raw = edges.select(col(srcCol).cast("long").as("src"),
+      col(dstCol).cast("long").as("dst"))
+    // symmetrize + dedup once; (witness z = src, neighbor = dst)
+    val e = raw.unionAll(raw.select(col("dst").as("src"), col("src").as("dst")))
+      .filter(col("src") =!= col("dst"))
+      .distinct()
+      .localCheckpoint(eager = false)
+    val deg = e.groupBy("src").agg(count(lit(1)).as("deg"))
+    val dropped = deg.filter(col("deg") > maxDeg)
+      .select(col("src").as("node"), col("deg"))
+    // each kept witness carries its inverse-degree weight into pairing
+    val kept = e.join(deg.filter(col("deg") <= maxDeg), Seq("src"))
+      .select(col("src"), col("dst"), expr(s"${scale}L div deg").as("w"))
+      .localCheckpoint(eager = false)
+    val pairs = kept.select(col("src"), col("dst").as("a"), col("w"))
+      .join(kept.select(col("src"), col("dst").as("b")), Seq("src"))
+      .filter(col("a") < col("b"))
+      .groupBy("a", "b").agg(sum(col("w")).as("score"))
+      .filter(col("score") >= minScore)
+    (pairs, dropped)
+  }
 }

@@ -49,6 +49,12 @@ object Multimodal {
   case class PatchFeatures(media_id: Long, py: Int, px: Int, n_px: Int,
       mean_val: Double)
 
+  /** Container metadata sniffed from a payload's leading bytes alone —
+    * format from magic numbers, dimensions/duration from the header
+    * structures — WITHOUT decoding any pixel or sample data. */
+  case class MediaHeader(media_id: Long, format: String, width: Int,
+      height: Int, duration_ms: Long)
+
   /** Deterministic payload generators (the stand-in for files read from
     * a binary source). Pixels and samples follow closed-form formulas of
     * (id, x, y) so lossless decodes have an exact SQL oracle. */
@@ -250,6 +256,90 @@ object Multimodal {
         i = end
       }
       out.toSeq
+    }
+
+    /** Header-only metadata probe: format sniffed from MAGIC BYTES (not
+      * trusted metadata), dimensions/duration read from container
+      * headers — pixel/sample data is NEVER touched. This is the
+      * 100 TB triage pass: cataloguing a crawl's media by
+      * format/size/duration reads tens of bytes per object instead of
+      * decoding it, so the probe is I/O-bound on headers alone (pair
+      * with a ranged read on a real object store). Deliberately
+      * LENIENT where the full decoders are strict: a payload truncated
+      * after its header still probes correctly (the spec pins that),
+      * because triage must classify objects it would refuse to decode.
+      *
+      *   - PNG: 8-byte signature, then IHDR width/height at 16/20 (BE)
+      *     — 24 bytes total.
+      *   - JPEG: FFD8 then a marker-segment walk SKIPPING each
+      *     segment body via its declared length until SOFn (frame
+      *     height/width), stopping at SOS — touches header segments
+      *     only, never entropy-coded data.
+      *   - WAV: RIFF chunk walk reading `fmt ` (rate, channels) and
+      *     the `data` chunk's DECLARED length (the body itself may be
+      *     absent) → duration.
+      */
+    def headerProbe(r: MediaRecord): MediaHeader = {
+      val c = r.content
+      def be32(o: Int): Int = ((c(o) & 0xff) << 24) | ((c(o + 1) & 0xff) << 16) |
+        ((c(o + 2) & 0xff) << 8) | (c(o + 3) & 0xff)
+      def be16(o: Int): Int = ((c(o) & 0xff) << 8) | (c(o + 1) & 0xff)
+      if (c.length >= 24 && (c(0) & 0xff) == 0x89 && c(1) == 'P' &&
+          c(2) == 'N' && c(3) == 'G' &&
+          new String(c, 12, 4, "US-ASCII") == "IHDR")
+        MediaHeader(r.media_id, "png", be32(16), be32(20), 0L)
+      else if (c.length >= 4 && (c(0) & 0xff) == 0xff && (c(1) & 0xff) == 0xd8) {
+        var pos = 2
+        var w = 0
+        var h = 0
+        var done = false
+        while (!done && pos + 4 <= c.length) {
+          if ((c(pos) & 0xff) != 0xff) pos += 1 // tolerate fill bytes
+          else {
+            val m = c(pos + 1) & 0xff
+            if (m == 0xff) pos += 1 // FF padding before a marker
+            else if (m == 0x01 || (m >= 0xd0 && m <= 0xd9)) pos += 2 // standalone
+            else if (m == 0xda) done = true // SOS: entropy data follows, stop
+            else {
+              val len = be16(pos + 2)
+              // SOFn carries the frame dims (C4/C8/CC are DHT/JPG/DAC)
+              if (m >= 0xc0 && m <= 0xcf && m != 0xc4 && m != 0xc8 &&
+                  m != 0xcc && pos + 9 <= c.length) {
+                h = be16(pos + 5)
+                w = be16(pos + 7)
+                done = true
+              } else {
+                require(len >= 2, s"corrupt JPEG segment at $pos: length $len")
+                pos += 2 + len
+              }
+            }
+          }
+        }
+        MediaHeader(r.media_id, "jpeg", w, h, 0L)
+      } else if (c.length >= 12 && new String(c, 0, 4, "US-ASCII") == "RIFF" &&
+          new String(c, 8, 4, "US-ASCII") == "WAVE") {
+        val bb = java.nio.ByteBuffer.wrap(c)
+          .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+        var pos = 12
+        var rate = 0
+        var channels = 1
+        var dataLen = -1
+        while ((dataLen < 0 || rate == 0) && pos + 8 <= c.length) {
+          val cid = new String(c, pos, 4, "US-ASCII")
+          val clen = bb.getInt(pos + 4)
+          require(clen >= 0, s"corrupt RIFF chunk '$cid' at $pos: length $clen")
+          if (cid == "fmt " && pos + 16 <= c.length) {
+            channels = bb.getShort(pos + 10).toInt
+            rate = bb.getInt(pos + 12)
+          } else if (cid == "data") dataLen = clen
+          pos += 8 + clen + (clen & 1) // chunks are word-aligned
+        }
+        val frames =
+          if (dataLen < 0 || channels <= 0) 0L
+          else dataLen.toLong / 2 / channels
+        MediaHeader(r.media_id, "wav", 0, 0,
+          if (rate > 0) frames * 1000 / rate else 0L)
+      } else MediaHeader(r.media_id, "unknown", 0, 0, 0L)
     }
 
     /** Generic RIFF chunk walk → (sampleRate, channels, dataOff, dataLen). */
@@ -578,6 +668,43 @@ object Multimodal {
       it.grouped(MediaCodec.batchSize)
         .flatMap(_.flatMap(r => MediaCodec.blockMeans(r, blockSize)))
     }
+  }
+
+  /** [[MediaCodec.headerProbe]] over a media table: the catalogue pass.
+    * No format filter — the probe CLASSIFIES (format comes from magic
+    * bytes), so every record rides through; per-record cost is tens of
+    * header bytes, never a decode. */
+  def headerFeatures(media: Dataset[MediaRecord]): Dataset[MediaHeader] = {
+    import media.sparkSession.implicits._
+    media.mapPartitions { it =>
+      it.grouped(MediaCodec.batchSize)
+        .flatMap(_.map(MediaCodec.headerProbe))
+    }
+  }
+
+  /** Envelope segmentation: maximal runs of consecutive PCM blocks
+    * whose block mean clears `threshold` — the islands pass a
+    * voice-activity / silence-split pipeline runs over the
+    * [[audioBlockFeatures]] envelope before cutting audio into
+    * training segments. Block means are integer-exact (sum/count), so
+    * with an integer-representable threshold the run boundaries are
+    * engine-exact. The run id is block_idx − row_number over the
+    * per-media qualifying blocks (the gaps-and-islands identity); the
+    * window sorts ONLY (id, block) envelope rows — audio bytes stay
+    * in the scan, and blocks-per-record is bounded by record length,
+    * so the per-media partition can never skew beyond it. */
+  def envelopeSegments(media: Dataset[MediaRecord], blockSize: Int,
+      threshold: Double): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy("media_id").orderBy("block_idx")
+    audioBlockFeatures(media, blockSize).toDF()
+      .filter(col("mean_val") >= threshold)
+      .withColumn("seg", col("block_idx") - row_number().over(w))
+      .groupBy(col("media_id"), col("seg"))
+      .agg(min("block_idx").as("start_block"),
+        max("block_idx").as("end_block"),
+        count(lit(1)).as("n_blocks"))
+      .select("media_id", "start_block", "end_block", "n_blocks")
   }
 
   /** Synthesize a deterministic SCENE-structured video table:

@@ -1742,6 +1742,74 @@ class MultimodalSpec extends AnyFunSuite with SparkTestBase {
     assert(m(5L).width == 0 && m(5L).durationMs == (5 % 800 + 8) * 1000 / 8000) // wav
   }
 
+  test("header probe: dims/duration match the full decode, without decoding") {
+    val media = syntheticMedia(spark.range(0, 30).toDF("id"), "id")(spark)
+    val probed = headerFeatures(media).collect().map(h => h.media_id -> h).toMap
+    val decoded = extractFeatures(media).collect().map(f => f.media_id -> f).toMap
+    assert(probed.size == 30)
+    probed.foreach { case (id, h) =>
+      val f = decoded(id)
+      assert(h.format == f.format, s"id $id")
+      assert(h.width == f.width && h.height == f.height, s"id $id")
+      assert(h.duration_ms == f.duration_ms, s"id $id")
+    }
+  }
+
+  test("header probe sniffs format from magic bytes, ignoring claimed metadata") {
+    val png = MediaGen.image("png", 5, 7, 3L)
+    val lying = MediaRecord(9L, png, MediaMeta("wav", 0, 0, 0L))
+    val h = MediaCodec.headerProbe(lying)
+    assert(h.format == "png" && h.width == 5 && h.height == 7)
+    val junk = MediaCodec.headerProbe(
+      MediaRecord(10L, Array[Byte](1, 2, 3, 4, 5), MediaMeta("png", 9, 9, 0L)))
+    assert(junk.format == "unknown" && junk.width == 0)
+  }
+
+  test("header probe succeeds on payloads truncated to their headers") {
+    // png: 24 bytes (signature + IHDR dims) suffice
+    val png = MediaGen.image("png", 13, 6, 4L)
+    val hp = MediaCodec.headerProbe(
+      MediaRecord(1L, png.take(32), MediaMeta("png", 13, 6, 0L)))
+    assert(hp.format == "png" && hp.width == 13 && hp.height == 6)
+    // wav: the 44-byte RIFF/fmt/data header carries the declared data
+    // length, so duration probes correctly with ZERO sample bytes present
+    val n = 500
+    val wav = MediaGen.wav(2L, n)
+    val hw = MediaCodec.headerProbe(
+      MediaRecord(2L, wav.take(44), MediaMeta("wav", 0, 0, 0L)))
+    assert(hw.format == "wav" && hw.duration_ms == n.toLong * 1000 / 8000)
+    // the strict decoder refuses the same truncated payload — the
+    // lenient/strict split is the probe's contract, not an accident
+    intercept[IllegalArgumentException] {
+      MediaCodec.blockMeans(
+        MediaRecord(2L, wav.take(44), MediaMeta("wav", 0, 0, 0L)), 64)
+    }
+  }
+
+  test("envelope segmentation: islands of mean>=0 blocks, formula-checked") {
+    val media = syntheticMedia(
+      spark.range(0, 60).toDF("id").filter("id % 3 = 2"), "id")(spark)
+    val got = envelopeSegments(media, blockSize = 64, threshold = 0.0)
+      .collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getInt(2), r.getLong(3)))
+      .groupBy(_._1)
+    // recompute expected segments from the PCM formula for every id
+    for (wid <- 2L until 60L by 3L) {
+      val nn = (wid % 800 + 8).toInt
+      val sums = (0 until nn).grouped(64).map(_.map(i =>
+        ((wid * 31 + i * 17) % 65536) - 32768).sum).toSeq
+      val voiced = sums.zipWithIndex.filter(_._1 >= 0).map(_._2)
+      // group consecutive indices
+      val segs = voiced.foldLeft(List.empty[(Int, Int, Long)]) {
+        case ((s, e, c) :: rest, b) if b == e + 1 => (s, b, c + 1) :: rest
+        case (acc, b) => (b, b, 1L) :: acc
+      }.reverse
+      val gotSegs = got.getOrElse(wid, Array.empty).sortBy(_._2)
+        .map(t => (t._2, t._3, t._4)).toList
+      assert(gotSegs == segs, s"media $wid")
+    }
+  }
+
   test("y4m frame sampling decodes strided frames with formula-exact means") {
     val vids = Multimodal.syntheticVideo(spark.range(0, 20).toDF("id"), "id")(spark)
     val frames = Multimodal.frameSampleFeatures(vids, stride = 3).collect()

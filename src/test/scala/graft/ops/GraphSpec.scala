@@ -372,4 +372,81 @@ class GraphSpec extends AnyFunSuite with SparkTestBase {
     assert(g2 === Map((10L, 11L) -> 3L, (10L, 12L) -> 2L, (11L, 12L) -> 2L))
     assert(a2.count() === 0L)
   }
+
+  private def layers(edges: Seq[(Long, Long)], iters: Int,
+      probeEvery: Int = 0): Map[Long, Long] =
+    Graph.longestPathLayers(edges.toDF("src", "dst"), "src", "dst",
+        iters, probeEvery)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+
+  test("longest-path layers: diamond DAG takes the LONG arm") {
+    // 1→2→3→4 and the shortcut 1→4: layer(4) must be 3, not 1
+    val dag = Seq((1L, 2L), (2L, 3L), (3L, 4L), (1L, 4L))
+    assert(layers(dag, 5) ===
+      Map(1L -> 0L, 2L -> 1L, 3L -> 2L, 4L -> 3L))
+    // under-iterated runs are the round-bounded prefix, never garbage
+    assert(layers(dag, 1) === Map(1L -> 0L, 2L -> 1L, 3L -> 1L, 4L -> 1L))
+  }
+
+  test("longest-path layers: forest roots stay 0; probe stops at the fixed point") {
+    // two chains 1→2→3, 10→11 plus isolated-ish source structure
+    val dag = Seq((1L, 2L), (2L, 3L), (10L, 11L))
+    val exact = Map(1L -> 0L, 2L -> 1L, 3L -> 2L, 10L -> 0L, 11L -> 1L)
+    assert(layers(dag, 3) === exact)
+    // 50 rounds with probing converges early to the same answer
+    assert(layers(dag, 50, probeEvery = 2) === exact)
+  }
+
+  test("longest-path layers: bit-identical under repartitioning") {
+    val dag = (0L until 300L).map(i => (i % 60, 60 + (i * 7) % 60))
+      .filter(e => e._1 != e._2) ++ (0L until 50L).map(i => (60 + i, 120 + i))
+    val a = layers(dag, 4)
+    val b = Graph.longestPathLayers(
+        dag.toDF("src", "dst").repartition(8, col("dst")), "src", "dst", 4)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(a === b)
+  }
+
+  test("resource-allocation scores: inverse-degree weighting, cap audited") {
+    // witnesses: 1 → {10,11}  (deg 2 after symmetrization: 10, 11)
+    //            2 → {10,11,12} (deg 3), hub 3 → {10..13} (deg 4 > cap)
+    val edges = Seq((1L, 10L), (1L, 11L),
+      (2L, 10L), (2L, 11L), (2L, 12L),
+      (3L, 10L), (3L, 11L), (3L, 12L), (3L, 13L))
+    val (pairs, audit) = Graph.resourceAllocationScores(
+      edges.toDF("src", "dst"), "src", "dst",
+      minScore = 1L, maxDeg = 3L, scale = 1000000L)
+    val got = pairs.collect()
+      .map(r => ((r.getLong(0), r.getLong(1)), r.getLong(2))).toMap
+    // witness 1 (deg 2) contributes 500000 to (10,11); witness 2
+    // (deg 3) contributes 333333 to its three pairs; hub 3 is dropped.
+    // Items are ALSO witnesses after symmetrization: 10 has neighbors
+    // {1,2,3} (deg 3) → contributes 333333 to (1,2),(1,3),(2,3); same
+    // for 11; 12 has {2,3} → 500000 to (2,3); 13 has {3} (deg 1, no pair)
+    assert(got((10L, 11L)) === 500000L + 333333L)
+    assert(got((10L, 12L)) === 333333L)
+    assert(got((11L, 12L)) === 333333L)
+    assert(got((1L, 2L)) === 333333L * 2)   // via witnesses 10 and 11
+    assert(got((2L, 3L)) === 333333L * 2 + 500000L) // via 10, 11, 12
+    assert(audit.collect().map(r => (r.getLong(0), r.getLong(1))).toSeq ===
+      Seq((3L, 4L)))
+  }
+
+  test("resource-allocation scores: minScore prunes, dedup + symmetry hold") {
+    val edges = Seq((1L, 10L), (1L, 11L), (2L, 10L), (2L, 11L),
+      (1L, 10L)) // duplicate must collapse
+    val rev = edges.map(_.swap)    // reversed edges: same undirected graph
+    val (p1, a1) = Graph.resourceAllocationScores(
+      edges.toDF("src", "dst"), "src", "dst", minScore = 1L, maxDeg = 10L)
+    val (p2, _) = Graph.resourceAllocationScores(
+      rev.toDF("src", "dst"), "src", "dst", minScore = 1L, maxDeg = 10L)
+    val m1 = p1.collect().map(r => ((r.getLong(0), r.getLong(1)), r.getLong(2))).toMap
+    val m2 = p2.collect().map(r => ((r.getLong(0), r.getLong(1)), r.getLong(2))).toMap
+    assert(m1 === m2)
+    assert(a1.count() === 0L)
+    // raising minScore above every score empties the output
+    val (p3, _) = Graph.resourceAllocationScores(
+      edges.toDF("src", "dst"), "src", "dst", minScore = 10000000L, maxDeg = 10L)
+    assert(p3.count() === 0L)
+  }
 }
