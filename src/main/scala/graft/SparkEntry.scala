@@ -3459,13 +3459,17 @@ object SparkEntry {
         .orderBy("media_id")
     }),
 
-    // ---- envelope segmentation: maximal runs of PCM blocks with
-    // mean ≥ 0 over the m11 block envelope — the silence-split islands
-    // pass; block sums are integers, so boundaries are engine-exact ----
+    // ---- envelope segmentation: maximal runs of PCM blocks whose
+    // mean clears the threshold, over the m11 block envelope — the
+    // silence-split islands pass. −20000 sits at the fixture
+    // envelope's median, so ~half the blocks qualify and real
+    // multi-block islands form; the mean is ONE IEEE division of an
+    // integer sum, identical cross-engine --------------------------------
     "m14_audio_segments" -> ((s, dir) => {
       val media = ops.Multimodal.syntheticMedia(
         t(s, dir, "documents").select("doc_id"), "doc_id")(s)
-      ops.Multimodal.envelopeSegments(media, blockSize = 64, threshold = 0.0)
+      ops.Multimodal.envelopeSegments(media, blockSize = 64,
+          threshold = -20000.0)
         .orderBy("media_id", "start_block")
     }),
 
@@ -6743,15 +6747,16 @@ object SparkEntry {
         |            ELSE 0 END AS BIGINT) AS duration_ms
         |FROM documents ORDER BY media_id""".stripMargin,
 
-    // PCM formula → 64-sample integer block sums → sign threshold →
-    // the same gaps-and-islands identity over qualifying blocks
+    // PCM formula → 64-sample integer block sums → the SAME single
+    // IEEE division Spark's block mean performs → threshold → the
+    // gaps-and-islands identity over qualifying blocks
     "m14_audio_segments" ->
       """WITH ids AS (
         |  SELECT doc_id AS id, doc_id % 800 + 8 AS n
         |  FROM documents WHERE doc_id % 3 = 2),
         |iz AS (SELECT i FROM range(0, 808) t(i)),
         |blocks AS (
-        |  SELECT id, CAST(i // 64 AS INT) AS block_idx,
+        |  SELECT id, CAST(i // 64 AS INT) AS block_idx, COUNT(*) AS c,
         |         SUM(((id * 31 + i * 17) % 65536) - 32768) AS s
         |  FROM ids, iz WHERE i < n
         |  GROUP BY 1, 2),
@@ -6759,7 +6764,7 @@ object SparkEntry {
         |  SELECT id, block_idx,
         |    block_idx - ROW_NUMBER() OVER (PARTITION BY id
         |                                   ORDER BY block_idx) AS seg
-        |  FROM blocks WHERE s >= 0)
+        |  FROM blocks WHERE CAST(s AS DOUBLE) / c >= -20000.0)
         |SELECT id AS media_id, CAST(MIN(block_idx) AS INT) AS start_block,
         |  CAST(MAX(block_idx) AS INT) AS end_block,
         |  CAST(COUNT(*) AS BIGINT) AS n_blocks

@@ -1786,20 +1786,24 @@ class MultimodalSpec extends AnyFunSuite with SparkTestBase {
     }
   }
 
-  test("envelope segmentation: islands of mean>=0 blocks, formula-checked") {
+  test("envelope segmentation: islands of qualifying blocks, formula-checked") {
+    val thr = -20000.0 // the m14 gate's threshold: inside the envelope range
     val media = syntheticMedia(
-      spark.range(0, 60).toDF("id").filter("id % 3 = 2"), "id")(spark)
-    val got = envelopeSegments(media, blockSize = 64, threshold = 0.0)
+      spark.range(400, 500).toDF("id").filter("id % 3 = 2"), "id")(spark)
+    val got = envelopeSegments(media, blockSize = 64, threshold = thr)
       .collect()
       .map(r => (r.getLong(0), r.getInt(1), r.getInt(2), r.getLong(3)))
       .groupBy(_._1)
     // recompute expected segments from the PCM formula for every id
-    for (wid <- 2L until 60L by 3L) {
+    var total = 0
+    var multi = 0
+    for (wid <- (400L until 500L).filter(_ % 3 == 2)) {
       val nn = (wid % 800 + 8).toInt
-      val sums = (0 until nn).grouped(64).map(_.map(i =>
-        ((wid * 31 + i * 17) % 65536) - 32768).sum).toSeq
-      val voiced = sums.zipWithIndex.filter(_._1 >= 0).map(_._2)
-      // group consecutive indices
+      val means = (0 until nn).grouped(64).map { blk =>
+        blk.map(i => ((wid * 31 + i * 17) % 65536) - 32768).sum.toDouble /
+          blk.size
+      }.toSeq
+      val voiced = means.zipWithIndex.filter(_._1 >= thr).map(_._2)
       val segs = voiced.foldLeft(List.empty[(Int, Int, Long)]) {
         case ((s, e, c) :: rest, b) if b == e + 1 => (s, b, c + 1) :: rest
         case (acc, b) => (b, b, 1L) :: acc
@@ -1807,7 +1811,44 @@ class MultimodalSpec extends AnyFunSuite with SparkTestBase {
       val gotSegs = got.getOrElse(wid, Array.empty).sortBy(_._2)
         .map(t => (t._2, t._3, t._4)).toList
       assert(gotSegs == segs, s"media $wid")
+      total += segs.size
+      multi += segs.count(_._3 > 1)
     }
+    // the fixture must actually exercise islands: nonempty, and some
+    // runs longer than one block (a degenerate all-or-nothing
+    // threshold would vacuously pass the equality above)
+    assert(total > 0 && multi > 0)
+  }
+
+  test("envelope segmentation: PCM wraparound splits a media into multiple islands") {
+    // ids ≥ ~1991 wrap the 16-bit sawtooth mid-stream, so at −30000 the
+    // envelope dips below threshold for the wrap blocks and ONE media
+    // yields ≥ 2 disjoint segments — the gaps side of gaps-and-islands
+    val thr = -30000.0
+    val media = syntheticMedia(
+      spark.range(1991, 2090).toDF("id").filter("id % 3 = 2"), "id")(spark)
+    val got = envelopeSegments(media, blockSize = 64, threshold = thr)
+      .collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getInt(2), r.getLong(3)))
+      .groupBy(_._1)
+    var split = 0
+    for (wid <- (1991L until 2090L).filter(_ % 3 == 2)) {
+      val nn = (wid % 800 + 8).toInt
+      val means = (0 until nn).grouped(64).map { blk =>
+        blk.map(i => ((wid * 31 + i * 17) % 65536) - 32768).sum.toDouble /
+          blk.size
+      }.toSeq
+      val voiced = means.zipWithIndex.filter(_._1 >= thr).map(_._2)
+      val segs = voiced.foldLeft(List.empty[(Int, Int, Long)]) {
+        case ((s, e, c) :: rest, b) if b == e + 1 => (s, b, c + 1) :: rest
+        case (acc, b) => (b, b, 1L) :: acc
+      }.reverse
+      val gotSegs = got.getOrElse(wid, Array.empty).sortBy(_._2)
+        .map(t => (t._2, t._3, t._4)).toList
+      assert(gotSegs == segs, s"media $wid")
+      if (segs.size >= 2) split += 1
+    }
+    assert(split > 0) // at least one media genuinely splits
   }
 
   test("y4m frame sampling decodes strided frames with formula-exact means") {
