@@ -3536,6 +3536,18 @@ object SparkEntry {
       ops.TopK.perGroup(state, Seq("grp"),
           Seq(col("value"), col("event_id")), k = 3)
         .orderBy("grp", "rank")
+    }),
+
+    // ---- IVF list rebalance: inverted lists over the 64-member cap
+    // split on a deterministic farthest-point seed pair (A = min-id
+    // member, B = least-similar to A); members move to B only when
+    // STRICTLY closer, untouched lists are not rewritten — the
+    // index-health maintenance pass a drifting vector store runs ------
+    "e23_ivf_rebalance" -> ((s, dir) => {
+      val idx = ops.Similarity.ivfIndexSeeded(
+        t(s, dir, "embeddings"), "vec_id", "embedding", nlist = 8)
+      val (idx2, _) = idx.rebalance(maxList = 64L)
+      idx2.assigned.select(col("id"), col("cell")).orderBy("id")
     })
   )
 
@@ -6803,6 +6815,55 @@ object SparkEntry {
         |      ORDER BY value DESC, event_id DESC) AS BIGINT) AS rank,
         |    value, event_id
         |  FROM events WHERE event_type = 'purchase')
-        |WHERE rank <= 3 ORDER BY grp, rank""".stripMargin
+        |WHERE rank <= 3 ORDER BY grp, rank""".stripMargin,
+
+    // full replay of the rebalance round: e3's seeded assignment →
+    // oversized lists (> 64) → seed A (min-id member) → seed B
+    // (min-cosine-to-A, min-id tiebreak) → strictly-closer reassignment;
+    // new cell ids are 8 + rank of the split cell
+    "e23_ivf_rebalance" -> {
+      val cosVC = OracleSql.cosine("v", "cv")
+      val cosVA = OracleSql.cosine("a.v", "s.av")
+      val cosVB = OracleSql.cosine("ca.v", "b.bv")
+      s"""WITH c AS (SELECT vec_id AS cid, CAST(embedding AS DOUBLE[]) AS cv
+         |           FROM embeddings WHERE vec_id < 8),
+         |v AS (SELECT vec_id AS id, CAST(embedding AS DOUBLE[]) AS v
+         |      FROM embeddings),
+         |assigned AS (
+         |  SELECT id, v, cid AS cell FROM (
+         |    SELECT id, v, cid,
+         |      ROW_NUMBER() OVER (PARTITION BY id ORDER BY cs DESC, cid) AS rn
+         |    FROM (SELECT id, v, cid, $cosVC AS cs
+         |          FROM v CROSS JOIN c)) WHERE rn = 1),
+         |osz AS (
+         |  SELECT cell, 8 + ROW_NUMBER() OVER (ORDER BY cell) - 1 AS newcell
+         |  FROM (SELECT cell, COUNT(*) AS n FROM assigned GROUP BY cell)
+         |  WHERE n > 64),
+         |seeda AS (
+         |  SELECT a.cell, a.v AS av FROM assigned a
+         |  JOIN (SELECT cell, MIN(id) AS id FROM assigned
+         |        WHERE cell IN (SELECT cell FROM osz) GROUP BY cell) m
+         |    ON a.cell = m.cell AND a.id = m.id),
+         |cosa AS (
+         |  SELECT a.id, a.cell, a.v, $cosVA AS cosA
+         |  FROM assigned a JOIN seeda s USING (cell)),
+         |seedb AS (
+         |  SELECT a.cell, a.v AS bv FROM assigned a
+         |  JOIN (SELECT cell, id FROM (
+         |          SELECT cell, id,
+         |            ROW_NUMBER() OVER (PARTITION BY cell
+         |                               ORDER BY cosA, id) AS rn
+         |          FROM cosa) WHERE rn = 1) p
+         |    ON a.cell = p.cell AND a.id = p.id),
+         |dec AS (
+         |  SELECT ca.id,
+         |    CASE WHEN $cosVB > ca.cosA THEN o.newcell ELSE ca.cell END AS cell
+         |  FROM cosa ca JOIN seedb b USING (cell) JOIN osz o USING (cell))
+         |SELECT id, CAST(cell AS INT) AS cell FROM (
+         |  SELECT id, cell FROM assigned
+         |  WHERE cell NOT IN (SELECT cell FROM osz)
+         |  UNION ALL SELECT id, cell FROM dec)
+         |ORDER BY id""".stripMargin
+    }
   )
 }

@@ -455,6 +455,99 @@ object Similarity {
         .select(col("qid").as("id"), col("rank"), (-col("gneg")).as("nid"),
           col("cos"))
     }
+
+    /** Index-health maintenance: split every inverted list larger than
+      * `maxList` into two. An IVF list that grows far beyond its peers
+      * (data drift onto a frozen centroid panel — the failure mode
+      * [[addVectors]] documents) makes every probe that touches it scan
+      * disproportionately many candidates; production vector stores
+      * periodically SPLIT hot lists instead of re-training the whole
+      * quantizer. One rebalance round:
+      *
+      *   1. oversized cells = lists with > maxList members;
+      *   2. per oversized cell, two DETERMINISTIC sub-seeds: A = the
+      *      min-id member's vector, B = the member least similar to A
+      *      (min cosine, min-id tiebreak) — the farthest-point split
+      *      heuristic, seeded by data, no RNG;
+      *   3. members re-assign to B only when strictly closer
+      *      (cos(v,B) > cos(v,A) — float ties keep A, so the decision
+      *      is engine-exact); A's group keeps the old cell id, B's
+      *      group gets a fresh id (nlist + rank of the cell);
+      *   4. untouched cells are NOT rewritten — the update is
+      *      O(oversized rows), never O(index).
+      *
+      * Driver-side data is two vectors + one size per oversized cell
+      * (≤ 2·nlist vectors — the same blessed-panel posture as the
+      * centroid broadcast). A list of > maxList IDENTICAL vectors
+      * cannot split (every member ties toward A) and stays oversized —
+      * dedup upstream; callers wanting a full rebalance iterate until
+      * the audit is empty or stable.
+      *
+      * @return (rebalanced index, audit (cell, n, new_cell) of splits)
+      */
+    def rebalance(maxList: Long): (IvfIndex, DataFrame) = {
+      require(maxList >= 1, s"maxList must be >= 1, got $maxList")
+      val a = assigned.localCheckpoint(eager = false)
+      val spark = a.sparkSession
+      import spark.implicits._
+      val over = a.groupBy("cell").agg(count(lit(1)).as("n"))
+        .filter(col("n") > maxList)
+        .orderBy("cell")
+        .collect().map(r => (r.getInt(0), r.getLong(1)))
+      if (over.isEmpty)
+        return (this, Seq.empty[(Int, Long, Int)].toDF("cell", "n", "new_cell"))
+      val overCells = over.map(_._1)
+      val newCellOf: Map[Int, Int] = overCells.zipWithIndex
+        .map { case (c, i) => c -> (centroids.length + i) }.toMap
+
+      val members = a.filter(col("cell").isin(overCells.toSeq: _*))
+        .localCheckpoint(eager = false)
+      // seed A: the min-id member's vector, one row per oversized cell
+      val seedA: Map[Int, Array[Double]] = members
+        .join(members.groupBy("cell").agg(min("id").as("id")), Seq("cell", "id"))
+        .select("cell", "v").collect()
+        .map(r => r.getInt(0) ->
+          r.getAs[scala.collection.Seq[Double]]("v").toArray).toMap
+      // per-cell cosine to that cell's seed A: a CASE chain over the
+      // bounded cell panel, each arm the same guarded dot/(norm·norm)
+      // arithmetic as assignment (and the oracle's cosine replay)
+      def cosTo(panel: Map[Int, Array[Double]]): Column =
+        panel.foldLeft(lit(Double.NaN)) { case (acc, (cell, vec)) =>
+          val cn = math.sqrt(Similarity.dotArr(vec, vec))
+          val d = dot(col("v"), array(vec.map(lit).toSeq: _*))
+          when(col("cell") === cell,
+            when(col("vnorm") * lit(cn) === 0.0, lit(0.0))
+              .otherwise(d / (col("vnorm") * lit(cn)))).otherwise(acc)
+        }
+      val withA = members.withColumn("cosA", cosTo(seedA))
+        .localCheckpoint(eager = false)
+      // seed B: least-similar-to-A member, (cosA, id)-lexicographic min
+      val bIds = withA.groupBy("cell")
+        .agg(min(struct(col("cosA"), col("id"))).as("pick"))
+        .select(col("cell"), col("pick.id").as("id"))
+      val seedB: Map[Int, Array[Double]] = members
+        .join(bIds, Seq("cell", "id"))
+        .select("cell", "v").collect()
+        .map(r => r.getInt(0) ->
+          r.getAs[scala.collection.Seq[Double]]("v").toArray).toMap
+
+      val newIdExpr = overCells.foldLeft(lit(-1)) { (acc, c) =>
+        when(col("cell") === c, lit(newCellOf(c))).otherwise(acc)
+      }
+      val decided = withA.withColumn("cosB", cosTo(seedB))
+        .select(col("id"), col("v"), col("vnorm"),
+          when(col("cosB") > col("cosA"), newIdExpr)
+            .otherwise(col("cell")).as("cell"))
+      val reassigned = a.filter(!col("cell").isin(overCells.toSeq: _*))
+        .unionAll(decided)
+        .repartition(col("cell"))
+      val newCents = centroids.zipWithIndex.map { case (c, j) =>
+        seedA.getOrElse(j, c)
+      } ++ overCells.map(seedB)
+      val audit = over.map { case (c, n) => (c, n, newCellOf(c)) }
+        .toSeq.toDF("cell", "n", "new_cell")
+      (IvfIndex(reassigned, newCents), audit)
+    }
   }
 
   /** Product quantization with a deterministic seeded codebook: the

@@ -773,6 +773,55 @@ class SimilaritySpec extends AnyFunSuite with SparkTestBase {
     assert(knn(incr) == knn(full))
   }
 
+  test("rebalance splits only oversized lists, deterministically, preserving coverage") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(7)
+    // two tight clusters: ids 0,1 seed cells 0,1; cluster 0 gets 3× the
+    // mass so cell 0 oversizes while cell 1 stays under the cap
+    val rows = (0 until 240).map { i =>
+      val c = if (i % 2 == 0 || i % 4 == 1) 0 else 1 // 75% cluster 0
+      val base = Array.tabulate(8)(d => if (d == c) 10.0 else 0.0)
+      (i.toLong, base.map(x => (x + rnd.nextGaussian() * 0.5).toFloat))
+    }
+    // ids 0/1 must anchor the two clusters for the seeding to separate
+    val df = rows.updated(0, (0L, Array.tabulate(8)(d => if (d == 0) 10f else 0f)))
+      .updated(1, (1L, Array.tabulate(8)(d => if (d == 1) 10f else 0f)))
+      .toDF("id", "vec")
+    val idx = Similarity.ivfIndexSeeded(df, "id", "vec", nlist = 2)
+    val before = idx.assigned.groupBy("cell").count().collect()
+      .map(r => r.getInt(0) -> r.getLong(1)).toMap
+    val cap = before.values.min + 1 // only the big cell exceeds the cap
+    val (idx2, audit) = idx.rebalance(maxList = cap)
+    val auditRows = audit.collect().map(r => (r.getInt(0), r.getLong(1), r.getInt(2)))
+    val bigCell = before.maxBy(_._2)._1
+    assert(auditRows.map(_._1).toSeq == Seq(bigCell))
+    assert(auditRows.head._3 == 2) // first fresh id = nlist
+    // coverage preserved: same ids, each in exactly one cell
+    assert(idx2.assigned.select("id").distinct().count() == 240)
+    assert(idx2.assigned.count() == 240)
+    // the small cell's rows are untouched
+    val c2 = idx2.assigned.select("id", "cell").collect()
+      .map(r => r.getLong(0) -> r.getInt(1)).toMap
+    val c1 = idx.assigned.select("id", "cell").collect()
+      .map(r => r.getLong(0) -> r.getInt(1)).toMap
+    c1.filter(_._2 != bigCell).foreach { case (id, cell) =>
+      assert(c2(id) == cell, s"id $id moved out of an untouched cell")
+    }
+    // the split actually moved somebody, and centroids grew by one
+    assert(c2.values.toSet.contains(2))
+    assert(idx2.centroids.length == 3)
+    // deterministic: a second run from the same index agrees exactly
+    val (idx3, _) = idx.rebalance(maxList = cap)
+    val c3 = idx3.assigned.select("id", "cell").collect()
+      .map(r => r.getLong(0) -> r.getInt(1)).toMap
+    assert(c3 == c2)
+    // a cap nothing exceeds is the identity with an empty audit
+    val (idx4, audit4) = idx.rebalance(maxList = 10000L)
+    assert(audit4.count() == 0L)
+    assert(idx4.assigned.select("id", "cell").collect()
+      .map(r => r.getLong(0) -> r.getInt(1)).toMap == c1)
+  }
+
   test("non-dense ids fail fast with the re-key remedy on both seeded entry points") {
     import spark.implicits._
     // 1-based ids: id 0 is missing, so id-seeding cannot find nlist seeds
