@@ -3548,6 +3548,37 @@ object SparkEntry {
         t(s, dir, "embeddings"), "vec_id", "embedding", nlist = 8)
       val (idx2, _) = idx.rebalance(maxList = 64L)
       idx2.assigned.select(col("id"), col("cell")).orderBy("id")
+    }),
+
+    // ---- n-gram novelty vs the corpus prefix: distinct shingles of
+    // each doc first seen in NO earlier doc — the duplication-scoring
+    // sibling of dedup; counts stay integer-exact, only (hash, id)
+    // longs shuffle ------------------------------------------------------
+    "d51_ngram_novelty" -> ((s, dir) => {
+      ops.CorpusOps.noveltyCounts(t(s, dir, "documents"),
+          "doc_id", "text", shingleSize = 3)
+        .orderBy("doc_id")
+    }),
+
+    // ---- per-group OLS trend (price drift per priority): four decimal
+    // moments in ONE hash aggregate, slope = one IEEE division of two
+    // cross-engine-agreed exact values — q78's arithmetic posture ------
+    "q84_group_trend" -> ((s, dir) => {
+      val o = t(s, dir, "orders").select(col("o_orderpriority"),
+        datediff(col("o_orderdate").cast("date"),
+          to_date(lit("1970-01-01"))).cast("long").as("x"),
+        col("o_totalprice").cast("decimal(18,2)").as("y"))
+      o.groupBy("o_orderpriority").agg(
+          count(lit(1)).as("n"),
+          sum("x").as("sx"),
+          sum("y").cast("decimal(38,2)").as("sy"),
+          sum(col("x") * col("y")).cast("decimal(38,2)").as("sxy"),
+          sum(col("x") * col("x")).as("sxx"))
+        .select(col("o_orderpriority"), col("n"),
+          ((col("n") * col("sxy") - col("sx") * col("sy")).cast("double") /
+            (col("n") * col("sxx") - col("sx") * col("sx")).cast("double"))
+            .as("slope"))
+        .orderBy("o_orderpriority")
     })
   )
 
@@ -6864,6 +6895,41 @@ object SparkEntry {
          |  WHERE cell NOT IN (SELECT cell FROM osz)
          |  UNION ALL SELECT id, cell FROM dec)
          |ORDER BY id""".stripMargin
-    }
+    },
+
+    // identical distinct-then-hash shingle chain, first carrier = min
+    // doc_id per hash, novel = first carrier is the doc itself
+    "d51_ngram_novelty" -> {
+      s"""WITH hs AS (
+         |  SELECT doc_id, ${OracleSql.h64("s")} AS h FROM (
+         |    SELECT doc_id,
+         |      unnest(list_distinct(${OracleSql.shingles("text", 3)})) AS s
+         |    FROM documents)),
+         |f AS (SELECT h, MIN(doc_id) AS first_id FROM hs GROUP BY h)
+         |SELECT doc_id, COUNT(*) AS n_shingles,
+         |  CAST(SUM(CASE WHEN first_id = doc_id THEN 1 ELSE 0 END) AS BIGINT)
+         |    AS n_novel
+         |FROM hs JOIN f USING (h)
+         |GROUP BY doc_id ORDER BY doc_id""".stripMargin
+    },
+
+    // same four exact moments; the decimal numerator crosses to DOUBLE
+    // via VARCHAR (DuckDB's direct decimal→double cast double-rounds)
+    "q84_group_trend" ->
+      """WITH o AS (
+        |  SELECT o_orderpriority AS pr,
+        |    CAST(CAST(o_orderdate AS DATE) - DATE '1970-01-01' AS BIGINT) AS x,
+        |    CAST(o_totalprice AS DECIMAL(18,2)) AS y
+        |  FROM orders),
+        |m AS (
+        |  SELECT pr, COUNT(*) AS n, SUM(x) AS sx,
+        |    CAST(SUM(y) AS DECIMAL(38,2)) AS sy,
+        |    CAST(SUM(x * y) AS DECIMAL(38,2)) AS sxy,
+        |    SUM(x * x) AS sxx
+        |  FROM o GROUP BY pr)
+        |SELECT pr AS o_orderpriority, n,
+        |  CAST(CAST(n * sxy - sx * sy AS VARCHAR) AS DOUBLE)
+        |    / CAST(n * sxx - sx * sx AS DOUBLE) AS slope
+        |FROM m ORDER BY o_orderpriority""".stripMargin
   )
 }

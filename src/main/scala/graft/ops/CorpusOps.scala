@@ -863,4 +863,46 @@ object CorpusOps {
     }
     learned.toSeq.toDF("step", "lhs", "rhs", "pair_count")
   }
+
+  /** Per-document n-gram NOVELTY against the corpus prefix: how many of
+    * a document's distinct shingles appear in NO earlier document
+    * (earlier = smaller id — ingest order, so the metric is "what does
+    * this doc add to everything crawled before it"). Curation pipelines
+    * rank fresh documents by novelty to damp boilerplate-heavy or
+    * re-crawled content before training-mix selection — the scoring
+    * sibling of dedup: instead of dropping near-duplicates, it
+    * quantifies how duplicated each document is.
+    *
+    * Counts, not ratios, are emitted ((n_novel, n_shingles) — the
+    * caller divides), keeping the output integer-exact cross-engine.
+    *
+    * Scale posture: text is shingled and hashed ONCE in the scan
+    * projection (the codegen'd [[graft.functions.shingleHash64]]
+    * kernel); only (hash, doc_id) longs ever shuffle — one aggregate
+    * finds each hash's first carrier, one equi-join attributes it
+    * back, one aggregate folds per-doc counts. Both the aggregate and
+    * the join key on `h`, so AQE coalesces them onto one exchange
+    * layout. Hash collisions (two shingles, one 60-bit hash) follow
+    * the md5-prefix contract every dedup op here shares — and the
+    * oracle replays the identical distinct-then-hash chain. */
+  def noveltyCounts(
+      docs: DataFrame,
+      idCol: String,
+      textCol: String,
+      shingleSize: Int): DataFrame = {
+    import graft.functions.TextFunctions.tokens
+    val pairs = docs
+      .select(col(idCol).cast("long").as("doc_id"),
+        explode(graft.functions.shingleHash64(
+          tokens(col(textCol)), shingleSize)).as("h"))
+      // two consumers (first-carrier agg + join-back): materialize so
+      // the tokenize→shingle→hash projection runs once per document
+      .localCheckpoint(eager = false)
+    val first = pairs.groupBy("h").agg(min("doc_id").as("first_id"))
+    pairs.join(first, Seq("h"))
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_shingles"),
+        sum(when(col("first_id") === col("doc_id"), 1L).otherwise(0L))
+          .as("n_novel"))
+  }
 }

@@ -53,4 +53,23 @@ class PqLmSpec extends AnyFunSuite with SparkTestBase {
     // doc 2: "a b" p = 2*1000 div 5 = 400; "b a" p = 2*1000 div 2 = 1000
     assert(out(1) === ((2L, 4L, 2800L, 700L)))
   }
+
+  test("noveltyCounts: first carrier wins, repeats score zero, counts are distinct shingles") {
+    val docs = Seq(
+      (1L, "a b c d"),       // shingles (n=2): ab, bc, cd — all novel
+      (2L, "a b c d"),       // exact repeat — zero novel
+      (3L, "c d e f"),       // cd seen (doc 1); de, ef novel
+      (4L, "x y x y x y"))   // xy, yx, xy, yx → DISTINCT {xy, yx}, both novel
+      .toDF("doc_id", "text")
+    val got = CorpusOps.noveltyCounts(docs, "doc_id", "text", shingleSize = 2)
+      .orderBy("doc_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    assert(got.toSeq === Seq(
+      (1L, 3L, 3L), (2L, 3L, 0L), (3L, 3L, 2L), (4L, 2L, 2L)))
+    // novelty is prefix-relative: re-ordering ids flips who is "first"
+    val flipped = Seq((5L, "a b c d"), (1L, "a b c d")).toDF("doc_id", "text")
+    val g2 = CorpusOps.noveltyCounts(flipped, "doc_id", "text", 2)
+      .orderBy("doc_id").collect().map(r => (r.getLong(0), r.getLong(2)))
+    assert(g2.toSeq === Seq((1L, 3L), (5L, 0L)))
+  }
 }
