@@ -3579,6 +3579,30 @@ object SparkEntry {
             (col("n") * col("sxx") - col("sx") * col("sx")).cast("double"))
             .as("slope"))
         .orderBy("o_orderpriority")
+    }),
+
+    // ---- star-schema rollup (TPC-H Q5 shape): the fact-fact join
+    // shuffles on its key, the dimension chain broadcasts (nation and
+    // region are planner-scale at ANY corpus size; plan-asserted in
+    // StarJoinPlanSpec) — revenue per region per order year ------------
+    "q85_star_join" -> ((s, dir) => {
+      val li = t(s, dir, "lineitem").select(col("l_orderkey"),
+        (col("l_extendedprice").cast("decimal(18,2)") *
+          (lit(1).cast("decimal(18,2)") -
+            col("l_discount").cast("decimal(18,2)"))).as("rev"))
+      val o = t(s, dir, "orders").select(col("o_orderkey"), col("o_custkey"),
+        year(col("o_orderdate").cast("date")).as("yr"))
+      val c = t(s, dir, "customer").select(col("c_custkey"), col("c_nationkey"))
+      val n = t(s, dir, "nation").select(col("n_nationkey"), col("n_regionkey"))
+      val r = t(s, dir, "region").select(col("r_regionkey"), col("r_name"))
+      li.join(o, col("l_orderkey") === col("o_orderkey"))
+        .join(c, col("o_custkey") === col("c_custkey"))
+        .join(broadcast(n), col("c_nationkey") === col("n_nationkey"))
+        .join(broadcast(r), col("n_regionkey") === col("r_regionkey"))
+        .groupBy("r_name", "yr")
+        .agg(count(lit(1)).as("n_items"),
+          sum("rev").cast("double").as("revenue"))
+        .orderBy("r_name", "yr")
     })
   )
 
@@ -6930,6 +6954,21 @@ object SparkEntry {
         |SELECT pr AS o_orderpriority, n,
         |  CAST(CAST(n * sxy - sx * sy AS VARCHAR) AS DOUBLE)
         |    / CAST(n * sxx - sx * sx AS DOUBLE) AS slope
-        |FROM m ORDER BY o_orderpriority""".stripMargin
+        |FROM m ORDER BY o_orderpriority""".stripMargin,
+
+    // same decimal revenue arithmetic, same star chain
+    "q85_star_join" ->
+      """SELECT r_name, CAST(YEAR(CAST(o_orderdate AS DATE)) AS INT) AS yr,
+        |  COUNT(*) AS n_items,
+        |  CAST(CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) *
+        |                (CAST(1 AS DECIMAL(18,2)) -
+        |                 CAST(l_discount AS DECIMAL(18,2)))) AS VARCHAR)
+        |       AS DOUBLE) AS revenue
+        |FROM lineitem
+        |JOIN orders   ON l_orderkey = o_orderkey
+        |JOIN customer ON o_custkey = c_custkey
+        |JOIN nation   ON c_nationkey = n_nationkey
+        |JOIN region   ON n_regionkey = r_regionkey
+        |GROUP BY 1, 2 ORDER BY r_name, yr""".stripMargin
   )
 }
