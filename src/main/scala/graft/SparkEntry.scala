@@ -3603,6 +3603,66 @@ object SparkEntry {
         .agg(count(lit(1)).as("n_items"),
           sum("rev").cast("double").as("revenue"))
         .orderBy("r_name", "yr")
+    }),
+
+    // ---- incremental JOIN-view maintenance: V' = (V ∖ affected) ∪
+    // (A'|affected ⋈ B') — a dimension update re-derives only its fact
+    // rows, fact deletes vanish via the anti-join; the gate holds the
+    // incremental result to the full-rebuild oracle --------------------
+    "q86_incremental_join_view" -> ((s, dir) => {
+      def o = t(s, dir, "orders")
+        .select("o_orderkey", "o_custkey", "o_totalprice")
+      def c = t(s, dir, "customer")
+        .select("c_custkey", "c_nationkey", "c_acctbal")
+      val upd = o.filter(col("o_orderkey") % 7 === 0 && col("o_orderkey") % 13 =!= 0)
+        .select(col("o_orderkey"), col("o_custkey"),
+          (col("o_totalprice") + 10.0).as("o_totalprice"),
+          lit(false).as("is_delete"))
+      val dels = o.filter(col("o_orderkey") % 13 === 0)
+        .select(col("o_orderkey"), col("o_custkey"), col("o_totalprice"),
+          lit(true).as("is_delete"))
+      val ins = o.filter(col("o_orderkey") % 97 === 0)
+        .select((col("o_orderkey") + 10000000).as("o_orderkey"),
+          col("o_custkey"), lit(1.0).as("o_totalprice"),
+          lit(false).as("is_delete"))
+      val dA = upd.unionAll(dels).unionAll(ins)
+      val aNew = ops.Merge.applyChanges(o, dA, "o_orderkey")
+      val dB = c.filter(col("c_custkey") % 11 === 0)
+        .select(col("c_custkey"), col("c_nationkey"),
+          (col("c_acctbal") + 5.0).as("c_acctbal"), lit(false).as("is_delete"))
+      val bNew = ops.Merge.applyChanges(c, dB, "c_custkey")
+        .withColumnRenamed("c_custkey", "o_custkey")
+      val view = o.join(c, col("o_custkey") === col("c_custkey"))
+        .select("o_orderkey", "o_custkey", "o_totalprice",
+          "c_acctbal", "c_nationkey")
+      ops.Merge.incrementalJoinView(view, aNew, bNew,
+          dA.select("o_orderkey"),
+          dB.select(col("c_custkey").as("o_custkey")),
+          "o_orderkey", "o_custkey")
+        .orderBy("o_orderkey")
+    }),
+
+    // ---- dynamic partition pruning: the fact side is partitioned on
+    // the join key and the dim predicate is RUNTIME-VALUED (the rarest
+    // event type by count — a literal filter would constant-propagate
+    // onto the scan and prune statically), so the fact scan must prune
+    // via the DPP subquery (plan-asserted in DynamicPruningPlanSpec) ---
+    "q87_dynamic_pruning" -> ((s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val p = gateScratch("q87")
+      val ev = events(s, dir)
+      ev.write.mode("overwrite").partitionBy("event_type").parquet(p)
+      val fact = s.read.parquet(p)
+      val w = Window.orderBy(col("dim_n"), col("event_type"))
+      val dim = ev.groupBy("event_type").agg(count(lit(1)).as("dim_n"))
+        .withColumn("rk", row_number().over(w))
+        .filter(col("rk") === 1)
+        .select("event_type")
+      fact.join(dim, Seq("event_type"))
+        .groupBy("event_type")
+        .agg(count(lit(1)).as("n"),
+          sum(col("value").cast("decimal(18,3)")).cast("double").as("total"))
+        .orderBy("event_type")
     })
   )
 
@@ -6969,6 +7029,39 @@ object SparkEntry {
         |JOIN customer ON o_custkey = c_custkey
         |JOIN nation   ON c_nationkey = n_nationkey
         |JOIN region   ON n_regionkey = r_regionkey
-        |GROUP BY 1, 2 ORDER BY r_name, yr""".stripMargin
+        |GROUP BY 1, 2 ORDER BY r_name, yr""".stripMargin,
+
+    // full rebuild over the change-applied tables — the invariant the
+    // incremental maintenance must reproduce exactly
+    "q86_incremental_join_view" ->
+      """WITH a AS (
+        |  SELECT o_orderkey, o_custkey,
+        |    CASE WHEN o_orderkey % 7 = 0 AND o_orderkey % 13 <> 0
+        |         THEN o_totalprice + 10.0 ELSE o_totalprice END AS o_totalprice
+        |  FROM orders WHERE o_orderkey % 13 <> 0
+        |  UNION ALL
+        |  SELECT o_orderkey + 10000000, o_custkey, 1.0
+        |  FROM orders WHERE o_orderkey % 97 = 0),
+        |b AS (
+        |  SELECT c_custkey, c_nationkey,
+        |    CASE WHEN c_custkey % 11 = 0 THEN c_acctbal + 5.0
+        |         ELSE c_acctbal END AS c_acctbal
+        |  FROM customer)
+        |SELECT a.o_orderkey, a.o_custkey, a.o_totalprice,
+        |  b.c_acctbal, b.c_nationkey
+        |FROM a JOIN b ON a.o_custkey = b.c_custkey
+        |ORDER BY o_orderkey""".stripMargin,
+
+    // the pruned scan must still aggregate exactly the rarest type's slice
+    "q87_dynamic_pruning" ->
+      """WITH d AS (
+        |  SELECT event_type FROM (
+        |    SELECT event_type,
+        |      ROW_NUMBER() OVER (ORDER BY COUNT(*), event_type) AS rk
+        |    FROM events GROUP BY event_type) WHERE rk = 1)
+        |SELECT event_type, COUNT(*) AS n,
+        |  CAST(SUM(CAST(value AS DECIMAL(18,3))) AS DOUBLE) AS total
+        |FROM events WHERE event_type IN (SELECT event_type FROM d)
+        |GROUP BY 1 ORDER BY 1""".stripMargin
   )
 }

@@ -147,4 +147,53 @@ object Merge {
       .withColumn("is_current", col("valid_to").isNull)
       .drop(tsCol)
   }
+
+  /** Incremental maintenance of a materialized JOIN view
+    * `V = A ⋈_{bKey} B` (A the fact side, keyed by `aKey`; B a
+    * dimension unique per `bKey`), given the POST-change tables and the
+    * key sets that changed — the delta-join rule behind incrementally
+    * refreshed join views:
+    *
+    *   affected = ΔA-keys ∪ { aKey of A' rows whose bKey ∈ ΔB-keys }
+    *   V' = (V ∖ affected)  ∪  (A'|affected ⋈ B')
+    *
+    * Only affected fact rows are re-joined: an update to one dimension
+    * row re-derives just that dimension's fact rows, an untouched fact
+    * row's view row is reused verbatim, and ΔA deletes disappear
+    * because A' no longer carries them while the anti-join removes
+    * their old view rows. Cost is O(|Δ| + |affected|) join work plus
+    * the view anti-join — and the anti-join's rewrite-vs-reuse split
+    * is exactly what [[graft.ops.Layout]]'s manifest pruning turns
+    * into file-level reuse at 100 TB (q77's posture: files whose key
+    * range misses `affected` are copied, not rewritten).
+    *
+    * Inner-join semantics: a fact row whose dimension key matches
+    * nothing contributes no view row (and is dropped from V' if it
+    * previously matched). Correct under the same contract the full
+    * join has: B unique per bKey, A unique per aKey.
+    *
+    * @return V' with exactly `view`'s column order
+    */
+  def incrementalJoinView(
+      view: DataFrame,
+      aNew: DataFrame,
+      bNew: DataFrame,
+      deltaAKeys: DataFrame,
+      deltaBKeys: DataFrame,
+      aKey: String,
+      bKey: String): DataFrame = {
+    val affectedFromB = aNew
+      .join(deltaBKeys.select(col(bKey)), Seq(bKey), "left_semi")
+      .select(col(aKey))
+    val affected = deltaAKeys.select(col(aKey))
+      .unionAll(affectedFromB)
+      .distinct()
+      // two consumers (anti-join + semi-join): materialize the key set
+      .localCheckpoint(eager = false)
+    val rebuilt = aNew.join(affected, Seq(aKey), "left_semi")
+      .join(bNew, Seq(bKey))
+      .select(view.columns.map(col).toSeq: _*)
+    view.join(affected, Seq(aKey), "left_anti")
+      .unionAll(rebuilt)
+  }
 }

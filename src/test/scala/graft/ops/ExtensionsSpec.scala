@@ -1296,6 +1296,41 @@ class MergeSpec extends AnyFunSuite with SparkTestBase {
     assert(applied.toSeq == Seq((1L, "a", 10.0), (2L, "B", 25.0), (9L, "i", 90.0)))
   }
 
+  test("incrementalJoinView equals a full rebuild and REUSES untouched view rows") {
+    import spark.implicits._
+    // A facts (k, fk, v); B dims (fk, d)
+    val a0 = Seq((1L, 10L, 1.0), (2L, 10L, 2.0), (3L, 20L, 3.0), (4L, 30L, 4.0))
+      .toDF("k", "fk", "v")
+    val b0 = Seq((10L, "x"), (20L, "y"), (30L, "z")).toDF("fk", "d")
+    // ΔA: update k=1, delete k=3, insert k=9 (fk 20)
+    val dA = Seq((1L, 10L, 1.5, false), (3L, 20L, 3.0, true),
+      (9L, 20L, 9.0, false)).toDF("k", "fk", "v", "is_delete")
+    // ΔB: dim 30 changes — k=4 must re-derive
+    val dB = Seq((30L, "Z", false)).toDF("fk", "d", "is_delete")
+    val aNew = Merge.applyChanges(a0, dA, "k")
+    val bNew = Merge.applyChanges(b0, dB, "fk")
+    val view = a0.join(b0, Seq("fk")).select("k", "fk", "v", "d")
+    val got = Merge.incrementalJoinView(view, aNew, bNew,
+        dA.select("k"), dB.select("fk"), "k", "fk")
+      .orderBy("k").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getString(3)))
+    val full = aNew.join(bNew, Seq("fk")).select("k", "fk", "v", "d")
+      .orderBy("k").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getString(3)))
+    assert(got.toSeq == full.toSeq)
+    assert(got.map(_._1).toSeq == Seq(1L, 2L, 4L, 9L)) // 3 deleted, 9 inserted
+    assert(got.find(_._1 == 4L).get._4 == "Z")         // dim change re-derived
+    // reuse proof: poison the UNTOUCHED row (k=2) in the view — the
+    // incremental result must carry the poisoned value verbatim,
+    // because V ∖ affected rows are reused, never recomputed
+    val poisoned = view.withColumn("v",
+      when(col("k") === 2L, lit(-99.0)).otherwise(col("v")))
+    val reused = Merge.incrementalJoinView(poisoned, aNew, bNew,
+        dA.select("k"), dB.select("fk"), "k", "fk")
+      .filter(col("k") === 2L).collect()
+    assert(reused.length == 1 && reused.head.getDouble(2) == -99.0)
+  }
+
   test("incrementalAgg equals a full recompute under inserts and deletes") {
     import spark.implicits._
     val base = Seq(("p1", 10.0), ("p1", 20.0), ("p2", 5.0), ("p3", 7.0))
