@@ -3663,6 +3663,64 @@ object SparkEntry {
         .agg(count(lit(1)).as("n"),
           sum(col("value").cast("decimal(18,3)")).cast("double").as("total"))
         .orderBy("event_type")
+    }),
+
+    // ---- cross-group shingle-overlap matrix: distinct (lang, hash)
+    // FIRST, so a universal shingle fans out to C(#langs,2) pairs, not
+    // a per-doc cross product — the corpus contamination audit ---------
+    "d52_overlap_matrix" -> ((s, dir) => {
+      ops.CorpusOps.overlapMatrix(t(s, dir, "documents"),
+          "lang", "text", shingleSize = 3)
+        .orderBy("grp_a", "grp_b")
+    }),
+
+    // ---- STREAMING join-view maintenance: dimension updates arrive as
+    // a 4-shard stream; each micro-batch refreshes the materialized
+    // orders⋈customer view via the q86 delta-join rule — per-batch cost
+    // O(batch's fact rows), the view is never rebuilt ------------------
+    "s23_stream_view_refresh" -> ((s, dir) => {
+      val tmp = gateScratch("s23")
+      val o = t(s, dir, "orders")
+        .select("o_orderkey", "o_custkey", "o_totalprice")
+      val c = t(s, dir, "customer")
+        .select("c_custkey", "c_nationkey", "c_acctbal")
+      val updates = c.filter(col("c_custkey") % 3 === 0)
+        .select(col("c_custkey"), col("c_nationkey"),
+          (col("c_acctbal") + 7.0).as("c_acctbal"))
+      updates.withColumn("shard", pmod(col("c_custkey"), lit(4)))
+        .repartition(4, col("shard"))
+        .write.parquet(s"$tmp/in") // 4 files → 4 micro-batches
+      var view = o.join(c, col("o_custkey") === col("c_custkey"))
+        .select("o_orderkey", "o_custkey", "o_totalprice",
+          "c_acctbal", "c_nationkey")
+        .localCheckpoint(eager = true)
+      var bCur = c.localCheckpoint(eager = true)
+      val noAKeys = o.select("o_orderkey").filter(lit(false))
+      withNarrowState(s) {
+        val q = s.readStream
+          .schema(updates.withColumn("shard",
+            pmod(col("c_custkey"), lit(4))).schema)
+          .option("maxFilesPerTrigger", "1")
+          .parquet(s"$tmp/in")
+          .writeStream
+          .foreachBatch { (batch: DataFrame, _: Long) =>
+            val dB = batch.select("c_custkey", "c_nationkey", "c_acctbal")
+              .withColumn("is_delete", lit(false))
+            bCur = ops.Merge.applyChanges(bCur, dB, "c_custkey")
+              .localCheckpoint(eager = true) // sever the micro-batch source
+            view = ops.Merge.incrementalJoinView(view, o,
+                bCur.withColumnRenamed("c_custkey", "o_custkey"),
+                noAKeys, dB.select(col("c_custkey").as("o_custkey")),
+                "o_orderkey", "o_custkey")
+              .localCheckpoint(eager = true)
+            ()
+          }
+          .option("checkpointLocation", s"$tmp/chk")
+          .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+          .start()
+        q.awaitTermination()
+      }
+      view.orderBy("o_orderkey")
     })
   )
 
@@ -7062,6 +7120,28 @@ object SparkEntry {
         |SELECT event_type, COUNT(*) AS n,
         |  CAST(SUM(CAST(value AS DECIMAL(18,3))) AS DOUBLE) AS total
         |FROM events WHERE event_type IN (SELECT event_type FROM d)
-        |GROUP BY 1 ORDER BY 1""".stripMargin
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    // identical distinct-then-hash chain, distinct (lang, hash) pairs,
+    // canonical lang_a < lang_b self-join
+    "d52_overlap_matrix" -> {
+      s"""WITH gh AS (
+         |  SELECT DISTINCT lang AS grp, ${OracleSql.h64("s")} AS h FROM (
+         |    SELECT lang,
+         |      unnest(list_distinct(${OracleSql.shingles("text", 3)})) AS s
+         |    FROM documents))
+         |SELECT a.grp AS grp_a, b.grp AS grp_b, COUNT(*) AS n_shared
+         |FROM gh a JOIN gh b ON a.h = b.h AND a.grp < b.grp
+         |GROUP BY 1, 2 ORDER BY grp_a, grp_b""".stripMargin
+    },
+
+    // the streamed refresh must land exactly on the fully-updated join
+    "s23_stream_view_refresh" ->
+      """SELECT o.o_orderkey, o.o_custkey, o.o_totalprice,
+        |  CASE WHEN c.c_custkey % 3 = 0 THEN c.c_acctbal + 7.0
+        |       ELSE c.c_acctbal END AS c_acctbal,
+        |  c.c_nationkey
+        |FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+        |ORDER BY o_orderkey""".stripMargin
   )
 }

@@ -885,6 +885,39 @@ object CorpusOps {
     * layout. Hash collisions (two shingles, one 60-bit hash) follow
     * the md5-prefix contract every dedup op here shares — and the
     * oracle replays the identical distinct-then-hash chain. */
+  /** Cross-group content-overlap matrix: for every unordered pair of
+    * groups (languages, domains, crawl snapshots…), how many DISTINCT
+    * shingle hashes the two groups share — the corpus-audit view a
+    * curation team reads to find cross-domain contamination, mirrored
+    * subsites, or a snapshot that largely duplicates another before
+    * committing mix weights.
+    *
+    * Scale posture: text is shingled/hashed once in the scan; the
+    * (group, hash) projection is DISTINCTED FIRST, so the per-hash
+    * fan-out of the self-join is bounded by the group cardinality —
+    * a shingle shared by every group emits at most C(#groups, 2)
+    * pairs, never a per-document cross product. Only (hash, group)
+    * rows shuffle; output is planner-scale (≤ C(#groups, 2) rows). */
+  def overlapMatrix(
+      docs: DataFrame,
+      groupCol: String,
+      textCol: String,
+      shingleSize: Int): DataFrame = {
+    import graft.functions.TextFunctions.tokens
+    val gh = docs
+      .select(col(groupCol).cast("string").as("grp"),
+        explode(graft.functions.shingleHash64(
+          tokens(col(textCol)), shingleSize)).as("h"))
+      .distinct()
+      // two consumers (both self-join sides): hash the corpus once
+      .localCheckpoint(eager = false)
+    gh.select(col("h"), col("grp").as("grp_a"))
+      .join(gh.select(col("h"), col("grp").as("grp_b")), Seq("h"))
+      .filter(col("grp_a") < col("grp_b"))
+      .groupBy("grp_a", "grp_b")
+      .agg(count(lit(1)).as("n_shared"))
+  }
+
   def noveltyCounts(
       docs: DataFrame,
       idCol: String,

@@ -72,4 +72,21 @@ class PqLmSpec extends AnyFunSuite with SparkTestBase {
       .orderBy("doc_id").collect().map(r => (r.getLong(0), r.getLong(2)))
     assert(g2.toSeq === Seq((1L, 3L), (5L, 0L)))
   }
+
+  test("overlapMatrix: distinct shared shingles per group pair, canonical order") {
+    val docs = Seq(
+      ("en", "a b c d"),     // en: ab, bc, cd
+      ("fr", "c d e f"),     // fr: cd, de, ef
+      ("de", "x y z w"),     // de: xy, yz, zw
+      ("en", "c d x q"),     // en += cd(dup within en), dx, xq
+      ("de", "c d q r"))     // de += cd, dq, qr
+      .toDF("lang", "text")
+    val got = CorpusOps.overlapMatrix(docs, "lang", "text", shingleSize = 2)
+      .orderBy("grp_a", "grp_b").collect()
+      .map(r => (r.getString(0), r.getString(1), r.getLong(2)))
+    // "c d" is the only cross-group shingle; within-en duplication
+    // must NOT inflate any pair (distinct (group, hash) first)
+    assert(got.toSeq === Seq(
+      ("de", "en", 1L), ("de", "fr", 1L), ("en", "fr", 1L)))
+  }
 }
