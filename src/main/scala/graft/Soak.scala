@@ -188,6 +188,64 @@ object Soak {
           auditCounters(audit.select(col("h"),
             col("posting_sz").as("bucket_sz")))
         n
+      },
+      // ---- round-10 additions under the same skew discipline ----------
+      measure("link_predict_skew") { // g11: one hot witness node
+        // a supplier-like witness connected to 50k items would emit
+        // C(50k,2) ≈ 1.25e9 pairs uncapped; the degree cap drops it
+        // ENTIRELY (audited) while the healthy graph scores normally
+        val li = spark.read.parquet(s"$sfDir/lineitem.parquet")
+        val edges = li.filter(col("l_partkey") % 20 === 0)
+          .select(col("l_suppkey").cast("long").as("src"),
+            (col("l_partkey").cast("long") + 1000000L).as("dst"))
+        val hot = spark.range(0, 50000)
+          .select(lit(999999L).as("src"), (col("id") + 2000000L).as("dst"))
+        val (pairs, audit) = ops.Graph.resourceAllocationScores(
+          edges.unionAll(hot), "src", "dst", minScore = 80000L, maxDeg = 25L)
+        val n = pairs.count()
+        audits += "link_predict_skew" ->
+          auditCounters(audit.select(col("node").as("h"),
+            col("deg").as("bucket_sz")))
+        n
+      },
+      measure("novelty_skew") { // d51 over the 10^4-duplicate cluster
+        // every copy shares every shingle: the first-carrier aggregate
+        // reduces each hot hash to ONE (hash, min_id) row, so the join
+        // fan-out is per-document, never per-duplicate-pair
+        ops.CorpusOps.noveltyCounts(docsN.unionAll(hotDup),
+          "doc_id", "text", shingleSize = 3).count()
+      },
+      measure("overlap_matrix_skew") { // d52 with universal shingles
+        // the hot cluster's text lands in EVERY group: distinct-first
+        // bounds each universal hash at C(8,2) = 28 pairs, structurally
+        ops.CorpusOps.overlapMatrix(
+          docsN.unionAll(hotDup)
+            .withColumn("lang", pmod(col("doc_id"), lit(8)).cast("string")),
+          "lang", "text", shingleSize = 3).count()
+      },
+      measure("view_refresh_delta") { // q86: 0.1%-delta refresh cost
+        val o = spark.read.parquet(s"$sfDir/orders.parquet")
+          .select("o_orderkey", "o_custkey", "o_totalprice")
+        val oN = (0 until copies).map { i =>
+          o.select((col("o_orderkey") + lit(i * 100000000L)).as("o_orderkey"),
+            col("o_custkey"), col("o_totalprice"))
+        }.reduce(_ unionAll _)
+        val c = spark.read.parquet(s"$sfDir/customer.parquet")
+          .select("c_custkey", "c_nationkey", "c_acctbal")
+        val view = oN.join(c, col("o_custkey") === col("c_custkey"))
+          .select("o_orderkey", "o_custkey", "o_totalprice",
+            "c_acctbal", "c_nationkey")
+          .localCheckpoint(eager = true) // the maintained state, pre-built
+        val dB = c.filter(col("c_custkey") % 1000 === 0)
+          .select(col("c_custkey"), col("c_nationkey"),
+            (col("c_acctbal") + 1.0).as("c_acctbal"),
+            lit(false).as("is_delete"))
+        val bNew = ops.Merge.applyChanges(c, dB, "c_custkey")
+          .withColumnRenamed("c_custkey", "o_custkey")
+        ops.Merge.incrementalJoinView(view, oN, bNew,
+          oN.select("o_orderkey").filter(lit(false)),
+          dB.select(col("c_custkey").as("o_custkey")),
+          "o_orderkey", "o_custkey").count()
       })
 
     val auditJson = audits.toSeq.sortBy(_._1).map { case (n, (b, mx, p)) =>

@@ -3721,6 +3721,42 @@ object SparkEntry {
         q.awaitTermination()
       }
       view.orderBy("o_orderkey")
+    }),
+
+    // ---- time-series gap detection: per-type hourly spine generated
+    // from observed bounds (calendar-bounded — never a fact-table
+    // explode), anti-joined against observed hours ----------------------
+    "q88_gap_detect" -> ((s, dir) => {
+      val ev = events(s, dir)
+        .select(col("event_type"), date_trunc("hour", col("ts")).as("h"))
+      val observed = ev.distinct()
+      val spine = ev.groupBy("event_type")
+        .agg(min("h").as("h0"), max("h").as("h1"))
+        .select(col("event_type"),
+          explode(sequence(col("h0"), col("h1"),
+            expr("INTERVAL 1 HOUR"))).as("h"))
+      spine.join(observed, Seq("event_type", "h"), "left_anti")
+        .orderBy("event_type", "h")
+    }),
+
+    // ---- media corruption triage: header-parse + strict-decode verdict
+    // per payload (ok / header_only / unparseable) — the quarantine
+    // pass; corruption is a VERDICT row, never an executor exception ----
+    "m15_media_triage" -> ((s, dir) => {
+      import s.implicits._
+      val media = ops.Multimodal.syntheticMedia(
+        t(s, dir, "documents").select("doc_id"), "doc_id")(s)
+        .map { r =>
+          if (r.media_id % 13 == 0)
+            r.copy(content = Array.fill(16)(0x00.toByte)) // garbage
+          else if (r.media_id % 7 == 0 && r.media_id % 3 != 1)
+            // truncate png/wav to their headers (jpeg header size is
+            // encoder-dependent, so jpeg stays intact)
+            r.copy(content =
+              r.content.take(if (r.media_id % 3 == 0) 32 else 44))
+          else r
+        }
+      ops.Multimodal.triageFeatures(media).toDF().orderBy("media_id")
     })
   )
 
@@ -7142,6 +7178,41 @@ object SparkEntry {
         |       ELSE c.c_acctbal END AS c_acctbal,
         |  c.c_nationkey
         |FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
-        |ORDER BY o_orderkey""".stripMargin
+        |ORDER BY o_orderkey""".stripMargin,
+
+    // same bounds, same hourly spine, same anti-join
+    "q88_gap_detect" ->
+      """WITH e AS (
+        |  SELECT DISTINCT event_type,
+        |    date_trunc('hour', CAST(ts AS TIMESTAMP)) AS h FROM events),
+        |b AS (SELECT event_type, MIN(h) AS h0, MAX(h) AS h1
+        |      FROM e GROUP BY 1),
+        |s AS (SELECT event_type,
+        |        unnest(generate_series(h0, h1, INTERVAL 1 HOUR)) AS h
+        |      FROM b)
+        |SELECT s.event_type, s.h
+        |FROM s LEFT JOIN e ON e.event_type = s.event_type AND e.h = s.h
+        |WHERE e.h IS NULL ORDER BY 1, 2""".stripMargin,
+
+    // the corruption plan is a pure function of doc_id, so the oracle
+    // states each verdict in closed form: %13 → zeroed payload
+    // (unparseable), %7 png/wav → header-truncated (header facts
+    // survive, decode fails), everything else decodes
+    "m15_media_triage" ->
+      """SELECT doc_id AS media_id,
+        |  CASE WHEN doc_id % 13 = 0 THEN 'unknown'
+        |       WHEN doc_id % 3 = 0 THEN 'png'
+        |       WHEN doc_id % 3 = 1 THEN 'jpeg' ELSE 'wav' END AS format,
+        |  CAST(CASE WHEN doc_id % 13 = 0 OR doc_id % 3 = 2 THEN 0
+        |            ELSE doc_id % 64 + 1 END AS INT) AS width,
+        |  CAST(CASE WHEN doc_id % 13 = 0 OR doc_id % 3 = 2 THEN 0
+        |            ELSE doc_id % 48 + 1 END AS INT) AS height,
+        |  CAST(CASE WHEN doc_id % 13 <> 0 AND doc_id % 3 = 2
+        |            THEN (doc_id % 800 + 8) * 1000 // 8000
+        |            ELSE 0 END AS BIGINT) AS duration_ms,
+        |  CASE WHEN doc_id % 13 = 0 THEN 'unparseable'
+        |       WHEN doc_id % 7 = 0 AND doc_id % 3 <> 1 THEN 'header_only'
+        |       ELSE 'ok' END AS status
+        |FROM documents ORDER BY media_id""".stripMargin
   )
 }

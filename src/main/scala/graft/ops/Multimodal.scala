@@ -55,6 +55,13 @@ object Multimodal {
   case class MediaHeader(media_id: Long, format: String, width: Int,
       height: Int, duration_ms: Long)
 
+  /** One triage verdict: sniffed format + header facts + an
+    * operational status — `ok` (full decode succeeds), `header_only`
+    * (header parses, payload does not decode: truncation/corruption
+    * past the header), `unparseable` (no known magic). */
+  case class MediaTriage(media_id: Long, format: String, width: Int,
+      height: Int, duration_ms: Long, status: String)
+
   /** Deterministic payload generators (the stand-in for files read from
     * a binary source). Pixels and samples follow closed-form formulas of
     * (id, x, y) so lossless decodes have an exact SQL oracle. */
@@ -679,6 +686,41 @@ object Multimodal {
     media.mapPartitions { it =>
       it.grouped(MediaCodec.batchSize)
         .flatMap(_.map(MediaCodec.headerProbe))
+    }
+  }
+
+  /** Corruption triage over a media table: classify every payload as
+    * `ok` / `header_only` / `unparseable` by combining the lenient
+    * [[MediaCodec.headerProbe]] (format + header facts) with a STRICT
+    * decode attempt on the sniffed format — the quarantine pass a
+    * crawl ingest runs so one truncated object cannot fail a whole
+    * decode job (the media sibling of the q68 corrupt-record
+    * quarantine). Record-local and batched like every decoder here;
+    * a failure is a VERDICT row, never an executor exception. */
+  def triageFeatures(media: Dataset[MediaRecord]): Dataset[MediaTriage] = {
+    import media.sparkSession.implicits._
+    media.mapPartitions { it =>
+      it.grouped(MediaCodec.batchSize).flatMap(_.map { r =>
+        val hdr =
+          try MediaCodec.headerProbe(r)
+          catch { case _: Exception =>
+            MediaHeader(r.media_id, "unknown", 0, 0, 0L) }
+        if (hdr.format == "unknown")
+          MediaTriage(r.media_id, "unknown", 0, 0, 0L, "unparseable")
+        else {
+          val decodable =
+            try hdr.format match {
+              case "png" | "jpeg" =>
+                javax.imageio.ImageIO.read(
+                  new java.io.ByteArrayInputStream(r.content)) != null
+              case "wav" =>
+                MediaCodec.blockMeans(r, 1 << 20); true
+              case _ => false
+            } catch { case _: Exception => false }
+          MediaTriage(r.media_id, hdr.format, hdr.width, hdr.height,
+            hdr.duration_ms, if (decodable) "ok" else "header_only")
+        }
+      })
     }
   }
 

@@ -1870,6 +1870,25 @@ class MultimodalSpec extends AnyFunSuite with SparkTestBase {
     }
   }
 
+  test("triage: ok / header_only / unparseable verdicts, no executor exceptions") {
+    import spark.implicits._
+    val base = syntheticMedia(spark.range(0, 12).toDF("id"), "id")(spark)
+    val corrupted = base.map { r =>
+      if (r.media_id == 3L) r.copy(content = r.content.take(32))     // png cut
+      else if (r.media_id == 5L) r.copy(content = r.content.take(44)) // wav cut
+      else if (r.media_id == 7L) r.copy(content = Array.fill(16)(0x00.toByte))
+      else r
+    }
+    val got = triageFeatures(corrupted).collect().map(t => t.media_id -> t).toMap
+    assert(got(3L).status == "header_only") // header facts still probe
+    assert(got(3L).format == "png" && got(3L).width == 4 && got(3L).height == 4)
+    assert(got(5L).status == "header_only" &&
+      got(5L).duration_ms == (5 % 800 + 8) * 1000 / 8000)
+    assert(got(7L).status == "unparseable" && got(7L).format == "unknown")
+    // untouched records are fully decodable
+    assert(Seq(0L, 1L, 2L, 4L, 6L, 8L).forall(id => got(id).status == "ok"))
+  }
+
   test("envelope segmentation: islands of qualifying blocks, formula-checked") {
     val thr = -20000.0 // the m14 gate's threshold: inside the envelope range
     val media = syntheticMedia(
