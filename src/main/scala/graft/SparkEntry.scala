@@ -3757,6 +3757,48 @@ object SparkEntry {
           else r
         }
       ops.Multimodal.triageFeatures(media).toDF().orderBy("media_id")
+    }),
+
+    // ---- recall-vs-nprobe sweep: the IVF tuning curve (probe 1/2/4 of
+    // 8 cells against the exact top-5) — the eval a store runs before
+    // committing a latency/recall tradeoff; recall must be monotone ----
+    "e24_recall_sweep" -> ((s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val emb = t(s, dir, "embeddings")
+      val idx = ops.Similarity.ivfIndexSeeded(emb, "vec_id", "embedding",
+        nlist = 8)
+      val v = emb.select(col("vec_id").cast("long").as("id"),
+        col("embedding").cast("array<double>").as("v"))
+      val q = v.filter(col("id") < 50)
+        .select(col("id").as("qid"), col("v").as("qv"))
+      val w = Window.partitionBy("qid").orderBy(col("cos").desc, col("nid"))
+      val exact = v.crossJoin(broadcast(q))
+        .filter(col("id") =!= col("qid"))
+        .select(col("qid"), col("id").as("nid"),
+          ops.Similarity.cosine(col("v"), col("qv")).as("cos"))
+        .withColumn("rn", row_number().over(w)).filter(col("rn") <= 5)
+        .select(col("qid").as("id"), col("nid"))
+        .localCheckpoint(eager = false) // one ground truth, three sweeps
+      Seq(1, 2, 4).map { np =>
+        idx.knnJoin(k = 5, nprobe = np)
+          .filter(col("id") < 50).select("id", "nid")
+          .join(exact, Seq("id", "nid"))
+          .agg(count(lit(1)).as("n_match"))
+          .select(lit(np).as("nprobe"), col("n_match"),
+            lit(50L).as("n_queries"))
+      }.reduce(_ unionAll _).orderBy("nprobe")
+    }),
+
+    // ---- exact-proportion stratified split: exactly floor(n/20) docs
+    // per language, membership a pure function of (salt, id) — the
+    // reproducible eval-split cut (d49 is the zero-shuffle expected-
+    // proportion sibling) -----------------------------------------------
+    "d53_stratified_split" -> ((s, dir) => {
+      ops.CorpusOps.stratifiedExact(
+          t(s, dir, "documents").select("doc_id", "lang"),
+          "lang", "doc_id", num = 1, den = 20, salt = "graft-split-")
+        .select("lang", "doc_id")
+        .orderBy("lang", "doc_id")
     })
   )
 
@@ -7213,6 +7255,41 @@ object SparkEntry {
         |  CASE WHEN doc_id % 13 = 0 THEN 'unparseable'
         |       WHEN doc_id % 7 = 0 AND doc_id % 3 <> 1 THEN 'header_only'
         |       ELSE 'ok' END AS status
-        |FROM documents ORDER BY media_id""".stripMargin
+        |FROM documents ORDER BY media_id""".stripMargin,
+
+    // three independent IVF replays (nested WITH per branch) against one
+    // brute-force ground truth, matched counts summed per sweep
+    "e24_recall_sweep" -> {
+      def branch(np: Int): String =
+        s"""(WITH ${OracleSql.ivfKnnCtes(nlist = 8, nprobe = np, k = 5)},
+           |approx AS (SELECT id, nid FROM knn WHERE id < 50),
+           |bf AS (
+           |  SELECT id, nid FROM (
+           |    SELECT q.id, a.id AS nid,
+           |      ROW_NUMBER() OVER (PARTITION BY q.id
+           |        ORDER BY ${OracleSql.cosine("q.v", "a.v")} DESC, a.id) AS rn
+           |    FROM v q JOIN v a ON a.id <> q.id
+           |    WHERE q.id < 50) WHERE rn <= 5)
+           |SELECT CAST($np AS INT) AS nprobe,
+           |  CAST(COUNT(*) AS BIGINT) AS n_match,
+           |  CAST(50 AS BIGINT) AS n_queries
+           |FROM approx JOIN bf ON approx.id = bf.id AND approx.nid = bf.nid)""".stripMargin
+      Seq(1, 2, 4).map(branch).mkString("", "\nUNION ALL\n",
+        "\nORDER BY nprobe")
+    },
+
+    // same salted-hash order, same integer cross-multiplied cutoff
+    "d53_stratified_split" ->
+      """WITH d AS (
+        |  SELECT lang, doc_id,
+        |    md5('graft-split-' || CAST(doc_id AS VARCHAR)) AS hk
+        |  FROM documents),
+        |r AS (
+        |  SELECT lang, doc_id,
+        |    ROW_NUMBER() OVER (PARTITION BY lang ORDER BY hk, doc_id) AS rn,
+        |    COUNT(*) OVER (PARTITION BY lang) AS tot
+        |  FROM d)
+        |SELECT lang, doc_id FROM r WHERE rn * 20 <= tot * 1
+        |ORDER BY lang, doc_id""".stripMargin
   )
 }

@@ -885,6 +885,42 @@ object CorpusOps {
     * layout. Hash collisions (two shingles, one 60-bit hash) follow
     * the md5-prefix contract every dedup op here shares — and the
     * oracle replays the identical distinct-then-hash chain. */
+  /** EXACT-proportion stratified sample: from every stratum, keep
+    * exactly floor(num·n/den) rows, chosen by a salted-hash order — the
+    * "exactly 5% eval split per language" a training-mix needs when the
+    * hash-threshold sampler's binomial wobble is not acceptable
+    * (compare [[graft.functions]]' d49 weighted sampler: zero-shuffle
+    * but only EXPECTED proportions). Selection is a pure function of
+    * (salt, id), so the split is reproducible across runs and engines;
+    * membership qualifies via integer cross-multiplication
+    * (rank·den ≤ num·total — no float ratio).
+    *
+    * Scale: one sort exchange on the stratum key (the rank window and
+    * the count window share it). Strata are language/domain-sized —
+    * thousands of groups, not billions — so per-stratum sorts
+    * parallelize across the cluster; for a single colossal stratum
+    * where even that sort hurts, fall back to the hash-threshold
+    * sampler and accept the wobble. */
+  def stratifiedExact(
+      docs: DataFrame,
+      strataCol: String,
+      idCol: String,
+      num: Int,
+      den: Int,
+      salt: String): DataFrame = {
+    require(num >= 0 && den > 0, s"need 0 <= num and den > 0, got $num/$den")
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(strataCol).orderBy("graft_hk", idCol)
+    val cw = Window.partitionBy(strataCol)
+    docs
+      .withColumn("graft_hk",
+        md5(concat(lit(salt), col(idCol).cast("string"))))
+      .withColumn("graft_rn", row_number().over(w))
+      .withColumn("graft_tot", count(lit(1)).over(cw))
+      .filter(col("graft_rn") * den <= col("graft_tot") * num)
+      .drop("graft_hk", "graft_rn", "graft_tot")
+  }
+
   /** Cross-group content-overlap matrix: for every unordered pair of
     * groups (languages, domains, crawl snapshots…), how many DISTINCT
     * shingle hashes the two groups share — the corpus-audit view a

@@ -163,6 +163,29 @@ class MixSplitSpec extends AnyFunSuite with SparkTestBase {
     assert(shards.max - shards.min <= 400)
   }
 
+  test("stratifiedExact keeps exactly floor(num·n/den) per stratum, reproducibly") {
+    val docs = (0L until 437L).map(i => (i, s"lang${i % 3}"))
+      .toDF("doc_id", "lang")
+    val kept = CorpusOps.stratifiedExact(docs, "lang", "doc_id",
+        num = 1, den = 10, salt = "s-")
+      .as[(Long, String)].collect()
+    // strata sizes: lang0 146, lang1 146, lang2 145 → keep 14/14/14
+    val perLang = kept.groupBy(_._2).view.mapValues(_.length).toMap
+    assert(perLang === Map("lang0" -> 14, "lang1" -> 14, "lang2" -> 14))
+    // reproducible: same salt → same rows; different salt → different cut
+    val again = CorpusOps.stratifiedExact(docs, "lang", "doc_id", 1, 10, "s-")
+      .as[(Long, String)].collect()
+    assert(kept.sortBy(_._1).toSeq === again.sortBy(_._1).toSeq)
+    val other = CorpusOps.stratifiedExact(docs, "lang", "doc_id", 1, 10, "t-")
+      .as[(Long, String)].collect()
+    assert(other.map(_._1).toSet !== kept.map(_._1).toSet)
+    // num = 0 keeps nothing; num = den keeps everything
+    assert(CorpusOps.stratifiedExact(docs, "lang", "doc_id", 0, 10, "s-")
+      .count() === 0L)
+    assert(CorpusOps.stratifiedExact(docs, "lang", "doc_id", 10, 10, "s-")
+      .count() === 437L)
+  }
+
   test("kmeansFixedPoint is bit-identical under repartitioning") {
     val pts = (0 until 60).map(i =>
       (i.toLong, Array.tabulate(4)(d => ((i * 31 + d * 17) % 97) / 97.0f)))
