@@ -327,4 +327,55 @@ object PropertySpec extends Properties("graft") {
           }
       }
     }
+
+  private val noveltyCorpusGen = Gen.listOfN(8, for {
+    id <- Gen.choose(0L, 30L)
+    words <- Gen.listOfN(6, Gen.oneOf("alpha", "beta", "gamma", "delta",
+      "epsilon", "zeta"))
+  } yield (id, words.mkString(" "))).map(_.distinctBy(_._1)).suchThat(_.nonEmpty)
+
+  property("noveltyCounts conserve: Σ novel = |distinct hashes|, novel ≤ total per doc") =
+    forAll(noveltyCorpusGen) { docs =>
+      val df = docs.toDF("doc_id", "text")
+      val got = graft.ops.CorpusOps.noveltyCounts(df, "doc_id", "text", 2)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+      val distinctHashes = df.select(explode(graft.functions.shingleHash64(
+          graft.functions.TextFunctions.tokens(col("text")), 2)).as("h"))
+        .distinct().count()
+      // every distinct hash is novel for exactly its first carrier
+      got.map(_._3).sum == distinctHashes &&
+        got.forall { case (_, tot, nov) => nov >= 0 && nov <= tot } &&
+        got.length == docs.length
+    }
+
+  property("overlapMatrix: shared ≤ min of either group's distinct hashes") =
+    forAll(Gen.listOfN(10, for {
+      lang <- Gen.oneOf("en", "fr", "de")
+      words <- Gen.listOfN(5, Gen.oneOf("u", "v", "w", "x", "y"))
+    } yield (lang, words.mkString(" ")))) { docs =>
+      val df = docs.toDF("lang", "text")
+      val perGroup = df.select(col("lang"),
+          explode(graft.functions.shingleHash64(
+            graft.functions.TextFunctions.tokens(col("text")), 2)).as("h"))
+        .distinct().groupBy("lang").count()
+        .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+      graft.ops.CorpusOps.overlapMatrix(df, "lang", "text", 2)
+        .collect().forall { r =>
+          val (a, b, n) = (r.getString(0), r.getString(1), r.getLong(2))
+          n >= 1 && n <= math.min(perGroup(a), perGroup(b)) && a < b
+        }
+    }
+
+  property("longestPathLayers: every DAG edge rises exactly-one-or-more at the fixed point") =
+    forAll(Gen.listOfN(20, for {
+      a <- Gen.choose(0L, 10L); b <- Gen.choose(0L, 10L)
+    } yield (a, b)).map(_.collect { case (a, b) if a < b => (a, b) })
+      .suchThat(_.nonEmpty)) { dag =>
+      // ascending edges only → acyclic; 11 nodes → depth ≤ 10 ≤ 12 rounds
+      val layers = graft.ops.Graph.longestPathLayers(
+          dag.toDF("src", "dst"), "src", "dst", iterations = 12)
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      dag.forall { case (s, d) => layers(d) >= layers(s) + 1 } &&
+        layers.values.forall(_ >= 0)
+    }
 }
