@@ -3799,6 +3799,27 @@ object SparkEntry {
           "lang", "doc_id", num = 1, den = 20, salt = "graft-split-")
         .select("lang", "doc_id")
         .orderBy("lang", "doc_id")
+    }),
+
+    // ---- pure-SQL surface: the codegen'd kernels exercised THROUGH the
+    // registered SQL functions in one spark.sql text query — runtime
+    // evidence that a SQL-only user gets hash-identical results ---------
+    "q89_sql_surface" -> ((s, dir) => {
+      GraftExtensions.register(s)
+      t(s, dir, "documents").createOrReplaceTempView("graft_docs_q89")
+      s.sql("""
+        |SELECT doc_id, lang_id(toks) AS lang_pred, simhash60(toks) AS sh,
+        |  sig[0] AS sig_0, sig[1] AS sig_1, sig[2] AS sig_2, sig[3] AS sig_3
+        |FROM (
+        |  SELECT doc_id, toks, minhash_sig(shingle_hash64(toks, 3), 4) AS sig
+        |  FROM (
+        |    SELECT doc_id,
+        |      CASE WHEN length(trim(text)) = 0
+        |           THEN CAST(array() AS ARRAY<STRING>)
+        |           ELSE split(lower(regexp_replace(trim(text), '\\s+', ' ')), ' ')
+        |      END AS toks
+        |    FROM graft_docs_q89))
+        |ORDER BY doc_id""".stripMargin)
     })
   )
 
@@ -7290,6 +7311,17 @@ object SparkEntry {
         |    COUNT(*) OVER (PARTITION BY lang) AS tot
         |  FROM d)
         |SELECT lang, doc_id FROM r WHERE rn * 20 <= tot * 1
-        |ORDER BY lang, doc_id""".stripMargin
+        |ORDER BY lang, doc_id""".stripMargin,
+
+    // the d3/d4/d5 oracle kernels composed over one pass — what the
+    // SQL-registered functions must reproduce bit-for-bit
+    "q89_sql_surface" -> {
+      val sig = OracleSql.minhashSig("text", 4, 3)
+      s"""SELECT doc_id, ${OracleSql.langIdCase("text")} AS lang_pred,
+         |  ${OracleSql.simhash("text")} AS sh,
+         |  sig[1] AS sig_0, sig[2] AS sig_1, sig[3] AS sig_2, sig[4] AS sig_3
+         |FROM (SELECT doc_id, text, $sig AS sig FROM documents)
+         |ORDER BY doc_id""".stripMargin
+    }
   )
 }
