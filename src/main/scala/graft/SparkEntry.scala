@@ -3820,6 +3820,58 @@ object SparkEntry {
         |      END AS toks
         |    FROM graft_docs_q89))
         |ORDER BY doc_id""".stripMargin)
+    }),
+
+    // ---- modality completeness audit: presence matrix across the
+    // documents / embeddings / decodable-image views via two full-outer
+    // joins on the id spine — the "which docs still need embeddings"
+    // dashboard; output is 2^3-bounded ---------------------------------
+    "m16_modality_audit" -> ((s, dir) => {
+      val d = t(s, dir, "documents")
+        .select(col("doc_id").as("id"), lit(1).as("has_doc"))
+      val e = t(s, dir, "embeddings")
+        .select(col("vec_id").as("id"), lit(1).as("has_emb"))
+      val img = t(s, dir, "documents").filter(col("doc_id") % 3 =!= 2)
+        .select(col("doc_id").as("id"), lit(1).as("has_img"))
+      d.join(e, Seq("id"), "full_outer").join(img, Seq("id"), "full_outer")
+        .withColumn("has_doc", coalesce(col("has_doc"), lit(0)))
+        .withColumn("has_emb", coalesce(col("has_emb"), lit(0)))
+        .withColumn("has_img", coalesce(col("has_img"), lit(0)))
+        .groupBy("has_doc", "has_emb", "has_img")
+        .agg(count(lit(1)).as("n"),
+          min("id").as("min_id"), max("id").as("max_id"))
+        .orderBy("has_doc", "has_emb", "has_img")
+    }),
+
+    // ---- STREAMING binary-file ingest + triage: real .png files (some
+    // deliberately truncated/garbage) arrive through the binaryFile
+    // file-stream source and are triaged in-flight — the continuous
+    // crawl-ingest front door; corruption yields verdict rows, the
+    // stream never dies --------------------------------------------------
+    "s24_stream_media_triage" -> ((s, dir) => {
+      import s.implicits._
+      val tmp = java.nio.file.Paths.get(gateScratch("s24"))
+      t(s, dir, "documents").select("doc_id")
+        .filter(col("doc_id") % 3 === 0 && col("doc_id") < 90)
+        .collect().map(_.getLong(0)).foreach { id =>
+          val png = ops.Multimodal.MediaGen.image("png",
+            (id % 64 + 1).toInt, (id % 48 + 1).toInt, id)
+          val bytes =
+            if (id % 13 == 0) Array.fill(16)(0x00.toByte)
+            else if (id % 7 == 0) png.take(32)
+            else png
+          java.nio.file.Files.write(tmp.resolve(f"img_$id%04d.png"), bytes)
+        }
+      val schema = s.read.format("binaryFile").load(s"$tmp/*.png").schema
+      val stream = s.readStream.format("binaryFile").schema(schema)
+        .option("pathGlobFilter", "*.png").load(tmp.toString)
+        .select(regexp_extract(col("path"), "img_(\\d+)\\.png$", 1)
+          .cast("long").as("media_id"), col("content"))
+        .as[(Long, Array[Byte])]
+        .map { case (id, bytes) => ops.Multimodal.MediaRecord(id, bytes,
+          ops.Multimodal.MediaMeta("png", 0, 0, 0L)) }
+      val verdicts = ops.Multimodal.triageFeatures(stream).toDF()
+      streamToTable(s, verdicts, "s24", "append").orderBy("media_id")
     })
   )
 
@@ -7322,6 +7374,41 @@ object SparkEntry {
          |  sig[1] AS sig_0, sig[2] AS sig_1, sig[3] AS sig_2, sig[4] AS sig_3
          |FROM (SELECT doc_id, text, $sig AS sig FROM documents)
          |ORDER BY doc_id""".stripMargin
-    }
+    },
+
+    // presence flags from the same three id views, grouped
+    "m16_modality_audit" ->
+      """WITH ids AS (
+        |  SELECT doc_id AS id FROM documents
+        |  UNION SELECT vec_id FROM embeddings),
+        |f AS (
+        |  SELECT id,
+        |    CASE WHEN id IN (SELECT doc_id FROM documents)
+        |         THEN 1 ELSE 0 END AS has_doc,
+        |    CASE WHEN id IN (SELECT vec_id FROM embeddings)
+        |         THEN 1 ELSE 0 END AS has_emb,
+        |    CASE WHEN id IN (SELECT doc_id FROM documents
+        |                     WHERE doc_id % 3 <> 2)
+        |         THEN 1 ELSE 0 END AS has_img
+        |  FROM ids)
+        |SELECT has_doc, has_emb, has_img, COUNT(*) AS n,
+        |  MIN(id) AS min_id, MAX(id) AS max_id
+        |FROM f GROUP BY 1, 2, 3 ORDER BY 1, 2, 3""".stripMargin,
+
+    // closed-form verdicts for the streamed png subset (garbage wins
+    // over truncation, matching the writer's if-order)
+    "s24_stream_media_triage" ->
+      """SELECT doc_id AS media_id,
+        |  CASE WHEN doc_id % 13 = 0 THEN 'unknown' ELSE 'png' END AS format,
+        |  CAST(CASE WHEN doc_id % 13 = 0 THEN 0
+        |            ELSE doc_id % 64 + 1 END AS INT) AS width,
+        |  CAST(CASE WHEN doc_id % 13 = 0 THEN 0
+        |            ELSE doc_id % 48 + 1 END AS INT) AS height,
+        |  CAST(0 AS BIGINT) AS duration_ms,
+        |  CASE WHEN doc_id % 13 = 0 THEN 'unparseable'
+        |       WHEN doc_id % 7 = 0 THEN 'header_only'
+        |       ELSE 'ok' END AS status
+        |FROM documents WHERE doc_id % 3 = 0 AND doc_id < 90
+        |ORDER BY media_id""".stripMargin
   )
 }
