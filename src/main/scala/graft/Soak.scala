@@ -223,29 +223,36 @@ object Soak {
             .withColumn("lang", pmod(col("doc_id"), lit(8)).cast("string")),
           "lang", "text", shingleSize = 3).count()
       },
-      measure("view_refresh_delta") { // q86: 0.1%-delta refresh cost
+      {
+        // q86: the maintained view is PRE-BUILT state — construct and
+        // materialize it OUTSIDE the timer (at 20 copies the build's
+        // 3M-row join shuffled ~44 MB and was masquerading as refresh
+        // cost); the measure then sees ONLY the delta-join refresh
         val o = spark.read.parquet(s"$sfDir/orders.parquet")
           .select("o_orderkey", "o_custkey", "o_totalprice")
         val oN = (0 until copies).map { i =>
           o.select((col("o_orderkey") + lit(i * 100000000L)).as("o_orderkey"),
             col("o_custkey"), col("o_totalprice"))
-        }.reduce(_ unionAll _)
+        }.reduce(_ unionAll _).localCheckpoint(eager = true)
         val c = spark.read.parquet(s"$sfDir/customer.parquet")
           .select("c_custkey", "c_nationkey", "c_acctbal")
         val view = oN.join(c, col("o_custkey") === col("c_custkey"))
           .select("o_orderkey", "o_custkey", "o_totalprice",
             "c_acctbal", "c_nationkey")
           .localCheckpoint(eager = true) // the maintained state, pre-built
-        val dB = c.filter(col("c_custkey") % 1000 === 0)
-          .select(col("c_custkey"), col("c_nationkey"),
-            (col("c_acctbal") + 1.0).as("c_acctbal"),
-            lit(false).as("is_delete"))
-        val bNew = ops.Merge.applyChanges(c, dB, "c_custkey")
-          .withColumnRenamed("c_custkey", "o_custkey")
-        ops.Merge.incrementalJoinView(view, oN, bNew,
-          oN.select("o_orderkey").filter(lit(false)),
-          dB.select(col("c_custkey").as("o_custkey")),
-          "o_orderkey", "o_custkey").count()
+        quiesce() // keep the build's shuffle out of the refresh meter
+        measure("view_refresh_delta") { // 0.1%-delta refresh cost ONLY
+          val dB = c.filter(col("c_custkey") % 1000 === 0)
+            .select(col("c_custkey"), col("c_nationkey"),
+              (col("c_acctbal") + 1.0).as("c_acctbal"),
+              lit(false).as("is_delete"))
+          val bNew = ops.Merge.applyChanges(c, dB, "c_custkey")
+            .withColumnRenamed("c_custkey", "o_custkey")
+          ops.Merge.incrementalJoinView(view, oN, bNew,
+            oN.select("o_orderkey").filter(lit(false)),
+            dB.select(col("c_custkey").as("o_custkey")),
+            "o_orderkey", "o_custkey").count()
+        }
       })
 
     val auditJson = audits.toSeq.sortBy(_._1).map { case (n, (b, mx, p)) =>

@@ -174,6 +174,19 @@ object Merge {
     *
     * @return V' with exactly `view`'s column order
     */
+  /** @param broadcastKeys broadcast the affected-key set into the
+    *        anti/semi joins (default). The delta-join rule only pays
+    *        off when Δ ≪ table — in that regime the key set is
+    *        delta-scale by construction and broadcasting it is the
+    *        POINT: the view and fact tables are never re-exchanged.
+    *        Without the hint, Catalyst's pre-materialization estimate
+    *        of the semi-joined key set GROWS WITH THE FACT TABLE and
+    *        eventually flips these joins to sort-merge, silently
+    *        shuffling the whole view (observed: 0.1 MB → 44 MB on a
+    *        2× fact table, before AQE can demote the already-written
+    *        map side). Pass false only for a delta so large it
+    *        approaches the table — at which point a full rebuild is
+    *        usually cheaper anyway. */
   def incrementalJoinView(
       view: DataFrame,
       aNew: DataFrame,
@@ -181,15 +194,18 @@ object Merge {
       deltaAKeys: DataFrame,
       deltaBKeys: DataFrame,
       aKey: String,
-      bKey: String): DataFrame = {
+      bKey: String,
+      broadcastKeys: Boolean = true): DataFrame = {
     val affectedFromB = aNew
-      .join(deltaBKeys.select(col(bKey)), Seq(bKey), "left_semi")
+      .join(broadcast(deltaBKeys.select(col(bKey))), Seq(bKey), "left_semi")
       .select(col(aKey))
-    val affected = deltaAKeys.select(col(aKey))
+    val affectedPlain = deltaAKeys.select(col(aKey))
       .unionAll(affectedFromB)
       .distinct()
-      // two consumers (anti-join + semi-join): materialize the key set
+      // two consumers (anti-join + semi-join): compute the set once
       .localCheckpoint(eager = false)
+    val affected =
+      if (broadcastKeys) broadcast(affectedPlain) else affectedPlain
     val rebuilt = aNew.join(affected, Seq(aKey), "left_semi")
       .join(bNew, Seq(bKey))
       .select(view.columns.map(col).toSeq: _*)
