@@ -3872,8 +3872,52 @@ object SparkEntry {
           ops.Multimodal.MediaMeta("png", 0, 0, 0L)) }
       val verdicts = ops.Multimodal.triageFeatures(stream).toDF()
       streamToTable(s, verdicts, "s24", "append").orderBy("media_id")
+    }),
+
+    // ---- AQE skew-join handling: 75% of the fact rows collapse onto
+    // ONE join key, broadcast is disabled, and the skewed-partition
+    // thresholds are gate-scoped so AQE must SPLIT the hot partition
+    // (plan-asserted in SkewJoinPlanSpec); executed eagerly inside the
+    // conf scope, restored after --------------------------------------
+    "q90_aqe_skew_join" -> ((s, dir) => {
+      val confs = Map(
+        "spark.sql.adaptive.skewJoin.skewedPartitionFactor" -> "1.0",
+        "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes" ->
+          "65536",
+        "spark.sql.adaptive.advisoryPartitionSizeInBytes" -> "65536",
+        "spark.sql.autoBroadcastJoinThreshold" -> "-1")
+      val prev = confs.keys.map(k => k -> s.conf.getOption(k)).toMap
+      confs.foreach { case (k, v) => s.conf.set(k, v) }
+      // eager checkpoint: the join EXECUTES while the skew confs are
+      // active; the caller gets materialized rows, and the restored
+      // confs cannot leak into other gates' plans
+      try q90SkewJoin(s, dir).localCheckpoint(eager = true)
+      finally prev.foreach { case (k, v) =>
+        v.fold(s.conf.unset(k))(s.conf.set(k, _)) }
     })
   )
+
+  /** q90's plan, shared with SkewJoinPlanSpec: an engineered-skew
+    * fact⋈dim sort-merge join (one key carries 75% of the rows). */
+  private[graft] def q90SkewJoin(s: SparkSession, dir: String): DataFrame = {
+    // round-robin the fact side across 16 tasks first: AQE splits a
+    // skewed reduce partition at MAP-BLOCK granularity, so a hot
+    // partition fed by a single mapper (one small parquet file locally)
+    // is unsplittable no matter its size. At 100 TB the map side has
+    // thousands of scan tasks and this exchange does not exist — the
+    // repartition recreates that many-mapper shape at fixture scale.
+    val li = t(s, dir, "lineitem").repartition(16).select(
+      when(col("l_orderkey") % 4 =!= 0, lit(1L))
+        .otherwise(col("l_orderkey").cast("long")).as("jk"),
+      col("l_quantity"))
+    val dim = t(s, dir, "orders")
+      .select(col("o_orderkey").cast("long").as("jk"), col("o_orderpriority"))
+    li.join(dim, Seq("jk"))
+      .groupBy("o_orderpriority")
+      .agg(count(lit(1)).as("n"),
+        sum(col("l_quantity").cast("decimal(18,2)")).cast("double").as("qty"))
+      .orderBy("o_orderpriority")
+  }
 
   /** Shared 16-token boilerplate header injected by the d27 gate —
     * referenced verbatim by both the Spark query and its oracle. */
@@ -7409,6 +7453,19 @@ object SparkEntry {
         |       WHEN doc_id % 7 = 0 THEN 'header_only'
         |       ELSE 'ok' END AS status
         |FROM documents WHERE doc_id % 3 = 0 AND doc_id < 90
-        |ORDER BY media_id""".stripMargin
+        |ORDER BY media_id""".stripMargin,
+
+    // the skew remedy must not change a single value: same collapsed
+    // key, same join, same aggregate
+    "q90_aqe_skew_join" ->
+      """WITH li AS (
+        |  SELECT CASE WHEN l_orderkey % 4 <> 0 THEN 1
+        |              ELSE l_orderkey END AS jk, l_quantity
+        |  FROM lineitem),
+        |d AS (SELECT o_orderkey AS jk, o_orderpriority FROM orders)
+        |SELECT o_orderpriority, COUNT(*) AS n,
+        |  CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS qty
+        |FROM li JOIN d USING (jk)
+        |GROUP BY 1 ORDER BY 1""".stripMargin
   )
 }
