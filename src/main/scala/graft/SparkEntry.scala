@@ -3894,8 +3894,41 @@ object SparkEntry {
       try q90SkewJoin(s, dir).localCheckpoint(eager = true)
       finally prev.foreach { case (k, v) =>
         v.fold(s.conf.unset(k))(s.conf.set(k, _)) }
+    }),
+
+    // ---- runtime Bloom-filter join pruning: the selective dim filter
+    // is turned into a bloom filter EVALUATED ON THE FACT SCAN before
+    // the shuffle (plan-asserted in RuntimeBloomPlanSpec); same
+    // gate-scoped conf + eager-checkpoint pattern as q90 ----------------
+    "q91_runtime_bloom" -> ((s, dir) => {
+      val confs = Map(
+        "spark.sql.optimizer.runtime.bloomFilter.enabled" -> "true",
+        "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold" -> "0",
+        "spark.sql.autoBroadcastJoinThreshold" -> "-1")
+      val prev = confs.keys.map(k => k -> s.conf.getOption(k)).toMap
+      confs.foreach { case (k, v) => s.conf.set(k, v) }
+      try q91BloomJoin(s, dir).localCheckpoint(eager = true)
+      finally prev.foreach { case (k, v) =>
+        v.fold(s.conf.unset(k))(s.conf.set(k, _)) }
     })
   )
+
+  /** q91's plan, shared with RuntimeBloomPlanSpec: a fact⋈dim join
+    * whose dim side carries a selective non-key filter — the shape the
+    * runtime Bloom-filter rule targets (prune fact rows BEFORE the
+    * join shuffle using a bloom built from the filtered dim keys). */
+  private[graft] def q91BloomJoin(s: SparkSession, dir: String): DataFrame = {
+    val li = t(s, dir, "lineitem")
+      .select(col("l_orderkey"), col("l_quantity"))
+    val dim = t(s, dir, "orders")
+      .filter(col("o_orderkey") % 97 === 0)
+      .select(col("o_orderkey"), col("o_orderpriority"))
+    li.join(dim, col("l_orderkey") === col("o_orderkey"))
+      .groupBy("o_orderpriority")
+      .agg(count(lit(1)).as("n"),
+        sum(col("l_quantity").cast("decimal(18,2)")).cast("double").as("qty"))
+      .orderBy("o_orderpriority")
+  }
 
   /** q90's plan, shared with SkewJoinPlanSpec: an engineered-skew
     * fact⋈dim sort-merge join (one key carries 75% of the rows). */
@@ -7466,6 +7499,14 @@ object SparkEntry {
         |SELECT o_orderpriority, COUNT(*) AS n,
         |  CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS qty
         |FROM li JOIN d USING (jk)
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    // the bloom filter is pure pruning — values must be untouched
+    "q91_runtime_bloom" ->
+      """SELECT o_orderpriority, COUNT(*) AS n,
+        |  CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS qty
+        |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        |WHERE o_orderkey % 97 = 0
         |GROUP BY 1 ORDER BY 1""".stripMargin
   )
 }
