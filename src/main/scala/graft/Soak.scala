@@ -223,6 +223,36 @@ object Soak {
             .withColumn("lang", pmod(col("doc_id"), lit(8)).cast("string")),
           "lang", "text", shingleSize = 3).count()
       },
+      measure("ivf_rebalance_skew") { // e23: one engineered hot cell
+        // a 20k-vector clump of near-identical (but DISTINCT — tiny
+        // per-id perturbation on dim 0) vectors floods ONE inverted
+        // list; rebalance must split it at O(oversized rows), leave
+        // every healthy list unrewritten, and audit exactly which
+        // lists paid. The base vector is a 1-row driver panel (the
+        // same blessed-panel posture as the centroid broadcast).
+        val base: Seq[Float] = spark.read
+          .parquet(s"$sfDir/embeddings.parquet")
+          .filter(col("vec_id") === 0).select("embedding")
+          .head().getSeq[Float](0).toSeq
+        val baseArr = array(base.map(f => lit(f.toDouble)): _*)
+        val clump = spark.range(0, 20000)
+          .select((col("id") + 500000000L).as("vec_id"),
+            concat(
+              array(col("id").cast("double") * 1e-7 +
+                lit(base.head.toDouble)),
+              slice(baseArr, 2, base.length - 1)).as("embedding"))
+        val all = embN
+          .select(col("vec_id"),
+            col("embedding").cast("array<double>").as("embedding"))
+          .unionAll(clump)
+        val idx = ops.Similarity.ivfIndexSeeded(
+          all, "vec_id", "embedding", nlist = 32)
+        val (idx2, audit) = idx.rebalance(maxList = 10000L)
+        audits += "ivf_rebalance_skew" -> auditCounters(
+          audit.select(col("cell").cast("long").as("h"),
+            col("n").as("bucket_sz")))
+        idx2.assigned.count()
+      },
       {
         // q86: the maintained view is PRE-BUILT state — construct and
         // materialize it OUTSIDE the timer (at 20 copies the build's
