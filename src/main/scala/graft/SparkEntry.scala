@@ -3910,6 +3910,35 @@ object SparkEntry {
       try q91BloomJoin(s, dir).localCheckpoint(eager = true)
       finally prev.foreach { case (k, v) =>
         v.fold(s.conf.unset(k))(s.conf.set(k, _)) }
+    }),
+
+    // ---- manifest time travel: epoch-1's stats manifest IS the v1
+    // snapshot of the append-only table (immutable files, appends only
+    // add) — reading its file list AS OF v1 must exclude the later
+    // append, while the extended manifest sees everything --------------
+    "q92_time_travel" -> ((s, dir) => {
+      val tmp = gateScratch("q92")
+      val li = t(s, dir, "lineitem")
+        .select("l_orderkey", "l_returnflag", "l_quantity")
+      li.filter(col("l_orderkey") % 2 === 0)
+        .repartitionByRange(4, col("l_orderkey"))
+        .write.parquet(s"$tmp/t")
+      val m1 = ops.Layout.statsManifest(s, s"$tmp/t", Seq("l_orderkey"))
+        .localCheckpoint(eager = true) // pin v1 BEFORE the append lands
+      li.filter(col("l_orderkey") % 2 === 1)
+        .repartitionByRange(4, col("l_orderkey"))
+        .write.mode("append").parquet(s"$tmp/t")
+      val m2 = ops.Layout.extendManifest(s, s"$tmp/t", m1, Seq("l_orderkey"))
+      def snap(m: DataFrame, v: Int): DataFrame =
+        ops.Layout.snapshotRead(s, s"$tmp/t", m)
+          .groupBy("l_returnflag")
+          .agg(count(lit(1)).as("n_items"),
+            sum(col("l_quantity").cast("decimal(18,2)")).cast("double")
+              .as("sum_qty"))
+          .withColumn("version", lit(v))
+      snap(m1, 1).unionAll(snap(m2, 2))
+        .select("version", "l_returnflag", "n_items", "sum_qty")
+        .orderBy("version", "l_returnflag")
     })
   )
 
@@ -7507,6 +7536,18 @@ object SparkEntry {
         |  CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS qty
         |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
         |WHERE o_orderkey % 97 = 0
-        |GROUP BY 1 ORDER BY 1""".stripMargin
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    // v1 = the even-key epoch only; v2 = the whole table
+    "q92_time_travel" ->
+      """SELECT CAST(1 AS INT) AS version, l_returnflag,
+        |  COUNT(*) AS n_items,
+        |  CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty
+        |FROM lineitem WHERE l_orderkey % 2 = 0 GROUP BY 2
+        |UNION ALL
+        |SELECT CAST(2 AS INT), l_returnflag, COUNT(*),
+        |  CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE)
+        |FROM lineitem GROUP BY 2
+        |ORDER BY version, l_returnflag""".stripMargin
   )
 }

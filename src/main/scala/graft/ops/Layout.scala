@@ -256,4 +256,21 @@ object Layout {
       else spark.read.parquet(keep.toIndexedSeq: _*)
     base.filter(col(colName) >= lo && col(colName) <= hi)
   }
+
+  /** TIME-TRAVEL read of an append-only table: a stats manifest is a
+    * consistent snapshot — parquet files are immutable and appends only
+    * ADD files — so reading exactly the manifest's file list reproduces
+    * the table AS OF the moment that manifest was taken. No transaction
+    * log, no tombstones: retained manifests ARE the version history
+    * (the core of the Iceberg/Delta snapshot idea, restricted to the
+    * append-only case the manifest family already maintains). Planner
+    * cost is the O(#files) path collect every manifest consumer pays;
+    * files added after the manifest are simply never listed, so a
+    * concurrent append cannot tear the snapshot. */
+  def snapshotRead(spark: org.apache.spark.sql.SparkSession, dir: String,
+      manifest: DataFrame): DataFrame = {
+    val files = manifest.select("file").collect().map(_.getString(0))
+    if (files.isEmpty) spark.read.parquet(dir).limit(0)
+    else spark.read.parquet(files.toIndexedSeq: _*)
+  }
 }

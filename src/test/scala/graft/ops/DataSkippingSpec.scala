@@ -62,4 +62,23 @@ class DataSkippingSpec extends AnyFunSuite with SparkTestBase {
     assert(out.count() === 0L)
     assert(out.columns.toSeq === Seq("k", "v"))
   }
+
+  test("snapshotRead: a pinned manifest excludes later appends (time travel)") {
+    val dir = freshDir("tt")
+    spark.range(0, 100).select(col("id").as("k"), (col("id") % 7).as("v"))
+      .write.mode("overwrite").parquet(dir)
+    val v1 = Layout.statsManifest(spark, dir, Seq("k"))
+      .localCheckpoint(eager = true)
+    spark.range(100, 250).select(col("id").as("k"), (col("id") % 7).as("v"))
+      .write.mode("append").parquet(dir)
+    val v2 = Layout.extendManifest(spark, dir, v1, Seq("k"))
+    // AS OF v1: exactly the pre-append rows; AS OF v2: everything
+    val s1 = Layout.snapshotRead(spark, dir, v1)
+    assert(s1.count() === 100L)
+    assert(s1.agg(max("k")).head().getLong(0) === 99L)
+    assert(Layout.snapshotRead(spark, dir, v2).count() === 250L)
+    // an empty manifest is an empty (schema-correct) snapshot
+    val empty = Layout.snapshotRead(spark, dir, v1.filter(lit(false)))
+    assert(empty.count() === 0L && empty.columns.toSeq === Seq("k", "v"))
+  }
 }
