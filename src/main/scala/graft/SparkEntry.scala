@@ -3939,6 +3939,42 @@ object SparkEntry {
       snap(m1, 1).unionAll(snap(m2, 2))
         .select("version", "l_returnflag", "n_items", "sum_qty")
         .orderBy("version", "l_returnflag")
+    }),
+
+    // ---- deletion vectors: two delete waves recorded as (file, pos)
+    // addresses — files never rewritten (spec proves byte-identity),
+    // the merge-on-read scan subtracts them via a broadcast anti join.
+    // DV tables compose by union (wave 2 lands on the same table) -------
+    "q93_deletion_vectors" -> ((s, dir) => {
+      val tmp = gateScratch("q93")
+      t(s, dir, "lineitem")
+        .select("l_orderkey", "l_linenumber", "l_returnflag", "l_quantity")
+        .repartitionByRange(4, col("l_orderkey"))
+        .write.parquet(s"$tmp/t")
+      val w1 = ops.Layout.deletionVectors(s, s"$tmp/t",
+        col("l_returnflag") === "R")
+      val w2 = ops.Layout.deletionVectors(s, s"$tmp/t",
+        col("l_quantity") >= 48.0)
+      val dv = w1.unionAll(w2).distinct() // waves overlap; deletes are idempotent
+      ops.Layout.readWithDeletes(s, s"$tmp/t", dv)
+        .groupBy("l_returnflag")
+        .agg(count(lit(1)).as("n_rows"),
+          sum(col("l_quantity").cast("decimal(18,2)")).cast("double")
+            .as("sum_qty"))
+        .orderBy("l_returnflag")
+    }),
+
+    // ---- IVF tombstone delete: drop ids from the index, then the batch
+    // kNN join — deleted ids neither query nor surface as neighbors, and
+    // the result equals a rebuild over survivors (frozen centroid panel,
+    // per-row-pure assignment) — the GDPR path for a vector store -------
+    "e25_ivf_remove" -> ((s, dir) => {
+      val emb = t(s, dir, "embeddings")
+      val idx = ops.Similarity.ivfIndexSeeded(emb, "vec_id", "embedding",
+        nlist = 8)
+      val gone = emb.select("vec_id").filter(col("vec_id") % 7 === 0)
+      idx.remove(gone, "vec_id").knnJoin(k = 5, nprobe = 2)
+        .orderBy("id", "rank")
     })
   )
 
@@ -7548,6 +7584,24 @@ object SparkEntry {
         |SELECT CAST(2 AS INT), l_returnflag, COUNT(*),
         |  CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE)
         |FROM lineitem GROUP BY 2
-        |ORDER BY version, l_returnflag""".stripMargin
+        |ORDER BY version, l_returnflag""".stripMargin,
+
+    // merge-on-read ≡ the plain filtered scan: rows hit by either delete
+    // wave are simply absent
+    "q93_deletion_vectors" ->
+      """SELECT l_returnflag, COUNT(*) AS n_rows,
+        |  CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty
+        |FROM lineitem
+        |WHERE NOT (l_returnflag = 'R') AND NOT (l_quantity >= 48.0)
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    // tombstone delete ≡ rebuild over survivors: the e7 replay with the
+    // deleted ids absent from BOTH the query and the candidate side
+    "e25_ivf_remove" ->
+      s"""WITH ${OracleSql.ivfKnnCtes(nlist = 8, nprobe = 2, k = 5,
+            candWhere = "el.vec_id % 7 <> 0")}
+         |SELECT id, rank, nid, cos FROM knn
+         |WHERE id % 7 <> 0
+         |ORDER BY id, rank""".stripMargin
   )
 }

@@ -273,4 +273,47 @@ object Layout {
     if (files.isEmpty) spark.read.parquet(dir).limit(0)
     else spark.read.parquet(files.toIndexedSeq: _*)
   }
+
+  /** DELETION VECTORS — row-level deletes WITHOUT rewriting files (the
+    * Delta/Iceberg merge-on-read delete path): one scan evaluates the
+    * delete predicate and records each hit as its immutable physical
+    * address `(file, pos)` from the parquet reader's
+    * `_metadata.file_path` / `_metadata.row_index` columns. Data files
+    * are untouched (spec proves byte-identity), so a takedown over a
+    * 100 TB table costs one predicate scan + an O(deleted-rows) side
+    * table instead of rewriting every file containing a hit.
+    *
+    * Positions are stable because parquet files never mutate in place
+    * and `row_index` is the reader's physical ordinal within the file —
+    * the same contract Delta deletion vectors rely on. The DV table is
+    * itself just rows, so it persists/extends through the ordinary
+    * sink (and unions of DV tables compose: deletes are idempotent
+    * under the distinct-ness of (file, pos)). */
+  def deletionVectors(spark: org.apache.spark.sql.SparkSession, dir: String,
+      predicate: Column): DataFrame =
+    spark.read.parquet(dir)
+      .filter(predicate)
+      .select(col("_metadata.file_path").as("file"),
+        col("_metadata.row_index").as("pos"))
+
+  /** Merge-on-read scan applying [[deletionVectors]]: the base table is
+    * scanned in place and deleted addresses are subtracted by a
+    * BROADCAST left-anti join on (file, pos) — the base side never
+    * shuffles (plan-asserted by DeletionVectorPlanSpec), the DV side
+    * ships two longs per deleted row. That broadcast is the documented
+    * scale contract: DVs are for SPARSE deletes; when a file's DV grows
+    * past a rewrite threshold, compact it (re-encode the file minus its
+    * deleted rows — [[compactSmall]]'s posture) and drop its DV rows,
+    * exactly as production lakehouses do. */
+  def readWithDeletes(spark: org.apache.spark.sql.SparkSession, dir: String,
+      dv: DataFrame): DataFrame = {
+    val base = spark.read.parquet(dir)
+      .withColumn("graft_dv_file", col("_metadata.file_path"))
+      .withColumn("graft_dv_pos", col("_metadata.row_index"))
+    base.join(
+        broadcast(dv.select(col("file").as("graft_dv_file"),
+          col("pos").as("graft_dv_pos"))),
+        Seq("graft_dv_file", "graft_dv_pos"), "left_anti")
+      .drop("graft_dv_file", "graft_dv_pos")
+  }
 }

@@ -351,6 +351,25 @@ object Similarity {
       IvfIndex(assigned.unionAll(
         Similarity.assignToCentroids(df, idCol, vecCol, centroids)), centroids)
 
+    /** Index maintenance for a SHRINKING corpus — the GDPR/takedown
+      * path: drop the listed ids from the index. No tombstone table is
+      * needed because the index IS per-id assignment rows: a left-anti
+      * join on id (ids-only shuffle; the centroid panel is untouched)
+      * removes exactly those rows. The contract worth proving (spec +
+      * gate e25) is rebuild-equivalence: assignment is a pure per-row
+      * function of (vector, frozen centroids), so the filtered index
+      * EQUALS the index a full rebuild over the surviving corpus would
+      * produce — deleted ids can never surface as neighbors, and every
+      * surviving (cell, cos) is bit-identical. Deletes never trigger a
+      * refit; a 100 TB deployment folds takedown batches at O(index
+      * scan) with the delete list broadcast. Shrunken cells are the
+      * mirror of [[addVectors]]' drift caveat — re-seed when the cell
+      * histogram says so. */
+    def remove(ids: DataFrame, idCol: String): IvfIndex =
+      IvfIndex(assigned.join(
+        broadcast(ids.select(col(idCol).cast("long").as("id"))),
+        Seq("id"), "left_anti"), centroids)
+
     /** Top-k by cosine among the `nprobe` nearest cells to the query. */
     def search(queryVec: Array[Double], k: Int, nprobe: Int): DataFrame = {
       def cos(a: Array[Double], b: Array[Double]): Double = {

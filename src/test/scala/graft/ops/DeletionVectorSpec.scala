@@ -1,0 +1,94 @@
+package graft.ops
+
+import graft.SparkTestBase
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Layout.deletionVectors / readWithDeletes: row-level deletes without
+  * touching data files. The spec pins the three contracts the doc
+  * makes: (1) data files are BYTE-IDENTICAL after a delete (merge-on-
+  * read, not rewrite); (2) the DV-applied scan equals the plain
+  * NOT-predicate filter, including across composed delete waves;
+  * (3) the plan subtracts the DV by a broadcast anti join — the base
+  * side never shuffles. */
+class DeletionVectorSpec extends AnyFunSuite with SparkTestBase {
+
+  import spark.implicits._
+
+  private def writeTable(n: Long): String = {
+    val dir = java.nio.file.Files.createTempDirectory("graft-dv").toString
+    spark.range(n)
+      .select(col("id").as("k"), (col("id") % 7).as("v"))
+      .repartitionByRange(4, col("k"))
+      .write.mode("overwrite").parquet(dir)
+    dir
+  }
+
+  private def fileBytes(dir: String): Map[String, Long] =
+    new java.io.File(dir).listFiles()
+      .filter(_.getName.endsWith(".parquet"))
+      .map(f => f.getName -> f.length()).toMap
+
+  private def fileDigests(dir: String): Map[String, String] =
+    new java.io.File(dir).listFiles()
+      .filter(_.getName.endsWith(".parquet"))
+      .map { f =>
+        val bytes = java.nio.file.Files.readAllBytes(f.toPath)
+        val md = java.security.MessageDigest.getInstance("MD5")
+        f.getName -> md.digest(bytes).map("%02x".format(_)).mkString
+      }.toMap
+
+  test("delete leaves every data file byte-identical") {
+    val dir = writeTable(1000)
+    val before = fileDigests(dir)
+    val dv = Layout.deletionVectors(spark, dir, col("v") === 3)
+    assert(dv.count() > 0)
+    Layout.readWithDeletes(spark, dir, dv).count() // force the read too
+    assert(fileDigests(dir) === before)
+    assert(fileBytes(dir).nonEmpty)
+  }
+
+  test("DV-applied scan equals the NOT-predicate filter") {
+    val dir = writeTable(1000)
+    val dv = Layout.deletionVectors(spark, dir, col("v") === 3)
+    val got = Layout.readWithDeletes(spark, dir, dv)
+      .select("k", "v").as[(Long, Long)].collect().sorted.toSeq
+    val want = spark.read.parquet(dir).filter(col("v") =!= 3)
+      .select("k", "v").as[(Long, Long)].collect().sorted.toSeq
+    assert(got === want)
+  }
+
+  test("delete waves compose by union and overlap idempotently") {
+    val dir = writeTable(1000)
+    val w1 = Layout.deletionVectors(spark, dir, col("v") === 3)
+    // wave 2 overlaps wave 1 (k < 500 includes some v == 3 rows)
+    val w2 = Layout.deletionVectors(spark, dir, col("k") < 500)
+    val dv = w1.unionAll(w2).distinct()
+    val got = Layout.readWithDeletes(spark, dir, dv)
+      .select("k", "v").as[(Long, Long)].collect().sorted.toSeq
+    val want = spark.read.parquet(dir)
+      .filter(!(col("v") === 3) && !(col("k") < 500))
+      .select("k", "v").as[(Long, Long)].collect().sorted.toSeq
+    assert(got === want)
+  }
+
+  test("empty DV returns the whole table") {
+    val dir = writeTable(100)
+    val dv = Layout.deletionVectors(spark, dir, lit(false))
+    assert(Layout.readWithDeletes(spark, dir, dv).count() === 100L)
+  }
+
+  test("plan: broadcast anti join, no exchange on the base side") {
+    val dir = writeTable(1000)
+    val dv = Layout.deletionVectors(spark, dir, col("v") === 3)
+      .localCheckpoint(eager = true) // freeze the DV as a side table
+    val plan = Layout.readWithDeletes(spark, dir, dv)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin") && plan.contains("LeftAnti"),
+      s"expected a broadcast anti join, got:\n$plan")
+    // the scan side must reach the join without a shuffle: the only
+    // exchange allowed in the whole plan is the broadcast one
+    assert(!plan.contains("ShuffleExchange"),
+      s"base side shuffled before the DV subtraction:\n$plan")
+  }
+}

@@ -773,6 +773,37 @@ class SimilaritySpec extends AnyFunSuite with SparkTestBase {
     assert(knn(incr) == knn(full))
   }
 
+  test("IvfIndex.remove equals a rebuild over the survivors (tombstone delete)") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(11)
+    val rows = (0 until 200).map { i =>
+      val c = i % 3
+      val base = Array.tabulate(8)(d => if (d == c) 10.0 else 0.0)
+      (i.toLong, base.map(x => (x + rnd.nextGaussian() * 0.1).toFloat))
+    }
+    val df = rows.toDF("id", "vec")
+    val idx = Similarity.ivfIndexSeeded(df, "id", "vec", nlist = 3)
+    // delete a third of the corpus, sparing the seed ids (a rebuild via
+    // ivfIndexSeeded needs ids 0..nlist-1 present; remove itself has no
+    // such constraint — the panel is frozen either way)
+    val goneIds = df.select("id").filter(col("id") >= 3 && col("id") % 3 === 0)
+    val removed = idx.remove(goneIds, "id")
+    val rebuilt = Similarity.ivfIndexSeeded(
+      df.join(goneIds, Seq("id"), "left_anti"), "id", "vec", nlist = 3)
+    assert(removed.centroids.map(_.toSeq).toSeq ==
+      rebuilt.centroids.map(_.toSeq).toSeq)
+    def cells(ix: Similarity.IvfIndex) = ix.assigned.select("id", "cell")
+      .collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
+    assert(cells(removed) == cells(rebuilt))
+    def knn(ix: Similarity.IvfIndex) = ix.knnJoin(k = 3, nprobe = 2)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    val gone = goneIds.as[Long].collect().toSet
+    val out = knn(removed)
+    assert(out == knn(rebuilt))
+    // deleted ids neither query nor surface as neighbors
+    assert(!out.exists { case (q, _, n) => gone(q) || gone(n) })
+  }
+
   test("rebalance splits only oversized lists, deterministically, preserving coverage") {
     import spark.implicits._
     val rnd = new scala.util.Random(7)
