@@ -3964,6 +3964,38 @@ object SparkEntry {
         .orderBy("l_returnflag")
     }),
 
+    // ---- non-invertible agg-view maintenance under deletes: MIN/MAX
+    // can't fold a retraction — recompute ONLY the delete-touched
+    // groups from the post-delete base, reuse the rest verbatim --------
+    "q94_view_refresh_delete" -> ((s, dir) => {
+      val base = t(s, dir, "lineitem")
+        .select(col("l_suppkey"), col("l_quantity"), col("l_orderkey"))
+      val view0 = base.groupBy("l_suppkey")
+        .agg(count(lit(1)).as("n"), min(col("l_quantity")).as("min_v"),
+          max(col("l_quantity")).as("max_v"))
+      val delPred = col("l_orderkey") % 50 === 0
+      ops.Merge.refreshAggAfterDelete(view0, base.filter(!delPred),
+          base.filter(delPred).select("l_suppkey"), "l_suppkey", "l_quantity")
+        .orderBy("l_suppkey")
+    }),
+
+    // ---- seeded deterministic random walks (DeepWalk corpus): the
+    // per-step pick is a salted hash of the walk identity, replayed
+    // step-for-step in SQL; (src, slot) equi-join — no hub fan-out ------
+    "g12_random_walks" -> ((s, dir) => {
+      val li = t(s, dir, "lineitem")
+      val edges = li.select(col("l_suppkey").cast("long").as("src"),
+          (col("l_partkey").cast("long") + 1000000L).as("dst"))
+        .unionAll(li.select(
+          (col("l_partkey").cast("long") + 1000000L).as("src"),
+          col("l_suppkey").cast("long").as("dst")))
+      ops.Graph.randomWalks(edges, "src", "dst", nWalks = 2, steps = 3,
+          seed = "graft-walk-g12")
+        .select(col("start").as("start_node"), col("walk"), col("step"),
+          col("node"))
+        .orderBy("start_node", "walk", "step")
+    }),
+
     // ---- IVF tombstone delete: drop ids from the index, then the batch
     // kNN join — deleted ids neither query nor surface as neighbors, and
     // the result equals a rebuild over survivors (frozen centroid panel,
@@ -7594,6 +7626,49 @@ object SparkEntry {
         |FROM lineitem
         |WHERE NOT (l_returnflag = 'R') AND NOT (l_quantity >= 48.0)
         |GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    // affected-group recompute ≡ the straight post-delete aggregation
+    "q94_view_refresh_delete" ->
+      """SELECT l_suppkey, COUNT(*) AS n,
+        |  MIN(l_quantity) AS min_v, MAX(l_quantity) AS max_v
+        |FROM lineitem WHERE NOT (l_orderkey % 50 = 0)
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    // every hash pick replayed step-for-step over the dst-sorted slots
+    "g12_random_walks" -> {
+      def pick(t: Int): String =
+        "('0x' || substr(md5(concat_ws('-', 'graft-walk-g12', " +
+          "CAST(f.start_node AS VARCHAR), CAST(f.walk AS VARCHAR), " +
+          s"'$t')), 1, 15))::BIGINT % a.deg"
+      def stepCte(t: Int): String =
+        s"""f$t AS (
+           |  SELECT f.start_node, f.walk, a.dst AS cur
+           |  FROM f${t - 1} f JOIN adj a
+           |    ON a.src = f.cur AND a.slot = ${pick(t)})""".stripMargin
+      s"""WITH e AS (
+         |  SELECT DISTINCT src, dst FROM (
+         |    SELECT CAST(l_suppkey AS BIGINT) AS src,
+         |           CAST(l_partkey AS BIGINT) + 1000000 AS dst FROM lineitem
+         |    UNION ALL
+         |    SELECT CAST(l_partkey AS BIGINT) + 1000000,
+         |           CAST(l_suppkey AS BIGINT) FROM lineitem)
+         |  WHERE src <> dst),
+         |adj AS (
+         |  SELECT src, dst,
+         |    ROW_NUMBER() OVER (PARTITION BY src ORDER BY dst) - 1 AS slot,
+         |    COUNT(*) OVER (PARTITION BY src) AS deg
+         |  FROM e),
+         |f0 AS (
+         |  SELECT s.src AS start_node, w.walk, s.src AS cur
+         |  FROM (SELECT DISTINCT src FROM e) s,
+         |       (SELECT UNNEST([0, 1]) AS walk) w),
+         |${(1 to 3).map(stepCte).mkString(",\n")}
+         |SELECT start_node, walk, step, node FROM (
+         |  ${(0 to 3).map(t =>
+             s"SELECT start_node, walk, $t AS step, cur AS node FROM f$t")
+             .mkString("\n  UNION ALL ")})
+         |ORDER BY start_node, walk, step""".stripMargin
+    },
 
     // tombstone delete ≡ rebuild over survivors: the e7 replay with the
     // deleted ids absent from BOTH the query and the candidate side

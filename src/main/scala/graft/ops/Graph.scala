@@ -772,4 +772,78 @@ object Graph {
       .filter(col("score") >= minScore)
     (pairs, dropped)
   }
+
+  /** Seeded deterministic random walks — the DeepWalk/node2vec (p=q=1)
+    * corpus generator: `nWalks` walks start at every node with out-
+    * edges; at step t a walk at node u moves to u's out-neighbor in
+    * slot `h64(seed-start-walk-t) mod outdeg(u)` of u's dst-sorted
+    * adjacency. The pick is a pure salted hash of the walk identity —
+    * no RNG state — so walks are bit-identical under reruns,
+    * repartitioning, and engine change (gate g12 replays every step in
+    * SQL). A walk reaching a sink (no out-edges) simply ends.
+    *
+    * Physical shape per step: the frontier joins the degree panel
+    * (computes the slot pick), then ONE equi-join on the UNIQUE
+    * (src, slot) adjacency key — no hub fan-out: a node of degree 10⁶
+    * contributes one row per incoming walk, never 10⁶ candidate rows
+    * (the naive cur=src join then slot filter would). Linear lineage
+    * (localCheckpoint per step), `steps` rounds total, walk rows only
+    * on the wire — at 100 TB-graph scale the corpus emitted is
+    * O(nodes·nWalks·steps) rows of three longs.
+    *
+    * @return (start, walk, step, node) — step 0 is the start row
+    */
+  def randomWalks(
+      edges: DataFrame,
+      srcCol: String,
+      dstCol: String,
+      nWalks: Int,
+      steps: Int,
+      seed: String = "graft-walk"): DataFrame = {
+    require(nWalks >= 1 && steps >= 1,
+      s"need nWalks >= 1 and steps >= 1, got $nWalks, $steps")
+    import org.apache.spark.sql.expressions.Window
+    val e = edges.select(col(srcCol).cast("long").as("src"),
+        col(dstCol).cast("long").as("dst"))
+      .filter(col("src") =!= col("dst"))
+      .distinct()
+    // dst-sorted slots + outdegree from the SAME window shuffle;
+    // (src, slot) is unique — the fan-out-free step-join key
+    val w = Window.partitionBy("src")
+    // dst-sorted slots + outdegree of src from one window shuffle; the
+    // outdegree of DST rides along (one build-time self-join) so every
+    // step needs ONE equi-join on the unique (src, slot) key — the
+    // frontier always carries the degree it needs for its next pick
+    val slotted = e
+      .withColumn("slot", row_number().over(w.orderBy("dst")) - 1)
+      .withColumn("deg", count(lit(1)).over(w))
+      .localCheckpoint(eager = false)
+    val degs = slotted.select(col("src").as("node"), col("deg")).distinct()
+    val adj = slotted
+      .join(degs.select(col("node").as("dst"), col("deg").as("dstdeg")),
+        Seq("dst"), "left")
+      .select(col("src"), col("slot"), col("dst"),
+        coalesce(col("dstdeg"), lit(0L)).as("dstdeg")) // 0 = sink
+      .localCheckpoint(eager = false)
+    var frontier = degs.select(col("node").as("start"), col("deg"))
+      .withColumn("walk", explode(sequence(lit(0), lit(nWalks - 1))))
+      .withColumn("cur", col("start"))
+    var out = frontier.select(col("start"), col("walk"),
+      lit(0).as("step"), col("cur").as("node"))
+    for (t <- 1 to steps) {
+      frontier = frontier
+        .filter(col("deg") > 0) // sinks end their walk
+        .withColumn("slot", pmod(graft.functions.TextFunctions.h64(
+          concat_ws("-", lit(seed), col("start"), col("walk"), lit(t))),
+          col("deg")))
+        .select(col("start"), col("walk"), col("cur").as("src"), col("slot"))
+        .join(adj, Seq("src", "slot"))
+        .select(col("start"), col("walk"), col("dst").as("cur"),
+          col("dstdeg").as("deg"))
+        .localCheckpoint(eager = false)
+      out = out.unionAll(frontier.select(col("start"), col("walk"),
+        lit(t).as("step"), col("cur").as("node")))
+    }
+    out
+  }
 }

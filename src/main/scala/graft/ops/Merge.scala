@@ -212,4 +212,41 @@ object Merge {
     view.join(affected, Seq(aKey), "left_anti")
       .unionAll(rebuilt)
   }
+
+  /** Refresh a grouped (count, min, max) view after a DELETE — the
+    * maintenance case signed folds cannot cover: count/sum are
+    * invertible (fold a −1 retraction, see [[incrementalAgg]]), but
+    * when a group's current MIN or MAX row is deleted the new extremum
+    * exists only in the base table. The delta-join rule: recompute ONLY
+    * the groups the delete touched (the distinct keys of the deleted
+    * rows — delta-scale, broadcast) from the post-delete base, and
+    * reuse every untouched view row VERBATIM (spec proves reuse by
+    * poisoning an untouched row). Groups whose rows are all deleted
+    * vanish — the recompute emits nothing for them and the anti-join
+    * already dropped the stale row.
+    *
+    * Cost: one semi-joined base scan (the broadcast key set prunes via
+    * the runtime Bloom path; a key-range layout prunes at file level)
+    * plus an O(view) anti join — never an O(table) re-aggregation.
+    *
+    * @param view        current (keyCol, n, min_v, max_v) rows
+    * @param baseNew     base table AFTER the delete
+    * @param deletedKeys keys with at least one deleted row (dups fine)
+    */
+  def refreshAggAfterDelete(
+      view: DataFrame,
+      baseNew: DataFrame,
+      deletedKeys: DataFrame,
+      keyCol: String,
+      valueCol: String): DataFrame = {
+    val affected = broadcast(deletedKeys.select(col(keyCol)).distinct()
+      .localCheckpoint(eager = false)) // two consumers: anti + semi
+    val recomputed = baseNew.join(affected, Seq(keyCol), "left_semi")
+      .groupBy(keyCol)
+      .agg(count(lit(1)).as("n"),
+        min(col(valueCol)).as("min_v"),
+        max(col(valueCol)).as("max_v"))
+    view.join(affected, Seq(keyCol), "left_anti")
+      .unionAll(recomputed)
+  }
 }

@@ -1404,6 +1404,43 @@ class MergeSpec extends AnyFunSuite with SparkTestBase {
     // exactly one current row per key
     assert(hist.filter(_._5).map(_._1).toSeq.sorted == Seq(1L, 2L, 3L))
   }
+
+  test("refreshAggAfterDelete equals a full rebuild; fully-deleted groups vanish") {
+    import spark.implicits._
+    val base = Seq((1L, 5.0, false), (1L, 9.0, true), (1L, 7.0, false),
+      (2L, 3.0, false), (2L, 4.0, false),
+      (3L, 8.0, true), (3L, 2.0, true)) // group 3 fully deleted
+      .toDF("k", "v", "del")
+    val view0 = base.groupBy("k").agg(
+      org.apache.spark.sql.functions.count(
+        org.apache.spark.sql.functions.lit(1)).as("n"),
+      org.apache.spark.sql.functions.min(col("v")).as("min_v"),
+      org.apache.spark.sql.functions.max(col("v")).as("max_v"))
+    val got = Merge.refreshAggAfterDelete(view0.drop("del"),
+        base.filter(!col("del")).select("k", "v"),
+        base.filter(col("del")).select("k"), "k", "v")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2),
+        r.getDouble(3))).toSet
+    // group 1 lost its max (9.0) — new extremum comes from the base;
+    // group 2 untouched; group 3 gone entirely
+    assert(got == Set((1L, 2L, 5.0, 7.0), (2L, 2L, 3.0, 4.0)))
+  }
+
+  test("refreshAggAfterDelete reuses untouched view rows verbatim (poison-proof)") {
+    import spark.implicits._
+    val base = Seq((1L, 5.0), (2L, 3.0), (2L, 4.0)).toDF("k", "v")
+    // poison group 2's view row: if the refresh recomputed it, the
+    // poison would be healed — it must instead propagate
+    val poisoned = Seq((1L, 1L, 5.0, 5.0), (2L, 99L, -1.0, -1.0))
+      .toDF("k", "n", "min_v", "max_v")
+    val got = Merge.refreshAggAfterDelete(poisoned,
+        base.filter(col("k") === 1L && col("v") =!= 5.0).unionAll(
+          base.filter(col("k") =!= 1L)),
+        Seq(Tuple1(1L)).toDF("k"), "k", "v")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2),
+        r.getDouble(3))).toSet
+    assert(got == Set((2L, 99L, -1.0, -1.0))) // group 1 vanished, poison kept
+  }
 }
 
 class RangeJoinSpec extends AnyFunSuite with SparkTestBase {

@@ -449,4 +449,47 @@ class GraphSpec extends AnyFunSuite with SparkTestBase {
       edges.toDF("src", "dst"), "src", "dst", minScore = 10000000L, maxDeg = 10L)
     assert(p3.count() === 0L)
   }
+
+  test("random walks: every step follows an out-edge, picks replay the hash") {
+    import spark.implicits._
+    // small directed graph with a hub (1 -> 2..5), a chain, and a sink (9)
+    val edges = Seq(1L -> 2L, 1L -> 3L, 1L -> 4L, 1L -> 5L,
+      2L -> 6L, 3L -> 6L, 4L -> 6L, 5L -> 6L, 6L -> 9L).toDF("src", "dst")
+    val out = Graph.randomWalks(edges, "src", "dst", nWalks = 3, steps = 4,
+      seed = "spec-walk")
+    val rows = out.collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getInt(2), r.getLong(3)))
+    val edgeSet = Seq(1L -> 2L, 1L -> 3L, 1L -> 4L, 1L -> 5L, 2L -> 6L,
+      3L -> 6L, 4L -> 6L, 5L -> 6L, 6L -> 9L).toSet
+    // step-0 rows: one per (node-with-out-edges, walk)
+    assert(rows.count(_._3 == 0) === 6 * 3)
+    // consecutive positions within a walk are edges of the graph
+    rows.groupBy(r => (r._1, r._2)).foreach { case (_, walkRows) =>
+      walkRows.sortBy(_._3).map(_._4).sliding(2).foreach {
+        case Array(u, v) => assert(edgeSet(u -> v), s"$u -> $v not an edge")
+        case _           =>
+      }
+    }
+    // a walk that reaches the sink (9) ends there: no row follows it
+    rows.groupBy(r => (r._1, r._2)).foreach { case (_, walkRows) =>
+      val sorted = walkRows.sortBy(_._3)
+      sorted.zipWithIndex.foreach { case (r, i) =>
+        if (r._4 == 9L) assert(i == sorted.length - 1)
+      }
+      // steps are contiguous from 0 (a walk never skips a step)
+      assert(sorted.map(_._3).toSeq == (0 until sorted.length).toSeq)
+    }
+  }
+
+  test("random walks: bit-identical under repartitioning") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(5)
+    val edges = (0 until 300).map(_ =>
+      (rnd.nextInt(40).toLong, rnd.nextInt(40).toLong)).toDF("src", "dst")
+    def run(df: org.apache.spark.sql.DataFrame) =
+      Graph.randomWalks(df, "src", "dst", nWalks = 2, steps = 3)
+        .collect().map(r =>
+          (r.getLong(0), r.getInt(1), r.getInt(2), r.getLong(3))).toSet
+    assert(run(edges) == run(edges.repartition(13)))
+  }
 }
