@@ -4007,6 +4007,71 @@ object SparkEntry {
       val gone = emb.select("vec_id").filter(col("vec_id") % 7 === 0)
       idx.remove(gone, "vec_id").knnJoin(k = 5, nprobe = 2)
         .orderBy("id", "rank")
+    }),
+
+    // ---- grid-density clustering over a 2-D projection: dense cells
+    // merge via a PLANNER-scale CC (no point-pair join anywhere);
+    // sparse-cell points are noise — DBSCAN's grid-family cousin -------
+    "e26_grid_density" -> ((s, dir) => {
+      val emb = t(s, dir, "embeddings")
+      ops.Similarity.gridDensityClusters(emb, "vec_id",
+          element_at(col("embedding"), 1), element_at(col("embedding"), 2),
+          scale = 1000.0, cellWidth = 100.0, minPts = 20L)
+        .orderBy("id")
+    }),
+
+    // ---- streaming near-dup admission at the crawl front door: micro-
+    // batches filtered against the STATIC corpus LSH index (d43's
+    // scenario as a stream); candidates pre-collapsed so admission is
+    // batch-boundary-invariant — the oracle is the whole-set filter ----
+    "s25_stream_neardup_admit" -> ((s, dir) => {
+      val tmp = gateScratch("s25")
+      val docs = t(s, dir, "documents").select("doc_id", "text")
+      val near = docs.filter(col("doc_id") % 10 === 3)
+        .select((col("doc_id") + 2000000).as("doc_id"),
+          concat(col("text"), lit(" zzz extra suffix")).as("text"))
+      val copies = docs.filter(col("doc_id") % 10 === 7)
+        .select((col("doc_id") + 3000000).as("doc_id"), col("text"))
+      val freshDocs = docs.filter(col("doc_id") % 10 === 5)
+        .select((col("doc_id") + 4000000).as("doc_id"),
+          reverse(col("text")).as("text"))
+      // pre-collapse exact dups ONCE so batch boundaries can't split an
+      // exact-dup group (the documented composition contract: admission
+      // against a static index is then batch-invariant)
+      val cand = ops.Dedup.collapseExactText(
+        near.unionAll(copies).unionAll(freshDocs), "doc_id", "text")
+      cand.withColumn("shard", pmod(col("doc_id"), lit(4)))
+        .repartition(4, col("shard"))
+        .write.parquet(s"$tmp/in") // 4 files → 4 micro-batches
+      // freeze the index tables: four micro-batches probe them — the
+      // checkpoint stops each batch re-deriving the banding pipeline
+      val idx0 = ops.Dedup.nearDupIndex(docs, "doc_id", "text",
+        k = 12, bands = 6, shingleSize = 3)
+      val idx = idx0.copy(
+        fingerprints = idx0.fingerprints.localCheckpoint(eager = false),
+        bands = idx0.bands.localCheckpoint(eager = false),
+        hashes = idx0.hashes.localCheckpoint(eager = false))
+      var admitted = docs.limit(0)
+      val inSchema = s.read.parquet(s"$tmp/in").schema
+      withNarrowState(s) {
+        val q = s.readStream
+          .schema(inSchema)
+          .option("maxFilesPerTrigger", "1")
+          .parquet(s"$tmp/in")
+          .writeStream
+          .foreachBatch { (batch: DataFrame, _: Long) =>
+            admitted = admitted.unionAll(
+                ops.Dedup.nearDupFilter(idx, batch.select("doc_id", "text"),
+                  "doc_id", "text", tau = 0.5))
+              .localCheckpoint(eager = true) // sever the micro-batch source
+            ()
+          }
+          .option("checkpointLocation", s"$tmp/chk")
+          .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+          .start()
+        q.awaitTermination()
+      }
+      admitted.orderBy("doc_id")
     })
   )
 
@@ -7669,6 +7734,50 @@ object SparkEntry {
              .mkString("\n  UNION ALL ")})
          |ORDER BY start_node, walk, step""".stripMargin
     },
+
+    // cells, density threshold, 8-neighborhood closure, assignment —
+    // the merge replayed as a recursive min-label reachability CTE
+    "e26_grid_density" ->
+      """WITH RECURSIVE pts AS (
+        |  SELECT CAST(vec_id AS BIGINT) AS id,
+        |    CAST(floor(CAST(embedding[1] AS DOUBLE) * 1000.0 / 100.0) AS BIGINT) AS cx,
+        |    CAST(floor(CAST(embedding[2] AS DOUBLE) * 1000.0 / 100.0) AS BIGINT) AS cy
+        |  FROM embeddings),
+        |dense AS (
+        |  SELECT cx, cy, cx * 1000000 + cy AS cell
+        |  FROM pts GROUP BY cx, cy HAVING COUNT(*) >= 20),
+        |offs AS (
+        |  SELECT dx, dy FROM (VALUES (-1,-1),(-1,0),(-1,1),(0,-1),(0,0),
+        |    (0,1),(1,-1),(1,0),(1,1)) t(dx, dy)),
+        |edges AS (
+        |  SELECT d.cell AS a, (d.cx + o.dx) * 1000000 + d.cy + o.dy AS b
+        |  FROM dense d CROSS JOIN offs o
+        |  WHERE (d.cx + o.dx) * 1000000 + d.cy + o.dy IN
+        |    (SELECT cell FROM dense)),
+        |reach(node, lab) AS (
+        |  SELECT a, a FROM (SELECT DISTINCT a FROM edges)
+        |  UNION
+        |  SELECT e.a, r.lab FROM edges e JOIN reach r ON r.node = e.b),
+        |comp AS (SELECT node AS cell, MIN(lab) AS cluster_rep
+        |         FROM reach GROUP BY node)
+        |SELECT p.id, CAST(COALESCE(c.cluster_rep, -1) AS BIGINT) AS cluster
+        |FROM pts p
+        |LEFT JOIN dense d ON d.cx = p.cx AND d.cy = p.cy
+        |LEFT JOIN comp c ON c.cell = d.cell
+        |ORDER BY p.id""".stripMargin,
+
+    // the streaming fold against a STATIC index equals the whole-set
+    // admission — d43's oracle verbatim (pre-collapse is a fixed point
+    // of the filter's own collapse stage)
+    "s25_stream_neardup_admit" -> OracleSql.nearDupIncremental(
+      "SELECT doc_id, text FROM documents",
+      """SELECT doc_id + 2000000 AS doc_id, text || ' zzz extra suffix' AS text
+        |  FROM documents WHERE doc_id % 10 = 3
+        |UNION ALL SELECT doc_id + 3000000, text
+        |  FROM documents WHERE doc_id % 10 = 7
+        |UNION ALL SELECT doc_id + 4000000, reverse(text)
+        |  FROM documents WHERE doc_id % 10 = 5""".stripMargin,
+      k = 12, bands = 6, shingleSize = 3, tau = 0.5, maxBucket = 1000),
 
     // tombstone delete ≡ rebuild over survivors: the e7 replay with the
     // deleted ids absent from BOTH the query and the candidate side

@@ -999,4 +999,72 @@ object Similarity {
           .as("dist"))
       .groupBy("id")
       .agg(min_by(col("cid"), struct(col("dist"), col("cid"))).as("cid"))
+
+  /** Grid-density clustering over a LOW-dimensional numeric projection
+    * (two features: a 2-D UMAP/PCA output, a (quality, length) plane…)
+    * — the CLIQUE/GriDBSCAN family: density peaks become clusters,
+    * sparse cells become noise, no k chosen up front.
+    *
+    *   1. each point lands in cell `(⌊x·scale/w⌋, ⌊y·scale/w⌋)`;
+    *   2. cells with ≥ `minPts` points are DENSE;
+    *   3. dense cells that touch (8-neighborhood) merge into one
+    *      cluster via connected components over the ≤ #dense-cells
+    *      adjacency graph — a PLANNER-scale graph, not a data-scale
+    *      one (the CC rounds never see point rows);
+    *   4. points in dense cells take their cell's component label
+    *      (= min member cell id); everything else is noise (−1).
+    *
+    * Exactness: the cell coordinate is one double multiply + divide +
+    * floor in a fixed order, bit-identical across engines, so the gate
+    * hash-matches a full SQL replay (recursive-CTE closure for the
+    * merge). Physical shape: one (cx, cy) count aggregate over the
+    * points, the tiny dense-cell CC, and one (cx, cy) equi-join back —
+    * no point-vs-point pair ever forms, unlike true DBSCAN's
+    * eps-neighbor join. Grid approximation caveat: border points in a
+    * sparse cell adjacent to a dense one are noise here, where eps-ball
+    * DBSCAN might attach them.
+    *
+    * Cell ids pack as `cx·span + cy`: caller guarantees |cell coords| <
+    * span/2 (a projection bounded to ±B needs span > 2·B·scale/w).
+    *
+    * @return (id, cluster) — cluster −1 for noise
+    */
+  def gridDensityClusters(
+      df: DataFrame,
+      idCol: String,
+      xCol: Column,
+      yCol: Column,
+      scale: Double,
+      cellWidth: Double,
+      minPts: Long,
+      span: Long = 1000000L): DataFrame = {
+    require(minPts >= 1 && scale > 0 && cellWidth > 0,
+      s"need minPts >= 1, scale > 0, cellWidth > 0")
+    val pts = df.select(col(idCol).cast("long").as("id"),
+        floor(xCol.cast("double") * lit(scale) / lit(cellWidth)).as("cx"),
+        floor(yCol.cast("double") * lit(scale) / lit(cellWidth)).as("cy"))
+      .localCheckpoint(eager = false) // counts + the assignment join-back
+    val dense = pts.groupBy("cx", "cy").agg(count(lit(1)).as("n"))
+      .filter(col("n") >= minPts)
+      .withColumn("cell", col("cx") * lit(span) + col("cy"))
+      .localCheckpoint(eager = false) // edges probe it twice
+    // 8-neighborhood (plus self — keeps isolated dense cells) among
+    // dense cells only: ≤ 9·#dense rows, semi-joined back to dense
+    val offsets = for { dx <- -1 to 1; dy <- -1 to 1 }
+      yield struct(lit(dx.toLong).as("dx"), lit(dy.toLong).as("dy"))
+    val edges = dense
+      .select(col("cx"), col("cy"), col("cell"),
+        explode(array(offsets: _*)).as("o"))
+      .select(col("cell").as("a"),
+        ((col("cx") + col("o.dx")) * lit(span) + col("cy") + col("o.dy"))
+          .as("b"))
+      .join(dense.select(col("cell").as("b")), Seq("b"), "left_semi")
+    val comp = Dedup.connectedComponents(edges, "a", "b")
+      .select(col("node").as("cell"), col("cluster_rep"))
+    pts
+      .join(dense.select("cx", "cy", "cell"), Seq("cx", "cy"), "left")
+      .join(comp, Seq("cell"), "left")
+      .select(col("id"),
+        coalesce(col("cluster_rep"), lit(-1L)).as("cluster"))
+  }
 }

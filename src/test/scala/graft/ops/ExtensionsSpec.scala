@@ -237,6 +237,33 @@ class DedupSpec extends AnyFunSuite with SparkTestBase {
     assert(keptLoaded === kept)
   }
 
+  test("static-index admission is batch-invariant once exact dups are pre-collapsed") {
+    val idx = Dedup.nearDupIndex(docs, "doc_id", "text",
+      k = 12, bands = 6, shingleSize = 3)
+    val batch = spark.sql(
+      """SELECT * FROM VALUES
+        | (20, 'completely different text about spark query engines at scale'),
+        | (21, 'entirely novel content nothing like anything in the corpus today'),
+        | (22, 'shared fresh text that appears twice inside this feed alone'),
+        | (23, 'shared fresh text that appears twice inside this feed alone'),
+        | (24, 'one more genuinely new document with its own wording entirely')
+        | AS t(doc_id, text)""".stripMargin)
+    val collapsed = Dedup.collapseExactText(batch, "doc_id", "text")
+      .localCheckpoint(eager = true)
+    def admit(df: org.apache.spark.sql.DataFrame) =
+      Dedup.nearDupFilter(idx, df, "doc_id", "text", tau = 0.5)
+        .select("doc_id").collect().map(_.getLong(0)).toSet
+    val whole = admit(collapsed)
+    // split the collapsed feed any way at all — per-batch admission
+    // against the STATIC index unions to the whole-set answer (the s25
+    // streaming contract); WITHOUT pre-collapse the 22/23 pair would
+    // straddle the split and both would be admitted
+    val parts = Seq(collapsed.filter(col("doc_id") % 2 === 0),
+      collapsed.filter(col("doc_id") % 2 === 1))
+    assert(parts.map(admit).reduce(_ ++ _) === whole)
+    assert(admit(batch) === whole) // collapse is the filter's own stage 1
+  }
+
   test("NearDupIndex.extend equals a full rebuild on cap-cold data") {
     import spark.implicits._
     val idx = Dedup.nearDupIndex(docs, "doc_id", "text",
@@ -771,6 +798,32 @@ class SimilaritySpec extends AnyFunSuite with SparkTestBase {
     def knn(ix: Similarity.IvfIndex) = ix.knnJoin(k = 3, nprobe = 2)
       .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
     assert(knn(incr) == knn(full))
+  }
+
+  test("gridDensityClusters: blobs cluster, diagonal cells merge, sparse is noise") {
+    import spark.implicits._
+    // blob A: 30 pts in cells (0,0)/(1,1) (diagonal touch — must merge);
+    // blob B: 25 pts in cell (5,5); noise: 3 scattered singles
+    val pts =
+      (0 until 15).map(i => (i.toLong, 0.05, 0.05)) ++
+      (0 until 15).map(i => (100 + i.toLong, 0.15, 0.15)) ++
+      (0 until 25).map(i => (200 + i.toLong, 0.55, 0.55)) ++
+      Seq((900L, 0.95, 0.05), (901L, -0.35, 0.75), (902L, -0.85, -0.85))
+    val df = pts.toDF("id", "x", "y")
+    def run(d: org.apache.spark.sql.DataFrame) =
+      Similarity.gridDensityClusters(d, "id", col("x"), col("y"),
+          scale = 1000.0, cellWidth = 100.0, minPts = 10L)
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val got = run(df)
+    // the two diagonal cells share one cluster label (their min cell id)
+    val blobA = (0 until 15).map(_.toLong) ++ (0 until 15).map(100 + _.toLong)
+    assert(blobA.map(got).toSet.size === 1)
+    val blobB = (0 until 25).map(200 + _.toLong)
+    assert(blobB.map(got).toSet.size === 1)
+    assert(got(0L) !== got(200L), "separated blobs must not share a label")
+    assert(Seq(900L, 901L, 902L).forall(got(_) == -1L), "sparse cells are noise")
+    // deterministic under repartitioning
+    assert(run(df.repartition(7)) == got)
   }
 
   test("IvfIndex.remove equals a rebuild over the survivors (tombstone delete)") {
