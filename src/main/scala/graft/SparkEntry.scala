@@ -4009,6 +4009,27 @@ object SparkEntry {
         .orderBy("id", "rank")
     }),
 
+    // ---- per-file Bloom index: point lookup on a column UNCLUSTERED in
+    // the layout (min/max manifests prune nothing there); all-k-bits
+    // membership keeps skipping lossless, the final filter keeps the
+    // result exactly the full-scan equality ----------------------------
+    "q95_bloom_index" -> ((s, dir) => {
+      val tmp = gateScratch("q95")
+      // date-clustered layout → o_custkey scatters across every file
+      t(s, dir, "orders")
+        .select("o_orderkey", "o_custkey", "o_totalprice", "o_orderdate")
+        .repartitionByRange(8, col("o_orderdate"))
+        .write.parquet(s"$tmp/t")
+      val idx = ops.Layout.bloomIndex(s, s"$tmp/t", "o_custkey")
+      val probe = t(s, dir, "orders").agg(min(col("o_custkey"))).head.getLong(0)
+      ops.Layout.bloomRead(s, s"$tmp/t", idx, "o_custkey", lit(probe))
+        .groupBy("o_custkey")
+        .agg(count(lit(1)).as("n_orders"),
+          sum(col("o_totalprice").cast("decimal(18,2)")).cast("double")
+            .as("sum_price"))
+        .orderBy("o_custkey")
+    }),
+
     // ---- grid-density clustering over a 2-D projection: dense cells
     // merge via a PLANNER-scale CC (no point-pair join anywhere);
     // sparse-cell points are noise — DBSCAN's grid-family cousin -------
@@ -7734,6 +7755,14 @@ object SparkEntry {
              .mkString("\n  UNION ALL ")})
          |ORDER BY start_node, walk, step""".stripMargin
     },
+
+    // bloom skipping is lossless: the result IS the equality scan
+    "q95_bloom_index" ->
+      """SELECT o_custkey, COUNT(*) AS n_orders,
+        |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_price
+        |FROM orders
+        |WHERE o_custkey = (SELECT MIN(o_custkey) FROM orders)
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
 
     // cells, density threshold, 8-neighborhood closure, assignment —
     // the merge replayed as a recursive min-label reachability CTE

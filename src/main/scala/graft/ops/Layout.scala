@@ -274,6 +274,55 @@ object Layout {
     else spark.read.parquet(files.toIndexedSeq: _*)
   }
 
+  /** Per-file BLOOM INDEX for point lookups on an UNCLUSTERED column —
+    * the file-skipping case [[statsManifest]] cannot serve: min/max
+    * ranges on a column uncorrelated with the layout cover everything,
+    * so a point predicate prunes nothing. The Delta/Iceberg answer is a
+    * bloom filter per file; here the filter is k salted-hash bit
+    * positions in an m-bit space, stored as each file's DISTINCT bit
+    * set (≤ min(m, k·distinct-values) ints per file — index size is
+    * O(#files · m) worst case, planner-scale). A value can hide in a
+    * file only if ALL k of its bit positions are present, so skipping
+    * never loses a row (false positives only ADD files — tune m/k to
+    * the per-file distinct count to keep them rare). The hash is the
+    * engine-wide md5-derived h64, so the index is engine-portable and
+    * the gate replays it in SQL. */
+  def bloomIndex(spark: org.apache.spark.sql.SparkSession, dir: String,
+      colName: String, mBits: Int = 4096, kHashes: Int = 3): DataFrame = {
+    require(mBits > 0 && kHashes >= 1, s"need mBits > 0, kHashes >= 1")
+    spark.read.parquet(dir)
+      .select(col("_metadata.file_path").as("file"),
+        explode(array((0 until kHashes).map(i =>
+          bloomBit(col(colName), i, mBits)): _*)).as("bit"))
+      .groupBy("file")
+      .agg(collect_set(col("bit")).as("bits"))
+  }
+
+  /** Bit position `i` of a value under the engine-portable salted h64. */
+  private def bloomBit(v: Column, i: Int, mBits: Int): Column =
+    pmod(graft.functions.TextFunctions.h64(
+      concat_ws("-", lit(s"graft-bloom-$i"), v.cast("string"))), lit(mBits))
+
+  /** Point-lookup scan through a [[bloomIndex]]: keep only files whose
+    * bit set contains ALL k positions of `value`, then scan those files
+    * with the equality filter. The probe collects file PATHS only (the
+    * same O(#files) planner-scale collect every manifest consumer
+    * pays); a false positive costs one extra file scan, never a wrong
+    * row — the final filter makes the result exactly the full-scan
+    * equality. */
+  def bloomRead(spark: org.apache.spark.sql.SparkSession, dir: String,
+      index: DataFrame, colName: String, value: Column,
+      mBits: Int = 4096, kHashes: Int = 3): DataFrame = {
+    val hit = (0 until kHashes)
+      .map(i => array_contains(col("bits"), bloomBit(value, i, mBits)))
+      .reduce(_ && _)
+    val keep = index.filter(hit).select("file").collect().map(_.getString(0))
+    val base =
+      if (keep.isEmpty) spark.read.parquet(dir).limit(0)
+      else spark.read.parquet(keep.toIndexedSeq: _*)
+    base.filter(col(colName) === value)
+  }
+
   /** DELETION VECTORS — row-level deletes WITHOUT rewriting files (the
     * Delta/Iceberg merge-on-read delete path): one scan evaluates the
     * delete predicate and records each hit as its immutable physical

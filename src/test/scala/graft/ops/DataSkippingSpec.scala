@@ -81,4 +81,43 @@ class DataSkippingSpec extends AnyFunSuite with SparkTestBase {
     val empty = Layout.snapshotRead(spark, dir, v1.filter(lit(false)))
     assert(empty.count() === 0L && empty.columns.toSeq === Seq("k", "v"))
   }
+
+  test("bloomRead: lossless skipping on an unclustered column") {
+    val dir = freshDir("bloom")
+    // layout clustered on k; v = (k·733) mod 2000 is a permutation that
+    // scatters across the k-ranges — every file's [min_v, max_v] spans
+    // nearly 0..1999, so a stats manifest on v prunes NOTHING, while
+    // each value physically lives in exactly one file
+    spark.range(2000)
+      .select(col("id").as("k"), (col("id") * 733 % 2000).as("v"),
+        (col("id") * 3).as("payload"))
+      .repartitionByRange(10, col("k"))
+      .write.mode("overwrite").parquet(dir)
+    val idx = Layout.bloomIndex(spark, dir, "v", mBits = 4096, kHashes = 3)
+      .localCheckpoint(eager = true)
+    val nFiles = idx.count()
+    assert(nFiles === 10L)
+    // every row of every probed value comes back (no false negatives)
+    for (probe <- Seq(0L, 13L, 96L)) {
+      val got = Layout.bloomRead(spark, dir, idx, "v", lit(probe))
+        .select("k", "payload").collect().map(r => (r.getLong(0), r.getLong(1)))
+        .sorted.toSeq
+      val want = spark.read.parquet(dir).filter(col("v") === probe)
+        .select("k", "payload").collect().map(r => (r.getLong(0), r.getLong(1)))
+        .sorted.toSeq
+      assert(got === want && got.nonEmpty)
+    }
+    // a value present nowhere reads zero rows (and typically zero files)
+    assert(Layout.bloomRead(spark, dir, idx, "v", lit(5555L)).count() === 0L)
+    // pruning is real: each v value lives in exactly one file, so the
+    // probe keeps 1 file plus bloom false positives (which only ADD)
+    val hit = (0 until 3).map(i => org.apache.spark.sql.functions.array_contains(
+        col("bits"), org.apache.spark.sql.functions.pmod(
+          graft.functions.TextFunctions.h64(
+            org.apache.spark.sql.functions.concat_ws("-",
+              lit(s"graft-bloom-$i"), lit(42L).cast("string"))), lit(4096))))
+      .reduce(_ && _)
+    val kept = idx.filter(hit).count()
+    assert(kept < nFiles, s"expected bloom pruning, kept $kept of $nFiles")
+  }
 }
