@@ -253,6 +253,81 @@ object Soak {
             col("n").as("bucket_sz")))
         idx2.assigned.count()
       },
+      // ---- round-11 additions under the same skew discipline ----------
+      measure("random_walks_hub") { // g12: one 100k-out-degree hub
+        // the naive cur=src join would replicate every hub-resident walk
+        // by the hub's degree (100k candidate rows per walk per step);
+        // the (src, slot) equi-join keeps it ONE row per walk per step —
+        // shuffle scales with walk count, never with hub degree
+        val li = spark.read.parquet(s"$sfDir/lineitem.parquet")
+        val baseE = li.select(col("l_suppkey").cast("long").as("src"),
+          (col("l_partkey").cast("long") + 1000000L).as("dst"))
+        val hub = spark.range(0, 100000)
+          .select(lit(777L).as("src"), (col("id") + 3000000L).as("dst"))
+        val back = hub.select(col("dst").as("src"), col("src").as("dst"))
+        ops.Graph.randomWalks(baseE.unionAll(hub).unionAll(back),
+          "src", "dst", nWalks = 2, steps = 3).count()
+      },
+      {
+        // q93 under load: a 1% takedown over the blown-up table — the
+        // SPARSE-delete contract DVs are for (a heavy delete crosses the
+        // documented rewrite threshold and compacts instead). The base
+        // table is written once outside the timer; the measure pays the
+        // predicate scan + the broadcast anti-join scan only.
+        val dvDir = java.nio.file.Files
+          .createTempDirectory("graft-soak-dv").toString
+        val li = spark.read.parquet(s"$sfDir/lineitem.parquet")
+          .select("l_orderkey", "l_linenumber", "l_quantity")
+        (0 until copies).map { i =>
+          li.select((col("l_orderkey") + lit(i * 100000000L)).as("l_orderkey"),
+            col("l_linenumber"), col("l_quantity"))
+        }.reduce(_ unionAll _)
+          .write.mode("overwrite").parquet(dvDir)
+        quiesce()
+        measure("dv_read_sparse_delete") {
+          val dv = ops.Layout.deletionVectors(spark, dvDir,
+            col("l_orderkey") % 100 === 0)
+          ops.Layout.readWithDeletes(spark, dvDir, dv).count()
+        }
+      },
+      {
+        // q94 at delta scale: the (key, n, min, max) view over the
+        // blown-up table is PRE-BUILT state; deleting rows under 0.1%
+        // of keys must recompute only those groups
+        val li = spark.read.parquet(s"$sfDir/lineitem.parquet")
+          .select("l_suppkey", "l_orderkey", "l_quantity")
+        val liN = (0 until copies).map { i =>
+          li.select((col("l_suppkey") + lit(i * 1000000L)).as("l_suppkey"),
+            col("l_orderkey"), col("l_quantity"))
+        }.reduce(_ unionAll _).localCheckpoint(eager = true)
+        val view = liN.groupBy("l_suppkey")
+          .agg(count(lit(1)).as("n"), min(col("l_quantity")).as("min_v"),
+            max(col("l_quantity")).as("max_v"))
+          .localCheckpoint(eager = true)
+        quiesce()
+        measure("view_refresh_delete_delta") {
+          val delPred = col("l_suppkey") % 1000 === 0 &&
+            col("l_orderkey") % 2 === 0
+          ops.Merge.refreshAggAfterDelete(view, liN.filter(!delPred),
+            liN.filter(delPred).select("l_suppkey"),
+            "l_suppkey", "l_quantity").count()
+        }
+      },
+      measure("grid_density_clump") { // e26 under a 20k-point hot cell
+        // density clustering never forms a point pair: the clump adds
+        // ONE dense cell (not C(20k,2) ≈ 2·10⁸ pairs), the merge graph
+        // stays planner-scale, and points move through one count
+        // aggregate + one join-back regardless of how hot a cell is
+        val pts = embN.select(col("vec_id").as("id"),
+            element_at(col("embedding"), 1).cast("double").as("x"),
+            element_at(col("embedding"), 2).cast("double").as("y"))
+          .unionAll(spark.range(0, 20000)
+            .select((col("id") + 600000000L).as("id"),
+              (lit(0.055) + col("id").cast("double") * lit(1e-9)).as("x"),
+              lit(0.055).as("y")))
+        ops.Similarity.gridDensityClusters(pts, "id", col("x"), col("y"),
+          scale = 1000.0, cellWidth = 100.0, minPts = 20L).count()
+      },
       {
         // q86: the maintained view is PRE-BUILT state — construct and
         // materialize it OUTSIDE the timer (at 20 copies the build's

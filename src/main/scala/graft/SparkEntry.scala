@@ -4016,11 +4016,18 @@ object SparkEntry {
     "q95_bloom_index" -> ((s, dir) => {
       val tmp = gateScratch("q95")
       // date-clustered layout → o_custkey scatters across every file
-      t(s, dir, "orders")
+      val o = t(s, dir, "orders")
         .select("o_orderkey", "o_custkey", "o_totalprice", "o_orderdate")
-        .repartitionByRange(8, col("o_orderdate"))
+      o.filter(col("o_orderkey") % 2 === 0)
+        .repartitionByRange(4, col("o_orderdate"))
         .write.parquet(s"$tmp/t")
-      val idx = ops.Layout.bloomIndex(s, s"$tmp/t", "o_custkey")
+      val v1 = ops.Layout.bloomIndex(s, s"$tmp/t", "o_custkey")
+        .localCheckpoint(eager = true) // pin BEFORE the append lands
+      o.filter(col("o_orderkey") % 2 === 1)
+        .repartitionByRange(4, col("o_orderdate"))
+        .write.mode("append").parquet(s"$tmp/t")
+      // refresh hashes the appended files ONLY (≡ rebuild, spec-proven)
+      val idx = ops.Layout.extendBloomIndex(s, s"$tmp/t", v1, "o_custkey")
       val probe = t(s, dir, "orders").agg(min(col("o_custkey"))).head.getLong(0)
       ops.Layout.bloomRead(s, s"$tmp/t", idx, "o_custkey", lit(probe))
         .groupBy("o_custkey")

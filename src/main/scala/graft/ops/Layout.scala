@@ -210,12 +210,28 @@ object Layout {
   def extendManifest(spark: org.apache.spark.sql.SparkSession, dir: String,
       manifest: DataFrame, cols: Seq[String]): DataFrame = {
     require(cols.nonEmpty, "need at least one stats column")
+    val fresh = newDataFiles(spark, dir, manifest)
+    if (fresh.isEmpty) manifest
+    else manifest.unionAll(
+      spark.read.parquet(fresh.toIndexedSeq: _*)
+        .groupBy(col("_metadata.file_path").as("file"))
+        .agg(statsAggs(cols).head, statsAggs(cols).tail: _*))
+  }
+
+  /** Data files in `dir` absent from the index's `file` column — the
+    * driver-side listing diff every incremental index maintainer shares
+    * ([[extendManifest]], [[extendBloomIndex]]). Paths compare
+    * scheme-insensitively (URI path component) because
+    * `_metadata.file_path` and `FileSystem.listStatus` render the same
+    * file with different scheme spellings. */
+  private def newDataFiles(spark: org.apache.spark.sql.SparkSession,
+      dir: String, index: DataFrame): Array[String] = {
     def uriPath(p: String): String =
       new org.apache.hadoop.fs.Path(p).toUri.getPath
-    val known = manifest.select("file").collect().map(r => uriPath(r.getString(0))).toSet
+    val known = index.select("file").collect().map(r => uriPath(r.getString(0))).toSet
     val fs = graft.io.PathResolver.fsFor(dir,
       spark.sparkContext.hadoopConfiguration)
-    val fresh = fs.listStatus(new org.apache.hadoop.fs.Path(dir))
+    fs.listStatus(new org.apache.hadoop.fs.Path(dir))
       .filter(_.isFile)
       .map(_.getPath.toString)
       .filter { p => // skip _SUCCESS / hidden files, keep unknown data files
@@ -223,11 +239,6 @@ object Layout {
         !name.startsWith("_") && !name.startsWith(".") &&
           !known.contains(uriPath(p))
       }
-    if (fresh.isEmpty) manifest
-    else manifest.unionAll(
-      spark.read.parquet(fresh.toIndexedSeq: _*)
-        .groupBy(col("_metadata.file_path").as("file"))
-        .agg(statsAggs(cols).head, statsAggs(cols).tail: _*))
   }
 
   /** Range read that SKIPS files whose `[min, max]` interval from the
@@ -302,6 +313,27 @@ object Layout {
   private def bloomBit(v: Column, i: Int, mBits: Int): Column =
     pmod(graft.functions.TextFunctions.h64(
       concat_ws("-", lit(s"graft-bloom-$i"), v.cast("string"))), lit(mBits))
+
+  /** Incrementally maintain a [[bloomIndex]] after new files land —
+    * same contract as [[extendManifest]]: per-file bit sets are
+    * immutable once written, so the refresh hashes the NEW files only
+    * and reuses every existing row verbatim; the result equals a
+    * rebuilt index exactly (spec-proven). O(new data), never a table
+    * re-scan — the append-heavy refresh a point-lookup index needs to
+    * stay live on a growing table. */
+  def extendBloomIndex(spark: org.apache.spark.sql.SparkSession, dir: String,
+      index: DataFrame, colName: String, mBits: Int = 4096,
+      kHashes: Int = 3): DataFrame = {
+    val fresh = newDataFiles(spark, dir, index)
+    if (fresh.isEmpty) index
+    else index.unionAll(
+      spark.read.parquet(fresh.toIndexedSeq: _*)
+        .select(col("_metadata.file_path").as("file"),
+          explode(array((0 until kHashes).map(i =>
+            bloomBit(col(colName), i, mBits)): _*)).as("bit"))
+        .groupBy("file")
+        .agg(collect_set(col("bit")).as("bits")))
+  }
 
   /** Point-lookup scan through a [[bloomIndex]]: keep only files whose
     * bit set contains ALL k positions of `value`, then scan those files

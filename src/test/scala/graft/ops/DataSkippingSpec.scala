@@ -120,4 +120,29 @@ class DataSkippingSpec extends AnyFunSuite with SparkTestBase {
     val kept = idx.filter(hit).count()
     assert(kept < nFiles, s"expected bloom pruning, kept $kept of $nFiles")
   }
+
+  test("extendBloomIndex over new files equals a rebuilt index") {
+    val dir = freshDir("bloomx")
+    spark.range(1000).select(col("id").as("k"), (col("id") * 733 % 2000).as("v"))
+      .repartitionByRange(4, col("k"))
+      .write.mode("overwrite").parquet(dir)
+    val v1 = Layout.bloomIndex(spark, dir, "v").localCheckpoint(eager = true)
+    spark.range(1000, 2000)
+      .select(col("id").as("k"), (col("id") * 733 % 2000).as("v"))
+      .repartitionByRange(4, col("k"))
+      .write.mode("append").parquet(dir)
+    val extended = Layout.extendBloomIndex(spark, dir, v1, "v")
+    val rebuilt = Layout.bloomIndex(spark, dir, "v")
+    def canon(df: org.apache.spark.sql.DataFrame) = df
+      .select(col("file"), org.apache.spark.sql.functions.array_sort(col("bits")).as("bits"))
+      .collect().map(r => r.getString(0) -> r.getSeq[Long](1).toSeq).toMap
+    assert(canon(extended) == canon(rebuilt))
+    // extending an up-to-date index is the identity
+    assert(canon(Layout.extendBloomIndex(spark, dir, extended
+      .localCheckpoint(eager = true), "v")) == canon(rebuilt))
+    // and the extended index still reads losslessly
+    val got = Layout.bloomRead(spark, dir, extended, "v", lit(733L)).count()
+    val want = spark.read.parquet(dir).filter(col("v") === 733L).count()
+    assert(got === want && got > 0)
+  }
 }
