@@ -3996,6 +3996,44 @@ object SparkEntry {
         .orderBy("start_node", "walk", "step")
     }),
 
+    // ---- Luby maximal independent set: static hash priorities make it
+    // deterministic (≡ greedy over the priority permutation); round-
+    // bounded, each member labeled with its selection wave -------------
+    "g13_mis" -> ((s, dir) => {
+      val li = t(s, dir, "lineitem")
+      val edges = li.select(col("l_suppkey").cast("long").as("src"),
+        (col("l_partkey").cast("long") + 1000000L).as("dst"))
+      ops.Graph.maximalIndependentSet(edges, "src", "dst", rounds = 8,
+          seed = "graft-mis-g13")
+        .orderBy("node")
+    }),
+
+    // ---- stream-stream FULL OUTER interval join: completes the
+    // streaming join family (inner s3, left-outer s12, left-semi s16) —
+    // unmatched rows on EITHER side null-extend when the watermark
+    // evicts their buffered state ---------------------------------------
+    "s26_stream_full_outer_join" -> ((s, dir) => {
+      def stream() = eventStream(s, dir)
+      val purchases = stream()
+        .filter(col("event_type") === "purchase" && col("user_id") % 7 === 1)
+        .select(col("user_id"), col("event_id").as("p_id"), col("ts").as("p_ts"))
+        .withWatermark("p_ts", "2 hours")
+      val views = stream()
+        .filter(col("event_type") === "view" && col("user_id") % 7 === 1)
+        .select(col("user_id").as("v_user"), col("event_id").as("v_id"),
+          col("ts").as("v_ts"))
+        .withWatermark("v_ts", "2 hours")
+      val joined = purchases.join(views,
+        col("user_id") === col("v_user") &&
+          col("v_ts") >= col("p_ts") - expr("INTERVAL 1 HOUR") &&
+          col("v_ts") <= col("p_ts") + expr("INTERVAL 1 HOUR"),
+        "full_outer")
+      streamToTable(s,
+        joined.select(coalesce(col("user_id"), col("v_user")).as("user_id"),
+          col("p_id"), col("v_id")), "s26", "append")
+        .orderBy("user_id", "p_id", "v_id")
+    }),
+
     // ---- IVF tombstone delete: drop ids from the index, then the batch
     // kNN join — deleted ids neither query nor surface as neighbors, and
     // the result equals a rebuild over survivors (frozen centroid panel,
@@ -7719,6 +7757,79 @@ object SparkEntry {
         |FROM lineitem
         |WHERE NOT (l_returnflag = 'R') AND NOT (l_quantity >= 48.0)
         |GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    // 8 unrolled Luby rounds: per-round best-active-neighbor reduce,
+    // winner filter on the (h, node) total order, loser knockout
+    "g13_mis" -> {
+      // MATERIALIZED: each a_r references its predecessors more than
+      // once — inlined CTEs would expand the chain exponentially
+      def roundCtes(r: Int): String =
+        s"""nb$r AS MATERIALIZED (
+           |  SELECT e.a AS node, MIN(struct_pack(h := p.h, n := p.node)) AS nb
+           |  FROM edges e JOIN a${r - 1} p ON p.node = e.b GROUP BY e.a),
+           |w$r AS MATERIALIZED (
+           |  SELECT a.node FROM a${r - 1} a LEFT JOIN nb$r n ON n.node = a.node
+           |  WHERE n.nb IS NULL
+           |     OR struct_pack(h := a.h, n := a.node) < n.nb),
+           |l$r AS MATERIALIZED (
+           |  SELECT DISTINCT e.b AS node FROM edges e
+           |  JOIN w$r w ON w.node = e.a),
+           |a$r AS MATERIALIZED (
+           |  SELECT * FROM a${r - 1}
+           |  WHERE node NOT IN (SELECT node FROM w$r)
+           |    AND node NOT IN (SELECT node FROM l$r))""".stripMargin
+      s"""WITH raw AS (
+         |  SELECT CAST(l_suppkey AS BIGINT) AS a,
+         |         CAST(l_partkey AS BIGINT) + 1000000 AS b FROM lineitem),
+         |edges AS MATERIALIZED (
+         |  SELECT DISTINCT a, b FROM (
+         |    SELECT a, b FROM raw UNION ALL SELECT b, a FROM raw)
+         |  WHERE a <> b),
+         |a0 AS MATERIALIZED (
+         |  SELECT node,
+         |    ('0x' || substr(md5(concat_ws('-', 'graft-mis-g13',
+         |      CAST(node AS VARCHAR))), 1, 15))::BIGINT AS h
+         |  FROM (SELECT DISTINCT a AS node FROM edges)),
+         |${(1 to 8).map(roundCtes).mkString(",\n")}
+         |SELECT node, round FROM (
+         |  ${(1 to 8).map(r => s"SELECT node, $r AS round FROM w$r")
+             .mkString("\n  UNION ALL ")})
+         |ORDER BY node""".stripMargin
+    },
+
+    // s12's append-mode eviction algebra on BOTH sides: matches emit as
+    // they form; an unmatched row on either side null-extends only when
+    // the final watermark has passed its join window
+    "s26_stream_full_outer_join" ->
+      """WITH e AS (SELECT user_id, event_id, event_type,
+        |                  CAST(ts AS TIMESTAMP) AS ts
+        |           FROM events WHERE user_id % 7 = 1),
+        |p AS (SELECT user_id, event_id AS p_id, ts AS p_ts FROM e
+        |      WHERE event_type = 'purchase'),
+        |v AS (SELECT user_id AS v_user, event_id AS v_id, ts AS v_ts FROM e
+        |      WHERE event_type = 'view'),
+        |wm AS (SELECT least((SELECT epoch_ms(MAX(p_ts)) FROM p),
+        |                    (SELECT epoch_ms(MAX(v_ts)) FROM v))
+        |              - 7200000 AS w_ms),
+        |matched AS (
+        |  SELECT p.user_id, p.p_id, v.v_id
+        |  FROM p JOIN v ON p.user_id = v.v_user
+        |   AND v.v_ts >= p.p_ts - INTERVAL 1 HOUR
+        |   AND v.v_ts <= p.p_ts + INTERVAL 1 HOUR),
+        |evicted_p AS (
+        |  SELECT p.user_id, p.p_id, NULL::BIGINT AS v_id
+        |  FROM p, wm
+        |  WHERE NOT EXISTS (SELECT 1 FROM matched m WHERE m.p_id = p.p_id)
+        |    AND epoch_ms(p.p_ts) + 3600000 < wm.w_ms),
+        |evicted_v AS (
+        |  SELECT v.v_user AS user_id, NULL::BIGINT AS p_id, v.v_id
+        |  FROM v, wm
+        |  WHERE NOT EXISTS (SELECT 1 FROM matched m WHERE m.v_id = v.v_id)
+        |    AND epoch_ms(v.v_ts) + 3600000 < wm.w_ms)
+        |SELECT user_id, p_id, v_id FROM matched
+        |UNION ALL SELECT user_id, p_id, v_id FROM evicted_p
+        |UNION ALL SELECT user_id, p_id, v_id FROM evicted_v
+        |ORDER BY user_id, p_id, v_id""".stripMargin,
 
     // affected-group recompute ≡ the straight post-delete aggregation
     "q94_view_refresh_delete" ->

@@ -773,6 +773,67 @@ object Graph {
     (pairs, dropped)
   }
 
+  /** Round-bounded maximal independent set — Luby's algorithm with
+    * STATIC salted-hash priorities, which makes it deterministic: the
+    * converged result is exactly the lexicographically-first MIS of the
+    * priority permutation (what sequential greedy over nodes sorted by
+    * (h64(seed-node), node) yields — spec-proven), reached in parallel
+    * rounds instead of a sequential scan. Per round, every node whose
+    * priority beats all its ACTIVE neighbors joins the set and knocks
+    * its neighbors out; expected O(log n) rounds under hash-random
+    * priorities. The conflict-free batching primitive: schedule updates
+    * touching adjacent entities (same file, same account, same shard)
+    * in independent waves.
+    *
+    * Round r exact at any bound (the kCore contract): `rounds` ≥ the
+    * convergence count gives the exact MIS; fewer gives the first r
+    * waves. One equi-join + one min-reduce + one anti-join per round,
+    * linear lineage. Nodes appear with the ROUND they were selected —
+    * the wave id a scheduler consumes directly. Isolated nodes never
+    * enter (no edges): they are trivially independent, add them
+    * upstream if needed.
+    *
+    * @return (node, round) — MIS members only
+    */
+  def maximalIndependentSet(
+      edges: DataFrame,
+      srcCol: String,
+      dstCol: String,
+      rounds: Int,
+      seed: String = "graft-mis"): DataFrame = {
+    require(rounds >= 1, s"rounds must be >= 1, got $rounds")
+    val raw = edges.select(col(srcCol).cast("long").as("a"),
+      col(dstCol).cast("long").as("b"))
+    val e = raw.unionAll(raw.select(col("b").as("a"), col("a").as("b")))
+      .filter(col("a") =!= col("b"))
+      .distinct()
+      .localCheckpoint(eager = false)
+    var active = e.select(col("a").as("node")).distinct()
+      .withColumn("h", graft.functions.TextFunctions.h64(
+        concat_ws("-", lit(seed), col("node"))))
+      .localCheckpoint(eager = false)
+    var mis = active.select(col("node"), lit(0).as("round")).limit(0)
+    for (r <- 1 to rounds) {
+      // best (h, node) among each node's ACTIVE neighbors
+      val nbrBest = e
+        .join(active.select(col("node").as("b"), col("h").as("bh")), Seq("b"))
+        .groupBy("a").agg(min(struct(col("bh"), col("b"))).as("nb"))
+        .select(col("a").as("node"), col("nb"))
+      val winners = active
+        .join(nbrBest, Seq("node"), "left")
+        .filter(col("nb").isNull || struct(col("h"), col("node")) < col("nb"))
+        .select("node")
+        .localCheckpoint(eager = false) // consumed thrice: mis, losers, anti
+      val losers = e.join(winners.select(col("node").as("a")), Seq("a"))
+        .select(col("b").as("node")).distinct()
+      mis = mis.unionAll(winners.select(col("node"), lit(r).as("round")))
+      active = active
+        .join(winners.unionAll(losers), Seq("node"), "left_anti")
+        .localCheckpoint(eager = false)
+    }
+    mis
+  }
+
   /** Seeded deterministic random walks — the DeepWalk/node2vec (p=q=1)
     * corpus generator: `nWalks` walks start at every node with out-
     * edges; at step t a walk at node u moves to u's out-neighbor in

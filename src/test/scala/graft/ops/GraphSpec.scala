@@ -481,6 +481,46 @@ class GraphSpec extends AnyFunSuite with SparkTestBase {
     }
   }
 
+  test("MIS: independent, maximal, and equal to sequential greedy by priority") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(17)
+    val edgeSeq = (0 until 400).map(_ =>
+      (rnd.nextInt(60).toLong, rnd.nextInt(60).toLong)).filter(p => p._1 != p._2)
+    val edges = edgeSeq.toDF("src", "dst")
+    val out = Graph.maximalIndependentSet(edges, "src", "dst", rounds = 12,
+      seed = "spec-mis")
+    val mis = out.collect().map(_.getLong(0)).toSet
+    val sym = edgeSeq.flatMap(p => Seq(p, p.swap)).toSet
+    val nodes = sym.map(_._1)
+    // independent: no edge inside the set
+    assert(!sym.exists { case (a, b) => mis(a) && mis(b) })
+    // maximal: every non-member has a member neighbor
+    assert((nodes -- mis).forall(n => sym.exists {
+      case (a, b) => a == n && mis(b)
+    }))
+    // Luby with STATIC priorities converges to the lexicographically-
+    // first MIS of the priority permutation — sequential greedy replay
+    def h64(s: String): Long = {
+      val md = java.security.MessageDigest.getInstance("MD5")
+      val hex = md.digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
+      java.lang.Long.parseLong(hex.take(15), 16)
+    }
+    val greedy = scala.collection.mutable.Set[Long]()
+    val blocked = scala.collection.mutable.Set[Long]()
+    nodes.toSeq.sortBy(n => (h64(s"spec-mis-$n"), n)).foreach { n =>
+      if (!blocked(n)) {
+        greedy += n
+        sym.foreach { case (a, b) => if (a == n) blocked += b }
+      }
+    }
+    assert(mis == greedy.toSet)
+    // deterministic under repartitioning
+    val again = Graph.maximalIndependentSet(edges.repartition(11),
+      "src", "dst", rounds = 12, seed = "spec-mis")
+      .collect().map(r => (r.getLong(0), r.getInt(1))).toSet
+    assert(again == out.collect().map(r => (r.getLong(0), r.getInt(1))).toSet)
+  }
+
   test("random walks: bit-identical under repartitioning") {
     import spark.implicits._
     val rnd = new scala.util.Random(5)
