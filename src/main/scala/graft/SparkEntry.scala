@@ -3996,6 +3996,31 @@ object SparkEntry {
         .orderBy("start_node", "walk", "step")
     }),
 
+    // ---- DV compaction: files past the delete-ratio threshold rewrite
+    // without their deleted rows; the rest byte-copy and keep their DV
+    // rows retargeted — merge-on-read over the compacted table equals
+    // the fully-deleted table -------------------------------------------
+    "q96_dv_compact" -> ((s, dir) => {
+      val tmp = gateScratch("q96")
+      val li = t(s, dir, "lineitem")
+        .select("l_orderkey", "l_linenumber", "l_returnflag", "l_quantity")
+      li.repartitionByRange(4, col("l_orderkey"))
+        .write.parquet(s"$tmp/t")
+      // dense deletes on the low-key quartile (its file crosses the
+      // rewrite threshold), sparse everywhere else
+      val lo = li.agg(max(col("l_orderkey"))).head.getLong(0) / 4
+      val pred = col("l_orderkey") < lo || col("l_orderkey") % 101 === 0
+      val dv = ops.Layout.deletionVectors(s, s"$tmp/t", pred)
+      val residual = ops.Layout.compactDeletes(s, s"$tmp/t", s"$tmp/out",
+        dv, rewriteRatio = 0.5)
+      ops.Layout.readWithDeletes(s, s"$tmp/out", residual)
+        .groupBy("l_returnflag")
+        .agg(count(lit(1)).as("n_rows"),
+          sum(col("l_quantity").cast("decimal(18,2)")).cast("double")
+            .as("sum_qty"))
+        .orderBy("l_returnflag")
+    }),
+
     // ---- Luby maximal independent set: static hash priorities make it
     // deterministic (≡ greedy over the priority permutation); round-
     // bounded, each member labeled with its selection wave -------------
@@ -7756,6 +7781,15 @@ object SparkEntry {
         |  CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty
         |FROM lineitem
         |WHERE NOT (l_returnflag = 'R') AND NOT (l_quantity >= 48.0)
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    // compaction + residual DV ≡ the straight post-delete table
+    "q96_dv_compact" ->
+      """SELECT l_returnflag, COUNT(*) AS n_rows,
+        |  CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty
+        |FROM lineitem
+        |WHERE NOT (l_orderkey < (SELECT MAX(l_orderkey) // 4 FROM lineitem)
+        |           OR l_orderkey % 101 = 0)
         |GROUP BY 1 ORDER BY 1""".stripMargin,
 
     // 8 unrolled Luby rounds: per-round best-active-neighbor reduce,

@@ -355,6 +355,80 @@ object Layout {
     base.filter(col(colName) === value)
   }
 
+  /** DV COMPACTION — the rewrite half of the deletion-vector contract
+    * [[readWithDeletes]] documents: a file whose deleted fraction
+    * reaches `rewriteRatio` re-encodes WITHOUT its deleted rows (its
+    * DV rows retire); every other file is stream-copied byte-for-byte
+    * into `outDir` (same name — row positions stay valid) and keeps
+    * its DV rows, RETARGETED to the copied path. Production lakehouses
+    * do exactly this: DVs absorb sparse deletes cheaply, and per-file
+    * growth past a threshold triggers that file's rewrite — never a
+    * table rewrite. Cost: O(hot files + DV), the [[compactSmall]]
+    * economics. The planner-scale per-file (rows, deletes) panel is
+    * one aggregate each.
+    *
+    * @return residual DV over `outDir` — `readWithDeletes(outDir,
+    *         residual)` equals the fully-deleted table (spec + gate)
+    */
+  def compactDeletes(spark: org.apache.spark.sql.SparkSession, inDir: String,
+      outDir: String, dv: DataFrame, rewriteRatio: Double): DataFrame = {
+    require(rewriteRatio > 0 && rewriteRatio <= 1,
+      s"rewriteRatio must be in (0, 1], got $rewriteRatio")
+    val dvFrozen = dv.localCheckpoint(eager = false) // counted + split below
+    val counts = spark.read.parquet(inDir)
+      .groupBy(col("_metadata.file_path").as("file"))
+      .agg(count(lit(1)).as("n_rows"))
+    val dcounts = dvFrozen.groupBy("file").agg(count(lit(1)).as("n_del"))
+    val perFile = counts.join(dcounts, Seq("file"), "left")
+      .select(col("file"), col("n_rows"), coalesce(col("n_del"), lit(0L)).as("n_del"))
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+    val (hot, cold) = perFile.partition { case (_, n, d) =>
+      d > 0 && d.toDouble / n >= rewriteRatio
+    }
+    val conf = spark.sparkContext.hadoopConfiguration
+    val outPath = new org.apache.hadoop.fs.Path(outDir)
+    val outFs = graft.io.PathResolver.fsFor(outDir, conf)
+    outFs.mkdirs(outPath)
+    val remapped = cold.map { case (p, _, _) =>
+      val src = new org.apache.hadoop.fs.Path(p)
+      val srcFs = graft.io.PathResolver.fsFor(p, conf)
+      val dst = new org.apache.hadoop.fs.Path(outPath, src.getName)
+      org.apache.hadoop.fs.FileUtil.copy(srcFs, src, outFs, dst,
+        false /* keep source */, true /* overwrite */, conf)
+      p -> dst.toString
+    }.toMap
+    if (hot.nonEmpty) {
+      val hotFiles = hot.map(_._1).toIndexedSeq
+      val hotDv = dvFrozen.filter(col("file").isin(hotFiles: _*))
+      spark.read.parquet(hotFiles: _*)
+        .withColumn("graft_dv_file", col("_metadata.file_path"))
+        .withColumn("graft_dv_pos", col("_metadata.row_index"))
+        .join(broadcast(hotDv.select(col("file").as("graft_dv_file"),
+          col("pos").as("graft_dv_pos"))),
+          Seq("graft_dv_file", "graft_dv_pos"), "left_anti")
+        .drop("graft_dv_file", "graft_dv_pos")
+        .write.mode("append").parquet(outDir)
+    }
+    // residual DV: cold files' rows, re-addressed at their copied
+    // paths AS THE OUT-DIR SCAN RENDERS THEM — `_metadata.file_path`
+    // spells paths as URIs while FileSystem paths may drop the scheme,
+    // so the rebinding joins on the (unique) file NAME against the out
+    // scan's own metadata rather than trusting either rendering
+    import spark.implicits._
+    if (cold.isEmpty) return dvFrozen.filter(lit(false))
+      .select(col("file"), col("pos"))
+    val coldNames = remapped.keys
+      .map(p => new org.apache.hadoop.fs.Path(p).getName).toSeq
+    val outFiles = spark.read.parquet(outDir)
+      .select(col("_metadata.file_path").as("graft_new_file")).distinct()
+      .withColumn("graft_name", substring_index(col("graft_new_file"), "/", -1))
+    dvFrozen
+      .withColumn("graft_name", substring_index(col("file"), "/", -1))
+      .filter(col("graft_name").isin(coldNames: _*))
+      .join(broadcast(outFiles), Seq("graft_name"))
+      .select(col("graft_new_file").as("file"), col("pos"))
+  }
+
   /** DELETION VECTORS — row-level deletes WITHOUT rewriting files (the
     * Delta/Iceberg merge-on-read delete path): one scan evaluates the
     * delete predicate and records each hit as its immutable physical

@@ -78,6 +78,57 @@ class DeletionVectorSpec extends AnyFunSuite with SparkTestBase {
     assert(Layout.readWithDeletes(spark, dir, dv).count() === 100L)
   }
 
+  test("compactDeletes rewrites only threshold-crossing files; result exact") {
+    val dir = writeTable(1000) // 4 range files on k: 0-249, 250-499, ...
+    val out = dir + "-out"
+    // dense deletes on k < 250 (first file ~100% deleted), sparse on
+    // k % 101 == 0 elsewhere
+    val pred = col("k") < 250 || col("k") % 101 === 0
+    val dv = Layout.deletionVectors(spark, dir, pred)
+      .localCheckpoint(eager = true)
+    val before = fileDigests(dir)
+    val residual = Layout.compactDeletes(spark, dir, out, dv,
+        rewriteRatio = 0.5)
+      .localCheckpoint(eager = true)
+    // source untouched; cold files byte-copied under the same name
+    assert(fileDigests(dir) === before)
+    val outDigests = fileDigests(out)
+    val coldNames = before.keySet.intersect(outDigests.keySet)
+    assert(coldNames.nonEmpty, "expected byte-copied cold files")
+    coldNames.foreach(n => assert(outDigests(n) === before(n)))
+    // at least one file was rewritten (new spark-generated name)
+    assert((outDigests.keySet -- before.keySet).nonEmpty)
+    // residual DV addresses only the copied (cold) paths
+    val resFiles = residual.select("file").distinct()
+      .collect().map(_.getString(0)).toSet
+    assert(resFiles.forall(f => coldNames.exists(f.endsWith)))
+    // merge-on-read over the compacted table equals the deleted table
+    val got = Layout.readWithDeletes(spark, out, residual)
+      .select("k", "v").as[(Long, Long)].collect().sorted.toSeq
+    val want = spark.read.parquet(dir).filter(!pred)
+      .select("k", "v").as[(Long, Long)].collect().sorted.toSeq
+    assert(got === want)
+  }
+
+  test("compactDeletes edge cases: all-cold keeps everything, all-hot rewrites all") {
+    val dir = writeTable(400)
+    // all-cold: sparse deletes below every threshold → pure copy
+    val sparseDv = Layout.deletionVectors(spark, dir, col("k") === 7)
+      .localCheckpoint(eager = true)
+    val outCold = dir + "-cold"
+    val resCold = Layout.compactDeletes(spark, dir, outCold, sparseDv, 0.5)
+    assert(fileDigests(outCold) === fileDigests(dir))
+    assert(Layout.readWithDeletes(spark, outCold, resCold).count() === 399L)
+    // all-hot: every file crosses the threshold → full rewrite, no DV left
+    val denseDv = Layout.deletionVectors(spark, dir, col("k") % 2 === 0)
+      .localCheckpoint(eager = true)
+    val outHot = dir + "-hot"
+    val resHot = Layout.compactDeletes(spark, dir, outHot, denseDv, 0.3)
+    assert(resHot.count() === 0L)
+    assert(fileDigests(outHot).keySet.intersect(fileDigests(dir).keySet).isEmpty)
+    assert(Layout.readWithDeletes(spark, outHot, resHot).count() === 200L)
+  }
+
   test("plan: broadcast anti join, no exchange on the base side") {
     val dir = writeTable(1000)
     val dv = Layout.deletionVectors(spark, dir, col("v") === 3)
