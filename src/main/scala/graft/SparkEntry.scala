@@ -4021,6 +4021,65 @@ object SparkEntry {
         .orderBy("l_returnflag")
     }),
 
+    // ---- merge-on-read UPDATE: DV the old versions (pinned BEFORE the
+    // append — the updated rows match the predicate too) + append the
+    // updated rows; no file rewritten. Completes lake CRUD: insert
+    // (append), delete (q93), update (q97), compact (q96), time travel
+    // (q92) -------------------------------------------------------------
+    "q97_dv_upsert" -> ((s, dir) => {
+      val tmp = gateScratch("q97")
+      t(s, dir, "lineitem")
+        .select("l_orderkey", "l_linenumber", "l_returnflag", "l_quantity")
+        .repartitionByRange(4, col("l_orderkey"))
+        .write.parquet(s"$tmp/t")
+      val pred = col("l_returnflag") === "R"
+      // pin the DV before the append lands, or the appended (updated)
+      // rows — which still satisfy the predicate — would self-delete
+      val dv = ops.Layout.deletionVectors(s, s"$tmp/t", pred)
+        .localCheckpoint(eager = true)
+      s.read.parquet(s"$tmp/t").filter(pred)
+        .withColumn("l_quantity", col("l_quantity") + 100.0)
+        .write.mode("append").parquet(s"$tmp/t")
+      ops.Layout.readWithDeletes(s, s"$tmp/t", dv)
+        .groupBy("l_returnflag")
+        .agg(count(lit(1)).as("n_rows"),
+          sum(col("l_quantity").cast("decimal(18,2)")).cast("double")
+            .as("sum_qty"))
+        .orderBy("l_returnflag")
+    }),
+
+    // ---- orphan-file vacuum: files no retained manifest references are
+    // GC'd; the latest snapshot reads identically before and after ------
+    "q98_snapshot_gc" -> ((s, dir) => {
+      val tmp = gateScratch("q98")
+      val li = t(s, dir, "lineitem")
+        .select("l_orderkey", "l_returnflag", "l_quantity")
+      li.filter(col("l_orderkey") % 2 === 0)
+        .repartitionByRange(4, col("l_orderkey"))
+        .write.parquet(s"$tmp/t")
+      val v1 = ops.Layout.statsManifest(s, s"$tmp/t", Seq("l_orderkey"))
+        .localCheckpoint(eager = true)
+      li.filter(col("l_orderkey") % 2 === 1)
+        .repartitionByRange(4, col("l_orderkey"))
+        .write.mode("append").parquet(s"$tmp/t")
+      val v2 = ops.Layout.extendManifest(s, s"$tmp/t", v1, Seq("l_orderkey"))
+        .localCheckpoint(eager = true)
+      // a failed-task leftover: bytes in the directory, in no manifest
+      val stray = new java.io.File(s"$tmp/t").listFiles()
+        .filter(_.getName.endsWith(".parquet")).head
+      java.nio.file.Files.copy(stray.toPath,
+        java.nio.file.Paths.get(s"$tmp/t/part-orphan-leftover.parquet"))
+      ops.Layout.vacuumOrphans(s, s"$tmp/t", Seq(v1, v2))
+      // the plain directory read now equals the latest snapshot — the
+      // orphan's rows are gone, every manifest-referenced file survives
+      s.read.parquet(s"$tmp/t")
+        .groupBy("l_returnflag")
+        .agg(count(lit(1)).as("n_rows"),
+          sum(col("l_quantity").cast("decimal(18,2)")).cast("double")
+            .as("sum_qty"))
+        .orderBy("l_returnflag")
+    }),
+
     // ---- Luby maximal independent set: static hash priorities make it
     // deterministic (≡ greedy over the priority permutation); round-
     // bounded, each member labeled with its selection wave -------------
@@ -7782,6 +7841,21 @@ object SparkEntry {
         |FROM lineitem
         |WHERE NOT (l_returnflag = 'R') AND NOT (l_quantity >= 48.0)
         |GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    // merge-on-read update ≡ the CASE-updated table
+    "q97_dv_upsert" ->
+      """SELECT l_returnflag, COUNT(*) AS n_rows,
+        |  CAST(SUM(CAST(CASE WHEN l_returnflag = 'R'
+        |                     THEN l_quantity + 100.0 ELSE l_quantity END
+        |           AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty
+        |FROM lineitem GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    // vacuum removes only unreferenced files: the directory read equals
+    // the whole table
+    "q98_snapshot_gc" ->
+      """SELECT l_returnflag, COUNT(*) AS n_rows,
+        |  CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty
+        |FROM lineitem GROUP BY 1 ORDER BY 1""".stripMargin,
 
     // compaction + residual DV ≡ the straight post-delete table
     "q96_dv_compact" ->

@@ -429,6 +429,39 @@ object Layout {
       .select(col("graft_new_file").as("file"), col("pos"))
   }
 
+  /** ORPHAN-FILE VACUUM — the GC half of the manifest lifecycle
+    * (Iceberg's remove_orphan_files): a failed task, an aborted job, or
+    * an expired snapshot leaves data files in the directory that no
+    * retained manifest references; they cost listing time and storage
+    * forever unless something deletes them. Every file appearing in at
+    * least one retained manifest survives; any other data file is
+    * removed. Path comparison is scheme-insensitive (the same
+    * URI-vs-filesystem rendering trap [[compactDeletes]] documents).
+    * Driver cost is O(#files) — the planner-scale listing every
+    * manifest consumer already pays. Returns (deleted, kept) data-file
+    * counts. Safety is the manifest contract itself: [[snapshotRead]]
+    * of any RETAINED manifest is unaffected by construction. */
+  def vacuumOrphans(spark: org.apache.spark.sql.SparkSession, dir: String,
+      retained: Seq[DataFrame]): (Int, Int) = {
+    require(retained.nonEmpty,
+      "refusing to vacuum with no retained manifests — that would delete every file")
+    def uriPath(p: String): String =
+      new org.apache.hadoop.fs.Path(p).toUri.getPath
+    val live = retained.flatMap(_.select("file").collect().map(r =>
+      uriPath(r.getString(0)))).toSet
+    val fs = graft.io.PathResolver.fsFor(dir,
+      spark.sparkContext.hadoopConfiguration)
+    val (keep, orphan) = fs.listStatus(new org.apache.hadoop.fs.Path(dir))
+      .filter(_.isFile)
+      .map(_.getPath)
+      .filterNot { p => // metadata/hidden files are not data files
+        p.getName.startsWith("_") || p.getName.startsWith(".")
+      }
+      .partition(p => live.contains(uriPath(p.toString)))
+    orphan.foreach(p => fs.delete(p, false))
+    (orphan.length, keep.length)
+  }
+
   /** DELETION VECTORS — row-level deletes WITHOUT rewriting files (the
     * Delta/Iceberg merge-on-read delete path): one scan evaluates the
     * delete predicate and records each hit as its immutable physical

@@ -82,6 +82,35 @@ class DataSkippingSpec extends AnyFunSuite with SparkTestBase {
     assert(empty.count() === 0L && empty.columns.toSeq === Seq("k", "v"))
   }
 
+  test("vacuumOrphans deletes only unreferenced data files") {
+    val dir = freshDir("gc")
+    spark.range(100).select(col("id").as("k"), (col("id") % 7).as("v"))
+      .repartitionByRange(3, col("k"))
+      .write.mode("overwrite").parquet(dir)
+    val v1 = Layout.statsManifest(spark, dir, Seq("k"))
+      .localCheckpoint(eager = true)
+    // plant two orphans: a stray data file and a hidden/metadata file
+    // (the latter must be IGNORED, not deleted)
+    val files = new java.io.File(dir).listFiles()
+      .filter(_.getName.endsWith(".parquet"))
+    java.nio.file.Files.copy(files.head.toPath,
+      java.nio.file.Paths.get(dir, "part-orphan.parquet"))
+    val snapshotBefore = Layout.snapshotRead(spark, dir, v1)
+      .orderBy("k").collect().toSeq
+    val (deleted, kept) = Layout.vacuumOrphans(spark, dir, Seq(v1))
+    assert(deleted === 1 && kept === files.length)
+    assert(!new java.io.File(dir, "part-orphan.parquet").exists())
+    assert(new java.io.File(dir, "_SUCCESS").exists()) // metadata survives
+    // retained snapshot unaffected; plain read equals it again
+    assert(Layout.snapshotRead(spark, dir, v1).orderBy("k").collect().toSeq
+      === snapshotBefore)
+    assert(spark.read.parquet(dir).count() === 100L)
+    // refusing to run with nothing retained (would delete everything)
+    intercept[IllegalArgumentException] {
+      Layout.vacuumOrphans(spark, dir, Seq.empty)
+    }
+  }
+
   test("bloomRead: lossless skipping on an unclustered column") {
     val dir = freshDir("bloom")
     // layout clustered on k; v = (k·733) mod 2000 is a permutation that

@@ -129,6 +129,29 @@ class DeletionVectorSpec extends AnyFunSuite with SparkTestBase {
     assert(Layout.readWithDeletes(spark, outHot, resHot).count() === 200L)
   }
 
+  test("DV upsert: pinned DV + append updates rows without touching files") {
+    val dir = writeTable(500)
+    val before = fileDigests(dir)
+    val pred = col("v") === 3
+    val dv = Layout.deletionVectors(spark, dir, pred)
+      .localCheckpoint(eager = true) // pin BEFORE the append
+    spark.read.parquet(dir).filter(pred)
+      .withColumn("v", col("v") + 100L)
+      .write.mode("append").parquet(dir)
+    val got = Layout.readWithDeletes(spark, dir, dv)
+      .select("k", "v").as[(Long, Long)].collect().sorted.toSeq
+    val want = spark.range(500)
+      .select(col("id").as("k"),
+        when(col("id") % 7 === 3, col("id") % 7 + 100L)
+          .otherwise(col("id") % 7).as("v"))
+      .as[(Long, Long)].collect().sorted.toSeq
+    assert(got === want)
+    // the original files are byte-identical — only NEW files appeared
+    val after = fileDigests(dir)
+    before.foreach { case (n, d) => assert(after(n) === d) }
+    assert(after.size > before.size)
+  }
+
   test("plan: broadcast anti join, no exchange on the base side") {
     val dir = writeTable(1000)
     val dv = Layout.deletionVectors(spark, dir, col("v") === 3)
