@@ -4080,6 +4080,52 @@ object SparkEntry {
         .orderBy("l_returnflag")
     }),
 
+    // ---- streaming DV maintenance: a takedown-key stream folds into a
+    // grow-only DV side table per micro-batch (plain unionAll — dup DV
+    // rows are harmless to the anti-join, so batch order/overlap can't
+    // corrupt); the base table is never touched ------------------------
+    "s27_stream_dv_maintenance" -> ((s, dir) => {
+      val tmp = gateScratch("s27")
+      t(s, dir, "lineitem")
+        .select("l_orderkey", "l_linenumber", "l_returnflag", "l_quantity")
+        .repartitionByRange(4, col("l_orderkey"))
+        .write.parquet(s"$tmp/t")
+      // the takedown feed: orderkeys ≡ 0 (mod 5), in 4 shard files —
+      // with deliberate OVERLAP between consecutive batches (retries)
+      val keys = t(s, dir, "lineitem")
+        .filter(col("l_orderkey") % 5 === 0)
+        .select("l_orderkey").distinct()
+      keys.withColumn("shard", pmod(col("l_orderkey"), lit(3)))
+        .unionAll(keys.limit(50).withColumn("shard", lit(3L))) // re-requests
+        .repartition(4, col("shard"))
+        .write.parquet(s"$tmp/in")
+      val inSchema = s.read.parquet(s"$tmp/in").schema
+      var dv = t(s, dir, "lineitem").limit(0)
+        .select(lit("").as("file"), lit(0L).as("pos"))
+      withNarrowState(s) {
+        val q = s.readStream.schema(inSchema)
+          .option("maxFilesPerTrigger", "1")
+          .parquet(s"$tmp/in")
+          .writeStream
+          .foreachBatch { (batch: DataFrame, _: Long) =>
+            dv = dv.unionAll(ops.Layout.deletionVectorsForKeys(
+                s, s"$tmp/t", batch, "l_orderkey"))
+              .localCheckpoint(eager = true)
+            ()
+          }
+          .option("checkpointLocation", s"$tmp/chk")
+          .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+          .start()
+        q.awaitTermination()
+      }
+      ops.Layout.readWithDeletes(s, s"$tmp/t", dv)
+        .groupBy("l_returnflag")
+        .agg(count(lit(1)).as("n_rows"),
+          sum(col("l_quantity").cast("decimal(18,2)")).cast("double")
+            .as("sum_qty"))
+        .orderBy("l_returnflag")
+    }),
+
     // ---- Luby maximal independent set: static hash priorities make it
     // deterministic (≡ greedy over the priority permutation); round-
     // bounded, each member labeled with its selection wave -------------
@@ -7840,6 +7886,13 @@ object SparkEntry {
         |  CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty
         |FROM lineitem
         |WHERE NOT (l_returnflag = 'R') AND NOT (l_quantity >= 48.0)
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    // the folded DV stream ≡ the plain key-filtered table
+    "s27_stream_dv_maintenance" ->
+      """SELECT l_returnflag, COUNT(*) AS n_rows,
+        |  CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty
+        |FROM lineitem WHERE l_orderkey % 5 <> 0
         |GROUP BY 1 ORDER BY 1""".stripMargin,
 
     // merge-on-read update ≡ the CASE-updated table

@@ -484,6 +484,24 @@ object Layout {
       .select(col("_metadata.file_path").as("file"),
         col("_metadata.row_index").as("pos"))
 
+  /** [[deletionVectors]] for a KEY LIST instead of a predicate — the
+    * CDC/takedown-feed shape: the delete request arrives as keys, the
+    * addresses come from one semi-joined scan (keys broadcast —
+    * delta-scale by contract). DV rows are a grow-only set under
+    * union: duplicates are harmless to the anti-join subtraction, so
+    * concurrent/out-of-order delete batches fold with plain unionAll —
+    * no dedup pass, no ordering requirement (the property gate s27
+    * leans on). */
+  def deletionVectorsForKeys(spark: org.apache.spark.sql.SparkSession,
+      dir: String, keys: DataFrame, keyCol: String): DataFrame =
+    spark.read.parquet(dir)
+      // _metadata resolves only against the scan itself — project the
+      // address BEFORE the join or analysis fails
+      .select(col(keyCol), col("_metadata.file_path").as("file"),
+        col("_metadata.row_index").as("pos"))
+      .join(broadcast(keys.select(col(keyCol))), Seq(keyCol), "left_semi")
+      .select("file", "pos")
+
   /** Merge-on-read scan applying [[deletionVectors]]: the base table is
     * scanned in place and deleted addresses are subtracted by a
     * BROADCAST left-anti join on (file, pos) — the base side never

@@ -152,6 +152,24 @@ class DeletionVectorSpec extends AnyFunSuite with SparkTestBase {
     assert(after.size > before.size)
   }
 
+  test("key-based DVs fold by plain union — duplicates and batch order are harmless") {
+    val dir = writeTable(300)
+    val keysAll = spark.range(0, 300, 5).select(col("id").as("k"))
+    val b1 = keysAll.filter(col("k") < 150)
+    val b2 = keysAll.filter(col("k") >= 100) // overlaps b1 (retries)
+    def dvFor(keys: org.apache.spark.sql.DataFrame) =
+      Layout.deletionVectorsForKeys(spark, dir, keys, "k")
+    val foldedA = dvFor(b1).unionAll(dvFor(b2))
+    val foldedB = dvFor(b2).unionAll(dvFor(b1)).unionAll(dvFor(b1)) // dup batch
+    val want = spark.read.parquet(dir).filter(col("k") % 5 =!= 0)
+      .select("k", "v").as[(Long, Long)].collect().sorted.toSeq
+    for (dv <- Seq(foldedA, foldedB)) {
+      val got = Layout.readWithDeletes(spark, dir, dv)
+        .select("k", "v").as[(Long, Long)].collect().sorted.toSeq
+      assert(got === want)
+    }
+  }
+
   test("plan: broadcast anti join, no exchange on the base side") {
     val dir = writeTable(1000)
     val dv = Layout.deletionVectors(spark, dir, col("v") === 3)
