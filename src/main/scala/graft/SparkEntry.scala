@@ -4080,6 +4080,26 @@ object SparkEntry {
         .orderBy("l_returnflag")
     }),
 
+    // ---- PNG tEXt metadata extraction: caption/source sidecars parsed
+    // from real chunk structure (CRC-correct spliced chunks) — the
+    // image-text pairing pass; bytes stay record-local ------------------
+    "m17_png_metadata" -> ((s, dir) => {
+      import s.implicits._
+      val media = t(s, dir, "documents")
+        .select(col("doc_id").cast("long")).as[Long]
+        .map { id =>
+          val w = (id % 64 + 1).toInt
+          val h = (id % 48 + 1).toInt
+          ops.Multimodal.MediaRecord(id,
+            ops.Multimodal.MediaGen.pngWithText(w, h, id, Seq(
+              "source" -> s"crawl-${id % 7}",
+              "caption" -> s"synthetic image $id")),
+            ops.Multimodal.MediaMeta("png", w, h, 0L))
+        }
+      ops.Multimodal.textMetadata(media).toDF()
+        .orderBy("media_id", "key")
+    }),
+
     // ---- streaming DV maintenance: a takedown-key stream folds into a
     // grow-only DV side table per micro-batch (plain unionAll — dup DV
     // rows are harmless to the anti-join, so batch order/overlap can't
@@ -7887,6 +7907,19 @@ object SparkEntry {
         |FROM lineitem
         |WHERE NOT (l_returnflag = 'R') AND NOT (l_quantity >= 48.0)
         |GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    // closed-form sidecar entries: the parse must surface exactly what
+    // the generator spliced in, in chunk order
+    "m17_png_metadata" ->
+      """SELECT media_id, key, value FROM (
+        |  SELECT CAST(doc_id AS BIGINT) AS media_id, 'caption' AS key,
+        |         'synthetic image ' || CAST(doc_id AS VARCHAR) AS value
+        |  FROM documents
+        |  UNION ALL
+        |  SELECT CAST(doc_id AS BIGINT), 'source',
+        |         'crawl-' || CAST(doc_id % 7 AS VARCHAR)
+        |  FROM documents)
+        |ORDER BY media_id, key""".stripMargin,
 
     // the folded DV stream ≡ the plain key-filtered table
     "s27_stream_dv_maintenance" ->

@@ -55,6 +55,11 @@ object Multimodal {
   case class MediaHeader(media_id: Long, format: String, width: Int,
       height: Int, duration_ms: Long)
 
+  /** One embedded text-metadata entry (PNG `tEXt` key/value) — the
+    * caption/source sidecar that turns an image corpus into image-text
+    * training pairs. */
+  case class TextMeta(media_id: Long, key: String, value: String)
+
   /** One triage verdict: sniffed format + header facts + an
     * operational status — `ok` (full decode succeeds), `header_only`
     * (header parses, payload does not decode: truncation/corruption
@@ -87,6 +92,32 @@ object Multimodal {
       val bos = new java.io.ByteArrayOutputStream()
       javax.imageio.ImageIO.write(img, fmt, bos)
       bos.toByteArray
+    }
+
+    /** One standards-correct `tEXt` chunk: length + type + (key NUL
+      * value) + CRC32 over type+data — bytes any PNG reader accepts. */
+    def pngTextChunk(key: String, value: String): Array[Byte] = {
+      val data = key.getBytes("ISO-8859-1") ++ Array(0.toByte) ++
+        value.getBytes("ISO-8859-1")
+      val typ = "tEXt".getBytes("US-ASCII")
+      val crc = new java.util.zip.CRC32()
+      crc.update(typ); crc.update(data)
+      val bb = java.nio.ByteBuffer.allocate(12 + data.length)
+      bb.putInt(data.length).put(typ).put(data).putInt(crc.getValue.toInt)
+      bb.array()
+    }
+
+    /** [[image]] as PNG with `tEXt` metadata chunks spliced in directly
+      * after IHDR (always at offset 33: 8-byte signature + 25-byte IHDR
+      * chunk) — the caption/source sidecar a crawled image carries.
+      * Decoders ignore ancillary chunks, so pixels decode identically
+      * (spec-pinned). */
+    def pngWithText(w: Int, h: Int, id: Long,
+        entries: Seq[(String, String)]): Array[Byte] = {
+      val base = image("png", w, h, id)
+      val cut = 33
+      base.take(cut) ++ entries.toArray.flatMap(e =>
+        pngTextChunk(e._1, e._2)) ++ base.drop(cut)
     }
 
     def grayVidAt(id: Long, f: Int, x: Int, y: Int): Int =
@@ -286,6 +317,38 @@ object Multimodal {
       *     the `data` chunk's DECLARED length (the body itself may be
       *     absent) → duration.
       */
+    /** PNG chunk walk extracting `tEXt` key/value entries, in chunk
+      * order. Header-scale work like [[headerProbe]] — no pixel
+      * decode. Truncation-tolerant: the walk stops at the first chunk
+      * that would run past the payload (or at IEND); a non-PNG payload
+      * yields no entries rather than an exception. */
+    def textChunks(r: MediaRecord): Seq[TextMeta] = {
+      val c = r.content
+      def be32(o: Int): Int = ((c(o) & 0xff) << 24) | ((c(o + 1) & 0xff) << 16) |
+        ((c(o + 2) & 0xff) << 8) | (c(o + 3) & 0xff)
+      if (c.length < 8 || (c(0) & 0xff) != 0x89 || c(1) != 'P' ||
+          c(2) != 'N' || c(3) != 'G') return Seq.empty
+      val out = scala.collection.mutable.ArrayBuffer[TextMeta]()
+      var pos = 8
+      var done = false
+      while (!done && pos + 8 <= c.length) {
+        val len = be32(pos)
+        val typ = new String(c, pos + 4, 4, "US-ASCII")
+        if (len < 0 || pos + 12 + len > c.length || typ == "IEND") done = true
+        else {
+          if (typ == "tEXt") {
+            val data = new String(c, pos + 8, len, "ISO-8859-1")
+            val nul = data.indexOf('\u0000')
+            if (nul >= 0)
+              out += TextMeta(r.media_id, data.substring(0, nul),
+                data.substring(nul + 1))
+          }
+          pos += 12 + len
+        }
+      }
+      out.toSeq
+    }
+
     def headerProbe(r: MediaRecord): MediaHeader = {
       val c = r.content
       def be32(o: Int): Int = ((c(o) & 0xff) << 24) | ((c(o + 1) & 0xff) << 16) |
@@ -686,6 +749,20 @@ object Multimodal {
     media.mapPartitions { it =>
       it.grouped(MediaCodec.batchSize)
         .flatMap(_.map(MediaCodec.headerProbe))
+    }
+  }
+
+  /** Embedded text metadata per asset ([[MediaCodec.textChunks]]):
+    * (media_id, key, value) rows from PNG `tEXt` chunks — the
+    * caption/source extraction that pairs an image corpus with text.
+    * Header-scale record-local work; payload bytes never shuffle, only
+    * the small metadata rows do. Non-PNG and truncated payloads yield
+    * zero rows, never an exception. */
+  def textMetadata(media: Dataset[MediaRecord]): Dataset[TextMeta] = {
+    import media.sparkSession.implicits._
+    media.mapPartitions { it =>
+      it.grouped(MediaCodec.batchSize)
+        .flatMap(_.flatMap(MediaCodec.textChunks))
     }
   }
 

@@ -1991,6 +1991,30 @@ class MultimodalSpec extends AnyFunSuite with SparkTestBase {
     }
   }
 
+  test("PNG tEXt: spliced chunks round-trip, pixels unchanged, truncation safe") {
+    val entries = Seq("source" -> "crawl-3", "caption" -> "a tiny test image")
+    val bytes = MediaGen.pngWithText(16, 12, 42L, entries)
+    val rec = MediaRecord(42L, bytes, MediaMeta("png", 16, 12, 0L))
+    // entries come back in chunk order
+    assert(MediaCodec.textChunks(rec).map(t => t.key -> t.value) === entries)
+    // a standard decoder ignores the ancillary chunks: pixels identical
+    val plain = javax.imageio.ImageIO.read(
+      new java.io.ByteArrayInputStream(MediaGen.image("png", 16, 12, 42L)))
+    val withText = javax.imageio.ImageIO.read(
+      new java.io.ByteArrayInputStream(bytes))
+    for (y <- 0 until 12; x <- 0 until 16)
+      assert(withText.getRaster.getSample(x, y, 0) ===
+        plain.getRaster.getSample(x, y, 0))
+    // header probe still reads IHDR (chunks spliced AFTER it)
+    assert(MediaCodec.headerProbe(rec).width === 16)
+    // truncation mid-chunk: entries before the cut survive, no throw
+    val cut = MediaRecord(42L, bytes.take(40), MediaMeta("png", 16, 12, 0L))
+    assert(MediaCodec.textChunks(cut).isEmpty)
+    // non-PNG payloads yield no entries
+    val wav = MediaRecord(7L, MediaGen.wav(7L, 64), MediaMeta("wav", 0, 0, 8L))
+    assert(MediaCodec.textChunks(wav).isEmpty)
+  }
+
   test("triage: ok / header_only / unparseable verdicts, no executor exceptions") {
     import spark.implicits._
     val base = syntheticMedia(spark.range(0, 12).toDF("id"), "id")(spark)
