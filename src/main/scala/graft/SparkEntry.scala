@@ -4080,6 +4080,57 @@ object SparkEntry {
         .orderBy("l_returnflag")
     }),
 
+    // ---- dynamic partition overwrite: INSERT OVERWRITE replaces ONLY
+    // the partitions the incoming data touches — the partition-grain
+    // refresh between row-level DVs and full rewrites; untouched
+    // partitions keep their files byte-identical (spec-pinned) ----------
+    "q99_dynamic_overwrite" -> ((s, dir) => {
+      val tmp = gateScratch("q99")
+      val li = t(s, dir, "lineitem")
+        .select("l_orderkey", "l_linenumber", "l_returnflag", "l_quantity")
+      li.write.partitionBy("l_returnflag").parquet(s"$tmp/t")
+      val prev = s.conf.get("spark.sql.sources.partitionOverwriteMode", "static")
+      s.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+      try li.filter(col("l_returnflag") === "R")
+        .withColumn("l_quantity", col("l_quantity") + 100.0)
+        .write.mode("overwrite").partitionBy("l_returnflag")
+        .parquet(s"$tmp/t")
+      finally s.conf.set("spark.sql.sources.partitionOverwriteMode", prev)
+      s.read.parquet(s"$tmp/t")
+        .groupBy("l_returnflag")
+        .agg(count(lit(1)).as("n_rows"),
+          sum(col("l_quantity").cast("decimal(18,2)")).cast("double")
+            .as("sum_qty"))
+        .orderBy("l_returnflag")
+    }),
+
+    // ---- snapshot ROLLBACK: restore the table to a retained manifest
+    // by vacuuming everything that manifest doesn't reference — undo
+    // for a bad append, from machinery the table already maintains ------
+    "q100_snapshot_rollback" -> ((s, dir) => {
+      val tmp = gateScratch("q100")
+      val li = t(s, dir, "lineitem")
+        .select("l_orderkey", "l_returnflag", "l_quantity")
+      li.filter(col("l_orderkey") % 2 === 0)
+        .repartitionByRange(4, col("l_orderkey"))
+        .write.parquet(s"$tmp/t")
+      val v1 = ops.Layout.statsManifest(s, s"$tmp/t", Seq("l_orderkey"))
+        .localCheckpoint(eager = true)
+      // the bad append: rows that should never have landed
+      li.filter(col("l_orderkey") % 2 === 1)
+        .withColumn("l_quantity", col("l_quantity") * -1.0)
+        .repartitionByRange(4, col("l_orderkey"))
+        .write.mode("append").parquet(s"$tmp/t")
+      // rollback = retain ONLY v1; the append's files are orphans
+      ops.Layout.vacuumOrphans(s, s"$tmp/t", Seq(v1))
+      s.read.parquet(s"$tmp/t")
+        .groupBy("l_returnflag")
+        .agg(count(lit(1)).as("n_rows"),
+          sum(col("l_quantity").cast("decimal(18,2)")).cast("double")
+            .as("sum_qty"))
+        .orderBy("l_returnflag")
+    }),
+
     // ---- PNG tEXt metadata extraction: caption/source sidecars parsed
     // from real chunk structure (CRC-correct spliced chunks) — the
     // image-text pairing pass; bytes stay record-local ------------------
@@ -7906,6 +7957,22 @@ object SparkEntry {
         |  CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty
         |FROM lineitem
         |WHERE NOT (l_returnflag = 'R') AND NOT (l_quantity >= 48.0)
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    // partition-grain refresh ≡ the CASE-updated table (q97's semantics
+    // through a different mechanism)
+    "q99_dynamic_overwrite" ->
+      """SELECT l_returnflag, COUNT(*) AS n_rows,
+        |  CAST(SUM(CAST(CASE WHEN l_returnflag = 'R'
+        |                     THEN l_quantity + 100.0 ELSE l_quantity END
+        |           AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty
+        |FROM lineitem GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    // after rollback the directory IS the v1 snapshot
+    "q100_snapshot_rollback" ->
+      """SELECT l_returnflag, COUNT(*) AS n_rows,
+        |  CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty
+        |FROM lineitem WHERE l_orderkey % 2 = 0
         |GROUP BY 1 ORDER BY 1""".stripMargin,
 
     // closed-form sidecar entries: the parse must surface exactly what

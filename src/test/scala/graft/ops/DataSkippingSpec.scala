@@ -82,6 +82,36 @@ class DataSkippingSpec extends AnyFunSuite with SparkTestBase {
     assert(empty.count() === 0L && empty.columns.toSeq === Seq("k", "v"))
   }
 
+  test("dynamic partition overwrite replaces only the touched partitions") {
+    val dir = freshDir("dynover")
+    spark.range(400)
+      .select(col("id").as("k"), (col("id") % 4).as("p"), (col("id") * 2).as("v"))
+      .write.mode("overwrite").partitionBy("p").parquet(dir)
+    def partDigests(p: Long): Map[String, String] =
+      new java.io.File(dir, s"p=$p").listFiles()
+        .filter(_.getName.endsWith(".parquet"))
+        .map { f =>
+          val md = java.security.MessageDigest.getInstance("MD5")
+          f.getName -> md.digest(java.nio.file.Files.readAllBytes(f.toPath))
+            .map("%02x".format(_)).mkString
+        }.toMap
+    val before = (0L to 3L).map(p => p -> partDigests(p)).toMap
+    val prev = spark.conf.get("spark.sql.sources.partitionOverwriteMode", "static")
+    spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+    try spark.range(400).filter(col("id") % 4 === 1)
+      .select(col("id").as("k"), (col("id") % 4).as("p"), (col("id") * 10).as("v"))
+      .write.mode("overwrite").partitionBy("p").parquet(dir)
+    finally spark.conf.set("spark.sql.sources.partitionOverwriteMode", prev)
+    // untouched partitions keep their exact files; p=1 was replaced
+    for (p <- Seq(0L, 2L, 3L)) assert(partDigests(p) === before(p))
+    assert(partDigests(1L) !== before(1L))
+    val got = spark.read.parquet(dir)
+      .select("k", "v").as[(Long, Long)].collect().sorted.toSeq
+    val want = (0L until 400L).map(k =>
+      (k, if (k % 4 == 1) k * 10 else k * 2)).sorted
+    assert(got === want)
+  }
+
   test("vacuumOrphans deletes only unreferenced data files") {
     val dir = freshDir("gc")
     spark.range(100).select(col("id").as("k"), (col("id") % 7).as("v"))
