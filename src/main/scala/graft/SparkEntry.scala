@@ -4080,6 +4080,40 @@ object SparkEntry {
         .orderBy("l_returnflag")
     }),
 
+    // ---- versioned merge-on-read: a version IS (manifest, DV set) —
+    // time travel over row-level mutations with zero copies; v1's DV
+    // holds epoch-1 addresses only (DVs are addresses, not predicates),
+    // v2 folds a second wave over both epochs ---------------------------
+    "q101_versioned_deletes" -> ((s, dir) => {
+      val tmp = gateScratch("q101")
+      val li = t(s, dir, "lineitem")
+        .select("l_orderkey", "l_linenumber", "l_returnflag", "l_quantity")
+      li.filter(col("l_orderkey") % 2 === 0)
+        .repartitionByRange(4, col("l_orderkey"))
+        .write.parquet(s"$tmp/t")
+      val m1 = ops.Layout.statsManifest(s, s"$tmp/t", Seq("l_orderkey"))
+        .localCheckpoint(eager = true)
+      val dv1 = ops.Layout.deletionVectors(s, s"$tmp/t",
+          col("l_returnflag") === "R")
+        .localCheckpoint(eager = true) // v1 addresses: epoch-1 files only
+      li.filter(col("l_orderkey") % 2 === 1)
+        .repartitionByRange(4, col("l_orderkey"))
+        .write.mode("append").parquet(s"$tmp/t")
+      val m2 = ops.Layout.extendManifest(s, s"$tmp/t", m1, Seq("l_orderkey"))
+      val dv2 = dv1.unionAll(ops.Layout.deletionVectors(s, s"$tmp/t",
+        col("l_quantity") >= 48.0)) // wave 2 spans BOTH epochs
+      def snap(m: DataFrame, dv: DataFrame, v: Int): DataFrame =
+        ops.Layout.snapshotReadWithDeletes(s, s"$tmp/t", m, dv)
+          .groupBy("l_returnflag")
+          .agg(count(lit(1)).as("n_rows"),
+            sum(col("l_quantity").cast("decimal(18,2)")).cast("double")
+              .as("sum_qty"))
+          .withColumn("version", lit(v))
+      snap(m1, dv1, 1).unionAll(snap(m2, dv2, 2))
+        .select("version", "l_returnflag", "n_rows", "sum_qty")
+        .orderBy("version", "l_returnflag")
+    }),
+
     // ---- dynamic partition overwrite: INSERT OVERWRITE replaces ONLY
     // the partitions the incoming data touches — the partition-grain
     // refresh between row-level DVs and full rewrites; untouched
@@ -7958,6 +7992,25 @@ object SparkEntry {
         |FROM lineitem
         |WHERE NOT (l_returnflag = 'R') AND NOT (l_quantity >= 48.0)
         |GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    // v1 = epoch-1 minus its R rows; v2 = both epochs minus epoch-1 R
+    // rows minus the ≥48 wave — the asymmetry proves DVs are ADDRESSES
+    // (epoch-2 R rows with qty < 48 survive v2)
+    "q101_versioned_deletes" ->
+      """SELECT CAST(1 AS INT) AS version, l_returnflag,
+        |  COUNT(*) AS n_rows,
+        |  CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty
+        |FROM lineitem
+        |WHERE l_orderkey % 2 = 0 AND NOT l_returnflag = 'R'
+        |GROUP BY 2
+        |UNION ALL
+        |SELECT CAST(2 AS INT), l_returnflag, COUNT(*),
+        |  CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE)
+        |FROM lineitem
+        |WHERE NOT ((l_orderkey % 2 = 0 AND l_returnflag = 'R')
+        |           OR l_quantity >= 48.0)
+        |GROUP BY 2
+        |ORDER BY version, l_returnflag""".stripMargin,
 
     // partition-grain refresh ≡ the CASE-updated table (q97's semantics
     // through a different mechanism)

@@ -512,14 +512,31 @@ object Layout {
     * deleted rows — [[compactSmall]]'s posture) and drop its DV rows,
     * exactly as production lakehouses do. */
   def readWithDeletes(spark: org.apache.spark.sql.SparkSession, dir: String,
-      dv: DataFrame): DataFrame = {
-    val base = spark.read.parquet(dir)
+      dv: DataFrame): DataFrame =
+    applyDv(spark.read.parquet(dir), dv)
+
+  /** The DV subtraction itself — `base` must be a fresh parquet scan
+    * (the `_metadata` address columns resolve only there). */
+  private def applyDv(base: DataFrame, dv: DataFrame): DataFrame =
+    base
       .withColumn("graft_dv_file", col("_metadata.file_path"))
       .withColumn("graft_dv_pos", col("_metadata.row_index"))
-    base.join(
+      .join(
         broadcast(dv.select(col("file").as("graft_dv_file"),
           col("pos").as("graft_dv_pos"))),
         Seq("graft_dv_file", "graft_dv_pos"), "left_anti")
       .drop("graft_dv_file", "graft_dv_pos")
-  }
+
+  /** VERSIONED merge-on-read: a table version IS (manifest, DV set) —
+    * the manifest pins which files exist at the version, the DV set
+    * pins which of their rows are deleted at the version. Reading AS
+    * OF v = scan exactly the manifest's files, subtract exactly v's
+    * DVs. Because files are immutable and DV sets are grow-only
+    * ([[deletionVectorsForKeys]]' union contract), retaining
+    * (manifest, DV) pairs per version gives row-level-mutation time
+    * travel with zero copies — the full Delta/Iceberg read model from
+    * the same two side tables this family already maintains. */
+  def snapshotReadWithDeletes(spark: org.apache.spark.sql.SparkSession,
+      dir: String, manifest: DataFrame, dv: DataFrame): DataFrame =
+    applyDv(snapshotRead(spark, dir, manifest), dv)
 }

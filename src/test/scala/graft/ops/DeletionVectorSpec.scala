@@ -170,6 +170,31 @@ class DeletionVectorSpec extends AnyFunSuite with SparkTestBase {
     }
   }
 
+  test("snapshotReadWithDeletes: versions are (manifest, DV) pairs, isolated") {
+    val dir = writeTable(600)
+    val m1 = Layout.statsManifest(spark, dir, Seq("k"))
+      .localCheckpoint(eager = true)
+    val dv1 = Layout.deletionVectors(spark, dir, col("v") === 3)
+      .localCheckpoint(eager = true)
+    // epoch 2 lands, plus a second delete wave spanning both epochs
+    spark.range(600, 900).select(col("id").as("k"), (col("id") % 7).as("v"))
+      .repartitionByRange(2, col("k")).write.mode("append").parquet(dir)
+    val m2 = Layout.extendManifest(spark, dir, m1, Seq("k"))
+    val dv2 = dv1.unionAll(Layout.deletionVectors(spark, dir, col("v") === 5))
+    def rows(m: org.apache.spark.sql.DataFrame,
+        dv: org.apache.spark.sql.DataFrame) =
+      Layout.snapshotReadWithDeletes(spark, dir, m, dv)
+        .select("k", "v").as[(Long, Long)].collect().sorted.toSeq
+    // v1: epoch-1 rows minus v==3 — epoch-2 rows invisible entirely
+    assert(rows(m1, dv1) ===
+      (0L until 600L).filter(_ % 7 != 3).map(k => (k, k % 7)).sorted)
+    // v2: both epochs minus v==3 (epoch-1 addresses only!) minus v==5
+    // everywhere — epoch-2 v==3 rows SURVIVE: DVs are addresses
+    val want2 = ((0L until 600L).filter(k => k % 7 != 3 && k % 7 != 5) ++
+      (600L until 900L).filter(_ % 7 != 5)).map(k => (k, k % 7)).sorted
+    assert(rows(m2, dv2) === want2)
+  }
+
   test("plan: broadcast anti join, no exchange on the base side") {
     val dir = writeTable(1000)
     val dv = Layout.deletionVectors(spark, dir, col("v") === 3)
