@@ -4080,6 +4080,76 @@ object SparkEntry {
         .orderBy("l_returnflag")
     }),
 
+    // ---- null-count file skipping: the manifest's third statistic —
+    // an IS NOT NULL probe over a sparse column drops all-null files
+    // before any footer I/O (min/max can't see WHICH files hold the
+    // non-null rows) ---------------------------------------------------
+    "q102_null_skipping" -> ((s, dir) => {
+      val tmp = gateScratch("q102")
+      // a sparse column: price survives only on 1-in-3 orders; the
+      // range write clusters by the nullness flag, so whole files are
+      // all-null — exactly the layout a sparse side-signal column has
+      t(s, dir, "orders")
+        .select(col("o_orderkey"),
+          when(col("o_orderkey") % 3 === 0, col("o_totalprice"))
+            .as("sparse_price"))
+        .withColumn("has", col("sparse_price").isNotNull)
+        .repartitionByRange(6, col("has"), col("o_orderkey"))
+        .drop("has")
+        .write.parquet(s"$tmp/t")
+      val m = ops.Layout.statsManifest(s, s"$tmp/t", Seq("sparse_price"))
+      ops.Layout.prunedReadNotNull(s, s"$tmp/t", m, "sparse_price")
+        .agg(count(lit(1)).as("n_rows"),
+          sum(col("sparse_price").cast("decimal(18,2)")).cast("double")
+            .as("sum_price"))
+    }),
+
+    // ---- streaming manifest maintenance: each ingest micro-batch
+    // appends files AND folds them into the data-skipping manifest
+    // (extendManifest stats NEW files only) — the lake metadata stays
+    // current at O(batch) while the stream runs ------------------------
+    "s28_stream_manifest_maintenance" -> ((s, dir) => {
+      val tmp = gateScratch("s28")
+      val li = t(s, dir, "lineitem")
+        .select("l_orderkey", "l_returnflag", "l_quantity")
+      li.withColumn("shard", pmod(col("l_orderkey"), lit(4)))
+        .repartition(4, col("shard"))
+        .write.parquet(s"$tmp/in")
+      // seed the table dir with its schema (an empty file the manifest
+      // carries as a zero-row entry — null min/max never match a probe)
+      li.limit(0).coalesce(1).write.parquet(s"$tmp/t")
+      var manifest = ops.Layout.statsManifest(s, s"$tmp/t", Seq("l_orderkey"))
+        .localCheckpoint(eager = true)
+      val inSchema = s.read.parquet(s"$tmp/in").schema
+      withNarrowState(s) {
+        val q = s.readStream.schema(inSchema)
+          .option("maxFilesPerTrigger", "1")
+          .parquet(s"$tmp/in")
+          .writeStream
+          .foreachBatch { (batch: DataFrame, _: Long) =>
+            batch.select("l_orderkey", "l_returnflag", "l_quantity")
+              .repartitionByRange(2, col("l_orderkey"))
+              .write.mode("append").parquet(s"$tmp/t")
+            manifest = ops.Layout.extendManifest(s, s"$tmp/t", manifest,
+                Seq("l_orderkey"))
+              .localCheckpoint(eager = true)
+            ()
+          }
+          .option("checkpointLocation", s"$tmp/chk")
+          .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+          .start()
+        q.awaitTermination()
+      }
+      val hi = li.agg(max(col("l_orderkey"))).head.getLong(0) / 2
+      ops.Layout.prunedRead(s, s"$tmp/t", manifest, "l_orderkey",
+          lit(1L), lit(hi))
+        .groupBy("l_returnflag")
+        .agg(count(lit(1)).as("n_rows"),
+          sum(col("l_quantity").cast("decimal(18,2)")).cast("double")
+            .as("sum_qty"))
+        .orderBy("l_returnflag")
+    }),
+
     // ---- versioned merge-on-read: a version IS (manifest, DV set) —
     // time travel over row-level mutations with zero copies; v1's DV
     // holds epoch-1 addresses only (DVs are addresses, not predicates),
@@ -7991,6 +8061,23 @@ object SparkEntry {
         |  CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty
         |FROM lineitem
         |WHERE NOT (l_returnflag = 'R') AND NOT (l_quantity >= 48.0)
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    // null skipping is lossless: the result IS the IS NOT NULL scan
+    "q102_null_skipping" ->
+      """SELECT COUNT(*) AS n_rows,
+        |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE)
+        |    AS sum_price
+        |FROM orders WHERE o_orderkey % 3 = 0""".stripMargin,
+
+    // the streamed manifest must serve the SAME pruned read the batch
+    // manifest would: result = the plain range filter
+    "s28_stream_manifest_maintenance" ->
+      """SELECT l_returnflag, COUNT(*) AS n_rows,
+        |  CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty
+        |FROM lineitem
+        |WHERE l_orderkey >= 1
+        |  AND l_orderkey <= (SELECT MAX(l_orderkey) // 2 FROM lineitem)
         |GROUP BY 1 ORDER BY 1""".stripMargin,
 
     // v1 = epoch-1 minus its R rows; v2 = both epochs minus epoch-1 R

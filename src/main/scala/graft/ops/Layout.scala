@@ -193,7 +193,27 @@ object Layout {
 
   private def statsAggs(cols: Seq[String]): Seq[Column] =
     count(lit(1)).as("n_rows") +:
-      cols.flatMap(c => Seq(min(col(c)).as(s"min_$c"), max(col(c)).as(s"max_$c")))
+      cols.flatMap(c => Seq(min(col(c)).as(s"min_$c"), max(col(c)).as(s"max_$c"),
+        count(when(col(c).isNull, 1)).as(s"nulls_$c")))
+
+  /** IS-NOT-NULL file skipping from the manifest's per-file null
+    * counts (the third statistic real lake formats keep beside
+    * min/max): a file whose `nulls_col` equals its row count provably
+    * contains no matching row for an `IS NOT NULL` predicate — the
+    * sparse-column case range stats can't help with (min/max of a
+    * mostly-null column say nothing about which files hold the
+    * non-null rows). Same probe/read/residual-filter contract as
+    * [[prunedRead]]: skipping is planner-scale and lossless. */
+  def prunedReadNotNull(spark: org.apache.spark.sql.SparkSession,
+      dir: String, manifest: DataFrame, colName: String): DataFrame = {
+    val keep = manifest
+      .filter(col(s"nulls_$colName") < col("n_rows"))
+      .select("file").collect().map(_.getString(0))
+    val base =
+      if (keep.isEmpty) spark.read.parquet(dir).limit(0)
+      else spark.read.parquet(keep.toIndexedSeq: _*)
+    base.filter(col(colName).isNotNull)
+  }
 
   /** Incrementally maintain a [[statsManifest]] after new files land in
     * `dir` (append-heavy table refresh): list the directory driver-side

@@ -112,6 +112,30 @@ class DataSkippingSpec extends AnyFunSuite with SparkTestBase {
     assert(got === want)
   }
 
+  test("prunedReadNotNull skips all-null files, losslessly") {
+    val dir = freshDir("nulls")
+    spark.range(900)
+      .select(col("id").as("k"),
+        when(col("id") % 3 === 0, col("id") * 2).as("sv"))
+      .withColumn("has", col("sv").isNotNull)
+      .repartitionByRange(6, col("has"), col("k"))
+      .drop("has")
+      .write.mode("overwrite").parquet(dir)
+    val m = Layout.statsManifest(spark, dir, Seq("sv"))
+      .localCheckpoint(eager = true)
+    // the null-clustered layout produced genuinely all-null files
+    val nAllNull = m.filter(col("nulls_sv") === col("n_rows")).count()
+    assert(nAllNull > 0, "fixture must contain all-null files")
+    val got = Layout.prunedReadNotNull(spark, dir, m, "sv")
+      .select("k", "sv").as[(Long, Long)].collect().sorted.toSeq
+    val want = spark.read.parquet(dir).filter(col("sv").isNotNull)
+      .select("k", "sv").as[(Long, Long)].collect().sorted.toSeq
+    assert(got === want && got.nonEmpty)
+    // null counts are exact per file
+    assert(m.agg(org.apache.spark.sql.functions.sum("nulls_sv")).head.getLong(0)
+      === 600L)
+  }
+
   test("vacuumOrphans deletes only unreferenced data files") {
     val dir = freshDir("gc")
     spark.range(100).select(col("id").as("k"), (col("id") % 7).as("v"))
