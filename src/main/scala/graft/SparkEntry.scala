@@ -4301,6 +4301,25 @@ object SparkEntry {
         .orderBy("l_returnflag")
     }),
 
+    // ---- Kahn layering + cycle audit: dependency waves peel round by
+    // round; nodes a planted cycle locks report layer -1 — the audit a
+    // scheduler needs before trusting the waves -------------------------
+    "g14_kahn_layers" -> ((s, dir) => {
+      import s.implicits._
+      val li = t(s, dir, "lineitem")
+      // acyclic core: supplier → part (depth 1), parts chain to a
+      // synthetic sink; plus a planted 3-cycle that locks a tail node
+      val base = li.select(col("l_suppkey").cast("long").as("src"),
+        (col("l_partkey").cast("long") + 1000000L).as("dst"))
+      val extra = Seq(
+        (1000001L, 9000001L), (9000001L, 9000002L), // chain for depth
+        (9100001L, 9100002L), (9100002L, 9100003L), // the planted cycle
+        (9100003L, 9100001L), (9100003L, 9100009L)) // and its captive
+        .toDF("src", "dst")
+      ops.Graph.kahnLayers(base.unionAll(extra), "src", "dst", rounds = 5)
+        .orderBy("node")
+    }),
+
     // ---- Luby maximal independent set: static hash priorities make it
     // deterministic (≡ greedy over the priority permutation); round-
     // bounded, each member labeled with its selection wave -------------
@@ -8158,6 +8177,40 @@ object SparkEntry {
         |WHERE NOT (l_orderkey < (SELECT MAX(l_orderkey) // 4 FROM lineitem)
         |           OR l_orderkey % 101 = 0)
         |GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    // 5 unrolled peel rounds + the −1 leftovers; MATERIALIZED for the
+    // same exponential-inlining reason as g13
+    "g14_kahn_layers" -> {
+      def roundCtes(r: Int): String =
+        s"""s$r AS MATERIALIZED (
+           |  SELECT node FROM a${r - 1}
+           |  WHERE node NOT IN (SELECT dst FROM e${r - 1})),
+           |a$r AS MATERIALIZED (
+           |  SELECT node FROM a${r - 1}
+           |  WHERE node NOT IN (SELECT node FROM s$r)),
+           |e$r AS MATERIALIZED (
+           |  SELECT src, dst FROM e${r - 1}
+           |  WHERE src NOT IN (SELECT node FROM s$r))""".stripMargin
+      s"""WITH raw AS (
+         |  SELECT CAST(l_suppkey AS BIGINT) AS src,
+         |         CAST(l_partkey AS BIGINT) + 1000000 AS dst FROM lineitem
+         |  UNION ALL
+         |  SELECT src, dst FROM (VALUES
+         |    (1000001, 9000001), (9000001, 9000002),
+         |    (9100001, 9100002), (9100002, 9100003),
+         |    (9100003, 9100001), (9100003, 9100009)) t(src, dst)),
+         |e0 AS MATERIALIZED (
+         |  SELECT DISTINCT src, dst FROM raw WHERE src <> dst),
+         |a0 AS MATERIALIZED (
+         |  SELECT DISTINCT node FROM (
+         |    SELECT src AS node FROM e0 UNION ALL SELECT dst FROM e0)),
+         |${(1 to 5).map(roundCtes).mkString(",\n")}
+         |SELECT node, layer FROM (
+         |  ${(1 to 5).map(r => s"SELECT node, $r AS layer FROM s$r")
+             .mkString("\n  UNION ALL ")}
+         |  UNION ALL SELECT node, -1 AS layer FROM a5)
+         |ORDER BY node""".stripMargin
+    },
 
     // 8 unrolled Luby rounds: per-round best-active-neighbor reduce,
     // winner filter on the (h, node) total order, loser knockout

@@ -773,6 +773,48 @@ object Graph {
     (pairs, dropped)
   }
 
+  /** Round-bounded Kahn topological layering WITH a cycle audit — the
+    * scheduler-facing complement of [[longestPathLayers]] (which
+    * assumes a DAG): round r peels every node with no remaining
+    * incoming edge and stamps it layer r; whatever survives `rounds`
+    * peels is ON or DOWNSTREAM-LOCKED-BY a cycle (or deeper than the
+    * bound) and reports layer −1 — the audit a dependency scheduler
+    * needs before trusting the waves. On a DAG with depth ≤ `rounds`
+    * the −1 set is empty and layers are exactly Kahn's. One
+    * zero-in-degree anti-join + one source-removal anti-join per
+    * round, linear lineage.
+    *
+    * @return (node, layer) — layer ≥ 1 peeled wave, −1 unresolved
+    */
+  def kahnLayers(
+      edges: DataFrame,
+      srcCol: String,
+      dstCol: String,
+      rounds: Int): DataFrame = {
+    require(rounds >= 1, s"rounds must be >= 1, got $rounds")
+    var e = edges.select(col(srcCol).cast("long").as("src"),
+        col(dstCol).cast("long").as("dst"))
+      .filter(col("src") =!= col("dst"))
+      .distinct()
+      .localCheckpoint(eager = false)
+    var active = e.select(col("src").as("node"))
+      .unionAll(e.select(col("dst").as("node")))
+      .distinct()
+      .localCheckpoint(eager = false)
+    var out = active.select(col("node"), lit(0).as("layer")).limit(0)
+    for (r <- 1 to rounds) {
+      val sources = active
+        .join(e.select(col("dst").as("node")), Seq("node"), "left_anti")
+        .localCheckpoint(eager = false) // out, edge-prune, node-prune
+      out = out.unionAll(sources.select(col("node"), lit(r).as("layer")))
+      active = active.join(sources, Seq("node"), "left_anti")
+        .localCheckpoint(eager = false)
+      e = e.join(sources.select(col("node").as("src")), Seq("src"), "left_anti")
+        .localCheckpoint(eager = false)
+    }
+    out.unionAll(active.select(col("node"), lit(-1).as("layer")))
+  }
+
   /** Round-bounded maximal independent set — Luby's algorithm with
     * STATIC salted-hash priorities, which makes it deterministic: the
     * converged result is exactly the lexicographically-first MIS of the

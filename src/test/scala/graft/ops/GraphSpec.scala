@@ -521,6 +521,26 @@ class GraphSpec extends AnyFunSuite with SparkTestBase {
     assert(again == out.collect().map(r => (r.getLong(0), r.getInt(1))).toSet)
   }
 
+  test("Kahn layers: DAG waves exact, cycles and their captives report -1") {
+    import spark.implicits._
+    // chain 1→2→3→4, a diamond 10→{11,12}→13, a 3-cycle 20→21→22→20,
+    // and 22→23 (captive: locked behind the cycle forever)
+    val edges = Seq(1L -> 2L, 2L -> 3L, 3L -> 4L,
+      10L -> 11L, 10L -> 12L, 11L -> 13L, 12L -> 13L,
+      20L -> 21L, 21L -> 22L, 22L -> 20L, 22L -> 23L).toDF("src", "dst")
+    val got = Graph.kahnLayers(edges, "src", "dst", rounds = 6)
+      .collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
+    assert(got === Map(
+      1L -> 1, 2L -> 2, 3L -> 3, 4L -> 4,
+      10L -> 1, 11L -> 2, 12L -> 2, 13L -> 3,
+      20L -> -1, 21L -> -1, 22L -> -1, 23L -> -1))
+    // with too few rounds, deep DAG tails degrade to -1 — never wrong
+    val shallow = Graph.kahnLayers(edges, "src", "dst", rounds = 2)
+      .collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
+    assert(shallow(1L) == 1 && shallow(2L) == 2 &&
+      shallow(3L) == -1 && shallow(4L) == -1)
+  }
+
   test("random walks: bit-identical under repartitioning") {
     import spark.implicits._
     val rnd = new scala.util.Random(5)
