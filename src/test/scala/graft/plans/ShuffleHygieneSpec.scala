@@ -167,4 +167,29 @@ class ShuffleHygieneSpec extends AnyFunSuite with SparkTestBase {
     assert(!cols.exists(_.endsWith(":array<int>")),
       s"int8 codes crossed a shuffle: $cols")
   }
+
+  test("randomWalks shuffles carry longs only — no strings, no arrays") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(23)
+    val edges = (0 until 500).map(_ =>
+      (rnd.nextInt(50).toLong, rnd.nextInt(50).toLong)).toDF("src", "dst")
+    val cols = shuffledColumns(
+      graft.ops.Graph.randomWalks(edges, "src", "dst", nWalks = 2, steps = 2))
+    assert(cols.nonEmpty)
+    assert(cols.forall(c => c.endsWith(":bigint") || c.endsWith(":int") ||
+      c.endsWith(":long")), s"non-scalar column crossed a walk shuffle: $cols")
+  }
+
+  test("gridDensityClusters shuffles carry cell/cluster scalars only") {
+    import spark.implicits._
+    val pts = (0 until 500).map(i =>
+      (i.toLong, (i % 13) * 0.07 - 0.4, (i % 7) * 0.11 - 0.35))
+      .toDF("id", "x", "y")
+    val cols = shuffledColumns(graft.ops.Similarity.gridDensityClusters(
+      pts, "id", col("x"), col("y"), 1000.0, 100.0, minPts = 10L))
+    assert(cols.nonEmpty)
+    assert(cols.forall(c => c.endsWith(":bigint") || c.endsWith(":int") ||
+      c.endsWith(":long") || c.endsWith(":double")),
+      s"non-scalar column crossed a density shuffle: $cols")
+  }
 }
