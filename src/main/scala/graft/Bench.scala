@@ -112,11 +112,16 @@ object Bench {
     // the driver keeps only a short tail of stdout, which truncates the
     // per-query map — persist the COMPLETE result line so every query's
     // timing survives into the repo history
-    val out = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "bench_results.json")
-    try java.nio.file.Files.write(java.nio.file.Paths.get(out),
-      (jsonLine + "\n").getBytes("UTF-8"))
-    catch { case e: Exception =>
-      System.err.println(s"bench_results write failed: $e") }
+    // ... but NEVER from a SPARK_GRAFT_ONLY dev-loop run: a filtered
+    // subset overwriting the full-suite record would make the repo's
+    // bench history lie (override the out path explicitly to keep one)
+    val out = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT",
+      if (only.isDefined) "" else "bench_results.json")
+    if (out.nonEmpty)
+      try java.nio.file.Files.write(java.nio.file.Paths.get(out),
+        (jsonLine + "\n").getBytes("UTF-8"))
+      catch { case e: Exception =>
+        System.err.println(s"bench_results write failed: $e") }
     spark.stop()
     // the per-run warehouse holds full bucketed tables — don't litter /tmp
     def rm(f: java.io.File): Unit = {
