@@ -4399,6 +4399,36 @@ object SparkEntry {
         .orderBy("o_custkey")
     }),
 
+    // ---- Matryoshka dimension-truncation sweep: recall@5 of prefix-
+    // dim cosine vs the full-dim truth — the store-fewer-dims quality
+    // curve (e15 reranks from the same prefixes; this measures them) ----
+    "e27_dim_sweep" -> ((s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val emb = t(s, dir, "embeddings")
+      val v = emb.select(col("vec_id").cast("long").as("id"),
+        col("embedding").cast("array<double>").as("v"))
+      val q = v.filter(col("id") < 50)
+        .select(col("id").as("qid"), col("v").as("qv"))
+      val w = Window.partitionBy("qid").orderBy(col("cos").desc, col("nid"))
+      def topk(dims: Option[Int]) = v.crossJoin(broadcast(q))
+        .filter(col("id") =!= col("qid"))
+        .select(col("qid"), col("id").as("nid"),
+          (dims match {
+            case Some(d) => ops.Similarity.cosine(
+              slice(col("v"), 1, d), slice(col("qv"), 1, d))
+            case None => ops.Similarity.cosine(col("v"), col("qv"))
+          }).as("cos"))
+        .withColumn("rn", row_number().over(w)).filter(col("rn") <= 5)
+        .select(col("qid").as("id"), col("nid"))
+      val exact = topk(None).localCheckpoint(eager = false)
+      Seq(8, 16, 32).map { d =>
+        topk(Some(d))
+          .join(exact, Seq("id", "nid"))
+          .agg(count(lit(1)).as("n_match"))
+          .select(lit(d).as("dims"), col("n_match"), lit(50L).as("n_queries"))
+      }.reduce(_ unionAll _).orderBy("dims")
+    }),
+
     // ---- grid-density clustering over a 2-D projection: dense cells
     // merge via a PLANNER-scale CC (no point-pair join anywhere);
     // sparse-cell points are noise — DBSCAN's grid-family cousin -------
@@ -7978,6 +8008,28 @@ object SparkEntry {
            |FROM approx JOIN bf ON approx.id = bf.id AND approx.nid = bf.nid)""".stripMargin
       Seq(1, 2, 4).map(branch).mkString("", "\nUNION ALL\n",
         "\nORDER BY nprobe")
+    },
+
+    // prefix-cosine top-5 vs full-dim top-5, three truncation widths
+    "e27_dim_sweep" -> {
+      def knn(vq: String, va: String): String =
+        s"""SELECT id, nid FROM (
+           |    SELECT q.id, a.id AS nid,
+           |      ROW_NUMBER() OVER (PARTITION BY q.id
+           |        ORDER BY ${OracleSql.cosine(vq, va)} DESC, a.id) AS rn
+           |    FROM v q JOIN v a ON a.id <> q.id
+           |    WHERE q.id < 50) WHERE rn <= 5""".stripMargin
+      def branch(d: Int): String =
+        s"""(WITH v AS (SELECT vec_id AS id,
+           |            CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+           |bf AS (${knn("q.v", "a.v")}),
+           |pf AS (${knn(s"q.v[1:$d]", s"a.v[1:$d]")})
+           |SELECT CAST($d AS INT) AS dims,
+           |  CAST(COUNT(*) AS BIGINT) AS n_match,
+           |  CAST(50 AS BIGINT) AS n_queries
+           |FROM pf JOIN bf ON pf.id = bf.id AND pf.nid = bf.nid)""".stripMargin
+      Seq(8, 16, 32).map(branch).mkString("", "\nUNION ALL\n",
+        "\nORDER BY dims")
     },
 
     // same salted-hash order, same integer cross-multiplied cutoff
