@@ -4080,6 +4080,30 @@ object SparkEntry {
         .orderBy("l_returnflag")
     }),
 
+    // ---- VARIANT semi-structured ingestion (Spark 4): JSON payloads
+    // parse once into the binary variant encoding, fields extract
+    // typed and lazily — the schema-on-read path for event payloads
+    // whose shape drifts faster than any pinned struct ------------------
+    "q103_variant" -> ((s, dir) => {
+      val payloads = t(s, dir, "lineitem")
+        .select(to_json(struct(col("l_orderkey").as("k"),
+          col("l_returnflag").as("f"), col("l_quantity").as("q"),
+          struct(col("l_linenumber").as("n")).as("nest"))).as("payload"))
+      payloads
+        .select(parse_json(col("payload")).as("v"))
+        .select(
+          expr("variant_get(v, '$.f', 'string')").as("flag"),
+          expr("variant_get(v, '$.q', 'double')").as("qty"),
+          expr("variant_get(v, '$.nest.n', 'int')").as("line"),
+          expr("variant_get(v, '$.missing', 'string')").as("absent"))
+        .groupBy("flag")
+        .agg(count(lit(1)).as("n_rows"),
+          sum(col("qty").cast("decimal(18,2)")).cast("double").as("sum_qty"),
+          sum(col("line").cast("long")).as("sum_line"),
+          count(col("absent")).as("n_absent")) // missing paths → null
+        .orderBy("flag")
+    }),
+
     // ---- null-count file skipping: the manifest's third statistic —
     // an IS NOT NULL probe over a sparse column drops all-null files
     // before any footer I/O (min/max can't see WHICH files hold the
@@ -8133,6 +8157,15 @@ object SparkEntry {
         |FROM lineitem
         |WHERE NOT (l_returnflag = 'R') AND NOT (l_quantity >= 48.0)
         |GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    // the JSON → variant → typed-extract round trip is the identity on
+    // the underlying values; missing paths are null
+    "q103_variant" ->
+      """SELECT l_returnflag AS flag, COUNT(*) AS n_rows,
+        |  CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
+        |  CAST(SUM(CAST(l_linenumber AS BIGINT)) AS BIGINT) AS sum_line,
+        |  CAST(0 AS BIGINT) AS n_absent
+        |FROM lineitem GROUP BY 1 ORDER BY 1""".stripMargin,
 
     // null skipping is lossless: the result IS the IS NOT NULL scan
     "q102_null_skipping" ->
