@@ -109,6 +109,20 @@ object Bench {
     val jsonLine =
       s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"probes":$ps,"reps":$reps,"failed":$failed,"sf":"$sfDir"}"""
     println(jsonLine)
+    // The driver keeps only the last ~2000 chars of stdout, so the full
+    // line above (≈10 KB at 242 queries) arrives beheaded and fails to
+    // parse (BENCH_r09/r11 both record "parsed": null). Emit a COMPACT
+    // headline line twice at the very end — once behind a stable marker,
+    // once as bare JSON — so whichever convention the driver scans for,
+    // a complete parseable object sits inside the tail. The per-query
+    // map lives in bench_results.json (written below, committed).
+    val top = results.filter(_._2 >= 0).sortBy(-_._2).take(25)
+      .map { case (k, v) => "\"" + k + "\":" + f"$v%.3f" }
+      .mkString("{", ",", "}")
+    val compact =
+      s"""{"metric":"total","value":$total,"unit":"sec","queries":$top,"n_queries":${results.size},"reps":$reps,"failed":$failed,"sf":"$sfDir","note":"queries holds top-25 by time; full map in bench_results.json"}"""
+    println(s"BENCH_JSON: $compact")
+    println(compact)
     // the driver keeps only a short tail of stdout, which truncates the
     // per-query map — persist the COMPLETE result line so every query's
     // timing survives into the repo history
@@ -122,6 +136,22 @@ object Bench {
         (jsonLine + "\n").getBytes("UTF-8"))
       catch { case e: Exception =>
         System.err.println(s"bench_results write failed: $e") }
+    // cumulative per-query trend: one (run_ts, query, seconds) row per
+    // query per full-suite run, appended so regressions are greppable
+    // across rounds without parsing historical BENCH_r*.json tails.
+    // Dev-loop (SPARK_GRAFT_ONLY) runs are excluded for the same reason
+    // they skip bench_results.json: a filtered subset is not a trend point.
+    if (only.isEmpty) try {
+      val trend = java.nio.file.Paths.get("bench_trend.csv")
+      val ts = java.time.Instant.now().toString
+      val header = if (java.nio.file.Files.exists(trend)) ""
+                   else "run_ts,query,seconds\n"
+      val rows = results.map { case (k, v) => s"$ts,$k,$v" }.mkString("", "\n", "\n")
+      java.nio.file.Files.write(trend, (header + rows).getBytes("UTF-8"),
+        java.nio.file.StandardOpenOption.CREATE,
+        java.nio.file.StandardOpenOption.APPEND)
+    } catch { case e: Exception =>
+      System.err.println(s"bench_trend write failed: $e") }
     spark.stop()
     // the per-run warehouse holds full bucketed tables — don't litter /tmp
     def rm(f: java.io.File): Unit = {

@@ -27,6 +27,12 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       ext.injectFunction((FunctionIdentifier(name),
         new ExpressionInfo("graft.functions", name), builder))
     }
+    // table-valued tier: the lake ops (time travel, merge-on-read,
+    // manifest-pruned scan) as `SELECT * FROM graft_snapshot(...)`
+    GraftExtensions.tableBuilders.foreach { case (name, builder) =>
+      ext.injectTableFunction((FunctionIdentifier(name),
+        new ExpressionInfo("graft.ops", name), builder))
+    }
     // plan-level tier: band-join → bucketed equi-join (fires only when
     // spark.graft.rangeJoin.bucketWidth is set positive)
     ext.injectOptimizerRule(_ => graft.plans.RangeJoinRewrite)
@@ -68,10 +74,65 @@ object GraftExtensions {
       graft.functions.MinHashSig(args(0),
         graft.ops.Dedup.minhashSeeds(intLit(args(1), "minhash_sig")))))
 
+  /** Table-valued SQL surface for the lake ops — a user at a pure SQL
+    * prompt can time-travel, merge-on-read, and prune scans without the
+    * Scala DSL. Manifests / DV tables are addressed by the parquet
+    * directory they were persisted to (immutable side tables, so a path
+    * IS a version). Every argument must be a literal: these resolve at
+    * ANALYSIS time on the driver — the same planner-scale O(#files)
+    * work every manifest consumer pays ([[graft.ops.Layout]] scaladoc).
+    *
+    * {{{
+    * SELECT * FROM graft_snapshot('/data/t', '/data/_manifests/v1')
+    * SELECT * FROM graft_read_dv('/data/t', '/data/_dv')
+    * SELECT * FROM graft_snapshot_dv('/data/t', '/m/v3', '/dv/v3')
+    * SELECT * FROM graft_pruned('/data/t', '/m/v3', 'l_orderkey', 100, 5000)
+    * }}}
+    */
+  val tableBuilders: Seq[(String, Seq[Expression] =>
+      org.apache.spark.sql.catalyst.plans.logical.LogicalPlan)] = {
+    def plan(df: org.apache.spark.sql.DataFrame) = df.queryExecution.logical
+    def active = SparkSession.active
+    Seq(
+      "graft_snapshot" -> ((args: Seq[Expression]) => {
+        val s = active
+        plan(graft.ops.Layout.snapshotRead(s,
+          strLit(args(0), "graft_snapshot"),
+          s.read.parquet(strLit(args(1), "graft_snapshot"))))
+      }),
+      "graft_read_dv" -> ((args: Seq[Expression]) => {
+        val s = active
+        plan(graft.ops.Layout.readWithDeletes(s,
+          strLit(args(0), "graft_read_dv"),
+          s.read.parquet(strLit(args(1), "graft_read_dv"))))
+      }),
+      "graft_snapshot_dv" -> ((args: Seq[Expression]) => {
+        val s = active
+        plan(graft.ops.Layout.snapshotReadWithDeletes(s,
+          strLit(args(0), "graft_snapshot_dv"),
+          s.read.parquet(strLit(args(1), "graft_snapshot_dv")),
+          s.read.parquet(strLit(args(2), "graft_snapshot_dv"))))
+      }),
+      "graft_pruned" -> ((args: Seq[Expression]) => {
+        val s = active
+        plan(graft.ops.Layout.prunedRead(s,
+          strLit(args(0), "graft_pruned"),
+          s.read.parquet(strLit(args(1), "graft_pruned")),
+          strLit(args(2), "graft_pruned"),
+          org.apache.spark.sql.graftbridge.ColumnBridge.column(args(3)),
+          org.apache.spark.sql.graftbridge.ColumnBridge.column(args(4))))
+      }))
+  }
+
   /** Register the kernels on an already-built session. */
-  def register(spark: SparkSession): Unit =
+  def register(spark: SparkSession): Unit = {
     builders.foreach { case (name, builder) =>
       org.apache.spark.sql.graftbridge.ColumnBridge
         .registerFunction(spark, name, builder)
     }
+    tableBuilders.foreach { case (name, builder) =>
+      org.apache.spark.sql.graftbridge.ColumnBridge
+        .registerTableFunction(spark, name, builder)
+    }
+  }
 }

@@ -360,10 +360,100 @@ object Soak {
         }
       })
 
+    // ---- Layout metadata ops at 10^4 FILES (VERDICT r11 watch item):
+    // the manifest family's driver-side file lists grow with #files —
+    // pin that O(#files) contract with wall numbers at the file count
+    // where it would first hurt. The data is small ON PURPOSE: these
+    // ops' costs are per-FILE (stats pass task overhead, listing diff,
+    // path collect), not per-row, so 10^4 files of 100 rows exercises
+    // exactly the dimension that scales.
+    val layoutResults: Seq[(String, Double, Double, Long)] = {
+      val mfDir = java.nio.file.Files
+        .createTempDirectory("graft-soak-mf").toString
+      spark.range(0, 1000000L)
+        .select(col("id").as("k"), (col("id") % 97).as("v"))
+        .repartitionByRange(10000, col("k"))
+        .write.mode("overwrite").parquet(s"$mfDir/t")
+      quiesce()
+      var manifest: org.apache.spark.sql.DataFrame = null
+      val rBuild = measure("manifest_build_10k_files") {
+        manifest = ops.Layout.statsManifest(spark, s"$mfDir/t", Seq("k"))
+        manifest.count()
+      }
+      val rPrune = measure("pruned_read_10k_files") {
+        // the probe keeps ~10 of 10^4 files; cost = manifest filter +
+        // path collect + a 10-file scan, never the 10^4-file listing walk
+        ops.Layout.prunedRead(spark, s"$mfDir/t", manifest, "k",
+          lit(500000L), lit(500999L)).count()
+      }
+      spark.range(1000000L, 1010000L)
+        .select(col("id").as("k"), (col("id") % 97).as("v"))
+        .repartitionByRange(100, col("k"))
+        .write.mode("append").parquet(s"$mfDir/t")
+      quiesce()
+      val rExtend = measure("manifest_extend_10k_plus_100") {
+        // O(new data): stats over the 100 fresh files + one listing diff
+        // against the 10^4 known paths — never a table re-scan
+        ops.Layout.extendManifest(spark, s"$mfDir/t", manifest, Seq("k"))
+          .count()
+      }
+      Seq(rBuild, rPrune, rExtend)
+    }
+
+    // ---- MULTI-WRITER lake cycle at 10× scale (q105's interleaving,
+    // soak-sized): append → delete wave → append → manifest extend →
+    // second wave → DV compaction → vacuum, with the final merge-on-
+    // read row count ASSERTED against the equivalent predicate filter.
+    // The wall/shuffle number is the full maintenance cycle a daily
+    // lake job would pay; correctness of every intermediate pin is the
+    // q105 gate's job, this entry proves the cycle holds at volume.
+    val multiwriterResult: (String, Double, Double, Long) = {
+      val mwDir = java.nio.file.Files
+        .createTempDirectory("graft-soak-mw").toString
+      val li = spark.read.parquet(s"$sfDir/lineitem.parquet")
+        .select("l_orderkey", "l_linenumber", "l_quantity")
+      val liN = (0 until copies).map { i =>
+        li.select((col("l_orderkey") + lit(i * 100000000L)).as("l_orderkey"),
+          col("l_linenumber"), col("l_quantity"))
+      }.reduce(_ unionAll _).localCheckpoint(eager = true)
+      val want = liN.filter(
+        !(col("l_orderkey") % 2 === 0 && col("l_quantity") >= 48.0) &&
+          !(col("l_orderkey") % 1000 === 0)).count()
+      quiesce()
+      measure("lake_multiwriter_cycle") {
+        liN.filter(col("l_orderkey") % 2 === 0)
+          .repartitionByRange(8, col("l_orderkey"))
+          .write.parquet(s"$mwDir/t")
+        val m1 = ops.Layout.statsManifest(spark, s"$mwDir/t", Seq("l_orderkey"))
+        val dv1 = ops.Layout.deletionVectors(spark, s"$mwDir/t",
+            col("l_quantity") >= 48.0)
+          .localCheckpoint(eager = true) // wave 1: epoch-1 files only
+        liN.filter(col("l_orderkey") % 2 === 1)
+          .repartitionByRange(8, col("l_orderkey"))
+          .write.mode("append").parquet(s"$mwDir/t")
+        val m2 = ops.Layout.extendManifest(spark, s"$mwDir/t", m1,
+          Seq("l_orderkey"))
+        val dv = dv1.unionAll(ops.Layout.deletionVectors(spark, s"$mwDir/t",
+            col("l_orderkey") % 1000 === 0))
+          .distinct().localCheckpoint(eager = true)
+        val residual = ops.Layout.compactDeletes(spark, s"$mwDir/t",
+            s"$mwDir/t2", dv, rewriteRatio = 0.25)
+          .localCheckpoint(eager = true)
+        val (nDel, _) = ops.Layout.vacuumOrphans(spark, s"$mwDir/t", Seq(m2))
+        require(nDel == 0, s"vacuum deleted $nDel tracked file(s)")
+        val got = ops.Layout.readWithDeletes(spark, s"$mwDir/t2", residual)
+          .count()
+        require(got == want, s"multiwriter cycle lost rows: $got != $want")
+        got
+      }
+    }
+
+    val allResults = results ++ layoutResults :+ multiwriterResult
+
     val auditJson = audits.toSeq.sortBy(_._1).map { case (n, (b, mx, p)) =>
       s""""$n": {"dropped_buckets": $b, "max_bucket_sz": $mx, "dropped_candidate_pairs": $p}"""
     }.mkString("{", ", ", "}")
-    val json = results.map { case (n, sec, mb, rows) =>
+    val json = allResults.map { case (n, sec, mb, rows) =>
       f""""$n": {"sec": $sec%.2f, "shuffle_mb": $mb%.1f, "rows": $rows}"""
     }.mkString("{", ", ",
       s""", "audits": $auditJson, "copies": $copies, "sf": "$sfDir"}""")

@@ -3964,6 +3964,110 @@ object SparkEntry {
         .orderBy("l_returnflag")
     }),
 
+    // ---- lake ops from PURE SQL: the table-valued registration path
+    // (GraftExtensions.tableBuilders). The entire versioned read —
+    // snapshot v1, snapshot v2, merge-on-read under DVs, manifest-pruned
+    // range scan — is ONE spark.sql string; the Scala DSL only builds
+    // the fixtures (table, manifests, DV), exactly what a writer-side
+    // job would have persisted anyway ----------------------------------
+    "q104_sql_lake" -> ((s, dir) => {
+      val tmp = gateScratch("q104")
+      GraftExtensions.register(s)
+      val li = t(s, dir, "lineitem")
+        .select("l_orderkey", "l_returnflag", "l_quantity")
+      li.filter(col("l_orderkey") % 2 === 0)
+        .repartitionByRange(4, col("l_orderkey"))
+        .write.parquet(s"$tmp/t")
+      // persisting the manifest pins v1 BEFORE the append lands — the
+      // parquet write is the materialization barrier
+      ops.Layout.statsManifest(s, s"$tmp/t", Seq("l_orderkey"))
+        .write.parquet(s"$tmp/m1")
+      li.filter(col("l_orderkey") % 2 === 1)
+        .repartitionByRange(4, col("l_orderkey"))
+        .write.mode("append").parquet(s"$tmp/t")
+      ops.Layout.extendManifest(s, s"$tmp/t",
+          s.read.parquet(s"$tmp/m1"), Seq("l_orderkey"))
+        .write.parquet(s"$tmp/m2")
+      ops.Layout.deletionVectors(s, s"$tmp/t", col("l_returnflag") === "R")
+        .write.parquet(s"$tmp/dv")
+      s.sql(s"""
+        |SELECT CAST(1 AS INT) AS version, l_returnflag,
+        |  COUNT(*) AS n_rows,
+        |  CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty
+        |FROM graft_snapshot('$tmp/t', '$tmp/m1') GROUP BY 2
+        |UNION ALL
+        |SELECT CAST(2 AS INT), l_returnflag, COUNT(*),
+        |  CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE)
+        |FROM graft_snapshot('$tmp/t', '$tmp/m2') GROUP BY 2
+        |UNION ALL
+        |SELECT CAST(3 AS INT), l_returnflag, COUNT(*),
+        |  CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE)
+        |FROM graft_read_dv('$tmp/t', '$tmp/dv') GROUP BY 2
+        |UNION ALL
+        |SELECT CAST(4 AS INT), l_returnflag, COUNT(*),
+        |  CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE)
+        |FROM graft_pruned('$tmp/t', '$tmp/m2', 'l_orderkey', 100, 5000)
+        |GROUP BY 2
+        |ORDER BY version, l_returnflag""".stripMargin)
+    }),
+
+    // ---- MULTI-WRITER lake sequence: an append writer, a delete feed,
+    // and a maintenance job (compaction + vacuum) interleave over one
+    // table while four readers hold (manifest, DV) pins taken at
+    // different points — every read must equal its oracle slice because
+    // files are immutable, manifests pin file sets, and DV sets are
+    // grow-only under union. The one lake dimension r11 had no
+    // adversarial evidence for -----------------------------------------
+    "q105_lake_multiwriter" -> ((s, dir) => {
+      val tmp = gateScratch("q105")
+      val li = t(s, dir, "lineitem")
+        .select("l_orderkey", "l_linenumber", "l_returnflag", "l_quantity")
+      // W1 (ingest): epoch 1 = even keys
+      li.filter(col("l_orderkey") % 2 === 0)
+        .repartitionByRange(4, col("l_orderkey"))
+        .write.parquet(s"$tmp/t")
+      val m1 = ops.Layout.statsManifest(s, s"$tmp/t", Seq("l_orderkey"))
+      // W2 (delete feed): wave 1 lands BETWEEN the two appends, so its
+      // addresses cover epoch-1 files only
+      val dv1 = ops.Layout.deletionVectors(s, s"$tmp/t",
+          col("l_returnflag") === "R")
+        .localCheckpoint(eager = true)
+      // W1 again: epoch 2 = odd keys, interleaved with the delete feed
+      li.filter(col("l_orderkey") % 2 === 1)
+        .repartitionByRange(4, col("l_orderkey"))
+        .write.mode("append").parquet(s"$tmp/t")
+      val m2 = ops.Layout.extendManifest(s, s"$tmp/t", m1, Seq("l_orderkey"))
+      // W2 wave 2: a quantity takedown across BOTH epochs; DV sets are
+      // grow-only — waves compose by plain union
+      val dv = dv1.unionAll(
+          ops.Layout.deletionVectors(s, s"$tmp/t", col("l_quantity") >= 48.0))
+        .distinct().localCheckpoint(eager = true)
+      // W3 (maintenance): compact the deleted table into a fresh dir
+      // while every reader's pins stay valid (source files untouched)
+      val residual = ops.Layout.compactDeletes(s, s"$tmp/t", s"$tmp/t2", dv,
+          rewriteRatio = 0.25)
+        .localCheckpoint(eager = true)
+      // W3b: vacuum the source with m2 retained — nothing is orphaned,
+      // so nothing may be deleted (a wrong delete would break R1-R3)
+      val (nDel, _) = ops.Layout.vacuumOrphans(s, s"$tmp/t", Seq(m2))
+      require(nDel == 0, s"vacuum deleted $nDel manifest-tracked file(s)")
+      def agg(df: DataFrame, v: Int): DataFrame = df
+        .groupBy("l_returnflag")
+        .agg(count(lit(1)).as("n_rows"),
+          sum(col("l_quantity").cast("decimal(18,2)")).cast("double")
+            .as("sum_qty"))
+        .withColumn("version", lit(v))
+      agg(ops.Layout.snapshotRead(s, s"$tmp/t", m1), 1) // pre-everything
+        .unionAll(agg( // v1 files + wave-1 deletes
+          ops.Layout.snapshotReadWithDeletes(s, s"$tmp/t", m1, dv1), 2))
+        .unionAll(agg( // the live table pre-compaction
+          ops.Layout.snapshotReadWithDeletes(s, s"$tmp/t", m2, dv), 3))
+        .unionAll(agg( // compacted + residual ≡ version 3
+          ops.Layout.readWithDeletes(s, s"$tmp/t2", residual), 4))
+        .select("version", "l_returnflag", "n_rows", "sum_qty")
+        .orderBy("version", "l_returnflag")
+    }),
+
     // ---- non-invertible agg-view maintenance under deletes: MIN/MAX
     // can't fold a retraction — recompute ONLY the delete-touched
     // groups from the post-delete base, reuse the rest verbatim --------
@@ -5204,8 +5308,8 @@ object SparkEntry {
         |  FROM (SELECT w.wid, w.wt, r.event_type, r.ref_ppm
         |        FROM wtot w CROSS JOIN reft r) s
         |  LEFT JOIN cnt c ON c.wid = s.wid AND c.event_type = s.event_type)
-        |SELECT wid * 21600 AS w_start_s, SUM(n) AS n_events,
-        |       SUM(ABS(n * 1000000 // wt - ref_ppm)) AS l1_ppm
+        |SELECT wid * 21600 AS w_start_s, CAST(SUM(n) AS BIGINT) AS n_events,
+        |       CAST(SUM(ABS(n * 1000000 // wt - ref_ppm)) AS BIGINT) AS l1_ppm
         |FROM obs GROUP BY wid ORDER BY w_start_s""".stripMargin,
 
     // the incremental fold must land exactly on the batch SCD2 build —
@@ -6278,26 +6382,26 @@ object SparkEntry {
         |n AS (SELECT src AS node FROM e UNION SELECT dst FROM e),
         |a0 AS (SELECT node, CAST(1000000 AS BIGINT) AS x FROM n),
         |h1r AS (SELECT n.node, COALESCE(s.x, 0) AS x FROM n LEFT JOIN
-        |  (SELECT e.src AS node, SUM(a0.x) AS x FROM e
+        |  (SELECT e.src AS node, CAST(SUM(a0.x) AS BIGINT) AS x FROM e
         |   JOIN a0 ON a0.node = e.dst GROUP BY e.src) s USING (node)),
         |h1 AS (SELECT node, CASE WHEN MAX(x) OVER () <= 0 THEN x
         |  ELSE (x * 1000000) // MAX(x) OVER () END AS x FROM h1r),
         |a1r AS (SELECT n.node, COALESCE(s.x, 0) AS x FROM n LEFT JOIN
-        |  (SELECT e.dst AS node, SUM(h1.x) AS x FROM e
+        |  (SELECT e.dst AS node, CAST(SUM(h1.x) AS BIGINT) AS x FROM e
         |   JOIN h1 ON h1.node = e.src GROUP BY e.dst) s USING (node)),
         |a1 AS (SELECT node, CASE WHEN MAX(x) OVER () <= 0 THEN x
         |  ELSE (x * 1000000) // MAX(x) OVER () END AS x FROM a1r),
         |h2r AS (SELECT n.node, COALESCE(s.x, 0) AS x FROM n LEFT JOIN
-        |  (SELECT e.src AS node, SUM(a1.x) AS x FROM e
+        |  (SELECT e.src AS node, CAST(SUM(a1.x) AS BIGINT) AS x FROM e
         |   JOIN a1 ON a1.node = e.dst GROUP BY e.src) s USING (node)),
         |h2 AS (SELECT node, CASE WHEN MAX(x) OVER () <= 0 THEN x
         |  ELSE (x * 1000000) // MAX(x) OVER () END AS x FROM h2r),
         |a2r AS (SELECT n.node, COALESCE(s.x, 0) AS x FROM n LEFT JOIN
-        |  (SELECT e.dst AS node, SUM(h2.x) AS x FROM e
+        |  (SELECT e.dst AS node, CAST(SUM(h2.x) AS BIGINT) AS x FROM e
         |   JOIN h2 ON h2.node = e.src GROUP BY e.dst) s USING (node)),
         |a2 AS (SELECT node, CASE WHEN MAX(x) OVER () <= 0 THEN x
         |  ELSE (x * 1000000) // MAX(x) OVER () END AS x FROM a2r)
-        |SELECT n.node, h2.x AS hub, a2.x AS auth
+        |SELECT n.node, CAST(h2.x AS BIGINT) AS hub, CAST(a2.x AS BIGINT) AS auth
         |FROM n JOIN h2 USING (node) JOIN a2 USING (node)
         |ORDER BY node""".stripMargin,
 
@@ -7452,7 +7556,7 @@ object SparkEntry {
         |  FROM li)
         |SELECT g AS l_returnflag,
         |  CAST(CAST(MIN(v) AS VARCHAR) AS DOUBLE) AS wmedian,
-        |  MAX(tw) AS total_weight
+        |  CAST(MAX(tw) AS BIGINT) AS total_weight
         |FROM c WHERE cw * 2 >= tw
         |GROUP BY g ORDER BY g""".stripMargin,
 
@@ -7508,7 +7612,7 @@ object SparkEntry {
         |  FROM e)
         |SELECT user_id,
         |  CAST(CAST(SUM(v * (next_us - us)) AS VARCHAR) AS DOUBLE) AS wsum,
-        |  SUM(next_us - us) AS dur_us,
+        |  CAST(SUM(next_us - us) AS BIGINT) AS dur_us,
         |  CAST(CAST(SUM(v * (next_us - us)) AS VARCHAR) AS DOUBLE)
         |    / CAST(SUM(next_us - us) AS DOUBLE) AS twap
         |FROM d WHERE next_us IS NOT NULL
@@ -8158,6 +8262,57 @@ object SparkEntry {
         |WHERE NOT (l_returnflag = 'R') AND NOT (l_quantity >= 48.0)
         |GROUP BY 1 ORDER BY 1""".stripMargin,
 
+    // v1 = even keys; v2 = all; v3 = all minus returnflag R (DV
+    // merge-on-read); v4 = the key-range slice (manifest-pruned scan is
+    // lossless vs the plain filter)
+    "q104_sql_lake" ->
+      """SELECT CAST(1 AS INT) AS version, l_returnflag,
+        |  COUNT(*) AS n_rows,
+        |  CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty
+        |FROM lineitem WHERE l_orderkey % 2 = 0 GROUP BY 2
+        |UNION ALL
+        |SELECT CAST(2 AS INT), l_returnflag, COUNT(*),
+        |  CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE)
+        |FROM lineitem GROUP BY 2
+        |UNION ALL
+        |SELECT CAST(3 AS INT), l_returnflag, COUNT(*),
+        |  CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE)
+        |FROM lineitem WHERE l_returnflag <> 'R' GROUP BY 2
+        |UNION ALL
+        |SELECT CAST(4 AS INT), l_returnflag, COUNT(*),
+        |  CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE)
+        |FROM lineitem WHERE l_orderkey BETWEEN 100 AND 5000 GROUP BY 2
+        |ORDER BY version, l_returnflag""".stripMargin,
+
+    // four pinned reads over the interleaved writer sequence: v1 = even
+    // keys; v2 = even minus R; v3 = everything minus (even ∧ R) minus
+    // the quantity takedown; v4 ≡ v3 through compaction + residual DV
+    "q105_lake_multiwriter" ->
+      """SELECT CAST(1 AS INT) AS version, l_returnflag,
+        |  COUNT(*) AS n_rows,
+        |  CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty
+        |FROM lineitem WHERE l_orderkey % 2 = 0 GROUP BY 2
+        |UNION ALL
+        |SELECT CAST(2 AS INT), l_returnflag, COUNT(*),
+        |  CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE)
+        |FROM lineitem WHERE l_orderkey % 2 = 0 AND l_returnflag <> 'R'
+        |GROUP BY 2
+        |UNION ALL
+        |SELECT CAST(3 AS INT), l_returnflag, COUNT(*),
+        |  CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE)
+        |FROM lineitem
+        |WHERE NOT (l_orderkey % 2 = 0 AND l_returnflag = 'R')
+        |  AND NOT (l_quantity >= 48.0)
+        |GROUP BY 2
+        |UNION ALL
+        |SELECT CAST(4 AS INT), l_returnflag, COUNT(*),
+        |  CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE)
+        |FROM lineitem
+        |WHERE NOT (l_orderkey % 2 = 0 AND l_returnflag = 'R')
+        |  AND NOT (l_quantity >= 48.0)
+        |GROUP BY 2
+        |ORDER BY version, l_returnflag""".stripMargin,
+
     // the JSON → variant → typed-extract round trip is the identity on
     // the underlying values; missing paths are null
     "q103_variant" ->
@@ -8444,9 +8599,12 @@ object SparkEntry {
         |  SELECT a, a FROM (SELECT DISTINCT a FROM edges)
         |  UNION
         |  SELECT e.a, r.lab FROM edges e JOIN reach r ON r.node = e.b),
-        |comp AS (SELECT node AS cell, MIN(lab) AS cluster_rep
-        |         FROM reach GROUP BY node)
-        |SELECT p.id, CAST(COALESCE(c.cluster_rep, -1) AS BIGINT) AS cluster
+        |comp0 AS (SELECT node AS cell, MIN(lab) AS cluster_rep
+        |          FROM reach GROUP BY node),
+        |comp AS (SELECT cell,
+        |           DENSE_RANK() OVER (ORDER BY cluster_rep) - 1 AS cluster
+        |         FROM comp0)
+        |SELECT p.id, CAST(COALESCE(c.cluster, -1) AS BIGINT) AS cluster
         |FROM pts p
         |LEFT JOIN dense d ON d.cx = p.cx AND d.cy = p.cy
         |LEFT JOIN comp c ON c.cell = d.cell

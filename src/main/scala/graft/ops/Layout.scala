@@ -57,6 +57,28 @@ object Layout {
     * identical by construction. Returns the actual compacted file
     * count, resolved through the path's Hadoop filesystem (works on
     * hdfs:///s3a:// paths, not just local disk). */
+  /** Guard for the APPEND-mode compaction family: those ops append
+    * rewritten files into `outDir` and then rebind residual state
+    * against a scan of it, so a previously-used `outDir` silently
+    * double-counts rows (stale part-files survive the append) and
+    * rebinds against the wrong files. `mode("overwrite")` writers
+    * ([[compact]]) don't need this — Spark clears the target itself. */
+  private def requireEmptyOutDir(spark: org.apache.spark.sql.SparkSession,
+      outDir: String, op: String): Unit = {
+    val fs = graft.io.PathResolver.fsFor(outDir,
+      spark.sparkContext.hadoopConfiguration)
+    val p = new org.apache.hadoop.fs.Path(outDir)
+    if (fs.exists(p)) {
+      val stale = fs.listStatus(p).filter(_.isFile).map(_.getPath)
+        .filterNot(f => f.getName.startsWith("_") || f.getName.startsWith("."))
+      require(stale.isEmpty,
+        s"$op: outDir $outDir already holds ${stale.length} data file(s) " +
+          s"(e.g. ${stale.headOption.map(_.getName).getOrElse("")}); this " +
+          "op appends — rerunning into a used directory would double-count " +
+          "rows. Target an empty or nonexistent directory.")
+    }
+  }
+
   def compact(spark: org.apache.spark.sql.SparkSession, inDir: String,
       outDir: String, sortCol: String, targetRowsPerFile: Long): Int = {
     require(targetRowsPerFile > 0, s"targetRowsPerFile must be positive")
@@ -89,6 +111,7 @@ object Layout {
       minRowsPerFile: Long): Int = {
     require(targetRowsPerFile > 0, "targetRowsPerFile must be positive")
     require(minRowsPerFile > 0, "minRowsPerFile must be positive")
+    requireEmptyOutDir(spark, outDir, "compactSmall")
     val perFile = spark.read.parquet(inDir)
       .groupBy(col("_metadata.file_path").as("file"))
       .agg(count(lit(1)).as("n_rows"))
@@ -135,6 +158,7 @@ object Layout {
   def mergeIntoLayout(spark: org.apache.spark.sql.SparkSession,
       inDir: String, outDir: String, changes: DataFrame, keyCol: String,
       deleteCol: String = "is_delete"): Int = {
+    requireEmptyOutDir(spark, outDir, "mergeIntoLayout")
     val manifest = statsManifest(spark, inDir, Seq(keyCol))
       .select(col("file"), col(s"min_$keyCol").as("graft_lo"),
         col(s"max_$keyCol").as("graft_hi"))
@@ -186,9 +210,42 @@ object Layout {
   def statsManifest(spark: org.apache.spark.sql.SparkSession, dir: String,
       cols: Seq[String]): DataFrame = {
     require(cols.nonEmpty, "need at least one stats column")
-    spark.read.parquet(dir)
+    // eager checkpoint: the zero-row diff below lists the stats' file
+    // column, and every consumer probes the manifest repeatedly — the
+    // aggregate is O(#files) rows, so pinning it is planner-scale
+    val stats = spark.read.parquet(dir)
       .groupBy(col("_metadata.file_path").as("file"))
       .agg(statsAggs(cols).head, statsAggs(cols).tail: _*)
+      .localCheckpoint(eager = true)
+    withZeroRowEntries(stats, newDataFiles(spark, dir, stats).toSeq)
+  }
+
+  /** The data-group aggregate cannot emit a row for a ZERO-ROW parquet
+    * file (e.g. a schema-seed write): `groupBy(_metadata.file_path)`
+    * only sees files with rows. Synthesize an `(n_rows=0, null min/max,
+    * nulls=0)` entry for every data file the aggregate missed, so
+    * zero-row files are tracked like any other — [[extendManifest]]
+    * stops re-listing them as "new" on every refresh and
+    * [[vacuumOrphans]] keeps them. Pruning semantics are unchanged:
+    * null min/max never match a range probe, and `nulls(0) < n_rows(0)`
+    * is false, so both pruned-read paths skip the file (correct — it
+    * has no rows to lose). */
+  private def withZeroRowEntries(stats: DataFrame,
+      missing: Seq[String]): DataFrame = {
+    if (missing.isEmpty) stats
+    else {
+      val spark = stats.sparkSession
+      import spark.implicits._
+      val synth = stats.schema.fields.filterNot(_.name == "file")
+        .foldLeft(missing.toDF("file")) { (d, f) =>
+          d.withColumn(f.name,
+            if (f.name == "n_rows" || f.name.startsWith("nulls_"))
+              lit(0L).cast(f.dataType)
+            else lit(null).cast(f.dataType))
+        }
+        .select(stats.columns.map(col).toIndexedSeq: _*)
+      stats.unionAll(synth)
+    }
   }
 
   private def statsAggs(cols: Seq[String]): Seq[Column] =
@@ -206,8 +263,10 @@ object Layout {
     * [[prunedRead]]: skipping is planner-scale and lossless. */
   def prunedReadNotNull(spark: org.apache.spark.sql.SparkSession,
       dir: String, manifest: DataFrame, colName: String): DataFrame = {
+    // a NULL null-count (legacy manifest upgraded by alignManifestSchema)
+    // means "unknown" — keep the file; skipping must stay lossless
     val keep = manifest
-      .filter(col(s"nulls_$colName") < col("n_rows"))
+      .filter(coalesce(col(s"nulls_$colName") < col("n_rows"), lit(true)))
       .select("file").collect().map(_.getString(0))
     val base =
       if (keep.isEmpty) spark.read.parquet(dir).limit(0)
@@ -232,11 +291,45 @@ object Layout {
     require(cols.nonEmpty, "need at least one stats column")
     val fresh = newDataFiles(spark, dir, manifest)
     if (fresh.isEmpty) manifest
-    else manifest.unionAll(
-      spark.read.parquet(fresh.toIndexedSeq: _*)
+    else {
+      val stats = spark.read.parquet(fresh.toIndexedSeq: _*)
         .groupBy(col("_metadata.file_path").as("file"))
-        .agg(statsAggs(cols).head, statsAggs(cols).tail: _*))
+        .agg(statsAggs(cols).head, statsAggs(cols).tail: _*)
+        .localCheckpoint(eager = true) // listed for the zero-row diff
+      // fresh files that emitted no stats row are zero-row files —
+      // synthesize their entries so they stop re-listing as "new"
+      val statsFiles = stats.select("file").collect()
+        .map(r => uriPath(r.getString(0))).toSet
+      val zeroRow = fresh.filterNot(p => statsFiles.contains(uriPath(p)))
+      alignManifestSchema(manifest, stats)
+        .unionAll(withZeroRowEntries(stats, zeroRow.toSeq))
+    }
   }
+
+  /** MANIFEST SCHEMA VERSION tolerance: the manifest schema gained
+    * per-column `nulls_<col>` counts after the first release, so a
+    * manifest persisted before that lacks them and a raw `unionAll`
+    * fails with an anonymous column-count mismatch. Legacy manifests
+    * are upgraded in place — missing `nulls_` columns are added as NULL
+    * ("unknown", which [[prunedReadNotNull]] treats as unskippable);
+    * any OTHER missing column is a real stats-column mismatch and fails
+    * with an error that names the skew. */
+  private def alignManifestSchema(manifest: DataFrame,
+      stats: DataFrame): DataFrame = {
+    val have = manifest.columns.toSet
+    val missing = stats.schema.fields.filterNot(f => have.contains(f.name))
+    val (upgradable, incompatible) = missing.partition(_.name.startsWith("nulls_"))
+    require(incompatible.isEmpty,
+      s"manifest schema mismatch: persisted manifest lacks column(s) " +
+        s"${incompatible.map(_.name).mkString(", ")} — it was built with " +
+        "different stats columns than this extend call requests")
+    upgradable.foldLeft(manifest) { (d, f) =>
+      d.withColumn(f.name, lit(null).cast(f.dataType))
+    }.select(stats.columns.map(col).toIndexedSeq: _*)
+  }
+
+  private def uriPath(p: String): String =
+    new org.apache.hadoop.fs.Path(p).toUri.getPath
 
   /** Data files in `dir` absent from the index's `file` column — the
     * driver-side listing diff every incremental index maintainer shares
@@ -246,8 +339,6 @@ object Layout {
     * file with different scheme spellings. */
   private def newDataFiles(spark: org.apache.spark.sql.SparkSession,
       dir: String, index: DataFrame): Array[String] = {
-    def uriPath(p: String): String =
-      new org.apache.hadoop.fs.Path(p).toUri.getPath
     val known = index.select("file").collect().map(r => uriPath(r.getString(0))).toSet
     val fs = graft.io.PathResolver.fsFor(dir,
       spark.sparkContext.hadoopConfiguration)
@@ -394,6 +485,10 @@ object Layout {
       outDir: String, dv: DataFrame, rewriteRatio: Double): DataFrame = {
     require(rewriteRatio > 0 && rewriteRatio <= 1,
       s"rewriteRatio must be in (0, 1], got $rewriteRatio")
+    // the rewrite appends into outDir and the name-based residual-DV
+    // rebind scans it — a previously-used outDir would double-count
+    // rows and rebind DVs against stale part-files. Fail loudly instead.
+    requireEmptyOutDir(spark, outDir, "compactDeletes")
     val dvFrozen = dv.localCheckpoint(eager = false) // counted + split below
     val counts = spark.read.parquet(inDir)
       .groupBy(col("_metadata.file_path").as("file"))
@@ -465,8 +560,6 @@ object Layout {
       retained: Seq[DataFrame]): (Int, Int) = {
     require(retained.nonEmpty,
       "refusing to vacuum with no retained manifests — that would delete every file")
-    def uriPath(p: String): String =
-      new org.apache.hadoop.fs.Path(p).toUri.getPath
     val live = retained.flatMap(_.select("file").collect().map(r =>
       uriPath(r.getString(0)))).toSet
     val fs = graft.io.PathResolver.fsFor(dir,

@@ -1027,7 +1027,9 @@ object Similarity {
     * Cell ids pack as `cx·span + cy`: caller guarantees |cell coords| <
     * span/2 (a projection bounded to ±B needs span > 2·B·scale/w).
     *
-    * @return (id, cluster) — cluster −1 for noise
+    * @return (id, cluster) — cluster in 0..k−1 (dense-ranked component
+    *         labels), −1 for noise; labels can never collide with the
+    *         sentinel
     */
   def gridDensityClusters(
       df: DataFrame,
@@ -1059,12 +1061,22 @@ object Similarity {
         ((col("cx") + col("o.dx")) * lit(span) + col("cy") + col("o.dy"))
           .as("b"))
       .join(dense.select(col("cell").as("b")), Seq("b"), "left_semi")
+    // raw component reps are MIN PACKED CELL IDS, which go negative for
+    // negative coordinates — a component whose min cell is (0, −1) packs
+    // to exactly −1 and would collide with the noise sentinel. Remap to
+    // dense ranks 0..k−1 (a single-partition window over the PLANNER-
+    // scale component table: ≤ #dense cells rows) so labels and the −1
+    // sentinel can never meet.
     val comp = Dedup.connectedComponents(edges, "a", "b")
       .select(col("node").as("cell"), col("cluster_rep"))
+      .withColumn("cluster",
+        dense_rank().over(org.apache.spark.sql.expressions.Window
+          .orderBy("cluster_rep")).cast("long") - 1L)
+      .drop("cluster_rep")
     pts
       .join(dense.select("cx", "cy", "cell"), Seq("cx", "cy"), "left")
       .join(comp, Seq("cell"), "left")
       .select(col("id"),
-        coalesce(col("cluster_rep"), lit(-1L)).as("cluster"))
+        coalesce(col("cluster"), lit(-1L)).as("cluster"))
   }
 }

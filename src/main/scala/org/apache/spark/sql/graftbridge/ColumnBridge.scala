@@ -21,4 +21,14 @@ object ColumnBridge {
       builder: Seq[Expression] => Expression): Unit =
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       name, builder, "scala_udf")
+
+  /** Register a TABLE-VALUED function (`SELECT * FROM name(...)`) in a
+    * LIVE session — the `tableFunctionRegistry` twin of
+    * [[registerFunction]], bridged for the same `private[sql]` reason. */
+  def registerTableFunction(
+      spark: org.apache.spark.sql.SparkSession,
+      name: String,
+      builder: Seq[Expression] => org.apache.spark.sql.catalyst.plans.logical.LogicalPlan): Unit =
+    spark.sessionState.tableFunctionRegistry.createOrReplaceTempFunction(
+      name, builder, "scala_udf")
 }

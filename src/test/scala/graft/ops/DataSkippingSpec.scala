@@ -136,6 +136,73 @@ class DataSkippingSpec extends AnyFunSuite with SparkTestBase {
       === 600L)
   }
 
+  test("zero-row files are tracked: manifest entry, stable extend, vacuum-safe") {
+    val dir = freshDir("zero")
+    // a schema-seed write: one zero-row parquet file, then real data
+    spark.range(0).select(col("id").as("k"), (col("id") % 7).as("v"))
+      .coalesce(1).write.mode("overwrite").parquet(dir)
+    val m0 = Layout.statsManifest(spark, dir, Seq("k"))
+    assert(m0.count() === 1L, "the seed file must appear in the manifest")
+    val seed = m0.head()
+    assert(seed.getAs[Long]("n_rows") === 0L)
+    assert(seed.isNullAt(seed.fieldIndex("min_k")))
+    spark.range(100).select(col("id").as("k"), (col("id") % 7).as("v"))
+      .repartitionByRange(2, col("k"))
+      .write.mode("append").parquet(dir)
+    val m1 = Layout.extendManifest(spark, dir, m0, Seq("k"))
+      .localCheckpoint(eager = true)
+    assert(m1.count() === 3L)
+    // the seed file is KNOWN now — a further extend is the identity
+    // (before this fix it was re-listed as "new" on every refresh)
+    assert(Layout.extendManifest(spark, dir, m1, Seq("k")).count() === 3L)
+    // and extend equals a rebuild, zero-row entry included
+    val rebuilt = Layout.statsManifest(spark, dir, Seq("k"))
+    def canon(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => (new org.apache.hadoop.fs.Path(r.getAs[String]("file"))
+        .toUri.getPath, r.getAs[Long]("n_rows"))).toSet
+    assert(canon(m1) === canon(rebuilt))
+    // vacuum keeps the seed file: it belongs to the table
+    val (deleted, kept) = Layout.vacuumOrphans(spark, dir, Seq(m1))
+    assert(deleted === 0 && kept === 3)
+    // pruning still skips it losslessly (null min/max never match)
+    val got = Layout.prunedRead(spark, dir, m1, "k", lit(10L), lit(20L)).count()
+    assert(got === 11L)
+  }
+
+  test("legacy manifest without nulls_ columns: extend upgrades, notnull-read stays lossless") {
+    val dir = freshDir("legacy")
+    spark.range(90)
+      .select(col("id").as("k"),
+        when(col("id") % 3 === 0, col("id") * 2).as("sv"))
+      .repartitionByRange(3, col("k"))
+      .write.mode("overwrite").parquet(dir)
+    // a manifest persisted before the nulls_ statistic existed
+    val legacy = Layout.statsManifest(spark, dir, Seq("sv")).drop("nulls_sv")
+      .localCheckpoint(eager = true)
+    spark.range(90, 120)
+      .select(col("id").as("k"),
+        when(col("id") % 3 === 0, col("id") * 2).as("sv"))
+      .write.mode("append").parquet(dir)
+    val upgraded = Layout.extendManifest(spark, dir, legacy, Seq("sv"))
+      .localCheckpoint(eager = true)
+    assert(upgraded.columns.contains("nulls_sv"))
+    // legacy rows carry NULL (unknown) null-counts; fresh rows are exact
+    assert(upgraded.filter(col("nulls_sv").isNull).count() === 3L)
+    // unknown null-counts must be unskippable — the read stays lossless
+    val got = Layout.prunedReadNotNull(spark, dir, upgraded, "sv")
+      .select("k").as[Long].collect().sorted.toSeq
+    val want = spark.read.parquet(dir).filter(col("sv").isNotNull)
+      .select("k").as[Long].collect().sorted.toSeq
+    assert(got === want && got.nonEmpty)
+    // a genuinely different stats column still fails, and names the skew
+    val e = intercept[IllegalArgumentException] {
+      Layout.extendManifest(spark, dir,
+        legacy.withColumnRenamed("min_sv", "min_other")
+          .withColumnRenamed("max_sv", "max_other"), Seq("sv"))
+    }
+    assert(e.getMessage.contains("min_sv"))
+  }
+
   test("vacuumOrphans deletes only unreferenced data files") {
     val dir = freshDir("gc")
     spark.range(100).select(col("id").as("k"), (col("id") % 7).as("v"))

@@ -129,6 +129,23 @@ class DeletionVectorSpec extends AnyFunSuite with SparkTestBase {
     assert(Layout.readWithDeletes(spark, outHot, resHot).count() === 200L)
   }
 
+  test("compactDeletes refuses a previously-used outDir (would double-count)") {
+    val dir = writeTable(200)
+    val out = dir + "-reuse"
+    val dv = Layout.deletionVectors(spark, dir, col("k") % 2 === 0)
+      .localCheckpoint(eager = true)
+    Layout.compactDeletes(spark, dir, out, dv, 0.3)
+    val e = intercept[IllegalArgumentException] {
+      Layout.compactDeletes(spark, dir, out, dv, 0.3)
+    }
+    assert(e.getMessage.contains(out), "error must name the offending dir")
+    // an existing-but-empty dir is fine (mkdirs-then-run is a normal shape)
+    val empty = dir + "-empty"
+    new java.io.File(empty).mkdirs()
+    assert(Layout.readWithDeletes(spark, empty,
+      Layout.compactDeletes(spark, dir, empty, dv, 0.3)).count() === 100L)
+  }
+
   test("DV upsert: pinned DV + append updates rows without touching files") {
     val dir = writeTable(500)
     val before = fileDigests(dir)

@@ -803,24 +803,35 @@ class SimilaritySpec extends AnyFunSuite with SparkTestBase {
   test("gridDensityClusters: blobs cluster, diagonal cells merge, sparse is noise") {
     import spark.implicits._
     // blob A: 30 pts in cells (0,0)/(1,1) (diagonal touch — must merge);
-    // blob B: 25 pts in cell (5,5); noise: 3 scattered singles
+    // blob B: 25 pts in cell (5,5); blob C: 12 pts in cell (0,-1) —
+    // whose packed id is exactly −1, the old noise sentinel (labels are
+    // dense-ranked now precisely so this blob stays distinguishable);
+    // noise: 3 scattered singles
     val pts =
       (0 until 15).map(i => (i.toLong, 0.05, 0.05)) ++
       (0 until 15).map(i => (100 + i.toLong, 0.15, 0.15)) ++
       (0 until 25).map(i => (200 + i.toLong, 0.55, 0.55)) ++
-      Seq((900L, 0.95, 0.05), (901L, -0.35, 0.75), (902L, -0.85, -0.85))
+      (0 until 12).map(i => (300 + i.toLong, 0.05, -0.05)) ++
+      Seq((900L, 0.95, 0.35), (901L, -0.35, 0.75), (902L, -0.85, -0.85))
     val df = pts.toDF("id", "x", "y")
     def run(d: org.apache.spark.sql.DataFrame) =
       Similarity.gridDensityClusters(d, "id", col("x"), col("y"),
           scale = 1000.0, cellWidth = 100.0, minPts = 10L)
         .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
     val got = run(df)
-    // the two diagonal cells share one cluster label (their min cell id)
+    // the two diagonal cells share one (dense-ranked) cluster label
     val blobA = (0 until 15).map(_.toLong) ++ (0 until 15).map(100 + _.toLong)
     assert(blobA.map(got).toSet.size === 1)
     val blobB = (0 until 25).map(200 + _.toLong)
     assert(blobB.map(got).toSet.size === 1)
     assert(got(0L) !== got(200L), "separated blobs must not share a label")
+    // blob C is ADJACENT to blob A's (0,0) cell (diagonal (0,-1)→(0,0)
+    // is the dy=+1 offset) so it merges into A — and its min packed
+    // cell id is −1: the label must still be a valid non-negative id
+    assert(got(300L) === got(0L), "cell (0,-1) touches (0,0)")
+    assert(got(300L) >= 0L, "a dense cluster must never wear the noise sentinel")
+    assert(got.values.forall(v => v >= -1L && v < 10L),
+      "labels are dense ranks 0..k-1 or the -1 sentinel")
     assert(Seq(900L, 901L, 902L).forall(got(_) == -1L), "sparse cells are noise")
     // deterministic under repartitioning
     assert(run(df.repartition(7)) == got)
