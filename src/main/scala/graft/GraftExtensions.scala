@@ -87,6 +87,7 @@ object GraftExtensions {
     * SELECT * FROM graft_read_dv('/data/t', '/data/_dv')
     * SELECT * FROM graft_snapshot_dv('/data/t', '/m/v3', '/dv/v3')
     * SELECT * FROM graft_pruned('/data/t', '/m/v3', 'l_orderkey', 100, 5000)
+    * SELECT * FROM graft_bloom_read('/data/t', '/data/_bloom', 'v', 42)
     * }}}
     */
   val tableBuilders: Seq[(String, Seq[Expression] =>
@@ -121,6 +122,14 @@ object GraftExtensions {
           strLit(args(2), "graft_pruned"),
           org.apache.spark.sql.graftbridge.ColumnBridge.column(args(3)),
           org.apache.spark.sql.graftbridge.ColumnBridge.column(args(4))))
+      }),
+      "graft_bloom_read" -> ((args: Seq[Expression]) => {
+        val s = active
+        plan(graft.ops.Layout.bloomRead(s,
+          strLit(args(0), "graft_bloom_read"),
+          s.read.parquet(strLit(args(1), "graft_bloom_read")),
+          strLit(args(2), "graft_bloom_read"),
+          org.apache.spark.sql.graftbridge.ColumnBridge.column(args(3))))
       }))
   }
 

@@ -3990,6 +3990,8 @@ object SparkEntry {
         .write.parquet(s"$tmp/m2")
       ops.Layout.deletionVectors(s, s"$tmp/t", col("l_returnflag") === "R")
         .write.parquet(s"$tmp/dv")
+      ops.Layout.bloomIndex(s, s"$tmp/t", "l_orderkey")
+        .write.parquet(s"$tmp/bloom")
       s.sql(s"""
         |SELECT CAST(1 AS INT) AS version, l_returnflag,
         |  COUNT(*) AS n_rows,
@@ -4007,6 +4009,11 @@ object SparkEntry {
         |SELECT CAST(4 AS INT), l_returnflag, COUNT(*),
         |  CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE)
         |FROM graft_pruned('$tmp/t', '$tmp/m2', 'l_orderkey', 100, 5000)
+        |GROUP BY 2
+        |UNION ALL
+        |SELECT CAST(5 AS INT), l_returnflag, COUNT(*),
+        |  CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE)
+        |FROM graft_bloom_read('$tmp/t', '$tmp/bloom', 'l_orderkey', 1)
         |GROUP BY 2
         |ORDER BY version, l_returnflag""".stripMargin)
     }),
@@ -8282,6 +8289,10 @@ object SparkEntry {
         |SELECT CAST(4 AS INT), l_returnflag, COUNT(*),
         |  CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE)
         |FROM lineitem WHERE l_orderkey BETWEEN 100 AND 5000 GROUP BY 2
+        |UNION ALL
+        |SELECT CAST(5 AS INT), l_returnflag, COUNT(*),
+        |  CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE)
+        |FROM lineitem WHERE l_orderkey = 1 GROUP BY 2
         |ORDER BY version, l_returnflag""".stripMargin,
 
     // four pinned reads over the interleaved writer sequence: v1 = even
