@@ -4015,6 +4015,11 @@ object SparkEntry {
         |  CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE)
         |FROM graft_bloom_read('$tmp/t', '$tmp/bloom', 'l_orderkey', 1)
         |GROUP BY 2
+        |UNION ALL
+        |SELECT CAST(6 AS INT), l_returnflag, COUNT(*),
+        |  CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE)
+        |FROM graft_snapshot_dv('$tmp/t', '$tmp/m1', '$tmp/dv')
+        |GROUP BY 2
         |ORDER BY version, l_returnflag""".stripMargin)
     }),
 
@@ -8271,7 +8276,9 @@ object SparkEntry {
 
     // v1 = even keys; v2 = all; v3 = all minus returnflag R (DV
     // merge-on-read); v4 = the key-range slice (manifest-pruned scan is
-    // lossless vs the plain filter)
+    // lossless vs the plain filter); v5 = the bloom point lookup; v6 =
+    // versioned merge-on-read (m1 snapshot + the full DV set: epoch-2
+    // addresses match no scanned file, so the result is even minus R)
     "q104_sql_lake" ->
       """SELECT CAST(1 AS INT) AS version, l_returnflag,
         |  COUNT(*) AS n_rows,
@@ -8293,6 +8300,11 @@ object SparkEntry {
         |SELECT CAST(5 AS INT), l_returnflag, COUNT(*),
         |  CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE)
         |FROM lineitem WHERE l_orderkey = 1 GROUP BY 2
+        |UNION ALL
+        |SELECT CAST(6 AS INT), l_returnflag, COUNT(*),
+        |  CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE)
+        |FROM lineitem WHERE l_orderkey % 2 = 0 AND l_returnflag <> 'R'
+        |GROUP BY 2
         |ORDER BY version, l_returnflag""".stripMargin,
 
     // four pinned reads over the interleaved writer sequence: v1 = even
