@@ -197,6 +197,52 @@ object OracleSql {
        |  WHERE cos >= $tau)""".stripMargin
   }
 
+  /** Streaming VECTOR admission replay — mirrors
+    * Dedup.vectorNearDupIndex + vectorNearDupFilter over a static
+    * corpus: corpus vectors collapse to (v, min id), bucket by the
+    * same md5-derived hyperplanes, cap hot buckets; a candidate (from
+    * `candSql`, yielding (vec_id, v DOUBLE[])) is admitted iff no
+    * capped corpus vector sharing its bucket reaches cosine ≥ tau.
+    * Because candidates are tested against the static corpus only,
+    * this whole-set filter equals the micro-batched fold exactly. */
+  def vectorAdmitSql(candSql: String, bits: Int, dim: Int, tau: Double,
+      maxBucket: Int): String = {
+    def bucketExpr(v: String) = graft.ops.Similarity.planes(bits, dim)
+      .zipWithIndex.map { case (p, i) =>
+        val planeLit = p.mkString("[", ", ", "]")
+        s"(CASE WHEN ${dot(v, planeLit)} >= 0.0 THEN ${1L << i} ELSE 0 END)"
+      }.mkString("\n   + ")
+    val cos = s"(CASE WHEN c.nrm * k.nrm = 0.0 THEN 0.0 " +
+      s"ELSE ${dot("c.v", "k.v")} / (c.nrm * k.nrm) END)"
+    s"""WITH k0 AS (
+       |  SELECT v, MIN(id) AS id FROM (
+       |    SELECT CAST(embedding AS DOUBLE[]) AS v, vec_id AS id
+       |    FROM embeddings)
+       |  GROUP BY v),
+       |kbkt AS (
+       |  SELECT id, v, CAST(${bucketExpr("v")} AS BIGINT) AS bucket,
+       |         sqrt(${dot("v", "v")}) AS nrm
+       |  FROM k0),
+       |kcap AS (
+       |  SELECT * FROM (
+       |    SELECT *, COUNT(*) OVER (PARTITION BY bucket) AS bucket_sz
+       |    FROM kbkt)
+       |  WHERE bucket_sz <= $maxBucket),
+       |cand0 AS ($candSql),
+       |cand AS (SELECT v, MIN(vec_id) AS id FROM cand0 GROUP BY v),
+       |cbkt AS (
+       |  SELECT id, v, CAST(${bucketExpr("v")} AS BIGINT) AS bucket,
+       |         sqrt(${dot("v", "v")}) AS nrm
+       |  FROM cand),
+       |hits AS (
+       |  SELECT DISTINCT c.id
+       |  FROM cbkt c JOIN kcap k ON c.bucket = k.bucket
+       |  WHERE $cos >= $tau)
+       |SELECT id AS vec_id FROM cbkt
+       |WHERE id NOT IN (SELECT id FROM hits)
+       |ORDER BY vec_id""".stripMargin
+  }
+
   /** Seeded-IVF kNN-join CTE chain over the embeddings table — mirrors
     * Similarity.ivfIndexSeeded(...).knnJoin stage for stage (centroid
     * seeds = first `nlist` ids, assignment by best cosine, `nprobe`

@@ -4632,6 +4632,64 @@ object SparkEntry {
         q.awaitTermination()
       }
       admitted.orderBy("doc_id")
+    }),
+
+    // ---- streaming VECTOR admission at the embedding front door: the
+    // s25 scenario for embeddings — micro-batches of candidate vectors
+    // filtered against the STATIC corpus hyperplane-LSH buckets
+    // (e6's machinery as an admission index); candidates pre-collapsed
+    // to bit-identical-vector reps so admission is batch-boundary-
+    // invariant — the oracle is the whole-set filter ------------------
+    "s29_stream_vector_admit" -> ((s, dir) => {
+      val tmp = gateScratch("s29")
+      val emb = t(s, dir, "embeddings")
+      val embD = emb.select(col("vec_id"),
+        col("embedding").cast("array<double>").as("v"))
+      // near: tiny uniform perturbation (cos ≈ 1 → rejected when the
+      // bucket still collides); copies: exact (always rejected); fresh:
+      // reversed direction (mostly admitted) — all SQL-replicable
+      val near = embD.filter(col("vec_id") % 10 === 3)
+        .select((col("vec_id") + 2000000).as("vec_id"),
+          transform(col("v"), x => x + lit(0.0001)).as("v"))
+      val copies = embD.filter(col("vec_id") % 10 === 7)
+        .select((col("vec_id") + 3000000).as("vec_id"), col("v"))
+      val fresh = embD.filter(col("vec_id") % 10 === 5)
+        .select((col("vec_id") + 4000000).as("vec_id"),
+          reverse(col("v")).as("v"))
+      val cand = ops.Dedup.collapseVectors(
+        near.unionAll(copies).unionAll(fresh), "vec_id", "v")
+      cand.select(col("id").as("vec_id"), col("v"))
+        .withColumn("shard", pmod(col("vec_id"), lit(4)))
+        .repartition(4, col("shard"))
+        .write.parquet(s"$tmp/in") // 4 files → 4 micro-batches
+      // the frozen admission index: one bucket+norm pass, probed by
+      // every micro-batch
+      val idx = ops.Dedup.vectorNearDupIndex(emb, "vec_id", "embedding",
+          dim = 64, bits = 6, maxBucket = 1000)
+        .localCheckpoint(eager = false)
+      var admitted = cand.select(col("id").as("vec_id")).limit(0)
+      val inSchema = s.read.parquet(s"$tmp/in").schema
+      withNarrowState(s) {
+        val q = s.readStream
+          .schema(inSchema)
+          .option("maxFilesPerTrigger", "1")
+          .parquet(s"$tmp/in")
+          .writeStream
+          .foreachBatch { (batch: DataFrame, _: Long) =>
+            admitted = admitted.unionAll(
+                ops.Dedup.vectorNearDupFilter(idx,
+                    batch.select("vec_id", "v"), "vec_id", "v",
+                    dim = 64, bits = 6, tau = 0.8)
+                  .select("vec_id"))
+              .localCheckpoint(eager = true) // sever the micro-batch source
+            ()
+          }
+          .option("checkpointLocation", s"$tmp/chk")
+          .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+          .start()
+        q.awaitTermination()
+      }
+      admitted.orderBy("vec_id")
     })
   )
 
@@ -8645,6 +8703,21 @@ object SparkEntry {
         |UNION ALL SELECT doc_id + 4000000, reverse(text)
         |  FROM documents WHERE doc_id % 10 = 5""".stripMargin,
       k = 12, bands = 6, shingleSize = 3, tau = 0.5, maxBucket = 1000),
+
+    // the streaming vector fold against the static LSH corpus equals
+    // the whole-set admission — candidates pre-collapsed to one rep per
+    // distinct vector, each tested against the corpus only
+    "s29_stream_vector_admit" -> OracleSql.vectorAdmitSql(
+      """SELECT vec_id + 2000000 AS vec_id,
+        |       list_transform(CAST(embedding AS DOUBLE[]), x -> x + 0.0001) AS v
+        |FROM embeddings WHERE vec_id % 10 = 3
+        |UNION ALL
+        |SELECT vec_id + 3000000, CAST(embedding AS DOUBLE[])
+        |FROM embeddings WHERE vec_id % 10 = 7
+        |UNION ALL
+        |SELECT vec_id + 4000000, list_reverse(CAST(embedding AS DOUBLE[]))
+        |FROM embeddings WHERE vec_id % 10 = 5""".stripMargin,
+      bits = 6, dim = 64, tau = 0.8, maxBucket = 1000),
 
     // tombstone delete ≡ rebuild over survivors: the e7 replay with the
     // deleted ids absent from BOTH the query and the candidate side

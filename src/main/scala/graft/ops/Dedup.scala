@@ -810,6 +810,51 @@ object Dedup {
       .distinct()
   }
 
+  /** Corpus side of the streaming VECTOR admission filter — one
+    * hyperplane-bucket + norm pass over the (collapsed) corpus,
+    * bucket-capped like [[embeddingLshPairsFromCollapsed]]. Compute
+    * once, freeze (checkpoint/persist), and probe per micro-batch with
+    * [[vectorNearDupFilter]]; at 100 TB the bucketed corpus is the
+    * thing you'd persist bucket-partitioned so each batch's equi-join
+    * touches only colliding buckets. */
+  def vectorNearDupIndex(corpus: DataFrame, idCol: String, vecCol: String,
+      dim: Int, bits: Int = 6, maxBucket: Int = 1000): DataFrame =
+    capBuckets(
+      Similarity.hyperplaneBuckets(
+        collapseVectors(corpus, idCol, vecCol), "id", "v", bits, dim)
+        .withColumn("nrm", sqrt(Similarity.dot(col("v"), col("v")))),
+      Seq("bucket"), maxBucket)
+
+  /** Streaming-shape ADMISSION for embeddings — [[nearDupFilter]]'s
+    * vector analogue at the crawl front door: a candidate is admitted
+    * iff NO corpus vector sharing its hyperplane bucket has cosine ≥
+    * `tau`. Candidates are tested against the STATIC corpus only, so
+    * admission is batch-boundary-invariant (the s25 composition
+    * contract); callers pre-collapse bit-identical candidate vectors
+    * ONCE before sharding so a batch boundary can't split an
+    * exact-dup group. Per batch the work is O(batch·bits) projections
+    * plus a bucket equi-join — the candidate side never meets the
+    * whole corpus. */
+  def vectorNearDupFilter(index: DataFrame, batch: DataFrame,
+      idCol: String, vecCol: String, dim: Int, bits: Int = 6,
+      tau: Double = 0.8): DataFrame = {
+    val cand = Similarity.hyperplaneBuckets(
+        batch.select(col(idCol).cast("long").as("id"),
+          col(vecCol).cast("array<double>").as("v")),
+        "id", "v", bits, dim)
+      .withColumn("nrm", sqrt(Similarity.dot(col("v"), col("v"))))
+      .localCheckpoint(eager = false) // probed + anti-joined below
+    val hits = cand
+      .join(index.select(col("bucket"), col("v").as("kv"),
+        col("nrm").as("knrm")), Seq("bucket"))
+      .filter(when(col("nrm") * col("knrm") === 0.0, lit(0.0))
+        .otherwise(Similarity.dot(col("v"), col("kv"))
+          / (col("nrm") * col("knrm"))) >= tau)
+      .select("id").distinct()
+    cand.join(hits, Seq("id"), "left_anti")
+      .select(col("id").as(idCol), col("v").as(vecCol))
+  }
+
   /** Cluster near-duplicate pairs into connected components, labeling
     * every node with its component's minimum id — the final step of
     * corpus dedup (pairs → clusters → keep one canonical doc each).

@@ -264,6 +264,37 @@ class DedupSpec extends AnyFunSuite with SparkTestBase {
     assert(admit(batch) === whole) // collapse is the filter's own stage 1
   }
 
+  test("vectorNearDupFilter: static-index vector admission is batch-invariant") {
+    import spark.implicits._
+    val dim = 8
+    def vec(active: Int, scale: Double): Seq[Double] =
+      (0 until dim).map(d => if (d == active) scale else 0.01 * (d + 1))
+    val corpus = Seq((0L, vec(0, 10.0)), (1L, vec(1, 10.0)),
+      (2L, vec(2, 10.0)), (3L, vec(0, 9.9))).toDF("vec_id", "v")
+    val idx = Dedup.vectorNearDupIndex(corpus, "vec_id", "v",
+        dim = dim, bits = 6)
+      .localCheckpoint(eager = true)
+    val cand = Seq(
+      (10L, vec(0, 10.0)),              // exact corpus copy → rejected
+      (11L, vec(0, 10.5)),              // same direction, scaled (cos≈1) → rejected
+      (12L, vec(4, 10.0)),              // fresh direction → admitted
+      (13L, vec(0, 10.0).map(-_))       // antipode: every plane sign flips,
+    ).toDF("vec_id", "v")               //   cos=−1 anyway → admitted
+    def admit(df: org.apache.spark.sql.DataFrame) =
+      Dedup.vectorNearDupFilter(idx, df, "vec_id", "v",
+          dim = dim, bits = 6, tau = 0.8)
+        .select("vec_id").as[Long].collect().toSet
+    val whole = admit(cand)
+    assert(whole === Set(12L, 13L))
+    // per-batch admission against the STATIC index unions to the
+    // whole-set answer under ANY split — the s29 streaming contract
+    assert(admit(cand.filter(col("vec_id") % 2 === 0)) ++
+      admit(cand.filter(col("vec_id") % 2 === 1)) === whole)
+    assert(Seq(10L, 11L, 12L, 13L)
+      .map(id => admit(cand.filter(col("vec_id") === id)))
+      .reduce(_ ++ _) === whole)
+  }
+
   test("NearDupIndex.extend equals a full rebuild on cap-cold data") {
     import spark.implicits._
     val idx = Dedup.nearDupIndex(docs, "doc_id", "text",
