@@ -3801,6 +3801,20 @@ object SparkEntry {
         .orderBy("lang", "doc_id")
     }),
 
+    // ---- token-budget source mixing: the hard-quota data recipe ("N
+    // tokens of src0, M of src1, ...") as an exact greedy-prefix filter;
+    // two-phase bucket selection keeps a popular source off the single-
+    // reducer window (CorpusOps.budgetedMix scaladoc); sources with no
+    // budget are dropped entirely ---------------------------------------
+    "d55_budget_mix" -> ((s, dir) => {
+      import s.implicits._
+      val budgets = (0 until 10).map(k => (s"src$k", 120L + 137L * k))
+        .toDF("source", "budget")
+      ops.CorpusOps.budgetedMix(t(s, dir, "documents"),
+          "doc_id", "text", "source", budgets, bucketSize = 64L)
+        .orderBy("doc_id")
+    }),
+
     // ---- pure-SQL surface: the codegen'd kernels exercised THROUGH the
     // registered SQL functions in one spark.sql text query — runtime
     // evidence that a SQL-only user gets hash-identical results ---------
@@ -8243,6 +8257,28 @@ object SparkEntry {
         |  FROM d)
         |SELECT lang, doc_id FROM r WHERE rn * 20 <= tot * 1
         |ORDER BY lang, doc_id""".stripMargin,
+
+    // greedy-prefix budget admission replayed with ONE plain window per
+    // source (the oracle needn't be scale-safe); budgets generated from
+    // the same arithmetic as the gate so they cannot drift
+    "d55_budget_mix" -> {
+      val vals = (0 until 10).map(k => s"('src$k', ${120L + 137L * k})")
+        .mkString(", ")
+      s"""WITH d AS (
+         |  SELECT doc_id, source,
+         |    CAST(CASE WHEN length(trim(text)) = 0 THEN 0
+         |         ELSE len(${OracleSql.toks("text")}) END AS BIGINT) AS n_tokens
+         |  FROM documents),
+         |b(source, budget) AS (VALUES $vals),
+         |c AS (
+         |  SELECT d.doc_id, d.source, d.n_tokens, b.budget,
+         |    COALESCE(SUM(n_tokens) OVER (PARTITION BY d.source
+         |      ORDER BY doc_id
+         |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS cb
+         |  FROM d JOIN b USING (source))
+         |SELECT doc_id, source, n_tokens FROM c WHERE cb < budget
+         |ORDER BY doc_id""".stripMargin
+    },
 
     // the d3/d4/d5 oracle kernels composed over one pass — what the
     // SQL-registered functions must reproduce bit-for-bit

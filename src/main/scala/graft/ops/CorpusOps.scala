@@ -744,6 +744,70 @@ object CorpusOps {
         col("graft_keep_frac").as("keep_frac"): _*)
   }
 
+  /** TOKEN-BUDGET source mixing — the hard-quota counterpart of
+    * [[temperatureMix]]: build a training mix by admitting each
+    * source's documents in deterministic id order until the source's
+    * TOKEN budget is crossed. Greedy prefix semantics: a document is in
+    * iff the tokens of all LOWER-id same-source documents total under
+    * the budget — so the doc that crosses the line is the last one in,
+    * everything after is out, and the recipe ("N tokens of web, M of
+    * code") is an exact replayable filter, not a probabilistic rate.
+    * Sources absent from `budgets` are dropped entirely.
+    *
+    * Scale shape — two-phase prefix selection: a single per-row window
+    * over a source would serialize a popular source through one
+    * reducer, so phase 1 reduces the corpus to (source, bucket) token
+    * sums (bucket = id div `bucketSize` — a table corpus/bucketSize
+    * rows), classifies each bucket with a window over that SMALL
+    * table (cumulative-before < budget?), and phase 2 runs the exact
+    * per-row window ONLY inside each source's single budget-crossing
+    * bucket (≤ bucketSize rows, broadcast-joined): buckets strictly
+    * under the line admit wholesale, buckets past it drop wholesale.
+    * The corpus shuffles once (the bucket aggregate) + once for the
+    * one-bucket-per-source exact pass.
+    *
+    * @param budgets (source, budget) token budget per source
+    * @return (doc_id, source, n_tokens) of admitted documents
+    */
+  def budgetedMix(df: DataFrame, idCol: String, textCol: String,
+      sourceCol: String, budgets: DataFrame,
+      bucketSize: Long = 4096L): DataFrame = {
+    require(bucketSize > 0, s"bucketSize must be positive, got $bucketSize")
+    import org.apache.spark.sql.expressions.Window
+    val d = df.select(col(idCol).cast("long").as("doc_id"),
+        col(sourceCol).as("graft_src"),
+        tokenCount(col(textCol)).cast("long").as("n_tokens"))
+      .withColumn("graft_b", floor(col("doc_id") / lit(bucketSize)))
+      .localCheckpoint(eager = false) // phases 1 and 2 both read it
+    val b = broadcast(budgets.select(col("source").as("graft_src"),
+      col("budget").cast("long").as("graft_budget")))
+    val wB = Window.partitionBy("graft_src").orderBy("graft_b")
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val bkts = d.groupBy("graft_src", "graft_b")
+      .agg(sum("n_tokens").as("graft_bt"))
+      .join(b, Seq("graft_src"))
+      .withColumn("graft_cb", coalesce(sum("graft_bt").over(wB), lit(0L)))
+    // full: even the bucket's LAST doc starts under the line. edge: the
+    // line crosses inside (≤ one per source — graft_cb is monotone).
+    // past: the first doc already starts at/over the line → all out.
+    val full = bkts.filter(col("graft_cb") + col("graft_bt") < col("graft_budget"))
+    val edge = bkts.filter(col("graft_cb") < col("graft_budget") &&
+      col("graft_cb") + col("graft_bt") >= col("graft_budget"))
+    val wR = Window.partitionBy("graft_src", "graft_b").orderBy("doc_id")
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val fullDocs = d.join(full.select("graft_src", "graft_b"),
+      Seq("graft_src", "graft_b"), "left_semi")
+    val edgeDocs = d
+      .join(broadcast(edge.select("graft_src", "graft_b", "graft_cb",
+        "graft_budget")), Seq("graft_src", "graft_b"))
+      .withColumn("graft_before",
+        col("graft_cb") + coalesce(sum("n_tokens").over(wR), lit(0L)))
+      .filter(col("graft_before") < col("graft_budget"))
+    fullDocs.select("doc_id", "graft_src", "n_tokens")
+      .unionAll(edgeDocs.select("doc_id", "graft_src", "n_tokens"))
+      .withColumnRenamed("graft_src", "source")
+  }
+
   /** Learn a byte-pair-encoding merge table over the corpus vocabulary —
     * the REAL iterative BPE loop (Sennrich, Haddow & Birch, ACL'16
     * "Neural Machine Translation of Rare Words with Subword Units",

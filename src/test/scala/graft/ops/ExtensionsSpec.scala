@@ -1056,6 +1056,40 @@ class EmbeddingLshSpec extends AnyFunSuite with SparkTestBase {
 class CorpusOpsSpec extends AnyFunSuite with SparkTestBase {
   import org.apache.spark.sql.functions.col
 
+  test("budgetedMix: greedy prefix per source, exact at budget boundaries") {
+    import spark.implicits._
+    // src a: 4 docs of 3 tokens each (ids 0,2,4,6); budget 7 → docs 0
+    // and 2 start under (0, 3), doc 4 starts AT 6 < 7 → in (crossing
+    // doc), doc 6 starts at 9 → out. src b: budget 6, docs of 3+3 →
+    // doc 1 in (0), doc 3 in (3 < 6), doc 5 starts AT 6 → out (the
+    // exact-boundary case). src c: no budget → dropped wholesale.
+    val docs = Seq(
+      (0L, "a", "one two three"), (2L, "a", "four five six"),
+      (4L, "a", "seven eight nine"), (6L, "a", "ten eleven twelve"),
+      (1L, "b", "uno dos tres"), (3L, "b", "quatro cinco seis"),
+      (5L, "b", "siete ocho nueve"),
+      (7L, "c", "never admitted text here")).toDF("doc_id", "source", "text")
+    val budgets = Seq(("a", 7L), ("b", 6L)).toDF("source", "budget")
+    def run(bucketSize: Long) =
+      CorpusOps.budgetedMix(docs, "doc_id", "text", "source", budgets,
+          bucketSize)
+        .select("doc_id").as[Long].collect().sorted.toSeq
+    assert(run(1024L) === Seq(0L, 1L, 2L, 3L, 4L))
+    // two-phase selection is bucket-size-invariant: per-row buckets,
+    // crossing-inside buckets, and one-big-bucket all agree
+    assert(run(1L) === run(1024L))
+    assert(run(2L) === run(1024L))
+    assert(run(4L) === run(1024L))
+    // a zero-token doc sitting exactly ON the line is out (its
+    // cumulative-before equals the budget): src b reaches 6 after docs
+    // 1 and 3, so an empty doc at id 4 starts AT the line
+    val withEmpty = docs.unionAll(Seq((4L, "b", "   ")).toDF("doc_id", "source", "text"))
+    assert(CorpusOps.budgetedMix(withEmpty, "doc_id", "text", "source",
+        budgets, 2L).select("source", "doc_id").as[(String, Long)]
+        .collect().sorted.toSeq
+      === Seq(("a", 0L), ("a", 2L), ("a", 4L), ("b", 1L), ("b", 3L)))
+  }
+
   test("frequentNgrams keeps doc-frequency >= floor, counts occurrences totally") {
     import spark.implicits._
     val docs = Seq(
