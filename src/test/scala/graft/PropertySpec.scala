@@ -366,6 +366,57 @@ object PropertySpec extends Properties("graft") {
         }
     }
 
+  property("budgetedMix: greedy prefix semantics, bucket-size invariant") =
+    forAll(
+      Gen.listOfN(15, for {
+        id <- Gen.choose(0L, 60L)
+        src <- Gen.oneOf("a", "b", "c")
+        n <- Gen.choose(0, 6)
+      } yield (id, src, Seq.fill(n)("w").mkString(" ")))
+        .map(_.distinctBy(_._1)).suchThat(_.nonEmpty),
+      Gen.choose(1L, 20L), Gen.choose(1L, 20L)) { (rows, budA, budB) =>
+      val df = rows.toDF("doc_id", "source", "text")
+      val budgets = Seq(("a", budA), ("b", budB)).toDF("source", "budget")
+      def run(bs: Long) = graft.ops.CorpusOps
+        .budgetedMix(df, "doc_id", "text", "source", budgets, bs)
+        .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2))).toSet
+      def tok(t: String) = t.split(" ").count(_.nonEmpty).toLong
+      // reference: the plain per-source greedy prefix, folded in Scala
+      val ref = rows.filter(_._2 != "c").groupBy(_._2).flatMap {
+        case (src, rs) =>
+          val bud = if (src == "a") budA else budB
+          val sorted = rs.sortBy(_._1)
+          val cumBefore = sorted.scanLeft(0L)((acc, r) => acc + tok(r._3))
+          sorted.zip(cumBefore).collect {
+            case (r, cb) if cb < bud => (r._1, r._2, tok(r._3))
+          }
+      }.toSet
+      val got = run(7L)
+      got == ref && run(1L) == got && run(1000L) == got
+    }
+
+  property("vectorNearDupFilter: admission invariant under any batch split") =
+    forAll(
+      Gen.listOfN(8, Gen.listOfN(4, Gen.choose(-5, 5).map(_.toDouble)))
+        .map(_.zipWithIndex.map { case (v, i) => (100L + i, v) }),
+      Gen.listOfN(8, Gen.oneOf(true, false))) { (cands, mask) =>
+      val corpus = Seq((0L, Seq(4.0, 0.0, 1.0, 0.0)),
+        (1L, Seq(0.0, 4.0, 0.0, 1.0)),
+        (2L, Seq(1.0, 1.0, 4.0, 0.0))).toDF("vec_id", "v")
+      val idx = graft.ops.Dedup.vectorNearDupIndex(corpus, "vec_id", "v",
+          dim = 4, bits = 4)
+        .localCheckpoint(eager = true)
+      def admit(rs: Seq[(Long, Seq[Double])]): Set[Long] =
+        if (rs.isEmpty) Set.empty
+        else graft.ops.Dedup.vectorNearDupFilter(idx, rs.toDF("vec_id", "v"),
+            "vec_id", "v", dim = 4, bits = 4, tau = 0.9)
+          .select("vec_id").collect().map(_.getLong(0)).toSet
+      val whole = admit(cands)
+      val m = mask.padTo(cands.length, false)
+      val (l, r) = cands.zip(m).partition(_._2)
+      admit(l.map(_._1)) ++ admit(r.map(_._1)) == whole
+    }
+
   property("longestPathLayers: every DAG edge rises exactly-one-or-more at the fixed point") =
     forAll(Gen.listOfN(20, for {
       a <- Gen.choose(0L, 10L); b <- Gen.choose(0L, 10L)
