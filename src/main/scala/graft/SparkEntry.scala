@@ -43,6 +43,29 @@ object SparkEntry {
     p.toString
   }
 
+  /** Shared oracle for the token-budget mix (d55 batch, s30 streaming
+    * fold — both must equal this plain-window greedy prefix). Budgets
+    * come from the same arithmetic the gates use, so they cannot
+    * drift. */
+  private lazy val budgetMixOracle: String = {
+    val vals = (0 until 10).map(k => s"('src$k', ${120L + 137L * k})")
+      .mkString(", ")
+    s"""WITH d AS (
+       |  SELECT doc_id, source,
+       |    CAST(CASE WHEN length(trim(text)) = 0 THEN 0
+       |         ELSE len(${OracleSql.toks("text")}) END AS BIGINT) AS n_tokens
+       |  FROM documents),
+       |b(source, budget) AS (VALUES $vals),
+       |c AS (
+       |  SELECT d.doc_id, d.source, d.n_tokens, b.budget,
+       |    COALESCE(SUM(n_tokens) OVER (PARTITION BY d.source
+       |      ORDER BY doc_id
+       |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS cb
+       |  FROM d JOIN b USING (source))
+       |SELECT doc_id, source, n_tokens FROM c WHERE cb < budget
+       |ORDER BY doc_id""".stripMargin
+  }
+
   /** Normalize the events `ts` column to TIMESTAMP across fixture
     * vintages. A TIMESTAMP(NANOS) fixture arrives as LongType (under
     * `nanosAsLong`) and is floor-divided to microseconds — the same
@@ -4704,6 +4727,64 @@ object SparkEntry {
         q.awaitTermination()
       }
       admitted.orderBy("vec_id")
+    }),
+
+    // ---- streaming token-budget admission: the d55 recipe as an
+    // id-ordered micro-batch fold — running per-source token totals are
+    // the only state (O(#sources) rows), rejected docs still advance
+    // the line, and the fold over ordered batches equals the whole-set
+    // greedy prefix (oracle = d55's verbatim) --------------------------
+    "s30_stream_budget_admit" -> ((s, dir) => {
+      import s.implicits._
+      val tmp = gateScratch("s30")
+      val docs = t(s, dir, "documents").select("doc_id", "source", "text")
+      val budgets = (0 until 10).map(k => (s"src$k", 120L + 137L * k))
+        .toDF("source", "budget").localCheckpoint(eager = true)
+      // 4 contiguous id-range shards with strictly increasing mtimes:
+      // FileStreamSource orders files by modification time, so batches
+      // arrive in id order — the fold's documented ordering contract
+      // (a log-ordered ingest)
+      val maxId = docs.agg(max("doc_id")).head.getLong(0)
+      val per = maxId / 4 + 1
+      val inDir = java.nio.file.Paths.get(tmp, "in")
+      java.nio.file.Files.createDirectories(inDir)
+      (0 until 4).foreach { i =>
+        val shardTmp = s"$tmp/shard$i"
+        docs.filter(col("doc_id") >= i * per && col("doc_id") < (i + 1) * per)
+          .coalesce(1).write.parquet(shardTmp)
+        val part = new java.io.File(shardTmp).listFiles()
+          .filter(_.getName.endsWith(".parquet")).head
+        val dst = inDir.resolve(f"shard-$i%02d.parquet")
+        java.nio.file.Files.move(part.toPath, dst)
+        java.nio.file.Files.setLastModifiedTime(dst,
+          java.nio.file.attribute.FileTime.fromMillis(
+            1700000000000L + i * 60000L))
+      }
+      var seen = Seq.empty[(String, Long)].toDF("source", "seen_tokens")
+        .localCheckpoint(eager = true)
+      var admitted = docs.limit(0)
+        .select(col("doc_id"), col("source"), lit(0L).as("n_tokens"))
+      val inSchema = s.read.parquet(inDir.toString).schema
+      withNarrowState(s) {
+        val q = s.readStream
+          .schema(inSchema)
+          .option("maxFilesPerTrigger", "1")
+          .parquet(inDir.toString)
+          .writeStream
+          .foreachBatch { (batch: DataFrame, _: Long) =>
+            val (adm, ns) = ops.CorpusOps.budgetedAdmitBatch(seen,
+              batch, "doc_id", "text", "source", budgets)
+            admitted = admitted.unionAll(adm)
+              .localCheckpoint(eager = true) // sever the micro-batch source
+            seen = ns.localCheckpoint(eager = true)
+            ()
+          }
+          .option("checkpointLocation", s"$tmp/chk")
+          .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+          .start()
+        q.awaitTermination()
+      }
+      admitted.orderBy("doc_id")
     })
   )
 
@@ -8261,24 +8342,11 @@ object SparkEntry {
     // greedy-prefix budget admission replayed with ONE plain window per
     // source (the oracle needn't be scale-safe); budgets generated from
     // the same arithmetic as the gate so they cannot drift
-    "d55_budget_mix" -> {
-      val vals = (0 until 10).map(k => s"('src$k', ${120L + 137L * k})")
-        .mkString(", ")
-      s"""WITH d AS (
-         |  SELECT doc_id, source,
-         |    CAST(CASE WHEN length(trim(text)) = 0 THEN 0
-         |         ELSE len(${OracleSql.toks("text")}) END AS BIGINT) AS n_tokens
-         |  FROM documents),
-         |b(source, budget) AS (VALUES $vals),
-         |c AS (
-         |  SELECT d.doc_id, d.source, d.n_tokens, b.budget,
-         |    COALESCE(SUM(n_tokens) OVER (PARTITION BY d.source
-         |      ORDER BY doc_id
-         |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS cb
-         |  FROM d JOIN b USING (source))
-         |SELECT doc_id, source, n_tokens FROM c WHERE cb < budget
-         |ORDER BY doc_id""".stripMargin
-    },
+    "d55_budget_mix" -> budgetMixOracle,
+
+    // the id-ordered streaming fold lands exactly on the batch greedy
+    // prefix — d55's oracle verbatim
+    "s30_stream_budget_admit" -> budgetMixOracle,
 
     // the d3/d4/d5 oracle kernels composed over one pass — what the
     // SQL-registered functions must reproduce bit-for-bit

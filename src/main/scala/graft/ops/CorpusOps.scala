@@ -808,6 +808,53 @@ object CorpusOps {
       .withColumnRenamed("graft_src", "source")
   }
 
+  /** One micro-batch of STREAMING token-budget admission — the
+    * [[budgetedMix]] recipe as an incremental fold. `seen` carries the
+    * per-source token total of every PREVIOUSLY ARRIVED document
+    * (admitted or not — the greedy-prefix rule counts ALL prior
+    * tokens, so rejected docs still advance the line); the batch ranks
+    * within itself and a document is admitted iff
+    * `seen + within-batch-before < budget`. Folding id-ordered batches
+    * reproduces the whole-set [[budgetedMix]] exactly (the s30 gate's
+    * oracle IS d55's); out-of-order arrival changes which docs count
+    * as "prior" — the caller owns the ordering contract, exactly as a
+    * log-ordered ingest does. State is O(#sources) rows and includes
+    * sources with no budget (they admit nothing but their arrival
+    * still records — so granting a budget mid-stream behaves like the
+    * batch recipe from that point).
+    *
+    * @param seen (source, seen_tokens) running totals; start from an
+    *             empty DataFrame with that schema
+    * @return (admitted (doc_id, source, n_tokens), updated seen)
+    */
+  def budgetedAdmitBatch(seen: DataFrame, batch: DataFrame, idCol: String,
+      textCol: String, sourceCol: String,
+      budgets: DataFrame): (DataFrame, DataFrame) = {
+    import org.apache.spark.sql.expressions.Window
+    val d = batch.select(col(idCol).cast("long").as("doc_id"),
+        col(sourceCol).as("graft_src"),
+        tokenCount(col(textCol)).cast("long").as("n_tokens"))
+      .localCheckpoint(eager = false) // admitted filter + state fold
+    val w = Window.partitionBy("graft_src").orderBy("doc_id")
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val admitted = d
+      .join(broadcast(budgets.select(col("source").as("graft_src"),
+        col("budget").cast("long").as("graft_budget"))), Seq("graft_src"))
+      .join(broadcast(seen.select(col("source").as("graft_src"),
+        col("seen_tokens").as("graft_seen"))), Seq("graft_src"), "left")
+      .withColumn("graft_before", coalesce(col("graft_seen"), lit(0L)) +
+        coalesce(sum("n_tokens").over(w), lit(0L)))
+      .filter(col("graft_before") < col("graft_budget"))
+      .select(col("doc_id"), col("graft_src").as("source"), col("n_tokens"))
+    val batchTotals = d.groupBy(col("graft_src").as("source"))
+      .agg(sum("n_tokens").as("graft_bt"))
+    val newSeen = seen.join(batchTotals, Seq("source"), "full_outer")
+      .select(col("source"),
+        (coalesce(col("seen_tokens"), lit(0L)) +
+          coalesce(col("graft_bt"), lit(0L))).as("seen_tokens"))
+    (admitted, newSeen)
+  }
+
   /** Learn a byte-pair-encoding merge table over the corpus vocabulary —
     * the REAL iterative BPE loop (Sennrich, Haddow & Birch, ACL'16
     * "Neural Machine Translation of Rare Words with Subword Units",
