@@ -130,6 +130,14 @@ object GraftExtensions {
           s.read.parquet(strLit(args(1), "graft_bloom_read")),
           strLit(args(2), "graft_bloom_read"),
           org.apache.spark.sql.graftbridge.ColumnBridge.column(args(3))))
+      }),
+      // the WRITE-side metadata op: `CREATE TABLE m AS SELECT * FROM
+      // graft_stats(...)` persists a manifest from pure SQL
+      "graft_stats" -> ((args: Seq[Expression]) => {
+        val s = active
+        plan(graft.ops.Layout.statsManifest(s,
+          strLit(args(0), "graft_stats"),
+          Seq(strLit(args(1), "graft_stats"))))
       }))
   }
 

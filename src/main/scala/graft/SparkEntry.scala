@@ -4117,6 +4117,26 @@ object SparkEntry {
         .orderBy("version", "l_returnflag")
     }),
 
+    // ---- manifest CREATION from pure SQL (the write-side lake
+    // metadata op): graft_stats returns the per-file stats rows, so
+    // `CREATE TABLE m AS SELECT * FROM graft_stats(...)` persists a
+    // manifest without the Scala DSL; the gate folds it to layout-
+    // independent aggregates (file count pinned by the range write) ----
+    "q106_sql_stats" -> ((s, dir) => {
+      val tmp = gateScratch("q106")
+      GraftExtensions.register(s)
+      t(s, dir, "lineitem").select("l_orderkey", "l_quantity")
+        .repartitionByRange(4, col("l_orderkey"))
+        .write.parquet(s"$tmp/t")
+      s.sql(s"""
+        |SELECT CAST(COUNT(*) AS BIGINT) AS n_files,
+        |  CAST(SUM(n_rows) AS BIGINT) AS total_rows,
+        |  MIN(min_l_orderkey) AS min_key,
+        |  MAX(max_l_orderkey) AS max_key,
+        |  CAST(SUM(nulls_l_orderkey) AS BIGINT) AS n_nulls
+        |FROM graft_stats('$tmp/t', 'l_orderkey')""".stripMargin)
+    }),
+
     // ---- non-invertible agg-view maintenance under deletes: MIN/MAX
     // can't fold a retraction — recompute ONLY the delete-touched
     // groups from the post-delete base, reuse the rest verbatim --------
@@ -8497,6 +8517,16 @@ object SparkEntry {
         |  AND NOT (l_quantity >= 48.0)
         |GROUP BY 2
         |ORDER BY version, l_returnflag""".stripMargin,
+
+    // a 4-range write produces exactly 4 files; stats fold to the plain
+    // table aggregates (manifest content is layout-independent)
+    "q106_sql_stats" ->
+      """SELECT CAST(4 AS BIGINT) AS n_files,
+        |  CAST(COUNT(*) AS BIGINT) AS total_rows,
+        |  MIN(l_orderkey) AS min_key,
+        |  MAX(l_orderkey) AS max_key,
+        |  CAST(0 AS BIGINT) AS n_nulls
+        |FROM lineitem""".stripMargin,
 
     // the JSON → variant → typed-extract round trip is the identity on
     // the underlying values; missing paths are null
