@@ -73,6 +73,36 @@ class ShuffleHygieneSpec extends AnyFunSuite with SparkTestBase {
     assert(!cols.exists(_.startsWith("text:")), s"text crossed a shuffle: $cols")
   }
 
+  test("budgetedMix shuffles carry token counts and keys — never text") {
+    val src = docs.withColumn("source",
+      concat(lit("s"), pmod(col("doc_id"), lit(3)).cast("string")))
+    val budgets = Seq(("s0", 500L), ("s1", 800L), ("s2", 200L))
+      .toDF("source", "budget")
+    val cols = shuffledColumns(graft.ops.CorpusOps.budgetedMix(
+      src, "doc_id", "text", "source", budgets, bucketSize = 64L))
+    assert(cols.nonEmpty, "expected at least one exchange")
+    assert(!cols.exists(_.startsWith("text:")), s"text crossed a shuffle: $cols")
+    // the only string allowed through a shuffle is the (small) source key
+    val strings = cols.filter(_.endsWith(":string")).map(_.split(':')(0))
+    assert(strings.subsetOf(Set("graft_src", "source")),
+      s"unexpected string column(s) in a shuffle: $strings")
+  }
+
+  test("vectorNearDupFilter shuffles carry ids, buckets and vectors — no strings") {
+    val corpus = (0L until 200L).map { i =>
+      (i, Seq.tabulate(8)(d => ((i * 13 + d * 7) % 29) / 29.0))
+    }.toDF("vec_id", "v")
+    val idx = Dedup.vectorNearDupIndex(corpus, "vec_id", "v", dim = 8, bits = 5)
+      .localCheckpoint(eager = true)
+    val batch = (1000L until 1100L).map { i =>
+      (i, Seq.tabulate(8)(d => ((i * 17 + d * 5) % 31) / 31.0))
+    }.toDF("vec_id", "v")
+    val cols = shuffledColumns(Dedup.vectorNearDupFilter(idx, batch,
+      "vec_id", "v", dim = 8, bits = 5, tau = 0.9))
+    assert(!cols.exists(_.endsWith(":string")),
+      s"string column(s) in a shuffle: $cols")
+  }
+
   test("IVF knnJoin shuffles carry ids, cells and vectors — nothing else") {
     val emb = (0L until 300L).map { i =>
       (i, Array.tabulate(16)(d => (((i * 13 + d * 7) % 29) / 29.0).toFloat))
