@@ -4805,6 +4805,57 @@ object SparkEntry {
         q.awaitTermination()
       }
       admitted.orderBy("doc_id")
+    }),
+
+    // ---- streaming contamination guard at the ingest front door: the
+    // d22 audit as an admission filter — candidates whose winnowed-
+    // fingerprint overlap with the FROZEN benchmark set reaches 0.5 are
+    // rejected before they can poison the training mix; static-index
+    // probing makes admission batch-boundary-invariant ------------------
+    "s31_stream_contamination_admit" -> ((s, dir) => {
+      val tmp = gateScratch("s31")
+      val docs = t(s, dir, "documents").select("doc_id", "text")
+      val bench = docs.filter(col("doc_id") % 2 === 1)
+      // verbatim benchmark copies (contamination 1.0 → rejected),
+      // lightly-padded copies (overlap-heavy → rejected), reversed
+      // fresh text (≈0 overlap → admitted)
+      val copied = bench.filter(col("doc_id") % 10 === 1)
+        .select((col("doc_id") + 2000000).as("doc_id"), col("text"))
+      val edited = bench.filter(col("doc_id") % 10 === 3)
+        .select((col("doc_id") + 3000000).as("doc_id"),
+          concat(col("text"), lit(" zzz tail pad")).as("text"))
+      val freshDocs = docs.filter(col("doc_id") % 10 === 4)
+        .select((col("doc_id") + 4000000).as("doc_id"),
+          reverse(col("text")).as("text"))
+      copied.unionAll(edited).unionAll(freshDocs)
+        .withColumn("shard", pmod(col("doc_id"), lit(4)))
+        .repartition(4, col("shard"))
+        .write.parquet(s"$tmp/in") // 4 files → 4 micro-batches
+      val idx = ops.CorpusOps.benchmarkFingerprints(bench, "doc_id", "text")
+        .localCheckpoint(eager = false) // probed by every micro-batch
+      var admitted = ops.CorpusOps.contaminationFilter(idx,
+        docs.limit(0), "doc_id", "text")
+      val inSchema = s.read.parquet(s"$tmp/in").schema
+      withNarrowState(s) {
+        val q = s.readStream
+          .schema(inSchema)
+          .option("maxFilesPerTrigger", "1")
+          .parquet(s"$tmp/in")
+          .writeStream
+          .foreachBatch { (batch: DataFrame, _: Long) =>
+            admitted = admitted.unionAll(
+                ops.CorpusOps.contaminationFilter(idx,
+                  batch.select("doc_id", "text"), "doc_id", "text"))
+              .localCheckpoint(eager = true) // sever the micro-batch source
+            ()
+          }
+          .option("checkpointLocation", s"$tmp/chk")
+          .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+          .start()
+        q.awaitTermination()
+      }
+      admitted.select("doc_id", "n_fps", "n_hits", "contamination")
+        .orderBy("doc_id")
     })
   )
 
@@ -8837,6 +8888,35 @@ object SparkEntry {
         |UNION ALL SELECT doc_id + 4000000, reverse(text)
         |  FROM documents WHERE doc_id % 10 = 5""".stripMargin,
       k = 12, bands = 6, shingleSize = 3, tau = 0.5, maxBucket = 1000),
+
+    // the streaming admission against the FROZEN benchmark fingerprints
+    // equals the whole-set filter — d22's overlap algebra with the
+    // admission threshold applied
+    "s31_stream_contamination_admit" -> {
+      val candSql =
+        """SELECT doc_id + 2000000 AS doc_id, text FROM documents
+          |  WHERE doc_id % 2 = 1 AND doc_id % 10 = 1
+          |UNION ALL
+          |SELECT doc_id + 3000000, text || ' zzz tail pad' FROM documents
+          |  WHERE doc_id % 2 = 1 AND doc_id % 10 = 3
+          |UNION ALL
+          |SELECT doc_id + 4000000, reverse(text) FROM documents
+          |  WHERE doc_id % 10 = 4""".stripMargin
+      val benchSql = "SELECT doc_id, text FROM documents WHERE doc_id % 2 = 1"
+      s"""WITH cfps AS (${OracleSql.winnow(candSql, 5, 4)}),
+         |bfps AS (SELECT DISTINCT fp FROM (${OracleSql.winnow(benchSql, 5, 4)})),
+         |agg AS (
+         |  SELECT c.doc_id, COUNT(*) AS n_fps,
+         |    CAST(SUM(CASE WHEN b.fp IS NULL THEN 0 ELSE 1 END) AS BIGINT)
+         |      AS n_hits
+         |  FROM cfps c LEFT JOIN bfps b ON c.fp = b.fp
+         |  GROUP BY 1)
+         |SELECT doc_id, n_fps, n_hits,
+         |  CAST(n_hits AS DOUBLE) / CAST(n_fps AS DOUBLE) AS contamination
+         |FROM agg
+         |WHERE CAST(n_hits AS DOUBLE) / CAST(n_fps AS DOUBLE) < 0.5
+         |ORDER BY doc_id""".stripMargin
+    },
 
     // the streaming vector fold against the static LSH corpus equals
     // the whole-set admission — candidates pre-collapsed to one rep per

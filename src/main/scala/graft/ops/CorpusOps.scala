@@ -320,6 +320,40 @@ object CorpusOps {
         col("n_hits").cast("double") / col("n_fps").cast("double"))
   }
 
+  /** The frozen index side of [[contaminationFilter]]: the benchmark
+    * set's DISTINCT winnowed fingerprints — one zero-shuffle winnow
+    * pass + one hash-distinct of longs. Build once, freeze
+    * (checkpoint/persist), probe per micro-batch. */
+  def benchmarkFingerprints(benchDf: DataFrame, idCol: String,
+      textCol: String, k: Int = 5, w: Int = 4): DataFrame =
+    winnow(benchDf, idCol, textCol, k, w).select(col("fp")).distinct()
+
+  /** Streaming-shape CONTAMINATION guard — [[contamination]] turned
+    * into a front-door admission filter: a candidate is admitted iff
+    * the fraction of its winnowed fingerprints found in the FROZEN
+    * benchmark set stays under `maxContamination`. Candidates are
+    * tested against the static set only, so admission is
+    * batch-boundary-invariant (the s25/s29 composition contract).
+    * Documents too short to produce any fingerprint have UNKNOWN
+    * overlap and are conservatively rejected (they emit no row).
+    * Per batch: one winnow projection + one long-only join against
+    * the fingerprint index — text never shuffles.
+    *
+    * @return admitted (idCol, n_fps, n_hits, contamination)
+    */
+  def contaminationFilter(benchFps: DataFrame, batch: DataFrame,
+      idCol: String, textCol: String, k: Int = 5, w: Int = 4,
+      maxContamination: Double = 0.5): DataFrame =
+    winnow(batch, idCol, textCol, k, w)
+      .join(benchFps.select(col("fp")).withColumn("graft_hit", lit(1L)),
+        Seq("fp"), "left")
+      .groupBy(idCol)
+      .agg(count(lit(1)).as("n_fps"),
+        sum(coalesce(col("graft_hit"), lit(0L))).as("n_hits"))
+      .withColumn("contamination",
+        col("n_hits").cast("double") / col("n_fps").cast("double"))
+      .filter(col("contamination") < maxContamination)
+
   /** Bigram language-model table: conditional probabilities
     * `P(w2 | w1) = c(w1 w2) / c(w1 ·)` over the corpus — the classic
     * n-gram LM estimator (and the scorer behind perplexity-style quality
