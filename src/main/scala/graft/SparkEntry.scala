@@ -4856,6 +4856,105 @@ object SparkEntry {
       }
       admitted.select("doc_id", "n_fps", "n_hits", "contamination")
         .orderBy("doc_id")
+    }),
+
+    // ---- the COMPLETE ingest front door as one stream: exact/near-dup
+    // admission vs the frozen corpus LSH index (s25), then benchmark-
+    // contamination rejection vs the frozen fingerprint set (s31), then
+    // token-budget admission with running per-source state (s30) — the
+    // three filters composed per micro-batch; every index is static so
+    // the fold equals the whole-set three-stage filter (one oracle) ----
+    "s32_front_door_pipeline" -> ((s, dir) => {
+      import s.implicits._
+      val tmp = gateScratch("s32")
+      val docs = t(s, dir, "documents").select("doc_id", "source", "text")
+      val evens = docs.filter(col("doc_id") % 2 === 0)
+        .select("doc_id", "text")
+      val odds = docs.filter(col("doc_id") % 2 === 1)
+        .select("doc_id", "text")
+      // A: verbatim corpus copies (near-dup stage rejects); B: benchmark
+      // copies (pass near-dup vs evens, contamination rejects); C:
+      // reversed fresh text (reaches the budget stage)
+      val candA = docs.filter(col("doc_id") % 10 === 2)
+        .select((col("doc_id") + 2000000).as("doc_id"), col("source"),
+          col("text"))
+      val candB = docs.filter(col("doc_id") % 10 === 3)
+        .select((col("doc_id") + 3000000).as("doc_id"), col("source"),
+          col("text"))
+      val candC = docs.filter(col("doc_id") % 10 === 6)
+        .select((col("doc_id") + 4000000).as("doc_id"), col("source"),
+          reverse(col("text")).as("text"))
+      val cand0 = candA.unionAll(candB).unionAll(candC)
+      // pre-collapse exact-dup texts ONCE (min-id rep keeps its source
+      // row via semi-join) so batch boundaries can't split a group
+      val candReps = ops.Dedup.collapseExactText(
+        cand0.select("doc_id", "text"), "doc_id", "text").select("doc_id")
+      val cand = cand0.join(candReps, Seq("doc_id"), "left_semi")
+        .localCheckpoint(eager = true)
+      // id-ordered shards with forced mtimes (the s30 ordering contract;
+      // the budget stage is the only order-sensitive one)
+      val inDir = java.nio.file.Paths.get(tmp, "in")
+      java.nio.file.Files.createDirectories(inDir)
+      val bounds = Seq(
+        (col("doc_id") < 3000000L),
+        (col("doc_id") >= 3000000L && col("doc_id") < 4000000L),
+        (col("doc_id") >= 4000000L && col("doc_id") < 4000250L),
+        (col("doc_id") >= 4000250L))
+      bounds.zipWithIndex.foreach { case (p, i) =>
+        val shardTmp = s"$tmp/shard$i"
+        cand.filter(p).coalesce(1).write.parquet(shardTmp)
+        val part = new java.io.File(shardTmp).listFiles()
+          .filter(_.getName.endsWith(".parquet")).head
+        val dst = inDir.resolve(f"shard-$i%02d.parquet")
+        java.nio.file.Files.move(part.toPath, dst)
+        java.nio.file.Files.setLastModifiedTime(dst,
+          java.nio.file.attribute.FileTime.fromMillis(
+            1700000000000L + i * 60000L))
+      }
+      // the three FROZEN indexes
+      val nd0 = ops.Dedup.nearDupIndex(evens, "doc_id", "text",
+        k = 12, bands = 6, shingleSize = 3)
+      val ndIdx = nd0.copy(
+        fingerprints = nd0.fingerprints.localCheckpoint(eager = false),
+        bands = nd0.bands.localCheckpoint(eager = false),
+        hashes = nd0.hashes.localCheckpoint(eager = false))
+      val ctIdx = ops.CorpusOps.benchmarkFingerprints(odds, "doc_id", "text")
+        .localCheckpoint(eager = false)
+      val budgets = (0 until 20).map(k => (s"src$k", 60L + 29L * k))
+        .toDF("source", "budget").localCheckpoint(eager = true)
+      var seen = Seq.empty[(String, Long)].toDF("source", "seen_tokens")
+        .localCheckpoint(eager = true)
+      var admitted = cand.limit(0)
+        .select(col("doc_id"), col("source"), lit(0L).as("n_tokens"))
+      val inSchema = s.read.parquet(inDir.toString).schema
+      withNarrowState(s) {
+        val q = s.readStream
+          .schema(inSchema)
+          .option("maxFilesPerTrigger", "1")
+          .parquet(inDir.toString)
+          .writeStream
+          .foreachBatch { (batch: DataFrame, _: Long) =>
+            val nd = ops.Dedup.nearDupFilter(ndIdx,
+                batch.select("doc_id", "text"), "doc_id", "text", tau = 0.5)
+              .select("doc_id")
+            val s1 = batch.join(nd, Seq("doc_id"), "left_semi")
+            val ct = ops.CorpusOps.contaminationFilter(ctIdx,
+                s1.select("doc_id", "text"), "doc_id", "text")
+              .select("doc_id")
+            val s2 = s1.join(ct, Seq("doc_id"), "left_semi")
+            val (adm, ns) = ops.CorpusOps.budgetedAdmitBatch(seen, s2,
+              "doc_id", "text", "source", budgets)
+            admitted = admitted.unionAll(adm)
+              .localCheckpoint(eager = true) // sever the micro-batch source
+            seen = ns.localCheckpoint(eager = true)
+            ()
+          }
+          .option("checkpointLocation", s"$tmp/chk")
+          .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+          .start()
+        q.awaitTermination()
+      }
+      admitted.orderBy("doc_id")
     })
   )
 
@@ -8888,6 +8987,54 @@ object SparkEntry {
         |UNION ALL SELECT doc_id + 4000000, reverse(text)
         |  FROM documents WHERE doc_id % 10 = 5""".stripMargin,
       k = 12, bands = 6, shingleSize = 3, tau = 0.5, maxBucket = 1000),
+
+    // the three-stage front door replayed whole-set: near-dup admission
+    // (s25's oracle as a nested-WITH subquery), contamination filter
+    // over the survivors, then the plain-window budget prefix — CTE
+    // scoping is lexical, so the nested oracle sees the outer cand0
+    "s32_front_door_pipeline" -> {
+      val candSql =
+        """SELECT doc_id + 2000000 AS doc_id, source, text FROM documents
+          |  WHERE doc_id % 10 = 2
+          |UNION ALL
+          |SELECT doc_id + 3000000, source, text FROM documents
+          |  WHERE doc_id % 10 = 3
+          |UNION ALL
+          |SELECT doc_id + 4000000, source, reverse(text) FROM documents
+          |  WHERE doc_id % 10 = 6""".stripMargin
+      val ndSql = OracleSql.nearDupIncremental(
+        "SELECT doc_id, text FROM documents WHERE doc_id % 2 = 0",
+        "SELECT doc_id, text FROM cand0",
+        k = 12, bands = 6, shingleSize = 3, tau = 0.5, maxBucket = 1000)
+      val budgetVals = (0 until 20).map(k => s"('src$k', ${60L + 29L * k})")
+        .mkString(", ")
+      s"""WITH cand0 AS ($candSql),
+         |nd AS (SELECT doc_id FROM ($ndSql)),
+         |surv1 AS (SELECT c.* FROM cand0 c JOIN nd USING (doc_id)),
+         |cfps AS (${OracleSql.winnow("SELECT doc_id, text FROM surv1", 5, 4)}),
+         |bfps AS (SELECT DISTINCT fp FROM (${OracleSql.winnow(
+             "SELECT doc_id, text FROM documents WHERE doc_id % 2 = 1", 5, 4)})),
+         |ct AS (
+         |  SELECT c.doc_id FROM cfps c LEFT JOIN bfps b ON c.fp = b.fp
+         |  GROUP BY 1
+         |  HAVING CAST(SUM(CASE WHEN b.fp IS NULL THEN 0 ELSE 1 END) AS DOUBLE)
+         |    / COUNT(*) < 0.5),
+         |surv2 AS (SELECT s1.* FROM surv1 s1 JOIN ct USING (doc_id)),
+         |d AS (
+         |  SELECT doc_id, source,
+         |    CAST(CASE WHEN length(trim(text)) = 0 THEN 0
+         |         ELSE len(${OracleSql.toks("text")}) END AS BIGINT) AS n_tokens
+         |  FROM surv2),
+         |b(source, budget) AS (VALUES $budgetVals),
+         |c2 AS (
+         |  SELECT d.doc_id, d.source, d.n_tokens, b.budget,
+         |    COALESCE(SUM(n_tokens) OVER (PARTITION BY d.source
+         |      ORDER BY doc_id
+         |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS cb
+         |  FROM d JOIN b USING (source))
+         |SELECT doc_id, source, n_tokens FROM c2 WHERE cb < budget
+         |ORDER BY doc_id""".stripMargin
+    },
 
     // the streaming admission against the FROZEN benchmark fingerprints
     // equals the whole-set filter — d22's overlap algebra with the
