@@ -448,7 +448,56 @@ object Soak {
       }
     }
 
-    val allResults = results ++ layoutResults :+ multiwriterResult
+    // ---- INGEST FRONT DOOR at 10× (s32's composition, soak-sized):
+    // the three admission filters — near-dup vs the frozen corpus LSH
+    // index, contamination vs the frozen benchmark fingerprints, token
+    // budgets — run over a blown-up candidate feed with the indexes
+    // built OUTSIDE the timer (the frozen-index posture every micro-
+    // batch enjoys). The measure is the admission cost per candidate
+    // volume: the per-batch path IS these operators.
+    val frontDoorResult: (String, Double, Double, Long) = {
+      import spark.implicits._
+      val corpus = docsN.localCheckpoint(eager = true)
+      val bench = corpus.filter(col("doc_id") % 2 === 1)
+      val nd0 = ops.Dedup.nearDupIndex(
+        corpus.filter(col("doc_id") % 2 === 0), "doc_id", "text",
+        k = 12, bands = 6, shingleSize = 3)
+      val ndIdx = nd0.copy(
+        fingerprints = nd0.fingerprints.localCheckpoint(eager = true),
+        bands = nd0.bands.localCheckpoint(eager = true),
+        hashes = nd0.hashes.localCheckpoint(eager = true))
+      val ctIdx = ops.CorpusOps
+        .benchmarkFingerprints(bench, "doc_id", "text")
+        .localCheckpoint(eager = true)
+      val budgets = (0 until 20).map(k => (s"src$k", 5000L + 977L * k))
+        .toDF("source", "budget")
+      val cand = corpus.filter(col("doc_id") % 10 === 2)
+        .select((col("doc_id") + 900000000L).as("doc_id"), col("text"))
+        .unionAll(bench.filter(col("doc_id") % 10 === 3)
+          .select((col("doc_id") + 910000000L).as("doc_id"), col("text")))
+        .unionAll(corpus.filter(col("doc_id") % 10 === 6)
+          .select((col("doc_id") + 920000000L).as("doc_id"),
+            reverse(col("text")).as("text")))
+        .withColumn("source",
+          concat(lit("src"), pmod(col("doc_id"), lit(20)).cast("string")))
+        .localCheckpoint(eager = true)
+      quiesce()
+      measure("front_door_admission") {
+        val nd = ops.Dedup.nearDupFilter(ndIdx,
+            cand.select("doc_id", "text"), "doc_id", "text", tau = 0.5)
+          .select("doc_id")
+        val s1 = cand.join(nd, Seq("doc_id"), "left_semi")
+        val ct = ops.CorpusOps.contaminationFilter(ctIdx,
+            s1.select("doc_id", "text"), "doc_id", "text")
+          .select("doc_id")
+        val s2 = s1.join(ct, Seq("doc_id"), "left_semi")
+        ops.CorpusOps.budgetedMix(s2, "doc_id", "text", "source",
+          budgets).count()
+      }
+    }
+
+    val allResults =
+      results ++ layoutResults :+ multiwriterResult :+ frontDoorResult
 
     val auditJson = audits.toSeq.sortBy(_._1).map { case (n, (b, mx, p)) =>
       s""""$n": {"dropped_buckets": $b, "max_bucket_sz": $mx, "dropped_candidate_pairs": $p}"""
