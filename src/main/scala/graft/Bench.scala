@@ -116,8 +116,12 @@ object Bench {
     // once as bare JSON — so whichever convention the driver scans for,
     // a complete parseable object sits inside the tail. The per-query
     // map lives in bench_results.json (written below, committed).
+    // Locale.ROOT: the default-locale f"%.3f" renders decimal COMMAS on
+    // e.g. de_DE JVMs, which would make this line invalid JSON —
+    // defeating its entire purpose
     val top = results.filter(_._2 >= 0).sortBy(-_._2).take(25)
-      .map { case (k, v) => "\"" + k + "\":" + f"$v%.3f" }
+      .map { case (k, v) => "\"" + k + "\":" +
+        String.format(java.util.Locale.ROOT, "%.3f", Double.box(v)) }
       .mkString("{", ",", "}")
     val compact =
       s"""{"metric":"total","value":$total,"unit":"sec","queries":$top,"n_queries":${results.size},"reps":$reps,"failed":$failed,"sf":"$sfDir","note":"queries holds top-25 by time; full map in bench_results.json"}"""

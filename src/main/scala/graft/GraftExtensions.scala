@@ -53,6 +53,16 @@ object GraftExtensions {
       s"$fn expects a string literal parameter, got $other")
   }
 
+  /** Arity guard for the table-valued builders: a surplus argument must
+    * not be silently ignored (a user writing `graft_stats(dir, 'k',
+    * 'v')` would otherwise get a manifest that never tracked 'v') and a
+    * missing one must name the function and its signature instead of
+    * surfacing as a bare IndexOutOfBoundsException. */
+  private def expectArgs(fn: String, sig: String, args: Seq[Expression],
+      n: Int): Unit =
+    require(args.length == n,
+      s"$fn expects exactly $n argument(s) — $fn($sig) — got ${args.length}")
+
   /** name → expression builder, shared by both registration paths. */
   val builders: Seq[(String, Seq[Expression] => Expression)] = Seq(
     "normalize_text" -> (args =>
@@ -96,18 +106,21 @@ object GraftExtensions {
     def active = SparkSession.active
     Seq(
       "graft_snapshot" -> ((args: Seq[Expression]) => {
+        expectArgs("graft_snapshot", "dataDir, manifestDir", args, 2)
         val s = active
         plan(graft.ops.Layout.snapshotRead(s,
           strLit(args(0), "graft_snapshot"),
           s.read.parquet(strLit(args(1), "graft_snapshot"))))
       }),
       "graft_read_dv" -> ((args: Seq[Expression]) => {
+        expectArgs("graft_read_dv", "dataDir, dvDir", args, 2)
         val s = active
         plan(graft.ops.Layout.readWithDeletes(s,
           strLit(args(0), "graft_read_dv"),
           s.read.parquet(strLit(args(1), "graft_read_dv"))))
       }),
       "graft_snapshot_dv" -> ((args: Seq[Expression]) => {
+        expectArgs("graft_snapshot_dv", "dataDir, manifestDir, dvDir", args, 3)
         val s = active
         plan(graft.ops.Layout.snapshotReadWithDeletes(s,
           strLit(args(0), "graft_snapshot_dv"),
@@ -115,6 +128,7 @@ object GraftExtensions {
           s.read.parquet(strLit(args(2), "graft_snapshot_dv"))))
       }),
       "graft_pruned" -> ((args: Seq[Expression]) => {
+        expectArgs("graft_pruned", "dataDir, manifestDir, col, lo, hi", args, 5)
         val s = active
         plan(graft.ops.Layout.prunedRead(s,
           strLit(args(0), "graft_pruned"),
@@ -124,6 +138,7 @@ object GraftExtensions {
           org.apache.spark.sql.graftbridge.ColumnBridge.column(args(4))))
       }),
       "graft_bloom_read" -> ((args: Seq[Expression]) => {
+        expectArgs("graft_bloom_read", "dataDir, indexDir, col, value", args, 4)
         val s = active
         plan(graft.ops.Layout.bloomRead(s,
           strLit(args(0), "graft_bloom_read"),
@@ -134,6 +149,7 @@ object GraftExtensions {
       // the WRITE-side metadata op: `CREATE TABLE m AS SELECT * FROM
       // graft_stats(...)` persists a manifest from pure SQL
       "graft_stats" -> ((args: Seq[Expression]) => {
+        expectArgs("graft_stats", "dataDir, col", args, 2)
         val s = active
         plan(graft.ops.Layout.statsManifest(s,
           strLit(args(0), "graft_stats"),

@@ -499,6 +499,16 @@ object Soak {
     val allResults =
       results ++ layoutResults :+ multiwriterResult :+ frontDoorResult
 
+    // the soak fixtures hold 10k+ small parquet files — don't litter
+    // /tmp across runs (same posture as Bench's warehouse cleanup)
+    def rmTree(f: java.io.File): Unit = {
+      Option(f.listFiles()).foreach(_.foreach(rmTree)); f.delete()
+    }
+    Option(new java.io.File(System.getProperty("java.io.tmpdir"))
+        .listFiles()).foreach(_.foreach { f =>
+      if (f.getName.startsWith("graft-soak-")) rmTree(f)
+    })
+
     val auditJson = audits.toSeq.sortBy(_._1).map { case (n, (b, mx, p)) =>
       s""""$n": {"dropped_buckets": $b, "max_bucket_sz": $mx, "dropped_candidate_pairs": $p}"""
     }.mkString("{", ", ", "}")

@@ -69,10 +69,13 @@ object Layout {
       spark.sparkContext.hadoopConfiguration)
     val p = new org.apache.hadoop.fs.Path(outDir)
     if (fs.exists(p)) {
-      val stale = fs.listStatus(p).filter(_.isFile).map(_.getPath)
+      // directories count as stale too: partitioned leftovers
+      // (outDir/date=…/part-*.parquet) would be swept up by partition
+      // discovery on the next read just like top-level files
+      val stale = fs.listStatus(p).map(_.getPath)
         .filterNot(f => f.getName.startsWith("_") || f.getName.startsWith("."))
       require(stale.isEmpty,
-        s"$op: outDir $outDir already holds ${stale.length} data file(s) " +
+        s"$op: outDir $outDir already holds ${stale.length} entr(ies) " +
           s"(e.g. ${stale.headOption.map(_.getName).getOrElse("")}); this " +
           "op appends — rerunning into a used directory would double-count " +
           "rows. Target an empty or nonexistent directory.")
@@ -213,11 +216,21 @@ object Layout {
     // eager checkpoint: the zero-row diff below lists the stats' file
     // column, and every consumer probes the manifest repeatedly — the
     // aggregate is O(#files) rows, so pinning it is planner-scale
-    val stats = spark.read.parquet(dir)
+    val scan = spark.read.parquet(dir)
+    val stats = scan
       .groupBy(col("_metadata.file_path").as("file"))
       .agg(statsAggs(cols).head, statsAggs(cols).tail: _*)
       .localCheckpoint(eager = true)
-    withZeroRowEntries(stats, newDataFiles(spark, dir, stats).toSeq)
+    // zero-row candidates come from the SCAN'S OWN file-index snapshot
+    // (inputFiles), never a second directory listing: a file appended
+    // while the aggregate runs must stay ABSENT (a later extendManifest
+    // picks it up with real stats), not be recorded as a zero-row entry
+    // that pruned reads would skip forever
+    val statsFiles = stats.select("file").collect()
+      .map(r => uriPath(r.getString(0))).toSet
+    val zeroRow = scan.inputFiles
+      .filterNot(p => statsFiles.contains(uriPath(p)))
+    withZeroRowEntries(stats, zeroRow.toSeq)
   }
 
   /** The data-group aggregate cannot emit a row for a ZERO-ROW parquet
@@ -323,6 +336,18 @@ object Layout {
       s"manifest schema mismatch: persisted manifest lacks column(s) " +
         s"${incompatible.map(_.name).mkString(", ")} — it was built with " +
         "different stats columns than this extend call requests")
+    // the other direction must ALSO fail loudly: an extend call with a
+    // NARROWER cols set would otherwise silently project away the
+    // manifest's existing per-column statistics (the final select drops
+    // anything stats doesn't carry) — destroying data a later
+    // prunedRead depends on instead of erroring
+    val statsCols = stats.columns.toSet
+    val dropped = manifest.columns.filterNot(statsCols.contains)
+    require(dropped.isEmpty,
+      s"manifest schema mismatch: extend would DROP persisted stats " +
+        s"column(s) ${dropped.mkString(", ")} — this extend call requests " +
+        "fewer stats columns than the manifest carries; pass the original " +
+        "column set (or rebuild the manifest) instead")
     upgradable.foldLeft(manifest) { (d, f) =>
       d.withColumn(f.name, lit(null).cast(f.dataType))
     }.select(stats.columns.map(col).toIndexedSeq: _*)

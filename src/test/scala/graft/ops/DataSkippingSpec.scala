@@ -201,6 +201,19 @@ class DataSkippingSpec extends AnyFunSuite with SparkTestBase {
           .withColumnRenamed("max_sv", "max_other"), Seq("sv"))
     }
     assert(e.getMessage.contains("min_sv"))
+    // the NARROWING direction must also fail loudly: extending a
+    // two-column manifest with one column would silently project away
+    // the second column's stats — data a later prunedRead depends on
+    val wide = Layout.statsManifest(spark, dir, Seq("sv", "k"))
+      .localCheckpoint(eager = true)
+    spark.range(120, 150)
+      .select(col("id").as("k"),
+        when(col("id") % 3 === 0, col("id") * 2).as("sv"))
+      .write.mode("append").parquet(dir)
+    val e2 = intercept[IllegalArgumentException] {
+      Layout.extendManifest(spark, dir, wide, Seq("sv"))
+    }
+    assert(e2.getMessage.contains("DROP") && e2.getMessage.contains("min_k"))
   }
 
   test("vacuumOrphans deletes only unreferenced data files") {

@@ -144,6 +144,14 @@ class DeletionVectorSpec extends AnyFunSuite with SparkTestBase {
     new java.io.File(empty).mkdirs()
     assert(Layout.readWithDeletes(spark, empty,
       Layout.compactDeletes(spark, dir, empty, dv, 0.3)).count() === 100L)
+    // stale data hiding in a SUBDIRECTORY (partitioned leftovers) must
+    // trip the guard too — partition discovery would sweep it up
+    val nested = dir + "-nested"
+    new java.io.File(nested, "date=2026-08-01").mkdirs()
+    val e2 = intercept[IllegalArgumentException] {
+      Layout.compactDeletes(spark, dir, nested, dv, 0.3)
+    }
+    assert(e2.getMessage.contains(nested))
   }
 
   test("DV upsert: pinned DV + append updates rows without touching files") {

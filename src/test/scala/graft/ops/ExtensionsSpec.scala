@@ -139,6 +139,29 @@ class TextFunctionsSpec extends AnyFunSuite with SparkTestBase {
 class GraftExtensionsSpec extends AnyFunSuite with SparkTestBase {
   import TextFunctions.tokens
 
+  private def deepMsg(t: Throwable): String =
+    Iterator.iterate(t)(_.getCause).takeWhile(_ != null)
+      .map(e => Option(e.getMessage).getOrElse("")).mkString(" | ")
+
+  test("table functions validate arity with a named error") {
+    graft.GraftExtensions.register(spark)
+    // missing argument: must name the function + signature, never a
+    // bare IndexOutOfBoundsException
+    val e1 = intercept[Throwable] {
+      spark.sql("SELECT * FROM graft_stats('/nonexistent')").collect()
+    }
+    assert(deepMsg(e1).contains("graft_stats"), deepMsg(e1))
+    // surplus argument: must FAIL, not silently ignore the extra column
+    val e2 = intercept[Throwable] {
+      spark.sql("SELECT * FROM graft_stats('/a', 'k', 'v')").collect()
+    }
+    assert(deepMsg(e2).contains("graft_stats"), deepMsg(e2))
+    val e3 = intercept[Throwable] {
+      spark.sql("SELECT * FROM graft_snapshot('/a', '/b', '/c')").collect()
+    }
+    assert(deepMsg(e3).contains("graft_snapshot"), deepMsg(e3))
+  }
+
   test("SQL-registered kernels match the Column API results") {
     import spark.implicits._
     graft.GraftExtensions.register(spark)
