@@ -11,6 +11,19 @@ libraryDependencies ++= Seq(
 )
 Test / fork := true
 run / fork := true
+// Forked run output must reach stdout VERBATIM: the default forked
+// outputStrategy routes child stdout through sbt's logger, prefixing
+// every line with "[info] " — which is exactly what broke the driver's
+// JSON-line parse of the bench output in rounds 11–12 (r01's bare JSON
+// line predates fork := true). StdoutOutput passes it through untouched.
+run / outputStrategy := Some(StdoutOutput)
+// ... and drop the trailing "[success] Total time: …" footer so the
+// LAST stdout line of a `runMain graft.Bench` invocation is the bench
+// JSON itself, not an sbt status line a JSON parser chokes on.
+Global / showSuccess := false
+// showSuccess is consumed by sbt's command engine, not by a task —
+// lintUnused can't see that and would warn on every launch
+Global / excludeLintKeys += showSuccess
 // Spark 4.x on JDK 17 needs these when SparkSession is created outside
 // spark-submit (which normally injects them). Matches
 // org.apache.spark.launcher.JavaModuleOptions.defaultModuleOptions().

@@ -123,8 +123,12 @@ object Bench {
       .map { case (k, v) => "\"" + k + "\":" +
         String.format(java.util.Locale.ROOT, "%.3f", Double.box(v)) }
       .mkString("{", ",", "}")
+    // "top_queries", NOT "queries": the full jsonLine above already uses
+    // "queries" for the COMPLETE per-query map, and a parser that happens
+    // to grab this line instead must not silently receive different
+    // semantics under the same field name (ADVICE r12)
     val compact =
-      s"""{"metric":"total","value":$total,"unit":"sec","queries":$top,"n_queries":${results.size},"reps":$reps,"failed":$failed,"sf":"$sfDir","note":"queries holds top-25 by time; full map in bench_results.json"}"""
+      s"""{"metric":"total","value":$total,"unit":"sec","top_queries":$top,"n_queries":${results.size},"reps":$reps,"failed":$failed,"sf":"$sfDir","note":"top_queries holds top-25 by time; full per-query map in bench_results.json"}"""
     println(s"BENCH_JSON: $compact")
     println(compact)
     // the driver keeps only a short tail of stdout, which truncates the

@@ -24,6 +24,16 @@ object Soak {
       bytes.addAndGet(sc.stageInfo.taskMetrics.shuffleWriteMetrics.bytesWritten)
   }
 
+  // every fixture dir THIS run creates, so cleanup deletes exactly these
+  // and nothing else — a name-prefix sweep over /tmp would also delete a
+  // concurrently running soak's live fixtures mid-measure (ADVICE r12)
+  private val createdDirs = scala.collection.mutable.ArrayBuffer[java.io.File]()
+  private def soakTempDir(prefix: String): String = {
+    val d = java.nio.file.Files.createTempDirectory(prefix).toFile
+    createdDirs.synchronized { createdDirs += d }
+    d.toString
+  }
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
@@ -38,6 +48,9 @@ object Soak {
     spark.sparkContext.setLogLevel("WARN")
     val meter = new ShuffleMeter
     spark.sparkContext.addSparkListener(meter)
+    // fixture cleanup lives in the finally below so a FAILED run doesn't
+    // leak its 10k-file fixtures either (ADVICE r12)
+    try {
 
     val docs = spark.read.parquet(s"$sfDir/documents.parquet")
       .select("doc_id", "text")
@@ -274,8 +287,7 @@ object Soak {
         // documented rewrite threshold and compacts instead). The base
         // table is written once outside the timer; the measure pays the
         // predicate scan + the broadcast anti-join scan only.
-        val dvDir = java.nio.file.Files
-          .createTempDirectory("graft-soak-dv").toString
+        val dvDir = soakTempDir("graft-soak-dv")
         val li = spark.read.parquet(s"$sfDir/lineitem.parquet")
           .select("l_orderkey", "l_linenumber", "l_quantity")
         (0 until copies).map { i =>
@@ -368,8 +380,7 @@ object Soak {
     // path collect), not per-row, so 10^4 files of 100 rows exercises
     // exactly the dimension that scales.
     val layoutResults: Seq[(String, Double, Double, Long)] = {
-      val mfDir = java.nio.file.Files
-        .createTempDirectory("graft-soak-mf").toString
+      val mfDir = soakTempDir("graft-soak-mf")
       spark.range(0, 1000000L)
         .select(col("id").as("k"), (col("id") % 97).as("v"))
         .repartitionByRange(10000, col("k"))
@@ -408,8 +419,7 @@ object Soak {
     // lake job would pay; correctness of every intermediate pin is the
     // q105 gate's job, this entry proves the cycle holds at volume.
     val multiwriterResult: (String, Double, Double, Long) = {
-      val mwDir = java.nio.file.Files
-        .createTempDirectory("graft-soak-mw").toString
+      val mwDir = soakTempDir("graft-soak-mw")
       val li = spark.read.parquet(s"$sfDir/lineitem.parquet")
         .select("l_orderkey", "l_linenumber", "l_quantity")
       val liN = (0 until copies).map { i =>
@@ -499,16 +509,6 @@ object Soak {
     val allResults =
       results ++ layoutResults :+ multiwriterResult :+ frontDoorResult
 
-    // the soak fixtures hold 10k+ small parquet files — don't litter
-    // /tmp across runs (same posture as Bench's warehouse cleanup)
-    def rmTree(f: java.io.File): Unit = {
-      Option(f.listFiles()).foreach(_.foreach(rmTree)); f.delete()
-    }
-    Option(new java.io.File(System.getProperty("java.io.tmpdir"))
-        .listFiles()).foreach(_.foreach { f =>
-      if (f.getName.startsWith("graft-soak-")) rmTree(f)
-    })
-
     val auditJson = audits.toSeq.sortBy(_._1).map { case (n, (b, mx, p)) =>
       s""""$n": {"dropped_buckets": $b, "max_bucket_sz": $mx, "dropped_candidate_pairs": $p}"""
     }.mkString("{", ", ", "}")
@@ -522,6 +522,16 @@ object Soak {
       (json + "\n").getBytes("UTF-8"))
     catch { case e: Exception =>
       System.err.println(s"soak_results write failed: $e") }
-    spark.stop()
+
+    } finally {
+      // the soak fixtures hold 10k+ small parquet files — don't litter
+      // /tmp. Delete EXACTLY the dirs this run created (tracked by
+      // soakTempDir), success or failure; never sweep by name prefix.
+      def rmTree(f: java.io.File): Unit = {
+        Option(f.listFiles()).foreach(_.foreach(rmTree)); f.delete()
+      }
+      createdDirs.synchronized { createdDirs.foreach(rmTree) }
+      spark.stop()
+    }
   }
 }

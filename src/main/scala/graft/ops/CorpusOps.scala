@@ -800,6 +800,14 @@ object CorpusOps {
     * The corpus shuffles once (the bucket aggregate) + once for the
     * one-bucket-per-source exact pass.
     *
+    * PRECONDITION — `idCol` must be UNIQUE within each source: the
+    * greedy prefix is ordered by id alone, so two same-source rows
+    * sharing an id have no defined order and the admission of the
+    * budget-crossing document becomes engine-dependent (Spark and a
+    * SQL oracle may cumulate the tie in opposite orders). Same
+    * contract as [[budgetedAdmitBatch]], whose folded batches must
+    * replay this exact order.
+    *
     * @param budgets (source, budget) token budget per source
     * @return (doc_id, source, n_tokens) of admitted documents
     */
@@ -852,7 +860,11 @@ object CorpusOps {
     * reproduces the whole-set [[budgetedMix]] exactly (the s30 gate's
     * oracle IS d55's); out-of-order arrival changes which docs count
     * as "prior" — the caller owns the ordering contract, exactly as a
-    * log-ordered ingest does. State is O(#sources) rows and includes
+    * log-ordered ingest does. PRECONDITION — ids must be UNIQUE within
+    * each source (across ALL batches, not just within one): the
+    * within-batch rank orders by id alone, so a duplicated id leaves
+    * the budget-crossing admission engine-dependent (see
+    * [[budgetedMix]]). State is O(#sources) rows and includes
     * sources with no budget (they admit nothing but their arrival
     * still records — so granting a budget mid-stream behaves like the
     * batch recipe from that point).

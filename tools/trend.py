@@ -36,9 +36,23 @@ reg = [(r, q) for r, q in ratios if r > 1.5 * med and B[q] - A[q] > 0.5]
 print(f"\nqueries beyond 1.5x the median ratio and +0.5 s: {len(reg)}")
 for r, q in reg:
     print(f"  {r:5.2f}  {q:40s} {A[q]:7.2f} -> {B[q]:7.2f}")
+# a query recorded as -1 s in the latest run FAILED all its reps; one
+# that was positive before is a pass -> fail regression — the worst kind,
+# and the ratio filter above can't see it (B[q] > 0 drops it silently)
+broke = sorted(q for q in B if B[q] < 0 and A.get(q, -1) > 0)
+if broke:
+    print(f"\nPASS -> FAIL regressions ({len(broke)}):")
+    for q in broke:
+        print(f"  FAILED {q:40s} (was {A[q]:.2f} s)")
+still_broken = sorted(q for q in B if B[q] < 0 and q not in broke)
+if still_broken:
+    print(f"still failing (also failed last run or new): "
+          f"{', '.join(still_broken)}")
 new = sorted(q for q in B if q not in A)
 gone = sorted(q for q in A if q not in B)
 if new:
     print(f"\nnew queries: {', '.join(new)}")
 if gone:
     print(f"removed queries: {', '.join(gone)}")
+# nonzero exit on pass->fail so a scripted caller can't miss it
+sys.exit(1 if broke else 0)
