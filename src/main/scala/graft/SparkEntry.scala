@@ -3838,6 +3838,31 @@ object SparkEntry {
         .orderBy("doc_id")
     }),
 
+    // ---- mixture upsampling: the per-source EPOCH plan — budget div
+    // source-tokens full epochs (the "epochs elapsed" column of a
+    // published LLM data-mix table), remainder admitted via the d55
+    // greedy prefix for one extra epoch; exact replayable function of
+    // (corpus, budgets), no sampling noise -----------------------------
+    "d56_epoch_plan" -> ((s, dir) => {
+      import s.implicits._
+      val budgets = (0 until 20).map(k => (s"src$k", 700L + 600L * k))
+        .toDF("source", "budget")
+      ops.CorpusOps.epochPlan(t(s, dir, "documents"),
+          "doc_id", "text", "source", budgets, bucketSize = 64L)
+        .orderBy("doc_id")
+    }),
+
+    // ---- deterministic global shuffle into training shards: (shard,
+    // seq) positions from the engine-portable h64 — one shuffle, rows
+    // move once to their shard, and any engine replays the permutation
+    // from (salt, nShards) alone ---------------------------------------
+    "d57_shard_shuffle" -> ((s, dir) => {
+      ops.CorpusOps.shardShuffle(
+          t(s, dir, "documents").select("doc_id", "lang"),
+          "doc_id", nShards = 8)
+        .orderBy("shard", "seq")
+    }),
+
     // ---- pure-SQL surface: the codegen'd kernels exercised THROUGH the
     // registered SQL functions in one spark.sql text query — runtime
     // evidence that a SQL-only user gets hash-identical results ---------
@@ -4135,6 +4160,39 @@ object SparkEntry {
         |  MAX(max_l_orderkey) AS max_key,
         |  CAST(SUM(nulls_l_orderkey) AS BIGINT) AS n_nulls
         |FROM graft_stats('$tmp/t', 'l_orderkey')""".stripMargin)
+    }),
+
+    // ---- lake BRANCHES over the manifest substrate: commits are
+    // self-contained directories (Layout.commitAppend), a branch is the
+    // union of its commits' manifest rows, so dev and main diverge
+    // WITHOUT seeing each other's files, and merge is the fast-forward
+    // file-set union (Layout.mergeBranch) — conflict-free for
+    // append-only tables because files are immutable ------------------
+    "q107_branch" -> ((s, dir) => {
+      val tmp = gateScratch("q107")
+      val li = t(s, dir, "lineitem")
+        .select("l_orderkey", "l_returnflag", "l_quantity")
+      val sc = Seq("l_orderkey")
+      def commit(pred: org.apache.spark.sql.Column) =
+        ops.Layout.commitAppend(s, li.filter(pred)
+            .repartitionByRange(2, col("l_orderkey")), s"$tmp/t", sc)
+          .localCheckpoint(eager = true) // pin: manifests are branch state
+      val base = commit(col("l_orderkey") % 4 === 0)   // shared history
+      val cDev = commit(col("l_orderkey") % 4 === 1)   // dev diverges
+      val cMain = commit(col("l_orderkey") % 4 === 2)  // main diverges too
+      val dev = base.unionAll(cDev)
+      val main = base.unionAll(cMain)
+      val merged = ops.Layout.mergeBranch(main, dev)
+      def agg(m: DataFrame, v: String) =
+        ops.Layout.snapshotRead(s, s"$tmp/t", m)
+          .groupBy("l_returnflag")
+          .agg(count(lit(1)).as("n_rows"),
+            sum(col("l_quantity").cast("decimal(18,2)")).cast("double")
+              .as("sum_qty"))
+          .withColumn("branch", lit(v))
+      agg(main, "main").unionAll(agg(dev, "dev")).unionAll(agg(merged, "merged"))
+        .select("branch", "l_returnflag", "n_rows", "sum_qty")
+        .orderBy("branch", "l_returnflag")
     }),
 
     // ---- non-invertible agg-view maintenance under deletes: MIN/MAX
@@ -8514,6 +8572,50 @@ object SparkEntry {
     // the same arithmetic as the gate so they cannot drift
     "d55_budget_mix" -> budgetMixOracle,
 
+    "d56_epoch_plan" -> {
+      val vals = (0 until 20).map(k => s"('src$k', ${700L + 600L * k})")
+        .mkString(", ")
+      s"""WITH d AS (
+         |  SELECT doc_id, source,
+         |    CAST(CASE WHEN length(trim(text)) = 0 THEN 0
+         |         ELSE len(${OracleSql.toks("text")}) END AS BIGINT)
+         |      AS n_tokens
+         |  FROM documents),
+         |b(source, budget) AS (VALUES $vals),
+         |t AS (SELECT source, CAST(SUM(n_tokens) AS BIGINT) AS tt
+         |      FROM d GROUP BY 1),
+         |p AS (
+         |  SELECT t.source,
+         |    CASE WHEN tt > 0 THEN CAST(budget AS BIGINT) // tt
+         |         ELSE 0 END AS fe,
+         |    CAST(budget AS BIGINT) -
+         |      (CASE WHEN tt > 0 THEN CAST(budget AS BIGINT) // tt
+         |            ELSE 0 END) * tt AS rem
+         |  FROM t JOIN b USING (source)),
+         |c AS (
+         |  SELECT d.doc_id, d.source, d.n_tokens, p.fe, p.rem,
+         |    COALESCE(SUM(n_tokens) OVER (PARTITION BY d.source
+         |      ORDER BY doc_id
+         |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS cb
+         |  FROM d JOIN p USING (source))
+         |SELECT doc_id, source, n_tokens,
+         |  CAST(fe + (CASE WHEN cb < rem THEN 1 ELSE 0 END) AS BIGINT)
+         |    AS n_epochs
+         |FROM c
+         |WHERE fe + (CASE WHEN cb < rem THEN 1 ELSE 0 END) > 0
+         |ORDER BY doc_id""".stripMargin
+    },
+
+    "d57_shard_shuffle" -> {
+      val gh = OracleSql.h64("'graft-shuffle-' || CAST(doc_id AS VARCHAR)")
+      s"""WITH h AS (
+         |  SELECT doc_id, lang, $gh AS gh FROM documents)
+         |SELECT doc_id, lang, CAST(gh % 8 AS INT) AS shard,
+         |  CAST(ROW_NUMBER() OVER (PARTITION BY gh % 8
+         |    ORDER BY gh, doc_id) AS BIGINT) AS seq
+         |FROM h ORDER BY shard, seq""".stripMargin
+    },
+
     // the id-ordered streaming fold lands exactly on the batch greedy
     // prefix — d55's oracle verbatim
     "s30_stream_budget_admit" -> budgetMixOracle,
@@ -8677,6 +8779,24 @@ object SparkEntry {
         |  MAX(l_orderkey) AS max_key,
         |  CAST(0 AS BIGINT) AS n_nulls
         |FROM lineitem""".stripMargin,
+
+    // branch reads are predicate slices of the append-only table:
+    // main = base+main-commit, dev = base+dev-commit, merged = all three
+    "q107_branch" ->
+      """WITH li AS (
+        |  SELECT l_orderkey % 4 AS r, l_returnflag, l_quantity
+        |  FROM lineitem),
+        |s AS (
+        |  SELECT 'main' AS branch, l_returnflag, l_quantity
+        |  FROM li WHERE r IN (0, 2)
+        |  UNION ALL
+        |  SELECT 'dev', l_returnflag, l_quantity FROM li WHERE r IN (0, 1)
+        |  UNION ALL
+        |  SELECT 'merged', l_returnflag, l_quantity
+        |  FROM li WHERE r IN (0, 1, 2))
+        |SELECT branch, l_returnflag, COUNT(*) AS n_rows,
+        |  CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty
+        |FROM s GROUP BY 1, 2 ORDER BY branch, l_returnflag""".stripMargin,
 
     // the JSON → variant → typed-extract round trip is the identity on
     // the underlying values; missing paths are null

@@ -813,12 +813,22 @@ object CorpusOps {
     */
   def budgetedMix(df: DataFrame, idCol: String, textCol: String,
       sourceCol: String, budgets: DataFrame,
-      bucketSize: Long = 4096L): DataFrame = {
+      bucketSize: Long = 4096L): DataFrame =
+    budgetedMixCounted(
+      df.select(col(idCol).cast("long").as("doc_id"),
+        col(sourceCol).as("graft_src"),
+        tokenCount(col(textCol)).cast("long").as("n_tokens")),
+      budgets, bucketSize)
+
+  /** [[budgetedMix]] over a PRE-COUNTED `(doc_id, graft_src, n_tokens)`
+    * projection — the shared core, so [[epochPlan]] can reuse ONE
+    * tokenize pass for both its full-epoch arithmetic and the
+    * fractional-epoch prefix instead of re-tokenizing the corpus. */
+  private[graft] def budgetedMixCounted(counted: DataFrame,
+      budgets: DataFrame, bucketSize: Long): DataFrame = {
     require(bucketSize > 0, s"bucketSize must be positive, got $bucketSize")
     import org.apache.spark.sql.expressions.Window
-    val d = df.select(col(idCol).cast("long").as("doc_id"),
-        col(sourceCol).as("graft_src"),
-        tokenCount(col(textCol)).cast("long").as("n_tokens"))
+    val d = counted
       .withColumn("graft_b", floor(col("doc_id") / lit(bucketSize)))
       .localCheckpoint(eager = false) // phases 1 and 2 both read it
     val b = broadcast(budgets.select(col("source").as("graft_src"),
@@ -899,6 +909,94 @@ object CorpusOps {
         (coalesce(col("seen_tokens"), lit(0L)) +
           coalesce(col("graft_bt"), lit(0L))).as("seen_tokens"))
     (admitted, newSeen)
+  }
+
+  /** MIXTURE-UPSAMPLING EPOCH PLAN — the multi-epoch generalization of
+    * [[budgetedMix]]: when a source's token budget EXCEEDS its corpus
+    * (the small-but-high-quality source every published LLM mix
+    * upsamples — Wikipedia/books get >1 epoch in GPT-3 (Brown et al.
+    * 2020, Table 2.2 "epochs elapsed when training") and Gopher (Rae
+    * et al. 2021)), each document repeats `budget div source_tokens`
+    * full epochs, and the REMAINDER budget admits the same
+    * deterministic greedy id-prefix as [[budgetedMix]] for one extra
+    * epoch. So `n_epochs = full + (1 if in remainder prefix)`, sources
+    * under budget degenerate to the plain budget mix (full = 0), and
+    * the whole plan is an exact replayable function of (corpus,
+    * budgets) — no sampling noise between runs.
+    *
+    * Scale shape: per-source totals are an O(#sources) aggregate
+    * (broadcast back); the fractional prefix is the two-phase bucket
+    * selection of [[budgetedMix]]; the final epoch-count join shuffles
+    * (id, source, tokens) triples only — text never moves. Same
+    * unique-id-per-source PRECONDITION as [[budgetedMix]]; budgets
+    * must be non-negative.
+    *
+    * @return (doc_id, source, n_tokens, n_epochs) with n_epochs >= 1;
+    *         docs outside the plan (source unbudgeted, or past the
+    *         remainder line with full = 0) are absent
+    */
+  def epochPlan(df: DataFrame, idCol: String, textCol: String,
+      sourceCol: String, budgets: DataFrame,
+      bucketSize: Long = 4096L): DataFrame = {
+    val d = df.select(col(idCol).cast("long").as("doc_id"),
+        col(sourceCol).as("graft_src"),
+        tokenCount(col(textCol)).cast("long").as("n_tokens"))
+      .localCheckpoint(eager = false) // totals, prefix and join all read it
+    val b = budgets.select(col("source").as("graft_src"),
+      col("budget").cast("long").as("graft_budget"))
+    val plan = d.groupBy("graft_src").agg(sum("n_tokens").as("graft_tt"))
+      .join(b, Seq("graft_src"))
+      .withColumn("graft_full",
+        when(col("graft_tt") > 0, expr("graft_budget div graft_tt"))
+          .otherwise(lit(0L)))
+      .withColumn("graft_rem",
+        col("graft_budget") - col("graft_full") * col("graft_tt"))
+    val frac = budgetedMixCounted(d,
+        plan.select(col("graft_src").as("source"),
+          col("graft_rem").as("budget")), bucketSize)
+      .select(col("doc_id"), col("source").as("graft_src"),
+        lit(1L).as("graft_extra"))
+    d.join(broadcast(plan.select("graft_src", "graft_full")), Seq("graft_src"))
+      .join(frac, Seq("graft_src", "doc_id"), "left")
+      .withColumn("n_epochs",
+        col("graft_full") + coalesce(col("graft_extra"), lit(0L)))
+      .filter(col("n_epochs") > 0)
+      .select(col("doc_id"), col("graft_src").as("source"),
+        col("n_tokens"), col("n_epochs"))
+  }
+
+  /** DETERMINISTIC GLOBAL SHUFFLE into training shards — the write-side
+    * ordering pass every training run needs: each row gets a pseudo-
+    * random but fully REPLAYABLE position, as `(shard, seq)` where
+    * shard = h64(salt, id) mod nShards and seq ranks (h64, id) within
+    * the shard. Readers stream shard files in seq order and the
+    * concatenation is a uniform permutation of the corpus that any
+    * engine can reproduce from (salt, nShards) alone — the md5-derived
+    * h64 is the engine-portable hash the DuckDB oracle replays exactly.
+    *
+    * Scale shape: ONE shuffle, moving each row once to its shard —
+    * identical to the shard write itself, so the ordering is free at
+    * write time. The per-shard rank serializes a shard through one
+    * window reducer; shards are the parallelism unit, so pick nShards
+    * from the target shard SIZE (corpus_bytes / ~1 GB), which at 100 TB
+    * gives ~10^5 shards — far wider than any cluster. A skew-proof
+    * alternative global sort would shuffle twice (range partitioner
+    * sample + sort); mod-sharding a 60-bit hash is already balanced to
+    * O(1/sqrt(n/shards)) without the extra pass.
+    *
+    * @return df's columns + (shard INT, seq BIGINT starting at 1)
+    */
+  def shardShuffle(df: DataFrame, idCol: String, nShards: Int,
+      salt: String = "graft-shuffle"): DataFrame = {
+    require(nShards > 0, s"nShards must be positive, got $nShards")
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col("shard"))
+      .orderBy(col("graft_h"), col(idCol))
+    df.withColumn("graft_h",
+        h64(concat_ws("-", lit(salt), col(idCol).cast("string"))))
+      .withColumn("shard", pmod(col("graft_h"), lit(nShards.toLong)).cast("int"))
+      .withColumn("seq", row_number().over(w).cast("long"))
+      .drop("graft_h")
   }
 
   /** Learn a byte-pair-encoding merge table over the corpus vocabulary —

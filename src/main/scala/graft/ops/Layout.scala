@@ -421,6 +421,41 @@ object Layout {
     else spark.read.parquet(files.toIndexedSeq: _*)
   }
 
+  /** One append COMMIT: write `df` under its own commit directory inside
+    * `dir` and return the manifest rows for EXACTLY the files this
+    * commit produced. This is the write primitive BRANCHES are built
+    * from (the Iceberg branch/tag model, public docs: a branch is a
+    * named lineage of snapshots over a shared file store): a branch's
+    * state is the union of its commits' manifest rows, so two writers
+    * on different branches never race on a shared directory listing —
+    * each commit directory is written once, by one writer, and readers
+    * only ever see files their branch's manifest names. [[snapshotRead]]
+    * / [[prunedRead]] / [[readWithDeletes]] work unchanged on branch
+    * manifests (they read explicit file paths, never the listing).
+    *
+    * Scale: the commit write IS the data write (no extra pass); the
+    * returned manifest is the O(#files-in-commit) stats aggregate over
+    * just the new files, same contract as [[extendManifest]]'s
+    * O(new-data) refresh. */
+  def commitAppend(spark: org.apache.spark.sql.SparkSession, df: DataFrame,
+      dir: String, statsCols: Seq[String]): DataFrame = {
+    val cdir = s"$dir/commit-" +
+      java.util.UUID.randomUUID().toString.replace("-", "")
+    df.write.parquet(cdir)
+    statsManifest(spark, cdir, statsCols)
+  }
+
+  /** FAST-FORWARD MERGE of an append-only branch into main: main's
+    * manifest plus every branch file main does not already track. For
+    * append-only tables the fork base is main's subset of the branch,
+    * so `branch − main` (an anti-join on the file path, O(#files)
+    * planner-scale) is exactly the branch's own commits — no conflict
+    * is possible because neither side mutates files. Deletion vectors
+    * merge separately by DV union ([[readWithDeletes]] composes DVs by
+    * `unionAll.distinct`), mirroring how the DV gates compose waves. */
+  def mergeBranch(main: DataFrame, branch: DataFrame): DataFrame =
+    main.unionAll(branch.join(main.select("file"), Seq("file"), "left_anti"))
+
   /** Per-file BLOOM INDEX for point lookups on an UNCLUSTERED column —
     * the file-skipping case [[statsManifest]] cannot serve: min/max
     * ranges on a column uncorrelated with the layout cover everything,

@@ -395,6 +395,55 @@ object PropertySpec extends Properties("graft") {
       got == ref && run(1L) == got && run(1000L) == got
     }
 
+  property("epochPlan: full epochs + remainder prefix, bucket-size invariant") =
+    forAll(
+      Gen.listOfN(12, for {
+        id <- Gen.choose(0L, 40L)
+        src <- Gen.oneOf("a", "b")
+        n <- Gen.choose(0, 5)
+      } yield (id, src, Seq.fill(n)("w").mkString(" ")))
+        .map(_.distinctBy(_._1)).suchThat(_.nonEmpty),
+      Gen.choose(0L, 60L), Gen.choose(0L, 60L)) { (rows, budA, budB) =>
+      val df = rows.toDF("doc_id", "source", "text")
+      val budgets = Seq(("a", budA), ("b", budB)).toDF("source", "budget")
+      def run(bs: Long) = graft.ops.CorpusOps
+        .epochPlan(df, "doc_id", "text", "source", budgets, bs)
+        .collect()
+        .map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getLong(3)))
+        .toSet
+      def tok(t: String) = t.split(" ").count(_.nonEmpty).toLong
+      // reference: budget div total full epochs, remainder greedy prefix
+      val ref = rows.groupBy(_._2).flatMap { case (src, rs) =>
+        val bud = if (src == "a") budA else budB
+        val tt = rs.map(r => tok(r._3)).sum
+        val full = if (tt > 0) bud / tt else 0L
+        val rem = bud - full * tt
+        val sorted = rs.sortBy(_._1)
+        val cumBefore = sorted.scanLeft(0L)((acc, r) => acc + tok(r._3))
+        sorted.zip(cumBefore).collect {
+          case (r, cb) if full + (if (cb < rem) 1L else 0L) > 0 =>
+            (r._1, r._2, tok(r._3), full + (if (cb < rem) 1L else 0L))
+        }
+      }.toSet
+      val got = run(7L)
+      got == ref && run(1L) == got && run(1000L) == got
+    }
+
+  property("shardShuffle: deterministic, partition-invariant, dense seq") =
+    forAll(Gen.listOf(Gen.choose(0L, 500L)).map(_.distinct).suchThat(_.nonEmpty),
+      Gen.choose(1, 6)) { (ids, nShards) =>
+      val df = ids.toDF("doc_id")
+      def run(d: org.apache.spark.sql.DataFrame) =
+        graft.ops.CorpusOps.shardShuffle(d, "doc_id", nShards)
+          .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2))).toSet
+      val a = run(df)
+      a == run(df.repartition(5)) &&            // input layout never matters
+      a.map(_._1) == ids.toSet &&               // a permutation, no loss
+      a.forall { case (_, sh, _) => sh >= 0 && sh < nShards } &&
+      a.groupBy(_._2).forall { case (_, rs) =>  // seq dense from 1 per shard
+        rs.map(_._3) == (1L to rs.size.toLong).toSet }
+    }
+
   property("vectorNearDupFilter: admission invariant under any batch split") =
     forAll(
       Gen.listOfN(8, Gen.listOfN(4, Gen.choose(-5, 5).map(_.toDouble)))

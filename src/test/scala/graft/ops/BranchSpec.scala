@@ -1,0 +1,55 @@
+package graft.ops
+
+import graft.SparkTestBase
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Layout.commitAppend / mergeBranch: commits are self-contained file
+  * sets, branches (manifest unions) are isolated from each other, and
+  * merge is the idempotent fast-forward file-set union. */
+class BranchSpec extends AnyFunSuite with SparkTestBase {
+
+  import spark.implicits._
+
+  private def freshDir(tag: String): String =
+    java.nio.file.Files.createTempDirectory(s"graft-branch-$tag").toString
+
+  test("branch isolation, fast-forward merge, idempotence") {
+    val tmp = freshDir("t")
+    def commit(rows: Seq[(Long, String)]) =
+      Layout.commitAppend(spark, rows.toDF("k", "v"), tmp, Seq("k"))
+        .localCheckpoint(eager = true)
+    val base = commit(Seq((1L, "a"), (2L, "b")))
+    val cDev = commit(Seq((3L, "c")))
+    val cMain = commit(Seq((4L, "d")))
+    val dev = base.unionAll(cDev)
+    val main = base.unionAll(cMain)
+    def ks(m: org.apache.spark.sql.DataFrame): Set[Long] =
+      Layout.snapshotRead(spark, tmp, m)
+        .select("k").collect().map(_.getLong(0)).toSet
+    // divergent branches never see each other's commits
+    assert(ks(main) === Set(1L, 2L, 4L))
+    assert(ks(dev) === Set(1L, 2L, 3L))
+    val merged = Layout.mergeBranch(main, dev)
+    assert(ks(merged) === Set(1L, 2L, 3L, 4L))
+    // the shared base is deduplicated at the file level, not double-read
+    val files = merged.select("file").collect().map(_.getString(0))
+    assert(files.length === files.distinct.length)
+    // merging the same branch again is a no-op
+    assert(Layout.mergeBranch(merged, dev).count() === merged.count())
+  }
+
+  test("merged manifest serves pruned reads with exact commit stats") {
+    val tmp = freshDir("p")
+    val m1 = Layout.commitAppend(spark,
+        (0L until 100L).map(i => (i, i % 7)).toDF("k", "v"), tmp, Seq("k"))
+      .localCheckpoint(eager = true)
+    val m2 = Layout.commitAppend(spark,
+        (100L until 200L).map(i => (i, i % 7)).toDF("k", "v"), tmp, Seq("k"))
+      .localCheckpoint(eager = true)
+    val merged = Layout.mergeBranch(m1, m2)
+    val got = Layout.prunedRead(spark, tmp, merged, "k", lit(95L), lit(105L))
+      .select("k").collect().map(_.getLong(0)).toSet
+    assert(got === (95L to 105L).toSet)
+  }
+}
