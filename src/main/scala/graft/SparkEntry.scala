@@ -4865,6 +4865,60 @@ object SparkEntry {
       admitted.orderBy("doc_id")
     }),
 
+    // ---- streaming shard assignment: d57's write-side fold — each
+    // micro-batch's rows get their deterministic h64 shard and a dense
+    // per-shard append position offset by O(nShards) state; id-ordered
+    // arrival (mtime-ordered file shards) makes the total order
+    // (batch, h64, id), which the oracle replays ------------------------
+    "s33_stream_shard" -> ((s, dir) => {
+      import s.implicits._
+      val tmp = gateScratch("s33")
+      val docs = t(s, dir, "documents").select("doc_id", "lang")
+      val maxId = docs.agg(max("doc_id")).head.getLong(0)
+      val per = maxId / 4 + 1
+      val inDir = java.nio.file.Paths.get(tmp, "in")
+      java.nio.file.Files.createDirectories(inDir)
+      (0 until 4).foreach { i =>
+        val shardTmp = s"$tmp/shard$i"
+        docs.filter(col("doc_id") >= i * per && col("doc_id") < (i + 1) * per)
+          .coalesce(1).write.parquet(shardTmp)
+        val part = new java.io.File(shardTmp).listFiles()
+          .filter(_.getName.endsWith(".parquet")).head
+        val dst = inDir.resolve(f"shard-$i%02d.parquet")
+        java.nio.file.Files.move(part.toPath, dst)
+        java.nio.file.Files.setLastModifiedTime(dst,
+          java.nio.file.attribute.FileTime.fromMillis(
+            1700000000000L + i * 60000L))
+      }
+      var seen = Seq.empty[(Int, Long)].toDF("shard", "n_seen")
+        .localCheckpoint(eager = true)
+      var assigned = docs.limit(0)
+        .select(col("doc_id"), col("lang"),
+          lit(0).as("shard"), lit(0L).as("seq"))
+      val inSchema = s.read.parquet(inDir.toString).schema
+      withNarrowState(s) {
+        val q = s.readStream
+          .schema(inSchema)
+          .option("maxFilesPerTrigger", "1")
+          .parquet(inDir.toString)
+          .writeStream
+          .foreachBatch { (batch: DataFrame, _: Long) =>
+            val (asg, ns) = ops.CorpusOps.shardAssignBatch(seen,
+              batch, "doc_id", nShards = 8)
+            assigned = assigned.unionAll(
+                asg.select("doc_id", "lang", "shard", "seq"))
+              .localCheckpoint(eager = true) // sever the micro-batch source
+            seen = ns.localCheckpoint(eager = true)
+            ()
+          }
+          .option("checkpointLocation", s"$tmp/chk")
+          .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+          .start()
+        q.awaitTermination()
+      }
+      assigned.orderBy("shard", "seq")
+    }),
+
     // ---- streaming contamination guard at the ingest front door: the
     // d22 audit as an admission filter — candidates whose winnowed-
     // fingerprint overlap with the FROZEN benchmark set reaches 0.5 are
@@ -8613,6 +8667,19 @@ object SparkEntry {
          |SELECT doc_id, lang, CAST(gh % 8 AS INT) AS shard,
          |  CAST(ROW_NUMBER() OVER (PARTITION BY gh % 8
          |    ORDER BY gh, doc_id) AS BIGINT) AS seq
+         |FROM h ORDER BY shard, seq""".stripMargin
+    },
+
+    // the fold's total order under id-ordered arrival is (batch, h64,
+    // id); batch index = doc_id div the gate's id-range width
+    "s33_stream_shard" -> {
+      val gh = OracleSql.h64("'graft-shuffle-' || CAST(doc_id AS VARCHAR)")
+      s"""WITH mx AS (SELECT MAX(doc_id) // 4 + 1 AS per FROM documents),
+         |h AS (SELECT doc_id, lang, $gh AS gh FROM documents)
+         |SELECT doc_id, lang, CAST(gh % 8 AS INT) AS shard,
+         |  CAST(ROW_NUMBER() OVER (PARTITION BY gh % 8
+         |    ORDER BY doc_id // (SELECT per FROM mx), gh, doc_id)
+         |    AS BIGINT) AS seq
          |FROM h ORDER BY shard, seq""".stripMargin
     },
 

@@ -999,6 +999,46 @@ object CorpusOps {
       .drop("graft_h")
   }
 
+  /** One micro-batch of STREAMING shard assignment — [[shardShuffle]]'s
+    * write-side fold for a log-ordered ingest: each arriving row gets
+    * the same deterministic shard (h64 mod nShards) and a DENSE
+    * per-shard position `seq = seen(shard) + within-batch (h64, id)
+    * rank`. Positions therefore reflect arrival order across batches
+    * (offset fold, state O(nShards) rows) — exactly what an appending
+    * shard WRITER needs. The fold does NOT replay the batch op's global
+    * hash order (a late arrival can never be seated before an earlier
+    * row); within each batch the rank key matches [[shardShuffle]], so
+    * id-ordered batches give a batch-boundary-INSENSITIVE total order:
+    * (batch, h64, id).
+    *
+    * @param seen (shard, n_seen) per-shard row totals so far; start
+    *             from an empty DataFrame with that schema
+    * @return (batch columns + (shard, seq), updated seen)
+    */
+  def shardAssignBatch(seen: DataFrame, batch: DataFrame, idCol: String,
+      nShards: Int, salt: String = "graft-shuffle"): (DataFrame, DataFrame) = {
+    require(nShards > 0, s"nShards must be positive, got $nShards")
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col("shard"))
+      .orderBy(col("graft_h"), col(idCol))
+    val ranked = batch.withColumn("graft_h",
+        h64(concat_ws("-", lit(salt), col(idCol).cast("string"))))
+      .withColumn("shard", pmod(col("graft_h"), lit(nShards.toLong)).cast("int"))
+      .withColumn("graft_rk", row_number().over(w).cast("long"))
+      .localCheckpoint(eager = false) // assignment + state fold both read
+    val assigned = ranked
+      .join(broadcast(seen.select(col("shard"),
+        col("n_seen").as("graft_seen"))), Seq("shard"), "left")
+      .withColumn("seq", coalesce(col("graft_seen"), lit(0L)) + col("graft_rk"))
+      .drop("graft_h", "graft_rk", "graft_seen")
+    val totals = ranked.groupBy("shard").agg(count(lit(1)).as("graft_bn"))
+    val newSeen = seen.join(totals, Seq("shard"), "full_outer")
+      .select(col("shard"),
+        (coalesce(col("n_seen"), lit(0L)) +
+          coalesce(col("graft_bn"), lit(0L))).as("n_seen"))
+    (assigned, newSeen)
+  }
+
   /** Learn a byte-pair-encoding merge table over the corpus vocabulary —
     * the REAL iterative BPE loop (Sennrich, Haddow & Birch, ACL'16
     * "Neural Machine Translation of Rare Words with Subword Units",

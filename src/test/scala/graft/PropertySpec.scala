@@ -444,6 +444,30 @@ object PropertySpec extends Properties("graft") {
         rs.map(_._3) == (1L to rs.size.toLong).toSet }
     }
 
+  property("shardAssignBatch: arrival fold stays dense and shard-consistent") =
+    forAll(Gen.listOf(Gen.choose(0L, 300L)).map(_.distinct).suchThat(_.nonEmpty),
+      Gen.choose(1, 5), Gen.choose(1, 4)) { (ids, nShards, nBatches) =>
+      val groups = ids.sorted
+        .grouped(math.max(1, ids.size / nBatches + 1)).toSeq
+      var seen = Seq.empty[(Int, Long)].toDF("shard", "n_seen")
+        .localCheckpoint(eager = true)
+      var out = Seq.empty[(Long, Int, Long)]
+      groups.foreach { g =>
+        val (asg, ns) = graft.ops.CorpusOps.shardAssignBatch(seen,
+          g.toDF("doc_id"), "doc_id", nShards)
+        out ++= asg.select("doc_id", "shard", "seq").collect()
+          .map(r => (r.getLong(0), r.getInt(1), r.getLong(2)))
+        seen = ns.localCheckpoint(eager = true)
+      }
+      val batchShard = graft.ops.CorpusOps
+        .shardShuffle(ids.toDF("doc_id"), "doc_id", nShards)
+        .collect().map(r => (r.getLong(0), r.getInt(1))).toMap
+      out.map(_._1).toSet == ids.toSet &&                 // no loss, no dup
+      out.forall { case (id, sh, _) => batchShard(id) == sh } && // same shard
+      out.groupBy(_._2).forall { case (_, rs) =>          // dense per shard
+        rs.map(_._3).toSet == (1L to rs.size.toLong).toSet }
+    }
+
   property("vectorNearDupFilter: admission invariant under any batch split") =
     forAll(
       Gen.listOfN(8, Gen.listOfN(4, Gen.choose(-5, 5).map(_.toDouble)))
