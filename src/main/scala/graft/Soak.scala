@@ -506,8 +506,60 @@ object Soak {
       }
     }
 
+    // ---- round-13 write-path ops at the blown-up scale: the epoch
+    // plan must shuffle (id, src, tokens) triples only (hygiene-spec
+    // shape, here with wire-byte evidence); the shard shuffle's bytes
+    // SHOULD approximate the corpus size — rows move exactly once to
+    // their shard, which is the claim worth a number. The branch cycle
+    // is commit + commit + merge + snapshot read, all manifest-sized.
+    val shardEpochResults: Seq[(String, Double, Double, Long)] = {
+      import spark.implicits._
+      val src = docsN.withColumn("source",
+          concat(lit("src"), pmod(col("doc_id"), lit(20)).cast("string")))
+        .localCheckpoint(eager = true)
+      quiesce()
+      Seq(
+        measure("epoch_plan") {
+          val budgets = (0 until 20).map(k => (s"src$k", 50000L + 9777L * k))
+            .toDF("source", "budget")
+          ops.CorpusOps.epochPlan(src, "doc_id", "text", "source",
+            budgets).count()
+        },
+        measure("shard_shuffle") {
+          // consume seq: a bare count() lets column pruning DELETE the
+          // unused window (and with it the one shuffle this entry is
+          // here to weigh) — the filter forces every position to exist
+          ops.CorpusOps.shardShuffle(src, "doc_id", nShards = 64)
+            .filter(col("seq") >= 1).count()
+        },
+        {
+          val brDir = soakTempDir("graft-soak-br")
+          val li = spark.read.parquet(s"$sfDir/lineitem.parquet")
+            .select("l_orderkey", "l_quantity")
+          quiesce()
+          measure("branch_cycle") {
+            val base = ops.Layout.commitAppend(spark,
+                li.filter(col("l_orderkey") % 2 === 0), brDir,
+                Seq("l_orderkey"))
+              .localCheckpoint(eager = true)
+            val cDev = ops.Layout.commitAppend(spark,
+                li.filter(col("l_orderkey") % 4 === 1), brDir,
+                Seq("l_orderkey"))
+              .localCheckpoint(eager = true)
+            val cMain = ops.Layout.commitAppend(spark,
+                li.filter(col("l_orderkey") % 4 === 3), brDir,
+                Seq("l_orderkey"))
+              .localCheckpoint(eager = true)
+            val merged = ops.Layout.mergeBranch(
+              base.unionAll(cMain), base.unionAll(cDev))
+            ops.Layout.snapshotRead(spark, brDir, merged).count()
+          }
+        })
+    }
+
     val allResults =
-      results ++ layoutResults :+ multiwriterResult :+ frontDoorResult
+      results ++ layoutResults ++ shardEpochResults :+
+        multiwriterResult :+ frontDoorResult
 
     val auditJson = audits.toSeq.sortBy(_._1).map { case (n, (b, mx, p)) =>
       s""""$n": {"dropped_buckets": $b, "max_bucket_sz": $mx, "dropped_candidate_pairs": $p}"""

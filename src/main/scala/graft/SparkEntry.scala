@@ -66,6 +66,45 @@ object SparkEntry {
        |ORDER BY doc_id""".stripMargin
   }
 
+  /** Shared oracle CTE chain for the d56 epoch plan and d58's fold of
+    * it: `e` is the admitted (doc_id, source, n_tokens, n_epochs) set —
+    * full epochs = budget div source tokens, remainder admitted by the
+    * same greedy prefix as [[budgetMixOracle]]. Budgets come from the
+    * gates' own arithmetic so they cannot drift. */
+  private lazy val epochPlanCtes: String = {
+    val vals = (0 until 20).map(k => s"('src$k', ${700L + 600L * k})")
+      .mkString(", ")
+    s"""d AS (
+       |  SELECT doc_id, source,
+       |    CAST(CASE WHEN length(trim(text)) = 0 THEN 0
+       |         ELSE len(${OracleSql.toks("text")}) END AS BIGINT)
+       |      AS n_tokens
+       |  FROM documents),
+       |b(source, budget) AS (VALUES $vals),
+       |t AS (SELECT source, CAST(SUM(n_tokens) AS BIGINT) AS tt
+       |      FROM d GROUP BY 1),
+       |p AS (
+       |  SELECT t.source,
+       |    CASE WHEN tt > 0 THEN CAST(budget AS BIGINT) // tt
+       |         ELSE 0 END AS fe,
+       |    CAST(budget AS BIGINT) -
+       |      (CASE WHEN tt > 0 THEN CAST(budget AS BIGINT) // tt
+       |            ELSE 0 END) * tt AS rem
+       |  FROM t JOIN b USING (source)),
+       |c AS (
+       |  SELECT d.doc_id, d.source, d.n_tokens, p.fe, p.rem,
+       |    COALESCE(SUM(n_tokens) OVER (PARTITION BY d.source
+       |      ORDER BY doc_id
+       |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS cb
+       |  FROM d JOIN p USING (source)),
+       |e AS (
+       |  SELECT doc_id, source, n_tokens,
+       |    CAST(fe + (CASE WHEN cb < rem THEN 1 ELSE 0 END) AS BIGINT)
+       |      AS n_epochs
+       |  FROM c
+       |  WHERE fe + (CASE WHEN cb < rem THEN 1 ELSE 0 END) > 0)""".stripMargin
+  }
+
   /** Normalize the events `ts` column to TIMESTAMP across fixture
     * vintages. A TIMESTAMP(NANOS) fixture arrives as LongType (under
     * `nanosAsLong`) and is floor-divided to microseconds — the same
@@ -3863,6 +3902,28 @@ object SparkEntry {
         .orderBy("shard", "seq")
     }),
 
+    // ---- training-mix data card: per source — documents, raw tokens,
+    // effective tokens under the d56 epoch plan, and the source's share
+    // of the effective mix; the report every training run ships next to
+    // its shards. Share stays a global-window fold over the 20-row
+    // per-source aggregate — no driver collect --------------------------
+    "d58_mix_report" -> ((s, dir) => {
+      import s.implicits._
+      val budgets = (0 until 20).map(k => (s"src$k", 700L + 600L * k))
+        .toDF("source", "budget")
+      val per = ops.CorpusOps.epochPlan(t(s, dir, "documents"),
+          "doc_id", "text", "source", budgets, bucketSize = 64L)
+        .groupBy("source")
+        .agg(count(lit(1)).as("n_docs"),
+          sum("n_tokens").as("n_tokens"),
+          sum(col("n_tokens") * col("n_epochs")).as("eff_tokens"))
+      per.withColumn("share", col("eff_tokens").cast("double") /
+          sum("eff_tokens").over(
+            org.apache.spark.sql.expressions.Window.partitionBy())
+            .cast("double"))
+        .orderBy("source")
+    }),
+
     // ---- pure-SQL surface: the codegen'd kernels exercised THROUGH the
     // registered SQL functions in one spark.sql text query — runtime
     // evidence that a SQL-only user gets hash-identical results ---------
@@ -4193,6 +4254,35 @@ object SparkEntry {
       agg(main, "main").unionAll(agg(dev, "dev")).unionAll(agg(merged, "merged"))
         .select("branch", "l_returnflag", "n_rows", "sum_qty")
         .orderBy("branch", "l_returnflag")
+    }),
+
+    // ---- layout/partition-spec EVOLUTION: epoch 1 arrives clustered
+    // on k, epoch 2 on v (the Iceberg partition-evolution story — old
+    // files keep their old layout forever); ONE stats manifest carries
+    // min/max for BOTH columns, so a range probe on either dimension
+    // prunes the epoch laid out for it and still reads everything else
+    // correctly --------------------------------------------------------
+    "q108_partition_evolution" -> ((s, dir) => {
+      val tmp = gateScratch("q108")
+      val li = t(s, dir, "lineitem").select(col("l_orderkey").as("k"),
+        col("l_partkey").as("v"), col("l_quantity"))
+      li.filter(col("k") % 2 === 0).repartitionByRange(4, col("k"))
+        .write.parquet(s"$tmp/t")
+      li.filter(col("k") % 2 === 1).repartitionByRange(4, col("v"))
+        .write.mode("append").parquet(s"$tmp/t")
+      val m = ops.Layout.statsManifest(s, s"$tmp/t", Seq("k", "v"))
+      def agg(df: DataFrame, dim: String) = df
+        .agg(count(lit(1)).as("n_rows"),
+          sum(col("l_quantity").cast("decimal(18,2)")).cast("double")
+            .as("sum_qty"))
+        .withColumn("dim", lit(dim))
+      agg(ops.Layout.prunedRead(s, s"$tmp/t", m, "k", lit(100L), lit(2000L)),
+          "k")
+        .unionAll(agg(
+          ops.Layout.prunedRead(s, s"$tmp/t", m, "v", lit(50L), lit(700L)),
+          "v"))
+        .select("dim", "n_rows", "sum_qty")
+        .orderBy("dim")
     }),
 
     // ---- non-invertible agg-view maintenance under deletes: MIN/MAX
@@ -4917,6 +5007,75 @@ object SparkEntry {
         q.awaitTermination()
       }
       assigned.orderBy("shard", "seq")
+    }),
+
+    // ---- WRITE-AUDIT-PUBLISH over the branch substrate (the Iceberg
+    // WAP pattern, public docs): each streamed micro-batch commits to a
+    // STAGING branch manifest; nothing is visible on main until the
+    // audit (row-count reconciliation against the stream's own ledger)
+    // passes, then publish = one fast-forward mergeBranch. A failed
+    // audit would leave main untouched — immutable commit dirs make
+    // abandonment free -------------------------------------------------
+    "s34_stream_wap" -> ((s, dir) => {
+      import s.implicits._
+      val tmp = gateScratch("s34")
+      val docs = t(s, dir, "documents").select("doc_id", "lang", "n_chars")
+      // main starts with the base commit (doc_id % 5 == 0)
+      val main0 = ops.Layout.commitAppend(s,
+          docs.filter(col("doc_id") % 5 === 0), s"$tmp/t", Seq("doc_id"))
+        .localCheckpoint(eager = true)
+      // the stream delivers the REST as 4 mtime-ordered file shards
+      val rest = docs.filter(col("doc_id") % 5 =!= 0)
+      val maxId = docs.agg(max("doc_id")).head.getLong(0)
+      val per = maxId / 4 + 1
+      val inDir = java.nio.file.Paths.get(tmp, "in")
+      java.nio.file.Files.createDirectories(inDir)
+      (0 until 4).foreach { i =>
+        val shardTmp = s"$tmp/shard$i"
+        rest.filter(col("doc_id") >= i * per && col("doc_id") < (i + 1) * per)
+          .coalesce(1).write.parquet(shardTmp)
+        val part = new java.io.File(shardTmp).listFiles()
+          .filter(_.getName.endsWith(".parquet")).head
+        val dst = inDir.resolve(f"shard-$i%02d.parquet")
+        java.nio.file.Files.move(part.toPath, dst)
+        java.nio.file.Files.setLastModifiedTime(dst,
+          java.nio.file.attribute.FileTime.fromMillis(
+            1700000000000L + i * 60000L))
+      }
+      var staged: Option[DataFrame] = None
+      var ledger = 0L // the stream's own row count, audited against
+      val inSchema = s.read.parquet(inDir.toString).schema
+      withNarrowState(s) {
+        val q = s.readStream
+          .schema(inSchema)
+          .option("maxFilesPerTrigger", "1")
+          .parquet(inDir.toString)
+          .writeStream
+          .foreachBatch { (batch: DataFrame, _: Long) =>
+            val pinned = batch.localCheckpoint(eager = true) // one pass
+            ledger += pinned.count()
+            val c = ops.Layout.commitAppend(s, pinned, s"$tmp/t",
+                Seq("doc_id"))
+              .localCheckpoint(eager = true)
+            staged = Some(staged.fold(c)(_ unionAll c))
+            ()
+          }
+          .option("checkpointLocation", s"$tmp/chk")
+          .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+          .start()
+        q.awaitTermination()
+      }
+      val staging = staged.getOrElse(main0.limit(0))
+      // AUDIT: staged rows must reconcile with the stream's ledger
+      val stagedRows = ops.Layout.snapshotRead(s, s"$tmp/t", staging).count()
+      require(stagedRows == ledger,
+        s"WAP audit failed: staged $stagedRows != ledger $ledger — not publishing")
+      val published = ops.Layout.mergeBranch(main0, staging)
+      ops.Layout.snapshotRead(s, s"$tmp/t", published)
+        .groupBy("lang")
+        .agg(count(lit(1)).as("n_docs"),
+          sum("n_chars").as("sum_chars"))
+        .orderBy("lang")
     }),
 
     // ---- streaming contamination guard at the ingest front door: the
@@ -8626,39 +8785,25 @@ object SparkEntry {
     // the same arithmetic as the gate so they cannot drift
     "d55_budget_mix" -> budgetMixOracle,
 
-    "d56_epoch_plan" -> {
-      val vals = (0 until 20).map(k => s"('src$k', ${700L + 600L * k})")
-        .mkString(", ")
-      s"""WITH d AS (
-         |  SELECT doc_id, source,
-         |    CAST(CASE WHEN length(trim(text)) = 0 THEN 0
-         |         ELSE len(${OracleSql.toks("text")}) END AS BIGINT)
-         |      AS n_tokens
-         |  FROM documents),
-         |b(source, budget) AS (VALUES $vals),
-         |t AS (SELECT source, CAST(SUM(n_tokens) AS BIGINT) AS tt
-         |      FROM d GROUP BY 1),
-         |p AS (
-         |  SELECT t.source,
-         |    CASE WHEN tt > 0 THEN CAST(budget AS BIGINT) // tt
-         |         ELSE 0 END AS fe,
-         |    CAST(budget AS BIGINT) -
-         |      (CASE WHEN tt > 0 THEN CAST(budget AS BIGINT) // tt
-         |            ELSE 0 END) * tt AS rem
-         |  FROM t JOIN b USING (source)),
-         |c AS (
-         |  SELECT d.doc_id, d.source, d.n_tokens, p.fe, p.rem,
-         |    COALESCE(SUM(n_tokens) OVER (PARTITION BY d.source
-         |      ORDER BY doc_id
-         |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS cb
-         |  FROM d JOIN p USING (source))
-         |SELECT doc_id, source, n_tokens,
-         |  CAST(fe + (CASE WHEN cb < rem THEN 1 ELSE 0 END) AS BIGINT)
-         |    AS n_epochs
-         |FROM c
-         |WHERE fe + (CASE WHEN cb < rem THEN 1 ELSE 0 END) > 0
-         |ORDER BY doc_id""".stripMargin
-    },
+    "d56_epoch_plan" ->
+      s"""WITH $epochPlanCtes
+         |SELECT doc_id, source, n_tokens, n_epochs FROM e
+         |ORDER BY doc_id""".stripMargin,
+
+    // the data card: fold the epoch plan per source; share = effective
+    // tokens over the whole mix's effective tokens (exact longs < 2^53,
+    // so the double division is engine-identical)
+    "d58_mix_report" ->
+      s"""WITH $epochPlanCtes,
+         |per AS (
+         |  SELECT source, CAST(COUNT(*) AS BIGINT) AS n_docs,
+         |    CAST(SUM(n_tokens) AS BIGINT) AS n_tokens,
+         |    CAST(SUM(n_tokens * n_epochs) AS BIGINT) AS eff_tokens
+         |  FROM e GROUP BY 1)
+         |SELECT source, n_docs, n_tokens, eff_tokens,
+         |  CAST(eff_tokens AS DOUBLE) /
+         |    CAST((SELECT SUM(eff_tokens) FROM per) AS DOUBLE) AS share
+         |FROM per ORDER BY source""".stripMargin,
 
     "d57_shard_shuffle" -> {
       val gh = OracleSql.h64("'graft-shuffle-' || CAST(doc_id AS VARCHAR)")
@@ -8864,6 +9009,28 @@ object SparkEntry {
         |SELECT branch, l_returnflag, COUNT(*) AS n_rows,
         |  CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty
         |FROM s GROUP BY 1, 2 ORDER BY branch, l_returnflag""".stripMargin,
+
+    // pruning is lossless whichever dimension the probe rides: each
+    // result IS the plain range filter over the whole mixed-layout table
+    "q108_partition_evolution" ->
+      """WITH li AS (
+        |  SELECT l_orderkey AS k, l_partkey AS v, l_quantity FROM lineitem)
+        |SELECT dim, n_rows, sum_qty FROM (
+        |  SELECT 'k' AS dim, COUNT(*) AS n_rows,
+        |    CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty
+        |  FROM li WHERE k BETWEEN 100 AND 2000
+        |  UNION ALL
+        |  SELECT 'v', COUNT(*),
+        |    CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE)
+        |  FROM li WHERE v BETWEEN 50 AND 700)
+        |ORDER BY dim""".stripMargin,
+
+    // publish reunites base + streamed commits: main after WAP IS the
+    // whole documents table
+    "s34_stream_wap" ->
+      """SELECT lang, COUNT(*) AS n_docs,
+        |  CAST(SUM(n_chars) AS BIGINT) AS sum_chars
+        |FROM documents GROUP BY 1 ORDER BY 1""".stripMargin,
 
     // the JSON → variant → typed-extract round trip is the identity on
     // the underlying values; missing paths are null

@@ -88,6 +88,22 @@ class ShuffleHygieneSpec extends AnyFunSuite with SparkTestBase {
       s"unexpected string column(s) in a shuffle: $strings")
   }
 
+  test("epochPlan shuffles carry token counts and keys — never text") {
+    val src = docs.withColumn("source",
+      concat(lit("s"), pmod(col("doc_id"), lit(3)).cast("string")))
+    // s0 upsamples (budget >> corpus), s1 fractional, s2 tiny — all three
+    // epoch paths exercised through the plan under test
+    val budgets = Seq(("s0", 50000L), ("s1", 800L), ("s2", 200L))
+      .toDF("source", "budget")
+    val cols = shuffledColumns(graft.ops.CorpusOps.epochPlan(
+      src, "doc_id", "text", "source", budgets, bucketSize = 64L))
+    assert(cols.nonEmpty, "expected at least one exchange")
+    assert(!cols.exists(_.startsWith("text:")), s"text crossed a shuffle: $cols")
+    val strings = cols.filter(_.endsWith(":string")).map(_.split(':')(0))
+    assert(strings.subsetOf(Set("graft_src", "source")),
+      s"unexpected string column(s) in a shuffle: $strings")
+  }
+
   test("vectorNearDupFilter shuffles carry ids, buckets and vectors — no strings") {
     val corpus = (0L until 200L).map { i =>
       (i, Seq.tabulate(8)(d => ((i * 13 + d * 7) % 29) / 29.0))
