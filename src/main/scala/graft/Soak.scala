@@ -526,11 +526,15 @@ object Soak {
             budgets).count()
         },
         measure("shard_shuffle") {
-          // consume seq: a bare count() lets column pruning DELETE the
-          // unused window (and with it the one shuffle this entry is
-          // here to weigh) — the filter forces every position to exist
+          // consume seq AND the text: a bare count() lets column pruning
+          // delete the unused window (and with it the one shuffle this
+          // entry weighs), and without the text the shuffle carries only
+          // (hash, id) pairs — the REAL shard write moves each row once
+          // WITH its payload, so that is what gets weighed
           ops.CorpusOps.shardShuffle(src, "doc_id", nShards = 64)
-            .filter(col("seq") >= 1).count()
+            .filter(col("seq") >= 1)
+            .agg(count(lit(1)), sum(length(col("text"))))
+            .head.getLong(0)
         },
         {
           val brDir = soakTempDir("graft-soak-br")

@@ -39,6 +39,32 @@ class BranchSpec extends AnyFunSuite with SparkTestBase {
     assert(Layout.mergeBranch(merged, dev).count() === merged.count())
   }
 
+  test("branch-scoped deletes ride through a merge as DV union") {
+    val tmp = freshDir("dv")
+    val m1 = Layout.commitAppend(spark,
+        (0L until 50L).map(i => (i, i % 3)).toDF("k", "v"), tmp, Seq("k"))
+      .localCheckpoint(eager = true)
+    val m2 = Layout.commitAppend(spark,
+        (50L until 100L).map(i => (i, i % 3)).toDF("k", "v"), tmp, Seq("k"))
+      .localCheckpoint(eager = true)
+    // a dev-branch delete addresses ONLY its own commit's files — the
+    // commit dir is recoverable from any manifest row's file path
+    val devCommitDir = {
+      val f = m2.select("file").head.getString(0)
+      val p = if (f.startsWith("file:")) new java.net.URI(f).getPath else f
+      new java.io.File(p).getParent
+    }
+    val dv = Layout.deletionVectors(spark, devCommitDir, col("k") % 10 === 0)
+      .localCheckpoint(eager = true)
+    val merged = Layout.mergeBranch(m1, m2)
+    val got = Layout.snapshotReadWithDeletes(spark, tmp, merged, dv)
+      .select("k").collect().map(_.getLong(0)).toSet
+    // main's rows untouched; dev's k % 10 == 0 rows gone after merge
+    val want = (0L until 100L).toSet --
+      (50L until 100L).filter(_ % 10 == 0).toSet
+    assert(got === want)
+  }
+
   test("merged manifest serves pruned reads with exact commit stats") {
     val tmp = freshDir("p")
     val m1 = Layout.commitAppend(spark,
