@@ -635,6 +635,37 @@ object Layout {
     (orphan.length, keep.length)
   }
 
+  /** Branch-substrate GC — [[vacuumOrphans]] at COMMIT granularity:
+    * delete every `commit-*` directory none of whose files appear in a
+    * retained manifest. This is the cleanup half of write-audit-publish
+    * abandonment (the s34 pattern): a failed audit simply never merges
+    * the staging manifest, leaving whole commit directories unreferenced
+    * — this reclaims them. The commit is the atomic unit: a
+    * [[commitAppend]] manifest references every file the commit wrote,
+    * so a commit is either fully live or fully orphaned; any referenced
+    * file conservatively keeps its whole directory. Driver cost is the
+    * O(#files) planner-scale listing every manifest consumer pays.
+    * Safety is the manifest contract: [[snapshotRead]] of any RETAINED
+    * manifest is unaffected by construction. Returns (deleted, kept)
+    * commit-directory counts. */
+  def vacuumCommits(spark: org.apache.spark.sql.SparkSession, dir: String,
+      retained: Seq[DataFrame]): (Int, Int) = {
+    require(retained.nonEmpty,
+      "refusing to vacuum with no retained manifests — that would delete every commit")
+    val live = retained.flatMap(_.select("file").collect().map(r =>
+      uriPath(r.getString(0)))).toSet
+    val fs = graft.io.PathResolver.fsFor(dir,
+      spark.sparkContext.hadoopConfiguration)
+    val (keep, orphan) = fs.listStatus(new org.apache.hadoop.fs.Path(dir))
+      .filter(s => s.isDirectory && s.getPath.getName.startsWith("commit-"))
+      .partition { d =>
+        fs.listStatus(d.getPath).exists(f =>
+          live.contains(uriPath(f.getPath.toString)))
+      }
+    orphan.foreach(d => fs.delete(d.getPath, true))
+    (orphan.length, keep.length)
+  }
+
   /** DELETION VECTORS — row-level deletes WITHOUT rewriting files (the
     * Delta/Iceberg merge-on-read delete path): one scan evaluates the
     * delete predicate and records each hit as its immutable physical

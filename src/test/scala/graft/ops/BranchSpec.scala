@@ -65,6 +65,30 @@ class BranchSpec extends AnyFunSuite with SparkTestBase {
     assert(got === want)
   }
 
+  test("WAP abandonment: failed audit leaves main intact, vacuum reclaims") {
+    val tmp = freshDir("wap")
+    val main = Layout.commitAppend(spark,
+        (0L until 40L).map(i => (i, i % 3)).toDF("k", "v"), tmp, Seq("k"))
+      .localCheckpoint(eager = true)
+    // two staged commits whose audit "fails" — they are simply never merged
+    val s1 = Layout.commitAppend(spark,
+        (100L until 120L).map(i => (i, i % 3)).toDF("k", "v"), tmp, Seq("k"))
+      .localCheckpoint(eager = true)
+    Layout.commitAppend(spark,
+        (120L until 140L).map(i => (i, i % 3)).toDF("k", "v"), tmp, Seq("k"))
+      .localCheckpoint(eager = true)
+    // a still-retained staging manifest keeps its commit through GC
+    val (d1, k1) = Layout.vacuumCommits(spark, tmp, Seq(main, s1))
+    assert(d1 === 1 && k1 === 2)
+    // dropping s1's retention abandons its commit too
+    val (d2, k2) = Layout.vacuumCommits(spark, tmp, Seq(main))
+    assert(d2 === 1 && k2 === 1)
+    // main is untouched through the whole cycle
+    val got = Layout.snapshotRead(spark, tmp, main)
+      .select("k").collect().map(_.getLong(0)).toSet
+    assert(got === (0L until 40L).toSet)
+  }
+
   test("merged manifest serves pruned reads with exact commit stats") {
     val tmp = freshDir("p")
     val m1 = Layout.commitAppend(spark,
