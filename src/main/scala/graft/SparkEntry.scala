@@ -1324,6 +1324,36 @@ object SparkEntry {
       ops.Dedup.connectedComponents(pairs).orderBy("node")
     }),
 
+    // ---- split-LEAKAGE audit: near-dup clusters that STRADDLE the
+    // deterministic train/val/test split — eval contamination from
+    // WITHIN the corpus (d22/s31 only guard against the external
+    // benchmark set). The id-hash split scatters planted near-dups
+    // across splits, so any cluster with >1 distinct split is a leak;
+    // reporting per CLUSTER is what lets a pipeline re-seat whole
+    // clusters instead of dropping individual docs ----------------------
+    "d59_split_leakage" -> ((s, dir) => {
+      val docs = t(s, dir, "documents").select("doc_id", "text")
+      val p1 = docs.filter(col("doc_id") % 50 === 0)
+        .select((col("doc_id") + 1000000).as("doc_id"),
+          concat(col("text"), lit(" zzz extra suffix")).as("text"))
+      val p2 = docs.filter(col("doc_id") % 50 === 0)
+        .select((col("doc_id") + 2000000).as("doc_id"),
+          concat(col("text"), lit(" zzz more suffix")).as("text"))
+      val aug = docs.unionAll(p1).unionAll(p2)
+      val clusters = ops.Dedup.connectedComponents(
+        ops.Dedup.minhashLshPairs(aug, "doc_id", "text",
+          k = 12, bands = 6, shingleSize = 3, tau = 0.5))
+      val split = ops.CorpusOps.deterministicSplit(
+        aug.select("doc_id"), "doc_id")
+      clusters.join(split.select(col("doc_id").as("node"), col("split")),
+          Seq("node"))
+        .groupBy("cluster_rep")
+        .agg(countDistinct("split").as("n_splits"),
+          count(lit(1)).as("n_docs"))
+        .filter(col("n_splits") > 1)
+        .orderBy("cluster_rep")
+    }),
+
     // ---- corpus dedup end-game: exact-collapse → LSH pairs → connected
     // components → canonical survivors only (the composed pipeline a
     // training corpus actually ships through) ---------------------------
@@ -6149,6 +6179,43 @@ object SparkEntry {
          |  SELECT e.a, r.lab FROM edges e JOIN reach r ON r.node = e.b)
          |SELECT node, MIN(lab) AS cluster_rep FROM reach
          |GROUP BY node ORDER BY node""".stripMargin
+    },
+
+    // d9's cluster chain + the d28 split rule, folded per cluster; only
+    // straddling clusters survive the HAVING
+    "d59_split_leakage" -> {
+      val pairsSql = OracleSql.minhashLshPairs(
+        """SELECT doc_id, text FROM documents
+          |  UNION ALL
+          |  SELECT doc_id + 1000000 AS doc_id, text || ' zzz extra suffix' AS text
+          |  FROM documents WHERE doc_id % 50 = 0
+          |  UNION ALL
+          |  SELECT doc_id + 2000000 AS doc_id, text || ' zzz more suffix' AS text
+          |  FROM documents WHERE doc_id % 50 = 0""".stripMargin,
+        k = 12, bands = 6, shingleSize = 3, tau = 0.5, maxBucket = 1000)
+      val h = OracleSql.h64("'graft-split' || '-' || CAST(node AS VARCHAR)")
+      s"""WITH RECURSIVE pairs AS (
+         |$pairsSql
+         |),
+         |edges AS (
+         |  SELECT id1 AS a, id2 AS b FROM pairs
+         |  UNION
+         |  SELECT id2, id1 FROM pairs),
+         |reach(node, lab) AS (
+         |  SELECT a, a FROM (SELECT DISTINCT a FROM edges)
+         |  UNION
+         |  SELECT e.a, r.lab FROM edges e JOIN reach r ON r.node = e.b),
+         |cc AS (SELECT node, MIN(lab) AS cluster_rep FROM reach GROUP BY node),
+         |sp AS (SELECT node, CASE WHEN $h % 100 < 80 THEN 'train'
+         |                         WHEN $h % 100 < 90 THEN 'val'
+         |                         ELSE 'test' END AS split
+         |       FROM cc)
+         |SELECT cluster_rep,
+         |  CAST(COUNT(DISTINCT split) AS BIGINT) AS n_splits,
+         |  CAST(COUNT(*) AS BIGINT) AS n_docs
+         |FROM cc JOIN sp USING (node)
+         |GROUP BY 1 HAVING COUNT(DISTINCT split) > 1
+         |ORDER BY cluster_rep""".stripMargin
     },
 
     "q36_cdc_merge" ->
