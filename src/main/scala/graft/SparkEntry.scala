@@ -1354,6 +1354,40 @@ object SparkEntry {
         .orderBy("cluster_rep")
     }),
 
+    // ---- split RE-SEATING: the fix for d59's finding — every doc
+    // follows its cluster REPRESENTATIVE's split, so near-dup clusters
+    // become split-pure (no train/test straddle) while singletons keep
+    // their own assignment; deterministic, so the fixed split is as
+    // replayable as the original --------------------------------------
+    "d60_split_reseat" -> ((s, dir) => {
+      val docs = t(s, dir, "documents").select("doc_id", "text")
+      val p1 = docs.filter(col("doc_id") % 50 === 0)
+        .select((col("doc_id") + 1000000).as("doc_id"),
+          concat(col("text"), lit(" zzz extra suffix")).as("text"))
+      val p2 = docs.filter(col("doc_id") % 50 === 0)
+        .select((col("doc_id") + 2000000).as("doc_id"),
+          concat(col("text"), lit(" zzz more suffix")).as("text"))
+      val aug = docs.unionAll(p1).unionAll(p2)
+      val clusters = ops.Dedup.connectedComponents(
+        ops.Dedup.minhashLshPairs(aug, "doc_id", "text",
+          k = 12, bands = 6, shingleSize = 3, tau = 0.5))
+      val split = ops.CorpusOps.deterministicSplit(
+          aug.select("doc_id"), "doc_id")
+        .select("doc_id", "split")
+      val reps = split.select(col("doc_id").as("cluster_rep"),
+        col("split").as("rep_split"))
+      split
+        .join(clusters.withColumnRenamed("node", "doc_id"),
+          Seq("doc_id"), "left")
+        .join(reps, Seq("cluster_rep"), "left")
+        .select(col("doc_id"),
+          coalesce(col("rep_split"), col("split")).as("new_split"),
+          (coalesce(col("rep_split"), col("split")) =!= col("split"))
+            .as("reseated"))
+        .withColumnRenamed("new_split", "split")
+        .orderBy("doc_id")
+    }),
+
     // ---- corpus dedup end-game: exact-collapse → LSH pairs → connected
     // components → canonical survivors only (the composed pipeline a
     // training corpus actually ships through) ---------------------------
@@ -6216,6 +6250,49 @@ object SparkEntry {
          |FROM cc JOIN sp USING (node)
          |GROUP BY 1 HAVING COUNT(DISTINCT split) > 1
          |ORDER BY cluster_rep""".stripMargin
+    },
+
+    // d59's chain, resolved: every doc takes its cluster rep's split
+    "d60_split_reseat" -> {
+      val pairsSql = OracleSql.minhashLshPairs(
+        """SELECT doc_id, text FROM documents
+          |  UNION ALL
+          |  SELECT doc_id + 1000000 AS doc_id, text || ' zzz extra suffix' AS text
+          |  FROM documents WHERE doc_id % 50 = 0
+          |  UNION ALL
+          |  SELECT doc_id + 2000000 AS doc_id, text || ' zzz more suffix' AS text
+          |  FROM documents WHERE doc_id % 50 = 0""".stripMargin,
+        k = 12, bands = 6, shingleSize = 3, tau = 0.5, maxBucket = 1000)
+      val h = OracleSql.h64("'graft-split' || '-' || CAST(doc_id AS VARCHAR)")
+      s"""WITH RECURSIVE pairs AS (
+         |$pairsSql
+         |),
+         |edges AS (
+         |  SELECT id1 AS a, id2 AS b FROM pairs
+         |  UNION
+         |  SELECT id2, id1 FROM pairs),
+         |reach(node, lab) AS (
+         |  SELECT a, a FROM (SELECT DISTINCT a FROM edges)
+         |  UNION
+         |  SELECT e.a, r.lab FROM edges e JOIN reach r ON r.node = e.b),
+         |cc AS (SELECT node, MIN(lab) AS cluster_rep FROM reach GROUP BY node),
+         |d AS (
+         |  SELECT doc_id FROM documents
+         |  UNION ALL
+         |  SELECT doc_id + 1000000 FROM documents WHERE doc_id % 50 = 0
+         |  UNION ALL
+         |  SELECT doc_id + 2000000 FROM documents WHERE doc_id % 50 = 0),
+         |sp AS (SELECT doc_id, CASE WHEN $h % 100 < 80 THEN 'train'
+         |                           WHEN $h % 100 < 90 THEN 'val'
+         |                           ELSE 'test' END AS split
+         |       FROM d)
+         |SELECT sp.doc_id,
+         |  COALESCE(rs.split, sp.split) AS split,
+         |  (COALESCE(rs.split, sp.split) <> sp.split) AS reseated
+         |FROM sp
+         |LEFT JOIN cc ON cc.node = sp.doc_id
+         |LEFT JOIN sp rs ON rs.doc_id = cc.cluster_rep
+         |ORDER BY sp.doc_id""".stripMargin
     },
 
     "q36_cdc_merge" ->
