@@ -5073,6 +5073,33 @@ object SparkEntry {
       assigned.orderBy("shard", "seq")
     }),
 
+    // ---- commit LINEAGE for free: self-contained commit dirs make row
+    // provenance a pure _metadata projection — no stored lineage column,
+    // no extra write cost; the gate folds each commit's rows to a
+    // layout-independent slice signature (commit ids are run-random, so
+    // the signature, not the id, is the pinned output) ------------------
+    "q109_commit_lineage" -> ((s, dir) => {
+      val tmp = gateScratch("q109")
+      val li = t(s, dir, "lineitem").select("l_orderkey", "l_quantity")
+      val ms = (0 until 3).map { i =>
+        ops.Layout.commitAppend(s, li.filter(col("l_orderkey") % 3 === i),
+            s"$tmp/t", Seq("l_orderkey"))
+          .localCheckpoint(eager = true)
+      }
+      val all = ms.reduce(ops.Layout.mergeBranch)
+      ops.Layout.snapshotRead(s, s"$tmp/t", all)
+        .withColumn("commit_id", regexp_extract(
+          col("_metadata.file_path"), "(commit-[0-9a-f]+)", 1))
+        .groupBy("commit_id")
+        .agg(count(lit(1)).as("n_rows"),
+          min("l_orderkey").as("min_key"),
+          max("l_orderkey").as("max_key"),
+          sum(col("l_quantity").cast("decimal(18,2)")).cast("double")
+            .as("sum_qty"))
+        .drop("commit_id")
+        .orderBy("min_key")
+    }),
+
     // ---- WRITE-AUDIT-PUBLISH over the branch substrate (the Iceberg
     // WAP pattern, public docs): each streamed micro-batch commits to a
     // STAGING branch manifest; nothing is visible on main until the
@@ -9168,6 +9195,13 @@ object SparkEntry {
         |    CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE)
         |  FROM li WHERE v BETWEEN 50 AND 700)
         |ORDER BY dim""".stripMargin,
+
+    // each commit is a % 3 slice; its signature is the slice aggregate
+    "q109_commit_lineage" ->
+      """SELECT COUNT(*) AS n_rows, MIN(l_orderkey) AS min_key,
+        |  MAX(l_orderkey) AS max_key,
+        |  CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty
+        |FROM lineitem GROUP BY l_orderkey % 3 ORDER BY min_key""".stripMargin,
 
     // publish reunites base + streamed commits: main after WAP IS the
     // whole documents table

@@ -984,6 +984,11 @@ object CorpusOps {
     * sample + sort); mod-sharding a 60-bit hash is already balanced to
     * O(1/sqrt(n/shards)) without the extra pass.
     *
+    * PRECONDITION — `idCol` must be UNIQUE and NON-NULL: the position
+    * is a pure function of the id (nulls would all hash identically
+    * and tie-break engine-dependently). Same contract as
+    * [[shardAssignBatch]], whose folded batches must replay it.
+    *
     * @return df's columns + (shard INT, seq BIGINT starting at 1)
     */
   def shardShuffle(df: DataFrame, idCol: String, nShards: Int,
