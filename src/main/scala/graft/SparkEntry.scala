@@ -1388,6 +1388,18 @@ object SparkEntry {
         .orderBy("doc_id")
     }),
 
+    // ---- WebDataset-style blob-pack index: (shard, offset, length)
+    // addresses for every sample of a packed multimodal shard — the
+    // loader-side random access map, computed in the same one-shuffle
+    // pass that ships each payload to its shard --------------------------
+    "m18_pack_index" -> ((s, dir) => {
+      val bin = t(s, dir, "documents")
+        .select(col("doc_id"), col("text").cast("binary").as("payload"))
+      ops.Multimodal.packIndex(bin, "doc_id", "payload", nShards = 4)
+        .select("doc_id", "shard", "offset", "length")
+        .orderBy("shard", "offset")
+    }),
+
     // ---- corpus dedup end-game: exact-collapse → LSH pairs → connected
     // components → canonical survivors only (the composed pipeline a
     // training corpus actually ships through) ---------------------------
@@ -9195,6 +9207,22 @@ object SparkEntry {
         |    CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE)
         |  FROM li WHERE v BETWEEN 50 AND 700)
         |ORDER BY dim""".stripMargin,
+
+    // utf-8 payload bytes: Spark's string->binary cast ≡ DuckDB encode()
+    "m18_pack_index" -> {
+      val gh = OracleSql.h64("'graft-pack-' || CAST(doc_id AS VARCHAR)")
+      s"""WITH h AS (
+         |  SELECT doc_id, $gh AS gh,
+         |    octet_length(encode(text)) AS len
+         |  FROM documents)
+         |SELECT doc_id, CAST(gh % 4 AS INT) AS shard,
+         |  CAST(COALESCE(SUM(len) OVER (PARTITION BY gh % 4
+         |    ORDER BY gh, doc_id
+         |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+         |    AS BIGINT) AS "offset",
+         |  CAST(len AS BIGINT) AS length
+         |FROM h ORDER BY shard, "offset"""".stripMargin
+    },
 
     // each commit is a % 3 slice; its signature is the slice aggregate
     "q109_commit_lineage" ->

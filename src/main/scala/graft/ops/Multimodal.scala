@@ -984,4 +984,39 @@ object Multimodal {
         .flatMap(b => b.map(r => MediaCodec.resample(r, ow, oh, stride)))
     }
   }
+
+  /** BLOB-PACK INDEX — the WebDataset/tar-shard sample index every
+    * multimodal training loader needs (public format: webdataset's
+    * tar-with-offsets; TFRecord's record index is the same idea): each
+    * shard concatenates its members' raw bytes in deterministic
+    * (h64, id) order, and the index row `(shard, offset, length)`
+    * addresses any sample without touching the bytes. Placement is the
+    * same engine-portable md5-h64 used by
+    * [[graft.ops.CorpusOps.shardShuffle]], so (salt, nShards) fully
+    * replays the layout in any engine.
+    *
+    * Scale shape: ONE shuffle moving each payload once to its shard —
+    * identical to the shard write itself; offsets are a running
+    * byte-length window inside each shard (one reducer per shard;
+    * shards are the parallelism unit). The index (4 longs/row) is the
+    * distributed artifact; the blob write streams shard-local at write
+    * time. PRECONDITION: `idCol` unique and non-null (position is a
+    * pure function of the id).
+    *
+    * @return df's columns + (shard INT, length BIGINT, offset BIGINT)
+    */
+  def packIndex(df: DataFrame, idCol: String, binCol: String, nShards: Int,
+      salt: String = "graft-pack"): DataFrame = {
+    require(nShards > 0, s"nShards must be positive, got $nShards")
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col("shard"))
+      .orderBy(col("graft_h"), col(idCol))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    df.withColumn("graft_h", graft.functions.TextFunctions.h64(
+        concat_ws("-", lit(salt), col(idCol).cast("string"))))
+      .withColumn("shard", pmod(col("graft_h"), lit(nShards.toLong)).cast("int"))
+      .withColumn("length", octet_length(col(binCol)).cast("long"))
+      .withColumn("offset", coalesce(sum(col("length")).over(w), lit(0L)))
+      .drop("graft_h")
+  }
 }
