@@ -5112,6 +5112,61 @@ object SparkEntry {
         .orderBy("min_key")
     }),
 
+    // ---- streaming pack-index assignment: m18's fold — each arriving
+    // payload gets its h64 shard and the byte offset continuing from
+    // O(nShards) per-shard cursors; id-ordered arrival makes the layout
+    // (batch, h64, id), which the oracle replays ------------------------
+    "s35_stream_pack" -> ((s, dir) => {
+      import s.implicits._
+      val tmp = gateScratch("s35")
+      val docs = t(s, dir, "documents").select("doc_id", "text")
+      val maxId = docs.agg(max("doc_id")).head.getLong(0)
+      val per = maxId / 4 + 1
+      val inDir = java.nio.file.Paths.get(tmp, "in")
+      java.nio.file.Files.createDirectories(inDir)
+      (0 until 4).foreach { i =>
+        val shardTmp = s"$tmp/shard$i"
+        docs.filter(col("doc_id") >= i * per && col("doc_id") < (i + 1) * per)
+          .coalesce(1).write.parquet(shardTmp)
+        val part = new java.io.File(shardTmp).listFiles()
+          .filter(_.getName.endsWith(".parquet")).head
+        val dst = inDir.resolve(f"shard-$i%02d.parquet")
+        java.nio.file.Files.move(part.toPath, dst)
+        java.nio.file.Files.setLastModifiedTime(dst,
+          java.nio.file.attribute.FileTime.fromMillis(
+            1700000000000L + i * 60000L))
+      }
+      var seen = Seq.empty[(Int, Long)].toDF("shard", "n_bytes")
+        .localCheckpoint(eager = true)
+      var assigned = docs.limit(0)
+        .select(col("doc_id"), lit(0).as("shard"),
+          lit(0L).as("length"), lit(0L).as("offset"))
+      val inSchema = s.read.parquet(inDir.toString).schema
+      withNarrowState(s) {
+        val q = s.readStream
+          .schema(inSchema)
+          .option("maxFilesPerTrigger", "1")
+          .parquet(inDir.toString)
+          .writeStream
+          .foreachBatch { (batch: DataFrame, _: Long) =>
+            val (asg, ns) = ops.Multimodal.packAssignBatch(seen,
+              batch.select(col("doc_id"),
+                col("text").cast("binary").as("payload")),
+              "doc_id", "payload", nShards = 4)
+            assigned = assigned.unionAll(
+                asg.select("doc_id", "shard", "length", "offset"))
+              .localCheckpoint(eager = true) // sever the micro-batch source
+            seen = ns.localCheckpoint(eager = true)
+            ()
+          }
+          .option("checkpointLocation", s"$tmp/chk")
+          .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+          .start()
+        q.awaitTermination()
+      }
+      assigned.orderBy("shard", "offset")
+    }),
+
     // ---- WRITE-AUDIT-PUBLISH over the branch substrate (the Iceberg
     // WAP pattern, public docs): each streamed micro-batch commits to a
     // STAGING branch manifest; nothing is visible on main until the
@@ -9221,6 +9276,23 @@ object SparkEntry {
          |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
          |    AS BIGINT) AS "offset",
          |  CAST(len AS BIGINT) AS length
+         |FROM h ORDER BY shard, "offset"""".stripMargin
+    },
+
+    // m18's byte window with the arrival-order batch prefix in the sort
+    "s35_stream_pack" -> {
+      val gh = OracleSql.h64("'graft-pack-' || CAST(doc_id AS VARCHAR)")
+      s"""WITH mx AS (SELECT MAX(doc_id) // 4 + 1 AS per FROM documents),
+         |h AS (
+         |  SELECT doc_id, $gh AS gh,
+         |    octet_length(encode(text)) AS len
+         |  FROM documents)
+         |SELECT doc_id, CAST(gh % 4 AS INT) AS shard,
+         |  CAST(len AS BIGINT) AS length,
+         |  CAST(COALESCE(SUM(len) OVER (PARTITION BY gh % 4
+         |    ORDER BY doc_id // (SELECT per FROM mx), gh, doc_id
+         |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+         |    AS BIGINT) AS "offset"
          |FROM h ORDER BY shard, "offset"""".stripMargin
     },
 

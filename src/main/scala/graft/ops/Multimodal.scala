@@ -1019,4 +1019,49 @@ object Multimodal {
       .withColumn("offset", coalesce(sum(col("length")).over(w), lit(0L)))
       .drop("graft_h")
   }
+
+  /** One micro-batch of STREAMING pack-index assignment —
+    * [[packIndex]]'s fold for an appending multimodal ingest: each
+    * arriving payload gets its deterministic shard and the byte offset
+    * `seen(shard) + within-batch (h64, id)-ordered cumulative length`.
+    * State is O(nShards) rows of per-shard byte totals — the writer's
+    * append cursor. Same contract as
+    * [[graft.ops.CorpusOps.shardAssignBatch]]: within each batch the
+    * order matches the batch op, across batches offsets reflect arrival
+    * (a late payload is appended, never inserted), so id-ordered
+    * batches give the batch-boundary-insensitive (batch, h64, id)
+    * layout the oracle replays. PRECONDITION: ids unique and non-null
+    * across all batches.
+    *
+    * @param seen (shard, n_bytes) per-shard byte totals so far; start
+    *             from an empty DataFrame with that schema
+    * @return (batch columns + (shard, length, offset), updated seen)
+    */
+  def packAssignBatch(seen: DataFrame, batch: DataFrame, idCol: String,
+      binCol: String, nShards: Int,
+      salt: String = "graft-pack"): (DataFrame, DataFrame) = {
+    require(nShards > 0, s"nShards must be positive, got $nShards")
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col("shard"))
+      .orderBy(col("graft_h"), col(idCol))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val ranked = batch.withColumn("graft_h", graft.functions.TextFunctions.h64(
+        concat_ws("-", lit(salt), col(idCol).cast("string"))))
+      .withColumn("shard", pmod(col("graft_h"), lit(nShards.toLong)).cast("int"))
+      .withColumn("length", octet_length(col(binCol)).cast("long"))
+      .withColumn("graft_cum", coalesce(sum(col("length")).over(w), lit(0L)))
+      .localCheckpoint(eager = false) // assignment + state fold both read
+    val assigned = ranked
+      .join(broadcast(seen.select(col("shard"),
+        col("n_bytes").as("graft_seen"))), Seq("shard"), "left")
+      .withColumn("offset",
+        coalesce(col("graft_seen"), lit(0L)) + col("graft_cum"))
+      .drop("graft_h", "graft_cum", "graft_seen")
+    val totals = ranked.groupBy("shard").agg(sum("length").as("graft_bn"))
+    val newSeen = seen.join(totals, Seq("shard"), "full_outer")
+      .select(col("shard"),
+        (coalesce(col("n_bytes"), lit(0L)) +
+          coalesce(col("graft_bn"), lit(0L))).as("n_bytes"))
+    (assigned, newSeen)
+  }
 }
