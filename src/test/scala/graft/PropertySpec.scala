@@ -468,6 +468,38 @@ object PropertySpec extends Properties("graft") {
         rs.map(_._3).toSet == (1L to rs.size.toLong).toSet }
     }
 
+  property("packIndex/packAssignBatch: contiguous shard layout, fold-consistent") =
+    forAll(Gen.listOf(Gen.choose(0L, 300L)).map(_.distinct).suchThat(_.nonEmpty),
+      Gen.choose(1, 4), Gen.choose(1, 3)) { (ids, nShards, nBatches) =>
+      val rows = ids.map(i => (i, "x" * ((i % 7).toInt + 1)))
+      def toBin(rs: Seq[(Long, String)]) = rs.toDF("doc_id", "text")
+        .select(col("doc_id"), col("text").cast("binary").as("p"))
+      def contiguous(rs: Seq[(Long, Int, Long, Long)]): Boolean =
+        rs.groupBy(_._2).forall { case (_, g) =>
+          val sorted = g.sortBy(_._4)
+          // offsets are exactly the prefix sums of lengths: no gap, no overlap
+          sorted.scanLeft(0L)(_ + _._3).init
+            .zip(sorted.map(_._4)).forall { case (want, got) => want == got }
+        }
+      val batch = graft.ops.Multimodal.packIndex(toBin(rows), "doc_id", "p", nShards)
+        .select("doc_id", "shard", "length", "offset").collect()
+        .map(r => (r.getLong(0), r.getInt(1), r.getLong(2), r.getLong(3))).toSeq
+      var seen = Seq.empty[(Int, Long)].toDF("shard", "n_bytes")
+        .localCheckpoint(eager = true)
+      var out = Seq.empty[(Long, Int, Long, Long)]
+      ids.sorted.grouped(math.max(1, ids.size / nBatches + 1)).foreach { g =>
+        val (asg, ns) = graft.ops.Multimodal.packAssignBatch(seen,
+          toBin(rows.filter(r => g.contains(r._1))), "doc_id", "p", nShards)
+        out ++= asg.select("doc_id", "shard", "length", "offset").collect()
+          .map(r => (r.getLong(0), r.getInt(1), r.getLong(2), r.getLong(3)))
+        seen = ns.localCheckpoint(eager = true)
+      }
+      val m = batch.map(r => r._1 -> (r._2, r._3)).toMap
+      contiguous(batch) && contiguous(out) &&      // both layouts gap-free
+      out.forall { case (id, sh, len, _) => m(id) == ((sh, len)) } &&
+      out.map(_._1).toSet == ids.toSet
+    }
+
   property("vectorNearDupFilter: admission invariant under any batch split") =
     forAll(
       Gen.listOfN(8, Gen.listOfN(4, Gen.choose(-5, 5).map(_.toDouble)))
