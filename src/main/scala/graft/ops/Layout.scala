@@ -452,7 +452,12 @@ object Layout {
     * planner-scale) is exactly the branch's own commits — no conflict
     * is possible because neither side mutates files. Deletion vectors
     * merge separately by DV union ([[readWithDeletes]] composes DVs by
-    * `unionAll.distinct`), mirroring how the DV gates compose waves. */
+    * `unionAll.distinct`), mirroring how the DV gates compose waves.
+    *
+    * PRECONDITION — each input manifest must be file-DISTINCT (one row
+    * per file), which [[commitAppend]] unions are by construction: a
+    * duplicated file row would survive the anti-join and make
+    * [[snapshotRead]] read that file twice. */
   def mergeBranch(main: DataFrame, branch: DataFrame): DataFrame =
     main.unionAll(branch.join(main.select("file"), Seq("file"), "left_anti"))
 

@@ -1001,7 +1001,9 @@ object Multimodal {
     * shards are the parallelism unit). The index (4 longs/row) is the
     * distributed artifact; the blob write streams shard-local at write
     * time. PRECONDITION: `idCol` unique and non-null (position is a
-    * pure function of the id).
+    * pure function of the id) and `binCol` non-null (a null length
+    * would silently skip the running byte window — see
+    * [[packAssignBatch]]).
     *
     * @return df's columns + (shard INT, length BIGINT, offset BIGINT)
     */
@@ -1031,7 +1033,9 @@ object Multimodal {
     * (a late payload is appended, never inserted), so id-ordered
     * batches give the batch-boundary-insensitive (batch, h64, id)
     * layout the oracle replays. PRECONDITION: ids unique and non-null
-    * across all batches.
+    * across all batches, and `binCol` non-null — a null payload has a
+    * null length, which the running byte window would silently skip,
+    * leaving the shard cursor wrong for every later row.
     *
     * @param seen (shard, n_bytes) per-shard byte totals so far; start
     *             from an empty DataFrame with that schema
