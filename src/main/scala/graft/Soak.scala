@@ -38,6 +38,21 @@ object Soak {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     val copies = sys.env.getOrElse("SPARK_GRAFT_SOAK_COPIES", "10").toInt
+    // reclaim fixtures leaked by a HARD-KILLED earlier run (its finally
+    // never ran, and per-run tracking means no later run would touch
+    // them): sweep only graft-soak-* dirs old enough that no live
+    // concurrent soak can still be using them
+    locally {
+      val cutoff = System.currentTimeMillis() - 6L * 3600 * 1000
+      def rm(f: java.io.File): Unit = {
+        Option(f.listFiles()).foreach(_.foreach(rm)); f.delete()
+      }
+      Option(new java.io.File(System.getProperty("java.io.tmpdir"))
+          .listFiles()).foreach(_.foreach { f =>
+        if (f.getName.startsWith("graft-soak-") && f.lastModified() < cutoff)
+          rm(f)
+      })
+    }
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)

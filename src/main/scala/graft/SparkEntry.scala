@@ -105,6 +105,67 @@ object SparkEntry {
        |  WHERE fe + (CASE WHEN cb < rem THEN 1 ELSE 0 END) > 0)""".stripMargin
   }
 
+  /** Shared d9/d59/d60 fixture: the corpus with two planted near-dup
+    * families and its LSH→CC cluster table. The leakage audit (d59) and
+    * its reseat fix (d60) must describe the SAME cluster structure as
+    * the clustering gate (d9), so all three build from here — and their
+    * oracles from [[leakageAugSql]] — instead of keeping three copies
+    * of the plant + LSH parameters in sync by hand. */
+  private def leakageClusters(s: SparkSession, dir: String)
+      : (DataFrame, DataFrame) = {
+    val docs = t(s, dir, "documents").select("doc_id", "text")
+    val p1 = docs.filter(col("doc_id") % 50 === 0)
+      .select((col("doc_id") + 1000000).as("doc_id"),
+        concat(col("text"), lit(" zzz extra suffix")).as("text"))
+    val p2 = docs.filter(col("doc_id") % 50 === 0)
+      .select((col("doc_id") + 2000000).as("doc_id"),
+        concat(col("text"), lit(" zzz more suffix")).as("text"))
+    val aug = docs.unionAll(p1).unionAll(p2)
+    val clusters = ops.Dedup.connectedComponents(
+      ops.Dedup.minhashLshPairs(aug, "doc_id", "text",
+        k = 12, bands = 6, shingleSize = 3, tau = 0.5))
+    (aug, clusters)
+  }
+
+  /** [[leakageClusters]]' aug corpus as oracle SQL (doc_id, text). */
+  private val leakageAugSql: String =
+    """SELECT doc_id, text FROM documents
+      |  UNION ALL
+      |  SELECT doc_id + 1000000 AS doc_id, text || ' zzz extra suffix' AS text
+      |  FROM documents WHERE doc_id % 50 = 0
+      |  UNION ALL
+      |  SELECT doc_id + 2000000 AS doc_id, text || ' zzz more suffix' AS text
+      |  FROM documents WHERE doc_id % 50 = 0""".stripMargin
+
+  /** Stage `df` as `n` contiguous id-range parquet FILES with strictly
+    * increasing mtimes under `tmp/in`, so FileStreamSource (which
+    * orders files by modification time) delivers micro-batches in id
+    * order — the arrival contract every streaming-fold gate documents.
+    * One fixture builder for s30/s33/s34/s35 so a change to the
+    * staging (mtime base, shard count, empty-range handling) cannot
+    * silently give the gates different arrival orders. Returns the
+    * input dir to readStream from. */
+  private def writeMtimeOrderedShards(df: DataFrame, idCol: String,
+      tmp: String, n: Int = 4): String = {
+    val maxId = df.agg(max(idCol)).head.getLong(0)
+    val per = maxId / n + 1
+    val inDir = java.nio.file.Paths.get(tmp, "in")
+    java.nio.file.Files.createDirectories(inDir)
+    (0 until n).foreach { i =>
+      val shardTmp = s"$tmp/shard$i"
+      df.filter(col(idCol) >= i * per && col(idCol) < (i + 1) * per)
+        .coalesce(1).write.parquet(shardTmp)
+      val part = new java.io.File(shardTmp).listFiles()
+        .filter(_.getName.endsWith(".parquet")).head
+      val dst = inDir.resolve(f"shard-$i%02d.parquet")
+      java.nio.file.Files.move(part.toPath, dst)
+      java.nio.file.Files.setLastModifiedTime(dst,
+        java.nio.file.attribute.FileTime.fromMillis(
+          1700000000000L + i * 60000L))
+    }
+    inDir.toString
+  }
+
   /** Normalize the events `ts` column to TIMESTAMP across fixture
     * vintages. A TIMESTAMP(NANOS) fixture arrives as LongType (under
     * `nanosAsLong`) and is floor-divided to microseconds — the same
@@ -1311,17 +1372,7 @@ object SparkEntry {
     // ---- near-dup clustering end-game: LSH pairs → connected
     // components → canonical (min-id) representative per cluster -------
     "d9_dup_clusters" -> ((s, dir) => {
-      val docs = t(s, dir, "documents").select("doc_id", "text")
-      val p1 = docs.filter(col("doc_id") % 50 === 0)
-        .select((col("doc_id") + 1000000).as("doc_id"),
-          concat(col("text"), lit(" zzz extra suffix")).as("text"))
-      val p2 = docs.filter(col("doc_id") % 50 === 0)
-        .select((col("doc_id") + 2000000).as("doc_id"),
-          concat(col("text"), lit(" zzz more suffix")).as("text"))
-      val aug = docs.unionAll(p1).unionAll(p2)
-      val pairs = ops.Dedup.minhashLshPairs(aug, "doc_id", "text",
-        k = 12, bands = 6, shingleSize = 3, tau = 0.5)
-      ops.Dedup.connectedComponents(pairs).orderBy("node")
+      leakageClusters(s, dir)._2.orderBy("node")
     }),
 
     // ---- split-LEAKAGE audit: near-dup clusters that STRADDLE the
@@ -1332,17 +1383,7 @@ object SparkEntry {
     // reporting per CLUSTER is what lets a pipeline re-seat whole
     // clusters instead of dropping individual docs ----------------------
     "d59_split_leakage" -> ((s, dir) => {
-      val docs = t(s, dir, "documents").select("doc_id", "text")
-      val p1 = docs.filter(col("doc_id") % 50 === 0)
-        .select((col("doc_id") + 1000000).as("doc_id"),
-          concat(col("text"), lit(" zzz extra suffix")).as("text"))
-      val p2 = docs.filter(col("doc_id") % 50 === 0)
-        .select((col("doc_id") + 2000000).as("doc_id"),
-          concat(col("text"), lit(" zzz more suffix")).as("text"))
-      val aug = docs.unionAll(p1).unionAll(p2)
-      val clusters = ops.Dedup.connectedComponents(
-        ops.Dedup.minhashLshPairs(aug, "doc_id", "text",
-          k = 12, bands = 6, shingleSize = 3, tau = 0.5))
+      val (aug, clusters) = leakageClusters(s, dir)
       val split = ops.CorpusOps.deterministicSplit(
         aug.select("doc_id"), "doc_id")
       clusters.join(split.select(col("doc_id").as("node"), col("split")),
@@ -1360,17 +1401,7 @@ object SparkEntry {
     // their own assignment; deterministic, so the fixed split is as
     // replayable as the original --------------------------------------
     "d60_split_reseat" -> ((s, dir) => {
-      val docs = t(s, dir, "documents").select("doc_id", "text")
-      val p1 = docs.filter(col("doc_id") % 50 === 0)
-        .select((col("doc_id") + 1000000).as("doc_id"),
-          concat(col("text"), lit(" zzz extra suffix")).as("text"))
-      val p2 = docs.filter(col("doc_id") % 50 === 0)
-        .select((col("doc_id") + 2000000).as("doc_id"),
-          concat(col("text"), lit(" zzz more suffix")).as("text"))
-      val aug = docs.unionAll(p1).unionAll(p2)
-      val clusters = ops.Dedup.connectedComponents(
-        ops.Dedup.minhashLshPairs(aug, "doc_id", "text",
-          k = 12, bands = 6, shingleSize = 3, tau = 0.5))
+      val (aug, clusters) = leakageClusters(s, dir)
       val split = ops.CorpusOps.deterministicSplit(
           aug.select("doc_id"), "doc_id")
         .select("doc_id", "split")
@@ -4988,32 +5019,17 @@ object SparkEntry {
       // FileStreamSource orders files by modification time, so batches
       // arrive in id order — the fold's documented ordering contract
       // (a log-ordered ingest)
-      val maxId = docs.agg(max("doc_id")).head.getLong(0)
-      val per = maxId / 4 + 1
-      val inDir = java.nio.file.Paths.get(tmp, "in")
-      java.nio.file.Files.createDirectories(inDir)
-      (0 until 4).foreach { i =>
-        val shardTmp = s"$tmp/shard$i"
-        docs.filter(col("doc_id") >= i * per && col("doc_id") < (i + 1) * per)
-          .coalesce(1).write.parquet(shardTmp)
-        val part = new java.io.File(shardTmp).listFiles()
-          .filter(_.getName.endsWith(".parquet")).head
-        val dst = inDir.resolve(f"shard-$i%02d.parquet")
-        java.nio.file.Files.move(part.toPath, dst)
-        java.nio.file.Files.setLastModifiedTime(dst,
-          java.nio.file.attribute.FileTime.fromMillis(
-            1700000000000L + i * 60000L))
-      }
+      val inDirPath = writeMtimeOrderedShards(docs, "doc_id", tmp)
       var seen = Seq.empty[(String, Long)].toDF("source", "seen_tokens")
         .localCheckpoint(eager = true)
       var admitted = docs.limit(0)
         .select(col("doc_id"), col("source"), lit(0L).as("n_tokens"))
-      val inSchema = s.read.parquet(inDir.toString).schema
+      val inSchema = s.read.parquet(inDirPath).schema
       withNarrowState(s) {
         val q = s.readStream
           .schema(inSchema)
           .option("maxFilesPerTrigger", "1")
-          .parquet(inDir.toString)
+          .parquet(inDirPath)
           .writeStream
           .foreachBatch { (batch: DataFrame, _: Long) =>
             val (adm, ns) = ops.CorpusOps.budgetedAdmitBatch(seen,
@@ -5040,33 +5056,18 @@ object SparkEntry {
       import s.implicits._
       val tmp = gateScratch("s33")
       val docs = t(s, dir, "documents").select("doc_id", "lang")
-      val maxId = docs.agg(max("doc_id")).head.getLong(0)
-      val per = maxId / 4 + 1
-      val inDir = java.nio.file.Paths.get(tmp, "in")
-      java.nio.file.Files.createDirectories(inDir)
-      (0 until 4).foreach { i =>
-        val shardTmp = s"$tmp/shard$i"
-        docs.filter(col("doc_id") >= i * per && col("doc_id") < (i + 1) * per)
-          .coalesce(1).write.parquet(shardTmp)
-        val part = new java.io.File(shardTmp).listFiles()
-          .filter(_.getName.endsWith(".parquet")).head
-        val dst = inDir.resolve(f"shard-$i%02d.parquet")
-        java.nio.file.Files.move(part.toPath, dst)
-        java.nio.file.Files.setLastModifiedTime(dst,
-          java.nio.file.attribute.FileTime.fromMillis(
-            1700000000000L + i * 60000L))
-      }
+      val inDirPath = writeMtimeOrderedShards(docs, "doc_id", tmp)
       var seen = Seq.empty[(Int, Long)].toDF("shard", "n_seen")
         .localCheckpoint(eager = true)
       var assigned = docs.limit(0)
         .select(col("doc_id"), col("lang"),
           lit(0).as("shard"), lit(0L).as("seq"))
-      val inSchema = s.read.parquet(inDir.toString).schema
+      val inSchema = s.read.parquet(inDirPath).schema
       withNarrowState(s) {
         val q = s.readStream
           .schema(inSchema)
           .option("maxFilesPerTrigger", "1")
-          .parquet(inDir.toString)
+          .parquet(inDirPath)
           .writeStream
           .foreachBatch { (batch: DataFrame, _: Long) =>
             val (asg, ns) = ops.CorpusOps.shardAssignBatch(seen,
@@ -5120,33 +5121,18 @@ object SparkEntry {
       import s.implicits._
       val tmp = gateScratch("s35")
       val docs = t(s, dir, "documents").select("doc_id", "text")
-      val maxId = docs.agg(max("doc_id")).head.getLong(0)
-      val per = maxId / 4 + 1
-      val inDir = java.nio.file.Paths.get(tmp, "in")
-      java.nio.file.Files.createDirectories(inDir)
-      (0 until 4).foreach { i =>
-        val shardTmp = s"$tmp/shard$i"
-        docs.filter(col("doc_id") >= i * per && col("doc_id") < (i + 1) * per)
-          .coalesce(1).write.parquet(shardTmp)
-        val part = new java.io.File(shardTmp).listFiles()
-          .filter(_.getName.endsWith(".parquet")).head
-        val dst = inDir.resolve(f"shard-$i%02d.parquet")
-        java.nio.file.Files.move(part.toPath, dst)
-        java.nio.file.Files.setLastModifiedTime(dst,
-          java.nio.file.attribute.FileTime.fromMillis(
-            1700000000000L + i * 60000L))
-      }
+      val inDirPath = writeMtimeOrderedShards(docs, "doc_id", tmp)
       var seen = Seq.empty[(Int, Long)].toDF("shard", "n_bytes")
         .localCheckpoint(eager = true)
       var assigned = docs.limit(0)
         .select(col("doc_id"), lit(0).as("shard"),
           lit(0L).as("length"), lit(0L).as("offset"))
-      val inSchema = s.read.parquet(inDir.toString).schema
+      val inSchema = s.read.parquet(inDirPath).schema
       withNarrowState(s) {
         val q = s.readStream
           .schema(inSchema)
           .option("maxFilesPerTrigger", "1")
-          .parquet(inDir.toString)
+          .parquet(inDirPath)
           .writeStream
           .foreachBatch { (batch: DataFrame, _: Long) =>
             val (asg, ns) = ops.Multimodal.packAssignBatch(seen,
@@ -5183,31 +5169,16 @@ object SparkEntry {
           docs.filter(col("doc_id") % 5 === 0), s"$tmp/t", Seq("doc_id"))
         .localCheckpoint(eager = true)
       // the stream delivers the REST as 4 mtime-ordered file shards
-      val rest = docs.filter(col("doc_id") % 5 =!= 0)
-      val maxId = docs.agg(max("doc_id")).head.getLong(0)
-      val per = maxId / 4 + 1
-      val inDir = java.nio.file.Paths.get(tmp, "in")
-      java.nio.file.Files.createDirectories(inDir)
-      (0 until 4).foreach { i =>
-        val shardTmp = s"$tmp/shard$i"
-        rest.filter(col("doc_id") >= i * per && col("doc_id") < (i + 1) * per)
-          .coalesce(1).write.parquet(shardTmp)
-        val part = new java.io.File(shardTmp).listFiles()
-          .filter(_.getName.endsWith(".parquet")).head
-        val dst = inDir.resolve(f"shard-$i%02d.parquet")
-        java.nio.file.Files.move(part.toPath, dst)
-        java.nio.file.Files.setLastModifiedTime(dst,
-          java.nio.file.attribute.FileTime.fromMillis(
-            1700000000000L + i * 60000L))
-      }
+      val inDirPath = writeMtimeOrderedShards(
+        docs.filter(col("doc_id") % 5 =!= 0), "doc_id", tmp)
       var staged: Option[DataFrame] = None
       var ledger = 0L // the stream's own row count, audited against
-      val inSchema = s.read.parquet(inDir.toString).schema
+      val inSchema = s.read.parquet(inDirPath).schema
       withNarrowState(s) {
         val q = s.readStream
           .schema(inSchema)
           .option("maxFilesPerTrigger", "1")
-          .parquet(inDir.toString)
+          .parquet(inDirPath)
           .writeStream
           .foreachBatch { (batch: DataFrame, _: Long) =>
             val pinned = batch.localCheckpoint(eager = true) // one pass
@@ -6286,13 +6257,7 @@ object SparkEntry {
 
     "d9_dup_clusters" -> {
       val pairsSql = OracleSql.minhashLshPairs(
-        """SELECT doc_id, text FROM documents
-          |  UNION ALL
-          |  SELECT doc_id + 1000000 AS doc_id, text || ' zzz extra suffix' AS text
-          |  FROM documents WHERE doc_id % 50 = 0
-          |  UNION ALL
-          |  SELECT doc_id + 2000000 AS doc_id, text || ' zzz more suffix' AS text
-          |  FROM documents WHERE doc_id % 50 = 0""".stripMargin,
+        leakageAugSql,
         k = 12, bands = 6, shingleSize = 3, tau = 0.5, maxBucket = 1000)
       s"""WITH RECURSIVE pairs AS (
          |$pairsSql
@@ -6313,13 +6278,7 @@ object SparkEntry {
     // straddling clusters survive the HAVING
     "d59_split_leakage" -> {
       val pairsSql = OracleSql.minhashLshPairs(
-        """SELECT doc_id, text FROM documents
-          |  UNION ALL
-          |  SELECT doc_id + 1000000 AS doc_id, text || ' zzz extra suffix' AS text
-          |  FROM documents WHERE doc_id % 50 = 0
-          |  UNION ALL
-          |  SELECT doc_id + 2000000 AS doc_id, text || ' zzz more suffix' AS text
-          |  FROM documents WHERE doc_id % 50 = 0""".stripMargin,
+        leakageAugSql,
         k = 12, bands = 6, shingleSize = 3, tau = 0.5, maxBucket = 1000)
       val h = OracleSql.h64("'graft-split' || '-' || CAST(node AS VARCHAR)")
       s"""WITH RECURSIVE pairs AS (
@@ -6349,13 +6308,7 @@ object SparkEntry {
     // d59's chain, resolved: every doc takes its cluster rep's split
     "d60_split_reseat" -> {
       val pairsSql = OracleSql.minhashLshPairs(
-        """SELECT doc_id, text FROM documents
-          |  UNION ALL
-          |  SELECT doc_id + 1000000 AS doc_id, text || ' zzz extra suffix' AS text
-          |  FROM documents WHERE doc_id % 50 = 0
-          |  UNION ALL
-          |  SELECT doc_id + 2000000 AS doc_id, text || ' zzz more suffix' AS text
-          |  FROM documents WHERE doc_id % 50 = 0""".stripMargin,
+        leakageAugSql,
         k = 12, bands = 6, shingleSize = 3, tau = 0.5, maxBucket = 1000)
       val h = OracleSql.h64("'graft-split' || '-' || CAST(doc_id AS VARCHAR)")
       s"""WITH RECURSIVE pairs AS (

@@ -621,12 +621,20 @@ object Layout {
     * manifest consumer already pays. Returns (deleted, kept) data-file
     * counts. Safety is the manifest contract itself: [[snapshotRead]]
     * of any RETAINED manifest is unaffected by construction. */
+  /** The scheme-normalized set of files any retained manifest
+    * references — shared by [[vacuumOrphans]] and [[vacuumCommits]] so
+    * the empty-retained guard and path normalization cannot drift
+    * between the two vacuums. */
+  private def liveFileSet(retained: Seq[DataFrame], unit: String): Set[String] = {
+    require(retained.nonEmpty,
+      s"refusing to vacuum with no retained manifests — that would delete every $unit")
+    retained.flatMap(_.select("file").collect().map(r =>
+      uriPath(r.getString(0)))).toSet
+  }
+
   def vacuumOrphans(spark: org.apache.spark.sql.SparkSession, dir: String,
       retained: Seq[DataFrame]): (Int, Int) = {
-    require(retained.nonEmpty,
-      "refusing to vacuum with no retained manifests — that would delete every file")
-    val live = retained.flatMap(_.select("file").collect().map(r =>
-      uriPath(r.getString(0)))).toSet
+    val live = liveFileSet(retained, "file")
     val fs = graft.io.PathResolver.fsFor(dir,
       spark.sparkContext.hadoopConfiguration)
     val (keep, orphan) = fs.listStatus(new org.apache.hadoop.fs.Path(dir))
@@ -655,10 +663,7 @@ object Layout {
     * commit-directory counts. */
   def vacuumCommits(spark: org.apache.spark.sql.SparkSession, dir: String,
       retained: Seq[DataFrame]): (Int, Int) = {
-    require(retained.nonEmpty,
-      "refusing to vacuum with no retained manifests — that would delete every commit")
-    val live = retained.flatMap(_.select("file").collect().map(r =>
-      uriPath(r.getString(0)))).toSet
+    val live = liveFileSet(retained, "commit")
     val fs = graft.io.PathResolver.fsFor(dir,
       spark.sparkContext.hadoopConfiguration)
     val (keep, orphan) = fs.listStatus(new org.apache.hadoop.fs.Path(dir))

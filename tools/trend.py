@@ -54,5 +54,7 @@ if new:
     print(f"\nnew queries: {', '.join(new)}")
 if gone:
     print(f"removed queries: {', '.join(gone)}")
-# nonzero exit on pass->fail so a scripted caller can't miss it
-sys.exit(1 if broke else 0)
+# nonzero exit on ANY failing query in the latest run (pass->fail,
+# still-failing, or a brand-new query that never passed) so a scripted
+# caller can't miss it
+sys.exit(1 if (broke or still_broken) else 0)
