@@ -31,8 +31,25 @@ object Soak {
   private def soakTempDir(prefix: String): String = {
     val d = java.nio.file.Files.createTempDirectory(prefix).toFile
     createdDirs.synchronized { createdDirs += d }
+    touchHeartbeats(Seq(d))
     d.toString
   }
+
+  /** Liveness marker the leaked-fixture sweep keys on: a fixture dir's
+    * own mtime reflects CREATION, not last use, so a soak running longer
+    * than the sweep cutoff would lose its live fixtures to a concurrent
+    * run's startup sweep (ADVICE r13). Each measured phase re-touches
+    * `_graft_heartbeat` inside every fixture this run owns; the sweep
+    * treats a dir as live while EITHER the dir or its heartbeat is
+    * fresh. The `_` prefix keeps parquet readers from seeing it. */
+  private def touchHeartbeats(dirs: Seq[java.io.File]): Unit =
+    dirs.foreach { d =>
+      try {
+        val hb = new java.io.File(d, "_graft_heartbeat")
+        hb.createNewFile()
+        hb.setLastModified(System.currentTimeMillis())
+      } catch { case _: Exception => () } // best-effort: sweep-only signal
+    }
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
@@ -49,7 +66,13 @@ object Soak {
       }
       Option(new java.io.File(System.getProperty("java.io.tmpdir"))
           .listFiles()).foreach(_.foreach { f =>
-        if (f.getName.startsWith("graft-soak-") && f.lastModified() < cutoff)
+        // liveness = the newer of creation mtime and the per-phase
+        // heartbeat a RUNNING soak keeps touching — a concurrent soak
+        // older than the cutoff but still measuring stays untouched
+        val hb = new java.io.File(f, "_graft_heartbeat")
+        val live = math.max(f.lastModified(),
+          if (hb.exists()) hb.lastModified() else 0L)
+        if (f.getName.startsWith("graft-soak-") && live < cutoff)
           rm(f)
       })
     }
@@ -99,6 +122,9 @@ object Soak {
 
     def measure(name: String)(f: => Long): (String, Double, Double, Long) = {
       quiesce() // settle counters from the previous op
+      // refresh fixture liveness once per phase so a long run's fixtures
+      // survive a concurrent run's startup sweep
+      createdDirs.synchronized { touchHeartbeats(createdDirs.toSeq) }
       val b0 = meter.bytes.get()
       val t0 = System.nanoTime()
       val rows = f

@@ -356,6 +356,14 @@ object Layout {
   private def uriPath(p: String): String =
     new org.apache.hadoop.fs.Path(p).toUri.getPath
 
+  /** [[uriPath]] as a Column — strips a `scheme:` / `scheme://authority`
+    * prefix so manifest joins compare the same path component the
+    * driver-side consumers do ([[extendManifest]], [[liveFileSet]]):
+    * the same file renders as `file:/...` in `_metadata.file_path` but
+    * `/...` from a persisted-and-reloaded manifest. */
+  private def uriPathCol(c: Column): Column =
+    regexp_replace(c, "^[a-zA-Z][a-zA-Z0-9+.\\-]*:(//[^/]*)?", "")
+
   /** Data files in `dir` absent from the index's `file` column — the
     * driver-side listing diff every incremental index maintainer shares
     * ([[extendManifest]], [[extendBloomIndex]]). Paths compare
@@ -457,9 +465,18 @@ object Layout {
     * PRECONDITION — each input manifest must be file-DISTINCT (one row
     * per file), which [[commitAppend]] unions are by construction: a
     * duplicated file row would survive the anti-join and make
-    * [[snapshotRead]] read that file twice. */
-  def mergeBranch(main: DataFrame, branch: DataFrame): DataFrame =
-    main.unionAll(branch.join(main.select("file"), Seq("file"), "left_anti"))
+    * [[snapshotRead]] read that file twice. File identity is the
+    * scheme-insensitive URI path (same normalization as every other
+    * manifest consumer): a base file spelled `file:/...` in one
+    * manifest and `/...` in a persisted-and-reloaded one must still
+    * dedupe, or snapshotRead would read it twice. */
+  def mergeBranch(main: DataFrame, branch: DataFrame): DataFrame = {
+    val mainKeys = main.select(uriPathCol(col("file")).as("graft_file_key"))
+    main.unionAll(branch
+      .withColumn("graft_file_key", uriPathCol(col("file")))
+      .join(mainKeys, Seq("graft_file_key"), "left_anti")
+      .drop("graft_file_key"))
+  }
 
   /** Per-file BLOOM INDEX for point lookups on an UNCLUSTERED column —
     * the file-skipping case [[statsManifest]] cannot serve: min/max
@@ -660,17 +677,39 @@ object Layout {
     * O(#files) planner-scale listing every manifest consumer pays.
     * Safety is the manifest contract: [[snapshotRead]] of any RETAINED
     * manifest is unaffected by construction. Returns (deleted, kept)
-    * commit-directory counts. */
+    * commit-directory counts.
+    *
+    * `olderThanMs` is the IN-FLIGHT grace window (Iceberg
+    * remove_orphan_files' `older_than`, public docs): a commit dir
+    * modified within the window is KEPT even when no retained manifest
+    * references it, because "unreferenced" is exactly what a concurrent
+    * writer's mid-write or staged-awaiting-audit commit (the s34 WAP
+    * staging window) looks like — the GC caller does not hold that
+    * writer's manifest. Only set it to 0 when no writer can possibly be
+    * staging into `dir` concurrently (e.g. single-process tests). */
   def vacuumCommits(spark: org.apache.spark.sql.SparkSession, dir: String,
-      retained: Seq[DataFrame]): (Int, Int) = {
+      retained: Seq[DataFrame],
+      olderThanMs: Long = 24L * 3600 * 1000): (Int, Int) = {
+    require(olderThanMs >= 0, s"olderThanMs must be >= 0, got $olderThanMs")
     val live = liveFileSet(retained, "commit")
+    val cutoff = System.currentTimeMillis() - olderThanMs
     val fs = graft.io.PathResolver.fsFor(dir,
       spark.sparkContext.hadoopConfiguration)
     val (keep, orphan) = fs.listStatus(new org.apache.hadoop.fs.Path(dir))
       .filter(s => s.isDirectory && s.getPath.getName.startsWith("commit-"))
       .partition { d =>
-        fs.listStatus(d.getPath).exists(f =>
-          live.contains(uriPath(f.getPath.toString)))
+        // the dir mtime alone can predate a file still being written
+        // into it — take the newest of the dir and its entries. Grace 0
+        // disables the check outright (mtime == cutoff within clock
+        // resolution must not resurrect a deliberately-abandoned commit)
+        val entries = fs.listStatus(d.getPath)
+        val inGrace = olderThanMs > 0 && {
+          val mtime =
+            (d.getModificationTime +: entries.map(_.getModificationTime)).max
+          mtime >= cutoff
+        }
+        inGrace ||
+          entries.exists(f => live.contains(uriPath(f.getPath.toString)))
       }
     orphan.foreach(d => fs.delete(d.getPath, true))
     (orphan.length, keep.length)

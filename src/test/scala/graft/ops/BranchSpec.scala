@@ -77,16 +77,37 @@ class BranchSpec extends AnyFunSuite with SparkTestBase {
     Layout.commitAppend(spark,
         (120L until 140L).map(i => (i, i % 3)).toDF("k", "v"), tmp, Seq("k"))
       .localCheckpoint(eager = true)
-    // a still-retained staging manifest keeps its commit through GC
-    val (d1, k1) = Layout.vacuumCommits(spark, tmp, Seq(main, s1))
+    // freshly-written commits sit inside the default in-flight grace
+    // window — GC keeps everything even though two are unreferenced
+    val (d0, k0) = Layout.vacuumCommits(spark, tmp, Seq(main))
+    assert(d0 === 0 && k0 === 3)
+    // grace 0 (no concurrent writer in this test): a still-retained
+    // staging manifest keeps its commit through GC
+    val (d1, k1) = Layout.vacuumCommits(spark, tmp, Seq(main, s1),
+      olderThanMs = 0L)
     assert(d1 === 1 && k1 === 2)
     // dropping s1's retention abandons its commit too
-    val (d2, k2) = Layout.vacuumCommits(spark, tmp, Seq(main))
+    val (d2, k2) = Layout.vacuumCommits(spark, tmp, Seq(main),
+      olderThanMs = 0L)
     assert(d2 === 1 && k2 === 1)
     // main is untouched through the whole cycle
     val got = Layout.snapshotRead(spark, tmp, main)
       .select("k").collect().map(_.getLong(0)).toSet
     assert(got === (0L until 40L).toSet)
+  }
+
+  test("merge dedupes the shared base across scheme spellings") {
+    val tmp = freshDir("scheme")
+    val base = Layout.commitAppend(spark,
+        (0L until 30L).map(i => (i, i % 3)).toDF("k", "v"), tmp, Seq("k"))
+      .localCheckpoint(eager = true)
+    // the same base manifest persisted and reloaded can render its paths
+    // without the scheme — merge must still recognize the shared files
+    val stripped = base
+      .withColumn("file", regexp_replace(col("file"), "^file:", ""))
+    val merged = Layout.mergeBranch(base, stripped)
+    assert(merged.count() === base.count())
+    assert(Layout.snapshotRead(spark, tmp, merged).count() === 30L)
   }
 
   test("merged manifest serves pruned reads with exact commit stats") {
