@@ -806,7 +806,11 @@ object CorpusOps {
     * budget-crossing document becomes engine-dependent (Spark and a
     * SQL oracle may cumulate the tie in opposite orders). Same
     * contract as [[budgetedAdmitBatch]], whose folded batches must
-    * replay this exact order.
+    * replay this exact order. Since r14 the contract is RUNTIME-
+    * GUARDED (count vs count-distinct riding the bucket aggregate —
+    * [[Guards.aggIdGuard]]; the distinct branch shuffles id-level
+    * triples instead of bucket rows, so pre-validated bulk loads can
+    * opt out via `spark.graft.validate.ids=false`).
     *
     * @param budgets (source, budget) token budget per source
     * @return (doc_id, source, n_tokens) of admitted documents
@@ -835,10 +839,24 @@ object CorpusOps {
       col("budget").cast("long").as("graft_budget")))
     val wB = Window.partitionBy("graft_src").orderBy("graft_b")
       .rowsBetween(Window.unboundedPreceding, -1)
+    // unique/non-null id + non-null token PRECONDITION guard riding the
+    // bucket aggregate's own shuffle: duplicate ids share a bucket
+    // (bucket is a function of the id), so per-bucket count vs
+    // count_distinct witnesses every violation (Guards.aggIdGuard)
+    val guardOn = Guards.enabled(counted)
+    val baseAggs = Seq(sum("n_tokens").as("graft_bt"))
+    val aggs = if (guardOn) baseAggs ++ Seq(
+      count(lit(1)).as("graft_n"),
+      count_distinct(col("doc_id")).as("graft_nd"),
+      count(when(col("n_tokens").isNull, 1)).as("graft_tn")) else baseAggs
+    val cb = coalesce(sum("graft_bt").over(wB), lit(0L))
     val bkts = d.groupBy("graft_src", "graft_b")
-      .agg(sum("n_tokens").as("graft_bt"))
+      .agg(aggs.head, aggs.tail: _*)
       .join(b, Seq("graft_src"))
-      .withColumn("graft_cb", coalesce(sum("graft_bt").over(wB), lit(0L)))
+      .withColumn("graft_cb",
+        if (guardOn) cb + Guards.aggIdGuard("budgetedMix",
+          col("graft_n"), col("graft_nd"), col("graft_tn"))
+        else cb)
     // full: even the bucket's LAST doc starts under the line. edge: the
     // line crosses inside (≤ one per source — graft_cb is monotone).
     // past: the first doc already starts at/over the line → all out.
@@ -893,13 +911,24 @@ object CorpusOps {
       .localCheckpoint(eager = false) // admitted filter + state fold
     val w = Window.partitionBy("graft_src").orderBy("doc_id")
       .rowsBetween(Window.unboundedPreceding, -1)
+    // within-batch unique/non-null id + non-null token guard, riding the
+    // same window partitioning (one WindowExec; cross-batch uniqueness
+    // stays the caller's documented contract)
+    val wLag = Window.partitionBy("graft_src").orderBy("doc_id")
+    val before = coalesce(col("graft_seen"), lit(0L)) +
+      coalesce(sum("n_tokens").over(w), lit(0L))
+    val guarded =
+      if (Guards.enabled(batch))
+        before + Guards.laggedIdGuard("doc_id", "budgetedAdmitBatch", wLag,
+          extraViolation = col("n_tokens").isNull,
+          extraMsg = " and text non-null")
+      else before
     val admitted = d
       .join(broadcast(budgets.select(col("source").as("graft_src"),
         col("budget").cast("long").as("graft_budget"))), Seq("graft_src"))
       .join(broadcast(seen.select(col("source").as("graft_src"),
         col("seen_tokens").as("graft_seen"))), Seq("graft_src"), "left")
-      .withColumn("graft_before", coalesce(col("graft_seen"), lit(0L)) +
-        coalesce(sum("n_tokens").over(w), lit(0L)))
+      .withColumn("graft_before", guarded)
       .filter(col("graft_before") < col("graft_budget"))
       .select(col("doc_id"), col("graft_src").as("source"), col("n_tokens"))
     val batchTotals = d.groupBy(col("graft_src").as("source"))
@@ -988,6 +1017,10 @@ object CorpusOps {
     * is a pure function of the id (nulls would all hash identically
     * and tie-break engine-dependently). Same contract as
     * [[shardAssignBatch]], whose folded batches must replay it.
+    * RUNTIME-GUARDED since r14 at zero extra cost (equal ids sort
+    * adjacent in the op's own window, so a lag comparison witnesses
+    * every duplicate — [[Guards.laggedIdGuard]]); opt out via
+    * `spark.graft.validate.ids=false`.
     *
     * @return df's columns + (shard INT, seq BIGINT starting at 1)
     */
@@ -997,10 +1030,18 @@ object CorpusOps {
     import org.apache.spark.sql.expressions.Window
     val w = Window.partitionBy(col("shard"))
       .orderBy(col("graft_h"), col(idCol))
+    // the unique/non-null id PRECONDITION is runtime-guarded riding the
+    // SAME window (zero extra pass — see Guards.laggedIdGuard)
+    val seqCol = {
+      val rn = row_number().over(w).cast("long")
+      if (Guards.enabled(df))
+        rn + Guards.laggedIdGuard(idCol, "shardShuffle", w)
+      else rn
+    }
     df.withColumn("graft_h",
         h64(concat_ws("-", lit(salt), col(idCol).cast("string"))))
       .withColumn("shard", pmod(col("graft_h"), lit(nShards.toLong)).cast("int"))
-      .withColumn("seq", row_number().over(w).cast("long"))
+      .withColumn("seq", seqCol)
       .drop("graft_h")
   }
 
@@ -1026,10 +1067,18 @@ object CorpusOps {
     import org.apache.spark.sql.expressions.Window
     val w = Window.partitionBy(col("shard"))
       .orderBy(col("graft_h"), col(idCol))
+    // within-batch unique/non-null id guard, riding the same window
+    // (cross-batch uniqueness stays the caller's contract)
+    val rkCol = {
+      val rn = row_number().over(w).cast("long")
+      if (Guards.enabled(batch))
+        rn + Guards.laggedIdGuard(idCol, "shardAssignBatch", w)
+      else rn
+    }
     val ranked = batch.withColumn("graft_h",
         h64(concat_ws("-", lit(salt), col(idCol).cast("string"))))
       .withColumn("shard", pmod(col("graft_h"), lit(nShards.toLong)).cast("int"))
-      .withColumn("graft_rk", row_number().over(w).cast("long"))
+      .withColumn("graft_rk", rkCol)
       .localCheckpoint(eager = false) // assignment + state fold both read
     val assigned = ranked
       .join(broadcast(seen.select(col("shard"),

@@ -1003,7 +1003,9 @@ object Multimodal {
     * time. PRECONDITION: `idCol` unique and non-null (position is a
     * pure function of the id) and `binCol` non-null (a null length
     * would silently skip the running byte window — see
-    * [[packAssignBatch]]).
+    * [[packAssignBatch]]). RUNTIME-GUARDED since r14 at zero extra
+    * cost (lag over the op's own window — [[Guards.laggedIdGuard]]);
+    * opt out via `spark.graft.validate.ids=false`.
     *
     * @return df's columns + (shard INT, length BIGINT, offset BIGINT)
     */
@@ -1014,11 +1016,22 @@ object Multimodal {
     val w = Window.partitionBy(col("shard"))
       .orderBy(col("graft_h"), col(idCol))
       .rowsBetween(Window.unboundedPreceding, -1)
+    // unique/non-null id + non-null payload guard riding the same
+    // window partitioning (Guards.laggedIdGuard — zero extra pass)
+    val wLag = Window.partitionBy(col("shard"))
+      .orderBy(col("graft_h"), col(idCol))
+    val off = coalesce(sum(col("length")).over(w), lit(0L))
+    val offCol =
+      if (Guards.enabled(df))
+        off + Guards.laggedIdGuard(idCol, "packIndex", wLag,
+          extraViolation = col("length").isNull,
+          extraMsg = " and the payload non-null")
+      else off
     df.withColumn("graft_h", graft.functions.TextFunctions.h64(
         concat_ws("-", lit(salt), col(idCol).cast("string"))))
       .withColumn("shard", pmod(col("graft_h"), lit(nShards.toLong)).cast("int"))
       .withColumn("length", octet_length(col(binCol)).cast("long"))
-      .withColumn("offset", coalesce(sum(col("length")).over(w), lit(0L)))
+      .withColumn("offset", offCol)
       .drop("graft_h")
   }
 
@@ -1049,11 +1062,22 @@ object Multimodal {
     val w = Window.partitionBy(col("shard"))
       .orderBy(col("graft_h"), col(idCol))
       .rowsBetween(Window.unboundedPreceding, -1)
+    // within-batch unique/non-null id + non-null payload guard (cross-
+    // batch uniqueness stays the caller's documented contract)
+    val wLag = Window.partitionBy(col("shard"))
+      .orderBy(col("graft_h"), col(idCol))
+    val cum = coalesce(sum(col("length")).over(w), lit(0L))
+    val cumCol =
+      if (Guards.enabled(batch))
+        cum + Guards.laggedIdGuard(idCol, "packAssignBatch", wLag,
+          extraViolation = col("length").isNull,
+          extraMsg = " and the payload non-null")
+      else cum
     val ranked = batch.withColumn("graft_h", graft.functions.TextFunctions.h64(
         concat_ws("-", lit(salt), col(idCol).cast("string"))))
       .withColumn("shard", pmod(col("graft_h"), lit(nShards.toLong)).cast("int"))
       .withColumn("length", octet_length(col(binCol)).cast("long"))
-      .withColumn("graft_cum", coalesce(sum(col("length")).over(w), lit(0L)))
+      .withColumn("graft_cum", cumCol)
       .localCheckpoint(eager = false) // assignment + state fold both read
     val assigned = ranked
       .join(broadcast(seen.select(col("shard"),
