@@ -55,6 +55,14 @@ object Soak {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     val copies = sys.env.getOrElse("SPARK_GRAFT_SOAK_COPIES", "10").toInt
+    // op filter for targeted scale points (e.g. the 50× flagship run:
+    // SPARK_GRAFT_SOAK_OPS=dedup_corpus,ivf_knn_join,front_door_admission
+    // SPARK_GRAFT_SOAK_COPIES=50) — unfiltered runs execute everything
+    val opsFilter = sys.env.get("SPARK_GRAFT_SOAK_OPS")
+      .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSet)
+    def want(names: String*): Boolean =
+      opsFilter.forall(f => names.exists(f.contains))
+    val skip = (-1.0, -1.0, -1L) // marker rows, filtered before the JSON
     // reclaim fixtures leaked by a HARD-KILLED earlier run (its finally
     // never ran, and per-run tracking means no later run would touch
     // them): sweep only graft-soak-* dirs old enough that no live
@@ -121,6 +129,7 @@ object Soak {
     }
 
     def measure(name: String)(f: => Long): (String, Double, Double, Long) = {
+      if (!want(name)) return (name, skip._1, skip._2, skip._3)
       quiesce() // settle counters from the previous op
       // refresh fixture liveness once per phase so a long run's fixtures
       // survive a concurrent run's startup sweep
@@ -262,6 +271,16 @@ object Soak {
             col("deg").as("bucket_sz")))
         n
       },
+      measure("frequent_ngrams_hot_template") { // d44 under the hot shapes
+        // the 10^4-copy cluster contributes 10^4 (doc, ngram) rows per
+        // hot trigram and the 5k template family shares ~57 trigrams
+        // across all members; map-side combine collapses per-doc
+        // repeats BEFORE the wire and the (ngram) roll-up shuffles
+        // vocabulary-scale rows — wall/shuffle here pins that the hot
+        // template costs combined rows, never copies × shingles
+        ops.CorpusOps.frequentNgrams(skewCorpus, "doc_id", "text",
+          n = 3, minDocFreq = 1000).count()
+      },
       measure("novelty_skew") { // d51 over the 10^4-duplicate cluster
         // every copy shares every shingle: the first-carrier aggregate
         // reduces each hot hash to ONE (hash, min_id) row, so the join
@@ -322,7 +341,9 @@ object Soak {
         ops.Graph.randomWalks(baseE.unionAll(hub).unionAll(back),
           "src", "dst", nWalks = 2, steps = 3).count()
       },
-      {
+      if (!want("dv_read_sparse_delete"))
+        ("dv_read_sparse_delete", skip._1, skip._2, skip._3)
+      else {
         // q93 under load: a 1% takedown over the blown-up table — the
         // SPARSE-delete contract DVs are for (a heavy delete crosses the
         // documented rewrite threshold and compacts instead). The base
@@ -343,7 +364,9 @@ object Soak {
           ops.Layout.readWithDeletes(spark, dvDir, dv).count()
         }
       },
-      {
+      if (!want("view_refresh_delete_delta"))
+        ("view_refresh_delete_delta", skip._1, skip._2, skip._3)
+      else {
         // q94 at delta scale: the (key, n, min, max) view over the
         // blown-up table is PRE-BUILT state; deleting rows under 0.1%
         // of keys must recompute only those groups
@@ -381,7 +404,9 @@ object Soak {
         ops.Similarity.gridDensityClusters(pts, "id", col("x"), col("y"),
           scale = 1000.0, cellWidth = 100.0, minPts = 20L).count()
       },
-      {
+      if (!want("view_refresh_delta"))
+        ("view_refresh_delta", skip._1, skip._2, skip._3)
+      else {
         // q86: the maintained view is PRE-BUILT state — construct and
         // materialize it OUTSIDE the timer (at 20 copies the build's
         // 3M-row join shuffled ~44 MB and was masquerading as refresh
@@ -420,7 +445,10 @@ object Soak {
     // ops' costs are per-FILE (stats pass task overhead, listing diff,
     // path collect), not per-row, so 10^4 files of 100 rows exercises
     // exactly the dimension that scales.
-    val layoutResults: Seq[(String, Double, Double, Long)] = {
+    val layoutResults: Seq[(String, Double, Double, Long)] =
+      if (!want("manifest_build_10k_files", "pruned_read_10k_files",
+        "manifest_extend_10k_plus_100")) Seq()
+      else {
       val mfDir = soakTempDir("graft-soak-mf")
       spark.range(0, 1000000L)
         .select(col("id").as("k"), (col("id") % 97).as("v"))
@@ -459,7 +487,10 @@ object Soak {
     // The wall/shuffle number is the full maintenance cycle a daily
     // lake job would pay; correctness of every intermediate pin is the
     // q105 gate's job, this entry proves the cycle holds at volume.
-    val multiwriterResult: (String, Double, Double, Long) = {
+    val multiwriterResult: (String, Double, Double, Long) =
+      if (!want("lake_multiwriter_cycle"))
+        ("lake_multiwriter_cycle", skip._1, skip._2, skip._3)
+      else {
       val mwDir = soakTempDir("graft-soak-mw")
       val li = spark.read.parquet(s"$sfDir/lineitem.parquet")
         .select("l_orderkey", "l_linenumber", "l_quantity")
@@ -506,7 +537,9 @@ object Soak {
     // built OUTSIDE the timer (the frozen-index posture every micro-
     // batch enjoys). The measure is the admission cost per candidate
     // volume: the per-batch path IS these operators.
-    val frontDoorResult: (String, Double, Double, Long) = {
+    val frontDoorResults: Seq[(String, Double, Double, Long)] =
+      if (!want("front_door_admission", "ingest_to_shards")) Seq()
+      else {
       import spark.implicits._
       val corpus = docsN.localCheckpoint(eager = true)
       val bench = corpus.filter(col("doc_id") % 2 === 1)
@@ -533,7 +566,8 @@ object Soak {
           concat(lit("src"), pmod(col("doc_id"), lit(20)).cast("string")))
         .localCheckpoint(eager = true)
       quiesce()
-      measure("front_door_admission") {
+      // shared three-stage admission plan (the per-micro-batch path)
+      def admitted() = {
         val nd = ops.Dedup.nearDupFilter(ndIdx,
             cand.select("doc_id", "text"), "doc_id", "text", tau = 0.5)
           .select("doc_id")
@@ -543,8 +577,27 @@ object Soak {
           .select("doc_id")
         val s2 = s1.join(ct, Seq("doc_id"), "left_semi")
         ops.CorpusOps.budgetedMix(s2, "doc_id", "text", "source",
-          budgets).count()
+          budgets)
       }
+      Seq(
+        measure("front_door_admission") { admitted().count() },
+        measure("ingest_to_shards") {
+          // the s36 capstone, batch-composed at soak scale: admission →
+          // deterministic shard shuffle AND pack-index over the SAME
+          // admitted set (text rides to its shard exactly once per
+          // artifact; both layouts are pure functions of (salt, id))
+          val adm = admitted().select("doc_id")
+            .join(cand, Seq("doc_id")) // re-attach payloads to winners
+            .localCheckpoint(eager = true)
+          val sharded = ops.CorpusOps.shardShuffle(adm, "doc_id", 64)
+            .filter(col("seq") >= 1)
+            .agg(count(lit(1)), sum(length(col("text")))).head.getLong(0)
+          val packed = ops.Multimodal.packIndex(
+              adm.withColumn("payload", col("text").cast("binary")),
+              "doc_id", "payload", nShards = 16)
+            .filter(col("offset") >= 0).count()
+          sharded + packed
+        })
     }
 
     // ---- round-13 write-path ops at the blown-up scale: the epoch
@@ -553,7 +606,9 @@ object Soak {
     // SHOULD approximate the corpus size — rows move exactly once to
     // their shard, which is the claim worth a number. The branch cycle
     // is commit + commit + merge + snapshot read, all manifest-sized.
-    val shardEpochResults: Seq[(String, Double, Double, Long)] = {
+    val shardEpochResults: Seq[(String, Double, Double, Long)] =
+      if (!want("epoch_plan", "shard_shuffle", "branch_cycle")) Seq()
+      else {
       import spark.implicits._
       val src = docsN.withColumn("source",
           concat(lit("src"), pmod(col("doc_id"), lit(20)).cast("string")))
@@ -603,8 +658,9 @@ object Soak {
     }
 
     val allResults =
-      results ++ layoutResults ++ shardEpochResults :+
-        multiwriterResult :+ frontDoorResult
+      (results ++ layoutResults ++ shardEpochResults ++
+        frontDoorResults :+ multiwriterResult)
+        .filter(_._2 >= 0) // drop op-filter skip markers
 
     val auditJson = audits.toSeq.sortBy(_._1).map { case (n, (b, mx, p)) =>
       s""""$n": {"dropped_buckets": $b, "max_bucket_sz": $mx, "dropped_candidate_pairs": $p}"""

@@ -427,6 +427,52 @@ object CorpusOps {
       .filter(col("n_docs") >= minDocFreq)
   }
 
+  /** [[frequentNgrams]] with a RESULT-SIZE cap plus observability —
+    * the 100 TB guard the support threshold alone cannot give: with a
+    * low `minDocFreq` the over-threshold set tracks template mass,
+    * which on a crawl corpus is unbounded (every site's boilerplate
+    * qualifies), and an unbounded result is itself the scale hazard
+    * (it gets broadcast into cleaners like [[removeBoilerplate]]).
+    * The cap keeps the `maxNgrams` WIDEST templates — ordered by
+    * (n_docs, n_occurrences, ngram) descending, the same "most shared
+    * first" order a boilerplate consumer wants — via a bounded
+    * top-K (TakeOrderedAndProject), never a global sort.
+    *
+    * The audit is the same observability contract as
+    * [[graft.ops.Dedup.containmentPairsAudited]], folded to one row
+    * because the DROPPED set is exactly what may be huge: `(n_kept,
+    * n_dropped, max_dropped_docs)` quantifies what the cap lost and
+    * how close the loss came to the keep line. `n_dropped = 0`
+    * certifies the capped result equals [[frequentNgrams]] on this
+    * input.
+    */
+  def frequentNgramsAudited(df: DataFrame, idCol: String, textCol: String,
+      n: Int, minDocFreq: Int, maxNgrams: Int): (DataFrame, DataFrame) = {
+    require(maxNgrams > 0, s"maxNgrams must be positive, got $maxNgrams")
+    val all = frequentNgrams(df, idCol, textCol, n, minDocFreq)
+      .localCheckpoint(eager = false) // top-K and audit both read it
+    // the sort key, direction-folded so one lexicographic struct order
+    // expresses (n_docs desc, n_occurrences desc, ngram asc)
+    def key(d: DataFrame): Column = struct(
+      (d("n_docs") * -1).as("a"), (d("n_occurrences") * -1).as("b"),
+      d("ngram").as("c"))
+    val kept = all.orderBy(col("n_docs").desc, col("n_occurrences").desc,
+        col("ngram").asc)
+      .limit(maxNgrams)
+    // the keep LINE is the last kept row — computable from the bounded
+    // kept set itself (≤ maxNgrams rows), broadcast back over the full
+    // aggregate; a row is dropped iff it sorts strictly after the line
+    val line = kept.agg(max(key(kept)).as("graft_line"))
+    val audit = all.crossJoin(broadcast(line)).agg(
+      coalesce(sum(when(key(all) <= col("graft_line"), 1L).otherwise(0L)),
+        lit(0L)).as("n_kept"),
+      coalesce(sum(when(key(all) > col("graft_line"), 1L).otherwise(0L)),
+        lit(0L)).as("n_dropped"),
+      max(when(key(all) > col("graft_line"), col("n_docs")))
+        .as("max_dropped_docs"))
+    (kept, audit)
+  }
+
   /** Bigram-LM quality score per document — the KenLM-style "does this
     * text look like the corpus" filter, in FIXED-POINT arithmetic so it
     * has an exact cross-engine oracle (gate d26): each bigram scores

@@ -1130,6 +1130,35 @@ class CorpusOpsSpec extends AnyFunSuite with SparkTestBase {
     assert(got("here to subscribe") === ((5L, 4L)))
   }
 
+  test("frequentNgramsAudited caps at widest templates, audit quantifies the loss") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "click here to subscribe now for updates"),
+      (2L, "click here to subscribe now please"),
+      (3L, "our site says click here to subscribe"),
+      (4L, "click here to subscribe click here to subscribe"),
+      (5L, "subscribe now for our site says nothing")).toDF("doc_id", "text")
+    // uncapped: the audit certifies exactness with n_dropped = 0
+    val (all, auditAll) = CorpusOps.frequentNgramsAudited(
+      docs, "doc_id", "text", n = 3, minDocFreq = 2, maxNgrams = 100)
+    val exact = CorpusOps.frequentNgrams(docs, "doc_id", "text", 3, 2)
+      .collect().map(_.getString(0)).toSet
+    assert(all.collect().map(_.getString(0)).toSet === exact)
+    val ra = auditAll.head()
+    assert(ra.getLong(0) === exact.size && ra.getLong(1) === 0L)
+    assert(ra.isNullAt(2)) // nothing dropped -> no dropped support
+    // capped at 2: keeps the two widest (doc-freq 4) templates, audit
+    // counts the rest and reports how hot the dropped tail was
+    val (top, audit) = CorpusOps.frequentNgramsAudited(
+      docs, "doc_id", "text", n = 3, minDocFreq = 2, maxNgrams = 2)
+    assert(top.collect().map(_.getString(0)).toSet ===
+      Set("click here to", "here to subscribe"))
+    val r = audit.head()
+    assert(r.getLong(0) === 2L)
+    assert(r.getLong(1) === exact.size - 2L)
+    assert(!r.isNullAt(2) && r.getLong(2) < 4L) // dropped support below the keep line
+  }
+
   test("removeDuplicateSpans cuts cross-doc runs, chains overlaps, keeps unique text") {
     import spark.implicits._
     // docs 1 and 2 share an 8-token run (> n=4, so overlapping 4-grams

@@ -104,6 +104,18 @@ class ShuffleHygieneSpec extends AnyFunSuite with SparkTestBase {
       s"unexpected string column(s) in a shuffle: $strings")
   }
 
+  test("frequentNgrams shuffles carry (doc, ngram, counts) — never document text") {
+    val cols = shuffledColumns(graft.ops.CorpusOps.frequentNgrams(
+      docs, "doc_id", "text", n = 3, minDocFreq = 2))
+    assert(cols.nonEmpty, "expected at least one exchange")
+    assert(!cols.exists(_.startsWith("text:")), s"text crossed a shuffle: $cols")
+    // the shuffled unit is an n-word shingle (the op's OUTPUT grain),
+    // never a document — the only string allowed through is `ngram`
+    val strings = cols.filter(_.endsWith(":string")).map(_.split(':')(0))
+    assert(strings.subsetOf(Set("ngram")),
+      s"unexpected string column(s) in a shuffle: $strings")
+  }
+
   test("vectorNearDupFilter shuffles carry ids, buckets and vectors — no strings") {
     val corpus = (0L until 200L).map { i =>
       (i, Seq.tabulate(8)(d => ((i * 13 + d * 7) % 29) / 29.0))
