@@ -313,6 +313,25 @@ class GraphSpec extends AnyFunSuite with SparkTestBase {
     assert(cc2(Seq((5L, 5L), (9L, 9L))) === Map.empty)
   }
 
+  test("two-phase CC result is digest-cadence-invariant") {
+    // the cadence only sets how often the convergence probe runs; at
+    // the star fixpoint extra rounds are no-ops, so every cadence must
+    // land on the same components as the per-round probe
+    val edges = (0L until 260L).map(i => ((i * 19 + 3) % 80, (i * 23 + 11) % 80))
+      .filter(e => e._1 != e._2) ++ Seq((500L, 501L), (502L, 501L))
+    val perRound = Graph.connectedComponentsTwoPhase(
+        edges.toDF("src", "dst"), "src", "dst", maxIter = 20, digestEvery = 1)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    for (cadence <- Seq(2, 3, 7)) {
+      val got = Graph.connectedComponentsTwoPhase(
+          edges.toDF("src", "dst"), "src", "dst", maxIter = 20,
+          digestEvery = cadence)
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      assert(got === perRound, s"cadence $cadence diverged")
+    }
+    assert(perRound === ccBrute(edges))
+  }
+
   private def hitsMap(edges: Seq[(Long, Long)], iters: Int): Map[Long, (Long, Long)] =
     Graph.hits(edges.toDF("src", "dst"), "src", "dst", iters)
       .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2)))).toMap
