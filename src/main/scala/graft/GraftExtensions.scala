@@ -154,6 +154,47 @@ object GraftExtensions {
         plan(graft.ops.Layout.statsManifest(s,
           strLit(args(0), "graft_stats"),
           Seq(strLit(args(1), "graft_stats"))))
+      }),
+      // BRANCH surface (q107/q109 semantics from pure SQL): commit,
+      // fast-forward merge, and row provenance. Manifests are addressed
+      // by their persisted parquet dirs like the rest of the family.
+      //
+      // graft_commit WRITES: reading `srcDir`, it appends one commit
+      // under `dataDir` and returns that commit's manifest rows —
+      // persist them (CREATE TABLE / INSERT) to retain the branch. The
+      // write happens when the function RESOLVES (analysis time), the
+      // same moment the rest of the family does its planner-scale
+      // work — so one SQL statement = one commit, and EXPLAIN-ing the
+      // statement also commits (documented; the metadata ops are
+      // driver verbs, not lazy scans).
+      "graft_commit" -> ((args: Seq[Expression]) => {
+        expectArgs("graft_commit", "dataDir, srcDir, statsCol", args, 3)
+        val s = active
+        plan(graft.ops.Layout.commitAppend(s,
+          s.read.parquet(strLit(args(1), "graft_commit")),
+          strLit(args(0), "graft_commit"),
+          Seq(strLit(args(2), "graft_commit"))))
+      }),
+      // `SELECT * FROM graft_merge(mainManifestDir, branchManifestDir)`
+      // = the published manifest (main ∪ branch−main, file identity
+      // scheme-insensitive) — persist it to publish, exactly the WAP
+      // publish step as one SQL statement
+      "graft_merge" -> ((args: Seq[Expression]) => {
+        expectArgs("graft_merge", "mainManifestDir, branchManifestDir",
+          args, 2)
+        val s = active
+        plan(graft.ops.Layout.mergeBranch(
+          s.read.parquet(strLit(args(0), "graft_merge")),
+          s.read.parquet(strLit(args(1), "graft_merge"))))
+      }),
+      // snapshot read + commit_id provenance column — "which ingest
+      // batch produced this row" is GROUP BY commit_id from pure SQL
+      "graft_lineage" -> ((args: Seq[Expression]) => {
+        expectArgs("graft_lineage", "dataDir, manifestDir", args, 2)
+        val s = active
+        plan(graft.ops.Layout.lineageRead(s,
+          strLit(args(0), "graft_lineage"),
+          s.read.parquet(strLit(args(1), "graft_lineage"))))
       }))
   }
 

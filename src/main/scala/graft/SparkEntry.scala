@@ -4392,6 +4392,34 @@ object SparkEntry {
         .orderBy("dim")
     }),
 
+    // ---- the BRANCH surface from pure SQL (q107+q109 semantics with
+    // zero Scala DSL): each commit is one `graft_commit` statement
+    // whose returned manifest rows persist as the branch state; publish
+    // is `graft_merge` persisted (the WAP publish as one statement);
+    // provenance is GROUP BY commit_id over `graft_lineage` — commit
+    // ids are run-random, so the pinned output is each commit's
+    // layout-independent slice signature --------------------------------
+    "q110_sql_branch_lineage" -> ((s, dir) => {
+      val tmp = gateScratch("q110")
+      GraftExtensions.register(s)
+      val li = t(s, dir, "lineitem").select("l_orderkey", "l_quantity")
+      (0 until 3).foreach { i =>
+        li.filter(col("l_orderkey") % 3 === i).write.parquet(s"$tmp/in$i")
+        s.sql(s"SELECT * FROM graft_commit('$tmp/t', '$tmp/in$i', 'l_orderkey')")
+          .write.parquet(s"$tmp/m$i")
+      }
+      s.sql(s"SELECT * FROM graft_merge('$tmp/m0', '$tmp/m1')")
+        .write.parquet(s"$tmp/m01")
+      s.sql(s"SELECT * FROM graft_merge('$tmp/m01', '$tmp/m2')")
+        .write.parquet(s"$tmp/mAll")
+      s.sql(s"""
+        |SELECT COUNT(*) AS n_rows, MIN(l_orderkey) AS min_key,
+        |  MAX(l_orderkey) AS max_key,
+        |  CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty
+        |FROM graft_lineage('$tmp/t', '$tmp/mAll')
+        |GROUP BY commit_id ORDER BY min_key""".stripMargin)
+    }),
+
     // ---- non-invertible agg-view maintenance under deletes: MIN/MAX
     // can't fold a retraction — recompute ONLY the delete-touched
     // groups from the post-delete base, reuse the rest verbatim --------
@@ -9251,6 +9279,14 @@ object SparkEntry {
 
     // each commit is a % 3 slice; its signature is the slice aggregate
     "q109_commit_lineage" ->
+      """SELECT COUNT(*) AS n_rows, MIN(l_orderkey) AS min_key,
+        |  MAX(l_orderkey) AS max_key,
+        |  CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty
+        |FROM lineitem GROUP BY l_orderkey % 3 ORDER BY min_key""".stripMargin,
+
+    // the SQL replay of the commit/merge/lineage cycle lands on the
+    // same per-commit slice signatures as the Scala one (q109)
+    "q110_sql_branch_lineage" ->
       """SELECT COUNT(*) AS n_rows, MIN(l_orderkey) AS min_key,
         |  MAX(l_orderkey) AS max_key,
         |  CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty

@@ -453,6 +453,19 @@ object Layout {
     statsManifest(spark, cdir, statsCols)
   }
 
+  /** PROVENANCE read — [[snapshotRead]] with each row tagged by the
+    * commit that produced it: pure `_metadata.file_path` arithmetic
+    * over [[commitAppend]]'s commit-dir naming contract, so lineage
+    * costs ZERO stored columns and zero write overhead (the q109
+    * pattern as a reusable op; rows written outside a commit dir get
+    * an empty commit_id). "Which ingest batch produced this training
+    * row" becomes an ordinary GROUP BY commit_id. */
+  def lineageRead(spark: org.apache.spark.sql.SparkSession, dir: String,
+      manifest: DataFrame): DataFrame =
+    snapshotRead(spark, dir, manifest)
+      .withColumn("commit_id", regexp_extract(
+        col("_metadata.file_path"), "(commit-[0-9a-f]+)", 1))
+
   /** FAST-FORWARD MERGE of an append-only branch into main: main's
     * manifest plus every branch file main does not already track. For
     * append-only tables the fork base is main's subset of the branch,

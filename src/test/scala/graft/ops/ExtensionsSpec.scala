@@ -160,6 +160,44 @@ class GraftExtensionsSpec extends AnyFunSuite with SparkTestBase {
       spark.sql("SELECT * FROM graft_snapshot('/a', '/b', '/c')").collect()
     }
     assert(deepMsg(e3).contains("graft_snapshot"), deepMsg(e3))
+    val e4 = intercept[Throwable] {
+      spark.sql("SELECT * FROM graft_commit('/a', '/b')").collect()
+    }
+    assert(deepMsg(e4).contains("graft_commit"), deepMsg(e4))
+    val e5 = intercept[Throwable] {
+      spark.sql("SELECT * FROM graft_merge('/a')").collect()
+    }
+    assert(deepMsg(e5).contains("graft_merge"), deepMsg(e5))
+  }
+
+  test("SQL branch surface: commit, merge and lineage round-trip") {
+    import spark.implicits._
+    graft.GraftExtensions.register(spark)
+    val tmp = java.nio.file.Files.createTempDirectory("graft-sqlbranch").toString
+    (0L until 40L).map(i => (i, i % 3)).toDF("k", "v")
+      .write.parquet(s"$tmp/in0")
+    (40L until 60L).map(i => (i, i % 3)).toDF("k", "v")
+      .write.parquet(s"$tmp/in1")
+    spark.sql(s"SELECT * FROM graft_commit('$tmp/t', '$tmp/in0', 'k')")
+      .write.parquet(s"$tmp/m0")
+    spark.sql(s"SELECT * FROM graft_commit('$tmp/t', '$tmp/in1', 'k')")
+      .write.parquet(s"$tmp/m1")
+    // each persisted commit manifest serves an isolated snapshot
+    assert(spark.sql(s"SELECT * FROM graft_snapshot('$tmp/t', '$tmp/m0')")
+      .count() === 40L)
+    spark.sql(s"SELECT * FROM graft_merge('$tmp/m0', '$tmp/m1')")
+      .write.parquet(s"$tmp/mAll")
+    // merge is idempotent at the file level (scheme-insensitive)
+    assert(spark.sql(s"SELECT * FROM graft_merge('$tmp/mAll', '$tmp/m0')")
+      .count() ===
+      spark.read.parquet(s"$tmp/mAll").count())
+    // lineage: two commits, each with its slice signature
+    val lin = spark.sql(
+      s"""SELECT COUNT(*) AS n, MIN(k) AS lo, MAX(k) AS hi
+         |FROM graft_lineage('$tmp/t', '$tmp/mAll')
+         |GROUP BY commit_id ORDER BY lo""".stripMargin).collect()
+    assert(lin.map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq
+      === Seq((40L, 0L, 39L), (20L, 40L, 59L)))
   }
 
   test("SQL-registered kernels match the Column API results") {
