@@ -43,6 +43,55 @@ object SparkEntry {
     p.toString
   }
 
+  /** Shared CTE chain for the ingest front door (s32 whole-pipeline
+    * admission, s36 capstone): candidate feed → near-dup survival vs
+    * the even corpus → contamination survival vs the odd benchmark →
+    * token counting → plain-window budget prefix. Ends with
+    * `adm` = admitted (doc_id, source, n_tokens); `cand0` stays in
+    * scope (CTE scoping is lexical) for consumers needing the text. */
+  private lazy val frontDoorCtes: String = {
+    val candSql =
+      """SELECT doc_id + 2000000 AS doc_id, source, text FROM documents
+        |  WHERE doc_id % 10 = 2
+        |UNION ALL
+        |SELECT doc_id + 3000000, source, text FROM documents
+        |  WHERE doc_id % 10 = 3
+        |UNION ALL
+        |SELECT doc_id + 4000000, source, reverse(text) FROM documents
+        |  WHERE doc_id % 10 = 6""".stripMargin
+    val ndSql = OracleSql.nearDupIncremental(
+      "SELECT doc_id, text FROM documents WHERE doc_id % 2 = 0",
+      "SELECT doc_id, text FROM cand0",
+      k = 12, bands = 6, shingleSize = 3, tau = 0.5, maxBucket = 1000)
+    val budgetVals = (0 until 20).map(k => s"('src$k', ${60L + 29L * k})")
+      .mkString(", ")
+    s"""cand0 AS ($candSql),
+       |nd AS (SELECT doc_id FROM ($ndSql)),
+       |surv1 AS (SELECT c.* FROM cand0 c JOIN nd USING (doc_id)),
+       |cfps AS (${OracleSql.winnow("SELECT doc_id, text FROM surv1", 5, 4)}),
+       |bfps AS (SELECT DISTINCT fp FROM (${OracleSql.winnow(
+           "SELECT doc_id, text FROM documents WHERE doc_id % 2 = 1", 5, 4)})),
+       |ct AS (
+       |  SELECT c.doc_id FROM cfps c LEFT JOIN bfps b ON c.fp = b.fp
+       |  GROUP BY 1
+       |  HAVING CAST(SUM(CASE WHEN b.fp IS NULL THEN 0 ELSE 1 END) AS DOUBLE)
+       |    / COUNT(*) < 0.5),
+       |surv2 AS (SELECT s1.* FROM surv1 s1 JOIN ct USING (doc_id)),
+       |d AS (
+       |  SELECT doc_id, source,
+       |    CAST(CASE WHEN length(trim(text)) = 0 THEN 0
+       |         ELSE len(${OracleSql.toks("text")}) END AS BIGINT) AS n_tokens
+       |  FROM surv2),
+       |b(source, budget) AS (VALUES $budgetVals),
+       |c2 AS (
+       |  SELECT d.doc_id, d.source, d.n_tokens, b.budget,
+       |    COALESCE(SUM(n_tokens) OVER (PARTITION BY d.source
+       |      ORDER BY doc_id
+       |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS cb
+       |  FROM d JOIN b USING (source)),
+       |adm AS (SELECT doc_id, source, n_tokens FROM c2 WHERE cb < budget)""".stripMargin
+  }
+
   /** Shared oracle for the token-budget mix (d55 batch, s30 streaming
     * fold — both must equal this plain-window greedy prefix). Budgets
     * come from the same arithmetic the gates use, so they cannot
@@ -5383,6 +5432,175 @@ object SparkEntry {
         q.awaitTermination()
       }
       admitted.orderBy("doc_id")
+    }),
+
+    // ---- CAPSTONE: the COMPLETE ingest→training-shards pipeline as ONE
+    // stream (r13 verdict #1). Per micro-batch: front-door admission
+    // (s32's three filters — frozen LSH near-dup index, frozen benchmark
+    // fingerprints, running token budgets) → write-audit-publish commit
+    // of the admitted PAYLOADS to a staging branch (s34's commitAppend)
+    // → deterministic shard assignment (s33's fold) AND pack-index fold
+    // (s35's) over the same admitted rows. After the stream: audit the
+    // staged branch against the pipeline's own ledger, publish with one
+    // fast-forward mergeBranch, and answer "which ingest batch produced
+    // this training row" from _metadata lineage alone (q109). ONE output
+    // hash-pins all three artifacts against the whole-set batch oracle:
+    // the shard table, the pack index, and the published main branch's
+    // per-commit slice signatures (commit ids are run-random, so the
+    // signature, not the id, is pinned) ---------------------------------
+    "s36_ingest_to_shards" -> ((s, dir) => {
+      import s.implicits._
+      val tmp = gateScratch("s36")
+      val docs = t(s, dir, "documents").select("doc_id", "source", "text")
+      val evens = docs.filter(col("doc_id") % 2 === 0)
+        .select("doc_id", "text")
+      val odds = docs.filter(col("doc_id") % 2 === 1)
+        .select("doc_id", "text")
+      // main = the frozen reference corpus, committed once up front
+      val main0 = ops.Layout.commitAppend(s, evens, s"$tmp/t", Seq("doc_id"))
+        .localCheckpoint(eager = true)
+      // candidate feed — s32's construction: A rejected by near-dup,
+      // B by contamination, C reaches the budget stage
+      val candA = docs.filter(col("doc_id") % 10 === 2)
+        .select((col("doc_id") + 2000000).as("doc_id"), col("source"),
+          col("text"))
+      val candB = docs.filter(col("doc_id") % 10 === 3)
+        .select((col("doc_id") + 3000000).as("doc_id"), col("source"),
+          col("text"))
+      val candC = docs.filter(col("doc_id") % 10 === 6)
+        .select((col("doc_id") + 4000000).as("doc_id"), col("source"),
+          reverse(col("text")).as("text"))
+      val cand0 = candA.unionAll(candB).unionAll(candC)
+      val candReps = ops.Dedup.collapseExactText(
+        cand0.select("doc_id", "text"), "doc_id", "text").select("doc_id")
+      val cand = cand0.join(candReps, Seq("doc_id"), "left_semi")
+        .localCheckpoint(eager = true)
+      // id-ordered shards with forced mtimes (s30/s32 ordering contract)
+      val inDir = java.nio.file.Paths.get(tmp, "in")
+      java.nio.file.Files.createDirectories(inDir)
+      val bounds = Seq(
+        (col("doc_id") < 3000000L),
+        (col("doc_id") >= 3000000L && col("doc_id") < 4000000L),
+        (col("doc_id") >= 4000000L && col("doc_id") < 4000250L),
+        (col("doc_id") >= 4000250L))
+      bounds.zipWithIndex.foreach { case (p, i) =>
+        val shardTmp = s"$tmp/shard$i"
+        cand.filter(p).coalesce(1).write.parquet(shardTmp)
+        val part = new java.io.File(shardTmp).listFiles()
+          .filter(_.getName.endsWith(".parquet")).head
+        val dst = inDir.resolve(f"shard-$i%02d.parquet")
+        java.nio.file.Files.move(part.toPath, dst)
+        java.nio.file.Files.setLastModifiedTime(dst,
+          java.nio.file.attribute.FileTime.fromMillis(
+            1700000000000L + i * 60000L))
+      }
+      // the three FROZEN admission indexes
+      val nd0 = ops.Dedup.nearDupIndex(evens, "doc_id", "text",
+        k = 12, bands = 6, shingleSize = 3)
+      val ndIdx = nd0.copy(
+        fingerprints = nd0.fingerprints.localCheckpoint(eager = false),
+        bands = nd0.bands.localCheckpoint(eager = false),
+        hashes = nd0.hashes.localCheckpoint(eager = false))
+      val ctIdx = ops.CorpusOps.benchmarkFingerprints(odds, "doc_id", "text")
+        .localCheckpoint(eager = false)
+      val budgets = (0 until 20).map(k => (s"src$k", 60L + 29L * k))
+        .toDF("source", "budget").localCheckpoint(eager = true)
+      // running state: token budgets, shard cursors, pack byte cursors,
+      // the staged branch manifest, and the pipeline's own row ledger
+      var seen = Seq.empty[(String, Long)].toDF("source", "seen_tokens")
+        .localCheckpoint(eager = true)
+      var seenShard = Seq.empty[(Int, Long)].toDF("shard", "n_seen")
+        .localCheckpoint(eager = true)
+      var seenPack = Seq.empty[(Int, Long)].toDF("shard", "n_bytes")
+        .localCheckpoint(eager = true)
+      var shardTab = cand.limit(0).select(col("doc_id"),
+        lit(0).as("shard"), lit(0L).as("seq"), lit(0L).as("n_tokens"))
+      var packTab = cand.limit(0).select(col("doc_id"),
+        lit(0).as("shard"), lit(0L).as("offset"), lit(0L).as("length"))
+      var staged: Option[DataFrame] = None
+      var ledger = 0L
+      val inSchema = s.read.parquet(inDir.toString).schema
+      withNarrowState(s) {
+        val q = s.readStream
+          .schema(inSchema)
+          .option("maxFilesPerTrigger", "1")
+          .parquet(inDir.toString)
+          .writeStream
+          .foreachBatch { (batch: DataFrame, _: Long) =>
+            // 1. front door (three filters, s32)
+            val nd = ops.Dedup.nearDupFilter(ndIdx,
+                batch.select("doc_id", "text"), "doc_id", "text", tau = 0.5)
+              .select("doc_id")
+            val s1 = batch.join(nd, Seq("doc_id"), "left_semi")
+            val ct = ops.CorpusOps.contaminationFilter(ctIdx,
+                s1.select("doc_id", "text"), "doc_id", "text")
+              .select("doc_id")
+            val s2 = s1.join(ct, Seq("doc_id"), "left_semi")
+            val (admRaw, ns) = ops.CorpusOps.budgetedAdmitBatch(seen, s2,
+              "doc_id", "text", "source", budgets)
+            seen = ns.localCheckpoint(eager = true)
+            // the admitted rows with their payloads, pinned once —
+            // the commit write, the shard fold and the pack fold all
+            // read this one batch-scale table
+            val adm = admRaw
+              .join(batch.select("doc_id", "text"), Seq("doc_id"))
+              .localCheckpoint(eager = true)
+            val n = adm.count()
+            ledger += n
+            if (n > 0) { // an all-rejected batch stages no commit
+              // 2. WAP: stage the admitted payloads as one commit
+              val c = ops.Layout.commitAppend(s,
+                  adm.select("doc_id", "text"), s"$tmp/t", Seq("doc_id"))
+                .localCheckpoint(eager = true)
+              staged = Some(staged.fold(c)(_ unionAll c))
+              // 3. shard-table fold (s33)
+              val (asg, nss) = ops.CorpusOps.shardAssignBatch(seenShard,
+                adm.select("doc_id", "n_tokens"), "doc_id", nShards = 8)
+              shardTab = shardTab.unionAll(
+                  asg.select(col("doc_id"), col("shard"), col("seq"),
+                    col("n_tokens")))
+                .localCheckpoint(eager = true)
+              seenShard = nss.localCheckpoint(eager = true)
+              // 4. pack-index fold (s35)
+              val (pasg, nsp) = ops.Multimodal.packAssignBatch(seenPack,
+                adm.select(col("doc_id"),
+                  col("text").cast("binary").as("payload")),
+                "doc_id", "payload", nShards = 4)
+              packTab = packTab.unionAll(
+                  pasg.select(col("doc_id"), col("shard"), col("offset"),
+                    col("length")))
+                .localCheckpoint(eager = true)
+              seenPack = nsp.localCheckpoint(eager = true)
+            }
+            ()
+          }
+          .option("checkpointLocation", s"$tmp/chk")
+          .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+          .start()
+        q.awaitTermination()
+      }
+      // AUDIT: the staged branch must reconcile with the ledger before
+      // anything becomes visible on main
+      val staging = staged.getOrElse(main0.limit(0))
+      val stagedRows = ops.Layout.snapshotRead(s, s"$tmp/t", staging).count()
+      require(stagedRows == ledger,
+        s"ingest audit failed: staged $stagedRows != ledger $ledger — not publishing")
+      val published = ops.Layout.mergeBranch(main0, staging)
+      // lineage: per-commit slice signature of the published main
+      val commits = ops.Layout.lineageRead(s, s"$tmp/t", published)
+        .groupBy("commit_id")
+        .agg(count(lit(1)).as("v1"), min("doc_id").as("doc_id"),
+          max("doc_id").as("v2"),
+          sum(length(col("text")).cast("long")).as("v3"))
+      shardTab.select(lit("shard").as("part"), col("doc_id"),
+          col("shard").cast("long").as("v1"), col("seq").as("v2"),
+          col("n_tokens").as("v3"))
+        .unionAll(packTab.select(lit("pack").as("part"), col("doc_id"),
+          col("shard").cast("long").as("v1"), col("offset").as("v2"),
+          col("length").as("v3")))
+        .unionAll(commits.select(lit("commit").as("part"), col("doc_id"),
+          col("v1"), col("v2"), col("v3")))
+        .orderBy("part", "doc_id")
     })
   )
 
@@ -9613,48 +9831,57 @@ object SparkEntry {
     // (s25's oracle as a nested-WITH subquery), contamination filter
     // over the survivors, then the plain-window budget prefix — CTE
     // scoping is lexical, so the nested oracle sees the outer cand0
-    "s32_front_door_pipeline" -> {
-      val candSql =
-        """SELECT doc_id + 2000000 AS doc_id, source, text FROM documents
-          |  WHERE doc_id % 10 = 2
-          |UNION ALL
-          |SELECT doc_id + 3000000, source, text FROM documents
-          |  WHERE doc_id % 10 = 3
-          |UNION ALL
-          |SELECT doc_id + 4000000, source, reverse(text) FROM documents
-          |  WHERE doc_id % 10 = 6""".stripMargin
-      val ndSql = OracleSql.nearDupIncremental(
-        "SELECT doc_id, text FROM documents WHERE doc_id % 2 = 0",
-        "SELECT doc_id, text FROM cand0",
-        k = 12, bands = 6, shingleSize = 3, tau = 0.5, maxBucket = 1000)
-      val budgetVals = (0 until 20).map(k => s"('src$k', ${60L + 29L * k})")
-        .mkString(", ")
-      s"""WITH cand0 AS ($candSql),
-         |nd AS (SELECT doc_id FROM ($ndSql)),
-         |surv1 AS (SELECT c.* FROM cand0 c JOIN nd USING (doc_id)),
-         |cfps AS (${OracleSql.winnow("SELECT doc_id, text FROM surv1", 5, 4)}),
-         |bfps AS (SELECT DISTINCT fp FROM (${OracleSql.winnow(
-             "SELECT doc_id, text FROM documents WHERE doc_id % 2 = 1", 5, 4)})),
-         |ct AS (
-         |  SELECT c.doc_id FROM cfps c LEFT JOIN bfps b ON c.fp = b.fp
-         |  GROUP BY 1
-         |  HAVING CAST(SUM(CASE WHEN b.fp IS NULL THEN 0 ELSE 1 END) AS DOUBLE)
-         |    / COUNT(*) < 0.5),
-         |surv2 AS (SELECT s1.* FROM surv1 s1 JOIN ct USING (doc_id)),
-         |d AS (
-         |  SELECT doc_id, source,
-         |    CAST(CASE WHEN length(trim(text)) = 0 THEN 0
-         |         ELSE len(${OracleSql.toks("text")}) END AS BIGINT) AS n_tokens
-         |  FROM surv2),
-         |b(source, budget) AS (VALUES $budgetVals),
-         |c2 AS (
-         |  SELECT d.doc_id, d.source, d.n_tokens, b.budget,
-         |    COALESCE(SUM(n_tokens) OVER (PARTITION BY d.source
-         |      ORDER BY doc_id
-         |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS cb
-         |  FROM d JOIN b USING (source))
-         |SELECT doc_id, source, n_tokens FROM c2 WHERE cb < budget
-         |ORDER BY doc_id""".stripMargin
+    "s32_front_door_pipeline" ->
+      s"""WITH $frontDoorCtes
+         |SELECT doc_id, source, n_tokens FROM adm
+         |ORDER BY doc_id""".stripMargin,
+
+    // the capstone stream ≡ three whole-set artifacts over the SAME
+    // admitted set: the s33-style shard table and s35-style pack index
+    // (windows keyed by the arrival batch, then (h64, id)), and the
+    // published main branch's per-commit slice signatures — base commit
+    // = the even reference corpus, one commit per batch with survivors
+    "s36_ingest_to_shards" -> {
+      val ghS = OracleSql.h64("'graft-shuffle-' || CAST(doc_id AS VARCHAR)")
+      val ghP = OracleSql.h64("'graft-pack-' || CAST(doc_id AS VARCHAR)")
+      s"""WITH $frontDoorCtes,
+         |admt AS (
+         |  SELECT a.doc_id, a.n_tokens, c.text,
+         |    CASE WHEN a.doc_id < 3000000 THEN 0
+         |         WHEN a.doc_id < 4000000 THEN 1
+         |         WHEN a.doc_id < 4000250 THEN 2 ELSE 3 END AS batch
+         |  FROM adm a JOIN cand0 c USING (doc_id)),
+         |sh AS (SELECT doc_id, $ghS AS gh, n_tokens, batch FROM admt),
+         |shard_rows AS (
+         |  SELECT 'shard' AS part, doc_id, CAST(gh % 8 AS BIGINT) AS v1,
+         |    CAST(ROW_NUMBER() OVER (PARTITION BY gh % 8
+         |      ORDER BY batch, gh, doc_id) AS BIGINT) AS v2,
+         |    n_tokens AS v3
+         |  FROM sh),
+         |pk AS (
+         |  SELECT doc_id, $ghP AS gp,
+         |    octet_length(encode(text)) AS len, batch FROM admt),
+         |pack_rows AS (
+         |  SELECT 'pack' AS part, doc_id, CAST(gp % 4 AS BIGINT) AS v1,
+         |    CAST(COALESCE(SUM(len) OVER (PARTITION BY gp % 4
+         |      ORDER BY batch, gp, doc_id
+         |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+         |      AS BIGINT) AS v2,
+         |    CAST(len AS BIGINT) AS v3
+         |  FROM pk),
+         |commit_rows AS (
+         |  SELECT 'commit' AS part, MIN(doc_id) AS doc_id,
+         |    CAST(COUNT(*) AS BIGINT) AS v1, MAX(doc_id) AS v2,
+         |    CAST(SUM(length(text)) AS BIGINT) AS v3
+         |  FROM documents WHERE doc_id % 2 = 0
+         |  UNION ALL
+         |  SELECT 'commit', MIN(doc_id), CAST(COUNT(*) AS BIGINT),
+         |    MAX(doc_id), CAST(SUM(length(text)) AS BIGINT)
+         |  FROM admt GROUP BY batch)
+         |SELECT part, doc_id, v1, v2, v3 FROM shard_rows
+         |UNION ALL SELECT part, doc_id, v1, v2, v3 FROM pack_rows
+         |UNION ALL SELECT part, doc_id, v1, v2, v3 FROM commit_rows
+         |ORDER BY part, doc_id""".stripMargin
     },
 
     // the streaming admission against the FROZEN benchmark fingerprints
