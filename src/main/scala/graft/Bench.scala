@@ -88,6 +88,13 @@ object Bench {
     // re-running only them costs a few seconds over the whole suite
     names.filter { case (n, _) => best.get(n).exists(_ < 1.0) }
       .foreach { case (n, f) => timeOne(n, f) }
+    // heavy queries (min > 2 s) get a third sample too: they dominate
+    // the suite total, so one GC/JIT-inflated pair of reps moves the
+    // headline by whole seconds — a third draw lets the min shed a
+    // suite-position artifact (r13 measured identical code at 385 s vs
+    // 295 s back-to-back; the movers were all multi-second queries)
+    names.filter { case (n, _) => best.get(n).exists(_ > 2.0) }
+      .foreach { case (n, f) => timeOne(n, f) }
 
     val results = names.map { case (n, _) => n -> best.getOrElse(n, -1.0) }
     val failed = results.count(_._2 < 0) // -1 marks broken, see below
@@ -106,8 +113,21 @@ object Bench {
     // EXCLUDED from the headline sum — a broken query must surface as
     // "failed":N, not as a faster-looking total
     val total = results.collect { case (_, v) if v >= 0 => v }.sum
+    // whole-run JVM counters, so hot/cold runs are distinguishable from
+    // real plan regressions when comparing rounds: a 30% total swing
+    // with 2x the gc_ms/jit_ms is the VM, not the code (r13's 385 s vs
+    // 295 s back-to-back on identical code)
+    val (gcMs, gcCount) = {
+      import scala.jdk.CollectionConverters._
+      val beans = java.lang.management.ManagementFactory
+        .getGarbageCollectorMXBeans.asScala
+      (beans.map(_.getCollectionTime).sum, beans.map(_.getCollectionCount).sum)
+    }
+    val jitMs = java.lang.management.ManagementFactory
+      .getCompilationMXBean.getTotalCompilationTime
+    val jvm = s""""gc_ms":$gcMs,"gc_count":$gcCount,"jit_ms":$jitMs"""
     val jsonLine =
-      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"probes":$ps,"reps":$reps,"failed":$failed,"sf":"$sfDir"}"""
+      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"probes":$ps,"reps":$reps,"failed":$failed,$jvm,"sf":"$sfDir"}"""
     println(jsonLine)
     // The driver keeps only the last ~2000 chars of stdout, so the full
     // line above (≈10 KB at 242 queries) arrives beheaded and fails to
@@ -128,7 +148,7 @@ object Bench {
     // to grab this line instead must not silently receive different
     // semantics under the same field name (ADVICE r12)
     val compact =
-      s"""{"metric":"total","value":$total,"unit":"sec","top_queries":$top,"n_queries":${results.size},"reps":$reps,"failed":$failed,"sf":"$sfDir","note":"top_queries holds top-25 by time; full per-query map in bench_results.json"}"""
+      s"""{"metric":"total","value":$total,"unit":"sec","top_queries":$top,"n_queries":${results.size},"reps":$reps,"failed":$failed,$jvm,"sf":"$sfDir","note":"top_queries holds top-25 by time; full per-query map in bench_results.json"}"""
     println(s"BENCH_JSON: $compact")
     println(compact)
     // the driver keeps only a short tail of stdout, which truncates the
