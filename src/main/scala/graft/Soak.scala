@@ -445,35 +445,42 @@ object Soak {
     // ops' costs are per-FILE (stats pass task overhead, listing diff,
     // path collect), not per-row, so 10^4 files of 100 rows exercises
     // exactly the dimension that scales.
+    // file count is a knob (SPARK_GRAFT_SOAK_MANIFEST_FILES) so the same
+    // entries pin additional scale points (10^5 sits well under the
+    // default spark.graft.manifest.maxFiles=10^6 ceiling)
+    val mfFiles = sys.env.getOrElse("SPARK_GRAFT_SOAK_MANIFEST_FILES",
+      "10000").toInt
+    val mfTag = s"${mfFiles / 1000}k"
     val layoutResults: Seq[(String, Double, Double, Long)] =
-      if (!want("manifest_build_10k_files", "pruned_read_10k_files",
-        "manifest_extend_10k_plus_100")) Seq()
+      if (!want(s"manifest_build_${mfTag}_files", s"pruned_read_${mfTag}_files",
+        s"manifest_extend_${mfTag}_plus_100")) Seq()
       else {
       val mfDir = soakTempDir("graft-soak-mf")
-      spark.range(0, 1000000L)
+      val mfRows = mfFiles * 100L
+      spark.range(0, mfRows)
         .select(col("id").as("k"), (col("id") % 97).as("v"))
-        .repartitionByRange(10000, col("k"))
+        .repartitionByRange(mfFiles, col("k"))
         .write.mode("overwrite").parquet(s"$mfDir/t")
       quiesce()
       var manifest: org.apache.spark.sql.DataFrame = null
-      val rBuild = measure("manifest_build_10k_files") {
+      val rBuild = measure(s"manifest_build_${mfTag}_files") {
         manifest = ops.Layout.statsManifest(spark, s"$mfDir/t", Seq("k"))
         manifest.count()
       }
-      val rPrune = measure("pruned_read_10k_files") {
-        // the probe keeps ~10 of 10^4 files; cost = manifest filter +
-        // path collect + a 10-file scan, never the 10^4-file listing walk
+      val rPrune = measure(s"pruned_read_${mfTag}_files") {
+        // the probe keeps ~10 of #files; cost = manifest filter +
+        // path collect + a 10-file scan, never the full-listing walk
         ops.Layout.prunedRead(spark, s"$mfDir/t", manifest, "k",
-          lit(500000L), lit(500999L)).count()
+          lit(mfRows / 2), lit(mfRows / 2 + 999L)).count()
       }
-      spark.range(1000000L, 1010000L)
+      spark.range(mfRows, mfRows + 10000L)
         .select(col("id").as("k"), (col("id") % 97).as("v"))
         .repartitionByRange(100, col("k"))
         .write.mode("append").parquet(s"$mfDir/t")
       quiesce()
-      val rExtend = measure("manifest_extend_10k_plus_100") {
+      val rExtend = measure(s"manifest_extend_${mfTag}_plus_100") {
         // O(new data): stats over the 100 fresh files + one listing diff
-        // against the 10^4 known paths — never a table re-scan
+        // against the known paths — never a table re-scan
         ops.Layout.extendManifest(spark, s"$mfDir/t", manifest, Seq("k"))
           .count()
       }

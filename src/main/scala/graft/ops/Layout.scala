@@ -217,6 +217,9 @@ object Layout {
     // column, and every consumer probes the manifest repeatedly — the
     // aggregate is O(#files) rows, so pinning it is planner-scale
     val scan = spark.read.parquet(dir)
+    // ceiling check BEFORE the stats aggregate: the scan's file-index
+    // snapshot is already resolved driver-side, so the count is free
+    checkManifestCeiling(spark, scan.inputFiles.length.toLong, dir)
     val stats = scan
       .groupBy(col("_metadata.file_path").as("file"))
       .agg(statsAggs(cols).head, statsAggs(cols).tail: _*)
@@ -231,6 +234,29 @@ object Layout {
     val zeroRow = scan.inputFiles
       .filterNot(p => statsFiles.contains(uriPath(p)))
     withZeroRowEntries(stats, zeroRow.toSeq)
+  }
+
+  /** Hard driver-side ceiling for the manifest family. Every manifest
+    * consumer ([[prunedRead]], [[extendManifest]]'s listing diff,
+    * [[vacuumOrphans]]'s live-set, [[mergeIntoLayout]]'s overlap probe)
+    * collects O(#files) path rows on the driver — the planner-scale
+    * contract lake formats accept, measured here at 10^4–10^5 files
+    * (soak entries `manifest_*_10k/100k_files`). Past ~10^6 files the
+    * collects stop being planner-scale (~200 bytes/path ⇒ GBs of
+    * driver heap) and the right fix is fewer files, not a bigger
+    * driver — so manifests refuse to be BORN over more files than
+    * `spark.graft.manifest.maxFiles` (default 10^6), which bounds every
+    * downstream collect. Checked at [[statsManifest]] build and at each
+    * [[extendManifest]] growth step. */
+  private def checkManifestCeiling(spark: org.apache.spark.sql.SparkSession,
+      nFiles: Long, dir: String): Unit = {
+    val max = spark.conf.get("spark.graft.manifest.maxFiles", "1000000").toLong
+    require(nFiles <= max,
+      s"manifest over $dir would track $nFiles files, above the driver-side " +
+        s"ceiling spark.graft.manifest.maxFiles=$max. Manifest consumers " +
+        "collect O(#files) paths on the driver; at this file count compact " +
+        "the table first (Layout.compact / compactSmall) or raise the conf " +
+        "if the driver heap has headroom (~200 bytes per file per collect).")
   }
 
   /** The data-group aggregate cannot emit a row for a ZERO-ROW parquet
@@ -305,6 +331,9 @@ object Layout {
     val fresh = newDataFiles(spark, dir, manifest)
     if (fresh.isEmpty) manifest
     else {
+      // growth-step ceiling: extend is where a long-lived manifest
+      // creeps past the bound one append at a time
+      checkManifestCeiling(spark, manifest.count() + fresh.length, dir)
       val stats = spark.read.parquet(fresh.toIndexedSeq: _*)
         .groupBy(col("_metadata.file_path").as("file"))
         .agg(statsAggs(cols).head, statsAggs(cols).tail: _*)

@@ -308,4 +308,34 @@ class DataSkippingSpec extends AnyFunSuite with SparkTestBase {
     val want = spark.read.parquet(dir).filter(col("v") === 733L).count()
     assert(got === want && got > 0)
   }
+
+  test("manifest refuses to be born or grown over the file ceiling") {
+    val dir = sortedLayout(1000, 100) // 10 files
+    try {
+      spark.conf.set("spark.graft.manifest.maxFiles", "8")
+      val exBuild = intercept[IllegalArgumentException] {
+        Layout.statsManifest(spark, dir, Seq("k"))
+      }
+      assert(exBuild.getMessage.contains("spark.graft.manifest.maxFiles=8"))
+      assert(exBuild.getMessage.contains("compact"))
+
+      // under the ceiling the build succeeds; an extend that would cross
+      // it fails loudly instead of silently growing the driver lists
+      spark.conf.set("spark.graft.manifest.maxFiles", "12")
+      val manifest = Layout.statsManifest(spark, dir, Seq("k"))
+      spark.range(1000L, 1500L)
+        .select(col("id").as("k"), (col("id") % 7).as("v"))
+        .repartitionByRange(5, col("k"))
+        .write.mode("append").parquet(dir)
+      val exExtend = intercept[IllegalArgumentException] {
+        Layout.extendManifest(spark, dir, manifest, Seq("k"))
+      }
+      assert(exExtend.getMessage.contains("15 files"))
+
+      // raising the conf unblocks the same extend, nothing is lost
+      spark.conf.set("spark.graft.manifest.maxFiles", "1000000")
+      val extended = Layout.extendManifest(spark, dir, manifest, Seq("k"))
+      assert(extended.count() === 15L)
+    } finally spark.conf.unset("spark.graft.manifest.maxFiles")
+  }
 }
