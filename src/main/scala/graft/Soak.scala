@@ -185,7 +185,13 @@ object Soak {
           "doc_id", "text", shingleSize = 3, tau = 0.5).count()
       },
       measure("ivf_knn_join") {
-        ops.Similarity.ivfIndexSeeded(embN, "vec_id", "embedding", nlist = 32)
+        // the knnJoin bound is n·nprobe·(n/nlist): a FIXED nlist turns
+        // 5× more vectors into 25× more distance work, so the index is
+        // sized the way a real deployment sizes it — nlist ∝ √n (cell
+        // population n/nlist then grows only with √n). Anchored so the
+        // recorded 10×-copies point keeps its historical nlist=32.
+        val nlist = math.max(32, math.round(32 * math.sqrt(copies / 10.0)).toInt)
+        ops.Similarity.ivfIndexSeeded(embN, "vec_id", "embedding", nlist = nlist)
           .knnJoin(k = 5, nprobe = 4).count()
       },
       // ---- skew battery: d6 / d9 / d17 / m8 under the hot shapes ------
