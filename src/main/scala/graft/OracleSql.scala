@@ -290,6 +290,34 @@ object OracleSql {
        |  $union)""".stripMargin
   }
 
+  /** Full PQ encode replay (gates e8 and e29): each vector's m sub-space
+    * codes against the ids-0..k−1 seeded codebook, via the same
+    * ‖a‖²−2ab+‖b‖² expansion as `Similarity.productQuantize` — term-for-
+    * term, so doubles compare exactly. e29 runs the identical query:
+    * a codebook that survives a disk round trip must encode every
+    * vector to the identical (sub, code, dist) rows. */
+  def pqEncodeSql(m: Int, k: Int, sub: Int): String =
+    s"""WITH v AS (SELECT vec_id AS id, CAST(embedding AS DOUBLE[]) AS v
+       |           FROM embeddings),
+       |c AS (SELECT vec_id AS cid, CAST(embedding AS DOUBLE[]) AS cv
+       |      FROM embeddings WHERE vec_id < $k),
+       |subs AS (SELECT s FROM range(0, $m) t(s)),
+       |sliced AS (
+       |  SELECT v.id, subs.s, c.cid,
+       |    (v.v)[subs.s * $sub + 1 : (subs.s + 1) * $sub] AS vs,
+       |    (c.cv)[subs.s * $sub + 1 : (subs.s + 1) * $sub] AS cs
+       |  FROM v CROSS JOIN subs CROSS JOIN c),
+       |d AS (
+       |  SELECT id, s, cid,
+       |    ((${dot("vs", "vs")} - 2.0 * ${dot("vs", "cs")})
+       |      + ${dot("cs", "cs")}) AS dist
+       |  FROM sliced)
+       |SELECT id, CAST(s AS INT) AS sub, CAST(cid AS INT) AS code, dist FROM (
+       |  SELECT id, s, cid, dist,
+       |    ROW_NUMBER() OVER (PARTITION BY id, s ORDER BY dist, cid) AS rn
+       |  FROM d) WHERE rn = 1
+       |ORDER BY id, sub""".stripMargin
+
   def ivfKnnCtes(nlist: Int, nprobe: Int, k: Int): String =
     ivfKnnCtes(nlist, nprobe, k, candWhere = "")
 

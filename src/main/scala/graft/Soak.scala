@@ -174,9 +174,42 @@ object Soak {
     }
     var audits = Map.empty[String, (Long, Long, Long)]
 
+    // ---- DIVERSITY-CONTROLLED dedup fixture (VERDICT r14 watch item):
+    // the standard soak grows cluster SIZE with corpus size (copy i of
+    // every doc near-dups copies 0..i−1), so within-cluster LSH pair
+    // counts grow with the square of the multiplier and the shuffle
+    // curve cannot distinguish "fixture artifact" from "cap leak". A
+    // real crawl grows in DIVERSITY: more distinct documents, roughly
+    // constant duplication per document. This fixture holds cluster
+    // size at a FIXED 10 copies and grows the number of distinct base
+    // documents by SPARK_GRAFT_SOAK_DIVERSITY instead — each diversity
+    // variant rewrites the text through a d-rotated substitution cipher
+    // (translate: codegen'd, deterministic), so variants share NO
+    // word shingles and cannot near-dup-collide across variants, while
+    // the 10 suffix copies inside a variant still form the usual
+    // cluster. Healthy slope: shuffle ~linear in diversity.
+    val diversity =
+      sys.env.getOrElse("SPARK_GRAFT_SOAK_DIVERSITY", "1").toInt
+    def diverseCorpus(): org.apache.spark.sql.DataFrame = {
+      val abc = "abcdefghijklmnopqrstuvwxyz"
+      val base = (0 until diversity).map { d =>
+        val rot = abc.drop(d % 26) + abc.take(d % 26)
+        docs.select((col("doc_id") + lit(d * 100000000L)).as("doc_id"),
+          translate(col("text"), abc, rot).as("text"))
+      }.reduce(_ unionAll _)
+      (0 until 10).map { i =>
+        base.select((col("doc_id") + lit(i * 10000000L)).as("doc_id"),
+          (if (i == 0) col("text")
+           else concat(col("text"), lit(s" soakcopy$i"))).as("text"))
+      }.reduce(_ unionAll _)
+    }
+
     val results = Seq(
       measure("dedup_corpus") {
         ops.Dedup.dedupCorpus(docsN, "doc_id", "text").count()
+      },
+      measure("dedup_corpus_diverse") {
+        ops.Dedup.dedupCorpus(diverseCorpus(), "doc_id", "text").count()
       },
       measure("all_pairs_jaccard") {
         // %2 subset: exact all-pairs is the heaviest op; half the blown-up
@@ -681,7 +714,8 @@ object Soak {
     val json = allResults.map { case (n, sec, mb, rows) =>
       f""""$n": {"sec": $sec%.2f, "shuffle_mb": $mb%.1f, "rows": $rows}"""
     }.mkString("{", ", ",
-      s""", "audits": $auditJson, "copies": $copies, "sf": "$sfDir"}""")
+      s""", "audits": $auditJson, "copies": $copies, """ +
+      s""""diversity": $diversity, "sf": "$sfDir"}""")
     println(json)
     val out = sys.env.getOrElse("SPARK_GRAFT_SOAK_OUT", "soak_results.json")
     try java.nio.file.Files.write(java.nio.file.Paths.get(out),

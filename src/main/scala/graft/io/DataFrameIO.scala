@@ -15,7 +15,8 @@ case class SourceParams(
     format: String,
     path: Option[String] = None,
     options: Map[String, String] = Map.empty,
-    saveMode: Option[String] = None) {
+    saveMode: Option[String] = None,
+    partitionBy: Seq[String] = Nil) {
 
   def isJdbc: Boolean = format.equalsIgnoreCase("jdbc")
 
@@ -66,7 +67,9 @@ object DataFrameIO {
     * jdbc sinks). */
   def write(df: DataFrame, p: SourceParams)(implicit spark: SparkSession): String = {
     val base = df.write.format(resolveFormat(p.format)).options(p.options)
-    val writer = p.saveMode.fold(base)(base.mode)
+    val parted = if (p.partitionBy.isEmpty) base
+                 else base.partitionBy(p.partitionBy: _*)
+    val writer = p.saveMode.fold(parted)(parted.mode)
     if (p.isJdbc) { writer.save(); "" }
     else {
       val target = PathResolver.uniquePath(p.path.get, spark)

@@ -768,7 +768,20 @@ object CorpusOps {
       salt: String = "graft-split"): DataFrame = {
     require(splits.nonEmpty && splits.map(_._2).sum == 100,
       s"split percentages must sum to 100, got $splits")
-    val bucket = samplePct(idCol, salt)
+    // NON-NULL id guard, per-row (the op is a pure projection — there
+    // is no shuffle for a duplicate check to ride, and duplicates are
+    // harmless here anyway: same id ⇒ same split, by design). A NULL
+    // id is not harmless: concat_ws skips nulls, so every null-id row
+    // hashes to the salt-only bucket and lands in ONE split together —
+    // silent leakage-shaped bias. Opt out: spark.graft.validate.ids.
+    val bucket =
+      if (Guards.enabled(df))
+        when(col(idCol).isNull, raise_error(lit(
+          "deterministicSplit: PRECONDITION violated — idCol must be " +
+          "non-null (all null-id rows hash to one bucket and land in " +
+          "the same split together)")).cast("bigint"))
+          .otherwise(samplePct(idCol, salt))
+      else samplePct(idCol, salt)
     val cuts = splits.scanLeft(0) { case (acc, (_, p)) => acc + p }.tail
     val assign = splits.zip(cuts).foldRight(lit(splits.last._1): Column) {
       case (((name, _), cut), acc) => when(bucket < cut, lit(name)).otherwise(acc)
@@ -800,20 +813,36 @@ object CorpusOps {
     // graft_-prefixed internals: a caller whose domain column is itself
     // named "domain" (or "n"/"keep_frac") must not hit an ambiguous
     // reference in the join-back
+    //
+    // unique/non-null id PRECONDITION guard riding the per-domain count
+    // aggregate the op already runs (Guards.aggIdGuard): a duplicated
+    // id keeps or drops BOTH copies together (correlated sampling bias
+    // the caller can't see), and null ids all share the salt-only
+    // uniform, keeping or dropping as one block. count_distinct skips
+    // nulls, so count != count_distinct witnesses both. Opt out via
+    // spark.graft.validate.ids (pre-validated bulk loads skip the
+    // distinct branch entirely — plan identical to the unguarded one).
+    val guardOn = Guards.enabled(df)
+    val domAggs = Seq(count(lit(1)).as("graft_n")) ++
+      (if (guardOn) Seq(count_distinct(col(idCol)).as("graft_nd")) else Nil)
     val domStats = df.groupBy(col(domainCol).as("graft_domain"))
-      .agg(count(lit(1)).as("graft_n"))
+      .agg(domAggs.head, domAggs.tail: _*)
     val totals = domStats.agg(
       sum("graft_n").as("graft_total"),
       aggregate(
         array_sort(collect_list(struct(col("graft_domain"), col("graft_n")))),
         lit(0.0),
         (acc, s) => acc + sqrt(s.getField("graft_n").cast("double"))).as("graft_sqrt_sum"))
+    val keepBase = least(lit(1.0),
+      (lit(targetFrac) * col("graft_total").cast("double")) *
+        (sqrt(col("graft_n").cast("double")) / col("graft_sqrt_sum")) /
+        col("graft_n").cast("double"))
+    val keep = if (guardOn)
+      keepBase + Guards.aggIdGuard("temperatureMix",
+        col("graft_n"), col("graft_nd"), lit(0L)).cast("double")
+    else keepBase
     val fracs = domStats.crossJoin(broadcast(totals))
-      .select(col("graft_domain"),
-        least(lit(1.0),
-          (lit(targetFrac) * col("graft_total").cast("double")) *
-            (sqrt(col("graft_n").cast("double")) / col("graft_sqrt_sum")) /
-            col("graft_n").cast("double")).as("graft_keep_frac"))
+      .select(col("graft_domain"), keep.as("graft_keep_frac"))
     val u52 = conv(substring(
       md5(concat_ws("-", lit(salt), col(idCol).cast("string"))), 1, 13), 16, 10)
       .cast("long")
@@ -1004,7 +1033,14 @@ object CorpusOps {
     * selection of [[budgetedMix]]; the final epoch-count join shuffles
     * (id, source, tokens) triples only — text never moves. Same
     * unique-id-per-source PRECONDITION as [[budgetedMix]]; budgets
-    * must be non-negative.
+    * must be non-negative. The precondition is RUNTIME-GUARDED
+    * transitively: the fractional-epoch branch runs the guarded
+    * [[budgetedMixCounted]] bucket aggregate over the FULL counted
+    * projection (every budgeted source's buckets pass through the
+    * guard before the full/edge classification; unbudgeted sources are
+    * dropped by contract), so a duplicate/null id or null text raises
+    * there — spec-pinned in PreconditionGuardSpec. Opt out via
+    * `spark.graft.validate.ids=false`.
     *
     * @return (doc_id, source, n_tokens, n_epochs) with n_epochs >= 1;
     *         docs outside the plan (source unbudgeted, or past the

@@ -520,6 +520,49 @@ object Layout {
       .drop("graft_file_key"))
   }
 
+  /** [[mergeBranch]] with a DIVERGENCE DETECTOR. The fast-forward
+    * contract is append-only histories: shared files are the common
+    * fork base and neither side mutated them. A DIVERGED history —
+    * one branch deleted rows of a shared file via its DV set while the
+    * other retained (or differently deleted) them — breaks that
+    * contract, and the plain union would silently pick one side's
+    * semantics. This variant REFUSES, naming the files, when the two
+    * DV sets disagree (symmetric difference of (file, pos) rows is
+    * non-empty) on any file BOTH manifests track. Files only one side
+    * tracks cannot conflict (the other side never saw them), and a
+    * deliberate DV-union merge remains available as
+    * `mergeBranch(...)` + `dvA.unionAll(dvB).distinct` for callers who
+    * MEAN compose-the-deletes.
+    *
+    * Cost: one distinct + anti-join pass over the two DV tables
+    * (delta-scale rows: two longs each) semi-joined against the shared
+    * planner-scale file keys; the detector collects at most 10 sample
+    * conflict paths for the error message. */
+  def mergeBranchChecked(main: DataFrame, branch: DataFrame,
+      mainDv: DataFrame, branchDv: DataFrame): DataFrame = {
+    val shared = main.select(uriPathCol(col("file")).as("graft_file_key"))
+      .join(branch.select(uriPathCol(col("file")).as("graft_file_key")),
+        Seq("graft_file_key"), "left_semi")
+      .distinct()
+    def keyed(dv: DataFrame): DataFrame = dv
+      .select(uriPathCol(col("file")).as("graft_file_key"), col("pos"))
+      .distinct()
+    val a = keyed(mainDv); val b = keyed(branchDv)
+    val conflicts = a.exceptAll(b).unionAll(b.exceptAll(a))
+      .join(shared, Seq("graft_file_key"), "left_semi")
+      .select("graft_file_key").distinct()
+      .orderBy("graft_file_key").limit(10)
+      .collect().map(_.getString(0))
+    if (conflicts.nonEmpty)
+      throw new IllegalStateException(
+        "diverged merge refused: deletion-vector sets disagree on shared " +
+        s"file(s) ${conflicts.mkString("[", ", ", "]")} — the branches did " +
+        "not fork append-only. Resolve the delete explicitly (compose DVs " +
+        "with unionAll.distinct if the deletes should MERGE, or compact " +
+        "the file out on one side) before fast-forwarding.")
+    mergeBranch(main, branch)
+  }
+
   /** Per-file BLOOM INDEX for point lookups on an UNCLUSTERED column —
     * the file-skipping case [[statsManifest]] cannot serve: min/max
     * ranges on a column uncorrelated with the layout cover everything,

@@ -1,6 +1,6 @@
 package graft.ops
 
-import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 /** Similarity search over an embedding column (SURVEY.md §7).
@@ -569,6 +569,114 @@ object Similarity {
     }
   }
 
+  object IvfIndex {
+
+    /** Persist an IVF index through the generic sink (K1): the
+      * cell-partitioned assignment table plus a (cell, centroid) panel
+      * table. The centroid half is the SIGNATURE of the index — a
+      * reload that recomputed centroids (or read them in a different
+      * order) would probe different cells and silently lose recall, so
+      * they round-trip as data, ordered by cell id. Overwrite mode
+      * makes re-publication idempotent, same contract as
+      * [[graft.ops.Dedup.NearDupIndex.save]].
+      *
+      * This is the build-once / probe-many shape a 100 TB vector store
+      * needs: the O(corpus) k-means + assignment runs in ONE job; every
+      * later search/knnJoin/addVectors/remove session cold-loads the
+      * tables (centroids are nlist rows — a driver panel, not data)
+      * and pays only its own probe cost. */
+    def save(idx: IvfIndex, path: String): Unit = {
+      implicit val spark: SparkSession = idx.assigned.sparkSession
+      import spark.implicits._
+      def w(df: DataFrame, sub: String): Unit =
+        graft.io.DataFrameIO.write(df, graft.io.SourceParams(
+          "parquet", Some(s"$path/$sub"), saveMode = Some("overwrite")))
+      // partitionBy(cell) so a loaded probe prunes files by cell id
+      // without re-shuffling the whole table first
+      graft.io.DataFrameIO.write(idx.assigned,
+        graft.io.SourceParams("parquet", Some(s"$path/assigned"),
+          saveMode = Some("overwrite"), partitionBy = Seq("cell")))
+      w(idx.centroids.zipWithIndex.toSeq
+        .map { case (c, j) => (j, c.toSeq) }
+        .toDF("cell", "centroid"), "centroids")
+    }
+
+    /** Reload a [[save]]d index. The assignment table comes back
+      * cell-partitioned on disk (partition pruning replaces the
+      * in-session `repartition(cell)`); only the nlist-row centroid
+      * panel is collected driver-side. `vnorm` was computed once at
+      * build time and round-trips as a stored double, so every loaded
+      * cosine is bit-identical to the in-session index — load(save(x))
+      * ≡ x (spec-proven, and gate e28 replays e7's oracle through the
+      * disk round trip). */
+    def load(path: String)(implicit spark: SparkSession): IvfIndex = {
+      def r(sub: String): DataFrame = graft.io.DataFrameIO.load(
+        graft.io.SourceParams("parquet", Some(s"$path/$sub")))
+      val cents: Array[Array[Double]] = r("centroids")
+        .orderBy("cell").collect()
+        .map(_.getAs[scala.collection.Seq[Double]]("centroid").toArray)
+      // column order is part of the index contract (partitionBy moved
+      // `cell` last on disk); cast back: partition values read as the
+      // directory-inferred type
+      IvfIndex(r("assigned").select(col("id").cast("long"),
+        col("v").cast("array<double>"), col("vnorm").cast("double"),
+        col("cell").cast("int")), cents)
+    }
+  }
+
+  /** A persisted PQ codebook: the k seed vectors (sub-sliced per
+    * subspace at encode time) plus the (m, k) geometry they were built
+    * for. [[productQuantize]] re-derives this panel from the corpus on
+    * every call; a real deployment trains the codebook ONCE (it defines
+    * the meaning of every stored code — re-deriving it against a grown
+    * corpus would silently re-key all existing codes), ships it as a
+    * tiny table, and encodes each new batch against the loaded panel. */
+  final case class PqCodebook(seeds: Array[Array[Double]], m: Int, k: Int) {
+
+    /** Encode a batch against THIS codebook — identical arithmetic to
+      * [[productQuantize]] (‖a‖²−2ab+‖b‖² expansion, lowest-code
+      * tiebreak), but the panel is the loaded one, not re-derived. */
+    def encode(df: DataFrame, idCol: String, vecCol: String): DataFrame =
+      pqEncode(df, idCol, vecCol, m, k, seeds)
+  }
+
+  object PqCodebook {
+
+    /** Train (sampling-seed) a codebook from the corpus rows with ids
+      * 0..k−1 — the exact panel [[productQuantize]] uses internally,
+      * reified so it can be [[save]]d. */
+    def fit(df: DataFrame, idCol: String, vecCol: String,
+        m: Int, k: Int): PqCodebook = {
+      val seeds = pqSeeds(df, idCol, vecCol, k)
+      require(seeds.head.length % m == 0,
+        s"dim ${seeds.head.length} not divisible into $m subspaces")
+      PqCodebook(seeds, m, k)
+    }
+
+    /** Persist: one (cid, centroid) row per seed plus a one-row params
+      * table pinning (m, k) — without the geometry a reload could slice
+      * subspaces differently and mis-decode every stored code. */
+    def save(cb: PqCodebook, path: String)(implicit spark: SparkSession): Unit = {
+      import spark.implicits._
+      def w(df: DataFrame, sub: String): Unit =
+        graft.io.DataFrameIO.write(df, graft.io.SourceParams(
+          "parquet", Some(s"$path/$sub"), saveMode = Some("overwrite")))
+      w(cb.seeds.zipWithIndex.toSeq
+        .map { case (c, j) => (j, c.toSeq) }.toDF("cid", "centroid"), "seeds")
+      w(Seq((cb.m, cb.k)).toDF("m", "k"), "params")
+    }
+
+    def load(path: String)(implicit spark: SparkSession): PqCodebook = {
+      def r(sub: String): DataFrame = graft.io.DataFrameIO.load(
+        graft.io.SourceParams("parquet", Some(s"$path/$sub")))
+      val p = r("params").head()
+      PqCodebook(
+        r("seeds").orderBy("cid").collect()
+          .map(_.getAs[scala.collection.Seq[Double]]("centroid").toArray),
+        m = p.getAs[Int]("m"), k = p.getAs[Int]("k"))
+    }
+  }
+
   /** Product quantization with a deterministic seeded codebook: the
     * vector is split into `m` contiguous subvectors and each is encoded
     * as the index of its nearest sub-centroid (squared L2, lowest-index
@@ -609,12 +717,20 @@ object Similarity {
       idCol: String,
       vecCol: String,
       m: Int,
-      k: Int): DataFrame = {
+      k: Int): DataFrame =
+    pqEncode(df, idCol, vecCol, m, k, pqSeeds(df, idCol, vecCol, k))
+
+  /** Shared encode kernel of [[productQuantize]] (corpus-derived panel)
+    * and [[PqCodebook.encode]] (loaded panel): pure per-row projection,
+    * panel embedded as literals, no shuffle. */
+  private def pqEncode(df: DataFrame, idCol: String, vecCol: String,
+      m: Int, k: Int, seeds: Array[Array[Double]]): DataFrame = {
     val v = col(vecCol).cast("array<double>")
-    val dim = df.select(org.apache.spark.sql.functions.size(v)).first().getInt(0)
+    val dim = seeds.head.length
     require(dim % m == 0, s"dim $dim not divisible into $m subspaces")
+    require(seeds.length == k,
+      s"codebook has ${seeds.length} seeds, expected k=$k")
     val sub = dim / m
-    val seeds = pqSeeds(df, idCol, vecCol, k)
 
     val cells = (0 until m).map { s =>
       val vs = slice(v, s * sub + 1, sub)

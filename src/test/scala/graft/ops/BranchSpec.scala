@@ -123,4 +123,64 @@ class BranchSpec extends AnyFunSuite with SparkTestBase {
       .select("k").collect().map(_.getLong(0)).toSet
     assert(got === (95L to 105L).toSet)
   }
+
+  test("mergeBranchChecked refuses a diverged merge, naming the file") {
+    val tmp = freshDir("div")
+    val base = Layout.commitAppend(spark,
+        (0L until 50L).map(i => (i, i % 3)).toDF("k", "v"), tmp, Seq("k"))
+      .localCheckpoint(eager = true)
+    val devCommit = Layout.commitAppend(spark,
+        (50L until 60L).map(i => (i, i % 3)).toDF("k", "v"), tmp, Seq("k"))
+      .localCheckpoint(eager = true)
+    val main = base
+    val dev = base.unionAll(devCommit)
+    // dev deletes rows of a SHARED (fork-base) file; main retains them
+    val baseDir = {
+      val f = base.select("file").head.getString(0)
+      val p = if (f.startsWith("file:")) new java.net.URI(f).getPath else f
+      new java.io.File(p).getParent
+    }
+    val devDv = Layout.deletionVectors(spark, baseDir, col("k") % 10 === 0)
+      .localCheckpoint(eager = true)
+    val mainDv = devDv.limit(0)
+    val e = intercept[IllegalStateException] {
+      Layout.mergeBranchChecked(main, dev, mainDv, devDv)
+    }
+    assert(e.getMessage.contains("diverged merge refused"))
+    // the error names at least one concrete conflicting file path
+    assert(e.getMessage.contains(".parquet"))
+  }
+
+  test("mergeBranchChecked passes when DVs agree or touch unshared files") {
+    val tmp = freshDir("ok")
+    val base = Layout.commitAppend(spark,
+        (0L until 50L).map(i => (i, i % 3)).toDF("k", "v"), tmp, Seq("k"))
+      .localCheckpoint(eager = true)
+    val devCommit = Layout.commitAppend(spark,
+        (50L until 60L).map(i => (i, i % 3)).toDF("k", "v"), tmp, Seq("k"))
+      .localCheckpoint(eager = true)
+    val main = base
+    val dev = base.unionAll(devCommit)
+    // identical DV rows on the shared base: no divergence
+    val baseDir = {
+      val f = base.select("file").head.getString(0)
+      val p = if (f.startsWith("file:")) new java.net.URI(f).getPath else f
+      new java.io.File(p).getParent
+    }
+    val agreed = Layout.deletionVectors(spark, baseDir, col("k") % 10 === 0)
+      .localCheckpoint(eager = true)
+    val m1 = Layout.mergeBranchChecked(main, dev, agreed, agreed)
+    assert(m1.count() === Layout.mergeBranch(main, dev).count())
+    // a dev-only DV over dev's OWN commit (unshared file) is fine too:
+    // main never tracked that file, so no contract is broken
+    val devDir = {
+      val f = devCommit.select("file").head.getString(0)
+      val p = if (f.startsWith("file:")) new java.net.URI(f).getPath else f
+      new java.io.File(p).getParent
+    }
+    val devOnlyDv = Layout.deletionVectors(spark, devDir, col("k") === 55L)
+      .localCheckpoint(eager = true)
+    val m2 = Layout.mergeBranchChecked(main, dev, agreed.limit(0), devOnlyDv)
+    assert(m2.count() === Layout.mergeBranch(main, dev).count())
+  }
 }

@@ -1,0 +1,93 @@
+package graft.ops
+
+import graft.SparkTestBase
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** IvfIndex / PqCodebook disk round trips — the build-once / probe-many
+  * contract (gate e28/e29 prove oracle parity; these pin structural
+  * equality load(save(x)) ≡ x and the on-disk layout). */
+class IndexPersistenceSpec extends AnyFunSuite with SparkTestBase {
+
+  import spark.implicits._
+
+  private def tmp(tag: String): String =
+    java.nio.file.Files.createTempDirectory(s"graft-$tag").toString
+
+  private def vecs = Seq.tabulate(40)(i =>
+    (i.toLong, Array.tabulate(8)(j => math.sin(i * 8 + j).toFloat)))
+    .toDF("vec_id", "embedding")
+
+  test("IvfIndex load(save(idx)) preserves centroids and assignment rows") {
+    val idx = Similarity.ivfIndexSeeded(vecs, "vec_id", "embedding", nlist = 4)
+    val path = s"${tmp("ivf")}/idx"
+    Similarity.IvfIndex.save(idx, path)
+    val loaded = Similarity.IvfIndex.load(path)
+
+    assert(loaded.centroids.length === idx.centroids.length)
+    loaded.centroids.zip(idx.centroids).foreach { case (a, b) =>
+      assert(a.toSeq === b.toSeq) // bit-exact doubles through parquet
+    }
+    def rows(i: Similarity.IvfIndex) = i.assigned
+      .select("id", "v", "vnorm", "cell")
+      .collect().map(r => (r.getLong(0),
+        r.getAs[scala.collection.Seq[Double]](1).toSeq,
+        r.getDouble(2), r.getInt(3))).toSet
+    assert(rows(loaded) === rows(idx))
+  }
+
+  test("loaded IvfIndex replays knnJoin bit-exactly") {
+    val idx = Similarity.ivfIndexSeeded(vecs, "vec_id", "embedding", nlist = 4)
+    val path = s"${tmp("ivf-knn")}/idx"
+    Similarity.IvfIndex.save(idx, path)
+    val expected = idx.knnJoin(k = 3, nprobe = 2)
+      .orderBy("id", "rank").collect().map(_.toSeq)
+    val got = Similarity.IvfIndex.load(path).knnJoin(k = 3, nprobe = 2)
+      .orderBy("id", "rank").collect().map(_.toSeq)
+    assert(expected.nonEmpty)
+    assert(got.toSeq === expected.toSeq)
+  }
+
+  test("assignment table is cell-partitioned on disk (probe prunes files)") {
+    val idx = Similarity.ivfIndexSeeded(vecs, "vec_id", "embedding", nlist = 4)
+    val path = s"${tmp("ivf-layout")}/idx"
+    Similarity.IvfIndex.save(idx, path)
+    val dirs = new java.io.File(s"$path/assigned").listFiles()
+      .filter(_.isDirectory).map(_.getName).toSet
+    assert(dirs.exists(_.startsWith("cell=")),
+      s"expected cell=N partition dirs, got $dirs")
+  }
+
+  test("PqCodebook load(save(cb)) ≡ cb, and the loaded encode matches") {
+    val cb = Similarity.PqCodebook.fit(vecs, "vec_id", "embedding", m = 4, k = 4)
+    val path = s"${tmp("pq")}/cb"
+    Similarity.PqCodebook.save(cb, path)
+    val loaded = Similarity.PqCodebook.load(path)
+
+    assert(loaded.m === cb.m && loaded.k === cb.k)
+    loaded.seeds.zip(cb.seeds).foreach { case (a, b) =>
+      assert(a.toSeq === b.toSeq)
+    }
+    def codes(df: org.apache.spark.sql.DataFrame) = df
+      .orderBy("id", "sub").collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getInt(2), r.getDouble(3))).toSeq
+    assert(
+      codes(loaded.encode(vecs, "vec_id", "embedding")) ===
+      codes(Similarity.productQuantize(vecs, "vec_id", "embedding", m = 4, k = 4)))
+  }
+
+  test("PqCodebook encodes a NEW batch the codebook never saw") {
+    // the production shape: codebook trained on day-1 corpus, applied
+    // to a later batch without re-derivation (no ids 0..k−1 needed)
+    val cb = Similarity.PqCodebook.fit(vecs, "vec_id", "embedding", m = 4, k = 4)
+    val path = s"${tmp("pq-batch")}/cb"
+    Similarity.PqCodebook.save(cb, path)
+    val batch = Seq((1000L, Array.tabulate(8)(j => math.cos(j).toFloat)))
+      .toDF("vec_id", "embedding")
+    val out = Similarity.PqCodebook.load(path)
+      .encode(batch, "vec_id", "embedding")
+      .collect()
+    assert(out.length === 4) // one code per subspace
+    assert(out.forall(_.getLong(0) == 1000L))
+  }
+}

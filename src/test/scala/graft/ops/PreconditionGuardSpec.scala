@@ -106,6 +106,46 @@ class PreconditionGuardSpec extends AnyFunSuite with SparkTestBase {
     assertRaises(asg, "packAssignBatch")
   }
 
+  test("deterministicSplit: null id fails loudly, duplicates stay benign") {
+    val bad = Seq(Some(1L), None).toDF("doc_id")
+    assertRaises(
+      CorpusOps.deterministicSplit(bad, "doc_id"), "deterministicSplit")
+    // duplicate ids are NOT a violation here: same id ⇒ same split is
+    // the op's defining property (incremental-growth stability)
+    val dup = Seq(1L, 1L, 2L).toDF("doc_id")
+    val splits = CorpusOps.deterministicSplit(dup, "doc_id")
+      .groupBy("doc_id").agg(count_distinct(col("split")).as("n"))
+      .filter(col("n") > 1).count()
+    assert(splits === 0L)
+  }
+
+  test("temperatureMix: duplicate id within a domain fails loudly") {
+    val df = Seq((1L, "web"), (1L, "web"), (2L, "code"))
+      .toDF("doc_id", "domain")
+    assertRaises(
+      CorpusOps.temperatureMix(df, "doc_id", "domain"), "temperatureMix")
+  }
+
+  test("temperatureMix: null id fails loudly") {
+    val df = Seq((Some(1L), "web"), (None, "web"), (Some(2L), "code"))
+      .toDF("doc_id", "domain")
+    assertRaises(
+      CorpusOps.temperatureMix(df, "doc_id", "domain"), "temperatureMix")
+  }
+
+  test("temperatureMix: valid ids — guarded output equals opted-out output") {
+    val df = (1L to 200L).map(i => (i, if (i % 5 == 0) "code" else "web"))
+      .toDF("doc_id", "domain")
+    val guarded = CorpusOps.temperatureMix(df, "doc_id", "domain")
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    spark.conf.set("spark.graft.validate.ids", "false")
+    val plain = try CorpusOps.temperatureMix(df, "doc_id", "domain")
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    finally spark.conf.set("spark.graft.validate.ids", "true")
+    assert(guarded === plain)
+    assert(guarded.nonEmpty)
+  }
+
   test("opt-out conf restores the unguarded path") {
     val df = Seq((1L, "x"), (1L, "y")).toDF("doc_id", "text")
     spark.conf.set("spark.graft.validate.ids", "false")
