@@ -211,6 +211,21 @@ object Soak {
       measure("dedup_corpus_diverse") {
         ops.Dedup.dedupCorpus(diverseCorpus(), "doc_id", "text").count()
       },
+      // stage decomposition for the diversity slope: candidate pairs
+      // alone (collapse + banding + verify, no CC / final anti-join)
+      measure("dedup_diverse_pairs") {
+        ops.Dedup.minhashLshPairs(diverseCorpus(), "doc_id", "text").count()
+      },
+      // ...and CC alone, `rows` = propagation ROUNDS: per-round shuffle
+      // is O(V+E) (linear in diversity), so byte growth beyond linear
+      // must show up here as extra rounds — chain-length growth, the
+      // expected log factor — or it is a real leak
+      measure("dedup_diverse_cc") {
+        val (labels, rounds) = ops.Dedup.connectedComponentsWithRounds(
+          ops.Dedup.minhashLshPairs(diverseCorpus(), "doc_id", "text"))
+        labels.count()
+        rounds.toLong
+      },
       measure("all_pairs_jaccard") {
         // %2 subset: exact all-pairs is the heaviest op; half the blown-up
         // corpus still dwarfs any gate input
@@ -523,7 +538,22 @@ object Soak {
         ops.Layout.extendManifest(spark, s"$mfDir/t", manifest, Seq("k"))
           .count()
       }
-      Seq(rBuild, rPrune, rExtend)
+      // two-level (manifest-of-manifests) path over the SAME fixture:
+      // build groups of 256 files, then probe the same ~10-file range.
+      // The grouped probe's driver collect is O(groups-touched ·
+      // groupSize) paths instead of a per-probe scan of all #files
+      // manifest rows — `rows` records the number of collected file
+      // paths so the soak JSON shows the driver-bytes gap directly.
+      val mfpDir = soakTempDir("graft-soak-mfp")
+      val rBuildG = measure(s"manifest_grouped_build_${mfTag}_files") {
+        ops.Layout.statsManifestPartitioned(spark, s"$mfDir/t", Seq("k"),
+          s"$mfpDir/mf", groupSize = 256L).count()
+      }
+      val rPruneG = measure(s"pruned_read_grouped_${mfTag}_files") {
+        ops.Layout.prunedReadGrouped(spark, s"$mfDir/t", s"$mfpDir/mf",
+          "k", lit(mfRows / 2), lit(mfRows / 2 + 999L)).count()
+      }
+      Seq(rBuild, rPrune, rExtend, rBuildG, rPruneG)
     }
 
     // ---- MULTI-WRITER lake cycle at 10× scale (q105's interleaving,

@@ -2764,6 +2764,28 @@ object SparkEntry {
         .orderBy("l_returnflag")
     }),
 
+    // ---- MANIFEST-OF-MANIFESTS read path: q69's scenario through the
+    // two-level index — per-file stats partitioned into range-clustered
+    // groups + a tiny group rollup; the probe reads the rollup, opens
+    // only surviving graft_group= partitions, and must produce exactly
+    // the flat pruned read's answer (same oracle as q69) ----------------
+    "q111_grouped_manifest" -> ((s, dir) => {
+      val tmp = gateScratch("q111")
+      t(s, dir, "lineitem").select("l_orderkey", "l_returnflag", "l_quantity")
+        .write.parquet(s"$tmp/raw")
+      ops.Layout.compact(s, s"$tmp/raw", s"$tmp/sorted",
+        "l_orderkey", targetRowsPerFile = 2000L)
+      ops.Layout.statsManifestPartitioned(s, s"$tmp/sorted",
+        Seq("l_orderkey"), s"$tmp/mf", groupSize = 4L)
+      ops.Layout.prunedReadGrouped(s, s"$tmp/sorted", s"$tmp/mf",
+          "l_orderkey", lit(1000L), lit(3000L))
+        .groupBy("l_returnflag")
+        .agg(count(lit(1)).as("n_items"),
+          sum(col("l_quantity").cast("decimal(18,2)")).cast("double")
+            .as("sum_qty"))
+        .orderBy("l_returnflag")
+    }),
+
     // ---- SELECTIVE merge into a range-partitioned layout: changes are
     // confined to low keys (< 3000) plus out-of-range inserts, so only
     // the overlapping files re-encode — the rest stream-copy verbatim;
@@ -8561,6 +8583,14 @@ object SparkEntry {
         |FROM m GROUP BY 1 ORDER BY 1""".stripMargin,
 
     "q69_data_skipping" ->
+      """SELECT l_returnflag, COUNT(*) AS n_items,
+        |  CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty
+        |FROM lineitem WHERE l_orderkey BETWEEN 1000 AND 3000
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    // the two-level manifest must be invisible to the answer: q111
+    // replays q69's oracle through the grouped read path
+    "q111_grouped_manifest" ->
       """SELECT l_returnflag, COUNT(*) AS n_items,
         |  CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty
         |FROM lineitem WHERE l_orderkey BETWEEN 1000 AND 3000

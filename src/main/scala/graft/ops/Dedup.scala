@@ -753,6 +753,64 @@ object Dedup {
     (pairs, droppedBuckets(sized, Seq("chunk", "key"), maxBucket))
   }
 
+  /** Cross-set Hamming ADMISSION filter — the perceptual-hash analogue
+    * of [[nearDupFilter]]: keep each incoming (id, hash) row iff its
+    * 64-bit hash is NOT within `maxHamming` of ANY hash in the frozen
+    * `index` table (yesterday's corpus as its dHash/audio-hash rows).
+    * Both sides band under [[hammingPairs64]]'s pigeonhole chunk
+    * scheme, so an incoming hash meets only index hashes sharing at
+    * least one of the maxHamming+1 chunk keys — which every hash
+    * within maxHamming MUST share; recall of rejections is exact
+    * except through the index-side bucket cap (a >maxBucket corpus
+    * chunk bucket is dropped, admitting rather than scanning a
+    * template flood — the same high-recall posture as the LSH caps;
+    * exact-hash hits are unaffected in practice because identical
+    * hashes share all chunks and a fingerprint pass upstream catches
+    * byte-identical payloads anyway). Admission is a pure function of
+    * (hash, static index), so a streaming caller is batch-boundary-
+    * invariant by construction; intra-batch duplicates are the
+    * caller's pre-collapse contract, exactly as in [[nearDupFilter]]
+    * compositions (s25/s36).
+    *
+    * Scale shape: one equi-join on (chunk, key) — ids and 8-byte
+    * hashes shuffle, payloads never; candidates are bounded by
+    * (maxHamming+1)·maxBucket per incoming row.
+    *
+    * @param index frozen corpus hashes (any (idCol, hashCol) frame)
+    * @return the admitted subset of `incoming`, original columns
+    */
+  def hammingFilter64(
+      index: DataFrame,
+      incoming: DataFrame,
+      idCol: String,
+      hashCol: String,
+      maxHamming: Int = 3,
+      maxBucket: Int = 1000): DataFrame = {
+    val chunks = maxHamming + 1
+    require(64 % chunks == 0,
+      s"maxHamming + 1 = $chunks must divide 64 (got maxHamming = $maxHamming)")
+    val bitsPer = 64 / chunks
+    val mask = if (bitsPer == 64) -1L else (1L << bitsPer) - 1
+    def chunked(df: DataFrame, id: String, h: String): DataFrame = {
+      val keys = (0 until chunks).map(c =>
+        shiftright(col(h), c * bitsPer).bitwiseAND(lit(mask)))
+      df.select(col(id).cast("long").as("doc_id"), col(h).cast("long").as("ph"))
+        .select(col("doc_id"), col("ph"),
+          posexplode(array(keys: _*)).as(Seq("chunk", "key")))
+    }
+    val idxBanded = capBuckets(chunked(index, idCol, hashCol),
+      Seq("chunk", "key"), maxBucket)
+      .select(col("chunk"), col("key"), col("ph").as("corpus_ph"))
+    val rejected = chunked(incoming, idCol, hashCol)
+      .join(idxBanded, Seq("chunk", "key"))
+      .filter(bit_count(col("ph").bitwiseXOR(col("corpus_ph"))) <= maxHamming)
+      .select("doc_id").distinct()
+    incoming.join(
+      rejected.select(col("doc_id").cast(incoming.schema(idCol).dataType)
+        .as(idCol)),
+      Seq(idCol), "left_anti")
+  }
+
   /** Embedding near-dup pairs at scale: hyperplane-LSH bucket join →
     * exact cosine verification. Unlike [[embeddingCosinePairs]] this
     * needs no pre-existing blocking column: buckets come from `bits`
@@ -873,7 +931,20 @@ object Dedup {
       pairs: DataFrame,
       idCol1: String = "id1",
       idCol2: String = "id2",
-      maxIter: Int = 20): DataFrame = {
+      maxIter: Int = 20): DataFrame =
+    connectedComponentsWithRounds(pairs, idCol1, idCol2, maxIter)._1
+
+  /** [[connectedComponents]] also reporting how many propagation
+    * rounds ran — the observability hook for scale soaks: per-round
+    * shuffle is O(V+E), so total shuffle is linear in the graph ×
+    * the round count, and a soak that records rounds can attribute a
+    * superlinear-looking byte curve to chain-length growth (the
+    * expected O(log n) factor) instead of guessing at a cap leak. */
+  def connectedComponentsWithRounds(
+      pairs: DataFrame,
+      idCol1: String = "id1",
+      idCol2: String = "id2",
+      maxIter: Int = 20): (DataFrame, Int) = {
     val lvl = org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
     // symmetrize with one explode, not a self-union: a union would
     // evaluate the (possibly expensive) upstream pairs pipeline twice
@@ -930,7 +1001,7 @@ object Dedup {
       }
     }
     edges.unpersist()
-    labels
+    (labels, i)
   }
 
   /** Exact decimal sum of one column — the convergence metric for the

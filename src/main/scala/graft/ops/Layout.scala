@@ -236,6 +236,111 @@ object Layout {
     withZeroRowEntries(stats, zeroRow.toSeq)
   }
 
+  /** MANIFEST-OF-MANIFESTS — the read path past the flat ceiling. The
+    * flat [[statsManifest]] contract is honest but refuses to be born
+    * over more than `spark.graft.manifest.maxFiles` files, because all
+    * of its consumers collect O(#files) paths on the driver. The lake-
+    * format endgame (Iceberg's manifest lists, public spec) is a TWO-
+    * LEVEL index: per-file stats rows live on disk, PARTITIONED into
+    * contiguous groups clustered by the first stats column's min, and
+    * a tiny per-group rollup (`graft_group`, n_files, min/max per col)
+    * is the only table a range probe reads in full. A consumer then
+    * collects O(#surviving-groups) rollup rows + the file paths of
+    * just those groups — never the whole listing.
+    *
+    * No ceiling check here — bounding driver collects is this layout's
+    * whole point. (Spark's own FileIndex still resolves the directory
+    * listing driver-side at BUILD time, as it does for any read of the
+    * table; what this structure removes is every CONSUMER re-collecting
+    * O(#files) paths per probe, and the build-time zero-row diff runs
+    * as a distributed anti-join, collecting only the missing files.)
+    *
+    * Build cost: the same distributed stats aggregate as
+    * [[statsManifest]], one planner-scale window (a single-reducer
+    * row_number over #files stats ROWS — ~40 bytes each, 10⁷ files =
+    * 400 MB through one task, acceptable for a build-once index), one
+    * partitioned write. Incremental growth composes the way commits
+    * do: re-run over a fresh commit dir and union the group tables
+    * under distinct group id ranges ([[commitAppend]] posture).
+    *
+    * @return the group rollup (also persisted to
+    *         `manifestDir/groups`; per-file rows at `manifestDir/files`
+    *         partitioned by `graft_group`)
+    */
+  def statsManifestPartitioned(spark: org.apache.spark.sql.SparkSession,
+      dir: String, cols: Seq[String], manifestDir: String,
+      groupSize: Long = 8192L): DataFrame = {
+    require(cols.nonEmpty, "need at least one stats column")
+    require(groupSize > 0, s"groupSize must be positive, got $groupSize")
+    import org.apache.spark.sql.expressions.Window
+    import spark.implicits._
+    val scan = spark.read.parquet(dir)
+    val stats = scan
+      .groupBy(col("_metadata.file_path").as("file"))
+      .agg(statsAggs(cols).head, statsAggs(cols).tail: _*)
+      .localCheckpoint(eager = true)
+    // zero-row diff DISTRIBUTED (flat statsManifest collects all stats
+    // paths for this; here only the MISSING files — normally none —
+    // ever reach the driver). inputFiles is the scan's own resolved
+    // snapshot, the same no-second-listing contract as the flat build.
+    val inv = spark.createDataset(scan.inputFiles.toIndexedSeq)
+      .toDF("graft_file")
+      .withColumn("graft_p", uriPathCol(col("graft_file")))
+    val missing = inv
+      .join(stats.select(uriPathCol(col("file")).as("graft_p")),
+        Seq("graft_p"), "left_anti")
+      .select("graft_file").collect().map(_.getString(0))
+    val all = withZeroRowEntries(stats, missing.toSeq)
+    // contiguous range groups: files sorted by the lead column's min
+    // chunk into groups of `groupSize`, so a range probe's surviving
+    // groups are a contiguous (and usually tiny) band
+    val lead = cols.head
+    val w = Window.orderBy(col(s"min_$lead").asc_nulls_last, col("file"))
+    val grouped = all.withColumn("graft_group",
+      floor((row_number().over(w).cast("long") - 1L) / lit(groupSize))
+        .cast("int"))
+    grouped.write.mode("overwrite").partitionBy("graft_group")
+      .parquet(s"$manifestDir/files")
+    val rollAggs = count(lit(1)).as("n_files") +:
+      sum(col("n_rows")).as("n_rows") +:
+      cols.flatMap(c => Seq(
+        min(col(s"min_$c")).as(s"min_$c"), max(col(s"max_$c")).as(s"max_$c")))
+    val groups = grouped.groupBy("graft_group")
+      .agg(rollAggs.head, rollAggs.tail: _*)
+    groups.write.mode("overwrite").parquet(s"$manifestDir/groups")
+    spark.read.parquet(s"$manifestDir/groups")
+  }
+
+  /** [[prunedRead]] against a [[statsManifestPartitioned]] layout: the
+    * group rollup (tiny) filters first, the per-file table is read
+    * ONLY at the surviving `graft_group=` partitions (directory-level
+    * pruning — non-surviving groups' file rows are never even
+    * scanned), and the driver collects the group ids plus the
+    * surviving file paths. For a selective probe over a range-
+    * clustered build that is O(groups-touched · groupSize) paths —
+    * the flat path's per-probe scan of ALL manifest rows never
+    * happens, and neither does the flat BUILD's refusal past the
+    * ceiling. Result is exact: same residual filter as [[prunedRead]].
+    */
+  def prunedReadGrouped(spark: org.apache.spark.sql.SparkSession,
+      dir: String, manifestDir: String, colName: String,
+      lo: Column, hi: Column): DataFrame = {
+    val survive = col(s"max_$colName") >= lo && col(s"min_$colName") <= hi
+    val gids = spark.read.parquet(s"$manifestDir/groups")
+      .filter(survive)
+      .select("graft_group").collect().map(_.getInt(0))
+    val keep =
+      if (gids.isEmpty) Array.empty[String]
+      else spark.read.parquet(s"$manifestDir/files")
+        .filter(col("graft_group").isin(gids.toIndexedSeq: _*))
+        .filter(survive)
+        .select("file").collect().map(_.getString(0))
+    val base =
+      if (keep.isEmpty) spark.read.parquet(dir).limit(0)
+      else spark.read.parquet(keep.toIndexedSeq: _*)
+    base.filter(col(colName) >= lo && col(colName) <= hi)
+  }
+
   /** Hard driver-side ceiling for the manifest family. Every manifest
     * consumer ([[prunedRead]], [[extendManifest]]'s listing diff,
     * [[vacuumOrphans]]'s live-set, [[mergeIntoLayout]]'s overlap probe)

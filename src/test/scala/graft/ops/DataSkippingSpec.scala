@@ -338,4 +338,68 @@ class DataSkippingSpec extends AnyFunSuite with SparkTestBase {
       assert(extended.count() === 15L)
     } finally spark.conf.unset("spark.graft.manifest.maxFiles")
   }
+
+  test("grouped manifest: pruned read equals flat pruned read and full scan") {
+    val dir = sortedLayout(2000, 100) // 20 files
+    val mfDir = freshDir("mf")
+    val nFiles = spark.read.parquet(dir).inputFiles.length.toLong
+    val groups = Layout.statsManifestPartitioned(
+      spark, dir, Seq("k"), mfDir, groupSize = 4L)
+    // groups of 4 → ceil(nFiles/4) groups; rollup covers every file/row
+    assert(groups.count() === (nFiles + 3) / 4)
+    val roll = groups.collect()
+    assert(roll.map(_.getAs[Long]("n_files")).sum === nFiles)
+    assert(roll.map(_.getAs[Long]("n_rows")).sum === 2000L)
+    val expected = spark.read.parquet(dir)
+      .filter(col("k") >= 120L && col("k") <= 480L)
+      .select("k", "v").as[(Long, Long)].collect().sorted
+    val got = Layout.prunedReadGrouped(spark, dir, mfDir, "k",
+        lit(120L), lit(480L))
+      .select("k", "v").as[(Long, Long)].collect().sorted
+    assert(got.toSeq === expected.toSeq)
+    val flat = Layout.prunedRead(spark, dir,
+        Layout.statsManifest(spark, dir, Seq("k")), "k",
+        lit(120L), lit(480L))
+      .select("k", "v").as[(Long, Long)].collect().sorted
+    assert(got.toSeq === flat.toSeq)
+  }
+
+  test("grouped manifest: the group probe prunes whole groups") {
+    val dir = sortedLayout(2000, 100)
+    val mfDir = freshDir("mfp")
+    Layout.statsManifestPartitioned(spark, dir, Seq("k"), mfDir,
+      groupSize = 4L)
+    // a range inside one group's band touches 1-2 of the 5 groups
+    val surviving = spark.read.parquet(s"$mfDir/groups")
+      .filter(col("max_k") >= 120L && col("min_k") <= 180L)
+      .count()
+    assert(surviving <= 2L, s"expected <=2 surviving groups, got $surviving")
+    // and an out-of-range probe touches zero groups but still answers
+    assert(Layout.prunedReadGrouped(spark, dir, mfDir, "k",
+      lit(10000L), lit(20000L)).count() === 0L)
+  }
+
+  test("grouped manifest: no ceiling refusal and zero-row files tracked") {
+    val dir = sortedLayout(1000, 100)
+    // a schema-seed (zero-row) write must land in the manifest too
+    spark.range(0).select(col("id").as("k"), col("id").as("v"))
+      .coalesce(1).write.mode("append").parquet(dir)
+    val expectFiles = spark.read.parquet(dir).inputFiles.length.toLong
+    val mfDir = freshDir("mfz")
+    spark.conf.set("spark.graft.manifest.maxFiles", "2")
+    try {
+      // flat build refuses under the tiny ceiling...
+      intercept[IllegalArgumentException] {
+        Layout.statsManifest(spark, dir, Seq("k"))
+      }
+      // ...the grouped build does not (bounded collects by design)
+      val groups = Layout.statsManifestPartitioned(
+        spark, dir, Seq("k"), mfDir, groupSize = 4L)
+      val nFiles = groups.collect().map(_.getAs[Long]("n_files")).sum
+      assert(nFiles === expectFiles)
+    } finally spark.conf.unset("spark.graft.manifest.maxFiles")
+    // zero-row file: null min/max never survives a probe, result exact
+    assert(Layout.prunedReadGrouped(spark, dir, mfDir, "k",
+      lit(0L), lit(50L)).count() === 51L)
+  }
 }
