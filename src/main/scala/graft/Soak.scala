@@ -190,6 +190,12 @@ object Soak {
     // cluster. Healthy slope: shuffle ~linear in diversity.
     val diversity =
       sys.env.getOrElse("SPARK_GRAFT_SOAK_DIVERSITY", "1").toInt
+    // the no-cross-variant-collision invariant rests on each variant
+    // getting a DISTINCT rotation: rot = d % 26, so variants d and d+26
+    // would share a rotation (identical text → cross-variant exact-dup
+    // clusters) and a healthy run would read as a cap leak
+    require(diversity >= 1 && diversity <= 26,
+      s"SPARK_GRAFT_SOAK_DIVERSITY must be in 1..26, got $diversity")
     def diverseCorpus(): org.apache.spark.sql.DataFrame = {
       val abc = "abcdefghijklmnopqrstuvwxyz"
       val base = (0 until diversity).map { d =>
@@ -542,16 +548,20 @@ object Soak {
       // build groups of 256 files, then probe the same ~10-file range.
       // The grouped probe's driver collect is O(groups-touched ·
       // groupSize) paths instead of a per-probe scan of all #files
-      // manifest rows — `rows` records the number of collected file
-      // paths so the soak JSON shows the driver-bytes gap directly.
+      // manifest rows — `rows` records the number of SURVIVING file
+      // paths the probe collected (the data count runs separately), so
+      // the soak JSON shows the driver-bytes gap directly against the
+      // fixture's total file count.
       val mfpDir = soakTempDir("graft-soak-mfp")
       val rBuildG = measure(s"manifest_grouped_build_${mfTag}_files") {
         ops.Layout.statsManifestPartitioned(spark, s"$mfDir/t", Seq("k"),
           s"$mfpDir/mf", groupSize = 256L).count()
       }
       val rPruneG = measure(s"pruned_read_grouped_${mfTag}_files") {
-        ops.Layout.prunedReadGrouped(spark, s"$mfDir/t", s"$mfpDir/mf",
-          "k", lit(mfRows / 2), lit(mfRows / 2 + 999L)).count()
+        val pruned = ops.Layout.prunedReadGrouped(spark, s"$mfDir/t",
+          s"$mfpDir/mf", "k", lit(mfRows / 2), lit(mfRows / 2 + 999L))
+        pruned.count() // exercise the pruned scan end to end
+        pruned.inputFiles.length.toLong // = collected surviving paths
       }
       Seq(rBuild, rPrune, rExtend, rBuildG, rPruneG)
     }

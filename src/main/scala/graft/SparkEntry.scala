@@ -4,6 +4,7 @@ import graft.diff.{DatasetComparator, DiffOptions}
 import graft.schema.{Flattener, SchemaUtils}
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
+import graft.ops.Ckpt.CkptSyntax
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
   *
@@ -1854,7 +1855,7 @@ object SparkEntry {
       // and serves both the pairs pipeline and the survivor base
       val collapsed = ops.Dedup.collapseVectors(
           t(s, dir, "embeddings"), "vec_id", "embedding")
-        .localCheckpoint(eager = false)
+        .ckpt
       val pairs = ops.Dedup.embeddingLshPairsFromCollapsed(collapsed,
         dim = 64, bits = 6, tau = 0.2, maxBucket = 1000)
       val dropped = ops.Dedup.connectedComponents(pairs)
@@ -2199,7 +2200,7 @@ object SparkEntry {
           ops.Similarity.cosine(col("v"), col("qv")).as("cos"))
         .withColumn("rn", row_number().over(w)).filter(col("rn") <= 5)
         .select(col("qid").as("id"), col("nid"))
-        .localCheckpoint(eager = false) // consumed by both recall joins
+        .ckpt // consumed by both recall joins
       def recall(nprobe: Int): Double = {
         val matches = idx.knnJoin(k = 5, nprobe = nprobe)
           .filter(col("id") < 40).select(col("id"), col("nid"))
@@ -4018,7 +4019,7 @@ object SparkEntry {
           ops.Similarity.cosine(col("v"), col("qv")).as("cos"))
         .withColumn("rn", row_number().over(w)).filter(col("rn") <= 5)
         .select(col("qid").as("id"), col("nid"))
-        .localCheckpoint(eager = false) // one ground truth, three sweeps
+        .ckpt // one ground truth, three sweeps
       Seq(1, 2, 4).map { np =>
         idx.knnJoin(k = 5, nprobe = np)
           .filter(col("id") < 50).select("id", "nid")
@@ -5007,7 +5008,7 @@ object SparkEntry {
           }).as("cos"))
         .withColumn("rn", row_number().over(w)).filter(col("rn") <= 5)
         .select(col("qid").as("id"), col("nid"))
-      val exact = topk(None).localCheckpoint(eager = false)
+      val exact = topk(None).ckpt
       Seq(8, 16, 32).map { d =>
         topk(Some(d))
           .join(exact, Seq("id", "nid"))
@@ -5055,9 +5056,9 @@ object SparkEntry {
       val idx0 = ops.Dedup.nearDupIndex(docs, "doc_id", "text",
         k = 12, bands = 6, shingleSize = 3)
       val idx = idx0.copy(
-        fingerprints = idx0.fingerprints.localCheckpoint(eager = false),
-        bands = idx0.bands.localCheckpoint(eager = false),
-        hashes = idx0.hashes.localCheckpoint(eager = false))
+        fingerprints = idx0.fingerprints.ckpt,
+        bands = idx0.bands.ckpt,
+        hashes = idx0.hashes.ckpt)
       var admitted = docs.limit(0)
       val inSchema = s.read.parquet(s"$tmp/in").schema
       withNarrowState(s) {
@@ -5113,7 +5114,7 @@ object SparkEntry {
       // every micro-batch
       val idx = ops.Dedup.vectorNearDupIndex(emb, "vec_id", "embedding",
           dim = 64, bits = 6, maxBucket = 1000)
-        .localCheckpoint(eager = false)
+        .ckpt
       var admitted = cand.select(col("id").as("vec_id")).limit(0)
       val inSchema = s.read.parquet(s"$tmp/in").schema
       withNarrowState(s) {
@@ -5367,7 +5368,7 @@ object SparkEntry {
         .repartition(4, col("shard"))
         .write.parquet(s"$tmp/in") // 4 files → 4 micro-batches
       val idx = ops.CorpusOps.benchmarkFingerprints(bench, "doc_id", "text")
-        .localCheckpoint(eager = false) // probed by every micro-batch
+        .ckpt // probed by every micro-batch
       var admitted = ops.CorpusOps.contaminationFilter(idx,
         docs.limit(0), "doc_id", "text")
       val inSchema = s.read.parquet(s"$tmp/in").schema
@@ -5450,11 +5451,11 @@ object SparkEntry {
       val nd0 = ops.Dedup.nearDupIndex(evens, "doc_id", "text",
         k = 12, bands = 6, shingleSize = 3)
       val ndIdx = nd0.copy(
-        fingerprints = nd0.fingerprints.localCheckpoint(eager = false),
-        bands = nd0.bands.localCheckpoint(eager = false),
-        hashes = nd0.hashes.localCheckpoint(eager = false))
+        fingerprints = nd0.fingerprints.ckpt,
+        bands = nd0.bands.ckpt,
+        hashes = nd0.hashes.ckpt)
       val ctIdx = ops.CorpusOps.benchmarkFingerprints(odds, "doc_id", "text")
-        .localCheckpoint(eager = false)
+        .ckpt
       val budgets = (0 until 20).map(k => (s"src$k", 60L + 29L * k))
         .toDF("source", "budget").localCheckpoint(eager = true)
       var seen = Seq.empty[(String, Long)].toDF("source", "seen_tokens")
@@ -5556,11 +5557,11 @@ object SparkEntry {
       val nd0 = ops.Dedup.nearDupIndex(evens, "doc_id", "text",
         k = 12, bands = 6, shingleSize = 3)
       val ndIdx = nd0.copy(
-        fingerprints = nd0.fingerprints.localCheckpoint(eager = false),
-        bands = nd0.bands.localCheckpoint(eager = false),
-        hashes = nd0.hashes.localCheckpoint(eager = false))
+        fingerprints = nd0.fingerprints.ckpt,
+        bands = nd0.bands.ckpt,
+        hashes = nd0.hashes.ckpt)
       val ctIdx = ops.CorpusOps.benchmarkFingerprints(odds, "doc_id", "text")
-        .localCheckpoint(eager = false)
+        .ckpt
       val budgets = (0 until 20).map(k => (s"src$k", 60L + 29L * k))
         .toDF("source", "budget").localCheckpoint(eager = true)
       // running state: token budgets, shard cursors, pack byte cursors,

@@ -63,8 +63,12 @@ object DataFrameIO {
   }
 
   /** Write, resolving a collision-free path first (K2: existing target →
-    * `_<millis>` suffix). Returns the path actually written (empty for
-    * jdbc sinks). */
+    * `_<millis>` suffix). An explicit `saveMode = overwrite` OPTS OUT of
+    * K2 and writes the requested path in place — index re-publication
+    * (NearDupIndex / IvfIndex / PqCodebook `save`) relies on the second
+    * save replacing the directory a later `load` reads; suffixing it
+    * would leave `load` silently returning the stale index. Returns the
+    * path actually written (empty for jdbc sinks). */
   def write(df: DataFrame, p: SourceParams)(implicit spark: SparkSession): String = {
     val base = df.write.format(resolveFormat(p.format)).options(p.options)
     val parted = if (p.partitionBy.isEmpty) base
@@ -72,7 +76,9 @@ object DataFrameIO {
     val writer = p.saveMode.fold(parted)(parted.mode)
     if (p.isJdbc) { writer.save(); "" }
     else {
-      val target = PathResolver.uniquePath(p.path.get, spark)
+      val target =
+        if (p.saveMode.exists(_.equalsIgnoreCase("overwrite"))) p.path.get
+        else PathResolver.uniquePath(p.path.get, spark)
       writer.save(target)
       target
     }

@@ -1,0 +1,69 @@
+package graft.ops
+
+import org.apache.spark.sql.Dataset
+
+/** The engine's single materialization-barrier primitive. Every
+  * lineage-truncation site in `graft.ops` routes through [[pinned]]
+  * (usually via the [[CkptSyntax.ckpt]] suffix) instead of calling
+  * `Dataset.localCheckpoint` directly, so the eager-vs-lazy decision is
+  * made in exactly one place.
+  *
+  * == Why eager is the only safe default ==
+  *
+  * `localCheckpoint(eager = false)` leaves the checkpoint PENDING: the
+  * first job that touches the RDD materializes it, and at the end of
+  * that job `SparkContext.runJob` calls `rdd.doCheckpoint()` ON THE
+  * THREAD THAT SUBMITTED THE JOB. When the pending frame feeds a join
+  * that Spark decides to broadcast — an explicit `broadcast()` hint or
+  * AQE's runtime conversion (common for the small label/panel tables
+  * these barriers protect) — that first job is the broadcast-relation
+  * build, which runs on a `broadcast-exchange-*` pool thread. The
+  * checkpoint-marking path (`RDDCheckpointData.checkpoint` →
+  * `rdd.markCheckpointed`) takes the global `RDDCheckpointData$` lock
+  * and then the RDD's own monitor, while the concurrently-active
+  * `dag-scheduler-event-loop` (scheduling sibling stages of the same
+  * query) takes the RDD monitor first (`getCacheLocs → RDD.partitions`)
+  * and then wants the global lock (`RDDCheckpointData.checkpointRDD`).
+  * The lock order inverts and the job hangs forever with zero CPU and
+  * no error — observed under jstack in this exact engine (round-15
+  * verdict): a production-killing liveness bug, not a perf trade.
+  *
+  * The "fuse materialization into the first consumer's job" optimization
+  * is therefore unsound whenever the frame can reach a broadcast build
+  * before a driver-thread action lands — and because `localCheckpoint`
+  * itself compiles the physical plan (kicking off broadcast futures for
+  * everything BELOW it), even loop-digest patterns race: round N+1's
+  * barrier call can start a broadcast build over round N's still-pending
+  * frame before round N+1's digest runs. So [[pinned]] materializes
+  * eagerly by default: the compute happens exactly once either way (the
+  * consumer then reads the cached blocks), eager only adds one driver-
+  * thread job launch per site, and the pending-checkpoint window never
+  * exists. `spark.graft.checkpoint.eager=false` restores the old lazy
+  * behavior for A/B perf measurements ONLY — never set it on a cluster
+  * where any barriered frame can feed a broadcast join.
+  *
+  * `localCheckpoint` (not `persist`) remains the right primitive: a
+  * persisted Dataset is pinned by the CacheManager until an explicit
+  * `unpersist` nobody can issue (the consuming action happens in the
+  * caller), while checkpoint blocks are freed by the ContextCleaner as
+  * soon as the result is unreachable.
+  */
+object Ckpt {
+
+  /** Set to "false" to restore lazy checkpoints (perf A/B only — unsafe
+    * with broadcast joins; see the object scaladoc). */
+  val EagerConf = "spark.graft.checkpoint.eager"
+
+  /** Materialization barrier: truncate lineage and cache via
+    * `localCheckpoint`, eagerly unless [[EagerConf]] opts out. */
+  def pinned[T](ds: Dataset[T]): Dataset[T] = {
+    val eager =
+      ds.sparkSession.conf.get(EagerConf, "true").equalsIgnoreCase("true")
+    ds.localCheckpoint(eager = eager)
+  }
+
+  /** `df.ckpt` suffix syntax for [[pinned]]. */
+  implicit final class CkptSyntax[T](private val ds: Dataset[T]) extends AnyVal {
+    def ckpt: Dataset[T] = pinned(ds)
+  }
+}

@@ -3,6 +3,7 @@ package graft.ops
 import graft.functions.TextFunctions._
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
+import graft.ops.Ckpt.CkptSyntax
 
 /** Corpus-level pipeline operators a training-data pipeline needs
   * beyond dedup: deterministic sampling (train/eval splits that are
@@ -108,7 +109,7 @@ object CorpusOps {
     * SQL oracle — [[tfIdfScaled]] is the gate-checkable variant. */
   def tfIdf(df: DataFrame, idCol: String, textCol: String): DataFrame = {
     val perDoc = perDocTf(df, idCol, textCol)
-      .localCheckpoint(eager = false)
+      .ckpt
     val nDocs = df.select(col(idCol)).distinct().count()
     val docFreq = perDoc.groupBy("token").agg(count(lit(1)).as("df"))
     perDoc.join(docFreq, Seq("token"))
@@ -126,7 +127,7 @@ object CorpusOps {
   def tfIdfScaled(df: DataFrame, idCol: String, textCol: String,
       scale: Long = 1000000L): DataFrame = {
     val perDoc = perDocTf(df, idCol, textCol)
-      .localCheckpoint(eager = false)
+      .ckpt
     val nDocs = df.select(col(idCol)).distinct().count()
     val docFreq = perDoc.groupBy("token").agg(count(lit(1)).as("df"))
     // true integer division (DIV), not double-divide-then-cast: the
@@ -274,7 +275,7 @@ object CorpusOps {
   def bm25(df: DataFrame, idCol: String, textCol: String,
       k1: Double = 1.2, b: Double = 0.75): DataFrame = {
     val perDoc = perDocTf(df, idCol, textCol)
-      .localCheckpoint(eager = false)
+      .ckpt
     val nDocs = df.select(col(idCol)).distinct().count()
     val docFreq = perDoc.groupBy("token").agg(count(lit(1)).as("df"))
     val docLen = perDoc.groupBy("doc").agg(sum("tf").as("dl"))
@@ -372,12 +373,12 @@ object CorpusOps {
     val tok = df
       .filter(org.apache.spark.sql.functions.size(tokens(col(textCol))) >= 2)
       .select(tokens(col(textCol)).as("graft_ts"))
-      .localCheckpoint(eager = false)
+      .ckpt
     val big = tok
       .select(explode(shinglesFromTokens(col("graft_ts"), 2)).as("bigram"))
       .groupBy("bigram").agg(count(lit(1)).as("c12"))
       .withColumn("w1", substring_index(col("bigram"), " ", 1))
-      .localCheckpoint(eager = false) // feeds both the prefix aggregate and the join
+      .ckpt // feeds both the prefix aggregate and the join
     val prefix = big.groupBy("w1").agg(sum("c12").as("c1"))
     big.join(prefix, Seq("w1"))
       .select(col("w1"), substring_index(col("bigram"), " ", -1).as("w2"),
@@ -450,7 +451,7 @@ object CorpusOps {
       n: Int, minDocFreq: Int, maxNgrams: Int): (DataFrame, DataFrame) = {
     require(maxNgrams > 0, s"maxNgrams must be positive, got $maxNgrams")
     val all = frequentNgrams(df, idCol, textCol, n, minDocFreq)
-      .localCheckpoint(eager = false) // top-K and audit both read it
+      .ckpt // top-K and audit both read it
     // the sort key, direction-folded so one lexicographic struct order
     // expresses (n_docs desc, n_occurrences desc, ngram asc)
     def key(d: DataFrame): Column = struct(
@@ -495,13 +496,13 @@ object CorpusOps {
     val tok = df
       .filter(org.apache.spark.sql.functions.size(tokens(col(textCol))) >= 2)
       .select(col(idCol).as("doc"), tokens(col(textCol)).as("graft_ts"))
-      .localCheckpoint(eager = false)
+      .ckpt
     val docBg = tok
       .select(col("doc"), explode(shinglesFromTokens(col("graft_ts"), 2)).as("bigram"))
-      .localCheckpoint(eager = false)
+      .ckpt
     val c12 = docBg.groupBy("bigram").agg(count(lit(1)).as("c12"))
       .withColumn("w1", substring_index(col("bigram"), " ", 1))
-      .localCheckpoint(eager = false) // feeds the prefix aggregate and the LM join
+      .ckpt // feeds the prefix aggregate and the LM join
     val c1 = c12.groupBy("w1").agg(sum("c12").as("c1"))
     val lm = c12.join(c1, Seq("w1"))
       .select(col("bigram"), expr(s"(c12 * ${scale}L) div c1").as("p_scaled"))
@@ -696,7 +697,7 @@ object CorpusOps {
     val pos = df.select(col(idCol).as("graft_doc"),
         posexplode(graft.functions.shingleHashSeq64(tks, n))
           .as(Seq("graft_pos", "graft_fp")))
-      .localCheckpoint(eager = false)
+      .ckpt
     val dup = pos.select("graft_fp", "graft_doc").distinct()
       .groupBy("graft_fp").agg(count(lit(1)).as("graft_df"))
       .filter(col("graft_df") >= minDocs)
@@ -746,7 +747,7 @@ object CorpusOps {
     // the tf triple store feeds BOTH the vocabulary (weights) build and
     // the contraction join — barrier it so tokenization runs once, not
     // once per consumer (same two-consumer shape as tfIdf)
-    val tf = perDocTf(df, idCol, textCol).localCheckpoint(eager = false)
+    val tf = perDocTf(df, idCol, textCol).ckpt
     val weights = tf.select("token").distinct()
       .select(col("token"),
         posexplode(transform(sequence(lit(0), lit(nTopics - 1)),
@@ -909,7 +910,7 @@ object CorpusOps {
     import org.apache.spark.sql.expressions.Window
     val d = counted
       .withColumn("graft_b", floor(col("doc_id") / lit(bucketSize)))
-      .localCheckpoint(eager = false) // phases 1 and 2 both read it
+      .ckpt // phases 1 and 2 both read it
     val b = broadcast(budgets.select(col("source").as("graft_src"),
       col("budget").cast("long").as("graft_budget")))
     val wB = Window.partitionBy("graft_src").orderBy("graft_b")
@@ -983,7 +984,7 @@ object CorpusOps {
     val d = batch.select(col(idCol).cast("long").as("doc_id"),
         col(sourceCol).as("graft_src"),
         tokenCount(col(textCol)).cast("long").as("n_tokens"))
-      .localCheckpoint(eager = false) // admitted filter + state fold
+      .ckpt // admitted filter + state fold
     val w = Window.partitionBy("graft_src").orderBy("doc_id")
       .rowsBetween(Window.unboundedPreceding, -1)
     // within-batch unique/non-null id + non-null token guard, riding the
@@ -1052,7 +1053,7 @@ object CorpusOps {
     val d = df.select(col(idCol).cast("long").as("doc_id"),
         col(sourceCol).as("graft_src"),
         tokenCount(col(textCol)).cast("long").as("n_tokens"))
-      .localCheckpoint(eager = false) // totals, prefix and join all read it
+      .ckpt // totals, prefix and join all read it
     val b = budgets.select(col("source").as("graft_src"),
       col("budget").cast("long").as("graft_budget"))
     val plan = d.groupBy("graft_src").agg(sum("n_tokens").as("graft_tt"))
@@ -1161,7 +1162,7 @@ object CorpusOps {
         h64(concat_ws("-", lit(salt), col(idCol).cast("string"))))
       .withColumn("shard", pmod(col("graft_h"), lit(nShards.toLong)).cast("int"))
       .withColumn("graft_rk", rkCol)
-      .localCheckpoint(eager = false) // assignment + state fold both read
+      .ckpt // assignment + state fold both read
     val assigned = ranked
       .join(broadcast(seen.select(col("shard"),
         col("n_seen").as("graft_seen"))), Seq("shard"), "left")
@@ -1265,7 +1266,7 @@ object CorpusOps {
       .groupBy("word").agg(count(lit(1)).as("freq"))
       .select(concat(lit(" "),
         concat_ws(" ", split(col("word"), "")), lit(" ")).as("w"), col("freq"))
-      .localCheckpoint(eager = false)
+      .ckpt
     val learned = scala.collection.mutable.ArrayBuffer.empty[(Int, String, String, Long)]
     var step = 1
     var exhausted = false
@@ -1288,7 +1289,7 @@ object CorpusOps {
           // continuing after each replacement — exactly BPE's greedy
           // merge order, and exactly what the oracle's replace() does
           .withColumn("w", replace(col("w"), lit(s" $l $r "), lit(s" $l$r ")))
-          .localCheckpoint(eager = false)
+          .ckpt
         step += 1
       }
     }
@@ -1377,7 +1378,7 @@ object CorpusOps {
           tokens(col(textCol)), shingleSize)).as("h"))
       .distinct()
       // two consumers (both self-join sides): hash the corpus once
-      .localCheckpoint(eager = false)
+      .ckpt
     gh.select(col("h"), col("grp").as("grp_a"))
       .join(gh.select(col("h"), col("grp").as("grp_b")), Seq("h"))
       .filter(col("grp_a") < col("grp_b"))
@@ -1397,7 +1398,7 @@ object CorpusOps {
           tokens(col(textCol)), shingleSize)).as("h"))
       // two consumers (first-carrier agg + join-back): materialize so
       // the tokenize→shingle→hash projection runs once per document
-      .localCheckpoint(eager = false)
+      .ckpt
     val first = pairs.groupBy("h").agg(min("doc_id").as("first_id"))
     pairs.join(first, Seq("h"))
       .groupBy("doc_id")

@@ -4,6 +4,7 @@ import graft.functions.TextFunctions._
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
+import graft.ops.Ckpt.CkptSyntax
 
 /** Deduplication operators for large-scale corpora (SURVEY.md §7).
   *
@@ -188,9 +189,9 @@ object Dedup {
 
   /** Stage 1 — collapse exact dups, then tokenize → shingle → hash each
     * DISTINCT shingle in ONE codegen'd kernel per row
-    * ([[graft.functions.ShingleHash64]]), materialized lazily by
-    * localCheckpoint(eager = false) — the first consumer's job computes
-    * AND stores the blocks, so no separate materialization pass runs.
+    * ([[graft.functions.ShingleHash64]]), materialized once behind a
+    * [[Ckpt]] barrier (eager — see Ckpt's scaladoc for why a pending
+    * lazy checkpoint can deadlock against a broadcast build).
     * The barrier stops Catalyst from re-inlining the
     * kernel into every downstream consumer (k seed folds × banding × two
     * verification joins — the difference between minutes and seconds at
@@ -205,7 +206,7 @@ object Dedup {
     collapseExactText(df, idCol, textCol)
       .select(col("doc_id"),
         graft.functions.shingleHash64(tokens(col("text")), shingleSize).as("hashes"))
-      .localCheckpoint(eager = false)
+      .ckpt
 
   /** (doc_id, band, bucket) band keys of a [[minhashHashed]] table —
     * signatures are one codegen'd k×n primitive loop over the cached
@@ -319,7 +320,7 @@ object Dedup {
       val hashed = batch.select(col("doc_id"),
           graft.functions.shingleHash64(tokens(col("text")), idx.shingleSize)
             .as("hashes"))
-        .localCheckpoint(eager = false) // banding + the stored hash table
+        .ckpt // banding + the stored hash table
       val existingSz = idx.bands.groupBy("band", "bucket")
         .agg(count(lit(1)).as("graft_old_sz"))
       val admittedBands = bandedKeys(hashed, idx.k, idx.nBands)
@@ -389,12 +390,12 @@ object Dedup {
       .withColumn("fingerprint", fingerprint(col("text")))
       .join(index.fingerprints, Seq("fingerprint"), "left_anti")
       .drop("fingerprint")
-      .localCheckpoint(eager = false)
+      .ckpt
 
     val hashed = fresh.select(col("doc_id"),
         graft.functions.shingleHash64(tokens(col("text")), index.shingleSize)
           .as("hashes"))
-      .localCheckpoint(eager = false)
+      .ckpt
     val banded = capBuckets(bandedKeys(hashed, index.k, index.nBands),
       Seq("band", "bucket"), maxBucket)
 
@@ -436,7 +437,7 @@ object Dedup {
       tau: Double = 0.5): DataFrame = {
     val hashed = df.select(col(blockCol).as("block"), col(idCol).as("id"),
         graft.functions.shingleHash64(tokens(col(textCol)), shingleSize).as("h"))
-      .localCheckpoint(eager = false) // hash once per doc, not once per pair side
+      .ckpt // hash once per doc, not once per pair side
     val a = hashed.select(col("block"), col("id").as("id1"), col("h").as("h1"))
     val b = hashed.select(col("block"), col("id").as("id2"), col("h").as("h2"))
     a.join(b, Seq("block"))
@@ -507,7 +508,7 @@ object Dedup {
         posexplode(array(chunkKeys: _*)).as(Seq("chunk", "key"))),
       Seq("chunk", "key"))
     // see hammingPairs64Banded on the audited-only checkpoint
-    val sized = if (audited) sized0.localCheckpoint(eager = false) else sized0
+    val sized = if (audited) sized0.ckpt else sized0
     val banded = sized.filter(col("bucket_sz") <= maxBucket).drop("bucket_sz")
 
     val l = banded.select(col("chunk"), col("key"), col("doc_id").as("id1"), col("sim").as("sim1"))
@@ -551,7 +552,7 @@ object Dedup {
       tau: Double = 0.6): DataFrame = {
     val sets = df.select(col(idCol).cast("long").as("doc_id"),
         graft.functions.shingleHash64(tokens(col(textCol)), shingleSize).as("hashes"))
-      .localCheckpoint(eager = false) // prefix build + verification joins
+      .ckpt // prefix build + verification joins
     val toks = sets.select(col("doc_id"), explode(col("hashes")).as("h"))
     val freq = toks.groupBy("h").agg(count(lit(1)).as("f"))
     val w = Window.partitionBy("doc_id").orderBy(col("f"), col("h"))
@@ -637,7 +638,7 @@ object Dedup {
       maxPosting: Int = 1000): (DataFrame, DataFrame) = {
     val sets = df.select(col(idCol).cast("long").as("doc_id"),
         graft.functions.shingleHash64(tokens(col(textCol)), shingleSize).as("hashes"))
-      .localCheckpoint(eager = false) // prefix build + verification joins
+      .ckpt // prefix build + verification joins
     val toks = sets.select(col("doc_id"), explode(col("hashes")).as("h"))
     val freq = toks.groupBy("h").agg(count(lit(1)).as("f"))
     val w = Window.partitionBy("doc_id").orderBy(col("f"), col("h"))
@@ -740,7 +741,7 @@ object Dedup {
     // audited: the sized table feeds both the pairs join AND the audit
     // aggregate — checkpoint so the banding window runs once, not per
     // consumer (unaudited keeps the current single-consumer plan as is)
-    val sized = if (audited) sized0.localCheckpoint(eager = false) else sized0
+    val sized = if (audited) sized0.ckpt else sized0
     val banded = sized.filter(col("bucket_sz") <= maxBucket).drop("bucket_sz")
     val l = banded.select(col("chunk"), col("key"), col("doc_id").as("id1"), col("ph").as("ph1"))
     val r = banded.select(col("chunk"), col("key"), col("doc_id").as("id2"), col("ph").as("ph2"))
@@ -791,10 +792,13 @@ object Dedup {
       s"maxHamming + 1 = $chunks must divide 64 (got maxHamming = $maxHamming)")
     val bitsPer = 64 / chunks
     val mask = if (bitsPer == 64) -1L else (1L << bitsPer) - 1
+    // the rejection set is keyed on the ORIGINAL id column, untouched —
+    // a numeric cast would turn string ids into nulls and the anti-join
+    // below would then silently admit every near-duplicate
     def chunked(df: DataFrame, id: String, h: String): DataFrame = {
       val keys = (0 until chunks).map(c =>
         shiftright(col(h), c * bitsPer).bitwiseAND(lit(mask)))
-      df.select(col(id).cast("long").as("doc_id"), col(h).cast("long").as("ph"))
+      df.select(col(id).as("doc_id"), col(h).cast("long").as("ph"))
         .select(col("doc_id"), col("ph"),
           posexplode(array(keys: _*)).as(Seq("chunk", "key")))
     }
@@ -805,9 +809,7 @@ object Dedup {
       .join(idxBanded, Seq("chunk", "key"))
       .filter(bit_count(col("ph").bitwiseXOR(col("corpus_ph"))) <= maxHamming)
       .select("doc_id").distinct()
-    incoming.join(
-      rejected.select(col("doc_id").cast(incoming.schema(idCol).dataType)
-        .as(idCol)),
+    incoming.join(rejected.withColumnRenamed("doc_id", idCol),
       Seq(idCol), "left_anti")
   }
 
@@ -855,7 +857,7 @@ object Dedup {
       Similarity.hyperplaneBuckets(distinctVecs, "id", "v", bits, dim)
         .withColumn("nrm", sqrt(Similarity.dot(col("v"), col("v")))),
       Seq("bucket"), maxBucket)
-      .localCheckpoint(eager = false)
+      .ckpt
     val a = bucketed.select(col("bucket"), col("id").as("id1"), col("v").as("v1"), col("nrm").as("n1"))
     val b = bucketed.select(col("bucket"), col("id").as("id2"), col("v").as("v2"), col("nrm").as("n2"))
     a.join(b, Seq("bucket"))
@@ -901,7 +903,7 @@ object Dedup {
           col(vecCol).cast("array<double>").as("v")),
         "id", "v", bits, dim)
       .withColumn("nrm", sqrt(Similarity.dot(col("v"), col("v"))))
-      .localCheckpoint(eager = false) // probed + anti-joined below
+      .ckpt // probed + anti-joined below
     val hits = cand
       .join(index.select(col("bucket"), col("v").as("kv"),
         col("nrm").as("knrm")), Seq("bucket"))
@@ -964,7 +966,7 @@ object Dedup {
     // grows exponentially with iterations
     var labels = edges.groupBy("a").agg(min("b").as("mb"))
       .select(col("a").as("node"), least(col("a"), col("mb")).as("cluster_rep"))
-      .localCheckpoint(eager = false)
+      .ckpt
     def labelSum(df: DataFrame) = convergenceSum(df, "cluster_rep")
     var prevSum = labelSum(labels)
 
@@ -984,16 +986,15 @@ object Dedup {
             least(coalesce(col("nbr_lab"), col("cluster_rep")),
               coalesce(col("graft_ptr"), col("cluster_rep"))))
             .as("cluster_rep"))
-        .localCheckpoint(eager = false)
+        .ckpt
       labels = next
       i += 1
       // convergence probe every 2nd pass (plus the last allowed one):
       // the label sum is non-increasing per pass, so equality across a
       // two-pass stride certifies a fixpoint already held at the first
       // of the two — probing every pass would double the action count
-      // of the loop for at most one saved (idempotent) pass. The
-      // skipped pass's lazy localCheckpoint simply materializes inside
-      // the probing action, so lineage stays bounded at two passes.
+      // of the loop for at most one saved (idempotent) pass. Each
+      // pass's Ckpt barrier keeps lineage bounded at one pass.
       if (i % 2 == 0 || i == maxIter) {
         val nextSum = labelSum(labels)
         converged = nextSum.compareTo(prevSum) == 0

@@ -2,6 +2,7 @@ package graft.ops
 
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
+import graft.ops.Ckpt.CkptSyntax
 
 /** Iterative graph analytics as join–aggregate loops.
   *
@@ -63,7 +64,7 @@ object Graph {
     val e = edges
       .select(col(srcCol).cast("long").as("src"), col(dstCol).cast("long").as("dst"))
       .distinct()
-      .localCheckpoint(eager = false)
+      .ckpt
     // out-degree as a COUNT window over the src partitioning: one
     // exchange yields (src, dst, deg) already hash-partitioned on src —
     // exactly the layout every iteration's join wants — where a
@@ -71,11 +72,11 @@ object Graph {
     val ed = e
       .withColumn("deg", count(lit(1)).over(
         org.apache.spark.sql.expressions.Window.partitionBy(col("src"))))
-      .localCheckpoint(eager = false)
+      .ckpt
     val nodes = e.select(col("src").as("node"))
       .union(e.select(col("dst").as("node")))
       .distinct()
-      .localCheckpoint(eager = false)
+      .ckpt
 
     val base = scale * (dampDen - dampNum) / dampDen
     var rank = nodes.select(col("node"), lit(scale).as("pr_rank"))
@@ -101,7 +102,7 @@ object Graph {
         .select(col("node"),
           (lit(base) + expr(s"($dampNum * s) div $dampDen")).as("pr_rank"))
       if (i % 25 == 0 && i < iterations)
-        rank = rank.localCheckpoint(eager = false)
+        rank = rank.ckpt
     }
     rank
   }
@@ -142,15 +143,15 @@ object Graph {
     val e = edges
       .select(col(srcCol).cast("long").as("src"), col(dstCol).cast("long").as("dst"))
       .distinct()
-      .localCheckpoint(eager = false)
+      .ckpt
     val ed = e
       .withColumn("deg", count(lit(1)).over(
         org.apache.spark.sql.expressions.Window.partitionBy(col("src"))))
-      .localCheckpoint(eager = false)
+      .ckpt
     val nodes = e.select(col("src").as("node"))
       .union(e.select(col("dst").as("node")))
       .distinct()
-      .localCheckpoint(eager = false)
+      .ckpt
 
     val base = scale * (dampDen - dampNum) / dampDen
     def restart(node: Column): Column =
@@ -167,7 +168,7 @@ object Graph {
         .select(col("node"),
           (restart(col("node")) + expr(s"($dampNum * s) div $dampDen")).as("pr_rank"))
       if (i % 25 == 0 && i < iterations)
-        rank = rank.localCheckpoint(eager = false)
+        rank = rank.ckpt
     }
     rank
   }
@@ -229,7 +230,7 @@ object Graph {
     val e2 = e
       .unionAll(nodes.select(col("n").as("src"), col("n").as("dst"),
         lit(0L).as("w")))
-      .localCheckpoint(eager = false) // reused by every round's join
+      .ckpt // reused by every round's join
 
     var dist = e2.sparkSession.range(1)
       .select(lit(sourceId).as("node"), lit(0L).as("dist"))
@@ -304,7 +305,7 @@ object Graph {
     val e = raw.unionAll(raw.select(col("dst").as("src"), col("src").as("dst")))
       .filter(col("src") =!= col("dst"))
       .distinct()
-      .localCheckpoint(eager = false) // reused by every round's join
+      .ckpt // reused by every round's join
     var lab = e.select(col("src").as("node")).distinct()
       .select(col("node"), col("node").as("label"))
     for (_ <- 1 to iterations) {
@@ -338,7 +339,7 @@ object Graph {
     * semi-join-shaped equi-joins restricting the edge list to
     * surviving endpoints. The edge list branches three ways per round
     * (degree pass + both endpoint filters), so each round ends in a
-    * lazy localCheckpoint — without it the plan would grow 3^R. Driver
+    * [[Ckpt]] barrier — without it the plan would grow 3^R. Driver
     * state is the loop counter.
     *
     * @return (node, degree) of surviving nodes with their degree in
@@ -357,7 +358,7 @@ object Graph {
     var e = raw.unionAll(raw.select(col("dst").as("src"), col("src").as("dst")))
       .filter(col("src") =!= col("dst"))
       .distinct()
-      .localCheckpoint(eager = false)
+      .ckpt
     for (_ <- 1 to rounds) {
       // symmetric edge list: out-degree IS the undirected degree
       val keep = e.groupBy("src").agg(count(lit(1)).as("d"))
@@ -365,7 +366,7 @@ object Graph {
       e = e.join(keep.select(col("n").as("src")), Seq("src"))
         .join(keep.select(col("n").as("dst")), Seq("dst"))
         .select("src", "dst")
-        .localCheckpoint(eager = false)
+        .ckpt
     }
     e.groupBy(col("src").as("node")).agg(count(lit(1)).as("degree"))
   }
@@ -395,7 +396,7 @@ object Graph {
         greatest(col(srcCol), col(dstCol)).cast("long").as("b"))
       .filter(col("a") =!= col("b"))
       .distinct()
-      .localCheckpoint(eager = false) // feeds degrees AND both join sides
+      .ckpt // feeds degrees AND both join sides
     val deg = e.select(explode(array(col("a"), col("b"))).as("v"))
       .groupBy("v").agg(count(lit(1)).as("d"))
 
@@ -410,7 +411,7 @@ object Graph {
         .otherwise(struct(col("b").as("u"), col("a").as("v"), col("da").as("dv")))
         .as("o"))
       .select(col("o.u").as("u"), col("o.v").as("v"), col("o.dv").as("dv"))
-      .localCheckpoint(eager = false) // wedge sides + closing join
+      .ckpt // wedge sides + closing join
 
     val w1 = oriented.select(col("u"), col("v").as("v1"), col("dv").as("dv1"))
     val w2 = oriented.select(col("u"), col("v").as("v2"), col("dv").as("dv2"))
@@ -447,13 +448,12 @@ object Graph {
     * edge multiset strictly shrinks toward the star fixpoint (every
     * node directly linked to its component minimum), so convergence is
     * detected by an exact (count, Σnode, Σmin) digest going stable.
-    * The digest is ALSO the loop's only action (rounds end in a lazy
-    * localCheckpoint, materialized by the next digest), so its cadence
-    * sets the job-launch count: `digestEvery = 2` (default) probes
-    * every second round — at the fixpoint extra rounds are no-ops, so
-    * a sparser cadence only trades ≤ digestEvery−1 wasted no-op rounds
-    * for half the scheduling overhead, and the RESULT is identical at
-    * any cadence (spec-pinned).
+    * `digestEvery = 1` (default) probes every round: PLANS.md records
+    * the measured rejection of cadence 2 (12.7 s vs 8.6 s at sf0.1 —
+    * with rounds materialized by the [[Ckpt]] barrier the digest is
+    * cheap, so a sparser cadence only defers convergence detection by
+    * up to digestEvery−1 wasted no-op rounds). The RESULT is identical
+    * at any cadence (spec-pinned).
     *
     * @return (node, component) — component = min node id reachable
     */
@@ -472,7 +472,7 @@ object Graph {
         greatest(col("a"), col("b")).as("b"))
       .filter(col("a") =!= col("b"))
       .distinct()
-      .localCheckpoint(eager = false)
+      .ckpt
 
     def digest(df: DataFrame): (Long, java.math.BigDecimal) = {
       val r = df.agg(count(lit(1)),
@@ -500,7 +500,7 @@ object Graph {
       val large = nbrs.filter(col("v") > col("u"))
         .select(col("m").as("a"), col("v").as("b"))
         .distinct()
-        .localCheckpoint(eager = false)
+        .ckpt
 
       // SMALL-STAR over the large-star output: (v, m_u) for v < u,
       // plus (u, m_u) linking u to its own minimum (emitted per row,
@@ -515,7 +515,7 @@ object Graph {
         .select(least(col("a"), col("b")).as("a"),
           greatest(col("a"), col("b")).as("b"))
         .distinct()
-        .localCheckpoint(eager = false)
+        .ckpt
 
       i += 1
       // digest cadence: probe on the cadence grid (and at the round
@@ -579,11 +579,11 @@ object Graph {
       .select(col(srcCol).cast("long").as("src"), col(dstCol).cast("long").as("dst"))
       .filter(col("src") =!= col("dst"))
       .distinct()
-      .localCheckpoint(eager = false)
+      .ckpt
     val nodes = e.select(col("src").as("node"))
       .union(e.select(col("dst").as("node")))
       .distinct()
-      .localCheckpoint(eager = false)
+      .ckpt
 
     // one sum-reduce + zero-union spine pass, then max-normalize; the
     // scalar max is collected (one long) and folded back as a literal
@@ -593,11 +593,11 @@ object Graph {
         .select(col(outKey).as("node"), col("x"))
         .unionAll(nodes.select(col("node"), lit(0L).as("x")))
         .groupBy("node").agg(sum("x").as("x"))
-        .localCheckpoint(eager = false)
+        .ckpt
       val mx = summed.agg(max("x")).collect()(0).getLong(0)
       if (mx <= 0L) summed
       else summed.select(col("node"), expr(s"(x * $scale) div $mx").as("x"))
-        .localCheckpoint(eager = false)
+        .ckpt
     }
 
     var auth = nodes.select(col("node"), lit(scale).as("x"))
@@ -644,13 +644,13 @@ object Graph {
     val e = edges.select(col(srcCol).cast("long").as("src"),
         col(dstCol).cast("long").as("dst"))
       .distinct()
-      .localCheckpoint(eager = false)
+      .ckpt
     val deg = e.groupBy("src").agg(count(lit(1)).as("deg"))
     val dropped = deg.filter(col("deg") > maxDeg)
     // left-semi on the kept sources: only (src) ids ride the filter join
     val kept = e.join(
       deg.filter(col("deg") <= maxDeg).select("src"), Seq("src"), "left_semi")
-      .localCheckpoint(eager = false)
+      .ckpt
     val pairs = kept.select(col("src"), col("dst").as("a"))
       .join(kept.select(col("src"), col("dst").as("b")), Seq("src"))
       .filter(col("a") < col("b"))
@@ -701,11 +701,11 @@ object Graph {
     val e = edges.select(col(srcCol).cast("long").as("src"),
         col(dstCol).cast("long").as("dst"))
       .distinct()
-      .localCheckpoint(eager = false)
+      .ckpt
     val nodes = e.select(col("src").as("node"))
       .union(e.select(col("dst").as("node")))
       .distinct()
-      .localCheckpoint(eager = false)
+      .ckpt
 
     var layers = nodes.select(col("node"), lit(0L).as("layer"))
     var lastProbe: Option[(Long, java.math.BigDecimal)] = None
@@ -771,14 +771,14 @@ object Graph {
     val e = raw.unionAll(raw.select(col("dst").as("src"), col("src").as("dst")))
       .filter(col("src") =!= col("dst"))
       .distinct()
-      .localCheckpoint(eager = false)
+      .ckpt
     val deg = e.groupBy("src").agg(count(lit(1)).as("deg"))
     val dropped = deg.filter(col("deg") > maxDeg)
       .select(col("src").as("node"), col("deg"))
     // each kept witness carries its inverse-degree weight into pairing
     val kept = e.join(deg.filter(col("deg") <= maxDeg), Seq("src"))
       .select(col("src"), col("dst"), expr(s"${scale}L div deg").as("w"))
-      .localCheckpoint(eager = false)
+      .ckpt
     val pairs = kept.select(col("src"), col("dst").as("a"), col("w"))
       .join(kept.select(col("src"), col("dst").as("b")), Seq("src"))
       .filter(col("a") < col("b"))
@@ -810,21 +810,21 @@ object Graph {
         col(dstCol).cast("long").as("dst"))
       .filter(col("src") =!= col("dst"))
       .distinct()
-      .localCheckpoint(eager = false)
+      .ckpt
     var active = e.select(col("src").as("node"))
       .unionAll(e.select(col("dst").as("node")))
       .distinct()
-      .localCheckpoint(eager = false)
+      .ckpt
     var out = active.select(col("node"), lit(0).as("layer")).limit(0)
     for (r <- 1 to rounds) {
       val sources = active
         .join(e.select(col("dst").as("node")), Seq("node"), "left_anti")
-        .localCheckpoint(eager = false) // out, edge-prune, node-prune
+        .ckpt // out, edge-prune, node-prune
       out = out.unionAll(sources.select(col("node"), lit(r).as("layer")))
       active = active.join(sources, Seq("node"), "left_anti")
-        .localCheckpoint(eager = false)
+        .ckpt
       e = e.join(sources.select(col("node").as("src")), Seq("src"), "left_anti")
-        .localCheckpoint(eager = false)
+        .ckpt
     }
     out.unionAll(active.select(col("node"), lit(-1).as("layer")))
   }
@@ -863,11 +863,11 @@ object Graph {
     val e = raw.unionAll(raw.select(col("b").as("a"), col("a").as("b")))
       .filter(col("a") =!= col("b"))
       .distinct()
-      .localCheckpoint(eager = false)
+      .ckpt
     var active = e.select(col("a").as("node")).distinct()
       .withColumn("h", graft.functions.TextFunctions.h64(
         concat_ws("-", lit(seed), col("node"))))
-      .localCheckpoint(eager = false)
+      .ckpt
     var mis = active.select(col("node"), lit(0).as("round")).limit(0)
     for (r <- 1 to rounds) {
       // best (h, node) among each node's ACTIVE neighbors
@@ -879,13 +879,13 @@ object Graph {
         .join(nbrBest, Seq("node"), "left")
         .filter(col("nb").isNull || struct(col("h"), col("node")) < col("nb"))
         .select("node")
-        .localCheckpoint(eager = false) // consumed thrice: mis, losers, anti
+        .ckpt // consumed thrice: mis, losers, anti
       val losers = e.join(winners.select(col("node").as("a")), Seq("a"))
         .select(col("b").as("node")).distinct()
       mis = mis.unionAll(winners.select(col("node"), lit(r).as("round")))
       active = active
         .join(winners.unionAll(losers), Seq("node"), "left_anti")
-        .localCheckpoint(eager = false)
+        .ckpt
     }
     mis
   }
@@ -934,14 +934,14 @@ object Graph {
     val slotted = e
       .withColumn("slot", row_number().over(w.orderBy("dst")) - 1)
       .withColumn("deg", count(lit(1)).over(w))
-      .localCheckpoint(eager = false)
+      .ckpt
     val degs = slotted.select(col("src").as("node"), col("deg")).distinct()
     val adj = slotted
       .join(degs.select(col("node").as("dst"), col("deg").as("dstdeg")),
         Seq("dst"), "left")
       .select(col("src"), col("slot"), col("dst"),
         coalesce(col("dstdeg"), lit(0L)).as("dstdeg")) // 0 = sink
-      .localCheckpoint(eager = false)
+      .ckpt
     var frontier = degs.select(col("node").as("start"), col("deg"))
       .withColumn("walk", explode(sequence(lit(0), lit(nWalks - 1))))
       .withColumn("cur", col("start"))
@@ -957,7 +957,7 @@ object Graph {
         .join(adj, Seq("src", "slot"))
         .select(col("start"), col("walk"), col("dst").as("cur"),
           col("dstdeg").as("deg"))
-        .localCheckpoint(eager = false)
+        .ckpt
       out = out.unionAll(frontier.select(col("start"), col("walk"),
         lit(t).as("step"), col("cur").as("node")))
     }

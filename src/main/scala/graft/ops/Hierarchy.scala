@@ -2,6 +2,7 @@ package graft.ops
 
 import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.functions._
+import graft.ops.Ckpt.CkptSyntax
 
 /** Hierarchy analytics over (node, parent) forests — org charts,
   * category trees, thread/reply graphs. The SQL-side idiom is a
@@ -42,7 +43,7 @@ object Hierarchy {
       .select(col(nodeCol).cast("long").as("node"),
         col(parentCol).cast("long").as("ptr"))
       .withColumn("d", when(col("ptr") === col("node"), lit(0L)).otherwise(lit(1L)))
-      .localCheckpoint(eager = false)
+      .ckpt
 
     // (rows, sum(d)) fused into the one action the pass already pays
     def stats(df: DataFrame): (Long, java.math.BigDecimal) = {
@@ -59,7 +60,7 @@ object Hierarchy {
         col("ptr").as("ptr2"), col("d").as("d2"))
       val next = state.join(hop, Seq("ptr"))
         .select(col("node"), col("ptr2").as("ptr"), (col("d") + col("d2")).as("d"))
-        .localCheckpoint(eager = false)
+        .ckpt
       state = next
       i += 1
       // probe EVERY pass. sum(d) is strictly increasing until fixpoint,

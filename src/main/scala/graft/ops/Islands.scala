@@ -3,6 +3,7 @@ package graft.ops
 import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
+import graft.ops.Ckpt.CkptSyntax
 
 /** Gaps-and-islands: maximal runs of consecutive integer keys.
   *
@@ -35,7 +36,7 @@ object Islands {
       .groupBy("bkt", "grp")
       .agg(min("k").as("fs"), max("k").as("fe"))
       .select("fs", "fe")
-      .localCheckpoint(eager = false) // both link sides + the final join
+      .ckpt // both link sides + the final join
     // a fragment chains to the next iff no gap separates them; same-
     // bucket fragments can never chain (they would be one fragment), so
     // links exist only at range boundaries — O(#ranges) rows

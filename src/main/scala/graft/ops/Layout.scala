@@ -2,6 +2,7 @@ package graft.ops
 
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
+import graft.ops.Ckpt.CkptSyntax
 
 /** Multi-dimensional data layout via Z-order (Morton) curves: interleave
   * the bits of two clustering keys so that rows close in BOTH dimensions
@@ -761,7 +762,7 @@ object Layout {
     // rebind scans it — a previously-used outDir would double-count
     // rows and rebind DVs against stale part-files. Fail loudly instead.
     requireEmptyOutDir(spark, outDir, "compactDeletes")
-    val dvFrozen = dv.localCheckpoint(eager = false) // counted + split below
+    val dvFrozen = dv.ckpt // counted + split below
     val counts = spark.read.parquet(inDir)
       .groupBy(col("_metadata.file_path").as("file"))
       .agg(count(lit(1)).as("n_rows"))

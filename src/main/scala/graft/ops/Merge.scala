@@ -3,6 +3,7 @@ package graft.ops
 import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
+import graft.ops.Ckpt.CkptSyntax
 
 /** Changeset application (CDC merge / upsert): produce the next snapshot
   * of a keyed table from the current snapshot plus a batch of changes
@@ -203,7 +204,7 @@ object Merge {
       .unionAll(affectedFromB)
       .distinct()
       // two consumers (anti-join + semi-join): compute the set once
-      .localCheckpoint(eager = false)
+      .ckpt
     val affected =
       if (broadcastKeys) broadcast(affectedPlain) else affectedPlain
     val rebuilt = aNew.join(affected, Seq(aKey), "left_semi")
@@ -240,7 +241,7 @@ object Merge {
       keyCol: String,
       valueCol: String): DataFrame = {
     val affected = broadcast(deletedKeys.select(col(keyCol)).distinct()
-      .localCheckpoint(eager = false)) // two consumers: anti + semi
+      .ckpt) // two consumers: anti + semi
     val recomputed = baseNew.join(affected, Seq(keyCol), "left_semi")
       .groupBy(keyCol)
       .agg(count(lit(1)).as("n"),

@@ -2,6 +2,7 @@ package graft.ops
 
 import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
 import org.apache.spark.sql.functions._
+import graft.ops.Ckpt.CkptSyntax
 
 /** Multimodal column plumbing (SURVEY.md §7): image/audio/video travel
   * as opaque `binary` columns next to a typed metadata struct; decode /
@@ -905,6 +906,47 @@ object Multimodal {
     }
   }
 
+  /** One decoded gray raster: row-major 8-bit luminance bytes plus the
+    * dimensions that give its length (n_bytes = width·height). */
+  case class GrayRaster(media_id: Long, width: Int, height: Int,
+      pixels: Array[Byte])
+
+  /** Decode each image to its NORMALIZED representation — the row-major
+    * 8-bit gray raster — the "decode/normalize" stage a training-data
+    * pipeline runs between admission and packing: downstream consumers
+    * (blob packs, tensor shards) want pixels, not codec containers, and
+    * for lossless formats the raster is a pure function of the source
+    * image (so pack offsets over rasters stay SQL-oracle-expressible,
+    * unlike PNG byte lengths). Record-local decode, same partition-side
+    * shape as [[dhashFeatures]]: payload bytes never shuffle until the
+    * caller packs the (smaller) raster. Images-only — a non-decodable
+    * record fails fast naming the media_id, same contract as
+    * [[MediaCodec.dhash]]; run [[triageFeatures]] quarantine first. */
+  def grayRaster(media: Dataset[MediaRecord]): Dataset[GrayRaster] = {
+    import media.sparkSession.implicits._
+    media.mapPartitions(_.map { r =>
+      val img = javax.imageio.ImageIO.read(
+        new java.io.ByteArrayInputStream(r.content))
+      if (img == null) throw new IllegalArgumentException(
+        s"media_id ${r.media_id}: not a decodable image — grayRaster " +
+        "requires png/jpeg records; triage/filter first")
+      val w = img.getWidth
+      val h = img.getHeight
+      val raster = img.getRaster
+      val px = new Array[Byte](w * h)
+      var y = 0
+      while (y < h) {
+        var x = 0
+        while (x < w) {
+          px(y * w + x) = raster.getSample(x, y, 0).toByte
+          x += 1
+        }
+        y += 1
+      }
+      GrayRaster(r.media_id, w, h, px)
+    })
+  }
+
   /** Per-image decode-fidelity audit record: pixel-level mean absolute
     * delta and whole-image mean (DC) delta against a reference pixel
     * function. */
@@ -1078,7 +1120,7 @@ object Multimodal {
       .withColumn("shard", pmod(col("graft_h"), lit(nShards.toLong)).cast("int"))
       .withColumn("length", octet_length(col(binCol)).cast("long"))
       .withColumn("graft_cum", cumCol)
-      .localCheckpoint(eager = false) // assignment + state fold both read
+      .ckpt // assignment + state fold both read
     val assigned = ranked
       .join(broadcast(seen.select(col("shard"),
         col("n_bytes").as("graft_seen"))), Seq("shard"), "left")

@@ -3,6 +3,7 @@ package graft.ops
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
+import graft.ops.Ckpt.CkptSyntax
 
 /** Deterministic global sequence numbering — the distributed
   * `ROW_NUMBER() OVER (ORDER BY …)` .
@@ -29,7 +30,7 @@ object Sequencing {
     val spark = df.sparkSession
     val parted = df.repartitionByRange(sortCols: _*)
       .withColumn("graft_pid", spark_partition_id())
-      .localCheckpoint(eager = false) // counts pass + numbering pass
+      .ckpt // counts pass + numbering pass
     val counts = parted.groupBy("graft_pid").count()
       .collect().map(r => r.getInt(0) -> r.getLong(1)).sortBy(_._1)
     val offsets = counts.scanLeft(0L)(_ + _._2)

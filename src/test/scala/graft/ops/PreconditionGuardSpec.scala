@@ -101,9 +101,11 @@ class PreconditionGuardSpec extends AnyFunSuite with SparkTestBase {
     val seen = Seq.empty[(Int, Long)].toDF("shard", "n_bytes")
     val batch = Seq((1L, Some(Array[Byte](1))), (2L, None))
       .toDF("doc_id", "payload")
-    val (asg, _) = Multimodal.packAssignBatch(seen, batch,
-      "doc_id", "payload", 2)
-    assertRaises(asg, "packAssignBatch")
+    // construction stays inside the by-name arg: the guard can fire at
+    // the op's own (eager) Ckpt barrier, not only at the caller's action
+    assertRaises(
+      Multimodal.packAssignBatch(seen, batch, "doc_id", "payload", 2)._1,
+      "packAssignBatch")
   }
 
   test("deterministicSplit: null id fails loudly, duplicates stay benign") {
