@@ -195,6 +195,49 @@ object GraftExtensions {
         plan(graft.ops.Layout.lineageRead(s,
           strLit(args(0), "graft_lineage"),
           s.read.parquet(strLit(args(1), "graft_lineage"))))
+      }),
+      // CORPUS WRITE-SIDE surface (d55/d56/d57 from pure SQL): the
+      // token-budget mix, the per-source epoch plan, and the
+      // deterministic shard shuffle. Budgets are addressed like every
+      // other side table — a persisted parquet dir with (source,
+      // budget) columns — so the full "recipe → shards" path runs from
+      // a SQL prompt: CREATE TABLE mix AS SELECT * FROM
+      // graft_budget_mix('/corpus', 'doc_id', 'text', 'source',
+      // '/recipes/v1', 64); the plans stay the Scala ops' plans.
+      "graft_budget_mix" -> ((args: Seq[Expression]) => {
+        expectArgs("graft_budget_mix",
+          "docsDir, idCol, textCol, sourceCol, budgetsDir, bucketSize",
+          args, 6)
+        val s = active
+        plan(graft.ops.CorpusOps.budgetedMix(
+          s.read.parquet(strLit(args(0), "graft_budget_mix")),
+          strLit(args(1), "graft_budget_mix"),
+          strLit(args(2), "graft_budget_mix"),
+          strLit(args(3), "graft_budget_mix"),
+          s.read.parquet(strLit(args(4), "graft_budget_mix")),
+          intLit(args(5), "graft_budget_mix").toLong))
+      }),
+      "graft_epoch_plan" -> ((args: Seq[Expression]) => {
+        expectArgs("graft_epoch_plan",
+          "docsDir, idCol, textCol, sourceCol, budgetsDir, bucketSize",
+          args, 6)
+        val s = active
+        plan(graft.ops.CorpusOps.epochPlan(
+          s.read.parquet(strLit(args(0), "graft_epoch_plan")),
+          strLit(args(1), "graft_epoch_plan"),
+          strLit(args(2), "graft_epoch_plan"),
+          strLit(args(3), "graft_epoch_plan"),
+          s.read.parquet(strLit(args(4), "graft_epoch_plan")),
+          intLit(args(5), "graft_epoch_plan").toLong))
+      }),
+      "graft_shard_shuffle" -> ((args: Seq[Expression]) => {
+        expectArgs("graft_shard_shuffle", "docsDir, idCol, nShards",
+          args, 3)
+        val s = active
+        plan(graft.ops.CorpusOps.shardShuffle(
+          s.read.parquet(strLit(args(0), "graft_shard_shuffle")),
+          strLit(args(1), "graft_shard_shuffle"),
+          intLit(args(2), "graft_shard_shuffle")))
       }))
   }
 

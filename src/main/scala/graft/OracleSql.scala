@@ -330,11 +330,22 @@ object OracleSql {
     ivfKnnCtesImpl(nlist, nprobe, k, candJoin)
   }
 
+  /** As [[ivfKnnCtes]] with a CUSTOM vector-set SQL (columns `id`,
+    * `v DOUBLE[]`) replacing the plain embeddings scan — the oracle
+    * shape for maintenance cycles where the probed set is
+    * (build ∪ added) − removed while the centroid panel stays the
+    * BUILD's seeds (`addVectors`/`remove` never refit). */
+  def ivfKnnCtesOver(nlist: Int, nprobe: Int, k: Int, vSql: String): String =
+    ivfKnnCtesImpl(nlist, nprobe, k, candJoin = "", vSql = vSql)
+
   private def ivfKnnCtesImpl(nlist: Int, nprobe: Int, k: Int,
-      candJoin: String): String =
+      candJoin: String,
+      vSql: String =
+        "SELECT vec_id AS id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings")
+      : String =
     s"""c AS (SELECT vec_id AS cid, CAST(embedding AS DOUBLE[]) AS cv
        |           FROM embeddings WHERE vec_id < $nlist),
-       |v AS (SELECT vec_id AS id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+       |v AS ($vSql),
        |scored AS (SELECT id, v, cid, ${cosine("v", "cv")} AS cs
        |           FROM v CROSS JOIN c),
        |assigned AS (

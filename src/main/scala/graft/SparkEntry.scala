@@ -2,7 +2,7 @@ package graft
 
 import graft.diff.{DatasetComparator, DiffOptions}
 import graft.schema.{Flattener, SchemaUtils}
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
 import org.apache.spark.sql.functions._
 import graft.ops.Ckpt.CkptSyntax
 
@@ -4081,6 +4081,39 @@ object SparkEntry {
         .orderBy("shard", "seq")
     }),
 
+    // ---- the corpus WRITE side from pure SQL: d56's epoch plan and
+    // d57's shard shuffle re-run through the graft_epoch_plan /
+    // graft_shard_shuffle table functions (GraftExtensions), with the
+    // training recipe addressed as a persisted parquet side table —
+    // the full "recipe → shards" path at a SQL prompt, same plans as
+    // the Scala ops (the TVFs resolve to them) -------------------------
+    "d61_sql_corpus_write" -> ((s, dir) => {
+      import s.implicits._
+      val tmp = gateScratch("d61")
+      GraftExtensions.register(s)
+      (0 until 20).map(k => (s"src$k", 700L + 600L * k))
+        .toDF("source", "budget").write.parquet(s"$tmp/budgets")
+      t(s, dir, "documents").select("doc_id", "text", "source")
+        .write.parquet(s"$tmp/docs")
+      t(s, dir, "documents").select("doc_id", "lang")
+        .write.parquet(s"$tmp/docs_slim")
+      val epoch = s.sql(
+        s"""SELECT doc_id, source, n_tokens, n_epochs
+           |FROM graft_epoch_plan('$tmp/docs', 'doc_id', 'text', 'source',
+           |                      '$tmp/budgets', 64)""".stripMargin)
+      val shard = s.sql(
+        s"""SELECT doc_id, lang, shard, seq
+           |FROM graft_shard_shuffle('$tmp/docs_slim', 'doc_id', 8)"""
+          .stripMargin)
+      epoch.select(lit("epoch").as("part"), col("doc_id"),
+          col("source").as("tag"), col("n_tokens").as("v1"),
+          col("n_epochs").as("v2"))
+        .unionAll(shard.select(lit("shard").as("part"), col("doc_id"),
+          col("lang").as("tag"), col("shard").cast("long").as("v1"),
+          col("seq").as("v2")))
+        .orderBy("part", "doc_id")
+    }),
+
     // ---- training-mix data card: per source — documents, raw tokens,
     // effective tokens under the d56 epoch plan, and the source's share
     // of the effective mix; the report every training run ships next to
@@ -4959,6 +4992,34 @@ object SparkEntry {
         .orderBy("id", "sub")
     }),
 
+    // ---- CROSS-SESSION index maintenance cycle: build → save → load →
+    // addVectors (day-2 batch, frozen centroids) → remove (takedown
+    // wave over old AND new ids) → RE-PUBLISH to the same path → load →
+    // search. e28 proves cold-load search; this gate proves the whole
+    // production loop, including that the second save replaces what
+    // load reads (the r15 overwrite-vs-uniquePath fix). Oracle = the
+    // e7 replay over exactly (build ∪ added) − removed with the BUILD's
+    // centroid panel ---------------------------------------------------
+    "e30_ivf_maintenance_cycle" -> ((s, dir) => {
+      implicit val sp: SparkSession = s
+      val emb = t(s, dir, "embeddings")
+      val path = s"${gateScratch("e30")}/ivf"
+      ops.Similarity.IvfIndex.save(
+        ops.Similarity.ivfIndexSeeded(emb, "vec_id", "embedding", nlist = 8),
+        path)
+      val day2 = ops.Similarity.IvfIndex.load(path)
+        .addVectors(emb.filter(col("vec_id") % 10 === 5)
+          .select((col("vec_id") + 1000000L).as("vec_id"), col("embedding")),
+          "vec_id", "embedding")
+      val pruned = day2.remove(
+        day2.assigned.select(col("id").as("vec_id"))
+          .filter(col("vec_id") % 7 === 0), "vec_id")
+      ops.Similarity.IvfIndex.save(pruned, path) // re-publish in place
+      ops.Similarity.IvfIndex.load(path)
+        .knnJoin(k = 5, nprobe = 2)
+        .orderBy("id", "rank")
+    }),
+
     // ---- per-file Bloom index: point lookup on a column UNCLUSTERED in
     // the layout (min/max manifests prune nothing there); all-k-bits
     // membership keeps skipping lossless, the final filter keeps the
@@ -5660,6 +5721,167 @@ object SparkEntry {
         .unionAll(commits.select(lit("commit").as("part"), col("doc_id"),
           col("v1"), col("v2"), col("v3")))
         .orderBy("part", "doc_id")
+    }),
+
+    // ---- MULTIMODAL INGEST CAPSTONE (the media sibling of s36): loose
+    // binary files stream in → triage quarantine (m15) → exact payload
+    // fingerprint with a GROWING seen-set (exactly-once) → Hamming
+    // admission against the FROZEN corpus dHash index (hammingFilter64)
+    // → decode-to-gray-raster normalize → blob-pack fold (s35) → WAP
+    // commit + lineage. Payload bytes stay record-local end to end:
+    // triage/hash/raster are partition-side decodes, only ids, 8-byte
+    // hashes and 32-char fingerprints ever shuffle. The synthetic pixel
+    // formula makes dhash, raster lengths and pack offsets closed-form,
+    // so the whole pipeline replays in DuckDB.
+    // Fixture (ids < 500 at every sf — flat gate cost; classes by id
+    // arithmetic): corpus %6==0 (frozen index + base commit); incoming
+    // +2M exact dups (%12==0, fp-rejected), +3M near-dups (%12==6,
+    // gen+768192 gray-shift twins, dHash-rejected), +4M fresh (%12==3,
+    // admitted), +4.5M same-gen twins (%24==3, exactly-once-rejected),
+    // +5M zeroed payloads (%12==9, quarantined). Files carry unique
+    // rank-ordered mtimes, so 25-file triggers give deterministic
+    // batches the oracle reconstructs with one row_number.
+    "s37_media_ingest" -> ((s, dir) => {
+      import s.implicits._
+      val tmp = gateScratch("s37")
+      val base = t(s, dir, "documents").select("doc_id")
+        .filter(col("doc_id") < 500 && col("doc_id") % 3 === 0)
+      def mrec(df: DataFrame): Dataset[ops.Multimodal.MediaRecord] =
+        df.select(col("media_id"), col("content"))
+          .as[(Long, Array[Byte])]
+          .map { case (i, c) => ops.Multimodal.MediaRecord(i, c,
+            ops.Multimodal.MediaMeta("unknown", 0, 0, 0L)) }
+      // frozen side: dHash index + base commit of the corpus rasters
+      val corpusIds = base.filter(col("doc_id") % 6 === 0)
+        .select(col("doc_id").as("media_id"), col("doc_id").as("gen"))
+      val corpusMedia = ops.Multimodal.syntheticMediaFrom(
+        corpusIds, "media_id", "gen")(s)
+      val corpusFeats = ops.Multimodal.dhashWithFingerprint(corpusMedia)
+        .toDF().select("media_id", "dhash", "fp").ckpt
+      val frozenHashes = corpusFeats.select("media_id", "dhash")
+      var seenFps = corpusFeats.select("fp")
+      val main0 = ops.Layout.commitAppend(s,
+          ops.Multimodal.grayRaster(corpusMedia).toDF()
+            .select("media_id", "width", "height", "pixels"),
+          s"$tmp/t", Seq("media_id"))
+        .ckpt
+      // incoming fixture → loose files with rank-ordered unique mtimes
+      val inc = Seq(
+        (2000000L, lit(0), col("doc_id") % 12 === 0, col("doc_id")),
+        (3000000L, lit(1), col("doc_id") % 12 === 6, col("doc_id") + 768192L),
+        (4000000L, lit(2), col("doc_id") % 12 === 3, col("doc_id") + 6000003L),
+        (4500000L, lit(2), col("doc_id") % 24 === 3, col("doc_id") + 6000003L),
+        (5000000L, lit(3), col("doc_id") % 12 === 9, col("doc_id")))
+        .map { case (off, grp, pred, gen) =>
+          base.filter(pred).select((col("doc_id") + off).as("media_id"),
+            gen.as("gen"), grp.as("grp")) }
+        .reduce(_ unionAll _)
+      val blobs = ops.Multimodal.syntheticMediaFrom(inc, "media_id", "gen")(s)
+        .map(r => (r.media_id, r.content)).toDF("media_id", "content")
+        .join(inc.select("media_id", "grp"), Seq("media_id"))
+        .collect().map(r =>
+          (r.getLong(0), r.getAs[Array[Byte]](1), r.getInt(2)))
+        .sortBy(x => (x._3, x._1))
+      val inDir = java.nio.file.Paths.get(tmp, "in")
+      java.nio.file.Files.createDirectories(inDir)
+      blobs.zipWithIndex.foreach { case ((id, bytes, grp), k) =>
+        val content = if (grp == 3) Array.fill(16)(0x00.toByte) else bytes
+        val p = inDir.resolve(s"m$id.bin")
+        java.nio.file.Files.write(p, content)
+        java.nio.file.Files.setLastModifiedTime(p,
+          java.nio.file.attribute.FileTime.fromMillis(
+            1700000000000L + k * 1000L))
+      }
+      // running state: pack cursors, pack index, quarantine, the staged
+      // branch manifest, and the pipeline's own ledger
+      var seenPack = Seq.empty[(Int, Long)].toDF("shard", "n_bytes").ckpt
+      var packTab = Seq.empty[(Long, Int, Long, Long)]
+        .toDF("media_id", "shard", "offset", "length")
+      var quarTab = Seq.empty[(Long, String)].toDF("media_id", "verdict")
+      var staged: Option[DataFrame] = None
+      var ledger = 0L
+      withNarrowState(s) {
+        val q = s.readStream.format("binaryFile")
+          // binaryFile's fixed schema, spelled out: streaming sources
+          // refuse to infer even a format-defined schema
+          .schema(new org.apache.spark.sql.types.StructType()
+            .add("path", "string").add("modificationTime", "timestamp")
+            .add("length", "long").add("content", "binary"))
+          .option("maxFilesPerTrigger", "25")
+          .load(inDir.toString)
+          .writeStream
+          .foreachBatch { (b: DataFrame, _: Long) =>
+            val batch = b.select(
+              regexp_extract(col("path"), "m(\\d+)\\.bin$", 1)
+                .cast("long").as("media_id"),
+              col("content")).ckpt // triage, hash and raster all read it
+            // 1. quarantine (m15): corruption is a verdict, not a crash
+            val tri = ops.Multimodal.triageFeatures(mrec(batch)).toDF()
+            quarTab = quarTab.unionAll(tri.filter(col("status") =!= "ok")
+              .select(col("media_id"), col("status").as("verdict"))).ckpt
+            val okIds = tri.filter(col("status") === "ok" &&
+              col("format").isin("png", "jpeg")).select("media_id")
+            val ok = batch.join(okIds, Seq("media_id"), "left_semi")
+            val feats = ops.Multimodal.dhashWithFingerprint(mrec(ok))
+              .toDF().select("media_id", "dhash", "fp").ckpt
+            // 2. intra-batch exact pre-collapse: one min-id rep per payload
+            val reps = feats.join(
+              feats.groupBy("fp").agg(min("media_id").as("media_id")),
+              Seq("fp", "media_id"), "left_semi")
+            // 3. exactly-once exact dedup: the fingerprint set GROWS
+            val fresh = reps.join(seenFps, Seq("fp"), "left_anti")
+            // 4. near-dup admission vs the FROZEN perceptual-hash index
+            val admitted = ops.Dedup.hammingFilter64(frozenHashes,
+              fresh, "media_id", "dhash", maxHamming = 3).ckpt
+            seenFps = seenFps.unionAll(admitted.select("fp")).ckpt
+            val n = admitted.count()
+            ledger += n
+            if (n > 0) {
+              // 5. normalize: decode survivors to gray rasters
+              val ras = ops.Multimodal.grayRaster(mrec(ok.join(
+                  admitted.select("media_id"), Seq("media_id"), "left_semi")))
+                .toDF().select("media_id", "width", "height", "pixels").ckpt
+              // 6. WAP: stage the rasters as one commit
+              val c = ops.Layout.commitAppend(s, ras, s"$tmp/t",
+                Seq("media_id")).ckpt
+              staged = Some(staged.fold(c)(_ unionAll c))
+              // 7. blob-pack fold (s35)
+              val (pasg, nsp) = ops.Multimodal.packAssignBatch(seenPack,
+                ras.select("media_id", "pixels"), "media_id", "pixels",
+                nShards = 4)
+              packTab = packTab.unionAll(pasg.select(col("media_id"),
+                col("shard"), col("offset"), col("length"))).ckpt
+              seenPack = nsp.ckpt
+            }
+            ()
+          }
+          .option("checkpointLocation", s"$tmp/chk")
+          .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+          .start()
+        q.awaitTermination()
+      }
+      // AUDIT before publish, then lineage over the merged main
+      val staging = staged.getOrElse(main0.limit(0))
+      val stagedRows = ops.Layout.snapshotRead(s, s"$tmp/t", staging).count()
+      require(stagedRows == ledger,
+        s"media ingest audit failed: staged $stagedRows != ledger $ledger" +
+          " — not publishing")
+      val published = ops.Layout.mergeBranch(main0, staging)
+      val commits = ops.Layout.lineageRead(s, s"$tmp/t", published)
+        .groupBy("commit_id")
+        .agg(count(lit(1)).as("v1"), min("media_id").as("media_id"),
+          max("media_id").as("v2"),
+          sum(octet_length(col("pixels")).cast("long")).as("v3"))
+      packTab.select(lit("pack").as("part"), col("media_id"),
+          col("shard").cast("long").as("v1"), col("offset").as("v2"),
+          col("length").as("v3"))
+        .unionAll(commits.select(lit("commit").as("part"), col("media_id"),
+          col("v1"), col("v2"), col("v3")))
+        .unionAll(quarTab.select(lit("quar").as("part"), col("media_id"),
+          when(col("verdict") === "unparseable", lit(0L)).otherwise(lit(1L))
+            .as("v1"),
+          lit(0L).as("v2"), lit(0L).as("v3")))
+        .orderBy("part", "media_id")
     })
   )
 
@@ -9306,6 +9528,22 @@ object SparkEntry {
          |FROM h ORDER BY shard, seq""".stripMargin
     },
 
+    // the SQL-TVF surface must land exactly on the Scala ops' oracles:
+    // d56's epoch plan + d57's shard shuffle, part-tagged in one table
+    "d61_sql_corpus_write" -> {
+      val gh = OracleSql.h64("'graft-shuffle-' || CAST(doc_id AS VARCHAR)")
+      s"""WITH $epochPlanCtes,
+         |sh AS (SELECT doc_id, lang, $gh AS gh FROM documents)
+         |SELECT 'epoch' AS part, doc_id, source AS tag,
+         |  n_tokens AS v1, n_epochs AS v2 FROM e
+         |UNION ALL
+         |SELECT 'shard', doc_id, lang, CAST(gh % 8 AS BIGINT),
+         |  CAST(ROW_NUMBER() OVER (PARTITION BY gh % 8
+         |    ORDER BY gh, doc_id) AS BIGINT)
+         |FROM sh
+         |ORDER BY part, doc_id""".stripMargin
+    },
+
     // the fold's total order under id-ordered arrival is (batch, h64,
     // id); batch index = doc_id div the gate's id-range width
     "s33_stream_shard" -> {
@@ -9938,6 +10176,110 @@ object SparkEntry {
          |ORDER BY part, doc_id""".stripMargin
     },
 
+    // the media-ingest capstone replayed whole-set: batches are a
+    // row_number over the fixture's (grp, id) mtime order; exactly-once
+    // exact dedup = first (batch, id) row per PAYLOAD CLASS gen % 768 —
+    // the synthetic pixel/dims formulas are periodic with lcm(64,48,
+    // 256) = 768, so byte-equality is exactly residue equality (classes
+    // deliberately collide ACROSS fixture roles, which is what makes
+    // the grown-fingerprint exactly-once semantics observable); the
+    // Hamming admission replays m5's closed-form dhash over the classes
+    // (brute-force — corpus buckets are far below the cap);
+    // raster length = w·h (lossless gray PNG decode), so pack offsets
+    // and commit signatures are exact
+    "s37_media_ingest" -> {
+      val gp = OracleSql.h64("'graft-pack-' || CAST(id AS VARCHAR)")
+      """WITH base AS (
+        |  SELECT doc_id FROM documents
+        |  WHERE doc_id < 500 AND doc_id % 3 = 0),
+        |corpus AS (SELECT doc_id AS id, doc_id AS gen FROM base
+        |           WHERE doc_id % 6 = 0),
+        |allin AS (
+        |  SELECT doc_id + 2000000 AS id, doc_id AS gen, 0 AS grp
+        |    FROM base WHERE doc_id % 12 = 0
+        |  UNION ALL SELECT doc_id + 3000000, doc_id + 768192, 1
+        |    FROM base WHERE doc_id % 12 = 6
+        |  UNION ALL SELECT doc_id + 4000000, doc_id + 6000003, 2
+        |    FROM base WHERE doc_id % 12 = 3
+        |  UNION ALL SELECT doc_id + 4500000, doc_id + 6000003, 2
+        |    FROM base WHERE doc_id % 24 = 3
+        |  UNION ALL SELECT doc_id + 5000000, CAST(NULL AS BIGINT), 3
+        |    FROM base WHERE doc_id % 12 = 9),
+        |ranked AS (
+        |  SELECT id, gen, grp,
+        |    CAST((ROW_NUMBER() OVER (ORDER BY grp, id) - 1) // 25 AS INT)
+        |      AS batch
+        |  FROM allin),
+        |firsts AS (
+        |  SELECT id, gen, gen % 768 AS pcls, batch FROM (
+        |    SELECT id, gen, batch,
+        |      ROW_NUMBER() OVER (PARTITION BY gen % 768
+        |        ORDER BY batch, id) AS rn
+        |    FROM ranked WHERE grp <> 3)
+        |  WHERE rn = 1 AND gen % 768 NOT IN (SELECT gen FROM corpus)),
+        |cd AS (SELECT gen, gen % 64 + 1 AS w, gen % 48 + 1 AS h FROM corpus),
+        |fd AS (SELECT gen, gen % 64 + 1 AS w, gen % 48 + 1 AS h
+        |       FROM (SELECT DISTINCT pcls AS gen FROM firsts)),
+        |cbits AS (
+        |  SELECT gen, y * 8 + x AS b
+        |  FROM cd, range(0, 8) tx(x), range(0, 8) ty(y)
+        |  WHERE ((x * w // 9) * 7 + (y * h // 8) * 13 + gen * 31) % 256
+        |      > (((x + 1) * w // 9) * 7 + (y * h // 8) * 13 + gen * 31) % 256),
+        |fbits AS (
+        |  SELECT gen, y * 8 + x AS b
+        |  FROM fd, range(0, 8) tx(x), range(0, 8) ty(y)
+        |  WHERE ((x * w // 9) * 7 + (y * h // 8) * 13 + gen * 31) % 256
+        |      > (((x + 1) * w // 9) * 7 + (y * h // 8) * 13 + gen * 31) % 256),
+        |chs AS (
+        |  SELECT d.gen,
+        |    CAST(COALESCE(SUM(CASE WHEN b.b = 63 THEN -9223372036854775808
+        |                           ELSE (1::BIGINT << b.b) END), 0) AS BIGINT)
+        |      AS ph
+        |  FROM cd d LEFT JOIN cbits b ON d.gen = b.gen GROUP BY d.gen),
+        |fhs AS (
+        |  SELECT d.gen,
+        |    CAST(COALESCE(SUM(CASE WHEN b.b = 63 THEN -9223372036854775808
+        |                           ELSE (1::BIGINT << b.b) END), 0) AS BIGINT)
+        |      AS ph
+        |  FROM fd d LEFT JOIN fbits b ON d.gen = b.gen GROUP BY d.gen),
+        |admitted AS (
+        |  SELECT f.id, f.gen, f.batch
+        |  FROM firsts f JOIN fhs ON fhs.gen = f.pcls
+        |  WHERE NOT EXISTS (SELECT 1 FROM chs
+        |                    WHERE bit_count(xor(chs.ph, fhs.ph)) <= 3)),
+        |pk AS (
+        |  SELECT id, GPEXPR AS gpv,
+        |    (gen % 64 + 1) * (gen % 48 + 1) AS len, batch
+        |  FROM admitted),
+        |pack_rows AS (
+        |  SELECT 'pack' AS part, id AS media_id,
+        |    CAST(gpv % 4 AS BIGINT) AS v1,
+        |    CAST(COALESCE(SUM(len) OVER (PARTITION BY gpv % 4
+        |      ORDER BY batch, gpv, id
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+        |      AS BIGINT) AS v2,
+        |    CAST(len AS BIGINT) AS v3
+        |  FROM pk),
+        |commit_rows AS (
+        |  SELECT 'commit' AS part, MIN(id) AS media_id,
+        |    CAST(COUNT(*) AS BIGINT) AS v1, MAX(id) AS v2,
+        |    CAST(SUM((gen % 64 + 1) * (gen % 48 + 1)) AS BIGINT) AS v3
+        |  FROM corpus
+        |  UNION ALL
+        |  SELECT 'commit', MIN(id), CAST(COUNT(*) AS BIGINT), MAX(id),
+        |    CAST(SUM((gen % 64 + 1) * (gen % 48 + 1)) AS BIGINT)
+        |  FROM admitted GROUP BY batch),
+        |quar_rows AS (
+        |  SELECT 'quar' AS part, id AS media_id, CAST(0 AS BIGINT) AS v1,
+        |    CAST(0 AS BIGINT) AS v2, CAST(0 AS BIGINT) AS v3
+        |  FROM ranked WHERE grp = 3)
+        |SELECT part, media_id, v1, v2, v3 FROM pack_rows
+        |UNION ALL SELECT part, media_id, v1, v2, v3 FROM commit_rows
+        |UNION ALL SELECT part, media_id, v1, v2, v3 FROM quar_rows
+        |ORDER BY part, media_id""".stripMargin
+        .replace("GPEXPR", gp)
+    },
+
     // the streaming admission against the FROZEN benchmark fingerprints
     // equals the whole-set filter — d22's overlap algebra with the
     // admission threshold applied
@@ -9989,6 +10331,24 @@ object SparkEntry {
             candWhere = "el.vec_id % 7 <> 0")}
          |SELECT id, rank, nid, cos FROM knn
          |WHERE id % 7 <> 0
+         |ORDER BY id, rank""".stripMargin,
+
+    // the full maintenance cycle ≡ one rebuild-shaped replay over
+    // (build ∪ day-2 batch) − takedowns, centroid panel frozen at the
+    // BUILD's seeds (addVectors/remove never refit — the e14/e25
+    // equality arguments composed through two disk round trips)
+    "e30_ivf_maintenance_cycle" -> {
+      val vSql =
+        """SELECT id, v FROM (
+          |    SELECT vec_id AS id, CAST(embedding AS DOUBLE[]) AS v
+          |    FROM embeddings
+          |    UNION ALL
+          |    SELECT vec_id + 1000000, CAST(embedding AS DOUBLE[])
+          |    FROM embeddings WHERE vec_id % 10 = 5)
+          |  WHERE id % 7 <> 0""".stripMargin
+      s"""WITH ${OracleSql.ivfKnnCtesOver(nlist = 8, nprobe = 2, k = 5, vSql)}
+         |SELECT id, rank, nid, cos FROM knn
          |ORDER BY id, rank""".stripMargin
+    }
   )
 }

@@ -265,8 +265,12 @@ object Dedup {
       * (the index for day N is rebuilt-or-extended and re-published
       * atomically per table). */
     def save(idx: NearDupIndex, path: String)(implicit spark: SparkSession): Unit = {
+      // pinned before the overwrite: the admission loop saves an index
+      // derived from load(path) (extend) back to the SAME path, and an
+      // overwrite that still lazily reads its own target deletes the
+      // files mid-scan — the barrier severs that read
       def w(df: DataFrame, sub: String): Unit =
-        graft.io.DataFrameIO.write(df, graft.io.SourceParams(
+        graft.io.DataFrameIO.write(Ckpt.pinned(df), graft.io.SourceParams(
           "parquet", Some(s"$path/$sub"), saveMode = Some("overwrite")))
       w(idx.fingerprints, "fingerprints")
       w(idx.bands, "bands")
@@ -796,8 +800,10 @@ object Dedup {
     // a numeric cast would turn string ids into nulls and the anti-join
     // below would then silently admit every near-duplicate
     def chunked(df: DataFrame, id: String, h: String): DataFrame = {
+      // keys address the RENAMED hash column — the projection below has
+      // already dropped the caller's column names
       val keys = (0 until chunks).map(c =>
-        shiftright(col(h), c * bitsPer).bitwiseAND(lit(mask)))
+        shiftright(col("ph"), c * bitsPer).bitwiseAND(lit(mask)))
       df.select(col(id).as("doc_id"), col(h).cast("long").as("ph"))
         .select(col("doc_id"), col("ph"),
           posexplode(array(keys: _*)).as(Seq("chunk", "key")))

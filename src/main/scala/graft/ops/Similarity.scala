@@ -593,8 +593,13 @@ object Similarity {
         graft.io.DataFrameIO.write(df, graft.io.SourceParams(
           "parquet", Some(s"$path/$sub"), saveMode = Some("overwrite")))
       // partitionBy(cell) so a loaded probe prunes files by cell id
-      // without re-shuffling the whole table first
-      graft.io.DataFrameIO.write(idx.assigned,
+      // without re-shuffling the whole table first. The frame is PINNED
+      // first: the maintenance loop saves an index DERIVED from
+      // load(path) back to the same path, and an overwrite that still
+      // lazily reads its own target deletes the files mid-scan — the
+      // barrier severs that read. (At very large index scale prefer
+      // versioned publish dirs; the pin costs one cache pass.)
+      graft.io.DataFrameIO.write(Ckpt.pinned(idx.assigned),
         graft.io.SourceParams("parquet", Some(s"$path/assigned"),
           saveMode = Some("overwrite"), partitionBy = Seq("cell")))
       w(idx.centroids.zipWithIndex.toSeq

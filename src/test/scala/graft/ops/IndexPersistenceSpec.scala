@@ -107,6 +107,37 @@ class IndexPersistenceSpec extends AnyFunSuite with SparkTestBase {
       "load must see the re-published codebook geometry")
   }
 
+  test("maintenance cycle: save → load → add → remove → save → load ≡ " +
+      "batch rebuild over the surviving set") {
+    val path = s"${tmp("ivf-cycle")}/idx"
+    Similarity.IvfIndex.save(
+      Similarity.ivfIndexSeeded(vecs, "vec_id", "embedding", nlist = 4), path)
+    val batch = Seq.tabulate(6)(i => (100L + i,
+      Array.tabulate(8)(j => math.cos(i * 8 + j).toFloat)))
+      .toDF("vec_id", "embedding")
+    val day2 = Similarity.IvfIndex.load(path)
+      .addVectors(batch, "vec_id", "embedding")
+    val pruned = day2.remove(
+      day2.assigned.select(col("id").as("vec_id"))
+        .filter(col("vec_id") % 5 === 0), "vec_id")
+    Similarity.IvfIndex.save(pruned, path) // re-publish in place
+    val loaded = Similarity.IvfIndex.load(path)
+    // oracle: one rebuild-shaped index over exactly the surviving set,
+    // with the ORIGINAL build's centroids (maintenance never refits)
+    val survivors = vecs.unionAll(batch).filter(col("vec_id") % 5 =!= 0)
+    val rebuilt = Similarity.IvfIndex(loaded.assigned.limit(0),
+        loaded.centroids)
+      .addVectors(survivors, "vec_id", "embedding")
+    def rows(i: Similarity.IvfIndex) = i.assigned
+      .select("id", "v", "vnorm", "cell")
+      .collect().map(r => (r.getLong(0),
+        r.getAs[scala.collection.Seq[Double]](1).toSeq,
+        r.getDouble(2), r.getInt(3))).toSet
+    assert(rows(loaded) === rows(rebuilt))
+    assert(!rows(loaded).exists(_._1 % 5 == 0))
+    assert(rows(loaded).exists(_._1 >= 100L))
+  }
+
   test("PqCodebook encodes a NEW batch the codebook never saw") {
     // the production shape: codebook trained on day-1 corpus, applied
     // to a later batch without re-derivation (no ids 0..k−1 needed)
