@@ -285,6 +285,35 @@ object Soak {
         audits += "hamming_skew" -> auditCounters(audit)
         n
       },
+      measure("media_ingest_filter") { // s37's admission core at 10×
+        // 50k record-local image decodes (the dominant real cost of a
+        // media front door) feeding the exact s37 admission chain:
+        // one decode pass emits (id, dhash, fp); intra-set min-id rep
+        // collapse; fp anti-join vs the frozen corpus; pigeonhole
+        // Hamming admission. Payload classes collide heavily by
+        // construction (the synthetic formula is 768-periodic), so the
+        // collapse does real work; bytes never shuffle — only ids,
+        // hashes and fps cross an exchange.
+        implicit val sp: SparkSession = spark
+        val mids = docsN.select(col("doc_id").as("media_id"))
+          .filter(pmod(col("media_id"), lit(3)) =!= 2) // png/jpeg only
+        val corpus = ops.Multimodal.dhashWithFingerprint(
+            ops.Multimodal.syntheticMedia(
+              mids.filter(col("media_id") % 2 === 0), "media_id"))
+          .toDF().select("media_id", "dhash", "fp")
+          .localCheckpoint(eager = true)
+        val feats = ops.Multimodal.dhashWithFingerprint(
+            ops.Multimodal.syntheticMedia(
+              mids.filter(col("media_id") % 2 === 1), "media_id"))
+          .toDF().select("media_id", "dhash", "fp")
+          .localCheckpoint(eager = true)
+        val reps = feats.join(
+          feats.groupBy("fp").agg(min("media_id").as("media_id")),
+          Seq("fp", "media_id"), "left_semi")
+        val freshRows = reps.join(corpus.select("fp"), Seq("fp"), "left_anti")
+        ops.Dedup.hammingFilter64(corpus.select("media_id", "dhash"),
+          freshRows, "media_id", "dhash", maxHamming = 3).count()
+      },
       measure("containment_skew") { // d42-path behind its documented guard
         // the 10^4-duplicate cluster is the containment join's worst
         // case (every copy contains every other at 1.0 -> O(n^2)
@@ -563,7 +592,18 @@ object Soak {
         pruned.count() // exercise the pruned scan end to end
         pruned.inputFiles.length.toLong // = collected surviving paths
       }
-      Seq(rBuild, rPrune, rExtend, rBuildG, rPruneG)
+      // grouped incremental growth: another 100-file wave, absorbed at
+      // O(new data) — tail-group fill + touched-rollup refresh only
+      spark.range(mfRows + 10000L, mfRows + 20000L)
+        .select(col("id").as("k"), (col("id") % 97).as("v"))
+        .repartitionByRange(100, col("k"))
+        .write.mode("append").parquet(s"$mfDir/t")
+      quiesce()
+      val rExtendG = measure(s"manifest_grouped_extend_${mfTag}_plus_100") {
+        ops.Layout.extendManifestGrouped(spark, s"$mfDir/t", s"$mfpDir/mf",
+          Seq("k"), groupSize = 256L).count()
+      }
+      Seq(rBuild, rPrune, rExtend, rBuildG, rPruneG, rExtendG)
     }
 
     // ---- MULTI-WRITER lake cycle at 10× scale (q105's interleaving,

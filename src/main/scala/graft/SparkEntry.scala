@@ -2787,6 +2787,35 @@ object SparkEntry {
         .orderBy("l_returnflag")
     }),
 
+    // ---- INCREMENTAL two-level manifest growth: build the grouped
+    // layout over the even keys, append the odd keys as new files, and
+    // extendManifestGrouped absorbs them at O(new data) — new rows fill
+    // the tail group then open fresh groups, rollup recomputed for
+    // touched groups only. The grouped probe over the EXTENDED layout
+    // must equal the straight full-table range filter -------------------
+    "q112_grouped_manifest_extend" -> ((s, dir) => {
+      val tmp = gateScratch("q112")
+      def li = t(s, dir, "lineitem")
+        .select("l_orderkey", "l_returnflag", "l_quantity")
+      li.filter(col("l_orderkey") % 2 === 0).write.parquet(s"$tmp/raw")
+      ops.Layout.compact(s, s"$tmp/raw", s"$tmp/sorted",
+        "l_orderkey", targetRowsPerFile = 2000L)
+      ops.Layout.statsManifestPartitioned(s, s"$tmp/sorted",
+        Seq("l_orderkey"), s"$tmp/mf", groupSize = 4L)
+      li.filter(col("l_orderkey") % 2 === 1)
+        .repartitionByRange(6, col("l_orderkey"))
+        .write.mode("append").parquet(s"$tmp/sorted")
+      ops.Layout.extendManifestGrouped(s, s"$tmp/sorted", s"$tmp/mf",
+        Seq("l_orderkey"), groupSize = 4L)
+      ops.Layout.prunedReadGrouped(s, s"$tmp/sorted", s"$tmp/mf",
+          "l_orderkey", lit(1000L), lit(3000L))
+        .groupBy("l_returnflag")
+        .agg(count(lit(1)).as("n_items"),
+          sum(col("l_quantity").cast("decimal(18,2)")).cast("double")
+            .as("sum_qty"))
+        .orderBy("l_returnflag")
+    }),
+
     // ---- SELECTIVE merge into a range-partitioned layout: changes are
     // confined to low keys (< 3000) plus out-of-range inserts, so only
     // the overlapping files re-encode — the rest stream-copy verbatim;
@@ -8814,6 +8843,14 @@ object SparkEntry {
     // the two-level manifest must be invisible to the answer: q111
     // replays q69's oracle through the grouped read path
     "q111_grouped_manifest" ->
+      """SELECT l_returnflag, COUNT(*) AS n_items,
+        |  CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty
+        |FROM lineitem WHERE l_orderkey BETWEEN 1000 AND 3000
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    // the extended layout reads exactly like the full table: evens were
+    // built, odds arrived later — evens ∪ odds = everything
+    "q112_grouped_manifest_extend" ->
       """SELECT l_returnflag, COUNT(*) AS n_items,
         |  CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty
         |FROM lineitem WHERE l_orderkey BETWEEN 1000 AND 3000

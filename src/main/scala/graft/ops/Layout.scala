@@ -342,6 +342,92 @@ object Layout {
     base.filter(col(colName) >= lo && col(colName) <= hi)
   }
 
+  /** Incrementally extend a [[statsManifestPartitioned]] layout after
+    * new files land in `dir` — the grouped sibling of [[extendManifest]]
+    * with the same O(new data) contract: stats run over the NEW files
+    * only, new rows append into the TAIL group while it has capacity
+    * (then open fresh groups), and the group rollup is recomputed for
+    * TOUCHED groups only (a partition-pruned read of just their file
+    * rows). Existing file rows and untouched rollup rows are reused
+    * verbatim — no whole-manifest window runs here; the only ordering
+    * is a row_number over the new files' stats rows (O(new files)
+    * through one task, the same planner-scale posture as the build's
+    * documented single-reducer window).
+    *
+    * A rebuilt-from-scratch layout can GROUP differently (the build
+    * re-sorts all files globally by the lead column's min); the read
+    * contract is what extension preserves: group min/max stay exact,
+    * so [[prunedReadGrouped]] over the extended layout returns exactly
+    * the rows the rebuilt layout would (gate q112, spec) — a range
+    * probe may just touch one extra group until the next rebuild.
+    *
+    * @return the refreshed group rollup (persisted to
+    *         `manifestDir/groups`; new file rows appended under
+    *         `manifestDir/files`) */
+  def extendManifestGrouped(spark: org.apache.spark.sql.SparkSession,
+      dir: String, manifestDir: String, cols: Seq[String],
+      groupSize: Long = 8192L): DataFrame = {
+    require(cols.nonEmpty, "need at least one stats column")
+    require(groupSize > 0, s"groupSize must be positive, got $groupSize")
+    import org.apache.spark.sql.expressions.Window
+    val filesTab = spark.read.parquet(s"$manifestDir/files")
+    val groups0 = spark.read.parquet(s"$manifestDir/groups")
+    val fresh = newDataFiles(spark, dir, filesTab)
+    if (fresh.isEmpty) groups0
+    else {
+      checkManifestCeiling(spark, filesTab.count() + fresh.length, dir)
+      val stats = spark.read.parquet(fresh.toIndexedSeq: _*)
+        .groupBy(col("_metadata.file_path").as("file"))
+        .agg(statsAggs(cols).head, statsAggs(cols).tail: _*)
+        .localCheckpoint(eager = true) // listed for the zero-row diff
+      val statsFiles = stats.select("file").collect()
+        .map(r => uriPath(r.getString(0))).toSet
+      val zeroRow = fresh.filterNot(p => statsFiles.contains(uriPath(p)))
+      val newAll = withZeroRowEntries(stats, zeroRow.toSeq)
+      // tail-group capacity from the rollup (a #groups-row driver panel)
+      val tailRow = groups0.agg(max("graft_group")).head()
+      val tailGroup = if (tailRow.isNullAt(0)) -1 else tailRow.getInt(0)
+      val cap =
+        if (tailGroup < 0) 0L
+        else math.max(0L, groupSize -
+          groups0.filter(col("graft_group") === tailGroup)
+            .select("n_files").head().getLong(0))
+      val lead = cols.head
+      val w = Window.orderBy(col(s"min_$lead").asc_nulls_last, col("file"))
+      val assigned = newAll
+        .withColumn("graft_rn", row_number().over(w).cast("long"))
+        .withColumn("graft_group",
+          when(col("graft_rn") <= cap, lit(math.max(tailGroup, 0)))
+            .otherwise(lit(tailGroup + 1L) +
+              floor((col("graft_rn") - cap - 1L) / lit(groupSize))))
+        .withColumn("graft_group", col("graft_group").cast("int"))
+        .drop("graft_rn")
+        .localCheckpoint(eager = true) // appended AND rolled up below
+      assigned.write.mode("append").partitionBy("graft_group")
+        .parquet(s"$manifestDir/files")
+      // refresh rollup rows for TOUCHED groups only; reuse the rest
+      val touched = assigned.select("graft_group").distinct()
+        .collect().map(_.getInt(0)).toIndexedSeq
+      val rollAggs = count(lit(1)).as("n_files") +:
+        sum(col("n_rows")).as("n_rows") +:
+        cols.flatMap(c => Seq(
+          min(col(s"min_$c")).as(s"min_$c"),
+          max(col(s"max_$c")).as(s"max_$c")))
+      val refreshed = spark.read.parquet(s"$manifestDir/files")
+        .filter(col("graft_group").isin(touched: _*))
+        .groupBy("graft_group")
+        .agg(rollAggs.head, rollAggs.tail: _*)
+      // pinned before the overwrite: the union lazily reads the very
+      // dir being replaced (same hazard as the index re-publish path)
+      val newGroups = Ckpt.pinned(
+        groups0.filter(!col("graft_group").isin(touched: _*))
+          .unionAll(refreshed.select(
+            groups0.columns.map(col).toIndexedSeq: _*)))
+      newGroups.write.mode("overwrite").parquet(s"$manifestDir/groups")
+      spark.read.parquet(s"$manifestDir/groups")
+    }
+  }
+
   /** Hard driver-side ceiling for the manifest family. Every manifest
     * consumer ([[prunedRead]], [[extendManifest]]'s listing diff,
     * [[vacuumOrphans]]'s live-set, [[mergeIntoLayout]]'s overlap probe)

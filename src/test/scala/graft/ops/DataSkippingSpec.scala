@@ -379,6 +379,59 @@ class DataSkippingSpec extends AnyFunSuite with SparkTestBase {
       lit(10000L), lit(20000L)).count() === 0L)
   }
 
+  test("grouped manifest: incremental extend ≡ rebuild for the read, " +
+      "O(new) for the write") {
+    val dir = sortedLayout(2000, 100) // 20 files
+    val mfDir = freshDir("mfx")
+    Layout.statsManifestPartitioned(spark, dir, Seq("k"), mfDir,
+      groupSize = 4L)
+    val filesBefore = spark.read.parquet(s"$mfDir/files")
+      .select("file").as[String].collect().toSet
+    val groupsBefore = spark.read.parquet(s"$mfDir/groups")
+      .collect().map(r => r.getInt(0) -> r.toSeq).toMap
+    // 6 new files land (keys beyond the built range)
+    spark.range(2000, 3200).select(col("id").as("k"), (col("id") % 7).as("v"))
+      .repartitionByRange(6, col("k"))
+      .write.mode("append").parquet(dir)
+    val groups = Layout.extendManifestGrouped(spark, dir, mfDir, Seq("k"),
+      groupSize = 4L)
+    // every file tracked exactly once; old file rows reused verbatim
+    val filesAfter = spark.read.parquet(s"$mfDir/files")
+      .select("file").as[String].collect()
+    assert(filesAfter.length === filesAfter.toSet.size)
+    assert(filesBefore.subsetOf(filesAfter.toSet))
+    assert(filesAfter.length ===
+      spark.read.parquet(dir).inputFiles.length)
+    // untouched rollup rows survive bit-identically; rollup stays exact
+    val groupsAfter = groups.collect().map(r => r.getInt(0) -> r.toSeq).toMap
+    val touched = groupsAfter.keySet.filterNot(g =>
+      groupsBefore.get(g).contains(groupsAfter(g)))
+    for ((g, row) <- groupsBefore if !touched.contains(g))
+      assert(groupsAfter(g) === row)
+    assert(groupsAfter.values.map(_(1).asInstanceOf[Long]).sum ===
+      filesAfter.length.toLong)
+    // the read contract: extended probe ≡ rebuilt probe ≡ plain filter
+    val expected = spark.read.parquet(dir)
+      .filter(col("k") >= 1900L && col("k") <= 2500L)
+      .select("k", "v").as[(Long, Long)].collect().sorted
+    val got = Layout.prunedReadGrouped(spark, dir, mfDir, "k",
+        lit(1900L), lit(2500L))
+      .select("k", "v").as[(Long, Long)].collect().sorted
+    assert(got.toSeq === expected.toSeq)
+    val rebuiltDir = freshDir("mfx-rebuilt")
+    Layout.statsManifestPartitioned(spark, dir, Seq("k"), rebuiltDir,
+      groupSize = 4L)
+    val rebuilt = Layout.prunedReadGrouped(spark, dir, rebuiltDir, "k",
+        lit(1900L), lit(2500L))
+      .select("k", "v").as[(Long, Long)].collect().sorted
+    assert(got.toSeq === rebuilt.toSeq)
+    // idempotent: nothing new → rollup unchanged
+    val again = Layout.extendManifestGrouped(spark, dir, mfDir, Seq("k"),
+      groupSize = 4L)
+    assert(again.collect().map(r => r.getInt(0) -> r.toSeq).toMap ===
+      groupsAfter)
+  }
+
   test("grouped manifest: no ceiling refusal and zero-row files tracked") {
     val dir = sortedLayout(1000, 100)
     // a schema-seed (zero-row) write must land in the manifest too
