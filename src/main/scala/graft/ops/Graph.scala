@@ -562,7 +562,7 @@ object Graph {
     * against the node spine so sink/source nodes keep rows. The
     * normalizing max is a SCALAR aggregate per half-round (the same
     * blessed driver panel as g7's convergence digest — one long, not
-    * data); the iterate is lazily localCheckpoint-ed each half-round
+    * data); the iterate sits behind a [[Ckpt]] barrier each half-round
     * because the max action and the next join both consume it.
     *
     * @return (node, hub, auth) fixed-point scores scaled to [0, scale]

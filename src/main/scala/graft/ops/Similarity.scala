@@ -1014,7 +1014,7 @@ object Similarity {
     val vecs = scaledVecs(df, idCol, vecCol, scale)
     val selfDot = dot(col("v"), col("v"))
     // the FINAL table is consumed twice (size assignment + output join):
-    // one lazy checkpoint stops the last m-step from running double
+    // one Ckpt barrier stops the last m-step from running double
     val centroids = kmeansCentroidTable(vecs, selfDot, k, iterations)
       .ckpt
     val sizes = assign(vecs, selfDot, centroids)

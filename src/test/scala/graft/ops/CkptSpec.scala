@@ -139,6 +139,12 @@ class CkptSpec extends AnyFunSuite with SparkTestBase {
       (i.toLong, s"the quick brown fox ${i % 8} jumps over the lazy dog " +
         s"number ${i % 8} again and again")).toDF("doc_id", "text")
 
+    val vecs = (0 until 30).map(i =>
+      (i.toLong, Array.tabulate(4)(j => ((i * 4 + j) % 11).toFloat)))
+      .toDF("vec_id", "embedding")
+    val parents = (1L to 40L).toDF("node")
+      .select(col("node"), when(col("node") === 1L, 1L)
+        .otherwise(col("node") / 2).as("parent"))
     val outputs = Seq(
       "pageRank" -> Graph.pageRank(edges, "src", "dst", iterations = 3),
       "ccTwoPhase" -> Graph.connectedComponentsTwoPhase(edges, "src", "dst"),
@@ -146,7 +152,15 @@ class CkptSpec extends AnyFunSuite with SparkTestBase {
         Dedup.connectedComponentsWithRounds(
           edges.select(col("src").as("id1"), col("dst").as("id2")))._1,
       "minhashLshPairs" -> Dedup.minhashLshPairs(docs, "doc_id", "text"),
-      "dedupCorpus" -> Dedup.dedupCorpus(docs, "doc_id", "text"))
+      "dedupCorpus" -> Dedup.dedupCorpus(docs, "doc_id", "text"),
+      "labelPropagation" ->
+        Graph.labelPropagation(edges, "src", "dst", iterations = 3),
+      "hits" -> Graph.hits(edges, "src", "dst", iterations = 3),
+      "mis" -> Graph.maximalIndependentSet(edges, "src", "dst", rounds = 3),
+      "kmeansFixedPoint" ->
+        Similarity.kmeansFixedPoint(vecs, "vec_id", "embedding",
+          k = 3, iterations = 2),
+      "rootAndDepth" -> Hierarchy.rootAndDepth(parents, "node", "parent"))
 
     for ((name, df) <- outputs) {
       val bad = pendingCheckpoints(df)

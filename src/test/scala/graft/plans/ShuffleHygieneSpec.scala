@@ -250,4 +250,23 @@ class ShuffleHygieneSpec extends AnyFunSuite with SparkTestBase {
       c.endsWith(":long") || c.endsWith(":double")),
       s"non-scalar column crossed a density shuffle: $cols")
   }
+
+  test("hammingFilter64 shuffles carry ids, chunks and 8-byte hashes — " +
+      "payloads never") {
+    import spark.implicits._
+    // binary payload column rides along on the incoming side; the
+    // admission join must shuffle only (id, chunk, key, hash)
+    val index = (0 until 200).map(i => (i.toLong, i.toLong * 65536L))
+      .toDF("media_id", "ph")
+    val in = (0 until 200).map(i => (10000L + i, i.toLong * 65536L + (i % 7),
+      Array.fill(64)(i.toByte))).toDF("media_id", "ph", "payload")
+    val out = graft.ops.Dedup.hammingFilter64(index, in, "media_id", "ph",
+      maxHamming = 3)
+    val cols = shuffledColumns(out)
+    assert(cols.nonEmpty)
+    assert(!cols.exists(_.startsWith("payload:")),
+      s"payload bytes crossed an admission shuffle: $cols")
+    assert(!cols.exists(_.endsWith(":binary")),
+      s"binary column in an admission shuffle: $cols")
+  }
 }
