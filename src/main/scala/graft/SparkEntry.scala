@@ -5843,17 +5843,18 @@ object SparkEntry {
             val batch = b.select(
               regexp_extract(col("path"), "m(\\d+)\\.bin$", 1)
                 .cast("long").as("media_id"),
-              col("content")).ckpt // triage, hash and raster all read it
-            // 1. quarantine (m15): corruption is a verdict, not a crash
-            val tri = ops.Multimodal.triageFeatures(mrec(batch)).toDF()
+              col("content")).ckpt // triage+hash and raster both read it
+            // 1+2. quarantine verdict, payload fingerprint AND dHash
+            // from ONE decode pass (triageWithImageHash) — running m15
+            // triage and the hash pass separately decodes twice
+            val tri = ops.Multimodal.triageWithImageHash(mrec(batch))
+              .toDF().ckpt
             quarTab = quarTab.unionAll(tri.filter(col("status") =!= "ok")
               .select(col("media_id"), col("status").as("verdict"))).ckpt
-            val okIds = tri.filter(col("status") === "ok" &&
-              col("format").isin("png", "jpeg")).select("media_id")
-            val ok = batch.join(okIds, Seq("media_id"), "left_semi")
-            val feats = ops.Multimodal.dhashWithFingerprint(mrec(ok))
-              .toDF().select("media_id", "dhash", "fp").ckpt
-            // 2. intra-batch exact pre-collapse: one min-id rep per payload
+            val feats = tri.filter(col("status") === "ok" &&
+                col("format").isin("png", "jpeg"))
+              .select("media_id", "dhash", "fp")
+            // intra-batch exact pre-collapse: one min-id rep per payload
             val reps = feats.join(
               feats.groupBy("fp").agg(min("media_id").as("media_id")),
               Seq("fp", "media_id"), "left_semi")
@@ -5867,7 +5868,7 @@ object SparkEntry {
             ledger += n
             if (n > 0) {
               // 5. normalize: decode survivors to gray rasters
-              val ras = ops.Multimodal.grayRaster(mrec(ok.join(
+              val ras = ops.Multimodal.grayRaster(mrec(batch.join(
                   admitted.select("media_id"), Seq("media_id"), "left_semi")))
                 .toDF().select("media_id", "width", "height", "pixels").ckpt
               // 6. WAP: stage the rasters as one commit

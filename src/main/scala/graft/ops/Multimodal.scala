@@ -587,6 +587,13 @@ object Multimodal {
         s"media_id ${r.media_id}: format '${r.meta.format}' is not a " +
         "decodable image — dhash requires png/jpeg records; filter on " +
         "meta.format before hashing mixed-modality media")
+      dhashOf(img)
+    }
+
+    /** [[dhash]] over an ALREADY-DECODED image — the fusion point for
+      * pipelines that decode once and reuse the frame (triage verdict +
+      * perceptual hash from one ImageIO pass). */
+    def dhashOf(img: java.awt.image.BufferedImage): Long = {
       val w = img.getWidth
       val h = img.getHeight
       val raster = img.getRaster
@@ -799,6 +806,61 @@ object Multimodal {
             hdr.duration_ms, if (decodable) "ok" else "header_only")
         }
       })
+    }
+  }
+
+  /** [[MediaTriage]] plus the exact payload fingerprint and (for
+    * decodable images) the perceptual hash — one row per record from a
+    * SINGLE decode. */
+  case class MediaTriageHash(media_id: Long, format: String, width: Int,
+      height: Int, duration_ms: Long, status: String, dhash: Long,
+      fp: String)
+
+  /** [[triageFeatures]] FUSED with [[dhashWithFingerprint]]: verdict,
+    * md5 payload fingerprint and (png/jpeg, status `ok`) dHash from ONE
+    * ImageIO pass per record — the front-door shape of a media ingest
+    * (s37): running triage and hashing as separate ops decodes every
+    * payload twice, and at 100 TB the decode IS the pipeline's cost.
+    * Verdict semantics are identical to [[triageFeatures]]
+    * (spec-pinned); `dhash` is 0 for anything that is not an `ok`
+    * image, `fp` is always present (corrupt payloads still need
+    * exact-dup identity for quarantine dedup). Record-local like every
+    * decoder here; a failure is a verdict row, never an exception. */
+  def triageWithImageHash(media: Dataset[MediaRecord]): Dataset[MediaTriageHash] = {
+    import media.sparkSession.implicits._
+    media.mapPartitions { it =>
+      val md = java.security.MessageDigest.getInstance("MD5")
+      it.map { r =>
+        md.reset()
+        val fp = md.digest(r.content).map("%02x".format(_)).mkString
+        val hdr =
+          try MediaCodec.headerProbe(r)
+          catch { case _: Exception =>
+            MediaHeader(r.media_id, "unknown", 0, 0, 0L) }
+        if (hdr.format == "unknown")
+          MediaTriageHash(r.media_id, "unknown", 0, 0, 0L, "unparseable",
+            0L, fp)
+        else {
+          // decode ONCE; reuse the frame for verdict AND hash
+          val (status, dhash) = hdr.format match {
+            case "png" | "jpeg" =>
+              val img =
+                try javax.imageio.ImageIO.read(
+                  new java.io.ByteArrayInputStream(r.content))
+                catch { case _: Exception => null }
+              if (img == null) ("header_only", 0L)
+              else ("ok", MediaCodec.dhashOf(img))
+            case "wav" =>
+              val decodable =
+                try { MediaCodec.blockMeans(r, 1 << 20); true }
+                catch { case _: Exception => false }
+              (if (decodable) "ok" else "header_only", 0L)
+            case _ => ("header_only", 0L)
+          }
+          MediaTriageHash(r.media_id, hdr.format, hdr.width, hdr.height,
+            hdr.duration_ms, status, dhash, fp)
+        }
+      }
     }
   }
 

@@ -2200,6 +2200,42 @@ class MultimodalSpec extends AnyFunSuite with SparkTestBase {
     assert(Seq(0L, 1L, 2L, 4L, 6L, 8L).forall(id => got(id).status == "ok"))
   }
 
+  test("fused triage+hash equals the separate triage and hash passes") {
+    import spark.implicits._
+    val base = syntheticMedia(spark.range(0, 12).toDF("id"), "id")(spark)
+    val corrupted = base.map { r =>
+      if (r.media_id == 3L) r.copy(content = r.content.take(32))
+      else if (r.media_id == 5L) r.copy(content = r.content.take(44))
+      else if (r.media_id == 7L) r.copy(content = Array.fill(16)(0x00.toByte))
+      else r
+    }
+    val fused = triageWithImageHash(corrupted).collect()
+      .map(t => t.media_id -> t).toMap
+    // verdict semantics identical to triageFeatures on the same fixture
+    val tri = triageFeatures(corrupted).collect()
+      .map(t => t.media_id -> t).toMap
+    for (id <- 0L until 12L) {
+      assert(fused(id).status === tri(id).status, s"status of $id")
+      assert(fused(id).format === tri(id).format, s"format of $id")
+      assert(fused(id).width === tri(id).width &&
+        fused(id).height === tri(id).height, s"dims of $id")
+    }
+    // dhash/fp equal the dedicated hash pass on the ok images
+    val okImages = corrupted.filter(r =>
+      r.meta.format == "png" || r.meta.format == "jpeg")
+      .filter(r => fused(r.media_id).status == "ok")
+    val hashed = dhashWithFingerprint(okImages).collect()
+      .map(h => h.media_id -> h).toMap
+    assert(hashed.nonEmpty)
+    for ((id, h) <- hashed) {
+      assert(fused(id).dhash === h.dhash, s"dhash of $id")
+      assert(fused(id).fp === h.fp, s"fp of $id")
+    }
+    // fingerprints exist even for quarantined payloads; non-ok dhash is 0
+    assert(fused(7L).fp.length === 32 && fused(7L).dhash === 0L)
+    assert(fused(3L).dhash === 0L)
+  }
+
   test("envelope segmentation: islands of qualifying blocks, formula-checked") {
     val thr = -20000.0 // the m14 gate's threshold: inside the envelope range
     val media = syntheticMedia(
