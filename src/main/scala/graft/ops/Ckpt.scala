@@ -51,7 +51,14 @@ import org.apache.spark.sql.Dataset
 object Ckpt {
 
   /** Set to "false" to restore lazy checkpoints (perf A/B only — unsafe
-    * with broadcast joins; see the object scaladoc). */
+    * with broadcast joins; see the object scaladoc). The opt-out applies
+    * ONLY to [[pinned]]: sites where eagerness is load-bearing for
+    * CORRECTNESS — a frame derived from `load(path)` pinned immediately
+    * before an overwrite publish back to that same `path` (the
+    * index/rollup re-publication loops) — use [[forced]], which ignores
+    * this conf. A lazy checkpoint there leaves the read of the target
+    * directory pending while the overwrite deletes it, destroying the
+    * persisted state the publish was refreshing. */
   val EagerConf = "spark.graft.checkpoint.eager"
 
   /** Materialization barrier: truncate lineage and cache via
@@ -61,6 +68,14 @@ object Ckpt {
       ds.sparkSession.conf.get(EagerConf, "true").equalsIgnoreCase("true")
     ds.localCheckpoint(eager = eager)
   }
+
+  /** [[pinned]] with the [[EagerConf]] opt-out BYPASSED — for
+    * read-your-own-overwrite sites, where the barrier is a correctness
+    * requirement (the frame must be fully materialized before its source
+    * directory is deleted by the overwrite), not a liveness/perf
+    * default. */
+  def forced[T](ds: Dataset[T]): Dataset[T] =
+    ds.localCheckpoint(eager = true)
 
   /** `df.ckpt` suffix syntax for [[pinned]]. */
   implicit final class CkptSyntax[T](private val ds: Dataset[T]) extends AnyVal {

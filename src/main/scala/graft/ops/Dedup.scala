@@ -268,9 +268,10 @@ object Dedup {
       // pinned before the overwrite: the admission loop saves an index
       // derived from load(path) (extend) back to the SAME path, and an
       // overwrite that still lazily reads its own target deletes the
-      // files mid-scan — the barrier severs that read
+      // files mid-scan — the barrier severs that read. Ckpt.forced, not
+      // pinned: a correctness pin, exempt from the eager-conf opt-out
       def w(df: DataFrame, sub: String): Unit =
-        graft.io.DataFrameIO.write(Ckpt.pinned(df), graft.io.SourceParams(
+        graft.io.DataFrameIO.write(Ckpt.forced(df), graft.io.SourceParams(
           "parquet", Some(s"$path/$sub"), saveMode = Some("overwrite")))
       w(idx.fingerprints, "fingerprints")
       w(idx.bands, "bands")

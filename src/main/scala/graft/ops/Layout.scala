@@ -86,6 +86,11 @@ object Layout {
   def compact(spark: org.apache.spark.sql.SparkSession, inDir: String,
       outDir: String, sortCol: String, targetRowsPerFile: Long): Int = {
     require(targetRowsPerFile > 0, s"targetRowsPerFile must be positive")
+    // an in-place compact would delete its own input mid-scan (the
+    // overwrite clears outDir before the write job re-reads inDir)
+    require(new org.apache.hadoop.fs.Path(inDir) !=
+        new org.apache.hadoop.fs.Path(outDir),
+      s"compact cannot rewrite in place: inDir and outDir are both $inDir")
     val df = spark.read.parquet(inDir)
     val rows = df.count()
     val nFiles = math.max(1, ((rows + targetRowsPerFile - 1) / targetRowsPerFile).toInt)
@@ -418,8 +423,10 @@ object Layout {
         .groupBy("graft_group")
         .agg(rollAggs.head, rollAggs.tail: _*)
       // pinned before the overwrite: the union lazily reads the very
-      // dir being replaced (same hazard as the index re-publish path)
-      val newGroups = Ckpt.pinned(
+      // dir being replaced (same hazard as the index re-publish path).
+      // Ckpt.forced: a correctness pin, exempt from the eager-conf
+      // opt-out
+      val newGroups = Ckpt.forced(
         groups0.filter(!col("graft_group").isin(touched: _*))
           .unionAll(refreshed.select(
             groups0.columns.map(col).toIndexedSeq: _*)))

@@ -597,9 +597,11 @@ object Similarity {
       // first: the maintenance loop saves an index DERIVED from
       // load(path) back to the same path, and an overwrite that still
       // lazily reads its own target deletes the files mid-scan — the
-      // barrier severs that read. (At very large index scale prefer
-      // versioned publish dirs; the pin costs one cache pass.)
-      graft.io.DataFrameIO.write(Ckpt.pinned(idx.assigned),
+      // barrier severs that read. Ckpt.forced, not pinned: this pin is
+      // a correctness requirement, so the eager-conf opt-out must not
+      // reach it. (At very large index scale prefer versioned publish
+      // dirs; the pin costs one cache pass.)
+      graft.io.DataFrameIO.write(Ckpt.forced(idx.assigned),
         graft.io.SourceParams("parquet", Some(s"$path/assigned"),
           saveMode = Some("overwrite"), partitionBy = Seq("cell")))
       w(idx.centroids.zipWithIndex.toSeq
