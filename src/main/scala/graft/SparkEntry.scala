@@ -4143,6 +4143,26 @@ object SparkEntry {
         .orderBy("part", "doc_id")
     }),
 
+    // ---- the third corpus-write TVF: d55's token-budget mix re-run
+    // through graft_budget_mix with the recipe as a parquet side table —
+    // closes the coverage gap where an argument-wiring mistake in the
+    // TVF builder (e.g. swapped idCol/textCol) could ship silently
+    // because d61 exercised only the epoch-plan and shard-shuffle verbs
+    "d62_sql_budget_mix" -> ((s, dir) => {
+      import s.implicits._
+      val tmp = gateScratch("d62")
+      GraftExtensions.register(s)
+      (0 until 10).map(k => (s"src$k", 120L + 137L * k))
+        .toDF("source", "budget").write.parquet(s"$tmp/budgets")
+      t(s, dir, "documents").select("doc_id", "text", "source")
+        .write.parquet(s"$tmp/docs")
+      s.sql(
+        s"""SELECT doc_id, source, n_tokens
+           |FROM graft_budget_mix('$tmp/docs', 'doc_id', 'text', 'source',
+           |                      '$tmp/budgets', 64)
+           |ORDER BY doc_id""".stripMargin)
+    }),
+
     // ---- training-mix data card: per source — documents, raw tokens,
     // effective tokens under the d56 epoch plan, and the source's share
     // of the effective mix; the report every training run ships next to
@@ -9581,6 +9601,10 @@ object SparkEntry {
          |FROM sh
          |ORDER BY part, doc_id""".stripMargin
     },
+
+    // the budget-mix TVF must land exactly on the Scala op's oracle —
+    // d55's greedy prefix verbatim
+    "d62_sql_budget_mix" -> budgetMixOracle,
 
     // the fold's total order under id-ordered arrival is (batch, h64,
     // id); batch index = doc_id div the gate's id-range width

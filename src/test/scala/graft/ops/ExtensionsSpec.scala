@@ -200,6 +200,33 @@ class GraftExtensionsSpec extends AnyFunSuite with SparkTestBase {
       === Seq((40L, 0L, 39L), (20L, 40L, 59L)))
   }
 
+  test("graft_budget_mix TVF equals CorpusOps.budgetedMix (arg wiring)") {
+    // an idCol/textCol swap (or any other argument-wiring mistake) in
+    // the TVF builder must fail here, not ship silently
+    import spark.implicits._
+    graft.GraftExtensions.register(spark)
+    val tmp = java.nio.file.Files.createTempDirectory("graft-sqlmix").toString
+    val docs = (0 until 60).map { i =>
+      (i.toLong, ("tok " * (i % 9 + 1)).trim, s"src${i % 3}")
+    }.toDF("doc_id", "text", "source")
+    val budgets = Seq(("src0", 30L), ("src1", 9L), ("src2", 55L))
+      .toDF("source", "budget")
+    docs.write.parquet(s"$tmp/docs")
+    budgets.write.parquet(s"$tmp/budgets")
+    val viaSql = spark.sql(
+      s"""SELECT doc_id, source, n_tokens
+         |FROM graft_budget_mix('$tmp/docs', 'doc_id', 'text', 'source',
+         |                      '$tmp/budgets', 8)
+         |ORDER BY doc_id""".stripMargin).collect().toSeq
+    val viaApi = CorpusOps.budgetedMix(docs, "doc_id", "text", "source",
+        budgets, bucketSize = 8L)
+      .select("doc_id", "source", "n_tokens")
+      .orderBy("doc_id").collect().toSeq
+    assert(viaSql === viaApi)
+    assert(viaSql.nonEmpty && viaSql.size < 60,
+      "fixture should admit a strict subset so the prefix rule is exercised")
+  }
+
   test("SQL-registered kernels match the Column API results") {
     import spark.implicits._
     graft.GraftExtensions.register(spark)
