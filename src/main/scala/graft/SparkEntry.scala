@@ -1238,6 +1238,58 @@ object SparkEntry {
         .orderBy("doc_id")
     }),
 
+    // ---- the FULL cross-session text-index lifecycle (the LSH sibling
+    // of e30): build → save → load → day-1 admission → extend →
+    // TAKEDOWN (remove every exact-dup group whose representative id
+    // % 9 == 4 — the right-to-be-forgotten leg) → re-publish to the
+    // SAME path → cold reload → day-2 admission. Day 2 observes the
+    // removal: exact copies of removed content RE-ADMIT (fingerprints
+    // and band rows gone), while copies of day-1 admissions and
+    // near-dups of surviving content still bounce. Oracle = one
+    // admission replay against the surviving corpus ∪ day-1 batch —
+    // remove must be indistinguishable from a rebuild over survivors --
+    "d63_neardup_maintenance_cycle" -> ((s, dir) => {
+      implicit val sp: SparkSession = s
+      val docs = t(s, dir, "documents").select("doc_id", "text")
+      val batch1 = docs.filter(col("doc_id") % 10 === 5)
+        .select((col("doc_id") + 4000000).as("doc_id"),
+          reverse(col("text")).as("text"))
+      val path = s"${gateScratch("d63")}/index"
+      ops.Dedup.NearDupIndex.save(
+        ops.Dedup.nearDupIndex(docs, "doc_id", "text",
+          k = 12, bands = 6, shingleSize = 3), path)
+      val day1 = ops.Dedup.NearDupIndex.load(path)
+      val admitted1 = ops.Dedup.nearDupFilter(day1, batch1,
+        "doc_id", "text", tau = 0.5)
+      // takedown set: whole exact-dup groups (closure precondition) —
+      // every carrier of a text whose group representative id % 9 == 4
+      val fpc = graft.functions.TextFunctions.fingerprint(col("text"))
+      val reps = docs.groupBy(fpc.as("graft_fp")).agg(min("doc_id").as("graft_rep"))
+      val removedDocs = docs.withColumn("graft_fp", fpc)
+        .join(reps, Seq("graft_fp"))
+        .filter(col("graft_rep") % 9 === 4)
+        .select("doc_id", "text")
+      val shrunk = ops.Dedup.NearDupIndex.remove(
+        ops.Dedup.NearDupIndex.extend(day1, admitted1, "doc_id", "text"),
+        removedDocs, "doc_id", "text")
+      ops.Dedup.NearDupIndex.save(shrunk, path) // re-publish, same path
+      val day2 = ops.Dedup.NearDupIndex.load(path)
+      val readmit = removedDocs
+        .select((col("doc_id") + 8000000).as("doc_id"), col("text"))
+      val copies2 = batch1
+        .select((col("doc_id") + 5000000).as("doc_id"), col("text"))
+      val near2 = docs.filter(col("doc_id") % 10 === 3)
+        .select((col("doc_id") + 2000000).as("doc_id"),
+          concat(col("text"), lit(" zzz extra suffix")).as("text"))
+      val fresh2 = docs.filter(col("doc_id") % 10 === 6)
+        .select((col("doc_id") + 7000000).as("doc_id"),
+          reverse(col("text")).as("text"))
+      ops.Dedup.nearDupFilter(day2,
+          readmit.unionAll(copies2).unionAll(near2).unionAll(fresh2),
+          "doc_id", "text", tau = 0.5)
+        .orderBy("doc_id")
+    }),
+
     // ---- model-based quality filtering: hashed bag-of-words linear
     // classifier (fastText-shaped corpus filter); deterministic integer
     // weights make the scores engine-exact ------------------------------
@@ -6338,6 +6390,32 @@ object SparkEntry {
         |  FROM documents WHERE doc_id % 10 = 5
         |UNION ALL SELECT doc_id + 7000000, reverse(text)
         |  FROM documents WHERE doc_id % 10 = 6""".stripMargin,
+      k = 12, bands = 6, shingleSize = 3, tau = 0.5, maxBucket = 1000),
+
+    // day-2 admission against the extended-then-SHRUNK index == one
+    // admission replay over (surviving corpus ∪ day-1 batch): removing
+    // whole exact-dup groups must be indistinguishable from a rebuild
+    // over the survivors (day-1 reversed rows all admitted by
+    // construction, as in d48)
+    "d63_neardup_maintenance_cycle" -> OracleSql.nearDupIncremental(
+      s"""SELECT doc_id, text FROM documents
+         |WHERE md5(${OracleSql.norm("text")}) IN (
+         |  SELECT md5(${OracleSql.norm("text")}) FROM documents
+         |  GROUP BY md5(${OracleSql.norm("text")})
+         |  HAVING MIN(doc_id) % 9 <> 4)
+         |UNION ALL SELECT doc_id + 4000000, reverse(text)
+         |  FROM documents WHERE doc_id % 10 = 5""".stripMargin,
+      s"""SELECT doc_id + 8000000 AS doc_id, text FROM documents
+         |  WHERE md5(${OracleSql.norm("text")}) IN (
+         |    SELECT md5(${OracleSql.norm("text")}) FROM documents
+         |    GROUP BY md5(${OracleSql.norm("text")})
+         |    HAVING MIN(doc_id) % 9 = 4)
+         |UNION ALL SELECT doc_id + 9000000, reverse(text)
+         |  FROM documents WHERE doc_id % 10 = 5
+         |UNION ALL SELECT doc_id + 2000000, text || ' zzz extra suffix'
+         |  FROM documents WHERE doc_id % 10 = 3
+         |UNION ALL SELECT doc_id + 7000000, reverse(text)
+         |  FROM documents WHERE doc_id % 10 = 6""".stripMargin,
       k = 12, bands = 6, shingleSize = 3, tau = 0.5, maxBucket = 1000),
 
     // full pipeline composition: lang filter → d35 scoring → exact-dedup

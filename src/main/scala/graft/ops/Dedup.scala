@@ -337,6 +337,44 @@ object Dedup {
       NearDupIndex(fps, idx.bands.unionAll(admittedBands),
         idx.hashes.unionAll(hashed), idx.k, idx.nBands, idx.shingleSize)
     }
+
+    /** Forget documents — the takedown/right-to-be-forgotten leg of the
+      * index lifecycle (the text-side sibling of
+      * [[graft.ops.Similarity.IvfIndex.remove]]): after removal the
+      * content is ADMISSIBLE again — exact copies stop matching the
+      * fingerprint table and near-dups stop finding LSH candidates.
+      * All three tables shrink by anti-join: band and hash rows by
+      * doc id, fingerprints by the removed texts' fingerprints — each
+      * O(index) with the removed side broadcast, never a corpus pass.
+      *
+      * `removed` must carry the documents' (id, text) pairs and be
+      * CLOSED under exact-duplicate groups: the build collapsed exact
+      * dups to their min-id representative, so a text's fingerprint can
+      * only be dropped when every carrier of that text is removed (the
+      * natural takedown unit — removing one copy of a text while
+      * keeping another would either leak the kept copy's admissibility
+      * or forget content that is still in the corpus). Under that
+      * precondition the result equals `nearDupIndex(corpus ∖ removed)`
+      * on cap-cold data (spec-proven): surviving groups keep their
+      * original representatives, so band/hash rows match the rebuild
+      * row-for-row. (Cap-warm divergence mirrors [[extend]]: a bucket
+      * the full-corpus build dropped stays dropped even if removal
+      * brings it under `maxBucket` — high-recall either way.) */
+    def remove(
+        idx: NearDupIndex,
+        removed: DataFrame,
+        idCol: String,
+        textCol: String): NearDupIndex = {
+      val rIds = removed
+        .select(col(idCol).cast("long").as("doc_id")).distinct()
+      val rFps = removed
+        .select(fingerprint(col(textCol)).as("fingerprint")).distinct()
+      NearDupIndex(
+        idx.fingerprints.join(rFps, Seq("fingerprint"), "left_anti"),
+        idx.bands.join(rIds, Seq("doc_id"), "left_anti"),
+        idx.hashes.join(rIds, Seq("doc_id"), "left_anti"),
+        idx.k, idx.nBands, idx.shingleSize)
+    }
   }
 
   /** Build a [[NearDupIndex]] from a corpus. One collapse shuffle + one

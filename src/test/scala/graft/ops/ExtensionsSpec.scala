@@ -410,6 +410,44 @@ class DedupSpec extends AnyFunSuite with SparkTestBase {
     assert(capped.hashes.count() === idx.hashes.count() + 2)
   }
 
+  test("NearDupIndex.remove equals a rebuild over survivors and " +
+      "re-admits the forgotten content") {
+    import spark.implicits._
+    val idx = Dedup.nearDupIndex(docs, "doc_id", "text",
+      k = 12, bands = 6, shingleSize = 3)
+    // docs 0,1,2 normalize identically (one exact-dup group) and 4 is
+    // its own group — remove the whole fox family, both groups closed
+    // (the precondition); only 3 survives. 4 must go too for the
+    // re-admission probe below: a copy of 0's text is a NEAR-dup of 4,
+    // so with 4 still indexed it would bounce via LSH, not fingerprints
+    val removed = docs.filter(col("doc_id") =!= 3)
+    val after = Dedup.NearDupIndex.remove(idx, removed, "doc_id", "text")
+    val rebuilt = Dedup.nearDupIndex(docs.filter(col("doc_id") === 3),
+      "doc_id", "text", k = 12, bands = 6, shingleSize = 3)
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(_.toSeq).toSet
+    assert(rows(after.fingerprints) === rows(rebuilt.fingerprints))
+    assert(rows(after.bands) === rows(rebuilt.bands))
+    assert(rows(after.hashes) === rows(rebuilt.hashes))
+    assert(after.k === rebuilt.k && after.nBands === rebuilt.nBands &&
+      after.shingleSize === rebuilt.shingleSize)
+
+    // the observable takedown semantics: an exact copy of the removed
+    // text is admissible again, while surviving content still bounces
+    val probe = Seq(
+      (50L, "the quick brown fox jumps over the lazy dog again and again"),
+      (51L, "completely different text about spark query engines at scale"))
+      .toDF("doc_id", "text")
+    val admitted = Dedup.nearDupFilter(after, probe, "doc_id", "text",
+      tau = 0.5).select("doc_id").as[Long].collect().toSet
+    assert(admitted === Set(50L),
+      "removed content must re-admit; surviving content must not")
+    // and before the removal BOTH bounced
+    val before = Dedup.nearDupFilter(idx, probe, "doc_id", "text",
+      tau = 0.5).select("doc_id").as[Long].collect().toSet
+    assert(before === Set.empty[Long])
+  }
+
   test("simhash pairs finds low-hamming near-dups only") {
     val pairs = Dedup.simhashPairs(docs, "doc_id", "text", maxHamming = 6)
       .select("id1", "id2").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
