@@ -369,6 +369,42 @@ object OracleSql {
        |      ROW_NUMBER() OVER (PARTITION BY id ORDER BY cos DESC, nid) AS rank
        |    FROM cand) WHERE rank <= $k)""".stripMargin
 
+  /** IVF kNN PROBE for an external query set — mirrors
+    * `IvfIndex.knnProbe`: the index (centroid panel + assignment) comes
+    * from the plain embeddings table exactly as in [[ivfKnnCtes]], but
+    * the query side is `qSql` (columns `id`, `v DOUBLE[]`) and there is
+    * no self-exclusion (query ids live in their own id space). */
+  def ivfKnnProbeCtes(nlist: Int, nprobe: Int, k: Int, qSql: String): String =
+    s"""c AS (SELECT vec_id AS cid, CAST(embedding AS DOUBLE[]) AS cv
+       |           FROM embeddings WHERE vec_id < $nlist),
+       |v AS (SELECT vec_id AS id, CAST(embedding AS DOUBLE[]) AS v
+       |      FROM embeddings),
+       |scored AS (SELECT id, v, cid, ${cosine("v", "cv")} AS cs
+       |           FROM v CROSS JOIN c),
+       |assigned AS (
+       |  SELECT id, v, cid AS cell FROM (
+       |    SELECT id, v, cid,
+       |      ROW_NUMBER() OVER (PARTITION BY id ORDER BY cs DESC, cid) AS rn
+       |    FROM scored) WHERE rn = 1),
+       |q AS ($qSql),
+       |qscored AS (SELECT q.id, q.v, c.cid, ${cosine("q.v", "c.cv")} AS cs
+       |            FROM q CROSS JOIN c),
+       |probes AS (
+       |  SELECT id, cid FROM (
+       |    SELECT id, cid,
+       |      ROW_NUMBER() OVER (PARTITION BY id ORDER BY cs DESC, cid) AS rn
+       |    FROM qscored) WHERE rn <= $nprobe),
+       |cand AS (
+       |  SELECT p.id, a.id AS nid, ${cosine("q.v", "a.v")} AS cos
+       |  FROM probes p
+       |  JOIN q ON q.id = p.id
+       |  JOIN assigned a ON a.cell = p.cid),
+       |knn AS (
+       |  SELECT id, rank, nid, cos FROM (
+       |    SELECT id, nid, cos,
+       |      ROW_NUMBER() OVER (PARTITION BY id ORDER BY cos DESC, nid) AS rank
+       |    FROM cand) WHERE rank <= $k)""".stripMargin
+
   /** Unrolled fixed-point Lloyd's k-means over the embeddings table —
     * mirrors Similarity.kmeansFixedPoint iteration for iteration:
     * floor-scaled integer components, ‖v−c‖² = v·v − 2v·c + c·c on

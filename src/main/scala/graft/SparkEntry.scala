@@ -5244,6 +5244,52 @@ object SparkEntry {
       admitted.orderBy("doc_id")
     }),
 
+    // ---- streaming kNN ENRICHMENT against a cold-loaded persisted IVF
+    // index: the online-retrieval shape — queries arrive as micro-
+    // batches (their own id space, reversed-embedding vectors so the
+    // answer is non-trivial) and each batch probes the FROZEN index
+    // loaded from disk (e28's artifact) via knnProbe. Per-query results
+    // are independent, so streaming enrichment is batch-boundary-
+    // invariant by construction; oracle = one whole-set probe replay --
+    "s38_stream_knn_enrich" -> ((s, dir) => {
+      implicit val sp: SparkSession = s
+      val tmp = gateScratch("s38")
+      val emb = t(s, dir, "embeddings")
+      val path = s"$tmp/index"
+      ops.Similarity.IvfIndex.save(
+        ops.Similarity.ivfIndexSeeded(emb, "vec_id", "embedding", nlist = 8),
+        path)
+      val loaded = ops.Similarity.IvfIndex.load(path)
+      val queries = emb.filter(col("vec_id") % 5 === 2)
+        .select((col("vec_id") + 1000000).as("qid"),
+          reverse(col("embedding").cast("array<double>")).as("qv"))
+      queries.withColumn("shard", pmod(col("qid"), lit(4)))
+        .repartition(4, col("shard"))
+        .write.parquet(s"$tmp/in") // 4 files → 4 micro-batches
+      var enriched = loaded.knnProbe(queries.limit(0), "qid", "qv",
+        k = 5, nprobe = 2)
+      val inSchema = s.read.parquet(s"$tmp/in").schema
+      withNarrowState(s) {
+        val q = s.readStream
+          .schema(inSchema)
+          .option("maxFilesPerTrigger", "1")
+          .parquet(s"$tmp/in")
+          .writeStream
+          .foreachBatch { (batch: DataFrame, _: Long) =>
+            enriched = enriched.unionAll(
+                loaded.knnProbe(batch.select("qid", "qv"), "qid", "qv",
+                  k = 5, nprobe = 2))
+              .localCheckpoint(eager = true) // sever the micro-batch source
+            ()
+          }
+          .option("checkpointLocation", s"$tmp/chk")
+          .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+          .start()
+        q.awaitTermination()
+      }
+      enriched.orderBy("id", "rank")
+    }),
+
     // ---- streaming VECTOR admission at the embedding front door: the
     // s25 scenario for embeddings — micro-batches of candidate vectors
     // filtered against the STATIC corpus hyperplane-LSH buckets
@@ -10245,6 +10291,16 @@ object SparkEntry {
         |LEFT JOIN dense d ON d.cx = p.cx AND d.cy = p.cy
         |LEFT JOIN comp c ON c.cell = d.cell
         |ORDER BY p.id""".stripMargin,
+
+    // per-query independence makes streamed probing equal the whole-set
+    // probe — one knnProbe replay over the reversed-embedding queries
+    "s38_stream_knn_enrich" ->
+      s"""WITH ${OracleSql.ivfKnnProbeCtes(nlist = 8, nprobe = 2, k = 5,
+             "SELECT vec_id + 1000000 AS id, " +
+               "list_reverse(CAST(embedding AS DOUBLE[])) AS v " +
+               "FROM embeddings WHERE vec_id % 5 = 2")}
+         |SELECT id, rank, nid, cos FROM knn
+         |ORDER BY id, rank""".stripMargin,
 
     // the streaming fold against a STATIC index equals the whole-set
     // admission — d43's oracle verbatim (pre-collapse is a fixed point

@@ -434,6 +434,60 @@ object Similarity {
     def knnJoinFiltered(k: Int, nprobe: Int, eligible: DataFrame): DataFrame =
       knnJoinImpl(k, nprobe, Some(eligible))
 
+    /** kNN SEARCH for an EXTERNAL query table — the online-retrieval
+      * shape [[knnJoin]] (where every indexed vector queries itself)
+      * does not cover: requests arrive as their own (id, vector) rows
+      * (a micro-batch of user queries, a fresh crawl slice to enrich)
+      * and probe a FROZEN index, typically cold-loaded from
+      * [[IvfIndex.load]]. Same plan skeleton as [[knnJoin]]: probe-cell
+      * selection is a per-query expression over the broadcast centroid
+      * literals, the only shuffle is the candidate equi-join on the
+      * cell key (each query row replicated `nprobe` times), and the
+      * bounded-heap top-k reduce keeps ≤ k rows per query per
+      * partition on the last exchange. Because each query row's result
+      * is independent of every other query row, per-batch probing is
+      * batch-boundary-invariant by construction — the property gate
+      * s38 pins through a real stream.
+      *
+      * Unlike [[knnJoin]] there is NO self-exclusion: query ids live in
+      * their own id space, and a query that coincides with an indexed
+      * vector legitimately finds it at cosine 1.
+      *
+      * @return (id, rank, nid, cos) — query id, 1-based rank
+      *         (cosine-descending, ascending-nid tiebreak), neighbor id
+      */
+    def knnProbe(queries: DataFrame, idCol: String, vecCol: String,
+        k: Int, nprobe: Int): DataFrame = {
+      require(nprobe >= 1 && nprobe <= centroids.length,
+        s"nprobe must be in [1, ${centroids.length}], got $nprobe")
+      val q0 = queries.select(col(idCol).cast("long").as("qid"),
+          col(vecCol).cast("array<double>").as("qv"))
+        .withColumn("qnorm", sqrt(dot(col("qv"), col("qv"))))
+      val probeStructs = centroids.zipWithIndex.map { case (c, j) =>
+        val cn = math.sqrt(Similarity.dotArr(c, c))
+        val d = dot(col("qv"), array(c.map(lit).toSeq: _*))
+        val cs = when(col("qnorm") * lit(cn) === 0.0, lit(0.0))
+          .otherwise(d / (col("qnorm") * lit(cn)))
+        struct((-cs).as("ncs"), lit(j).as("cid"))
+      }
+      val probeCells = transform(
+        slice(array_sort(array(probeStructs.toSeq: _*)), 1, nprobe),
+        p => p.getField("cid"))
+      val qe = q0.select(col("qid"), col("qv"), col("qnorm"),
+        explode(probeCells).as("cell"))
+      val index = assigned.select(col("cell"), col("id").as("nid"),
+        col("v").as("nv"), col("vnorm").as("nnorm"))
+      val cand = qe.join(index, Seq("cell"))
+        .select(col("qid"), col("nid"),
+          when(col("qnorm") * col("nnorm") === 0.0, lit(0.0))
+            .otherwise(dot(col("qv"), col("nv")) / (col("qnorm") * col("nnorm")))
+            .as("cos"))
+      TopK.perGroup(cand, Seq("qid"),
+          Seq(col("cos"), (-col("nid")).as("gneg")), k)
+        .select(col("qid").as("id"), col("rank"), (-col("gneg")).as("nid"),
+          col("cos"))
+    }
+
     private def knnJoinImpl(
         k: Int, nprobe: Int, eligible: Option[DataFrame]): DataFrame = {
       require(nprobe >= 1 && nprobe <= centroids.length,

@@ -933,6 +933,45 @@ class SimilaritySpec extends AnyFunSuite with SparkTestBase {
     assert(one == want)
   }
 
+  test("knnProbe: full probe equals brute force per query; batch-split " +
+      "invariant; finds an identical indexed vector at cos 1") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(13)
+    val rows = (0 until 120).map { i =>
+      val c = i % 3
+      val base = Array.tabulate(8)(d => if (d == c) 10.0 else 0.0)
+      (i.toLong, base.map(x => (x + rnd.nextGaussian() * 0.1).toFloat))
+    }
+    val df = rows.toDF("id", "vec")
+    val idx = Similarity.ivfIndexSeeded(df, "id", "vec", nlist = 3)
+    // external queries: one per cluster + one exact copy of row 0
+    val queries = (Seq((1000L, rows(0)._2), (1001L, rows(1)._2),
+      (1002L, rows(2)._2)) :+ (1003L, rows(0)._2)).toDF("qid", "qv")
+    val got = idx.knnProbe(queries, "qid", "qv", k = 5, nprobe = 3)
+    val byQ = got.collect().groupBy(_.getLong(0))
+    // full probe == brute force for every query
+    for ((qid, qvec) <- Seq((1000L, rows(0)._2), (1001L, rows(1)._2),
+        (1002L, rows(2)._2))) {
+      val q = spark.sql(
+        "SELECT array(" + qvec.map(_.toDouble).mkString("D,") + "D) AS q")
+      val want = Similarity.bruteForceTopK(df, "id", "vec", q, 5)
+        .collect().map(_.getLong(0)).toSeq
+      val probe = byQ(qid).sortBy(_.getLong(1)).map(_.getLong(2)).toSeq
+      assert(probe === want, s"query $qid")
+    }
+    // a query identical to an indexed vector finds it, rank 1, cos 1.0
+    val top1003 = byQ(1003L).minBy(_.getLong(1))
+    assert(top1003.getLong(2) === 0L && top1003.getDouble(3) === 1.0)
+    // batch-split invariance: per-row independence means any split
+    // unions to the whole-set answer (the s38 streaming contract)
+    def run(d: org.apache.spark.sql.DataFrame) =
+      idx.knnProbe(d, "qid", "qv", k = 5, nprobe = 3)
+        .collect().map(_.toSeq).toSet
+    assert(run(queries.filter(col("qid") % 2 === 0)) ++
+      run(queries.filter(col("qid") % 2 === 1)) ===
+      got.collect().map(_.toSeq).toSet)
+  }
+
   test("addVectors equals a batch rebuild: incremental index == full index") {
     import spark.implicits._
     val rnd = new scala.util.Random(23)
