@@ -206,41 +206,56 @@ object OracleSql {
     * Because candidates are tested against the static corpus only,
     * this whole-set filter equals the micro-batched fold exactly. */
   def vectorAdmitSql(candSql: String, bits: Int, dim: Int, tau: Double,
-      maxBucket: Int): String = {
+      maxBucket: Int): String =
+    s"""WITH ${vectorAdmitCtes("", CorpusIdV, candSql, bits, dim, tau,
+           maxBucket)}
+       |SELECT id AS vec_id FROM adm
+       |ORDER BY vec_id""".stripMargin
+
+  /** The default vector-admission corpus: the whole embeddings table
+    * as (id, v DOUBLE[]). */
+  val CorpusIdV: String =
+    "SELECT vec_id AS id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings"
+
+  /** [[vectorAdmitSql]]'s CTE chain, name-prefixed so two admission
+    * rounds can nest in one statement (a maintenance cycle's day-2
+    * corpus references day-1's `${p}adm`). `corpusSql` yields (id, v),
+    * `candSql` yields (vec_id, v); the chain ends in
+    * `${p}adm(id, v)` — the admitted candidate representatives. */
+  def vectorAdmitCtes(p: String, corpusSql: String, candSql: String,
+      bits: Int, dim: Int, tau: Double, maxBucket: Int): String = {
     def bucketExpr(v: String) = graft.ops.Similarity.planes(bits, dim)
-      .zipWithIndex.map { case (p, i) =>
-        val planeLit = p.mkString("[", ", ", "]")
+      .zipWithIndex.map { case (pl, i) =>
+        val planeLit = pl.mkString("[", ", ", "]")
         s"(CASE WHEN ${dot(v, planeLit)} >= 0.0 THEN ${1L << i} ELSE 0 END)"
       }.mkString("\n   + ")
     val cos = s"(CASE WHEN c.nrm * k.nrm = 0.0 THEN 0.0 " +
       s"ELSE ${dot("c.v", "k.v")} / (c.nrm * k.nrm) END)"
-    s"""WITH k0 AS (
-       |  SELECT v, MIN(id) AS id FROM (
-       |    SELECT CAST(embedding AS DOUBLE[]) AS v, vec_id AS id
-       |    FROM embeddings)
+    s"""${p}k0 AS (
+       |  SELECT v, MIN(id) AS id FROM ($corpusSql)
        |  GROUP BY v),
-       |kbkt AS (
+       |${p}kbkt AS (
        |  SELECT id, v, CAST(${bucketExpr("v")} AS BIGINT) AS bucket,
        |         sqrt(${dot("v", "v")}) AS nrm
-       |  FROM k0),
-       |kcap AS (
+       |  FROM ${p}k0),
+       |${p}kcap AS (
        |  SELECT * FROM (
        |    SELECT *, COUNT(*) OVER (PARTITION BY bucket) AS bucket_sz
-       |    FROM kbkt)
+       |    FROM ${p}kbkt)
        |  WHERE bucket_sz <= $maxBucket),
-       |cand0 AS ($candSql),
-       |cand AS (SELECT v, MIN(vec_id) AS id FROM cand0 GROUP BY v),
-       |cbkt AS (
+       |${p}cand0 AS ($candSql),
+       |${p}cand AS (SELECT v, MIN(vec_id) AS id FROM ${p}cand0 GROUP BY v),
+       |${p}cbkt AS (
        |  SELECT id, v, CAST(${bucketExpr("v")} AS BIGINT) AS bucket,
        |         sqrt(${dot("v", "v")}) AS nrm
-       |  FROM cand),
-       |hits AS (
+       |  FROM ${p}cand),
+       |${p}hits AS (
        |  SELECT DISTINCT c.id
-       |  FROM cbkt c JOIN kcap k ON c.bucket = k.bucket
-       |  WHERE $cos >= $tau)
-       |SELECT id AS vec_id FROM cbkt
-       |WHERE id NOT IN (SELECT id FROM hits)
-       |ORDER BY vec_id""".stripMargin
+       |  FROM ${p}cbkt c JOIN ${p}kcap k ON c.bucket = k.bucket
+       |  WHERE $cos >= $tau),
+       |${p}adm AS (
+       |  SELECT id, v FROM ${p}cbkt
+       |  WHERE id NOT IN (SELECT id FROM ${p}hits))""".stripMargin
   }
 
   /** Seeded-IVF kNN-join CTE chain over the embeddings table — mirrors

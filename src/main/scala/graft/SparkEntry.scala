@@ -5121,6 +5121,59 @@ object SparkEntry {
         .orderBy("id", "rank")
     }),
 
+    // ---- CROSS-SESSION lifecycle of the vector-LSH ADMISSION index
+    // (the front-door table s29/s31 probe frozen): build → save →
+    // cold load → day-1 admission → extend with the survivors →
+    // TAKEDOWN of exact-vector group representatives (id % 9 == 4) →
+    // re-publish to the SAME path → reload → day-2 admission. Day 2
+    // observes the takedown: copies of removed vectors RE-ADMIT, while
+    // copies of day-1 admissions and perturbed survivors still bounce.
+    // Oracle = two nested admission replays — extend/remove must be
+    // indistinguishable from a rebuild over survivors ∪ day-1 ---------
+    "e31_vector_admission_cycle" -> ((s, dir) => {
+      implicit val sp: SparkSession = s
+      val emb = t(s, dir, "embeddings")
+      val corpus = emb.select(col("vec_id"), col("embedding"))
+      val path = s"${gateScratch("e31")}/vlsh"
+      ops.Dedup.VectorNearDupIndex.save(
+        ops.Dedup.vectorNearDupIndex(corpus, "vec_id", "embedding",
+          dim = 64, bits = 6),
+        dim = 64, bits = 6, path)
+      val day1 = ops.Dedup.VectorNearDupIndex.load(path)
+      val batch1 = emb.filter(col("vec_id") % 10 === 5)
+        .select((col("vec_id") + 4000000).as("vec_id"),
+          reverse(col("embedding").cast("array<double>")).as("embedding"))
+      val admitted1 = ops.Dedup.vectorNearDupFilter(day1.buckets, batch1,
+        "vec_id", "embedding", dim = day1.dim, bits = day1.bits, tau = 0.8)
+      val extended = ops.Dedup.VectorNearDupIndex.extend(day1.buckets,
+        admitted1, "vec_id", "embedding", dim = day1.dim, bits = day1.bits)
+      // takedown: bit-identical-vector group reps with id % 9 == 4
+      // (whole groups — the closure precondition)
+      val removed = ops.Dedup.collapseVectors(corpus, "vec_id", "embedding")
+        .filter(col("id") % 9 === 4).select("id")
+      ops.Dedup.VectorNearDupIndex.save(
+        ops.Dedup.VectorNearDupIndex.remove(extended, removed, "id"),
+        day1.dim, day1.bits, path) // re-publish in place
+      val day2 = ops.Dedup.VectorNearDupIndex.load(path)
+      val readmit = ops.Dedup.collapseVectors(corpus, "vec_id", "embedding")
+        .filter(col("id") % 9 === 4)
+        .select((col("id") + 8000000).as("vec_id"), col("v").as("embedding"))
+      val copies2 = batch1.select((col("vec_id") + 5000000).as("vec_id"),
+        col("embedding"))
+      val near2 = emb.filter(col("vec_id") % 10 === 3)
+        .select((col("vec_id") + 2000000).as("vec_id"),
+          transform(col("embedding").cast("array<double>"),
+            x => x + lit(0.0001)).as("embedding"))
+      val fresh2 = emb.filter(col("vec_id") % 10 === 6)
+        .select((col("vec_id") + 7000000).as("vec_id"),
+          reverse(col("embedding").cast("array<double>")).as("embedding"))
+      ops.Dedup.vectorNearDupFilter(day2.buckets,
+          readmit.unionAll(copies2).unionAll(near2).unionAll(fresh2),
+          "vec_id", "embedding", dim = day2.dim, bits = day2.bits, tau = 0.8)
+        .select("vec_id")
+        .orderBy("vec_id")
+    }),
+
     // ---- per-file Bloom index: point lookup on a column UNCLUSTERED in
     // the layout (min/max manifests prune nothing there); all-k-bits
     // membership keeps skipping lossless, the final filter keeps the
@@ -10545,6 +10598,42 @@ object SparkEntry {
       s"""WITH ${OracleSql.ivfKnnCtesOver(nlist = 8, nprobe = 2, k = 5, vSql)}
          |SELECT id, rank, nid, cos FROM knn
          |ORDER BY id, rank""".stripMargin
+    },
+
+    // the vector-LSH lifecycle ≡ two nested admission replays: day 1
+    // against the full corpus, day 2 against (surviving exact-vector
+    // groups) ∪ day-1 admissions — extend and remove must be
+    // indistinguishable from that rebuild
+    "e31_vector_admission_cycle" -> {
+      val groups = "SELECT CAST(embedding AS DOUBLE[]) AS v, " +
+        "MIN(vec_id) AS rep FROM embeddings GROUP BY 1"
+      val batch1 =
+        """SELECT vec_id + 4000000 AS vec_id,
+          |       list_reverse(CAST(embedding AS DOUBLE[])) AS v
+          |FROM embeddings WHERE vec_id % 10 = 5""".stripMargin
+      val corpus2 =
+        s"""SELECT id, v FROM (${OracleSql.CorpusIdV})
+           |WHERE v IN (SELECT v FROM ($groups) WHERE rep % 9 <> 4)
+           |UNION ALL SELECT id, v FROM d1adm""".stripMargin
+      val batch2 =
+        s"""SELECT rep + 8000000 AS vec_id, v
+           |  FROM ($groups) WHERE rep % 9 = 4
+           |UNION ALL
+           |SELECT vec_id + 9000000, list_reverse(CAST(embedding AS DOUBLE[]))
+           |FROM embeddings WHERE vec_id % 10 = 5
+           |UNION ALL
+           |SELECT vec_id + 2000000,
+           |       list_transform(CAST(embedding AS DOUBLE[]), x -> x + 0.0001)
+           |FROM embeddings WHERE vec_id % 10 = 3
+           |UNION ALL
+           |SELECT vec_id + 7000000, list_reverse(CAST(embedding AS DOUBLE[]))
+           |FROM embeddings WHERE vec_id % 10 = 6""".stripMargin
+      s"""WITH ${OracleSql.vectorAdmitCtes("d1", OracleSql.CorpusIdV, batch1,
+             bits = 6, dim = 64, tau = 0.8, maxBucket = 1000)},
+         |${OracleSql.vectorAdmitCtes("", corpus2, batch2,
+             bits = 6, dim = 64, tau = 0.8, maxBucket = 1000)}
+         |SELECT id AS vec_id FROM adm
+         |ORDER BY vec_id""".stripMargin
     }
   )
 }

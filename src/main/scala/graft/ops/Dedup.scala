@@ -930,6 +930,94 @@ object Dedup {
         .withColumn("nrm", sqrt(Similarity.dot(col("v"), col("v")))),
       Seq("bucket"), maxBucket)
 
+  /** Cross-session lifecycle for the [[vectorNearDupIndex]] admission
+    * table — the vector-LSH sibling of [[NearDupIndex]]'s save / load /
+    * extend / remove and of the IVF family's e28/e30 cycle: the
+    * embedding front door (s29/s31) probes a FROZEN index, and this
+    * object lets that index live on disk between sessions and absorb
+    * admissions/takedowns at O(batch), never a corpus re-index. The
+    * hyperplane panel is a pure function of (bits, dim)
+    * ([[graft.ops.Similarity.planes]]), so persisting those two ints
+    * is enough to band any future batch identically — banding with
+    * the WRONG geometry would silently miss every duplicate, hence
+    * the params table and the self-describing [[load]]. */
+  final case class VectorIndexHandle(buckets: DataFrame, dim: Int, bits: Int)
+
+  object VectorNearDupIndex {
+
+    /** Persist the bucket table (partitioned by `bucket`, so a probe's
+      * touched buckets prune at the file level) plus a one-row
+      * (dim, bits) params table. Ckpt.forced before the overwrite: the
+      * maintenance loop re-publishes an index derived from load(path)
+      * back to the same path (read-your-own-overwrite). */
+    def save(index: DataFrame, dim: Int, bits: Int, path: String)(
+        implicit spark: SparkSession): Unit = {
+      import spark.implicits._
+      graft.io.DataFrameIO.write(Ckpt.forced(index),
+        graft.io.SourceParams("parquet", Some(s"$path/buckets"),
+          saveMode = Some("overwrite"), partitionBy = Seq("bucket")))
+      graft.io.DataFrameIO.write(Seq((dim, bits)).toDF("dim", "bits"),
+        graft.io.SourceParams("parquet", Some(s"$path/params"),
+          saveMode = Some("overwrite")))
+    }
+
+    /** Reload a [[save]]d index. `bucket` comes back as the partition
+      * column (re-cast to long — directory-name inference would
+      * otherwise narrow it to int); `nrm` round-trips as a stored
+      * double, so every loaded cosine is bit-identical. */
+    def load(path: String)(implicit spark: SparkSession): VectorIndexHandle = {
+      def r(sub: String): DataFrame = graft.io.DataFrameIO.load(
+        graft.io.SourceParams("parquet", Some(s"$path/$sub")))
+      val p = r("params").head()
+      VectorIndexHandle(
+        r("buckets").withColumn("bucket", col("bucket").cast("long"))
+          .select("id", "v", "bucket", "nrm"),
+        dim = p.getAs[Int]("dim"), bits = p.getAs[Int]("bits"))
+    }
+
+    /** Grow the index with newly ADMITTED vectors (the output of a
+      * [[vectorNearDupFilter]] pass: intra-batch collapsed, verified
+      * fresh) — O(batch) banding + append, mirroring
+      * [[NearDupIndex.extend]]: new rows enter a bucket (in id order,
+      * deterministically) only while its combined size stays ≤
+      * `maxBucket`; existing members are never evicted. On cap-cold
+      * data the result is identical to a rebuild over corpus ∪
+      * admitted (spec-proven). */
+    def extend(index: DataFrame, admitted: DataFrame, idCol: String,
+        vecCol: String, dim: Int, bits: Int,
+        maxBucket: Int = 1000): DataFrame = {
+      val batch = Similarity.hyperplaneBuckets(
+          admitted.select(col(idCol).cast("long").as("id"),
+            col(vecCol).cast("array<double>").as("v")),
+          "id", "v", bits, dim)
+        .withColumn("nrm", sqrt(Similarity.dot(col("v"), col("v"))))
+      val existingSz = index.groupBy("bucket")
+        .agg(count(lit(1)).as("graft_old_sz"))
+      val adm = batch
+        .withColumn("graft_rk", row_number().over(
+          Window.partitionBy("bucket").orderBy("id")))
+        .join(existingSz, Seq("bucket"), "left")
+        .filter(col("graft_rk") + coalesce(col("graft_old_sz"), lit(0L))
+          <= maxBucket)
+        .select("id", "v", "bucket", "nrm")
+      index.select("id", "v", "bucket", "nrm").unionAll(adm)
+    }
+
+    /** Forget vectors — the takedown leg (the vector sibling of
+      * [[NearDupIndex.remove]] / `IvfIndex.remove`): after removal an
+      * exact or near copy of the forgotten vector is admissible again.
+      * `removed` must list the bit-identical-vector GROUP
+      * REPRESENTATIVES (the ids the index actually stores —
+      * [[vectorNearDupIndex]] pre-collapsed exact-dup vectors to their
+      * min id) and removal must cover whole groups; then the result
+      * equals a rebuild over the surviving corpus on cap-cold data
+      * (spec-proven). One anti-join on id, removed side broadcast. */
+    def remove(index: DataFrame, removed: DataFrame, idCol: String): DataFrame =
+      index.join(
+        broadcast(removed.select(col(idCol).cast("long").as("id"))),
+        Seq("id"), "left_anti")
+  }
+
   /** Streaming-shape ADMISSION for embeddings — [[nearDupFilter]]'s
     * vector analogue at the crawl front door: a candidate is admitted
     * iff NO corpus vector sharing its hyperplane bucket has cosine ≥

@@ -383,6 +383,50 @@ class DedupSpec extends AnyFunSuite with SparkTestBase {
       .reduce(_ ++ _) === whole)
   }
 
+  test("VectorNearDupIndex: save/load round-trips; extend and remove " +
+      "equal a rebuild over the surviving corpus") {
+    import spark.implicits._
+    val dim = 8
+    def vec(active: Int, scale: Double): Array[Double] =
+      Array.tabulate(dim)(d => if (d == active) scale else 0.01 * (d + 1))
+    val corpus = Seq((0L, vec(0, 10.0)), (1L, vec(1, 10.0)),
+      (2L, vec(2, 10.0)), (3L, vec(0, 10.0))).toDF("vec_id", "v")
+    val idx = Dedup.vectorNearDupIndex(corpus, "vec_id", "v",
+      dim = dim, bits = 6)
+    val path = java.nio.file.Files
+      .createTempDirectory("graft-vlsh").toString
+    Dedup.VectorNearDupIndex.save(idx, dim = dim, bits = 6, path)
+    val loaded = Dedup.VectorNearDupIndex.load(path)
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.select("id", "v", "bucket", "nrm").collect().map(_.toSeq).toSet
+    assert(loaded.dim === dim && loaded.bits === 6)
+    assert(rows(loaded.buckets) === rows(idx))
+    // extend ≡ rebuild over corpus ∪ admitted (cap-cold)
+    val admitted = Seq((10L, vec(4, 10.0)), (11L, vec(5, 10.0)))
+      .toDF("vec_id", "v")
+    val extended = Dedup.VectorNearDupIndex.extend(loaded.buckets, admitted,
+      "vec_id", "v", dim = dim, bits = 6)
+    val rebuiltUp = Dedup.vectorNearDupIndex(corpus.unionAll(admitted),
+      "vec_id", "v", dim = dim, bits = 6)
+    assert(rows(extended) === rows(rebuiltUp))
+    // remove ≡ rebuild over survivors: vectors 0 and 3 are
+    // bit-identical (one group, rep 0) — removing the whole group
+    val after = Dedup.VectorNearDupIndex.remove(extended,
+      Seq(0L).toDF("id"), "id")
+    val rebuiltDown = Dedup.vectorNearDupIndex(
+      corpus.filter(col("vec_id") === 1L || col("vec_id") === 2L)
+        .unionAll(admitted), "vec_id", "v", dim = dim, bits = 6)
+    assert(rows(after) === rows(rebuiltDown))
+    // the takedown is observable: a copy of the removed vector
+    // re-admits, a copy of a survivor still bounces
+    val probe = Seq((100L, vec(0, 10.0)), (101L, vec(1, 10.0)))
+      .toDF("vec_id", "v")
+    val adm = Dedup.vectorNearDupFilter(after, probe, "vec_id", "v",
+      dim = dim, bits = 6, tau = 0.8)
+      .select("vec_id").as[Long].collect().toSet
+    assert(adm === Set(100L))
+  }
+
   test("NearDupIndex.extend equals a full rebuild on cap-cold data") {
     import spark.implicits._
     val idx = Dedup.nearDupIndex(docs, "doc_id", "text",
