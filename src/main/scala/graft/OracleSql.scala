@@ -538,7 +538,22 @@ object OracleSql {
     * caps batch buckets), bucket probe against the corpus bands, and
     * shingle-hash-set Jaccard verification. */
   def nearDupIncremental(corpusSql: String, batchSql: String, k: Int,
-      bands: Int, shingleSize: Int, tau: Double, maxBucket: Int): String = {
+      bands: Int, shingleSize: Int, tau: Double, maxBucket: Int): String =
+    s"""WITH ${nearDupAdmitCtes("", corpusSql, batchSql, k, bands,
+           shingleSize, tau, maxBucket)}
+       |SELECT doc_id, text FROM adm
+       |ORDER BY doc_id""".stripMargin
+
+  /** [[nearDupIncremental]]'s CTE chain, name-prefixed so several
+    * admission rounds can nest in one statement (a growing-index fold's
+    * round-k corpus references rounds 0..k−1's `${p}adm`). Ends in
+    * `${p}adm(doc_id, text)` — the admitted batch representatives —
+    * marked AS MATERIALIZED: each round's corpus references every
+    * earlier round's result, so default CTE inlining would expand the
+    * chain exponentially with the round count. */
+  def nearDupAdmitCtes(p: String, corpusSql: String, batchSql: String,
+      k: Int, bands: Int, shingleSize: Int, tau: Double,
+      maxBucket: Int): String = {
     val r = k / bands
     val sig = minhashSig("text", k, shingleSize)
     val bandKeys = (0 until bands).map { b =>
@@ -552,33 +567,34 @@ object OracleSql {
       s"""SELECT * FROM (
          |  SELECT *, COUNT(*) OVER (PARTITION BY band, bucket) AS bucket_sz
          |  FROM $src) WHERE bucket_sz <= $maxBucket""".stripMargin
-    s"""WITH corpus AS ($corpusSql),
-       |batch AS ($batchSql),
-       |cfp AS (SELECT DISTINCT md5(${norm("text")}) AS fp FROM corpus),
-       |creps AS (
+    s"""${p}corpus AS ($corpusSql),
+       |${p}batch AS ($batchSql),
+       |${p}cfp AS (SELECT DISTINCT md5(${norm("text")}) AS fp FROM ${p}corpus),
+       |${p}creps AS (
        |  SELECT MIN(doc_id) AS doc_id, arg_min(text, doc_id) AS text
-       |  FROM corpus GROUP BY md5(${norm("text")})),
-       |csigs AS (SELECT doc_id, text, $sig AS sig FROM creps),
-       |cband AS (${banded("csigs")}),
-       |ccap AS (${capped("cband")}),
-       |bfresh AS (
+       |  FROM ${p}corpus GROUP BY md5(${norm("text")})),
+       |${p}csigs AS (SELECT doc_id, text, $sig AS sig FROM ${p}creps),
+       |${p}cband AS (${banded(s"${p}csigs")}),
+       |${p}ccap AS (${capped(s"${p}cband")}),
+       |${p}bfresh AS (
        |  SELECT * FROM (
        |    SELECT MIN(doc_id) AS doc_id, arg_min(text, doc_id) AS text
-       |    FROM batch GROUP BY md5(${norm("text")}))
-       |  WHERE md5(${norm("text")}) NOT IN (SELECT fp FROM cfp)),
-       |bsigs AS (SELECT doc_id, text, $sig AS sig FROM bfresh),
-       |bband AS (${banded("bsigs")}),
-       |bcap AS (${capped("bband")}),
-       |cands AS (
+       |    FROM ${p}batch GROUP BY md5(${norm("text")}))
+       |  WHERE md5(${norm("text")}) NOT IN (SELECT fp FROM ${p}cfp)),
+       |${p}bsigs AS (SELECT doc_id, text, $sig AS sig FROM ${p}bfresh),
+       |${p}bband AS (${banded(s"${p}bsigs")}),
+       |${p}bcap AS (${capped(s"${p}bband")}),
+       |${p}cands AS (
        |  SELECT DISTINCT b.doc_id AS bid, c.doc_id AS cid
-       |  FROM bcap b JOIN ccap c ON b.band = c.band AND b.bucket = c.bucket),
-       |dup AS (
-       |  SELECT DISTINCT cands.bid FROM cands
-       |  JOIN bfresh bb ON bb.doc_id = cands.bid
-       |  JOIN creps cc ON cc.doc_id = cands.cid
-       |  WHERE ${hashJaccard("bb.text", "cc.text", shingleSize)} >= $tau)
-       |SELECT doc_id, text FROM bfresh
-       |WHERE doc_id NOT IN (SELECT bid FROM dup)
-       |ORDER BY doc_id""".stripMargin
+       |  FROM ${p}bcap b JOIN ${p}ccap c
+       |    ON b.band = c.band AND b.bucket = c.bucket),
+       |${p}dup AS (
+       |  SELECT DISTINCT ${p}cands.bid FROM ${p}cands
+       |  JOIN ${p}bfresh bb ON bb.doc_id = ${p}cands.bid
+       |  JOIN ${p}creps cc ON cc.doc_id = ${p}cands.cid
+       |  WHERE ${hashJaccard("bb.text", "cc.text", shingleSize)} >= $tau),
+       |${p}adm AS MATERIALIZED (
+       |  SELECT doc_id, text FROM ${p}bfresh
+       |  WHERE doc_id NOT IN (SELECT bid FROM ${p}dup))""".stripMargin
   }
 }

@@ -5343,6 +5343,99 @@ object SparkEntry {
       enriched.orderBy("id", "rank")
     }),
 
+    // ---- streaming near-dup admission with a GROWING index — the real
+    // crawl front door: batch k is filtered against the corpus index
+    // EXTENDED with batches 0..k−1's survivors (s25 probes a static
+    // index; here admission is exactly-once across batches for NEAR
+    // dups too, not just exact fingerprints). Each batch carries fresh
+    // rows, near-dups of corpus content, and near-dups + exact copies
+    // of the PREVIOUS batch's fresh rows — the latter two classes
+    // bounce only because the index grew. Mtime-ordered staging pins
+    // the fold order; oracle = four unrolled admission rounds, round
+    // k's corpus = documents ∪ rounds 0..k−1's admissions (extend ≡
+    // rebuild, composed sequentially) ----------------------------------
+    "s39_stream_growing_admit" -> ((s, dir) => {
+      implicit val sp: SparkSession = s
+      val tmp = gateScratch("s39")
+      val docs = t(s, dir, "documents").select("doc_id", "text")
+      val B = 10000000L
+      // batch of a doc = (doc_id div 10) % 4 — %10-filtered classes are
+      // odd-id-only, so a plain doc_id % 4 would leave half the batches
+      // without fixture rows
+      val batchOf = pmod((col("doc_id") / 10).cast("long"), lit(4))
+      def slice(k: Int): DataFrame = {
+        val fresh = docs
+          .filter(col("doc_id") % 10 === 5 && batchOf === k)
+          .select((col("doc_id") + lit(B * k + 4000000L)).as("doc_id"),
+            reverse(col("text")).as("text"))
+        val nearC = docs
+          .filter(col("doc_id") % 10 === 3 && batchOf === k)
+          .select((col("doc_id") + lit(B * k + 1000000L)).as("doc_id"),
+            concat(col("text"), lit(" zzz extra suffix")).as("text"))
+        if (k == 0) fresh.unionAll(nearC)
+        else {
+          val prevFresh = docs.filter(col("doc_id") % 10 === 5 &&
+            batchOf === (k - 1))
+          fresh.unionAll(nearC)
+            .unionAll(prevFresh.select(
+              (col("doc_id") + lit(B * k + 2000000L)).as("doc_id"),
+              concat(reverse(col("text")), lit(" zzz extra suffix")).as("text")))
+            .unionAll(prevFresh.select(
+              (col("doc_id") + lit(B * k + 3000000L)).as("doc_id"),
+              reverse(col("text")).as("text")))
+        }
+      }
+      // stage batch k as ONE file with strictly increasing mtimes so
+      // FileStreamSource (mtime order) delivers the fold in k order
+      val inDir = java.nio.file.Paths.get(tmp, "in")
+      java.nio.file.Files.createDirectories(inDir)
+      (0 until 4).foreach { k =>
+        val shardTmp = s"$tmp/shard$k"
+        slice(k).coalesce(1).write.parquet(shardTmp)
+        val part = new java.io.File(shardTmp).listFiles()
+          .filter(_.getName.endsWith(".parquet")).head
+        val dst = inDir.resolve(f"batch-$k%02d.parquet")
+        java.nio.file.Files.move(part.toPath, dst)
+        java.nio.file.Files.setLastModifiedTime(dst,
+          java.nio.file.attribute.FileTime.fromMillis(
+            1700000000000L + k * 60000L))
+      }
+      val idx0 = ops.Dedup.nearDupIndex(docs, "doc_id", "text",
+        k = 12, bands = 6, shingleSize = 3)
+      var idx = idx0.copy(fingerprints = idx0.fingerprints.ckpt,
+        bands = idx0.bands.ckpt, hashes = idx0.hashes.ckpt)
+      var admitted = docs.limit(0)
+      val inSchema = s.read.parquet(inDir.toString).schema
+      withNarrowState(s) {
+        val q = s.readStream
+          .schema(inSchema)
+          .option("maxFilesPerTrigger", "1")
+          .parquet(inDir.toString)
+          .writeStream
+          .foreachBatch { (batch: DataFrame, _: Long) =>
+            val adm = ops.Dedup.nearDupFilter(idx,
+                batch.select("doc_id", "text"), "doc_id", "text", tau = 0.5)
+              .localCheckpoint(eager = true) // feeds BOTH union and extend
+            admitted = admitted.unionAll(adm)
+              .localCheckpoint(eager = true) // sever the micro-batch source
+            val grown = ops.Dedup.NearDupIndex.extend(idx, adm,
+              "doc_id", "text")
+            // pin all three tables per batch: the next batch probes them,
+            // and their lineage must not reach this batch's source
+            idx = grown.copy(
+              fingerprints = grown.fingerprints.localCheckpoint(eager = true),
+              bands = grown.bands.localCheckpoint(eager = true),
+              hashes = grown.hashes.localCheckpoint(eager = true))
+            ()
+          }
+          .option("checkpointLocation", s"$tmp/chk")
+          .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+          .start()
+        q.awaitTermination()
+      }
+      admitted.orderBy("doc_id")
+    }),
+
     // ---- streaming VECTOR admission at the embedding front door: the
     // s25 scenario for embeddings — micro-batches of candidate vectors
     // filtered against the STATIC corpus hyperplane-LSH buckets
@@ -10344,6 +10437,51 @@ object SparkEntry {
         |LEFT JOIN dense d ON d.cx = p.cx AND d.cy = p.cy
         |LEFT JOIN comp c ON c.cell = d.cell
         |ORDER BY p.id""".stripMargin,
+
+    // the growing-index fold = four unrolled admission rounds; round
+    // k's corpus is documents ∪ rounds 0..k−1's admitted reps (extend
+    // ≡ rebuild composed sequentially; AS MATERIALIZED in the chain
+    // stops exponential CTE inlining)
+    "s39_stream_growing_admit" -> {
+      val B = 10000000L
+      def batchSql(k: Int): String = {
+        val base =
+          s"""SELECT doc_id + ${B * k + 4000000L} AS doc_id,
+             |    reverse(text) AS text
+             |  FROM documents WHERE doc_id % 10 = 5 AND (doc_id // 10) % 4 = $k
+             |UNION ALL
+             |SELECT doc_id + ${B * k + 1000000L},
+             |    text || ' zzz extra suffix'
+             |  FROM documents WHERE doc_id % 10 = 3 AND (doc_id // 10) % 4 = $k"""
+            .stripMargin
+        if (k == 0) base
+        else base +
+          s"""
+             |UNION ALL
+             |SELECT doc_id + ${B * k + 2000000L},
+             |    reverse(text) || ' zzz extra suffix'
+             |  FROM documents WHERE doc_id % 10 = 5 AND (doc_id // 10) % 4 = ${k - 1}
+             |UNION ALL
+             |SELECT doc_id + ${B * k + 3000000L}, reverse(text)
+             |  FROM documents WHERE doc_id % 10 = 5 AND (doc_id // 10) % 4 = ${k - 1}"""
+            .stripMargin
+      }
+      def corpusSql(k: Int): String =
+        (Seq("SELECT doc_id, text FROM documents") ++
+          (0 until k).map(j => s"SELECT doc_id, text FROM p${j}adm"))
+          .mkString("\nUNION ALL ")
+      val rounds = (0 until 4).map(k =>
+        OracleSql.nearDupAdmitCtes(s"p$k", corpusSql(k), batchSql(k),
+          k = 12, bands = 6, shingleSize = 3, tau = 0.5, maxBucket = 1000))
+        .mkString(",\n")
+      s"""WITH $rounds
+         |SELECT doc_id, text FROM (
+         |  SELECT doc_id, text FROM p0adm
+         |  UNION ALL SELECT doc_id, text FROM p1adm
+         |  UNION ALL SELECT doc_id, text FROM p2adm
+         |  UNION ALL SELECT doc_id, text FROM p3adm)
+         |ORDER BY doc_id""".stripMargin
+    },
 
     // per-query independence makes streamed probing equal the whole-set
     // probe — one knnProbe replay over the reversed-embedding queries
