@@ -3,6 +3,7 @@ package graft
 import org.apache.spark.scheduler.{SparkListener, SparkListenerStageCompleted}
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
+import graft.ops.Ckpt.CkptSyntax
 
 /** Scale soak for the LLM-layer heavyweights: blows the sf tables up
   * 10× (deterministic id offsets; non-first copies get a per-copy text
@@ -247,6 +248,44 @@ object Soak {
         val nlist = math.max(32, math.round(32 * math.sqrt(copies / 10.0)).toInt)
         ops.Similarity.ivfIndexSeeded(embN, "vec_id", "embedding", nlist = nlist)
           .knnJoin(k = 5, nprobe = 4).count()
+      },
+      measure("ivf_knn_probe") {
+        // s38's operator at soak scale: an EXTERNAL query batch (10% of
+        // the corpus, reversed vectors) probes the blown-up index. The
+        // shape to weigh: probe cost is O(batch·nprobe·(n/nlist)) — the
+        // corpus term enters only through the cell population, so with
+        // nlist ∝ √n the per-query candidate count grows with √n, not n
+        val nlist = math.max(32, math.round(32 * math.sqrt(copies / 10.0)).toInt)
+        val idx = ops.Similarity.ivfIndexSeeded(embN, "vec_id", "embedding",
+          nlist = nlist)
+        val queries = embN.filter(col("vec_id") % 10 === 0)
+          .select((col("vec_id") + 500000000L).as("qid"),
+            reverse(col("embedding").cast("array<double>")).as("qv"))
+        idx.knnProbe(queries, "qid", "qv", k = 5, nprobe = 4).count()
+      },
+      measure("growing_admission") {
+        // s39's fold shape at soak scale: 4 sequential batches, each
+        // filtered against the index EXTENDED with the previous batches'
+        // survivors. The claim to weigh: extend is O(batch) — the corpus
+        // index is built once, and each round's added bytes track the
+        // admitted batch, not the (growing) corpus
+        val idx0 = ops.Dedup.nearDupIndex(docsN, "doc_id", "text")
+        var idx = idx0.copy(fingerprints = idx0.fingerprints.ckpt,
+          bands = idx0.bands.ckpt, hashes = idx0.hashes.ckpt)
+        var total = 0L
+        (0 until 4).foreach { b =>
+          val batch = docsN
+            .filter(pmod((col("doc_id") / 10).cast("long"), lit(4)) === b)
+            .select((col("doc_id") + 600000000L).as("doc_id"),
+              reverse(col("text")).as("text"))
+          val adm = ops.Dedup.nearDupFilter(idx, batch,
+            "doc_id", "text", tau = 0.5).ckpt
+          total += adm.count()
+          val grown = ops.Dedup.NearDupIndex.extend(idx, adm, "doc_id", "text")
+          idx = grown.copy(fingerprints = grown.fingerprints.ckpt,
+            bands = grown.bands.ckpt, hashes = grown.hashes.ckpt)
+        }
+        total
       },
       // ---- skew battery: d6 / d9 / d17 / m8 under the hot shapes ------
       measure("lsh_pairs_skew") { // d6
