@@ -238,6 +238,23 @@ object GraftExtensions {
           s.read.parquet(strLit(args(0), "graft_shard_shuffle")),
           strLit(args(1), "graft_shard_shuffle"),
           intLit(args(2), "graft_shard_shuffle")))
+      }),
+      // vector RETRIEVAL from SQL: a persisted IVF index (IvfIndex.save
+      // layout) probed by a query table — SELECT * FROM
+      // graft_knn_probe('/indexes/corpus', '/queries/today',
+      //                 'qid', 'qv', 5, 2)
+      "graft_knn_probe" -> ((args: Seq[Expression]) => {
+        expectArgs("graft_knn_probe",
+          "indexPath, queriesDir, idCol, vecCol, k, nprobe", args, 6)
+        implicit val s: SparkSession = active
+        plan(graft.ops.Similarity.IvfIndex
+          .load(strLit(args(0), "graft_knn_probe"))
+          .knnProbe(
+            s.read.parquet(strLit(args(1), "graft_knn_probe")),
+            strLit(args(2), "graft_knn_probe"),
+            strLit(args(3), "graft_knn_probe"),
+            intLit(args(4), "graft_knn_probe"),
+            intLit(args(5), "graft_knn_probe")))
       }))
   }
 

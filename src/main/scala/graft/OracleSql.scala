@@ -253,7 +253,7 @@ object OracleSql {
        |  SELECT DISTINCT c.id
        |  FROM ${p}cbkt c JOIN ${p}kcap k ON c.bucket = k.bucket
        |  WHERE $cos >= $tau),
-       |${p}adm AS (
+       |${p}adm AS MATERIALIZED (
        |  SELECT id, v FROM ${p}cbkt
        |  WHERE id NOT IN (SELECT id FROM ${p}hits))""".stripMargin
   }

@@ -5174,6 +5174,29 @@ object SparkEntry {
         .orderBy("vec_id")
     }),
 
+    // ---- vector retrieval from PURE SQL: the persisted IVF index and
+    // a query table addressed by path through the graft_knn_probe TVF —
+    // the online-retrieval shape (s38) at a SQL prompt, resolving at
+    // analysis time into the exact knnProbe plan --------------------------
+    "e32_sql_knn_probe" -> ((s, dir) => {
+      implicit val sp: SparkSession = s
+      val tmp = gateScratch("e32")
+      GraftExtensions.register(s)
+      val emb = t(s, dir, "embeddings")
+      ops.Similarity.IvfIndex.save(
+        ops.Similarity.ivfIndexSeeded(emb, "vec_id", "embedding", nlist = 8),
+        s"$tmp/index")
+      emb.filter(col("vec_id") % 5 === 2)
+        .select((col("vec_id") + 1000000).as("qid"),
+          reverse(col("embedding").cast("array<double>")).as("qv"))
+        .write.parquet(s"$tmp/queries")
+      s.sql(
+        s"""SELECT id, rank, nid, cos
+           |FROM graft_knn_probe('$tmp/index', '$tmp/queries',
+           |                     'qid', 'qv', 5, 2)
+           |ORDER BY id, rank""".stripMargin)
+    }),
+
     // ---- per-file Bloom index: point lookup on a column UNCLUSTERED in
     // the layout (min/max manifests prune nothing there); all-k-bits
     // membership keeps skipping lossless, the final filter keeps the
@@ -5484,6 +5507,85 @@ object SparkEntry {
                     dim = 64, bits = 6, tau = 0.8)
                   .select("vec_id"))
               .localCheckpoint(eager = true) // sever the micro-batch source
+            ()
+          }
+          .option("checkpointLocation", s"$tmp/chk")
+          .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+          .start()
+        q.awaitTermination()
+      }
+      admitted.orderBy("vec_id")
+    }),
+
+    // ---- streaming VECTOR admission with a GROWING index — s39's
+    // embedding sibling (s29 probes a static index): batch k filters
+    // against the hyperplane index EXTENDED with batches 0..k−1's
+    // survivors, so exact copies and near-perturbations of the PREVIOUS
+    // batch's fresh vectors bounce only because the index grew. Oracle
+    // = four unrolled admission rounds over accumulating corpora -------
+    "s40_stream_vector_growing" -> ((s, dir) => {
+      implicit val sp: SparkSession = s
+      val tmp = gateScratch("s40")
+      val emb = t(s, dir, "embeddings")
+      val embD = emb.select(col("vec_id"),
+        col("embedding").cast("array<double>").as("v"))
+      val B = 10000000L
+      val batchOf = pmod((col("vec_id") / 10).cast("long"), lit(4))
+      def slice(k: Int): DataFrame = {
+        val fresh = embD.filter(col("vec_id") % 10 === 5 && batchOf === k)
+          .select((col("vec_id") + lit(B * k + 4000000L)).as("vec_id"),
+            reverse(col("v")).as("v"))
+        val nearC = embD.filter(col("vec_id") % 10 === 3 && batchOf === k)
+          .select((col("vec_id") + lit(B * k + 1000000L)).as("vec_id"),
+            transform(col("v"), x => x + lit(0.0001)).as("v"))
+        if (k == 0) fresh.unionAll(nearC)
+        else {
+          val prevFresh = embD.filter(col("vec_id") % 10 === 5 &&
+            batchOf === (k - 1))
+          fresh.unionAll(nearC)
+            .unionAll(prevFresh.select(
+              (col("vec_id") + lit(B * k + 2000000L)).as("vec_id"),
+              transform(reverse(col("v")), x => x + lit(0.0001)).as("v")))
+            .unionAll(prevFresh.select(
+              (col("vec_id") + lit(B * k + 3000000L)).as("vec_id"),
+              reverse(col("v")).as("v")))
+        }
+      }
+      val inDir = java.nio.file.Paths.get(tmp, "in")
+      java.nio.file.Files.createDirectories(inDir)
+      (0 until 4).foreach { k =>
+        val shardTmp = s"$tmp/shard$k"
+        slice(k).coalesce(1).write.parquet(shardTmp)
+        val part = new java.io.File(shardTmp).listFiles()
+          .filter(_.getName.endsWith(".parquet")).head
+        val dst = inDir.resolve(f"batch-$k%02d.parquet")
+        java.nio.file.Files.move(part.toPath, dst)
+        java.nio.file.Files.setLastModifiedTime(dst,
+          java.nio.file.attribute.FileTime.fromMillis(
+            1700000000000L + k * 60000L))
+      }
+      var idx = ops.Dedup.vectorNearDupIndex(emb, "vec_id", "embedding",
+          dim = 64, bits = 6).ckpt
+      var admitted = embD.select("vec_id").limit(0)
+      val inSchema = s.read.parquet(inDir.toString).schema
+      withNarrowState(s) {
+        val q = s.readStream
+          .schema(inSchema)
+          .option("maxFilesPerTrigger", "1")
+          .parquet(inDir.toString)
+          .writeStream
+          .foreachBatch { (batch: DataFrame, _: Long) =>
+            val adm = ops.Dedup.vectorNearDupFilter(idx,
+                batch.select("vec_id", "v"), "vec_id", "v",
+                dim = 64, bits = 6, tau = 0.8)
+              .localCheckpoint(eager = true) // feeds union AND extend
+            admitted = admitted.unionAll(adm.select("vec_id"))
+              .localCheckpoint(eager = true)
+            // pin the grown table per batch: the next batch probes it,
+            // and its lineage must not reach this batch's source
+            idx = ops.Dedup.VectorNearDupIndex.extend(idx, adm,
+                "vec_id", "v", dim = 64, bits = 6)
+              .localCheckpoint(eager = true)
             ()
           }
           .option("checkpointLocation", s"$tmp/chk")
@@ -10483,6 +10585,54 @@ object SparkEntry {
          |ORDER BY doc_id""".stripMargin
     },
 
+    // the growing VECTOR fold = four unrolled admission rounds over
+    // accumulating corpora (s39's oracle shape on the hyperplane chain)
+    "s40_stream_vector_growing" -> {
+      val B = 10000000L
+      def batchSql(k: Int): String = {
+        val base =
+          s"""SELECT vec_id + ${B * k + 4000000L} AS vec_id,
+             |    list_reverse(CAST(embedding AS DOUBLE[])) AS v
+             |  FROM embeddings
+             |  WHERE vec_id % 10 = 5 AND (vec_id // 10) % 4 = $k
+             |UNION ALL
+             |SELECT vec_id + ${B * k + 1000000L},
+             |    list_transform(CAST(embedding AS DOUBLE[]), x -> x + 0.0001)
+             |  FROM embeddings
+             |  WHERE vec_id % 10 = 3 AND (vec_id // 10) % 4 = $k""".stripMargin
+        if (k == 0) base
+        else base +
+          s"""
+             |UNION ALL
+             |SELECT vec_id + ${B * k + 2000000L},
+             |    list_transform(list_reverse(CAST(embedding AS DOUBLE[])),
+             |                   x -> x + 0.0001)
+             |  FROM embeddings
+             |  WHERE vec_id % 10 = 5 AND (vec_id // 10) % 4 = ${k - 1}
+             |UNION ALL
+             |SELECT vec_id + ${B * k + 3000000L},
+             |    list_reverse(CAST(embedding AS DOUBLE[]))
+             |  FROM embeddings
+             |  WHERE vec_id % 10 = 5 AND (vec_id // 10) % 4 = ${k - 1}"""
+            .stripMargin
+      }
+      def corpusSql(k: Int): String =
+        (Seq(OracleSql.CorpusIdV) ++
+          (0 until k).map(j => s"SELECT id, v FROM p${j}adm"))
+          .mkString("\nUNION ALL ")
+      val rounds = (0 until 4).map(k =>
+        OracleSql.vectorAdmitCtes(s"p$k", corpusSql(k), batchSql(k),
+          bits = 6, dim = 64, tau = 0.8, maxBucket = 1000))
+        .mkString(",\n")
+      s"""WITH $rounds
+         |SELECT id AS vec_id FROM (
+         |  SELECT id FROM p0adm
+         |  UNION ALL SELECT id FROM p1adm
+         |  UNION ALL SELECT id FROM p2adm
+         |  UNION ALL SELECT id FROM p3adm)
+         |ORDER BY vec_id""".stripMargin
+    },
+
     // per-query independence makes streamed probing equal the whole-set
     // probe — one knnProbe replay over the reversed-embedding queries
     "s38_stream_knn_enrich" ->
@@ -10772,6 +10922,16 @@ object SparkEntry {
              bits = 6, dim = 64, tau = 0.8, maxBucket = 1000)}
          |SELECT id AS vec_id FROM adm
          |ORDER BY vec_id""".stripMargin
-    }
+    },
+
+    // the SQL retrieval verb must land exactly on the Scala op's plan —
+    // s38's query-side replay verbatim
+    "e32_sql_knn_probe" ->
+      s"""WITH ${OracleSql.ivfKnnProbeCtes(nlist = 8, nprobe = 2, k = 5,
+             "SELECT vec_id + 1000000 AS id, " +
+               "list_reverse(CAST(embedding AS DOUBLE[])) AS v " +
+               "FROM embeddings WHERE vec_id % 5 = 2")}
+         |SELECT id, rank, nid, cos FROM knn
+         |ORDER BY id, rank""".stripMargin
   )
 }
