@@ -353,36 +353,44 @@ object OracleSql {
   def ivfKnnCtesOver(nlist: Int, nprobe: Int, k: Int, vSql: String): String =
     ivfKnnCtesImpl(nlist, nprobe, k, candJoin = "", vSql = vSql)
 
+  /** As [[ivfKnnCtesOver]] with every CTE name prefixed, so two index
+    * versions' replays can nest in one statement (the versioned-publish
+    * gate selects from `${p}knn` for each retained version). */
+  def ivfKnnCtesPrefixed(p: String, nlist: Int, nprobe: Int, k: Int,
+      vSql: String): String =
+    ivfKnnCtesImpl(nlist, nprobe, k, candJoin = "", vSql = vSql, p = p)
+
   private def ivfKnnCtesImpl(nlist: Int, nprobe: Int, k: Int,
       candJoin: String,
       vSql: String =
-        "SELECT vec_id AS id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings")
+        "SELECT vec_id AS id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings",
+      p: String = "")
       : String =
-    s"""c AS (SELECT vec_id AS cid, CAST(embedding AS DOUBLE[]) AS cv
+    s"""${p}c AS (SELECT vec_id AS cid, CAST(embedding AS DOUBLE[]) AS cv
        |           FROM embeddings WHERE vec_id < $nlist),
-       |v AS ($vSql),
-       |scored AS (SELECT id, v, cid, ${cosine("v", "cv")} AS cs
-       |           FROM v CROSS JOIN c),
-       |assigned AS (
+       |${p}v AS ($vSql),
+       |${p}scored AS (SELECT id, v, cid, ${cosine("v", "cv")} AS cs
+       |           FROM ${p}v CROSS JOIN ${p}c),
+       |${p}assigned AS (
        |  SELECT id, v, cid AS cell FROM (
        |    SELECT id, v, cid,
        |      ROW_NUMBER() OVER (PARTITION BY id ORDER BY cs DESC, cid) AS rn
-       |    FROM scored) WHERE rn = 1),
-       |probes AS (
+       |    FROM ${p}scored) WHERE rn = 1),
+       |${p}probes AS (
        |  SELECT id, cid FROM (
        |    SELECT id, cid,
        |      ROW_NUMBER() OVER (PARTITION BY id ORDER BY cs DESC, cid) AS rn
-       |    FROM scored) WHERE rn <= $nprobe),
-       |cand AS (
+       |    FROM ${p}scored) WHERE rn <= $nprobe),
+       |${p}cand AS (
        |  SELECT p.id, a.id AS nid, ${cosine("q.v", "a.v")} AS cos
-       |  FROM probes p
-       |  JOIN v q ON q.id = p.id
-       |  JOIN assigned a ON a.cell = p.cid AND a.id <> p.id$candJoin),
-       |knn AS (
+       |  FROM ${p}probes p
+       |  JOIN ${p}v q ON q.id = p.id
+       |  JOIN ${p}assigned a ON a.cell = p.cid AND a.id <> p.id$candJoin),
+       |${p}knn AS (
        |  SELECT id, rank, nid, cos FROM (
        |    SELECT id, nid, cos,
        |      ROW_NUMBER() OVER (PARTITION BY id ORDER BY cos DESC, nid) AS rank
-       |    FROM cand) WHERE rank <= $k)""".stripMargin
+       |    FROM ${p}cand) WHERE rank <= $k)""".stripMargin
 
   /** IVF kNN PROBE for an external query set — mirrors
     * `IvfIndex.knnProbe`: the index (centroid panel + assignment) comes

@@ -5174,6 +5174,39 @@ object SparkEntry {
         .orderBy("vec_id")
     }),
 
+    // ---- VERSIONED index publish — the lake posture for the vector
+    // store: immutable v<N> dirs + an atomic _current pointer flip
+    // (closing save()'s documented at-scale caveat: in-place overwrite
+    // is a single mutable slot). v1 = the build; maintenance (add +
+    // takedown) publishes v2; the gate reads BOTH — a pinned v1 reader
+    // keeps a consistent snapshot (index time travel) while _current
+    // serves the maintained index -------------------------------------
+    "e33_ivf_versioned" -> ((s, dir) => {
+      implicit val sp: SparkSession = s
+      val emb = t(s, dir, "embeddings")
+      val path = s"${gateScratch("e33")}/ivf"
+      val v1 = ops.Similarity.IvfIndex.publish(
+        ops.Similarity.ivfIndexSeeded(emb, "vec_id", "embedding", nlist = 8),
+        path)
+      val maintained = ops.Similarity.IvfIndex.loadCurrent(path)
+        .addVectors(emb.filter(col("vec_id") % 10 === 5)
+          .select((col("vec_id") + 1000000L).as("vec_id"), col("embedding")),
+          "vec_id", "embedding")
+      val pruned = maintained.remove(
+        maintained.assigned.select(col("id").as("vec_id"))
+          .filter(col("vec_id") % 7 === 0), "vec_id")
+      ops.Similarity.IvfIndex.publish(pruned, path) // v2, pointer flips
+      val old = ops.Similarity.IvfIndex.loadVersion(path, v1)
+        .knnJoin(k = 5, nprobe = 2)
+        .select(lit("v1").as("part"), col("id"), col("rank"),
+          col("nid"), col("cos"))
+      val cur = ops.Similarity.IvfIndex.loadCurrent(path)
+        .knnJoin(k = 5, nprobe = 2)
+        .select(lit("v2").as("part"), col("id"), col("rank"),
+          col("nid"), col("cos"))
+      old.unionAll(cur).orderBy("part", "id", "rank")
+    }),
+
     // ---- vector retrieval from PURE SQL: the persisted IVF index and
     // a query table addressed by path through the graft_knn_probe TVF —
     // the online-retrieval shape (s38) at a SQL prompt, resolving at
@@ -10922,6 +10955,26 @@ object SparkEntry {
              bits = 6, dim = 64, tau = 0.8, maxBucket = 1000)}
          |SELECT id AS vec_id FROM adm
          |ORDER BY vec_id""".stripMargin
+    },
+
+    // v1 = the plain e7 replay; v2 = the e30-shaped maintenance replay —
+    // both versions readable at once (prefixed chains)
+    "e33_ivf_versioned" -> {
+      val v2Sql =
+        """SELECT id, v FROM (
+          |    SELECT vec_id AS id, CAST(embedding AS DOUBLE[]) AS v
+          |    FROM embeddings
+          |    UNION ALL
+          |    SELECT vec_id + 1000000, CAST(embedding AS DOUBLE[])
+          |    FROM embeddings WHERE vec_id % 10 = 5)
+          |  WHERE id % 7 <> 0""".stripMargin
+      s"""WITH ${OracleSql.ivfKnnCtesPrefixed("a", nlist = 8, nprobe = 2,
+             k = 5, OracleSql.CorpusIdV)},
+         |${OracleSql.ivfKnnCtesPrefixed("b", nlist = 8, nprobe = 2,
+             k = 5, v2Sql)}
+         |SELECT 'v1' AS part, id, rank, nid, cos FROM aknn
+         |UNION ALL SELECT 'v2', id, rank, nid, cos FROM bknn
+         |ORDER BY part, id, rank""".stripMargin
     },
 
     // the SQL retrieval verb must land exactly on the Scala op's plan —

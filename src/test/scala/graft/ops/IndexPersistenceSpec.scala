@@ -48,6 +48,32 @@ class IndexPersistenceSpec extends AnyFunSuite with SparkTestBase {
     assert(got.toSeq === expected.toSeq)
   }
 
+  test("versioned publish: pointer flips, time travel, vacuum retention") {
+    val path = s"${tmp("ivf-versions")}/idx"
+    val idx1 = Similarity.ivfIndexSeeded(vecs, "vec_id", "embedding", nlist = 4)
+    val v1 = Similarity.IvfIndex.publish(idx1, path)
+    assert(v1 === 1 && Similarity.IvfIndex.currentVersion(path) === 1)
+    // maintain and publish v2 — v1's dir is never touched
+    val idx2 = Similarity.IvfIndex.loadCurrent(path)
+      .remove(Seq(0L, 1L).toDF("vec_id"), "vec_id")
+    val v2 = Similarity.IvfIndex.publish(idx2, path)
+    assert(v2 === 2 && Similarity.IvfIndex.currentVersion(path) === 2)
+    def ids(i: Similarity.IvfIndex) =
+      i.assigned.select("id").as[Long].collect().toSet
+    // time travel: the pinned v1 still serves the pre-takedown snapshot
+    assert(ids(Similarity.IvfIndex.loadVersion(path, 1)) === ids(idx1))
+    assert(ids(Similarity.IvfIndex.loadCurrent(path)) ===
+      ids(idx1) -- Set(0L, 1L))
+    // vacuum to the newest version only: v1 gone, current unaffected
+    assert(Similarity.IvfIndex.vacuumVersions(path, keep = 1) === Seq(1))
+    assert(!new java.io.File(s"$path/v1").exists())
+    assert(ids(Similarity.IvfIndex.loadCurrent(path)) ===
+      ids(idx1) -- Set(0L, 1L))
+    intercept[Exception] {
+      Similarity.IvfIndex.loadVersion(path, 1).assigned.collect()
+    }
+  }
+
   test("assignment table is cell-partitioned on disk (probe prunes files)") {
     val idx = Similarity.ivfIndexSeeded(vecs, "vec_id", "embedding", nlist = 4)
     val path = s"${tmp("ivf-layout")}/idx"
