@@ -338,6 +338,22 @@ object Dedup {
         idx.hashes.unionAll(hashed), idx.k, idx.nBands, idx.shingleSize)
     }
 
+    /** Versioned publish for the text index — the [[graft.ops.Versions]]
+      * discipline over [[save]]: immutable v<N> images, atomic pointer
+      * flip, time travel, vacuum. A pinned admission worker keeps a
+      * consistent index snapshot while the daily extend/takedown cycle
+      * publishes around it. */
+    def publish(idx: NearDupIndex, path: String)(
+        implicit spark: SparkSession): Int =
+      Versions.publish(path, dir => save(idx, dir))
+
+    def loadVersion(path: String, version: Int)(
+        implicit spark: SparkSession): NearDupIndex =
+      load(Versions.versionDir(path, version))
+
+    def loadCurrent(path: String)(implicit spark: SparkSession): NearDupIndex =
+      loadVersion(path, Versions.current(path))
+
     /** Forget documents — the takedown/right-to-be-forgotten leg of the
       * index lifecycle (the text-side sibling of
       * [[graft.ops.Similarity.IvfIndex.remove]]): after removal the
@@ -1002,6 +1018,20 @@ object Dedup {
         .select("id", "v", "bucket", "nrm")
       index.select("id", "v", "bucket", "nrm").unionAll(adm)
     }
+
+    /** Versioned publish — the [[graft.ops.Versions]] discipline over
+      * [[save]] (see [[NearDupIndex.publish]]). */
+    def publish(index: DataFrame, dim: Int, bits: Int, path: String)(
+        implicit spark: SparkSession): Int =
+      Versions.publish(path, dir => save(index, dim, bits, dir))
+
+    def loadVersion(path: String, version: Int)(
+        implicit spark: SparkSession): VectorIndexHandle =
+      load(Versions.versionDir(path, version))
+
+    def loadCurrent(path: String)(
+        implicit spark: SparkSession): VectorIndexHandle =
+      loadVersion(path, Versions.current(path))
 
     /** Forget vectors — the takedown leg (the vector sibling of
       * [[NearDupIndex.remove]] / `IvfIndex.remove`): after removal an

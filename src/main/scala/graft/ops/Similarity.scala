@@ -689,79 +689,37 @@ object Similarity {
     // slot — fine for one writer and no readers mid-publish, but a real
     // vector store wants what its lake side already has: immutable
     // version dirs, an atomic pointer flip, time travel, and vacuum.
-    // Layout: $path/v<N>/ (a full [[save]] image each), plus a
-    // _current pointer file whose CONTENT is the live version number,
-    // replaced by atomic rename — a reader either sees the old version
-    // or the new one, never a half-published index, and a reader that
-    // pinned v<N> keeps a consistent snapshot while later versions
-    // publish and old ones vacuum around it.
+    // The machinery is the shared [[graft.ops.Versions]] discipline —
+    // one implementation for every index family.
 
     /** Publish `idx` as the next immutable version under `path` and
       * flip the `_current` pointer to it. Returns the new version
-      * number. Writes never touch an existing version dir, so no
-      * read-your-own-overwrite pin is needed — this is the publish
-      * shape [[save]]'s scaladoc recommends at very large index
-      * scale. */
+      * number — the publish shape [[save]]'s scaladoc recommends at
+      * very large index scale. */
     def publish(idx: IvfIndex, path: String): Int = {
       implicit val spark: SparkSession = idx.assigned.sparkSession
-      val conf = spark.sparkContext.hadoopConfiguration
-      val fs = graft.io.PathResolver.fsFor(path, conf)
-      val root = new org.apache.hadoop.fs.Path(path)
-      fs.mkdirs(root)
-      val next = 1 + listVersions(fs, root).foldLeft(0)(math.max)
-      save(idx, s"$path/v$next")
-      val tmp = new org.apache.hadoop.fs.Path(root, s"_current.tmp$next")
-      val out = fs.create(tmp, true)
-      out.write(next.toString.getBytes("UTF-8")); out.close()
-      val cur = new org.apache.hadoop.fs.Path(root, "_current")
-      fs.delete(cur, false) // rename-over target (rename is the atom)
-      require(fs.rename(tmp, cur), s"pointer flip failed for $path v$next")
-      next
+      Versions.publish(path, dir => save(idx, dir))
     }
 
     /** Load a specific retained version — index time travel. */
     def loadVersion(path: String, version: Int)(
         implicit spark: SparkSession): IvfIndex =
-      load(s"$path/v$version")
+      load(Versions.versionDir(path, version))
 
     /** Load the version `_current` points at. */
     def loadCurrent(path: String)(implicit spark: SparkSession): IvfIndex =
       loadVersion(path, currentVersion(path))
 
-    def currentVersion(path: String)(implicit spark: SparkSession): Int = {
-      val conf = spark.sparkContext.hadoopConfiguration
-      val fs = graft.io.PathResolver.fsFor(path, conf)
-      val in = fs.open(new org.apache.hadoop.fs.Path(path, "_current"))
-      val s = scala.io.Source.fromInputStream(in).mkString.trim
-      in.close()
-      s.toInt
-    }
+    def currentVersion(path: String)(implicit spark: SparkSession): Int =
+      Versions.current(path)
 
     /** Delete all but the newest `keep` versions (the current pointer's
       * version is always among them — publishes are monotone). Returns
       * the vacuumed version numbers. Mirrors the lake side's
       * `vacuumCommits`: retention is by count, never the live slot. */
     def vacuumVersions(path: String, keep: Int)(
-        implicit spark: SparkSession): Seq[Int] = {
-      require(keep >= 1, s"keep must be >= 1, got $keep")
-      val conf = spark.sparkContext.hadoopConfiguration
-      val fs = graft.io.PathResolver.fsFor(path, conf)
-      val root = new org.apache.hadoop.fs.Path(path)
-      val versions = listVersions(fs, root).sorted
-      val doomed = versions.dropRight(keep)
-      doomed.foreach { v =>
-        fs.delete(new org.apache.hadoop.fs.Path(root, s"v$v"), true)
-      }
-      doomed
-    }
-
-    private def listVersions(fs: org.apache.hadoop.fs.FileSystem,
-        root: org.apache.hadoop.fs.Path): Seq[Int] =
-      if (!fs.exists(root)) Seq.empty
-      else fs.listStatus(root).toSeq
-        .filter(_.isDirectory)
-        .map(_.getPath.getName)
-        .collect { case n if n.matches("v\\d+") => n.drop(1).toInt }
+        implicit spark: SparkSession): Seq[Int] =
+      Versions.vacuum(path, keep)
   }
 
   /** A persisted PQ codebook: the k seed vectors (sub-sliced per

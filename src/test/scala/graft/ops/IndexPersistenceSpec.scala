@@ -74,6 +74,44 @@ class IndexPersistenceSpec extends AnyFunSuite with SparkTestBase {
     }
   }
 
+  test("versioned publish works for the text and vector-LSH families " +
+      "(shared Versions machinery)") {
+    // text LSH
+    val tPath = s"${tmp("ndx-versions")}/idx"
+    val docs = Seq(
+      (0L, "alpha beta gamma delta epsilon zeta eta theta"),
+      (1L, "one two three four five six seven eight nine"))
+      .toDF("doc_id", "text")
+    assert(Dedup.NearDupIndex.publish(
+      Dedup.nearDupIndex(docs, "doc_id", "text"), tPath) === 1)
+    val shrunk = Dedup.NearDupIndex.remove(
+      Dedup.NearDupIndex.loadCurrent(tPath),
+      docs.filter(col("doc_id") === 0L), "doc_id", "text")
+    assert(Dedup.NearDupIndex.publish(shrunk, tPath) === 2)
+    assert(Dedup.NearDupIndex.loadVersion(tPath, 1)
+      .fingerprints.count() === 2) // time travel: pre-takedown snapshot
+    assert(Dedup.NearDupIndex.loadCurrent(tPath).fingerprints.count() === 1)
+    assert(Versions.vacuum(tPath, keep = 1) === Seq(1))
+
+    // vector LSH
+    val vPath = s"${tmp("vlsh-versions")}/idx"
+    val corpus = Seq(
+      (0L, Array.tabulate(8)(d => if (d == 0) 10.0 else 0.1)),
+      (1L, Array.tabulate(8)(d => if (d == 1) 10.0 else 0.1)))
+      .toDF("vec_id", "v")
+    val vIdx = Dedup.vectorNearDupIndex(corpus, "vec_id", "v",
+      dim = 8, bits = 6)
+    assert(Dedup.VectorNearDupIndex.publish(vIdx, 8, 6, vPath) === 1)
+    assert(Dedup.VectorNearDupIndex.publish(
+      Dedup.VectorNearDupIndex.remove(
+        Dedup.VectorNearDupIndex.loadCurrent(vPath).buckets,
+        Seq(0L).toDF("id"), "id"), 8, 6, vPath) === 2)
+    assert(Dedup.VectorNearDupIndex.loadVersion(vPath, 1)
+      .buckets.count() === 2)
+    assert(Dedup.VectorNearDupIndex.loadCurrent(vPath).buckets.count() === 1)
+    assert(Versions.vacuum(vPath, keep = 1) === Seq(1))
+  }
+
   test("assignment table is cell-partitioned on disk (probe prunes files)") {
     val idx = Similarity.ivfIndexSeeded(vecs, "vec_id", "embedding", nlist = 4)
     val path = s"${tmp("ivf-layout")}/idx"
