@@ -2839,6 +2839,29 @@ object SparkEntry {
         .orderBy("l_returnflag")
     }),
 
+    // ---- merge-on-read over the TWO-LEVEL manifest: a DV takedown
+    // wave (all 'R' rows) subtracts from the grouped-manifest range
+    // probe — the lake's row-level deletes and the q111 metadata layout
+    // composed; oracle = the straight filter minus the deleted class --
+    "q113_grouped_dv_read" -> ((s, dir) => {
+      val tmp = gateScratch("q113")
+      t(s, dir, "lineitem").select("l_orderkey", "l_returnflag", "l_quantity")
+        .write.parquet(s"$tmp/raw")
+      ops.Layout.compact(s, s"$tmp/raw", s"$tmp/sorted",
+        "l_orderkey", targetRowsPerFile = 2000L)
+      ops.Layout.statsManifestPartitioned(s, s"$tmp/sorted",
+        Seq("l_orderkey"), s"$tmp/mf", groupSize = 4L)
+      val dv = ops.Layout.deletionVectors(s, s"$tmp/sorted",
+        col("l_returnflag") === "R")
+      ops.Layout.prunedReadGroupedWithDeletes(s, s"$tmp/sorted", s"$tmp/mf",
+          "l_orderkey", lit(1000L), lit(3000L), dv)
+        .groupBy("l_returnflag")
+        .agg(count(lit(1)).as("n_items"),
+          sum(col("l_quantity").cast("decimal(18,2)")).cast("double")
+            .as("sum_qty"))
+        .orderBy("l_returnflag")
+    }),
+
     // ---- INCREMENTAL two-level manifest growth: build the grouped
     // layout over the even keys, append the odd keys as new files, and
     // extendManifestGrouped absorbs them at O(new data) — new rows fill
@@ -9272,6 +9295,15 @@ object SparkEntry {
       """SELECT l_returnflag, COUNT(*) AS n_items,
         |  CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty
         |FROM lineitem WHERE l_orderkey BETWEEN 1000 AND 3000
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    // grouped-manifest probe minus the DV'd class = the straight filter
+    // without it
+    "q113_grouped_dv_read" ->
+      """SELECT l_returnflag, COUNT(*) AS n_items,
+        |  CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty
+        |FROM lineitem
+        |WHERE l_orderkey BETWEEN 1000 AND 3000 AND l_returnflag <> 'R'
         |GROUP BY 1 ORDER BY 1""".stripMargin,
 
     // the extended layout reads exactly like the full table: evens were

@@ -347,6 +347,21 @@ object Layout {
     base.filter(col(colName) >= lo && col(colName) <= hi)
   }
 
+  /** Merge-on-read over the TWO-LEVEL manifest — [[prunedReadGrouped]]
+    * composed with the deletion-vector subtraction: the group rollup
+    * prunes to surviving `graft_group` partitions, file rows are read
+    * only there, and the DV broadcast anti-join runs on the pruned
+    * scan — so a range probe over a DV-mutated table pays
+    * O(surviving files) scan + O(deleted rows) broadcast, never a
+    * table scan. The base stays a fresh parquet scan (with only a
+    * filter on top), so the `_metadata` address columns resolve and
+    * the file-path rendering matches [[deletionVectors]]' (same
+    * contract as [[snapshotReadWithDeletes]]' file-list scan). */
+  def prunedReadGroupedWithDeletes(spark: org.apache.spark.sql.SparkSession,
+      dir: String, manifestDir: String, colName: String,
+      lo: Column, hi: Column, dv: DataFrame): DataFrame =
+    applyDv(prunedReadGrouped(spark, dir, manifestDir, colName, lo, hi), dv)
+
   /** Incrementally extend a [[statsManifestPartitioned]] layout after
     * new files land in `dir` — the grouped sibling of [[extendManifest]]
     * with the same O(new data) contract: stats run over the NEW files
