@@ -4893,6 +4893,37 @@ object SparkEntry {
         .orderBy("version", "l_returnflag")
     }),
 
+    // ---- CHANGE-DATA-FEED extraction: inserts/deletes between two
+    // (manifest, DV) versions, located from the file-set diff plus the
+    // DV delta — O(changed files) I/O, never two table scans, and no
+    // stored change log (q101's version model read BACKWARDS) ----------
+    "q114_snapshot_diff" -> ((s, dir) => {
+      val tmp = gateScratch("q114")
+      val li = t(s, dir, "lineitem")
+        .select("l_orderkey", "l_linenumber", "l_returnflag", "l_quantity")
+      li.filter(col("l_orderkey") % 2 === 0)
+        .repartitionByRange(4, col("l_orderkey"))
+        .write.parquet(s"$tmp/t")
+      val m1 = ops.Layout.statsManifest(s, s"$tmp/t", Seq("l_orderkey"))
+        .localCheckpoint(eager = true)
+      val dv1 = ops.Layout.deletionVectors(s, s"$tmp/t",
+          col("l_returnflag") === "R")
+        .localCheckpoint(eager = true) // v1 addresses: epoch-1 files only
+      li.filter(col("l_orderkey") % 2 === 1)
+        .repartitionByRange(4, col("l_orderkey"))
+        .write.mode("append").parquet(s"$tmp/t")
+      val m2 = ops.Layout.extendManifest(s, s"$tmp/t", m1, Seq("l_orderkey"))
+      val dv2 = dv1.unionAll(ops.Layout.deletionVectors(s, s"$tmp/t",
+          col("l_quantity") >= 48.0)) // wave 2 spans BOTH epochs
+        .localCheckpoint(eager = true)
+      ops.Layout.snapshotDiff(s, s"$tmp/t", m1, m2, dv1, dv2)
+        .groupBy(col("_change_type").as("change_type"), col("l_returnflag"))
+        .agg(count(lit(1)).as("n_rows"),
+          sum(col("l_quantity").cast("decimal(18,2)")).cast("double")
+            .as("sum_qty"))
+        .orderBy("change_type", "l_returnflag")
+    }),
+
     // ---- dynamic partition overwrite: INSERT OVERWRITE replaces ONLY
     // the partitions the incoming data touches — the partition-grain
     // refresh between row-level DVs and full rewrites; untouched
@@ -5279,6 +5310,29 @@ object SparkEntry {
           sum(col("o_totalprice").cast("decimal(18,2)")).cast("double")
             .as("sum_price"))
         .orderBy("o_custkey")
+    }),
+
+    // ---- full-text file skipping: per-file bloom over the TOKEN SET
+    // of the text column — the log-grep shape (rare-term search reads
+    // only admitting files; q95's value bloom can't serve a token
+    // inside a document). Two epochs: the refresh tokenizes only the
+    // appended files (≡ rebuild, spec-proven) ---------------------------
+    "q115_token_bloom" -> ((s, dir) => {
+      val tmp = gateScratch("q115")
+      val d = t(s, dir, "documents")
+      d.filter(col("doc_id") % 2 === 0)
+        .repartitionByRange(4, col("doc_id"))
+        .write.parquet(s"$tmp/t")
+      val v1 = ops.Layout.tokenBloomIndex(s, s"$tmp/t", "text")
+        .localCheckpoint(eager = true) // pin BEFORE the append lands
+      d.filter(col("doc_id") % 2 === 1)
+        .repartitionByRange(4, col("doc_id"))
+        .write.mode("append").parquet(s"$tmp/t")
+      val idx = ops.Layout.extendTokenBloomIndex(s, s"$tmp/t", v1, "text")
+      // 'dup' is the corpus's rare token (25/500 docs at sf0.01)
+      ops.Layout.tokenBloomRead(s, s"$tmp/t", idx, "text", "dup")
+        .select("doc_id", "source", "n_chars")
+        .orderBy("doc_id")
     }),
 
     // ---- Matryoshka dimension-truncation sweep: recall@5 of prefix-
@@ -10353,6 +10407,26 @@ object SparkEntry {
         |GROUP BY 2
         |ORDER BY version, l_returnflag""".stripMargin,
 
+    // the extracted change feed ≡ the closed-form (v2 − v1) / (v1 − v2)
+    // slices: inserts are the epoch-2 rows live at v2 (wave-2 deletes
+    // excluded; the R wave addressed epoch-1 files only), deletes are
+    // the epoch-1 rows live at v1 that wave 2 newly addressed
+    "q114_snapshot_diff" ->
+      """SELECT 'insert' AS change_type, l_returnflag,
+        |  COUNT(*) AS n_rows,
+        |  CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty
+        |FROM lineitem
+        |WHERE l_orderkey % 2 = 1 AND NOT l_quantity >= 48.0
+        |GROUP BY 2
+        |UNION ALL
+        |SELECT 'delete', l_returnflag, COUNT(*),
+        |  CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE)
+        |FROM lineitem
+        |WHERE l_orderkey % 2 = 0 AND NOT l_returnflag = 'R'
+        |  AND l_quantity >= 48.0
+        |GROUP BY 2
+        |ORDER BY change_type, l_returnflag""".stripMargin,
+
     // partition-grain refresh ≡ the CASE-updated table (q97's semantics
     // through a different mechanism)
     "q99_dynamic_overwrite" ->
@@ -10570,6 +10644,14 @@ object SparkEntry {
         |FROM orders
         |WHERE o_custkey = (SELECT MIN(o_custkey) FROM orders)
         |GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    // lossless through the bloom: the result ≡ the full-scan token-
+    // membership predicate under the engine's one tokenizer
+    "q115_token_bloom" ->
+      s"""SELECT doc_id, source, n_chars FROM documents
+         |WHERE CASE WHEN length(trim(text)) = 0 THEN FALSE
+         |           ELSE list_contains(${OracleSql.toks("text")}, 'dup') END
+         |ORDER BY doc_id""".stripMargin,
 
     // cells, density threshold, 8-neighborhood closure, assignment —
     // the merge replayed as a recursive min-label reachability CTE

@@ -847,6 +847,80 @@ object Layout {
     base.filter(col(colName) === value)
   }
 
+  /** FULL-TEXT file skipping: a per-file Bloom filter over the TOKEN
+    * SET of a text column — the needle-in-a-haystack case neither
+    * min/max manifests (text is unclustered) nor the value-level
+    * [[bloomIndex]] (the column holds whole documents, not the probed
+    * token) can serve. One pass over the table explodes each document's
+    * distinct normalized tokens ([[graft.functions.TextFunctions.tokens]]
+    * semantics — the engine's one tokenizer) into k salted bit
+    * positions and folds them into one bit set per file; the index is
+    * O(#files · min(mBits, tokens-per-file · k)) rows of longs.
+    *
+    * At 100 TB this is the log-grep shape: a rare-term search reads
+    * only files whose bloom admits ALL k positions — a false positive
+    * costs one extra file scan, never a wrong row, and a miss costs
+    * zero I/O. Default mBits is larger than [[bloomIndex]]'s because a
+    * file's token vocabulary (thousands) is much wider than its values
+    * of one keyed column. */
+  def tokenBloomIndex(spark: org.apache.spark.sql.SparkSession, dir: String,
+      textCol: String, mBits: Int = 65536, kHashes: Int = 3): DataFrame = {
+    require(mBits > 0 && kHashes >= 1, s"need mBits > 0, kHashes >= 1")
+    spark.read.parquet(dir)
+      .select(col("_metadata.file_path").as("file"),
+        explode(array_distinct(
+          graft.functions.TextFunctions.tokens(col(textCol)))).as("tok"))
+      .select(col("file"),
+        explode(array((0 until kHashes).map(i =>
+          bloomBit(col("tok"), i, mBits)): _*)).as("bit"))
+      .groupBy("file")
+      .agg(collect_set(col("bit")).as("bits"))
+  }
+
+  /** Incrementally maintain a [[tokenBloomIndex]] after new files land —
+    * [[extendBloomIndex]]'s exact contract (per-file bit sets are
+    * immutable; only the NEW files are tokenized; ≡ rebuild,
+    * spec-proven), for the token domain. */
+  def extendTokenBloomIndex(spark: org.apache.spark.sql.SparkSession,
+      dir: String, index: DataFrame, textCol: String,
+      mBits: Int = 65536, kHashes: Int = 3): DataFrame = {
+    val fresh = newDataFiles(spark, dir, index)
+    if (fresh.isEmpty) index
+    else index.unionAll(
+      spark.read.parquet(fresh.toIndexedSeq: _*)
+        .select(col("_metadata.file_path").as("file"),
+          explode(array_distinct(
+            graft.functions.TextFunctions.tokens(col(textCol)))).as("tok"))
+        .select(col("file"),
+          explode(array((0 until kHashes).map(i =>
+            bloomBit(col("tok"), i, mBits)): _*)).as("bit"))
+        .groupBy("file")
+        .agg(collect_set(col("bit")).as("bits")))
+  }
+
+  /** Token search through a [[tokenBloomIndex]]: scan only the files
+    * whose bit set admits the term, then apply the EXACT token-
+    * membership predicate — the result equals the full-scan
+    * `array_contains(tokens(text), term)` (lossless: blooms have no
+    * false negatives). The probe collects file PATHS only, the same
+    * planner-scale contract as every manifest consumer. The term is
+    * normalized like the index side, so `"Spark "` and `"spark"` probe
+    * the same bits. */
+  def tokenBloomRead(spark: org.apache.spark.sql.SparkSession, dir: String,
+      index: DataFrame, textCol: String, term: String,
+      mBits: Int = 65536, kHashes: Int = 3): DataFrame = {
+    val probe = lower(trim(lit(term)))
+    val hit = (0 until kHashes)
+      .map(i => array_contains(col("bits"), bloomBit(probe, i, mBits)))
+      .reduce(_ && _)
+    val keep = index.filter(hit).select("file").collect().map(_.getString(0))
+    val base =
+      if (keep.isEmpty) spark.read.parquet(dir).limit(0)
+      else spark.read.parquet(keep.toIndexedSeq: _*)
+    base.filter(array_contains(
+      graft.functions.TextFunctions.tokens(col(textCol)), probe))
+  }
+
   /** DV COMPACTION — the rewrite half of the deletion-vector contract
     * [[readWithDeletes]] documents: a file whose deleted fraction
     * reaches `rewriteRatio` re-encodes WITHOUT its deleted rows (its
@@ -1091,4 +1165,107 @@ object Layout {
   def snapshotReadWithDeletes(spark: org.apache.spark.sql.SparkSession,
       dir: String, manifest: DataFrame, dv: DataFrame): DataFrame =
     applyDv(snapshotRead(spark, dir, manifest), dv)
+
+  /** CHANGE-DATA-FEED extraction between two table versions — each a
+    * (manifest, DV set) pair per [[snapshotReadWithDeletes]]'s model.
+    * Returns the base columns plus `_change_type` ('insert' rows are
+    * live at the new version but not the old; 'delete' rows were live
+    * at the old version and are not at the new) — the Delta CDF /
+    * Iceberg incremental-read surface, derived entirely from metadata
+    * the table already maintains, with NO stored change log.
+    *
+    * The 100 TB contract is what it never does: diff two table scans.
+    * Changes are located from the planner-scale file-set diff plus the
+    * delta-scale DV delta, so the data files actually read are exactly
+    * (a) files only the new manifest tracks (their live rows are the
+    * inserts), (b) files only the old manifest tracks (their
+    * old-DV-surviving rows are deletes), and (c) shared files holding
+    * new DV addresses (those rows are row-level deletes). An unchanged
+    * petabyte contributes zero I/O.
+    *
+    * Contract: DV sets must be grow-only on SHARED files (the
+    * [[deletionVectorsForKeys]] union discipline) — an address present
+    * at the old version but missing at the new one would be an
+    * un-delete the file diff cannot see, so that case REFUSES loudly
+    * (one delta-scale audit action; opt out with
+    * `spark.graft.validate.ids=false` once a pipeline's DV discipline
+    * is established). Across a [[compactDeletes]] boundary the rewrite
+    * churn reports as delete+insert of equal rows (files changed
+    * identity), exactly as production CDF does for rewrites not
+    * flagged dataChange=false; rewritten files leave the shared set,
+    * so the grow-only audit composes with compaction. */
+  def snapshotDiff(spark: org.apache.spark.sql.SparkSession, dir: String,
+      oldManifest: DataFrame, newManifest: DataFrame,
+      oldDv: DataFrame, newDv: DataFrame): DataFrame = {
+    // manifests are planner-scale: the file-set diff is a driver set
+    // op, the same O(#files) contract every snapshotRead consumer pays
+    def panel(m: DataFrame): Map[String, String] =
+      m.select(uriPathCol(col("file")).as("k"), col("file"))
+        .collect().map(r => r.getString(0) -> r.getString(1)).toMap
+    val oldP = panel(oldManifest)
+    val newP = panel(newManifest)
+    val added = (newP.keySet -- oldP.keySet).toSeq.sorted.map(newP)
+    val removed = (oldP.keySet -- newP.keySet).toSeq.sorted.map(oldP)
+    val shared = oldP.keySet.intersect(newP.keySet)
+
+    val baseSchema = spark.read.parquet(dir).schema
+    val outCols = (baseSchema.fieldNames.toSeq :+ "_change_type").map(col)
+    def readFiles(fs: Seq[String]): DataFrame =
+      spark.read.parquet(fs: _*)
+    // file-free empty frame: a `limit(0)` over the directory would drag
+    // every table file into the plan's input set and break the
+    // only-changed-files scan contract the spec pins via inputFiles
+    def emptySlice(tag: String): DataFrame =
+      spark.createDataFrame(
+          new java.util.ArrayList[org.apache.spark.sql.Row](), baseSchema)
+        .withColumn("_change_type", lit(tag)).select(outCols: _*)
+
+    // DV rows keyed by normalized path; restrict the delta to shared
+    // files (added files' DV rows were never visible; removed files'
+    // rows are already counted whole by the file-drop branch)
+    val sharedKeys = spark.createDataset(shared.toSeq)(
+      org.apache.spark.sql.Encoders.STRING).toDF("fk")
+    def keyedDv(dv: DataFrame): DataFrame =
+      dv.select(uriPathCol(col("file")).as("fk"), col("pos"), col("file"))
+    val dvDelta = keyedDv(newDv)
+      .join(keyedDv(oldDv).select("fk", "pos"), Seq("fk", "pos"), "left_anti")
+      .join(broadcast(sharedKeys), Seq("fk"), "left_semi")
+    val dvDeltaPinned = Ckpt.pinned(dvDelta) // delta-scale by contract
+
+    if (spark.conf.get("spark.graft.validate.ids", "true").toBoolean) {
+      val shrunk = keyedDv(oldDv).select("fk", "pos")
+        .join(keyedDv(newDv).select("fk", "pos"), Seq("fk", "pos"), "left_anti")
+        .join(broadcast(sharedKeys), Seq("fk"), "left_semi").count()
+      require(shrunk == 0L,
+        s"snapshotDiff: PRECONDITION violated — $shrunk DV address(es) " +
+          "present at the old version are missing at the new one on a " +
+          "shared file (an un-delete the file diff cannot see); DV sets " +
+          "must be grow-only on shared files")
+    }
+
+    val inserts =
+      if (added.isEmpty) emptySlice("insert")
+      else applyDv(readFiles(added), newDv)
+        .withColumn("_change_type", lit("insert")).select(outCols: _*)
+    val dropDeletes =
+      if (removed.isEmpty) emptySlice("delete")
+      else applyDv(readFiles(removed), oldDv)
+        .withColumn("_change_type", lit("delete")).select(outCols: _*)
+    // only files the DV delta actually names are scanned (delta-scale
+    // driver list — a subset of the delta rows themselves)
+    val touched = dvDeltaPinned.select("file").distinct()
+      .collect().map(_.getString(0)).toSeq.sorted
+    val dvDeletes =
+      if (touched.isEmpty) emptySlice("delete")
+      else readFiles(touched)
+        .withColumn("graft_dv_fk", uriPathCol(col("_metadata.file_path")))
+        .withColumn("graft_dv_pos", col("_metadata.row_index"))
+        .join(broadcast(dvDeltaPinned.select(col("fk").as("graft_dv_fk"),
+          col("pos").as("graft_dv_pos"))),
+          Seq("graft_dv_fk", "graft_dv_pos"), "left_semi")
+        .drop("graft_dv_fk", "graft_dv_pos")
+        .withColumn("_change_type", lit("delete")).select(outCols: _*)
+
+    inserts.unionAll(dropDeletes).unionAll(dvDeletes)
+  }
 }

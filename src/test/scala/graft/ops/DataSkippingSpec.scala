@@ -309,6 +309,60 @@ class DataSkippingSpec extends AnyFunSuite with SparkTestBase {
     assert(got === want && got > 0)
   }
 
+  test("tokenBloomRead: lossless full-text skipping; rare term prunes files") {
+    val dir = freshDir("tokbloom")
+    // 10 id-clustered files; the needle token appears only in docs
+    // 0..99 (file 0) — a rare term concentrated in one file
+    spark.range(1000)
+      .select(col("id").as("doc_id"),
+        concat(lit("alpha beta gamma doc "), col("id").cast("string"),
+          when(col("id") < 100, lit(" Needle")).otherwise(lit(""))).as("text"))
+      .repartitionByRange(10, col("doc_id"))
+      .write.mode("overwrite").parquet(dir)
+    val idx = Layout.tokenBloomIndex(spark, dir, "text")
+      .localCheckpoint(eager = true)
+    assert(idx.count() === 10L)
+    // lossless, and the probe normalizes the term like the index side
+    val got = Layout.tokenBloomRead(spark, dir, idx, "text", "NEEDLE")
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(got === (0L until 100L).toSet)
+    // common term: every row with it comes back
+    val all = Layout.tokenBloomRead(spark, dir, idx, "text", "alpha").count()
+    assert(all === 1000L)
+    // absent term reads zero rows
+    assert(Layout.tokenBloomRead(spark, dir, idx, "text", "absent").count() === 0L)
+    // pruning is real: the needle scan touches a strict subset of files
+    val scanned = Layout.tokenBloomRead(spark, dir, idx, "text", "needle")
+      .inputFiles.length
+    assert(scanned < 10, s"expected file pruning, scanned $scanned of 10")
+    // a substring that is NOT a token does not match (token semantics)
+    assert(Layout.tokenBloomRead(spark, dir, idx, "text", "eedl").count() === 0L)
+  }
+
+  test("extendTokenBloomIndex over new files equals a rebuilt index") {
+    val dir = freshDir("tokbloomx")
+    def docs(lo: Long, hi: Long) = spark.range(lo, hi)
+      .select(col("id").as("doc_id"),
+        concat(lit("w"), (col("id") % 97).cast("string"), lit(" common"),
+          lit(" u"), col("id").cast("string")).as("text"))
+    docs(0, 500).repartitionByRange(4, col("doc_id"))
+      .write.mode("overwrite").parquet(dir)
+    val v1 = Layout.tokenBloomIndex(spark, dir, "text")
+      .localCheckpoint(eager = true)
+    docs(500, 1000).repartitionByRange(4, col("doc_id"))
+      .write.mode("append").parquet(dir)
+    val extended = Layout.extendTokenBloomIndex(spark, dir, v1, "text")
+    val rebuilt = Layout.tokenBloomIndex(spark, dir, "text")
+    def canon(df: org.apache.spark.sql.DataFrame) = df
+      .select(col("file"), array_sort(col("bits")).as("bits"))
+      .collect().map(r => r.getString(0) -> r.getSeq[Long](1).toSeq).toMap
+    assert(canon(extended) == canon(rebuilt))
+    // a token only epoch-2 docs carry is findable through the extension
+    val got = Layout.tokenBloomRead(spark, dir, extended, "text", "u777")
+      .select("doc_id").collect().map(_.getLong(0)).toSeq
+    assert(got === Seq(777L))
+  }
+
   test("manifest refuses to be born or grown over the file ceiling") {
     val dir = sortedLayout(1000, 100) // 10 files
     try {
