@@ -5335,6 +5335,45 @@ object SparkEntry {
         .orderBy("doc_id")
     }),
 
+    // ---- cross-artifact atomic commit: ONE catalog pointer over the
+    // (stats manifest, token-bloom index) pair — a reader resolving
+    // catalog v1 searches epoch-1 docs only, even though epoch 2 is
+    // already in the directory: index and manifest can never skew ------
+    "q116_catalog_commit" -> ((s, dir) => {
+      val tmp = gateScratch("q116")
+      val d = t(s, dir, "documents")
+      d.filter(col("doc_id") % 2 === 0)
+        .repartitionByRange(4, col("doc_id"))
+        .write.parquet(s"$tmp/t")
+      val m1 = ops.Layout.statsManifest(s, s"$tmp/t", Seq("doc_id"))
+        .localCheckpoint(eager = true)
+      val i1 = ops.Layout.tokenBloomIndex(s, s"$tmp/t", "text")
+        .localCheckpoint(eager = true)
+      m1.write.parquet(s"$tmp/m1"); i1.write.parquet(s"$tmp/i1")
+      val cat = s"$tmp/catalog"
+      ops.Catalog.commit(s, cat,
+        Map("manifest" -> s"$tmp/m1", "token_bloom" -> s"$tmp/i1"))
+      d.filter(col("doc_id") % 2 === 1)
+        .repartitionByRange(4, col("doc_id"))
+        .write.mode("append").parquet(s"$tmp/t")
+      val m2 = ops.Layout.extendManifest(s, s"$tmp/t", m1, Seq("doc_id"))
+      val i2 = ops.Layout.extendTokenBloomIndex(s, s"$tmp/t", i1, "text")
+      m2.write.parquet(s"$tmp/m2"); i2.write.parquet(s"$tmp/i2")
+      ops.Catalog.commit(s, cat,
+        Map("manifest" -> s"$tmp/m2", "token_bloom" -> s"$tmp/i2"))
+      // readers resolve a catalog version ONCE and read both artifacts
+      def world(v: Int): DataFrame = {
+        val refs = ops.Catalog.resolve(s, cat, v)
+        val manifest = s.read.parquet(refs("manifest"))
+        val idx = s.read.parquet(refs("token_bloom"))
+        val total = ops.Layout.snapshotRead(s, s"$tmp/t", manifest).count()
+        ops.Layout.tokenBloomRead(s, s"$tmp/t", idx, "text", "dup")
+          .select(lit(v).as("version"), col("doc_id"), col("source"),
+            lit(total).as("table_rows"))
+      }
+      world(1).unionAll(world(2)).orderBy("version", "doc_id")
+    }),
+
     // ---- Matryoshka dimension-truncation sweep: recall@5 of prefix-
     // dim cosine vs the full-dim truth — the store-fewer-dims quality
     // curve (e15 reranks from the same prefixes; this measures them) ----
@@ -10644,6 +10683,23 @@ object SparkEntry {
         |FROM orders
         |WHERE o_custkey = (SELECT MIN(o_custkey) FROM orders)
         |GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    // each catalog version is a consistent (manifest, index) world:
+    // v1 ≡ the epoch-1 slice searched AND counted, v2 ≡ the whole table
+    "q116_catalog_commit" ->
+      s"""SELECT CAST(1 AS INT) AS version, doc_id, source,
+         |  (SELECT COUNT(*) FROM documents WHERE doc_id % 2 = 0) AS table_rows
+         |FROM documents
+         |WHERE doc_id % 2 = 0
+         |  AND CASE WHEN length(trim(text)) = 0 THEN FALSE
+         |           ELSE list_contains(${OracleSql.toks("text")}, 'dup') END
+         |UNION ALL
+         |SELECT CAST(2 AS INT), doc_id, source,
+         |  (SELECT COUNT(*) FROM documents)
+         |FROM documents
+         |WHERE CASE WHEN length(trim(text)) = 0 THEN FALSE
+         |           ELSE list_contains(${OracleSql.toks("text")}, 'dup') END
+         |ORDER BY version, doc_id""".stripMargin,
 
     // lossless through the bloom: the result ≡ the full-scan token-
     // membership predicate under the engine's one tokenizer
