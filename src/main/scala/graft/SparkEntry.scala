@@ -5335,6 +5335,78 @@ object SparkEntry {
         .orderBy("doc_id")
     }),
 
+    // ---- streaming multi-artifact publish: each ingest micro-batch
+    // appends data, refreshes manifest AND token-bloom index at
+    // O(batch), persists both immutably, and flips ONE catalog pointer
+    // — readers time-travel the catalog and every version is a
+    // consistent (table, index) world ≡ its batch prefix ---------------
+    "s41_stream_catalog" -> ((s, dir) => {
+      val tmp = gateScratch("s41")
+      val docs = t(s, dir, "documents").select("doc_id", "text")
+      // stage batch k as ONE file with strictly increasing mtimes so
+      // FileStreamSource (mtime order) delivers the fold in k order
+      val inDir = java.nio.file.Paths.get(tmp, "in")
+      java.nio.file.Files.createDirectories(inDir)
+      (0 until 4).foreach { k =>
+        val shardTmp = s"$tmp/shard$k"
+        docs.filter(pmod(col("doc_id"), lit(4)) === k)
+          .coalesce(1).write.parquet(shardTmp)
+        val part = new java.io.File(shardTmp).listFiles()
+          .filter(_.getName.endsWith(".parquet")).head
+        val dst = inDir.resolve(f"batch-$k%02d.parquet")
+        java.nio.file.Files.move(part.toPath, dst)
+        java.nio.file.Files.setLastModifiedTime(dst,
+          java.nio.file.attribute.FileTime.fromMillis(
+            1700000000000L + k * 60000L))
+      }
+      // seed the table dir with its schema (zero-row manifest entry)
+      docs.limit(0).coalesce(1).write.parquet(s"$tmp/t")
+      var manifest = ops.Layout.statsManifest(s, s"$tmp/t", Seq("doc_id"))
+        .localCheckpoint(eager = true)
+      var tokidx = ops.Layout.tokenBloomIndex(s, s"$tmp/t", "text")
+        .localCheckpoint(eager = true)
+      val cat = s"$tmp/catalog"
+      val inSchema = s.read.parquet(inDir.toString).schema
+      withNarrowState(s) {
+        val q = s.readStream.schema(inSchema)
+          .option("maxFilesPerTrigger", "1")
+          .parquet(inDir.toString)
+          .writeStream
+          .foreachBatch { (batch: DataFrame, bid: Long) =>
+            batch.select("doc_id", "text")
+              .repartitionByRange(2, col("doc_id"))
+              .write.mode("append").parquet(s"$tmp/t")
+            // O(batch) refreshes, persisted to IMMUTABLE version dirs;
+            // reloading severs lineage for the next batch's extension
+            ops.Layout.extendManifest(s, s"$tmp/t", manifest, Seq("doc_id"))
+              .write.parquet(s"$tmp/m/v$bid")
+            manifest = s.read.parquet(s"$tmp/m/v$bid")
+            ops.Layout.extendTokenBloomIndex(s, s"$tmp/t", tokidx, "text")
+              .write.parquet(s"$tmp/i/v$bid")
+            tokidx = s.read.parquet(s"$tmp/i/v$bid")
+            // the ONE atomic step: both artifacts flip together
+            ops.Catalog.commit(s, cat, Map(
+              "manifest" -> s"$tmp/m/v$bid", "token_bloom" -> s"$tmp/i/v$bid"))
+            ()
+          }
+          .option("checkpointLocation", s"$tmp/chk")
+          .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+          .start()
+        q.awaitTermination()
+      }
+      // time travel: catalog version v ≡ the batch-prefix world 0..v-1
+      def world(v: Int): DataFrame = {
+        val refs = ops.Catalog.resolve(s, cat, v)
+        val m = s.read.parquet(refs("manifest"))
+        val idx = s.read.parquet(refs("token_bloom"))
+        val total = ops.Layout.snapshotRead(s, s"$tmp/t", m).count()
+        ops.Layout.tokenBloomRead(s, s"$tmp/t", idx, "text", "dup")
+          .select(lit(v).as("version"), col("doc_id"),
+            lit(total).as("table_rows"))
+      }
+      (1 to 4).map(world).reduce(_ unionAll _).orderBy("version", "doc_id")
+    }),
+
     // ---- cross-artifact atomic commit: ONE catalog pointer over the
     // (stats manifest, token-bloom index) pair — a reader resolving
     // catalog v1 searches epoch-1 docs only, even though epoch 2 is
@@ -10683,6 +10755,21 @@ object SparkEntry {
         |FROM orders
         |WHERE o_custkey = (SELECT MIN(o_custkey) FROM orders)
         |GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    // catalog version v ≡ the batch-prefix world: docs with
+    // doc_id % 4 <= v-1, searched through that version's index and
+    // counted through that version's manifest
+    "s41_stream_catalog" -> {
+      val dup = s"CASE WHEN length(trim(text)) = 0 THEN FALSE " +
+        s"ELSE list_contains(${OracleSql.toks("text")}, 'dup') END"
+      (1 to 4).map { v =>
+        s"""SELECT CAST($v AS INT) AS version, doc_id,
+           |  (SELECT COUNT(*) FROM documents WHERE doc_id % 4 <= ${v - 1})
+           |    AS table_rows
+           |FROM documents
+           |WHERE doc_id % 4 <= ${v - 1} AND $dup""".stripMargin
+      }.mkString("", "\nUNION ALL\n", "\nORDER BY version, doc_id")
+    },
 
     // each catalog version is a consistent (manifest, index) world:
     // v1 ≡ the epoch-1 slice searched AND counted, v2 ≡ the whole table
