@@ -4924,6 +4924,45 @@ object SparkEntry {
         .orderBy("change_type", "l_returnflag")
     }),
 
+    // ---- incremental view maintenance from the change feed: an agg
+    // view rolls from version 1 to version 2 by folding q114's
+    // metadata-derived diff (insert:+1 / delete:-1) through
+    // incrementalAgg — refresh cost O(changed data), never a view
+    // recompute, and the rolled view ≡ the direct v2 aggregate ---------
+    "q117_ivm_change_feed" -> ((s, dir) => {
+      val tmp = gateScratch("q117")
+      val li = t(s, dir, "lineitem")
+        .select("l_orderkey", "l_linenumber", "l_returnflag", "l_quantity")
+      li.filter(col("l_orderkey") % 2 === 0)
+        .repartitionByRange(4, col("l_orderkey"))
+        .write.parquet(s"$tmp/t")
+      val m1 = ops.Layout.statsManifest(s, s"$tmp/t", Seq("l_orderkey"))
+        .localCheckpoint(eager = true)
+      val dv1 = ops.Layout.deletionVectors(s, s"$tmp/t",
+          col("l_returnflag") === "R")
+        .localCheckpoint(eager = true)
+      val view1 = ops.Layout.snapshotReadWithDeletes(s, s"$tmp/t", m1, dv1)
+        .groupBy("l_returnflag")
+        .agg(count(lit(1)).as("n"),
+          sum(col("l_quantity").cast("decimal(18,2)")).as("total"))
+        .localCheckpoint(eager = true) // the materialized view at v1
+      li.filter(col("l_orderkey") % 2 === 1)
+        .repartitionByRange(4, col("l_orderkey"))
+        .write.mode("append").parquet(s"$tmp/t")
+      val m2 = ops.Layout.extendManifest(s, s"$tmp/t", m1, Seq("l_orderkey"))
+      val dv2 = dv1.unionAll(ops.Layout.deletionVectors(s, s"$tmp/t",
+          col("l_quantity") >= 48.0))
+        .localCheckpoint(eager = true)
+      val delta = ops.Layout.snapshotDiff(s, s"$tmp/t", m1, m2, dv1, dv2)
+        .withColumn("sign",
+          when(col("_change_type") === "insert", lit(1L)).otherwise(lit(-1L)))
+      ops.Merge.incrementalAgg(view1, delta, "l_returnflag",
+          "l_quantity", "sign")
+        .select(col("l_returnflag"), col("n").as("n_rows"),
+          col("total").cast("double").as("sum_qty"))
+        .orderBy("l_returnflag")
+    }),
+
     // ---- dynamic partition overwrite: INSERT OVERWRITE replaces ONLY
     // the partitions the incoming data touches — the partition-grain
     // refresh between row-level DVs and full rewrites; untouched
@@ -10517,6 +10556,17 @@ object SparkEntry {
         |           OR l_quantity >= 48.0)
         |GROUP BY 2
         |ORDER BY version, l_returnflag""".stripMargin,
+
+    // the rolled view ≡ the direct aggregate over the v2 live set
+    // (q101's v2 predicate): base + signed change-feed fold, never a
+    // recompute
+    "q117_ivm_change_feed" ->
+      """SELECT l_returnflag, COUNT(*) AS n_rows,
+        |  CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty
+        |FROM lineitem
+        |WHERE NOT ((l_orderkey % 2 = 0 AND l_returnflag = 'R')
+        |           OR l_quantity >= 48.0)
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
 
     // the extracted change feed ≡ the closed-form (v2 − v1) / (v1 − v2)
     // slices: inserts are the epoch-2 rows live at v2 (wave-2 deletes

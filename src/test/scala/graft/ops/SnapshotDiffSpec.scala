@@ -105,6 +105,39 @@ class SnapshotDiffSpec extends AnyFunSuite with SparkTestBase {
       s"scanned unchanged files: ${scanned -- added -- dvTouched}")
   }
 
+  test("change feed folds a materialized agg view to the v2 recompute") {
+    val dir = writeTable()
+    val m1 = Ckpt.pinned(Layout.statsManifest(spark, dir, Seq("k")))
+    val dv1 = Ckpt.pinned(Layout.deletionVectors(spark, dir, col("v") === 3))
+    val view1 = Ckpt.pinned(
+      Layout.snapshotReadWithDeletes(spark, dir, m1, dv1)
+        .groupBy("v")
+        .agg(count(lit(1)).as("n"),
+          sum(col("k").cast("decimal(18,2)")).as("total")))
+    spark.range(1000, 1400)
+      .select(col("id").as("k"), (col("id") % 7).as("v"))
+      .repartitionByRange(2, col("k"))
+      .write.mode("append").parquet(dir)
+    val m2 = Ckpt.pinned(Layout.extendManifest(spark, dir, m1, Seq("k")))
+    val dv2 = Ckpt.pinned(dv1.unionAll(
+      Layout.deletionVectors(spark, dir, col("v") === 5)))
+    val delta = Layout.snapshotDiff(spark, dir, m1, m2, dv1, dv2)
+      .withColumn("sign",
+        when(col("_change_type") === "insert", lit(1L)).otherwise(lit(-1L)))
+    val rolled = Merge.incrementalAgg(view1, delta, "v", "k", "sign")
+    val recomputed = Layout.snapshotReadWithDeletes(spark, dir, m2, dv2)
+      .groupBy("v")
+      .agg(count(lit(1)).as("n"),
+        sum(col("k").cast("decimal(18,2)")).as("total"))
+    def canon(df: org.apache.spark.sql.DataFrame) = df
+      .select(col("v"), col("n"), col("total").cast("double"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+      .sortBy(_._1).toSeq
+    assert(canon(rolled) === canon(recomputed))
+    // v==5 was fully deleted at v2: the rolled view drops the group
+    assert(!canon(rolled).exists(_._1 == 5L))
+  }
+
   test("DV shrinkage on a shared file refuses") {
     val dir = writeTable()
     val m = Ckpt.pinned(Layout.statsManifest(spark, dir, Seq("k")))
