@@ -645,6 +645,76 @@ object Soak {
       Seq(rBuild, rPrune, rExtend, rBuildG, rPruneG, rExtendG)
     }
 
+    // ---- CDC extraction + full-text skipping at volume: snapshotDiff
+    // must cost O(changed files) regardless of table size (here the
+    // delta is 1 appended file + a 1-file DV wave against a 1000-file
+    // table — the full merge-on-read baseline runs beside it), and a
+    // rare-term token-bloom probe must touch only admitting files.
+    // `rows` records the change count (diff) / the collected file-path
+    // count (probes), so the JSON shows the pruning directly.
+    val cdcResults: Seq[(String, Double, Double, Long)] =
+      if (!want("snapshot_diff_small_delta_1k_files",
+        "snapshot_read_full_1k_files", "token_bloom_build_64_files",
+        "token_bloom_probe_rare", "token_bloom_probe_absent")) Seq()
+      else {
+      val cdDir = soakTempDir("graft-soak-cdc")
+      val cdFiles = 1000
+      val cdRows = cdFiles * 1000L
+      spark.range(0, cdRows)
+        .select(col("id").as("k"), (col("id") % 97).as("v"),
+          md5(col("id").cast("string")).as("payload"))
+        .repartitionByRange(cdFiles, col("k"))
+        .write.mode("overwrite").parquet(s"$cdDir/t")
+      val cm1 = ops.Layout.statsManifest(spark, s"$cdDir/t", Seq("k")).ckpt
+      val cdv1 = ops.Layout.deletionVectors(spark, s"$cdDir/t",
+        col("k") % 100000 === 7).ckpt
+      // the delta: ONE appended file, plus a DV wave confined to the
+      // FIRST file's key range (k < 1000) — 2 changed files total
+      spark.range(cdRows, cdRows + 1000L)
+        .select(col("id").as("k"), (col("id") % 97).as("v"),
+          md5(col("id").cast("string")).as("payload"))
+        .coalesce(1).write.mode("append").parquet(s"$cdDir/t")
+      val cm2 = ops.Layout.extendManifest(spark, s"$cdDir/t", cm1,
+        Seq("k")).ckpt
+      val cdv2 = cdv1.unionAll(ops.Layout.deletionVectorsForKeys(spark,
+        s"$cdDir/t",
+        spark.range(0, 1000L).select(col("id").as("k")), "k")).ckpt
+      quiesce()
+      val rFull = measure("snapshot_read_full_1k_files") {
+        ops.Layout.snapshotReadWithDeletes(spark, s"$cdDir/t", cm2, cdv2)
+          .count()
+      }
+      val rDiff = measure("snapshot_diff_small_delta_1k_files") {
+        val d = ops.Layout.snapshotDiff(spark, s"$cdDir/t",
+          cm1, cm2, cdv1, cdv2)
+        d.count() // 1999 changes, exercised end to end
+        d.inputFiles.length.toLong // = changed files scanned (2 of 1001)
+      }
+      val tbDir = soakTempDir("graft-soak-tb")
+      // range layout clusters each soak copy into its own ~64/copies
+      // file band, so the per-copy suffix token is the planted rare term
+      docsN.repartitionByRange(64, col("doc_id"))
+        .write.mode("overwrite").parquet(s"$tbDir/t")
+      quiesce()
+      var tbIdx: org.apache.spark.sql.DataFrame = null
+      val rTbBuild = measure("token_bloom_build_64_files") {
+        tbIdx = ops.Layout.tokenBloomIndex(spark, s"$tbDir/t", "text").ckpt
+        tbIdx.count()
+      }
+      val rareTerm = if (copies > 1) s"soakcopy${copies - 1}" else "the"
+      val rTbRare = measure("token_bloom_probe_rare") {
+        val r = ops.Layout.tokenBloomRead(spark, s"$tbDir/t", tbIdx,
+          "text", rareTerm)
+        r.count() // exercise the pruned scan end to end
+        r.inputFiles.length.toLong // = files the bloom admitted
+      }
+      val rTbAbsent = measure("token_bloom_probe_absent") {
+        ops.Layout.tokenBloomRead(spark, s"$tbDir/t", tbIdx,
+          "text", "zqxjkvbn").inputFiles.length.toLong
+      }
+      Seq(rFull, rDiff, rTbBuild, rTbRare, rTbAbsent)
+    }
+
     // ---- MULTI-WRITER lake cycle at 10× scale (q105's interleaving,
     // soak-sized): append → delete wave → append → manifest extend →
     // second wave → DV compaction → vacuum, with the final merge-on-
@@ -823,7 +893,7 @@ object Soak {
     }
 
     val allResults =
-      (results ++ layoutResults ++ shardEpochResults ++
+      (results ++ layoutResults ++ cdcResults ++ shardEpochResults ++
         frontDoorResults :+ multiwriterResult)
         .filter(_._2 >= 0) // drop op-filter skip markers
 
