@@ -715,6 +715,63 @@ object Soak {
       Seq(rFull, rDiff, rTbBuild, rTbRare, rTbAbsent)
     }
 
+    // ---- STREAMING-TAKEDOWN fold at volume (s42's per-batch work,
+    // soak-sized): 4 delete-key waves against a 1000-file table, each
+    // folding the agg view forward via snapshotDiff(m, m, dvPrev, dvCur)
+    // + incrementalAgg — never re-aggregating the base. The full
+    // recompute baseline runs beside it; `rows` records the final view's
+    // group count (fold) / the live row count (baseline).
+    val takedownResults: Seq[(String, Double, Double, Long)] =
+      if (!want("takedown_wave_fold_1k_files",
+        "view_recompute_full_1k_files")) Seq()
+      else {
+      val tdDir = soakTempDir("graft-soak-td")
+      val tdFiles = 1000
+      val tdRows = tdFiles * 1000L
+      spark.range(0, tdRows)
+        .select(col("id").as("k"), (col("id") % 97).as("v"),
+          md5(col("id").cast("string")).as("payload"))
+        .repartitionByRange(tdFiles, col("k"))
+        .write.mode("overwrite").parquet(s"$tdDir/t")
+      val tdm = ops.Layout.statsManifest(spark, s"$tdDir/t", Seq("k")).ckpt
+      var tdv = ops.Layout.deletionVectors(spark, s"$tdDir/t",
+        lit(false)).ckpt
+      var tview = ops.Layout.snapshotReadWithDeletes(spark, s"$tdDir/t",
+          tdm, tdv)
+        .groupBy("v")
+        .agg(count(lit(1)).as("n"),
+          sum(col("k").cast("decimal(18,2)")).as("total")).ckpt
+      quiesce()
+      val rFold = measure("takedown_wave_fold_1k_files") {
+        // each wave erases one file's key slab — the diff scans only
+        // the DV-touched files, the fold shuffles only touched groups
+        (0 until 4).foreach { w =>
+          val grown = tdv.unionAll(ops.Layout.deletionVectorsForKeys(
+            spark, s"$tdDir/t",
+            spark.range(w * 1000L, w * 1000L + 1000L)
+              .select(col("id").as("k")), "k")).ckpt
+          val delta = ops.Layout.snapshotDiff(spark, s"$tdDir/t",
+            tdm, tdm, tdv, grown)
+            .withColumn("sign", when(col("_change_type") === "insert",
+              lit(1L)).otherwise(lit(-1L)))
+          tview = ops.Merge.incrementalAgg(tview, delta, "v", "k",
+            "sign").ckpt
+          tdv = grown
+        }
+        tview.count()
+      }
+      quiesce()
+      val rRecompute = measure("view_recompute_full_1k_files") {
+        val live = ops.Layout.snapshotReadWithDeletes(spark, s"$tdDir/t",
+          tdm, tdv)
+        live.groupBy("v")
+          .agg(count(lit(1)).as("n"),
+            sum(col("k").cast("decimal(18,2)")).as("total")).count()
+        live.count()
+      }
+      Seq(rFold, rRecompute)
+    }
+
     // ---- MULTI-WRITER lake cycle at 10× scale (q105's interleaving,
     // soak-sized): append → delete wave → append → manifest extend →
     // second wave → DV compaction → vacuum, with the final merge-on-
@@ -893,7 +950,8 @@ object Soak {
     }
 
     val allResults =
-      (results ++ layoutResults ++ cdcResults ++ shardEpochResults ++
+      (results ++ layoutResults ++ cdcResults ++ takedownResults ++
+        shardEpochResults ++
         frontDoorResults :+ multiwriterResult)
         .filter(_._2 >= 0) // drop op-filter skip markers
 

@@ -5374,6 +5374,30 @@ object SparkEntry {
         .orderBy("doc_id")
     }),
 
+    // ---- full-text search over a TAKEDOWN-mutated table: the bloom
+    // prunes files, the DV broadcast anti removes deleted rows from the
+    // admitted scans, the exact token predicate lands last — a removed
+    // document stops matching the moment its DV row lands, with NO
+    // index rebuild (bits are never unset; a stale admit costs one file
+    // scan, never a wrong row) ------------------------------------------
+    "q118_token_bloom_deletes" -> ((s, dir) => {
+      val tmp = gateScratch("q118")
+      val d = t(s, dir, "documents")
+      d.repartitionByRange(8, col("doc_id")).write.parquet(s"$tmp/t")
+      val idx = ops.Layout.tokenBloomIndex(s, s"$tmp/t", "text")
+        .localCheckpoint(eager = true) // pin BEFORE takedowns land
+      // the takedown feed arrives as KEYS (the GDPR shape): every
+      // third doc_id is erased; the bloom index is NOT touched
+      val keys = t(s, dir, "documents")
+        .filter(col("doc_id") % 3 === 0).select("doc_id")
+      val dv = ops.Layout.deletionVectorsForKeys(
+        s, s"$tmp/t", keys, "doc_id")
+      ops.Layout.tokenBloomReadWithDeletes(s, s"$tmp/t", idx, "text",
+          "dup", dv)
+        .select("doc_id", "source", "n_chars")
+        .orderBy("doc_id")
+    }),
+
     // ---- streaming multi-artifact publish: each ingest micro-batch
     // appends data, refreshes manifest AND token-bloom index at
     // O(batch), persists both immutably, and flips ONE catalog pointer
@@ -5444,6 +5468,86 @@ object SparkEntry {
             lit(total).as("table_rows"))
       }
       (1 to 4).map(world).reduce(_ unionAll _).orderBy("version", "doc_id")
+    }),
+
+    // ---- streaming TAKEDOWN feed: each micro-batch of delete KEYS
+    // lands as (a) a grown DV set persisted immutably, (b) the agg view
+    // rolled forward by the metadata-derived change feed (snapshotDiff
+    // over the same manifest, old-vs-new DVs — pure delete rows), both
+    // flipped under ONE catalog pointer. The base table is NEVER
+    // rewritten and never re-aggregated: per batch, work is O(batch
+    // keys + touched groups). Catalog version v ≡ the takedown prefix
+    // 0..v-1 — the GDPR erase pipeline with time travel ----------------
+    "s42_stream_takedown" -> ((s, dir) => {
+      val tmp = gateScratch("s42")
+      val docs = t(s, dir, "documents").select("doc_id", "source", "n_chars")
+      docs.repartitionByRange(8, col("doc_id")).write.parquet(s"$tmp/t")
+      val m = ops.Layout.statsManifest(s, s"$tmp/t", Seq("doc_id"))
+        .localCheckpoint(eager = true)
+      // takedown batch k erases doc_id % 9 == k, staged in mtime order
+      val inDir = java.nio.file.Paths.get(tmp, "in")
+      java.nio.file.Files.createDirectories(inDir)
+      (0 until 4).foreach { k =>
+        val shardTmp = s"$tmp/keys$k"
+        docs.filter(pmod(col("doc_id"), lit(9)) === k).select("doc_id")
+          .coalesce(1).write.parquet(shardTmp)
+        val part = new java.io.File(shardTmp).listFiles()
+          .filter(_.getName.endsWith(".parquet")).head
+        val dst = inDir.resolve(f"batch-$k%02d.parquet")
+        java.nio.file.Files.move(part.toPath, dst)
+        java.nio.file.Files.setLastModifiedTime(dst,
+          java.nio.file.attribute.FileTime.fromMillis(
+            1700000000000L + k * 60000L))
+      }
+      var dv = ops.Layout.deletionVectors(s, s"$tmp/t", lit(false))
+        .localCheckpoint(eager = true)
+      var view = ops.Layout.snapshotReadWithDeletes(s, s"$tmp/t", m, dv)
+        .groupBy("source")
+        .agg(count(lit(1)).as("n"),
+          sum(col("n_chars").cast("decimal(18,2)")).as("total"))
+        .localCheckpoint(eager = true)
+      val cat = s"$tmp/catalog"
+      val inSchema = s.read.parquet(inDir.toString).schema
+      withNarrowState(s) {
+        val q = s.readStream.schema(inSchema)
+          .option("maxFilesPerTrigger", "1")
+          .parquet(inDir.toString)
+          .writeStream
+          .foreachBatch { (batch: DataFrame, bid: Long) =>
+            val grown = dv.unionAll(ops.Layout.deletionVectorsForKeys(
+              s, s"$tmp/t", batch, "doc_id"))
+            grown.write.parquet(s"$tmp/dv/v$bid")
+            val dvNew = s.read.parquet(s"$tmp/dv/v$bid")
+            // the view rolls by the CDF between the two DV versions —
+            // no base re-aggregation, delta-scale only
+            val delta = ops.Layout.snapshotDiff(s, s"$tmp/t", m, m, dv, dvNew)
+              .withColumn("sign", when(col("_change_type") === "insert",
+                lit(1L)).otherwise(lit(-1L)))
+            ops.Merge.incrementalAgg(view, delta, "source", "n_chars", "sign")
+              .write.parquet(s"$tmp/view/v$bid")
+            dv = dvNew
+            view = s.read.parquet(s"$tmp/view/v$bid")
+            ops.Catalog.commit(s, cat, Map(
+              "dv" -> s"$tmp/dv/v$bid", "view" -> s"$tmp/view/v$bid"))
+            ()
+          }
+          .option("checkpointLocation", s"$tmp/chk")
+          .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+          .start()
+        q.awaitTermination()
+      }
+      // catalog v is a CONSISTENT (dv, view) world: the view's groups
+      // and the DV-subtracted live count move together
+      def world(v: Int): DataFrame = {
+        val refs = ops.Catalog.resolve(s, cat, v)
+        val dvV = s.read.parquet(refs("dv"))
+        val live = ops.Layout.readWithDeletes(s, s"$tmp/t", dvV).count()
+        s.read.parquet(refs("view"))
+          .select(lit(v).as("version"), col("source"), col("n"),
+            col("total").cast("double").as("total"),
+            lit(live).as("live_rows"))
+      }
+      (1 to 4).map(world).reduce(_ unionAll _).orderBy("version", "source")
     }),
 
     // ---- cross-artifact atomic commit: ONE catalog pointer over the
@@ -10821,6 +10925,18 @@ object SparkEntry {
       }.mkString("", "\nUNION ALL\n", "\nORDER BY version, doc_id")
     },
 
+    // catalog version v ≡ the takedown-prefix world: batches 0..v-1
+    // erased doc_id % 9 ∈ {0..v-1}, so live rows have doc_id % 9 >= v;
+    // the rolled view and the DV-subtracted live count move together
+    "s42_stream_takedown" -> (1 to 4).map { v =>
+      s"""SELECT CAST($v AS INT) AS version, source, COUNT(*) AS n,
+         |  CAST(SUM(CAST(n_chars AS DECIMAL(18,2))) AS DOUBLE) AS total,
+         |  (SELECT COUNT(*) FROM documents WHERE doc_id % 9 >= $v)
+         |    AS live_rows
+         |FROM documents WHERE doc_id % 9 >= $v
+         |GROUP BY source""".stripMargin
+    }.mkString("", "\nUNION ALL\n", "\nORDER BY version, source"),
+
     // each catalog version is a consistent (manifest, index) world:
     // v1 ≡ the epoch-1 slice searched AND counted, v2 ≡ the whole table
     "q116_catalog_commit" ->
@@ -10843,6 +10959,14 @@ object SparkEntry {
     "q115_token_bloom" ->
       s"""SELECT doc_id, source, n_chars FROM documents
          |WHERE CASE WHEN length(trim(text)) = 0 THEN FALSE
+         |           ELSE list_contains(${OracleSql.toks("text")}, 'dup') END
+         |ORDER BY doc_id""".stripMargin,
+
+    // the takedown-mutated search: q115's result minus the erased keys
+    "q118_token_bloom_deletes" ->
+      s"""SELECT doc_id, source, n_chars FROM documents
+         |WHERE doc_id % 3 <> 0
+         |  AND CASE WHEN length(trim(text)) = 0 THEN FALSE
          |           ELSE list_contains(${OracleSql.toks("text")}, 'dup') END
          |ORDER BY doc_id""".stripMargin,
 

@@ -921,6 +921,29 @@ object Layout {
       graft.functions.TextFunctions.tokens(col(textCol)), probe))
   }
 
+  /** [[tokenBloomRead]] over a DV-mutated table — full-text search that
+    * honors row-level takedowns: the bloom prunes files, the DV
+    * broadcast anti-join removes deleted rows from the admitted scans,
+    * and the exact token predicate lands last. The GDPR-correct search
+    * path: a removed document stops matching the moment its DV row
+    * lands, no index rebuild — the bloom may admit its file (bits are
+    * never unset; same false-positive economics as any bloom hit), but
+    * its rows can never surface. */
+  def tokenBloomReadWithDeletes(spark: org.apache.spark.sql.SparkSession,
+      dir: String, index: DataFrame, textCol: String, term: String,
+      dv: DataFrame, mBits: Int = 65536, kHashes: Int = 3): DataFrame = {
+    val probe = lower(trim(lit(term)))
+    val hit = (0 until kHashes)
+      .map(i => array_contains(col("bits"), bloomBit(probe, i, mBits)))
+      .reduce(_ && _)
+    val keep = index.filter(hit).select("file").collect().map(_.getString(0))
+    val base =
+      if (keep.isEmpty) spark.read.parquet(dir).limit(0)
+      else spark.read.parquet(keep.toIndexedSeq: _*)
+    applyDv(base, dv).filter(array_contains(
+      graft.functions.TextFunctions.tokens(col(textCol)), probe))
+  }
+
   /** DV COMPACTION — the rewrite half of the deletion-vector contract
     * [[readWithDeletes]] documents: a file whose deleted fraction
     * reaches `rewriteRatio` re-encodes WITHOUT its deleted rows (its

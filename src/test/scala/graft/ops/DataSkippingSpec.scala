@@ -363,6 +363,40 @@ class DataSkippingSpec extends AnyFunSuite with SparkTestBase {
     assert(got === Seq(777L))
   }
 
+  test("tokenBloomReadWithDeletes: takedowns vanish without an index rebuild") {
+    val dir = freshDir("tokbloomdv")
+    // needle docs 0..99 cluster in file 0 of 10
+    spark.range(1000)
+      .select(col("id").as("doc_id"),
+        concat(lit("alpha beta doc "), col("id").cast("string"),
+          when(col("id") < 100, lit(" needle")).otherwise(lit(""))).as("text"))
+      .repartitionByRange(10, col("doc_id"))
+      .write.mode("overwrite").parquet(dir)
+    val idx = Layout.tokenBloomIndex(spark, dir, "text")
+      .localCheckpoint(eager = true)
+    // take down every third doc — DV lands, index untouched
+    val dv = Layout.deletionVectors(spark, dir, col("doc_id") % 3 === 0)
+      .localCheckpoint(eager = true)
+    val got = Layout.tokenBloomReadWithDeletes(
+        spark, dir, idx, "text", "NEEDLE", dv)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(got === (0L until 100L).filter(_ % 3 != 0).toSet)
+    // pruning survives the DV composition: still a strict file subset
+    val scanned = Layout.tokenBloomReadWithDeletes(
+      spark, dir, idx, "text", "needle", dv).inputFiles.length
+    assert(scanned < 10, s"expected file pruning, scanned $scanned of 10")
+    // take down ALL needle docs: the bloom still admits file 0 (bits are
+    // never unset) but zero rows can surface
+    val dvAll = dv.unionAll(
+      Layout.deletionVectors(spark, dir, col("doc_id") < 100))
+    assert(Layout.tokenBloomReadWithDeletes(
+      spark, dir, idx, "text", "needle", dvAll).count() === 0L)
+    // empty DV degenerates to plain tokenBloomRead
+    val none = dv.limit(0)
+    assert(Layout.tokenBloomReadWithDeletes(
+      spark, dir, idx, "text", "needle", none).count() === 100L)
+  }
+
   test("manifest refuses to be born or grown over the file ceiling") {
     val dir = sortedLayout(1000, 100) // 10 files
     try {

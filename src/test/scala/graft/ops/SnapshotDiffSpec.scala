@@ -138,6 +138,48 @@ class SnapshotDiffSpec extends AnyFunSuite with SparkTestBase {
     assert(!canon(rolled).exists(_._1 == 5L))
   }
 
+  test("diff across a compactDeletes boundary: equal-row churn, net-zero fold") {
+    val dir = writeTable()
+    val m1 = Ckpt.pinned(Layout.statsManifest(spark, dir, Seq("k")))
+    val dv1 = Ckpt.pinned(Layout.deletionVectors(spark, dir, col("v") === 3))
+    val view1 = Ckpt.pinned(
+      Layout.snapshotReadWithDeletes(spark, dir, m1, dv1)
+        .groupBy("v")
+        .agg(count(lit(1)).as("n"),
+          sum(col("k").cast("decimal(18,2)")).as("total")))
+    // compaction rewrites hot files minus their deletes and re-addresses
+    // the cold files' residual DV rows in a NEW dir — every file changes
+    // identity, so the rewritten files leave the shared set and the
+    // grow-only audit composes (no refusal)
+    val dir2 = dir + "-compacted"
+    val dv2 = Ckpt.pinned(
+      Layout.compactDeletes(spark, dir, dir2, dv1, rewriteRatio = 0.05))
+    val m2 = Ckpt.pinned(Layout.statsManifest(spark, dir2, Seq("k")))
+    val diff = Layout.snapshotDiff(spark, dir, m1, m2, dv1, dv2)
+
+    def multiset(df: DataFrame) = df.select("k", "v").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).groupBy(identity)
+      .view.mapValues(_.length).toMap
+    val ins = multiset(diff.filter(col("_change_type") === "insert"))
+    val del = multiset(diff.filter(col("_change_type") === "delete"))
+    // rewrite churn: delete+insert of EQUAL rows (files changed identity,
+    // content did not) — exactly production CDF for a rewrite not
+    // flagged dataChange=false
+    assert(ins.nonEmpty && ins === del)
+    val oldLive = liveKeys(spark, dir, m1, dv1)
+    val newLive = liveKeys(spark, dir2, m2, dv2)
+    assert(oldLive === newLive, "compaction must not change live rows")
+    // and the churn nets to ZERO on a folded agg view
+    val delta = diff.withColumn("sign",
+      when(col("_change_type") === "insert", lit(1L)).otherwise(lit(-1L)))
+    val rolled = Merge.incrementalAgg(view1, delta, "v", "k", "sign")
+    def canon(df: DataFrame) = df
+      .select(col("v"), col("n"), col("total").cast("double"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+      .sortBy(_._1).toSeq
+    assert(canon(rolled) === canon(view1))
+  }
+
   test("DV shrinkage on a shared file refuses") {
     val dir = writeTable()
     val m = Ckpt.pinned(Layout.statsManifest(spark, dir, Seq("k")))
