@@ -746,8 +746,8 @@ object Soak {
         // each wave erases one file's key slab — the diff scans only
         // the DV-touched files, the fold shuffles only touched groups
         (0 until 4).foreach { w =>
-          val grown = tdv.unionAll(ops.Layout.deletionVectorsForKeys(
-            spark, s"$tdDir/t",
+          val grown = tdv.unionAll(ops.Layout.deletionVectorsForKeysPruned(
+            spark, s"$tdDir/t", tdm,
             spark.range(w * 1000L, w * 1000L + 1000L)
               .select(col("id").as("k")), "k")).ckpt
           val delta = ops.Layout.snapshotDiff(spark, s"$tdDir/t",

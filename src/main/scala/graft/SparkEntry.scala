@@ -5514,8 +5514,10 @@ object SparkEntry {
           .parquet(inDir.toString)
           .writeStream
           .foreachBatch { (batch: DataFrame, bid: Long) =>
-            val grown = dv.unionAll(ops.Layout.deletionVectorsForKeys(
-              s, s"$tmp/t", batch, "doc_id"))
+            // address resolution prunes through the manifest: only
+            // files whose doc_id span intersects the batch are scanned
+            val grown = dv.unionAll(ops.Layout.deletionVectorsForKeysPruned(
+              s, s"$tmp/t", m, batch, "doc_id"))
             grown.write.parquet(s"$tmp/dv/v$bid")
             val dvNew = s.read.parquet(s"$tmp/dv/v$bid")
             // the view rolls by the CDF between the two DV versions —

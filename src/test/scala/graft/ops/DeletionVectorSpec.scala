@@ -177,6 +177,30 @@ class DeletionVectorSpec extends AnyFunSuite with SparkTestBase {
     assert(after.size > before.size)
   }
 
+  test("manifest-pruned key DVs: identical addresses, only intersecting files scanned") {
+    val dir = writeTable(1000) // 4 range files of 250 keys each
+    val manifest = Ckpt.pinned(Layout.statsManifest(spark, dir, Seq("k")))
+    // the delete batch lives entirely in the first file's key span
+    val keys = spark.range(10, 60).select(col("id").as("k"))
+    def canon(df: org.apache.spark.sql.DataFrame) = df
+      .select(col("file"), col("pos")).collect()
+      .map(r => (r.getString(0), r.getLong(1))).toSet
+    val pruned = Layout.deletionVectorsForKeysPruned(
+      spark, dir, manifest, keys, "k")
+    val full = Layout.deletionVectorsForKeys(spark, dir, keys, "k")
+    assert(canon(pruned) === canon(full) && pruned.count() === 50L)
+    // the address-resolution prune is real: 1 of 4 files
+    val touched = Layout.keyTouchedFiles(manifest, keys, "k")
+    assert(touched.length === 1, s"expected 1 touched file, got $touched")
+    // keys hitting no file's span resolve to an empty DV, zero scans
+    val out = Layout.deletionVectorsForKeysPruned(spark, dir, manifest,
+      spark.range(5000, 5010).select(col("id").as("k")), "k")
+    assert(out.count() === 0L)
+    assert(out.schema.fieldNames.toSeq === Seq("file", "pos"))
+    // and the empty frame still unions with real DV batches
+    assert(out.unionAll(pruned).count() === 50L)
+  }
+
   test("key-based DVs fold by plain union — duplicates and batch order are harmless") {
     val dir = writeTable(300)
     val keysAll = spark.range(0, 300, 5).select(col("id").as("k"))
