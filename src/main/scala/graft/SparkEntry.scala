@@ -4963,6 +4963,38 @@ object SparkEntry {
         .orderBy("l_returnflag")
     }),
 
+    // ---- HYBRID view maintenance for (count, sum, min, max) under a
+    // MIXED changeset: count/sum fold algebraically everywhere, min/max
+    // fold (least/greatest) for insert-only groups, and ONLY groups
+    // holding a delete recompute from their own post-change rows — the
+    // per-aggregate cheapest-correct-path routing production IVM does --
+    "q119_view_refresh_hybrid" -> ((s, dir) => {
+      val li = t(s, dir, "lineitem")
+        .select("l_suppkey", "l_quantity", "l_orderkey")
+      val base0 = li.filter(col("l_orderkey") % 7 =!= 0)
+      val view0 = base0.groupBy("l_suppkey")
+        .agg(count(lit(1)).as("n"),
+          sum(col("l_quantity").cast("decimal(18,2)")).as("total"),
+          min(col("l_quantity")).as("min_v"),
+          max(col("l_quantity")).as("max_v"))
+        .localCheckpoint(eager = true) // the materialized view at v0
+      // the changeset: every 7th order's rows arrive (+1), every 50th
+      // order's surviving rows retract (−1) — most groups see inserts
+      // only and never touch the base
+      val delta = li.filter(col("l_orderkey") % 7 === 0)
+        .withColumn("sign", lit(1L))
+        .unionAll(base0.filter(col("l_orderkey") % 50 === 0)
+          .withColumn("sign", lit(-1L)))
+      val baseNew = li.filter(col("l_orderkey") % 7 === 0 ||
+        col("l_orderkey") % 50 =!= 0)
+      ops.Merge.refreshHybridView(view0, delta, baseNew,
+          "l_suppkey", "l_quantity", "sign")
+        .select(col("l_suppkey"), col("n"),
+          col("total").cast("double").as("total"),
+          col("min_v"), col("max_v"))
+        .orderBy("l_suppkey")
+    }),
+
     // ---- dynamic partition overwrite: INSERT OVERWRITE replaces ONLY
     // the partitions the incoming data touches — the partition-grain
     // refresh between row-level DVs and full rewrites; untouched
@@ -10672,6 +10704,17 @@ object SparkEntry {
         |FROM lineitem
         |WHERE NOT ((l_orderkey % 2 = 0 AND l_returnflag = 'R')
         |           OR l_quantity >= 48.0)
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    // the hybrid-refreshed view ≡ the direct aggregate over the post-
+    // change base: base0 (% 7 ≠ 0) plus inserts (% 7 = 0) minus the
+    // retracted % 50 = 0 rows
+    "q119_view_refresh_hybrid" ->
+      """SELECT l_suppkey, COUNT(*) AS n,
+        |  CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS total,
+        |  MIN(l_quantity) AS min_v, MAX(l_quantity) AS max_v
+        |FROM lineitem
+        |WHERE l_orderkey % 7 = 0 OR l_orderkey % 50 <> 0
         |GROUP BY 1 ORDER BY 1""".stripMargin,
 
     // the extracted change feed ≡ the closed-form (v2 − v1) / (v1 − v2)

@@ -250,4 +250,71 @@ object Merge {
     view.join(affected, Seq(keyCol), "left_anti")
       .unionAll(recomputed)
   }
+
+  /** HYBRID view maintenance for the full (count, sum, min, max) state
+    * under a MIXED signed changeset — the production IVM discipline
+    * that routes each aggregate down its cheapest correct path:
+    *
+    *   - count/sum fold algebraically for EVERY group ([[incrementalAgg]]'s
+    *     retraction math — deletes subtract exactly);
+    *   - min/max fold for groups whose delta is INSERT-ONLY
+    *     (`least`/`greatest` against the stored bound — a new value can
+    *     only tighten outward), which covers the append-mostly bulk of
+    *     a training-data feed;
+    *   - ONLY groups holding at least one delete recompute, from their
+    *     own post-change base rows (a retracted row may have BEEN the
+    *     bound — non-invertible, the q94 case).
+    *
+    * Cost: O(delta) for the fold + O(rows of delete-touched groups)
+    * for the recompute; groups untouched by the delta pass through
+    * verbatim with ZERO base access, insert-only groups with zero base
+    * access too (spec-proven by handing the op a base slice holding
+    * only the delete-touched groups' rows). Never a base re-scan.
+    *
+    * @param state   per-group (`keyCol`, n, total, min_v, max_v)
+    * @param delta   change rows (`keyCol`, `valueCol`, `signCol` ±1)
+    * @param baseNew the post-change base table (only delete-touched
+    *                groups' rows are ever read from it)
+    */
+  def refreshHybridView(
+      state: DataFrame,
+      delta: DataFrame,
+      baseNew: DataFrame,
+      keyCol: String,
+      valueCol: String,
+      signCol: String): DataFrame = {
+    // one pass over the delta: algebraic pieces + insert-side bounds +
+    // the per-group "has a delete" routing bit (map-side combined)
+    val d = delta.groupBy(keyCol).agg(
+      sum(col(signCol)).as("graft_dn"),
+      sum(col(valueCol).cast("decimal(18,2)") * col(signCol))
+        .as("graft_dtotal"),
+      min(when(col(signCol) > 0, col(valueCol))).as("graft_imin"),
+      max(when(col(signCol) > 0, col(valueCol))).as("graft_imax"),
+      max(when(col(signCol) < 0, lit(1)).otherwise(lit(0)))
+        .as("graft_del")).ckpt // two consumers: routing + fold
+    val touched = broadcast(
+      d.filter(col("graft_del") === 1).select(col(keyCol)))
+    // delete-touched groups: full recompute over THEIR rows only
+    val recomputed = baseNew.join(touched, Seq(keyCol), "left_semi")
+      .groupBy(keyCol)
+      .agg(count(lit(1)).as("n"),
+        sum(col(valueCol).cast("decimal(18,2)")).as("total"),
+        min(col(valueCol)).as("min_v"),
+        max(col(valueCol)).as("max_v"))
+    // everyone else: algebraic fold; min/max tighten outward via
+    // null-skipping least/greatest (new groups coalesce from zero)
+    val folded = state.join(touched, Seq(keyCol), "left_anti")
+      .join(d.filter(col("graft_del") === 0), Seq(keyCol), "full_outer")
+      .select(col(keyCol),
+        (coalesce(col("n"), lit(0L)) +
+          coalesce(col("graft_dn"), lit(0L))).as("n"),
+        (coalesce(col("total"), lit(BigDecimal(0)).cast("decimal(18,2)")) +
+          coalesce(col("graft_dtotal"),
+            lit(BigDecimal(0)).cast("decimal(18,2)"))).as("total"),
+        least(col("min_v"), col("graft_imin")).as("min_v"),
+        greatest(col("max_v"), col("graft_imax")).as("max_v"))
+      .filter(col("n") > 0)
+    folded.unionAll(recomputed)
+  }
 }
