@@ -239,6 +239,47 @@ object GraftExtensions {
           strLit(args(1), "graft_shard_shuffle"),
           intLit(args(2), "graft_shard_shuffle")))
       }),
+      // FULL-TEXT search from SQL through a persisted token-bloom
+      // index — SELECT * FROM graft_token_search('/t', '/idx', 'text',
+      // 'needle'); the _dv variant additionally subtracts a persisted
+      // DV set, the takedown-honoring search path
+      "graft_token_search" -> ((args: Seq[Expression]) => {
+        expectArgs("graft_token_search",
+          "dataDir, indexDir, textCol, term", args, 4)
+        val s = active
+        plan(graft.ops.Layout.tokenBloomRead(s,
+          strLit(args(0), "graft_token_search"),
+          s.read.parquet(strLit(args(1), "graft_token_search")),
+          strLit(args(2), "graft_token_search"),
+          strLit(args(3), "graft_token_search")))
+      }),
+      "graft_token_search_dv" -> ((args: Seq[Expression]) => {
+        expectArgs("graft_token_search_dv",
+          "dataDir, indexDir, textCol, term, dvDir", args, 5)
+        val s = active
+        plan(graft.ops.Layout.tokenBloomReadWithDeletes(s,
+          strLit(args(0), "graft_token_search_dv"),
+          s.read.parquet(strLit(args(1), "graft_token_search_dv")),
+          strLit(args(2), "graft_token_search_dv"),
+          strLit(args(3), "graft_token_search_dv"),
+          s.read.parquet(strLit(args(4), "graft_token_search_dv"))))
+      }),
+      // CHANGE-DATA-FEED from SQL: the diff between two persisted
+      // (manifest, DV) versions — SELECT * FROM graft_snapshot_diff(
+      // '/t', '/m/v1', '/m/v2', '/dv/v1', '/dv/v2') returns the base
+      // columns + _change_type, scanning only the changed files
+      "graft_snapshot_diff" -> ((args: Seq[Expression]) => {
+        expectArgs("graft_snapshot_diff",
+          "dataDir, oldManifestDir, newManifestDir, oldDvDir, newDvDir",
+          args, 5)
+        val s = active
+        plan(graft.ops.Layout.snapshotDiff(s,
+          strLit(args(0), "graft_snapshot_diff"),
+          s.read.parquet(strLit(args(1), "graft_snapshot_diff")),
+          s.read.parquet(strLit(args(2), "graft_snapshot_diff")),
+          s.read.parquet(strLit(args(3), "graft_snapshot_diff")),
+          s.read.parquet(strLit(args(4), "graft_snapshot_diff"))))
+      }),
       // vector RETRIEVAL from SQL: a persisted IVF index (IvfIndex.save
       // layout) probed by a query table — SELECT * FROM
       // graft_knn_probe('/indexes/corpus', '/queries/today',

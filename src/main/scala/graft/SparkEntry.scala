@@ -4995,6 +4995,46 @@ object SparkEntry {
         .orderBy("l_suppkey")
     }),
 
+    // ---- the CDC/search family from pure SQL: token-bloom search
+    // (plain + takedown-honoring) and the change feed between two
+    // persisted (manifest, DV) versions, each a TVF resolving at
+    // analysis time to the exact Scala-op plan -------------------------
+    "q120_sql_cdc" -> ((s, dir) => {
+      val tmp = gateScratch("q120")
+      GraftExtensions.register(s)
+      val d = t(s, dir, "documents")
+      d.filter(col("doc_id") % 2 === 0)
+        .repartitionByRange(4, col("doc_id")).write.parquet(s"$tmp/t")
+      val m1 = ops.Layout.statsManifest(s, s"$tmp/t", Seq("doc_id"))
+        .localCheckpoint(eager = true)
+      m1.write.parquet(s"$tmp/m1")
+      val i1 = ops.Layout.tokenBloomIndex(s, s"$tmp/t", "text")
+        .localCheckpoint(eager = true)
+      ops.Layout.deletionVectors(s, s"$tmp/t", lit(false))
+        .write.parquet(s"$tmp/dv1")
+      d.filter(col("doc_id") % 2 === 1)
+        .repartitionByRange(4, col("doc_id"))
+        .write.mode("append").parquet(s"$tmp/t")
+      ops.Layout.extendManifest(s, s"$tmp/t", m1, Seq("doc_id"))
+        .write.parquet(s"$tmp/m2")
+      ops.Layout.extendTokenBloomIndex(s, s"$tmp/t", i1, "text")
+        .write.parquet(s"$tmp/i2")
+      val keys = d.filter(col("doc_id") % 3 === 0).select("doc_id")
+      ops.Layout.deletionVectorsForKeys(s, s"$tmp/t", keys, "doc_id")
+        .write.parquet(s"$tmp/dv2")
+      s.sql(s"""
+        |SELECT 'search' AS op, doc_id FROM graft_token_search_dv(
+        |  '$tmp/t', '$tmp/i2', 'text', 'dup', '$tmp/dv2')
+        |UNION ALL
+        |SELECT 'search_all' AS op, doc_id FROM graft_token_search(
+        |  '$tmp/t', '$tmp/i2', 'text', 'dup')
+        |UNION ALL
+        |SELECT concat('diff_', _change_type) AS op, doc_id
+        |FROM graft_snapshot_diff(
+        |  '$tmp/t', '$tmp/m1', '$tmp/m2', '$tmp/dv1', '$tmp/dv2')
+        |ORDER BY op, doc_id""".stripMargin)
+    }),
+
     // ---- dynamic partition overwrite: INSERT OVERWRITE replaces ONLY
     // the partitions the incoming data touches — the partition-grain
     // refresh between row-level DVs and full rewrites; untouched
@@ -10705,6 +10745,26 @@ object SparkEntry {
         |WHERE NOT ((l_orderkey % 2 = 0 AND l_returnflag = 'R')
         |           OR l_quantity >= 48.0)
         |GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    // each TVF ≡ its Scala op's closed form: the takedown search is
+    // the dup-token scan minus erased keys, the plain search the whole
+    // dup-token scan, the diff's inserts/deletes the (v2 − v1) /
+    // newly-deleted slices
+    "q120_sql_cdc" -> {
+      val dup = s"CASE WHEN length(trim(text)) = 0 THEN FALSE " +
+        s"ELSE list_contains(${OracleSql.toks("text")}, 'dup') END"
+      s"""SELECT 'search' AS op, doc_id FROM documents
+         |WHERE doc_id % 3 <> 0 AND $dup
+         |UNION ALL
+         |SELECT 'search_all' AS op, doc_id FROM documents WHERE $dup
+         |UNION ALL
+         |SELECT 'diff_insert' AS op, doc_id FROM documents
+         |WHERE doc_id % 2 = 1 AND doc_id % 3 <> 0
+         |UNION ALL
+         |SELECT 'diff_delete' AS op, doc_id FROM documents
+         |WHERE doc_id % 2 = 0 AND doc_id % 3 = 0
+         |ORDER BY op, doc_id""".stripMargin
+    },
 
     // the hybrid-refreshed view ≡ the direct aggregate over the post-
     // change base: base0 (% 7 ≠ 0) plus inserts (% 7 = 0) minus the
