@@ -5624,6 +5624,106 @@ object SparkEntry {
       (1 to 4).map(world).reduce(_ unionAll _).orderBy("version", "source")
     }),
 
+    // ---- the FULL streaming lakehouse view loop with NON-INVERTIBLE
+    // aggregates: each micro-batch carries appends AND takedown keys;
+    // per batch the manifest extends (O(new files)), the DV set grows
+    // (address scan manifest-pruned), the (count, sum, min, max) view
+    // hybrid-refreshes from the metadata-derived change feed — min/max
+    // folding for insert-only groups, delete-touched groups recomputing
+    // from their own live rows — and all THREE artifacts flip under one
+    // catalog pointer. Catalog version v ≡ the batch-prefix world ------
+    "s43_stream_lake_view" -> ((s, dir) => {
+      val tmp = gateScratch("s43")
+      val docs = t(s, dir, "documents").select("doc_id", "source", "n_chars")
+      // batch k appends the doc_id % 4 == k slice and takes down the
+      // ALREADY-ARRIVED keys with doc_id % 9 == k (k=0 deletes nothing)
+      val inDir = java.nio.file.Paths.get(tmp, "in")
+      java.nio.file.Files.createDirectories(inDir)
+      (0 until 4).foreach { k =>
+        val adds = docs.filter(pmod(col("doc_id"), lit(4)) === k)
+          .withColumn("is_delete", lit(false))
+        val dels = docs.filter(pmod(col("doc_id"), lit(9)) === k &&
+            pmod(col("doc_id"), lit(4)) <= k - 1)
+          .withColumn("is_delete", lit(true))
+        val shardTmp = s"$tmp/shard$k"
+        adds.unionAll(dels).coalesce(1).write.parquet(shardTmp)
+        val part = new java.io.File(shardTmp).listFiles()
+          .filter(_.getName.endsWith(".parquet")).head
+        val dst = inDir.resolve(f"batch-$k%02d.parquet")
+        java.nio.file.Files.move(part.toPath, dst)
+        java.nio.file.Files.setLastModifiedTime(dst,
+          java.nio.file.attribute.FileTime.fromMillis(
+            1700000000000L + k * 60000L))
+      }
+      docs.limit(0).coalesce(1).write.parquet(s"$tmp/t")
+      var manifest = ops.Layout.statsManifest(s, s"$tmp/t", Seq("doc_id"))
+        .localCheckpoint(eager = true)
+      var dv = ops.Layout.deletionVectors(s, s"$tmp/t", lit(false))
+        .localCheckpoint(eager = true)
+      var view = docs.limit(0).groupBy("source")
+        .agg(count(lit(1)).as("n"),
+          sum(col("n_chars").cast("decimal(18,2)")).as("total"),
+          min(col("n_chars")).as("min_v"),
+          max(col("n_chars")).as("max_v"))
+        .localCheckpoint(eager = true)
+      val cat = s"$tmp/catalog"
+      val inSchema = s.read.parquet(inDir.toString).schema
+      withNarrowState(s) {
+        val q = s.readStream.schema(inSchema)
+          .option("maxFilesPerTrigger", "1")
+          .parquet(inDir.toString)
+          .writeStream
+          .foreachBatch { (batch: DataFrame, bid: Long) =>
+            batch.filter(!col("is_delete"))
+              .select("doc_id", "source", "n_chars")
+              .repartitionByRange(2, col("doc_id"))
+              .write.mode("append").parquet(s"$tmp/t")
+            ops.Layout.extendManifest(s, s"$tmp/t", manifest, Seq("doc_id"))
+              .write.parquet(s"$tmp/m/v$bid")
+            val m2 = s.read.parquet(s"$tmp/m/v$bid")
+            dv.unionAll(ops.Layout.deletionVectorsForKeysPruned(
+                s, s"$tmp/t", m2,
+                batch.filter(col("is_delete")).select("doc_id"), "doc_id"))
+              .write.parquet(s"$tmp/dv/v$bid")
+            val dv2 = s.read.parquet(s"$tmp/dv/v$bid")
+            // the change feed between the two (manifest, DV) versions
+            // drives the hybrid refresh; delete-touched groups read
+            // their live rows from the CURRENT version only
+            val delta = ops.Layout.snapshotDiff(s, s"$tmp/t",
+                manifest, m2, dv, dv2)
+              .withColumn("sign", when(col("_change_type") === "insert",
+                lit(1L)).otherwise(lit(-1L)))
+            val baseNew = ops.Layout.snapshotReadWithDeletes(
+              s, s"$tmp/t", m2, dv2)
+            ops.Merge.refreshHybridView(view, delta, baseNew,
+                "source", "n_chars", "sign")
+              .write.parquet(s"$tmp/view/v$bid")
+            manifest = m2; dv = dv2
+            view = s.read.parquet(s"$tmp/view/v$bid")
+            ops.Catalog.commit(s, cat, Map("manifest" -> s"$tmp/m/v$bid",
+              "dv" -> s"$tmp/dv/v$bid", "view" -> s"$tmp/view/v$bid"))
+            ()
+          }
+          .option("checkpointLocation", s"$tmp/chk")
+          .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+          .start()
+        q.awaitTermination()
+      }
+      // catalog v is a consistent THREE-artifact world: the view's
+      // groups and the merge-on-read live count move together
+      def world(v: Int): DataFrame = {
+        val refs = ops.Catalog.resolve(s, cat, v)
+        val live = ops.Layout.snapshotReadWithDeletes(s, s"$tmp/t",
+          s.read.parquet(refs("manifest")), s.read.parquet(refs("dv")))
+          .count()
+        s.read.parquet(refs("view"))
+          .select(lit(v).as("version"), col("source"), col("n"),
+            col("total").cast("double").as("total"),
+            col("min_v"), col("max_v"), lit(live).as("live_rows"))
+      }
+      (1 to 4).map(world).reduce(_ unionAll _).orderBy("version", "source")
+    }),
+
     // ---- cross-artifact atomic commit: ONE catalog pointer over the
     // (stats manifest, token-bloom index) pair — a reader resolving
     // catalog v1 searches epoch-1 docs only, even though epoch 2 is
@@ -11041,6 +11141,25 @@ object SparkEntry {
          |FROM documents WHERE doc_id % 9 >= $v
          |GROUP BY source""".stripMargin
     }.mkString("", "\nUNION ALL\n", "\nORDER BY version, source"),
+
+    // catalog version v ≡ the batch-prefix world: arrived = doc_id % 4
+    // <= v-1; erased = the unique j = doc_id % 9 lies in 1..v-1 AND the
+    // doc had already arrived by batch j (doc_id % 4 <= j-1)
+    "s43_stream_lake_view" -> {
+      def live(v: Int): String =
+        s"""(doc_id % 4 <= ${v - 1}
+           | AND NOT (doc_id % 9 >= 1 AND doc_id % 9 <= ${v - 1}
+           |          AND doc_id % 4 <= doc_id % 9 - 1))""".stripMargin
+      (1 to 4).map { v =>
+        s"""SELECT CAST($v AS INT) AS version, source, COUNT(*) AS n,
+           |  CAST(SUM(CAST(n_chars AS DECIMAL(18,2))) AS DOUBLE) AS total,
+           |  MIN(n_chars) AS min_v, MAX(n_chars) AS max_v,
+           |  (SELECT COUNT(*) FROM documents WHERE ${live(v)})
+           |    AS live_rows
+           |FROM documents WHERE ${live(v)}
+           |GROUP BY source""".stripMargin
+      }.mkString("", "\nUNION ALL\n", "\nORDER BY version, source")
+    },
 
     // each catalog version is a consistent (manifest, index) world:
     // v1 ≡ the epoch-1 slice searched AND counted, v2 ≡ the whole table
