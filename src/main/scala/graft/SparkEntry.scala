@@ -5724,6 +5724,37 @@ object SparkEntry {
       (1 to 4).map(world).reduce(_ unionAll _).orderBy("version", "source")
     }),
 
+    // ---- catalog-aware GC: retention by REFERENCE, not age — vacuum
+    // the catalog to its newest versions, then delete only artifact
+    // dirs no retained version references; the surviving versions keep
+    // reading exactly their batch-prefix worlds -------------------------
+    "q121_catalog_vacuum" -> ((s, dir) => {
+      val tmp = gateScratch("q121")
+      val docs = t(s, dir, "documents").select("doc_id", "source")
+      docs.limit(0).coalesce(1).write.parquet(s"$tmp/t")
+      var m = ops.Layout.statsManifest(s, s"$tmp/t", Seq("doc_id"))
+        .localCheckpoint(eager = true)
+      val cat = s"$tmp/catalog"
+      (0 until 4).foreach { k =>
+        docs.filter(pmod(col("doc_id"), lit(4)) === k)
+          .repartitionByRange(2, col("doc_id"))
+          .write.mode("append").parquet(s"$tmp/t")
+        ops.Layout.extendManifest(s, s"$tmp/t", m, Seq("doc_id"))
+          .write.parquet(s"$tmp/m/v$k")
+        m = s.read.parquet(s"$tmp/m/v$k")
+        ops.Catalog.commit(s, cat, Map("manifest" -> s"$tmp/m/v$k"))
+      }
+      ops.Catalog.vacuumKeep(s, cat, keep = 2, Seq(s"$tmp/m"))
+      def world(v: Int): DataFrame = {
+        val refs = ops.Catalog.resolve(s, cat, v)
+        ops.Layout.snapshotRead(s, s"$tmp/t",
+            s.read.parquet(refs("manifest")))
+          .groupBy("source").agg(count(lit(1)).as("n"))
+          .select(lit(v).as("version"), col("source"), col("n"))
+      }
+      world(3).unionAll(world(4)).orderBy("version", "source")
+    }),
+
     // ---- cross-artifact atomic commit: ONE catalog pointer over the
     // (stats manifest, token-bloom index) pair — a reader resolving
     // catalog v1 searches epoch-1 docs only, even though epoch 2 is
@@ -11160,6 +11191,14 @@ object SparkEntry {
            |GROUP BY source""".stripMargin
       }.mkString("", "\nUNION ALL\n", "\nORDER BY version, source")
     },
+
+    // the retained catalog versions read their batch-prefix worlds
+    // unchanged after the reference-based GC
+    "q121_catalog_vacuum" -> (3 to 4).map { v =>
+      s"""SELECT CAST($v AS INT) AS version, source, COUNT(*) AS n
+         |FROM documents WHERE doc_id % 4 <= ${v - 1}
+         |GROUP BY source""".stripMargin
+    }.mkString("", "\nUNION ALL\n", "\nORDER BY version, source"),
 
     // each catalog version is a consistent (manifest, index) world:
     // v1 ≡ the epoch-1 slice searched AND counted, v2 ≡ the whole table

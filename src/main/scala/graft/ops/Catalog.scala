@@ -53,6 +53,45 @@ object Catalog {
   def resolveCurrent(spark: SparkSession, path: String): Map[String, String] =
     resolve(spark, path, Versions.current(path)(spark))
 
+  /** CATALOG-AWARE garbage collection — the missing half of retention
+    * when artifacts are referenced, not owned: vacuum the catalog to
+    * its newest `keep` versions, then delete every child directory of
+    * the caller-supplied `artifactRoots` that NO retained catalog
+    * version references. Per-artifact [[Versions.vacuum]] can't do this
+    * safely (an artifact version may be old by its own count yet still
+    * referenced by a retained catalog version — e.g. a DV set that
+    * didn't change for ten commits), so the reference set, not age, is
+    * the liveness criterion.
+    *
+    * Scale: reads O(keep · #artifacts) catalog rows and lists the
+    * roots' children — planner-scale metadata only. Deletes are
+    * restricted to children of the given roots; anything referenced by
+    * ANY retained version survives regardless of age. Returns the
+    * deleted directories. The usual retention caveat applies verbatim
+    * from [[Versions]]: a reader pinned to a vacuumed catalog version
+    * loses — size `keep` to the deployment's longest reader. */
+  def vacuumKeep(spark: SparkSession, path: String, keep: Int,
+      artifactRoots: Seq[String]): Seq[String] = {
+    implicit val s: SparkSession = spark
+    Versions.vacuum(path, keep)
+    def norm(p: String): String =
+      new org.apache.hadoop.fs.Path(p).toUri.getPath
+    val referenced = Versions.listVersions(path)
+      .flatMap(v => resolve(spark, path, v).values)
+      .map(norm).toSet
+    val conf = spark.sparkContext.hadoopConfiguration
+    artifactRoots.flatMap { root =>
+      val fs = graft.io.PathResolver.fsFor(root, conf)
+      val rootPath = new org.apache.hadoop.fs.Path(root)
+      if (!fs.exists(rootPath)) Seq.empty
+      else fs.listStatus(rootPath).toSeq
+        .filter(_.isDirectory)
+        .map(_.getPath)
+        .filterNot(p => referenced.contains(norm(p.toString)))
+        .map { p => fs.delete(p, true); p.toString }
+    }
+  }
+
   /** [[resolve]] for one artifact, failing loudly when the catalog
     * version doesn't carry it. */
   def ref(spark: SparkSession, path: String, version: Int,

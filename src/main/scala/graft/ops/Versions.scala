@@ -68,6 +68,13 @@ object Versions {
     doomed
   }
 
+  /** The version numbers currently on disk (vacuumed ones excluded). */
+  def listVersions(path: String)(implicit spark: SparkSession): Seq[Int] = {
+    val fs = graft.io.PathResolver.fsFor(path,
+      spark.sparkContext.hadoopConfiguration)
+    list(fs, new org.apache.hadoop.fs.Path(path)).sorted
+  }
+
   private def list(fs: org.apache.hadoop.fs.FileSystem,
       root: org.apache.hadoop.fs.Path): Seq[Int] =
     if (!fs.exists(root)) Seq.empty

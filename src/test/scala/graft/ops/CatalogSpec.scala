@@ -59,6 +59,41 @@ class CatalogSpec extends AnyFunSuite with SparkTestBase {
     } != null)
   }
 
+  test("vacuumKeep deletes by reference, not age") {
+    val base = java.nio.file.Files.createTempDirectory("graft-catgc")
+    val path = base.toString + "/cat"
+    val arts = base.resolve("m")
+    java.nio.file.Files.createDirectories(arts)
+    def mkArt(name: String): String = {
+      val d = arts.resolve(name)
+      java.nio.file.Files.createDirectories(d)
+      java.nio.file.Files.writeString(d.resolve("data"), name)
+      d.toString
+    }
+    // dv1 is OLD by age but stays referenced by every commit; each
+    // commit gets its own manifest dir; 'stray' is referenced by nothing
+    val dv1 = mkArt("dv1")
+    val stray = mkArt("stray")
+    (1 to 4).foreach { i =>
+      Catalog.commit(spark, path, Map("manifest" -> mkArt(s"mf$i"),
+        "dv" -> dv1))
+    }
+    val deleted = Catalog.vacuumKeep(spark, path, keep = 2,
+      Seq(arts.toString))
+    def exists(n: String) = java.nio.file.Files.exists(arts.resolve(n))
+    // dropped: the unreferenced manifests + the stray dir; dv1 SURVIVES
+    // despite being the oldest artifact on disk
+    assert(!exists("mf1") && !exists("mf2") && !exists("stray"))
+    assert(exists("mf3") && exists("mf4") && exists("dv1"))
+    assert(deleted.map(p => new java.io.File(p).getName).toSet ===
+      Set("mf1", "mf2", "stray"))
+    // retained versions still resolve to live dirs
+    assert(Versions.listVersions(path)(spark) === Seq(3, 4))
+    assert(new java.io.File(Catalog.resolve(spark, path, 3)("dv")).exists())
+    assert(new java.io.File(
+      Catalog.resolve(spark, path, 4)("manifest")).exists())
+  }
+
   test("empty commit refuses") {
     val ex = intercept[IllegalArgumentException] {
       Catalog.commit(spark, freshPath(), Map.empty)
