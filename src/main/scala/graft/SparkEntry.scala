@@ -5519,8 +5519,10 @@ object SparkEntry {
             ops.Layout.extendTokenBloomIndex(s, s"$tmp/t", tokidx, "text")
               .write.parquet(s"$tmp/i/v$bid")
             tokidx = s.read.parquet(s"$tmp/i/v$bid")
-            // the ONE atomic step: both artifacts flip together
-            ops.Catalog.commit(s, cat, Map(
+            // the ONE atomic step: both artifacts flip together —
+            // keyed by the batch id, so a foreachBatch RETRY of this
+            // batch can never publish the world twice
+            ops.Catalog.commitIdempotent(s, cat, s"batch-$bid", Map(
               "manifest" -> s"$tmp/m/v$bid", "token_bloom" -> s"$tmp/i/v$bid"))
             ()
           }
@@ -5601,7 +5603,7 @@ object SparkEntry {
               .write.parquet(s"$tmp/view/v$bid")
             dv = dvNew
             view = s.read.parquet(s"$tmp/view/v$bid")
-            ops.Catalog.commit(s, cat, Map(
+            ops.Catalog.commitIdempotent(s, cat, s"batch-$bid", Map(
               "dv" -> s"$tmp/dv/v$bid", "view" -> s"$tmp/view/v$bid"))
             ()
           }
@@ -5700,8 +5702,9 @@ object SparkEntry {
               .write.parquet(s"$tmp/view/v$bid")
             manifest = m2; dv = dv2
             view = s.read.parquet(s"$tmp/view/v$bid")
-            ops.Catalog.commit(s, cat, Map("manifest" -> s"$tmp/m/v$bid",
-              "dv" -> s"$tmp/dv/v$bid", "view" -> s"$tmp/view/v$bid"))
+            ops.Catalog.commitIdempotent(s, cat, s"batch-$bid",
+              Map("manifest" -> s"$tmp/m/v$bid",
+                "dv" -> s"$tmp/dv/v$bid", "view" -> s"$tmp/view/v$bid"))
             ()
           }
           .option("checkpointLocation", s"$tmp/chk")

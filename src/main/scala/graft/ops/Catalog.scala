@@ -41,6 +41,29 @@ object Catalog {
     })(spark)
   }
 
+  /** [[commit]] keyed by a transaction id — the exactly-once flip a
+    * streaming foreachBatch loop needs: Spark re-runs a failed batch
+    * with the SAME batch id, and a plain commit in the retry would
+    * publish the same world twice (splitting history and breaking
+    * version ≡ batch-prefix reasoning). If any version still on disk
+    * carries `txnId`, that version is returned and nothing is written;
+    * otherwise this commits `refs` plus the reserved `_txn` artifact
+    * row. The lookup reads O(#versions-retained) catalog tables —
+    * bytes each, bounded by the retention policy.
+    *
+    * This makes the POINTER exactly-once; the artifact dirs a batch
+    * writes must themselves be replay-safe (immutable per-batch version
+    * dirs, or the s34 write-audit-publish staging pattern) — the same
+    * division of labor Delta's txn-version store uses. */
+  def commitIdempotent(spark: SparkSession, path: String, txnId: String,
+      refs: Map[String, String]): Int = {
+    require(!refs.contains("_txn"), "'_txn' is a reserved artifact name")
+    implicit val s: SparkSession = spark
+    Versions.listVersions(path).reverse
+      .find(v => resolve(spark, path, v).get("_txn").contains(txnId))
+      .getOrElse(commit(spark, path, refs + ("_txn" -> txnId)))
+  }
+
   /** The (artifact → ref) map at a pinned catalog version. */
   def resolve(spark: SparkSession, path: String,
       version: Int): Map[String, String] =

@@ -94,6 +94,32 @@ class CatalogSpec extends AnyFunSuite with SparkTestBase {
       Catalog.resolve(spark, path, 4)("manifest")).exists())
   }
 
+  test("commitIdempotent: a replayed batch never publishes twice") {
+    val path = freshPath()
+    val v1 = Catalog.commitIdempotent(spark, path, "batch-0",
+      Map("m" -> "m/v0"))
+    assert(v1 === 1)
+    // the retry: same txn id → SAME version, nothing written
+    assert(Catalog.commitIdempotent(spark, path, "batch-0",
+      Map("m" -> "m/v0")) === 1)
+    assert(Versions.listVersions(path)(spark) === Seq(1))
+    // a new batch commits normally
+    val v2 = Catalog.commitIdempotent(spark, path, "batch-1",
+      Map("m" -> "m/v1"))
+    assert(v2 === 2)
+    // a LATE replay of batch-0 (crash-restart redelivery) still finds
+    // its original version instead of re-publishing
+    assert(Catalog.commitIdempotent(spark, path, "batch-0",
+      Map("m" -> "m/v0")) === 1)
+    assert(Versions.listVersions(path)(spark) === Seq(1, 2))
+    assert(Catalog.resolveCurrent(spark, path)("m") === "m/v1")
+    // the reserved artifact name refuses
+    assert(intercept[IllegalArgumentException] {
+      Catalog.commitIdempotent(spark, path, "batch-2",
+        Map("_txn" -> "x"))
+    }.getMessage.contains("_txn"))
+  }
+
   test("empty commit refuses") {
     val ex = intercept[IllegalArgumentException] {
       Catalog.commit(spark, freshPath(), Map.empty)
