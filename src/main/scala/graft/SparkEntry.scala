@@ -2891,6 +2891,33 @@ object SparkEntry {
         .orderBy("l_returnflag")
     }),
 
+    // ---- takedown against the TWO-LEVEL manifest, end to end: the
+    // delete keys resolve addresses through the group rollup (file rows
+    // read only at surviving graft_group partitions), and the grouped
+    // merge-on-read range probe subtracts them — a 10⁷-file table
+    // absorbs a scattered erase wave with every consumer staying at
+    // O(groups-touched · groupSize) driver paths -----------------------
+    "q122_grouped_takedown" -> ((s, dir) => {
+      val tmp = gateScratch("q122")
+      t(s, dir, "lineitem").select("l_orderkey", "l_returnflag", "l_quantity")
+        .write.parquet(s"$tmp/raw")
+      ops.Layout.compact(s, s"$tmp/raw", s"$tmp/sorted",
+        "l_orderkey", targetRowsPerFile = 2000L)
+      ops.Layout.statsManifestPartitioned(s, s"$tmp/sorted",
+        Seq("l_orderkey"), s"$tmp/mf", groupSize = 4L)
+      val keys = t(s, dir, "lineitem")
+        .filter(col("l_orderkey") % 17 === 0).select("l_orderkey")
+      val dv = ops.Layout.deletionVectorsForKeysGrouped(
+        s, s"$tmp/sorted", s"$tmp/mf", keys, "l_orderkey")
+      ops.Layout.prunedReadGroupedWithDeletes(s, s"$tmp/sorted", s"$tmp/mf",
+          "l_orderkey", lit(1000L), lit(3000L), dv)
+        .groupBy("l_returnflag")
+        .agg(count(lit(1)).as("n_items"),
+          sum(col("l_quantity").cast("decimal(18,2)")).cast("double")
+            .as("sum_qty"))
+        .orderBy("l_returnflag")
+    }),
+
     // ---- SELECTIVE merge into a range-partitioned layout: changes are
     // confined to low keys (< 3000) plus out-of-range inserts, so only
     // the overlapping files re-encode — the rest stream-copy verbatim;
@@ -9820,6 +9847,15 @@ object SparkEntry {
         |  CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty
         |FROM lineitem
         |WHERE l_orderkey BETWEEN 1000 AND 3000 AND l_returnflag <> 'R'
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    // the grouped takedown + grouped merge-on-read probe ≡ the range
+    // filter minus the erased key class
+    "q122_grouped_takedown" ->
+      """SELECT l_returnflag, COUNT(*) AS n_items,
+        |  CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty
+        |FROM lineitem
+        |WHERE l_orderkey BETWEEN 1000 AND 3000 AND l_orderkey % 17 <> 0
         |GROUP BY 1 ORDER BY 1""".stripMargin,
 
     // the extended layout reads exactly like the full table: evens were

@@ -1177,8 +1177,42 @@ object Layout {
     * false negatives, and the same broadcast semi-join lands last. */
   def deletionVectorsForKeysPruned(spark: org.apache.spark.sql.SparkSession,
       dir: String, manifest: DataFrame, keys: DataFrame,
+      keyCol: String): DataFrame =
+    dvAddressesIn(spark, keyTouchedFiles(manifest, keys, keyCol),
+      keys, keyCol)
+
+  /** [[deletionVectorsForKeysPruned]] for a [[statsManifestPartitioned]]
+    * (two-level) layout — the takedown path past the flat-manifest
+    * ceiling: the tiny group rollup range-joins the broadcast key
+    * batch first, file rows are read ONLY at the surviving
+    * `graft_group=` partitions, and the span-intersecting files among
+    * them resolve addresses. Driver work is O(groups-touched ·
+    * groupSize) paths, the same bound as every grouped consumer — a
+    * 10⁷-file table absorbs a scattered key wave without any consumer
+    * ever collecting its full listing. Result ≡ the unpruned variant
+    * (spec-proven). */
+  def deletionVectorsForKeysGrouped(spark: org.apache.spark.sql.SparkSession,
+      dir: String, manifestDir: String, keys: DataFrame,
       keyCol: String): DataFrame = {
-    val touched = keyTouchedFiles(manifest, keys, keyCol)
+    val k = broadcast(keys.select(col(keyCol).as("graft_del_k")))
+    def hit = col("graft_del_k") >= col(s"min_$keyCol") &&
+      col("graft_del_k") <= col(s"max_$keyCol")
+    val gids = spark.read.parquet(s"$manifestDir/groups")
+      .join(k, hit, "left_semi")
+      .select("graft_group").collect().map(_.getInt(0))
+    val touched =
+      if (gids.isEmpty) Seq.empty[String]
+      else spark.read.parquet(s"$manifestDir/files")
+        .filter(col("graft_group").isin(gids.toIndexedSeq: _*))
+        .join(k, hit, "left_semi")
+        .select("file").collect().map(_.getString(0)).toIndexedSeq
+    dvAddressesIn(spark, touched, keys, keyCol)
+  }
+
+  /** Resolve (file, pos) addresses of `keys` within an explicit file
+    * list — the shared tail of both pruned takedown variants. */
+  private def dvAddressesIn(spark: org.apache.spark.sql.SparkSession,
+      touched: Seq[String], keys: DataFrame, keyCol: String): DataFrame =
     if (touched.isEmpty)
       spark.createDataFrame(
         new java.util.ArrayList[org.apache.spark.sql.Row](),
@@ -1193,7 +1227,6 @@ object Layout {
           col("_metadata.row_index").as("pos"))
         .join(broadcast(keys.select(col(keyCol))), Seq(keyCol), "left_semi")
         .select("file", "pos")
-  }
 
   /** Merge-on-read scan applying [[deletionVectors]]: the base table is
     * scanned in place and deleted addresses are subtracted by a

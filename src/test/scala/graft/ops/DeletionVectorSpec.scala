@@ -201,6 +201,32 @@ class DeletionVectorSpec extends AnyFunSuite with SparkTestBase {
     assert(out.unionAll(pruned).count() === 50L)
   }
 
+  test("grouped-manifest key DVs equal the unpruned addresses") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-dvg").toString
+    spark.range(4000)
+      .select(col("id").as("k"), (col("id") % 7).as("v"))
+      .repartitionByRange(16, col("k")) // 16 files, 4 groups of 4
+      .write.mode("overwrite").parquet(s"$dir/t")
+    val mf = s"$dir/mf"
+    Layout.statsManifestPartitioned(spark, s"$dir/t", Seq("k"), mf,
+      groupSize = 4L)
+    // a key slab confined to one group's span + one scattered straggler
+    val keys = spark.range(100, 200).select(col("id").as("k"))
+      .unionAll(spark.range(3900, 3910).select(col("id").as("k")))
+    def canon(df: org.apache.spark.sql.DataFrame) = df
+      .select(col("file"), col("pos")).collect()
+      .map(r => (r.getString(0), r.getLong(1))).toSet
+    val grouped = Layout.deletionVectorsForKeysGrouped(
+      spark, s"$dir/t", mf, keys, "k")
+    val full = Layout.deletionVectorsForKeys(spark, s"$dir/t", keys, "k")
+    assert(canon(grouped) === canon(full) && grouped.count() === 110L)
+    // out-of-span keys: empty frame with the DV schema
+    val none = Layout.deletionVectorsForKeysGrouped(spark, s"$dir/t", mf,
+      spark.range(90000, 90005).select(col("id").as("k")), "k")
+    assert(none.count() === 0L)
+    assert(none.schema.fieldNames.toSeq === Seq("file", "pos"))
+  }
+
   test("key-based DVs fold by plain union — duplicates and batch order are harmless") {
     val dir = writeTable(300)
     val keysAll = spark.range(0, 300, 5).select(col("id").as("k"))
