@@ -723,7 +723,8 @@ object Soak {
     // group count (fold) / the live row count (baseline).
     val takedownResults: Seq[(String, Double, Double, Long)] =
       if (!want("takedown_wave_fold_1k_files",
-        "view_recompute_full_1k_files")) Seq()
+        "view_recompute_full_1k_files",
+        "takedown_grouped_address_1k_files")) Seq()
       else {
       val tdDir = soakTempDir("graft-soak-td")
       val tdFiles = 1000
@@ -769,7 +770,21 @@ object Soak {
             sum(col("k").cast("decimal(18,2)")).as("total")).count()
         live.count()
       }
-      Seq(rFold, rRecompute)
+      // grouped-manifest address resolution over the SAME fixture:
+      // `rows` records the DV rows resolved; the claim worth a number
+      // is the scan set — the wave's keys live in 2 of 1000 files, and
+      // the group rollup confines the file-row read to their partitions
+      val gmfDir = soakTempDir("graft-soak-tdg")
+      ops.Layout.statsManifestPartitioned(spark, s"$tdDir/t", Seq("k"),
+        s"$gmfDir/mf", groupSize = 64L)
+      quiesce()
+      val rGrouped = measure("takedown_grouped_address_1k_files") {
+        ops.Layout.deletionVectorsForKeysGrouped(spark, s"$tdDir/t",
+          s"$gmfDir/mf",
+          spark.range(500000L, 502000L).select(col("id").as("k")), "k")
+          .count()
+      }
+      Seq(rFold, rRecompute, rGrouped)
     }
 
     // ---- MULTI-WRITER lake cycle at 10× scale (q105's interleaving,
