@@ -280,6 +280,23 @@ object GraftExtensions {
           s.read.parquet(strLit(args(3), "graft_snapshot_diff")),
           s.read.parquet(strLit(args(4), "graft_snapshot_diff"))))
       }),
+      // hybrid IVM from SQL: refresh a persisted (key, n, total, min_v,
+      // max_v) view from a persisted signed delta — SELECT * FROM
+      // graft_hybrid_refresh('/views/v1', '/deltas/today', '/data/t',
+      //                      'g', 'x', 'sign')
+      "graft_hybrid_refresh" -> ((args: Seq[Expression]) => {
+        expectArgs("graft_hybrid_refresh",
+          "stateDir, deltaDir, baseNewDir, keyCol, valueCol, signCol",
+          args, 6)
+        val s = active
+        plan(graft.ops.Merge.refreshHybridView(
+          s.read.parquet(strLit(args(0), "graft_hybrid_refresh")),
+          s.read.parquet(strLit(args(1), "graft_hybrid_refresh")),
+          s.read.parquet(strLit(args(2), "graft_hybrid_refresh")),
+          strLit(args(3), "graft_hybrid_refresh"),
+          strLit(args(4), "graft_hybrid_refresh"),
+          strLit(args(5), "graft_hybrid_refresh")))
+      }),
       // vector RETRIEVAL from SQL: a persisted IVF index (IvfIndex.save
       // layout) probed by a query table — SELECT * FROM
       // graft_knn_probe('/indexes/corpus', '/queries/today',

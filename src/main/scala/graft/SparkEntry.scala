@@ -5022,6 +5022,37 @@ object SparkEntry {
         .orderBy("l_suppkey")
     }),
 
+    // ---- q119's hybrid IVM refresh from one spark.sql string: state,
+    // delta and base are persisted side tables, the TVF resolves to the
+    // exact refreshHybridView plan --------------------------------------
+    "q123_sql_hybrid_refresh" -> ((s, dir) => {
+      val tmp = gateScratch("q123")
+      GraftExtensions.register(s)
+      val li = t(s, dir, "lineitem")
+        .select("l_suppkey", "l_quantity", "l_orderkey")
+      val base0 = li.filter(col("l_orderkey") % 7 =!= 0)
+      base0.groupBy("l_suppkey")
+        .agg(count(lit(1)).as("n"),
+          sum(col("l_quantity").cast("decimal(18,2)")).as("total"),
+          min(col("l_quantity")).as("min_v"),
+          max(col("l_quantity")).as("max_v"))
+        .write.parquet(s"$tmp/state")
+      li.filter(col("l_orderkey") % 7 === 0)
+        .withColumn("sign", lit(1L))
+        .unionAll(base0.filter(col("l_orderkey") % 50 === 0)
+          .withColumn("sign", lit(-1L)))
+        .write.parquet(s"$tmp/delta")
+      li.filter(col("l_orderkey") % 7 === 0 ||
+          col("l_orderkey") % 50 =!= 0)
+        .write.parquet(s"$tmp/base")
+      s.sql(s"""
+        |SELECT l_suppkey, n, CAST(total AS DOUBLE) AS total,
+        |       min_v, max_v
+        |FROM graft_hybrid_refresh('$tmp/state', '$tmp/delta',
+        |  '$tmp/base', 'l_suppkey', 'l_quantity', 'sign')
+        |ORDER BY l_suppkey""".stripMargin)
+    }),
+
     // ---- the CDC/search family from pure SQL: token-bloom search
     // (plain + takedown-honoring) and the change feed between two
     // persisted (manifest, DV) versions, each a TVF resolving at
@@ -10935,6 +10966,15 @@ object SparkEntry {
          |WHERE doc_id % 2 = 0 AND doc_id % 3 = 0
          |ORDER BY op, doc_id""".stripMargin
     },
+
+    // the SQL replay of q119's refresh ≡ the same post-change aggregate
+    "q123_sql_hybrid_refresh" ->
+      """SELECT l_suppkey, COUNT(*) AS n,
+        |  CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS total,
+        |  MIN(l_quantity) AS min_v, MAX(l_quantity) AS max_v
+        |FROM lineitem
+        |WHERE l_orderkey % 7 = 0 OR l_orderkey % 50 <> 0
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
 
     // the hybrid-refreshed view ≡ the direct aggregate over the post-
     // change base: base0 (% 7 ≠ 0) plus inserts (% 7 = 0) minus the
