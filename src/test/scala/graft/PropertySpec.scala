@@ -522,6 +522,43 @@ object PropertySpec extends Properties("graft") {
       admit(l.map(_._1)) ++ admit(r.map(_._1)) == whole
     }
 
+  property("refreshHybridView ≡ full recompute for any mixed changeset") =
+    forAll(
+      Gen.listOfN(20, for {
+        g <- Gen.choose(0L, 4L); x <- Gen.choose(1L, 50L)
+      } yield (g, x.toDouble)).suchThat(_.nonEmpty),
+      Gen.listOfN(8, for {
+        g <- Gen.choose(0L, 5L); x <- Gen.choose(1L, 50L)
+      } yield (g, x.toDouble)),
+      Gen.choose(0L, 4L)) { (base, ins, delGroup) =>
+      // deletes: the delete-group's low half retracts; inserts may
+      // create brand-new groups (g = 5) and touch the delete group too
+      val base0 = base.zipWithIndex
+        .map { case ((g, x), i) => (g, x, i.toLong) }
+        .toDF("g", "x", "rid")
+      val state = base0.groupBy("g").agg(count(lit(1)).as("n"),
+        sum(col("x").cast("decimal(18,2)")).as("total"),
+        min(col("x")).as("min_v"), max(col("x")).as("max_v"))
+        .localCheckpoint(eager = true)
+      val delPred = col("g") === delGroup && col("x") <= 25.0
+      val insDf = ins.zipWithIndex
+        .map { case ((g, x), i) => (g, x, 1000L + i) }
+        .toDF("g", "x", "rid")
+      val delta = insDf.withColumn("sign", lit(1L))
+        .unionAll(base0.filter(delPred).withColumn("sign", lit(-1L)))
+      val baseNew = base0.filter(!delPred).unionAll(insDf)
+      def canon(df: org.apache.spark.sql.DataFrame) = df
+        .select(col("g"), col("n"), col("total").cast("double"),
+          col("min_v"), col("max_v"))
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2),
+          r.getDouble(3), r.getDouble(4))).sortBy(_._1).toSeq
+      val want = canon(baseNew.groupBy("g").agg(count(lit(1)).as("n"),
+        sum(col("x").cast("decimal(18,2)")).as("total"),
+        min(col("x")).as("min_v"), max(col("x")).as("max_v")))
+      canon(graft.ops.Merge.refreshHybridView(
+        state, delta, baseNew, "g", "x", "sign")) == want
+    }
+
   property("longestPathLayers: every DAG edge rises exactly-one-or-more at the fixed point") =
     forAll(Gen.listOfN(20, for {
       a <- Gen.choose(0L, 10L); b <- Gen.choose(0L, 10L)
