@@ -722,12 +722,15 @@ object Soak {
     // recompute baseline runs beside it; `rows` records the final view's
     // group count (fold) / the live row count (baseline).
     val takedownResults: Seq[(String, Double, Double, Long)] =
-      if (!want("takedown_wave_fold_1k_files",
-        "view_recompute_full_1k_files",
-        "takedown_grouped_address_1k_files")) Seq()
+      if (!want(s"takedown_wave_fold_${copies * 100}_files",
+        s"view_recompute_full_${copies * 100}_files",
+        s"takedown_grouped_address_${copies * 100}_files")) Seq()
       else {
       val tdDir = soakTempDir("graft-soak-td")
-      val tdFiles = 1000
+      // copies scales the TABLE (100 files per copy); the 4 erase waves
+      // stay fixed-size, so fold cost should stay flat while the full
+      // recompute grows with the table
+      val tdFiles = 100 * copies
       val tdRows = tdFiles * 1000L
       spark.range(0, tdRows)
         .select(col("id").as("k"), (col("id") % 97).as("v"),
@@ -743,7 +746,7 @@ object Soak {
         .agg(count(lit(1)).as("n"),
           sum(col("k").cast("decimal(18,2)")).as("total")).ckpt
       quiesce()
-      val rFold = measure("takedown_wave_fold_1k_files") {
+      val rFold = measure(s"takedown_wave_fold_${tdFiles}_files") {
         // each wave erases one file's key slab — the diff scans only
         // the DV-touched files, the fold shuffles only touched groups
         (0 until 4).foreach { w =>
@@ -762,7 +765,7 @@ object Soak {
         tview.count()
       }
       quiesce()
-      val rRecompute = measure("view_recompute_full_1k_files") {
+      val rRecompute = measure(s"view_recompute_full_${tdFiles}_files") {
         val live = ops.Layout.snapshotReadWithDeletes(spark, s"$tdDir/t",
           tdm, tdv)
         live.groupBy("v")
@@ -778,10 +781,11 @@ object Soak {
       ops.Layout.statsManifestPartitioned(spark, s"$tdDir/t", Seq("k"),
         s"$gmfDir/mf", groupSize = 64L)
       quiesce()
-      val rGrouped = measure("takedown_grouped_address_1k_files") {
+      val rGrouped = measure(s"takedown_grouped_address_${tdFiles}_files") {
         ops.Layout.deletionVectorsForKeysGrouped(spark, s"$tdDir/t",
           s"$gmfDir/mf",
-          spark.range(500000L, 502000L).select(col("id").as("k")), "k")
+          spark.range(tdRows / 2, tdRows / 2 + 2000L)
+            .select(col("id").as("k")), "k")
           .count()
       }
       Seq(rFold, rRecompute, rGrouped)
