@@ -280,6 +280,29 @@ object GraftExtensions {
           s.read.parquet(strLit(args(3), "graft_snapshot_diff")),
           s.read.parquet(strLit(args(4), "graft_snapshot_diff"))))
       }),
+      // read a CATALOG VERSION from SQL: resolve the atomic pointer's
+      // (artifact → ref) table once, then snapshot-read the data dir
+      // through the version's manifest, subtracting its DV set when the
+      // version carries a 'dv' artifact — SELECT * FROM
+      // graft_catalog_read('/data/t', '/data/catalog', 2)
+      "graft_catalog_read" -> ((args: Seq[Expression]) => {
+        expectArgs("graft_catalog_read",
+          "dataDir, catalogPath, version", args, 3)
+        val s = active
+        val refs = graft.ops.Catalog.resolve(s,
+          strLit(args(1), "graft_catalog_read"),
+          intLit(args(2), "graft_catalog_read"))
+        val manifest = s.read.parquet(refs.getOrElse("manifest",
+          throw new IllegalArgumentException(
+            "graft_catalog_read needs a 'manifest' artifact; version has: " +
+              refs.keys.toSeq.sorted.mkString(", "))))
+        val dataDir = strLit(args(0), "graft_catalog_read")
+        plan(refs.get("dv") match {
+          case Some(dvDir) => graft.ops.Layout.snapshotReadWithDeletes(
+            s, dataDir, manifest, s.read.parquet(dvDir))
+          case None => graft.ops.Layout.snapshotRead(s, dataDir, manifest)
+        })
+      }),
       // hybrid IVM from SQL: refresh a persisted (key, n, total, min_v,
       // max_v) view from a persisted signed delta — SELECT * FROM
       // graft_hybrid_refresh('/views/v1', '/deltas/today', '/data/t',

@@ -5022,6 +5022,45 @@ object SparkEntry {
         .orderBy("l_suppkey")
     }),
 
+    // ---- read catalog versions from pure SQL: one TVF resolves the
+    // pointer's (artifact → ref) table and snapshot-reads through that
+    // version's manifest, subtracting its DV set when present — v1
+    // (pre-takedown, manifest only) and v2 (manifest + dv) read their
+    // own consistent worlds from the same directory -------------------
+    "q124_sql_catalog_read" -> ((s, dir) => {
+      val tmp = gateScratch("q124")
+      GraftExtensions.register(s)
+      val li = t(s, dir, "lineitem")
+        .select("l_orderkey", "l_returnflag", "l_quantity")
+      li.filter(col("l_orderkey") % 2 === 0)
+        .repartitionByRange(4, col("l_orderkey")).write.parquet(s"$tmp/t")
+      val m1 = ops.Layout.statsManifest(s, s"$tmp/t", Seq("l_orderkey"))
+        .localCheckpoint(eager = true)
+      m1.write.parquet(s"$tmp/m1")
+      val cat = s"$tmp/catalog"
+      ops.Catalog.commit(s, cat, Map("manifest" -> s"$tmp/m1"))
+      li.filter(col("l_orderkey") % 2 === 1)
+        .repartitionByRange(4, col("l_orderkey"))
+        .write.mode("append").parquet(s"$tmp/t")
+      ops.Layout.extendManifest(s, s"$tmp/t", m1, Seq("l_orderkey"))
+        .write.parquet(s"$tmp/m2")
+      ops.Layout.deletionVectors(s, s"$tmp/t", col("l_quantity") >= 48.0)
+        .write.parquet(s"$tmp/dv2")
+      ops.Catalog.commit(s, cat,
+        Map("manifest" -> s"$tmp/m2", "dv" -> s"$tmp/dv2"))
+      s.sql(s"""
+        |SELECT 1 AS version, l_returnflag, COUNT(*) AS n_rows,
+        |  CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty
+        |FROM graft_catalog_read('$tmp/t', '$cat', 1)
+        |GROUP BY l_returnflag
+        |UNION ALL
+        |SELECT 2 AS version, l_returnflag, COUNT(*) AS n_rows,
+        |  CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty
+        |FROM graft_catalog_read('$tmp/t', '$cat', 2)
+        |GROUP BY l_returnflag
+        |ORDER BY version, l_returnflag""".stripMargin)
+    }),
+
     // ---- q119's hybrid IVM refresh from one spark.sql string: state,
     // delta and base are persisted side tables, the TVF resolves to the
     // exact refreshHybridView plan --------------------------------------
@@ -10966,6 +11005,20 @@ object SparkEntry {
          |WHERE doc_id % 2 = 0 AND doc_id % 3 = 0
          |ORDER BY op, doc_id""".stripMargin
     },
+
+    // v1 ≡ the even epoch un-deleted; v2 ≡ the whole table minus the
+    // takedown class — each version reads its own consistent world
+    "q124_sql_catalog_read" ->
+      """SELECT 1 AS version, l_returnflag, COUNT(*) AS n_rows,
+        |  CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty
+        |FROM lineitem WHERE l_orderkey % 2 = 0
+        |GROUP BY 2
+        |UNION ALL
+        |SELECT 2 AS version, l_returnflag, COUNT(*) AS n_rows,
+        |  CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty
+        |FROM lineitem WHERE NOT l_quantity >= 48.0
+        |GROUP BY 2
+        |ORDER BY version, l_returnflag""".stripMargin,
 
     // the SQL replay of q119's refresh ≡ the same post-change aggregate
     "q123_sql_hybrid_refresh" ->
