@@ -397,6 +397,29 @@ class DataSkippingSpec extends AnyFunSuite with SparkTestBase {
       spark, dir, idx, "text", "needle", none).count() === 100L)
   }
 
+  test("plan: takedown-honoring token search is shuffle-free") {
+    val dir = freshDir("tokbloomplan")
+    spark.range(1000)
+      .select(col("id").as("doc_id"),
+        concat(lit("alpha doc "), col("id").cast("string"),
+          when(col("id") < 100, lit(" needle")).otherwise(lit(""))).as("text"))
+      .repartitionByRange(10, col("doc_id"))
+      .write.mode("overwrite").parquet(dir)
+    val idx = Layout.tokenBloomIndex(spark, dir, "text")
+      .localCheckpoint(eager = true)
+    val dv = Layout.deletionVectors(spark, dir, col("doc_id") % 3 === 0)
+      .localCheckpoint(eager = true)
+    // index probe collects driver-side, the DV subtraction broadcasts:
+    // the whole read is exchange-free until the caller aggregates
+    val plan = Layout.tokenBloomReadWithDeletes(
+        spark, dir, idx, "text", "needle", dv)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin") && plan.contains("LeftAnti"),
+      s"expected a broadcast anti join, got:\n$plan")
+    assert(!plan.contains("ShuffleExchange"),
+      s"token search shuffled:\n$plan")
+  }
+
   test("manifest refuses to be born or grown over the file ceiling") {
     val dir = sortedLayout(1000, 100) // 10 files
     try {

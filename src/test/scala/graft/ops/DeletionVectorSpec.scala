@@ -283,4 +283,18 @@ class DeletionVectorSpec extends AnyFunSuite with SparkTestBase {
     assert(!plan.contains("ShuffleExchange"),
       s"base side shuffled before the DV subtraction:\n$plan")
   }
+
+  test("plan: pruned address resolution is shuffle-free (broadcast semi)") {
+    val dir = writeTable(1000)
+    val manifest = Ckpt.pinned(Layout.statsManifest(spark, dir, Seq("k")))
+    val keys = spark.range(10, 60).select(col("id").as("k"))
+      .localCheckpoint(eager = true)
+    val plan = Layout.deletionVectorsForKeysPruned(
+        spark, dir, manifest, keys, "k")
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin") && plan.contains("LeftSemi"),
+      s"expected a broadcast semi join, got:\n$plan")
+    assert(!plan.contains("ShuffleExchange"),
+      s"address scan shuffled:\n$plan")
+  }
 }
