@@ -36,6 +36,10 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     // plan-level tier: band-join → bucketed equi-join (fires only when
     // spark.graft.rangeJoin.bucketWidth is set positive)
     ext.injectOptimizerRule(_ => graft.plans.RangeJoinRewrite)
+    // materialized-view rewrite: aggregates over a registered lake
+    // version answer from the IVM-maintained view (no-op until
+    // MvRewrite.register* is called)
+    ext.injectOptimizerRule(_ => graft.plans.MvRewrite)
   }
 }
 

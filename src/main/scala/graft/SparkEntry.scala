@@ -5061,6 +5061,62 @@ object SparkEntry {
         |ORDER BY version, l_returnflag""".stripMargin)
     }),
 
+    // ---- MATERIALIZED-VIEW query rewrite: an aggregate over a catalog
+    // version answers from the IVM-maintained (n,total,min_v,max_v)
+    // view with ZERO base I/O — the optimizer rule matches the pinned
+    // (manifest, DV) snapshot plan by canonical equivalence and
+    // substitutes the O(#groups) view scan; the gate REQUIREs the
+    // rewritten plan reads only the view rows, then hash-matches the
+    // closed-form aggregate over the live rows ---------------------------
+    "q125_mv_rewrite" -> ((s, dir) => {
+      val tmp = gateScratch("q125")
+      val li = t(s, dir, "lineitem")
+        .select("l_orderkey", "l_linenumber", "l_returnflag", "l_quantity")
+      li.repartitionByRange(4, col("l_orderkey")).write.parquet(s"$tmp/t")
+      ops.Layout.statsManifest(s, s"$tmp/t", Seq("l_orderkey"))
+        .write.parquet(s"$tmp/m")
+      ops.Layout.deletionVectors(s, s"$tmp/t", col("l_quantity") >= 48.0)
+        .write.parquet(s"$tmp/dv")
+      // the view definition: a DECIMAL measure (sum/avg rewrites are
+      // exact-only; a raw double measure would refuse them)
+      val prep = (df: DataFrame) => df.select(col("l_returnflag"),
+        col("l_quantity").cast("decimal(18,2)").as("qty"))
+      ops.Merge.aggView(prep(ops.Layout.snapshotReadWithDeletes(s,
+          s"$tmp/t", s.read.parquet(s"$tmp/m"), s.read.parquet(s"$tmp/dv"))),
+          "l_returnflag", "qty")
+        .write.parquet(s"$tmp/view")
+      ops.Catalog.commit(s, s"$tmp/cat", Map("manifest" -> s"$tmp/m",
+        "dv" -> s"$tmp/dv", "view" -> s"$tmp/view"))
+      try {
+        plans.MvRewrite.registerFromCatalog(s, "q125_li", s"$tmp/t",
+          s"$tmp/cat", "l_returnflag", "qty", prep = prep)
+        // a consumer-built query over the same catalog version (fresh
+        // plans — matching is structural, not by reference)
+        val res = prep(ops.Layout.snapshotReadWithDeletes(s, s"$tmp/t",
+            s.read.parquet(s"$tmp/m"), s.read.parquet(s"$tmp/dv")))
+          .groupBy("l_returnflag")
+          .agg(count(lit(1)).as("n_rows"),
+            sum(col("qty")).cast("double").as("sum_qty"),
+            min(col("qty")).cast("double").as("min_qty"),
+            max(col("qty")).cast("double").as("max_qty"))
+          .orderBy("l_returnflag")
+        // the gate is about the PLAN: fail loudly unless the optimized
+        // plan (cached by this QueryExecution, so the driver's later
+        // action reuses it) scans the view rows and never the base files
+        val roots = res.queryExecution.optimizedPlan.collect {
+          case lr: org.apache.spark.sql.execution.datasources.LogicalRelation =>
+            lr.relation match {
+              case fs: org.apache.spark.sql.execution.datasources.HadoopFsRelation =>
+                fs.location.rootPaths.map(_.toString)
+              case _ => Seq.empty[String]
+            }
+        }.flatten
+        require(roots.nonEmpty && roots.forall(_.contains("/view")),
+          s"mv rewrite did not fire; scanned: ${roots.mkString(", ")}")
+        res
+      } finally plans.MvRewrite.unregister("q125_li")
+    }),
+
     // ---- q119's hybrid IVM refresh from one spark.sql string: state,
     // delta and base are persisted side tables, the TVF resolves to the
     // exact refreshHybridView plan --------------------------------------
@@ -11038,6 +11094,18 @@ object SparkEntry {
         |  MIN(l_quantity) AS min_v, MAX(l_quantity) AS max_v
         |FROM lineitem
         |WHERE l_orderkey % 7 = 0 OR l_orderkey % 50 <> 0
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    // the MV-rewritten aggregate (answered from the view rows — the
+    // gate REQUIREs the plan never scans the base) ≡ the closed-form
+    // aggregate over the live (DV-surviving) rows
+    "q125_mv_rewrite" ->
+      """SELECT l_returnflag, COUNT(*) AS n_rows,
+        |  CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
+        |  CAST(MIN(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS min_qty,
+        |  CAST(MAX(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS max_qty
+        |FROM lineitem
+        |WHERE NOT l_quantity >= 48.0
         |GROUP BY 1 ORDER BY 1""".stripMargin,
 
     // the extracted change feed ≡ the closed-form (v2 − v1) / (v1 − v2)
