@@ -40,6 +40,10 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     // version answer from the IVM-maintained view (no-op until
     // MvRewrite.register* is called)
     ext.injectOptimizerRule(_ => graft.plans.MvRewrite)
+    // metadata-only aggregates: global count/min/max over a registered
+    // append-only version answer from the stats manifest (no-op until
+    // MetaAggRewrite.register* is called)
+    ext.injectOptimizerRule(_ => graft.plans.MetaAggRewrite)
   }
 }
 

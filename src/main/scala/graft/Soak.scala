@@ -791,6 +791,63 @@ object Soak {
       Seq(rFold, rRecompute, rGrouped)
     }
 
+    // ---- MV-REWRITE read path at volume: the same dashboard aggregate
+    // answered two ways over a merge-on-read table — rewritten onto the
+    // O(#groups) view (a one-file scan, zero shuffle: the optimized
+    // plan has no Aggregate left) vs the direct re-aggregation (reads
+    // every live file, shuffles the partials). The rewrite's cost is
+    // table-size-INDEPENDENT; the direct read is the linear cost every
+    // un-rewritten dashboard refresh pays.
+    val mvResults: Seq[(String, Double, Double, Long)] =
+      if (!want(s"mv_rewrite_view_read_${copies * 100}_files",
+        s"mv_direct_agg_${copies * 100}_files")) Seq()
+      else {
+      val mvDir = soakTempDir("graft-soak-mvr")
+      val mvFiles = 100 * copies
+      val mvRows = mvFiles * 1000L
+      spark.range(0, mvRows)
+        .select(col("id"), (col("id") % 997).as("g"),
+          (col("id") % 1000).as("x"),
+          md5(col("id").cast("string")).as("payload"))
+        .repartitionByRange(mvFiles, col("id"))
+        .write.mode("overwrite").parquet(s"$mvDir/t")
+      ops.Layout.statsManifest(spark, s"$mvDir/t", Seq("id"))
+        .write.parquet(s"$mvDir/m")
+      ops.Layout.deletionVectorsForKeys(spark, s"$mvDir/t",
+          spark.range(0, 1000).select(col("id")), "id")
+        .write.parquet(s"$mvDir/dv")
+      def mvSnap() = ops.Layout.snapshotReadWithDeletes(spark, s"$mvDir/t",
+          spark.read.parquet(s"$mvDir/m"), spark.read.parquet(s"$mvDir/dv"))
+        .select("g", "x")
+      ops.Merge.aggView(mvSnap(), "g", "x").write.parquet(s"$mvDir/view")
+      ops.Catalog.commit(spark, s"$mvDir/cat", Map(
+        "manifest" -> s"$mvDir/m", "dv" -> s"$mvDir/dv",
+        "view" -> s"$mvDir/view"))
+      plans.MvRewrite.registerFromCatalog(spark, "soak_mv", s"$mvDir/t",
+        s"$mvDir/cat", "g", "x")
+      def mvQuery() = mvSnap().groupBy("g").agg(
+        count(lit(1)).as("n_rows"), sum(col("x")).as("sum_x"),
+        min(col("x")).as("min_x"), max(col("x")).as("max_x"))
+      quiesce()
+      val rMvView = measure(s"mv_rewrite_view_read_${mvFiles}_files") {
+        val q = mvQuery()
+        require(q.queryExecution.optimizedPlan.collectFirst {
+          case a: org.apache.spark.sql.catalyst.plans.logical.Aggregate => a
+        }.isEmpty, "soak mv rewrite did not fire")
+        q.count()
+      }
+      val rMvDirect = measure(s"mv_direct_agg_${mvFiles}_files") {
+        spark.conf.set(plans.MvRewrite.EnabledConf, "false")
+        try {
+          val q = mvQuery()
+          q.queryExecution.optimizedPlan // pin the un-rewritten plan
+          q.count()
+        } finally spark.conf.set(plans.MvRewrite.EnabledConf, "true")
+      }
+      plans.MvRewrite.unregister("soak_mv")
+      Seq(rMvView, rMvDirect)
+    }
+
     // ---- MULTI-WRITER lake cycle at 10× scale (q105's interleaving,
     // soak-sized): append → delete wave → append → manifest extend →
     // second wave → DV compaction → vacuum, with the final merge-on-
@@ -970,7 +1027,7 @@ object Soak {
 
     val allResults =
       (results ++ layoutResults ++ cdcResults ++ takedownResults ++
-        shardEpochResults ++
+        mvResults ++ shardEpochResults ++
         frontDoorResults :+ multiwriterResult)
         .filter(_._2 >= 0) // drop op-filter skip markers
 

@@ -5117,6 +5117,47 @@ object SparkEntry {
       } finally plans.MvRewrite.unregister("q125_li")
     }),
 
+    // ---- METADATA-ONLY aggregates: the global count/min/max/count(col)
+    // introspection panel over an append-only snapshot answers from the
+    // stats manifest's per-file (n_rows, min, max, nulls) rows — the
+    // optimizer rule proves zero data-file I/O (the gate REQUIREs a
+    // manifest-only scan), and the values hash-match the full-scan
+    // oracle, nulls included --------------------------------------------
+    "q126_meta_agg" -> ((s, dir) => {
+      val tmp = gateScratch("q126")
+      val li = t(s, dir, "lineitem")
+        .select(col("l_orderkey"), col("l_linenumber"),
+          when(col("l_linenumber") % 3 === 0, lit(null).cast("double"))
+            .otherwise(col("l_quantity")).as("q"))
+      li.repartitionByRange(4, col("l_orderkey")).write.parquet(s"$tmp/t")
+      ops.Layout.statsManifest(s, s"$tmp/t", Seq("l_orderkey", "q"))
+        .write.parquet(s"$tmp/m")
+      ops.Catalog.commit(s, s"$tmp/cat", Map("manifest" -> s"$tmp/m"))
+      try {
+        plans.MetaAggRewrite.registerFromCatalog(s, "q126_li", s"$tmp/t",
+          s"$tmp/cat", Seq("l_orderkey", "q"))
+        val res = ops.Layout.snapshotRead(s, s"$tmp/t",
+            s.read.parquet(s"$tmp/m"))
+          .agg(count(lit(1)).as("n_rows"),
+            min(col("l_orderkey")).as("min_ok"),
+            max(col("l_orderkey")).as("max_ok"),
+            count(col("q")).as("n_q"),
+            min(col("q")).as("min_q"),
+            max(col("q")).as("max_q"))
+        val roots = res.queryExecution.optimizedPlan.collect {
+          case lr: org.apache.spark.sql.execution.datasources.LogicalRelation =>
+            lr.relation match {
+              case fs: org.apache.spark.sql.execution.datasources.HadoopFsRelation =>
+                fs.location.rootPaths.map(_.toString)
+              case _ => Seq.empty[String]
+            }
+        }.flatten
+        require(roots.nonEmpty && roots.forall(_.endsWith("/m")),
+          s"meta-agg rewrite did not fire; scanned: ${roots.mkString(", ")}")
+        res
+      } finally plans.MetaAggRewrite.unregister("q126_li")
+    }),
+
     // ---- q119's hybrid IVM refresh from one spark.sql string: state,
     // delta and base are persisted side tables, the TVF resolves to the
     // exact refreshHybridView plan --------------------------------------
@@ -11107,6 +11148,17 @@ object SparkEntry {
         |FROM lineitem
         |WHERE NOT l_quantity >= 48.0
         |GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    // the manifest-answered panel (the gate REQUIREs zero data-file
+    // I/O) ≡ the full-scan aggregate, nulls included
+    "q126_meta_agg" ->
+      """SELECT COUNT(*) AS n_rows,
+        |  MIN(l_orderkey) AS min_ok, MAX(l_orderkey) AS max_ok,
+        |  COUNT(q) AS n_q, MIN(q) AS min_q, MAX(q) AS max_q
+        |FROM (SELECT l_orderkey,
+        |        CASE WHEN l_linenumber % 3 = 0 THEN NULL
+        |             ELSE l_quantity END AS q
+        |      FROM lineitem)""".stripMargin,
 
     // the extracted change feed ≡ the closed-form (v2 − v1) / (v1 − v2)
     // slices: inserts are the epoch-2 rows live at v2 (wave-2 deletes

@@ -251,6 +251,22 @@ object Merge {
       .unionAll(recomputed)
   }
 
+  /** The CANONICAL aggregate-view state: one row per group with the
+    * full (count, sum, min, max) panel — what [[refreshHybridView]]
+    * maintains incrementally and what [[graft.plans.MvRewrite]] answers
+    * queries from. Defining it once keeps the three consumers
+    * bit-compatible: build the state with this, roll it forward with
+    * `refreshHybridView`, and register the persisted rows for rewrite.
+    * For exact sum/avg rewrites the value column must be integral or
+    * decimal (cast a double measure first — floating sums are
+    * order-dependent, and the rewrite refuses them). */
+  def aggView(base: DataFrame, keyCol: String, valueCol: String): DataFrame =
+    base.groupBy(keyCol).agg(
+      count(lit(1)).as("n"),
+      sum(col(valueCol)).as("total"),
+      min(col(valueCol)).as("min_v"),
+      max(col(valueCol)).as("max_v"))
+
   /** HYBRID view maintenance for the full (count, sum, min, max) state
     * under a MIXED signed changeset — the production IVM discipline
     * that routes each aggregate down its cheapest correct path:
@@ -276,22 +292,6 @@ object Merge {
     * @param baseNew the post-change base table (only delete-touched
     *                groups' rows are ever read from it)
     */
-  /** The CANONICAL aggregate-view state: one row per group with the
-    * full (count, sum, min, max) panel — what [[refreshHybridView]]
-    * maintains incrementally and what [[graft.plans.MvRewrite]] answers
-    * queries from. Defining it once keeps the three consumers
-    * bit-compatible: build the state with this, roll it forward with
-    * `refreshHybridView`, and register the persisted rows for rewrite.
-    * For exact sum/avg rewrites the value column must be integral or
-    * decimal (cast a double measure first — floating sums are
-    * order-dependent, and the rewrite refuses them). */
-  def aggView(base: DataFrame, keyCol: String, valueCol: String): DataFrame =
-    base.groupBy(keyCol).agg(
-      count(lit(1)).as("n"),
-      sum(col(valueCol)).as("total"),
-      min(col(valueCol)).as("min_v"),
-      max(col(valueCol)).as("max_v"))
-
   def refreshHybridView(
       state: DataFrame,
       delta: DataFrame,

@@ -175,6 +175,31 @@ class MvRewriteSpec extends AnyFunSuite with SparkTestBase {
     } finally MvRewrite.clear()
   }
 
+  test("pure SQL through the catalog TVF rewrites too") {
+    val (t, cat) = fixture()
+    graft.GraftExtensions.register(spark)
+    try {
+      MvRewrite.registerFromCatalog(spark, "t_by_k", t, cat, "k", "v")
+      // no Scala DSL anywhere: the TVF resolves to the same snapshot
+      // plan the registration stored, so the aggregate matches and the
+      // SQL prompt is answered from the view
+      val q = spark.sql(
+        s"""SELECT k, COUNT(*) AS n_rows, SUM(v) AS sum_v,
+           |  MIN(v) AS min_v2, MAX(v) AS max_v2
+           |FROM graft_catalog_read('$t', '$cat', 1)
+           |GROUP BY k ORDER BY k""".stripMargin)
+      assert(scanRoots(q).forall(_.contains("/view1")),
+        s"SQL path did not rewrite: ${scanRoots(q)}")
+      spark.conf.set(MvRewrite.EnabledConf, "false")
+      val direct = try pinPlan(snapshotAt(t, cat, 1).groupBy("k").agg(
+        count(lit(1)).as("n_rows"), sum(col("v")).as("sum_v"),
+        min(col("v")).as("min_v2"), max(col("v")).as("max_v2"))
+        .orderBy("k")) finally
+        spark.conf.set(MvRewrite.EnabledConf, "true")
+      assert(q.collect().toSeq === direct.collect().toSeq)
+    } finally MvRewrite.clear()
+  }
+
   test("IVM composition: hybrid-refreshed view answers the new version") {
     val (t, cat) = fixture()
     val root = new java.io.File(t).getParent
