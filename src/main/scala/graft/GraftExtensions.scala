@@ -328,6 +328,47 @@ object GraftExtensions {
           strLit(args(4), "graft_hybrid_refresh"),
           strLit(args(5), "graft_hybrid_refresh")))
       }),
+      // QUERY-REWRITE registration from SQL — the MV / metadata-agg
+      // optimizer rules become reachable from a pure SQL prompt:
+      //   SELECT * FROM graft_mv_register('sales_by_k', '/t', '/cat',
+      //                                   'k', 'v', 2)
+      // registers catalog version 2's (manifest, dv?, view) so later
+      // aggregates over that version answer from the view, and returns
+      // the view rows; graft_meta_register does the same for the
+      // manifest-answered global count/min/max panel (append-only
+      // versions only — a non-empty DV refuses, same as the Scala API).
+      // Registration happens at ANALYSIS time, the documented driver-
+      // verb contract of this family (graft_commit precedent). SQL
+      // registrations cover raw-column views; a view over a derived
+      // measure (e.g. a decimal cast) registers through the Scala API's
+      // `prep` hook instead.
+      "graft_mv_register" -> ((args: Seq[Expression]) => {
+        expectArgs("graft_mv_register",
+          "name, dataDir, catalogPath, keyCol, valueCol, version", args, 6)
+        val s = active
+        val cat = strLit(args(2), "graft_mv_register")
+        val v = intLit(args(5), "graft_mv_register")
+        graft.plans.MvRewrite.registerFromCatalog(s,
+          strLit(args(0), "graft_mv_register"),
+          strLit(args(1), "graft_mv_register"), cat,
+          strLit(args(3), "graft_mv_register"),
+          strLit(args(4), "graft_mv_register"), version = Some(v))
+        plan(s.read.parquet(graft.ops.Catalog.ref(s, cat, v, "view")))
+      }),
+      "graft_meta_register" -> ((args: Seq[Expression]) => {
+        expectArgs("graft_meta_register",
+          "name, dataDir, catalogPath, statsColsCsv, version", args, 5)
+        val s = active
+        val cat = strLit(args(2), "graft_meta_register")
+        val v = intLit(args(4), "graft_meta_register")
+        graft.plans.MetaAggRewrite.registerFromCatalog(s,
+          strLit(args(0), "graft_meta_register"),
+          strLit(args(1), "graft_meta_register"), cat,
+          strLit(args(3), "graft_meta_register")
+            .split(",").map(_.trim).filter(_.nonEmpty).toSeq,
+          version = Some(v))
+        plan(s.read.parquet(graft.ops.Catalog.ref(s, cat, v, "manifest")))
+      }),
       // vector RETRIEVAL from SQL: a persisted IVF index (IvfIndex.save
       // layout) probed by a query table — SELECT * FROM
       // graft_knn_probe('/indexes/corpus', '/queries/today',

@@ -132,6 +132,25 @@ class MetaAggRewriteSpec extends AnyFunSuite with SparkTestBase {
     } finally MetaAggRewrite.clear()
   }
 
+  test("SQL-only loop: graft_meta_register + query, no Scala API") {
+    val (t, cat) = fixture()
+    graft.GraftExtensions.register(spark)
+    try {
+      val reg = spark.sql(s"SELECT * FROM graft_meta_register(" +
+        s"'t_sql_meta', '$t', '$cat', 'ts,v', 1)")
+      assert(reg.columns.contains("n_rows") &&
+        reg.columns.contains("min_ts"))
+      val q = spark.sql(
+        s"""SELECT COUNT(*) AS n_rows, MIN(ts) AS mn, MAX(ts) AS mx
+           |FROM graft_catalog_read('$t', '$cat', 1)""".stripMargin)
+      assert(scanRoots(q).forall(_.contains("/m")),
+        s"SQL-registered meta rewrite did not fire: ${scanRoots(q)}")
+      val r = q.head
+      assert(r.getLong(0) === 500L && r.getLong(1) === 0L &&
+        r.getLong(2) === 4990L)
+    } finally MetaAggRewrite.clear()
+  }
+
   test("empty table: count 0, min/max null") {
     val root = freshDir()
     spark.range(0).select(col("id"), col("id").as("ts"))

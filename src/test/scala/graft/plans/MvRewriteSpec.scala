@@ -200,6 +200,25 @@ class MvRewriteSpec extends AnyFunSuite with SparkTestBase {
     } finally MvRewrite.clear()
   }
 
+  test("SQL-only loop: graft_mv_register + query, no Scala API") {
+    val (t, cat) = fixture()
+    graft.GraftExtensions.register(spark)
+    try {
+      // registration IS a SQL statement; it returns the view rows
+      val reg = spark.sql(
+        s"SELECT * FROM graft_mv_register('t_sql', '$t', '$cat', 'k', 'v', 1)")
+      assert(reg.columns.toSet === Set("k", "n", "total", "min_v", "max_v"))
+      assert(reg.count() === 5)
+      val q = spark.sql(
+        s"""SELECT k, COUNT(*) AS n_rows, SUM(v) AS sum_v
+           |FROM graft_catalog_read('$t', '$cat', 1)
+           |GROUP BY k ORDER BY k""".stripMargin)
+      assert(scanRoots(q).forall(_.contains("/view1")),
+        s"SQL-registered rewrite did not fire: ${scanRoots(q)}")
+      assert(q.count() === 5)
+    } finally MvRewrite.clear()
+  }
+
   test("IVM composition: hybrid-refreshed view answers the new version") {
     val (t, cat) = fixture()
     val root = new java.io.File(t).getParent
