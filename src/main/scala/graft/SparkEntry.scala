@@ -5117,6 +5117,65 @@ object SparkEntry {
       } finally plans.MvRewrite.unregister("q125_li")
     }),
 
+    // ---- MV rewrite, compound key + GLOBAL rollup: one registered
+    // (day × status)-keyed view answers BOTH the grouped dashboard (any
+    // grouping order) and the table-wide panel — the global rewrite is
+    // ONE aggregate over the O(#groups) view rows (Σn, Σtotal,
+    // min(min_v), max(max_v)), exact because the panel is decomposable;
+    // the gate REQUIREs the union plan never scans a base file ----------
+    "q127_mv_rollup" -> ((s, dir) => {
+      val tmp = gateScratch("q127")
+      val li = t(s, dir, "lineitem")
+        .select("l_orderkey", "l_returnflag", "l_linestatus", "l_quantity")
+      li.repartitionByRange(4, col("l_orderkey")).write.parquet(s"$tmp/t")
+      ops.Layout.statsManifest(s, s"$tmp/t", Seq("l_orderkey"))
+        .write.parquet(s"$tmp/m")
+      ops.Layout.deletionVectors(s, s"$tmp/t", col("l_quantity") >= 48.0)
+        .write.parquet(s"$tmp/dv")
+      val prep = (df: DataFrame) => df.select(col("l_returnflag"),
+        col("l_linestatus"),
+        col("l_quantity").cast("decimal(18,2)").as("qty"))
+      def snap() = prep(ops.Layout.snapshotReadWithDeletes(s, s"$tmp/t",
+        s.read.parquet(s"$tmp/m"), s.read.parquet(s"$tmp/dv")))
+      ops.Merge.aggView(snap(), Seq("l_returnflag", "l_linestatus"), "qty")
+        .write.parquet(s"$tmp/view")
+      ops.Catalog.commit(s, s"$tmp/cat", Map("manifest" -> s"$tmp/m",
+        "dv" -> s"$tmp/dv", "view" -> s"$tmp/view"))
+      try {
+        plans.MvRewrite.registerFromCatalogKeys(s, "q127_li", s"$tmp/t",
+          s"$tmp/cat", Seq("l_returnflag", "l_linestatus"), "qty",
+          prep = prep)
+        // grouped panel, grouping order REVERSED vs the registration
+        val grouped = snap().groupBy("l_linestatus", "l_returnflag")
+          .agg(count(lit(1)).as("n_rows"),
+            sum(col("qty")).cast("double").as("sum_qty"),
+            min(col("qty")).cast("double").as("min_qty"),
+            max(col("qty")).cast("double").as("max_qty"))
+          .select(lit("group").as("scope"),
+            concat(col("l_returnflag"), col("l_linestatus")).as("grp"),
+            col("n_rows"), col("sum_qty"), col("min_qty"), col("max_qty"))
+        // table-wide panel: rolls up from the same view rows
+        val global = snap().agg(count(lit(1)).as("n_rows"),
+            sum(col("qty")).cast("double").as("sum_qty"),
+            min(col("qty")).cast("double").as("min_qty"),
+            max(col("qty")).cast("double").as("max_qty"))
+          .select(lit("all").as("scope"), lit("*").as("grp"),
+            col("n_rows"), col("sum_qty"), col("min_qty"), col("max_qty"))
+        val res = grouped.unionAll(global).orderBy("scope", "grp")
+        val roots = res.queryExecution.optimizedPlan.collect {
+          case lr: org.apache.spark.sql.execution.datasources.LogicalRelation =>
+            lr.relation match {
+              case fs: org.apache.spark.sql.execution.datasources.HadoopFsRelation =>
+                fs.location.rootPaths.map(_.toString)
+              case _ => Seq.empty[String]
+            }
+        }.flatten
+        require(roots.nonEmpty && roots.forall(_.endsWith("/view")),
+          s"mv rollup rewrite did not fire; scanned: ${roots.mkString(", ")}")
+        res
+      } finally plans.MvRewrite.unregister("q127_li")
+    }),
+
     // ---- METADATA-ONLY aggregates: the global count/min/max/count(col)
     // introspection panel over an append-only snapshot answers from the
     // stats manifest's per-file (n_rows, min, max, nulls) rows — the
@@ -11148,6 +11207,26 @@ object SparkEntry {
         |FROM lineitem
         |WHERE NOT l_quantity >= 48.0
         |GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    // both the compound-key dashboard and the table-wide rollup
+    // (answered from the same view rows — the gate REQUIREs the plan
+    // never scans a base file) ≡ the closed-form aggregates over the
+    // live rows
+    "q127_mv_rollup" ->
+      """SELECT 'group' AS scope, l_returnflag || l_linestatus AS grp,
+        |  COUNT(*) AS n_rows,
+        |  CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
+        |  CAST(MIN(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS min_qty,
+        |  CAST(MAX(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS max_qty
+        |FROM lineitem WHERE NOT l_quantity >= 48.0
+        |GROUP BY 2
+        |UNION ALL
+        |SELECT 'all', '*', COUNT(*),
+        |  CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE),
+        |  CAST(MIN(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE),
+        |  CAST(MAX(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE)
+        |FROM lineitem WHERE NOT l_quantity >= 48.0
+        |ORDER BY scope, grp""".stripMargin,
 
     // the manifest-answered panel (the gate REQUIREs zero data-file
     // I/O) ≡ the full-scan aggregate, nulls included

@@ -261,7 +261,13 @@ object Merge {
     * decimal (cast a double measure first — floating sums are
     * order-dependent, and the rewrite refuses them). */
   def aggView(base: DataFrame, keyCol: String, valueCol: String): DataFrame =
-    base.groupBy(keyCol).agg(
+    aggView(base, Seq(keyCol), valueCol)
+
+  /** Multi-key [[aggView]] — production views are usually keyed by a
+    * compound dimension (day × source, shard × language). */
+  def aggView(base: DataFrame, keyCols: Seq[String],
+      valueCol: String): DataFrame =
+    base.groupBy(keyCols.map(col): _*).agg(
       count(lit(1)).as("n"),
       sum(col(valueCol)).as("total"),
       min(col(valueCol)).as("min_v"),
@@ -298,10 +304,21 @@ object Merge {
       baseNew: DataFrame,
       keyCol: String,
       valueCol: String,
+      signCol: String): DataFrame =
+    refreshHybridView(state, delta, baseNew, Seq(keyCol), valueCol, signCol)
+
+  /** Multi-key [[refreshHybridView]] — same routing, the group key is a
+    * compound dimension ([[aggView]]'s multi-key state). */
+  def refreshHybridView(
+      state: DataFrame,
+      delta: DataFrame,
+      baseNew: DataFrame,
+      keyCols: Seq[String],
+      valueCol: String,
       signCol: String): DataFrame = {
     // one pass over the delta: algebraic pieces + insert-side bounds +
     // the per-group "has a delete" routing bit (map-side combined)
-    val d = delta.groupBy(keyCol).agg(
+    val d = delta.groupBy(keyCols.map(col): _*).agg(
       sum(col(signCol)).as("graft_dn"),
       sum(col(valueCol).cast("decimal(18,2)") * col(signCol))
         .as("graft_dtotal"),
@@ -310,26 +327,26 @@ object Merge {
       max(when(col(signCol) < 0, lit(1)).otherwise(lit(0)))
         .as("graft_del")).ckpt // two consumers: routing + fold
     val touched = broadcast(
-      d.filter(col("graft_del") === 1).select(col(keyCol)))
+      d.filter(col("graft_del") === 1).select(keyCols.map(col): _*))
     // delete-touched groups: full recompute over THEIR rows only
-    val recomputed = baseNew.join(touched, Seq(keyCol), "left_semi")
-      .groupBy(keyCol)
+    val recomputed = baseNew.join(touched, keyCols, "left_semi")
+      .groupBy(keyCols.map(col): _*)
       .agg(count(lit(1)).as("n"),
         sum(col(valueCol).cast("decimal(18,2)")).as("total"),
         min(col(valueCol)).as("min_v"),
         max(col(valueCol)).as("max_v"))
     // everyone else: algebraic fold; min/max tighten outward via
     // null-skipping least/greatest (new groups coalesce from zero)
-    val folded = state.join(touched, Seq(keyCol), "left_anti")
-      .join(d.filter(col("graft_del") === 0), Seq(keyCol), "full_outer")
-      .select(col(keyCol),
+    val folded = state.join(touched, keyCols, "left_anti")
+      .join(d.filter(col("graft_del") === 0), keyCols, "full_outer")
+      .select(keyCols.map(col) ++ Seq(
         (coalesce(col("n"), lit(0L)) +
           coalesce(col("graft_dn"), lit(0L))).as("n"),
         (coalesce(col("total"), lit(BigDecimal(0)).cast("decimal(18,2)")) +
           coalesce(col("graft_dtotal"),
             lit(BigDecimal(0)).cast("decimal(18,2)"))).as("total"),
         least(col("min_v"), col("graft_imin")).as("min_v"),
-        greatest(col("max_v"), col("graft_imax")).as("max_v"))
+        greatest(col("max_v"), col("graft_imax")).as("max_v")): _*)
       .filter(col("n") > 0)
     folded.unionAll(recomputed)
   }

@@ -219,6 +219,74 @@ class MvRewriteSpec extends AnyFunSuite with SparkTestBase {
     } finally MvRewrite.clear()
   }
 
+  test("GLOBAL panel rolls up from the view: one agg over #groups rows") {
+    val (t, cat) = fixture()
+    try {
+      MvRewrite.registerFromCatalog(spark, "t_by_k", t, cat, "k", "v")
+      def q() = snapshotAt(t, cat, 1).agg(
+        count(lit(1)).as("n_rows"), sum(col("v")).as("sum_v"),
+        min(col("v")).as("mn"), max(col("v")).as("mx"),
+        avg(col("v")).as("av"))
+      val rewritten = q()
+      assert(scanRoots(rewritten).forall(_.contains("/view1")),
+        s"global rollup did not fire: ${scanRoots(rewritten)}")
+      spark.conf.set(MvRewrite.EnabledConf, "false")
+      val direct = try pinPlan(q()) finally
+        spark.conf.set(MvRewrite.EnabledConf, "true")
+      assert(rewritten.collect().toSeq === direct.collect().toSeq)
+      // count(col) must REFUSE: the view's n counts null-value rows too
+      val cc = snapshotAt(t, cat, 1).agg(count(col("v")).as("nv"))
+      assert(!scanRoots(cc).exists(_.contains("/view1")))
+    } finally MvRewrite.clear()
+  }
+
+  test("MULTI-KEY view: compound grouping in any order, plus a join") {
+    val root = freshDir()
+    val t = s"$root/t"
+    spark.range(300).select(col("id"), (col("id") % 4).as("day"),
+        (col("id") % 3).as("src"), col("id").as("v"))
+      .repartitionByRange(4, col("id"))
+      .write.parquet(t)
+    Layout.statsManifest(spark, t, Seq("id")).write.parquet(s"$root/m")
+    Layout.deletionVectorsForKeys(spark, t,
+        spark.range(300).filter(col("id") % 13 === 0).select("id"), "id")
+      .write.parquet(s"$root/dv")
+    def snap() = Layout.snapshotReadWithDeletes(spark, t,
+      spark.read.parquet(s"$root/m"), spark.read.parquet(s"$root/dv"))
+    Merge.aggView(snap(), Seq("day", "src"), "v")
+      .write.parquet(s"$root/view")
+    Catalog.commit(spark, s"$root/cat", Map("manifest" -> s"$root/m",
+      "dv" -> s"$root/dv", "view" -> s"$root/view"))
+    try {
+      MvRewrite.registerFromCatalogKeys(spark, "t_by_day_src", t,
+        s"$root/cat", Seq("day", "src"), "v")
+      // grouping order REVERSED vs registration — sets match
+      def q() = snap().groupBy("src", "day").agg(
+        count(lit(1)).as("n_rows"), sum(col("v")).as("sum_v"),
+        max(col("v")).as("mx")).orderBy("src", "day")
+      val rewritten = q()
+      assert(scanRoots(rewritten).forall(_.contains("/view")),
+        s"multi-key rewrite did not fire: ${scanRoots(rewritten)}")
+      spark.conf.set(MvRewrite.EnabledConf, "false")
+      val direct = try pinPlan(q()) finally
+        spark.conf.set(MvRewrite.EnabledConf, "true")
+      assert(rewritten.collect().toSeq === direct.collect().toSeq)
+      // a join on ONE of the keys pushes isnotnull(day) through the
+      // Aggregate — the subset variant matches and re-filters the view
+      import spark.implicits._
+      val joined = snap().groupBy("day", "src")
+        .agg(sum(col("v")).as("sum_v"))
+        .join(Seq((0L, "d0"), (1L, "d1")).toDF("day", "label"), Seq("day"))
+      assert(scanRoots(joined).exists(_.contains("/view")),
+        "subset isnotnull variant did not match")
+      assert(joined.count() === 6) // days 0,1 × src 0,1,2
+      // grouping by a STRICT SUBSET of the keys must refuse (would
+      // double-count nothing here, but is a different grouping set)
+      val subset = snap().groupBy("day").agg(sum(col("v")).as("s"))
+      assert(!scanRoots(subset).exists(_.contains("/view")))
+    } finally MvRewrite.clear()
+  }
+
   test("IVM composition: hybrid-refreshed view answers the new version") {
     val (t, cat) = fixture()
     val root = new java.io.File(t).getParent
