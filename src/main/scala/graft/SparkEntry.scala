@@ -5176,6 +5176,92 @@ object SparkEntry {
       } finally plans.MvRewrite.unregister("q127_li")
     }),
 
+    // ---- TIME-TRAVEL dashboards through the MV rewrite: two catalog
+    // versions registered SIMULTANEOUSLY — v2's view rolled forward
+    // from v1's by the hybrid IVM fold, never recomputed — and each
+    // version's re-aggregation answers from ITS OWN view (the version
+    // pin is the matched plan, so the two registrations cannot
+    // cross-talk); the gate REQUIREs the union never scans a base file -
+    "q128_mv_versions" -> ((s, dir) => {
+      val tmp = gateScratch("q128")
+      val li = t(s, dir, "lineitem")
+        .select("l_orderkey", "l_linenumber", "l_returnflag", "l_quantity")
+      val prep = (df: DataFrame) => df.select(col("l_returnflag"),
+        col("l_quantity").cast("decimal(18,2)").as("qty"))
+      li.filter(col("l_orderkey") % 2 === 0)
+        .repartitionByRange(4, col("l_orderkey")).write.parquet(s"$tmp/t")
+      ops.Layout.statsManifest(s, s"$tmp/t", Seq("l_orderkey"))
+        .write.parquet(s"$tmp/m1")
+      val m1 = s.read.parquet(s"$tmp/m1")
+      ops.Layout.deletionVectors(s, s"$tmp/t", col("l_returnflag") === "R")
+        .write.parquet(s"$tmp/dv1") // v1 wave: epoch-1 files only
+      val dv1 = s.read.parquet(s"$tmp/dv1")
+      ops.Merge.aggView(prep(ops.Layout.snapshotReadWithDeletes(s,
+          s"$tmp/t", m1, dv1)), "l_returnflag", "qty")
+        .write.parquet(s"$tmp/view1")
+      val cat = s"$tmp/cat"
+      ops.Catalog.commit(s, cat, Map("manifest" -> s"$tmp/m1",
+        "dv" -> s"$tmp/dv1", "view" -> s"$tmp/view1"))
+      li.filter(col("l_orderkey") % 2 === 1)
+        .repartitionByRange(4, col("l_orderkey"))
+        .write.mode("append").parquet(s"$tmp/t")
+      ops.Layout.extendManifest(s, s"$tmp/t", m1, Seq("l_orderkey"))
+        .write.parquet(s"$tmp/m2")
+      val m2 = s.read.parquet(s"$tmp/m2")
+      dv1.unionAll(ops.Layout.deletionVectors(s, s"$tmp/t",
+          col("l_quantity") >= 48.0)) // wave 2 spans BOTH epochs
+        .write.parquet(s"$tmp/dv2")
+      val dv2 = s.read.parquet(s"$tmp/dv2")
+      // v2's view is MAINTAINED, not rebuilt: fold the metadata-derived
+      // change feed through the hybrid refresh
+      val delta = ops.Layout.snapshotDiff(s, s"$tmp/t", m1, m2, dv1, dv2)
+        .withColumn("sign", when(col("_change_type") === "insert",
+          lit(1L)).otherwise(lit(-1L)))
+        .select(col("l_returnflag"),
+          col("l_quantity").cast("decimal(18,2)").as("qty"), col("sign"))
+      ops.Merge.refreshHybridView(s.read.parquet(s"$tmp/view1"), delta,
+          prep(ops.Layout.snapshotReadWithDeletes(s, s"$tmp/t", m2, dv2)),
+          "l_returnflag", "qty", "sign")
+        .write.parquet(s"$tmp/view2")
+      ops.Catalog.commit(s, cat, Map("manifest" -> s"$tmp/m2",
+        "dv" -> s"$tmp/dv2", "view" -> s"$tmp/view2"))
+      try {
+        plans.MvRewrite.registerFromCatalog(s, "q128_v1", s"$tmp/t", cat,
+          "l_returnflag", "qty", version = Some(1), prep = prep)
+        plans.MvRewrite.registerFromCatalog(s, "q128_v2", s"$tmp/t", cat,
+          "l_returnflag", "qty", version = Some(2), prep = prep)
+        def panel(v: Int): DataFrame = {
+          val refs = ops.Catalog.resolve(s, cat, v)
+          prep(ops.Layout.snapshotReadWithDeletes(s, s"$tmp/t",
+              s.read.parquet(refs("manifest")), s.read.parquet(refs("dv"))))
+            .groupBy("l_returnflag")
+            .agg(count(lit(1)).as("n_rows"),
+              sum(col("qty")).cast("double").as("sum_qty"),
+              min(col("qty")).cast("double").as("min_qty"),
+              max(col("qty")).cast("double").as("max_qty"))
+            .select(lit(v).as("version"), col("l_returnflag"),
+              col("n_rows"), col("sum_qty"), col("min_qty"), col("max_qty"))
+        }
+        val res = panel(1).unionAll(panel(2))
+          .orderBy("version", "l_returnflag")
+        val roots = res.queryExecution.optimizedPlan.collect {
+          case lr: org.apache.spark.sql.execution.datasources.LogicalRelation =>
+            lr.relation match {
+              case fs: org.apache.spark.sql.execution.datasources.HadoopFsRelation =>
+                fs.location.rootPaths.map(_.toString)
+              case _ => Seq.empty[String]
+            }
+        }.flatten
+        require(roots.nonEmpty && roots.forall(r =>
+          r.endsWith("/view1") || r.endsWith("/view2")),
+          s"versioned mv rewrite did not fire; scanned: ${roots.mkString(", ")}")
+        res
+      } finally {
+        plans.MvRewrite.unregister("q128_v1")
+        plans.MvRewrite.unregister("q128_v2")
+      }
+    }),
+
     // ---- METADATA-ONLY aggregates: the global count/min/max/count(col)
     // introspection panel over an append-only snapshot answers from the
     // stats manifest's per-file (n_rows, min, max, nulls) rows — the
@@ -11227,6 +11313,29 @@ object SparkEntry {
         |  CAST(MAX(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE)
         |FROM lineitem WHERE NOT l_quantity >= 48.0
         |ORDER BY scope, grp""".stripMargin,
+
+    // each version's view-answered dashboard ≡ its closed-form prefix:
+    // v1 = epoch-1 rows minus the R wave; v2 adds epoch 2 and subtracts
+    // the q≥48 wave across both epochs (q114's version model, read
+    // through the rewrite)
+    "q128_mv_versions" ->
+      """SELECT 1 AS version, l_returnflag, COUNT(*) AS n_rows,
+        |  CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
+        |  CAST(MIN(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS min_qty,
+        |  CAST(MAX(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS max_qty
+        |FROM lineitem
+        |WHERE l_orderkey % 2 = 0 AND NOT l_returnflag = 'R'
+        |GROUP BY 2
+        |UNION ALL
+        |SELECT 2, l_returnflag, COUNT(*),
+        |  CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE),
+        |  CAST(MIN(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE),
+        |  CAST(MAX(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE)
+        |FROM lineitem
+        |WHERE NOT l_quantity >= 48.0
+        |  AND (l_orderkey % 2 = 1 OR NOT l_returnflag = 'R')
+        |GROUP BY 2
+        |ORDER BY version, l_returnflag""".stripMargin,
 
     // the manifest-answered panel (the gate REQUIREs zero data-file
     // I/O) ≡ the full-scan aggregate, nulls included

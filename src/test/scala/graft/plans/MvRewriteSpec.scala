@@ -91,6 +91,12 @@ class MvRewriteSpec extends AnyFunSuite with SparkTestBase {
       val roots = scanRoots(rewritten)
       assert(roots.nonEmpty && roots.forall(_.contains("/view1")),
         s"expected view-only scan, got $roots")
+      // the rewritten grouped query is a Project over the view scan —
+      // the groupBy's exchange is gone entirely (the sort's range
+      // exchange from orderBy remains; no hash-partitioning for an agg)
+      assert(!rewritten.queryExecution.optimizedPlan.exists(
+        _.isInstanceOf[org.apache.spark.sql.catalyst.plans.logical.Aggregate]),
+        "rewritten plan still aggregates")
       spark.conf.set(MvRewrite.EnabledConf, "false")
       val direct = try pinPlan(q()) finally
         spark.conf.set(MvRewrite.EnabledConf, "true")
