@@ -44,6 +44,10 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     // append-only version answer from the stats manifest (no-op until
     // MetaAggRewrite.register* is called)
     ext.injectOptimizerRule(_ => graft.plans.MetaAggRewrite)
+    // automatic file skipping: filters over a registered catalog
+    // version's scan read only manifest-admitted files (no-op until
+    // ScanPruneRewrite.register* is called)
+    ext.injectOptimizerRule(_ => graft.plans.ScanPruneRewrite)
   }
 }
 
@@ -354,6 +358,23 @@ object GraftExtensions {
           strLit(args(3), "graft_mv_register"),
           strLit(args(4), "graft_mv_register"), version = Some(v))
         plan(s.read.parquet(graft.ops.Catalog.ref(s, cat, v, "view")))
+      }),
+      // filter-time file skipping from SQL: register catalog version
+      // `v`'s base scan so every later `WHERE` over
+      // graft_catalog_read(dataDir, cat, v) reads only manifest-admitted
+      // files; returns the version's manifest rows (the stats the
+      // admission will use). DV'd versions register fine — pruning the
+      // base side of the merge-on-read anti-join is lossless.
+      "graft_prune_register" -> ((args: Seq[Expression]) => {
+        expectArgs("graft_prune_register",
+          "name, dataDir, catalogPath, version", args, 4)
+        val s = active
+        val cat = strLit(args(2), "graft_prune_register")
+        val v = intLit(args(3), "graft_prune_register")
+        graft.plans.ScanPruneRewrite.registerFromCatalog(s,
+          strLit(args(0), "graft_prune_register"),
+          strLit(args(1), "graft_prune_register"), cat, version = Some(v))
+        plan(s.read.parquet(graft.ops.Catalog.ref(s, cat, v, "manifest")))
       }),
       "graft_meta_register" -> ((args: Seq[Expression]) => {
         expectArgs("graft_meta_register",

@@ -5262,6 +5262,56 @@ object SparkEntry {
       }
     }),
 
+    // ---- AUTOMATIC file skipping as an optimizer rule: after ONE SQL
+    // registration verb, a WHERE over graft_catalog_read scans only the
+    // files the version's stats manifest cannot rule out — file-level
+    // admission inside the optimizer (Iceberg/Delta scan planning), so
+    // every consumer gets skipping without calling a pruning API, and
+    // the DV anti-join composes (filters push below it, the base side
+    // prunes, deletes still subtract). The gate REQUIREs a strict
+    // subset of the version's files in the optimized plan, then
+    // hash-matches the full-scan oracle ---------------------------------
+    "q129_scan_prune" -> ((s, dir) => {
+      val tmp = gateScratch("q129")
+      GraftExtensions.register(s)
+      val li = t(s, dir, "lineitem")
+        .select("l_orderkey", "l_linenumber", "l_returnflag", "l_quantity")
+      li.repartitionByRange(8, col("l_orderkey")).write.parquet(s"$tmp/t")
+      ops.Layout.statsManifest(s, s"$tmp/t", Seq("l_orderkey"))
+        .write.parquet(s"$tmp/m")
+      ops.Layout.deletionVectors(s, s"$tmp/t", col("l_quantity") >= 48.0)
+        .write.parquet(s"$tmp/dv")
+      ops.Catalog.commit(s, s"$tmp/cat",
+        Map("manifest" -> s"$tmp/m", "dv" -> s"$tmp/dv"))
+      s.sql(s"SELECT * FROM graft_prune_register(" +
+        s"'q129', '$tmp/t', '$tmp/cat', 1)").collect()
+      try {
+        val res = s.sql(s"""
+          |SELECT l_returnflag, COUNT(*) AS n_rows,
+          |  CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE)
+          |    AS sum_qty
+          |FROM graft_catalog_read('$tmp/t', '$tmp/cat', 1)
+          |WHERE l_orderkey BETWEEN 1000 AND 3000
+          |GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin)
+        // the gate is about the PLAN: the pruned scan must hold a
+        // strict subset of the version's 8 files (this predicate spans
+        // ≤ 1/20 of the range-clustered keyspace at any SF)
+        val dataFiles = res.queryExecution.optimizedPlan.collect {
+          case lr: org.apache.spark.sql.execution.datasources.LogicalRelation =>
+            lr.relation match {
+              case fs: org.apache.spark.sql.execution.datasources.HadoopFsRelation
+                  if fs.location.rootPaths.exists(_.toString.contains("/t/")) =>
+                fs.location.rootPaths.map(_.toString)
+              case _ => Seq.empty[String]
+            }
+        }.flatten
+        require(dataFiles.nonEmpty && dataFiles.size < 8,
+          s"scan-prune rewrite did not fire; scanned: ${dataFiles.size} " +
+            s"roots (${dataFiles.take(3).mkString(", ")}, ...)")
+        res
+      } finally plans.ScanPruneRewrite.unregister("q129")
+    }),
+
     // ---- METADATA-ONLY aggregates: the global count/min/max/count(col)
     // introspection panel over an append-only snapshot answers from the
     // stats manifest's per-file (n_rows, min, max, nulls) rows — the
@@ -11313,6 +11363,15 @@ object SparkEntry {
         |  CAST(MAX(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE)
         |FROM lineitem WHERE NOT l_quantity >= 48.0
         |ORDER BY scope, grp""".stripMargin,
+
+    // the manifest-pruned scan (the gate REQUIREs a strict file-subset
+    // plan) ≡ the plain filtered aggregate over the live rows
+    "q129_scan_prune" ->
+      """SELECT l_returnflag, COUNT(*) AS n_rows,
+        |  CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty
+        |FROM lineitem
+        |WHERE l_orderkey BETWEEN 1000 AND 3000 AND NOT l_quantity >= 48.0
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
 
     // each version's view-answered dashboard ≡ its closed-form prefix:
     // v1 = epoch-1 rows minus the R wave; v2 adds epoch 2 and subtracts

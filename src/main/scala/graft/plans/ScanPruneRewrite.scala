@@ -1,0 +1,357 @@
+package graft.plans
+
+import java.util.concurrent.ConcurrentHashMap
+
+import scala.jdk.CollectionConverters._
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.catalyst.CatalystTypeConverters
+import org.apache.spark.sql.catalyst.expressions._
+import org.apache.spark.sql.catalyst.plans.logical._
+import org.apache.spark.sql.catalyst.rules.Rule
+import org.apache.spark.sql.catalyst.util.TypeUtils
+import org.apache.spark.sql.types._
+
+/** AUTOMATIC file-level data skipping — the third leg of the
+  * query-rewrite-onto-maintained-metadata family ([[MvRewrite]] routes
+  * aggregates to IVM views, [[MetaAggRewrite]] answers global panels
+  * from the manifest; this rule prunes FILTERS). A `Filter` whose child
+  * is `sameResult`-equivalent to a registered catalog-version snapshot
+  * scan is rewritten so the scan reads ONLY the files the stats
+  * manifest cannot rule out — the same admission logic as
+  * [[graft.ops.Layout.prunedRead]], but applied inside the optimizer,
+  * so EVERY consumer (pure SQL through `graft_catalog_read`, the Scala
+  * DSL, a filter an enclosing join pushed down) gets skipping without
+  * calling a pruning API. This is what lake formats do natively
+  * (Iceberg/Delta scan planning evaluates predicates against file
+  * stats, public docs); Spark's own parquet min/max skipping happens a
+  * level lower (row groups, after the file is opened) — file-level
+  * admission removes the open/footer cost too, which at 100 TB and
+  * 10⁶ files is the difference between a planner-scale probe and a
+  * cluster-wide metadata storm.
+  *
+  * Admission is LOSSLESS by construction: the original `Filter` stays
+  * on top of the pruned scan (residual semantics identical; parquet
+  * row-group pushdown still applies within admitted files), and a file
+  * is dropped only when its per-file `(min_c, max_c, nulls_c, n_rows)`
+  * row PROVES no row can satisfy a conjunct:
+  *
+  *   - `c = v` / `c <=> v`: drop unless `min_c <= v <= max_c`;
+  *   - `c < v` (`<=`, `>`, `>=`): compare against the relevant bound;
+  *   - `c IN (vs)`: drop unless some `v` lands inside `[min_c, max_c]`
+  *     (null list elements can never satisfy the IN — ignored);
+  *   - `c IS NULL`: drop when `nulls_c = 0`; `c IS NOT NULL`: drop when
+  *     `nulls_c = n_rows` (the sparse-column case min/max can't help);
+  *   - `NOT (c = v)`: drop only the single-value file `min_c = max_c = v`;
+  *   - `OR`: a file survives if EITHER branch admits it (both branches
+  *     must be translatable, else the disjunct admits everything);
+  *   - conjuncts the translator does not understand admit every file —
+  *     they only lose pruning, never rows. An all-null or zero-row file
+  *     (null min/max) is provably empty for every value comparison; a
+  *     legacy manifest column with UNKNOWN nulls admits (same
+  *     losslessness posture as `prunedReadNotNull`).
+  *
+  * Matching anchors on the scan's `HadoopFsRelation` (same
+  * format/options/schema, `InMemoryFileIndex` root-path SET equality),
+  * so a query over a DIFFERENT version — or the raw directory
+  * listing — never matches, and a version carrying a deletion vector
+  * needs no special handling at all (the DV anti-join sits ABOVE the
+  * base scan; the optimizer pushes data filters below it, the base
+  * scan prunes, and the DV subtracts from the pruned scan exactly as
+  * it would from the full one). The rewrite swaps ONLY the relation's
+  * file index — output attributes, exprIds, and whatever `_metadata`
+  * widening/pruning the planner applied stay byte-identical, so the
+  * surrounding plan never notices.
+  *
+  * Registration collects the manifest rows onto the driver once — the
+  * flat-manifest contract (ceiling-checked at manifest BUILD time,
+  * `spark.graft.manifest.maxFiles`): per-probe admission is then pure
+  * driver-side arithmetic over O(#files) cached rows with zero Spark
+  * jobs inside the optimizer. Past the flat ceiling, the two-level
+  * grouped manifest's explicit API ([[graft.ops.Layout.prunedReadGrouped]])
+  * remains the read path.
+  *
+  * Registered by `graft.GraftExtensions` for new sessions or
+  * [[install]] on a live one; `spark.graft.scanPrune.enabled=false` is
+  * the kill switch.
+  */
+object ScanPruneRewrite extends Rule[LogicalPlan] with PredicateHelper {
+
+  val EnabledConf = "spark.graft.scanPrune.enabled"
+
+  /** Per-file, per-column stats in CATALYST value space (UTF8String /
+    * day-int / micros-long ...), so predicate literals compare without
+    * per-probe conversion. `min`/`max` null = no non-null values in the
+    * file (all-null or zero rows); `nulls` None = unknown (legacy
+    * manifest column) — admit. */
+  private case class ColStats(min: Any, max: Any, nulls: Option[Long])
+  private case class FileStats(path: String, nRows: Long,
+      cols: Map[String, ColStats])
+  /** Matching anchors on the scan's `HadoopFsRelation` rather than a
+    * stored `LogicalPlan` shape: `InMemoryFileIndex` equality compares
+    * the root-path SET, so the match is "reads exactly this version's
+    * files with identical format/options/schema" — and it survives the
+    * output-attribute surgery the analyzer/optimizer perform around the
+    * node (`_metadata` widening for the DV merge-on-read path, nested
+    * pruning of the metadata struct), which plan-level `sameResult`
+    * does not. */
+  private case class Reg(name: String,
+      relation: org.apache.spark.sql.execution.datasources.HadoopFsRelation,
+      statsCols: Map[String, DataType], files: Seq[FileStats])
+
+  private val registry = new ConcurrentHashMap[String, Reg]()
+
+  /** Register `base` (the explicit-file snapshot scan `manifest`
+    * describes — [[registerFromCatalog]] is the safe path) for
+    * filter-time pruning. Stats columns are discovered from the
+    * manifest's own `min_*` schema; the manifest must describe EXACTLY
+    * the files `base` reads. */
+  def register(spark: SparkSession, name: String, base: DataFrame,
+      manifest: DataFrame): Unit = {
+    val statsCols: Map[String, DataType] = manifest.schema.fields.iterator
+      .filter(_.name.startsWith("min_"))
+      .map(f => f.name.stripPrefix("min_") -> f.dataType)
+      .filter { case (c, t) =>
+        base.schema.fields.exists(bf => bf.name == c && bf.dataType == t)
+      }.toMap
+    require(statsCols.nonEmpty,
+      s"manifest for '$name' carries no min_*/max_* stats column " +
+        "matching the base schema — nothing could ever prune")
+    val ordered = statsCols.keys.toSeq
+    import org.apache.spark.sql.functions.col
+    val wanted = Seq(col("file"), col("n_rows")) ++ ordered.flatMap { c =>
+      val nullsC =
+        if (manifest.columns.contains(s"nulls_$c")) col(s"nulls_$c")
+        else org.apache.spark.sql.functions.lit(null).cast("long")
+      Seq(col(s"min_$c"), col(s"max_$c"), nullsC)
+    }
+    val toCat = ordered.map(c =>
+      CatalystTypeConverters.createToCatalystConverter(statsCols(c)))
+    val files = manifest.select(wanted: _*).collect().map { r =>
+      val cols = ordered.zipWithIndex.map { case (c, i) =>
+        val base = 2 + 3 * i
+        c -> ColStats(
+          if (r.isNullAt(base)) null else toCat(i)(r.get(base)),
+          if (r.isNullAt(base + 1)) null else toCat(i)(r.get(base + 1)),
+          if (r.isNullAt(base + 2)) None else Some(r.getLong(base + 2)))
+      }.toMap
+      FileStats(r.getString(0), r.getLong(1), cols)
+    }.toSeq
+    require(files.nonEmpty,
+      s"manifest for '$name' describes zero files — an empty version " +
+        "has nothing to prune (and its limit-0 read is not a file scan)")
+    val rel = base.queryExecution.analyzed.collectFirst {
+      case lr: org.apache.spark.sql.execution.datasources.LogicalRelation =>
+        lr.relation
+    } match {
+      case Some(fs:
+          org.apache.spark.sql.execution.datasources.HadoopFsRelation) => fs
+      case other => throw new IllegalArgumentException(
+        s"'$name' must be a file-source scan (explicit-file snapshot " +
+          s"read); got: $other")
+    }
+    registry.put(name, Reg(name, rel, statsCols, files))
+    install(spark)
+  }
+
+  /** [[register]] a catalog version's base scan — one resolve pins the
+    * (manifest, files) pair the catalog committed together. Versions
+    * with a DV register fine: pruning the base side of the merge-on-read
+    * anti-join is lossless (see class doc). Returns the version. */
+  def registerFromCatalog(spark: SparkSession, name: String,
+      dataDir: String, catalogPath: String,
+      version: Option[Int] = None): Int = {
+    implicit val s: SparkSession = spark
+    val v = version.getOrElse(graft.ops.Versions.current(catalogPath))
+    val manifest = spark.read.parquet(
+      graft.ops.Catalog.ref(spark, catalogPath, v, "manifest"))
+    val base = graft.ops.Layout.snapshotRead(spark, dataDir, manifest)
+    register(spark, name, base, manifest)
+    v
+  }
+
+  def unregister(name: String): Unit = registry.remove(name)
+
+  def clear(): Unit = registry.clear()
+
+  /** Admitted-file counts per registered name for the given predicate-
+    * free probe — test/evidence hook, not a query path. */
+  private[graft] def fileCount(name: String): Int =
+    Option(registry.get(name)).map(_.files.size).getOrElse(-1)
+
+  override def apply(plan: LogicalPlan): LogicalPlan = {
+    if (registry.isEmpty ||
+        !conf.getConfString(EnabledConf, "true").toBoolean) plan
+    else plan transformUp {
+      case f @ Filter(cond, child) =>
+        matchScan(child).flatMap { case (reg, leaf) =>
+          rewrite(cond, child, leaf, reg)
+        }.getOrElse(f)
+    }
+  }
+
+  /** The Filter's child either IS the registered scan or is an
+    * attribute-only Project over it (a shape column pruning can leave). */
+  private def matchScan(child: LogicalPlan): Option[
+      (Reg, org.apache.spark.sql.execution.datasources.LogicalRelation)] = {
+    val leaf = child match {
+      case Project(ps, c) if ps.forall(_.isInstanceOf[AttributeReference]) => c
+      case other => other
+    }
+    leaf match {
+      case lr: org.apache.spark.sql.execution.datasources.LogicalRelation =>
+        registry.values.asScala.find(_.relation == lr.relation)
+          .map(r => (r, lr))
+      case _ => None
+    }
+  }
+
+  private def rewrite(cond: Expression, child: LogicalPlan,
+      leaf: org.apache.spark.sql.execution.datasources.LogicalRelation,
+      reg: Reg): Option[LogicalPlan] = {
+    if (reg.relation.partitionSchema.nonEmpty) return None
+    val outIds = leaf.output.map(_.exprId).toSet
+    val tests = splitConjunctivePredicates(cond)
+      .flatMap(translate(_, outIds, reg))
+    if (tests.isEmpty) return None
+    val admitted = reg.files.filter(fs => tests.forall(_(fs)))
+    if (admitted.size == reg.files.size) return None // no-op: keep plan stable
+    val newLeaf: LogicalPlan =
+      if (admitted.isEmpty) LocalRelation(leaf.output)
+      else {
+        // swap ONLY the file index — output attributes (exprIds, any
+        // metadata widening/pruning the planner applied) stay untouched,
+        // so the surrounding plan never notices
+        val spark = SparkSession.active
+        val newLoc =
+          new org.apache.spark.sql.execution.datasources.InMemoryFileIndex(
+            spark, admitted.map(f => new org.apache.hadoop.fs.Path(f.path)),
+            reg.relation.options, Some(reg.relation.dataSchema))
+        leaf.copy(relation =
+          reg.relation.copy(location = newLoc)(spark))
+      }
+    val rebuilt = child match {
+      case p: Project if !(p eq leaf) => p.withNewChildren(Seq(newLeaf))
+      case _ => newLeaf
+    }
+    Some(Filter(cond, rebuilt))
+  }
+
+  // ---- conjunct → per-file admission test ----------------------------
+
+  private def translate(e: Expression, outIds: Set[ExprId],
+      reg: Reg): Option[FileStats => Boolean] = {
+
+    def colOf(x: Expression): Option[(String, DataType)] = x match {
+      case a: AttributeReference if outIds.contains(a.exprId) &&
+          reg.statsCols.get(a.name).contains(a.dataType) =>
+        Some(a.name -> a.dataType)
+      case _ => None
+    }
+
+    /** value comparison against [min, max]; `admit(cmpMin, cmpMax)`
+      * receives compare(min, v) and compare(max, v). Files with no
+      * non-null value are provably empty for ANY value comparison. */
+    def cmp(c: String, t: DataType, v: Any)(
+        admit: (Int, Int) => Boolean): FileStats => Boolean = {
+      val ord = TypeUtils.getInterpretedOrdering(t)
+      fs => fs.cols.get(c) match {
+        case Some(st) if st.min != null && st.max != null =>
+          admit(ord.compare(st.min, v), ord.compare(st.max, v))
+        case Some(_) => false // all-null or zero-row file
+        case None => true // column unknown to this manifest — lossless
+      }
+    }
+
+    def lit(x: Expression, t: DataType): Option[Any] = x match {
+      case Literal(v, lt) if v != null && lt == t => Some(v)
+      case _ => None
+    }
+
+    def eq(a: Expression, b: Expression): Option[FileStats => Boolean] =
+      for { (c, t) <- colOf(a); v <- lit(b, t) }
+        yield cmp(c, t, v)((mn, mx) => mn <= 0 && mx >= 0)
+
+    def isNullTest(a: Expression): Option[FileStats => Boolean] =
+      colOf(a).map { case (c, _) =>
+        fs => fs.cols.get(c).forall(_.nulls.forall(_ > 0))
+      }
+
+    def isNotNullTest(a: Expression): Option[FileStats => Boolean] =
+      colOf(a).map { case (c, _) =>
+        fs => fs.cols.get(c).forall(_.nulls.forall(_ < fs.nRows))
+      }
+
+    e match {
+      case EqualTo(a, b) => eq(a, b).orElse(eq(b, a))
+      case EqualNullSafe(a, Literal(null, _)) => isNullTest(a)
+      case EqualNullSafe(Literal(null, _), b) => isNullTest(b)
+      case EqualNullSafe(a, b) => eq(a, b).orElse(eq(b, a))
+      case LessThan(a, b) =>
+        (for { (c, t) <- colOf(a); v <- lit(b, t) }
+          yield cmp(c, t, v)((mn, _) => mn < 0)).orElse(
+          for { (c, t) <- colOf(b); v <- lit(a, t) } // v < col
+            yield cmp(c, t, v)((_, mx) => mx > 0))
+      case LessThanOrEqual(a, b) =>
+        (for { (c, t) <- colOf(a); v <- lit(b, t) }
+          yield cmp(c, t, v)((mn, _) => mn <= 0)).orElse(
+          for { (c, t) <- colOf(b); v <- lit(a, t) }
+            yield cmp(c, t, v)((_, mx) => mx >= 0))
+      case GreaterThan(a, b) =>
+        (for { (c, t) <- colOf(a); v <- lit(b, t) }
+          yield cmp(c, t, v)((_, mx) => mx > 0)).orElse(
+          for { (c, t) <- colOf(b); v <- lit(a, t) }
+            yield cmp(c, t, v)((mn, _) => mn < 0))
+      case GreaterThanOrEqual(a, b) =>
+        (for { (c, t) <- colOf(a); v <- lit(b, t) }
+          yield cmp(c, t, v)((_, mx) => mx >= 0)).orElse(
+          for { (c, t) <- colOf(b); v <- lit(a, t) }
+            yield cmp(c, t, v)((mn, _) => mn <= 0))
+      case In(a, list) =>
+        colOf(a).flatMap { case (c, t) =>
+          val vs = list.collect { case Literal(v, lt) if lt == t => v }
+          // non-literal elements can admit rows the literal set cannot
+          // prove absent — refuse unless every element is a literal
+          if (vs.size != list.size) None
+          else {
+            val nonNull = vs.filter(_ != null)
+            Some((fs: FileStats) => nonNull.exists(v =>
+              cmp(c, t, v)((mn, mx) => mn <= 0 && mx >= 0)(fs)))
+          }
+        }
+      case InSet(a, hset) =>
+        colOf(a).map { case (c, t) =>
+          val vs = hset.iterator.filter(_ != null).toSeq
+          (fs: FileStats) => vs.exists(v =>
+            cmp(c, t, v)((mn, mx) => mn <= 0 && mx >= 0)(fs))
+        }
+      case IsNull(a) => isNullTest(a)
+      case IsNotNull(a) => isNotNullTest(a)
+      case Not(EqualTo(a, b)) =>
+        // only a single-valued file (min = max = v) is provably empty
+        (for { (c, t) <- colOf(a); v <- lit(b, t) }
+          yield cmp(c, t, v)((mn, mx) => !(mn == 0 && mx == 0))).orElse(
+          for { (c, t) <- colOf(b); v <- lit(a, t) }
+            yield cmp(c, t, v)((mn, mx) => !(mn == 0 && mx == 0)))
+      case Or(l, r) =>
+        for { tl <- translate(l, outIds, reg); tr <- translate(r, outIds, reg) }
+          yield (fs: FileStats) => tl(fs) || tr(fs)
+      case And(l, r) =>
+        // nested under an Or; a missing side admits (partial pruning)
+        val tl = translate(l, outIds, reg)
+        val tr = translate(r, outIds, reg)
+        if (tl.isEmpty && tr.isEmpty) None
+        else Some((fs: FileStats) =>
+          tl.forall(_(fs)) && tr.forall(_(fs)))
+      case _ => None
+    }
+  }
+
+  /** Add the rule to an already-built session (idempotent). */
+  def install(spark: SparkSession): Unit = {
+    val exp = spark.asInstanceOf[org.apache.spark.sql.classic.SparkSession]
+      .experimental
+    if (!exp.extraOptimizations.contains(this))
+      exp.extraOptimizations = exp.extraOptimizations :+ this
+  }
+}
