@@ -5312,6 +5312,123 @@ object SparkEntry {
       } finally plans.ScanPruneRewrite.unregister("q129")
     }),
 
+    // ---- OPTIMIZE ZORDER as a catalog operation: rewrite the current
+    // version's live rows z-clustered on (l_partkey, l_suppkey) and
+    // commit the next version — deletes fold in (the new version drops
+    // its DV artifact), and a 2-D box predicate then prunes through
+    // the automatic scan rewrite where the row-ordered layout scattered
+    // both dimensions across every file. The gate REQUIREs the no-DV
+    // commit and a strict file-subset plan, then hash-matches the
+    // live-rows oracle -------------------------------------------------
+    "q130_cluster_optimize" -> ((s, dir) => {
+      val tmp = gateScratch("q130")
+      GraftExtensions.register(s)
+      val li = t(s, dir, "lineitem")
+        .select("l_orderkey", "l_partkey", "l_suppkey", "l_returnflag",
+          "l_quantity")
+      li.repartitionByRange(8, col("l_orderkey")).write.parquet(s"$tmp/t")
+      ops.Layout.statsManifest(s, s"$tmp/t",
+        Seq("l_partkey", "l_suppkey")).write.parquet(s"$tmp/m1")
+      ops.Layout.deletionVectors(s, s"$tmp/t", col("l_quantity") >= 48.0)
+        .write.parquet(s"$tmp/dv1")
+      ops.Catalog.commit(s, s"$tmp/cat",
+        Map("manifest" -> s"$tmp/m1", "dv" -> s"$tmp/dv1"))
+      val v2 = ops.Layout.optimizeZorder(s, s"$tmp/t", s"$tmp/cat", tmp,
+        "l_partkey", "l_suppkey", bits = 15, numFiles = 16,
+        statsCols = Seq("l_partkey", "l_suppkey"))
+      val refs2 = ops.Catalog.resolve(s, s"$tmp/cat", v2)
+      require(!refs2.contains("dv"),
+        "optimize must fold the deletion vector into the rewrite")
+      s.sql(s"SELECT * FROM graft_prune_register(" +
+        s"'q130', '$tmp/t', '$tmp/cat', $v2)").collect()
+      try {
+        val res = s.sql(s"""
+          |SELECT l_returnflag, COUNT(*) AS n_rows,
+          |  CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE)
+          |    AS sum_qty
+          |FROM graft_catalog_read('$tmp/t', '$tmp/cat', $v2)
+          |WHERE l_partkey BETWEEN 50 AND 150
+          |  AND l_suppkey BETWEEN 1 AND 5
+          |GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin)
+        val dataFiles = res.queryExecution.optimizedPlan.collect {
+          case lr: org.apache.spark.sql.execution.datasources.LogicalRelation =>
+            lr.relation match {
+              case fs: org.apache.spark.sql.execution.datasources.HadoopFsRelation
+                  if fs.location.rootPaths.exists(_.toString.contains("/t/")) =>
+                fs.location.rootPaths.map(_.toString)
+              case _ => Seq.empty[String]
+            }
+        }.flatten
+        require(dataFiles.nonEmpty && dataFiles.size < 16,
+          s"2-D box did not prune the z-clustered layout: scanned " +
+            s"${dataFiles.size} of 16 files")
+        res
+      } finally plans.ScanPruneRewrite.unregister("q130")
+    }),
+
+    // ---- incremental clustering maintenance: appends land row-ordered
+    // on top of a z-clustered base; the delta pass re-clusters ONLY the
+    // appended files (base files stay byte-identical, write cost
+    // O(delta)), carrying base-file DV addresses forward and applying
+    // delta-file addresses during the rewrite. The gate REQUIREs the
+    // carried-DV commit and a pruned plan, then hash-matches the
+    // live-rows oracle -------------------------------------------------
+    "q131_cluster_delta" -> ((s, dir) => {
+      val tmp = gateScratch("q131")
+      GraftExtensions.register(s)
+      val li = t(s, dir, "lineitem")
+        .select("l_orderkey", "l_partkey", "l_suppkey", "l_returnflag",
+          "l_quantity")
+      ops.Layout.zorderLayout(li.filter(col("l_orderkey") % 2 === 0),
+          "l_partkey", "l_suppkey", bits = 15, numFiles = 8)
+        .write.parquet(s"$tmp/t")
+      val m1 = ops.Layout.statsManifest(s, s"$tmp/t",
+        Seq("l_partkey", "l_suppkey")).localCheckpoint(eager = true)
+      m1.write.parquet(s"$tmp/m1")
+      ops.Catalog.commit(s, s"$tmp/cat", Map("manifest" -> s"$tmp/m1"))
+      li.filter(col("l_orderkey") % 2 === 1)
+        .repartitionByRange(4, col("l_orderkey"))
+        .write.mode("append").parquet(s"$tmp/t")
+      ops.Layout.extendManifest(s, s"$tmp/t", m1,
+        Seq("l_partkey", "l_suppkey")).write.parquet(s"$tmp/m2")
+      ops.Layout.deletionVectors(s, s"$tmp/t", col("l_quantity") >= 48.0)
+        .write.parquet(s"$tmp/dv2")
+      ops.Catalog.commit(s, s"$tmp/cat",
+        Map("manifest" -> s"$tmp/m2", "dv" -> s"$tmp/dv2"))
+      val v3 = ops.Layout.optimizeZorderDelta(s, s"$tmp/t", s"$tmp/cat",
+        tmp, baseVersion = 1, "l_partkey", "l_suppkey", bits = 15,
+        numFiles = 8, statsCols = Seq("l_partkey", "l_suppkey"))
+      val refs3 = ops.Catalog.resolve(s, s"$tmp/cat", v3)
+      require(refs3.contains("dv"),
+        "base-file DV addresses must carry into the delta-clustered version")
+      val nFiles = s.read.parquet(refs3("manifest")).count()
+      s.sql(s"SELECT * FROM graft_prune_register(" +
+        s"'q131', '$tmp/t', '$tmp/cat', $v3)").collect()
+      try {
+        val res = s.sql(s"""
+          |SELECT l_returnflag, COUNT(*) AS n_rows,
+          |  CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE)
+          |    AS sum_qty
+          |FROM graft_catalog_read('$tmp/t', '$tmp/cat', $v3)
+          |WHERE l_partkey BETWEEN 50 AND 150
+          |  AND l_suppkey BETWEEN 1 AND 5
+          |GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin)
+        val dataFiles = res.queryExecution.optimizedPlan.collect {
+          case lr: org.apache.spark.sql.execution.datasources.LogicalRelation =>
+            lr.relation match {
+              case fs: org.apache.spark.sql.execution.datasources.HadoopFsRelation
+                  if fs.location.rootPaths.exists(_.toString.contains("/t/")) =>
+                fs.location.rootPaths.map(_.toString)
+              case _ => Seq.empty[String]
+            }
+        }.flatten
+        require(dataFiles.nonEmpty && dataFiles.size < nFiles,
+          s"box did not prune the delta-clustered table: scanned " +
+            s"${dataFiles.size} of $nFiles files")
+        res
+      } finally plans.ScanPruneRewrite.unregister("q131")
+    }),
+
     // ---- METADATA-ONLY aggregates: the global count/min/max/count(col)
     // introspection panel over an append-only snapshot answers from the
     // stats manifest's per-file (n_rows, min, max, nulls) rows — the
@@ -11371,6 +11488,28 @@ object SparkEntry {
         |  CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty
         |FROM lineitem
         |WHERE l_orderkey BETWEEN 1000 AND 3000 AND NOT l_quantity >= 48.0
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    // clustering changes layout, never content: the optimized version's
+    // box-filtered aggregate ≡ the live rows (deletes folded in by the
+    // rewrite)
+    "q130_cluster_optimize" ->
+      """SELECT l_returnflag, COUNT(*) AS n_rows,
+        |  CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty
+        |FROM lineitem
+        |WHERE l_partkey BETWEEN 50 AND 150 AND l_suppkey BETWEEN 1 AND 5
+        |  AND NOT l_quantity >= 48.0
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    // base deletes subtract via the carried DV, delta deletes were
+    // applied during the rewrite — together exactly the global
+    // NOT q >= 48 filter over both epochs
+    "q131_cluster_delta" ->
+      """SELECT l_returnflag, COUNT(*) AS n_rows,
+        |  CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty
+        |FROM lineitem
+        |WHERE l_partkey BETWEEN 50 AND 150 AND l_suppkey BETWEEN 1 AND 5
+        |  AND NOT l_quantity >= 48.0
         |GROUP BY 1 ORDER BY 1""".stripMargin,
 
     // each version's view-answered dashboard ≡ its closed-form prefix:

@@ -44,6 +44,128 @@ object Layout {
       .drop("graft_z")
   }
 
+  /** OPTIMIZE ZORDER as a catalog operation — rewrite the current
+    * version's live rows z-clustered on (`xCol`, `yCol`) and commit the
+    * result as the next catalog version (the Delta `OPTIMIZE ... ZORDER
+    * BY` / Iceberg rewrite-with-sort-order maintenance verb, public
+    * docs). The rewrite reads merge-on-read (manifest + DV), so the
+    * new version's files contain only live rows and the version
+    * commits WITHOUT a DV artifact: clustering doubles as delete
+    * purging, which also re-qualifies the table for the DV-refusing
+    * [[graft.plans.MetaAggRewrite]] registration.
+    *
+    * Scale: one range exchange over the table (the standard OPTIMIZE
+    * cost, paid once and amortized over every later pruned read) plus
+    * the O(#newFiles) stats aggregate. The payoff is on the READ side:
+    * each output file covers a tight z-range, so its min/max footer
+    * stats are selective on BOTH dimensions and a predicate on either
+    * column — or a 2-D box — admits O(matching) files through the
+    * manifest ([[prunedRead]] or the automatic
+    * [[graft.plans.ScanPruneRewrite]]) instead of O(#files). A plain
+    * sort on (x, y) only ever prunes on x; the interleave is what
+    * makes the second dimension selective at 100 TB.
+    *
+    * Both cluster columns must be non-negative integrals below
+    * 2^`bits` ([[zorderValue]]'s contract). Old files stay on disk for
+    * time travel; reference-based GC ([[graft.ops.Catalog]] vacuum)
+    * reclaims them when their versions age out.
+    *
+    * @return the new catalog version number */
+  def optimizeZorder(spark: org.apache.spark.sql.SparkSession,
+      dataDir: String, catalogPath: String, artifactDir: String,
+      xCol: String, yCol: String, bits: Int, numFiles: Int,
+      statsCols: Seq[String]): Int = {
+    implicit val s: org.apache.spark.sql.SparkSession = spark
+    val refs = Catalog.resolveCurrent(spark, catalogPath)
+    val manifest = spark.read.parquet(refs("manifest"))
+    val snap = refs.get("dv") match {
+      case Some(dv) => snapshotReadWithDeletes(spark, dataDir, manifest,
+        spark.read.parquet(dv))
+      case None => snapshotRead(spark, dataDir, manifest)
+    }
+    val tag = java.util.UUID.randomUUID().toString.replace("-", "")
+    val cdir = s"$dataDir/commit-zorder-$tag"
+    zorderLayout(snap, xCol, yCol, bits, numFiles).write.parquet(cdir)
+    val mDir = s"$artifactDir/m-zorder-$tag"
+    statsManifest(spark, cdir, statsCols).write.parquet(mDir)
+    Catalog.commit(spark, catalogPath, Map("manifest" -> mDir))
+  }
+
+  /** INCREMENTAL clustering maintenance — [[optimizeZorder]] for only
+    * the files the current version added on top of `baseVersion` (the
+    * last optimized version). Appends land row-ordered and scatter
+    * both cluster dimensions across every new file; this pass
+    * re-clusters JUST those rows into tight z-range files and commits,
+    * leaving the already-clustered base files byte-identical. Write
+    * cost is O(delta); read-side admission stays
+    * O(base-files-matching + delta-files-matching) instead of
+    * degrading linearly with every append wave — the auto-compaction /
+    * clustered-append maintenance loop long-lived tables run
+    * continuously.
+    *
+    * DV addresses survive by partition: base-file addresses are COPIED
+    * into the new version (those files' bytes did not move), while
+    * addresses into re-clustered delta files are APPLIED during the
+    * rewrite (their rows simply don't reach the new files) and
+    * dropped. The new version carries a `dv` artifact only when base
+    * addresses remain.
+    *
+    * @return the new catalog version number */
+  def optimizeZorderDelta(spark: org.apache.spark.sql.SparkSession,
+      dataDir: String, catalogPath: String, artifactDir: String,
+      baseVersion: Int, xCol: String, yCol: String, bits: Int,
+      numFiles: Int, statsCols: Seq[String]): Int = {
+    implicit val s: org.apache.spark.sql.SparkSession = spark
+    val refs = Catalog.resolveCurrent(spark, catalogPath)
+    val baseRefs = Catalog.resolve(spark, catalogPath, baseVersion)
+    val manifest = spark.read.parquet(refs("manifest"))
+      .localCheckpoint(eager = true) // pinned: read twice + diffed below
+    val baseManifest = spark.read.parquet(baseRefs("manifest"))
+    // planner-scale file-set diff (manifests are O(#files) rows — the
+    // same driver contract every manifest consumer pays)
+    val baseFiles = baseManifest.select("file").collect()
+      .map(r => uriPath(r.getString(0))).toSet
+    val deltaRows = manifest.filter(col("file").isNotNull)
+      .collect().filterNot(r => baseFiles.contains(
+        uriPath(r.getAs[String]("file"))))
+    val deltaFiles = deltaRows.map(_.getAs[String]("file")).toSeq
+    require(deltaFiles.nonEmpty,
+      s"no files added since version $baseVersion — nothing to cluster")
+    val dv = refs.get("dv").map(spark.read.parquet(_)
+      .localCheckpoint(eager = true))
+    val deltaSet = deltaFiles.map(uriPath).toSet
+    val isDelta = (c: Column) => uriPathCol(c).isInCollection(deltaSet)
+    val deltaScan = spark.read.parquet(deltaFiles: _*)
+    val deltaLive = dv match {
+      case Some(d) => applyDv(deltaScan, d.filter(isDelta(col("file"))))
+      case None => deltaScan
+    }
+    val tag = java.util.UUID.randomUUID().toString.replace("-", "")
+    val cdir = s"$dataDir/commit-zdelta-$tag"
+    zorderLayout(deltaLive, xCol, yCol, bits, numFiles)
+      .write.parquet(cdir)
+    // new manifest = the base-version rows the current manifest still
+    // carries (stats unchanged — those files' bytes did not move) +
+    // fresh stats over the re-clustered delta files
+    val deltaStats = statsManifest(spark, cdir, statsCols)
+    val keptBase = manifest.filter(
+      uriPathCol(col("file")).isInCollection(baseFiles))
+    val newManifest = alignManifestSchema(keptBase, deltaStats)
+      .unionByName(deltaStats)
+    val mDir = s"$artifactDir/m-zdelta-$tag"
+    newManifest.write.parquet(mDir)
+    val keptDv = dv.map(_.filter(!isDelta(col("file"))))
+    keptDv.filter(d => !d.isEmpty) match {
+      case Some(d) =>
+        val dvDir = s"$artifactDir/dv-zdelta-$tag"
+        d.write.parquet(dvDir)
+        Catalog.commit(spark, catalogPath,
+          Map("manifest" -> mDir, "dv" -> dvDir))
+      case None =>
+        Catalog.commit(spark, catalogPath, Map("manifest" -> mDir))
+    }
+  }
+
   /** Small-file compaction — the maintenance pass every long-lived
     * table needs: streaming sinks and incremental appends leave
     * thousands of KB-sized files whose per-file open/footer overhead

@@ -1,0 +1,145 @@
+package graft.ops
+
+import graft.SparkTestBase
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** optimizeZorder / optimizeZorderDelta: clustering as a catalog
+  * operation. Pins:
+  *   - content parity: the optimized version's snapshot equals the
+  *     pre-optimize merge-on-read rows exactly (clustering must never
+  *     change WHAT a version holds, only its layout);
+  *   - the optimized version drops its DV artifact (deletes fold in);
+  *   - skipping: after clustering, a predicate on EITHER dimension
+  *     admits a strict subset of files through the manifest, where the
+  *     row-ordered layout admitted everything on the second dimension;
+  *   - the delta pass re-clusters only appended files (base files stay
+  *     byte-identical in the new manifest), carries base-file DV
+  *     addresses forward, applies delta-file addresses, and refuses
+  *     when there is nothing to cluster.
+  */
+class ClusterOptimizeSpec extends AnyFunSuite with SparkTestBase {
+
+  import spark.implicits._
+
+  private def freshDir(): String =
+    java.nio.file.Files.createTempDirectory("graft-zopt").toString
+
+  /** 1024 rows = one per cell of a 32×32 (x, y) grid, written in
+    * id order (y = id/32 varies slowly) — so y is clustered and x is
+    * scattered across every file. */
+  private def grid(): DataFrame =
+    spark.range(1024).select(col("id"),
+      (col("id") % 32).as("x"), (col("id") / 32).as("y"))
+
+  private def admitted(manifest: DataFrame, colName: String,
+      lo: Long, hi: Long): Long =
+    manifest.filter(col(s"max_$colName") >= lo &&
+      col(s"min_$colName") <= hi).count()
+
+  test("optimizeZorder: parity, DV fold, two-dimensional skipping") {
+    val root = freshDir()
+    val t = s"$root/t"
+    grid().repartitionByRange(16, col("id")).write.parquet(t)
+    Layout.statsManifest(spark, t, Seq("x", "y")).write.parquet(s"$root/m1")
+    Layout.deletionVectorsForKeys(spark, t,
+        spark.range(1024).filter(col("id") % 11 === 0).select("id"), "id")
+      .write.parquet(s"$root/dv1")
+    Catalog.commit(spark, s"$root/cat",
+      Map("manifest" -> s"$root/m1", "dv" -> s"$root/dv1"))
+    val before = Layout.snapshotReadWithDeletes(spark, t,
+        spark.read.parquet(s"$root/m1"), spark.read.parquet(s"$root/dv1"))
+      .select("id").as[Long].collect().sorted.toSeq
+
+    val m1 = spark.read.parquet(s"$root/m1")
+    // row-major layout (y = id/32 varies slowly): x-band predicates
+    // admit every file, only y prunes
+    assert(admitted(m1, "x", 3, 4) == 16)
+
+    val v2 = Layout.optimizeZorder(spark, t, s"$root/cat", root,
+      "x", "y", bits = 5, numFiles = 16, statsCols = Seq("x", "y"))
+    assert(v2 == 2)
+    val refs2 = Catalog.resolve(spark, s"$root/cat", 2)
+    assert(!refs2.contains("dv"), "optimize must fold the DV in")
+    val m2 = spark.read.parquet(refs2("manifest"))
+    val after = Layout.snapshotRead(spark, t, m2)
+      .select("id").as[Long].collect().sorted.toSeq
+    assert(after == before, "clustering changed the version's rows")
+    // z-clustering makes BOTH dimensions selective
+    assert(admitted(m2, "x", 3, 4) < 16)
+    assert(admitted(m2, "y", 3, 4) < 16,
+      "second dimension must prune after z-order")
+    // and the old version still reads its own world (time travel)
+    assert(Layout.snapshotReadWithDeletes(spark, t,
+        spark.read.parquet(Catalog.resolve(spark, s"$root/cat", 1)("manifest")),
+        spark.read.parquet(s"$root/dv1"))
+      .select("id").as[Long].collect().sorted.toSeq == before)
+  }
+
+  test("optimizeZorderDelta: clusters only appends, carries base DV addresses") {
+    val root = freshDir()
+    val t = s"$root/t"
+    // v1: even-id half, already z-clustered
+    Layout.zorderLayout(grid().filter(col("id") % 2 === 0),
+        "x", "y", bits = 5, numFiles = 8)
+      .write.parquet(t)
+    Layout.statsManifest(spark, t, Seq("x", "y")).write.parquet(s"$root/m1")
+    val m1 = spark.read.parquet(s"$root/m1")
+    Catalog.commit(spark, s"$root/cat", Map("manifest" -> s"$root/m1"))
+    // append the odd half row-ordered, extend, add a DV wave spanning
+    // BOTH the base files and the fresh appends
+    grid().filter(col("id") % 2 === 1)
+      .repartitionByRange(8, col("id")).write.mode("append").parquet(t)
+    Layout.extendManifest(spark, t, m1, Seq("x", "y"))
+      .write.parquet(s"$root/m2")
+    Layout.deletionVectorsForKeys(spark, t,
+        spark.range(1024).filter(col("id") % 11 === 0).select("id"), "id")
+      .write.parquet(s"$root/dv2")
+    Catalog.commit(spark, s"$root/cat",
+      Map("manifest" -> s"$root/m2", "dv" -> s"$root/dv2"))
+    val expect = (0L until 1024L).filter(_ % 11 != 0).toSeq
+
+    val v3 = Layout.optimizeZorderDelta(spark, t, s"$root/cat", root,
+      baseVersion = 1, "x", "y", bits = 5, numFiles = 8,
+      statsCols = Seq("x", "y"))
+    assert(v3 == 3)
+    val refs3 = Catalog.resolve(spark, s"$root/cat", 3)
+    val m3 = spark.read.parquet(refs3("manifest"))
+    // base files are untouched: every v1 manifest row survives verbatim
+    val v1Files = m1.select("file").as[String].collect().toSet
+    val v3Files = m3.select("file").as[String].collect().toSet
+    assert(v1Files.subsetOf(v3Files), "delta pass must not rewrite base files")
+    // base-file DV addresses carried (11, 33, ... are odd multiples of
+    // 11 in the delta — applied; evens like 0, 22, 44 live in base
+    // files — must still subtract via the carried DV)
+    assert(refs3.contains("dv"), "base-file addresses must carry forward")
+    val live = Layout.snapshotReadWithDeletes(spark, t, m3,
+        spark.read.parquet(refs3("dv")))
+      .select("id").as[Long].collect().sorted.toSeq
+    assert(live == expect)
+    // the carried DV holds ONLY base-file addresses
+    val dvFiles = spark.read.parquet(refs3("dv"))
+      .select("file").as[String].collect().toSet
+    assert(dvFiles.subsetOf(v1Files),
+      s"delta-file addresses must be applied, not carried: " +
+        s"${dvFiles.diff(v1Files).take(2)}")
+    // y-band admission over the delta files is now bounded: the
+    // re-clustered appends admit fewer files than a full-table scan
+    assert(admitted(m3, "y", 3, 4) < m3.count())
+  }
+
+  test("optimizeZorderDelta refuses when no files were added") {
+    val root = freshDir()
+    val t = s"$root/t"
+    grid().repartitionByRange(4, col("id")).write.parquet(t)
+    Layout.statsManifest(spark, t, Seq("x", "y")).write.parquet(s"$root/m1")
+    Catalog.commit(spark, s"$root/cat", Map("manifest" -> s"$root/m1"))
+    val e = intercept[IllegalArgumentException] {
+      Layout.optimizeZorderDelta(spark, t, s"$root/cat", root,
+        baseVersion = 1, "x", "y", bits = 5, numFiles = 4,
+        statsCols = Seq("x", "y"))
+    }
+    assert(e.getMessage.contains("nothing to cluster"))
+  }
+}
