@@ -376,6 +376,30 @@ object GraftExtensions {
           strLit(args(1), "graft_prune_register"), cat, version = Some(v))
         plan(s.read.parquet(graft.ops.Catalog.ref(s, cat, v, "manifest")))
       }),
+      // OPTIMIZE ZORDER from SQL — the clustering maintenance verb as a
+      // driver-resolved TVF (graft_commit precedent): rewrites the
+      // current version's live rows z-clustered on (xCol, yCol), commits
+      // the next catalog version (DV folded in), and returns the new
+      // version's manifest rows.
+      //   SELECT * FROM graft_optimize_zorder('/t', '/cat', '/artifacts',
+      //     'l_partkey', 'l_suppkey', 15, 16, 'l_partkey,l_suppkey')
+      "graft_optimize_zorder" -> ((args: Seq[Expression]) => {
+        expectArgs("graft_optimize_zorder",
+          "dataDir, catalogPath, artifactDir, xCol, yCol, bits, " +
+            "numFiles, statsColsCsv", args, 8)
+        val s = active
+        val cat = strLit(args(1), "graft_optimize_zorder")
+        val v = graft.ops.Layout.optimizeZorder(s,
+          strLit(args(0), "graft_optimize_zorder"), cat,
+          strLit(args(2), "graft_optimize_zorder"),
+          strLit(args(3), "graft_optimize_zorder"),
+          strLit(args(4), "graft_optimize_zorder"),
+          intLit(args(5), "graft_optimize_zorder"),
+          intLit(args(6), "graft_optimize_zorder"),
+          strLit(args(7), "graft_optimize_zorder")
+            .split(",").map(_.trim).filter(_.nonEmpty).toSeq)
+        plan(s.read.parquet(graft.ops.Catalog.ref(s, cat, v, "manifest")))
+      }),
       "graft_meta_register" -> ((args: Seq[Expression]) => {
         expectArgs("graft_meta_register",
           "name, dataDir, catalogPath, statsColsCsv, version", args, 5)

@@ -866,6 +866,108 @@ object Soak {
       Seq(rMvView, rMvDirect)
     }
 
+    // ---- Z-ORDER clustering: scan-set + maintenance-cost evidence.
+    // A row-ordered table scatters BOTH box dimensions across every
+    // file, so a 2-D box admits the whole table; after OPTIMIZE ZORDER
+    // the same box admits O(box) files (rows records the scan set,
+    // same convention as the mv entries). The delta pass then shows
+    // maintenance stays O(appends): clustering a 5% append wave costs
+    // a small fraction of the full rewrite and touches only the new
+    // files, at every table size.
+    val zorderResults: Seq[(String, Double, Double, Long)] = {
+      val zFiles = 100 * copies
+      if (!want(s"zorder_optimize_${zFiles}_files",
+        s"zorder_box_before_${zFiles}_files",
+        s"zorder_box_after_${zFiles}_files",
+        s"zorder_delta_cluster_${zFiles}_files")) Seq()
+      else {
+        val zDir = soakTempDir("graft-soak-zo")
+        val zRows = zFiles * 1000L
+        // x and y must be INDEPENDENTLY scattered in write order (a
+        // y that is a function of id-mod-1000 collapses onto x and
+        // empties the box): xxhash64 decorrelates y from both id order
+        // and x while staying deterministic
+        def zdf(lo: Long, hi: Long) = spark.range(lo, hi)
+          .select(col("id"), (col("id") % 1000).as("x"),
+            pmod(xxhash64(col("id")), lit(1000L)).as("y"))
+        zdf(0, zRows).repartitionByRange(zFiles, col("id"))
+          .write.parquet(s"$zDir/t")
+        ops.Layout.statsManifest(spark, s"$zDir/t", Seq("x", "y"))
+          .write.parquet(s"$zDir/m1")
+        ops.Catalog.commit(spark, s"$zDir/cat",
+          Map("manifest" -> s"$zDir/m1"))
+        def scannedFiles(q: DataFrame): Long =
+          q.queryExecution.optimizedPlan.collect {
+            case lr: org.apache.spark.sql.execution.datasources.LogicalRelation =>
+              lr.relation match {
+                case fs: org.apache.spark.sql.execution.datasources.HadoopFsRelation =>
+                  fs.location.inputFiles.length.toLong
+                case _ => 0L
+              }
+          }.sum
+        def boxQuery(version: Int): DataFrame = {
+          val refs = ops.Catalog.resolve(spark, s"$zDir/cat", version)
+          ops.Layout.snapshotRead(spark, s"$zDir/t",
+              spark.read.parquet(refs("manifest")))
+            .filter(col("x").between(100L, 120L) &&
+              col("y").between(200L, 220L))
+        }
+        quiesce()
+        val rBefore = measure(s"zorder_box_before_${zFiles}_files") {
+          plans.ScanPruneRewrite.registerFromCatalog(spark, "soak_z1",
+            s"$zDir/t", s"$zDir/cat", version = Some(1))
+          try {
+            val q = boxQuery(1)
+            q.count()
+            scannedFiles(q)
+          } finally plans.ScanPruneRewrite.unregister("soak_z1")
+        }
+        val rOpt = measure(s"zorder_optimize_${zFiles}_files") {
+          val v = ops.Layout.optimizeZorder(spark, s"$zDir/t",
+            s"$zDir/cat", zDir, "x", "y", bits = 10, numFiles = zFiles,
+            statsCols = Seq("x", "y"))
+          spark.read.parquet(
+            ops.Catalog.resolve(spark, s"$zDir/cat", v)("manifest")).count()
+        }
+        val rAfter = measure(s"zorder_box_after_${zFiles}_files") {
+          plans.ScanPruneRewrite.registerFromCatalog(spark, "soak_z2",
+            s"$zDir/t", s"$zDir/cat", version = Some(2))
+          try {
+            val q = boxQuery(2)
+            q.count()
+            scannedFiles(q)
+          } finally plans.ScanPruneRewrite.unregister("soak_z2")
+        }
+        // a FIXED 50-file append wave (not a table fraction — the claim
+        // is that maintenance cost tracks the WAVE, so the wave must
+        // stay constant across table scale points) lands via
+        // commitAppend OUTSIDE the timer (ingest cost, paid
+        // regardless). commitAppend, not extendManifest: the optimize
+        // left superseded pre-cluster files on disk, and a directory-
+        // listing diff would resurrect them into the manifest (and
+        // silently hand the delta pass the whole table) — manifest
+        // growth after any file-removing op must be row-union of
+        // commit stats (the s44 loop's contract)
+        val m2 = spark.read.parquet(
+          ops.Catalog.resolve(spark, s"$zDir/cat", 2)("manifest"))
+        val add = ops.Layout.commitAppend(spark,
+          zdf(zRows, zRows + 50000L).repartitionByRange(50, col("id")),
+          s"$zDir/t", Seq("x", "y"))
+        m2.unionByName(add).write.parquet(s"$zDir/m3")
+        ops.Catalog.commit(spark, s"$zDir/cat",
+          Map("manifest" -> s"$zDir/m3"))
+        val rDelta = measure(s"zorder_delta_cluster_${zFiles}_files") {
+          val v4 = ops.Layout.optimizeZorderDelta(spark, s"$zDir/t",
+            s"$zDir/cat", zDir, baseVersion = 2, "x", "y", bits = 10,
+            numFiles = 50, statsCols = Seq("x", "y"))
+          val mNew = spark.read.parquet(
+            ops.Catalog.resolve(spark, s"$zDir/cat", v4)("manifest"))
+          mNew.count() - zFiles // files the delta pass produced
+        }
+        Seq(rBefore, rOpt, rAfter, rDelta)
+      }
+    }
+
     // ---- MULTI-WRITER lake cycle at 10× scale (q105's interleaving,
     // soak-sized): append → delete wave → append → manifest extend →
     // second wave → DV compaction → vacuum, with the final merge-on-
@@ -1045,7 +1147,7 @@ object Soak {
 
     val allResults =
       (results ++ layoutResults ++ cdcResults ++ takedownResults ++
-        mvResults ++ shardEpochResults ++
+        mvResults ++ zorderResults ++ shardEpochResults ++
         frontDoorResults :+ multiwriterResult)
         .filter(_._2 >= 0) // drop op-filter skip markers
 

@@ -6233,6 +6233,104 @@ object SparkEntry {
       (1 to 4).map(world).reduce(_ unionAll _).orderBy("version", "source")
     }),
 
+    // ---- STREAMING clustering maintenance: each micro-batch appends
+    // row-ordered via its own commit dir (manifest rows union — no
+    // directory-listing diff, so superseded files can never re-enter)
+    // and commits; every second batch runs the O(appends) delta
+    // clustering pass from the last optimized version. The table stays
+    // continuously z-clustered under ingest — the auto-OPTIMIZE loop a
+    // long-lived 100 TB table runs — and the final version's 2-D box
+    // query REQUIREs a pruned plan, then hash-matches the batch oracle
+    "s44_stream_cluster_maintain" -> ((s, dir) => {
+      val tmp = gateScratch("s44")
+      val li = t(s, dir, "lineitem")
+        .select("l_orderkey", "l_partkey", "l_suppkey", "l_returnflag",
+          "l_quantity")
+      val inDir = java.nio.file.Paths.get(tmp, "in")
+      java.nio.file.Files.createDirectories(inDir)
+      (0 until 4).foreach { k =>
+        val shardTmp = s"$tmp/shard$k"
+        li.filter(pmod(col("l_orderkey"), lit(4)) === k)
+          .coalesce(1).write.parquet(shardTmp)
+        val part = new java.io.File(shardTmp).listFiles()
+          .filter(_.getName.endsWith(".parquet")).head
+        val dst = inDir.resolve(f"batch-$k%02d.parquet")
+        java.nio.file.Files.move(part.toPath, dst)
+        java.nio.file.Files.setLastModifiedTime(dst,
+          java.nio.file.attribute.FileTime.fromMillis(
+            1700000000000L + k * 60000L))
+      }
+      val zStats = Seq("l_partkey", "l_suppkey")
+      li.limit(0).coalesce(1).write.parquet(s"$tmp/t")
+      val m0 = ops.Layout.statsManifest(s, s"$tmp/t", zStats)
+        .localCheckpoint(eager = true)
+      m0.write.parquet(s"$tmp/m/v0")
+      val cat = s"$tmp/catalog"
+      ops.Catalog.commit(s, cat, Map("manifest" -> s"$tmp/m/v0"))
+      var manifest = s.read.parquet(s"$tmp/m/v0")
+      var lastOpt = 1 // catalog version whose files are all clustered
+      val inSchema = s.read.parquet(inDir.toString).schema
+      withNarrowState(s) {
+        val q = s.readStream.schema(inSchema)
+          .option("maxFilesPerTrigger", "1")
+          .parquet(inDir.toString)
+          .writeStream
+          .foreachBatch { (batch: DataFrame, bid: Long) =>
+            val add = ops.Layout.commitAppend(s,
+              batch.repartitionByRange(2, col("l_orderkey")),
+              s"$tmp/t", zStats)
+            manifest.unionByName(add).write.parquet(s"$tmp/m/a$bid")
+            manifest = s.read.parquet(s"$tmp/m/a$bid")
+            ops.Catalog.commitIdempotent(s, cat, s"append-$bid",
+              Map("manifest" -> s"$tmp/m/a$bid"))
+            if (bid % 2 == 1) {
+              // maintenance: cluster ONLY the files landed since the
+              // last optimized version (AvailableNow = no replays, so
+              // the pass's own commit needs no txn key)
+              lastOpt = ops.Layout.optimizeZorderDelta(s, s"$tmp/t", cat,
+                tmp, baseVersion = lastOpt, "l_partkey", "l_suppkey",
+                bits = 15, numFiles = 4, statsCols = zStats)
+              manifest = s.read.parquet(
+                ops.Catalog.resolve(s, cat, lastOpt)("manifest"))
+            }
+            ()
+          }
+          .option("checkpointLocation", s"$tmp/chk")
+          .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+          .start()
+        q.awaitTermination()
+      }
+      GraftExtensions.register(s)
+      val vFinal = ops.Versions.current(cat)(s)
+      val nFiles = s.read.parquet(
+        ops.Catalog.resolve(s, cat, vFinal)("manifest")).count()
+      s.sql(s"SELECT * FROM graft_prune_register(" +
+        s"'s44', '$tmp/t', '$cat', $vFinal)").collect()
+      try {
+        val res = s.sql(s"""
+          |SELECT l_returnflag, COUNT(*) AS n_rows,
+          |  CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE)
+          |    AS sum_qty
+          |FROM graft_catalog_read('$tmp/t', '$cat', $vFinal)
+          |WHERE l_partkey BETWEEN 50 AND 150
+          |  AND l_suppkey BETWEEN 1 AND 5
+          |GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin)
+        val dataFiles = res.queryExecution.optimizedPlan.collect {
+          case lr: org.apache.spark.sql.execution.datasources.LogicalRelation =>
+            lr.relation match {
+              case fs: org.apache.spark.sql.execution.datasources.HadoopFsRelation
+                  if fs.location.rootPaths.exists(_.toString.contains("/t/")) =>
+                fs.location.rootPaths.map(_.toString)
+              case _ => Seq.empty[String]
+            }
+        }.flatten
+        require(dataFiles.nonEmpty && dataFiles.size < nFiles,
+          s"continuously-clustered table did not prune: scanned " +
+            s"${dataFiles.size} of $nFiles files")
+        res
+      } finally plans.ScanPruneRewrite.unregister("s44")
+    }),
+
     // ---- catalog-aware GC: retention by REFERENCE, not age — vacuum
     // the catalog to its newest versions, then delete only artifact
     // dirs no retained version references; the surviving versions keep
@@ -11510,6 +11608,15 @@ object SparkEntry {
         |FROM lineitem
         |WHERE l_partkey BETWEEN 50 AND 150 AND l_suppkey BETWEEN 1 AND 5
         |  AND NOT l_quantity >= 48.0
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    // four appended quarters, continuously re-clustered — content is
+    // exactly the whole table; the clustering is layout-only
+    "s44_stream_cluster_maintain" ->
+      """SELECT l_returnflag, COUNT(*) AS n_rows,
+        |  CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty
+        |FROM lineitem
+        |WHERE l_partkey BETWEEN 50 AND 150 AND l_suppkey BETWEEN 1 AND 5
         |GROUP BY 1 ORDER BY 1""".stripMargin,
 
     // each version's view-answered dashboard ≡ its closed-form prefix:

@@ -70,6 +70,15 @@ object Layout {
     * time travel; reference-based GC ([[graft.ops.Catalog]] vacuum)
     * reclaims them when their versions age out.
     *
+    * CONTRACT for later manifest growth: because the superseded
+    * pre-cluster files remain in the directory, a directory-listing
+    * diff ([[extendManifest]]) run AFTER an optimize would resurrect
+    * them as "new" files — duplicating every row they hold. Grow an
+    * optimized table's manifest by row-union of [[commitAppend]]
+    * stats instead (the s44 streaming loop's discipline); the same
+    * rule applies after any operation that removes files from the
+    * manifest without deleting them from disk.
+    *
     * @return the new catalog version number */
   def optimizeZorder(spark: org.apache.spark.sql.SparkSession,
       dataDir: String, catalogPath: String, artifactDir: String,

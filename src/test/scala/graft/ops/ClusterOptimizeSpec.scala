@@ -129,6 +129,48 @@ class ClusterOptimizeSpec extends AnyFunSuite with SparkTestBase {
     assert(admitted(m3, "y", 3, 4) < m3.count())
   }
 
+  test("the optimized (DV-free) version re-qualifies for metadata-only aggregates") {
+    val root = freshDir()
+    val t = s"$root/t"
+    grid().repartitionByRange(8, col("id")).write.parquet(t)
+    Layout.statsManifest(spark, t, Seq("x", "y")).write.parquet(s"$root/m1")
+    Layout.deletionVectorsForKeys(spark, t,
+        spark.range(1024).filter(col("id") % 7 === 0).select("id"), "id")
+      .write.parquet(s"$root/dv1")
+    Catalog.commit(spark, s"$root/cat",
+      Map("manifest" -> s"$root/m1", "dv" -> s"$root/dv1"))
+    // v1 carries a live DV — MetaAggRewrite must refuse it
+    intercept[IllegalArgumentException] {
+      graft.plans.MetaAggRewrite.registerFromCatalog(spark, "zmeta_v1",
+        t, s"$root/cat", Seq("x"), version = Some(1))
+    }
+    val v2 = Layout.optimizeZorder(spark, t, s"$root/cat", root,
+      "x", "y", bits = 5, numFiles = 8, statsCols = Seq("x", "y"))
+    // the rewrite purged the deletes, so v2 registers — and the global
+    // panel now answers from the manifest with zero data I/O
+    graft.plans.MetaAggRewrite.registerFromCatalog(spark, "zmeta_v2",
+      t, s"$root/cat", Seq("x"), version = Some(v2))
+    try {
+      val refs = Catalog.resolve(spark, s"$root/cat", v2)
+      val q = Layout.snapshotRead(spark, t, spark.read.parquet(refs("manifest")))
+        .agg(count(lit(1)).as("n"), max(col("x")).as("max_x"))
+      q.queryExecution.optimizedPlan // pin
+      val roots = q.queryExecution.optimizedPlan.collect {
+        case lr: org.apache.spark.sql.execution.datasources.LogicalRelation =>
+          lr.relation match {
+            case fs: org.apache.spark.sql.execution.datasources.HadoopFsRelation =>
+              fs.location.rootPaths.map(_.toString)
+            case _ => Seq.empty[String]
+          }
+      }.flatten
+      assert(roots.nonEmpty && roots.forall(_.contains("/m-zorder-")),
+        s"meta-agg rewrite should answer from the manifest: $roots")
+      val row = q.collect().head
+      assert(row.getLong(0) == 1024L - 1024L / 7 - 1)
+      assert(row.getLong(1) == 31L)
+    } finally graft.plans.MetaAggRewrite.unregister("zmeta_v2")
+  }
+
   test("optimizeZorderDelta refuses when no files were added") {
     val root = freshDir()
     val t = s"$root/t"

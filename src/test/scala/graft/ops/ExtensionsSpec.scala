@@ -227,6 +227,35 @@ class GraftExtensionsSpec extends AnyFunSuite with SparkTestBase {
       "fixture should admit a strict subset so the prefix rule is exercised")
   }
 
+  test("graft_optimize_zorder TVF clusters, folds the DV, and matches the API path") {
+    // arg wiring: a swapped xCol/yCol or dropped DV fold must fail here
+    graft.GraftExtensions.register(spark)
+    val tmp = java.nio.file.Files.createTempDirectory("graft-sqlzo").toString
+    spark.range(1024).select(col("id"), (col("id") % 32).as("x"),
+        (col("id") / 32).as("y"))
+      .repartitionByRange(8, col("id")).write.parquet(s"$tmp/t")
+    Layout.statsManifest(spark, s"$tmp/t", Seq("x", "y"))
+      .write.parquet(s"$tmp/m1")
+    Layout.deletionVectorsForKeys(spark, s"$tmp/t",
+        spark.range(1024).filter(col("id") % 7 === 0).select("id"), "id")
+      .write.parquet(s"$tmp/dv1")
+    Catalog.commit(spark, s"$tmp/cat",
+      Map("manifest" -> s"$tmp/m1", "dv" -> s"$tmp/dv1"))
+    val m2 = spark.sql(
+      s"""SELECT * FROM graft_optimize_zorder('$tmp/t', '$tmp/cat',
+         |  '$tmp/art', 'x', 'y', 5, 16, 'x,y')""".stripMargin)
+    assert(m2.count() === 16L)
+    val refs2 = Catalog.resolve(spark, s"$tmp/cat", 2)
+    assert(!refs2.contains("dv"))
+    // content parity with the version-1 merge-on-read world
+    val live = spark.sql(
+      s"SELECT id FROM graft_catalog_read('$tmp/t', '$tmp/cat', 2)")
+      .collect().map(_.getLong(0)).sorted.toSeq
+    assert(live === (0L until 1024L).filterNot(_ % 7 == 0))
+    // and x-stats are now selective (row-ordered write scattered x)
+    assert(m2.filter(col("max_x") >= 3 && col("min_x") <= 4).count() < 16)
+  }
+
   test("SQL-registered kernels match the Column API results") {
     import spark.implicits._
     graft.GraftExtensions.register(spark)
