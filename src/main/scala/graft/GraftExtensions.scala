@@ -400,6 +400,45 @@ object GraftExtensions {
             .split(",").map(_.trim).filter(_.nonEmpty).toSeq)
         plan(s.read.parquet(graft.ops.Catalog.ref(s, cat, v, "manifest")))
       }),
+      // the incremental twin: cluster ONLY files added since
+      // baseVersion (the last optimized version); base files and their
+      // DV addresses carry forward untouched. Returns the new
+      // version's manifest rows.
+      "graft_optimize_zorder_delta" -> ((args: Seq[Expression]) => {
+        expectArgs("graft_optimize_zorder_delta",
+          "dataDir, catalogPath, artifactDir, baseVersion, xCol, yCol, " +
+            "bits, numFiles, statsColsCsv", args, 9)
+        val s = active
+        val cat = strLit(args(1), "graft_optimize_zorder_delta")
+        val v = graft.ops.Layout.optimizeZorderDelta(s,
+          strLit(args(0), "graft_optimize_zorder_delta"), cat,
+          strLit(args(2), "graft_optimize_zorder_delta"),
+          intLit(args(3), "graft_optimize_zorder_delta"),
+          strLit(args(4), "graft_optimize_zorder_delta"),
+          strLit(args(5), "graft_optimize_zorder_delta"),
+          intLit(args(6), "graft_optimize_zorder_delta"),
+          intLit(args(7), "graft_optimize_zorder_delta"),
+          strLit(args(8), "graft_optimize_zorder_delta")
+            .split(",").map(_.trim).filter(_.nonEmpty).toSeq)
+        plan(s.read.parquet(graft.ops.Catalog.ref(s, cat, v, "manifest")))
+      }),
+      // attach a persisted bloom index to a graft_prune_register'd scan:
+      // equality / IN predicates on `colName` then skip files whose bit
+      // set rejects the probe — the case min/max stats cannot serve (a
+      // high-cardinality key scattered across every file). Returns the
+      // index rows. mBits/kHashes must match the index build.
+      "graft_prune_blooms" -> ((args: Seq[Expression]) => {
+        expectArgs("graft_prune_blooms",
+          "name, bloomDir, colName, mBits, kHashes", args, 5)
+        val s = active
+        val idx = s.read.parquet(strLit(args(1), "graft_prune_blooms"))
+        graft.plans.ScanPruneRewrite.registerBlooms(s,
+          strLit(args(0), "graft_prune_blooms"),
+          strLit(args(2), "graft_prune_blooms"), idx,
+          intLit(args(3), "graft_prune_blooms"),
+          intLit(args(4), "graft_prune_blooms"))
+        plan(idx)
+      }),
       "graft_meta_register" -> ((args: Seq[Expression]) => {
         expectArgs("graft_meta_register",
           "name, dataDir, catalogPath, statsColsCsv, version", args, 5)

@@ -4476,7 +4476,11 @@ object SparkEntry {
         .write.parquet(s"$tmp/m2")
       ops.Layout.deletionVectors(s, s"$tmp/t", col("l_returnflag") === "R")
         .write.parquet(s"$tmp/dv")
-      ops.Layout.bloomIndex(s, s"$tmp/t", "l_orderkey")
+      // mBits must track per-file key cardinality: ~60k distinct
+      // orderkeys land in each of 8 files at sf0.1, and a 4096-bit
+      // default would saturate (all files admit). 2^20 bits keeps the
+      // fill factor ~18% at sf0.1 → per-value fp < 1%
+      ops.Layout.bloomIndex(s, s"$tmp/t", "l_orderkey", mBits = 1 << 20)
         .write.parquet(s"$tmp/bloom")
       s.sql(s"""
         |SELECT CAST(1 AS INT) AS version, l_returnflag,
@@ -6231,6 +6235,58 @@ object SparkEntry {
             col("min_v"), col("max_v"), lit(live).as("live_rows"))
       }
       (1 to 4).map(world).reduce(_ unionAll _).orderBy("version", "source")
+    }),
+
+    // ---- BLOOM-composed automatic skipping: the table is clustered by
+    // partkey, so an orderkey point lookup gets nothing from min/max
+    // (every file spans the whole key range) — attaching the persisted
+    // bloom index to the registered scan makes the SAME SQL WHERE skip
+    // at the file level anyway. The gate REQUIREs a strict file-subset
+    // plan for an IN probe, then hash-matches the full-scan oracle ------
+    "q132_bloom_prune" -> ((s, dir) => {
+      val tmp = gateScratch("q132")
+      GraftExtensions.register(s)
+      val li = t(s, dir, "lineitem")
+        .select("l_orderkey", "l_linenumber", "l_partkey",
+          "l_returnflag", "l_quantity")
+      // 16 files: the three probed orders hold ~12 lineitem rows TOTAL,
+      // and partkey clustering scatters them one-per-file — the admitted
+      // union is bounded by the row count, so 16 files guarantees a
+      // strict subset (8 would not: 12 scattered rows can cover all 8)
+      li.repartitionByRange(16, col("l_partkey")).write.parquet(s"$tmp/t")
+      ops.Layout.statsManifest(s, s"$tmp/t", Seq("l_partkey"))
+        .write.parquet(s"$tmp/m")
+      // mBits must track per-file key cardinality: ~60k distinct
+      // orderkeys land in each of 8 files at sf0.1, and a 4096-bit
+      // default would saturate (all files admit). 2^20 bits keeps the
+      // fill factor ~18% at sf0.1 → per-value fp < 1%
+      ops.Layout.bloomIndex(s, s"$tmp/t", "l_orderkey", mBits = 1 << 20)
+        .write.parquet(s"$tmp/bloom")
+      ops.Catalog.commit(s, s"$tmp/cat", Map("manifest" -> s"$tmp/m"))
+      s.sql(s"SELECT * FROM graft_prune_register(" +
+        s"'q132', '$tmp/t', '$tmp/cat', 1)").collect()
+      s.sql(s"SELECT * FROM graft_prune_blooms(" +
+        s"'q132', '$tmp/bloom', 'l_orderkey', ${1 << 20}, 3)").collect()
+      try {
+        val res = s.sql(s"""
+          |SELECT l_orderkey, l_linenumber, l_returnflag, l_quantity
+          |FROM graft_catalog_read('$tmp/t', '$tmp/cat', 1)
+          |WHERE l_orderkey IN (1, 7, 1000)
+          |ORDER BY l_orderkey, l_linenumber""".stripMargin)
+        val dataFiles = res.queryExecution.optimizedPlan.collect {
+          case lr: org.apache.spark.sql.execution.datasources.LogicalRelation =>
+            lr.relation match {
+              case fs: org.apache.spark.sql.execution.datasources.HadoopFsRelation
+                  if fs.location.rootPaths.exists(_.toString.contains("/t/")) =>
+                fs.location.rootPaths.map(_.toString)
+              case _ => Seq.empty[String]
+            }
+        }.flatten
+        require(dataFiles.nonEmpty && dataFiles.size < 16,
+          s"bloom admission did not prune the scattered key: scanned " +
+            s"${dataFiles.size} of 16 files")
+        res
+      } finally plans.ScanPruneRewrite.unregister("q132")
     }),
 
     // ---- STREAMING clustering maintenance: each micro-batch appends
@@ -11609,6 +11665,14 @@ object SparkEntry {
         |WHERE l_partkey BETWEEN 50 AND 150 AND l_suppkey BETWEEN 1 AND 5
         |  AND NOT l_quantity >= 48.0
         |GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    // bloom skipping is lossless: false positives only ADD files, the
+    // residual filter makes the rows exactly the full-scan equality
+    "q132_bloom_prune" ->
+      """SELECT l_orderkey, l_linenumber, l_returnflag, l_quantity
+        |FROM lineitem
+        |WHERE l_orderkey IN (1, 7, 1000)
+        |ORDER BY l_orderkey, l_linenumber""".stripMargin,
 
     // four appended quarters, continuously re-clustered — content is
     // exactly the whole table; the clustering is layout-only

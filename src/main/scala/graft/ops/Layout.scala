@@ -932,8 +932,12 @@ object Layout {
       .agg(collect_set(col("bit")).as("bits"))
   }
 
-  /** Bit position `i` of a value under the engine-portable salted h64. */
-  private def bloomBit(v: Column, i: Int, mBits: Int): Column =
+  /** Bit position `i` of a value under the engine-portable salted h64.
+    * `private[graft]` so [[graft.plans.ScanPruneRewrite]] can evaluate
+    * the SAME expression driver-side for its bloom admission — the bit
+    * positions must come from one definition or skipping silently
+    * drops matching files. */
+  private[graft] def bloomBit(v: Column, i: Int, mBits: Int): Column =
     pmod(graft.functions.TextFunctions.h64(
       concat_ws("-", lit(s"graft-bloom-$i"), v.cast("string"))), lit(mBits))
 

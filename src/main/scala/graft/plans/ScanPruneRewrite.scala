@@ -87,6 +87,14 @@ object ScanPruneRewrite extends Rule[LogicalPlan] with PredicateHelper {
   private case class ColStats(min: Any, max: Any, nulls: Option[Long])
   private case class FileStats(path: String, nRows: Long,
       cols: Map[String, ColStats])
+
+  /** Per-file Bloom bit sets for one column ([[graft.ops.Layout.bloomIndex]]
+    * layout), keyed by scheme-normalized path. Serves EQUALITY / IN
+    * conjuncts on columns min/max cannot help with (high-cardinality
+    * keys scattered across every file). A file missing from the index
+    * admits — losslessness over completeness. */
+  private case class Bloom(colType: DataType, mBits: Int, kHashes: Int,
+      bits: Map[String, scala.collection.immutable.BitSet])
   /** Matching anchors on the scan's `HadoopFsRelation` rather than a
     * stored `LogicalPlan` shape: `InMemoryFileIndex` equality compares
     * the root-path SET, so the match is "reads exactly this version's
@@ -97,7 +105,8 @@ object ScanPruneRewrite extends Rule[LogicalPlan] with PredicateHelper {
     * does not. */
   private case class Reg(name: String,
       relation: org.apache.spark.sql.execution.datasources.HadoopFsRelation,
-      statsCols: Map[String, DataType], files: Seq[FileStats])
+      statsCols: Map[String, DataType], files: Seq[FileStats],
+      blooms: Map[String, Bloom] = Map.empty)
 
   private val registry = new ConcurrentHashMap[String, Reg]()
 
@@ -168,6 +177,60 @@ object ScanPruneRewrite extends Rule[LogicalPlan] with PredicateHelper {
     val base = graft.ops.Layout.snapshotRead(spark, dataDir, manifest)
     register(spark, name, base, manifest)
     v
+  }
+
+  /** Attach a [[graft.ops.Layout.bloomIndex]] for `colName` to an
+    * already-registered scan: equality / IN conjuncts on that column
+    * then drop every file whose bit set misses any of the value's k
+    * positions — the skipping min/max cannot provide when a
+    * high-cardinality key is scattered across every file (i.e. the
+    * table is clustered by something else). Composes with the range
+    * admission: a conjunct admits only files BOTH tests keep. The
+    * probe bits are computed by evaluating the index's own bit
+    * expression driver-side, so index and probe can never disagree.
+    * Collects O(#files · set-bits) onto the driver — the same
+    * flat-manifest registration contract, with the bloom's `mBits`
+    * bounding the per-file set. */
+  def registerBlooms(spark: SparkSession, name: String, colName: String,
+      bloomIndex: DataFrame, mBits: Int = 4096,
+      kHashes: Int = 3): Unit = {
+    val reg = Option(registry.get(name)).getOrElse(
+      throw new IllegalArgumentException(
+        s"no registered scan named '$name' — register the version first"))
+    val colType = reg.relation.dataSchema.fields
+      .find(_.name == colName).map(_.dataType).getOrElse(
+        throw new IllegalArgumentException(
+          s"'$colName' is not a column of registered scan '$name'"))
+    val byFile = bloomIndex.select("file", "bits").collect().map { r =>
+      normPath(r.getString(0)) ->
+        scala.collection.immutable.BitSet(
+          r.getSeq[Long](1).map(_.toInt): _*)
+    }.toMap
+    registry.put(name, reg.copy(blooms = reg.blooms +
+      (colName -> Bloom(colType, mBits, kHashes, byFile))))
+  }
+
+  private def normPath(p: String): String =
+    new org.apache.hadoop.fs.Path(p).toUri.getPath
+
+  /** The k bit positions of a probe value — the index's OWN expression
+    * ([[graft.ops.Layout.bloomBit]]) over a literal, resolved through a
+    * one-row plan (analysis only — no job) and folded driver-side. */
+  private def probeBits(value: Any, t: DataType, b: Bloom): Seq[Int] = {
+    val spark = SparkSession.active
+    val cols = (0 until b.kHashes).map { i =>
+      graft.ops.Layout.bloomBit(
+        org.apache.spark.sql.graftbridge.ColumnBridge.column(
+          Literal(value, t)), i, b.mBits)
+    }
+    spark.range(1).select(cols: _*).queryExecution.analyzed match {
+      case Project(ps, _) => ps.map {
+        case Alias(e, _) => e.eval(null).asInstanceOf[Long].toInt
+        case e => e.eval(null).asInstanceOf[Long].toInt
+      }
+      case other => throw new IllegalStateException(
+        s"unexpected probe plan shape: $other")
+    }
   }
 
   def unregister(name: String): Unit = registry.remove(name)
@@ -249,6 +312,34 @@ object ScanPruneRewrite extends Rule[LogicalPlan] with PredicateHelper {
       case _ => None
     }
 
+    def bloomOf(x: Expression): Option[(String, Bloom)] = x match {
+      case a: AttributeReference if outIds.contains(a.exprId) =>
+        reg.blooms.get(a.name).filter(_.colType == a.dataType)
+          .map(a.name -> _)
+      case _ => None
+    }
+
+    /** all k probe bits present in the file's set; absent file admits */
+    def bloomHit(b: Bloom, v: Any): FileStats => Boolean = {
+      val probe = probeBits(v, b.colType, b)
+      fs => b.bits.get(normPath(fs.path))
+        .forall(set => probe.forall(set.contains))
+    }
+
+    /** IN admission: a file survives if SOME value passes every
+      * available test (range ∧ bloom) for it. */
+    def inTest(values: Seq[Any], statsCol: Option[(String, DataType)],
+        bloomCol: Option[(String, Bloom)]): FileStats => Boolean = {
+      val perValue = values.map { v =>
+        val r = statsCol.map { case (c, t) =>
+          cmp(c, t, v)((mn, mx) => mn <= 0 && mx >= 0)
+        }
+        val bl = bloomCol.map { case (_, b) => bloomHit(b, v) }
+        (fs: FileStats) => r.forall(_(fs)) && bl.forall(_(fs))
+      }
+      fs => perValue.exists(_(fs))
+    }
+
     /** value comparison against [min, max]; `admit(cmpMin, cmpMax)`
       * receives compare(min, v) and compare(max, v). Files with no
       * non-null value are provably empty for ANY value comparison. */
@@ -268,9 +359,15 @@ object ScanPruneRewrite extends Rule[LogicalPlan] with PredicateHelper {
       case _ => None
     }
 
-    def eq(a: Expression, b: Expression): Option[FileStats => Boolean] =
-      for { (c, t) <- colOf(a); v <- lit(b, t) }
+    def eq(a: Expression, b: Expression): Option[FileStats => Boolean] = {
+      val range = for { (c, t) <- colOf(a); v <- lit(b, t) }
         yield cmp(c, t, v)((mn, mx) => mn <= 0 && mx >= 0)
+      val bloom = for { (_, bl) <- bloomOf(a); v <- lit(b, bl.colType) }
+        yield bloomHit(bl, v)
+      if (range.isEmpty && bloom.isEmpty) None
+      else Some((fs: FileStats) =>
+        range.forall(_(fs)) && bloom.forall(_(fs)))
+    }
 
     def isNullTest(a: Expression): Option[FileStats => Boolean] =
       colOf(a).map { case (c, _) =>
@@ -308,25 +405,45 @@ object ScanPruneRewrite extends Rule[LogicalPlan] with PredicateHelper {
           for { (c, t) <- colOf(b); v <- lit(a, t) }
             yield cmp(c, t, v)((mn, _) => mn <= 0))
       case In(a, list) =>
-        colOf(a).flatMap { case (c, t) =>
+        val statsCol = colOf(a)
+        val bloomCol = bloomOf(a)
+        if (statsCol.isEmpty && bloomCol.isEmpty) None
+        else {
+          val t = statsCol.map(_._2).getOrElse(bloomCol.get._2.colType)
           val vs = list.collect { case Literal(v, lt) if lt == t => v }
           // non-literal elements can admit rows the literal set cannot
           // prove absent — refuse unless every element is a literal
           if (vs.size != list.size) None
-          else {
-            val nonNull = vs.filter(_ != null)
-            Some((fs: FileStats) => nonNull.exists(v =>
-              cmp(c, t, v)((mn, mx) => mn <= 0 && mx >= 0)(fs)))
-          }
+          else Some(inTest(vs.filter(_ != null), statsCol, bloomCol))
         }
       case InSet(a, hset) =>
-        colOf(a).map { case (c, t) =>
-          val vs = hset.iterator.filter(_ != null).toSeq
-          (fs: FileStats) => vs.exists(v =>
-            cmp(c, t, v)((mn, mx) => mn <= 0 && mx >= 0)(fs))
-        }
+        val statsCol = colOf(a)
+        val bloomCol = bloomOf(a)
+        if (statsCol.isEmpty && bloomCol.isEmpty) None
+        else Some(inTest(hset.iterator.filter(_ != null).toSeq,
+          statsCol, bloomCol))
       case IsNull(a) => isNullTest(a)
       case IsNotNull(a) => isNotNullTest(a)
+      case StartsWith(a, Literal(pfx: org.apache.spark.unsafe.types.UTF8String,
+          StringType)) if pfx != null =>
+        // rigorous prefix admission on binary UTF8 order:
+        //   max < pfx            ⇒ every value < every pfx-string;
+        //   min.take(|pfx|) > pfx ⇒ first differing byte lies inside the
+        //     truncated region, so every value > every pfx-string.
+        // Anything else must admit.
+        colOf(a).filter(_._2 == StringType).map { case (c, _) =>
+          fs => fs.cols.get(c) match {
+            case Some(st) if st.min != null && st.max != null =>
+              val mn = st.min.asInstanceOf[
+                org.apache.spark.unsafe.types.UTF8String]
+              val mx = st.max.asInstanceOf[
+                org.apache.spark.unsafe.types.UTF8String]
+              mx.compareTo(pfx) >= 0 &&
+                mn.substring(0, pfx.numChars).compareTo(pfx) <= 0
+            case Some(_) => false // no non-null strings in the file
+            case None => true
+          }
+        }
       case Not(EqualTo(a, b)) =>
         // only a single-valued file (min = max = v) is provably empty
         (for { (c, t) <- colOf(a); v <- lit(b, t) }

@@ -254,6 +254,25 @@ class GraftExtensionsSpec extends AnyFunSuite with SparkTestBase {
     assert(live === (0L until 1024L).filterNot(_ % 7 == 0))
     // and x-stats are now selective (row-ordered write scattered x)
     assert(m2.filter(col("max_x") >= 3 && col("min_x") <= 4).count() < 16)
+    // the delta twin from SQL: append a wave via commitAppend (the
+    // documented post-optimize manifest-growth discipline), commit,
+    // then cluster only the new files
+    val add = Layout.commitAppend(spark,
+      spark.range(1024, 1280).select(col("id"), (col("id") % 32).as("x"),
+        ((col("id") - 1024) / 8).as("y")),
+      s"$tmp/t", Seq("x", "y"))
+    spark.read.parquet(Catalog.ref(spark, s"$tmp/cat", 2, "manifest"))
+      .unionByName(add).write.parquet(s"$tmp/m3")
+    Catalog.commit(spark, s"$tmp/cat", Map("manifest" -> s"$tmp/m3"))
+    val m4 = spark.sql(
+      s"""SELECT * FROM graft_optimize_zorder_delta('$tmp/t', '$tmp/cat',
+         |  '$tmp/art', 2, 'x', 'y', 5, 4, 'x,y')""".stripMargin)
+    val live4 = spark.sql(
+      s"SELECT id FROM graft_catalog_read('$tmp/t', '$tmp/cat', 4)")
+      .collect().map(_.getLong(0)).sorted.toSeq
+    assert(live4 ===
+      ((0L until 1024L).filterNot(_ % 7 == 0) ++ (1024L until 1280L)))
+    assert(m4.count() === 20L) // 16 base files kept + 4 delta-clustered
   }
 
   test("SQL-registered kernels match the Column API results") {

@@ -128,6 +128,17 @@ class ScanPruneRewriteSpec extends AnyFunSuite with SparkTestBase {
       // OR with an untranslatable branch admits everything
       val r3 = pinPlan(snap.filter(col("id") < 20L || col("id") % 7 === 0))
       assert(scanRoots(r3).size == 4)
+      // LIKE 'pfx%' (StartsWith after optimization) prunes on the
+      // string range: s = s0000..s0199 clustered with id
+      val r4 = pinPlan(snap.filter(col("s").startsWith("s000")))
+      assert(scanRoots(r4).size == 1, s"prefix: ${scanRoots(r4)}")
+      assert(r4.count() == 10L)
+      val r5 = pinPlan(snap.filter(col("s").like("s019%")))
+      assert(scanRoots(r5).size == 1)
+      assert(r5.count() == 10L)
+      // a prefix past every value prunes everything
+      val r6 = pinPlan(snap.filter(col("s").startsWith("t")))
+      assert(scanRoots(r6).isEmpty && r6.count() == 0L)
     }
   }
 
@@ -233,6 +244,65 @@ class ScanPruneRewriteSpec extends AnyFunSuite with SparkTestBase {
       assert(q.collect().map(r => r.getString(0) -> r.getLong(1)).toMap ==
         Map("zero" -> 2L, "one" -> 2L, "two" -> 2L, "three" -> 2L,
           "four" -> 2L))
+    }
+  }
+
+  test("bloom admission: equality on a scattered key prunes where min/max cannot") {
+    val root = freshDir()
+    val t = s"$root/t"
+    // u is a high-cardinality key scattered across every id-range file:
+    // each file's [min_u, max_u] spans nearly the whole space, so range
+    // stats admit everything — the bloom is the only skipping signal
+    spark.range(200).select(col("id"),
+        ((col("id") * 2654435761L) % 100000L).as("u"))
+      .repartitionByRange(4, col("id"))
+      .write.parquet(t)
+    Layout.statsManifest(spark, t, Seq("id")).write.parquet(s"$root/m1")
+    Catalog.commit(spark, s"$root/cat", Map("manifest" -> s"$root/m1"))
+    Layout.bloomIndex(spark, t, "u").write.parquet(s"$root/bloom")
+    ScanPruneRewrite.registerFromCatalog(spark, "pb", t, s"$root/cat")
+    try {
+      val probeU = (137L * 2654435761L) % 100000L
+      // without the bloom: u is not a stats column → no pruning
+      val q0 = pinPlan(snapshot(t, s"$root/cat").filter(col("u") === probeU))
+      assert(scanRoots(q0).size == 4)
+      ScanPruneRewrite.registerBlooms(spark, "pb", "u",
+        spark.read.parquet(s"$root/bloom"))
+      val q1 = pinPlan(snapshot(t, s"$root/cat").filter(col("u") === probeU))
+      assert(scanRoots(q1).size < 4,
+        s"bloom should prune the scattered key: ${scanRoots(q1).size}")
+      assert(q1.select("id").as[Long].collect().toSeq == Seq(137L))
+      // IN over two keys from two different files: both files admitted,
+      // rest pruned (modulo bloom false positives, which only ADD files)
+      val probeU2 = (42L * 2654435761L) % 100000L
+      val q2 = pinPlan(snapshot(t, s"$root/cat")
+        .filter(col("u").isin(probeU, probeU2)))
+      assert(scanRoots(q2).size >= 2 && scanRoots(q2).size < 4)
+      assert(q2.select("id").as[Long].collect().sorted.toSeq ==
+        Seq(42L, 137L))
+      // an absent key prunes everything (no false-positive full scan
+      // at this fixture size means all four blooms reject)
+      val q3 = pinPlan(snapshot(t, s"$root/cat").filter(col("u") === 99999L))
+      assert(q3.count() == 0L)
+      // composition: bloom conjunct AND range conjunct — admitted set
+      // is the intersection
+      val q4 = pinPlan(snapshot(t, s"$root/cat")
+        .filter(col("u") === probeU && col("id") < 50L))
+      assert(scanRoots(q4).isEmpty, // id 137 lives past the id<50 file
+        s"range ∧ bloom should intersect to nothing: ${scanRoots(q4)}")
+    } finally ScanPruneRewrite.unregister("pb")
+  }
+
+  test("registerBlooms refuses unknown scans and columns") {
+    val (t, cat) = fixture()
+    withReg(t, cat, "pb2") {
+      val idx = Layout.bloomIndex(spark, t, "k")
+      intercept[IllegalArgumentException] {
+        ScanPruneRewrite.registerBlooms(spark, "nope", "k", idx)
+      }
+      intercept[IllegalArgumentException] {
+        ScanPruneRewrite.registerBlooms(spark, "pb2", "no_such_col", idx)
+      }
     }
   }
 
