@@ -6237,6 +6237,30 @@ object SparkEntry {
       (1 to 4).map(world).reduce(_ unionAll _).orderBy("version", "source")
     }),
 
+    // ---- HYBRID metadata count: a range count over the clustered key
+    // answers from manifest rows for fully-contained files (n_rows −
+    // nulls, zero I/O) and scans ONLY the boundary-straddling files —
+    // for a range-clustered table that is O(2 files) of data I/O for
+    // an arbitrarily wide range. The gate REQUIREs the straddle set is
+    // a strict subset, then hash-matches the full-scan count ------------
+    "q133_count_range" -> ((s, dir) => {
+      val tmp = gateScratch("q133")
+      val li = t(s, dir, "lineitem").select("l_orderkey", "l_quantity")
+      li.repartitionByRange(8, col("l_orderkey")).write.parquet(s"$tmp/t")
+      val m = ops.Layout.statsManifest(s, s"$tmp/t", Seq("l_orderkey"))
+        .localCheckpoint(eager = true)
+      val straddle = m.filter(
+        !(col("min_l_orderkey") >= 1000L && col("max_l_orderkey") <= 30000L
+            && col("nulls_l_orderkey").isNotNull) &&
+        !(col("min_l_orderkey").isNull || col("max_l_orderkey") < 1000L ||
+            col("min_l_orderkey") > 30000L)).count()
+      require(straddle < m.count(),
+        s"range should straddle a strict subset, got $straddle files")
+      val n = ops.Layout.countRange(s, s"$tmp/t", m, "l_orderkey",
+        lit(1000L), lit(30000L))
+      s.range(1).select(lit(n).as("n_rows"))
+    }),
+
     // ---- BLOOM-composed automatic skipping: the table is clustered by
     // partkey, so an orderkey point lookup gets nothing from min/max
     // (every file spans the whole key range) — attaching the persisted
@@ -11665,6 +11689,13 @@ object SparkEntry {
         |WHERE l_partkey BETWEEN 50 AND 150 AND l_suppkey BETWEEN 1 AND 5
         |  AND NOT l_quantity >= 48.0
         |GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    // fully-contained files contribute n_rows − nulls from metadata,
+    // straddling files scan with the residual range — exactly the
+    // closed-form count
+    "q133_count_range" ->
+      """SELECT COUNT(*) AS n_rows FROM lineitem
+        |WHERE l_orderkey BETWEEN 1000 AND 30000""".stripMargin,
 
     // bloom skipping is lossless: false positives only ADD files, the
     // residual filter makes the rows exactly the full-scan equality

@@ -637,6 +637,45 @@ object Layout {
       cols.flatMap(c => Seq(min(col(c)).as(s"min_$c"), max(col(c)).as(s"max_$c"),
         count(when(col(c).isNull, 1)).as(s"nulls_$c")))
 
+  /** HYBRID metadata count — `count(rows with lo <= col <= hi)` paying
+    * data I/O only for files the range STRADDLES. Three file classes
+    * from the manifest row alone:
+    *   - fully contained (`lo <= min_c` and `max_c <= hi`, null count
+    *     known): every non-null row matches → contributes
+    *     `n_rows − nulls_c` with zero I/O (min/max ignore nulls, so
+    *     containment says nothing about the null rows — they never
+    *     satisfy a range and subtract exactly);
+    *   - disjoint (`max_c < lo` or `min_c > hi`, or no non-null
+    *     values): contributes zero with zero I/O;
+    *   - straddling (or unknown nulls): scanned with the residual
+    *     filter — the only data cost.
+    * For a range-clustered table that is O(2 boundary files) of I/O
+    * for an arbitrarily large range — the "how many rows in this day /
+    * key span" introspection at metadata speed, exact including null
+    * semantics (lake formats answer the fully-contained case from
+    * stats; the straddle scan closes the gap exactly). Driver work is
+    * one pass over the manifest rows (flat-manifest contract). */
+  def countRange(spark: org.apache.spark.sql.SparkSession, dir: String,
+      manifest: DataFrame, colName: String, lo: Column,
+      hi: Column): Long = {
+    val mn = col(s"min_$colName")
+    val mx = col(s"max_$colName")
+    val nl = col(s"nulls_$colName")
+    val fully = mn >= lo && mx <= hi && nl.isNotNull
+    val disjoint = mn.isNull || mx < lo || mn > hi
+    val agg = manifest.agg(
+      sum(when(fully, col("n_rows") - nl).otherwise(lit(0L))).as("meta"),
+      collect_list(when(!fully && !disjoint, col("file"))).as("straddle"))
+      .head()
+    val metaCount = if (agg.isNullAt(0)) 0L else agg.getLong(0)
+    val straddle = agg.getSeq[String](1)
+    val scanned =
+      if (straddle.isEmpty) 0L
+      else spark.read.parquet(straddle: _*)
+        .filter(col(colName) >= lo && col(colName) <= hi).count()
+    metaCount + scanned
+  }
+
   /** IS-NOT-NULL file skipping from the manifest's per-file null
     * counts (the third statistic real lake formats keep beside
     * min/max): a file whose `nulls_col` equals its row count provably

@@ -23,6 +23,37 @@ class DataSkippingSpec extends AnyFunSuite with SparkTestBase {
     out
   }
 
+  test("countRange: fully-contained files answer from metadata, straddlers scan, nulls subtract") {
+    val dir = sortedLayout(1000, 250) // 4 files: [0,249][250,499][500,749][750,999]
+    val m = Layout.statsManifest(spark, dir, Seq("k"))
+      .localCheckpoint(eager = true)
+    // spans two full files + two boundary files
+    assert(Layout.countRange(spark, dir, m, "k", lit(100L), lit(899L))
+      === 800L)
+    // exactly one full file
+    assert(Layout.countRange(spark, dir, m, "k", lit(250L), lit(499L))
+      === 250L)
+    // disjoint below and above
+    assert(Layout.countRange(spark, dir, m, "k", lit(-10L), lit(-1L)) === 0L)
+    assert(Layout.countRange(spark, dir, m, "k", lit(5000L), lit(6000L))
+      === 0L)
+    // whole-table span: zero straddlers, pure metadata
+    assert(Layout.countRange(spark, dir, m, "k", lit(0L), lit(999L))
+      === 1000L)
+    // nulls never satisfy a range: a fully-contained file with nulls
+    // contributes n_rows − nulls exactly
+    val nd = freshDir("nulls")
+    spark.range(100).select(col("id"),
+        when(col("id") % 10 === 0, lit(null).cast("long"))
+          .otherwise(col("id")).as("k"))
+      .repartitionByRange(2, col("id"))
+      .write.parquet(s"$nd/t")
+    val nm = Layout.statsManifest(spark, s"$nd/t", Seq("k"))
+      .localCheckpoint(eager = true)
+    assert(Layout.countRange(spark, s"$nd/t", nm, "k", lit(0L), lit(99L))
+      === 90L)
+  }
+
   test("manifest rows cover every file; min/max/count are exact") {
     val dir = sortedLayout(1000, 250)
     val m = Layout.statsManifest(spark, dir, Seq("k")).collect()
