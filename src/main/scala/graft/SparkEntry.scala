@@ -4476,11 +4476,11 @@ object SparkEntry {
         .write.parquet(s"$tmp/m2")
       ops.Layout.deletionVectors(s, s"$tmp/t", col("l_returnflag") === "R")
         .write.parquet(s"$tmp/dv")
-      // mBits must track per-file key cardinality: ~60k distinct
-      // orderkeys land in each of 8 files at sf0.1, and a 4096-bit
-      // default would saturate (all files admit). 2^20 bits keeps the
-      // fill factor ~18% at sf0.1 → per-value fp < 1%
-      ops.Layout.bloomIndex(s, s"$tmp/t", "l_orderkey", mBits = 1 << 20)
+      // default mBits: graft_bloom_read probes with the defaults, and
+      // index/probe mBits MUST agree or every probe misses (a saturated
+      // small bloom is merely unselective — lossless — while a
+      // mismatched one is lossy)
+      ops.Layout.bloomIndex(s, s"$tmp/t", "l_orderkey")
         .write.parquet(s"$tmp/bloom")
       s.sql(s"""
         |SELECT CAST(1 AS INT) AS version, l_returnflag,
