@@ -6237,6 +6237,59 @@ object SparkEntry {
       (1 to 4).map(world).reduce(_ unionAll _).orderBy("version", "source")
     }),
 
+    // ---- N-dimensional clustering: OPTIMIZE ZORDER over THREE columns
+    // (partkey × suppkey × linenumber — the date × key × tenant shape);
+    // bit j of column k lands at position 3j+k, so every dimension
+    // carries tight per-file stats and a 3-conjunct box prunes through
+    // the automatic rewrite. Gate REQUIREs a strict file-subset plan,
+    // then hash-matches the live-rows oracle ---------------------------
+    "q134_cluster_3d" -> ((s, dir) => {
+      val tmp = gateScratch("q134")
+      GraftExtensions.register(s)
+      val li = t(s, dir, "lineitem")
+        .select("l_orderkey", "l_partkey", "l_suppkey", "l_linenumber",
+          "l_returnflag", "l_quantity")
+      li.repartitionByRange(8, col("l_orderkey")).write.parquet(s"$tmp/t")
+      ops.Layout.statsManifest(s, s"$tmp/t",
+        Seq("l_partkey", "l_suppkey", "l_linenumber"))
+        .write.parquet(s"$tmp/m1")
+      ops.Layout.deletionVectors(s, s"$tmp/t", col("l_quantity") >= 48.0)
+        .write.parquet(s"$tmp/dv1")
+      ops.Catalog.commit(s, s"$tmp/cat",
+        Map("manifest" -> s"$tmp/m1", "dv" -> s"$tmp/dv1"))
+      val v2 = ops.Layout.optimizeZorderN(s, s"$tmp/t", s"$tmp/cat", tmp,
+        Seq("l_partkey", "l_suppkey", "l_linenumber"), bits = 15,
+        numFiles = 16,
+        statsCols = Seq("l_partkey", "l_suppkey", "l_linenumber"))
+      require(!ops.Catalog.resolve(s, s"$tmp/cat", v2).contains("dv"),
+        "optimize must fold the deletion vector in")
+      s.sql(s"SELECT * FROM graft_prune_register(" +
+        s"'q134', '$tmp/t', '$tmp/cat', $v2)").collect()
+      try {
+        val res = s.sql(s"""
+          |SELECT l_returnflag, COUNT(*) AS n_rows,
+          |  CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE)
+          |    AS sum_qty
+          |FROM graft_catalog_read('$tmp/t', '$tmp/cat', $v2)
+          |WHERE l_partkey BETWEEN 50 AND 150
+          |  AND l_suppkey BETWEEN 1 AND 5
+          |  AND l_linenumber BETWEEN 1 AND 2
+          |GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin)
+        val dataFiles = res.queryExecution.optimizedPlan.collect {
+          case lr: org.apache.spark.sql.execution.datasources.LogicalRelation =>
+            lr.relation match {
+              case fs: org.apache.spark.sql.execution.datasources.HadoopFsRelation
+                  if fs.location.rootPaths.exists(_.toString.contains("/t/")) =>
+                fs.location.rootPaths.map(_.toString)
+              case _ => Seq.empty[String]
+            }
+        }.flatten
+        require(dataFiles.nonEmpty && dataFiles.size < 16,
+          s"3-D box did not prune: scanned ${dataFiles.size} of 16 files")
+        res
+      } finally plans.ScanPruneRewrite.unregister("q134")
+    }),
+
     // ---- HYBRID metadata count: a range count over the clustered key
     // answers from manifest rows for fully-contained files (n_rows −
     // nulls, zero I/O) and scans ONLY the boundary-straddling files —
@@ -11687,6 +11740,16 @@ object SparkEntry {
         |  CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty
         |FROM lineitem
         |WHERE l_partkey BETWEEN 50 AND 150 AND l_suppkey BETWEEN 1 AND 5
+        |  AND NOT l_quantity >= 48.0
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    // 3-D clustering is layout-only; content = live rows under the box
+    "q134_cluster_3d" ->
+      """SELECT l_returnflag, COUNT(*) AS n_rows,
+        |  CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty
+        |FROM lineitem
+        |WHERE l_partkey BETWEEN 50 AND 150 AND l_suppkey BETWEEN 1 AND 5
+        |  AND l_linenumber BETWEEN 1 AND 2
         |  AND NOT l_quantity >= 48.0
         |GROUP BY 1 ORDER BY 1""".stripMargin,
 

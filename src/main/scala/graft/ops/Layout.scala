@@ -22,12 +22,75 @@ object Layout {
     * `bits` of each (x in even positions, y in odd). `bits <= 31`. */
   def zorderValue(x: Column, y: Column, bits: Int): Column = {
     require(bits > 0 && bits <= 31, "bits must be in [1, 31]")
-    val xs = x.cast("long")
-    val ys = y.cast("long")
-    (0 until bits).map { i =>
-      shiftleft(shiftright(xs, i).bitwiseAND(lit(1L)), 2 * i)
-        .bitwiseOR(shiftleft(shiftright(ys, i).bitwiseAND(lit(1L)), 2 * i + 1))
+    zorderValueN(Seq(x, y), bits)
+  }
+
+  /** N-dimensional Morton code: bit j of column k lands at position
+    * `n·j + k`, so for two columns this is exactly [[zorderValue]]'s
+    * interleave. All columns non-negative integrals below 2^`bits`;
+    * `cols.size · bits <= 62` keeps the code in a positive long. Still
+    * a pure chain of codegen'd shift/mask builtins unrolled at
+    * plan-build time. */
+  def zorderValueN(cols: Seq[Column], bits: Int): Column = {
+    require(cols.size >= 2, s"need at least 2 cluster columns")
+    require(bits > 0 && cols.size * bits <= 62,
+      s"${cols.size} columns × $bits bits exceeds a positive long")
+    val n = cols.size
+    val longs = cols.map(_.cast("long"))
+    (0 until bits).flatMap { i =>
+      longs.zipWithIndex.map { case (c, j) =>
+        shiftleft(shiftright(c, i).bitwiseAND(lit(1L)), n * i + j)
+      }
     }.reduce(_.bitwiseOR(_))
+  }
+
+  /** [[zorderLayout]] over N cluster columns. Columns must be integral:
+    * a fractional column would truncate inside the z-code while the
+    * manifest stores its exact fractional bounds — clustering would
+    * still work, but the silent mismatch invites off-by-truncation
+    * pruning surprises, so it refuses. Note the standard z-order
+    * caveat for asymmetric ranges: a dimension using far fewer value
+    * bits than `bits` occupies only LOW code positions and clusters
+    * weakest — size `bits` to the widest dimension and expect
+    * selectivity proportional to each dimension's bit usage. */
+  def zorderLayoutN(df: DataFrame, cols: Seq[String], bits: Int,
+      numFiles: Int): DataFrame = {
+    cols.foreach { c =>
+      val dt = df.schema(c).dataType
+      require(Seq("byte", "short", "int", "long", "integer", "tinyint",
+          "smallint", "bigint").contains(dt.typeName),
+        s"z-order cluster column '$c' must be integral, got " +
+          s"${dt.simpleString} (cast it explicitly first)")
+    }
+    val z = zorderValueN(cols.map(col), bits)
+    df.withColumn("graft_z", z)
+      .repartitionByRange(numFiles, col("graft_z"))
+      .sortWithinPartitions("graft_z")
+      .drop("graft_z")
+  }
+
+  /** [[optimizeZorder]] over N cluster columns — same contract
+    * (merge-on-read rewrite, DV folds in, commitAppend-union manifest
+    * growth afterwards), with every clustered dimension selective in
+    * the manifest. @return the new catalog version number */
+  def optimizeZorderN(spark: org.apache.spark.sql.SparkSession,
+      dataDir: String, catalogPath: String, artifactDir: String,
+      clusterCols: Seq[String], bits: Int, numFiles: Int,
+      statsCols: Seq[String]): Int = {
+    implicit val s: org.apache.spark.sql.SparkSession = spark
+    val refs = Catalog.resolveCurrent(spark, catalogPath)
+    val manifest = spark.read.parquet(refs("manifest"))
+    val snap = refs.get("dv") match {
+      case Some(dv) => snapshotReadWithDeletes(spark, dataDir, manifest,
+        spark.read.parquet(dv))
+      case None => snapshotRead(spark, dataDir, manifest)
+    }
+    val tag = java.util.UUID.randomUUID().toString.replace("-", "")
+    val cdir = s"$dataDir/commit-zorder-$tag"
+    zorderLayoutN(snap, clusterCols, bits, numFiles).write.parquet(cdir)
+    val mDir = s"$artifactDir/m-zorder-$tag"
+    statsManifest(spark, cdir, statsCols).write.parquet(mDir)
+    Catalog.commit(spark, catalogPath, Map("manifest" -> mDir))
   }
 
   /** Repartition into `numFiles` z-value ranges and sort within each —
@@ -36,13 +99,8 @@ object Layout {
     * dimensions). One range-exchange; the sampled range boundaries only
     * affect file sizing, never content. */
   def zorderLayout(df: DataFrame, xCol: String, yCol: String,
-      bits: Int, numFiles: Int): DataFrame = {
-    val z = zorderValue(col(xCol), col(yCol), bits)
-    df.withColumn("graft_z", z)
-      .repartitionByRange(numFiles, col("graft_z"))
-      .sortWithinPartitions("graft_z")
-      .drop("graft_z")
-  }
+      bits: Int, numFiles: Int): DataFrame =
+    zorderLayoutN(df, Seq(xCol, yCol), bits, numFiles)
 
   /** OPTIMIZE ZORDER as a catalog operation — rewrite the current
     * version's live rows z-clustered on (`xCol`, `yCol`) and commit the
@@ -83,22 +141,9 @@ object Layout {
   def optimizeZorder(spark: org.apache.spark.sql.SparkSession,
       dataDir: String, catalogPath: String, artifactDir: String,
       xCol: String, yCol: String, bits: Int, numFiles: Int,
-      statsCols: Seq[String]): Int = {
-    implicit val s: org.apache.spark.sql.SparkSession = spark
-    val refs = Catalog.resolveCurrent(spark, catalogPath)
-    val manifest = spark.read.parquet(refs("manifest"))
-    val snap = refs.get("dv") match {
-      case Some(dv) => snapshotReadWithDeletes(spark, dataDir, manifest,
-        spark.read.parquet(dv))
-      case None => snapshotRead(spark, dataDir, manifest)
-    }
-    val tag = java.util.UUID.randomUUID().toString.replace("-", "")
-    val cdir = s"$dataDir/commit-zorder-$tag"
-    zorderLayout(snap, xCol, yCol, bits, numFiles).write.parquet(cdir)
-    val mDir = s"$artifactDir/m-zorder-$tag"
-    statsManifest(spark, cdir, statsCols).write.parquet(mDir)
-    Catalog.commit(spark, catalogPath, Map("manifest" -> mDir))
-  }
+      statsCols: Seq[String]): Int =
+    optimizeZorderN(spark, dataDir, catalogPath, artifactDir,
+      Seq(xCol, yCol), bits, numFiles, statsCols)
 
   /** INCREMENTAL clustering maintenance — [[optimizeZorder]] for only
     * the files the current version added on top of `baseVersion` (the

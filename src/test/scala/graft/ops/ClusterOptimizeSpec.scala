@@ -129,6 +129,31 @@ class ClusterOptimizeSpec extends AnyFunSuite with SparkTestBase {
     assert(admitted(m3, "y", 3, 4) < m3.count())
   }
 
+  test("zorderValueN: n=2 equals the pinned 2-D interleave; 3-D makes every dim selective") {
+    // delegation parity: q35's oracle pins the 2-D bit layout, so the
+    // N-dim generalization must reproduce it exactly
+    val probe = spark.range(500).select(
+      Layout.zorderValueN(Seq(col("id") % 32, (col("id") * 7) % 32),
+        5).as("zn"),
+      Layout.zorderValue(col("id") % 32, (col("id") * 7) % 32, 5).as("z2"))
+    assert(probe.filter(col("zn") =!= col("z2")).count() == 0L)
+
+    // symmetric 16×16×16 grid (integer dims — a double-typed cluster
+    // column would truncate in the z-code but store fractional stats)
+    val root = freshDir()
+    val t = s"$root/t"
+    Layout.zorderLayoutN(
+        spark.range(4096).select(col("id"), (col("id") % 16).as("x"),
+          ((col("id") / 16).cast("long") % 16).as("y"),
+          (col("id") / 256).cast("long").as("w")),
+        Seq("x", "y", "w"), bits = 4, numFiles = 16)
+      .write.parquet(t)
+    val m = Layout.statsManifest(spark, t, Seq("x", "y", "w"))
+    assert(admitted(m, "x", 2, 3) < 16)
+    assert(admitted(m, "y", 2, 3) < 16)
+    assert(admitted(m, "w", 1, 1) < 16)
+  }
+
   test("the optimized (DV-free) version re-qualifies for metadata-only aggregates") {
     val root = freshDir()
     val t = s"$root/t"
