@@ -59,6 +59,13 @@ object GraftExtensions {
       s"$fn expects an integer literal parameter, got $other")
   }
 
+  private def longLit(e: Expression, fn: String): Long = e match {
+    case Literal(v: Int, _) => v.toLong
+    case Literal(v: Long, _) => v
+    case other => throw new IllegalArgumentException(
+      s"$fn expects an integer literal parameter, got $other")
+  }
+
   private def strLit(e: Expression, fn: String): String = e match {
     case Literal(v: org.apache.spark.unsafe.types.UTF8String, _) => v.toString
     case other => throw new IllegalArgumentException(
@@ -399,6 +406,42 @@ object GraftExtensions {
           strLit(args(7), "graft_optimize_zorder")
             .split(",").map(_.trim).filter(_.nonEmpty).toSeq)
         plan(s.read.parquet(graft.ops.Catalog.ref(s, cat, v, "manifest")))
+      }),
+      // hybrid metadata counts from SQL: fully-contained files answer
+      // from manifest rows, only boundary-straddling files scan.
+      //   SELECT * FROM graft_count_range('/t', '/m', 'k', 100, 5000)
+      // `_grouped` takes a statsManifestPartitioned ROOT instead of a
+      // flat manifest dir — the group rollup prunes first, so the
+      // driver never collects the whole listing.
+      "graft_count_range" -> ((args: Seq[Expression]) => {
+        expectArgs("graft_count_range",
+          "dataDir, manifestDir, colName, lo, hi", args, 5)
+        val s = active
+        val n = graft.ops.Layout.countRange(s,
+          strLit(args(0), "graft_count_range"),
+          s.read.parquet(strLit(args(1), "graft_count_range")),
+          strLit(args(2), "graft_count_range"),
+          org.apache.spark.sql.functions.lit(
+            longLit(args(3), "graft_count_range")),
+          org.apache.spark.sql.functions.lit(
+            longLit(args(4), "graft_count_range")))
+        plan(s.range(1).select(
+          org.apache.spark.sql.functions.lit(n).as("n_rows")))
+      }),
+      "graft_count_range_grouped" -> ((args: Seq[Expression]) => {
+        expectArgs("graft_count_range_grouped",
+          "dataDir, manifestRoot, colName, lo, hi", args, 5)
+        val s = active
+        val n = graft.ops.Layout.countRangeGrouped(s,
+          strLit(args(0), "graft_count_range_grouped"),
+          strLit(args(1), "graft_count_range_grouped"),
+          strLit(args(2), "graft_count_range_grouped"),
+          org.apache.spark.sql.functions.lit(
+            longLit(args(3), "graft_count_range_grouped")),
+          org.apache.spark.sql.functions.lit(
+            longLit(args(4), "graft_count_range_grouped")))
+        plan(s.range(1).select(
+          org.apache.spark.sql.functions.lit(n).as("n_rows")))
       }),
       // the incremental twin: cluster ONLY files added since
       // baseVersion (the last optimized version); base files and their

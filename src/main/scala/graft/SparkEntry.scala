@@ -6314,6 +6314,28 @@ object SparkEntry {
       s.range(1).select(lit(n).as("n_rows"))
     }),
 
+    // ---- hybrid count PAST the flat ceiling: the same range count
+    // through the TWO-LEVEL manifest from pure SQL — the group rollup
+    // prunes first (driver never collects the whole listing), surviving
+    // groups' file rows classify fully-contained vs straddling exactly
+    // as q133. The gate REQUIREs group-level pruning actually bites ----
+    "q135_count_grouped" -> ((s, dir) => {
+      val tmp = gateScratch("q135")
+      GraftExtensions.register(s)
+      val li = t(s, dir, "lineitem").select("l_orderkey", "l_quantity")
+      li.repartitionByRange(8, col("l_orderkey")).write.parquet(s"$tmp/t")
+      ops.Layout.statsManifestPartitioned(s, s"$tmp/t", Seq("l_orderkey"),
+        s"$tmp/mf", groupSize = 2)
+      val groups = s.read.parquet(s"$tmp/mf/groups")
+        .localCheckpoint(eager = true)
+      val surviving = groups.filter(col("max_l_orderkey") >= 1000L &&
+        col("min_l_orderkey") <= 3000L).count()
+      require(surviving < groups.count(),
+        s"range should prune groups, kept $surviving of ${groups.count()}")
+      s.sql(s"""SELECT * FROM graft_count_range_grouped(
+        |'$tmp/t', '$tmp/mf', 'l_orderkey', 1000, 3000)""".stripMargin)
+    }),
+
     // ---- BLOOM-composed automatic skipping: the table is clustered by
     // partkey, so an orderkey point lookup gets nothing from min/max
     // (every file spans the whole key range) — attaching the persisted
@@ -11742,6 +11764,12 @@ object SparkEntry {
         |WHERE l_partkey BETWEEN 50 AND 150 AND l_suppkey BETWEEN 1 AND 5
         |  AND NOT l_quantity >= 48.0
         |GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    // the grouped hybrid count ≡ the closed-form count; group pruning
+    // and file classification are lossless
+    "q135_count_grouped" ->
+      """SELECT COUNT(*) AS n_rows FROM lineitem
+        |WHERE l_orderkey BETWEEN 1000 AND 3000""".stripMargin,
 
     // 3-D clustering is layout-only; content = live rows under the box
     "q134_cluster_3d" ->

@@ -721,6 +721,29 @@ object Layout {
     metaCount + scanned
   }
 
+  /** [[countRange]] against a [[statsManifestPartitioned]] two-level
+    * layout — the hybrid count past the flat-manifest ceiling. The
+    * group rollup (tiny) filters first; per-file rows are read ONLY at
+    * surviving `graft_group=` partitions (directory-level pruning),
+    * then classify exactly as the flat path: fully-contained files
+    * contribute `n_rows − nulls_c` from their manifest row, straddlers
+    * scan. Driver collects O(surviving-groups · groupSize) rows —
+    * never the whole listing — so a range count over a 10⁷-file table
+    * touches a contiguous band of group partitions plus O(2 boundary
+    * files) of data. */
+  def countRangeGrouped(spark: org.apache.spark.sql.SparkSession,
+      dir: String, manifestDir: String, colName: String, lo: Column,
+      hi: Column): Long = {
+    val survive = col(s"max_$colName") >= lo && col(s"min_$colName") <= hi
+    val gids = spark.read.parquet(s"$manifestDir/groups")
+      .filter(survive)
+      .select("graft_group").collect().map(_.getInt(0))
+    if (gids.isEmpty) return 0L
+    val fileRows = spark.read.parquet(s"$manifestDir/files")
+      .filter(col("graft_group").isInCollection(gids.toSeq))
+    countRange(spark, dir, fileRows, colName, lo, hi)
+  }
+
   /** IS-NOT-NULL file skipping from the manifest's per-file null
     * counts (the third statistic real lake formats keep beside
     * min/max): a file whose `nulls_col` equals its row count provably

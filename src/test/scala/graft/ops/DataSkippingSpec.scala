@@ -54,6 +54,24 @@ class DataSkippingSpec extends AnyFunSuite with SparkTestBase {
       === 90L)
   }
 
+  test("countRangeGrouped equals the flat hybrid count through group pruning") {
+    val dir = sortedLayout(1000, 100) // 10 files, ~100 rows each
+    val root = freshDir("mf")
+    Layout.statsManifestPartitioned(spark, dir, Seq("k"), root,
+      groupSize = 3)
+    val flat = Layout.statsManifest(spark, dir, Seq("k"))
+      .localCheckpoint(eager = true)
+    for ((lo, hi) <- Seq((150L, 449L), (0L, 999L), (5000L, 6000L),
+        (250L, 250L))) {
+      assert(Layout.countRangeGrouped(spark, dir, root, "k",
+          lit(lo), lit(hi)) ===
+        Layout.countRange(spark, dir, flat, "k", lit(lo), lit(hi)),
+        s"grouped != flat for [$lo, $hi]")
+    }
+    assert(Layout.countRangeGrouped(spark, dir, root, "k",
+      lit(150L), lit(449L)) === 300L)
+  }
+
   test("manifest rows cover every file; min/max/count are exact") {
     val dir = sortedLayout(1000, 250)
     val m = Layout.statsManifest(spark, dir, Seq("k")).collect()
