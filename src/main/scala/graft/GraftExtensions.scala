@@ -482,6 +482,18 @@ object GraftExtensions {
           intLit(args(4), "graft_prune_blooms"))
         plan(idx)
       }),
+      // self-describing variant: probe sizes come from the index's own
+      // sentinel row (bloomIndexSized), so they cannot mismatch
+      "graft_prune_blooms_self" -> ((args: Seq[Expression]) => {
+        expectArgs("graft_prune_blooms_self",
+          "name, bloomDir, colName", args, 3)
+        val s = active
+        val idx = s.read.parquet(strLit(args(1), "graft_prune_blooms_self"))
+        graft.plans.ScanPruneRewrite.registerBloomsSelf(s,
+          strLit(args(0), "graft_prune_blooms_self"),
+          strLit(args(2), "graft_prune_blooms_self"), idx)
+        plan(idx)
+      }),
       "graft_meta_register" -> ((args: Seq[Expression]) => {
         expectArgs("graft_meta_register",
           "name, dataDir, catalogPath, statsColsCsv, version", args, 5)

@@ -1039,6 +1039,74 @@ object Layout {
       .agg(collect_set(col("bit")).as("bits"))
   }
 
+  /** Sentinel row name under which a SELF-DESCRIBING bloom index stores
+    * its own (mBits, kHashes) — a value that can never collide with a
+    * real file path. */
+  private[graft] val BloomMetaKey = "_graft_bloom_meta"
+
+  /** [[bloomIndex]] with SIZE CHOSEN FROM THE DATA and recorded inside
+    * the index itself. Two real failure modes motivate this:
+    *   - a fixed mBits saturates once per-file key cardinality
+    *     outgrows it (4096 bits ≡ admit-all at ~60k keys/file) —
+    *     merely unselective, but silently worthless;
+    *   - a consumer probing with mBits different from the build's is
+    *     LOSSY (every probe bit lands elsewhere — files with matches
+    *     get rejected).
+    * The build measures max per-file approx distinct keys, sizes
+    * `mBits = nextPow2(bitsPerKey × maxKeys)` (floor 4096, cap 2²⁴ ≈
+    * 2 MB of set bits per full file), and appends a sentinel row
+    * (`file = "_graft_bloom_meta"`, `bits = [mBits, kHashes]`) so
+    * [[bloomReadSelf]] / `ScanPruneRewrite.registerBloomsSelf` probe
+    * with exactly the build's parameters — the mismatch class is
+    * structurally gone. approx_count_distinct only affects SIZING
+    * (±5% error moves the power-of-two rounding, never correctness). */
+  def bloomIndexSized(spark: org.apache.spark.sql.SparkSession,
+      dir: String, colName: String, bitsPerKey: Int = 10,
+      kHashes: Int = 3): DataFrame = {
+    require(bitsPerKey >= 2, s"bitsPerKey must be >= 2, got $bitsPerKey")
+    val maxKeys = spark.read.parquet(dir)
+      .groupBy(col("_metadata.file_path"))
+      .agg(approx_count_distinct(col(colName)).as("n"))
+      .agg(max(col("n"))).head() match {
+        case r if r.isNullAt(0) => 1L
+        case r => math.max(1L, r.getLong(0))
+      }
+    val mBits = math.min(1L << 24,
+      java.lang.Long.highestOneBit(
+        math.max(4096L, bitsPerKey * maxKeys) * 2 - 1)).toInt
+    val meta = spark.createDataFrame(
+      java.util.List.of(
+        org.apache.spark.sql.Row(BloomMetaKey,
+          Seq(mBits.toLong, kHashes.toLong))),
+      new org.apache.spark.sql.types.StructType()
+        .add("file", "string", false)
+        .add("bits", org.apache.spark.sql.types.ArrayType(
+          org.apache.spark.sql.types.LongType, false), false))
+    bloomIndex(spark, dir, colName, mBits, kHashes).unionAll(meta)
+  }
+
+  /** The (mBits, kHashes) a [[bloomIndexSized]] index was built with;
+    * None for a plain [[bloomIndex]] (whose consumers must pass the
+    * build's sizes explicitly). */
+  def bloomMeta(index: DataFrame): Option[(Int, Int)] =
+    index.filter(col("file") === BloomMetaKey)
+      .select("bits").collect().headOption.map { r =>
+        val s = r.getSeq[Long](0)
+        (s(0).toInt, s(1).toInt)
+      }
+
+  /** [[bloomRead]] against a self-describing [[bloomIndexSized]] index:
+    * probe parameters come from the index's own sentinel row, so they
+    * cannot disagree with the build. */
+  def bloomReadSelf(spark: org.apache.spark.sql.SparkSession, dir: String,
+      index: DataFrame, colName: String, value: Column): DataFrame = {
+    val (m, k) = bloomMeta(index).getOrElse(throw new IllegalArgumentException(
+      "index carries no _graft_bloom_meta row — built with plain " +
+        "bloomIndex? pass its sizes to bloomRead explicitly"))
+    bloomRead(spark, dir, index.filter(col("file") =!= BloomMetaKey),
+      colName, value, m, k)
+  }
+
   /** Bit position `i` of a value under the engine-portable salted h64.
     * `private[graft]` so [[graft.plans.ScanPruneRewrite]] can evaluate
     * the SAME expression driver-side for its bloom admission — the bit
@@ -1067,6 +1135,17 @@ object Layout {
             bloomBit(col(colName), i, mBits)): _*)).as("bit"))
         .groupBy("file")
         .agg(collect_set(col("bit")).as("bits")))
+  }
+
+  /** [[extendBloomIndex]] for a self-describing [[bloomIndexSized]]
+    * index: new files hash with exactly the build's parameters (read
+    * from the sentinel row, which the extension preserves). */
+  def extendBloomIndexSelf(spark: org.apache.spark.sql.SparkSession,
+      dir: String, index: DataFrame, colName: String): DataFrame = {
+    val (m, k) = bloomMeta(index).getOrElse(throw new IllegalArgumentException(
+      "index carries no _graft_bloom_meta row — built with plain " +
+        "bloomIndex? use extendBloomIndex with its explicit sizes"))
+    extendBloomIndex(spark, dir, index, colName, m, k)
   }
 
   /** Point-lookup scan through a [[bloomIndex]]: keep only files whose

@@ -210,6 +210,20 @@ object ScanPruneRewrite extends Rule[LogicalPlan] with PredicateHelper {
       (colName -> Bloom(colType, mBits, kHashes, byFile))))
   }
 
+  /** [[registerBlooms]] for a SELF-DESCRIBING index
+    * ([[graft.ops.Layout.bloomIndexSized]]): probe sizes come from the
+    * index's own sentinel row, so build and probe cannot disagree. */
+  def registerBloomsSelf(spark: SparkSession, name: String,
+      colName: String, bloomIndex: DataFrame): Unit = {
+    val (m, k) = graft.ops.Layout.bloomMeta(bloomIndex).getOrElse(
+      throw new IllegalArgumentException(
+        "index carries no _graft_bloom_meta row — built with plain " +
+          "bloomIndex? use registerBlooms with its explicit sizes"))
+    registerBlooms(spark, name, colName,
+      bloomIndex.filter(org.apache.spark.sql.functions.col("file") =!=
+        graft.ops.Layout.BloomMetaKey), m, k)
+  }
+
   private def normPath(p: String): String =
     new org.apache.hadoop.fs.Path(p).toUri.getPath
 

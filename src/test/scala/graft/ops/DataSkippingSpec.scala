@@ -54,6 +54,64 @@ class DataSkippingSpec extends AnyFunSuite with SparkTestBase {
       === 90L)
   }
 
+  test("bloomIndexSized: self-described sizes round-trip build, read, extend, register") {
+    val root = freshDir("bsz")
+    val t = s"$root/t"
+    spark.range(2000).select(col("id"),
+        ((col("id") * 2654435761L) % 1000000L).as("u"))
+      .repartitionByRange(4, col("id"))
+      .write.parquet(t)
+    val idx = Layout.bloomIndexSized(spark, t, "u")
+    idx.write.parquet(s"$root/idx")
+    val loaded = spark.read.parquet(s"$root/idx")
+    val meta = Layout.bloomMeta(loaded)
+    assert(meta.isDefined && meta.get._2 == 3)
+    assert(meta.get._1 >= 4096 && Integer.bitCount(meta.get._1) == 1)
+    // lossless read: probe sizes come from the sentinel
+    val probeU = (137L * 2654435761L) % 1000000L
+    val got = Layout.bloomReadSelf(spark, t, loaded, "u", lit(probeU))
+      .select("id").as[Long].collect().toSeq
+    assert(got == Seq(137L))
+    // a plain index refuses the self path instead of probing lossily
+    val plain = Layout.bloomIndex(spark, t, "u")
+    intercept[IllegalArgumentException] {
+      Layout.bloomReadSelf(spark, t, plain, "u", lit(probeU))
+    }
+    // extension preserves the sentinel and equals a rebuild
+    spark.range(2000, 2500).select(col("id"),
+        ((col("id") * 2654435761L) % 1000000L).as("u"))
+      .repartitionByRange(1, col("id"))
+      .write.mode("append").parquet(t)
+    val ext = Layout.extendBloomIndexSelf(spark, t, loaded, "u")
+    assert(Layout.bloomMeta(ext) == meta)
+    val probe2 = (2250L * 2654435761L) % 1000000L
+    assert(Layout.bloomReadSelf(spark, t, ext, "u", lit(probe2))
+      .select("id").as[Long].collect().toSeq == Seq(2250L))
+    // the prune rule's self registration probes with the build's sizes
+    Layout.statsManifest(spark, t, Seq("id")).write.parquet(s"$root/m")
+    Catalog.commit(spark, s"$root/cat", Map("manifest" -> s"$root/m"))
+    graft.plans.ScanPruneRewrite.registerFromCatalog(spark, "bsz", t,
+      s"$root/cat")
+    try {
+      graft.plans.ScanPruneRewrite.registerBloomsSelf(spark, "bsz", "u",
+        ext)
+      val q = Layout.snapshotRead(spark, t,
+          spark.read.parquet(s"$root/m"))
+        .filter(col("u") === probeU)
+      q.queryExecution.optimizedPlan
+      val nRoots = q.queryExecution.optimizedPlan.collect {
+        case lr: org.apache.spark.sql.execution.datasources.LogicalRelation =>
+          lr.relation match {
+            case fs: org.apache.spark.sql.execution.datasources.HadoopFsRelation =>
+              fs.location.rootPaths.size
+            case _ => 0
+          }
+      }.sum
+      assert(nRoots < 5, s"self-registered bloom should prune: $nRoots")
+      assert(q.select("id").as[Long].collect().toSeq == Seq(137L))
+    } finally graft.plans.ScanPruneRewrite.unregister("bsz")
+  }
+
   test("countRangeGrouped equals the flat hybrid count through group pruning") {
     val dir = sortedLayout(1000, 100) // 10 files, ~100 rows each
     val root = freshDir("mf")
