@@ -31,7 +31,7 @@ class ClusterOptimizeSpec extends AnyFunSuite with SparkTestBase {
     * scattered across every file. */
   private def grid(): DataFrame =
     spark.range(1024).select(col("id"),
-      (col("id") % 32).as("x"), (col("id") / 32).as("y"))
+      (col("id") % 32).as("x"), (col("id") / 32).cast("long").as("y"))
 
   private def admitted(manifest: DataFrame, colName: String,
       lo: Long, hi: Long): Long =

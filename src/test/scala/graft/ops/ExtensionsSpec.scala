@@ -232,7 +232,7 @@ class GraftExtensionsSpec extends AnyFunSuite with SparkTestBase {
     graft.GraftExtensions.register(spark)
     val tmp = java.nio.file.Files.createTempDirectory("graft-sqlzo").toString
     spark.range(1024).select(col("id"), (col("id") % 32).as("x"),
-        (col("id") / 32).as("y"))
+        (col("id") / 32).cast("long").as("y"))
       .repartitionByRange(8, col("id")).write.parquet(s"$tmp/t")
     Layout.statsManifest(spark, s"$tmp/t", Seq("x", "y"))
       .write.parquet(s"$tmp/m1")
@@ -259,7 +259,7 @@ class GraftExtensionsSpec extends AnyFunSuite with SparkTestBase {
     // then cluster only the new files
     val add = Layout.commitAppend(spark,
       spark.range(1024, 1280).select(col("id"), (col("id") % 32).as("x"),
-        ((col("id") - 1024) / 8).as("y")),
+        ((col("id") - 1024) / 8).cast("long").as("y")),
       s"$tmp/t", Seq("x", "y"))
     spark.read.parquet(Catalog.ref(spark, s"$tmp/cat", 2, "manifest"))
       .unionByName(add).write.parquet(s"$tmp/m3")
