@@ -407,6 +407,118 @@ object GraftExtensions {
             .split(",").map(_.trim).filter(_.nonEmpty).toSeq)
         plan(s.read.parquet(graft.ops.Catalog.ref(s, cat, v, "manifest")))
       }),
+      // JOIN-DRIVEN dynamic file skipping from SQL: read only the fact
+      // files whose manifest key span can hold at least one of the dim
+      // side's join keys — the file-level runtime filter. The optional
+      // trailing argument is a SQL predicate applied to the dim scan
+      // BEFORE its keys are collected (the selective dim filter is the
+      // whole point). Join the result in the enclosing statement:
+      //   SELECT ... FROM graft_join_skip('/fact', '/m', 'l_partkey',
+      //     '/dim', 'p_partkey', 'p_size = 1') f JOIN ...
+      "graft_join_skip" -> ((args: Seq[Expression]) => {
+        require(args.length == 5 || args.length == 6,
+          "graft_join_skip(factDir, manifestDir, keyCol, dimDir, " +
+            "dimKeyCol[, dimWhereSql])")
+        val s = active
+        val keyCol = strLit(args(2), "graft_join_skip")
+        val dim0 = s.read.parquet(strLit(args(3), "graft_join_skip"))
+        val dim = if (args.length == 6)
+          dim0.where(strLit(args(5), "graft_join_skip")) else dim0
+        plan(graft.ops.Layout.joinSkipRead(s,
+          strLit(args(0), "graft_join_skip"),
+          Some(s.read.parquet(strLit(args(1), "graft_join_skip"))), None,
+          dim.select(org.apache.spark.sql.functions
+            .col(strLit(args(4), "graft_join_skip")).as(keyCol)),
+          keyCol))
+      }),
+      // [[graft_join_skip]] through a SELF-DESCRIBING bloom index
+      // instead of a range manifest — the adverse-clustering case where
+      // the fact is laid out by some other column and only the per-file
+      // Bloom can reject files holding none of the dim keys
+      "graft_join_skip_bloom" -> ((args: Seq[Expression]) => {
+        require(args.length == 5 || args.length == 6,
+          "graft_join_skip_bloom(factDir, bloomIndexDir, keyCol, " +
+            "dimDir, dimKeyCol[, dimWhereSql])")
+        val s = active
+        val keyCol = strLit(args(2), "graft_join_skip_bloom")
+        val dim0 = s.read.parquet(strLit(args(3), "graft_join_skip_bloom"))
+        val dim = if (args.length == 6)
+          dim0.where(strLit(args(5), "graft_join_skip_bloom")) else dim0
+        plan(graft.ops.Layout.joinSkipRead(s,
+          strLit(args(0), "graft_join_skip_bloom"), None,
+          Some(s.read.parquet(strLit(args(1), "graft_join_skip_bloom"))),
+          dim.select(org.apache.spark.sql.functions
+            .col(strLit(args(4), "graft_join_skip_bloom")).as(keyCol)),
+          keyCol))
+      }),
+      // MERGE INTO (merge-on-read) from SQL — a driver verb
+      // (graft_commit precedent): matched keys tombstone via DV
+      // addresses resolved through the manifest-pruned scan, upserts
+      // land as one append commit, and the new catalog version
+      // publishes atomically. Returns the new version number.
+      //   SELECT * FROM graft_merge_table('/t', '/cat', '/artifacts',
+      //     '/changes', 'o_orderkey', 'is_delete', 'o_orderkey')
+      "graft_merge_table" -> ((args: Seq[Expression]) => {
+        expectArgs("graft_merge_table",
+          "dataDir, catalogPath, artifactDir, changesDir, keyCol, " +
+            "deleteCol, statsColsCsv", args, 7)
+        val s = active
+        val v = graft.ops.Layout.mergeOnReadCommit(s,
+          strLit(args(0), "graft_merge_table"),
+          strLit(args(1), "graft_merge_table"),
+          strLit(args(2), "graft_merge_table"),
+          s.read.parquet(strLit(args(3), "graft_merge_table")),
+          strLit(args(4), "graft_merge_table"),
+          strLit(args(5), "graft_merge_table"),
+          strLit(args(6), "graft_merge_table")
+            .split(",").map(_.trim).filter(_.nonEmpty).toSeq)
+        plan(s.range(1).select(
+          org.apache.spark.sql.functions.lit(v).as("version")))
+      }),
+      // SCHEMA EVOLUTION from SQL — a driver verb over the current
+      // catalog version's column-mapping artifact. action ∈ {rename,
+      // drop, add, retype}; arg2 is the new name (rename), the dtype
+      // (add/retype), or ignored (drop — pass ''). Commits the evolved
+      // mapping atomically (other artifacts carried forward) and
+      // returns the new mapping rows.
+      //   SELECT * FROM graft_evolve('/cat', '/artifacts', 'rename',
+      //     'c_acctbal', 'balance')
+      "graft_evolve" -> ((args: Seq[Expression]) => {
+        expectArgs("graft_evolve",
+          "catalogPath, artifactDir, action, name, arg2", args, 5)
+        val s = active
+        val cat = strLit(args(0), "graft_evolve")
+        val refs = graft.ops.Catalog.resolveCurrent(s, cat)
+        val cur = s.read.parquet(refs.getOrElse(
+          graft.ops.SchemaEvolution.Artifact,
+          throw new IllegalArgumentException(
+            s"catalog $cat carries no column-mapping artifact")))
+        val name = strLit(args(3), "graft_evolve")
+        val arg2 = strLit(args(4), "graft_evolve")
+        val next = strLit(args(2), "graft_evolve") match {
+          case "rename" => graft.ops.SchemaEvolution.rename(s, cur, name, arg2)
+          case "drop" => graft.ops.SchemaEvolution.dropColumn(s, cur, name)
+          case "add" => graft.ops.SchemaEvolution.addColumn(s, cur, name, arg2)
+          case "retype" => graft.ops.SchemaEvolution.retype(s, cur, name, arg2)
+          case other => throw new IllegalArgumentException(
+            s"graft_evolve: unknown action '$other' " +
+              "(rename | drop | add | retype)")
+        }
+        graft.ops.SchemaEvolution.evolveCommit(s, cat,
+          strLit(args(1), "graft_evolve"), next)
+        plan(next)
+      }),
+      // the evolved snapshot at a catalog version: schema (colmap),
+      // file set (manifest) and row tombstones (dv) from one atomic
+      // version — schema time travel included (old versions keep their
+      // old schema over the same immutable files)
+      "graft_read_evolved" -> ((args: Seq[Expression]) => {
+        expectArgs("graft_read_evolved", "catalogPath, version", args, 2)
+        val s = active
+        plan(graft.ops.SchemaEvolution.evolvedCatalogRead(s,
+          strLit(args(0), "graft_read_evolved"),
+          intLit(args(1), "graft_read_evolved")))
+      }),
       // hybrid metadata counts from SQL: fully-contained files answer
       // from manifest rows, only boundary-straddling files scan.
       //   SELECT * FROM graft_count_range('/t', '/m', 'k', 100, 5000)

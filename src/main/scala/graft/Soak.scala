@@ -968,6 +968,80 @@ object Soak {
       }
     }
 
+    // ---- JOIN-DRIVEN FILE SKIPPING + MERGE-ON-READ: scan-set and
+    // wave-cost evidence. A FIXED delta-scale probe (20 dim join keys /
+    // a 200-key merge wave) hits a key-clustered table at 1000 and
+    // 4000 files: the admitted scan set and the merge's touched-file
+    // count must track the PROBE (flat), while the unassisted join's
+    // scan set tracks the TABLE (linear) — the difference is the whole
+    // point of file-level runtime filters and DV-targeted merges at
+    // 100 TB. rows records the file counts; merge entries record wall.
+    val joinSkipResults: Seq[(String, Double, Double, Long)] = {
+      val jFiles = 100 * copies
+      val names = Seq(s"join_skip_scan_${jFiles}_files",
+        s"join_skip_bloom_scan_${jFiles}_files",
+        s"join_skip_join_wall_${jFiles}_files",
+        s"join_full_join_wall_${jFiles}_files",
+        s"merge_mor_wave_${jFiles}_files")
+      if (!names.exists(n => want(n))) Seq()
+      else {
+        import spark.implicits._
+        val jDir = soakTempDir("graft-soak-jskip")
+        val jRows = jFiles * 1000L
+        // k clustered (range layout); h scattered (hash of k) — the
+        // adverse layout only the bloom can skip
+        spark.range(jRows)
+          .select(col("id").as("k"), xxhash64(col("id")).as("h"),
+            (col("id") % 13).as("payload"))
+          .repartitionByRange(jFiles, col("k"))
+          .write.parquet(s"$jDir/t")
+        val manifest = ops.Layout.statsManifest(spark, s"$jDir/t", Seq("k"))
+          .localCheckpoint(eager = true)
+        val bloom = ops.Layout.bloomIndexSized(spark, s"$jDir/t", "h")
+          .localCheckpoint(eager = true)
+        val dimKeys = (0 until 20).map(i => i * (jRows / 20) + 17)
+        val dim = dimKeys.toDF("k")
+        val dimH = dimKeys.toDF("k0")
+          .select(xxhash64(col("k0")).as("h"))
+        quiesce()
+        val rScan = measure(s"join_skip_scan_${jFiles}_files") {
+          ops.Layout.joinSkipRead(spark, s"$jDir/t", Some(manifest), None,
+            dim, "k").inputFiles.length.toLong
+        }
+        val rBloomScan = measure(s"join_skip_bloom_scan_${jFiles}_files") {
+          ops.Layout.joinSkipRead(spark, s"$jDir/t", None, Some(bloom),
+            dimH, "h").inputFiles.length.toLong
+        }
+        val rJoin = measure(s"join_skip_join_wall_${jFiles}_files") {
+          ops.Layout.joinSkipRead(spark, s"$jDir/t", Some(manifest), None,
+            dim, "k").join(broadcast(dim), Seq("k")).count()
+        }
+        val rFull = measure(s"join_full_join_wall_${jFiles}_files") {
+          spark.read.parquet(s"$jDir/t")
+            .join(broadcast(dim), Seq("k")).count()
+        }
+        // merge-on-read wave: 200 scattered updates — the DV resolution
+        // must open only the files whose span holds a changed key
+        // (≤200 at BOTH table sizes), never the table
+        ops.Layout.statsManifest(spark, s"$jDir/t", Seq("k"))
+          .write.parquet(s"$jDir/m1")
+        ops.Catalog.commit(spark, s"$jDir/cat2",
+          Map("manifest" -> s"$jDir/m1"))
+        val changes = (0 until 200).map(i => i * (jRows / 200) + 13)
+          .toDF("k")
+          .select(col("k"), xxhash64(col("k") + 1).as("h"),
+            lit(99L).as("payload"), lit(false).as("is_delete"))
+        val rMerge = measure(s"merge_mor_wave_${jFiles}_files") {
+          val v = ops.Layout.mergeOnReadCommit(spark, s"$jDir/t",
+            s"$jDir/cat2", jDir, changes, "k", "is_delete", Seq("k"))
+          val refs = ops.Catalog.resolve(spark, s"$jDir/cat2", v)
+          spark.read.parquet(refs("dv"))
+            .select("file").distinct().count() // files the wave touched
+        }
+        Seq(rScan, rBloomScan, rJoin, rFull, rMerge)
+      }
+    }
+
     // ---- MULTI-WRITER lake cycle at 10× scale (q105's interleaving,
     // soak-sized): append → delete wave → append → manifest extend →
     // second wave → DV compaction → vacuum, with the final merge-on-
@@ -1147,8 +1221,8 @@ object Soak {
 
     val allResults =
       (results ++ layoutResults ++ cdcResults ++ takedownResults ++
-        mvResults ++ zorderResults ++ shardEpochResults ++
-        frontDoorResults :+ multiwriterResult)
+        mvResults ++ zorderResults ++ joinSkipResults ++
+        shardEpochResults ++ frontDoorResults :+ multiwriterResult)
         .filter(_._2 >= 0) // drop op-filter skip markers
 
     val auditJson = audits.toSeq.sortBy(_._1).map { case (n, (b, mx, p)) =>

@@ -6388,6 +6388,172 @@ object SparkEntry {
       } finally plans.ScanPruneRewrite.unregister("q132")
     }),
 
+    // ---- DYNAMIC FILE SKIPPING FOR JOINS: the dim side's surviving
+    // join keys prune the fact scan through the stats manifest BEFORE
+    // the join — the file-level runtime filter Spark's row-level bloom
+    // (q50) cannot provide. The dim predicate stands in for any
+    // selective dimension filter whose surviving keys are delta-scale;
+    // against the key-clustered fact layout the admitted set is O(keys'
+    // ranges), REQUIREd a strict subset, and the join over the pruned
+    // read hash-matches the full-scan join oracle exactly ------------
+    "q136_join_skip" -> ((s, dir) => {
+      val tmp = gateScratch("q136")
+      val li = t(s, dir, "lineitem")
+        .select("l_partkey", "l_returnflag", "l_quantity")
+      li.repartitionByRange(12, col("l_partkey")).write.parquet(s"$tmp/t")
+      val m = ops.Layout.statsManifest(s, s"$tmp/t", Seq("l_partkey"))
+        .localCheckpoint(eager = true)
+      val dim = t(s, dir, "part")
+        .filter(col("p_partkey") % 6000 === 7)
+        .select(col("p_partkey").as("l_partkey"), col("p_brand"))
+      val pruned = ops.Layout.joinSkipRead(s, s"$tmp/t", Some(m), None,
+        dim, "l_partkey")
+      val nFiles = pruned.inputFiles.length
+      require(nFiles > 0 && nFiles < 12,
+        s"join-driven skipping admitted $nFiles of 12 files — the " +
+          "delta-scale dim key set must prune the clustered fact")
+      pruned.join(dim, Seq("l_partkey"))
+        .groupBy("l_returnflag")
+        .agg(count(lit(1)).as("n_rows"),
+          sum(col("l_quantity").cast("decimal(18,2)")).cast("double")
+            .as("sum_qty"))
+        .orderBy("l_returnflag")
+    }),
+
+    // ---- join skipping under ADVERSE clustering: the fact table is
+    // clustered by partkey, so every file's orderkey span is the whole
+    // domain and range stats admit everything — but the per-file Bloom
+    // index still rejects files holding none of the dim side's
+    // orderkeys. SQL-reachable end to end via graft_join_skip_bloom;
+    // the join result is exactly the full-scan join ------------------
+    "q137_join_skip_bloom" -> ((s, dir) => {
+      val tmp = gateScratch("q137")
+      GraftExtensions.register(s)
+      val li = t(s, dir, "lineitem")
+        .select("l_orderkey", "l_linenumber", "l_partkey", "l_quantity")
+      // 48 files: the dim keys' ~tens of lineitem rows scatter at most
+      // a few files each, so the admitted union stays a strict subset
+      li.repartitionByRange(48, col("l_partkey")).write.parquet(s"$tmp/t")
+      ops.Layout.bloomIndexSized(s, s"$tmp/t", "l_orderkey")
+        .write.parquet(s"$tmp/bloom")
+      t(s, dir, "orders").select("o_orderkey", "o_custkey")
+        .write.parquet(s"$tmp/dim")
+      val pruned = s.sql(s"""
+        |SELECT * FROM graft_join_skip_bloom('$tmp/t', '$tmp/bloom',
+        |  'l_orderkey', '$tmp/dim', 'o_orderkey',
+        |  'o_orderkey % 16384 = 1')""".stripMargin)
+      val nFiles = pruned.inputFiles.length
+      require(nFiles > 0 && nFiles < 48,
+        s"bloom join skipping admitted $nFiles of 48 files")
+      val dim = s.read.parquet(s"$tmp/dim")
+        .filter(col("o_orderkey") % 16384 === 1)
+        .withColumnRenamed("o_orderkey", "l_orderkey")
+      pruned.join(dim, Seq("l_orderkey"))
+        .select(col("l_orderkey").as("o_orderkey"), col("l_linenumber"),
+          col("o_custkey"), col("l_quantity").cast("double").as("quantity"))
+        .orderBy("o_orderkey", "l_linenumber")
+    }),
+
+    // ---- MERGE INTO, merge-on-read: one wave of updates + deletes +
+    // inserts lands as {DV addresses for matched rows, one append
+    // commit, atomic catalog version} — zero base files rewritten
+    // (REQUIREd below). The snapshot read then equals the merged table;
+    // the oracle reconstructs the same merge in closed form -----------
+    "q138_merge_mor" -> ((s, dir) => {
+      val tmp = gateScratch("q138")
+      val od = t(s, dir, "orders")
+        .select("o_orderkey", "o_custkey", "o_totalprice")
+      od.repartitionByRange(8, col("o_orderkey")).write.parquet(s"$tmp/t")
+      ops.Layout.statsManifest(s, s"$tmp/t", Seq("o_orderkey"))
+        .write.parquet(s"$tmp/m0")
+      ops.Catalog.commit(s, s"$tmp/cat", Map("manifest" -> s"$tmp/m0"))
+      val changes =
+        od.filter(col("o_orderkey") % 100 === 0)
+          .select(col("o_orderkey"), col("o_custkey"),
+            (col("o_totalprice") + 1000).as("o_totalprice"),
+            lit(false).as("is_delete"))
+        .unionAll(od.filter(col("o_orderkey") % 100 === 1)
+          .select(col("o_orderkey"), col("o_custkey"),
+            col("o_totalprice"), lit(true).as("is_delete")))
+        .unionAll(od.filter(col("o_orderkey") % 100 === 2)
+          .select((col("o_orderkey") + 100000000L).as("o_orderkey"),
+            col("o_custkey"), col("o_totalprice"),
+            lit(false).as("is_delete")))
+      val baseFiles = s.read.parquet(s"$tmp/t").inputFiles.toSet
+      val v2 = ops.Layout.mergeOnReadCommit(s, s"$tmp/t", s"$tmp/cat",
+        tmp, changes, "o_orderkey", "is_delete", Seq("o_orderkey"))
+      val refs = ops.Catalog.resolve(s, s"$tmp/cat", v2)
+      require(refs.contains("dv"),
+        "matched updates/deletes must publish a deletion-vector artifact")
+      require(baseFiles.subsetOf(
+        s.read.parquet(s"$tmp/t").inputFiles.toSet),
+        "merge-on-read must not rewrite or remove any base file")
+      ops.Layout.snapshotReadWithDeletes(s, s"$tmp/t",
+          s.read.parquet(refs("manifest")), s.read.parquet(refs("dv")))
+        .groupBy((col("o_orderkey") % 7).as("grp"))
+        .agg(count(lit(1)).as("n_rows"),
+          sum(col("o_totalprice").cast("decimal(18,2)")).cast("double")
+            .as("total"))
+        .orderBy("grp")
+    }),
+
+    // ---- SCHEMA EVOLUTION through the column-mapping artifact: the
+    // table renames a column, appends an epoch through the NEW logical
+    // schema (same physical name — zero rewrites), drops + re-adds a
+    // column under a fresh physical name (old values provably never
+    // resurrect — REQUIREd), and widens the key type at read. Every
+    // flip is an atomic catalog commit; the final read reconciles all
+    // epochs in one merge-schema scan and hash-matches the closed-form
+    // oracle ---------------------------------------------------------
+    "q139_schema_evolution" -> ((s, dir) => {
+      val tmp = gateScratch("q139")
+      GraftExtensions.register(s)
+      val cust = t(s, dir, "customer").select(
+        col("c_custkey").cast("int").as("c_custkey"),
+        col("c_name"), col("c_acctbal"))
+      // v1: table born (c_custkey int, c_name string, c_acctbal double)
+      var map = ops.SchemaEvolution.initial(s, cust.schema)
+      ops.SchemaEvolution.toPhysical(
+          cust.filter(col("c_custkey") % 2 === 0), map)
+        .repartitionByRange(4, col("c_custkey")).write.parquet(s"$tmp/t")
+      ops.Layout.statsManifest(s, s"$tmp/t", Seq("c_custkey"))
+        .write.parquet(s"$tmp/m1")
+      map.write.parquet(s"$tmp/cm1")
+      ops.Catalog.commit(s, s"$tmp/cat",
+        Map("manifest" -> s"$tmp/m1", "colmap" -> s"$tmp/cm1"))
+      // v2: RENAME c_acctbal -> balance (metadata-only commit)
+      map = ops.SchemaEvolution.rename(s, map, "c_acctbal", "balance")
+      ops.SchemaEvolution.evolveCommit(s, s"$tmp/cat", tmp, map)
+      // v3: epoch-2 append THROUGH the new logical schema — toPhysical
+      // writes the original physical column name, no file diverges
+      val e2 = cust.filter(col("c_custkey") % 2 === 1)
+        .select(col("c_custkey"), col("c_name"),
+          (col("c_acctbal") + 1).as("balance"))
+      val add = ops.Layout.commitAppend(s,
+        ops.SchemaEvolution.toPhysical(e2, map), s"$tmp/t", Seq("c_custkey"))
+      s.read.parquet(s"$tmp/m1").unionByName(add).write.parquet(s"$tmp/m3")
+      ops.Catalog.commit(s, s"$tmp/cat",
+        ops.Catalog.resolveCurrent(s, s"$tmp/cat") - "_txn" +
+          ("manifest" -> s"$tmp/m3"))
+      // v4: DROP c_name; v5: re-ADD c_name as bigint (fresh physical
+      // name — the resurrection trap); v6: widen c_custkey int->bigint,
+      // driven from pure SQL via the evolution TVF
+      map = ops.SchemaEvolution.dropColumn(s, map, "c_name")
+      ops.SchemaEvolution.evolveCommit(s, s"$tmp/cat", tmp, map)
+      map = ops.SchemaEvolution.addColumn(s, map, "c_name", "bigint")
+      ops.SchemaEvolution.evolveCommit(s, s"$tmp/cat", tmp, map)
+      s.sql(s"SELECT * FROM graft_evolve('$tmp/cat', '$tmp', " +
+        s"'retype', 'c_custkey', 'bigint')").collect()
+      val res = s.sql(
+        s"SELECT * FROM graft_read_evolved('$tmp/cat', 6)")
+      require(res.schema("c_custkey").dataType
+        == org.apache.spark.sql.types.LongType,
+        "retype must widen the key at read")
+      require(res.filter(col("c_name").isNotNull).isEmpty,
+        "dropped column's values resurrected into the re-added column")
+      res.orderBy("c_custkey")
+    }),
+
     // ---- STREAMING clustering maintenance: each micro-batch appends
     // row-ordered via its own commit dir (manifest rows union — no
     // directory-listing diff, so superseded files can never re-enter)
@@ -6484,6 +6650,82 @@ object SparkEntry {
             s"${dataFiles.size} of $nFiles files")
         res
       } finally plans.ScanPruneRewrite.unregister("s44")
+    }),
+
+    // ---- STREAMING MERGE: a CDC upsert feed where each micro-batch is
+    // a mixed changeset (updates, deletes, inserts over disjoint key
+    // classes) applied as ONE merge-on-read commit — DV addresses for
+    // matched rows, an append commit for upserts, the catalog pointer
+    // flipped idempotently by batch id. Base files never rewrite
+    // (REQUIREd); the final snapshot equals the changesets folded over
+    // the seed, reconstructed in closed form by the oracle --------------
+    "s45_stream_merge" -> ((s, dir) => {
+      val tmp = gateScratch("s45")
+      val od = t(s, dir, "orders")
+        .select("o_orderkey", "o_custkey", "o_totalprice")
+      od.repartitionByRange(8, col("o_orderkey")).write.parquet(s"$tmp/t")
+      ops.Layout.statsManifest(s, s"$tmp/t", Seq("o_orderkey"))
+        .write.parquet(s"$tmp/m0")
+      val cat = s"$tmp/catalog"
+      ops.Catalog.commit(s, cat, Map("manifest" -> s"$tmp/m0"))
+      val baseFiles = s.read.parquet(s"$tmp/t").inputFiles.toSet
+      // batch k: update keys %100==k (+1000·(k+1)), delete %100==10+k,
+      // insert %100==20+k shifted by 100M·(k+1) — staged in mtime order
+      val inDir = java.nio.file.Paths.get(tmp, "in")
+      java.nio.file.Files.createDirectories(inDir)
+      (0 until 4).foreach { k =>
+        val changes =
+          od.filter(col("o_orderkey") % 100 === k)
+            .select(col("o_orderkey"), col("o_custkey"),
+              (col("o_totalprice") + (k + 1) * 1000).as("o_totalprice"),
+              lit(false).as("is_delete"))
+          .unionAll(od.filter(col("o_orderkey") % 100 === (10 + k))
+            .select(col("o_orderkey"), col("o_custkey"),
+              col("o_totalprice"), lit(true).as("is_delete")))
+          .unionAll(od.filter(col("o_orderkey") % 100 === (20 + k))
+            .select((col("o_orderkey") + (k + 1) * 100000000L)
+              .as("o_orderkey"), col("o_custkey"), col("o_totalprice"),
+              lit(false).as("is_delete")))
+        val shardTmp = s"$tmp/wave$k"
+        changes.coalesce(1).write.parquet(shardTmp)
+        val part = new java.io.File(shardTmp).listFiles()
+          .filter(_.getName.endsWith(".parquet")).head
+        val dst = inDir.resolve(f"batch-$k%02d.parquet")
+        java.nio.file.Files.move(part.toPath, dst)
+        java.nio.file.Files.setLastModifiedTime(dst,
+          java.nio.file.attribute.FileTime.fromMillis(
+            1700000000000L + k * 60000L))
+      }
+      val inSchema = s.read.parquet(inDir.toString).schema
+      withNarrowState(s) {
+        val q = s.readStream.schema(inSchema)
+          .option("maxFilesPerTrigger", "1")
+          .parquet(inDir.toString)
+          .writeStream
+          .foreachBatch { (batch: DataFrame, bid: Long) =>
+            ops.Layout.mergeOnReadCommit(s, s"$tmp/t", cat, tmp,
+              batch, "o_orderkey", "is_delete", Seq("o_orderkey"),
+              txnId = Some(s"batch-$bid"))
+            ()
+          }
+          .option("checkpointLocation", s"$tmp/chk")
+          .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+          .start()
+        q.awaitTermination()
+      }
+      require(baseFiles.subsetOf(
+        s.read.parquet(s"$tmp/t").inputFiles.toSet),
+        "streaming merge must never rewrite a base file")
+      val vFinal = ops.Versions.listVersions(cat)(s).max
+      require(vFinal == 5, s"expected 5 catalog versions, got $vFinal")
+      val refs = ops.Catalog.resolve(s, cat, vFinal)
+      ops.Layout.snapshotReadWithDeletes(s, s"$tmp/t",
+          s.read.parquet(refs("manifest")), s.read.parquet(refs("dv")))
+        .groupBy((col("o_orderkey") % 7).as("grp"))
+        .agg(count(lit(1)).as("n_rows"),
+          sum(col("o_totalprice").cast("decimal(18,2)")).cast("double")
+            .as("total"))
+        .orderBy("grp")
     }),
 
     // ---- catalog-aware GC: retention by REFERENCE, not age — vacuum
@@ -11795,6 +12037,74 @@ object SparkEntry {
         |FROM lineitem
         |WHERE l_orderkey IN (1, 7, 1000)
         |ORDER BY l_orderkey, l_linenumber""".stripMargin,
+
+    // file skipping is lossless for an inner equi-join: a skipped file's
+    // key span holds no dim key, so it joins to nothing — the pruned
+    // join ≡ the plain join
+    "q136_join_skip" ->
+      """SELECT l_returnflag, COUNT(*) AS n_rows,
+        |  CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty
+        |FROM lineitem JOIN part ON l_partkey = p_partkey
+        |WHERE p_partkey % 6000 = 7
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    // bloom admission only ever ADDS files (false positives); the join
+    // itself removes them — the result is exactly the full-scan join
+    "q137_join_skip_bloom" ->
+      """SELECT o_orderkey, l_linenumber, o_custkey,
+        |  CAST(l_quantity AS DOUBLE) AS quantity
+        |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        |WHERE o_orderkey % 16384 = 1
+        |ORDER BY 1, 2""".stripMargin,
+
+    // schema evolution is metadata-only: even-key rows kept their
+    // original balance, odd-key rows appended through the renamed
+    // schema with +1, the re-added c_name is typed null everywhere,
+    // and the widened key reads as BIGINT
+    "q139_schema_evolution" ->
+      """SELECT CAST(c_custkey AS BIGINT) AS c_custkey,
+        |  c_acctbal AS balance, CAST(NULL AS BIGINT) AS c_name
+        |FROM customer WHERE c_custkey % 2 = 0
+        |UNION ALL
+        |SELECT CAST(c_custkey AS BIGINT), c_acctbal + 1,
+        |  CAST(NULL AS BIGINT)
+        |FROM customer WHERE c_custkey % 2 = 1
+        |ORDER BY 1""".stripMargin,
+
+    // four disjoint-key changesets fold order-free: per-key-class
+    // updates (+1000·(k+1)), deletes (%100 ∈ 10..13) and shifted
+    // inserts (%100 ∈ 20..23) reconstruct in closed form
+    "s45_stream_merge" ->
+      """WITH merged AS (
+        |  SELECT o_orderkey, o_custkey,
+        |    o_totalprice + CASE o_orderkey % 100
+        |      WHEN 0 THEN 1000 WHEN 1 THEN 2000
+        |      WHEN 2 THEN 3000 WHEN 3 THEN 4000
+        |      ELSE 0 END AS o_totalprice
+        |  FROM orders WHERE o_orderkey % 100 NOT IN (10, 11, 12, 13)
+        |  UNION ALL
+        |  SELECT o_orderkey + (o_orderkey % 100 - 19) * 100000000,
+        |    o_custkey, o_totalprice
+        |  FROM orders WHERE o_orderkey % 100 IN (20, 21, 22, 23))
+        |SELECT o_orderkey % 7 AS grp, COUNT(*) AS n_rows,
+        |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total
+        |FROM merged GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    // the merged snapshot in closed form: updated rows (+1000), kept
+    // rows (neither updated nor deleted), inserted rows (shifted keys)
+    "q138_merge_mor" ->
+      """WITH merged AS (
+        |  SELECT o_orderkey, o_custkey, o_totalprice + 1000 AS o_totalprice
+        |  FROM orders WHERE o_orderkey % 100 = 0
+        |  UNION ALL
+        |  SELECT o_orderkey, o_custkey, o_totalprice
+        |  FROM orders WHERE o_orderkey % 100 NOT IN (0, 1)
+        |  UNION ALL
+        |  SELECT o_orderkey + 100000000, o_custkey, o_totalprice
+        |  FROM orders WHERE o_orderkey % 100 = 2)
+        |SELECT o_orderkey % 7 AS grp, COUNT(*) AS n_rows,
+        |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total
+        |FROM merged GROUP BY 1 ORDER BY 1""".stripMargin,
 
     // four appended quarters, continuously re-clustered — content is
     // exactly the whole table; the clustering is layout-only

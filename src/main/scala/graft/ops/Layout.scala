@@ -377,6 +377,73 @@ object Layout {
       .count(_.getPath.getName.endsWith(".parquet"))
   }
 
+  /** MERGE-ON-READ upsert as one catalog commit — the write-cheap half
+    * of MERGE INTO ([[mergeIntoLayout]] is the copy-on-write half).
+    * Nothing is rewritten: matched keys' existing rows are tombstoned
+    * by deletion-vector addresses (resolved through the manifest-pruned
+    * scan, so only files whose key span intersects the change batch are
+    * opened), non-delete change rows land as one ordinary append
+    * commit, and the new version publishes {manifest ∪ new-file stats,
+    * old DV ∪ new addresses} atomically. Readers see the merge through
+    * [[snapshotReadWithDeletes]]; result ≡ [[Merge.applyChanges]] over
+    * the previous live snapshot (gate-proven against the SQL oracle).
+    *
+    * Scale: per wave this costs O(files containing matched keys) read
+    * + O(change rows) write — never O(table), and the read side gets
+    * CHEAPER as the layout improves (clustered keys → fewer touched
+    * files). The deferred cost is the usual MoR debt: DV rows accrue
+    * until [[compactDeletes]] folds them, exactly Delta/Iceberg's
+    * posture. Contracts inherited: `changes` unique per `keyCol`
+    * ([[Merge.applyChanges]]), key batch delta-scale (broadcast).
+    *
+    * @param txnId    commit idempotency key ([[Catalog.commitIdempotent]])
+    *                 for streaming foreachBatch retries; None = plain commit
+    * @return the new catalog version number */
+  def mergeOnReadCommit(spark: org.apache.spark.sql.SparkSession,
+      dataDir: String, catalogPath: String, artifactDir: String,
+      changes: DataFrame, keyCol: String, deleteCol: String = "is_delete",
+      statsCols: Seq[String], txnId: Option[String] = None): Int = {
+    // idempotency check FIRST: a replayed batch must not re-append its
+    // data files (they'd be manifest-orphans — harmless to readers but
+    // pure write waste) before discovering the commit already landed
+    txnId.foreach { t =>
+      implicit val s: org.apache.spark.sql.SparkSession = spark
+      Versions.listVersions(catalogPath).reverse
+        .find(v => Catalog.resolve(spark, catalogPath, v)
+          .get("_txn").contains(t))
+        .foreach(v => return v)
+    }
+    val refs = Catalog.resolveCurrent(spark, catalogPath)
+    val manifest = spark.read.parquet(refs("manifest"))
+      .localCheckpoint(eager = true) // probed for touched files + unioned
+    // two consumers (address resolution is itself two probes) — pin
+    val keys = changes.select(col(keyCol)).distinct().ckpt
+    val newAddrs =
+      deletionVectorsForKeysPruned(spark, dataDir, manifest, keys, keyCol)
+    val oldDv = refs.get("dv").map(spark.read.parquet(_))
+    val dvAll = oldDv.map(_.unionAll(newAddrs)).getOrElse(newAddrs)
+    val upserts = changes
+      .filter(!coalesce(col(deleteCol).cast("boolean"), lit(false)))
+      .drop(deleteCol)
+    val newStats = commitAppend(spark, upserts, dataDir, statsCols)
+    val newManifest = alignManifestSchema(manifest, newStats)
+      .unionByName(newStats)
+    val tag = java.util.UUID.randomUUID().toString.replace("-", "")
+    val mDir = s"$artifactDir/m-merge-$tag"
+    newManifest.write.parquet(mDir)
+    val arts =
+      if (dvAll.isEmpty) Map("manifest" -> mDir)
+      else {
+        val dvDir = s"$artifactDir/dv-merge-$tag"
+        dvAll.write.parquet(dvDir)
+        Map("manifest" -> mDir, "dv" -> dvDir)
+      }
+    txnId match {
+      case Some(t) => Catalog.commitIdempotent(spark, catalogPath, t, arts)
+      case None => Catalog.commit(spark, catalogPath, arts)
+    }
+  }
+
   /** Per-file column min/max statistics — the data-skipping manifest.
     *
     * One distributed pass groups the table by the hidden
@@ -1168,6 +1235,87 @@ object Layout {
     base.filter(col(colName) === value)
   }
 
+  /** DYNAMIC FILE SKIPPING FOR JOINS — the file-level runtime filter.
+    * Given a fact table's stats manifest and the JOIN-KEY SET of the
+    * (already filtered) dimension side, return the files whose
+    * [min, max] span can contain at least one dim key. Every other
+    * file provably joins to nothing, so an inner/semi equi-join that
+    * reads only the admitted files is row-identical to the full-scan
+    * join — the same soundness argument as [[prunedRead]]'s, with the
+    * predicate supplied by DATA instead of a literal.
+    *
+    * This is the star-schema shape Spark's own runtime Bloom filter
+    * (row-level, post-scan) cannot reach: at 100 TB the win is never
+    * OPENING the non-matching fact files. Against a key-clustered
+    * layout ([[compact]] / [[optimizeZorder]]) a selective dim filter
+    * admits O(matching key ranges) files; the admission itself is one
+    * planner-scale range semi-join (manifest rows × BROADCAST dim
+    * keys — dim-after-filter is delta-scale by the same contract every
+    * runtime filter relies on). Files whose stats are null (all-null
+    * key, zero rows) drop out: a null key never equi-joins. */
+  def joinSkipFiles(manifest: DataFrame, dimKeys: DataFrame,
+      keyCol: String): DataFrame =
+    manifest
+      .join(broadcast(dimKeys.select(col(keyCol).as("graft_jk")).distinct()),
+        col("graft_jk") >= col(s"min_$keyCol") &&
+          col("graft_jk") <= col(s"max_$keyCol"), "left_semi")
+      .select("file")
+
+  /** [[joinSkipFiles]] against a SELF-DESCRIBING [[bloomIndexSized]]
+    * index instead of a range manifest — the adverse-layout case: when
+    * the table is clustered by some OTHER column, every file's
+    * [min, max] span on the join key is the whole domain and range
+    * admission keeps everything, but the per-file Bloom still rejects
+    * files holding none of the dim keys. A file is admitted when ANY
+    * dim key's k bit positions are all present (false positives only
+    * ADD files — the downstream join keeps the result exact).
+    *
+    * Cost: a nested-loop semi-join of O(#files) index rows against the
+    * BROADCAST key set — O(#files · #dimKeys) bit probes, planner ×
+    * delta scale (the honest price every per-file secondary index pays
+    * for a key-set probe; Iceberg's bloom admission is the same
+    * arithmetic per file per literal). */
+  def joinSkipFilesBloom(index: DataFrame, dimKeys: DataFrame,
+      keyCol: String): DataFrame = {
+    val (m, k) = bloomMeta(index).getOrElse(throw new IllegalArgumentException(
+      "index carries no _graft_bloom_meta row — joinSkipFilesBloom " +
+        "requires a self-describing bloomIndexSized index (a plain " +
+        "bloomIndex probed with foreign sizes would LOSE matching files)"))
+    val hit = (0 until k)
+      .map(i => array_contains(col("bits"), bloomBit(col("graft_jk"), i, m)))
+      .reduce(_ && _)
+    index.filter(col("file") =!= BloomMetaKey)
+      .join(broadcast(dimKeys.select(col(keyCol).as("graft_jk")).distinct()),
+        hit, "left_semi")
+      .select("file")
+  }
+
+  /** The join-pruned fact scan: read ONLY the files [[joinSkipFiles]]
+    * admits (further intersected with a Bloom admission when `bloom`
+    * carries a [[bloomIndexSized]] index — range and Bloom evidence
+    * compose by AND, since each alone is a no-false-negative filter).
+    * The caller's equi-join on `keyCol` lands on top unchanged; for
+    * inner/semi joins the result is row-identical to joining the full
+    * scan (spec-proven across clustered and scattered layouts). Use
+    * [[BloomPrune.prunedJoin]] above this read to also drop
+    * non-matching ROWS inside admitted files before the exchange. */
+  def joinSkipRead(spark: org.apache.spark.sql.SparkSession, dir: String,
+      manifest: Option[DataFrame], bloom: Option[DataFrame],
+      dimKeys: DataFrame, keyCol: String): DataFrame = {
+    require(manifest.nonEmpty || bloom.nonEmpty,
+      "joinSkipRead needs a stats manifest, a bloom index, or both")
+    // two consumers when both indexes are present — pin the key set
+    val keys = dimKeys.select(col(keyCol)).distinct().ckpt
+    val admitted = Seq(
+      manifest.map(m => joinSkipFiles(m, keys, keyCol)),
+      bloom.map(b => joinSkipFilesBloom(b, keys, keyCol))).flatten
+    val files = admitted
+      .map(_.collect().map(_.getString(0)).toSet)
+      .reduce(_ intersect _)
+    if (files.isEmpty) spark.read.parquet(dir).limit(0)
+    else spark.read.parquet(files.toIndexedSeq: _*)
+  }
+
   /** FULL-TEXT file skipping: a per-file Bloom filter over the TOKEN
     * SET of a text column — the needle-in-a-haystack case neither
     * min/max manifests (text is unclustered) nor the value-level
@@ -1563,8 +1711,10 @@ object Layout {
     applyDv(spark.read.parquet(dir), dv)
 
   /** The DV subtraction itself — `base` must be a fresh parquet scan
-    * (the `_metadata` address columns resolve only there). */
-  private def applyDv(base: DataFrame, dv: DataFrame): DataFrame =
+    * (the `_metadata` address columns resolve only there).
+    * `private[ops]` so [[SchemaEvolution.evolvedRead]] can subtract DVs
+    * from its merge-schema scan with the same plan shape. */
+  private[ops] def applyDv(base: DataFrame, dv: DataFrame): DataFrame =
     base
       .withColumn("graft_dv_file", col("_metadata.file_path"))
       .withColumn("graft_dv_pos", col("_metadata.row_index"))

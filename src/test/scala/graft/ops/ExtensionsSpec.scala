@@ -312,7 +312,90 @@ class GraftExtensionsSpec extends AnyFunSuite with SparkTestBase {
         .collect())
     assert(err.getMessage.contains("integer literal"))
   }
+  test("graft_join_skip TVF equals the Scala path; dimWhere arg applies before key collection") {
+    // arg wiring: swapped keyCol/dimKeyCol or a dropped dim filter must
+    // fail here, not ship silently
+    import spark.implicits._
+    graft.GraftExtensions.register(spark)
+    val tmp = java.nio.file.Files.createTempDirectory("graft-sqljs").toString
+    spark.range(1000).select(col("id").as("k"), (col("id") % 5).as("v"))
+      .repartitionByRange(4, col("k")).write.parquet(s"$tmp/t")
+    Layout.statsManifest(spark, s"$tmp/t", Seq("k")).write.parquet(s"$tmp/m")
+    (0 until 1000 by 100).map(i => (i.toLong, i % 3))
+      .toDF("fk", "size").write.parquet(s"$tmp/dim")
+    val viaSql = spark.sql(
+      s"""SELECT k, v FROM graft_join_skip('$tmp/t', '$tmp/m', 'k',
+         |  '$tmp/dim', 'fk', 'size = 1') ORDER BY k""".stripMargin)
+    val dim = spark.read.parquet(s"$tmp/dim").filter(col("size") === 1)
+      .select(col("fk").as("k"))
+    val viaApi = Layout.joinSkipRead(spark, s"$tmp/t",
+        Some(spark.read.parquet(s"$tmp/m")), None, dim, "k")
+      .select("k", "v").orderBy("k")
+    assert(viaSql.collect().toSeq === viaApi.collect().toSeq)
+    // the filtered dim spans [0, 900] step 300 -> fewer than 4 files
+    // only when the filter was APPLIED (unfiltered keys hit all files);
+    // k<300 keys live in file 1 of 4, so the admitted set must shrink
+    val admitted = viaSql.inputFiles.length
+    val unfiltered = spark.sql(
+      s"""SELECT k FROM graft_join_skip('$tmp/t', '$tmp/m', 'k',
+         |  '$tmp/dim', 'fk')""".stripMargin).inputFiles.length
+    assert(admitted === 3, "filtered keys {100,400,700} span 3 of 4 files")
+    assert(unfiltered === 4)
+  }
+
+  test("graft_merge_table TVF commits a merge-on-read wave and returns the version") {
+    import spark.implicits._
+    graft.GraftExtensions.register(spark)
+    val tmp = java.nio.file.Files.createTempDirectory("graft-sqlmg").toString
+    spark.range(100).select(col("id").as("k"), (col("id") * 2).as("v"))
+      .repartitionByRange(2, col("k")).write.parquet(s"$tmp/t")
+    Layout.statsManifest(spark, s"$tmp/t", Seq("k")).write.parquet(s"$tmp/m0")
+    Catalog.commit(spark, s"$tmp/cat", Map("manifest" -> s"$tmp/m0"))
+    Seq((5L, 555L, false), (6L, 0L, true), (200L, 7L, false))
+      .toDF("k", "v", "is_delete").write.parquet(s"$tmp/changes")
+    val v = spark.sql(
+      s"""SELECT version FROM graft_merge_table('$tmp/t', '$tmp/cat',
+         |  '$tmp', '$tmp/changes', 'k', 'is_delete', 'k')""".stripMargin)
+      .head().getInt(0)
+    assert(v === 2)
+    val refs = Catalog.resolve(spark, s"$tmp/cat", v)
+    val got = Layout.snapshotReadWithDeletes(spark, s"$tmp/t",
+        spark.read.parquet(refs("manifest")), spark.read.parquet(refs("dv")))
+    assert(got.count() === 100) // -1 deleted +1 inserted
+    assert(got.filter(col("k") === 5L).head().getLong(1) === 555L)
+    assert(got.filter(col("k") === 6L).isEmpty)
+  }
+
+  test("graft_evolve TVF routes all four actions; unknown action refuses") {
+    import spark.implicits._
+    graft.GraftExtensions.register(spark)
+    val tmp = java.nio.file.Files.createTempDirectory("graft-sqlevo").toString
+    val e1 = Seq((1, 10.0)).toDF("k", "amount")
+    val map1 = SchemaEvolution.initial(spark, e1.schema)
+    SchemaEvolution.toPhysical(e1, map1).write.parquet(s"$tmp/t")
+    Layout.statsManifest(spark, s"$tmp/t", Seq("k")).write.parquet(s"$tmp/m")
+    map1.write.parquet(s"$tmp/cm")
+    Catalog.commit(spark, s"$tmp/cat",
+      Map("manifest" -> s"$tmp/m", "colmap" -> s"$tmp/cm"))
+    spark.sql(s"SELECT * FROM graft_evolve('$tmp/cat', '$tmp', " +
+      "'rename', 'amount', 'balance')").collect()
+    spark.sql(s"SELECT * FROM graft_evolve('$tmp/cat', '$tmp', " +
+      "'retype', 'k', 'bigint')").collect()
+    spark.sql(s"SELECT * FROM graft_evolve('$tmp/cat', '$tmp', " +
+      "'add', 'tag', 'string')").collect()
+    spark.sql(s"SELECT * FROM graft_evolve('$tmp/cat', '$tmp', " +
+      "'drop', 'tag', '')").collect()
+    val got = spark.sql(s"SELECT * FROM graft_read_evolved('$tmp/cat', 5)")
+    assert(got.columns.toSeq === Seq("k", "balance"))
+    assert(got.schema("k").dataType.simpleString === "bigint")
+    val e = intercept[Exception] {
+      spark.sql(s"SELECT * FROM graft_evolve('$tmp/cat', '$tmp', " +
+        "'explode', 'k', '')").collect()
+    }
+    assert(e.getMessage.contains("unknown action"))
+  }
 }
+
 
 class DedupSpec extends AnyFunSuite with SparkTestBase {
 
@@ -2610,4 +2693,5 @@ class UrlsSpec extends AnyFunSuite with SparkTestBase {
       ("http://example.com/A?a=1&b=2", 1L, 3L),
       ("https://example.com/B", 9L, 1L)))
   }
+
 }

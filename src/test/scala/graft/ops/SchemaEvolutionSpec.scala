@@ -1,0 +1,124 @@
+package graft.ops
+
+import graft.SparkTestBase
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** SchemaEvolution: rename/drop/re-add/widen through the column-mapping
+  * artifact — no file rewrites, no resurrection, atomic via the catalog. */
+class SchemaEvolutionSpec extends AnyFunSuite with SparkTestBase {
+
+  import spark.implicits._
+
+  private def freshDir(tag: String): String =
+    java.nio.file.Files.createTempDirectory(s"graft-evo-$tag").toString
+
+  test("rename serves old files under the new logical name; writers keep the physical name") {
+    val root = freshDir("ren")
+    val e1 = Seq((1L, 10.0), (2L, 20.0)).toDF("k", "amount")
+    var map = SchemaEvolution.initial(spark, e1.schema)
+    SchemaEvolution.toPhysical(e1, map).write.parquet(s"$root/t/c1")
+    map = SchemaEvolution.rename(spark, map, "amount", "balance")
+    // epoch 2 writes through the NEW logical name -> same physical col
+    val e2 = Seq((3L, 30.0)).toDF("k", "balance")
+    SchemaEvolution.toPhysical(e2, map).write.parquet(s"$root/t/c2")
+    val m = Layout.statsManifest(spark, s"$root/t/c1", Seq("k"))
+      .unionByName(Layout.statsManifest(spark, s"$root/t/c2", Seq("k")))
+    val got = SchemaEvolution.evolvedRead(spark, m, None, map)
+    assert(got.columns.toSeq === Seq("k", "balance"))
+    assert(got.orderBy("k").as[(Long, Double)].collect().toSeq
+      === Seq((1L, 10.0), (2L, 20.0), (3L, 30.0)))
+    // both epochs share one physical column in the footers
+    val phys = spark.read.parquet(s"$root/t/c2").columns.toSeq
+    assert(phys.contains("amount") && !phys.contains("balance"))
+  }
+
+  test("drop then re-add never resurrects old values; fresh physical name allocated") {
+    val root = freshDir("readd")
+    val e1 = Seq((1L, "secret"), (2L, "hidden")).toDF("k", "note")
+    var map = SchemaEvolution.initial(spark, e1.schema)
+    SchemaEvolution.toPhysical(e1, map).write.parquet(s"$root/t/c1")
+    map = SchemaEvolution.dropColumn(spark, map, "note")
+    map = SchemaEvolution.addColumn(spark, map, "note", "bigint")
+    val e2 = Seq((3L, 99L)).toDF("k", "note")
+    SchemaEvolution.toPhysical(e2, map).write.parquet(s"$root/t/c2")
+    val m = Layout.statsManifest(spark, s"$root/t/c1", Seq("k"))
+      .unionByName(Layout.statsManifest(spark, s"$root/t/c2", Seq("k")))
+    val got = SchemaEvolution.evolvedRead(spark, m, None, map)
+      .orderBy("k").as[(Long, Option[Long])].collect().toSeq
+    // epoch-1 rows: note is NULL (the string values are unreachable)
+    assert(got === Seq((1L, None), (2L, None), (3L, Some(99L))))
+    val ms = SchemaEvolution.mappings(map)
+    assert(ms.count(_.physical.startsWith("note")) === 2)
+    assert(ms.find(m2 => m2.logical == "note" && !m2.dropped)
+      .get.physical === "note__v2")
+  }
+
+  test("retype widens at read; added-but-never-written column serves typed nulls") {
+    val root = freshDir("widen")
+    val e1 = spark.range(3).select(col("id").cast("int").as("k"),
+      (col("id") * 2).cast("int").as("v"))
+    var map = SchemaEvolution.initial(spark, e1.schema)
+    SchemaEvolution.toPhysical(e1, map).write.parquet(s"$root/t/c1")
+    map = SchemaEvolution.retype(spark, map, "v", "bigint")
+    map = SchemaEvolution.addColumn(spark, map, "tag", "string")
+    val m = Layout.statsManifest(spark, s"$root/t/c1", Seq("k"))
+    val got = SchemaEvolution.evolvedRead(spark, m, None, map)
+    assert(got.schema("v").dataType.simpleString === "bigint")
+    assert(got.schema("tag").dataType.simpleString === "string")
+    assert(got.filter(col("tag").isNull).count() === 3)
+    assert(got.agg(sum("v")).head().getLong(0) === 6L)
+  }
+
+  test("guards: rename to live name, add live name, toPhysical drift all refuse") {
+    val df = Seq((1L, 1.0)).toDF("k", "v")
+    val map = SchemaEvolution.initial(spark, df.schema)
+    intercept[IllegalArgumentException] {
+      SchemaEvolution.rename(spark, map, "v", "k")
+    }
+    intercept[IllegalArgumentException] {
+      SchemaEvolution.addColumn(spark, map, "k", "bigint")
+    }
+    intercept[IllegalArgumentException] {
+      SchemaEvolution.dropColumn(spark, map, "nope")
+    }
+    intercept[IllegalArgumentException] {
+      SchemaEvolution.toPhysical(Seq((1L)).toDF("k"), map)
+    }
+  }
+
+  test("catalog flip is atomic: old version keeps the old schema over the same files") {
+    val root = freshDir("cat")
+    val e1 = Seq((1L, 5.0)).toDF("k", "amount")
+    val map1 = SchemaEvolution.initial(spark, e1.schema)
+    SchemaEvolution.toPhysical(e1, map1).write.parquet(s"$root/t/c1")
+    Layout.statsManifest(spark, s"$root/t/c1", Seq("k"))
+      .write.parquet(s"$root/m1")
+    map1.write.parquet(s"$root/cm1")
+    Catalog.commit(spark, s"$root/cat",
+      Map("manifest" -> s"$root/m1", "colmap" -> s"$root/cm1"))
+    val map2 = SchemaEvolution.rename(spark, map1, "amount", "balance")
+    val v2 = SchemaEvolution.evolveCommit(spark, s"$root/cat", root, map2)
+    assert(v2 === 2)
+    assert(SchemaEvolution.evolvedCatalogRead(spark, s"$root/cat", 1)
+      .columns.toSeq === Seq("k", "amount"))
+    assert(SchemaEvolution.evolvedCatalogRead(spark, s"$root/cat", 2)
+      .columns.toSeq === Seq("k", "balance"))
+    // manifest carried forward untouched by the schema commit
+    assert(Catalog.resolve(spark, s"$root/cat", 2)("manifest")
+      === s"$root/m1")
+  }
+
+  test("DV subtraction composes with the mapping projection") {
+    val root = freshDir("dv")
+    val e1 = Seq((1L, 10.0), (2L, 20.0), (3L, 30.0)).toDF("k", "amount")
+    var map = SchemaEvolution.initial(spark, e1.schema)
+    SchemaEvolution.toPhysical(e1, map).write.parquet(s"$root/t/c1")
+    map = SchemaEvolution.rename(spark, map, "amount", "balance")
+    val dv = Layout.deletionVectors(spark, s"$root/t/c1", col("k") === 2L)
+    val m = Layout.statsManifest(spark, s"$root/t/c1", Seq("k"))
+    val got = SchemaEvolution.evolvedRead(spark, m, Some(dv), map)
+      .orderBy("k").as[(Long, Double)].collect().toSeq
+    assert(got === Seq((1L, 10.0), (3L, 30.0)))
+  }
+}
