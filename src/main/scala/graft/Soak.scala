@@ -1234,11 +1234,18 @@ object Soak {
       s""", "audits": $auditJson, "copies": $copies, """ +
       s""""diversity": $diversity, "sf": "$sfDir"}""")
     println(json)
-    val out = sys.env.getOrElse("SPARK_GRAFT_SOAK_OUT", "soak_results.json")
-    try java.nio.file.Files.write(java.nio.file.Paths.get(out),
-      (json + "\n").getBytes("UTF-8"))
-    catch { case e: Exception =>
-      System.err.println(s"soak_results write failed: $e") }
+    // a FILTERED run must not clobber the full-suite record (Bench's
+    // documented posture): write soak_results.json only for unfiltered
+    // runs, unless an output path is named explicitly
+    val outExplicit = sys.env.get("SPARK_GRAFT_SOAK_OUT")
+    val out = outExplicit.getOrElse("soak_results.json")
+    if (opsFilter.isEmpty || outExplicit.nonEmpty)
+      try java.nio.file.Files.write(java.nio.file.Paths.get(out),
+        (json + "\n").getBytes("UTF-8"))
+      catch { case e: Exception =>
+        System.err.println(s"soak_results write failed: $e") }
+    else System.err.println(
+      s"[soak] filtered run: NOT writing $out (set SPARK_GRAFT_SOAK_OUT)")
 
     } finally {
       // the soak fixtures hold 10k+ small parquet files — don't litter
