@@ -6652,6 +6652,84 @@ object SparkEntry {
       } finally plans.ScanPruneRewrite.unregister("s44")
     }),
 
+    // ---- AUTO-OPTIMIZE: the manifest itself decides the maintenance
+    // action. After a full z-order pass, a no-op wave returns "none"
+    // (zero work), a small append wave re-clusters at O(appends)
+    // ("delta"), and a wave past the threshold triggers the amortized
+    // full rewrite ("full") — all three REQUIREd. The final version's
+    // 2-D box query prunes through the automatic rewrite and
+    // hash-matches the whole-table oracle (layout-only, content never
+    // changes) ---------------------------------------------------------
+    "q140_auto_optimize" -> ((s, dir) => {
+      val tmp = gateScratch("q140")
+      GraftExtensions.register(s)
+      val li = t(s, dir, "lineitem")
+        .select("l_orderkey", "l_partkey", "l_suppkey", "l_returnflag",
+          "l_quantity")
+      val zStats = Seq("l_partkey", "l_suppkey")
+      li.filter(col("l_orderkey") % 2 === 0)
+        .repartitionByRange(8, col("l_orderkey")).write.parquet(s"$tmp/t")
+      ops.Layout.statsManifest(s, s"$tmp/t", zStats)
+        .write.parquet(s"$tmp/m1")
+      val cat = s"$tmp/cat"
+      ops.Catalog.commit(s, cat, Map("manifest" -> s"$tmp/m1"))
+      var lastOpt = ops.Layout.optimizeZorder(s, s"$tmp/t", cat, tmp,
+        "l_partkey", "l_suppkey", bits = 15, numFiles = 16,
+        statsCols = zStats)
+      def appendWave(pred: org.apache.spark.sql.Column, nf: Int): Unit = {
+        val add = ops.Layout.commitAppend(s,
+          li.filter(pred).repartitionByRange(nf, col("l_orderkey")),
+          s"$tmp/t", zStats)
+        val curV = ops.Versions.current(cat)(s)
+        val m = s.read.parquet(ops.Catalog.ref(s, cat, curV, "manifest"))
+        val mDir = s"$tmp/m-wave-${curV + 1}"
+        m.unionByName(add).write.parquet(mDir)
+        ops.Catalog.commit(s, cat, Map("manifest" -> mDir))
+      }
+      def maintain() = ops.Layout.maintainClustering(s, s"$tmp/t", cat,
+        tmp, "l_partkey", "l_suppkey", bits = 15, numFiles = 16,
+        statsCols = zStats, lastOptimizedVersion = lastOpt)
+      // nothing appended since the optimize -> zero work
+      val (a0, v0) = maintain()
+      require(a0 == "none" && v0 == lastOpt,
+        s"expected no-op maintenance, got ($a0, $v0)")
+      // small wave (2 of 18 files) -> O(appends) delta pass
+      appendWave(col("l_orderkey") % 8 === 1, 2)
+      val (a1, v1) = maintain()
+      require(a1 == "delta", s"expected delta maintenance, got $a1")
+      lastOpt = v1
+      // big wave (12 of 30 files, past the 0.3 threshold) -> full pass
+      appendWave(col("l_orderkey") % 2 === 1 &&
+        col("l_orderkey") % 8 =!= 1, 12)
+      val (a2, v2) = maintain()
+      require(a2 == "full", s"expected full re-optimize, got $a2")
+      s.sql(s"SELECT * FROM graft_prune_register(" +
+        s"'q140', '$tmp/t', '$cat', $v2)").collect()
+      try {
+        val res = s.sql(s"""
+          |SELECT l_returnflag, COUNT(*) AS n_rows,
+          |  CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE)
+          |    AS sum_qty
+          |FROM graft_catalog_read('$tmp/t', '$cat', $v2)
+          |WHERE l_partkey BETWEEN 50 AND 150
+          |  AND l_suppkey BETWEEN 1 AND 5
+          |GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin)
+        val dataFiles = res.queryExecution.optimizedPlan.collect {
+          case lr: org.apache.spark.sql.execution.datasources.LogicalRelation =>
+            lr.relation match {
+              case fs: org.apache.spark.sql.execution.datasources.HadoopFsRelation
+                  if fs.location.rootPaths.exists(_.toString.contains("/t/")) =>
+                fs.location.rootPaths.map(_.toString)
+              case _ => Seq.empty[String]
+            }
+        }.flatten
+        require(dataFiles.nonEmpty && dataFiles.size < 16,
+          s"auto-optimized table did not prune: scanned " +
+            s"${dataFiles.size} of 16 files")
+        res
+      } finally plans.ScanPruneRewrite.unregister("q140")
+    }),
+
     // ---- STREAMING MERGE: a CDC upsert feed where each micro-batch is
     // a mixed changeset (updates, deletes, inserts over disjoint key
     // classes) applied as ONE merge-on-read commit — DV addresses for
@@ -12070,6 +12148,16 @@ object SparkEntry {
         |  CAST(NULL AS BIGINT)
         |FROM customer WHERE c_custkey % 2 = 1
         |ORDER BY 1""".stripMargin,
+
+    // maintenance is layout-only: seed (%2=0) ∪ small wave (%8=1) ∪
+    // big wave (%2=1 ∧ %8≠1) = the whole table; the box aggregate is
+    // invariant under none/delta/full re-clustering
+    "q140_auto_optimize" ->
+      """SELECT l_returnflag, COUNT(*) AS n_rows,
+        |  CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty
+        |FROM lineitem
+        |WHERE l_partkey BETWEEN 50 AND 150 AND l_suppkey BETWEEN 1 AND 5
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
 
     // four disjoint-key changesets fold order-free: per-key-class
     // updates (+1000·(k+1)), deletes (%100 ∈ 10..13) and shifted

@@ -220,6 +220,60 @@ object Layout {
     }
   }
 
+  /** DATA-DRIVEN OPTIMIZE policy — the decision layer above
+    * [[optimizeZorder]] / [[optimizeZorderDelta]] that a continuously-
+    * ingesting table's maintenance loop calls instead of hardcoding a
+    * cadence (the s44 loop's "every second batch" is this verb with
+    * the decision made by the CALLER; here the MANIFEST decides).
+    *
+    * One planner-scale file-set diff against the last optimized
+    * version classifies the table:
+    *   - no new files → `("none", currentVersion)` — zero work;
+    *   - unclustered fraction ≤ `deltaThreshold` → re-cluster ONLY the
+    *     appended files (`optimizeZorderDelta`, O(appends) write);
+    *   - above the threshold → full rewrite (`optimizeZorder`) — past
+    *     that point the accumulated delta files each span the whole
+    *     key domain and read-side admission has degraded enough that
+    *     the amortized full pass is the cheaper steady state.
+    *
+    * The delta wave's output file count scales with its share of the
+    * table (`ceil(numFiles · fraction)`), so repeated small waves
+    * neither fragment the layout nor inherit the full-table file
+    * budget. Returns (action, newVersion); the caller threads the
+    * returned version back in as `lastOptimizedVersion` after any
+    * "delta"/"full" action, exactly like the s44 loop. */
+  def maintainClustering(spark: org.apache.spark.sql.SparkSession,
+      dataDir: String, catalogPath: String, artifactDir: String,
+      xCol: String, yCol: String, bits: Int, numFiles: Int,
+      statsCols: Seq[String], lastOptimizedVersion: Int,
+      deltaThreshold: Double = 0.3): (String, Int) = {
+    require(deltaThreshold > 0 && deltaThreshold <= 1,
+      s"deltaThreshold in (0, 1], got $deltaThreshold")
+    implicit val s: org.apache.spark.sql.SparkSession = spark
+    val cur = Versions.current(catalogPath)
+    val curFiles = spark.read.parquet(
+        Catalog.ref(spark, catalogPath, cur, "manifest"))
+      .filter(col("file").isNotNull)
+      .select("file").collect().map(r => uriPath(r.getString(0))).toSet
+    val baseFiles = spark.read.parquet(
+        Catalog.ref(spark, catalogPath, lastOptimizedVersion, "manifest"))
+      .filter(col("file").isNotNull)
+      .select("file").collect().map(r => uriPath(r.getString(0))).toSet
+    val fresh = curFiles.diff(baseFiles)
+    if (fresh.isEmpty) ("none", cur)
+    else {
+      val frac = fresh.size.toDouble / curFiles.size
+      if (frac <= deltaThreshold) {
+        val waveFiles = math.max(1, math.ceil(numFiles * frac).toInt)
+        ("delta", optimizeZorderDelta(spark, dataDir, catalogPath,
+          artifactDir, lastOptimizedVersion, xCol, yCol, bits,
+          waveFiles, statsCols))
+      } else
+        ("full", optimizeZorder(spark, dataDir, catalogPath, artifactDir,
+          xCol, yCol, bits, numFiles, statsCols))
+    }
+  }
+
   /** Small-file compaction — the maintenance pass every long-lived
     * table needs: streaming sinks and incremental appends leave
     * thousands of KB-sized files whose per-file open/footer overhead
@@ -431,13 +485,23 @@ object Layout {
     val tag = java.util.UUID.randomUUID().toString.replace("-", "")
     val mDir = s"$artifactDir/m-merge-$tag"
     newManifest.write.parquet(mDir)
-    val arts =
-      if (dvAll.isEmpty) Map("manifest" -> mDir)
+    // artifact carry-forward policy: `colmap` rides along (the schema
+    // mapping is data-independent — [[SchemaEvolution]] tables keep
+    // their schema across merges), but secondary indexes (bloom,
+    // token_bloom, views) are intentionally DROPPED: carried stale,
+    // they would not know the new files and their consumers would
+    // silently LOSE rows — a missing artifact fails loudly instead.
+    // Re-extend and re-commit indexes after the merge (extendBloomIndex
+    // posture).
+    val carried = refs.filter { case (k, _) =>
+      k == SchemaEvolution.Artifact }
+    val arts = carried ++
+      (if (dvAll.isEmpty) Map("manifest" -> mDir)
       else {
         val dvDir = s"$artifactDir/dv-merge-$tag"
         dvAll.write.parquet(dvDir)
         Map("manifest" -> mDir, "dv" -> dvDir)
-      }
+      })
     txnId match {
       case Some(t) => Catalog.commitIdempotent(spark, catalogPath, t, arts)
       case None => Catalog.commit(spark, catalogPath, arts)

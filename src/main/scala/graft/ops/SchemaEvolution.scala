@@ -136,16 +136,35 @@ object SchemaEvolution {
     * the write-side half of the indirection. The frame must carry
     * exactly the live logical columns (loud otherwise: a silently
     * dropped or extra column is how mapping and data drift apart). */
-  def toPhysical(df: DataFrame, map: DataFrame): DataFrame = {
+  def toPhysical(df: DataFrame, map: DataFrame): DataFrame =
+    toPhysical(df, map, Nil)
+
+  /** [[toPhysical]] with `passthrough` columns carried verbatim — the
+    * CDC shape: a change batch is the logical row plus bookkeeping
+    * columns (`is_delete`, sequence numbers) that are not table
+    * columns. Passthrough names must not collide with any physical
+    * name (loud otherwise). */
+  def toPhysical(df: DataFrame, map: DataFrame,
+      passthrough: Seq[String]): DataFrame = {
     val lv = live(mappings(map))
     val have = df.columns.toSet
-    val need = lv.map(_.logical).toSet
+    val need = lv.map(_.logical).toSet ++ passthrough
     require(have == need,
       s"toPhysical: frame columns ${have.toSeq.sorted.mkString(",")} != " +
-        s"live logical columns ${need.toSeq.sorted.mkString(",")}")
+        s"live logical columns + passthrough ${need.toSeq.sorted.mkString(",")}")
+    val collide = passthrough.toSet.intersect(lv.map(_.physical).toSet)
+    require(collide.isEmpty,
+      s"toPhysical: passthrough ${collide.mkString(",")} collides with a " +
+        "physical column name")
     df.select(lv.map(m =>
-      col(s"`${m.logical}`").cast(m.dtype).as(m.physical)): _*)
+      col(s"`${m.logical}`").cast(m.dtype).as(m.physical)) ++
+      passthrough.map(c => col(s"`$c`")): _*)
   }
+
+  /** The PHYSICAL name currently backing a live logical column — what a
+    * merge/DV verb keyed by a logical column must address files with. */
+  def physicalName(map: DataFrame, logical: String): String =
+    requireLive(mappings(map), logical, "physicalName").physical
 
   /** The evolved snapshot read: ONE merge-schema scan of the manifest's
     * files (epochs may disagree on physical columns), optional DV

@@ -209,4 +209,49 @@ class ClusterOptimizeSpec extends AnyFunSuite with SparkTestBase {
     }
     assert(e.getMessage.contains("nothing to cluster"))
   }
+
+  test("maintainClustering: the manifest picks none/delta/full by unclustered fraction") {
+    val root = freshDir()
+    val t = s"$root/t"
+    grid().repartitionByRange(8, col("id")).write.parquet(t)
+    Layout.statsManifest(spark, t, Seq("x", "y")).write.parquet(s"$root/m1")
+    Catalog.commit(spark, s"$root/cat", Map("manifest" -> s"$root/m1"))
+    var lastOpt = Layout.optimizeZorder(spark, t, s"$root/cat", root,
+      "x", "y", bits = 5, numFiles = 8, statsCols = Seq("x", "y"))
+    def maintain() = Layout.maintainClustering(spark, t, s"$root/cat",
+      root, "x", "y", bits = 5, numFiles = 8,
+      statsCols = Seq("x", "y"), lastOptimizedVersion = lastOpt)
+    def appendWave(rows: org.apache.spark.sql.DataFrame, nf: Int): Unit = {
+      val add = Layout.commitAppend(spark, rows, t, Seq("x", "y"))
+      val curV = Versions.current(s"$root/cat")(spark)
+      val m = spark.read.parquet(
+        Catalog.ref(spark, s"$root/cat", curV, "manifest"))
+      val mDir = s"$root/m-wave-${curV + 1}"
+      m.unionByName(add).write.parquet(mDir)
+      Catalog.commit(spark, s"$root/cat", Map("manifest" -> mDir))
+    }
+    // nothing new since the optimize: zero work, version unchanged
+    val (a0, v0) = maintain()
+    assert((a0, v0) === (("none", lastOpt)))
+    // 1 new file of 8+1 -> fraction 0.11, delta pass
+    appendWave(spark.range(1024, 1152).select(col("id"),
+      (col("id") % 32).as("x"), (col("id") / 32).cast("long").as("y"))
+      .coalesce(1), 1)
+    val (a1, v1) = maintain()
+    assert(a1 === "delta")
+    lastOpt = v1
+    // content survives both passes
+    val mNow = spark.read.parquet(
+      Catalog.ref(spark, s"$root/cat", v1, "manifest"))
+    assert(Layout.snapshotRead(spark, t, mNow).count() === 1152)
+    // 8 new files over ~17 -> fraction ~0.47, full rewrite
+    appendWave(spark.range(1152, 2176).select(col("id"),
+      (col("id") % 32).as("x"), (col("id") / 32).cast("long").as("y"))
+      .repartition(8), 8)
+    val (a2, v2) = maintain()
+    assert(a2 === "full")
+    val mEnd = spark.read.parquet(
+      Catalog.ref(spark, s"$root/cat", v2, "manifest"))
+    assert(Layout.snapshotRead(spark, t, mEnd).count() === 2176)
+  }
 }

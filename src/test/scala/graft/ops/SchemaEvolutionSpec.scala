@@ -109,6 +109,41 @@ class SchemaEvolutionSpec extends AnyFunSuite with SparkTestBase {
       === s"$root/m1")
   }
 
+  test("merge-on-read composes with an evolved schema: logical changes, physical files") {
+    val root = freshDir("mor")
+    // table born (k, v); committed with manifest + colmap
+    val e1 = spark.range(100).select(col("id").as("k"),
+      (col("id") * 10).as("v"))
+    val map1 = SchemaEvolution.initial(spark, e1.schema)
+    SchemaEvolution.toPhysical(e1, map1)
+      .repartitionByRange(2, col("k")).write.parquet(s"$root/t")
+    Layout.statsManifest(spark, s"$root/t", Seq("k"))
+      .write.parquet(s"$root/m1")
+    map1.write.parquet(s"$root/cm1")
+    Catalog.commit(spark, s"$root/cat",
+      Map("manifest" -> s"$root/m1", "colmap" -> s"$root/cm1"))
+    // rename v -> amount; a LOGICAL-schema change batch then merges:
+    // toPhysical translates it (passthrough is_delete), the merge keys
+    // on the PHYSICAL column name, and the evolved read serves the
+    // merged rows under the new logical name
+    val map2 = SchemaEvolution.rename(spark, map1, "v", "amount")
+    SchemaEvolution.evolveCommit(spark, s"$root/cat", root, map2)
+    val changes = Seq((5L, 555L, false), (6L, 0L, true), (200L, 7L, false))
+      .toDF("k", "amount", "is_delete")
+    val v3 = Layout.mergeOnReadCommit(spark, s"$root/t", s"$root/cat", root,
+      SchemaEvolution.toPhysical(changes, map2, Seq("is_delete")),
+      SchemaEvolution.physicalName(map2, "k"), "is_delete",
+      Seq(SchemaEvolution.physicalName(map2, "k")))
+    // the merge commit carries the colmap forward (schema is
+    // data-independent) — the evolved read resolves entirely from v3
+    val got = SchemaEvolution.evolvedCatalogRead(spark, s"$root/cat", v3)
+    assert(got.columns.toSeq === Seq("k", "amount"))
+    assert(got.count() === 100)
+    assert(got.filter(col("k") === 5L).head().getLong(1) === 555L)
+    assert(got.filter(col("k") === 6L).isEmpty)
+    assert(got.filter(col("k") === 200L).head().getLong(1) === 7L)
+  }
+
   test("DV subtraction composes with the mapping projection") {
     val root = freshDir("dv")
     val e1 = Seq((1L, 10.0), (2L, 20.0), (3L, 30.0)).toDF("k", "amount")
