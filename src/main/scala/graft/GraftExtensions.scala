@@ -451,6 +451,24 @@ object GraftExtensions {
             .col(strLit(args(4), "graft_join_skip_bloom")).as(keyCol)),
           keyCol))
       }),
+      // AUTOMATIC join-driven skipping from SQL: opt a prune-registered
+      // scan into [[graft.plans.JoinSkipRewrite]] — after this, ANY
+      // inner equi-join of the version against a delta-scale dim prunes
+      // its fact files with no pruning verb in the query.
+      //   SELECT * FROM graft_join_skip_register('name', 'l_partkey', 10000)
+      "graft_join_skip_register" -> ((args: Seq[Expression]) => {
+        expectArgs("graft_join_skip_register",
+          "scanName, keyCol, maxKeys", args, 3)
+        val s = active
+        val name = strLit(args(0), "graft_join_skip_register")
+        val keyCol = strLit(args(1), "graft_join_skip_register")
+        val cap = intLit(args(2), "graft_join_skip_register")
+        graft.plans.JoinSkipRewrite.register(s, name, keyCol, cap)
+        plan(s.range(1).select(
+          org.apache.spark.sql.functions.lit(name).as("scan_name"),
+          org.apache.spark.sql.functions.lit(keyCol).as("key_col"),
+          org.apache.spark.sql.functions.lit(cap).as("max_keys")))
+      }),
       // MERGE INTO (merge-on-read) from SQL — a driver verb
       // (graft_commit precedent): matched keys tombstone via DV
       // addresses resolved through the manifest-pruned scan, upserts

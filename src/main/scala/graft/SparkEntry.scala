@@ -6652,6 +6652,59 @@ object SparkEntry {
       } finally plans.ScanPruneRewrite.unregister("s44")
     }),
 
+    // ---- AUTOMATIC join-driven file skipping: with the fact's catalog
+    // version prune-registered AND join-skip-registered, a PLAIN SQL
+    // star join — no pruning verb anywhere in the query — evaluates the
+    // dim side's surviving keys at optimization, injects the lossless
+    // key conjunct, and reads only the fact files that can hold a
+    // match (both REQUIREd on the plan). Same oracle as the explicit
+    // q136 verb: the rewrite must be invisible in the rows ------------
+    "q141_join_skip_auto" -> ((s, dir) => {
+      val tmp = gateScratch("q141")
+      GraftExtensions.register(s)
+      val li = t(s, dir, "lineitem")
+        .select("l_partkey", "l_returnflag", "l_quantity")
+      li.repartitionByRange(12, col("l_partkey")).write.parquet(s"$tmp/t")
+      ops.Layout.statsManifest(s, s"$tmp/t", Seq("l_partkey"))
+        .write.parquet(s"$tmp/m")
+      ops.Catalog.commit(s, s"$tmp/cat", Map("manifest" -> s"$tmp/m"))
+      t(s, dir, "part").select("p_partkey", "p_brand")
+        .write.parquet(s"$tmp/dim")
+      s.sql(s"SELECT * FROM graft_prune_register(" +
+        s"'q141', '$tmp/t', '$tmp/cat', 1)").collect()
+      s.sql(s"SELECT * FROM graft_join_skip_register(" +
+        s"'q141', 'l_partkey', 10000)").collect()
+      try {
+        val res = s.sql(s"""
+          |SELECT l_returnflag, COUNT(*) AS n_rows,
+          |  CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE)
+          |    AS sum_qty
+          |FROM graft_catalog_read('$tmp/t', '$tmp/cat', 1) f
+          |JOIN parquet.`$tmp/dim` p ON f.l_partkey = p.p_partkey
+          |WHERE p.p_partkey % 6000 = 7
+          |GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin)
+        val plan0 = res.queryExecution.optimizedPlan
+        require(plan0.exists {
+          case org.apache.spark.sql.catalyst.plans.logical.Filter(c, _) =>
+            c.exists(_.isInstanceOf[
+              org.apache.spark.sql.catalyst.expressions.InSet])
+          case _ => false
+        }, "join-skip rule did not inject the key conjunct")
+        val nFiles = plan0.collect {
+          case lr: org.apache.spark.sql.execution.datasources.LogicalRelation =>
+            lr.relation match {
+              case fs: org.apache.spark.sql.execution.datasources.HadoopFsRelation
+                  if fs.location.rootPaths.exists(_.toString.contains("/t/")) =>
+                fs.location.inputFiles.length.toLong
+              case _ => 0L
+            }
+        }.sum
+        require(nFiles > 0 && nFiles < 12,
+          s"automatic join skipping scanned $nFiles of 12 fact files")
+        res
+      } finally plans.ScanPruneRewrite.unregister("q141")
+    }),
+
     // ---- AUTO-OPTIMIZE: the manifest itself decides the maintenance
     // action. After a full z-order pass, a no-op wave returns "none"
     // (zero work), a small append wave re-clusters at O(appends)
@@ -12148,6 +12201,15 @@ object SparkEntry {
         |  CAST(NULL AS BIGINT)
         |FROM customer WHERE c_custkey % 2 = 1
         |ORDER BY 1""".stripMargin,
+
+    // the automatic rewrite is invisible in the rows: the injected key
+    // conjunct is implied by the inner join itself
+    "q141_join_skip_auto" ->
+      """SELECT l_returnflag, COUNT(*) AS n_rows,
+        |  CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty
+        |FROM lineitem JOIN part ON l_partkey = p_partkey
+        |WHERE p_partkey % 6000 = 7
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
 
     // maintenance is layout-only: seed (%2=0) ∪ small wave (%8=1) ∪
     // big wave (%2=1 ∧ %8≠1) = the whole table; the box aggregate is

@@ -247,9 +247,24 @@ object ScanPruneRewrite extends Rule[LogicalPlan] with PredicateHelper {
     }
   }
 
-  def unregister(name: String): Unit = registry.remove(name)
+  def unregister(name: String): Unit = {
+    registry.remove(name)
+    JoinSkipRewrite.unregister(name) // a join-skip reg rides on the scan reg
+  }
 
-  def clear(): Unit = registry.clear()
+  def clear(): Unit = {
+    registry.clear()
+    JoinSkipRewrite.clear()
+  }
+
+  /** The registered relation + the columns any admission path (range
+    * stats or bloom) can skip on — [[JoinSkipRewrite]]'s view into this
+    * registry. */
+  private[plans] def lookupRelation(name: String): Option[
+      (org.apache.spark.sql.execution.datasources.HadoopFsRelation,
+        Set[String])] =
+    Option(registry.get(name)).map(r =>
+      (r.relation, r.statsCols.keySet ++ r.blooms.keySet))
 
   /** Admitted-file counts per registered name for the given predicate-
     * free probe — test/evidence hook, not a query path. */

@@ -31,4 +31,15 @@ object ColumnBridge {
       builder: Seq[Expression] => org.apache.spark.sql.catalyst.plans.logical.LogicalPlan): Unit =
     spark.sessionState.tableFunctionRegistry.createOrReplaceTempFunction(
       name, builder, "scala_udf")
+
+  /** A DataFrame over an already-resolved logical plan —
+    * `classic.Dataset.ofRows` is `private[sql]`; bridged so an
+    * optimizer rule can evaluate a delta-scale side plan driver-side
+    * (the join-skip key collection). */
+  def ofRows(
+      spark: org.apache.spark.sql.SparkSession,
+      plan: org.apache.spark.sql.catalyst.plans.logical.LogicalPlan)
+      : org.apache.spark.sql.DataFrame =
+    org.apache.spark.sql.classic.Dataset.ofRows(
+      spark.asInstanceOf[org.apache.spark.sql.classic.SparkSession], plan)
 }
