@@ -451,6 +451,29 @@ object GraftExtensions {
             .col(strLit(args(4), "graft_join_skip_bloom")).as(keyCol)),
           keyCol))
       }),
+      // DESCRIBE HISTORY: one row per (version, artifact, ref) across
+      // every retained catalog version — the table's whole lineage
+      // (data versions, DV waves, schema commits, index publishes) as
+      // ordinary queryable rows. O(#versions · #artifacts) driver rows.
+      //   SELECT * FROM graft_history('/cat') WHERE artifact = 'colmap'
+      "graft_history" -> ((args: Seq[Expression]) => {
+        expectArgs("graft_history", "catalogPath", args, 1)
+        val s = active
+        implicit val is: org.apache.spark.sql.SparkSession = s
+        val cat = strLit(args(0), "graft_history")
+        val rows = new java.util.ArrayList[org.apache.spark.sql.Row]()
+        graft.ops.Versions.listVersions(cat).foreach { v =>
+          graft.ops.Catalog.resolve(s, cat, v).toSeq.sortBy(_._1)
+            .foreach { case (a, r) =>
+              rows.add(org.apache.spark.sql.Row(v, a, r))
+            }
+        }
+        plan(s.createDataFrame(rows,
+          new org.apache.spark.sql.types.StructType()
+            .add("version", "int", false)
+            .add("artifact", "string", false)
+            .add("ref", "string", false)))
+      }),
       // AUTOMATIC join-driven skipping from SQL: opt a prune-registered
       // scan into [[graft.plans.JoinSkipRewrite]] — after this, ANY
       // inner equi-join of the version against a delta-scale dim prunes

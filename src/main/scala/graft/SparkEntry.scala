@@ -6420,6 +6420,34 @@ object SparkEntry {
         .orderBy("l_returnflag")
     }),
 
+    // ---- join-driven skipping PAST THE FLAT-MANIFEST CEILING: the
+    // two-level manifest's group rollup range-joins the dim keys first,
+    // file rows are read only at surviving groups — a 10⁷-file fact
+    // absorbs the star-join probe with no consumer collecting its
+    // listing. Same losslessness, same oracle shape as q136 ------------
+    "q142_join_skip_grouped" -> ((s, dir) => {
+      val tmp = gateScratch("q142")
+      val li = t(s, dir, "lineitem")
+        .select("l_partkey", "l_returnflag", "l_quantity")
+      li.repartitionByRange(12, col("l_partkey")).write.parquet(s"$tmp/t")
+      ops.Layout.statsManifestPartitioned(s, s"$tmp/t", Seq("l_partkey"),
+        s"$tmp/mf", groupSize = 4)
+      val dim = t(s, dir, "part")
+        .filter(col("p_partkey") % 6000 === 7)
+        .select(col("p_partkey").as("l_partkey"), col("p_brand"))
+      val pruned = ops.Layout.joinSkipReadGrouped(s, s"$tmp/t",
+        s"$tmp/mf", dim, "l_partkey")
+      val nFiles = pruned.inputFiles.length
+      require(nFiles > 0 && nFiles < 12,
+        s"grouped join skipping admitted $nFiles of 12 files")
+      pruned.join(dim, Seq("l_partkey"))
+        .groupBy("l_returnflag")
+        .agg(count(lit(1)).as("n_rows"),
+          sum(col("l_quantity").cast("decimal(18,2)")).cast("double")
+            .as("sum_qty"))
+        .orderBy("l_returnflag")
+    }),
+
     // ---- join skipping under ADVERSE clustering: the fact table is
     // clustered by partkey, so every file's orderkey span is the whole
     // domain and range stats admit everything — but the per-file Bloom
@@ -12173,6 +12201,15 @@ object SparkEntry {
     // key span holds no dim key, so it joins to nothing — the pruned
     // join ≡ the plain join
     "q136_join_skip" ->
+      """SELECT l_returnflag, COUNT(*) AS n_rows,
+        |  CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty
+        |FROM lineitem JOIN part ON l_partkey = p_partkey
+        |WHERE p_partkey % 6000 = 7
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    // the grouped path admits exactly the flat path's files (spec-
+    // proven) — same closed form as q136
+    "q142_join_skip_grouped" ->
       """SELECT l_returnflag, COUNT(*) AS n_rows,
         |  CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty
         |FROM lineitem JOIN part ON l_partkey = p_partkey

@@ -1354,6 +1354,42 @@ object Layout {
       .select("file")
   }
 
+  /** [[joinSkipFiles]] for a [[statsManifestPartitioned]] (two-level)
+    * layout — join-driven skipping past the flat-manifest ceiling: the
+    * tiny group rollup range-joins the BROADCAST dim keys first, file
+    * rows are read ONLY at surviving `graft_group=` partitions, and the
+    * span-intersecting files among them are the admitted set. Driver
+    * work is O(groups-touched · groupSize) paths — the same bound as
+    * every grouped consumer, so a 10⁷-file fact table absorbs a
+    * star-join probe without any consumer collecting its listing
+    * (mirrors [[deletionVectorsForKeysGrouped]]'s shape exactly). */
+  def joinSkipFilesGrouped(spark: org.apache.spark.sql.SparkSession,
+      manifestDir: String, dimKeys: DataFrame,
+      keyCol: String): Seq[String] = {
+    val k = broadcast(dimKeys.select(col(keyCol).as("graft_jk")).distinct())
+    def hit = col("graft_jk") >= col(s"min_$keyCol") &&
+      col("graft_jk") <= col(s"max_$keyCol")
+    val gids = spark.read.parquet(s"$manifestDir/groups")
+      .join(k, hit, "left_semi")
+      .select("graft_group").collect().map(_.getInt(0))
+    if (gids.isEmpty) Seq.empty
+    else spark.read.parquet(s"$manifestDir/files")
+      .filter(col("graft_group").isin(gids.toIndexedSeq: _*))
+      .join(k, hit, "left_semi")
+      .select("file").collect().map(_.getString(0)).toIndexedSeq
+  }
+
+  /** [[joinSkipRead]] through the grouped manifest: the inner/semi
+    * equi-join over this read is row-identical to the full-scan join,
+    * and no consumer ever collects the whole file listing. */
+  def joinSkipReadGrouped(spark: org.apache.spark.sql.SparkSession,
+      dir: String, manifestDir: String, dimKeys: DataFrame,
+      keyCol: String): DataFrame = {
+    val files = joinSkipFilesGrouped(spark, manifestDir, dimKeys, keyCol)
+    if (files.isEmpty) spark.read.parquet(dir).limit(0)
+    else spark.read.parquet(files: _*)
+  }
+
   /** The join-pruned fact scan: read ONLY the files [[joinSkipFiles]]
     * admits (further intersected with a Bloom admission when `bloom`
     * carries a [[bloomIndexSized]] index — range and Bloom evidence

@@ -366,6 +366,26 @@ class GraftExtensionsSpec extends AnyFunSuite with SparkTestBase {
     assert(got.filter(col("k") === 6L).isEmpty)
   }
 
+  test("graft_history lists every (version, artifact, ref) row in order") {
+    import spark.implicits._
+    graft.GraftExtensions.register(spark)
+    val tmp = java.nio.file.Files.createTempDirectory("graft-sqlhist").toString
+    spark.range(10).select(col("id").as("k")).write.parquet(s"$tmp/t")
+    Layout.statsManifest(spark, s"$tmp/t", Seq("k")).write.parquet(s"$tmp/m1")
+    Catalog.commit(spark, s"$tmp/cat", Map("manifest" -> s"$tmp/m1"))
+    Layout.deletionVectorsForKeys(spark, s"$tmp/t",
+      Seq(3L).toDF("k"), "k").write.parquet(s"$tmp/dv2")
+    Catalog.commit(spark, s"$tmp/cat",
+      Map("manifest" -> s"$tmp/m1", "dv" -> s"$tmp/dv2"))
+    val hist = spark.sql(s"SELECT * FROM graft_history('$tmp/cat')")
+      .orderBy("version", "artifact")
+      .as[(Int, String, String)].collect().toSeq
+    assert(hist === Seq(
+      (1, "manifest", s"$tmp/m1"),
+      (2, "dv", s"$tmp/dv2"),
+      (2, "manifest", s"$tmp/m1")))
+  }
+
   test("graft_evolve TVF routes all four actions; unknown action refuses") {
     import spark.implicits._
     graft.GraftExtensions.register(spark)

@@ -103,6 +103,29 @@ class JoinSkipSpec extends AnyFunSuite with SparkTestBase {
     assert(e.getMessage.contains("_graft_bloom_meta"))
   }
 
+  test("grouped-manifest join skip ≡ flat admission; rollup prunes groups first") {
+    val dir = clusteredFact()
+    val root = freshDir("grp")
+    val flat = Layout.statsManifest(spark, dir, Seq("k"))
+      .localCheckpoint(eager = true)
+    Layout.statsManifestPartitioned(spark, dir, Seq("k"), s"$root/mf",
+      groupSize = 2)
+    val dim = Seq((100L, "a"), (110L, "b"), (3900L, "c")).toDF("k", "tag")
+    val flatFiles = Layout.joinSkipFiles(flat, dim, "k")
+      .collect().map(_.getString(0)).toSet
+    val grpFiles = Layout.joinSkipFilesGrouped(spark, s"$root/mf",
+      dim, "k").toSet
+    assert(grpFiles === flatFiles)
+    val pruned = Layout.joinSkipReadGrouped(spark, dir, s"$root/mf",
+      dim, "k").join(dim, Seq("k"))
+    val full = spark.read.parquet(dir).join(dim, Seq("k"))
+    assert(pruned.orderBy("k").collect().toSeq
+      === full.orderBy("k").collect().toSeq)
+    // empty dim: zero groups survive, the read is the empty slice
+    assert(Layout.joinSkipReadGrouped(spark, dir, s"$root/mf",
+      dim.filter(col("k") < 0), "k").count() === 0)
+  }
+
   test("joinSkipRead intersects range and bloom evidence; empty dim reads nothing") {
     val dir = clusteredFact()
     val m = Layout.statsManifest(spark, dir, Seq("k"))
