@@ -451,6 +451,32 @@ object GraftExtensions {
             .col(strLit(args(4), "graft_join_skip_bloom")).as(keyCol)),
           keyCol))
       }),
+      // auto-OPTIMIZE from SQL: the manifest picks none/delta/full
+      // (graft.ops.Layout.maintainClustering); returns one row
+      // (action, version). Driver verb — the maintenance runs when the
+      // function resolves.
+      //   SELECT * FROM graft_maintain('/t', '/cat', '/artifacts',
+      //     'x', 'y', 15, 16, 'x,y', 2)
+      "graft_maintain" -> ((args: Seq[Expression]) => {
+        expectArgs("graft_maintain",
+          "dataDir, catalogPath, artifactDir, xCol, yCol, bits, " +
+            "numFiles, statsColsCsv, lastOptimizedVersion", args, 9)
+        val s = active
+        val (action, v) = graft.ops.Layout.maintainClustering(s,
+          strLit(args(0), "graft_maintain"),
+          strLit(args(1), "graft_maintain"),
+          strLit(args(2), "graft_maintain"),
+          strLit(args(3), "graft_maintain"),
+          strLit(args(4), "graft_maintain"),
+          intLit(args(5), "graft_maintain"),
+          intLit(args(6), "graft_maintain"),
+          strLit(args(7), "graft_maintain")
+            .split(",").map(_.trim).filter(_.nonEmpty).toSeq,
+          intLit(args(8), "graft_maintain"))
+        plan(s.range(1).select(
+          org.apache.spark.sql.functions.lit(action).as("action"),
+          org.apache.spark.sql.functions.lit(v).as("version")))
+      }),
       // DESCRIBE HISTORY: one row per (version, artifact, ref) across
       // every retained catalog version — the table's whole lineage
       // (data versions, DV waves, schema commits, index publishes) as

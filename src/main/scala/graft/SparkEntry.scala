@@ -6811,6 +6811,93 @@ object SparkEntry {
       } finally plans.ScanPruneRewrite.unregister("q140")
     }),
 
+    // ---- THE LAKE LIFECYCLE, END TO END: merge-on-read waves accrue
+    // DV debt and row-ordered append files; the manifest-driven
+    // maintenance (driven from SQL via graft_maintain) folds them — a
+    // small wave triggers the O(appends) delta pass (DV carried for
+    // base files), a big wave the full rewrite (DV artifact dropped,
+    // REQUIREd); the final version's 2-D box query prunes through the
+    // automatic rewrite and equals the folded changesets in closed
+    // form. Write cheap, stay fast to read — the whole posture in one
+    // gate ------------------------------------------------------------
+    "q143_lake_lifecycle" -> ((s, dir) => {
+      val tmp = gateScratch("q143")
+      GraftExtensions.register(s)
+      val od = t(s, dir, "orders")
+        .select("o_orderkey", "o_custkey", "o_totalprice")
+      val zStats = Seq("o_custkey", "o_orderkey")
+      od.repartitionByRange(12, col("o_orderkey")).write.parquet(s"$tmp/t")
+      ops.Layout.statsManifest(s, s"$tmp/t", zStats).write.parquet(s"$tmp/m1")
+      val cat = s"$tmp/cat"
+      ops.Catalog.commit(s, cat, Map("manifest" -> s"$tmp/m1"))
+      var lastOpt = ops.Layout.optimizeZorder(s, s"$tmp/t", cat, tmp,
+        "o_custkey", "o_orderkey", bits = 21, numFiles = 16,
+        statsCols = zStats)
+      def maintainSql(): (String, Int) = {
+        val r = s.sql(s"SELECT * FROM graft_maintain('$tmp/t', '$cat', " +
+          s"'$tmp', 'o_custkey', 'o_orderkey', 21, 16, " +
+          s"'o_custkey,o_orderkey', $lastOpt)").head()
+        (r.getString(0), r.getInt(1))
+      }
+      // wave 1: one-file mixed changeset (update / delete / insert)
+      val w1 = (
+        od.filter(col("o_orderkey") % 100 === 0)
+          .select(col("o_orderkey"), col("o_custkey"),
+            (col("o_totalprice") + 1000).as("o_totalprice"),
+            lit(false).as("is_delete"))
+        .unionAll(od.filter(col("o_orderkey") % 100 === 1)
+          .select(col("o_orderkey"), col("o_custkey"),
+            col("o_totalprice"), lit(true).as("is_delete")))
+        .unionAll(od.filter(col("o_orderkey") % 100 === 2)
+          .select((col("o_orderkey") + 2000000L).as("o_orderkey"),
+            col("o_custkey"), col("o_totalprice"),
+            lit(false).as("is_delete")))
+      ).coalesce(1)
+      ops.Layout.mergeOnReadCommit(s, s"$tmp/t", cat, tmp, w1,
+        "o_orderkey", "is_delete", zStats)
+      val (a1, v1) = maintainSql()
+      require(a1 == "delta",
+        s"one appended file of 17 must take the delta pass, got $a1")
+      lastOpt = v1
+      // wave 2: a 10-file update wave — past the threshold
+      val w2 = od.filter(col("o_orderkey") % 10 === 3)
+        .select(col("o_orderkey"), col("o_custkey"),
+          (col("o_totalprice") + 7).as("o_totalprice"),
+          lit(false).as("is_delete"))
+        .repartitionByRange(10, col("o_orderkey"))
+      ops.Layout.mergeOnReadCommit(s, s"$tmp/t", cat, tmp, w2,
+        "o_orderkey", "is_delete", zStats)
+      val (a2, v2) = maintainSql()
+      require(a2 == "full",
+        s"ten appended files of ~27 must take the full pass, got $a2")
+      require(!ops.Catalog.resolve(s, cat, v2).contains("dv"),
+        "the full maintenance pass must fold the accrued DV debt")
+      s.sql(s"SELECT * FROM graft_prune_register(" +
+        s"'q143', '$tmp/t', '$cat', $v2)").collect()
+      try {
+        val res = s.sql(s"""
+          |SELECT o_custkey % 5 AS grp, COUNT(*) AS n_rows,
+          |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE)
+          |    AS total
+          |FROM graft_catalog_read('$tmp/t', '$cat', $v2)
+          |WHERE o_custkey BETWEEN 10 AND 60
+          |  AND o_orderkey BETWEEN 1000 AND 3000
+          |GROUP BY 1 ORDER BY 1""".stripMargin)
+        val nFiles = res.queryExecution.optimizedPlan.collect {
+          case lr: org.apache.spark.sql.execution.datasources.LogicalRelation =>
+            lr.relation match {
+              case fs: org.apache.spark.sql.execution.datasources.HadoopFsRelation
+                  if fs.location.rootPaths.exists(_.toString.contains("/t/")) =>
+                fs.location.inputFiles.length.toLong
+              case _ => 0L
+            }
+        }.sum
+        require(nFiles > 0 && nFiles < 16,
+          s"maintained table did not prune the box: $nFiles of 16 files")
+        res
+      } finally plans.ScanPruneRewrite.unregister("q143")
+    }),
+
     // ---- STREAMING MERGE: a CDC upsert feed where each micro-batch is
     // a mixed changeset (updates, deletes, inserts over disjoint key
     // classes) applied as ONE merge-on-read commit — DV addresses for
@@ -12256,6 +12343,27 @@ object SparkEntry {
         |  CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty
         |FROM lineitem
         |WHERE l_partkey BETWEEN 50 AND 150 AND l_suppkey BETWEEN 1 AND 5
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    // maintenance folds the waves losslessly: the final content is the
+    // two changesets applied over the seed, in closed form (wave-2
+    // updates (%10=3) are disjoint from wave-1's key classes, and
+    // shifted inserts keep %10 = 2 — no interaction)
+    "q143_lake_lifecycle" ->
+      """WITH merged AS (
+        |  SELECT o_orderkey, o_custkey,
+        |    o_totalprice + CASE WHEN o_orderkey % 100 = 0 THEN 1000
+        |                        WHEN o_orderkey % 10 = 3 THEN 7
+        |                        ELSE 0 END AS o_totalprice
+        |  FROM orders WHERE o_orderkey % 100 <> 1
+        |  UNION ALL
+        |  SELECT o_orderkey + 2000000, o_custkey, o_totalprice
+        |  FROM orders WHERE o_orderkey % 100 = 2)
+        |SELECT o_custkey % 5 AS grp, COUNT(*) AS n_rows,
+        |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total
+        |FROM merged
+        |WHERE o_custkey BETWEEN 10 AND 60
+        |  AND o_orderkey BETWEEN 1000 AND 3000
         |GROUP BY 1 ORDER BY 1""".stripMargin,
 
     // four disjoint-key changesets fold order-free: per-key-class

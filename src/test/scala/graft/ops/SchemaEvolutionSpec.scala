@@ -144,6 +144,37 @@ class SchemaEvolutionSpec extends AnyFunSuite with SparkTestBase {
     assert(got.filter(col("k") === 200L).head().getLong(1) === 7L)
   }
 
+  test("stale-mapping writers stay safe: rename absorbs them, drop+re-add quarantines them") {
+    val root = freshDir("stale")
+    val e1 = Seq((1L, 10L)).toDF("k", "v")
+    val map1 = SchemaEvolution.initial(spark, e1.schema)
+    SchemaEvolution.toPhysical(e1, map1).write.parquet(s"$root/t/c1")
+    // rename v -> balance; a writer still holding map1 commits an epoch
+    // THROUGH THE OLD MAPPING — physical names did not change, so its
+    // rows serve correctly under the new logical name
+    val map2 = SchemaEvolution.rename(spark, map1, "v", "balance")
+    SchemaEvolution.toPhysical(Seq((2L, 20L)).toDF("k", "v"), map1)
+      .write.parquet(s"$root/t/c2")
+    val m12 = Layout.statsManifest(spark, s"$root/t/c1", Seq("k"))
+      .unionByName(Layout.statsManifest(spark, s"$root/t/c2", Seq("k")))
+    assert(SchemaEvolution.evolvedRead(spark, m12, None, map2)
+      .orderBy("k").as[(Long, Long)].collect().toSeq
+      === Seq((1L, 10L), (2L, 20L)))
+    // drop balance, re-add it: a writer STILL on map1 commits afterward
+    // — its values land in the tombstoned physical column and stay
+    // invisible (quarantined, never resurrected into the new column)
+    val map3 = SchemaEvolution.addColumn(spark,
+      SchemaEvolution.dropColumn(spark, map2, "balance"),
+      "balance", "bigint")
+    SchemaEvolution.toPhysical(Seq((3L, 30L)).toDF("k", "v"), map1)
+      .write.parquet(s"$root/t/c3")
+    val m123 = m12.unionByName(
+      Layout.statsManifest(spark, s"$root/t/c3", Seq("k")))
+    val got = SchemaEvolution.evolvedRead(spark, m123, None, map3)
+      .orderBy("k").as[(Long, Option[Long])].collect().toSeq
+    assert(got === Seq((1L, None), (2L, None), (3L, None)))
+  }
+
   test("DV subtraction composes with the mapping projection") {
     val root = freshDir("dv")
     val e1 = Seq((1L, 10.0), (2L, 20.0), (3L, 30.0)).toDF("k", "amount")
