@@ -130,6 +130,32 @@ class JoinSkipRewriteSpec extends AnyFunSuite with SparkTestBase {
     } finally ScanPruneRewrite.unregister("jsr4")
   }
 
+  test("bloom-backed key: automatic join skipping under adverse clustering") {
+    val root = freshDir()
+    // h is a hash of the row id — scattered across every file, so range
+    // stats on h are useless and only the bloom admission can skip
+    spark.range(2000)
+      .select(col("id").as("k"), xxhash64(col("id")).as("h"))
+      .repartitionByRange(8, col("k")).write.parquet(s"$root/t")
+    Layout.statsManifest(spark, s"$root/t", Seq("k"))
+      .write.parquet(s"$root/m")
+    Catalog.commit(spark, s"$root/cat", Map("manifest" -> s"$root/m"))
+    ScanPruneRewrite.registerFromCatalog(spark, "jsr6", s"$root/t",
+      s"$root/cat", version = Some(1))
+    ScanPruneRewrite.registerBloomsSelf(spark, "jsr6", "h",
+      Layout.bloomIndexSized(spark, s"$root/t", "h"))
+    JoinSkipRewrite.register(spark, "jsr6", "h")
+    try {
+      val dim = spark.range(2)
+        .select(xxhash64(col("id") * 7).as("dh"), col("id").as("tag"))
+      val q = factRead(root).join(dim, col("h") === col("dh"))
+      assert(hasInSet(q), "rule did not inject on the bloom-backed key")
+      val n = scannedFiles(q, s"$root/t")
+      assert(n < 8, s"bloom admission kept $n of 8 files for 2 keys")
+      assert(q.count() === 2)
+    } finally ScanPruneRewrite.unregister("jsr6")
+  }
+
   test("registration guards: unknown scan, unskippable column") {
     intercept[IllegalArgumentException] {
       JoinSkipRewrite.register(spark, "nope", "k")
