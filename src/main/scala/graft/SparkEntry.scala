@@ -6811,6 +6811,42 @@ object SparkEntry {
       } finally plans.ScanPruneRewrite.unregister("q140")
     }),
 
+    // ---- MERGE past the flat-manifest ceiling: the same upsert wave
+    // as q138, served through the TWO-LEVEL manifest — address
+    // resolution prunes by group rollup first, upserts absorb into the
+    // tail group at O(new data), and no step ever collects the whole
+    // file listing. Same closed-form oracle as q138 -------------------
+    "q144_merge_grouped" -> ((s, dir) => {
+      val tmp = gateScratch("q144")
+      val od = t(s, dir, "orders")
+        .select("o_orderkey", "o_custkey", "o_totalprice")
+      od.repartitionByRange(12, col("o_orderkey")).write.parquet(s"$tmp/t")
+      ops.Layout.statsManifestPartitioned(s, s"$tmp/t", Seq("o_orderkey"),
+        s"$tmp/mf", groupSize = 4)
+      val changes =
+        od.filter(col("o_orderkey") % 100 === 0)
+          .select(col("o_orderkey"), col("o_custkey"),
+            (col("o_totalprice") + 1000).as("o_totalprice"),
+            lit(false).as("is_delete"))
+        .unionAll(od.filter(col("o_orderkey") % 100 === 1)
+          .select(col("o_orderkey"), col("o_custkey"),
+            col("o_totalprice"), lit(true).as("is_delete")))
+        .unionAll(od.filter(col("o_orderkey") % 100 === 2)
+          .select((col("o_orderkey") + 100000000L).as("o_orderkey"),
+            col("o_custkey"), col("o_totalprice"),
+            lit(false).as("is_delete")))
+      val dv = ops.Layout.mergeOnReadGrouped(s, s"$tmp/t", s"$tmp/mf",
+        None, changes, "o_orderkey", "is_delete", Seq("o_orderkey"),
+        groupSize = 4)
+      ops.Layout.snapshotReadWithDeletes(s, s"$tmp/t",
+          s.read.parquet(s"$tmp/mf/files"), dv)
+        .groupBy((col("o_orderkey") % 7).as("grp"))
+        .agg(count(lit(1)).as("n_rows"),
+          sum(col("o_totalprice").cast("decimal(18,2)")).cast("double")
+            .as("total"))
+        .orderBy("grp")
+    }),
+
     // ---- THE LAKE LIFECYCLE, END TO END: merge-on-read waves accrue
     // DV debt and row-ordered append files; the manifest-driven
     // maintenance (driven from SQL via graft_maintain) folds them — a
@@ -12381,6 +12417,22 @@ object SparkEntry {
         |  SELECT o_orderkey + (o_orderkey % 100 - 19) * 100000000,
         |    o_custkey, o_totalprice
         |  FROM orders WHERE o_orderkey % 100 IN (20, 21, 22, 23))
+        |SELECT o_orderkey % 7 AS grp, COUNT(*) AS n_rows,
+        |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total
+        |FROM merged GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    // same merge semantics as q138 through the grouped manifest — the
+    // layout changes the COST, never the rows
+    "q144_merge_grouped" ->
+      """WITH merged AS (
+        |  SELECT o_orderkey, o_custkey, o_totalprice + 1000 AS o_totalprice
+        |  FROM orders WHERE o_orderkey % 100 = 0
+        |  UNION ALL
+        |  SELECT o_orderkey, o_custkey, o_totalprice
+        |  FROM orders WHERE o_orderkey % 100 NOT IN (0, 1)
+        |  UNION ALL
+        |  SELECT o_orderkey + 100000000, o_custkey, o_totalprice
+        |  FROM orders WHERE o_orderkey % 100 = 2)
         |SELECT o_orderkey % 7 AS grp, COUNT(*) AS n_rows,
         |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total
         |FROM merged GROUP BY 1 ORDER BY 1""".stripMargin,

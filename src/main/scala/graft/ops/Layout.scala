@@ -508,6 +508,43 @@ object Layout {
     }
   }
 
+  /** [[mergeOnReadCommit]] past the flat-manifest ceiling — MERGE over
+    * a [[statsManifestPartitioned]] (two-level) layout. Matched keys'
+    * addresses resolve through the GROUP-pruned scan
+    * ([[deletionVectorsForKeysGrouped]]: rollup first, file rows only
+    * at surviving partitions), upserts land as one append commit, and
+    * the grouped manifest absorbs the new files in place via
+    * [[extendManifestGrouped]]'s O(new data) tail-group contract.
+    * Returns the grown DV set (old ∪ new addresses — grow-only under
+    * union, the caller persists it); the layout root mutates in place,
+    * which is the grouped family's documented posture (q112) — wrap
+    * the (manifestRoot, dvDir) pair in a [[Catalog]] version per wave
+    * when time travel is required.
+    *
+    * Per wave: O(touched groups · groupSize) driver rows +
+    * O(files holding matched keys) data read + O(changes) write —
+    * never O(#files), the bound that lets a 10⁷-file table absorb
+    * continuous MERGE traffic. Contract inherited:
+    * `changes` unique per `keyCol`. */
+  def mergeOnReadGrouped(spark: org.apache.spark.sql.SparkSession,
+      dataDir: String, manifestRoot: String, dv: Option[DataFrame],
+      changes: DataFrame, keyCol: String, deleteCol: String = "is_delete",
+      statsCols: Seq[String], groupSize: Long = 8192L): DataFrame = {
+    val keys = changes.select(col(keyCol)).distinct().ckpt
+    val newAddrs = deletionVectorsForKeysGrouped(spark, dataDir,
+      manifestRoot, keys, keyCol)
+    val upserts = changes
+      .filter(!coalesce(col(deleteCol).cast("boolean"), lit(false)))
+      .drop(deleteCol)
+    // flat append into the table dir (the grouped family's layout —
+    // extendManifestGrouped discovers new files by listing diff, which
+    // does not recurse into commit subdirectories)
+    upserts.write.mode("append").parquet(dataDir)
+    extendManifestGrouped(spark, dataDir, manifestRoot, statsCols,
+      groupSize)
+    dv.map(_.unionAll(newAddrs)).getOrElse(newAddrs)
+  }
+
   /** Per-file column min/max statistics — the data-skipping manifest.
     *
     * One distributed pass groups the table by the hidden

@@ -91,6 +91,33 @@ class MergeOnReadSpec extends AnyFunSuite with SparkTestBase {
     assert(live(data, cat, v2).count() === 1001)
   }
 
+  test("grouped merge ≡ applyChanges; the two-level manifest absorbs upserts") {
+    val root = freshDir("grp")
+    val data = s"$root/t"
+    spark.range(1000)
+      .select(col("id").as("k"), (col("id") * 10).as("v"))
+      .repartitionByRange(4, col("k")).write.parquet(data)
+    Layout.statsManifestPartitioned(spark, data, Seq("k"), s"$root/mf",
+      groupSize = 2)
+    val before = spark.read.parquet(data).localCheckpoint(eager = true)
+    val changes = Seq((5L, 555L, false), (6L, 0L, true), (2000L, 7L, false))
+      .toDF("k", "v", "is_delete")
+    val dv = Layout.mergeOnReadGrouped(spark, data, s"$root/mf", None,
+      changes, "k", "is_delete", Seq("k"), groupSize = 2)
+    val filesTab = spark.read.parquet(s"$root/mf/files")
+    val got = Layout.snapshotReadWithDeletes(spark, data, filesTab, dv)
+    val expected = Merge.applyChanges(before, changes, "k")
+    assert(got.orderBy("k").collect().toSeq
+      === expected.orderBy("k").collect().toSeq)
+    // the manifest grew by exactly the upsert commit's files, and the
+    // rollup still serves pruned reads over old AND new keys
+    assert(filesTab.count() > 4)
+    assert(Layout.prunedReadGroupedWithDeletes(spark, data, s"$root/mf",
+      "k", lit(2000L), lit(2000L), dv).count() === 1)
+    assert(Layout.prunedReadGroupedWithDeletes(spark, data, s"$root/mf",
+      "k", lit(6L), lit(6L), dv).count() === 0)
+  }
+
   test("txnId replay returns the same version and appends no new files") {
     val (data, cat, art) = seed()
     val w = Seq((3L, 33L, false)).toDF("k", "v", "is_delete")
