@@ -22,19 +22,23 @@ import org.apache.spark.sql.types.{StructField, StructType}
   *     a later ADD of the same logical name allocates a FRESH physical
   *     name, so old values can never resurrect into the new column —
   *     the correctness trap field-IDs exist to prevent (spec-pinned).
-  *   - RETYPE (widening: int→long, float→double, …) changes only the
-  *     read-side cast; narrow values in old files widen losslessly at
-  *     scan time. Narrowing is the caller's responsibility to avoid —
-  *     the cast is applied verbatim.
+  *   - RETYPE (widening: int→long, float→double, decimal growth)
+  *     changes only the read-side REQUESTED type; narrow values in old
+  *     files widen losslessly at scan time while post-retype writers
+  *     write the widened physical type. Only parquet-reader-widenable
+  *     conversions are admitted — refused loudly at DDL time,
+  *     because anything else would strand a mixed-epoch table
+  *     unreadable.
   *
   * The artifact is O(#columns-ever) rows — planner-scale metadata
   * committed through [[Catalog]] like any other ([[evolveCommit]]
   * carries the current version's other artifacts forward, so the flip
   * is atomic: readers pinned to an old catalog version keep the OLD
   * schema against the same immutable files — schema time travel for
-  * free). Reads reconcile epochs with one merge-schema scan: a file
-  * written before an ADD simply lacks the physical column and serves
-  * nulls, exactly Delta/Iceberg's contract.
+  * free). Reads reconcile epochs with one requested-schema scan: a
+  * file written before an ADD simply lacks the physical column and
+  * serves nulls, a file written before a RETYPE widens at scan time —
+  * exactly Delta/Iceberg's contract.
   */
 object SchemaEvolution {
 
@@ -123,11 +127,50 @@ object SchemaEvolution {
     toDf(spark, ms :+ ColMapping(logical, physical, dtype, dropped = false))
   }
 
-  /** RETYPE (widen) `logical` to `dtype` — read-side cast only. */
+  /** The type promotions Spark 4's parquet readers perform when the
+    * REQUESTED schema is wider than a file's physical type — the exact
+    * set [[retype]] may use, because [[evolvedRead]] serves mixed-epoch
+    * tables through one requested-schema scan (old files keep the
+    * narrow physical type; post-retype writers write the widened one).
+    * Decimal widening additionally requires the scale to not shrink
+    * and the integer-digit room (precision − scale) to not shrink. */
+  private val widenable: Map[String, Set[String]] = Map(
+    "tinyint" -> Set("smallint", "int", "bigint", "double"),
+    "smallint" -> Set("int", "bigint", "double"),
+    "int" -> Set("bigint", "double"),
+    "float" -> Set("double"))
+
+  private def parse(dt: String): org.apache.spark.sql.types.DataType =
+    org.apache.spark.sql.types.DataType.fromDDL(dt)
+
+  private def widenOk(from: String, to: String): Boolean = {
+    if (from == to) true
+    else if (widenable.get(from).exists(_.contains(to))) true
+    else (parse(from), parse(to)) match {
+      case (f: org.apache.spark.sql.types.DecimalType,
+            t: org.apache.spark.sql.types.DecimalType) =>
+        t.scale >= f.scale &&
+          t.precision - t.scale >= f.precision - f.scale
+      case _ => false
+    }
+  }
+
+  /** RETYPE (widen) `logical` to `dtype`. No file is rewritten: old
+    * epochs keep the narrow physical type and later writers write the
+    * widened one, so the conversion must be one the parquet reader can
+    * perform at scan time under a requested schema ([[widenable]] +
+    * decimal widening) — anything else would strand mixed-epoch tables
+    * unreadable, and is refused here, loudly, at DDL time. */
   def retype(spark: SparkSession, map: DataFrame, logical: String,
       dtype: String): DataFrame = {
     val ms = mappings(map)
-    requireLive(ms, logical, "retype")
+    val cur = requireLive(ms, logical, "retype")
+    require(widenOk(cur.dtype, dtype),
+      s"retype: ${cur.dtype} -> $dtype is not a parquet-widenable " +
+        "conversion; old files would become unreadable next to " +
+        "post-retype epochs (widenable: " +
+        widenable.map { case (f, ts) => s"$f->{${ts.mkString(",")}}" }
+          .mkString("; ") + "; decimal may grow scale/precision)")
     toDf(spark, ms.map(m =>
       if (!m.dropped && m.logical == logical) m.copy(dtype = dtype) else m))
   }
@@ -166,23 +209,39 @@ object SchemaEvolution {
   def physicalName(map: DataFrame, logical: String): String =
     requireLive(mappings(map), logical, "physicalName").physical
 
-  /** The evolved snapshot read: ONE merge-schema scan of the manifest's
-    * files (epochs may disagree on physical columns), optional DV
-    * subtraction, then the mapping projection — each live logical
-    * column reads its physical column cast to the current dtype, or
-    * null when no retained file ever wrote it. */
+  /** The evolved snapshot read: ONE scan of the manifest's files under
+    * an explicit REQUESTED physical schema (each live physical column
+    * at its current dtype), optional DV subtraction, then the mapping
+    * projection to logical names. The requested schema — not footer
+    * merging — is what makes mixed epochs readable: a file written
+    * before an ADD simply lacks the column and serves nulls, a file
+    * written before a RETYPE holds the narrow physical type and the
+    * parquet reader widens it at scan time (the conversions [[retype]]
+    * admits), and tombstoned physical columns are never requested at
+    * all. Footer merging (`mergeSchema`) cannot do this —
+    * `StructType.merge` throws on int-vs-bigint the moment a
+    * post-retype epoch lands next to a pre-retype one — and it reads
+    * every footer twice; the requested schema is pure metadata.
+    *
+    * An empty manifest (a freshly created table, or one whose files
+    * were all merged away) reads as an EMPTY frame with the mapped
+    * logical schema — a valid table state, not an error. */
   def evolvedRead(spark: SparkSession, manifest: DataFrame,
       dv: Option[DataFrame], map: DataFrame): DataFrame = {
+    val lv = live(mappings(map))
     val files = manifest.select("file").collect().map(_.getString(0))
-    require(files.nonEmpty, "evolvedRead: empty manifest")
-    val base = spark.read.option("mergeSchema", "true")
+    if (files.isEmpty)
+      return spark.createDataFrame(
+        java.util.Collections.emptyList[Row](),
+        StructType(lv.map(m =>
+          StructField(m.logical, parse(m.dtype), nullable = true))))
+    val requested = StructType(lv.map(m =>
+      StructField(m.physical, parse(m.dtype), nullable = true)))
+    val base = spark.read.schema(requested)
       .parquet(files.toIndexedSeq: _*)
     val withDv = dv.map(Layout.applyDv(base, _)).getOrElse(base)
-    val present = base.columns.toSet
-    withDv.select(live(mappings(map)).map { m =>
-      (if (present.contains(m.physical)) col(s"`${m.physical}`")
-       else lit(null)).cast(m.dtype).as(m.logical)
-    }: _*)
+    withDv.select(lv.map(m =>
+      col(s"`${m.physical}`").cast(m.dtype).as(m.logical)): _*)
   }
 
   /** Commit an evolved mapping atomically: current version's artifacts

@@ -38,10 +38,14 @@ import org.apache.spark.sql.catalyst.rules.Rule
   *     — if more than `maxKeys` keys come back the rewrite silently
   *     declines (a broad dim wouldn't prune anyway) and the result is
   *     cached, so an unselective dim costs its probe once;
-  *   - a CACHE keyed by the dim side's canonicalized semantic hash +
-  *     registration: the optimizer reaches fixpoint by re-running its
-  *     user batch, EXPLAIN and execution each optimize, and every pass
-  *     after the first hits the cache (zero further jobs);
+  *   - a CACHE keyed by the dim side's canonicalized PLAN plus its
+  *     concrete file listing (path/size/modTime — root-path-set
+  *     relation equality alone would keep serving stale keys after a
+  *     dim append) per registration: the optimizer reaches fixpoint
+  *     by re-running its user batch, EXPLAIN and execution each
+  *     optimize, and every pass after the first hits the cache (zero
+  *     further jobs); the cache is a bounded LRU so ad-hoc dim
+  *     filters in a long-lived session cannot leak driver memory;
   *   - a re-entrancy latch: evaluating the dim side optimizes THAT
   *     plan on this thread — the latch keeps the rule from firing
   *     inside its own evaluation.
@@ -64,10 +68,31 @@ object JoinSkipRewrite extends Rule[LogicalPlan] with PredicateHelper {
 
   private val registry = new ConcurrentHashMap[String, JReg]()
 
-  /** (scanName, canonical dim-projection hash) → dim keys, or None when
-    * the dim exceeded the cap (cached so it never re-probes). */
-  private val keyCache =
-    new ConcurrentHashMap[(String, Int), Option[Seq[Any]]]()
+  /** Cache key for one dim probe. The CANONICALIZED plan itself (not
+    * its 32-bit hash — a hash collision between two different dim
+    * plans would silently serve the wrong key set), plus the dim's
+    * concrete file listing: `HadoopFsRelation`/`InMemoryFileIndex`
+    * equality compares only the root-path SET, so a fresh
+    * `spark.read` of the same dim directory AFTER an append
+    * canonicalizes equal to the stale one — without the
+    * (path, size, modTime) signature the cached `InSet` would drop
+    * fact rows matching the newly added dim keys and the rewrite
+    * would no longer be lossless. */
+  private case class DimKey(scanName: String, plan: LogicalPlan,
+      files: Seq[(String, Long, Long)])
+
+  /** Bounded LRU (access-order): every distinct dim plan caches up to
+    * `maxKeys` values on the driver, so an unbounded map leaks in a
+    * long-lived session running ad-hoc dim filters. 64 entries ×
+    * default 100k keys bounds the worst case at planner scale. All
+    * access goes through the map's own monitor. */
+  private val MaxCacheEntries = 64
+  private val keyCache = java.util.Collections.synchronizedMap(
+    new java.util.LinkedHashMap[DimKey, Option[Seq[Any]]](16, 0.75f, true) {
+      override def removeEldestEntry(
+          e: java.util.Map.Entry[DimKey, Option[Seq[Any]]]): Boolean =
+        size() > MaxCacheEntries
+    })
 
   private val evaluating = new ThreadLocal[Boolean] {
     override def initialValue: Boolean = false
@@ -95,8 +120,10 @@ object JoinSkipRewrite extends Rule[LogicalPlan] with PredicateHelper {
 
   def unregister(name: String): Unit = {
     registry.remove(name)
-    keyCache.keySet.asScala.filter(_._1 == name)
-      .foreach(keyCache.remove)
+    keyCache.synchronized {
+      keyCache.keySet.asScala.filter(_.scanName == name).toSeq
+        .foreach(keyCache.remove)
+    }
   }
 
   def clear(): Unit = { registry.clear(); keyCache.clear() }
@@ -213,13 +240,35 @@ object JoinSkipRewrite extends Rule[LogicalPlan] with PredicateHelper {
     }
   }
 
+  /** The (path, size, modTime) signature of every file-source leaf in
+    * the dim plan — the part of the dim's identity that canonicalized
+    * plan equality cannot see (root-path-set equality survives
+    * appends and in-place overwrites of the same directory). */
+  private def fileSignature(plan: LogicalPlan): Seq[(String, Long, Long)] =
+    plan.collect {
+      case lr: org.apache.spark.sql.execution.datasources.LogicalRelation =>
+        lr.relation match {
+          case fs: org.apache.spark.sql.execution.datasources.HadoopFsRelation =>
+            fs.location match {
+              case p: org.apache.spark.sql.execution.datasources.PartitioningAwareFileIndex =>
+                p.allFiles().map(f =>
+                  (f.getPath.toString, f.getLen, f.getModificationTime))
+              case other =>
+                other.inputFiles.toSeq.map((_, -1L, -1L))
+            }
+          case _ => Seq.empty
+        }
+    }.flatten.sortBy(_._1)
+
   /** The dim side's distinct non-null join keys, evaluated driver-side
-    * under the latch and cached by canonical plan; None = over the cap
-    * (cached too — an unselective dim probes once, ever). */
+    * under the latch and cached by (canonical plan, file listing);
+    * None = over the cap (cached too — an unselective dim probes once,
+    * ever, until its data changes). */
   private def dimKeys(r: JReg, dimAttr: AttributeReference,
       dimSide: LogicalPlan): Option[Seq[Any]] = {
     val proj = Project(Seq(dimAttr), dimSide)
-    val cacheKey = (r.scanName, proj.canonicalized.semanticHash())
+    val cacheKey =
+      DimKey(r.scanName, proj.canonicalized, fileSignature(dimSide))
     Option(keyCache.get(cacheKey)).getOrElse {
       val computed: Option[Seq[Any]] =
         try {

@@ -70,6 +70,66 @@ class SchemaEvolutionSpec extends AnyFunSuite with SparkTestBase {
     assert(got.agg(sum("v")).head().getLong(0) === 6L)
   }
 
+  test("retype THEN append stays readable: old narrow epochs widen at scan next to new wide ones") {
+    val root = freshDir("mixep")
+    // epoch 1: int + float physical types
+    val e1 = spark.range(3).select(col("id").cast("int").as("k"),
+      (col("id") * 2).cast("int").as("v"),
+      (col("id") * 1.5).cast("float").as("w"))
+    var map = SchemaEvolution.initial(spark, e1.schema)
+    SchemaEvolution.toPhysical(e1, map).write.parquet(s"$root/t/c1")
+    map = SchemaEvolution.retype(spark, map, "v", "bigint")
+    map = SchemaEvolution.retype(spark, map, "w", "double")
+    // epoch 2 writes THROUGH the widened mapping -> bigint/double
+    // footers land next to epoch 1's int/float ones (the shape footer
+    // merging cannot read: StructType.merge throws on int vs bigint)
+    val e2 = Seq((10, 4000000000L, 9.25)).toDF("k", "v", "w")
+    SchemaEvolution.toPhysical(e2, map).write.parquet(s"$root/t/c2")
+    val m = Layout.statsManifest(spark, s"$root/t/c1", Seq("k"))
+      .unionByName(Layout.statsManifest(spark, s"$root/t/c2", Seq("k")))
+    val got = SchemaEvolution.evolvedRead(spark, m, None, map)
+    assert(got.schema("v").dataType.simpleString === "bigint")
+    assert(got.schema("w").dataType.simpleString === "double")
+    assert(got.orderBy("k").as[(Int, Long, Double)].collect().toSeq
+      === Seq((0, 0L, 0.0), (1, 2L, 1.5), (2, 4L, 3.0),
+        (10, 4000000000L, 9.25)))
+  }
+
+  test("retype refuses non-widenable conversions at DDL time") {
+    val df = Seq((1, "x")).toDF("k", "s")
+    val map = SchemaEvolution.initial(spark, df.schema)
+    val e = intercept[IllegalArgumentException] {
+      SchemaEvolution.retype(spark, map, "k", "string")
+    }
+    assert(e.getMessage.contains("not a parquet-widenable"))
+    intercept[IllegalArgumentException] {
+      SchemaEvolution.retype(spark, map, "s", "int")
+    }
+    // decimal: scale may not shrink, integer room may not shrink
+    val dmap = SchemaEvolution.initial(spark,
+      Seq(Tuple1(BigDecimal(1))).toDF("d")
+        .select(col("d").cast("decimal(10,2)").as("d")).schema)
+    SchemaEvolution.retype(spark, dmap, "d", "decimal(18,2)")
+    SchemaEvolution.retype(spark, dmap, "d", "decimal(20,4)")
+    intercept[IllegalArgumentException] {
+      SchemaEvolution.retype(spark, dmap, "d", "decimal(10,4)") // room shrinks
+    }
+  }
+
+  test("empty manifest reads as an empty frame with the mapped logical schema") {
+    val root = freshDir("empty")
+    val e1 = Seq((1L, 10.0)).toDF("k", "amount")
+    var map = SchemaEvolution.initial(spark, e1.schema)
+    SchemaEvolution.toPhysical(e1, map).write.parquet(s"$root/t/c1")
+    map = SchemaEvolution.rename(spark, map, "amount", "balance")
+    val m0 = Layout.statsManifest(spark, s"$root/t/c1", Seq("k"))
+      .filter(lit(false)) // all files merged/compacted away
+    val got = SchemaEvolution.evolvedRead(spark, m0, None, map)
+    assert(got.columns.toSeq === Seq("k", "balance"))
+    assert(got.schema("balance").dataType.simpleString === "double")
+    assert(got.count() === 0)
+  }
+
   test("guards: rename to live name, add live name, toPhysical drift all refuse") {
     val df = Seq((1L, 1.0)).toDF("k", "v")
     val map = SchemaEvolution.initial(spark, df.schema)

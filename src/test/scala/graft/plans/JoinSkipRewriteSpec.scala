@@ -156,6 +156,29 @@ class JoinSkipRewriteSpec extends AnyFunSuite with SparkTestBase {
     } finally ScanPruneRewrite.unregister("jsr6")
   }
 
+  test("dim append invalidates the key cache: re-read dim serves fresh keys") {
+    val (root, _) = fixture("jsr7")
+    JoinSkipRewrite.register(spark, "jsr7", "k")
+    try {
+      val dimDir = s"$root/dim"
+      Seq((10L, "a")).toDF("dk", "tag").write.parquet(dimDir)
+      val q1 = factRead(root)
+        .join(spark.read.parquet(dimDir), col("k") === col("dk"))
+      assert(hasInSet(q1))
+      assert(q1.count() === 1)
+      // append a new dim key, re-read the SAME directory: relation
+      // equality is by root-path set, so only the file-listing part of
+      // the cache key can tell the two reads apart — a stale hit would
+      // drop fact row k=20 and the rewrite would no longer be lossless
+      Seq((20L, "b")).toDF("dk", "tag").write.mode("append").parquet(dimDir)
+      val q2 = factRead(root)
+        .join(spark.read.parquet(dimDir), col("k") === col("dk"))
+      assert(hasInSet(q2))
+      assert(q2.count() === 2,
+        "stale dim-key cache dropped the appended key's fact row")
+    } finally ScanPruneRewrite.unregister("jsr7")
+  }
+
   test("registration guards: unknown scan, unskippable column") {
     intercept[IllegalArgumentException] {
       JoinSkipRewrite.register(spark, "nope", "k")
