@@ -29,16 +29,131 @@ import org.apache.spark.sql.SparkSession
   * would. */
 object Catalog {
 
-  /** Publish the next catalog version holding `refs` and flip the
-    * pointer to it. Returns the new catalog version number. */
+  /** Publish the next catalog version holding `refs`. Returns the new
+    * catalog version number. Concurrency-safe in the narrow sense that
+    * two racing commits get DISTINCT versions and both land (the claim
+    * protocol in [[Versions.publish]]); it does NOT protect a
+    * read-modify-write — a writer that resolved the current refs, added
+    * an artifact, and commits here can still interleave with another
+    * such writer so the later commit's world silently omits the
+    * earlier's addition. Writers deriving refs from the current version
+    * must use [[commitRetry]] (or [[commitCas]] directly).
+    *
+    * `committedAt` stamps the version for [[resolveAsOf]] timestamp
+    * time travel — wall clock by default, caller-injectable so tests
+    * and replay stay deterministic. */
   def commit(spark: SparkSession, path: String,
-      refs: Map[String, String]): Int = {
+      refs: Map[String, String],
+      committedAt: Option[Long] = None): Int = {
     require(refs.nonEmpty, "catalog commit needs at least one artifact")
-    Versions.publish(path, dir => {
-      import spark.implicits._
-      refs.toSeq.sortBy(_._1).toDF("artifact", "ref")
-        .coalesce(1).write.parquet(dir)
-    })(spark)
+    Versions.publish(path,
+      writeVersion(spark, _, refs, committedAt))(spark)
+  }
+
+  /** Compare-and-swap [[commit]]: lands as `expected + 1` iff the
+    * committed history still ends at `expected` (0 = empty catalog);
+    * throws [[CommitConflictException]] otherwise. The primitive under
+    * [[commitRetry]]. */
+  def commitCas(spark: SparkSession, path: String, expected: Int,
+      refs: Map[String, String],
+      committedAt: Option[Long] = None): Int = {
+    require(refs.nonEmpty, "catalog commit needs at least one artifact")
+    Versions.publishCas(path, expected,
+      writeVersion(spark, _, refs, committedAt))(spark)
+  }
+
+  /** Optimistic read-modify-write commit — the safe verb for
+    * genuinely concurrent writers. `prepare` receives the CURRENT
+    * version's refs (empty map for a fresh catalog, `_txn` stripped)
+    * and returns the refs to commit; on a [[CommitConflictException]]
+    * the loop re-resolves, re-runs `prepare` against the winner's
+    * refs, and retries — so no concurrent writer's artifacts are ever
+    * silently dropped, and every version's world is derived from its
+    * immediate predecessor (linearizable history). `prepare` must
+    * therefore be safe to run more than once (idempotent artifact
+    * preparation: immutable dirs keyed by content/uuid, the same rule
+    * every commit path already follows).
+    *
+    * Bounded: after `maxAttempts` conflicts the last conflict is
+    * rethrown — the live-writer case resolves in milliseconds, so
+    * exhausting the budget means a crashed writer's orphaned claim is
+    * blocking the slot (see the failure posture in [[Versions]]). */
+  def commitRetry(spark: SparkSession, path: String,
+      prepare: Map[String, String] => Map[String, String],
+      maxAttempts: Int = 32,
+      committedAt: Option[Long] = None): Int = {
+    require(maxAttempts >= 1, s"maxAttempts must be >= 1, got $maxAttempts")
+    implicit val s: SparkSession = spark
+    var attempt = 0
+    while (true) {
+      val cur = Versions.currentOr0(path)
+      val base =
+        if (cur == 0) Map.empty[String, String]
+        else resolve(spark, path, cur) - "_txn"
+      val refs = prepare(base)
+      try return commitCas(spark, path, cur, refs, committedAt)
+      catch {
+        case e: CommitConflictException =>
+          attempt += 1
+          if (attempt >= maxAttempts) throw e
+          // capped exponential backoff + deterministic jitter: the
+          // in-flight winner's publish includes a (small) Spark write,
+          // so waits must grow into the hundreds of ms to outlast it
+          Thread.sleep(
+            math.min(250L, 2L << math.min(attempt, 7)) + (attempt * 7) % 17)
+      }
+    }
+    -1 // unreachable
+  }
+
+  /** Sidecar file inside a version dir holding the commit timestamp
+    * (millis). Underscore-prefixed, so parquet readers of the refs
+    * table ignore it; written BEFORE the commit marker, so it is
+    * atomically part of the version. */
+  private val TsFile = "_committed_at"
+
+  private def writeVersion(spark: SparkSession, dir: String,
+      refs: Map[String, String], committedAt: Option[Long]): Unit = {
+    import spark.implicits._
+    refs.toSeq.sortBy(_._1).toDF("artifact", "ref")
+      .coalesce(1).write.parquet(dir)
+    val fs = graft.io.PathResolver.fsFor(dir,
+      spark.sparkContext.hadoopConfiguration)
+    val out = fs.create(
+      new org.apache.hadoop.fs.Path(dir, TsFile), true)
+    out.write(committedAt.getOrElse(System.currentTimeMillis())
+      .toString.getBytes("UTF-8"))
+    out.close()
+  }
+
+  /** The commit timestamp (millis) a version was stamped with. */
+  def committedAt(spark: SparkSession, path: String, version: Int): Long = {
+    val fs = graft.io.PathResolver.fsFor(path,
+      spark.sparkContext.hadoopConfiguration)
+    val p = new org.apache.hadoop.fs.Path(
+      Versions.versionDir(path, version), TsFile)
+    require(fs.exists(p),
+      s"catalog $path v$version carries no commit timestamp")
+    val in = fs.open(p)
+    val s = scala.io.Source.fromInputStream(in).mkString.trim
+    in.close()
+    s.toLong
+  }
+
+  /** Timestamp time travel: the newest committed version whose
+    * `committed_at <= ts` — "the catalog as of yesterday 14:00".
+    * Refuses pre-history timestamps loudly (there is no world to
+    * serve before the first commit). Reads O(#versions-retained) tiny
+    * sidecar files — planner-scale metadata. */
+  def resolveAsOf(spark: SparkSession, path: String, ts: Long): Int = {
+    implicit val s: SparkSession = spark
+    val vs = Versions.listVersions(path)
+    require(vs.nonEmpty, s"no committed version at $path")
+    val at = vs.filter(v => committedAt(spark, path, v) <= ts)
+    require(at.nonEmpty,
+      s"timestamp $ts precedes the first commit of $path " +
+        s"(earliest: ${committedAt(spark, path, vs.head)})")
+    at.max
   }
 
   /** [[commit]] keyed by a transaction id — the exactly-once flip a

@@ -120,6 +120,114 @@ class CatalogSpec extends AnyFunSuite with SparkTestBase {
     }.getMessage.contains("_txn"))
   }
 
+  test("two REAL threads racing 20 commits each: 40 distinct versions, zero lost updates") {
+    val path = freshPath()
+    import java.util.concurrent.{CountDownLatch, Executors, TimeUnit}
+    val pool = Executors.newFixedThreadPool(2)
+    val start = new CountDownLatch(1)
+    def writer(tag: String): java.util.concurrent.Future[Seq[Int]] =
+      pool.submit(new java.util.concurrent.Callable[Seq[Int]] {
+        def call(): Seq[Int] = {
+          start.await()
+          (1 to 20).map { i =>
+            // read-modify-write: derive from the CURRENT world, add one
+            // artifact — exactly the shape a plain commit() loses races on
+            Catalog.commitRetry(spark, path,
+              base => base + (s"$tag-$i" -> s"ref/$tag-$i"))
+          }
+        }
+      })
+    val fa = writer("a"); val fb = writer("b")
+    start.countDown()
+    val va = fa.get(120, TimeUnit.SECONDS)
+    val vb = fb.get(120, TimeUnit.SECONDS)
+    pool.shutdown()
+    // exactly 40 committed versions, no collisions, no holes lost
+    assert((va ++ vb).toSet.size === 40, "two commits shared a version")
+    assert(Versions.listVersions(path)(spark) === (1 to 40))
+    // zero lost updates: the final world carries every writer's artifact
+    val finalRefs = Catalog.resolveCurrent(spark, path)
+    val want = (1 to 20).flatMap(i => Seq(s"a-$i", s"b-$i")).toSet
+    assert(finalRefs.keySet === want)
+    // linearizable history: version k's world = version k-1's + exactly
+    // one artifact (every commit derived from its immediate predecessor)
+    var prev = Set.empty[String]
+    (1 to 40).foreach { v =>
+      val w = Catalog.resolve(spark, path, v).keySet
+      assert(w.size === v, s"v$v has ${w.size} artifacts")
+      assert(prev.subsetOf(w), s"v$v dropped an earlier writer's artifact")
+      prev = w
+    }
+    // each thread's own commits are internally ordered
+    assert(va === va.sorted); assert(vb === vb.sorted)
+  }
+
+  test("commitCas: stale expected conflicts; claimed-but-uncommitted slot conflicts") {
+    val path = freshPath()
+    assert(Catalog.commitCas(spark, path, 0, Map("m" -> "r1")) === 1)
+    val e = intercept[CommitConflictException] {
+      Catalog.commitCas(spark, path, 0, Map("m" -> "stale"))
+    }
+    assert(e.winner === 1 && e.attempted === 1)
+    assert(Catalog.commitCas(spark, path, 1, Map("m" -> "r2")) === 2)
+    assert(Catalog.resolveCurrent(spark, path)("m") === "r2")
+  }
+
+  test("timestamp time travel: resolveAsOf serves the world as of ts; pre-history refuses") {
+    val path = freshPath()
+    Catalog.commit(spark, path, Map("m" -> "r1"), committedAt = Some(1000L))
+    Catalog.commit(spark, path, Map("m" -> "r2"), committedAt = Some(2000L))
+    Catalog.commit(spark, path, Map("m" -> "r3"), committedAt = Some(3000L))
+    assert(Catalog.resolveAsOf(spark, path, 1000L) === 1)
+    assert(Catalog.resolveAsOf(spark, path, 2999L) === 2)
+    assert(Catalog.resolveAsOf(spark, path, 999999L) === 3)
+    assert(Catalog.resolve(spark, path,
+      Catalog.resolveAsOf(spark, path, 2500L))("m") === "r2")
+    val e = intercept[IllegalArgumentException] {
+      Catalog.resolveAsOf(spark, path, 999L)
+    }
+    assert(e.getMessage.contains("precedes the first commit"))
+    // an un-stamped caller gets wall clock: monotone vs a fresh commit
+    val v4 = Catalog.commit(spark, path, Map("m" -> "r4"))
+    assert(Catalog.committedAt(spark, path, v4) > 3000L)
+  }
+
+  test("retention contract: a reader pinned to a vacuumed version fails loudly, never partially") {
+    val base = java.nio.file.Files.createTempDirectory("graft-vacread")
+    val path = base.toString + "/cat"
+    import org.apache.spark.sql.functions.col
+    // two commits, each with its own immutable manifest + data epoch;
+    // manifests live under ONE artifact root so vacuumKeep only ever
+    // touches them, and the data epochs are "vacuumed" manually below
+    spark.range(100).select(col("id").as("k"))
+      .write.parquet(s"$base/t/c1")
+    val m1 = Layout.statsManifest(spark, s"$base/t/c1", Seq("k"))
+    m1.write.parquet(s"$base/arts/m1")
+    Catalog.commit(spark, path, Map("manifest" -> s"$base/arts/m1"))
+    spark.range(100, 200).select(col("id").as("k"))
+      .write.parquet(s"$base/t/c2")
+    m1.unionByName(Layout.statsManifest(spark, s"$base/t/c2", Seq("k")))
+      .write.parquet(s"$base/arts/m2")
+    Catalog.commit(spark, path, Map("manifest" -> s"$base/arts/m2"))
+    // reader resolves v1 BEFORE vacuum (the pinned-manifest read plan)
+    val pinned = Layout.snapshotRead(spark, s"$base/t/c1",
+      spark.read.parquet(Catalog.ref(spark, path, 1, "manifest")))
+    Catalog.vacuumKeep(spark, path, keep = 1, Seq(s"$base/arts"))
+    // v1's manifest dir is gone; the pinned scan must fail LOUDLY on its
+    // missing concrete input paths — a silent partial scan would be a
+    // wrong answer, an exception is the documented retention contract
+    java.nio.file.Files.walk(java.nio.file.Paths.get(s"$base/t/c1"))
+      .sorted(java.util.Comparator.reverseOrder())
+      .forEach(p => java.nio.file.Files.delete(p))
+    val ex = intercept[Exception] { pinned.count() }
+    val msg = Option(ex.getMessage).getOrElse("") +
+      Option(ex.getCause).flatMap(c => Option(c.getMessage)).getOrElse("")
+    assert(msg.toLowerCase.contains("exist") ||
+      msg.toLowerCase.contains("not found") ||
+      msg.toLowerCase.contains("no such file"),
+      s"expected a missing-input failure, got: $msg")
+  }
+
   test("empty commit refuses") {
     val ex = intercept[IllegalArgumentException] {
       Catalog.commit(spark, freshPath(), Map.empty)
