@@ -4513,13 +4513,15 @@ object SparkEntry {
         |ORDER BY version, l_returnflag""".stripMargin)
     }),
 
-    // ---- MULTI-WRITER lake sequence: an append writer, a delete feed,
-    // and a maintenance job (compaction + vacuum) interleave over one
-    // table while four readers hold (manifest, DV) pins taken at
-    // different points — every read must equal its oracle slice because
-    // files are immutable, manifests pin file sets, and DV sets are
-    // grow-only under union. The one lake dimension r11 had no
-    // adversarial evidence for -----------------------------------------
+    // ---- INTERLEAVED-writer lake sequence (one driver thread, four
+    // roles taking turns): an append writer, a delete feed, and a
+    // maintenance job (compaction + vacuum) interleave over one table
+    // while four readers hold (manifest, DV) pins taken at different
+    // points — every read must equal its oracle slice because files
+    // are immutable, manifests pin file sets, and DV sets are grow-only
+    // under union. This pins SNAPSHOT ISOLATION for readers against
+    // interleaved writers; genuinely CONCURRENT commit safety (two
+    // real threads racing the same catalog) is q145's job ------------
     "q105_lake_multiwriter" -> ((s, dir) => {
       val tmp = gateScratch("q105")
       val li = t(s, dir, "lineitem")
@@ -6847,6 +6849,96 @@ object SparkEntry {
         .orderBy("grp")
     }),
 
+    // ---- GENUINELY CONCURRENT WRITERS: two REAL threads race 20
+    // read-modify-write commits each against ONE catalog through
+    // commitRetry (CAS + re-prepare on conflict). What q105 proves for
+    // interleaved-sequential writers, this proves under actual races:
+    // 40 distinct versions, every version's world = its predecessor's
+    // plus exactly one artifact (linearizable history), zero lost
+    // updates — the failure mode that silently destroys data in any
+    // deployment with two ingest jobs ---------------------------------
+    "q145_concurrent_commits" -> ((s, dir) => {
+      val tmp = gateScratch("q145")
+      val cat = s"$tmp/cat"
+      val pool = java.util.concurrent.Executors.newFixedThreadPool(2)
+      val start = new java.util.concurrent.CountDownLatch(1)
+      def writer(tag: String) =
+        pool.submit(new java.util.concurrent.Callable[Seq[Int]] {
+          def call(): Seq[Int] = {
+            start.await()
+            (1 to 20).map { i =>
+              ops.Catalog.commitRetry(s, cat,
+                base => base + (s"$tag-$i" -> s"ref/$tag-$i"))
+            }
+          }
+        })
+      val fa = writer("a"); val fb = writer("b")
+      start.countDown()
+      val got = (fa.get(120, java.util.concurrent.TimeUnit.SECONDS) ++
+        fb.get(120, java.util.concurrent.TimeUnit.SECONDS))
+      pool.shutdown()
+      require(got.toSet.size == 40,
+        s"two commits shared a version: ${got.sorted.mkString(",")}")
+      val vs = ops.Versions.listVersions(cat)(s)
+      require(vs == (1 to 40),
+        s"history is not dense 1..40: ${vs.mkString(",")}")
+      val finalKeys = ops.Catalog.resolveCurrent(s, cat).keySet
+      val want = (1 to 20).flatMap(i => Seq(s"a-$i", s"b-$i")).toSet
+      require(finalKeys == want,
+        s"lost updates: missing ${(want -- finalKeys).mkString(",")}")
+      // linearizable chain, emitted as data so the oracle pins it
+      var prev = Set.empty[String]
+      val rows = (1 to 40).map { v =>
+        val w = ops.Catalog.resolve(s, cat, v).keySet
+        val chained = prev.subsetOf(w) && w.size == v
+        prev = w
+        (v, w.size.toLong, chained)
+      }
+      import s.implicits._
+      rows.toDF("version", "n_artifacts", "carries_prior")
+        .orderBy("version")
+    }),
+
+    // ---- TIMESTAMP TIME TRAVEL: commits stamped with a commit time
+    // (caller-injected here for determinism; wall clock by default),
+    // resolveAsOf(ts) = newest version committed at-or-before ts — "the
+    // table as of yesterday 14:00" without knowing version numbers.
+    // Pre-history timestamps refuse loudly (REQUIREd) -----------------
+    "q146_time_travel_ts" -> ((s, dir) => {
+      val tmp = gateScratch("q146")
+      val cat = s"$tmp/cat"
+      val od = t(s, dir, "orders")
+        .select("o_orderkey", "o_custkey", "o_totalprice")
+      od.filter(col("o_orderkey") % 2 === 0)
+        .repartitionByRange(4, col("o_orderkey")).write.parquet(s"$tmp/t")
+      val m1 = ops.Layout.statsManifest(s, s"$tmp/t", Seq("o_orderkey"))
+      m1.write.parquet(s"$tmp/m1")
+      ops.Catalog.commit(s, cat, Map("manifest" -> s"$tmp/m1"),
+        committedAt = Some(1000L))
+      od.filter(col("o_orderkey") % 2 === 1)
+        .repartitionByRange(4, col("o_orderkey"))
+        .write.mode("append").parquet(s"$tmp/t")
+      ops.Layout.extendManifest(s, s"$tmp/t", m1, Seq("o_orderkey"))
+        .write.parquet(s"$tmp/m2")
+      ops.Catalog.commit(s, cat, Map("manifest" -> s"$tmp/m2"),
+        committedAt = Some(2000L))
+      val refused =
+        try { ops.Catalog.resolveAsOf(s, cat, 1L); false }
+        catch { case _: IllegalArgumentException => true }
+      require(refused, "pre-history timestamp must refuse")
+      def world(ts: Long): DataFrame = {
+        val v = ops.Catalog.resolveAsOf(s, cat, ts)
+        val manifest = s.read.parquet(ops.Catalog.ref(s, cat, v, "manifest"))
+        ops.Layout.snapshotRead(s, s"$tmp/t", manifest)
+          .agg(count(lit(1)).as("n_rows"),
+            sum(col("o_totalprice").cast("decimal(18,2)")).cast("double")
+              .as("sum_price"))
+          .select(lit(ts).as("as_of"), lit(v).as("version"),
+            col("n_rows"), col("sum_price"))
+      }
+      world(1500L).unionAll(world(2500L)).orderBy("as_of")
+    }),
+
     // ---- THE LAKE LIFECYCLE, END TO END: merge-on-read waves accrue
     // DV debt and row-ordered append files; the manifest-driven
     // maintenance (driven from SQL via graft_maintain) folds them — a
@@ -7294,16 +7386,28 @@ object SparkEntry {
             val adm = ops.Dedup.nearDupFilter(idx,
                 batch.select("doc_id", "text"), "doc_id", "text", tau = 0.5)
               .localCheckpoint(eager = true) // feeds BOTH union and extend
+            val prevAdmitted = admitted
             admitted = admitted.unionAll(adm)
               .localCheckpoint(eager = true) // sever the micro-batch source
             val grown = ops.Dedup.NearDupIndex.extend(idx, adm,
               "doc_id", "text")
             // pin all three tables per batch: the next batch probes them,
             // and their lineage must not reach this batch's source
+            val prev = idx
             idx = grown.copy(
               fingerprints = grown.fingerprints.localCheckpoint(eager = true),
               bands = grown.bands.localCheckpoint(eager = true),
               hashes = grown.hashes.localCheckpoint(eager = true))
+            // the new pins are materialized (eager), so generation k-1's
+            // image and this batch's intermediates are superseded —
+            // release them NOW: without this, two full index images stay
+            // resident until the ContextCleaner catches up (the round-17
+            // 40 GiB-driver soak note)
+            ops.Ckpt.release(prev.fingerprints)
+            ops.Ckpt.release(prev.bands)
+            ops.Ckpt.release(prev.hashes)
+            ops.Ckpt.release(prevAdmitted)
+            ops.Ckpt.release(adm)
             ()
           }
           .option("checkpointLocation", s"$tmp/chk")
@@ -7434,13 +7538,21 @@ object SparkEntry {
                 batch.select("vec_id", "v"), "vec_id", "v",
                 dim = 64, bits = 6, tau = 0.8)
               .localCheckpoint(eager = true) // feeds union AND extend
+            val prevAdmitted = admitted
             admitted = admitted.unionAll(adm.select("vec_id"))
               .localCheckpoint(eager = true)
             // pin the grown table per batch: the next batch probes it,
             // and its lineage must not reach this batch's source
+            val prev = idx
             idx = ops.Dedup.VectorNearDupIndex.extend(idx, adm,
                 "vec_id", "v", dim = 64, bits = 6)
               .localCheckpoint(eager = true)
+            // new pins materialized -> generation k-1 and this batch's
+            // intermediates are superseded; release their blocks now so
+            // at most one live image is ever resident (s39's contract)
+            ops.Ckpt.release(prev)
+            ops.Ckpt.release(prevAdmitted)
+            ops.Ckpt.release(adm)
             ()
           }
           .option("checkpointLocation", s"$tmp/chk")
@@ -12436,6 +12548,28 @@ object SparkEntry {
         |SELECT o_orderkey % 7 AS grp, COUNT(*) AS n_rows,
         |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total
         |FROM merged GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    // the racing-writers history in closed form: CAS + re-prepare makes
+    // every version carry its predecessor plus exactly one artifact,
+    // whatever the interleaving — the data-independent shape the gate
+    // REQUIREs and then emits
+    "q145_concurrent_commits" ->
+      """SELECT CAST(r AS INT) AS version, CAST(r AS BIGINT) AS n_artifacts,
+        |  TRUE AS carries_prior
+        |FROM range(1, 41) t(r) ORDER BY version""".stripMargin,
+
+    // as-of 1500 -> v1 (even keys only), as-of 2500 -> v2 (everything)
+    "q146_time_travel_ts" ->
+      """SELECT CAST(1500 AS BIGINT) AS as_of, CAST(1 AS INT) AS version,
+        |  COUNT(*) AS n_rows,
+        |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE)
+        |    AS sum_price
+        |FROM orders WHERE o_orderkey % 2 = 0
+        |UNION ALL
+        |SELECT CAST(2500 AS BIGINT), CAST(2 AS INT), COUNT(*),
+        |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE)
+        |FROM orders
+        |ORDER BY as_of""".stripMargin,
 
     // the merged snapshot in closed form: updated rows (+1000), kept
     // rows (neither updated nor deleted), inserted rows (shifted keys)
