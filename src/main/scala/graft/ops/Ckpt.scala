@@ -77,6 +77,25 @@ object Ckpt {
   def forced[T](ds: Dataset[T]): Dataset[T] =
     ds.localCheckpoint(eager = true)
 
+  /** Free a SUPERSEDED barrier's cached blocks immediately, instead of
+    * waiting for the ContextCleaner to notice unreachability. The
+    * growing-index folds (s39/s40, the soak's `growing_admission`)
+    * replace a pinned index image every batch; without an explicit
+    * release, generation k's blocks stay resident until GC + cleaner
+    * catch up, so two-plus full images transiently coexist — at 50×
+    * soak scale that overflowed the default 8 GiB driver (round-17
+    * PLANS note). Releasing the superseded image right after the new
+    * pin materializes bounds residency at one live + one in-flight
+    * image, which is what a crawl front door actually needs.
+    *
+    * CONTRACT: the frame must never be read again. A local checkpoint
+    * truncated its lineage, so the blocks are the only copy — a later
+    * action on a released frame fails with a missing-block error
+    * rather than silently recomputing. Safe no-op on frames that were
+    * never checkpointed. Returns the number of RDDs released. */
+  def release[T](ds: Dataset[T]): Int =
+    org.apache.spark.sql.graftbridge.ColumnBridge.releaseCheckpointBlocks(ds)
+
   /** `df.ckpt` suffix syntax for [[pinned]]. */
   implicit final class CkptSyntax[T](private val ds: Dataset[T]) extends AnyVal {
     def ckpt: Dataset[T] = pinned(ds)

@@ -110,6 +110,43 @@ object ScanPruneRewrite extends Rule[LogicalPlan] with PredicateHelper {
 
   private val registry = new ConcurrentHashMap[String, Reg]()
 
+  /** (scanName, canonicalized Filter condition) → the pruned
+    * HadoopFsRelation for that predicate. Registration pins one
+    * immutable (catalog version, manifest) pair per name, so the
+    * admitted file set for a given predicate never changes while the
+    * registration lives — but WITHOUT this cache every optimization
+    * pass of every repeat of the query rebuilds an
+    * `InMemoryFileIndex` over the admitted paths (a driver
+    * listing/stat pass), which is the per-query floor the round-17
+    * soak measured at high file counts. Bounded LRU; purged with the
+    * registration. */
+  private case class AdmitKey(name: String, cond: Expression)
+  private val MaxAdmitEntries = 64
+  private val admitCache = java.util.Collections.synchronizedMap(
+    new java.util.LinkedHashMap[AdmitKey,
+        org.apache.spark.sql.execution.datasources.HadoopFsRelation](
+        16, 0.75f, true) {
+      override def removeEldestEntry(
+          e: java.util.Map.Entry[AdmitKey,
+            org.apache.spark.sql.execution.datasources.HadoopFsRelation])
+          : Boolean = size() > MaxAdmitEntries
+    })
+
+  /** A DataFrame over the REGISTERED relation itself — the cheap probe
+    * path: `registerFromCatalog` already paid the file-index build for
+    * this version's explicit file list, so per-query consumers should
+    * reuse it instead of re-deriving a fresh snapshot scan (a second
+    * O(#files) driver listing per query, the round-17 probe floor).
+    * Same relation object ⇒ the rewrite rules match it exactly like
+    * the original registration base. */
+  def scan(spark: SparkSession, name: String): DataFrame = {
+    val reg = Option(registry.get(name)).getOrElse(
+      throw new IllegalArgumentException(
+        s"no registered scan named '$name'"))
+    spark.asInstanceOf[org.apache.spark.sql.classic.SparkSession]
+      .baseRelationToDataFrame(reg.relation)
+  }
+
   /** Register `base` (the explicit-file snapshot scan `manifest`
     * describes — [[registerFromCatalog]] is the safe path) for
     * filter-time pruning. Stats columns are discovered from the
@@ -249,11 +286,16 @@ object ScanPruneRewrite extends Rule[LogicalPlan] with PredicateHelper {
 
   def unregister(name: String): Unit = {
     registry.remove(name)
+    admitCache.synchronized {
+      admitCache.keySet.asScala.filter(_.name == name).toSeq
+        .foreach(admitCache.remove)
+    }
     JoinSkipRewrite.unregister(name) // a join-skip reg rides on the scan reg
   }
 
   def clear(): Unit = {
     registry.clear()
+    admitCache.clear()
     JoinSkipRewrite.clear()
   }
 
@@ -313,14 +355,24 @@ object ScanPruneRewrite extends Rule[LogicalPlan] with PredicateHelper {
       else {
         // swap ONLY the file index — output attributes (exprIds, any
         // metadata widening/pruning the planner applied) stay untouched,
-        // so the surrounding plan never notices
-        val spark = SparkSession.active
-        val newLoc =
-          new org.apache.spark.sql.execution.datasources.InMemoryFileIndex(
-            spark, admitted.map(f => new org.apache.hadoop.fs.Path(f.path)),
-            reg.relation.options, Some(reg.relation.dataSchema))
-        leaf.copy(relation =
-          reg.relation.copy(location = newLoc)(spark))
+        // so the surrounding plan never notices. The pruned relation is
+        // CACHED per (registration, canonicalized predicate): the
+        // registration pins an immutable file set, so repeat probes and
+        // the re-optimizations of one query (fixpoint batch, EXPLAIN,
+        // execution) reuse one InMemoryFileIndex instead of re-listing
+        // the admitted paths each time.
+        val key = AdmitKey(reg.name, cond.canonicalized)
+        val cached = Option(admitCache.get(key)).getOrElse {
+          val spark = SparkSession.active
+          val newLoc =
+            new org.apache.spark.sql.execution.datasources.InMemoryFileIndex(
+              spark, admitted.map(f => new org.apache.hadoop.fs.Path(f.path)),
+              reg.relation.options, Some(reg.relation.dataSchema))
+          val rel = reg.relation.copy(location = newLoc)(spark)
+          admitCache.put(key, rel)
+          rel
+        }
+        leaf.copy(relation = cached)
       }
     val rebuilt = child match {
       case p: Project if !(p eq leaf) => p.withNewChildren(Seq(newLeaf))

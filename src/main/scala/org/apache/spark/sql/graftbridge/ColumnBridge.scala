@@ -32,6 +32,31 @@ object ColumnBridge {
     spark.sessionState.tableFunctionRegistry.createOrReplaceTempFunction(
       name, builder, "scala_udf")
 
+  /** Unpersist the cached blocks behind a locally-checkpointed
+    * Dataset — `LogicalRDD` is `private[sql]` in Spark 4, hence
+    * bridged. Returns the number of RDDs released. A local checkpoint
+    * truncates lineage, so the blocks are the ONLY copy: callers must
+    * guarantee the frame is never read again (see
+    * `graft.ops.Ckpt.release` for the contract). */
+  def releaseCheckpointBlocks(ds: org.apache.spark.sql.Dataset[_]): Int = {
+    var n = 0
+    ds.queryExecution.analyzed.foreach {
+      case lr: org.apache.spark.sql.execution.LogicalRDD =>
+        lr.rdd.unpersist(blocking = false); n += 1
+      case _ => ()
+    }
+    n
+  }
+
+  /** The RDD ids behind a checkpointed Dataset's `LogicalRDD` leaves —
+    * lets a spec assert presence/absence in
+    * `sparkContext.getPersistentRDDs` without global counting (robust
+    * under parallel suites sharing the session). */
+  def checkpointRddIds(ds: org.apache.spark.sql.Dataset[_]): Seq[Int] =
+    ds.queryExecution.analyzed.collect {
+      case lr: org.apache.spark.sql.execution.LogicalRDD => lr.rdd.id
+    }
+
   /** A DataFrame over an already-resolved logical plan —
     * `classic.Dataset.ofRows` is `private[sql]`; bridged so an
     * optimizer rule can evaluate a delta-scale side plan driver-side
