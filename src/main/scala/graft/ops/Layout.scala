@@ -679,15 +679,18 @@ object Layout {
     val gids = spark.read.parquet(s"$manifestDir/groups")
       .filter(survive)
       .select("graft_group").collect().map(_.getInt(0))
-    val keep =
-      if (gids.isEmpty) Array.empty[String]
-      else spark.read.parquet(s"$manifestDir/files")
-        .filter(col("graft_group").isin(gids.toIndexedSeq: _*))
-        .filter(survive)
-        .select("file").collect().map(_.getString(0))
     val base =
-      if (keep.isEmpty) spark.read.parquet(dir).limit(0)
-      else spark.read.parquet(keep.toIndexedSeq: _*)
+      if (gids.isEmpty) spark.read.parquet(dir).limit(0)
+      else {
+        val admitted = spark.read.parquet(s"$manifestDir/files")
+          .filter(col("graft_group").isin(gids.toIndexedSeq: _*))
+          .filter(survive)
+        manifestRead(spark, admitted).getOrElse {
+          val keep = admitted.select("file").collect().map(_.getString(0))
+          if (keep.isEmpty) spark.read.parquet(dir).limit(0)
+          else spark.read.parquet(keep.toIndexedSeq: _*)
+        }
+      }
     base.filter(col(colName) >= lo && col(colName) <= hi)
   }
 
@@ -833,11 +836,24 @@ object Layout {
     else {
       val spark = stats.sparkSession
       import spark.implicits._
+      // a zero-row file still has a real length (schema-only footer) —
+      // stat it here, once, at build time, so the all-bytes-known
+      // invariant the zero-listing read path needs stays intact.
+      // O(#zero-row files) driver stats, normally zero.
+      val conf = spark.sparkContext.hadoopConfiguration
+      def sizeOf(p: String): Long =
+        graft.io.PathResolver.fsFor(p, conf)
+          .getFileStatus(new org.apache.hadoop.fs.Path(p)).getLen
       val synth = stats.schema.fields.filterNot(_.name == "file")
         .foldLeft(missing.toDF("file")) { (d, f) =>
           d.withColumn(f.name,
             if (f.name == "n_rows" || f.name.startsWith("nulls_"))
               lit(0L).cast(f.dataType)
+            else if (f.name == "bytes")
+              // tiny literal map: one when-chain over the missing files
+              missing.foldLeft(lit(null).cast(f.dataType)) { (acc, p) =>
+                when(col("file") === p, lit(sizeOf(p))).otherwise(acc)
+              }
             else lit(null).cast(f.dataType))
         }
         .select(stats.columns.map(col).toIndexedSeq: _*)
@@ -847,6 +863,10 @@ object Layout {
 
   private def statsAggs(cols: Seq[String]): Seq[Column] =
     count(lit(1)).as("n_rows") +:
+      // exact file length, recorded at build time so reads can plan
+      // scans straight from manifest rows with ZERO filesystem calls
+      // ([[graft.io.ManifestFileIndex]]) — the Iceberg/Delta model
+      first(col("_metadata.file_size")).as("bytes") +:
       cols.flatMap(c => Seq(min(col(c)).as(s"min_$c"), max(col(c)).as(s"max_$c"),
         count(when(col(c).isNull, 1)).as(s"nulls_$c")))
 
@@ -980,7 +1000,11 @@ object Layout {
       stats: DataFrame): DataFrame = {
     val have = manifest.columns.toSet
     val missing = stats.schema.fields.filterNot(f => have.contains(f.name))
-    val (upgradable, incompatible) = missing.partition(_.name.startsWith("nulls_"))
+    // `nulls_*` (post-release addition) and `bytes` (the zero-listing
+    // read path's length column) both upgrade in place as NULL —
+    // "unknown", which the consumers that need them fall back on
+    val (upgradable, incompatible) = missing.partition(f =>
+      f.name.startsWith("nulls_") || f.name == "bytes")
     require(incompatible.isEmpty,
       s"manifest schema mismatch: persisted manifest lacks column(s) " +
         s"${incompatible.map(_.name).mkString(", ")} — it was built with " +
@@ -1052,12 +1076,13 @@ object Layout {
     */
   def prunedRead(spark: org.apache.spark.sql.SparkSession, dir: String,
       manifest: DataFrame, colName: String, lo: Column, hi: Column): DataFrame = {
-    val keep = manifest
+    val admitted = manifest
       .filter(col(s"max_$colName") >= lo && col(s"min_$colName") <= hi)
-      .select("file").collect().map(_.getString(0))
-    val base =
+    val base = manifestRead(spark, admitted).getOrElse {
+      val keep = admitted.select("file").collect().map(_.getString(0))
       if (keep.isEmpty) spark.read.parquet(dir).limit(0)
       else spark.read.parquet(keep.toIndexedSeq: _*)
+    }
     base.filter(col(colName) >= lo && col(colName) <= hi)
   }
 
@@ -1072,10 +1097,45 @@ object Layout {
     * files added after the manifest are simply never listed, so a
     * concurrent append cannot tear the snapshot. */
   def snapshotRead(spark: org.apache.spark.sql.SparkSession, dir: String,
-      manifest: DataFrame): DataFrame = {
-    val files = manifest.select("file").collect().map(_.getString(0))
-    if (files.isEmpty) spark.read.parquet(dir).limit(0)
-    else spark.read.parquet(files.toIndexedSeq: _*)
+      manifest: DataFrame): DataFrame =
+    manifestRead(spark, manifest).getOrElse {
+      val files = manifest.select("file").collect().map(_.getString(0))
+      if (files.isEmpty) spark.read.parquet(dir).limit(0)
+      else spark.read.parquet(files.toIndexedSeq: _*)
+    }
+
+  /** The ZERO-LISTING read: when the manifest carries exact `bytes`
+    * (recorded from `_metadata.file_size` at build time), plan the scan
+    * straight from its rows through [[graft.io.ManifestFileIndex]] —
+    * no per-query directory listing or stat pass, the Iceberg/Delta
+    * planning model. One footer read (schema) is the only filesystem
+    * touch. None = legacy manifest (no/unknown bytes) or empty —
+    * caller falls back to the explicit-path listing read. */
+  private def manifestRead(spark: org.apache.spark.sql.SparkSession,
+      manifest: DataFrame): Option[DataFrame] = {
+    if (!manifest.columns.contains("bytes")) return None
+    val rows = manifest.select("file", "bytes").collect()
+    if (rows.isEmpty || rows.exists(_.isNullAt(1))) None
+    else Some(manifestScan(spark,
+      rows.map(r => (r.getString(0), r.getLong(1))).toIndexedSeq))
+  }
+
+  /** A parquet DataFrame over exactly these `(path, length)` pairs,
+    * planned with zero filesystem calls ([[graft.io.ManifestFileIndex]];
+    * schema from one footer). */
+  private def manifestScan(spark: org.apache.spark.sql.SparkSession,
+      files: Seq[(String, Long)]): DataFrame = {
+    val schema = spark.read.parquet(files.head._1).schema
+    val cs = spark.asInstanceOf[org.apache.spark.sql.classic.SparkSession]
+    val rel = org.apache.spark.sql.execution.datasources.HadoopFsRelation(
+      new graft.io.ManifestFileIndex(spark, files),
+      partitionSchema = org.apache.spark.sql.types.StructType(Nil),
+      dataSchema = schema,
+      bucketSpec = None,
+      fileFormat = new org.apache.spark.sql.execution.datasources
+        .parquet.ParquetFileFormat(),
+      options = Map.empty)(cs)
+    cs.baseRelationToDataFrame(rel)
   }
 
   /** One append COMMIT: write `df` under its own commit directory inside
