@@ -703,6 +703,86 @@ object GraftExtensions {
             strLit(args(3), "graft_knn_probe"),
             intLit(args(4), "graft_knn_probe"),
             intLit(args(5), "graft_knn_probe")))
+      }),
+      // CATALOG COMMIT from SQL — the cross-artifact atomic flip as a
+      // driver TVF: pairsCsv is 'artifact=ref,artifact=ref,...'; the
+      // optional tsMillis stamps committed_at deterministically
+      // (wall clock otherwise). Returns one row (version).
+      //   SELECT * FROM graft_catalog_commit('/cat',
+      //     'manifest=/arts/m1,dv=/arts/dv1'[, 1700000000000])
+      "graft_catalog_commit" -> ((args: Seq[Expression]) => {
+        require(args.length == 2 || args.length == 3,
+          "graft_catalog_commit(catalogPath, pairsCsv[, tsMillis])")
+        val s = active
+        val refs = strLit(args(1), "graft_catalog_commit")
+          .split(",").map(_.trim).filter(_.nonEmpty).map { p =>
+            val i = p.indexOf('=')
+            require(i > 0, s"graft_catalog_commit: bad pair '$p' " +
+              "(want artifact=ref)")
+            p.substring(0, i) -> p.substring(i + 1)
+          }.toMap
+        val ts = if (args.length == 3)
+          Some(longLit(args(2), "graft_catalog_commit")) else None
+        val v = graft.ops.Catalog.commit(s,
+          strLit(args(0), "graft_catalog_commit"), refs, ts)
+        plan(s.range(1).select(
+          org.apache.spark.sql.functions.lit(v).as("version")))
+      }),
+      // VACUUM from SQL — reference-based GC, the q121 verb as a driver
+      // TVF (graft_commit precedent: runs at analysis time): retain the
+      // newest `keep` catalog versions, delete every child of the
+      // artifact roots no retained version references. Returns one row
+      // per deleted directory (empty result = nothing was orphaned).
+      //   SELECT * FROM graft_vacuum('/cat', 2, '/artifacts')
+      "graft_vacuum" -> ((args: Seq[Expression]) => {
+        expectArgs("graft_vacuum",
+          "catalogPath, keep, artifactRootsCsv", args, 3)
+        val s = active
+        val deleted = graft.ops.Catalog.vacuumKeep(s,
+          strLit(args(0), "graft_vacuum"),
+          intLit(args(1), "graft_vacuum"),
+          strLit(args(2), "graft_vacuum")
+            .split(",").map(_.trim).filter(_.nonEmpty).toSeq)
+        val rows = new java.util.ArrayList[org.apache.spark.sql.Row]()
+        deleted.sorted.foreach(d =>
+          rows.add(org.apache.spark.sql.Row(d)))
+        plan(s.createDataFrame(rows,
+          new org.apache.spark.sql.types.StructType()
+            .add("deleted", "string", false)))
+      }),
+      // TIMESTAMP TIME TRAVEL from SQL: resolve "the catalog as of ts"
+      // to a version (graft_as_of), or read that world directly
+      // (graft_read_asof = graft_catalog_read at the resolved version).
+      //   SELECT * FROM graft_read_asof('/t', '/cat', 1700000000000)
+      "graft_as_of" -> ((args: Seq[Expression]) => {
+        expectArgs("graft_as_of", "catalogPath, tsMillis", args, 2)
+        val s = active
+        val cat = strLit(args(0), "graft_as_of")
+        val v = graft.ops.Catalog.resolveAsOf(s, cat,
+          longLit(args(1), "graft_as_of"))
+        plan(s.range(1).select(
+          org.apache.spark.sql.functions.lit(v).as("version"),
+          org.apache.spark.sql.functions.lit(
+            graft.ops.Catalog.committedAt(s, cat, v)).as("committed_at")))
+      }),
+      "graft_read_asof" -> ((args: Seq[Expression]) => {
+        expectArgs("graft_read_asof",
+          "dataDir, catalogPath, tsMillis", args, 3)
+        val s = active
+        val cat = strLit(args(1), "graft_read_asof")
+        val v = graft.ops.Catalog.resolveAsOf(s, cat,
+          longLit(args(2), "graft_read_asof"))
+        val refs = graft.ops.Catalog.resolve(s, cat, v)
+        val manifest = s.read.parquet(refs.getOrElse("manifest",
+          throw new IllegalArgumentException(
+            "graft_read_asof needs a 'manifest' artifact; version has: " +
+              refs.keys.toSeq.sorted.mkString(", "))))
+        val dataDir = strLit(args(0), "graft_read_asof")
+        plan(refs.get("dv") match {
+          case Some(dvDir) => graft.ops.Layout.snapshotReadWithDeletes(
+            s, dataDir, manifest, s.read.parquet(dvDir))
+          case None => graft.ops.Layout.snapshotRead(s, dataDir, manifest)
+        })
       }))
   }
 

@@ -6849,6 +6849,78 @@ object SparkEntry {
         .orderBy("grp")
     }),
 
+    // ---- THE DBA SESSION: every lifecycle verb issued as a SQL
+    // statement against one table — stats (graft_stats via INSERT
+    // OVERWRITE DIRECTORY), catalog commit (graft_catalog_commit),
+    // OPTIMIZE (graft_optimize_zorder), MERGE (graft_merge_table),
+    // auto-maintenance routing (graft_maintain, REQUIREd to take the
+    // delta pass for the 1-file wave), timestamp time travel
+    // (graft_as_of, REQUIREd to resolve both worlds), VACUUM
+    // (graft_vacuum, REQUIREd to reclaim the superseded artifacts),
+    // and the read-back (graft_catalog_read) — proving no verb is
+    // SQL-reachable only in isolation. Oracle = the merged snapshot in
+    // closed form (clustering changes layout, never rows) ------------
+    "q147_dba_session" -> ((s, dir) => {
+      val tmp = gateScratch("q147")
+      GraftExtensions.register(s)
+      val od = t(s, dir, "orders")
+        .select("o_orderkey", "o_custkey", "o_totalprice")
+      od.repartitionByRange(8, col("o_orderkey")).write.parquet(s"$tmp/t")
+      od.filter(col("o_orderkey") % 100 === 0)
+        .select(col("o_orderkey"), col("o_custkey"),
+          (col("o_totalprice") + 1000).as("o_totalprice"),
+          lit(false).as("is_delete"))
+        .unionAll(od.filter(col("o_orderkey") % 100 === 1)
+          .select(col("o_orderkey"), col("o_custkey"),
+            col("o_totalprice"), lit(true).as("is_delete")))
+        .unionAll(od.filter(col("o_orderkey") % 100 === 2)
+          .select((col("o_orderkey") + 100000000L).as("o_orderkey"),
+            col("o_custkey"), col("o_totalprice"),
+            lit(false).as("is_delete")))
+        .coalesce(1) // one changeset file -> the delta routing below
+        .write.parquet(s"$tmp/changes")
+      // 1. manifest + catalog birth, all SQL
+      s.sql(s"INSERT OVERWRITE DIRECTORY '$tmp/arts/m1' USING PARQUET " +
+        s"SELECT * FROM graft_stats('$tmp/t', 'o_orderkey')")
+      val v1 = s.sql(s"SELECT * FROM graft_catalog_commit('$tmp/cat', " +
+        s"'manifest=$tmp/arts/m1', 1000)").head().getInt(0)
+      require(v1 == 1, s"birth commit must be v1, got $v1")
+      // 2. OPTIMIZE ZORDER -> v2
+      s.sql(s"SELECT * FROM graft_optimize_zorder('$tmp/t', '$tmp/cat', " +
+        s"'$tmp/arts', 'o_custkey', 'o_orderkey', 21, 16, " +
+        s"'o_custkey,o_orderkey')").collect()
+      // 3. MERGE the changeset -> v3 (DV + one appended upsert file)
+      val v3 = s.sql(s"SELECT * FROM graft_merge_table('$tmp/t', " +
+        s"'$tmp/cat', '$tmp/arts', '$tmp/changes', 'o_orderkey', " +
+        s"'is_delete', 'o_custkey,o_orderkey')").head().getInt(0)
+      require(v3 == 3, s"merge must land as v3, got $v3")
+      // 4. auto-maintenance: a 1-file wave over 16 clustered files must
+      // route DELTA (q140's contract), -> v4
+      val mrow = s.sql(s"SELECT * FROM graft_maintain('$tmp/t', " +
+        s"'$tmp/cat', '$tmp/arts', 'o_custkey', 'o_orderkey', 21, 16, " +
+        s"'o_custkey,o_orderkey', 2)").head()
+      require(mrow.getString(0) == "delta",
+        s"1-file wave must take the delta pass, got ${mrow.getString(0)}")
+      val v4 = mrow.getInt(1)
+      // 5. timestamp time travel resolves BOTH worlds before vacuum
+      require(s.sql(s"SELECT * FROM graft_as_of('$tmp/cat', 1500)")
+        .head().getInt(0) == 1, "as-of 1500 must resolve the birth commit")
+      require(s.sql(
+        s"SELECT * FROM graft_as_of('$tmp/cat', ${Long.MaxValue})")
+        .head().getInt(0) == v4, "as-of now must resolve the newest version")
+      // 6. VACUUM to the newest version; superseded artifacts reclaimed
+      val nDeleted = s.sql(
+        s"SELECT * FROM graft_vacuum('$tmp/cat', 1, '$tmp/arts')").count()
+      require(nDeleted > 0, "vacuum must reclaim the superseded artifacts")
+      // 7. read back the final world, pure SQL
+      s.sql(s"""
+        |SELECT o_orderkey % 7 AS grp, COUNT(*) AS n_rows,
+        |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE)
+        |    AS total
+        |FROM graft_catalog_read('$tmp/t', '$tmp/cat', $v4)
+        |GROUP BY 1 ORDER BY 1""".stripMargin)
+    }),
+
     // ---- GENUINELY CONCURRENT WRITERS: two REAL threads race 20
     // read-modify-write commits each against ONE catalog through
     // commitRetry (CAS + re-prepare on conflict). What q105 proves for
@@ -12536,6 +12608,23 @@ object SparkEntry {
     // same merge semantics as q138 through the grouped manifest — the
     // layout changes the COST, never the rows
     "q144_merge_grouped" ->
+      """WITH merged AS (
+        |  SELECT o_orderkey, o_custkey, o_totalprice + 1000 AS o_totalprice
+        |  FROM orders WHERE o_orderkey % 100 = 0
+        |  UNION ALL
+        |  SELECT o_orderkey, o_custkey, o_totalprice
+        |  FROM orders WHERE o_orderkey % 100 NOT IN (0, 1)
+        |  UNION ALL
+        |  SELECT o_orderkey + 100000000, o_custkey, o_totalprice
+        |  FROM orders WHERE o_orderkey % 100 = 2)
+        |SELECT o_orderkey % 7 AS grp, COUNT(*) AS n_rows,
+        |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total
+        |FROM merged GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    // the DBA session's final world in closed form — identical to
+    // q144's merge oracle (the optimize/maintain/vacuum steps change
+    // layout and retention, never rows)
+    "q147_dba_session" ->
       """WITH merged AS (
         |  SELECT o_orderkey, o_custkey, o_totalprice + 1000 AS o_totalprice
         |  FROM orders WHERE o_orderkey % 100 = 0
