@@ -608,7 +608,10 @@ object Soak {
     val mfTag = s"${mfFiles / 1000}k"
     val layoutResults: Seq[(String, Double, Double, Long)] =
       if (!want(s"manifest_build_${mfTag}_files", s"pruned_read_${mfTag}_files",
-        s"manifest_extend_${mfTag}_plus_100")) Seq()
+        s"manifest_extend_${mfTag}_plus_100",
+        s"manifest_grouped_build_${mfTag}_files",
+        s"pruned_read_grouped_${mfTag}_files",
+        s"manifest_grouped_extend_${mfTag}_plus_100")) Seq()
       else {
       val mfDir = soakTempDir("graft-soak-mf")
       val mfRows = mfFiles * 100L

@@ -169,7 +169,17 @@ object Catalog {
     * This makes the POINTER exactly-once; the artifact dirs a batch
     * writes must themselves be replay-safe (immutable per-batch version
     * dirs, or the s34 write-audit-publish staging pattern) — the same
-    * division of labor Delta's txn-version store uses. */
+    * division of labor Delta's txn-version store uses.
+    *
+    * Concurrency note: replays of the SAME txn id dedupe here, and the
+    * claim protocol guarantees distinct versions under races — but the
+    * refs are whole-world REPLACE semantics. A second INDEPENDENT
+    * writer deriving its refs from the current version must go through
+    * [[commitRetry]] instead, or its world can omit this stream's
+    * artifacts (and vice versa). One streaming committer + any number
+    * of commitRetry writers compose safely only if the streaming side
+    * also re-resolves per batch — the usual single-owner-per-catalog
+    * deployment avoids the question entirely. */
   def commitIdempotent(spark: SparkSession, path: String, txnId: String,
       refs: Map[String, String]): Int = {
     require(!refs.contains("_txn"), "'_txn' is a reserved artifact name")
