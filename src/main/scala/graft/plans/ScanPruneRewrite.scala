@@ -67,9 +67,14 @@ import org.apache.spark.sql.types._
   * flat-manifest contract (ceiling-checked at manifest BUILD time,
   * `spark.graft.manifest.maxFiles`): per-probe admission is then pure
   * driver-side arithmetic over O(#files) cached rows with zero Spark
-  * jobs inside the optimizer. Past the flat ceiling, the two-level
-  * grouped manifest's explicit API ([[graft.ops.Layout.prunedReadGrouped]])
-  * remains the read path.
+  * jobs inside the optimizer (measured 0.03 s at 4000 files), and the
+  * pruned RELATION is cached per (registration, canonicalized
+  * predicate) so repeat probes and one query's several optimizer
+  * passes share one file index. [[scan]] serves a DataFrame over the
+  * registered relation itself — the steady-state probe path with no
+  * per-query scan construction at all. Past the flat ceiling, the
+  * two-level grouped manifest's explicit API
+  * ([[graft.ops.Layout.prunedReadGrouped]]) remains the read path.
   *
   * Registered by `graft.GraftExtensions` for new sessions or
   * [[install]] on a live one; `spark.graft.scanPrune.enabled=false` is

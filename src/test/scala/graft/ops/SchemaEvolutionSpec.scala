@@ -95,6 +95,45 @@ class SchemaEvolutionSpec extends AnyFunSuite with SparkTestBase {
         (10, 4000000000L, 9.25)))
   }
 
+  test("every admitted widening actually READS across mixed epochs") {
+    // the whitelist is only honest if the parquet reader performs each
+    // conversion under a requested schema — pin every admitted pair by
+    // writing a narrow epoch, retyping, writing a wide epoch, reading
+    val cases = Seq(
+      ("tinyint", "smallint", "1", "300"),
+      ("tinyint", "int", "2", "70000"),
+      ("tinyint", "bigint", "3", "5000000000"),
+      ("tinyint", "double", "4", "1.5"),
+      ("smallint", "int", "5", "70000"),
+      ("smallint", "bigint", "6", "5000000000"),
+      ("smallint", "double", "7", "2.5"),
+      ("int", "bigint", "8", "5000000000"),
+      ("int", "double", "9", "3.5"),
+      ("float", "double", "1.25", "4.5"),
+      ("decimal(10,2)", "decimal(18,2)", "12345678.90", "1234567890123456.78"),
+      ("decimal(10,2)", "decimal(20,4)", "12345678.90", "123456789012345.6789"))
+    cases.foreach { case (from, to, narrowV, wideV) =>
+      val root = freshDir("widenrt")
+      val e1 = spark.sql(s"SELECT CAST($narrowV AS $from) AS v")
+      var map = SchemaEvolution.initial(spark, e1.schema)
+      SchemaEvolution.toPhysical(e1, map).write.parquet(s"$root/t/c1")
+      map = SchemaEvolution.retype(spark, map, "v", to)
+      SchemaEvolution.toPhysical(
+        spark.sql(s"SELECT CAST($wideV AS $to) AS v"), map)
+        .write.parquet(s"$root/t/c2")
+      val m = Layout.statsManifest(spark, s"$root/t/c1", Seq("v"))
+        .unionByName(Layout.statsManifest(spark, s"$root/t/c2", Seq("v")))
+      val got = SchemaEvolution.evolvedRead(spark, m, None, map)
+      assert(got.schema("v").dataType.simpleString === to,
+        s"$from -> $to: wrong read type")
+      val expected = spark.sql(
+        s"SELECT CAST(CAST($narrowV AS $from) AS $to) AS v " +
+          s"UNION ALL SELECT CAST($wideV AS $to)").collect().toSet
+      assert(got.collect().toSet === expected,
+        s"$from -> $to: mixed-epoch read returned wrong values")
+    }
+  }
+
   test("retype refuses non-widenable conversions at DDL time") {
     val df = Seq((1, "x")).toDF("k", "s")
     val map = SchemaEvolution.initial(spark, df.schema)
