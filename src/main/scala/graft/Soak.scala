@@ -1170,6 +1170,50 @@ object Soak {
       }
     }
 
+    // ---- GENUINELY CONCURRENT catalog writers at volume: q145 proves
+    // correctness for 2×20; this entry measures the CAS retry loop's
+    // THROUGHPUT under heavier contention — 4 real threads × 25
+    // read-modify-write commits racing one catalog. rows = committed
+    // versions (REQUIREd = 100, every world = predecessor + 1). The
+    // number to watch is wall/commit: each commit is a claim create +
+    // tiny parquet write + marker create, and contention only costs
+    // bounded backoff retries, never a lost update.
+    val concurrentCommitResult: (String, Double, Double, Long) =
+      if (!want("concurrent_commit_race"))
+        ("concurrent_commit_race", skip._1, skip._2, skip._3)
+      else {
+        val ccDir = soakTempDir("graft-soak-ccr")
+        val cat = s"$ccDir/cat"
+        quiesce()
+        measure("concurrent_commit_race") {
+          val pool = java.util.concurrent.Executors.newFixedThreadPool(4)
+          val start = new java.util.concurrent.CountDownLatch(1)
+          def writer(tag: String) =
+            pool.submit(new java.util.concurrent.Callable[Seq[Int]] {
+              def call(): Seq[Int] = {
+                start.await()
+                (1 to 25).map { i =>
+                  ops.Catalog.commitRetry(spark, cat,
+                    base => base + (s"$tag-$i" -> s"ref/$tag-$i"),
+                    maxAttempts = 200)
+                }
+              }
+            })
+          val fs = Seq("a", "b", "c", "d").map(writer)
+          start.countDown()
+          val got = fs.flatMap(_.get(300,
+            java.util.concurrent.TimeUnit.SECONDS))
+          pool.shutdown()
+          require(got.toSet.size == 100,
+            s"commit collision: ${got.sorted.mkString(",")}")
+          val vs = ops.Versions.listVersions(cat)(spark)
+          require(vs == (1 to 100), s"history not dense: ${vs.size}")
+          val finalKeys = ops.Catalog.resolveCurrent(spark, cat).keySet
+          require(finalKeys.size == 100, s"lost updates: ${finalKeys.size}")
+          vs.size.toLong
+        }
+      }
+
     // ---- INGEST FRONT DOOR at 10× (s32's composition, soak-sized):
     // the three admission filters — near-dup vs the frozen corpus LSH
     // index, contamination vs the frozen benchmark fingerprints, token
@@ -1300,7 +1344,8 @@ object Soak {
     val allResults =
       (results ++ ivfProbeResults ++ layoutResults ++ cdcResults ++
         takedownResults ++ mvResults ++ zorderResults ++ joinSkipResults ++
-        shardEpochResults ++ frontDoorResults :+ multiwriterResult)
+        shardEpochResults ++ frontDoorResults :+ multiwriterResult
+        :+ concurrentCommitResult)
         .filter(_._2 >= 0) // drop op-filter skip markers
 
     val auditJson = audits.toSeq.sortBy(_._1).map { case (n, (b, mx, p)) =>
