@@ -5852,12 +5852,12 @@ object SparkEntry {
     }),
 
     // ---- VERSIONED index publish — the lake posture for the vector
-    // store: immutable v<N> dirs + an atomic _current pointer flip
+    // store: immutable v<N> dirs + atomic claim/commit markers
     // (closing save()'s documented at-scale caveat: in-place overwrite
     // is a single mutable slot). v1 = the build; maintenance (add +
     // takedown) publishes v2; the gate reads BOTH — a pinned v1 reader
-    // keeps a consistent snapshot (index time travel) while _current
-    // serves the maintained index -------------------------------------
+    // keeps a consistent snapshot (index time travel) while the newest
+    // committed version serves the maintained index -------------------
     "e33_ivf_versioned" -> ((s, dir) => {
       implicit val sp: SparkSession = s
       val emb = t(s, dir, "embeddings")

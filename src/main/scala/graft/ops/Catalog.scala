@@ -74,17 +74,37 @@ object Catalog {
     * preparation: immutable dirs keyed by content/uuid, the same rule
     * every commit path already follows).
     *
-    * Bounded: after `maxAttempts` conflicts the last conflict is
-    * rethrown — the live-writer case resolves in milliseconds, so
-    * exhausting the budget means a crashed writer's orphaned claim is
-    * blocking the slot (see the failure posture in [[Versions]]). */
+    * Bounded, with a SEPARATE budget per conflict kind — the two mean
+    * opposite things about progress. A STALE EXPECTED (the committed
+    * head advanced past this writer's base) is proof the SYSTEM is
+    * progressing — some writer committed — so it re-prepares almost
+    * immediately (a small growing jitter breaks writer lockstep) and
+    * draws on a generous `16 × maxAttempts` budget: exhausting it
+    * takes hundreds of committed versions landing mid-loop, i.e.
+    * starvation, which deserves the loud throw. A HELD CLAIM (head
+    * unchanged, the slot's claim taken but uncommitted) means this
+    * writer is WAITING, so it backs off exponentially up to ~1 s per
+    * wait — long enough to outlast a slow winner's publish (which
+    * includes a Spark parquet write) — against the `maxAttempts`
+    * budget proper. A head that stays stuck through repeated waits is
+    * a crashed writer's orphaned claim: every few stuck conflicts the
+    * loop invokes [[Versions.cleanOrphanedClaims]] with the lease from
+    * `spark.graft.commit.claimLeaseMs` (default 10 min), so the
+    * catalog self-heals instead of halting until an operator deletes
+    * the claim by hand. The reclaim is self-guarding — it only removes
+    * commit-marker-less claims older than the lease, and a reclaimed-
+    * but-actually-live writer fails its own claim-ownership check
+    * rather than publishing over the reclaim. */
   def commitRetry(spark: SparkSession, path: String,
       prepare: Map[String, String] => Map[String, String],
       maxAttempts: Int = 32,
       committedAt: Option[Long] = None): Int = {
     require(maxAttempts >= 1, s"maxAttempts must be >= 1, got $maxAttempts")
     implicit val s: SparkSession = spark
-    var attempt = 0
+    var stuck = 0 // held-claim conflicts (we are waiting on a publish)
+    var advanced = 0 // stale-expected conflicts (others are committing)
+    var stuckHead = -1 // committed head we keep conflicting on unchanged
+    var stuckRun = 0 // consecutive conflicts on that unchanged head
     while (true) {
       val cur = Versions.currentOr0(path)
       val base =
@@ -94,17 +114,35 @@ object Catalog {
       try return commitCas(spark, path, cur, refs, committedAt)
       catch {
         case e: CommitConflictException =>
-          attempt += 1
-          if (attempt >= maxAttempts) throw e
-          // capped exponential backoff + deterministic jitter: the
-          // in-flight winner's publish includes a (small) Spark write,
-          // so waits must grow into the hundreds of ms to outlast it
-          Thread.sleep(
-            math.min(250L, 2L << math.min(attempt, 7)) + (attempt * 7) % 17)
+          if (e.winner > cur) {
+            advanced += 1
+            if (advanced >= maxAttempts * 16) throw e
+            stuckHead = -1; stuckRun = 0
+            if (advanced >= 3) // repeated losses: break the lockstep
+              Thread.sleep(math.min(50L, advanced.toLong) +
+                (advanced * 7) % 11)
+          } else {
+            stuck += 1
+            if (stuck >= maxAttempts) throw e
+            if (cur == stuckHead) stuckRun += 1
+            else { stuckHead = cur; stuckRun = 1 }
+            if (stuckRun % ReclaimEveryStuck == 0)
+              Versions.cleanOrphanedClaims(path,
+                spark.conf.get(ClaimLeaseConf, "600000").toLong)
+            Thread.sleep(
+              math.min(1000L, 2L << math.min(stuckRun + 1, 9)) +
+                (stuck * 7) % 17)
+          }
       }
     }
     -1 // unreachable
   }
+
+  /** Lease (ms) before [[commitRetry]] treats a commit-marker-less
+    * claim as a crashed writer's orphan and reclaims it — must exceed
+    * the deployment's longest claim-to-commit publish. */
+  val ClaimLeaseConf = "spark.graft.commit.claimLeaseMs"
+  private val ReclaimEveryStuck = 5
 
   /** Sidecar file inside a version dir holding the commit timestamp
     * (millis). Underscore-prefixed, so parquet readers of the refs
@@ -121,9 +159,32 @@ object Catalog {
       spark.sparkContext.hadoopConfiguration)
     val out = fs.create(
       new org.apache.hadoop.fs.Path(dir, TsFile), true)
-    out.write(committedAt.getOrElse(System.currentTimeMillis())
+    out.write(monotonicTs(spark, dir,
+      committedAt.getOrElse(System.currentTimeMillis()))
       .toString.getBytes("UTF-8"))
     out.close()
+  }
+
+  /** Clamp a commit timestamp to `max(predecessor's + 1, requested)` —
+    * the Delta behavior. Without it, writer clock skew (or injected
+    * stamps) can record a version whose PREDECESSOR carries a later
+    * stamp, and [[resolveAsOf]] then names a world that never existed
+    * at the requested instant. Under the CAS paths the predecessor at
+    * write time is exactly `version - 1`, so committed stamps are
+    * strictly increasing; under plain [[commit]] racing writers the
+    * clamp is best-effort (the same narrow window in which plain
+    * commit is already documented as unsafe for read-modify-write).
+    * A predecessor with no stamp (legacy pre-timestamp version) leaves
+    * the requested value as-is. */
+  private def monotonicTs(spark: SparkSession, dir: String,
+      requested: Long): Long = {
+    implicit val s: SparkSession = spark
+    val root = new org.apache.hadoop.fs.Path(dir).getParent.toString
+    val prev = Versions.currentOr0(root)
+    if (prev == 0) requested
+    else
+      try math.max(committedAt(spark, root, prev) + 1L, requested)
+      catch { case _: IllegalArgumentException => requested }
   }
 
   /** The commit timestamp (millis) a version was stamped with. */
@@ -217,9 +278,20 @@ object Catalog {
     * ANY retained version survives regardless of age. Returns the
     * deleted directories. The usual retention caveat applies verbatim
     * from [[Versions]]: a reader pinned to a vacuumed catalog version
-    * loses — size `keep` to the deployment's longest reader. */
+    * loses — size `keep` to the deployment's longest reader.
+    *
+    * CONCURRENT WRITERS: a [[commitRetry]] writer stages its artifact
+    * dirs BEFORE committing the refs that make them live — at that
+    * instant they are unreferenced and a reference-only vacuum would
+    * delete them, landing the racing commit with refs to missing dirs.
+    * `graceMs` is the Delta-style retention guard: artifact children
+    * whose modification time is within the window survive regardless
+    * of references. Size it past the deployment's longest
+    * prepare-to-commit span; the default 0 keeps the single-writer
+    * behavior (vacuum only when no writer is mid-commit). */
   def vacuumKeep(spark: SparkSession, path: String, keep: Int,
-      artifactRoots: Seq[String]): Seq[String] = {
+      artifactRoots: Seq[String], graceMs: Long = 0L): Seq[String] = {
+    require(graceMs >= 0, s"graceMs must be >= 0, got $graceMs")
     implicit val s: SparkSession = spark
     Versions.vacuum(path, keep)
     def norm(p: String): String =
@@ -227,6 +299,7 @@ object Catalog {
     val referenced = Versions.listVersions(path)
       .flatMap(v => resolve(spark, path, v).values)
       .map(norm).toSet
+    val cutoff = System.currentTimeMillis() - graceMs
     val conf = spark.sparkContext.hadoopConfiguration
     artifactRoots.flatMap { root =>
       val fs = graft.io.PathResolver.fsFor(root, conf)
@@ -234,6 +307,7 @@ object Catalog {
       if (!fs.exists(rootPath)) Seq.empty
       else fs.listStatus(rootPath).toSeq
         .filter(_.isDirectory)
+        .filter(_.getModificationTime <= cutoff)
         .map(_.getPath)
         .filterNot(p => referenced.contains(norm(p.toString)))
         .map { p => fs.delete(p, true); p.toString }

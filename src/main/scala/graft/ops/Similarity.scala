@@ -692,10 +692,10 @@ object Similarity {
     // The machinery is the shared [[graft.ops.Versions]] discipline —
     // one implementation for every index family.
 
-    /** Publish `idx` as the next immutable version under `path` and
-      * flip the `_current` pointer to it. Returns the new version
-      * number — the publish shape [[save]]'s scaladoc recommends at
-      * very large index scale. */
+    /** Publish `idx` as the next immutable committed version under
+      * `path` (claim/commit marker discipline — [[Versions.publish]]).
+      * Returns the new version number — the publish shape [[save]]'s
+      * scaladoc recommends at very large index scale. */
     def publish(idx: IvfIndex, path: String): Int = {
       implicit val spark: SparkSession = idx.assigned.sparkSession
       Versions.publish(path, dir => save(idx, dir))
@@ -706,7 +706,7 @@ object Similarity {
         implicit spark: SparkSession): IvfIndex =
       load(Versions.versionDir(path, version))
 
-    /** Load the version `_current` points at. */
+    /** Load the newest committed version. */
     def loadCurrent(path: String)(implicit spark: SparkSession): IvfIndex =
       loadVersion(path, currentVersion(path))
 

@@ -201,9 +201,24 @@ object ScanPruneRewrite extends Rule[LogicalPlan] with PredicateHelper {
         s"'$name' must be a file-source scan (explicit-file snapshot " +
           s"read); got: $other")
     }
+    purgeAdmitCache(name) // a re-registration (same name, newer catalog
+    // version) must never serve the OLD version's cached pruned
+    // relations — admit keys carry no file info, only the predicate
     registry.put(name, Reg(name, rel, statsCols, files))
     install(spark)
   }
+
+  /** Drop every cached pruned relation for `name`. Called on
+    * (re-)registration and unregistration: the cache key is (name,
+    * predicate) with no version/file identity, so any change to the
+    * registered file set would otherwise keep serving the previous
+    * registration's files — a silent stale-snapshot read, or missing-
+    * file failures after vacuum. */
+  private def purgeAdmitCache(name: String): Unit =
+    admitCache.synchronized {
+      admitCache.keySet.asScala.filter(_.name == name).toSeq
+        .foreach(admitCache.remove)
+    }
 
   /** [[register]] a catalog version's base scan — one resolve pins the
     * (manifest, files) pair the catalog committed together. Versions
@@ -248,6 +263,9 @@ object ScanPruneRewrite extends Rule[LogicalPlan] with PredicateHelper {
         scala.collection.immutable.BitSet(
           r.getSeq[Long](1).map(_.toInt): _*)
     }.toMap
+    purgeAdmitCache(name) // cached relations were pruned without this
+    // bloom; keeping them would be lossless (superset admission) but
+    // permanently forfeits the bloom's skipping for those predicates
     registry.put(name, reg.copy(blooms = reg.blooms +
       (colName -> Bloom(colType, mBits, kHashes, byFile))))
   }
@@ -291,10 +309,7 @@ object ScanPruneRewrite extends Rule[LogicalPlan] with PredicateHelper {
 
   def unregister(name: String): Unit = {
     registry.remove(name)
-    admitCache.synchronized {
-      admitCache.keySet.asScala.filter(_.name == name).toSeq
-        .foreach(admitCache.remove)
-    }
+    purgeAdmitCache(name)
     JoinSkipRewrite.unregister(name) // a join-skip reg rides on the scan reg
   }
 

@@ -228,6 +228,66 @@ class CatalogSpec extends AnyFunSuite with SparkTestBase {
       s"expected a missing-input failure, got: $msg")
   }
 
+  test("commit timestamps clamp monotone under writer clock skew") {
+    val path = freshPath()
+    Catalog.commit(spark, path, Map("m" -> "r1"), committedAt = Some(5000L))
+    // skewed writer: wall clock BEHIND the previous committer's
+    Catalog.commit(spark, path, Map("m" -> "r2"), committedAt = Some(1000L))
+    Catalog.commit(spark, path, Map("m" -> "r3"), committedAt = Some(1500L))
+    val stamps = (1 to 3).map(Catalog.committedAt(spark, path, _))
+    assert(stamps === Seq(5000L, 5001L, 5002L),
+      s"stamps must be strictly increasing, got $stamps")
+    // as-of is therefore well-defined: 5000 names v1's world, not a
+    // later version whose predecessor carries a LATER stamp
+    assert(Catalog.resolveAsOf(spark, path, 5000L) === 1)
+    assert(Catalog.resolveAsOf(spark, path, 5001L) === 2)
+    // a sane forward clock is NOT clamped down
+    Catalog.commit(spark, path, Map("m" -> "r4"), committedAt = Some(9000L))
+    assert(Catalog.committedAt(spark, path, 4) === 9000L)
+  }
+
+  test("vacuumKeep grace window spares a concurrent writer's staged artifacts") {
+    val base = java.nio.file.Files.createTempDirectory("graft-vacgrace")
+    val path = base.toString + "/cat"
+    new java.io.File(s"$base/arts/old").mkdirs()
+    new java.io.File(s"$base/arts/old").setLastModified(1000L)
+    Catalog.commit(spark, path, Map("m" -> s"$base/arts/live"))
+    new java.io.File(s"$base/arts/live").mkdirs()
+    // a commitRetry writer has STAGED this dir but not yet committed
+    // the refs that make it live — unreferenced, but young
+    new java.io.File(s"$base/arts/staged").mkdirs()
+    val deleted = Catalog.vacuumKeep(spark, path, keep = 1,
+      Seq(s"$base/arts"), graceMs = 60000L)
+    assert(deleted.map(p => p.substring(p.lastIndexOf('/') + 1)) ===
+      Seq("old"), s"got $deleted")
+    assert(new java.io.File(s"$base/arts/staged").exists(),
+      "a staged dir inside the grace window must survive")
+    assert(new java.io.File(s"$base/arts/live").exists())
+    // graceMs=0 keeps the pure reference-only behavior
+    val deleted2 = Catalog.vacuumKeep(spark, path, keep = 1,
+      Seq(s"$base/arts"), graceMs = 0L)
+    assert(deleted2.exists(_.endsWith("staged")))
+  }
+
+  test("commitRetry self-heals a crash-orphaned claim once the lease expires") {
+    val path = freshPath()
+    Catalog.commit(spark, path, Map("m" -> "r1"))
+    // a writer died between claim and commit: the v2 slot is wedged
+    val dir = new java.io.File(path)
+    val claim = new java.io.File(dir, "_claim.v2")
+    claim.createNewFile()
+    new java.io.File(dir, "v2").mkdirs()
+    claim.setLastModified(1000L) // long past any lease
+    spark.conf.set(Catalog.ClaimLeaseConf, "60000")
+    try {
+      val v = Catalog.commitRetry(spark, path, base => base + ("n" -> "r2"))
+      assert(v === 2, "the reclaimed slot must be committed fresh")
+      assert(Catalog.resolveCurrent(spark, path) ===
+        Map("m" -> "r1", "n" -> "r2"))
+      assert(Versions.listVersions(path)(spark) === Seq(1, 2))
+    } finally spark.conf.unset(Catalog.ClaimLeaseConf)
+  }
+
   test("empty commit refuses") {
     val ex = intercept[IllegalArgumentException] {
       Catalog.commit(spark, freshPath(), Map.empty)

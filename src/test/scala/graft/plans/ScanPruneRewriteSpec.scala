@@ -90,6 +90,38 @@ class ScanPruneRewriteSpec extends AnyFunSuite with SparkTestBase {
     assert(scanRoots(q2).size == 4)
   }
 
+  test("re-registration purges cached pruned relations: the new version's file is served") {
+    val (t, cat) = fixture()
+    val root = new java.io.File(t).getParent
+    ScanPruneRewrite.registerFromCatalog(spark, "rereg", t, cat)
+    try {
+      // warm the admit cache with a point predicate against v1
+      val q1 = pinPlan(ScanPruneRewrite.scan(spark, "rereg")
+        .filter(col("id") === 42L).select("id"))
+      assert(scanRoots(q1).size == 1)
+      assert(q1.count() == 1L)
+      // v2: append a file that ALSO carries id=42, extend, commit
+      spark.range(40, 46).select(col("id"), (col("id") % 5).as("k"),
+          col("id").as("v"), format_string("s%04d", col("id")).as("s"),
+          when(col("id") < 50, col("id")).as("sparse"))
+        .coalesce(1).write.mode("append").parquet(t)
+      val m1 = spark.read.parquet(Catalog.ref(spark, cat, 1, "manifest"))
+      Layout.extendManifest(spark, t, m1, Seq("id", "s", "sparse"))
+        .write.parquet(s"$root/m2")
+      Catalog.commit(spark, cat, Map("manifest" -> s"$root/m2"))
+      // re-register the SAME name against v2 — the natural refresh.
+      // The canonicalized predicate below equals the warmed one, so a
+      // stale admit-cache entry would silently serve v1's file set and
+      // report 1 row instead of 2.
+      ScanPruneRewrite.registerFromCatalog(spark, "rereg", t, cat)
+      val q2 = pinPlan(ScanPruneRewrite.scan(spark, "rereg")
+        .filter(col("id") === 42L).select("id"))
+      assert(q2.count() == 2L,
+        "re-registration must not serve the old version's cached pruning")
+      assert(scanRoots(q2).size == 2) // old id-range file + appended file
+    } finally ScanPruneRewrite.unregister("rereg")
+  }
+
   test("range, BETWEEN, IN, != admission") {
     val (t, cat) = fixture()
     withReg(t, cat, "p2") {
