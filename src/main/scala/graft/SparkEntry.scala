@@ -7011,6 +7011,165 @@ object SparkEntry {
       world(1500L).unionAll(world(2500L)).orderBy("as_of")
     }),
 
+    // ---- CONCURRENT WRITERS ON THE SAME ARTIFACT: q145 proves the
+    // POINTER under real races, but its writers add disjoint keys; the
+    // production shape is two ingest jobs growing ONE table's ONE
+    // manifest. Two real threads each append wave files, run
+    // extendManifest against the CURRENT base from commitRetry's
+    // prepare, and commit the extended manifest — so the loser's
+    // re-prepare must re-extend against the winner's manifest, the
+    // exact step a stale-base caller would skip (silently dropping the
+    // winner's files). REQUIREd: dense 11-version history, every
+    // version's file set = its predecessor's plus exactly one writer's
+    // wave, all 10 waves present; the emitted rows pin the final
+    // content (seed + both writers' full residue classes) against the
+    // oracle ----------------------------------------------------------
+    "q148_concurrent_manifest" -> ((s, dir) => {
+      val tmp = gateScratch("q148")
+      val cat = s"$tmp/cat"
+      val od = t(s, dir, "orders").select("o_orderkey", "o_totalprice")
+      od.filter(col("o_orderkey") % 4 === 0)
+        .repartitionByRange(4, col("o_orderkey"))
+        .write.parquet(s"$tmp/t/seed")
+      ops.Layout.statsManifest(s, s"$tmp/t/seed", Seq("o_orderkey"))
+        .write.parquet(s"$tmp/arts/m-seed")
+      ops.Catalog.commit(s, cat, Map("manifest" -> s"$tmp/arts/m-seed"))
+      val pool = java.util.concurrent.Executors.newFixedThreadPool(2)
+      val start = new java.util.concurrent.CountDownLatch(1)
+      // writer `tag` owns residue class `r0` of o_orderkey % 4; wave i
+      // carries the %20 == r0 + 4i slice, so the 5 waves tile the class
+      def writer(tag: String, r0: Int) =
+        pool.submit(new java.util.concurrent.Callable[Unit] {
+          def call(): Unit = {
+            start.await()
+            (0 until 5).foreach { i =>
+              val waveDir = s"$tmp/t/$tag$i"
+              od.filter(col("o_orderkey") % 20 === (r0 + 4 * i))
+                .coalesce(1).write.parquet(waveDir)
+              ops.Catalog.commitRetry(s, cat, base => {
+                // re-extend against WHATEVER base this attempt sees —
+                // stale-base extends are exactly what loses rows
+                val bm = s.read.parquet(base("manifest"))
+                val ext = ops.Layout.extendManifest(s, waveDir, bm,
+                  Seq("o_orderkey"))
+                val ref = s"$tmp/arts/m-$tag$i-" +
+                  java.util.UUID.randomUUID().toString
+                ext.write.parquet(ref)
+                base + ("manifest" -> ref)
+              })
+            }
+          }
+        })
+      val fa = writer("a", 1); val fb = writer("b", 3)
+      start.countDown()
+      fa.get(300, java.util.concurrent.TimeUnit.SECONDS)
+      fb.get(300, java.util.concurrent.TimeUnit.SECONDS)
+      pool.shutdown()
+      val vs = ops.Versions.listVersions(cat)(s)
+      require(vs == (1 to 11), s"history not dense 1..11: ${vs.mkString(",")}")
+      def fileSet(v: Int): Set[String] =
+        s.read.parquet(ops.Catalog.ref(s, cat, v, "manifest"))
+          .select("file").collect().map(r =>
+            new org.apache.hadoop.fs.Path(r.getString(0)).toUri.getPath).toSet
+      var prev = fileSet(1)
+      var wavesSeen = Set.empty[String]
+      (2 to 11).foreach { v =>
+        val cur = fileSet(v)
+        require(prev.subsetOf(cur),
+          s"v$v lost predecessor files — a stale-base extend landed")
+        val delta = cur -- prev
+        val waveDirs = delta.map(p =>
+          new org.apache.hadoop.fs.Path(p).getParent.getName)
+        require(waveDirs.size == 1,
+          s"v$v's delta spans several waves: $waveDirs")
+        require(!wavesSeen.contains(waveDirs.head),
+          s"wave ${waveDirs.head} committed twice")
+        wavesSeen ++= waveDirs
+        prev = cur
+      }
+      require(wavesSeen ==
+        (0 until 5).flatMap(i => Seq(s"a$i", s"b$i")).toSet,
+        s"missing waves: got $wavesSeen")
+      val finalM = s.read.parquet(ops.Catalog.ref(s, cat, 11, "manifest"))
+      ops.Layout.snapshotRead(s, s"$tmp/t", finalM)
+        .groupBy((col("o_orderkey") % 7).as("grp"))
+        .agg(count(lit(1)).as("n_rows"),
+          sum(col("o_totalprice").cast("decimal(18,2)")).cast("double")
+            .as("sum_price"))
+        .orderBy("grp")
+    }),
+
+    // ---- CONCURRENT GROWTH OF ONE DV SET: the mutation-side sibling
+    // of q148 — two takedown feeds race commitRetry on the SAME "dv"
+    // artifact, each union-ing its wave's addresses onto the CURRENT
+    // base DV. A loser that kept its stale union would silently
+    // resurrect the winner's deleted rows; REQUIREd instead: DV sets
+    // grow monotonically version over version and the final DV is the
+    // exact union of all ten waves. Emitted rows pin the surviving
+    // table content -----------------------------------------------------
+    "q149_concurrent_dv" -> ((s, dir) => {
+      val tmp = gateScratch("q149")
+      val cat = s"$tmp/cat"
+      val li = t(s, dir, "lineitem")
+        .select("l_orderkey", "l_linenumber", "l_returnflag", "l_quantity")
+      li.repartitionByRange(4, col("l_orderkey")).write.parquet(s"$tmp/t")
+      ops.Layout.statsManifest(s, s"$tmp/t", Seq("l_orderkey"))
+        .write.parquet(s"$tmp/arts/m")
+      ops.Catalog.commit(s, cat, Map("manifest" -> s"$tmp/arts/m"))
+      val pool = java.util.concurrent.Executors.newFixedThreadPool(2)
+      val start = new java.util.concurrent.CountDownLatch(1)
+      // writer `tag` deletes residues r0, r0+2, ... of l_orderkey % 20
+      // (a: evens 0..8, b: odds 1..9) — disjoint waves, union = %20 < 10
+      def writer(tag: String, r0: Int) =
+        pool.submit(new java.util.concurrent.Callable[Unit] {
+          def call(): Unit = {
+            start.await()
+            (0 until 5).foreach { i =>
+              // address resolution once per wave (table is static);
+              // the union against the current base re-runs per attempt
+              val waveDv = ops.Layout.deletionVectors(s, s"$tmp/t",
+                  col("l_orderkey") % 20 === (r0 + 2 * i))
+                .localCheckpoint(eager = true)
+              ops.Catalog.commitRetry(s, cat, base => {
+                val dv = base.get("dv")
+                  .map(p => s.read.parquet(p).unionAll(waveDv))
+                  .getOrElse(waveDv)
+                val ref = s"$tmp/arts/dv-$tag$i-" +
+                  java.util.UUID.randomUUID().toString
+                dv.write.parquet(ref)
+                base + ("dv" -> ref)
+              })
+            }
+          }
+        })
+      val fa = writer("a", 0); val fb = writer("b", 1)
+      start.countDown()
+      fa.get(300, java.util.concurrent.TimeUnit.SECONDS)
+      fb.get(300, java.util.concurrent.TimeUnit.SECONDS)
+      pool.shutdown()
+      val vs = ops.Versions.listVersions(cat)(s)
+      require(vs == (1 to 11), s"history not dense 1..11: ${vs.mkString(",")}")
+      def dvAt(v: Int): DataFrame =
+        s.read.parquet(ops.Catalog.ref(s, cat, v, "dv"))
+      (3 to 11).foreach { v =>
+        val lost = dvAt(v - 1).except(dvAt(v)).count()
+        require(lost == 0L,
+          s"v$v resurrected $lost deleted rows — a stale-base union landed")
+      }
+      val expected = ops.Layout.deletionVectors(s, s"$tmp/t",
+        col("l_orderkey") % 20 < 10)
+      require(dvAt(11).except(expected).count() == 0L &&
+        expected.except(dvAt(11)).count() == 0L,
+        "final DV must be the exact union of all ten waves")
+      ops.Layout.snapshotReadWithDeletes(s, s"$tmp/t",
+          s.read.parquet(ops.Catalog.ref(s, cat, 11, "manifest")), dvAt(11))
+        .groupBy("l_returnflag")
+        .agg(count(lit(1)).as("n_rows"),
+          sum(col("l_quantity").cast("decimal(18,2)")).cast("double")
+            .as("sum_qty"))
+        .orderBy("l_returnflag")
+    }),
+
     // ---- THE LAKE LIFECYCLE, END TO END: merge-on-read waves accrue
     // DV debt and row-ordered append files; the manifest-driven
     // maintenance (driven from SQL via graft_maintain) folds them — a
@@ -12659,6 +12818,24 @@ object SparkEntry {
         |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE)
         |FROM orders
         |ORDER BY as_of""".stripMargin,
+
+    // final world = seed (%4=0) + writer a's class (%4=1) + writer b's
+    // class (%4=3); only %4=2 was never ingested
+    "q148_concurrent_manifest" ->
+      """SELECT o_orderkey % 7 AS grp, COUNT(*) AS n_rows,
+        |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE)
+        |    AS sum_price
+        |FROM orders WHERE o_orderkey % 4 <> 2
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    // survivors = rows outside both writers' delete residues
+    // (a: %20 even < 10, b: %20 odd < 10 — union is %20 < 10)
+    "q149_concurrent_dv" ->
+      """SELECT l_returnflag, COUNT(*) AS n_rows,
+        |  CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE)
+        |    AS sum_qty
+        |FROM lineitem WHERE l_orderkey % 20 >= 10
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
 
     // the merged snapshot in closed form: updated rows (+1000), kept
     // rows (neither updated nor deleted), inserted rows (shifted keys)
