@@ -4,6 +4,7 @@ import org.apache.spark.scheduler.{SparkListener, SparkListenerStageCompleted}
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import graft.ops.Ckpt.CkptSyntax
+import scala.jdk.CollectionConverters._
 
 /** Scale soak for the LLM-layer heavyweights: blows the sf tables up
   * 10× (deterministic id offsets; non-first copies get a per-copy text
@@ -1214,6 +1215,64 @@ object Soak {
         }
       }
 
+    // ---- CONTENTION SCALING: the same race at 2/4/8/16 writers with
+    // the TOTAL commit count held at 96, so s/commit isolates how the
+    // backoff policy degrades as writers pile onto one catalog — the
+    // curve an operator needs before deploying N ingest jobs. Each
+    // point runs on a fresh catalog; rows = committed versions
+    // (REQUIREd dense = 96, zero lost updates).
+    val ccrScalingResults: Seq[(String, Double, Double, Long)] = {
+      val active = want("ccr_scaling_2", "ccr_scaling_4", "ccr_scaling_8",
+        "ccr_scaling_16")
+      if (active) {
+        // warm the commit path OUTSIDE the timers: the first parquet
+        // write in a fresh JVM costs seconds of session/codegen warmup
+        // and would masquerade as 2-writer contention in the first point
+        val wDir = soakTempDir("graft-soak-ccrw")
+        (1 to 4).foreach { i =>
+          ops.Catalog.commitRetry(spark, s"$wDir/cat",
+            base => base + (s"warm-$i" -> "ref"))
+        }
+      }
+      Seq(2, 4, 8, 16).map { nWriters =>
+        val name = s"ccr_scaling_$nWriters"
+        if (!active) (name, skip._1, skip._2, skip._3)
+        else {
+          val each = 96 / nWriters
+          val dir = soakTempDir(s"graft-soak-ccrs$nWriters")
+          val cat = s"$dir/cat"
+          measure(name) {
+            val pool =
+              java.util.concurrent.Executors.newFixedThreadPool(nWriters)
+            val start = new java.util.concurrent.CountDownLatch(1)
+            val futs = (0 until nWriters).map { w =>
+              pool.submit(new java.util.concurrent.Callable[Seq[Int]] {
+                def call(): Seq[Int] = {
+                  start.await()
+                  (1 to each).map { i =>
+                    ops.Catalog.commitRetry(spark, cat,
+                      base => base + (s"w$w-$i" -> s"ref/w$w-$i"),
+                      maxAttempts = 400)
+                  }
+                }
+              })
+            }
+            start.countDown()
+            val got = futs.flatMap(_.get(600,
+              java.util.concurrent.TimeUnit.SECONDS))
+            pool.shutdown()
+            require(got.toSet.size == 96,
+              s"$name: commit collision (${got.toSet.size} of 96)")
+            val vs = ops.Versions.listVersions(cat)(spark)
+            require(vs == (1 to 96), s"$name: history not dense: ${vs.size}")
+            require(ops.Catalog.resolveCurrent(spark, cat).size == 96,
+              s"$name: lost updates")
+            96L
+          }
+        }
+      }
+    }
+
     // ---- INGEST FRONT DOOR at 10× (s32's composition, soak-sized):
     // the three admission filters — near-dup vs the frozen corpus LSH
     // index, contamination vs the frozen benchmark fingerprints, token
@@ -1344,18 +1403,30 @@ object Soak {
     val allResults =
       (results ++ ivfProbeResults ++ layoutResults ++ cdcResults ++
         takedownResults ++ mvResults ++ zorderResults ++ joinSkipResults ++
-        shardEpochResults ++ frontDoorResults :+ multiwriterResult
-        :+ concurrentCommitResult)
+        shardEpochResults ++ frontDoorResults ++ ccrScalingResults
+        :+ multiwriterResult :+ concurrentCommitResult)
         .filter(_._2 >= 0) // drop op-filter skip markers
 
     val auditJson = audits.toSeq.sortBy(_._1).map { case (n, (b, mx, p)) =>
       s""""$n": {"dropped_buckets": $b, "max_bucket_sz": $mx, "dropped_candidate_pairs": $p}"""
     }.mkString("{", ", ", "}")
+    // stamp the run configuration INTO the artifact so residency claims
+    // ("50× at the default heap") are carried by the JSON itself, not
+    // by knowledge of how the run was launched
+    val heapPeakMb = java.lang.management.ManagementFactory
+      .getMemoryPoolMXBeans.asScala
+      .filter(_.getType == java.lang.management.MemoryType.HEAP)
+      .map(p => Option(p.getPeakUsage).map(_.getUsed).getOrElse(0L))
+      .sum / 1048576
     val json = allResults.map { case (n, sec, mb, rows) =>
       f""""$n": {"sec": $sec%.2f, "shuffle_mb": $mb%.1f, "rows": $rows}"""
     }.mkString("{", ", ",
       s""", "audits": $auditJson, "copies": $copies, """ +
-      s""""diversity": $diversity, "sf": "$sfDir"}""")
+      s""""diversity": $diversity, "sf": "$sfDir", """ +
+      s""""driver_mem_max_mb": ${Runtime.getRuntime.maxMemory / 1048576}, """ +
+      s""""heap_peak_mb": $heapPeakMb, "cpus": $cpus, """ +
+      s""""shuffle_partitions": ${spark.conf.get(
+        "spark.sql.shuffle.partitions")}}""")
     println(json)
     // a FILTERED run must not clobber the full-suite record (Bench's
     // documented posture): write soak_results.json only for unfiltered

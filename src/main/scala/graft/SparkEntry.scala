@@ -7170,6 +7170,57 @@ object SparkEntry {
         .orderBy("l_returnflag")
     }),
 
+    // ---- PARTITION TUPLES IN MANIFESTS: a hive-partitioned table gets
+    // the same zero-listing snapshot read as a flat one — statsManifest
+    // records each file's partition value (`part_<col>`, the Iceberg
+    // manifest-entry model), snapshotRead reconstructs the partition
+    // column through ManifestFileIndex, a partition filter prunes
+    // partitions from the RECORDED tuples (numFiles metric REQUIREd,
+    // no directory listing), and partition pruning composes with
+    // min/max stats pruning (a manifest filter on part_p AND the id
+    // span admits exactly the intersection's files). Phase 1 pins the
+    // reconstructed content, phase 2 the composed prune's result -------
+    "q150_partitioned_manifest" -> ((s, dir) => {
+      val tmp = gateScratch("q150")
+      val od = t(s, dir, "orders").select("o_orderkey", "o_totalprice")
+        .withColumn("p", (col("o_orderkey") % 4).cast("int"))
+      od.repartitionByRange(2, col("o_orderkey"))
+        .write.partitionBy("p").parquet(s"$tmp/t")
+      val m = ops.Layout.statsManifest(s, s"$tmp/t", Seq("o_orderkey"))
+        .localCheckpoint(eager = true)
+      require(m.columns.contains("part_p") &&
+        m.filter(col("part_p").isNull).count() == 0,
+        "manifest must record every file's partition tuple")
+      val snap = ops.Layout.snapshotRead(s, s"$tmp/t", m)
+      require(snap.columns.contains("p"),
+        "snapshot read must reconstruct the partition column")
+      // partition filter prunes partitions from recorded tuples: the
+      // executed scan reads only partition 2's files (2 of 8)
+      val part2 = snap.filter(col("p") === 2)
+      part2.collect()
+      val numFiles = part2.queryExecution.executedPlan.collectFirst {
+        case f: org.apache.spark.sql.execution.FileSourceScanExec =>
+          f.metrics("numFiles").value
+      }.getOrElse(-1L)
+      require(numFiles == 2,
+        s"partition pruning must scan 2 of 8 files, scanned $numFiles")
+      // composed partition + stats prune: part_p = 2 AND key span
+      val admitted = m.filter(col("part_p") === 2 &&
+        col("max_o_orderkey") >= 100L && col("min_o_orderkey") <= 2000L)
+      val pruned = ops.Layout.snapshotRead(s, s"$tmp/t", admitted)
+        .filter(col("o_orderkey").between(100L, 2000L))
+      require(pruned.inputFiles.length < 8 && pruned.inputFiles.length >= 1,
+        s"composed prune admitted ${pruned.inputFiles.length} of 8 files")
+      require(pruned.inputFiles.forall(_.contains("p=2")),
+        "composed prune admitted a file outside partition 2")
+      def agg(df: DataFrame, phase: Int) = df
+        .groupBy(lit(phase).as("phase"), col("p").cast("int").as("p"))
+        .agg(count(lit(1)).as("n_rows"),
+          sum(col("o_totalprice").cast("decimal(18,2)")).cast("double")
+            .as("sum_price"))
+      agg(snap, 1).unionAll(agg(pruned, 2)).orderBy("phase", "p")
+    }),
+
     // ---- THE LAKE LIFECYCLE, END TO END: merge-on-read waves accrue
     // DV debt and row-ordered append files; the manifest-driven
     // maintenance (driven from SQL via graft_maintain) folds them — a
@@ -7330,6 +7381,109 @@ object SparkEntry {
         .agg(count(lit(1)).as("n_rows"),
           sum(col("o_totalprice").cast("decimal(18,2)")).cast("double")
             .as("total"))
+        .orderBy("grp")
+    }),
+
+    // ---- STREAM × BATCH WRITER INTERLEAVE: s41-s43 commit via
+    // commitIdempotent assuming they OWN the catalog; the realistic
+    // deployment has a batch writer landing commits between
+    // micro-batches. The stream here flips its manifest through
+    // commitIdempotentRetry — txn-keyed (replays of a batch id stay
+    // exactly-once) AND derived from the CURRENT world through the CAS
+    // loop — while a genuinely concurrent batch thread lands 8
+    // read-modify-write commits of its own. REQUIREd: dense 13-version
+    // history, ZERO lost updates in either direction (final world
+    // carries all 8 batch artifacts AND the full stream manifest), and
+    // the stream's batch-prefix invariant restated against the
+    // interleaved history (each successive manifest ref's file set
+    // strictly contains its predecessor's) -----------------------------
+    "s46_stream_batch_interleave" -> ((s, dir) => {
+      val tmp = gateScratch("s46")
+      val docs = t(s, dir, "documents").select("doc_id", "n_chars")
+      val inDir = java.nio.file.Paths.get(tmp, "in")
+      java.nio.file.Files.createDirectories(inDir)
+      (0 until 4).foreach { k =>
+        val shardTmp = s"$tmp/shard$k"
+        docs.filter(pmod(col("doc_id"), lit(4)) === k)
+          .coalesce(1).write.parquet(shardTmp)
+        val part = new java.io.File(shardTmp).listFiles()
+          .filter(_.getName.endsWith(".parquet")).head
+        val dst = inDir.resolve(f"batch-$k%02d.parquet")
+        java.nio.file.Files.move(part.toPath, dst)
+        java.nio.file.Files.setLastModifiedTime(dst,
+          java.nio.file.attribute.FileTime.fromMillis(
+            1700000000000L + k * 60000L))
+      }
+      docs.limit(0).coalesce(1).write.parquet(s"$tmp/t")
+      ops.Layout.statsManifest(s, s"$tmp/t", Seq("doc_id"))
+        .write.parquet(s"$tmp/m/seed")
+      val cat = s"$tmp/cat"
+      ops.Catalog.commit(s, cat, Map("manifest" -> s"$tmp/m/seed"))
+      var manifest = s.read.parquet(s"$tmp/m/seed")
+      // the concurrent batch writer: 8 read-modify-write commits
+      // spread across the stream's micro-batch window
+      val batchErr = new java.util.concurrent.atomic.AtomicReference[Throwable]
+      val batchW = new Thread(() => {
+        try (1 to 8).foreach { i =>
+          ops.Catalog.commitRetry(s, cat,
+            base => base + (s"dim-$i" -> s"ref/dim-$i"))
+          Thread.sleep(120)
+        } catch { case e: Throwable => batchErr.set(e) }
+      })
+      val inSchema = s.read.parquet(inDir.toString).schema
+      batchW.start()
+      withNarrowState(s) {
+        val q = s.readStream.schema(inSchema)
+          .option("maxFilesPerTrigger", "1")
+          .parquet(inDir.toString)
+          .writeStream
+          .foreachBatch { (batch: DataFrame, bid: Long) =>
+            batch.select("doc_id", "n_chars")
+              .repartitionByRange(2, col("doc_id"))
+              .write.mode("append").parquet(s"$tmp/t")
+            ops.Layout.extendManifest(s, s"$tmp/t", manifest, Seq("doc_id"))
+              .write.parquet(s"$tmp/m/v$bid")
+            manifest = s.read.parquet(s"$tmp/m/v$bid")
+            ops.Catalog.commitIdempotentRetry(s, cat, s"batch-$bid",
+              base => base + ("manifest" -> s"$tmp/m/v$bid"))
+            ()
+          }
+          .option("checkpointLocation", s"$tmp/chk")
+          .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+          .start()
+        q.awaitTermination()
+      }
+      batchW.join(120000)
+      require(batchErr.get() == null,
+        s"batch writer failed: ${batchErr.get()}")
+      val vs = ops.Versions.listVersions(cat)(s)
+      require(vs == (1 to 13), s"history not dense 1..13: ${vs.mkString(",")}")
+      val finalRefs = ops.Catalog.resolveCurrent(s, cat)
+      require((1 to 8).forall(i => finalRefs.contains(s"dim-$i")),
+        "the stream's flips dropped a batch writer's artifact")
+      require(finalRefs("manifest") == s"$tmp/m/v3",
+        s"final manifest is ${finalRefs("manifest")}, not the last batch's")
+      // batch-prefix invariant against the INTERLEAVED history: walk
+      // versions in order; each time the manifest ref changes, the new
+      // manifest's file set strictly contains the previous one's
+      var prevRef = ""
+      var prevFiles = Set.empty[String]
+      vs.foreach { v =>
+        val ref = ops.Catalog.resolve(s, cat, v)("manifest")
+        if (ref != prevRef) {
+          val files = s.read.parquet(ref).select("file").collect()
+            .map(_.getString(0)).toSet
+          require(prevFiles.subsetOf(files) &&
+            (prevRef.isEmpty || files.size > prevFiles.size),
+            s"v$v manifest is not a strict superset of its predecessor")
+          prevRef = ref; prevFiles = files
+        }
+      }
+      ops.Layout.snapshotRead(s, s"$tmp/t",
+          s.read.parquet(finalRefs("manifest")))
+        .groupBy(pmod(col("doc_id"), lit(4)).cast("long").as("grp"))
+        .agg(count(lit(1)).as("n_docs"),
+          sum(col("n_chars")).cast("long").as("sum_chars"))
         .orderBy("grp")
     }),
 
@@ -12764,6 +12918,13 @@ object SparkEntry {
         |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total
         |FROM merged GROUP BY 1 ORDER BY 1""".stripMargin,
 
+    // the interleaved stream lands every document exactly once; the
+    // batch writer's commits change the catalog, never the table
+    "s46_stream_batch_interleave" ->
+      """SELECT doc_id % 4 AS grp, COUNT(*) AS n_docs,
+        |  CAST(SUM(n_chars) AS BIGINT) AS sum_chars
+        |FROM documents GROUP BY 1 ORDER BY 1""".stripMargin,
+
     // same merge semantics as q138 through the grouped manifest — the
     // layout changes the COST, never the rows
     "q144_merge_grouped" ->
@@ -12836,6 +12997,21 @@ object SparkEntry {
         |    AS sum_qty
         |FROM lineitem WHERE l_orderkey % 20 >= 10
         |GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    // phase 1 = the reconstructed partitioned snapshot by partition;
+    // phase 2 = partition 2 restricted to the composed key span
+    "q150_partitioned_manifest" ->
+      """SELECT CAST(1 AS INT) AS phase, CAST(o_orderkey % 4 AS INT) AS p,
+        |  COUNT(*) AS n_rows,
+        |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE)
+        |    AS sum_price
+        |FROM orders GROUP BY 2
+        |UNION ALL
+        |SELECT CAST(2 AS INT), CAST(2 AS INT), COUNT(*),
+        |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE)
+        |FROM orders
+        |WHERE o_orderkey % 4 = 2 AND o_orderkey BETWEEN 100 AND 2000
+        |ORDER BY phase, p""".stripMargin,
 
     // the merged snapshot in closed form: updated rows (+1000), kept
     // rows (neither updated nor deleted), inserted rows (shifted keys)

@@ -250,6 +250,34 @@ object Catalog {
       .getOrElse(commit(spark, path, refs + ("_txn" -> txnId)))
   }
 
+  /** [[commitIdempotent]] × [[commitRetry]] — the verb a streaming
+    * committer needs when it does NOT own the catalog alone. Plain
+    * commitIdempotent has whole-world REPLACE semantics (its scaladoc's
+    * concurrency note): a batch writer landing commits between
+    * micro-batches would have its artifacts silently dropped by the
+    * stream's next flip, and vice versa. Here the stream's refs are
+    * DERIVED per attempt — `prepare` receives the current world (so a
+    * concurrent batch writer's artifacts survive) and the result
+    * commits through the CAS loop (so the batch writer can't lose to
+    * the stream either) — while the `_txn` key keeps replays of the
+    * SAME batch id exactly-once: if any retained version already
+    * carries `txnId`, that version is returned and nothing is written.
+    * Replays of one query run serially, so the dedupe lookup and the
+    * commit cannot race THEMSELVES; the genuinely-concurrent party is
+    * the batch writer, which the CAS handles. */
+  def commitIdempotentRetry(spark: SparkSession, path: String,
+      txnId: String,
+      prepare: Map[String, String] => Map[String, String]): Int = {
+    implicit val s: SparkSession = spark
+    Versions.listVersions(path).reverse
+      .find(v => resolve(spark, path, v).get("_txn").contains(txnId))
+      .getOrElse(commitRetry(spark, path, base => {
+        val refs = prepare(base)
+        require(!refs.contains("_txn"), "'_txn' is a reserved artifact name")
+        refs + ("_txn" -> txnId)
+      }))
+  }
+
   /** The (artifact → ref) map at a pinned catalog version. */
   def resolve(spark: SparkSession, path: String,
       version: Int): Map[String, String] =

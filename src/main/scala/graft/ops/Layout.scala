@@ -570,9 +570,15 @@ object Layout {
     // ceiling check BEFORE the stats aggregate: the scan's file-index
     // snapshot is already resolved driver-side, so the count is free
     checkManifestCeiling(spark, scan.inputFiles.length.toLong, dir)
+    // hive-partitioned tables: record each file's partition tuple as
+    // `part_<col>` (every row of a file shares it) — the Iceberg
+    // manifest-entry model — so snapshot reads can reconstruct the
+    // partition columns and prune partitions with zero listings
+    val aggs = statsAggs(cols) ++
+      partitionColsOf(scan).map(c => first(col(c)).as(s"part_$c"))
     val stats = scan
       .groupBy(col("_metadata.file_path").as("file"))
-      .agg(statsAggs(cols).head, statsAggs(cols).tail: _*)
+      .agg(aggs.head, aggs.tail: _*)
       .localCheckpoint(eager = true)
     // zero-row candidates come from the SCAN'S OWN file-index snapshot
     // (inputFiles), never a second directory listing: a file appended
@@ -861,6 +867,17 @@ object Layout {
     }
   }
 
+  /** The scan's hive partition columns (empty for flat tables). */
+  private def partitionColsOf(df: DataFrame): Seq[String] =
+    df.queryExecution.analyzed.collectFirst {
+      case lr: org.apache.spark.sql.execution.datasources.LogicalRelation =>
+        lr.relation match {
+          case fs: org.apache.spark.sql.execution.datasources.HadoopFsRelation =>
+            fs.partitionSchema.map(_.name).toSeq
+          case _ => Seq.empty[String]
+        }
+    }.getOrElse(Seq.empty)
+
   private def statsAggs(cols: Seq[String]): Seq[Column] =
     count(lit(1)).as("n_rows") +:
       // exact file length, recorded at build time so reads can plan
@@ -974,9 +991,19 @@ object Layout {
       // growth-step ceiling: extend is where a long-lived manifest
       // creeps past the bound one append at a time
       checkManifestCeiling(spark, manifest.count() + fresh.length, dir)
-      val stats = spark.read.parquet(fresh.toIndexedSeq: _*)
+      // a partitioned manifest (part_<col> columns) needs the fresh
+      // files read with basePath so their partition values resolve —
+      // an explicit-leaf-path read would silently lose them
+      val partCols = manifest.columns.toSeq
+        .filter(_.startsWith("part_")).map(_.stripPrefix("part_"))
+      val reader =
+        if (partCols.isEmpty) spark.read
+        else spark.read.option("basePath", dir)
+      val aggs = statsAggs(cols) ++
+        partCols.map(c => first(col(c)).as(s"part_$c"))
+      val stats = reader.parquet(fresh.toIndexedSeq: _*)
         .groupBy(col("_metadata.file_path").as("file"))
-        .agg(statsAggs(cols).head, statsAggs(cols).tail: _*)
+        .agg(aggs.head, aggs.tail: _*)
         .localCheckpoint(eager = true) // listed for the zero-row diff
       // fresh files that emitted no stats row are zero-row files —
       // synthesize their entries so they stop re-listing as "new"
@@ -1000,11 +1027,13 @@ object Layout {
       stats: DataFrame): DataFrame = {
     val have = manifest.columns.toSet
     val missing = stats.schema.fields.filterNot(f => have.contains(f.name))
-    // `nulls_*` (post-release addition) and `bytes` (the zero-listing
-    // read path's length column) both upgrade in place as NULL —
-    // "unknown", which the consumers that need them fall back on
+    // `nulls_*` (post-release addition), `bytes` (the zero-listing
+    // read path's length column) and `part_*` (partition tuples) all
+    // upgrade in place as NULL — "unknown", which the consumers that
+    // need them fall back on
     val (upgradable, incompatible) = missing.partition(f =>
-      f.name.startsWith("nulls_") || f.name == "bytes")
+      f.name.startsWith("nulls_") || f.name == "bytes" ||
+        f.name.startsWith("part_"))
     require(incompatible.isEmpty,
       s"manifest schema mismatch: persisted manifest lacks column(s) " +
         s"${incompatible.map(_.name).mkString(", ")} — it was built with " +
@@ -1042,20 +1071,26 @@ object Layout {
     * ([[extendManifest]], [[extendBloomIndex]]). Paths compare
     * scheme-insensitively (URI path component) because
     * `_metadata.file_path` and `FileSystem.listStatus` render the same
-    * file with different scheme spellings. */
+    * file with different scheme spellings. Descends into hive-style
+    * `col=value` partition directories (recursively — multi-level
+    * partitioning nests them) but NEVER into other subdirectories:
+    * commit-dir layouts deliberately keep their epochs invisible to a
+    * root-level extend. */
   private def newDataFiles(spark: org.apache.spark.sql.SparkSession,
       dir: String, index: DataFrame): Array[String] = {
     val known = index.select("file").collect().map(r => uriPath(r.getString(0))).toSet
     val fs = graft.io.PathResolver.fsFor(dir,
       spark.sparkContext.hadoopConfiguration)
-    fs.listStatus(new org.apache.hadoop.fs.Path(dir))
-      .filter(_.isFile)
-      .map(_.getPath.toString)
-      .filter { p => // skip _SUCCESS / hidden files, keep unknown data files
-        val name = new org.apache.hadoop.fs.Path(p).getName
-        !name.startsWith("_") && !name.startsWith(".") &&
-          !known.contains(uriPath(p))
+    def list(p: org.apache.hadoop.fs.Path): Array[String] =
+      fs.listStatus(p).flatMap { st =>
+        val name = st.getPath.getName
+        if (name.startsWith("_") || name.startsWith(".")) Array.empty[String]
+        else if (st.isFile) Array(st.getPath.toString)
+        else if (name.contains("=")) list(st.getPath)
+        else Array.empty[String]
       }
+    list(new org.apache.hadoop.fs.Path(dir))
+      .filter(p => !known.contains(uriPath(p)))
   }
 
   /** Range read that SKIPS files whose `[min, max]` interval from the
@@ -1101,6 +1136,10 @@ object Layout {
     manifestRead(spark, manifest).getOrElse {
       val files = manifest.select("file").collect().map(_.getString(0))
       if (files.isEmpty) spark.read.parquet(dir).limit(0)
+      else if (manifest.columns.exists(_.startsWith("part_")))
+        // partitioned manifest on the listing fallback: basePath keeps
+        // the partition columns an explicit-leaf read would drop
+        spark.read.option("basePath", dir).parquet(files.toIndexedSeq: _*)
       else spark.read.parquet(files.toIndexedSeq: _*)
     }
 
@@ -1114,22 +1153,50 @@ object Layout {
   private def manifestRead(spark: org.apache.spark.sql.SparkSession,
       manifest: DataFrame): Option[DataFrame] = {
     if (!manifest.columns.contains("bytes")) return None
-    val rows = manifest.select("file", "bytes").collect()
+    val partFields = manifest.schema.fields.toSeq
+      .filter(_.name.startsWith("part_"))
+    val wanted = Seq(col("file"), col("bytes")) ++
+      partFields.map(f => col(f.name))
+    val rows = manifest.select(wanted: _*).collect()
     if (rows.isEmpty || rows.exists(_.isNullAt(1))) None
-    else Some(manifestScan(spark,
-      rows.map(r => (r.getString(0), r.getLong(1))).toIndexedSeq))
+    else if (partFields.isEmpty)
+      Some(manifestScan(spark,
+        rows.map(r => (r.getString(0), r.getLong(1))).toIndexedSeq))
+    else if (rows.exists(r =>
+        partFields.indices.exists(i => r.isNullAt(2 + i))))
+      None // unknown partition value (legacy row) — listing fallback
+    else {
+      val partSchema = org.apache.spark.sql.types.StructType(
+        partFields.map(f => org.apache.spark.sql.types.StructField(
+          f.name.stripPrefix("part_"), f.dataType, nullable = true)))
+      val toCat = partFields.map(f =>
+        org.apache.spark.sql.catalyst.CatalystTypeConverters
+          .createToCatalystConverter(f.dataType))
+      val files = rows.map(r => (r.getString(0), r.getLong(1))).toIndexedSeq
+      val values = rows.map(r =>
+        org.apache.spark.sql.catalyst.InternalRow.fromSeq(
+          partFields.indices.map(i => toCat(i)(r.get(2 + i)))))
+        .toIndexedSeq
+      Some(manifestScan(spark, files, partSchema, values))
+    }
   }
 
   /** A parquet DataFrame over exactly these `(path, length)` pairs,
     * planned with zero filesystem calls ([[graft.io.ManifestFileIndex]];
-    * schema from one footer). */
+    * schema from one footer — partition columns, when given, come from
+    * the manifest's recorded tuples and are appended after the data
+    * columns exactly as a root-dir read would). */
   private def manifestScan(spark: org.apache.spark.sql.SparkSession,
-      files: Seq[(String, Long)]): DataFrame = {
+      files: Seq[(String, Long)],
+      partSchema: org.apache.spark.sql.types.StructType =
+        org.apache.spark.sql.types.StructType(Nil),
+      partValues: Seq[org.apache.spark.sql.catalyst.InternalRow] = Nil)
+      : DataFrame = {
     val schema = spark.read.parquet(files.head._1).schema
     val cs = spark.asInstanceOf[org.apache.spark.sql.classic.SparkSession]
     val rel = org.apache.spark.sql.execution.datasources.HadoopFsRelation(
-      new graft.io.ManifestFileIndex(spark, files),
-      partitionSchema = org.apache.spark.sql.types.StructType(Nil),
+      new graft.io.ManifestFileIndex(spark, files, partSchema, partValues),
+      partitionSchema = partSchema,
       dataSchema = schema,
       bucketSpec = None,
       fileFormat = new org.apache.spark.sql.execution.datasources

@@ -228,6 +228,36 @@ class CatalogSpec extends AnyFunSuite with SparkTestBase {
       s"expected a missing-input failure, got: $msg")
   }
 
+  test("commitIdempotentRetry: exactly-once per txn, concurrent writers' artifacts kept") {
+    val path = freshPath()
+    Catalog.commit(spark, path, Map("m" -> "m/v0"))
+    val v2 = Catalog.commitIdempotentRetry(spark, path, "b0",
+      base => base + ("m" -> "m/v1"))
+    assert(v2 === 2)
+    // replay of the same batch id: same version, nothing written —
+    // even with different (wrong) refs, the dedupe wins
+    assert(Catalog.commitIdempotentRetry(spark, path, "b0",
+      base => base + ("m" -> "m/WRONG")) === 2)
+    assert(Versions.listVersions(path)(spark) === Seq(1, 2))
+    assert(Catalog.resolveCurrent(spark, path)("m") === "m/v1")
+    // a batch writer lands BETWEEN stream batches...
+    assert(Catalog.commitRetry(spark, path,
+      base => base + ("dim" -> "d/1")) === 3)
+    // ...and the stream's next flip derives from the current world, so
+    // the batch artifact survives (plain commitIdempotent would drop it)
+    assert(Catalog.commitIdempotentRetry(spark, path, "b1",
+      base => base + ("m" -> "m/v2")) === 4)
+    val w = Catalog.resolveCurrent(spark, path)
+    assert(w("dim") === "d/1" && w("m") === "m/v2")
+    // a LATE replay of b0 still finds its original version
+    assert(Catalog.commitIdempotentRetry(spark, path, "b0",
+      base => base) === 2)
+    assert(intercept[IllegalArgumentException] {
+      Catalog.commitIdempotentRetry(spark, path, "b9",
+        base => base + ("_txn" -> "x"))
+    }.getMessage.contains("_txn"))
+  }
+
   test("commit timestamps clamp monotone under writer clock skew") {
     val path = freshPath()
     Catalog.commit(spark, path, Map("m" -> "r1"), committedAt = Some(5000L))

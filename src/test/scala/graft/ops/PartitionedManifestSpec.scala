@@ -1,0 +1,123 @@
+package graft.ops
+
+import graft.SparkTestBase
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Partition tuples in manifests: statsManifest records `part_<col>`
+  * per file for hive-partitioned tables, snapshotRead reconstructs the
+  * partition columns through the zero-listing ManifestFileIndex plan,
+  * partition filters prune partitions from the recorded tuples (no
+  * directory listing), extendManifest descends into partition dirs and
+  * records the new files' tuples, and partition pruning composes with
+  * min/max stats pruning. */
+class PartitionedManifestSpec extends AnyFunSuite with SparkTestBase {
+
+  import spark.implicits._
+
+  private def freshDir(): String =
+    java.nio.file.Files.createTempDirectory("graft-pmanifest").toString
+
+  /** id 0..199 partitioned by p = id % 4, 2 range-files per partition. */
+  private def fixture(): (String, DataFrame) = {
+    val root = freshDir()
+    val t = s"$root/t"
+    spark.range(200)
+      .select(col("id"), (col("id") % 4).cast("int").as("p"))
+      .repartitionByRange(2, col("id"))
+      .write.partitionBy("p").parquet(t)
+    (t, Layout.statsManifest(spark, t, Seq("id")))
+  }
+
+  private def scanExec(df: DataFrame) =
+    df.queryExecution.executedPlan.collectFirst {
+      case f: org.apache.spark.sql.execution.FileSourceScanExec => f
+    }.getOrElse(fail("no FileSourceScanExec in the plan"))
+
+  test("statsManifest records the partition tuple per file") {
+    val (_, m) = fixture()
+    assert(m.columns.contains("part_p"))
+    assert(m.count() === 8)
+    assert(m.filter(col("part_p").isNull || col("bytes").isNull).count() === 0)
+    // the tuple matches the file's own directory
+    val bad = m.collect().count { r =>
+      !r.getAs[String]("file").contains(s"p=${r.getAs[Int]("part_p")}")
+    }
+    assert(bad === 0)
+    // a partition column doubles as a stats column when asked for
+    val (t2, _) = fixture()
+    val m2 = Layout.statsManifest(spark, t2, Seq("id", "p"))
+    assert(m2.filter(col("min_p") =!= col("max_p")).count() === 0)
+    assert(m2.filter(col("min_p") =!= col("part_p")).count() === 0)
+  }
+
+  test("snapshotRead reconstructs partition columns zero-listing; values exact") {
+    val (t, m) = fixture()
+    val snap = Layout.snapshotRead(spark, t, m)
+    assert(snap.columns.toSeq === Seq("id", "p"))
+    // planned through the manifest index, partition schema intact
+    val loc = scanExec(snap).relation.location
+    assert(loc.isInstanceOf[graft.io.ManifestFileIndex])
+    assert(loc.partitionSchema.fieldNames.toSeq === Seq("p"))
+    // content identical to the root-dir read
+    val full = spark.read.parquet(t)
+    assert(snap.except(full).count() === 0 && full.except(snap).count() === 0)
+    assert(snap.count() === 200)
+  }
+
+  test("a partition filter prunes partitions from recorded tuples") {
+    val (t, m) = fixture()
+    val q = Layout.snapshotRead(spark, t, m).filter(col("p") === 2)
+    assert(q.collect().map(_.getLong(0)).sorted.toSeq ===
+      (0L until 200L).filter(_ % 4 == 2))
+    val exec = scanExec(q)
+    assert(exec.metrics("numFiles").value === 2,
+      s"partition pruning must keep 2 of 8 files, " +
+        s"got ${exec.metrics("numFiles").value}")
+  }
+
+  test("partition pruning composes with min/max stats pruning") {
+    val (t, m) = fixture()
+    // stats prune on id + partition prune on p: manifest filter keeps
+    // partition-2 files whose id span intersects [0, 99] — one file
+    val admitted = m.filter(col("part_p") === 2 &&
+      col("max_id") >= 0 && col("min_id") <= 99)
+    assert(admitted.count() === 1)
+    val r = Layout.snapshotRead(spark, t, admitted)
+      .filter(col("id").between(0, 99))
+    assert(r.inputFiles.length === 1)
+    assert(r.collect().map(_.getLong(0)).sorted.toSeq ===
+      (0L until 100L).filter(_ % 4 == 2))
+  }
+
+  test("extendManifest descends into partition dirs and records new tuples") {
+    val (t, m) = fixture()
+    spark.range(200, 240)
+      .select(col("id"), (col("id") % 4).cast("int").as("p"))
+      .coalesce(1)
+      .write.mode("append").partitionBy("p").parquet(t)
+    val m2 = Layout.extendManifest(spark, t, m, Seq("id"))
+    assert(m2.count() === 12) // 8 original + 4 new (one per partition)
+    assert(m2.filter(col("part_p").isNull).count() === 0)
+    val snap = Layout.snapshotRead(spark, t, m2)
+    assert(snap.count() === 240)
+    assert(snap.filter(col("p") === 1).count() === 60)
+    // the original manifest still reads the PRE-append snapshot
+    assert(Layout.snapshotRead(spark, t, m).count() === 200)
+    // extend ≡ rebuild
+    val rebuilt = Layout.statsManifest(spark, t, Seq("id"))
+    assert(m2.select("file").except(rebuilt.select("file")).count() === 0)
+    assert(rebuilt.select("file").except(m2.select("file")).count() === 0)
+  }
+
+  test("manifest parquet round-trip keeps the partitioned zero-listing plan") {
+    val (t, m) = fixture()
+    val root = freshDir()
+    m.write.parquet(s"$root/m")
+    val snap = Layout.snapshotRead(spark, t, spark.read.parquet(s"$root/m"))
+    assert(scanExec(snap).relation.location
+      .isInstanceOf[graft.io.ManifestFileIndex])
+    assert(snap.filter(col("p") === 3).count() === 50)
+  }
+}
