@@ -612,7 +612,9 @@ object Soak {
         s"manifest_extend_${mfTag}_plus_100",
         s"manifest_grouped_build_${mfTag}_files",
         s"pruned_read_grouped_${mfTag}_files",
-        s"manifest_grouped_extend_${mfTag}_plus_100")) Seq()
+        s"manifest_grouped_extend_${mfTag}_plus_100",
+        s"takedown_address_${mfTag}_files",
+        s"vacuum_orphans_${mfTag}_files")) Seq()
       else {
       val mfDir = soakTempDir("graft-soak-mf")
       val mfRows = mfFiles * 100L
@@ -673,7 +675,30 @@ object Soak {
         ops.Layout.extendManifestGrouped(spark, s"$mfDir/t", s"$mfpDir/mf",
           Seq("k"), groupSize = 256L).count()
       }
-      Seq(rBuild, rPrune, rExtend, rBuildG, rPruneG, rExtendG)
+      // LIFECYCLE COMPOSITION on the same fixture — the remaining two
+      // verbs a production table runs at this file count. Takedown
+      // addressing: 500 scattered keys range-join the manifest rows
+      // (planner-scale) to find the touched files — `rows` records how
+      // few of #files a delete wave actually addresses. Vacuum: the
+      // full listing diff against the live manifest — zero deletions
+      // REQUIREd (everything is tracked), the measure is the diff's
+      // cost at this file count.
+      val fullManifest = ops.Layout.statsManifest(spark, s"$mfDir/t",
+        Seq("k")).localCheckpoint(eager = true)
+      val rAddr = measure(s"takedown_address_${mfTag}_files") {
+        import spark.implicits._
+        val keys = spark.createDataset(
+          (0 until 500).map(i => (mfRows + 20000L) / 500 * i))
+          .toDF("k")
+        ops.Layout.keyTouchedFiles(fullManifest, keys, "k").length.toLong
+      }
+      val rVac = measure(s"vacuum_orphans_${mfTag}_files") {
+        val (nDel, nKeep) = ops.Layout.vacuumOrphans(spark, s"$mfDir/t",
+          Seq(fullManifest))
+        require(nDel == 0, s"vacuum deleted $nDel tracked files")
+        nKeep.toLong
+      }
+      Seq(rBuild, rPrune, rExtend, rBuildG, rPruneG, rExtendG, rAddr, rVac)
     }
 
     // ---- CDC extraction + full-text skipping at volume: snapshotDiff

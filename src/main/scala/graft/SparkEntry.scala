@@ -7221,6 +7221,67 @@ object SparkEntry {
       agg(snap, 1).unionAll(agg(pruned, 2)).orderBy("phase", "p")
     }),
 
+    // ---- partition tuples through the TWO-LEVEL layout: the grouped
+    // build records part_<col> like the flat one, grouped pruned reads
+    // reconstruct the partition column zero-listing, the partition
+    // filter prunes at execution from RECORDED tuples, and the grouped
+    // extend absorbs a partition-preserving append wave ---------------
+    "q151_partitioned_grouped" -> ((s, dir) => {
+      val tmp = gateScratch("q151")
+      val od = t(s, dir, "orders").select("o_orderkey", "o_totalprice")
+        .withColumn("p", (col("o_orderkey") % 4).cast("int"))
+      od.repartitionByRange(3, col("o_orderkey"))
+        .write.partitionBy("p").parquet(s"$tmp/t")
+      ops.Layout.statsManifestPartitioned(s, s"$tmp/t", Seq("o_orderkey"),
+        s"$tmp/mf", groupSize = 4L)
+      val filesTab = s.read.parquet(s"$tmp/mf/files")
+      val nFiles = filesTab.count()
+      require(filesTab.columns.contains("part_p") &&
+        filesTab.filter(col("part_p").isNull).count() == 0,
+        "grouped manifest must record every file's partition tuple")
+      // phase 1: the full snapshot through the grouped layout
+      val snap = ops.Layout.prunedReadGrouped(s, s"$tmp/t", s"$tmp/mf",
+        "o_orderkey", lit(0L), lit(Long.MaxValue))
+      require(snap.columns.contains("p"),
+        "grouped pruned read must reconstruct the partition column")
+      // phase 2: range probe composed with a partition filter — the
+      // executed scan prunes partitions from recorded tuples (no
+      // listing), on top of the group/stats admission
+      val probed = ops.Layout.prunedReadGrouped(s, s"$tmp/t", s"$tmp/mf",
+        "o_orderkey", lit(100L), lit(2000L)).filter(col("p") === 2)
+      probed.collect()
+      val numFiles = probed.queryExecution.executedPlan.collectFirst {
+        case f: org.apache.spark.sql.execution.FileSourceScanExec =>
+          f.metrics("numFiles").value
+      }.getOrElse(-1L)
+      require(numFiles >= 1 && numFiles < nFiles,
+        s"composed partition+stats prune must scan a strict subset: " +
+          s"$numFiles of $nFiles files")
+      // append wave (3e6 ≡ 0 mod 4 keeps p = o_orderkey % 4) absorbed
+      // by the grouped extend, tuples recorded for the new files
+      od.filter(col("o_orderkey") % 10 === 7)
+        .select((col("o_orderkey") + 3000000L).as("o_orderkey"),
+          col("o_totalprice"), col("p"))
+        .coalesce(1).write.mode("append").partitionBy("p")
+        .parquet(s"$tmp/t")
+      ops.Layout.extendManifestGrouped(s, s"$tmp/t", s"$tmp/mf",
+        Seq("o_orderkey"), groupSize = 4L)
+      require(s.read.parquet(s"$tmp/mf/files")
+        .filter(col("part_p").isNull).count() == 0,
+        "grouped extend must record the new files' partition tuples")
+      // phase 3: probe isolated to the new wave, one partition
+      val wave = ops.Layout.prunedReadGrouped(s, s"$tmp/t", s"$tmp/mf",
+        "o_orderkey", lit(3000000L), lit(Long.MaxValue))
+        .filter(col("p") === 3)
+      def agg(df: DataFrame, phase: Int) = df
+        .groupBy(lit(phase).as("phase"), col("p").cast("int").as("p"))
+        .agg(count(lit(1)).as("n_rows"),
+          sum(col("o_totalprice").cast("decimal(18,2)")).cast("double")
+            .as("sum_price"))
+      agg(snap, 1).unionAll(agg(probed, 2)).unionAll(agg(wave, 3))
+        .orderBy("phase", "p")
+    }),
+
     // ---- THE LAKE LIFECYCLE, END TO END: merge-on-read waves accrue
     // DV debt and row-ordered append files; the manifest-driven
     // maintenance (driven from SQL via graft_maintain) folds them — a
@@ -13011,6 +13072,28 @@ object SparkEntry {
         |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE)
         |FROM orders
         |WHERE o_orderkey % 4 = 2 AND o_orderkey BETWEEN 100 AND 2000
+        |ORDER BY phase, p""".stripMargin,
+
+    // phase 1 = the pre-append grouped snapshot (all orders, by
+    // partition); phase 2 = the key-range probe inside partition 2;
+    // phase 3 = the appended wave (keys shifted by 3e6 ≡ 0 mod 4, so
+    // p is still o_orderkey % 4) restricted to partition 3
+    "q151_partitioned_grouped" ->
+      """SELECT CAST(1 AS INT) AS phase, CAST(o_orderkey % 4 AS INT) AS p,
+        |  COUNT(*) AS n_rows,
+        |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE)
+        |    AS sum_price
+        |FROM orders GROUP BY 2
+        |UNION ALL
+        |SELECT CAST(2 AS INT), CAST(2 AS INT), COUNT(*),
+        |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE)
+        |FROM orders
+        |WHERE o_orderkey % 4 = 2 AND o_orderkey BETWEEN 100 AND 2000
+        |UNION ALL
+        |SELECT CAST(3 AS INT), CAST(3 AS INT), COUNT(*),
+        |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE)
+        |FROM orders
+        |WHERE o_orderkey % 10 = 7 AND o_orderkey % 4 = 3
         |ORDER BY phase, p""".stripMargin,
 
     // the merged snapshot in closed form: updated rows (+1000), kept

@@ -631,9 +631,15 @@ object Layout {
     import org.apache.spark.sql.expressions.Window
     import spark.implicits._
     val scan = spark.read.parquet(dir)
+    // hive-partitioned tables: record partition tuples as `part_<col>`,
+    // exactly as the flat [[statsManifest]] does — the grouped read
+    // paths share [[manifestRead]], so the tuples make snapshot reads
+    // reconstruct partition columns with zero listings here too
+    val aggs = statsAggs(cols) ++
+      partitionColsOf(scan).map(c => first(col(c)).as(s"part_$c"))
     val stats = scan
       .groupBy(col("_metadata.file_path").as("file"))
-      .agg(statsAggs(cols).head, statsAggs(cols).tail: _*)
+      .agg(aggs.head, aggs.tail: _*)
       .localCheckpoint(eager = true)
     // zero-row diff DISTRIBUTED (flat statsManifest collects all stats
     // paths for this; here only the MISSING files — normally none —
@@ -693,8 +699,9 @@ object Layout {
           .filter(survive)
         manifestRead(spark, admitted).getOrElse {
           val keep = admitted.select("file").collect().map(_.getString(0))
-          if (keep.isEmpty) spark.read.parquet(dir).limit(0)
-          else spark.read.parquet(keep.toIndexedSeq: _*)
+          explicitFilesRead(spark, dir,
+            admitted.columns.exists(_.startsWith("part_")),
+            keep.toIndexedSeq)
         }
       }
     base.filter(col(colName) >= lo && col(colName) <= hi)
@@ -749,9 +756,19 @@ object Layout {
     if (fresh.isEmpty) groups0
     else {
       checkManifestCeiling(spark, filesTab.count() + fresh.length, dir)
-      val stats = spark.read.parquet(fresh.toIndexedSeq: _*)
+      // partitioned layout (part_<col> columns in the files table):
+      // read the fresh files with basePath so their partition values
+      // resolve — the same contract as the flat [[extendManifest]]
+      val partCols = filesTab.columns.toSeq
+        .filter(_.startsWith("part_")).map(_.stripPrefix("part_"))
+      val reader =
+        if (partCols.isEmpty) spark.read
+        else spark.read.option("basePath", dir)
+      val aggs = statsAggs(cols) ++
+        partCols.map(c => first(col(c)).as(s"part_$c"))
+      val stats = reader.parquet(fresh.toIndexedSeq: _*)
         .groupBy(col("_metadata.file_path").as("file"))
-        .agg(statsAggs(cols).head, statsAggs(cols).tail: _*)
+        .agg(aggs.head, aggs.tail: _*)
         .localCheckpoint(eager = true) // listed for the zero-row diff
       val statsFiles = stats.select("file").collect()
         .map(r => uriPath(r.getString(0))).toSet
@@ -964,9 +981,8 @@ object Layout {
     val keep = manifest
       .filter(coalesce(col(s"nulls_$colName") < col("n_rows"), lit(true)))
       .select("file").collect().map(_.getString(0))
-    val base =
-      if (keep.isEmpty) spark.read.parquet(dir).limit(0)
-      else spark.read.parquet(keep.toIndexedSeq: _*)
+    val base = explicitFilesRead(spark, dir,
+      manifest.columns.exists(_.startsWith("part_")), keep.toIndexedSeq)
     base.filter(col(colName).isNotNull)
   }
 
@@ -1115,8 +1131,8 @@ object Layout {
       .filter(col(s"max_$colName") >= lo && col(s"min_$colName") <= hi)
     val base = manifestRead(spark, admitted).getOrElse {
       val keep = admitted.select("file").collect().map(_.getString(0))
-      if (keep.isEmpty) spark.read.parquet(dir).limit(0)
-      else spark.read.parquet(keep.toIndexedSeq: _*)
+      explicitFilesRead(spark, dir,
+        admitted.columns.exists(_.startsWith("part_")), keep.toIndexedSeq)
     }
     base.filter(col(colName) >= lo && col(colName) <= hi)
   }
@@ -1135,13 +1151,20 @@ object Layout {
       manifest: DataFrame): DataFrame =
     manifestRead(spark, manifest).getOrElse {
       val files = manifest.select("file").collect().map(_.getString(0))
-      if (files.isEmpty) spark.read.parquet(dir).limit(0)
-      else if (manifest.columns.exists(_.startsWith("part_")))
-        // partitioned manifest on the listing fallback: basePath keeps
-        // the partition columns an explicit-leaf read would drop
-        spark.read.option("basePath", dir).parquet(files.toIndexedSeq: _*)
-      else spark.read.parquet(files.toIndexedSeq: _*)
+      explicitFilesRead(spark, dir,
+        manifest.columns.exists(_.startsWith("part_")), files.toIndexedSeq)
     }
+
+  /** Explicit-path listing fallback shared by every manifest consumer:
+    * a PARTITIONED manifest's surviving files must be read with
+    * `basePath` so the partition columns an explicit-leaf read would
+    * silently drop still resolve against the `col=value` dirs. */
+  private def explicitFilesRead(spark: org.apache.spark.sql.SparkSession,
+      dir: String, partitioned: Boolean, files: Seq[String]): DataFrame =
+    if (files.isEmpty) spark.read.parquet(dir).limit(0)
+    else if (partitioned)
+      spark.read.option("basePath", dir).parquet(files: _*)
+    else spark.read.parquet(files: _*)
 
   /** The ZERO-LISTING read: when the manifest carries exact `bytes`
     * (recorded from `_metadata.file_size` at build time), plan the scan

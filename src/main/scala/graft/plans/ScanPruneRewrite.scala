@@ -90,8 +90,15 @@ object ScanPruneRewrite extends Rule[LogicalPlan] with PredicateHelper {
     * file (all-null or zero rows); `nulls` None = unknown (legacy
     * manifest column) — admit. */
   private case class ColStats(min: Any, max: Any, nulls: Option[Long])
+  /** `bytes` (exact file length) and `part` (the file's hive partition
+    * tuple, relation partition-schema field order) ride along when the
+    * manifest recorded them: together they let the pruned swap plan a
+    * [[graft.io.ManifestFileIndex]] — zero filesystem calls — and make
+    * PARTITIONED registrations prunable at all (an `InMemoryFileIndex`
+    * swap would lose the partition values). */
   private case class FileStats(path: String, nRows: Long,
-      cols: Map[String, ColStats])
+      cols: Map[String, ColStats], bytes: Option[Long] = None,
+      part: Option[org.apache.spark.sql.catalyst.InternalRow] = None)
 
   /** Per-file Bloom bit sets for one column ([[graft.ops.Layout.bloomIndex]]
     * layout), keyed by scheme-normalized path. Serves EQUALITY / IN
@@ -170,14 +177,35 @@ object ScanPruneRewrite extends Rule[LogicalPlan] with PredicateHelper {
         "matching the base schema — nothing could ever prune")
     val ordered = statsCols.keys.toSeq
     import org.apache.spark.sql.functions.col
+    val relForParts = base.queryExecution.analyzed.collectFirst {
+      case lr: org.apache.spark.sql.execution.datasources.LogicalRelation =>
+        lr.relation
+    }.collect {
+      case fs: org.apache.spark.sql.execution.datasources.HadoopFsRelation =>
+        fs.partitionSchema
+    }.getOrElse(StructType(Nil))
+    // partition tuples ride along only when the manifest recorded every
+    // partition column with the relation's exact type — otherwise the
+    // registration still works but partitioned pruning stays off
+    val partUsable = relForParts.nonEmpty && relForParts.forall(f =>
+      manifest.schema.fields.exists(mf =>
+        mf.name == s"part_${f.name}" && mf.dataType == f.dataType))
+    val bytesCol =
+      if (manifest.columns.contains("bytes")) col("bytes")
+      else org.apache.spark.sql.functions.lit(null).cast("long")
     val wanted = Seq(col("file"), col("n_rows")) ++ ordered.flatMap { c =>
       val nullsC =
         if (manifest.columns.contains(s"nulls_$c")) col(s"nulls_$c")
         else org.apache.spark.sql.functions.lit(null).cast("long")
       Seq(col(s"min_$c"), col(s"max_$c"), nullsC)
-    }
+    } ++ Seq(bytesCol) ++
+      (if (partUsable) relForParts.map(f => col(s"part_${f.name}")).toSeq
+       else Seq.empty)
     val toCat = ordered.map(c =>
       CatalystTypeConverters.createToCatalystConverter(statsCols(c)))
+    val partToCat = relForParts.map(f =>
+      CatalystTypeConverters.createToCatalystConverter(f.dataType)).toSeq
+    val bytesIdx = 2 + 3 * ordered.size
     val files = manifest.select(wanted: _*).collect().map { r =>
       val cols = ordered.zipWithIndex.map { case (c, i) =>
         val base = 2 + 3 * i
@@ -186,7 +214,14 @@ object ScanPruneRewrite extends Rule[LogicalPlan] with PredicateHelper {
           if (r.isNullAt(base + 1)) null else toCat(i)(r.get(base + 1)),
           if (r.isNullAt(base + 2)) None else Some(r.getLong(base + 2)))
       }.toMap
-      FileStats(r.getString(0), r.getLong(1), cols)
+      val bytes = if (r.isNullAt(bytesIdx)) None else Some(r.getLong(bytesIdx))
+      val part =
+        if (!partUsable ||
+            relForParts.indices.exists(j => r.isNullAt(bytesIdx + 1 + j)))
+          None
+        else Some(org.apache.spark.sql.catalyst.InternalRow.fromSeq(
+          relForParts.indices.map(j => partToCat(j)(r.get(bytesIdx + 1 + j)))))
+      FileStats(r.getString(0), r.getLong(1), cols, bytes, part)
     }.toSeq
     require(files.nonEmpty,
       s"manifest for '$name' describes zero files — an empty version " +
@@ -363,7 +398,13 @@ object ScanPruneRewrite extends Rule[LogicalPlan] with PredicateHelper {
   private def rewrite(cond: Expression, child: LogicalPlan,
       leaf: org.apache.spark.sql.execution.datasources.LogicalRelation,
       reg: Reg): Option[LogicalPlan] = {
-    if (reg.relation.partitionSchema.nonEmpty) return None
+    val partSchema = reg.relation.partitionSchema
+    // a partitioned relation can only be swapped when every file's
+    // partition tuple (and exact length) was recorded — an
+    // InMemoryFileIndex over bare leaf paths would lose the values
+    if (partSchema.nonEmpty &&
+        !reg.files.forall(f => f.bytes.isDefined && f.part.isDefined))
+      return None
     val outIds = leaf.output.map(_.exprId).toSet
     val tests = splitConjunctivePredicates(cond)
       .flatMap(translate(_, outIds, reg))
@@ -379,15 +420,25 @@ object ScanPruneRewrite extends Rule[LogicalPlan] with PredicateHelper {
         // CACHED per (registration, canonicalized predicate): the
         // registration pins an immutable file set, so repeat probes and
         // the re-optimizations of one query (fixpoint batch, EXPLAIN,
-        // execution) reuse one InMemoryFileIndex instead of re-listing
-        // the admitted paths each time.
+        // execution) reuse one file index instead of rebuilding it.
+        // When every admitted file's length is known the swap plans a
+        // ManifestFileIndex (zero filesystem calls, partition tuples
+        // preserved); only a legacy byte-less registration pays the
+        // InMemoryFileIndex listing.
         val key = AdmitKey(reg.name, cond.canonicalized)
         val cached = Option(admitCache.get(key)).getOrElse {
           val spark = SparkSession.active
-          val newLoc =
-            new org.apache.spark.sql.execution.datasources.InMemoryFileIndex(
-              spark, admitted.map(f => new org.apache.hadoop.fs.Path(f.path)),
-              reg.relation.options, Some(reg.relation.dataSchema))
+          val newLoc: org.apache.spark.sql.execution.datasources.FileIndex =
+            if (admitted.forall(_.bytes.isDefined))
+              new graft.io.ManifestFileIndex(spark,
+                admitted.map(f => (f.path, f.bytes.get)),
+                partSchema,
+                if (partSchema.isEmpty) Nil else admitted.map(_.part.get))
+            else
+              new org.apache.spark.sql.execution.datasources
+                .InMemoryFileIndex(
+                spark, admitted.map(f => new org.apache.hadoop.fs.Path(f.path)),
+                reg.relation.options, Some(reg.relation.dataSchema))
           val rel = reg.relation.copy(location = newLoc)(spark)
           admitCache.put(key, rel)
           rel
@@ -395,8 +446,8 @@ object ScanPruneRewrite extends Rule[LogicalPlan] with PredicateHelper {
         leaf.copy(relation = cached)
       }
     val rebuilt = child match {
-      case p: Project if !(p eq leaf) => p.withNewChildren(Seq(newLeaf))
-      case _ => newLeaf
+      case p: Project => p.withNewChildren(Seq(newLeaf))
+      case _ => newLeaf // child IS the leaf relation
     }
     Some(Filter(cond, rebuilt))
   }

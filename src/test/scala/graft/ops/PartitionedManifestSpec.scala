@@ -111,6 +111,66 @@ class PartitionedManifestSpec extends AnyFunSuite with SparkTestBase {
     assert(rebuilt.select("file").except(m2.select("file")).count() === 0)
   }
 
+  test("grouped layout records partition tuples; pruned read reconstructs them") {
+    val (t, _) = fixture()
+    val root = freshDir()
+    Layout.statsManifestPartitioned(spark, t, Seq("id"), s"$root/mf",
+      groupSize = 3L)
+    val filesTab = spark.read.parquet(s"$root/mf/files")
+    assert(filesTab.columns.contains("part_p"))
+    assert(filesTab.filter(col("part_p").isNull).count() === 0)
+    val r = Layout.prunedReadGrouped(spark, t, s"$root/mf", "id",
+      lit(40L), lit(159L))
+    assert(r.columns.toSeq === Seq("id", "p"))
+    // zero-listing plan with the partition schema intact
+    val loc = scanExec(r).relation.location
+    assert(loc.isInstanceOf[graft.io.ManifestFileIndex])
+    assert(loc.partitionSchema.fieldNames.toSeq === Seq("p"))
+    // content and partition values exact vs the root-dir read
+    val expect = spark.read.parquet(t).filter(col("id").between(40L, 159L))
+    assert(r.except(expect).count() === 0 && expect.except(r).count() === 0)
+    // a partition filter on the pruned read keeps only that partition
+    assert(r.filter(col("p") === 1).count() ===
+      (40L until 160L).count(_ % 4 == 1))
+  }
+
+  test("extendManifestGrouped records the new files' partition tuples") {
+    val (t, _) = fixture()
+    val root = freshDir()
+    Layout.statsManifestPartitioned(spark, t, Seq("id"), s"$root/mf",
+      groupSize = 3L)
+    spark.range(200, 240)
+      .select(col("id"), (col("id") % 4).cast("int").as("p"))
+      .coalesce(1)
+      .write.mode("append").partitionBy("p").parquet(t)
+    Layout.extendManifestGrouped(spark, t, s"$root/mf", Seq("id"),
+      groupSize = 3L)
+    val filesTab = spark.read.parquet(s"$root/mf/files")
+    assert(filesTab.count() === 12)
+    assert(filesTab.filter(col("part_p").isNull).count() === 0)
+    val r = Layout.prunedReadGrouped(spark, t, s"$root/mf", "id",
+      lit(190L), lit(239L))
+    assert(r.columns.toSeq === Seq("id", "p"))
+    assert(r.count() === 50)
+    assert(r.filter(col("p") === 3).collect().map(_.getLong(0)).sorted
+      .toSeq === (190L until 240L).filter(_ % 4 == 3))
+  }
+
+  test("listing fallback (unknown tuple) still keeps the partition column") {
+    val (t, m) = fixture()
+    // a legacy row with an unknown partition value forces the explicit-
+    // path fallback; basePath must keep the partition column resolving
+    val legacy = m.withColumn("part_p",
+      when(col("file").contains("p=0"), lit(null).cast("int"))
+        .otherwise(col("part_p")))
+    val snap = Layout.snapshotRead(spark, t, legacy)
+    assert(!scanExec(snap).relation.location
+      .isInstanceOf[graft.io.ManifestFileIndex])
+    assert(snap.columns.toSeq === Seq("id", "p"))
+    assert(snap.count() === 200)
+    assert(snap.filter(col("p") === 0).count() === 50)
+  }
+
   test("manifest parquet round-trip keeps the partitioned zero-listing plan") {
     val (t, m) = fixture()
     val root = freshDir()

@@ -122,6 +122,38 @@ class ScanPruneRewriteSpec extends AnyFunSuite with SparkTestBase {
     } finally ScanPruneRewrite.unregister("rereg")
   }
 
+  test("partitioned registration: stats admission composes with partition pruning") {
+    val root = freshDir()
+    val t = s"$root/t"
+    spark.range(200).select(col("id"), (col("id") % 4).cast("int").as("p"))
+      .repartitionByRange(2, col("id"))
+      .write.partitionBy("p").parquet(t)
+    graft.ops.Layout.statsManifest(spark, t, Seq("id"))
+      .write.parquet(s"$root/m1")
+    Catalog.commit(spark, s"$root/cat", Map("manifest" -> s"$root/m1"))
+    ScanPruneRewrite.registerFromCatalog(spark, "ppart", t, s"$root/cat")
+    try {
+      val q = pinPlan(ScanPruneRewrite.scan(spark, "ppart")
+        .filter(col("id") < 50L && col("p") === 2))
+      assert(q.collect().map(_.getLong(0)).sorted.toSeq ===
+        (0L until 50L).filter(_ % 4 == 2),
+        "pruned result must equal the unpruned filter")
+      // stats admission dropped the high-id files (strict subset)…
+      val roots = scanRoots(q)
+      assert(roots.nonEmpty && roots.size < 8,
+        s"stats admission must drop files on a partitioned scan: $roots")
+      // …and partition pruning then keeps only p=2's admitted files,
+      // from RECORDED tuples (the swap is a ManifestFileIndex)
+      val exec = q.queryExecution.executedPlan.collectFirst {
+        case f: org.apache.spark.sql.execution.FileSourceScanExec => f
+      }.getOrElse(fail("no file scan"))
+      assert(exec.relation.location.isInstanceOf[graft.io.ManifestFileIndex])
+      assert(exec.metrics("numFiles").value ===
+        roots.count(_.contains("p=2")).toLong)
+      assert(exec.metrics("numFiles").value < roots.size)
+    } finally ScanPruneRewrite.unregister("ppart")
+  }
+
   test("range, BETWEEN, IN, != admission") {
     val (t, cat) = fixture()
     withReg(t, cat, "p2") {
