@@ -1097,16 +1097,29 @@ object Layout {
     val known = index.select("file").collect().map(r => uriPath(r.getString(0))).toSet
     val fs = graft.io.PathResolver.fsFor(dir,
       spark.sparkContext.hadoopConfiguration)
-    def list(p: org.apache.hadoop.fs.Path): Array[String] =
+    dataFilePaths(fs, dir).map(_.toString)
+      .filter(p => !known.contains(uriPath(p)))
+  }
+
+  /** Data-file listing discipline shared by the extend diffs and
+    * [[vacuumOrphans]]: skips metadata/hidden entries, descends
+    * recursively into hive-style `col=value` partition directories
+    * (multi-level partitioning nests them) but NEVER into other
+    * subdirectories — commit-dir layouts deliberately keep their
+    * epochs invisible to a root-level listing. */
+  private def dataFilePaths(fs: org.apache.hadoop.fs.FileSystem,
+      dir: String): Array[org.apache.hadoop.fs.Path] = {
+    def list(p: org.apache.hadoop.fs.Path)
+        : Array[org.apache.hadoop.fs.Path] =
       fs.listStatus(p).flatMap { st =>
         val name = st.getPath.getName
-        if (name.startsWith("_") || name.startsWith(".")) Array.empty[String]
-        else if (st.isFile) Array(st.getPath.toString)
+        if (name.startsWith("_") || name.startsWith("."))
+          Array.empty[org.apache.hadoop.fs.Path]
+        else if (st.isFile) Array(st.getPath)
         else if (name.contains("=")) list(st.getPath)
-        else Array.empty[String]
+        else Array.empty[org.apache.hadoop.fs.Path]
       }
     list(new org.apache.hadoop.fs.Path(dir))
-      .filter(p => !known.contains(uriPath(p)))
   }
 
   /** Range read that SKIPS files whose `[min, max]` interval from the
@@ -1806,12 +1819,10 @@ object Layout {
     val live = liveFileSet(retained, "file")
     val fs = graft.io.PathResolver.fsFor(dir,
       spark.sparkContext.hadoopConfiguration)
-    val (keep, orphan) = fs.listStatus(new org.apache.hadoop.fs.Path(dir))
-      .filter(_.isFile)
-      .map(_.getPath)
-      .filterNot { p => // metadata/hidden files are not data files
-        p.getName.startsWith("_") || p.getName.startsWith(".")
-      }
+    // the shared listing descends `col=value` partition dirs, so
+    // orphans inside a hive-partitioned table are reclaimed too (a
+    // top-level-only listing would silently GC nothing there)
+    val (keep, orphan) = dataFilePaths(fs, dir)
       .partition(p => live.contains(uriPath(p.toString)))
     orphan.foreach(p => fs.delete(p, false))
     (orphan.length, keep.length)

@@ -352,6 +352,30 @@ class DataSkippingSpec extends AnyFunSuite with SparkTestBase {
     }
   }
 
+  test("vacuumOrphans reclaims orphans inside hive partition dirs") {
+    val dir = freshDir("gcpart")
+    spark.range(100)
+      .select(col("id").as("k"), (col("id") % 4).cast("int").as("p"))
+      .repartitionByRange(2, col("k"))
+      .write.mode("overwrite").partitionBy("p").parquet(dir)
+    val v1 = Layout.statsManifest(spark, dir, Seq("k"))
+      .localCheckpoint(eager = true)
+    val nLive = v1.count()
+    // plant an orphan INSIDE a partition dir — a top-level-only listing
+    // would never see it
+    val pDir = new java.io.File(dir, "p=1")
+    val donor = pDir.listFiles().filter(_.getName.endsWith(".parquet")).head
+    java.nio.file.Files.copy(donor.toPath,
+      java.nio.file.Paths.get(pDir.toString, "part-orphan.parquet"))
+    val (deleted, kept) = Layout.vacuumOrphans(spark, dir, Seq(v1))
+    assert(deleted === 1 && kept === nLive)
+    assert(!new java.io.File(pDir, "part-orphan.parquet").exists())
+    // retained snapshot unaffected, partition column intact
+    val snap = Layout.snapshotRead(spark, dir, v1)
+    assert(snap.count() === 100L)
+    assert(snap.filter(col("p") === 1).count() === 25L)
+  }
+
   test("bloomRead: lossless skipping on an unclustered column") {
     val dir = freshDir("bloom")
     // layout clustered on k; v = (k·733) mod 2000 is a permutation that

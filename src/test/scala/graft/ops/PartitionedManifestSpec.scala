@@ -171,6 +171,21 @@ class PartitionedManifestSpec extends AnyFunSuite with SparkTestBase {
     assert(snap.filter(col("p") === 0).count() === 50)
   }
 
+  test("DV subtraction composes with the partitioned zero-listing read") {
+    val (t, m) = fixture()
+    // delete every id ≡ 0 (mod 10): addresses from the table scan, the
+    // anti-join must match the ManifestFileIndex scan's file_path
+    // rendering (ManifestScanSpec pins the parity this relies on)
+    val dv = Layout.deletionVectors(spark, t, col("id") % 10 === 0)
+    val r = Layout.snapshotReadWithDeletes(spark, t, m, dv)
+    assert(r.columns.toSeq === Seq("id", "p"))
+    assert(r.count() === 180)
+    assert(r.filter(col("id") % 10 === 0).count() === 0)
+    // partition filter still prunes on the DV-subtracted read
+    assert(r.filter(col("p") === 2).collect().map(_.getLong(0)).sorted
+      .toSeq === (0L until 200L).filter(k => k % 4 == 2 && k % 10 != 0))
+  }
+
   test("manifest parquet round-trip keeps the partitioned zero-listing plan") {
     val (t, m) = fixture()
     val root = freshDir()
