@@ -618,10 +618,23 @@ object Soak {
       else {
       val mfDir = soakTempDir("graft-soak-mf")
       val mfRows = mfFiles * 100L
-      spark.range(0, mfRows)
+      val fixture = spark.range(0, mfRows)
         .select(col("id").as("k"), (col("id") % 97).as("v"))
-        .repartitionByRange(mfFiles, col("k"))
-        .write.mode("overwrite").parquet(s"$mfDir/t")
+      // ≤10^5 files: one range task per file (the layout every recorded
+      // battery used). Past that a task-per-file write stage collapses
+      // on scheduling overhead in local mode (10^6 tasks ≈ hours), so
+      // the writer ROLLS files with maxRecordsPerFile inside ~10^3
+      // sorted range tasks — same resulting layout (each file 100
+      // contiguous-k rows; tasks' tail files may run short), at a
+      // planner-scale task count
+      if (mfFiles <= 100000)
+        fixture.repartitionByRange(mfFiles, col("k"))
+          .write.mode("overwrite").parquet(s"$mfDir/t")
+      else
+        fixture.repartitionByRange(1024, col("k"))
+          .sortWithinPartitions("k")
+          .write.option("maxRecordsPerFile", "100")
+          .mode("overwrite").parquet(s"$mfDir/t")
       quiesce()
       var manifest: org.apache.spark.sql.DataFrame = null
       val rBuild = measure(s"manifest_build_${mfTag}_files") {
