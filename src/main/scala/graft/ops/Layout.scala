@@ -351,6 +351,7 @@ object Layout {
     require(targetRowsPerFile > 0, "targetRowsPerFile must be positive")
     require(minRowsPerFile > 0, "minRowsPerFile must be positive")
     requireEmptyOutDir(spark, outDir, "compactSmall")
+    refusePartitioned(spark, inDir, "compactSmall")
     val perFile = spark.read.parquet(inDir)
       .groupBy(col("_metadata.file_path").as("file"))
       .agg(count(lit(1)).as("n_rows"))
@@ -398,6 +399,7 @@ object Layout {
       inDir: String, outDir: String, changes: DataFrame, keyCol: String,
       deleteCol: String = "is_delete"): Int = {
     requireEmptyOutDir(spark, outDir, "mergeIntoLayout")
+    refusePartitioned(spark, inDir, "mergeIntoLayout")
     val manifest = statsManifest(spark, inDir, Seq(keyCol))
       .select(col("file"), col(s"min_$keyCol").as("graft_lo"),
         col(s"max_$keyCol").as("graft_hi"))
@@ -885,6 +887,25 @@ object Layout {
   }
 
   /** The scan's hive partition columns (empty for flat tables). */
+  /** Byte-for-byte file copies do not carry hive partition values (the
+    * values live in the DIRECTORY names, not the file bytes), so the
+    * stream-copy maintenance ops ([[compactSmall]], [[mergeIntoLayout]],
+    * [[compactDeletes]]) refuse partitioned inputs loudly — copied rows
+    * would otherwise silently read with NULL partition columns in the
+    * flat output. [[compact]] is the partitioned-table path: its full
+    * rewrite materializes the partition columns into the output files. */
+  private def refusePartitioned(spark: org.apache.spark.sql.SparkSession,
+      inDir: String, op: String): Unit = {
+    val parts = partitionColsOf(spark.read.parquet(inDir))
+    require(parts.isEmpty,
+      s"$op cannot stream-copy files of a hive-partitioned table ($inDir " +
+        s"is partitioned by ${parts.mkString(", ")}): copied leaf bytes do " +
+        "not carry the partition values, so the flat output would silently " +
+        "read those rows with NULL partition columns. Use compact (a full " +
+        "rewrite materializes the partition columns) or run per partition " +
+        "directory.")
+  }
+
   private def partitionColsOf(df: DataFrame): Seq[String] =
     df.queryExecution.analyzed.collectFirst {
       case lr: org.apache.spark.sql.execution.datasources.LogicalRelation =>
@@ -1178,6 +1199,18 @@ object Layout {
     else if (partitioned)
       spark.read.option("basePath", dir).parquet(files: _*)
     else spark.read.parquet(files: _*)
+
+  /** [[explicitFilesRead]] for index consumers whose index carries no
+    * partition tuples (bloom / join-skip file lists): a partitioned
+    * table's leaf files live in `col=value` dirs, so partitioning is
+    * detected from the admitted PATHS themselves — zero extra I/O —
+    * and the read gets basePath. Without it a probe's result would
+    * silently lack the partition columns the full scan carries. */
+  private def explicitIndexRead(spark: org.apache.spark.sql.SparkSession,
+      dir: String, files: Seq[String]): DataFrame =
+    explicitFilesRead(spark, dir,
+      files.exists(p => new org.apache.hadoop.fs.Path(p)
+        .getParent.getName.contains("=")), files)
 
   /** The ZERO-LISTING read: when the manifest carries exact `bytes`
     * (recorded from `_metadata.file_size` at build time), plan the scan
@@ -1493,10 +1526,8 @@ object Layout {
       .map(i => array_contains(col("bits"), bloomBit(value, i, mBits)))
       .reduce(_ && _)
     val keep = index.filter(hit).select("file").collect().map(_.getString(0))
-    val base =
-      if (keep.isEmpty) spark.read.parquet(dir).limit(0)
-      else spark.read.parquet(keep.toIndexedSeq: _*)
-    base.filter(col(colName) === value)
+    explicitIndexRead(spark, dir, keep.toIndexedSeq)
+      .filter(col(colName) === value)
   }
 
   /** DYNAMIC FILE SKIPPING FOR JOINS — the file-level runtime filter.
@@ -1586,8 +1617,7 @@ object Layout {
       dir: String, manifestDir: String, dimKeys: DataFrame,
       keyCol: String): DataFrame = {
     val files = joinSkipFilesGrouped(spark, manifestDir, dimKeys, keyCol)
-    if (files.isEmpty) spark.read.parquet(dir).limit(0)
-    else spark.read.parquet(files: _*)
+    explicitIndexRead(spark, dir, files)
   }
 
   /** The join-pruned fact scan: read ONLY the files [[joinSkipFiles]]
@@ -1612,8 +1642,7 @@ object Layout {
     val files = admitted
       .map(_.collect().map(_.getString(0)).toSet)
       .reduce(_ intersect _)
-    if (files.isEmpty) spark.read.parquet(dir).limit(0)
-    else spark.read.parquet(files.toIndexedSeq: _*)
+    explicitIndexRead(spark, dir, files.toSeq.sorted)
   }
 
   /** FULL-TEXT file skipping: a per-file Bloom filter over the TOKEN
@@ -1683,11 +1712,9 @@ object Layout {
       .map(i => array_contains(col("bits"), bloomBit(probe, i, mBits)))
       .reduce(_ && _)
     val keep = index.filter(hit).select("file").collect().map(_.getString(0))
-    val base =
-      if (keep.isEmpty) spark.read.parquet(dir).limit(0)
-      else spark.read.parquet(keep.toIndexedSeq: _*)
-    base.filter(array_contains(
-      graft.functions.TextFunctions.tokens(col(textCol)), probe))
+    explicitIndexRead(spark, dir, keep.toIndexedSeq)
+      .filter(array_contains(
+        graft.functions.TextFunctions.tokens(col(textCol)), probe))
   }
 
   /** [[tokenBloomRead]] over a DV-mutated table — full-text search that
@@ -1706,11 +1733,9 @@ object Layout {
       .map(i => array_contains(col("bits"), bloomBit(probe, i, mBits)))
       .reduce(_ && _)
     val keep = index.filter(hit).select("file").collect().map(_.getString(0))
-    val base =
-      if (keep.isEmpty) spark.read.parquet(dir).limit(0)
-      else spark.read.parquet(keep.toIndexedSeq: _*)
-    applyDv(base, dv).filter(array_contains(
-      graft.functions.TextFunctions.tokens(col(textCol)), probe))
+    applyDv(explicitIndexRead(spark, dir, keep.toIndexedSeq), dv)
+      .filter(array_contains(
+        graft.functions.TextFunctions.tokens(col(textCol)), probe))
   }
 
   /** DV COMPACTION — the rewrite half of the deletion-vector contract
@@ -1736,6 +1761,7 @@ object Layout {
     // rebind scans it — a previously-used outDir would double-count
     // rows and rebind DVs against stale part-files. Fail loudly instead.
     requireEmptyOutDir(spark, outDir, "compactDeletes")
+    refusePartitioned(spark, inDir, "compactDeletes")
     val dvFrozen = dv.ckpt // counted + split below
     val counts = spark.read.parquet(inDir)
       .groupBy(col("_metadata.file_path").as("file"))
@@ -2079,8 +2105,15 @@ object Layout {
 
     val baseSchema = spark.read.parquet(dir).schema
     val outCols = (baseSchema.fieldNames.toSeq :+ "_change_type").map(col)
+    // partitioned manifests: the base schema includes the partition
+    // columns, so the changed-file reads need basePath to resolve them
+    // (explicit-leaf reads would fail the outCols select); basePath
+    // adds no files — the only-changed-files scan contract holds
+    val partitioned = (newManifest.columns ++ oldManifest.columns)
+      .exists(_.startsWith("part_"))
     def readFiles(fs: Seq[String]): DataFrame =
-      spark.read.parquet(fs: _*)
+      if (partitioned) spark.read.option("basePath", dir).parquet(fs: _*)
+      else spark.read.parquet(fs: _*)
     // file-free empty frame: a `limit(0)` over the directory would drag
     // every table file into the plan's input set and break the
     // only-changed-files scan contract the spec pins via inputFiles

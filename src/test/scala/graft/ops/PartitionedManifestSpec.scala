@@ -186,6 +186,65 @@ class PartitionedManifestSpec extends AnyFunSuite with SparkTestBase {
       .toSeq === (0L until 200L).filter(k => k % 4 == 2 && k % 10 != 0))
   }
 
+  test("snapshotDiff between partitioned versions keeps the partition column") {
+    val (t, m1) = fixture()
+    spark.range(200, 240)
+      .select(col("id"), (col("id") % 4).cast("int").as("p"))
+      .coalesce(1).write.mode("append").partitionBy("p").parquet(t)
+    val m2 = Layout.extendManifest(spark, t, m1, Seq("id"))
+    val dv0 = Layout.deletionVectors(spark, t, lit(false))
+      .localCheckpoint(eager = true)
+    val dv1 = Layout.deletionVectors(spark, t,
+      col("id") % 50 === 0 && col("id") < 200).localCheckpoint(eager = true)
+    val diff = Layout.snapshotDiff(spark, t, m1, m2, dv0, dv1)
+    assert(diff.columns.toSeq === Seq("id", "p", "_change_type"))
+    val ins = diff.filter(col("_change_type") === "insert")
+    assert(ins.count() === 40)
+    assert(ins.filter(col("p") =!= col("id") % 4).count() === 0)
+    val del = diff.filter(col("_change_type") === "delete")
+      .select("id", "p").collect().map(r => (r.getLong(0), r.getInt(1)))
+    assert(del.sorted.toSeq === Seq((0L, 0), (50L, 2), (100L, 0), (150L, 2)))
+  }
+
+  test("stream-copy maintenance refuses partitioned inputs; compact materializes") {
+    val (t, _) = fixture()
+    val out = freshDir()
+    // byte-for-byte copies would silently drop partition values → loud
+    val e = intercept[IllegalArgumentException] {
+      Layout.compactSmall(spark, t, s"$out/cs", "id",
+        targetRowsPerFile = 100L, minRowsPerFile = 10L)
+    }
+    assert(e.getMessage.contains("partitioned by p"))
+    intercept[IllegalArgumentException] {
+      Layout.mergeIntoLayout(spark, t, s"$out/ml",
+        spark.range(5).select(col("id"), lit(false).as("is_delete")), "id")
+    }
+    // the full rewrite is the partitioned path: partition values are
+    // materialized as a data column in the flat output
+    Layout.compact(spark, t, s"$out/c", "id", targetRowsPerFile = 100L)
+    val c = spark.read.parquet(s"$out/c")
+    assert(c.count() === 200)
+    assert(c.filter(col("p") =!= col("id") % 4).count() === 0)
+  }
+
+  test("bloom and join-skip probes keep the partition column (path-shape detection)") {
+    val (t, m) = fixture()
+    // bloomRead's index has no part_ tuples — partitioning is detected
+    // from the admitted leaf paths (col=value parent dirs)
+    val bi = Layout.bloomIndex(spark, t, "id").localCheckpoint(eager = true)
+    val hit = Layout.bloomRead(spark, t, bi, "id", lit(42L))
+    assert(hit.columns.toSeq === Seq("id", "p"))
+    assert(hit.collect().map(r => (r.getLong(0), r.getInt(1))).toSeq ===
+      Seq((42L, 2)))
+    // join-skip read over the stats manifest: same schema as the scan
+    val dim = spark.range(10, 14).toDF("id")
+    val js = Layout.joinSkipRead(spark, t, Some(m), None, dim, "id")
+    assert(js.columns.toSeq === Seq("id", "p"))
+    val joined = js.join(dim, "id")
+    assert(joined.count() === 4)
+    assert(joined.filter(col("p") =!= col("id") % 4).count() === 0)
+  }
+
   test("manifest parquet round-trip keeps the partitioned zero-listing plan") {
     val (t, m) = fixture()
     val root = freshDir()
