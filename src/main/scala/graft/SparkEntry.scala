@@ -7282,6 +7282,44 @@ object SparkEntry {
         .orderBy("phase", "p")
     }),
 
+    // ---- partitioned CDC: the change feed of a hive-partitioned
+    // table between two (manifest, DV) versions keeps its partition
+    // column — inserts from the appended wave's files (read with
+    // basePath), deletes from the DV delta on shared files; the diff
+    // scans only changed files, never the table --------------------
+    "q152_partitioned_cdc" -> ((s, dir) => {
+      val tmp = gateScratch("q152")
+      val od = t(s, dir, "orders").select("o_orderkey", "o_totalprice")
+        .withColumn("p", (col("o_orderkey") % 4).cast("int"))
+      od.repartitionByRange(2, col("o_orderkey"))
+        .write.partitionBy("p").parquet(s"$tmp/t")
+      val m1 = ops.Layout.statsManifest(s, s"$tmp/t", Seq("o_orderkey"))
+        .localCheckpoint(eager = true)
+      val dv1 = ops.Layout.deletionVectors(s, s"$tmp/t", lit(false))
+        .localCheckpoint(eager = true)
+      // wave: append shifted keys (3e6 ≡ 0 mod 4 preserves p), then
+      // DV-delete every original key ≡ 5 (mod 100) — all in p = 1
+      od.filter(col("o_orderkey") % 10 === 7)
+        .select((col("o_orderkey") + 3000000L).as("o_orderkey"),
+          col("o_totalprice"), col("p"))
+        .coalesce(1).write.mode("append").partitionBy("p")
+        .parquet(s"$tmp/t")
+      val m2 = ops.Layout.extendManifest(s, s"$tmp/t", m1, Seq("o_orderkey"))
+        .localCheckpoint(eager = true)
+      val dv2 = ops.Layout.deletionVectorsForKeys(s, s"$tmp/t",
+        od.filter(col("o_orderkey") % 100 === 5).select("o_orderkey"),
+        "o_orderkey").localCheckpoint(eager = true)
+      val diff = ops.Layout.snapshotDiff(s, s"$tmp/t", m1, m2, dv1, dv2)
+      require(diff.columns.toSeq ==
+        Seq("o_orderkey", "o_totalprice", "p", "_change_type"),
+        s"partitioned CDC must keep the partition column: ${diff.columns.toSeq}")
+      diff.groupBy(col("_change_type"), col("p").cast("int").as("p"))
+        .agg(count(lit(1)).as("n_rows"),
+          sum(col("o_totalprice").cast("decimal(18,2)")).cast("double")
+            .as("sum_price"))
+        .orderBy("_change_type", "p")
+    }),
+
     // ---- THE LAKE LIFECYCLE, END TO END: merge-on-read waves accrue
     // DV debt and row-ordered append files; the manifest-driven
     // maintenance (driven from SQL via graft_maintain) folds them — a
@@ -13095,6 +13133,21 @@ object SparkEntry {
         |FROM orders
         |WHERE o_orderkey % 10 = 7 AND o_orderkey % 4 = 3
         |ORDER BY phase, p""".stripMargin,
+
+    // deletes = the DV'd original keys (≡ 5 mod 100, hence all in
+    // p = 1 since 100 ≡ 0 mod 4); inserts = the appended wave (keys
+    // shifted by 3e6 ≡ 0 mod 4, so p is still o_orderkey % 4)
+    "q152_partitioned_cdc" ->
+      """SELECT 'delete' AS _change_type, CAST(1 AS INT) AS p,
+        |  COUNT(*) AS n_rows,
+        |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE)
+        |    AS sum_price
+        |FROM orders WHERE o_orderkey % 100 = 5
+        |UNION ALL
+        |SELECT 'insert', CAST(o_orderkey % 4 AS INT), COUNT(*),
+        |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE)
+        |FROM orders WHERE o_orderkey % 10 = 7 GROUP BY 2
+        |ORDER BY _change_type, p""".stripMargin,
 
     // the merged snapshot in closed form: updated rows (+1000), kept
     // rows (neither updated nor deleted), inserted rows (shifted keys)
