@@ -174,6 +174,19 @@ object Layout {
     val baseRefs = Catalog.resolve(spark, catalogPath, baseVersion)
     val manifest = spark.read.parquet(refs("manifest"))
       .localCheckpoint(eager = true) // pinned: read twice + diffed below
+    // a hive-partitioned current version cannot be delta-clustered:
+    // the rewritten delta files would carry the partition column as a
+    // data column while the kept base files encode it in their dirs —
+    // a mixed layout no single read can plan. The FULL optimizeZorder
+    // is the partitioned path (it rewrites every live row, so the
+    // whole new version materializes the partition columns uniformly).
+    require(!manifest.columns.exists(_.startsWith("part_")),
+      "optimizeZorderDelta cannot cluster a hive-partitioned version " +
+        "(its manifest carries part_* tuples): keeping base files in " +
+        "col=value dirs while delta files materialize the partition " +
+        "column as data would leave a mixed layout no read can plan. " +
+        "Run the full optimizeZorder instead — it rewrites every live " +
+        "row and the new version is uniformly flat.")
     val baseManifest = spark.read.parquet(baseRefs("manifest"))
     // planner-scale file-set diff (manifests are O(#files) rows — the
     // same driver contract every manifest consumer pays)

@@ -245,6 +245,43 @@ class PartitionedManifestSpec extends AnyFunSuite with SparkTestBase {
     assert(joined.filter(col("p") =!= col("id") % 4).count() === 0)
   }
 
+  test("full OPTIMIZE z-order clusters a partitioned catalog; delta pass refuses") {
+    val (t, m) = fixture()
+    val root = freshDir()
+    m.write.parquet(s"$root/m1")
+    Catalog.commit(spark, s"$root/cat", Map("manifest" -> s"$root/m1"))
+    // full rewrite: the snapshot reconstructs p, the new version
+    // materializes it uniformly as a data column — partitioned in,
+    // flat-clustered out, zero lost rows
+    val v = Layout.optimizeZorder(spark, t, s"$root/cat", root,
+      "id", "p", bits = 8, numFiles = 4, statsCols = Seq("id", "p"))
+    val refs = Catalog.resolve(spark, s"$root/cat", v)
+    val snap = Layout.snapshotRead(spark, t,
+      spark.read.parquet(refs("manifest")))
+    assert(snap.count() === 200)
+    assert(snap.columns.toSeq.sorted === Seq("id", "p"))
+    assert(snap.filter(col("p") =!= col("id") % 4).count() === 0)
+    // the DELTA pass refuses a partitioned current version loudly:
+    // base files in col=value dirs + flat rewritten delta files would
+    // be a mixed layout no single read can plan
+    val root2 = freshDir()
+    val (t2, m2) = fixture()
+    m2.write.parquet(s"$root2/m1")
+    val v1 = Catalog.commit(spark, s"$root2/cat",
+      Map("manifest" -> s"$root2/m1"))
+    spark.range(200, 240)
+      .select(col("id"), (col("id") % 4).cast("int").as("p"))
+      .coalesce(1).write.mode("append").partitionBy("p").parquet(t2)
+    Layout.extendManifest(spark, t2, m2, Seq("id"))
+      .write.parquet(s"$root2/m2")
+    Catalog.commit(spark, s"$root2/cat", Map("manifest" -> s"$root2/m2"))
+    val e = intercept[IllegalArgumentException] {
+      Layout.optimizeZorderDelta(spark, t2, s"$root2/cat", root2,
+        v1, "id", "p", bits = 8, numFiles = 2, statsCols = Seq("id", "p"))
+    }
+    assert(e.getMessage.contains("optimizeZorderDelta cannot cluster"))
+  }
+
   test("manifest parquet round-trip keeps the partitioned zero-listing plan") {
     val (t, m) = fixture()
     val root = freshDir()
