@@ -150,13 +150,40 @@ object Catalog {
     * atomically part of the version. */
   private val TsFile = "_committed_at"
 
+  /** The refs table's parquet schema — the same logical shape Spark's
+    * writer produced for `toDF("artifact","ref")` (two optional UTF8
+    * binaries), so histories written by either writer read back through
+    * either reader. */
+  private val RefsSchema = org.apache.parquet.schema.MessageTypeParser
+    .parseMessageType(
+      "message refs { optional binary artifact (UTF8); " +
+        "optional binary ref (UTF8); }")
+
   private def writeVersion(spark: SparkSession, dir: String,
       refs: Map[String, String], committedAt: Option[Long]): Unit = {
-    import spark.implicits._
-    refs.toSeq.sortBy(_._1).toDF("artifact", "ref")
-      .coalesce(1).write.parquet(dir)
-    val fs = graft.io.PathResolver.fsFor(dir,
-      spark.sparkContext.hadoopConfiguration)
+    // The refs table is O(#artifacts) rows — bytes. Writing it through
+    // a Spark job (FileFormatWriter + commit protocol) costs ~100 ms of
+    // pure scheduling per COMMIT; at planner scale this is driver-side
+    // metadata, so write the single parquet file directly (parquet-mr),
+    // the way lake formats write their commit logs.
+    val conf = spark.sparkContext.hadoopConfiguration
+    val fs = graft.io.PathResolver.fsFor(dir, conf)
+    val dirPath = new org.apache.hadoop.fs.Path(dir)
+    fs.mkdirs(dirPath)
+    val file = new org.apache.hadoop.fs.Path(dirPath, "part-00000.parquet")
+    val writer = org.apache.parquet.hadoop.example.ExampleParquetWriter
+      .builder(org.apache.parquet.hadoop.util.HadoopOutputFile
+        .fromPath(file, conf))
+      .withType(RefsSchema)
+      .withConf(conf)
+      .withCompressionCodec(
+        org.apache.parquet.hadoop.metadata.CompressionCodecName.SNAPPY)
+      .build()
+    val factory =
+      new org.apache.parquet.example.data.simple.SimpleGroupFactory(RefsSchema)
+    try refs.toSeq.sortBy(_._1).foreach { case (a, r) =>
+      writer.write(factory.newGroup().append("artifact", a).append("ref", r))
+    } finally writer.close()
     val out = fs.create(
       new org.apache.hadoop.fs.Path(dir, TsFile), true)
     out.write(monotonicTs(spark, dir,
@@ -278,13 +305,41 @@ object Catalog {
       }))
   }
 
-  /** The (artifact → ref) map at a pinned catalog version. */
+  /** The (artifact → ref) map at a pinned catalog version. Reads the
+    * tiny refs table directly (parquet-mr, no Spark job): a resolve is
+    * planner-scale metadata on every commit/read hot path — paying a
+    * full Spark read job (~50-100 ms scheduling) per resolve dominated
+    * the commit-heavy gates. Reads files written by either this
+    * module's direct writer or the pre-r19 Spark writer (same logical
+    * schema). */
   def resolve(spark: SparkSession, path: String,
-      version: Int): Map[String, String] =
-    spark.read.parquet(Versions.versionDir(path, version))
-      .collect()
-      .map(r => r.getAs[String]("artifact") -> r.getAs[String]("ref"))
-      .toMap
+      version: Int): Map[String, String] = {
+    val dir = Versions.versionDir(path, version)
+    val conf = spark.sparkContext.hadoopConfiguration
+    val fs = graft.io.PathResolver.fsFor(dir, conf)
+    val dirPath = new org.apache.hadoop.fs.Path(dir)
+    val files = fs.listStatus(dirPath).iterator
+      .map(_.getPath)
+      .filter(p => p.getName.endsWith(".parquet"))
+      .toSeq
+    val out = Map.newBuilder[String, String]
+    files.foreach { f =>
+      val reader = org.apache.parquet.hadoop.ParquetReader
+        .builder(
+          new org.apache.parquet.hadoop.example.GroupReadSupport(),
+          f)
+        .withConf(conf)
+        .build()
+      try {
+        var g = reader.read()
+        while (g != null) {
+          out += g.getString("artifact", 0) -> g.getString("ref", 0)
+          g = reader.read()
+        }
+      } finally reader.close()
+    }
+    out.result()
+  }
 
   /** The map at the version the atomic pointer names right now. */
   def resolveCurrent(spark: SparkSession, path: String): Map[String, String] =
