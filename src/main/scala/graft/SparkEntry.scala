@@ -6104,7 +6104,12 @@ object SparkEntry {
             // files whose doc_id span intersects the batch are scanned
             val grown = dv.unionAll(ops.Layout.deletionVectorsForKeysPruned(
               s, s"$tmp/t", m, batch, "doc_id"))
-            grown.write.parquet(s"$tmp/dv/v$bid")
+            // delta-scale artifact: single-file persist, or each DV
+            // version inherits its predecessor's part files plus the
+            // wave's and reads snowball (guide §6 output sizing).
+            // repartition, NOT coalesce: the wave's addresses come from
+            // an un-materialized pruned scan that must stay parallel
+            grown.repartition(1).write.parquet(s"$tmp/dv/v$bid")
             val dvNew = s.read.parquet(s"$tmp/dv/v$bid")
             // the view rolls by the CDF between the two DV versions —
             // no base re-aggregation, delta-scale only
@@ -6198,7 +6203,12 @@ object SparkEntry {
             dv.unionAll(ops.Layout.deletionVectorsForKeysPruned(
                 s, s"$tmp/t", m2,
                 batch.filter(col("is_delete")).select("doc_id"), "doc_id"))
-              .write.parquet(s"$tmp/dv/v$bid")
+              // delta-scale artifact: single-file persist (guide §6) —
+              // unioned DV chains otherwise snowball part files.
+              // repartition, NOT coalesce: the wave's addresses come
+              // from an un-materialized pruned scan that must stay
+              // parallel
+              .repartition(1).write.parquet(s"$tmp/dv/v$bid")
             val dv2 = s.read.parquet(s"$tmp/dv/v$bid")
             // the change feed between the two (manifest, DV) versions
             // drives the hybrid refresh; delete-touched groups read
@@ -6630,7 +6640,10 @@ object SparkEntry {
             val add = ops.Layout.commitAppend(s,
               batch.repartitionByRange(2, col("l_orderkey")),
               s"$tmp/t", zStats)
-            manifest.unionByName(add).write.parquet(s"$tmp/m/a$bid")
+            // planner-scale artifact (1-file read ∪ coalesced stats):
+            // single-task persist, or the chain snowballs part files
+            manifest.unionByName(add).coalesce(1)
+              .write.parquet(s"$tmp/m/a$bid")
             manifest = s.read.parquet(s"$tmp/m/a$bid")
             ops.Catalog.commitIdempotent(s, cat, s"append-$bid",
               Map("manifest" -> s"$tmp/m/a$bid"))
@@ -7136,7 +7149,12 @@ object SparkEntry {
                   .getOrElse(waveDv)
                 val ref = s"$tmp/arts/dv-$tag$i-" +
                   java.util.UUID.randomUUID().toString
-                dv.write.parquet(ref)
+                // delta-scale artifact: single-task persist (guide §6)
+                // — each version otherwise inherits its predecessor's
+                // part files plus the wave's, and by v11 every commit
+                // attempt re-reads ~40 tiny files (measured 15.5 s of
+                // this gate's 27 s profile)
+                dv.coalesce(1).write.parquet(ref)
                 base + ("dv" -> ref)
               })
             }

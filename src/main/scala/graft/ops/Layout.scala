@@ -220,12 +220,15 @@ object Layout {
     val newManifest = alignManifestSchema(keptBase, deltaStats)
       .unionByName(deltaStats)
     val mDir = s"$artifactDir/m-zdelta-$tag"
-    newManifest.write.parquet(mDir)
+    // planner-scale artifact, both inputs materialized/tiny-file reads:
+    // single-task persist (guide §6 — see statsManifest's return)
+    newManifest.coalesce(1).write.parquet(mDir)
     val keptDv = dv.map(_.filter(!isDelta(col("file"))))
     keptDv.filter(d => !d.isEmpty) match {
       case Some(d) =>
         val dvDir = s"$artifactDir/dv-zdelta-$tag"
-        d.write.parquet(dvDir)
+        // delta-scale artifact off a checkpointed frame: single task
+        d.coalesce(1).write.parquet(dvDir)
         Catalog.commit(spark, catalogPath,
           Map("manifest" -> mDir, "dv" -> dvDir))
       case None =>
@@ -499,7 +502,9 @@ object Layout {
       .unionByName(newStats)
     val tag = java.util.UUID.randomUUID().toString.replace("-", "")
     val mDir = s"$artifactDir/m-merge-$tag"
-    newManifest.write.parquet(mDir)
+    // planner-scale artifact (ckpt'd base ∪ coalesced fresh stats):
+    // single-task persist, or merge chains snowball part files
+    newManifest.coalesce(1).write.parquet(mDir)
     // artifact carry-forward policy: `colmap` rides along (the schema
     // mapping is data-independent — [[SchemaEvolution]] tables keep
     // their schema across merges), but secondary indexes (bloom,
@@ -514,7 +519,11 @@ object Layout {
       (if (dvAll.isEmpty) Map("manifest" -> mDir)
       else {
         val dvDir = s"$artifactDir/dv-merge-$tag"
-        dvAll.write.parquet(dvDir)
+        // delta-scale artifact; repartition (NOT coalesce) because the
+        // new addresses come from an un-materialized pruned scan —
+        // coalesce(1) would serialize that scan, repartition keeps it
+        // parallel and shuffles only (file, pos) rows
+        dvAll.repartition(1).write.parquet(dvDir)
         Map("manifest" -> mDir, "dv" -> dvDir)
       })
     txnId match {
@@ -604,7 +613,15 @@ object Layout {
       .map(r => uriPath(r.getString(0))).toSet
     val zeroRow = scan.inputFiles
       .filterNot(p => statsFiles.contains(uriPath(p)))
-    withZeroRowEntries(stats, zeroRow.toSeq)
+    // single partition on the RETURNED frame: a manifest is planner-
+    // scale by contract (≤ the maxFiles ceiling, ~40 bytes/row), and
+    // callers persist it per version — without this, each persist
+    // writes one part-file per upstream partition and every re-read
+    // pays per-file open/footer cost (guide §6 output sizing; the
+    // Iceberg posture: manifests are written single-threaded). The
+    // stats aggregate itself still ran distributed (checkpointed
+    // above); only the already-materialized rows funnel into one task.
+    withZeroRowEntries(stats, zeroRow.toSeq).coalesce(1)
   }
 
   /** MANIFEST-OF-MANIFESTS — the read path past the flat ceiling. The
@@ -1060,8 +1077,14 @@ object Layout {
       val statsFiles = stats.select("file").collect()
         .map(r => uriPath(r.getString(0))).toSet
       val zeroRow = fresh.filterNot(p => statsFiles.contains(uriPath(p)))
+      // single partition, same rationale as [[statsManifest]]'s return:
+      // a persisted extend-chain otherwise snowballs part files (each
+      // version's write inherits its predecessor's partitions plus the
+      // wave's), so version k costs O(k) file opens to read and O(k)
+      // task commits to write, with the manifest ceiling bounding rows
+      // at planner scale either way
       alignManifestSchema(manifest, stats)
-        .unionAll(withZeroRowEntries(stats, zeroRow.toSeq))
+        .unionAll(withZeroRowEntries(stats, zeroRow.toSeq)).coalesce(1)
     }
   }
 
@@ -1512,6 +1535,10 @@ object Layout {
             bloomBit(col(colName), i, mBits)): _*)).as("bit"))
         .groupBy("file")
         .agg(collect_set(col("bit")).as("bits")))
+      // planner-scale rows; the groupBy's exchange keeps the hashing
+      // distributed — only the final tiny agg + union run single-task
+      // (persisted extend-chains otherwise snowball part files)
+      .coalesce(1)
   }
 
   /** [[extendBloomIndex]] for a self-describing [[bloomIndexSized]]
@@ -1707,6 +1734,8 @@ object Layout {
             bloomBit(col("tok"), i, mBits)): _*)).as("bit"))
         .groupBy("file")
         .agg(collect_set(col("bit")).as("bits")))
+      // same single-task persist rationale as [[extendBloomIndex]]
+      .coalesce(1)
   }
 
   /** Token search through a [[tokenBloomIndex]]: scan only the files
