@@ -150,7 +150,32 @@ object Bench {
     val compact =
       s"""{"metric":"total","value":$total,"unit":"sec","top_queries":$top,"n_queries":${results.size},"reps":$reps,"failed":$failed,$jvm,"sf":"$sfDir","note":"top_queries holds top-25 by time; full per-query map in bench_results.json"}"""
     println(s"BENCH_JSON: $compact")
-    println(compact)
+    // Measurement-contract fix (r20): the driver records only the last
+    // 2000 chars of stdout and parses the last complete JSON line in
+    // that tail — PERF_r19 shows the consequence of a tail without a
+    // "queries" key (n_common=0, bench_ok=false, empty scaling map; no
+    // round's tail has ever parsed with one, BENCH_r09..r19 checked).
+    // The full 325-entry map is ~9 KB and can never fit, so emit a
+    // FINAL line carrying the contract keys with as many per-query
+    // entries as fit the tail budget, largest-time first (those drive
+    // any per-query perf/scaling comparison; the omitted tail queries
+    // are each well under a second). The complete map still lives in
+    // the full line above and in bench_results.json. Nothing may be
+    // printed after this line.
+    val sorted = results.filter(_._2 >= 0).sortBy(-_._2)
+    val fixedPart =
+      s"""{"metric":"total","value":$total,"unit":"sec","sf":"$sfDir","n_queries":${results.size},"reps":$reps,"failed":$failed,$jvm,"note":"queries holds the top-N by time that fit the driver's 2000-char stdout tail; full map in bench_results.json","queries":{}}"""
+    val budget = 1900 - fixedPart.length
+    val entries = scala.collection.mutable.ArrayBuffer[String]()
+    var used = 0
+    sorted.foreach { case (k, v) =>
+      val e = "\"" + k + "\":" +
+        String.format(java.util.Locale.ROOT, "%.3f", Double.box(v))
+      if (used + e.length + 1 <= budget) { entries += e; used += e.length + 1 }
+    }
+    val contract = fixedPart.replace("\"queries\":{}",
+      "\"queries\":" + entries.mkString("{", ",", "}"))
+    println(contract)
     // the driver keeps only a short tail of stdout, which truncates the
     // per-query map — persist the COMPLETE result line so every query's
     // timing survives into the repo history

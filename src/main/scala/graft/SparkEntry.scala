@@ -261,6 +261,19 @@ object SparkEntry {
     try f finally s.conf.set("spark.sql.shuffle.partitions", prev)
   }
 
+  /** Bound a grow-only state fold's partition count before pinning it:
+    * `state = state.unionAll(delta).ckpt` chains otherwise ACCUMULATE
+    * partitions every micro-batch (union = sum of parents), and each
+    * eager checkpoint re-materializes all of them as tasks — quadratic
+    * task volume over a stream's life (s37 measured 4048 tasks for
+    * ~190 admitted rows). Coalesce to the session's configured shuffle
+    * parallelism: scale-adaptive (conf-driven, no local[32] constant),
+    * no shuffle (narrow), and a no-op when the frame is already at or
+    * below it. */
+  private def foldBound(s: SparkSession, df: DataFrame): DataFrame =
+    df.coalesce(
+      math.max(1, s.conf.get("spark.sql.shuffle.partitions").toInt))
+
   /** Shared micro-batch machinery for the memory-sink streaming gates:
     * narrow state partitions, a unique sink name, and the
     * self-terminating `Trigger.AvailableNow` (processes everything
@@ -7169,15 +7182,34 @@ object SparkEntry {
       require(vs == (1 to 11), s"history not dense 1..11: ${vs.mkString(",")}")
       def dvAt(v: Int): DataFrame =
         s.read.parquet(ops.Catalog.ref(s, cat, v, "dv"))
-      (3 to 11).foreach { v =>
-        val lost = dvAt(v - 1).except(dvAt(v)).count()
-        require(lost == 0L,
-          s"v$v resurrected $lost deleted rows — a stale-base union landed")
-      }
+      // same assertion as the per-pair loop (v_{k-1} ⊆ v_k for every
+      // consecutive committed pair), folded into ONE action: nine
+      // except().count() queries were 9 AQE executions' worth of jobs
+      // and broadcast futures in the r20 profile. (file, pos) is
+      // non-null by construction, so the anti-join ≡ except here.
+      val tagged = (2 to 11).map(v => dvAt(v)
+        .select(col("file"), col("pos"), lit(v).as("graft_v")))
+        .reduce(_ unionAll _).localCheckpoint(eager = true)
+      val lostRows = tagged.filter(col("graft_v") < 11)
+        .withColumn("graft_v", col("graft_v") + 1)
+        .join(tagged, Seq("file", "pos", "graft_v"), "left_anti")
+        .groupBy("graft_v").agg(count(lit(1)).as("lost"))
+        .collect()
+      require(lostRows.isEmpty,
+        "resurrected deleted rows — a stale-base union landed: " +
+          lostRows.map(r => s"v${r.getInt(0)}: ${r.getLong(1)}")
+            .mkString(", "))
       val expected = ops.Layout.deletionVectors(s, s"$tmp/t",
         col("l_orderkey") % 20 < 10)
-      require(dvAt(11).except(expected).count() == 0L &&
-        expected.except(dvAt(11)).count() == 0L,
+      // exact-set equality as one symmetric-difference action instead
+      // of two except().count() queries (emptiness is equivalent)
+      val symDiff = tagged.filter(col("graft_v") === 11)
+        .select(col("file"), col("pos"), lit(1).as("graft_f"))
+        .join(expected.withColumn("graft_e", lit(1)),
+          Seq("file", "pos"), "full_outer")
+        .filter(col("graft_f").isNull || col("graft_e").isNull)
+        .count()
+      require(symDiff == 0L,
         "final DV must be the exact union of all ten waves")
       ops.Layout.snapshotReadWithDeletes(s, s"$tmp/t",
           s.read.parquet(ops.Catalog.ref(s, cat, 11, "manifest")), dvAt(11))
@@ -8540,9 +8572,9 @@ object SparkEntry {
               // 3. shard-table fold (s33)
               val (asg, nss) = ops.CorpusOps.shardAssignBatch(seenShard,
                 adm.select("doc_id", "n_tokens"), "doc_id", nShards = 8)
-              shardTab = shardTab.unionAll(
+              shardTab = foldBound(s, shardTab.unionAll(
                   asg.select(col("doc_id"), col("shard"), col("seq"),
-                    col("n_tokens")))
+                    col("n_tokens"))))
                 .localCheckpoint(eager = true)
               seenShard = nss.localCheckpoint(eager = true)
               // 4. pack-index fold (s35)
@@ -8550,9 +8582,9 @@ object SparkEntry {
                 adm.select(col("doc_id"),
                   col("text").cast("binary").as("payload")),
                 "doc_id", "payload", nShards = 4)
-              packTab = packTab.unionAll(
+              packTab = foldBound(s, packTab.unionAll(
                   pasg.select(col("doc_id"), col("shard"), col("offset"),
-                    col("length")))
+                    col("length"))))
                 .localCheckpoint(eager = true)
               seenPack = nsp.localCheckpoint(eager = true)
             }
@@ -8684,8 +8716,9 @@ object SparkEntry {
             // triage and the hash pass separately decodes twice
             val tri = ops.Multimodal.triageWithImageHash(mrec(batch))
               .toDF().ckpt
-            quarTab = quarTab.unionAll(tri.filter(col("status") =!= "ok")
-              .select(col("media_id"), col("status").as("verdict"))).ckpt
+            quarTab = foldBound(s, quarTab.unionAll(
+              tri.filter(col("status") =!= "ok")
+                .select(col("media_id"), col("status").as("verdict")))).ckpt
             val feats = tri.filter(col("status") === "ok" &&
                 col("format").isin("png", "jpeg"))
               .select("media_id", "dhash", "fp")
@@ -8698,7 +8731,8 @@ object SparkEntry {
             // 4. near-dup admission vs the FROZEN perceptual-hash index
             val admitted = ops.Dedup.hammingFilter64(frozenHashes,
               fresh, "media_id", "dhash", maxHamming = 3).ckpt
-            seenFps = seenFps.unionAll(admitted.select("fp")).ckpt
+            seenFps = foldBound(s,
+              seenFps.unionAll(admitted.select("fp"))).ckpt
             val n = admitted.count()
             ledger += n
             if (n > 0) {
@@ -8714,8 +8748,9 @@ object SparkEntry {
               val (pasg, nsp) = ops.Multimodal.packAssignBatch(seenPack,
                 ras.select("media_id", "pixels"), "media_id", "pixels",
                 nShards = 4)
-              packTab = packTab.unionAll(pasg.select(col("media_id"),
-                col("shard"), col("offset"), col("length"))).ckpt
+              packTab = foldBound(s, packTab.unionAll(
+                pasg.select(col("media_id"),
+                  col("shard"), col("offset"), col("length")))).ckpt
               seenPack = nsp.ckpt
             }
             ()

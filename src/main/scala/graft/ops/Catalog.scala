@@ -105,12 +105,25 @@ object Catalog {
     var advanced = 0 // stale-expected conflicts (others are committing)
     var stuckHead = -1 // committed head we keep conflicting on unchanged
     var stuckRun = 0 // consecutive conflicts on that unchanged head
+    // memoize the last prepared refs: a HELD-CLAIM conflict leaves the
+    // committed base UNCHANGED, so re-running `prepare` would rebuild
+    // (and usually re-persist) an identical artifact set — measured as
+    // half of q149's twenty DV writes. `prepare` is idempotent by
+    // contract and its artifact dirs are immutable, so reusing the
+    // attempt's own output for the same base is exactly equivalent.
+    var lastBase: Map[String, String] = null
+    var lastRefs: Map[String, String] = null
     while (true) {
       val cur = Versions.currentOr0(path)
       val base =
         if (cur == 0) Map.empty[String, String]
         else resolve(spark, path, cur) - "_txn"
-      val refs = prepare(base)
+      val refs =
+        if (lastBase != null && base == lastBase) lastRefs
+        else {
+          val r = prepare(base)
+          lastBase = base; lastRefs = r; r
+        }
       try return commitCas(spark, path, cur, refs, committedAt)
       catch {
         case e: CommitConflictException =>
@@ -181,7 +194,12 @@ object Catalog {
       .build()
     val factory =
       new org.apache.parquet.example.data.simple.SimpleGroupFactory(RefsSchema)
+    // null refs never arise from the public verbs, but the parquet-mr
+    // writer would NPE on one deep inside append() — fail with a
+    // message that names the offending artifact instead (ADVICE r19)
     try refs.toSeq.sortBy(_._1).foreach { case (a, r) =>
+      require(a != null && r != null,
+        s"catalog $dir: null artifact/ref in commit (artifact=$a, ref=$r)")
       writer.write(factory.newGroup().append("artifact", a).append("ref", r))
     } finally writer.close()
     val out = fs.create(
@@ -318,10 +336,24 @@ object Catalog {
     val conf = spark.sparkContext.hadoopConfiguration
     val fs = graft.io.PathResolver.fsFor(dir, conf)
     val dirPath = new org.apache.hadoop.fs.Path(dir)
+    // Spark's hidden-file convention + isFile, matching the pre-r19
+    // spark.read.parquet semantics: a stray _sidecar/.crc or a SUBDIR
+    // whose name ends in .parquet must never reach ParquetReader
+    // (ADVICE r19)
     val files = fs.listStatus(dirPath).iterator
+      .filter(s => s.isFile && {
+        val n = s.getPath.getName
+        n.endsWith(".parquet") && !n.startsWith("_") && !n.startsWith(".")
+      })
       .map(_.getPath)
-      .filter(p => p.getName.endsWith(".parquet"))
       .toSeq
+    // a committed version dir with NO refs table is corruption (partial
+    // vacuum, manual deletion) — fail loudly like the old Spark reader
+    // ("unable to infer schema") instead of silently returning an empty
+    // world that commitRetry would then rebuild from scratch (ADVICE r19)
+    require(files.nonEmpty,
+      s"catalog version dir $dir holds no refs parquet file — " +
+        "corrupted or partially-vacuumed catalog")
     val out = Map.newBuilder[String, String]
     files.foreach { f =>
       val reader = org.apache.parquet.hadoop.ParquetReader
@@ -333,6 +365,12 @@ object Catalog {
       try {
         var g = reader.read()
         while (g != null) {
+          // both fields are declared optional; a null in either (only
+          // writable via the pre-r19 Spark path) has no meaning in a
+          // refs table — name the file instead of NPEing (ADVICE r19)
+          require(g.getFieldRepetitionCount("artifact") > 0 &&
+            g.getFieldRepetitionCount("ref") > 0,
+            s"catalog refs table $f holds a null artifact/ref row")
           out += g.getString("artifact", 0) -> g.getString("ref", 0)
           g = reader.read()
         }

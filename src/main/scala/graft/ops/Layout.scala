@@ -1052,12 +1052,18 @@ object Layout {
   def extendManifest(spark: org.apache.spark.sql.SparkSession, dir: String,
       manifest: DataFrame, cols: Seq[String]): DataFrame = {
     require(cols.nonEmpty, "need at least one stats column")
-    val fresh = newDataFiles(spark, dir, manifest)
+    // one collect serves both the new-file diff and the ceiling check:
+    // `file` is the manifest's unique key (one row per data file), so
+    // the collected set's size IS the manifest's row count — a separate
+    // manifest.count() was a second Spark action over the same frame
+    // on every extend call
+    val known = manifestFileSet(spark, manifest)
+    val fresh = newDataFilesKnown(spark, dir, known)
     if (fresh.isEmpty) manifest
     else {
       // growth-step ceiling: extend is where a long-lived manifest
       // creeps past the bound one append at a time
-      checkManifestCeiling(spark, manifest.count() + fresh.length, dir)
+      checkManifestCeiling(spark, known.size.toLong + fresh.length, dir)
       // a partitioned manifest (part_<col> columns) needs the fresh
       // files read with basePath so their partition values resolve —
       // an explicit-leaf-path read would silently lose them
@@ -1149,9 +1155,16 @@ object Layout {
     * partitioning nests them) but NEVER into other subdirectories:
     * commit-dir layouts deliberately keep their epochs invisible to a
     * root-level extend. */
+  private def manifestFileSet(spark: org.apache.spark.sql.SparkSession,
+      index: DataFrame): Set[String] =
+    index.select("file").collect().map(r => uriPath(r.getString(0))).toSet
+
   private def newDataFiles(spark: org.apache.spark.sql.SparkSession,
-      dir: String, index: DataFrame): Array[String] = {
-    val known = index.select("file").collect().map(r => uriPath(r.getString(0))).toSet
+      dir: String, index: DataFrame): Array[String] =
+    newDataFilesKnown(spark, dir, manifestFileSet(spark, index))
+
+  private def newDataFilesKnown(spark: org.apache.spark.sql.SparkSession,
+      dir: String, known: Set[String]): Array[String] = {
     val fs = graft.io.PathResolver.fsFor(dir,
       spark.sparkContext.hadoopConfiguration)
     dataFilePaths(fs, dir).map(_.toString)

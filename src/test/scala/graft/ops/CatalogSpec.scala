@@ -324,4 +324,60 @@ class CatalogSpec extends AnyFunSuite with SparkTestBase {
     }
     assert(ex.getMessage.contains("at least one artifact"))
   }
+
+  // r19 swapped BOTH the refs-table writer and reader from Spark jobs to
+  // direct parquet-mr in one commit; the cross-format directions were
+  // claimed but untested (ADVICE r19). Pin both.
+  test("resolve reads a refs table written by the pre-r19 Spark path") {
+    import spark.implicits._
+    val path = freshPath()
+    Catalog.commit(spark, path, Map("m" -> "v1-ref")) // markers for v1
+    // overwrite v1's image with one written the OLD way
+    val dir = new java.io.File(Versions.versionDir(path, 1))
+    dir.listFiles().filter(_.getName.endsWith(".parquet")).foreach(_.delete())
+    Seq(("manifest", "loc/m7"), ("dv", "loc/d7"))
+      .toDF("artifact", "ref")
+      .coalesce(1).write.mode("append").parquet(dir.toString)
+    assert(Catalog.resolve(spark, path, 1) ===
+      Map("manifest" -> "loc/m7", "dv" -> "loc/d7"))
+  }
+
+  test("the pre-r19 Spark reader reads a parquet-mr-written refs table") {
+    val path = freshPath()
+    Catalog.commit(spark, path, Map("manifest" -> "loc/m9", "dv" -> "loc/d9"))
+    val rows = spark.read.parquet(Versions.versionDir(path, 1))
+      .collect().map(r => r.getAs[String]("artifact") -> r.getAs[String]("ref"))
+      .toMap
+    assert(rows === Map("manifest" -> "loc/m9", "dv" -> "loc/d9"))
+  }
+
+  test("resolve fails loudly on a version dir with no refs parquet") {
+    val path = freshPath()
+    Catalog.commit(spark, path, Map("m" -> "r1"))
+    val dir = new java.io.File(Versions.versionDir(path, 1))
+    dir.listFiles().filter(_.getName.endsWith(".parquet")).foreach(_.delete())
+    val ex = intercept[IllegalArgumentException] {
+      Catalog.resolve(spark, path, 1)
+    }
+    assert(ex.getMessage.contains("no refs parquet file"))
+  }
+
+  test("resolve ignores hidden sidecars and non-file entries") {
+    val path = freshPath()
+    Catalog.commit(spark, path, Map("m" -> "r1"))
+    val dir = new java.io.File(Versions.versionDir(path, 1))
+    // a stray underscore-prefixed sidecar and a subdirectory whose name
+    // ends in .parquet must not reach ParquetReader
+    new java.io.File(dir, "_sidecar.parquet").createNewFile()
+    new java.io.File(dir, "sub.parquet").mkdirs()
+    assert(Catalog.resolve(spark, path, 1) === Map("m" -> "r1"))
+  }
+
+  test("a null ref fails the commit with a message naming the artifact") {
+    val ex = intercept[IllegalArgumentException] {
+      Catalog.commit(spark, freshPath(), Map("m" -> (null: String)))
+    }
+    assert(ex.getMessage.contains("null artifact/ref"))
+    assert(ex.getMessage.contains("artifact=m"))
+  }
 }
