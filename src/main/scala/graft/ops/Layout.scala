@@ -2026,7 +2026,11 @@ object Layout {
   def deletionVectorsForKeysPruned(spark: org.apache.spark.sql.SparkSession,
       dir: String, manifest: DataFrame, keys: DataFrame,
       keyCol: String): DataFrame =
-    dvAddressesIn(spark, keyTouchedFiles(manifest, keys, keyCol),
+    dvAddressesInManifest(spark, dir,
+      manifest.join(
+        broadcast(keys.select(col(keyCol).as("graft_del_k"))),
+        col("graft_del_k") >= col(s"min_$keyCol") &&
+          col("graft_del_k") <= col(s"max_$keyCol"), "left_semi"),
       keys, keyCol)
 
   /** [[deletionVectorsForKeysPruned]] for a [[statsManifestPartitioned]]
@@ -2048,33 +2052,50 @@ object Layout {
     val gids = spark.read.parquet(s"$manifestDir/groups")
       .join(k, hit, "left_semi")
       .select("graft_group").collect().map(_.getInt(0))
-    val touched =
-      if (gids.isEmpty) Seq.empty[String]
-      else spark.read.parquet(s"$manifestDir/files")
+    if (gids.isEmpty) emptyDvFrame(spark)
+    else dvAddressesInManifest(spark, dir,
+      spark.read.parquet(s"$manifestDir/files")
         .filter(col("graft_group").isin(gids.toIndexedSeq: _*))
-        .join(k, hit, "left_semi")
-        .select("file").collect().map(_.getString(0)).toIndexedSeq
-    dvAddressesIn(spark, touched, keys, keyCol)
+        .join(k, hit, "left_semi"),
+      keys, keyCol)
   }
 
-  /** Resolve (file, pos) addresses of `keys` within an explicit file
-    * list — the shared tail of both pruned takedown variants. */
-  private def dvAddressesIn(spark: org.apache.spark.sql.SparkSession,
-      touched: Seq[String], keys: DataFrame, keyCol: String): DataFrame =
-    if (touched.isEmpty)
-      spark.createDataFrame(
-        new java.util.ArrayList[org.apache.spark.sql.Row](),
-        org.apache.spark.sql.types.StructType(Seq(
-          org.apache.spark.sql.types.StructField("file",
-            org.apache.spark.sql.types.StringType),
-          org.apache.spark.sql.types.StructField("pos",
-            org.apache.spark.sql.types.LongType))))
-    else
-      spark.read.parquet(touched: _*)
-        .select(col(keyCol), col("_metadata.file_path").as("file"),
-          col("_metadata.row_index").as("pos"))
-        .join(broadcast(keys.select(col(keyCol))), Seq(keyCol), "left_semi")
-        .select("file", "pos")
+  /** The empty (file, pos) DV frame — shared by the no-touched-files
+    * fast paths. */
+  private def emptyDvFrame(
+      spark: org.apache.spark.sql.SparkSession): DataFrame =
+    spark.createDataFrame(
+      new java.util.ArrayList[org.apache.spark.sql.Row](),
+      org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("file",
+          org.apache.spark.sql.types.StringType),
+        org.apache.spark.sql.types.StructField("pos",
+          org.apache.spark.sql.types.LongType))))
+
+  /** Resolve (file, pos) addresses of `keys` within the files an
+    * ADMITTED manifest-row frame names — the shared tail of both
+    * pruned takedown variants. The scan plans with ZERO filesystem
+    * calls when the rows carry exact `bytes`
+    * ([[graft.io.ManifestFileIndex]], same contract as every other
+    * manifest consumer); the explicit-path read (which stat-lists
+    * every touched file — 0.6 s for q122's 300-file wave) is only the
+    * legacy/byte-less fallback. `_metadata` renders paths identically
+    * under both plans, so recorded DV addresses are byte-identical. */
+  private def dvAddressesInManifest(spark: org.apache.spark.sql.SparkSession,
+      dir: String, admitted: DataFrame, keys: DataFrame,
+      keyCol: String): DataFrame = {
+    val scan = manifestRead(spark, admitted).getOrElse {
+      val keep = admitted.select("file").collect().map(_.getString(0))
+      if (keep.isEmpty) return emptyDvFrame(spark)
+      explicitFilesRead(spark, dir,
+        admitted.columns.exists(_.startsWith("part_")), keep.toIndexedSeq)
+    }
+    scan
+      .select(col(keyCol), col("_metadata.file_path").as("file"),
+        col("_metadata.row_index").as("pos"))
+      .join(broadcast(keys.select(col(keyCol))), Seq(keyCol), "left_semi")
+      .select("file", "pos")
+  }
 
   /** Merge-on-read scan applying [[deletionVectors]]: the base table is
     * scanned in place and deleted addresses are subtracted by a
@@ -2158,8 +2179,6 @@ object Layout {
     val removed = (oldP.keySet -- newP.keySet).toSeq.sorted.map(oldP)
     val shared = oldP.keySet.intersect(newP.keySet)
 
-    val baseSchema = spark.read.parquet(dir).schema
-    val outCols = (baseSchema.fieldNames.toSeq :+ "_change_type").map(col)
     // partitioned manifests: the base schema includes the partition
     // columns, so the changed-file reads need basePath to resolve them
     // (explicit-leaf reads would fail the outCols select); basePath
@@ -2169,6 +2188,16 @@ object Layout {
     def readFiles(fs: Seq[String]): DataFrame =
       if (partitioned) spark.read.option("basePath", dir).parquet(fs: _*)
       else spark.read.parquet(fs: _*)
+    // schema from ONE manifest-named footer, not a directory listing:
+    // a root-dir read re-lists the whole table per diff call (the same
+    // per-probe listing cost the manifest family exists to remove);
+    // files share one schema by table contract, and the partitioned
+    // read keeps basePath so partition columns resolve identically.
+    // Empty manifests (fresh table) fall back to the root read.
+    val baseSchema = (newP.values.headOption orElse oldP.values.headOption)
+      .map(f => readFiles(Seq(f)).schema)
+      .getOrElse(spark.read.parquet(dir).schema)
+    val outCols = (baseSchema.fieldNames.toSeq :+ "_change_type").map(col)
     // file-free empty frame: a `limit(0)` over the directory would drag
     // every table file into the plan's input set and break the
     // only-changed-files scan contract the spec pins via inputFiles
