@@ -77,6 +77,35 @@ object Ckpt {
   def forced[T](ds: Dataset[T]): Dataset[T] =
     ds.localCheckpoint(eager = true)
 
+  /** [[forced]] ONLY when the frame's plan actually scans files under
+    * `path` — the exact condition the read-your-own-overwrite pin
+    * exists for. The index save verbs overwrite a destination the
+    * frame MAY have been derived from (in-place re-publication), but
+    * in the two most common flows it was not: a fresh build reads only
+    * the corpus, and a [[Versions]] publish writes into a brand-new
+    * immutable version dir while reading the previous one. Those paid
+    * a full eager materialization per table (≈8 extra jobs per
+    * NearDupIndex save) purely as insurance. The plan walk is exact
+    * for file relations: every `HadoopFsRelation`'s resolved root
+    * paths are checked against `path`, no filesystem calls. */
+  def pinnedIfReadsFrom[T](ds: Dataset[T], path: String): Dataset[T] = {
+    val target = new org.apache.hadoop.fs.Path(path).toUri.getPath
+    def under(p: org.apache.hadoop.fs.Path): Boolean = {
+      val s = p.toUri.getPath
+      s == target || s.startsWith(target + "/")
+    }
+    val reads = ds.queryExecution.analyzed.exists {
+      case lr: org.apache.spark.sql.execution.datasources.LogicalRelation =>
+        lr.relation match {
+          case fs: org.apache.spark.sql.execution.datasources
+                .HadoopFsRelation => fs.location.rootPaths.exists(under)
+          case _ => false
+        }
+      case _ => false
+    }
+    if (reads) forced(ds) else ds
+  }
+
   /** Free a SUPERSEDED barrier's cached blocks immediately, instead of
     * waiting for the ContextCleaner to notice unreachability. The
     * growing-index folds (s39/s40, the soak's `growing_admission`)

@@ -270,9 +270,13 @@ object Dedup {
       // overwrite that still lazily reads its own target deletes the
       // files mid-scan — the barrier severs that read. Ckpt.forced, not
       // pinned: a correctness pin, exempt from the eager-conf opt-out
+      // pin only when the table's plan actually reads under the index
+      // root (in-place re-publication); fresh builds and versioned
+      // publishes skip the materialization entirely
       def w(df: DataFrame, sub: String): Unit =
-        graft.io.DataFrameIO.write(Ckpt.forced(df), graft.io.SourceParams(
-          "parquet", Some(s"$path/$sub"), saveMode = Some("overwrite")))
+        graft.io.DataFrameIO.write(Ckpt.pinnedIfReadsFrom(df, path),
+          graft.io.SourceParams(
+            "parquet", Some(s"$path/$sub"), saveMode = Some("overwrite")))
       w(idx.fingerprints, "fingerprints")
       w(idx.bands, "bands")
       w(idx.hashes, "hashes")
@@ -969,7 +973,7 @@ object Dedup {
     def save(index: DataFrame, dim: Int, bits: Int, path: String)(
         implicit spark: SparkSession): Unit = {
       import spark.implicits._
-      graft.io.DataFrameIO.write(Ckpt.forced(index),
+      graft.io.DataFrameIO.write(Ckpt.pinnedIfReadsFrom(index, path),
         graft.io.SourceParams("parquet", Some(s"$path/buckets"),
           saveMode = Some("overwrite"), partitionBy = Seq("bucket")))
       graft.io.DataFrameIO.write(Seq((dim, bits)).toDF("dim", "bits"),

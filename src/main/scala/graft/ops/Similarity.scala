@@ -651,11 +651,12 @@ object Similarity {
       // first: the maintenance loop saves an index DERIVED from
       // load(path) back to the same path, and an overwrite that still
       // lazily reads its own target deletes the files mid-scan — the
-      // barrier severs that read. Ckpt.forced, not pinned: this pin is
-      // a correctness requirement, so the eager-conf opt-out must not
-      // reach it. (At very large index scale prefer versioned publish
-      // dirs; the pin costs one cache pass.)
-      graft.io.DataFrameIO.write(Ckpt.forced(idx.assigned),
+      // barrier severs that read. Applied only when the plan actually
+      // reads under the destination (Ckpt.pinnedIfReadsFrom): fresh
+      // builds and versioned publishes into new dirs skip the
+      // materialization pass. (At very large index scale prefer
+      // versioned publish dirs; the pin costs one cache pass.)
+      graft.io.DataFrameIO.write(Ckpt.pinnedIfReadsFrom(idx.assigned, path),
         graft.io.SourceParams("parquet", Some(s"$path/assigned"),
           saveMode = Some("overwrite"), partitionBy = Seq("cell")))
       w(idx.centroids.zipWithIndex.toSeq
