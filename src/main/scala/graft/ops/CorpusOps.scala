@@ -419,7 +419,10 @@ object CorpusOps {
       n: Int, minDocFreq: Int): DataFrame = {
     require(n > 0 && minDocFreq > 0,
       s"need n > 0 and minDocFreq > 0, got n=$n minDocFreq=$minDocFreq")
-    df.select(col(idCol).as("doc"),
+    // the shingle explode + per-doc partial aggregate run in the SCAN
+    // stage — spread a narrow (tiny-file) input first or they serialize
+    // on the file count (guide §2.5; no-op on an at-scale scan)
+    Skew.spreadNarrowInput(df).select(col(idCol).as("doc"),
         explode(graft.functions.TextFunctions.wordShingles(col(textCol), n))
           .as("ngram"))
       .groupBy("doc", "ngram").agg(count(lit(1)).as("tf"))

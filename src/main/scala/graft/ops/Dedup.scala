@@ -613,7 +613,11 @@ object Dedup {
       textCol: String,
       shingleSize: Int = 3,
       tau: Double = 0.6): DataFrame = {
-    val sets = df.select(col(idCol).cast("long").as("doc_id"),
+    // shingle hashing runs in the scan stage — spread a narrow
+    // (tiny-file) input first or it serializes on the file count
+    // (guide §2.5; no-op on an at-scale scan)
+    val sets = Skew.spreadNarrowInput(df)
+      .select(col(idCol).cast("long").as("doc_id"),
         graft.functions.shingleHash64(tokens(col(textCol)), shingleSize).as("hashes"))
       .ckpt // prefix build + verification joins
     val toks = sets.select(col("doc_id"), explode(col("hashes")).as("h"))
@@ -699,6 +703,9 @@ object Dedup {
       shingleSize: Int = 3,
       tau: Double = 0.8,
       maxPosting: Int = 1000): (DataFrame, DataFrame) = {
+    // (no narrow-input spread here: measured on the d42 shape, the
+    // shingle stage is too small to pay for the extra exchange — the
+    // spread is for explode-heavy kernels like frequentNgrams)
     val sets = df.select(col(idCol).cast("long").as("doc_id"),
         graft.functions.shingleHash64(tokens(col(textCol)), shingleSize).as("hashes"))
       .ckpt // prefix build + verification joins

@@ -36,6 +36,21 @@ object Skew {
     saltedLeft.join(replicatedRight, Seq(key, saltName), "inner").drop(saltName)
   }
 
+  /** Spread a CPU-heavy per-row kernel whose input scans NARROWER than
+    * the session's parallelism — the unsplittable-tiny-input case
+    * (guide §2.5): one small parquet file plans as one scan task, so an
+    * explode/shingle kernel placed in that scan stage serializes on one
+    * core no matter how many the session has (d44's 3-gram count ran
+    * 4.6 s of task time in 8 tasks on 32 cores). A no-op when the input
+    * already carries parallelism — at table scale a scan has thousands
+    * of splits and this must never inject a payload shuffle. The
+    * round-robin repartition is deterministic-safe here because every
+    * consumer aggregates or joins on keys, never on row order. */
+  def spreadNarrowInput(df: DataFrame): DataFrame = {
+    val want = df.sparkSession.sparkContext.defaultParallelism
+    if (df.rdd.getNumPartitions * 2 < want) df.repartition(want) else df
+  }
+
   /** Two-phase aggregation for high-cardinality-group skew: pre-aggregate
     * on (key, salt), then combine. For algebraic aggregates Spark's
     * map-side partial aggregation already does this; the explicit form
